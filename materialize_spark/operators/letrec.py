@@ -1,0 +1,63 @@
+"""LetRec — WITH MUTUALLY RECURSIVE, as a driver-side fixpoint loop.
+
+Reference: MIR LetRec (src/expr/src/relation.rs:154) — mutually recursive
+bindings iterated to fixpoint with optional per-binding iteration limits;
+SQL surface WITH MUTUALLY RECURSIVE
+(test/sqllogictest/with_mutually_recursive.slt).
+
+Spark has no recursive-plan operator, so the loop lives on the driver:
+each iteration re-evaluates every binding's plan against the previous
+iteration's results, until set-equality (SQL WITH RECURSIVE semantics use
+distinct accumulation; Materialize iterates full multiset state — we support
+both via ``distinct``).
+
+Scale notes: each iteration is a full Spark job; we localCheckpoint() each
+iteration's result to cut the growing lineage (otherwise plan size explodes
+exponentially and the driver, not the cluster, becomes the bottleneck).
+Convergence check uses a count of the symmetric difference — one extra job
+per iteration, no driver-side collect of data rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame
+
+
+def _changed(old: DataFrame, new: DataFrame) -> bool:
+    # Set-equality via two anti-diffs; isEmpty() short-circuits on first row.
+    return (not new.exceptAll(old).isEmpty()) or (not old.exceptAll(new).isEmpty())
+
+
+def let_rec(
+    initial: Mapping[str, DataFrame],
+    step: Callable[[Mapping[str, DataFrame]], Mapping[str, DataFrame]],
+    *,
+    max_iter: int = 100,
+    distinct: bool = True,
+    accumulate: bool = False,
+) -> dict[str, DataFrame]:
+    """Iterate mutually recursive bindings to fixpoint.
+
+    ``initial``: name → seed DataFrame for every binding.
+    ``step``: given the current bindings, produce the next value of each
+    binding (may reference any binding, i.e. mutual recursion).
+    ``accumulate``: if True, each iteration unions into the running result
+    (SQL WITH RECURSIVE accumulation); if False, bindings are replaced
+    (Materialize LetRec semantics).
+    """
+    current: dict[str, DataFrame] = {
+        k: v.localCheckpoint(eager=True) for k, v in initial.items()
+    }
+    for _ in range(max_iter):
+        nxt = dict(step(current))
+        if accumulate:
+            nxt = {k: current[k].unionByName(nxt[k]) for k in current}
+        if distinct:
+            nxt = {k: v.distinct() for k, v in nxt.items()}
+        nxt = {k: v.localCheckpoint(eager=True) for k, v in nxt.items()}
+        if all(not _changed(current[k], nxt[k]) for k in current):
+            return nxt
+        current = nxt
+    return current

@@ -1,0 +1,48 @@
+"""Query registry — the declared capability inventory.
+
+Each entry is a named query with (a) a Spark-first implementation
+(DataFrame API / Spark SQL) and (b) when SQL-expressible, an ANSI-SQL
+oracle string DuckDB runs over the same parquet tables. The driver
+hash-compares both at sf0.01 (BASELINE.md t2).
+
+Conventions that make the hash comparison meaningful:
+- every computed column is aliased identically in Spark and oracle SQL;
+- float aggregates are rounded (identically on both sides) so summation
+  order cannot flip the last bit;
+- integer-valued outputs are cast to BIGINT on both sides;
+- temporal outputs are formatted to strings ('yyyy-MM-dd') on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, *tags: str):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
+    registry."""
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags))
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and return the
+    full registry."""
+    from materialize_spark.queries import tpch, relational, scalars, events, pipeline  # noqa: F401
+    return REGISTRY

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference is a single-binary streaming engine; our execution substrate is
+Spark, so "engine configuration" means Catalyst/AQE/shuffle tuning. Defaults
+here are chosen to hold at 100 TB on a large cluster while remaining correct
+on local[32]:
+
+- AQE on (runtime re-plan: coalesce post-shuffle partitions, skew-join
+  splitting, dynamic broadcast conversion) — replaces the reference's
+  hand-rolled join-order choice (src/transform/src/join_implementation.rs).
+- shuffle.partitions: default 32 locally; on a real cluster set to
+  2-3x total cores (AQE coalesces down, so over-provisioning is cheap).
+- session timezone UTC: deterministic timestamp semantics, matches the
+  reference's UTC-everywhere model (src/repr/src/timestamp.rs).
+- Arrow enabled: Pandas UDF fast path for the pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "materialize-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS``
+    (driver contract) or local[*].
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pipeline UDFs ship ~10k-row Arrow batches; keeps Python workers fed
+        # without blowing memory at wide rows (embeddings, binary payloads).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Files: 128 MiB splits is the right granularity for 100 TB parquet.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; read as long and convert in the
+        # catalog (micros truncation — matches DuckDB's read of the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
