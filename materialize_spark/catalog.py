@@ -36,10 +36,19 @@ ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# DataFrame-handle cache: creating a parquet DataFrame reads file footers
+# eagerly; queries re-loading the same tables per call would pay that 10x
+# per query. Keyed by session id so a fresh session re-resolves paths.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None,
                 register: bool = True) -> dict[str, DataFrame]:
     """Load every driver table from ``sf_dir`` and register temp views."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -56,6 +65,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None,
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)
+    _TABLE_CACHE[key] = out
     return out
 
 
