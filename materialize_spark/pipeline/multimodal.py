@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+struct of metadata; decode / feature-extract / resize / frame-sample are
+Arrow-batched Python transforms (``mapInPandas``) because codecs are
+Python-side by nature.
+
+This container has no image/audio libraries, so the *decode kernel* is a
+deterministic stub (documented below); everything around it — schema,
+Arrow batching, partition-preserving plumbing, batch-shape contract — is
+real and tested. Swap ``_decode_stub`` for PIL/libav in production.
+
+Scale: mapInPandas streams Arrow batches (see session.py
+``arrow.maxRecordsPerBatch``); decode parallelism == partition count, no
+shuffle introduced; metadata-only predicates (width/duration filters) are
+plain columns, pushed down before any Python runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("payload", BinaryType()),     # opaque encoded bytes
+    StructField("meta_format", StringType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("checksum", StringType()),
+    StructField("feature", ArrayType(FloatType())),  # fixed-dim feature vector
+])
+
+_FEATURE_DIM = 8
+
+
+def _decode_stub(payload: bytes) -> list[float]:
+    """STUB decode/feature kernel (no media libs in this container).
+
+    Deterministic: folds payload bytes into a fixed-dim vector. Replace
+    with a real decoder (PIL / torchaudio / pyav) in production; the
+    surrounding plumbing is unchanged.
+    """
+    acc = [0.0] * _FEATURE_DIM
+    for i, byte in enumerate(payload):
+        acc[i % _FEATURE_DIM] += float(byte)
+    total = sum(acc) or 1.0
+    return [v / total for v in acc]
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Binary payload → feature vector, streamed through Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                "feature": payloads.map(_decode_stub),
+            })
+
+    return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: re-type the documents table as a media table (text bytes as
+    the opaque payload) so the multimodal path has real data to chew on."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("fake/raw").alias("meta_format"),
+    )

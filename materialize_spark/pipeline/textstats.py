@@ -1,0 +1,61 @@
+"""Text analysis: language ID, quality scoring, token counting,
+fingerprinting. All JVM expressions over token arrays — scan-side, no
+shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency English function-word list — enough signal for a
+# coarse n-gram-free language heuristic.
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "in", "to", "is", "for", "on")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*EN_STOPWORDS)))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def language_id(tokens: Column, *, en_threshold: float = 0.05) -> Column:
+    """'en' when the stopword ratio clears the threshold, else 'unknown'."""
+    return F.when(stopword_ratio(tokens) >= en_threshold, "en").otherwise("unknown")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1]."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    avg_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) \
+        / F.greatest(n_tok, F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    sw = stopword_ratio(toks)
+    # crude but monotone: enough tokens, sane word length, lexical diversity
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.when((avg_len >= 3) & (avg_len <= 10), 1.0).otherwise(0.0) * 0.3
+        + F.least(uniq_ratio * 2, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        F.round(sw, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set (the classic 'fingerprint' clustering key)."""
+    toks = tokens_col(text)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

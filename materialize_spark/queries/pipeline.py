@@ -1,1 +1,322 @@
-"""Placeholder — populated incrementally."""
+"""Training-data pipeline queries over documents/embeddings.
+
+Every dedup/similarity operator is oracle-checked: hashing is md5-based so
+DuckDB reproduces signatures bit-for-bit (see pipeline/dedup.py).
+
+Shared normalization contract (both engines):
+  normalized = trim(collapse_ws(strip_non_alnum(lower(text))))
+  tokens     = split(normalized, ' ')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from materialize_spark.pipeline.dedup import (
+    exact_dedup, jaccard_pairs, lsh_candidate_pairs, minhash_signatures,
+    normalize_text, simhash,
+)
+from materialize_spark.pipeline.simsearch import cosine_topk, lsh_bucket_signature
+from materialize_spark.pipeline.textstats import (
+    EN_STOPWORDS, fingerprint, language_id, quality_metrics, tokens_col,
+)
+from materialize_spark.queries import register
+from materialize_spark.queries.util import T
+
+# DuckDB fragment mirroring normalize_text()/tokens.
+_DD_TOKENS = r"""
+  SELECT doc_id, lang, source,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tokens
+  FROM documents
+"""
+
+
+@register(
+    "dedup_exact",
+    rf"""
+    WITH groups AS (
+      SELECT md5(array_to_string(tokens, ' ')) AS content_hash,
+             min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM ({_DD_TOKENS}) GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(min(canonical_id) AS BIGINT) AS first_canonical
+    FROM groups
+    """,
+    "pipeline", "dedup",
+)
+def dedup_exact(spark, sf_dir):
+    t = T(spark, sf_dir)
+    groups = exact_dedup(t.documents)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_groups"),
+        F.sum("group_size").cast("long").alias("n_docs"),
+        F.min("canonical_id").alias("first_canonical"),
+    )
+
+
+_DD_SIGS = _DD_TOKENS.join("")  # readability alias
+_SIG_EXPRS = ",\n".join(
+    f"      list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS sig{i}"
+    for i in range(8)
+)
+_BAND_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tokens) - 1),
+                            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+      FROM toks WHERE len(tokens) >= 3),
+    sigs AS (
+      SELECT doc_id,
+{_SIG_EXPRS}
+      FROM sh),
+    bands AS (
+{_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+    """,
+    "pipeline", "dedup", "minhash",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    sigs = minhash_signatures(docs, F.col("tokens"), num_hashes=8, k=3)
+    return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+
+
+_SIMHASH_BITS = ",\n".join(
+    "      CASE WHEN list_sum(list_transform(tokens, t -> CASE WHEN "
+    f"substr(md5(t), {c}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    for c in range(1, 17)
+)
+
+
+@register(
+    "dedup_simhash",
+    rf"""
+    WITH toks AS ({_DD_TOKENS})
+    SELECT doc_id, concat(
+{_SIMHASH_BITS}
+    ) AS simhash
+    FROM toks
+    """,
+    "pipeline", "dedup", "simhash",
+)
+def dedup_simhash(spark, sf_dir):
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    return simhash(docs, F.col("tokens"), bits=16)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(tokens) AS tokens FROM ({_DD_TOKENS})),
+    posting AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+    sizes AS (SELECT doc_id, len(tokens) AS sz FROM toks),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM posting a JOIN posting b USING (tok)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
+    """,
+    "pipeline", "dedup", "jaccard",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    return jaccard_pairs(docs, F.col("tokens"), threshold=0.8)
+
+
+@register(
+    "simsearch_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    SELECT vec_id, round(
+        list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    "pipeline", "simsearch",
+)
+def simsearch_cosine_topk(spark, sf_dir):
+    t = T(spark, sf_dir)
+    qrow = (t.embeddings.orderBy("vec_id").select("embedding").first())
+    return cosine_topk(t.embeddings, list(qrow[0]), k=10)
+
+
+def _lsh_oracle() -> str:
+    dots = ",\n".join(
+        "      list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * "
+        f"(instr('0123456789abcdef', substr(md5({j} || ':' || (i - 1)), 1, 1)) - 8.5))) AS dot{j}"
+        for j in range(8)
+    )
+    bits = " || ".join(
+        f"CASE WHEN dot{j} > 0 THEN '1' ELSE '0' END" for j in range(8))
+    return f"""
+    WITH dots AS (
+      SELECT vec_id,
+{dots}
+      FROM embeddings)
+    SELECT {bits} AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM dots GROUP BY 1
+    """
+
+
+@register("simsearch_lsh_buckets", _lsh_oracle(), "pipeline", "simsearch", "lsh")
+def simsearch_lsh_buckets(spark, sf_dir):
+    t = T(spark, sf_dir)
+    return (
+        lsh_bucket_signature(t.embeddings, num_planes=8, dims=64)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "text_language_id",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    pred AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(tokens, t -> t IN ({_SW_LIST}))) AS DOUBLE)
+                       / greatest(len(tokens), 1) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS predicted
+      FROM toks)
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    "pipeline", "textstats",
+)
+def text_language_id(spark, sf_dir):
+    t = T(spark, sf_dir)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    return (
+        t.documents
+        .select("lang", language_id(toks).alias("predicted"))
+        .groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_quality",
+    rf"""
+    WITH toks AS ({_DD_TOKENS})
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE)
+                 / greatest(len(tokens), 1), 4) AS avg_token_len,
+           round(CAST(len(list_distinct(tokens)) AS DOUBLE)
+                 / greatest(len(tokens), 1), 4) AS unique_ratio,
+           round(CAST(len(list_filter(tokens, t -> t IN ({_SW_LIST}))) AS DOUBLE)
+                 / greatest(len(tokens), 1), 4) AS stopword_ratio,
+           round(least(len(tokens) / 50.0, 1.0) * 0.4
+                 + CASE WHEN CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE)
+                             / greatest(len(tokens), 1) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.0 END * 0.3
+                 + least(CAST(len(list_distinct(tokens)) AS DOUBLE)
+                         / greatest(len(tokens), 1) * 2, 1.0) * 0.3, 4) AS quality_score
+    FROM toks
+    """,
+    "pipeline", "textstats",
+)
+def text_quality(spark, sf_dir):
+    t = T(spark, sf_dir)
+    return quality_metrics(t.documents)
+
+
+@register(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+    "pipeline", "textstats", "tokenize",
+)
+def text_token_counts(spark, sf_dir):
+    t = T(spark, sf_dir)
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda x: F.length(x) > 0)
+    return t.documents.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    rf"""
+    WITH fp AS (
+      SELECT source, md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS f
+      FROM ({_DD_TOKENS}))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_fingerprints
+    FROM fp GROUP BY source
+    """,
+    "pipeline", "textstats", "fingerprint",
+)
+def text_fingerprint(spark, sf_dir):
+    t = T(spark, sf_dir)
+    return (
+        t.documents
+        .select("source", fingerprint(F.col("text")).alias("f"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("f").alias("n_fingerprints"))
+    )
+
+
+# Multimodal plumbing: mapInPandas feature extraction over binary payloads.
+# No SQL oracle (Arrow/Python kernel) -> driver records rows-only check;
+# correctness is asserted in tests/test_pipeline.py (checksum vs md5 oracle).
+@register("multimodal_features", None, "pipeline", "multimodal", "rows-only")
+def multimodal_features(spark, sf_dir):
+    from materialize_spark.pipeline.multimodal import (
+        documents_as_media, extract_features,
+    )
+    t = T(spark, sf_dir)
+    feats = extract_features(documents_as_media(t.documents))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )

@@ -1,0 +1,105 @@
+"""Tests for the training-data pipeline operators."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from materialize_spark.pipeline.dedup import (
+    exact_dedup, jaccard_pairs, lsh_candidate_pairs, minhash_signatures,
+    normalize_text, simhash,
+)
+from materialize_spark.pipeline.multimodal import (
+    documents_as_media, extract_features,
+)
+from materialize_spark.pipeline.simsearch import cosine_topk, lsh_bucket_signature
+from materialize_spark.pipeline.textstats import fingerprint, language_id, tokens_col
+from materialize_spark.catalog import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "Hello, World!"), (2, "hello   world"),
+                       (3, "something else")])
+    groups = exact_dedup(df)
+    sizes = {r.canonical_id: r.group_size for r in groups.collect()}
+    assert sizes == {1: 2, 3: 1}  # punctuation/case/ws-insensitive match
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, text), (2, text), (3, "completely different words "
+                                                 "nothing shared at all here")])
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sigs = minhash_signatures(df.withColumn("tokens", toks), F.col("tokens"))
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_short_docs_dropped(spark):
+    df = _docs(spark, [(1, "two words"), (2, "a b c d e")])
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sigs = minhash_signatures(df.withColumn("tokens", toks), F.col("tokens"))
+    assert [r.doc_id for r in sigs.collect()] == [2]  # <3 tokens -> no shingles
+
+
+def test_simhash_similar_docs_close(spark):
+    df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+                       (3, "x1 y2 z3 w4 v5 u6")])
+    toks = F.split(normalize_text(F.col("text")), " ")
+    out = {r.doc_id: r.simhash for r in
+           simhash(df.withColumn("tokens", toks), F.col("tokens")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 16 and set(out[1]) <= {"0", "1"}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "z")])
+    toks = F.split(normalize_text(F.col("text")), " ")
+    out = jaccard_pairs(df.withColumn("tokens", toks), F.col("tokens"),
+                        threshold=0.5)
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert rows == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_cosine_topk_self_is_top(spark):
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    q = emb.orderBy("vec_id").first()
+    out = cosine_topk(emb, list(q.embedding), k=3).collect()
+    assert out[0].vec_id == q.vec_id and abs(out[0].cosine_sim - 1.0) < 1e-5
+
+
+def test_lsh_bucket_signature_shape(spark):
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    out = lsh_bucket_signature(emb.limit(50)).collect()
+    assert all(len(r.bucket) == 8 and set(r.bucket) <= {"0", "1"} for r in out)
+
+
+def test_language_id_and_fingerprint(spark):
+    df = _docs(spark, [(1, "the cat sat on the mat in the sun"),
+                       (2, "xyzzy plugh quux")])
+    out = df.select("doc_id",
+                    language_id(tokens_col(F.col("text"))).alias("lang"),
+                    fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].lang == "en" and by_id[2].lang == "unknown"
+    assert by_id[1].fp != by_id[2].fp
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].limit(20)
+    feats = extract_features(documents_as_media(docs)).collect()
+    assert len(feats) == 20
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in feats:
+        payload = src[r.media_id].encode()
+        assert r.n_bytes == len(payload)
+        assert r.checksum == hashlib.md5(payload).hexdigest()
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-4  # stub normalizes to sum 1

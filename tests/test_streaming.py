@@ -1,0 +1,139 @@
+"""Streaming IVM tests: the defining Materialize property is that the
+incrementally-maintained result equals a full recompute at every batch
+boundary (SURVEY.md §2.8; reference consistency model)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from materialize_spark.catalog import load_tables
+from materialize_spark.operators.setops import DIFF_COL
+from materialize_spark.streaming.ivm import MaterializedView
+from materialize_spark.streaming.upsert import merge_upsert_batch, upsert_latest
+from materialize_spark.streaming.temporal import temporal_filter
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _event_chunks(spark, n_chunks=4):
+    """Replay the events table in timestamp order as n micro-batches."""
+    events = load_tables(spark, SF_DIR)["events"]
+    rows = events.orderBy("ts", "event_id").collect()
+    size = (len(rows) + n_chunks - 1) // n_chunks
+    return events, [
+        spark.createDataFrame(rows[i:i + size], events.schema)
+        for i in range(0, len(rows), size)
+    ]
+
+
+def _agg_define(df):
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def _as_sorted(df, *, round_cols=("total",)):
+    out = df
+    for c in round_cols:
+        out = out.withColumn(c, F.round(c, 6))
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_ivm_incremental_equals_recompute(spark):
+    events, chunks = _event_chunks(spark)
+    mv = MaterializedView(
+        spark, _agg_define, keys=["event_type"],
+        combine={"n": "sum", "total": "sum", "vmin": "min", "vmax": "max"})
+    seen = None
+    for chunk in chunks:
+        mv.on_batch(chunk)
+        seen = chunk if seen is None else seen.unionByName(chunk)
+        assert _as_sorted(mv.result()) == _as_sorted(_agg_define(seen))
+    # and the final state matches the full batch answer
+    assert _as_sorted(mv.result()) == _as_sorted(_agg_define(events))
+
+
+def test_ivm_basic_plan_recompute(spark):
+    """combine=None (non-combinable aggregate) also stays consistent."""
+    _, chunks = _event_chunks(spark, n_chunks=3)
+
+    def median_define(df):
+        return df.groupBy("event_type").agg(
+            F.expr("percentile_approx(value, 0.5)").alias("p50"))
+
+    mv = MaterializedView(spark, median_define, keys=["event_type"], combine=None)
+    seen = None
+    for chunk in chunks:
+        mv.on_batch(chunk)
+        seen = chunk if seen is None else seen.unionByName(chunk)
+    assert _as_sorted(mv.result(), round_cols=("p50",)) == \
+        _as_sorted(median_define(seen), round_cols=("p50",))
+
+
+def test_ivm_delta_is_subscribe_stream(spark):
+    """Deltas carry +1/-1 diffs and replaying them reconstructs the state."""
+    _, chunks = _event_chunks(spark, n_chunks=2)
+    mv = MaterializedView(
+        spark, lambda df: df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        keys=["event_type"], combine={"n": "sum"})
+    d1 = mv.on_batch(chunks[0])
+    assert set(d1.select(DIFF_COL).distinct().toPandas()[DIFF_COL]) == {1}
+    d2 = mv.on_batch(chunks[1])
+    diffs = set(d2.select(DIFF_COL).distinct().toPandas()[DIFF_COL])
+    assert diffs == {1, -1}  # updated groups retract the old row
+    # replay: state == sum of diffs per row
+    replay = d1.unionByName(d2).groupBy("event_type", "n") \
+        .agg(F.sum(DIFF_COL).alias("net")).filter(F.col("net") > 0) \
+        .select("event_type", "n")
+    assert sorted(map(tuple, replay.collect())) == \
+        sorted(map(tuple, mv.result().collect()))
+
+
+def test_upsert_envelope(spark):
+    feed = spark.createDataFrame(
+        [(1, "a", 10, False), (1, "b", 20, False), (2, "x", 11, False),
+         (2, None, 30, True), (3, "z", 5, False)],
+        ["key", "val", "offset", "deleted"])
+    latest = upsert_latest(
+        feed, ["key"], [F.col("offset").desc()],
+        value_cols=["val"], delete_when=F.col("deleted"))
+    assert {(r.key, r.val) for r in latest.collect()} == {(1, "b"), (3, "z")}
+
+
+def test_upsert_merge_batches(spark):
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["key", "val"])
+    b2 = spark.createDataFrame([(2, "b2"), (3, "c")], ["key", "val"])
+    state = merge_upsert_batch(None, b1, ["key"])
+    state = merge_upsert_batch(state, b2, ["key"])
+    assert {(r.key, r.val) for r in state.collect()} == \
+        {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_temporal_filter_rows_age_out(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "old"), ("2024-01-10 00:00:00", "live")],
+        ["ts", "tag"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    now = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    live = temporal_filter(
+        df, valid_from=F.col("ts"),
+        valid_until=F.col("ts") + F.expr("INTERVAL 3 DAYS"), now=now)
+    assert [r.tag for r in live.collect()] == ["live"]
+
+
+def test_ivm_streaming_driver_available_now(spark, tmp_path):
+    """End-to-end through writeStream.foreachBatch with a file source."""
+    events = load_tables(spark, SF_DIR)["events"]
+    src = str(tmp_path / "stream_src")
+    events.limit(200).coalesce(1).write.parquet(src)
+    mv = MaterializedView(
+        spark, lambda df: df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        keys=["event_type"], combine={"n": "sum"})
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = mv.start(stream, checkpointLocation=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    expected = events.limit(200).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, mv.result().collect())) == \
+        sorted(map(tuple, expected.collect()))
