@@ -44,5 +44,7 @@ def register(name: str, oracle: str | None, *tags: str):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return the
     full registry."""
-    from materialize_spark.queries import tpch, relational, scalars, events, pipeline  # noqa: F401
+    from materialize_spark.queries import (  # noqa: F401
+        tpch, relational, scalars, events, pipeline, sqlfront,
+    )
     return REGISTRY

@@ -1,0 +1,92 @@
+"""Sources/sinks: format readers, envelopes, load generators, COPY TO."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from materialize_spark.catalog import load_tables
+from materialize_spark.operators.setops import threshold
+from materialize_spark.sinks import copy_to, stream_to_memory
+from materialize_spark.sources import (
+    counter_source, debezium_decode, kafka_available, read_table, stream_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    nation = load_tables(spark, SF_DIR)["nation"]
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        copy_to(nation, path, fmt)
+        back = read_table(spark, path, fmt, schema=nation.schema)
+        assert sorted(map(tuple, back.collect())) == \
+            sorted(map(tuple, nation.collect()))
+
+
+def test_regex_format(spark, tmp_path):
+    path = str(tmp_path / "log.txt")
+    with open(path, "w") as f:
+        f.write("2024-01-01 ERROR boom\n2024-01-02 INFO ok\n")
+    df = read_table(spark, path, "regex",
+                    regex=r"^(\S+) (\S+) (.*)$")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("2024-01-01", "ERROR", "boom"), ("2024-01-02", "INFO", "ok")]
+
+
+def test_debezium_envelope_decode(spark):
+    msgs = [
+        {"before": None, "after": {"id": 1, "v": "a"}, "op": "c"},
+        {"before": {"id": 1, "v": "a"}, "after": {"id": 1, "v": "b"}, "op": "u"},
+        {"before": {"id": 2, "v": "x"}, "after": None, "op": "d"},
+        {"before": None, "after": {"id": 2, "v": "x"}, "op": "r"},
+    ]
+    df = spark.createDataFrame([(json.dumps(m),) for m in msgs], ["value"])
+    updates = debezium_decode(df, "value", "id bigint, v string")
+    # consolidate: id=1 ends at v=b; id=2 insert+delete cancels
+    state = threshold(updates)
+    assert {(r.id, r.v) for r in state.collect()} == {(1, "b")}
+
+
+def test_streaming_file_source_incremental(spark, tmp_path):
+    events = load_tables(spark, SF_DIR)["events"].limit(100)
+    src = str(tmp_path / "src")
+    events.coalesce(2).write.parquet(src)
+    stream = stream_table(spark, src, "parquet", schema=events.schema,
+                          max_files_per_trigger=1)
+    q = stream_to_memory(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "evt_counts", output_mode="complete")
+    q.awaitTermination(120)
+    got = spark.table("evt_counts")
+    expected = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_counter_loadgen(spark, tmp_path):
+    q = stream_to_memory(counter_source(spark, rows_per_second=500),
+                         "counter_ticks", trigger_available_now=False)
+    try:
+        import time
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("counter_ticks").count() < 1:
+            time.sleep(0.5)
+        assert spark.table("counter_ticks").count() >= 1
+    finally:
+        q.stop()
+
+
+def test_kafka_gated(spark):
+    # Container has no kafka connector; the probe must say so (not crash).
+    assert kafka_available(spark) is False
+
+
+def test_copy_to_partitioned(spark, tmp_path):
+    orders = load_tables(spark, SF_DIR)["orders"]
+    path = str(tmp_path / "orders_part")
+    copy_to(orders.withColumn("yr", F.year("o_orderdate")), path,
+            partition_by=["yr"])
+    back = spark.read.parquet(path)
+    # partition pruning works on the layout
+    assert back.filter(F.col("yr") == 1996).count() == \
+        orders.filter(F.year("o_orderdate") == 1996).count()
