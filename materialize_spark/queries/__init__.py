@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return the
     full registry."""
     from materialize_spark.queries import (  # noqa: F401
-        tpch, relational, scalars, events, pipeline, sqlfront,
+        tpch, tpch2, relational, scalars, events, pipeline, sqlfront,
+        collections,
     )
     return REGISTRY

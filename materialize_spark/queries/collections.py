@@ -1,0 +1,200 @@
+"""Array / list / map / range / interval coverage.
+
+Reference families: ArrayCreate/Index/Position/Fill/ToString, ListCreate/
+Slice/Concat, MapBuild/MapGetValue/MapContainsKey
+(src/expr/src/scalar/func/variadic.rs), Range* operators
+(src/expr/src/scalar/func/binary.rs RangeContains*/Union/Intersection/
+Overlaps), interval arithmetic (BinaryFunc Add/Sub Interval×Timestamp).
+
+Ranges have no Spark type; per SURVEY.md §1.4 they are
+struct{lower, upper, lower_inc, upper_inc} with operators as expressions —
+demonstrated here over numeric ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from materialize_spark.queries import register
+from materialize_spark.queries.util import T
+
+
+@register(
+    "array_functions",
+    """
+    SELECT p_partkey,
+           CAST(len(words) AS BIGINT)                      AS n_words,
+           list_contains(words, 'red')                     AS has_red,
+           CAST(coalesce(list_position(words, 'red'), 0) AS BIGINT) AS red_pos,
+           array_to_string(list_sort(words), '-')          AS sorted_joined,
+           array_to_string(list_sort(list_distinct(words)), '-') AS distinct_joined,
+           array_to_string(words[1:2], '-')                AS first_two,
+           array_to_string(list_concat(words, ['tail']), '-') AS with_tail,
+           words[1]                                        AS first_word,
+           words[len(words)]                               AS last_word,
+           coalesce(array_to_string(list_filter(words, w -> len(w) > 3), '-'), '')
+               AS long_words,
+           array_to_string(list_transform(words, w -> upper(w)), '-') AS upper_words
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+    "collections", "array",
+)
+def array_functions(spark, sf_dir):
+    t = T(spark, sf_dir)
+    df = t.part.select("p_partkey", F.split("p_name", " ").alias("words"))
+    w = F.col("words")
+    return df.select(
+        "p_partkey",
+        F.size(w).cast("long").alias("n_words"),
+        F.array_contains(w, "red").alias("has_red"),
+        F.coalesce(F.array_position(w, "red"), F.lit(0)).cast("long").alias("red_pos"),
+        F.array_join(F.array_sort(w), "-").alias("sorted_joined"),
+        F.array_join(F.array_sort(F.array_distinct(w)), "-").alias("distinct_joined"),
+        F.array_join(F.slice(w, 1, 2), "-").alias("first_two"),
+        F.array_join(F.concat(w, F.array(F.lit("tail"))), "-").alias("with_tail"),
+        F.element_at(w, 1).alias("first_word"),
+        F.element_at(w, F.size(w)).alias("last_word"),
+        F.array_join(F.filter(w, lambda x: F.length(x) > 3), "-").alias("long_words"),
+        F.array_join(F.transform(w, F.upper), "-").alias("upper_words"),
+    )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT n_nationkey,
+           array_to_string(map_keys(m), ',')               AS keys_joined,
+           array_to_string(map_values(m), ',')             AS vals_joined,
+           m['name'][1]                                    AS name_val,
+           CAST(cardinality(m) AS BIGINT)                  AS map_size,
+           len(m['missing']) = 0                           AS missing_is_null
+    FROM (SELECT n_nationkey,
+                 map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)} AS m
+          FROM nation)
+    """,
+    "collections", "map",
+)
+def map_functions(spark, sf_dir):
+    t = T(spark, sf_dir)
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"))
+    df = t.nation.select("n_nationkey", m.alias("m"))
+    return df.select(
+        "n_nationkey",
+        F.array_join(F.map_keys("m"), ",").alias("keys_joined"),
+        F.array_join(F.map_values("m"), ",").alias("vals_joined"),
+        F.col("m").getItem("name").alias("name_val"),
+        F.size("m").cast("long").alias("map_size"),
+        F.col("m").getItem("missing").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "interval_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL '1 month', '%Y-%m-%d')  AS plus_month,
+           strftime(o_orderdate - INTERVAL '90 days', '%Y-%m-%d')  AS minus_90d,
+           strftime(o_orderdate + INTERVAL '1 year'
+                    + INTERVAL '2 months' + INTERVAL '3 days', '%Y-%m-%d') AS compound,
+           strftime(o_orderdate + INTERVAL '36 hours', '%Y-%m-%d %H:%M:%S') AS plus_36h,
+           o_orderdate + INTERVAL '1 day' > o_orderdate             AS day_later_gt,
+           CAST(date_diff('day', o_orderdate,
+                          o_orderdate + INTERVAL '3 months') AS BIGINT) AS days_in_3mo
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    "collections", "interval",
+)
+def interval_arithmetic(spark, sf_dir):
+    t = T(spark, sf_dir)
+    d = F.col("o_orderdate")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return t.orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        fmt(d + F.expr("INTERVAL 1 MONTH")).alias("plus_month"),
+        fmt(d - F.expr("INTERVAL 90 DAYS")).alias("minus_90d"),
+        fmt(d + F.expr("INTERVAL 1 YEAR") + F.expr("INTERVAL 2 MONTHS")
+            + F.expr("INTERVAL 3 DAYS")).alias("compound"),
+        F.date_format(d + F.expr("INTERVAL 36 HOURS"), "yyyy-MM-dd HH:mm:ss")
+        .alias("plus_36h"),
+        ((d + F.expr("INTERVAL 1 DAY")) > d).alias("day_later_gt"),
+        F.datediff(d + F.expr("INTERVAL 3 MONTHS"), d).cast("long")
+        .alias("days_in_3mo"),
+    )
+
+
+@register(
+    "range_operations",
+    """
+    -- ranges as struct{lower, upper} with half-open [lower, upper) semantics
+    WITH r AS (
+      SELECT c_custkey,
+             floor(c_acctbal / 1000) * 1000       AS lo,
+             floor(c_acctbal / 1000) * 1000 + 1000 AS hi,
+             c_acctbal AS x
+      FROM customer WHERE c_acctbal >= 0)
+    SELECT CAST(lo AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_contained,
+           bool_and(x >= lo AND x < hi)  AS all_contained,
+           bool_or(lo < 2000 AND hi > 1000) AS overlaps_1k_2k,
+           CAST(max(greatest(lo, 500)) AS BIGINT) AS isect_lo_max
+    FROM r GROUP BY lo
+    """,
+    "collections", "range",
+)
+def range_operations(spark, sf_dir):
+    t = T(spark, sf_dir)
+    lo = F.floor(F.col("c_acctbal") / 1000) * 1000
+    r = t.customer.filter(F.col("c_acctbal") >= 0).select(
+        lo.alias("lo"), (lo + 1000).alias("hi"), F.col("c_acctbal").alias("x"))
+    contains = (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    overlaps = (F.col("lo") < 2000) & (F.col("hi") > 1000)
+    return r.groupBy("lo").agg(
+        F.count(F.lit(1)).alias("n_contained"),
+        F.bool_and(contains).alias("all_contained"),
+        F.bool_or(overlaps).alias("overlaps_1k_2k"),
+        F.max(F.greatest(F.col("lo"), F.lit(500))).cast("long").alias("isect_lo_max"),
+    ).select(F.col("lo").cast("long").alias("bucket_lo"), "n_contained",
+             "all_contained", "overlaps_1k_2k", "isect_lo_max")
+
+
+@register(
+    "agg_statistics",
+    """
+    SELECT l_linestatus,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6)       AS covar_qty_disc,
+           round(covar_pop(l_quantity, l_discount), 6)        AS covar_pop_qty_disc,
+           round(quantile_cont(l_quantity, 0.5), 4)           AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4)      AS p90_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    "aggregates", "statistics",
+)
+def agg_statistics(spark, sf_dir):
+    t = T(spark, sf_dir)
+    return t.lineitem.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_pop_qty_disc"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_jsonb_agg",
+    """
+    SELECT n_regionkey,
+           '[' || string_agg('"' || n_name || '"', ',' ORDER BY n_name) || ']'
+               AS nations_json
+    FROM nation GROUP BY n_regionkey
+    """,
+    "aggregates", "jsonb_agg",
+)
+def agg_jsonb_agg(spark, sf_dir):
+    from materialize_spark.functions.aggregates import jsonb_agg
+    t = T(spark, sf_dir)
+    return t.nation.groupBy("n_regionkey").agg(
+        jsonb_agg("n_name", order_by="n_name").alias("nations_json"))
