@@ -1,0 +1,103 @@
+"""IVM-under-retraction as oracle-checked queries.
+
+Each query replays the events table as a sequence of explicit-diff update
+batches — three insert waves followed by a retraction wave that deletes
+every 'error' event (exactly the rows inserted earlier) — through the
+retraction-aware maintenance operators (streaming/retraction.py). The final
+maintained state must equal what DuckDB computes directly over the net
+rows (events minus errors): the reference's defining property, incremental
+result == full recompute, checked by the driver's hash gate.
+
+Reference: Accumulable/Hierarchical reduce plans
+(src/compute-types/src/plan/reduce.rs:89-140) and non-monotonic TopK
+(src/compute-types/src/plan/top_k.rs:28-120).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from materialize_spark.queries import register
+from materialize_spark.queries.util import T
+from materialize_spark.streaming.retraction import (
+    RetractionAwareAgg, RetractionAwareTopK,
+)
+
+
+def _update_batches(events):
+    """Three insert waves (by event_id mod 3) + one retraction wave that
+    deletes every 'error' event."""
+    payload = ["user_id", "value"]
+    inserts = [
+        events.filter(F.col("event_id") % 3 == i)
+        .select(*payload).withColumn("diff", F.lit(1))
+        for i in range(3)
+    ]
+    retract = (events.filter(F.col("event_type") == "error")
+               .select(*payload).withColumn("diff", F.lit(-1)))
+    return inserts + [retract]
+
+
+@register(
+    "ivm_retraction_agg",
+    """
+    SELECT user_id,
+           round(sum(value), 2)            AS total,
+           CAST(count(value) AS BIGINT)    AS n,
+           round(avg(value), 6)            AS mean,
+           round(min(value), 2)            AS lo,
+           round(max(value), 2)            AS hi
+    FROM events WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+    "ivm", "retraction", "aggregate",
+)
+def ivm_retraction_agg(spark, sf_dir):
+    """sum/count/avg (accumulable, diff arithmetic) and min/max
+    (hierarchical, support table) maintained through insert + delete
+    batches; the retraction wave deletes the current min/max for many
+    groups, forcing the support-table path."""
+    t = T(spark, sf_dir)
+    mv = RetractionAwareAgg(
+        spark, keys=["user_id"],
+        aggs={"total": ("sum", "value"), "n": ("count", "value"),
+              "mean": ("avg", "value"), "lo": ("min", "value"),
+              "hi": ("max", "value")})
+    out = None
+    for batch in _update_batches(t.events):
+        out = mv.on_batch(batch)
+    return out.select(
+        "user_id",
+        F.round("total", 2).alias("total"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+    )
+
+
+@register(
+    "ivm_retraction_topk",
+    """
+    SELECT user_id, round(value, 2) AS value
+    FROM (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC) AS rn
+          FROM events WHERE event_type <> 'error')
+    WHERE rn <= 3
+    """,
+    "ivm", "retraction", "topk",
+)
+def ivm_retraction_topk(spark, sf_dir):
+    """Per-user top-3 values maintained under deletes: the retraction wave
+    removes rows that were in the top-3, so previously-evicted rows must
+    re-enter — only possible because the operator keeps the full compacted
+    support, not just the current top-k (reference: non-monotonic 'Basic'
+    TopK plan)."""
+    t = T(spark, sf_dir)
+    tk = RetractionAwareTopK(spark, keys=["user_id"], order_col="value",
+                             limit=3, descending=True)
+    out = None
+    for batch in _update_batches(t.events):
+        out = tk.on_batch(batch)
+    return out.select("user_id", F.round("value", 2).alias("value"))
