@@ -1,0 +1,165 @@
+"""Third surface wave: exact decimal aggregation, timestamp
+parse/construct/timezone, and the RepeatRow / Wrap table functions.
+
+Reference parity targets:
+- Numeric (up to 39 digits) exact arithmetic (src/repr/src/scalar.rs:84-180)
+  → Spark DecimalType(38) — one digit less max precision, documented gap
+  (SURVEY.md §1.4). The decimal battery proves sums/min/max are *exact*
+  (no float rounding), unlike the double-typed TPC-H columns.
+- to_timestamp / make_timestamp / timezone / epoch round-trips
+  (VariadicFunc::MakeTimestamp, BinaryFunc timezone ops,
+  try_parse_monotonic_iso8601_timestamp in src/sql/src/func.rs).
+- TableFunc::RepeatRow[NonNegative] and TableFunc::Wrap{width}
+  (src/expr/src/relation/func.rs:3556-3595).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from materialize_spark.queries import register
+from materialize_spark.queries.util import T
+
+
+@register(
+    "agg_decimal",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))
+               AS sum_disc_price,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS min_price,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS max_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "aggregate", "decimal", "numeric",
+)
+def agg_decimal(spark, sf_dir):
+    """Exact decimal aggregation — the engine's Numeric story.
+
+    Casting to DECIMAL before aggregating makes the sums exact and
+    order-independent (integer arithmetic under the hood), so this battery
+    needs no rounding to hash-match the oracle — the proof that decimal
+    semantics, not float luck, carry the comparison. Group-by shuffles only
+    the 3 returnflag groups after map-side partial aggregation.
+    """
+    t = T(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(price * disc).cast("decimal(38,6)").alias("sum_disc_price"),
+        F.min(price).cast("decimal(38,2)").alias("min_price"),
+        F.max(price).cast("decimal(38,2)").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_parse_timestamp",
+    """
+    SELECT o_orderkey,
+           strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                             '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+               AS parse_rt,
+           strftime(make_timestamp(CAST(extract(year FROM o_orderdate) AS BIGINT),
+                                   CAST(extract(month FROM o_orderdate) AS BIGINT),
+                                   CAST(extract(day FROM o_orderdate) AS BIGINT),
+                                   12, 30, 15.0),
+                    '%Y-%m-%d %H:%M:%S') AS made,
+           strftime(timezone('America/New_York', o_orderdate),
+                    '%Y-%m-%d %H:%M:%S') AS ny_utc,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_ms_v,
+           strftime(to_timestamp(epoch_ms(o_orderdate) / 1000),
+                    '%Y-%m-%d %H:%M:%S') AS epoch_rt
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    "scalar", "datetime", "parse",
+)
+def scalar_parse_timestamp(spark, sf_dir):
+    """Timestamp parse / construct / timezone / epoch round-trips.
+
+    ny_utc: interpret the naive timestamp as America/New_York wall time and
+    convert to UTC (PG `AT TIME ZONE` direction the reference implements as
+    BinaryFunc timezone ops) — Spark's to_utc_timestamp is the exact analog.
+    """
+    t = T(spark, sf_dir)
+    d = F.col("o_orderdate")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return t.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.date_format(
+            F.to_timestamp(F.date_format(d, fmt), fmt), fmt).alias("parse_rt"),
+        F.date_format(
+            F.make_timestamp(F.year(d), F.month(d), F.dayofmonth(d),
+                             F.lit(12), F.lit(30), F.lit(15)),
+            fmt).alias("made"),
+        F.date_format(F.to_utc_timestamp(d, "America/New_York"), fmt)
+        .alias("ny_utc"),
+        F.unix_millis(d.cast("timestamp")).alias("epoch_ms_v"),
+        F.date_format(
+            F.timestamp_seconds(F.unix_millis(d.cast("timestamp")) / 1000),
+            fmt).alias("epoch_rt"),
+    )
+
+
+@register(
+    "tablefunc_repeat_row",
+    """
+    SELECT p_partkey, CAST(u AS BIGINT) AS copy_idx
+    FROM (SELECT p_partkey, p_size % 4 AS n FROM part), unnest(range(n)) AS t(u)
+    """,
+    "tablefunc", "repeat_row",
+)
+def tablefunc_repeat_row(spark, sf_dir):
+    """RepeatRowNonNegative: emit each row n >= 0 times (n = 0 drops the
+    row) with the copy index. Spark: explode(sequence(...)) after filtering
+    n > 0 — sequence() would count *down* for n = 0, so the filter is load-
+    bearing, matching the table function's NonNegative guard."""
+    t = T(spark, sf_dir)
+    n = F.col("p_size") % 4
+    return (
+        t.part.select("p_partkey", n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select("p_partkey",
+                F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("u"))
+        .select("p_partkey", F.col("u").cast("long").alias("copy_idx"))
+    )
+
+
+@register(
+    "tablefunc_wrap",
+    """
+    SELECT c_custkey, chunk[1] AS w1, chunk[2] AS w2
+    FROM (SELECT c_custkey,
+                 [c_name, c_mktsegment, c_custkey::VARCHAR,
+                  c_nationkey::VARCHAR] AS arr
+          FROM customer),
+         unnest([list_slice(arr, 1, 2), list_slice(arr, 3, 4)]) AS t(chunk)
+    """,
+    "tablefunc", "wrap",
+)
+def tablefunc_wrap(spark, sf_dir):
+    """Wrap{width=2}: reshape a 4-column row into 2 rows of 2 columns —
+    chunk the values array and explode the chunks."""
+    t = T(spark, sf_dir)
+    arr = F.array(F.col("c_name"), F.col("c_mktsegment"),
+                  F.col("c_custkey").cast("string"),
+                  F.col("c_nationkey").cast("string"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(1)),
+        lambda i: F.slice(arr, i * 2 + 1, 2),
+    )
+    return (
+        t.customer.select("c_custkey", F.explode(chunks).alias("chunk"))
+        .select("c_custkey",
+                F.col("chunk").getItem(0).alias("w1"),
+                F.col("chunk").getItem(1).alias("w2"))
+    )

@@ -63,3 +63,22 @@ def test_embedding_cosine_symmetric_bounds(spark):
     rows = df.collect()
     assert all(r.id_a < r.id_b and -1.0 <= r.cos <= 1.0 for r in rows)
     assert all(r.cos >= 0.4 - 1e-4 for r in rows)
+
+
+def test_decimal_sums_are_exact(spark):
+    df = run("agg_decimal", spark)
+    from decimal import Decimal
+    r = df.first()
+    assert isinstance(r.sum_qty, Decimal) and r.sum_qty == r.sum_qty.quantize(Decimal("0.01"))
+
+
+def test_repeat_row_drops_zero_counts(spark):
+    df = run("tablefunc_repeat_row", spark)
+    per = df.groupBy("p_partkey").count().collect()
+    assert all(1 <= r["count"] <= 3 for r in per)  # n in 1..3 after the n>0 filter
+
+
+def test_wrap_two_rows_per_input(spark):
+    df = run("tablefunc_wrap", spark)
+    n_cust = df.select("c_custkey").distinct().count()
+    assert df.count() == 2 * n_cust
