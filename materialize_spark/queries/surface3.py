@@ -163,3 +163,55 @@ def tablefunc_wrap(spark, sf_dir):
                 F.col("chunk").getItem(0).alias("w1"),
                 F.col("chunk").getItem(1).alias("w2"))
     )
+
+
+@register(
+    "letrec_mutual_parity",
+    """
+    WITH RECURSIVE r AS (
+        SELECT 0 AS node, 0 AS par
+        UNION
+        SELECT e.dst, 1 - r.par
+        FROM r JOIN (SELECT DISTINCT l_orderkey % 500 AS src,
+                                     l_partkey % 500 AS dst
+                     FROM lineitem) e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(par AS BIGINT) AS par FROM r
+    """,
+    "letrec", "recursion", "mutual",
+)
+def letrec_mutual_parity(spark, sf_dir):
+    """WITH MUTUALLY RECURSIVE with two genuinely mutual bindings
+    (MIR LetRec, src/expr/src/relation.rs:154): even/odd-step reachability,
+    where each binding's step reads the *other* binding. The DuckDB oracle
+    encodes the same fixpoint as a single parity-tagged recursive CTE
+    (DuckDB has no mutual recursion — the tagged union is its standard
+    encoding).
+
+    Scale: each iteration is one shuffle join of the frontier against the
+    edge table; localCheckpoint per iteration keeps lineage flat.
+    """
+    from materialize_spark.operators.letrec import let_rec
+
+    t = T(spark, sf_dir)
+    edges = t.lineitem.select(
+        (F.col("l_orderkey") % 500).cast("long").alias("src"),
+        (F.col("l_partkey") % 500).cast("long").alias("dst")).distinct()
+
+    def neighbors(df):
+        return (df.join(edges, df["node"] == edges["src"])
+                .select(F.col("dst").alias("node")))
+
+    seed_even = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    seed_odd = seed_even.filter(F.lit(False))
+
+    def step(b):
+        return {"even": neighbors(b["odd"]), "odd": neighbors(b["even"])}
+
+    out = let_rec({"even": seed_even, "odd": seed_odd}, step,
+                  distinct=True, accumulate=True)
+    return (
+        out["even"].select("node", F.lit(0).cast("long").alias("par"))
+        .unionByName(
+            out["odd"].select("node", F.lit(1).cast("long").alias("par")))
+    )
