@@ -1,0 +1,64 @@
+"""Physical-plan audit helpers: make plan quality testable.
+
+The 100 TB contract isn't "the query returns rows", it's "the plan is the
+one you'd want": filters reaching the parquet scan, projections pruned to
+the read schema, small dims broadcast, aggregates map-side partial. These
+helpers extract those facts from the physical plan so tests can pin them —
+a plan regression (a lost pushdown, a broadcast that became a shuffle)
+fails CI instead of shipping a 10x slowdown at scale.
+
+Reference counterpart: the reference pins optimizer behavior with golden
+EXPLAIN sqllogictests (test/sqllogictest/transform/*.slt); these audits are
+the Spark-native equivalent over Catalyst plans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan string (AQE initial plan for formatted mode)."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def scans(df: DataFrame) -> list[dict[str, str]]:
+    """Per parquet scan: pushed filters and read schema, parsed from the
+    formatted explain output."""
+    text = physical_plan(df, "formatted")
+    out: list[dict[str, str]] = []
+    blocks = re.split(r"\n(?=\(\d+\) Scan parquet)", text)
+    for block in blocks:
+        if not block.lstrip().startswith("("):
+            continue
+        if "Scan parquet" not in block.splitlines()[0]:
+            continue
+        info: dict[str, str] = {}
+        for field in ("Location", "PushedFilters", "ReadSchema"):
+            m = re.search(rf"{field}: (.+)", block)
+            if m:
+                info[field] = m.group(1).strip()
+        out.append(info)
+    return out
+
+
+def operator_counts(df: DataFrame) -> dict[str, int]:
+    """Histogram of physical operator names (one entry per plan node)."""
+    text = physical_plan(df, "simple")
+    counts: dict[str, int] = {}
+    for line in text.splitlines():
+        m = re.match(r"[\s:+*-]*([A-Za-z][A-Za-z0-9]+)", line)
+        if m:
+            op = m.group(1)
+            counts[op] = counts.get(op, 0) + 1
+    return counts
+
+
+def read_columns(scan: dict[str, str]) -> set[str]:
+    """Column names out of a scan's ReadSchema struct string."""
+    schema = scan.get("ReadSchema", "")
+    return set(re.findall(r"(\w+):", schema))

@@ -1,0 +1,69 @@
+"""Plan-shape regression guards: pushdown, pruning, broadcast, partial agg.
+
+These pin the *physical* properties that make the engine viable at 100 TB;
+a failure here means Catalyst stopped doing something we rely on (or a
+query was rewritten in a way that defeats it) even though results are
+still correct.
+"""
+
+from materialize_spark.plans.audit import (
+    operator_counts, physical_plan, read_columns, scans,
+)
+from materialize_spark.queries import load_all
+
+from tests.conftest import SF_DIR
+
+REG = load_all()
+
+
+def q(name, spark):
+    return REG[name].fn(spark, SF_DIR)
+
+
+def test_q6_filter_pushed_and_schema_pruned(spark):
+    df = q("tpch_q6", spark)
+    [scan] = scans(df)
+    # shipdate/discount/quantity predicates reach the parquet reader
+    assert "l_shipdate" in scan["PushedFilters"]
+    assert "l_discount" in scan["PushedFilters"]
+    # only the 4 needed columns are read from the 11-column table
+    cols = read_columns(scan)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity",
+                    "l_extendedprice"}
+
+
+def test_q3_dims_broadcast_no_extra_shuffle(spark):
+    df = q("tpch_q3", spark)
+    ops = operator_counts(df)
+    assert ops.get("BroadcastHashJoin", 0) >= 2  # customer and orders sides
+    assert ops.get("SortMergeJoin", 0) == 0
+    # exactly one hash-shuffle: the final group-by (plus nothing for joins)
+    assert ops.get("Exchange", 0) <= 1
+
+
+def test_q1_partial_aggregation(spark):
+    plan = physical_plan(q("tpch_q1", spark), "simple")
+    # map-side partial + final aggregate around a single exchange
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_q9_joins_all_broadcast_at_small_sf(spark):
+    df = q("tpch_q9", spark)
+    ops = operator_counts(df)
+    # 5-way join: every dim side broadcast at this scale; fact never shuffles
+    assert ops.get("BroadcastHashJoin", 0) >= 4
+
+
+def test_pipeline_minhash_no_python_udf(spark):
+    """Dedup hot path stays JVM-side: no Python eval operators in plan."""
+    plan = physical_plan(q("dedup_minhash_lsh", spark), "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = q("tpch_q1", spark)
+    df.collect()  # AQE finalizes (and codegens) only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final  # starred stages = whole-stage-codegen spans
