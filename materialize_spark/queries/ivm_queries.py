@@ -101,3 +101,50 @@ def ivm_retraction_topk(spark, sf_dir):
     for batch in _update_batches(t.events):
         out = tk.on_batch(batch)
     return out.select("user_id", F.round("value", 2).alias("value"))
+
+
+@register(
+    "ivm_incremental_join",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+    "ivm", "join", "retraction",
+)
+def ivm_incremental_join(spark, sf_dir):
+    """Join maintained incrementally from both sides' update streams
+    (differential join bilinearity: delta-A joins old-B, old-A joins
+    delta-B, delta joins delta — src/compute/src/render/join/
+    linear_join.rs). Lineitem and orders each arrive in two insert waves;
+    a final wave retracts every 'F'-status order, which must retract all
+    of that order's join outputs. The maintained result is then aggregated
+    and must equal DuckDB's direct join over the net rows.
+    """
+    from materialize_spark.streaming.ivm_join import IncrementalJoinView
+
+    t = T(spark, sf_dir)
+    li = t.lineitem.select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount")
+    od = t.orders.select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus", "o_orderpriority")
+
+    jv = IncrementalJoinView(on=["okey"])
+    for wave in range(2):
+        jv.on_batch(
+            li.filter(F.col("okey") % 2 == wave).withColumn("diff", F.lit(1)),
+            od.filter(F.col("okey") % 2 == wave).withColumn("diff", F.lit(1)),
+        )
+    jv.on_batch(right_delta=od.filter(F.col("o_orderstatus") == "F")
+                .withColumn("diff", F.lit(-1)))
+
+    return (
+        jv.result_expanded()
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,75 @@
+"""Incremental join maintenance: delta algebra == full re-join, always."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from materialize_spark.operators.setops import threshold
+from materialize_spark.streaming.ivm_join import IncrementalJoinView
+
+L = "k long, lv long, diff long"
+R = "k long, rv long, diff long"
+
+
+def _expand(df):
+    return (df.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("diff"))))
+            .drop("diff", "__i"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_join_random_workload(spark):
+    rng = random.Random(3)
+    jv = IncrementalJoinView(on=["k"])
+    lh, rh, l_live, r_live = [], [], [], []
+    for _ in range(4):
+        lb, rb = [], []
+        for _ in range(8):
+            if l_live and rng.random() < 0.3:
+                v = l_live.pop(rng.randrange(len(l_live)))
+                lb.append((*v, -1))
+            else:
+                v = (rng.randrange(5), rng.randrange(20))
+                l_live.append(v); lb.append((*v, 1))
+            if r_live and rng.random() < 0.3:
+                v = r_live.pop(rng.randrange(len(r_live)))
+                rb.append((*v, -1))
+            else:
+                v = (rng.randrange(5), rng.randrange(20))
+                r_live.append(v); rb.append((*v, 1))
+        lh += lb; rh += rb
+        jv.on_batch(spark.createDataFrame(lb, L), spark.createDataFrame(rb, R))
+        got = _rows(jv.result_expanded())
+        want = _rows(
+            _expand(threshold(spark.createDataFrame(lh, L))).join(
+                _expand(threshold(spark.createDataFrame(rh, R))), on="k"))
+        assert got == want
+
+
+def test_delete_left_row_retracts_join_outputs(spark):
+    jv = IncrementalJoinView(on=["k"])
+    jv.on_batch(spark.createDataFrame([(1, 10, 1)], L),
+                spark.createDataFrame([(1, 100, 1), (1, 200, 1)], R))
+    assert len(jv.result_expanded().collect()) == 2
+    delta = jv.on_batch(left_delta=spark.createDataFrame([(1, 10, -1)], L))
+    # the delete emits two retractions (one per matching right row)
+    assert sorted(r.diff for r in delta.collect()) == [-1, -1]
+    assert jv.result_expanded().isEmpty()
+
+
+def test_three_way_join_by_chaining(spark):
+    """Binary views chain left-deep into multi-way joins (linear join)."""
+    ab = IncrementalJoinView(on=["k"])
+    abc = IncrementalJoinView(on=["k"])
+    a = spark.createDataFrame([(1, 10, 1), (2, 20, 1)], L)
+    b = spark.createDataFrame([(1, 100, 1), (2, 200, 1)], R)
+    c = spark.createDataFrame([(1, 1000, 1)], "k long, cv long, diff long")
+    d_ab = ab.on_batch(a, b)
+    abc.on_batch(d_ab, c)
+    assert _rows(abc.result_expanded()) == [(1, 10, 100, 1000)]
+    # delete from the base table propagates through both views
+    d_ab2 = ab.on_batch(left_delta=spark.createDataFrame([(1, 10, -1)], L))
+    abc.on_batch(left_delta=d_ab2)
+    assert abc.result_expanded().isEmpty()
