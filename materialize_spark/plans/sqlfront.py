@@ -35,8 +35,22 @@ _CREATE_VIEW = re.compile(
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+(DEFAULT\s+)?INDEX\s+(\w+)?\s*ON\s+(\w+)\s*(?:\(([^)]*)\))?\s*$",
     re.I)
-_DROP = re.compile(r"^\s*DROP\s+(VIEW|INDEX|TABLE)\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+_DROP = re.compile(r"^\s*DROP\s+(VIEW|INDEX|TABLE|SOURCE)\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
+                   re.I)
 _SHOW = re.compile(r"^\s*SHOW\s+(VIEWS|TABLES|INDEXES)\s*$", re.I)
+_CREATE_TABLE_AS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s*\(([^)]*)\)\s*$", re.I | re.S)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s*.*|SELECT\s+.*)$", re.I | re.S)
+_CREATE_SOURCE = re.compile(
+    r"^\s*CREATE\s+SOURCE\s+(\w+)\s+FROM\s+"
+    r"(?:FILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?"
+    r"|LOAD\s+GENERATOR\s+(\w+))\s*$", re.I)
+_SUBSCRIBE = re.compile(r"^\s*SUBSCRIBE\s+(?:TO\s+)?(\w+)\s*$", re.I)
+_REFRESH_MV = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.I)
 
 
 class MzSession:
@@ -46,6 +60,8 @@ class MzSession:
         self.spark = spark
         self.catalog = Catalog(spark, sf_dir) if sf_dir else Catalog(spark)
         self._matviews: dict[str, DataFrame] = {}
+        self._matview_sql: dict[str, str] = {}
+        self._sub_state: dict[str, DataFrame] = {}
 
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
@@ -60,6 +76,7 @@ class MzSession:
                 # streaming.ivm.MaterializedView.
                 snap = df.localCheckpoint(eager=True)
                 self._matviews[name] = snap
+                self._matview_sql[name] = rewrite(body)
                 self.catalog.create_view(name, snap)
             else:
                 self.catalog.create_view(name, df)
@@ -76,6 +93,70 @@ class MzSession:
             self.catalog.drop(m.group(3))
             self._matviews.pop(m.group(3), None)
             return None
+        m = _CREATE_TABLE_AS.match(sql)
+        if m:
+            name, body = m.groups()
+            self.catalog.register_table(
+                name, self.spark.sql(rewrite(body)).localCheckpoint(eager=True))
+            return None
+        m = _CREATE_TABLE.match(sql)
+        if m and not _CREATE_TABLE_AS.match(sql):
+            name, ddl = m.groups()
+            self.catalog.register_table(
+                name, self.spark.createDataFrame([], ddl))
+            return None
+        m = _INSERT.match(sql)
+        if m:
+            name, tail = m.groups()
+            target = self.catalog._tables[name]
+            if tail.upper().startswith("VALUES"):
+                rows = self.spark.sql(
+                    f"SELECT * FROM {rewrite(tail)}").toDF(*target.columns)
+            else:
+                rows = self.spark.sql(rewrite(tail)).toDF(*target.columns)
+            # Tables are append-only multisets (reference INSERT semantics);
+            # checkpoint so repeated inserts don't grow the plan.
+            self.catalog.register_table(
+                name, target.unionByName(rows).localCheckpoint(eager=True))
+            return None
+        m = _CREATE_SOURCE.match(sql)
+        if m:
+            name, path, fmt, gen = m.groups()
+            if path:
+                fmt = (fmt or "parquet").lower()
+                df = self.spark.read.format(fmt).load(path) \
+                    if fmt != "csv" else self.spark.read.csv(path, header=True)
+            else:
+                from materialize_spark.sources.loadgen import load_generator
+                df = load_generator(self.spark, gen.lower())
+            self.catalog.register_table(name, df)
+            return None
+        m = _REFRESH_MV.match(sql)
+        if m:
+            name = m.group(1)
+            snap = self.spark.sql(
+                self._matview_sql[name]).localCheckpoint(eager=True)
+            self._matviews[name] = snap
+            self.catalog.create_view(name, snap)
+            return None
+        m = _SUBSCRIBE.match(sql)
+        if m:
+            # Diff stream: first call emits the snapshot (+1 rows); later
+            # calls emit changes since the previous SUBSCRIBE (reference
+            # SUBSCRIBE = snapshot then updates as frontiers advance).
+            from pyspark.sql import functions as F
+
+            name = m.group(1)
+            cur = self.catalog.table(name)
+            prev = self._sub_state.get(name)
+            if prev is None:
+                delta = cur.withColumn("diff", F.lit(1))
+            else:
+                adds = cur.exceptAll(prev).withColumn("diff", F.lit(1))
+                rets = prev.exceptAll(cur).withColumn("diff", F.lit(-1))
+                delta = adds.unionByName(rets)
+            self._sub_state[name] = cur.localCheckpoint(eager=True)
+            return delta
         m = _SHOW.match(sql)
         if m:
             kind = m.group(1).lower()

@@ -53,3 +53,18 @@ def auction_source(spark: SparkSession, *, rows_per_second: int = 100,
         ((v * 7919) % 10000 / 100.0).alias("amount"),
         F.col("timestamp").alias("bid_time"),
     )
+
+
+def load_generator(spark: SparkSession, name: str, **kwargs) -> DataFrame:
+    """Dispatch `CREATE SOURCE ... FROM LOAD GENERATOR <name>` (reference
+    generator enum: src/storage-types/src/sources/load_generator.rs)."""
+    gens = {
+        "counter": counter_source,
+        "clock": clock_source,
+        "auction": auction_source,
+    }
+    try:
+        return gens[name.lower()](spark, **kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown load generator {name!r}; have {sorted(gens)}") from None

@@ -51,3 +51,43 @@ def test_session_ddl_and_fastpath(spark):
     sess.execute("DROP VIEW big_orders_mv")
     sess.execute("DROP INDEX orders_by_cust")
     assert "big_orders" not in {r.name for r in sess.execute("SHOW VIEWS").collect()}
+
+
+def test_create_table_insert_subscribe(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE t1 (k STRING, v BIGINT)")
+    s.execute("INSERT INTO t1 VALUES ('a', 1), ('b', 2)")
+    s.execute("CREATE MATERIALIZED VIEW mv1 AS "
+              "SELECT k, sum(v) AS total FROM t1 GROUP BY k")
+    snap = s.sql("SUBSCRIBE mv1").collect()
+    assert sorted((r.k, r.total, r.diff) for r in snap) == [
+        ("a", 1, 1), ("b", 2, 1)]
+    # insert + refresh -> SUBSCRIBE emits only the changed group's diff pair
+    s.execute("INSERT INTO t1 VALUES ('a', 10)")
+    s.execute("REFRESH MATERIALIZED VIEW mv1")
+    delta = s.sql("SUBSCRIBE mv1").collect()
+    assert sorted((r.k, r.total, r.diff) for r in delta) == [
+        ("a", 1, -1), ("a", 11, 1)]
+
+
+def test_create_table_as_and_source_file(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE big_orders AS "
+              "SELECT * FROM orders WHERE o_totalprice > 100000")
+    n = s.sql("SELECT count(*) AS n FROM big_orders").first().n
+    assert n > 0
+    s.execute(f"CREATE SOURCE ext FROM FILE '{SF_DIR}/region.parquet' "
+              "FORMAT PARQUET")
+    assert s.sql("SELECT count(*) AS n FROM ext").first().n == 5
+
+
+def test_insert_select_appends(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE nat2 AS SELECT * FROM nation")
+    before = s.sql("SELECT count(*) AS n FROM nat2").first().n
+    s.execute("INSERT INTO nat2 SELECT * FROM nation WHERE n_regionkey = 0")
+    after = s.sql("SELECT count(*) AS n FROM nat2").first().n
+    assert after > before
