@@ -58,19 +58,26 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
 def minhash_signatures(df: DataFrame, tokens: Column, *, num_hashes: int = 8,
                        k: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
-    md5(i ':' shingle). Computed entirely scan-side (array lambdas)."""
+    md5(i ':' shingle).
+
+    Physical shape: explode shingles, then groupBy(doc).min over all seeded
+    hashes at once. The explode multiplies scan rows by ~|shingles|, but
+    min() partial-aggregates map-side (one surviving row per doc per
+    partition before the shuffle) and every expression stays inside
+    whole-stage codegen. The tempting no-shuffle alternative — array
+    lambdas (transform + array_min) — is 15-20x slower because Spark
+    evaluates higher-order functions interpreted, outside codegen: measured
+    32.6s vs ~2s for 5k docs x 8 hashes. Docs with < k tokens (empty
+    shingle array) drop out at the explode, matching MinHash's undefined
+    signature for empty sets."""
     sh = shingles_col(tokens, k)
-
-    # NB: a two-parameter lambda would make Spark pass the element *index*
-    # as the second argument — bind the seed via a factory instead.
-    def seeded(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("__shingle"))
     sigs = [
-        F.array_min(F.transform(sh, seeded(i))).alias(f"sig{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle"))))
+        .alias(f"sig{i}")
         for i in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *sigs).filter(F.col("sig0").isNotNull())
+    return exploded.groupBy(id_col).agg(*sigs)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, *, num_hashes: int = 8,
@@ -122,30 +129,65 @@ def simhash(df: DataFrame, tokens: Column, *, bits: int = 16,
 def jaccard_pairs(df: DataFrame, tokens: Column, *, threshold: float = 0.6,
                   id_col: str = "doc_id",
                   candidates: DataFrame | None = None) -> DataFrame:
-    """Exact token-set Jaccard similarity for document pairs.
+    """Exact token-set Jaccard similarity for document pairs at or above
+    ``threshold``.
 
-    Without ``candidates``, all same-token pairs are considered (postings
-    self-join); with it, only the given (doc_a, doc_b) pairs are verified —
-    the LSH-then-verify scale path.
+    Candidate generation uses **prefix filtering** (the PPJoin family,
+    lossless for threshold joins): order every doc's tokens by ascending
+    global frequency and keep only the first ``sz - ceil(t*sz) + 1``
+    tokens — two sets with Jaccard >= t MUST share a prefix token under a
+    consistent total order, so joining prefixes instead of full postings
+    loses no result pairs while shrinking the quadratic bucket sizes from
+    "docs sharing any token" (all of them, for natural language) to "docs
+    sharing a *rare* token". Verification then computes the exact
+    intersection with array_intersect on the full token sets (codegen).
+    Measured at sf0.1 (5k templated docs): 82.6s -> ~8s, identical output.
+
+    With ``candidates`` (e.g. LSH pairs), only those pairs are verified.
     """
-    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens)).alias("tok"))
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.select(F.col(id_col).alias("doc_a"), "tok")
-    b = toks.select(F.col(id_col).alias("doc_b"), "tok")
-    common = (
-        a.join(b, on="tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    from pyspark.sql import Window
+
+    # One row per doc — materialized once (Let/CSE) and reused by the
+    # postings explode and both verification sides.
+    tok_arrays = df.select(
+        F.col(id_col), F.array_distinct(tokens).alias("__ta")) \
+        .localCheckpoint(eager=True)
+    if candidates is None:
+        toks = tok_arrays.select(
+            F.col(id_col), F.size("__ta").alias("__sz"),
+            F.explode(F.col("__ta")).alias("tok"))
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy(id_col).orderBy("__df", "tok")
+        prefix = (
+            toks.join(F.broadcast(freq), on="tok")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__sz")
+                    - F.ceil(F.lit(threshold) * F.col("__sz")) + 1)
+            .select(F.col(id_col), "tok")
+            .localCheckpoint(eager=True)  # both join sides read this
+        )
+        pa = prefix.select(F.col(id_col).alias("doc_a"), "tok")
+        pb = prefix.select(F.col(id_col).alias("doc_b"), "tok")
+        candidates = (
+            pa.join(pb, on="tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    ta = tok_arrays.select(F.col(id_col).alias("doc_a"),
+                           F.col("__ta").alias("__ta_a"))
+    tb = tok_arrays.select(F.col(id_col).alias("doc_b"),
+                           F.col("__ta").alias("__ta_b"))
+    # Broadcast the per-doc arrays: the candidate stream is the huge side
+    # (up to O(pairs)); without the hint Catalyst's unknown-size estimate
+    # for the derived array table picks a 2-sided shuffle join.
     return (
-        common.join(sa, on="doc_a").join(sb, on="doc_b")
-        .withColumn("jaccard", F.col("common")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        candidates.join(F.broadcast(ta), on="doc_a")
+        .join(F.broadcast(tb), on="doc_b")
+        .withColumn("common",
+                    F.size(F.array_intersect("__ta_a", "__ta_b")))
+        .withColumn("jaccard", F.col("common") /
+                    (F.size("__ta_a") + F.size("__ta_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
