@@ -352,37 +352,15 @@ def agg_grouping_sets(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the 5th dedup family).
 
-    Brute-force all-pairs baseline: cast to double, precompute norms, self
-    join on vec_id ordering, dot product via zip_with+aggregate (JVM
-    higher-order functions — no Python). Quadratic by design: this is the
-    CORRECTNESS baseline. The scale path is the LSH variant
-    (simsearch_lsh_buckets): sign-random-projection buckets first, then
-    this exact cosine only within buckets — turning O(n^2) into
-    O(n * bucket_size). Threshold 0.4 chosen for the driver's random
-    embeddings (true near-dup corpora use ~0.95).
+    Brute-force all-pairs baseline computed as blocked matrix
+    multiplication (pipeline.simsearch.cosine_pairs_blocked): the
+    broadcast-one-side + per-partition GEMM layout of sharded brute-force
+    ANN. Quadratic by design — the unbounded-scale path is the LSH variant
+    (simsearch_lsh_buckets): sign-random-projection buckets first, exact
+    cosine only within buckets, O(n * bucket_size). Threshold 0.4 chosen
+    for the driver's random embeddings (true near-dup corpora use ~0.95).
     """
+    from materialize_spark.pipeline.simsearch import cosine_pairs_blocked
+
     t = T(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    n = e.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.round(F.col("cos_raw"), 6) >= 0.4)
-        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
-    )
+    return cosine_pairs_blocked(t.embeddings, threshold=0.4)
