@@ -128,3 +128,95 @@ def cosine_pairs_blocked(
 
     return df.select(id_col, vec_col).mapInPandas(
         gen, "id_a long, id_b long, cos double")
+
+
+def quantized(vec_col: Column, scale: int = 1000) -> Column:
+    """Embedding elements quantized to BIGINT (round(x * scale)).
+
+    Integer dot products are *exact* in any engine, and IEEE
+    division/sqrt of identical integer-derived doubles is bit-identical —
+    so cosine ranking over quantized vectors is deterministic across Spark
+    and the DuckDB oracle, with no float-tie risk. At 3-decimal
+    quantization of unit-scale embeddings the ranking error is ~1e-3 —
+    irrelevant for coarse IVF routing (production keeps the float vectors
+    for final re-ranking). The float32 element is widened to double before
+    scaling so both engines round the identical value."""
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two BIGINT arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def int_cosine(a: Column, b: Column) -> Column:
+    """Cosine from exact integer dots — bit-stable across engines."""
+    return (int_dot(a, b).cast("double")
+            / (F.sqrt(int_dot(a, a).cast("double"))
+               * F.sqrt(int_dot(b, b).cast("double"))))
+
+
+def ivf_search(
+    df: DataFrame,
+    *,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor search.
+
+    Build: every vector is assigned to its nearest of ``k_clusters``
+    centroids (deterministically the k_clusters smallest-id vectors;
+    production would refine with Lloyd/KMeans — the routing machinery is
+    identical). Search: each query probes only its ``nprobe`` nearest
+    clusters and ranks candidates by exact cosine within them — the
+    partition-pruning trade that makes brute-force affordable: scored
+    rows shrink by ~nprobe/k_clusters.
+
+    Scale shape: assignment is a broadcast-join of the K-row centroid
+    table (no shuffle of the big side beyond the cluster-key grouping);
+    the probe join touches only probed clusters' partitions. Quantized
+    integer cosine keeps ranking deterministic (see ``quantized``).
+    """
+    from pyspark.sql import Window
+
+    q = df.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    q = q.localCheckpoint(eager=True)  # reused: centroids, assignment, queries
+    cen = (q.orderBy(id_col).limit(k_clusters)
+           .select(F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")))
+
+    sim = F.round(int_cosine(F.col("__qv"), F.col("__cv")), 9)
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "cid")
+    assign = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("__sim", sim)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__qv"), F.col("cid").alias("cluster"))
+    )
+
+    queries = (q.orderBy(id_col).limit(n_queries)
+               .select(F.col(id_col).alias("qid"), F.col("__qv").alias("__query")))
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("__sim"), "cid")
+    probes = (
+        queries.crossJoin(F.broadcast(cen))
+        .withColumn("__sim", F.round(int_cosine(F.col("__query"), F.col("__cv")), 9))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "__query", F.col("cid").alias("cluster"))
+    )
+
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("__cos"), id_col)
+    return (
+        probes.join(assign, on="cluster")
+        .withColumn("__cos", F.round(int_cosine(F.col("__query"), F.col("__qv")), 9))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= k)
+        .select("qid", F.col(id_col),
+                F.round("__cos", 4).alias("cos"))
+    )

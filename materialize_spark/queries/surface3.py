@@ -215,3 +215,105 @@ def letrec_mutual_parity(spark, sf_dir):
         .unionByName(
             out["odd"].select("node", F.lit(1).cast("long").alias("par")))
     )
+
+
+@register(
+    "agg_map_agg",
+    """
+    WITH per_nation AS (
+      SELECT r_name, n_name, count(*) AS cnt
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name,
+           to_json(map(list(n_name ORDER BY n_name),
+                       list(cnt ORDER BY n_name))) AS nation_counts
+    FROM per_nation GROUP BY r_name
+    """,
+    "aggregate", "map_agg", "jsonb",
+)
+def agg_map_agg(spark, sf_dir):
+    """map_agg / jsonb_object_agg: build an ordered key->value map per
+    group (AggregateFunc::MapAgg / JsonbObjectAgg,
+    src/expr/src/relation/func.rs:1875-1990). Spark: collect entry structs,
+    sort (deterministic key order — both engines emit identical compact
+    JSON), map_from_entries, to_json. Two-level aggregation: the inner
+    count shuffles on (region, nation); the map build then shuffles only
+    the 5-row-per-region summaries."""
+    t = T(spark, sf_dir)
+    per_nation = (
+        t.customer
+        .join(F.broadcast(t.nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_nation.groupBy("r_name").agg(
+        F.to_json(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("n_name", "cnt")))))
+        .alias("nation_counts"))
+
+
+def _ivf_oracle() -> str:
+    def cos(a, b):
+        dot = (f"CAST(list_sum(list_transform(range(1, 65), "
+               f"i -> {a}[i] * {b}[i])) AS DOUBLE)")
+        na = (f"sqrt(CAST(list_sum(list_transform(range(1, 65), "
+              f"i -> {a}[i] * {a}[i])) AS DOUBLE))")
+        nb = (f"sqrt(CAST(list_sum(list_transform(range(1, 65), "
+              f"i -> {b}[i] * {b}[i])) AS DOUBLE))")
+        return f"{dot} / ({na} * {nb})"
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS v
+      FROM embeddings),
+    cen AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT q.vec_id, q.v, c.cid AS cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({cos('q.v', 'c.cv')}, 9) DESC,
+                                           c.cid) AS rn
+        FROM qv q CROSS JOIN cen c) WHERE rn = 1),
+    queries AS (SELECT vec_id AS qid, v AS qvec FROM qv
+                ORDER BY vec_id LIMIT 3),
+    probes AS (
+      SELECT qid, qvec, cluster FROM (
+        SELECT q.qid, q.qvec, c.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY round({cos('q.qvec', 'c.cv')}, 9) DESC,
+                                           c.cid) AS rn
+        FROM queries q CROSS JOIN cen c) WHERE rn <= 4)
+    SELECT qid, vec_id, round(rc, 4) AS cos FROM (
+      SELECT p.qid, a.vec_id, round({cos('p.qvec', 'a.v')}, 9) AS rc,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY round({cos('p.qvec', 'a.v')}, 9) DESC,
+                                         a.vec_id) AS rn
+      FROM probes p JOIN assign a USING (cluster)) WHERE rn <= 10
+    """
+
+
+@register(
+    "simsearch_ivf",
+    _ivf_oracle(),
+    "pipeline", "simsearch", "ivf",
+)
+def simsearch_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: nearest-centroid partitioning + probe-only
+    search (pipeline/simsearch.ivf_search). Completes the similarity-
+    search family: brute-force (simsearch_cosine_topk) is the correctness
+    baseline, LSH buckets (simsearch_lsh_buckets) and IVF are the two
+    scale paths — IVF trades one broadcast centroid pass for scoring only
+    ~nprobe/k_clusters of the corpus per query. Integer-quantized cosine
+    makes the routing bit-deterministic across engines (no float-tie
+    flakiness in the oracle comparison)."""
+    from materialize_spark.pipeline.simsearch import ivf_search
+
+    t = T(spark, sf_dir)
+    return ivf_search(t.embeddings, k_clusters=16, nprobe=4, n_queries=3, k=10)

@@ -103,3 +103,37 @@ def test_multimodal_feature_extraction(spark):
         assert r.checksum == hashlib.md5(payload).hexdigest()
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-4  # stub normalizes to sum 1
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == k_clusters searches every partition -> must equal the
+    unpartitioned top-k exactly (IVF loses nothing when probing all)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from materialize_spark.pipeline.simsearch import (
+        int_cosine, ivf_search, quantized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full = ivf_search(emb, k_clusters=8, nprobe=8, n_queries=2, k=5)
+
+    q = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    queries = (q.orderBy("vec_id").limit(2)
+               .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(int_cosine(F.col("qv"), F.col("v")), 9)), "vec_id")
+    brute = (queries.crossJoin(q)
+             .withColumn("rn", F.row_number().over(w)).filter("rn <= 5")
+             .select("qid", "vec_id"))
+    assert (sorted((r.qid, r.vec_id) for r in full.collect())
+            == sorted((r.qid, r.vec_id) for r in brute.collect()))
+
+
+def test_ivf_partial_probe_is_subset_of_corpus_clusters(spark):
+    from materialize_spark.pipeline.simsearch import ivf_search
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    res = ivf_search(emb, k_clusters=8, nprobe=2, n_queries=2, k=5)
+    rows = res.collect()
+    assert len(rows) == 10  # 2 queries x top-5
+    per_q = {r.qid for r in rows}
+    assert len(per_q) == 2
