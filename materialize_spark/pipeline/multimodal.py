@@ -87,3 +87,75 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit("fake/raw").alias("meta_format"),
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("meta_format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def resize_media(media_df: DataFrame, *, width: int = 64,
+                 height: int = 64) -> DataFrame:
+    """Resize kernel plumbing: 1 row in -> 1 row out with a size-bounded
+    payload and updated metadata.
+
+    STUB kernel (no PIL in this container): deterministically truncates /
+    tiles the payload to width*height bytes. The contract a real resize
+    drops into: per-row binary -> binary, metadata columns appended,
+    Arrow-batched, partition-preserving (no shuffle).
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(b: bytes) -> bytes:
+            if not b:
+                return bytes(target)
+            reps = (target // len(b)) + 1
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            out = pdf[["media_id", "kind"]].copy()
+            out["payload"] = pdf["payload"].map(kernel)
+            out["meta_format"] = f"fake/raw;{width}x{height}"
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, *, frame_bytes: int = 256,
+                  max_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: 1 video row -> N frame rows.
+
+    STUB kernel: chunks the payload into ``frame_bytes`` slices (up to
+    ``max_frames``). The real-codec contract: a generator shape where one
+    input row yields a variable number of output rows inside mapInPandas —
+    the Python-side analog of FlatMap, no shuffle introduced.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = min(max_frames,
+                        max(1, (len(payload) + frame_bytes - 1) // frame_bytes))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media_df.mapInPandas(run, schema=FRAME_SCHEMA)

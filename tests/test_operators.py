@@ -89,3 +89,27 @@ def test_string_agg_ordered(spark):
     df = spark.createDataFrame([(1, "b"), (1, "a"), (2, "c")], ["k", "s"])
     out = df.groupBy("k").agg(string_agg("s", ",", order_by="s").alias("agg"))
     assert {(r.k, r.agg) for r in out.collect()} == {(1, "a,b"), (2, "c")}
+
+
+def test_checked_div_errors_on_zero(spark):
+    """PG semantics: x/0 raises, it does not NULL (reference Div* eval)."""
+    import pytest
+    from materialize_spark.functions.errors import checked_div
+
+    df = spark.createDataFrame([(10, 2), (7, 0)], "a long, b long")
+    ok = df.filter("b != 0").select(checked_div("a", "b").alias("q"))
+    assert [r.q for r in ok.collect()] == [5.0]
+    with pytest.raises(Exception, match="division by zero"):
+        df.select(checked_div("a", "b")).collect()
+
+
+def test_checked_cast_long_errors_on_garbage(spark):
+    import pytest
+    from materialize_spark.functions.errors import checked_cast_long
+
+    good = spark.createDataFrame([("42",), (None,)], "s string")
+    vals = [r.v for r in good.select(checked_cast_long("s").alias("v")).collect()]
+    assert vals == [42, None]  # NULL passes through (SQL cast of NULL)
+    bad = spark.createDataFrame([("4x2",)], "s string")
+    with pytest.raises(Exception, match="invalid input"):
+        bad.select(checked_cast_long("s").alias("v")).collect()

@@ -137,3 +137,29 @@ def test_ivf_partial_probe_is_subset_of_corpus_clusters(spark):
     assert len(rows) == 10  # 2 queries x top-5
     per_q = {r.qid for r in rows}
     assert len(per_q) == 2
+
+
+def test_multimodal_resize_shape(spark):
+    from materialize_spark.pipeline.multimodal import (
+        documents_as_media, resize_media,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    out = resize_media(documents_as_media(docs), width=8, height=8)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.payload) == 64 and r.width == 8 for r in rows)
+
+
+def test_multimodal_frame_sampling_one_to_many(spark):
+    from materialize_spark.pipeline.multimodal import (
+        documents_as_media, sample_frames,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    media = documents_as_media(docs)
+    frames = sample_frames(media, frame_bytes=100, max_frames=3)
+    per = frames.groupBy("media_id").count().collect()
+    assert len(per) == 20
+    assert all(1 <= r["count"] <= 3 for r in per)
+    # frame 0 of each media is the payload prefix
+    f0 = frames.filter("frame_idx = 0").count()
+    assert f0 == 20
