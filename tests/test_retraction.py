@@ -129,3 +129,37 @@ def test_topk_random_workload_matches_recompute(spark):
         want = (expanded.withColumn("__rn", F.row_number().over(w))
                 .filter("__rn <= 3").drop("diff", "__i", "__rn"))
         assert _rows(got, ["k", "v"]) == _rows(want, ["k", "v"])
+
+
+def test_debezium_envelope_feeds_retraction_view(spark):
+    """End-to-end CDC chain: Debezium JSON -> diff frames -> maintained
+    aggregate. An update event must retract the old row's contribution and
+    a delete must remove it — the full ENVELOPE DEBEZIUM -> IVM path."""
+    import json
+
+    from materialize_spark.sources.envelopes import debezium_decode
+
+    def ev(op, before=None, after=None):
+        return (json.dumps({"op": op, "before": before, "after": after}),)
+
+    mv = RetractionAwareAgg(spark, keys=["k"],
+                            aggs={"total": ("sum", "v"), "hi": ("max", "v")})
+    schema = "k string, v long"
+
+    batch1 = spark.createDataFrame([
+        ev("c", after={"k": "a", "v": 5}),
+        ev("c", after={"k": "a", "v": 9}),
+        ev("c", after={"k": "b", "v": 3}),
+    ], "value string")
+    mv.on_batch(debezium_decode(batch1, "value", schema))
+
+    batch2 = spark.createDataFrame([
+        # update a:9 -> a:4 (retracts the current max)
+        ev("u", before={"k": "a", "v": 9}, after={"k": "a", "v": 4}),
+        # delete b entirely
+        ev("d", before={"k": "b", "v": 3}),
+    ], "value string")
+    out = mv.on_batch(debezium_decode(batch2, "value", schema))
+
+    rows = {r.k: (r.total, r.hi) for r in out.collect()}
+    assert rows == {"a": (9, 5)}  # 5+4, max back down to 5; b gone
