@@ -71,9 +71,11 @@ def _rewrite_code(seg: str) -> str:
         prev = seg
         seg = pat.sub(lambda m: f"CAST({m.group(1)} AS {typ(m.group(2))})", seg)
 
-    # like/regex operators
-    seg = re.sub(r"\s*!~~\*?\s*", " NOT LIKE ", seg)
-    seg = re.sub(r"\s*~~\*?\s*", " LIKE ", seg)
+    # like/regex operators — starred variants are case-insensitive (ILIKE)
+    seg = re.sub(r"\s*!~~\*\s*", " NOT ILIKE ", seg)
+    seg = re.sub(r"\s*!~~\s*", " NOT LIKE ", seg)
+    seg = re.sub(r"\s*~~\*\s*", " ILIKE ", seg)
+    seg = re.sub(r"\s*~~\s*", " LIKE ", seg)
     seg = re.sub(rf"({_OPERAND})\s*!~\s*", r"NOT \1 RLIKE ", seg)
     seg = re.sub(rf"({_OPERAND})\s*~\s*('|\()", r"\1 RLIKE \2", seg)
 

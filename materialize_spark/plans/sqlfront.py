@@ -51,6 +51,9 @@ _CREATE_SOURCE = re.compile(
 _SUBSCRIBE = re.compile(r"^\s*SUBSCRIBE\s+(?:TO\s+)?(\w+)\s*$", re.I)
 _REFRESH_MV = re.compile(
     r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.I)
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN\s+(?:(RAW|OPTIMIZED|PHYSICAL)\s+)?(?:PLAN\s+FOR\s+)?"
+    r"(SELECT\s+.*|WITH\s+.*)$", re.I | re.S)
 
 
 class MzSession:
@@ -157,6 +160,20 @@ class MzSession:
                 delta = adds.unionByName(rets)
             self._sub_state[name] = cur.localCheckpoint(eager=True)
             return delta
+        m = _EXPLAIN.match(sql)
+        if m:
+            # Reference EXPLAIN stages (doc/developer/101-query-compilation
+            # .md:50-91): RAW = parsed logical plan, OPTIMIZED = after
+            # Catalyst rewrites, PHYSICAL (default) = executable plan.
+            stage = (m.group(1) or "PHYSICAL").upper()
+            qe = self.spark.sql(rewrite(m.group(2)))._jdf.queryExecution()
+            text = {
+                "RAW": lambda: qe.logical().toString(),
+                "OPTIMIZED": lambda: qe.optimizedPlan().toString(),
+                "PHYSICAL": lambda: qe.executedPlan().toString(),
+            }[stage]()
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan string")
         m = _SHOW.match(sql)
         if m:
             kind = m.group(1).lower()

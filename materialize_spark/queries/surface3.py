@@ -317,3 +317,37 @@ def simsearch_ivf(spark, sf_dir):
 
     t = T(spark, sf_dir)
     return ivf_search(t.embeddings, k_clusters=16, nprobe=4, n_queries=3, k=10)
+
+
+@register(
+    "scalar_like_battery",
+    """
+    SELECT c_custkey,
+           c_name LIKE 'Customer#%'            AS like_prefix,
+           c_name LIKE '%001'                  AS like_suffix,
+           c_name LIKE 'Customer#____01%'      AS like_underscores,
+           upper(c_name) ILIKE 'customer#%'    AS ilike_ci,
+           c_name NOT LIKE '%XYZ%'             AS not_like,
+           'a_b' LIKE 'a!_b' ESCAPE '!'        AS escaped_underscore,
+           c_mktsegment ILIKE 'build%'         AS seg_ilike
+    FROM customer
+    """,
+    "scalar", "like",
+)
+def scalar_like_battery(spark, sf_dir):
+    """LIKE family: PG spellings ~~, ~~* (ILIKE), !~~, plus ESCAPE
+    (BinaryFunc IsLikeMatch with case-insensitive flag; dialect.py rewrites
+    the operator spellings). All compile to Spark's native LIKE/ILIKE —
+    codegen string matching, no regex engine for the non-regex cases."""
+    t = T(spark, sf_dir)
+    n = F.col("c_name")
+    return t.customer.select(
+        "c_custkey",
+        n.like("Customer#%").alias("like_prefix"),
+        n.like("%001").alias("like_suffix"),
+        n.like("Customer#____01%").alias("like_underscores"),
+        F.upper(n).ilike("customer#%").alias("ilike_ci"),
+        (~n.like("%XYZ%")).alias("not_like"),
+        F.expr(r"'a_b' LIKE 'a!_b' ESCAPE '!'").alias("escaped_underscore"),
+        F.col("c_mktsegment").ilike("build%").alias("seg_ilike"),
+    )

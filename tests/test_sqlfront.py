@@ -91,3 +91,18 @@ def test_insert_select_appends(spark):
     s.execute("INSERT INTO nat2 SELECT * FROM nation WHERE n_regionkey = 0")
     after = s.sql("SELECT count(*) AS n FROM nat2").first().n
     assert after > before
+
+
+def test_explain_stages(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    phys = "\n".join(r.plan for r in s.sql(
+        "EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity > 10").collect())
+    assert "HashAggregate" in phys or "Aggregate" in phys
+    raw = "\n".join(r.plan for r in s.sql(
+        "EXPLAIN RAW SELECT 1 AS x").collect())
+    assert "Project" in raw or "1" in raw
+    opt = "\n".join(r.plan for r in s.sql(
+        "EXPLAIN OPTIMIZED SELECT l_orderkey FROM lineitem "
+        "WHERE l_quantity > 10").collect())
+    assert "Filter" in opt
