@@ -54,6 +54,9 @@ _REFRESH_MV = re.compile(
 _EXPLAIN = re.compile(
     r"^\s*EXPLAIN\s+(?:(RAW|OPTIMIZED|PHYSICAL)\s+)?(?:PLAN\s+FOR\s+)?"
     r"(SELECT\s+.*|WITH\s+.*)$", re.I | re.S)
+_COPY = re.compile(
+    r"^\s*COPY\s+(?:\((.*)\)|(\w+))\s+TO\s+'([^']+)'"
+    r"(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$", re.I | re.S)
 
 
 class MzSession:
@@ -160,6 +163,15 @@ class MzSession:
                 delta = adds.unionByName(rets)
             self._sub_state[name] = cur.localCheckpoint(eager=True)
             return delta
+        m = _COPY.match(sql)
+        if m:
+            body, name, path, fmt = m.groups()
+            from materialize_spark.sinks.writers import copy_to
+
+            df = (self.spark.sql(rewrite(body)) if body
+                  else self.catalog.table(name))
+            copy_to(df, path, (fmt or "parquet").lower())
+            return None
         m = _EXPLAIN.match(sql)
         if m:
             # Reference EXPLAIN stages (doc/developer/101-query-compilation

@@ -351,3 +351,31 @@ def scalar_like_battery(spark, sf_dir):
         F.expr(r"'a_b' LIKE 'a!_b' ESCAPE '!'").alias("escaped_underscore"),
         F.col("c_mktsegment").ilike("build%").alias("seg_ilike"),
     )
+
+
+@register(
+    "tablefunc_generate_series_ts",
+    """
+    SELECT o_orderkey,
+           strftime(g, '%Y-%m-%d %H:%M:%S') AS tick
+    FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey <= 200),
+         unnest(generate_series(o_orderdate,
+                                o_orderdate + INTERVAL 3 HOUR,
+                                INTERVAL 1 HOUR)) AS t(g)
+    """,
+    "tablefunc", "generate_series", "timestamp",
+)
+def tablefunc_generate_series_ts(spark, sf_dir):
+    """generate_series over timestamps with an interval stride
+    (TableFunc::GenerateSeriesTimestamp) — Spark sequence() accepts
+    timestamp bounds + interval step natively; explode is narrow."""
+    t = T(spark, sf_dir)
+    d = F.col("o_orderdate").cast("timestamp")
+    series = F.sequence(d, d + F.expr("INTERVAL 3 HOURS"),
+                        F.expr("INTERVAL 1 HOUR"))
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", F.explode(series).alias("g"))
+        .select("o_orderkey",
+                F.date_format("g", "yyyy-MM-dd HH:mm:ss").alias("tick"))
+    )

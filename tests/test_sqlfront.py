@@ -106,3 +106,13 @@ def test_explain_stages(spark):
         "EXPLAIN OPTIMIZED SELECT l_orderkey FROM lineitem "
         "WHERE l_quantity > 10").collect())
     assert "Filter" in opt
+
+
+def test_copy_to_statement(spark, tmp_path):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    dest = str(tmp_path / "out")
+    s.execute(f"COPY (SELECT r_regionkey, r_name FROM region) TO '{dest}' "
+              "WITH (FORMAT PARQUET)")
+    back = spark.read.parquet(dest)
+    assert back.count() == 5 and set(back.columns) == {"r_regionkey", "r_name"}
