@@ -82,15 +82,26 @@ class MaterializedView:
         return self._state
 
     # -- streaming driver ---------------------------------------------------
-    def start(self, stream_df: DataFrame, **writestream_kwargs):
-        """Attach to a streaming DataFrame: one merge per micro-batch."""
-        return (
+    def start(self, stream_df: DataFrame, *, refresh_every: str | None = None,
+              **writestream_kwargs):
+        """Attach to a streaming DataFrame: one merge per micro-batch.
+
+        ``refresh_every``: None = drain-and-stop (availableNow — the
+        one-shot/backfill mode); an interval string ('30 seconds') = keep
+        running with a processing-time trigger — the reference's
+        ``REFRESH EVERY`` schedule (src/repr/src/refresh_schedule.rs,
+        sink src/compute/src/sink/refresh.rs).
+        """
+        w = (
             stream_df.writeStream
             .outputMode("update")
             .foreachBatch(lambda batch, _epoch: self.on_batch(batch))
-            .trigger(availableNow=True)
-            .start(**writestream_kwargs)
         )
+        if refresh_every is None:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime=refresh_every)
+        return w.start(**writestream_kwargs)
 
     # -- internals ----------------------------------------------------------
     def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:

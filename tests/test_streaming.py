@@ -137,3 +137,39 @@ def test_ivm_streaming_driver_available_now(spark, tmp_path):
         F.count(F.lit(1)).alias("n"))
     assert sorted(map(tuple, mv.result().collect())) == \
         sorted(map(tuple, expected.collect()))
+
+
+def test_refresh_every_processing_time_trigger(spark, tmp_path):
+    """REFRESH EVERY maps to a processing-time trigger: the query stays up
+    and keeps merging as new files land (vs availableNow drain-and-stop)."""
+    import time
+
+    from pyspark.sql import functions as F
+    from materialize_spark.streaming.ivm import MaterializedView
+
+    src = str(tmp_path / "src")
+    first = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    first.coalesce(1).write.mode("append").parquet(src)
+    mv = MaterializedView(
+        spark, define=lambda df: df.groupBy("k").agg(F.sum("v").alias("t")),
+        keys=["k"], combine={"t": "sum"})
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = mv.start(stream, refresh_every="1 seconds")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if mv._state is not None and mv._state.count() == 2:
+                break
+            time.sleep(0.5)
+        # drop a second file while the query is live; it must get merged
+        spark.createDataFrame([("a", 10)], "k string, v long") \
+            .coalesce(1).write.mode("append").parquet(src)
+        while time.time() < deadline:
+            rows = {r.k: r.t for r in mv.result().collect()} \
+                if mv._state is not None else {}
+            if rows.get("a") == 11:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {r.k: r.t for r in mv.result().collect()} == {"a": 11, "b": 2}
