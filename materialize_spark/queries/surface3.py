@@ -379,3 +379,50 @@ def tablefunc_generate_series_ts(spark, sf_dir):
         .select("o_orderkey",
                 F.date_format("g", "yyyy-MM-dd HH:mm:ss").alias("tick"))
     )
+
+
+@register(
+    "record_struct_ops",
+    """
+    SELECT o_orderkey,
+           rec.priority                       AS priority,
+           round(rec.price, 2)                AS price,
+           rec.who.nation                     AS nation_key,
+           upper(rec.who.name)                AS cust_upper,
+           round(rec.price * 2, 2)            AS price_doubled
+    FROM (SELECT o_orderkey,
+                 {'priority': o_orderpriority,
+                  'price': o_totalprice,
+                  'who': {'name': c_name, 'nation': c_nationkey}} AS rec
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderkey <= 2000)
+    """,
+    "scalar", "record", "struct",
+)
+def record_struct_ops(spark, sf_dir):
+    """Record{fields} type (SqlScalarType::Record, SURVEY.md §1.2 →
+    StructType): build nested records, project fields through two levels,
+    compute on extracted fields. Catalyst flattens the struct accesses —
+    the nesting is purely logical, no runtime boxing survives
+    optimization (check: the optimized plan reads the base columns
+    directly)."""
+    t = T(spark, sf_dir)
+    rec = F.struct(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.struct(F.col("c_name").alias("name"),
+                 F.col("c_nationkey").alias("nation")).alias("who"),
+    )
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", rec.alias("rec"))
+        .select(
+            "o_orderkey",
+            F.col("rec.priority").alias("priority"),
+            F.round("rec.price", 2).alias("price"),
+            F.col("rec.who.nation").alias("nation_key"),
+            F.upper("rec.who.name").alias("cust_upper"),
+            F.round(F.col("rec.price") * 2, 2).alias("price_doubled"),
+        )
+    )

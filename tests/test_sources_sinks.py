@@ -90,3 +90,34 @@ def test_copy_to_partitioned(spark, tmp_path):
     # partition pruning works on the layout
     assert back.filter(F.col("yr") == 1996).count() == \
         orders.filter(F.year("o_orderdate") == 1996).count()
+
+
+def test_auction_loadgen_windowed_agg(spark, tmp_path):
+    """AUCTION generator -> tumbling-window revenue per auction: the
+    loadgen + event-time windowed aggregation path, end to end."""
+    import time
+
+    from pyspark.sql import functions as F
+    from materialize_spark.sources.loadgen import auction_source
+
+    bids = auction_source(spark, rows_per_second=500)
+    agg = (bids.withWatermark("bid_time", "2 seconds")
+           .groupBy(F.window("bid_time", "1 second"), "auction_id")
+           .agg(F.sum("amount").alias("revenue"),
+                F.count(F.lit(1)).alias("n_bids")))
+    q = (agg.writeStream.format("memory").queryName("auction_rev")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.table("auction_rev").count() > 0:
+                break
+            time.sleep(1)
+        rows = spark.table("auction_rev").collect()
+    finally:
+        q.stop()
+    assert rows, "no windows materialized within deadline"
+    assert all(r.n_bids >= 1 and r.revenue >= 0 for r in rows)
+    assert all(0 <= r.auction_id < 100 for r in rows)
