@@ -1,4 +1,12 @@
-"""Sink writers."""
+"""Sink writers.
+
+Reference sink surface (src/storage-types/src/sinks.rs:137-140 — Kafka and
+Iceberg continuous sinks; src/compute/src/sink/copy_to_s3_oneshot.rs — the
+one-shot COPY TO export) mapped to Spark writers: copy_to = batch
+DataFrameWriter export; stream_to_files / kafka_sink = writeStream
+continuous sinks with checkpointing; stream_to_memory = the SUBSCRIBE-style
+in-session sink used by tests.
+"""
 
 from __future__ import annotations
 
