@@ -46,6 +46,6 @@ def load_all() -> dict[str, QuerySpec]:
     full registry."""
     from materialize_spark.queries import (  # noqa: F401
         tpch, tpch2, relational, scalars, events, pipeline, sqlfront,
-        collections, surface2, surface3, ivm_queries,
+        collections, surface2, surface3, surface4, ivm_queries,
     )
     return REGISTRY
