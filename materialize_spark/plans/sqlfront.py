@@ -57,6 +57,12 @@ _EXPLAIN = re.compile(
 _COPY = re.compile(
     r"^\s*COPY\s+(?:\((.*)\)|(\w+))\s+TO\s+'([^']+)'"
     r"(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$", re.I | re.S)
+_AS_OF = re.compile(
+    r"^\s*(?:SELECT\s+\*\s+FROM\s+|SUBSCRIBE\s+(?:TO\s+)?)(\w+)"
+    r"\s+AS\s+OF\s+(\d+)\s*$", re.I)
+_ALTER_RETAIN = re.compile(
+    r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+SET\s*\(\s*RETAIN\s+HISTORY"
+    r"\s*(?:=|FOR)\s*'?(\d+)'?\s*\)\s*$", re.I)
 
 
 class MzSession:
@@ -68,6 +74,11 @@ class MzSession:
         self._matviews: dict[str, DataFrame] = {}
         self._matview_sql: dict[str, str] = {}
         self._sub_state: dict[str, DataFrame] = {}
+        # RETAIN HISTORY: per-MV changelog of refresh deltas, readable via
+        # SELECT ... AS OF <epoch> (streaming.history.RetainedHistory);
+        # retention window counted in refresh epochs.
+        self._histories: dict[str, object] = {}
+        self._retain: dict[str, int] = {}
 
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
@@ -84,6 +95,12 @@ class MzSession:
                 self._matviews[name] = snap
                 self._matview_sql[name] = rewrite(body)
                 self.catalog.create_view(name, snap)
+                from pyspark.sql import functions as F
+
+                from materialize_spark.streaming.history import RetainedHistory
+                hist = RetainedHistory()
+                hist.append(snap.withColumn("diff", F.lit(1)), 0)
+                self._histories[name] = hist
             else:
                 self.catalog.create_view(name, df)
             return None
@@ -139,12 +156,45 @@ class MzSession:
             return None
         m = _REFRESH_MV.match(sql)
         if m:
+            from pyspark.sql import functions as F
+
             name = m.group(1)
+            old = self._matviews[name]
             snap = self.spark.sql(
                 self._matview_sql[name]).localCheckpoint(eager=True)
             self._matviews[name] = snap
             self.catalog.create_view(name, snap)
+            hist = self._histories.get(name)
+            if hist is not None:
+                adds = snap.exceptAll(old).withColumn("diff", F.lit(1))
+                rets = old.exceptAll(snap).withColumn("diff", F.lit(-1))
+                hist.append(adds.unionByName(rets), hist.upper)
+                window = self._retain.get(name)
+                if window is not None and hist.upper - 1 - window > hist.since:
+                    hist.compact(hist.upper - 1 - window)
             return None
+        m = _ALTER_RETAIN.match(sql)
+        if m:
+            # ALTER MATERIALIZED VIEW v SET (RETAIN HISTORY FOR n): keep the
+            # last n refresh epochs readable via AS OF; older epochs are
+            # compacted away (reference AlterRetainHistoryStatement — the
+            # duration maps to refresh epochs under our logical clock).
+            name, window = m.group(1), int(m.group(2))
+            self._retain[name] = window
+            hist = self._histories[name]
+            if hist.upper - 1 - window > hist.since:
+                hist.compact(hist.upper - 1 - window)
+            return None
+        m = _AS_OF.match(sql)
+        if m:
+            # SELECT * FROM v AS OF t / SUBSCRIBE v AS OF t: time travel
+            # into the retained changelog. SELECT reconstructs the rows at
+            # epoch t; SUBSCRIBE returns the updates strictly after t.
+            name, ts = m.group(1), int(m.group(2))
+            hist = self._histories[name]
+            if sql.lstrip()[:6].upper() == "SELECT":
+                return hist.as_of(ts)
+            return hist.subscribe_since(ts)
         m = _SUBSCRIBE.match(sql)
         if m:
             # Diff stream: first call emits the snapshot (+1 rows); later

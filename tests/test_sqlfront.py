@@ -116,3 +116,42 @@ def test_copy_to_statement(spark, tmp_path):
               "WITH (FORMAT PARQUET)")
     back = spark.read.parquet(dest)
     assert back.count() == 5 and set(back.columns) == {"r_regionkey", "r_name"}
+
+
+def test_as_of_time_travel_on_matview(spark):
+    """SELECT ... AS OF reads every retained refresh epoch exactly;
+    RETAIN HISTORY compacts epochs out of the window (SinceViolation)."""
+    import pytest
+
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.streaming.history import SinceViolation
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE tt (k STRING, v BIGINT)")
+    s.execute("INSERT INTO tt VALUES ('a', 1)")
+    s.execute("CREATE MATERIALIZED VIEW mv_t AS "
+              "SELECT k, sum(v) AS total FROM tt GROUP BY k")
+    s.execute("INSERT INTO tt VALUES ('a', 10), ('b', 2)")
+    s.execute("REFRESH MATERIALIZED VIEW mv_t")
+    s.execute("INSERT INTO tt VALUES ('b', 5)")
+    s.execute("REFRESH MATERIALIZED VIEW mv_t")
+
+    def rows(df):
+        return sorted((r.k, r.total) for r in df.collect())
+
+    assert rows(s.sql("SELECT * FROM mv_t AS OF 0")) == [("a", 1)]
+    assert rows(s.sql("SELECT * FROM mv_t AS OF 1")) == [("a", 11), ("b", 2)]
+    assert rows(s.sql("SELECT * FROM mv_t AS OF 2")) == [("a", 11), ("b", 7)]
+    # current read and newest AS OF agree
+    assert rows(s.sql("SELECT * FROM mv_t")) == rows(
+        s.sql("SELECT * FROM mv_t AS OF 2"))
+
+    # SUBSCRIBE ... AS OF: updates strictly after the epoch
+    delta = s.sql("SUBSCRIBE mv_t AS OF 1").collect()
+    assert sorted((r.k, r.total, r.diff) for r in delta) == [
+        ("b", 2, -1), ("b", 7, 1)]
+
+    s.execute("ALTER MATERIALIZED VIEW mv_t SET (RETAIN HISTORY FOR 1)")
+    with pytest.raises(SinceViolation):
+        s.sql("SELECT * FROM mv_t AS OF 0")
+    assert rows(s.sql("SELECT * FROM mv_t AS OF 1")) == [("a", 11), ("b", 2)]
