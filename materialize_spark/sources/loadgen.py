@@ -55,6 +55,64 @@ def auction_source(spark: SparkSession, *, rows_per_second: int = 100,
     )
 
 
+def datums_source(spark: SparkSession) -> DataFrame:
+    """DATUMS: one row per supported type with a representative value
+    (reference uses it to exercise the type surface end-to-end). Static
+    collection → plain batch DataFrame."""
+    return spark.sql("""
+        SELECT CAST(TRUE AS BOOLEAN)                    AS bool_v,
+               CAST(32767 AS SMALLINT)                  AS int2_v,
+               CAST(2147483647 AS INT)                  AS int4_v,
+               CAST(9223372036854775807 AS BIGINT)      AS int8_v,
+               CAST(1.5 AS FLOAT)                       AS float4_v,
+               CAST(2.25 AS DOUBLE)                     AS float8_v,
+               CAST(12345.6789 AS DECIMAL(18,4))        AS numeric_v,
+               'text'                                   AS text_v,
+               CAST('2020-01-01' AS DATE)               AS date_v,
+               CAST('2020-01-01 12:34:56' AS TIMESTAMP) AS ts_v,
+               CAST(X'DEADBEEF' AS BINARY)              AS bytes_v,
+               ARRAY(1, 2, 3)                           AS array_v,
+               MAP('k', 'v')                            AS map_v,
+               NAMED_STRUCT('a', 1, 'b', 'x')           AS record_v,
+               TO_JSON(NAMED_STRUCT('j', 1))            AS jsonb_v
+    """)
+
+
+def marketing_source(spark: SparkSession, *, rows_per_second: int = 100,
+                     num_partitions: int = 1) -> DataFrame:
+    """MARKETING: impression/click funnel events derived deterministically
+    from the tick counter (reference's demo generator emits leads /
+    impressions / clicks; the click flag here is a deterministic
+    pseudo-random derived column so downstream CTR aggregates are stable)."""
+    t = _rate(spark, rows_per_second, num_partitions)
+    v = F.col("value")
+    return t.select(
+        v.alias("impression_id"),
+        (v % 500).alias("campaign_id"),
+        (v % 10000).alias("customer_id"),
+        ((v * 2654435761) % 100 < 3).alias("clicked"),
+        F.col("timestamp").alias("impression_time"),
+    )
+
+
+def keyvalue_source(spark: SparkSession, *, rows_per_second: int = 1000,
+                    num_partitions: int = 1, keys: int = 1000) -> DataFrame:
+    """KEY VALUE: keyed payloads where keys cycle, so the stream is a
+    natural ENVELOPE UPSERT input (later ticks overwrite earlier values for
+    the same key) — the reference generator's role in upsert benchmarks.
+    Partition column = key % num_partitions, mirroring its partitioned
+    output."""
+    t = _rate(spark, rows_per_second, num_partitions)
+    v = F.col("value")
+    key = (v % keys)
+    return t.select(
+        (key % num_partitions).alias("partition"),
+        key.alias("key"),
+        F.md5(v.cast("string")).alias("value"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def load_generator(spark: SparkSession, name: str, **kwargs) -> DataFrame:
     """Dispatch `CREATE SOURCE ... FROM LOAD GENERATOR <name>` (reference
     generator enum: src/storage-types/src/sources/load_generator.rs)."""
@@ -62,6 +120,10 @@ def load_generator(spark: SparkSession, name: str, **kwargs) -> DataFrame:
         "counter": counter_source,
         "clock": clock_source,
         "auction": auction_source,
+        "datums": datums_source,
+        "marketing": marketing_source,
+        "key_value": keyvalue_source,
+        "keyvalue": keyvalue_source,
     }
     try:
         return gens[name.lower()](spark, **kwargs)

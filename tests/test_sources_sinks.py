@@ -121,3 +121,71 @@ def test_auction_loadgen_windowed_agg(spark, tmp_path):
     assert rows, "no windows materialized within deadline"
     assert all(r.n_bids >= 1 and r.revenue >= 0 for r in rows)
     assert all(0 <= r.auction_id < 100 for r in rows)
+
+
+def test_datums_loadgen_type_surface(spark):
+    """DATUMS generator: one row covering the type surface; every column
+    non-null and of the declared Spark type."""
+    from materialize_spark.sources.loadgen import load_generator
+    df = load_generator(spark, "datums")
+    row = df.first()
+    assert df.count() == 1
+    assert all(row[c] is not None for c in df.columns)
+    kinds = dict(df.dtypes)
+    assert kinds["int2_v"] == "smallint" and kinds["int8_v"] == "bigint"
+    assert kinds["numeric_v"].startswith("decimal")
+    assert kinds["bytes_v"] == "binary" and kinds["map_v"].startswith("map")
+
+
+def test_keyvalue_loadgen_feeds_upsert(spark):
+    """KEY VALUE generator through the upsert envelope: cycling keys mean
+    the upserted state holds exactly one (latest) value per key."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from materialize_spark.sources.loadgen import keyvalue_source
+
+    kv = keyvalue_source(spark, rows_per_second=2000, keys=50)
+    q = (kv.writeStream.format("memory").queryName("kv_raw")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("kv_raw").count() < 120:
+            time.sleep(0.5)
+        raw = spark.table("kv_raw")
+        assert raw.count() >= 120  # keys must have cycled (>2x 50 keys)
+    finally:
+        q.stop()
+    latest = (raw.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("value"))))
+        .filter("rn = 1"))
+    assert latest.count() == latest.select("key").distinct().count()
+    assert raw.select("key").distinct().count() <= 50
+    assert raw.filter(~F.col("partition").isin(0)).count() == 0  # 1 partition
+
+
+def test_marketing_loadgen_ctr(spark):
+    """MARKETING generator: deterministic click flag -> stable CTR agg."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from materialize_spark.sources.loadgen import marketing_source
+
+    imps = marketing_source(spark, rows_per_second=2000)
+    q = (imps.writeStream.format("memory").queryName("mkt_raw")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("mkt_raw").count() < 100:
+            time.sleep(0.5)
+        raw = spark.table("mkt_raw").localCheckpoint()
+    finally:
+        q.stop()
+    # clicked is a pure function of impression_id
+    recomputed = raw.withColumn(
+        "c2", (F.col("impression_id") * 2654435761 % 100 < 3))
+    assert recomputed.filter(F.col("clicked") != F.col("c2")).count() == 0
