@@ -78,6 +78,7 @@ class Catalog:
     _tables: dict[str, DataFrame] = field(default_factory=dict)
     _views: dict[str, DataFrame] = field(default_factory=dict)
     _indexes: dict[str, DataFrame] = field(default_factory=dict)
+    _index_keys: dict[str, list[str]] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self._tables = load_tables(self.spark, self.sf_dir)
@@ -108,6 +109,7 @@ class Catalog:
         """
         arranged = df.repartition(*[df[k] for k in keys]).persist()
         self._indexes[name] = arranged
+        self._index_keys[name] = list(keys)
         arranged.createOrReplaceTempView(name)
         return arranged
 
@@ -116,6 +118,7 @@ class Catalog:
             if name in store:
                 if store is self._indexes:
                     store[name].unpersist()
+                    self._index_keys.pop(name, None)
                 del store[name]
                 self.spark.catalog.dropTempView(name)
                 return

@@ -63,6 +63,9 @@ _AS_OF = re.compile(
 _ALTER_RETAIN = re.compile(
     r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+SET\s*\(\s*RETAIN\s+HISTORY"
     r"\s*(?:=|FOR)\s*'?(\d+)'?\s*\)\s*$", re.I)
+_INTROSPECT = re.compile(
+    r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns)\b",
+    re.I)
 
 
 class MzSession:
@@ -236,6 +239,8 @@ class MzSession:
             }[stage]()
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan string")
+        if _INTROSPECT.search(sql):
+            self._register_introspection()
         m = _SHOW.match(sql)
         if m:
             kind = m.group(1).lower()
@@ -252,3 +257,57 @@ class MzSession:
         out = self.execute(q)
         assert out is not None, "statement returned no relation"
         return out
+
+    # -- introspection relations (mz_catalog) -------------------------------
+    def _register_introspection(self) -> None:
+        """Materialize the mz_catalog system relations from the live
+        catalog as temp views, so plain SELECTs can query them (reference:
+        mz_catalog.mz_tables / mz_views / mz_materialized_views /
+        mz_indexes / mz_objects / mz_columns — the introspection schema
+        documented under doc/user sql/system-catalog). Ids follow the
+        reference's `u<N>` user-object scheme, assigned by name order —
+        stable within a session snapshot."""
+        cat = self.catalog
+        objs = []  # (id, name, type)
+        named = [("table", n) for n in cat._tables] + \
+                [("materialized-view" if n in self._matviews else "view", n)
+                 for n in cat._views] + \
+                [("index", n) for n in cat._indexes]
+        for i, (typ, name) in enumerate(sorted(named, key=lambda t: t[1])):
+            objs.append((f"u{i + 1}", name, typ))
+        spark = self.spark
+        mk = spark.createDataFrame
+        mk(objs or [("u0", "", "")], "id string, name string, type string") \
+            .filter("id <> 'u0'").createOrReplaceTempView("mz_objects")
+        for typ, rel in (("table", "mz_tables"), ("view", "mz_views"),
+                         ("materialized-view", "mz_materialized_views"),
+                         ("index", "mz_indexes")):
+            rows = [(i, n) for (i, n, t) in objs if t == typ]
+            df = mk(rows or [("u0", "")], "id string, name string") \
+                .filter("id <> 'u0'")
+            if rel == "mz_indexes":
+                key_rows = [(i, n, ", ".join(cat._index_keys.get(n, [])))
+                            for (i, n, t) in objs if t == typ]
+                df = mk(key_rows or [("u0", "", "")],
+                        "id string, name string, key string") \
+                    .filter("id <> 'u0'")
+            if rel == "mz_materialized_views":
+                rows3 = [(i, n, self._matview_sql.get(n, ""))
+                         for (i, n, t) in objs if t == typ]
+                df = mk(rows3 or [("u0", "", "")],
+                        "id string, name string, definition string") \
+                    .filter("id <> 'u0'")
+            df.createOrReplaceTempView(rel)
+        col_rows = []
+        for oid, name, _typ in objs:
+            try:
+                schema = cat.table(name).schema
+            except KeyError:  # pragma: no cover
+                continue
+            for pos, f in enumerate(schema.fields, start=1):
+                col_rows.append((oid, name, f.name, pos, f.nullable,
+                                 f.dataType.simpleString()))
+        mk(col_rows or [("u0", "", "", 0, True, "")],
+           "id string, object_name string, name string, position int, "
+           "nullable boolean, type string") \
+            .filter("id <> 'u0'").createOrReplaceTempView("mz_columns")

@@ -155,3 +155,38 @@ def test_as_of_time_travel_on_matview(spark):
     with pytest.raises(SinceViolation):
         s.sql("SELECT * FROM mv_t AS OF 0")
     assert rows(s.sql("SELECT * FROM mv_t AS OF 1")) == [("a", 11), ("b", 2)]
+
+
+def test_mz_catalog_introspection(spark):
+    """mz_catalog system relations are queryable with plain SELECTs and
+    reflect live DDL state (reference system catalog surface)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE VIEW v_intro AS SELECT r_name FROM region")
+    s.execute("CREATE MATERIALIZED VIEW mv_intro AS "
+              "SELECT count(*) AS n FROM nation")
+    s.execute("CREATE INDEX idx_intro ON orders (o_custkey)")
+
+    views = {r.name for r in s.sql(
+        "SELECT name FROM mz_views").collect()}
+    assert "v_intro" in views and "mv_intro" not in views
+    mvs = {(r.name, r.definition) for r in s.sql(
+        "SELECT name, definition FROM mz_materialized_views").collect()}
+    assert any(n == "mv_intro" and "nation" in d for n, d in mvs)
+    idx = {(r.name, r.key) for r in s.sql(
+        "SELECT name, key FROM mz_indexes").collect()}
+    assert ("idx_intro", "o_custkey") in idx
+    objs = {r.name: r.type for r in s.sql(
+        "SELECT name, type FROM mz_objects").collect()}
+    assert objs["orders"] == "table"
+    assert objs["mv_intro"] == "materialized-view"
+    # mz_columns joins against mz_objects like the reference's catalog
+    cols = s.sql(
+        "SELECT c.name, c.position, c.type FROM mz_columns c "
+        "JOIN mz_objects o ON c.id = o.id WHERE o.name = 'region' "
+        "ORDER BY c.position").collect()
+    assert [r.name for r in cols][:2] == ["r_regionkey", "r_name"]
+    # introspection reflects drops
+    s.execute("DROP VIEW v_intro")
+    views2 = {r.name for r in s.sql("SELECT name FROM mz_views").collect()}
+    assert "v_intro" not in views2
