@@ -38,6 +38,9 @@ _CREATE_INDEX = re.compile(
 _DROP = re.compile(r"^\s*DROP\s+(VIEW|INDEX|TABLE|SOURCE)\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
                    re.I)
 _SHOW = re.compile(r"^\s*SHOW\s+(VIEWS|TABLES|INDEXES)\s*$", re.I)
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+(?:MATERIALIZED\s+)?VIEW\s+(\w+)\s*$", re.I)
+_SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+(\w+)\s*$", re.I)
 _CREATE_TABLE_AS = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
 _CREATE_TABLE = re.compile(
@@ -82,6 +85,7 @@ class MzSession:
         # retention window counted in refresh epochs.
         self._histories: dict[str, object] = {}
         self._retain: dict[str, int] = {}
+        self._view_sql: dict[str, str] = {}
 
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
@@ -106,6 +110,7 @@ class MzSession:
                 self._histories[name] = hist
             else:
                 self.catalog.create_view(name, df)
+                self._view_sql[name] = rewrite(body)
             return None
         m = _CREATE_INDEX.match(sql)
         if m:
@@ -117,7 +122,9 @@ class MzSession:
         m = _DROP.match(sql)
         if m:
             self.catalog.drop(m.group(3))
-            self._matviews.pop(m.group(3), None)
+            for store in (self._matviews, self._matview_sql, self._view_sql,
+                          self._histories, self._retain):
+                store.pop(m.group(3), None)
             return None
         m = _CREATE_TABLE_AS.match(sql)
         if m:
@@ -239,6 +246,27 @@ class MzSession:
             }[stage]()
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan string")
+        m = _SHOW_CREATE.match(sql)
+        if m:
+            # SHOW CREATE (MATERIALIZED) VIEW — reference ShowCreate*
+            # statements return (name, create_sql).
+            name = m.group(1)
+            body = self._matview_sql.get(name)
+            kind = "MATERIALIZED VIEW" if body is not None else "VIEW"
+            if body is None:
+                body = self._view_sql.get(name, "<dataframe-defined>")
+            return self.spark.createDataFrame(
+                [(name, f"CREATE {kind} {name} AS {body}")],
+                "name string, create_sql string")
+        m = _SHOW_COLUMNS.match(sql)
+        if m:
+            # SHOW COLUMNS FROM obj — (name, nullable, type) like the
+            # reference's output, in schema position order.
+            schema = self.catalog.table(m.group(1)).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.nullable, f.dataType.simpleString())
+                 for f in schema.fields],
+                "name string, nullable boolean, type string")
         if _INTROSPECT.search(sql):
             self._register_introspection()
         m = _SHOW.match(sql)

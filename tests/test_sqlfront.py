@@ -190,3 +190,19 @@ def test_mz_catalog_introspection(spark):
     s.execute("DROP VIEW v_intro")
     views2 = {r.name for r in s.sql("SELECT name FROM mz_views").collect()}
     assert "v_intro" not in views2
+
+
+def test_show_create_and_show_columns(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE VIEW v_sc AS SELECT r_name FROM region")
+    s.execute("CREATE MATERIALIZED VIEW mv_sc AS "
+              "SELECT count(*) AS n FROM nation")
+    row = s.sql("SHOW CREATE VIEW v_sc").first()
+    assert row.name == "v_sc" and row.create_sql.startswith(
+        "CREATE VIEW v_sc AS") and "region" in row.create_sql
+    row = s.sql("SHOW CREATE MATERIALIZED VIEW mv_sc").first()
+    assert "CREATE MATERIALIZED VIEW mv_sc AS" in row.create_sql
+    cols = s.sql("SHOW COLUMNS FROM region").collect()
+    assert [(r.name, r.type) for r in cols][:2] == [
+        ("r_regionkey", "int"), ("r_name", "string")]
