@@ -18,6 +18,7 @@ never shuffle the fact side on dim joins.
 from __future__ import annotations
 
 import os
+from collections.abc import MutableMapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,37 +37,130 @@ ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# DataFrame-handle cache: creating a parquet DataFrame reads file footers
-# eagerly; queries re-loading the same tables per call would pay that 10x
-# per query. Keyed by session id so a fresh session re-resolves paths.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Runtime-settable SQL confs the engine depends on for CORRECTNESS. These are
+# applied to the *caller's* session on first table load: the driver harness
+# hands us its own vanilla SparkSession, which does not carry the confs our
+# session factory (session.py) sets at build time. All keys below are runtime
+# SQL confs (verified settable on a live session).
+_RUNTIME_CONFS: dict[str, str] = {
+    # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark's reader rejects outright; read as long nanos and convert below.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp rendering — matches the reference's
+    # UTC-everywhere model and the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-plan (partition coalescing, skew splitting): harmless if
+    # already on, load-bearing at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow fast path for the pipeline Pandas UDFs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set engine-required runtime confs on an externally built session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build: keep going, reads may still work
+    try:
+        # Don't run tiny-SF shuffles over Spark's default 200 partitions when
+        # the caller never tuned it; leave any explicit setting alone.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = os.environ.get("SPARK_GRAFT_CPUS")
+            spark.conf.set("spark.sql.shuffle.partitions", cpus or "32")
+    except Exception:
+        pass
+
+
+class LazyTables(MutableMapping):
+    """Per-table lazy loader: a query only reads (and registers a temp view
+    for) the tables it actually touches, so e.g. a TPC-H query can never be
+    killed by an unrelated table's exotic parquet types — and never pays the
+    other nine tables' footer reads."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, register: bool = True):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._register = register
+        self._loaded: dict[str, DataFrame] = {}
+        self._available = [
+            n for n in TABLES
+            if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+        ]
+        ensure_session_confs(spark)
+
+    def _read(self, name: str) -> DataFrame:
+        path = os.path.join(self._sf_dir, f"{name}.parquet")
+        df = self._spark.read.parquet(path)
+        # TIMESTAMP(NANOS) columns arrive as LongType nanos (nanosAsLong);
+        # normalize to microsecond timestamps with integer division — double
+        # division loses ULPs above 2^53 ns (~mid-2021 epoch values).
+        if name == "events":
+            for f in df.schema.fields:
+                if f.name == "ts" and f.dataType.simpleString() == "bigint":
+                    df = df.withColumn("ts", SQLF.expr("timestamp_micros(ts div 1000)"))
+        if self._register:
+            df.createOrReplaceTempView(name)
+        return df
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name in self._loaded:
+            return self._loaded[name]
+        if name not in self._available:
+            raise KeyError(name)
+        df = self._read(name)
+        self._loaded[name] = df
+        return df
+
+    def __setitem__(self, name: str, df: DataFrame) -> None:
+        self._loaded[name] = df
+
+    def __delitem__(self, name: str) -> None:
+        self._loaded.pop(name, None)
+        if name in self._available:
+            self._available.remove(name)
+
+    def __contains__(self, name: object) -> bool:
+        return name in self._loaded or name in self._available
+
+    def __iter__(self):
+        seen = set(self._available)
+        yield from self._available
+        yield from (k for k in self._loaded if k not in seen)
+
+    def __len__(self) -> int:
+        return len(set(self._available) | set(self._loaded))
+
+    def register_all(self) -> None:
+        """Force-load every table (SQL front-end needs all names resolvable
+        as temp views before parsing arbitrary statements)."""
+        for name in self._available:
+            self[name]
+
+
+# Handle cache: creating a parquet DataFrame reads file footers eagerly;
+# queries re-loading the same tables per call would pay that per query.
+# Keyed by session id so a fresh session re-resolves paths and re-applies
+# runtime confs.
+_TABLE_CACHE: dict[tuple[int, str], LazyTables] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None,
-                register: bool = True) -> dict[str, DataFrame]:
-    """Load every driver table from ``sf_dir`` and register temp views."""
+                register: bool = True) -> LazyTables:
+    """Lazy mapping of driver tables in ``sf_dir`` (registers temp views on
+    first access). Also installs the engine's required runtime confs on the
+    caller's session — the driver contract hands us an arbitrary session."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     key = (id(spark), sf_dir)
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        # TIMESTAMP(NANOS) columns arrive as LongType nanos (see session.py);
-        # normalize to microsecond timestamps like every other engine reading
-        # this file.
-        for f in df.schema.fields:
-            if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
-                df = df.withColumn(
-                    "ts", SQLF.timestamp_micros(SQLF.floor(SQLF.col("ts") / 1000).cast("long")))
-        out[name] = df
-        if register:
-            df.createOrReplaceTempView(name)
-    _TABLE_CACHE[key] = out
-    return out
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tables = LazyTables(spark, sf_dir, register=register)
+    _TABLE_CACHE[key] = tables
+    return tables
 
 
 @dataclass
@@ -75,13 +169,16 @@ class Catalog:
 
     spark: SparkSession
     sf_dir: str = DEFAULT_SF_DIR
-    _tables: dict[str, DataFrame] = field(default_factory=dict)
+    _tables: MutableMapping = field(default_factory=dict)
     _views: dict[str, DataFrame] = field(default_factory=dict)
     _indexes: dict[str, DataFrame] = field(default_factory=dict)
     _index_keys: dict[str, list[str]] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self._tables = load_tables(self.spark, self.sf_dir)
+        # The SQL surface accepts arbitrary statements, so every base name
+        # must be resolvable as a temp view before we can parse anything.
+        self._tables.register_all()
 
     # -- tables / sources ---------------------------------------------------
     def table(self, name: str) -> DataFrame:

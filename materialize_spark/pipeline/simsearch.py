@@ -73,6 +73,65 @@ def lsh_bucket_signature(df: DataFrame, *, num_planes: int = 8, dims: int = 64,
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
+# Driver-collect budget for the blocked-GEMM path. Beyond this the broadcast
+# side cannot safely live on the driver/executors and the bucketed LSH path
+# takes over automatically (candidate generation instead of all-pairs).
+MAX_COLLECT_BYTES = 256 << 20
+
+
+def cosine_pairs_lsh_bucketed(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_out: int = 4,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Near-pairs at scale: hyperplane-LSH bucket, exact GEMM within bucket.
+
+    Only pairs sharing an ``num_planes``-bit signature are compared: one
+    shuffle on the bucket key, a per-bucket numpy GEMM, no driver collect
+    and no all-pairs blowup. Recall is approximate (cross-bucket pairs are
+    missed — standard candidate-generation semantics; raise recall by
+    lowering ``num_planes`` or probing neighbor signatures). This is the
+    100 TB path ``cosine_pairs_blocked`` falls back to when the embedding
+    side exceeds its collect budget.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dims = df.select(F.size(F.col(vec_col))).first()[0]
+    sig = lsh_bucket_signature(df, num_planes=num_planes, dims=dims,
+                               vec_col=vec_col, id_col=id_col)
+    data = df.select(id_col, vec_col).join(sig, on=id_col)
+
+    def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype="int64"),
+            "id_b": np.array([], dtype="int64"),
+            "cos": np.array([], dtype="float64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        ids = pdf[id_col].to_numpy()
+        nrm = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        ia, ib = np.nonzero(np.round(cos, 6) >= threshold)
+        keep = ids[ia] < ids[ib]
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "id_a": ids[ia][keep],
+            "id_b": ids[ib][keep],
+            "cos": np.round(cos[ia, ib][keep], round_out),
+        })
+
+    return data.groupBy("bucket").applyInPandas(
+        per_bucket, "id_a long, id_b long, cos double")
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     *,
@@ -80,6 +139,7 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     round_out: int = 4,
+    max_collect_bytes: int = MAX_COLLECT_BYTES,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via blocked matrix multiplication.
 
@@ -91,8 +151,10 @@ def cosine_pairs_blocked(
     A_block @ B.T with numpy — Arrow batches in, one GEMM per block.
     Measured: ~19s -> ~1s at sf0.1. This is the standard sharded
     brute-force ANN layout: one side must fit in executor memory (2.5 MB
-    here; ~3 GB at 5M x 64 floats), beyond that use the LSH-bucketed path
-    (lsh_bucket_signature) to bound the candidate side.
+    here; ~3 GB at 5M x 64 floats). A size guard estimates the collect
+    footprint and automatically reroutes to
+    ``cosine_pairs_lsh_bucketed`` above ``max_collect_bytes`` — the
+    all-pairs GEMM is a small-data privilege, never a scale plan.
 
     Emits (id_a, id_b, cos) with id_a < id_b, cos rounded to
     ``round_out``; the threshold is applied on the 6-decimal rounding so
@@ -102,6 +164,17 @@ def cosine_pairs_blocked(
     import numpy as np
 
     spark = df.sparkSession
+    # Size guard: the broadcast side must fit on the driver. Estimate bytes
+    # from row count x (id + dims doubles); above budget, route to the
+    # LSH-bucketed candidate path instead of OOMing at scale.
+    n_rows = df.count()
+    first_sz = df.select(F.size(F.col(vec_col))).first()
+    dims = (first_sz[0] or 0) if first_sz else 0
+    est_bytes = n_rows * (24 + dims * 8)
+    if est_bytes > max_collect_bytes:
+        return cosine_pairs_lsh_bucketed(
+            df, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, round_out=round_out)
     side = df.select(id_col, vec_col).toPandas()
     ids_all = side[id_col].to_numpy()
     mat = np.vstack(side[vec_col].to_numpy()).astype("float64")

@@ -116,7 +116,10 @@ class MzSession:
         if m:
             default, iname, obj, cols = m.groups()
             df = self.catalog.table(obj)
-            keys = [c.strip() for c in cols.split(",")] if cols else df.columns[:1]
+            # CREATE DEFAULT INDEX (or no column list): key on ALL columns —
+            # the reference's default-index semantics.
+            keys = ([c.strip() for c in cols.split(",")] if cols
+                    else list(df.columns))
             self.catalog.create_index(iname or f"{obj}_idx", df, *keys)
             return None
         m = _DROP.match(sql)

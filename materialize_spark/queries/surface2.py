@@ -323,8 +323,8 @@ def agg_grouping_sets(spark, sf_dir):
     reference (its AST has no GroupingSets/Cube/Rollup, SURVEY.md §2.3);
     Spark expands them into a single Expand + one aggregate, i.e. one
     shuffle for all four groupings."""
-    t = T(spark, sf_dir)  # registers temp views
-    _ = t
+    t = T(spark, sf_dir)
+    _ = (t.orders, t.customer)  # touch → temp views registered
     return spark.sql("""
         SELECT c_mktsegment, o_orderpriority,
                CAST(grouping(c_mktsegment) AS BIGINT)    AS g_seg,

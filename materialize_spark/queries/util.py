@@ -2,17 +2,32 @@
 
 from __future__ import annotations
 
-from types import SimpleNamespace
-
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from materialize_spark.catalog import load_tables
 
 
-def T(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """Load driver tables as attributes (also registers temp views)."""
-    return SimpleNamespace(**load_tables(spark, sf_dir))
+class _TableNS:
+    """Attribute view over LazyTables: ``t.lineitem`` reads (and registers a
+    temp view for) lineitem on first touch — a query never pays for, nor can
+    it be broken by, tables it doesn't reference."""
+
+    __slots__ = ("_tables",)
+
+    def __init__(self, tables):
+        self._tables = tables
+
+    def __getattr__(self, name):
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
+def T(spark: SparkSession, sf_dir: str) -> _TableNS:
+    """Driver tables as lazy attributes (registers temp views on access)."""
+    return _TableNS(load_tables(spark, sf_dir))
 
 
 def revenue() -> Column:

@@ -59,8 +59,9 @@ class RetainedHistory:
     def append(self, delta: DataFrame, ts: int) -> None:
         """Record one batch of (data, diff) updates at logical time ts.
         Timestamps must be appended in non-decreasing order (the reference
-        reclocks all inputs into a monotone system time)."""
-        if ts < self.upper:
+        reclocks all inputs into a monotone system time); multiple batches
+        at the same logical time are allowed and consolidate together."""
+        if ts < self.upper - 1:
             raise ValueError(
                 f"timestamp {ts} is behind the upper frontier {self.upper}")
         stamped = delta.withColumn(TS_COL, F.lit(ts).cast("long"))

@@ -45,11 +45,15 @@ _HIERARCHICAL = ("min", "max")
 
 
 def _consolidate(support: DataFrame, keys: list[str], val: str) -> DataFrame:
-    """Threshold for support tables: net out multiplicities, keep positive."""
+    """Net out multiplicities. Keeps *negative* nets too: a retraction that
+    arrives before its insert (out-of-order CDC) must persist as mult = -1 so
+    the later insert nets to 0 — the reference's arrangements retain negative
+    multiplicities the same way. The > 0 threshold is applied only when
+    producing user-visible results."""
     return (
         support.groupBy(*keys, val)
         .agg(F.sum("mult").alias("mult"))
-        .filter(F.col("mult") > 0)
+        .filter(F.col("mult") != 0)
     )
 
 
@@ -118,7 +122,9 @@ class RetractionAwareAgg:
                    + F.coalesce(F.col(c), F.lit(0))).alias(c)
                   for c in val_cols],
             )
-        return merged.filter(F.col("__net") > 0)
+        # Keep negative nets in state (out-of-order retractions); the
+        # user-visible threshold lives in result().
+        return merged.filter(F.col("__net") != 0)
 
     # -- batch fold ----------------------------------------------------------
     def on_batch(self, delta: DataFrame) -> DataFrame:
@@ -153,7 +159,7 @@ class RetractionAwareAgg:
         """Current maintained result (keys + aggregate output columns)."""
         if self._acc is None:
             raise RuntimeError("no batches folded yet")
-        out = self._acc
+        out = self._acc.filter(F.col("__net") > 0)
         for name, (kind, _col) in self.aggs.items():
             if kind == "sum":
                 out = out.withColumn(
@@ -165,10 +171,10 @@ class RetractionAwareAgg:
                 out = out.withColumn(
                     name, F.when(F.col(f"__cnt_{name}") > 0,
                                  F.col(f"__sum_{name}") / F.col(f"__cnt_{name}")))
-            else:  # min/max from support
+            else:  # min/max from support (visible values only: mult > 0)
                 agg = F.min("__val") if kind == "min" else F.max("__val")
-                mm = (self._support[name].groupBy(*self.keys)
-                      .agg(agg.alias(name)))
+                mm = (self._support[name].filter(F.col("mult") > 0)
+                      .groupBy(*self.keys).agg(agg.alias(name)))
                 out = out.join(mm, on=self.keys, how="left")
         return out.select(*self.keys, *self.aggs.keys())
 
@@ -197,7 +203,7 @@ class RetractionAwareTopK:
         batch_supp = delta.groupBy(*data_cols).agg(
             F.sum(DIFF_COL).alias("mult"))
         if self._support is None:
-            new_supp = batch_supp.filter(F.col("mult") > 0)
+            new_supp = batch_supp.filter(F.col("mult") != 0)
         else:
             touched = delta.select(*self.keys).distinct()
             untouched = self._support.join(touched, on=self.keys,
@@ -207,7 +213,7 @@ class RetractionAwareTopK:
             merged = (
                 touched_prev.unionByName(batch_supp)
                 .groupBy(*data_cols).agg(F.sum("mult").alias("mult"))
-                .filter(F.col("mult") > 0)
+                .filter(F.col("mult") != 0)
             )
             new_supp = untouched.unionByName(merged)
         self._support = _ckpt(new_supp)
@@ -221,8 +227,9 @@ class RetractionAwareTopK:
             raise RuntimeError("no batches folded yet")
         order = (F.col(self.order_col).desc() if self.descending
                  else F.col(self.order_col).asc())
-        # expand multiplicities (bounded by k per group after the window)
-        expanded = self._support.withColumn(
+        # expand multiplicities (bounded by k per group after the window);
+        # negative nets (early retractions) are invisible until matched
+        expanded = self._support.filter(F.col("mult") > 0).withColumn(
             "__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
         w = Window.partitionBy(*self.keys).orderBy(order, "__i")
         return (

@@ -1,0 +1,113 @@
+"""Regression tests for the driver-harness contract.
+
+The driver builds its OWN SparkSession (no engine confs) and calls
+``__spark_entry__.queries()[name](spark, sf_dir)``. Round 1 failed 48/50
+driver queries because ``spark.sql.legacy.parquet.nanosAsLong`` only existed
+in our session factory: reading events.parquet (TIMESTAMP(NANOS)) under a
+vanilla session raised PARQUET_TYPE_ILLEGAL — and the old eager loader read
+all ten tables for every query.
+
+These tests simulate the driver exactly: strip the engine confs from the live
+session, then run queries through the public entry points.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Confs session.py sets at build time; the driver's session has none of them.
+_ENGINE_CONFS = [
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+    "spark.sql.execution.arrow.pyspark.enabled",
+]
+
+
+@contextlib.contextmanager
+def vanilla(spark):
+    """Make the live session look like the driver's: unset engine confs and
+    drop the table-handle cache so loads re-run against the bare session."""
+    from materialize_spark import catalog
+    saved = {}
+    for k in _ENGINE_CONFS:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        with contextlib.suppress(Exception):
+            spark.conf.unset(k)
+    cache = dict(catalog._TABLE_CACHE)
+    catalog._TABLE_CACHE.clear()
+    try:
+        yield spark
+    finally:
+        catalog._TABLE_CACHE.clear()
+        catalog._TABLE_CACHE.update(cache)
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_events_reads_under_vanilla_session(spark):
+    """The exact round-1 killer: events.parquet under a conf-less session."""
+    from materialize_spark.catalog import load_tables
+    with vanilla(spark) as s:
+        df = load_tables(s, SF_DIR)["events"]
+        assert df.count() > 0
+        assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_tpch_q1_under_vanilla_session(spark):
+    import __spark_entry__ as e
+    with vanilla(spark) as s:
+        out = e.queries()["tpch_q1"](s, SF_DIR)
+        assert out.count() > 0
+
+
+def test_lazy_loading_skips_unreferenced_tables(spark):
+    """A query touching only lineitem must not read events.parquet at all."""
+    from materialize_spark import catalog
+    with vanilla(spark) as s:
+        tables = catalog.load_tables(s, SF_DIR)
+        _ = tables["lineitem"]
+        assert "events" not in tables._loaded
+
+
+def test_nanos_micros_integer_division(spark):
+    """ts div 1000 (integer) — double division drifts above 2^53 ns."""
+    from materialize_spark.catalog import load_tables
+    import duckdb
+    df = load_tables(spark, SF_DIR)["events"]
+    spark_min, spark_max = df.selectExpr(
+        "min(cast(ts as string))", "max(cast(ts as string))").first()
+    got = duckdb.sql(
+        f"SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),"
+        f"       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')"
+        f" FROM read_parquet('{SF_DIR}/events.parquet')").fetchone()
+
+    def norm(x):  # spark omits trailing fractional zeros; duckdb pads to 6
+        return x.rstrip("0").rstrip(".") if "." in x else x
+    assert norm(spark_min) == norm(got[0])
+    assert norm(spark_max) == norm(got[1])
+
+
+def test_registry_prefix_spans_families():
+    """Any driver-evaluated prefix must cover the operator surface: the
+    first 50 registry entries must draw from ≥10 distinct query modules."""
+    from materialize_spark.queries import load_all
+    reg = load_all()
+    first50 = list(reg.values())[:50]
+    modules = {s.fn.__module__ for s in first50}
+    assert len(modules) >= 10, sorted(modules)
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "dedup_minhash_lsh",
+                                  "simsearch_cosine_topk", "ivm_retraction_agg"])
+def test_pipeline_and_ivm_in_first_50(name):
+    from materialize_spark.queries import load_all
+    first50 = list(load_all())[:50]
+    assert name in first50

@@ -163,3 +163,20 @@ def test_multimodal_frame_sampling_one_to_many(spark):
     # frame 0 of each media is the payload prefix
     f0 = frames.filter("frame_idx = 0").count()
     assert f0 == 20
+
+
+def test_cosine_pairs_size_guard_falls_back_to_lsh(spark):
+    """Above the collect budget, cosine_pairs_blocked must reroute to the
+    LSH-bucketed path (no driver collect) and yield a subset of all-pairs."""
+    from materialize_spark.pipeline.simsearch import (
+        cosine_pairs_blocked, cosine_pairs_lsh_bucketed)
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_pairs_blocked(emb, threshold=0.4).collect()}
+    forced = {(r.id_a, r.id_b)
+              for r in cosine_pairs_blocked(
+                  emb, threshold=0.4, max_collect_bytes=1).collect()}
+    direct = {(r.id_a, r.id_b)
+              for r in cosine_pairs_lsh_bucketed(emb, threshold=0.4).collect()}
+    assert forced == direct, "guard did not route to the bucketed path"
+    assert forced <= exact, "candidate pairs must be a subset of all-pairs"
