@@ -55,6 +55,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Arrow fast path for the pipeline Pandas UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Same perf defaults session.py bakes in at build time (see rationale
+    # there): dimension joins broadcast, post-shuffle partitions coalesce
+    # to size rather than parallelism.
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 

@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Files: 128 MiB splits is the right granularity for 100 TB parquet.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold 64 MiB: TPC-H-style dimensions (region, nation,
+        # supplier, part, customer) stay broadcastable far up the scale curve,
+        # keeping fact-table joins shuffle-free on the fact side. Default
+        # 10 MiB is tuned for small executors; at 100 TB the executors that
+        # can hold a shuffle can hold a 64 MiB broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # Coalesce post-shuffle partitions to the advisory size rather than
+        # keeping cluster-parallelism many tiny tasks: fewer, right-sized
+        # tasks win both locally and at scale (AQE still splits skew).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects; read as long and convert in the
         # catalog (micros truncation — matches DuckDB's read of the same file).
