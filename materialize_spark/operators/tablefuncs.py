@@ -70,3 +70,15 @@ def regexp_extract_rows(df: DataFrame, col: str | Column, pattern: str,
     """regexp_matches as a table function: one row per match of ``pattern``."""
     c = col if isinstance(col, Column) else F.col(col)
     return df.withColumn(alias, F.explode(F.regexp_extract_all(c, F.lit(pattern), 0)))
+
+
+def generate_subscripts(df: DataFrame, col: str | Column, *,
+                        alias: str = "subscript") -> DataFrame:
+    """generate_subscripts(array, 1): one row per valid 1-based index of
+    the array (reference TableFunc::GenerateSubscriptsArray,
+    src/expr/src/relation/func.rs). Spark analog: explode a 1..size
+    sequence — stays in codegen, no element data is moved, only indices."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return df.withColumn(
+        alias,
+        F.explode(F.when(F.size(c) > 0, F.sequence(F.lit(1), F.size(c)))))

@@ -50,8 +50,13 @@ _INSERT = re.compile(
 _CREATE_SOURCE = re.compile(
     r"^\s*CREATE\s+SOURCE\s+(\w+)\s+FROM\s+"
     r"(?:FILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?"
-    r"|LOAD\s+GENERATOR\s+(\w+))\s*$", re.I)
-_SUBSCRIBE = re.compile(r"^\s*SUBSCRIBE\s+(?:TO\s+)?(\w+)\s*$", re.I)
+    r"|LOAD\s+GENERATOR\s+(\w+)"
+    r"|(WEBHOOK)(?:\s+BODY\s+FORMAT\s+(\w+))?)\s*$", re.I)
+_SUBSCRIBE = re.compile(
+    r"^\s*SUBSCRIBE\s+(?:TO\s+)?(\w+)"
+    r"(?:\s+WITHIN\s+TIMESTAMP\s+ORDER\s+BY\s+(.+?)"
+    r"|\s+ENVELOPE\s+(UPSERT|DEBEZIUM)\s*\(\s*KEY\s*\(([^)]*)\)\s*\))?\s*$",
+    re.I | re.S)
 _REFRESH_MV = re.compile(
     r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.I)
 _EXPLAIN = re.compile(
@@ -69,13 +74,120 @@ _ALTER_RETAIN = re.compile(
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns)\b",
     re.I)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S)
+_WMR = re.compile(r"^\s*WITH\s+MUTUALLY\s+RECURSIVE\s+(.*)$", re.I | re.S)
+_CREATE_SINK = re.compile(
+    r"^\s*CREATE\s+SINK\s+(\w+)\s+FROM\s+(\w+)\s+INTO\s+FILE\s+'([^']+)'"
+    r"(?:\s+FORMAT\s+(\w+))?(?:\s+ENVELOPE\s+(\w+))?\s*$", re.I)
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ')' closing the '(' at ``s[i]``, skipping 'literals'."""
+    depth = 0
+    in_lit = False
+    for j in range(i, len(s)):
+        ch = s[j]
+        if in_lit:
+            if ch == "'":
+                in_lit = False
+            continue
+        if ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced parentheses in: {s[i:i+80]!r}")
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, outside string literals — so
+    ``decimal(12,2)`` column defs and function-call arguments survive."""
+    parts, buf = [], []
+    depth = 0
+    in_lit = False
+    for ch in s:
+        if in_lit:
+            buf.append(ch)
+            if ch == "'":
+                in_lit = False
+            continue
+        if ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _parse_wmr(tail: str):
+    """Parse the tail of WITH MUTUALLY RECURSIVE: a comma-separated list of
+    ``name (col type, ...) AS (query)`` bindings, then the final query.
+    Reference syntax: test/sqllogictest/with_mutually_recursive.slt."""
+    bindings: list[tuple[str, str, str]] = []
+    i = 0
+    while True:
+        m = re.match(r"\s*([A-Za-z_]\w*)\s*\(", tail[i:])
+        if not m:
+            raise ValueError(f"WMR: expected binding at: {tail[i:i+60]!r}")
+        name = m.group(1)
+        j = i + m.end() - 1
+        j2 = _match_paren(tail, j)
+        coldefs = tail[j + 1:j2]
+        m2 = re.match(r"\s*AS\s*\(", tail[j2 + 1:], re.I)
+        if not m2:
+            raise ValueError(f"WMR: expected AS ( after {name}")
+        k = j2 + 1 + m2.end() - 1
+        k2 = _match_paren(tail, k)
+        body = tail[k + 1:k2]
+        bindings.append((name, coldefs, body))
+        m3 = re.match(r"\s*,", tail[k2 + 1:])
+        if m3:
+            i = k2 + 1 + m3.end()
+        else:
+            return bindings, tail[k2 + 1:].strip()
+
+
+def _pg_coldefs(coldefs: str) -> str:
+    """Translate a PG column-def list to Spark DDL (paren-aware, so
+    ``decimal(12,2)`` next to other columns survives)."""
+    from materialize_spark.plans.dialect import _PG_TYPES
+    cols = []
+    for part in split_top_level(coldefs):
+        toks = part.split(None, 1)
+        name = toks[0]
+        typ = toks[1].strip() if len(toks) > 1 else "string"
+        typ = _PG_TYPES.get(typ.lower(), typ)
+        cols.append(f"{name} {typ}")
+    return ", ".join(cols)
 
 
 class MzSession:
-    """SQL surface bound to a SparkSession + Catalog."""
+    """SQL surface bound to a SparkSession + Catalog.
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    ``strict_errors=True`` (default) evaluates one-shot SELECTs with ANSI
+    semantics: division by zero, invalid casts, and numeric overflow raise
+    errors exactly like the reference's PG-compatible evaluator
+    (reference BinaryFunc::Div, src/expr/src/scalar/func.rs) instead of
+    returning NULL."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None,
+                 strict_errors: bool = True):
         self.spark = spark
+        self.strict_errors = strict_errors
         self.catalog = Catalog(spark, sf_dir) if sf_dir else Catalog(spark)
         self._matviews: dict[str, DataFrame] = {}
         self._matview_sql: dict[str, str] = {}
@@ -86,6 +198,33 @@ class MzSession:
         self._histories: dict[str, object] = {}
         self._retain: dict[str, int] = {}
         self._view_sql: dict[str, str] = {}
+        self._sinks: dict[str, dict] = {}
+        self._webhooks: dict[str, object] = {}
+
+    def webhook(self, name: str):
+        """The WebhookSource behind ``CREATE SOURCE name FROM WEBHOOK`` —
+        call ``.post(body, headers)`` to deliver events."""
+        return self._webhooks[name]
+
+    def _strict(self):
+        """ANSI-mode window for one-shot query analysis. Spark captures
+        EvalMode at analysis ( verified: a plan built under ANSI raises on
+        collect even after the conf is reset), so scoping the conf to the
+        spark.sql() call gives PG error semantics to exactly this query."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            if not self.strict_errors:
+                yield
+                return
+            old = self.spark.conf.get("spark.sql.ansi.enabled", "false")
+            self.spark.conf.set("spark.sql.ansi.enabled", "true")
+            try:
+                yield
+            finally:
+                self.spark.conf.set("spark.sql.ansi.enabled", old)
+        return ctx()
 
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
@@ -135,12 +274,18 @@ class MzSession:
             self.catalog.register_table(
                 name, self.spark.sql(rewrite(body)).localCheckpoint(eager=True))
             return None
-        m = _CREATE_TABLE.match(sql)
+        m = re.match(r"^\s*CREATE\s+TABLE\s+(\w+)\s*(\()", sql, re.I)
         if m and not _CREATE_TABLE_AS.match(sql):
-            name, ddl = m.groups()
-            self.catalog.register_table(
-                name, self.spark.createDataFrame([], ddl))
-            return None
+            # paren-aware body extraction: nested type parens like
+            # decimal(12,2) must not terminate the column list
+            name = m.group(1)
+            open_at = m.start(2)
+            close_at = _match_paren(sql, open_at)
+            if sql[close_at + 1:].strip() in ("", ";"):
+                ddl = _pg_coldefs(sql[open_at + 1:close_at])
+                self.catalog.register_table(
+                    name, self.spark.createDataFrame([], ddl))
+                return None
         m = _INSERT.match(sql)
         if m:
             name, tail = m.groups()
@@ -155,9 +300,80 @@ class MzSession:
             self.catalog.register_table(
                 name, target.unionByName(rows).localCheckpoint(eager=True))
             return None
+        m = _UPDATE.match(sql)
+        if m:
+            # UPDATE t SET c = e, ... [WHERE p] (reference UpdateStatement,
+            # src/sql-parser/src/ast/defs/statement.rs:526): rewrite every
+            # row in one SELECT — assignments see the OLD row values
+            # (simultaneous-assignment semantics), the result keeps the
+            # column's original type.
+            name, setlist, where = m.groups()
+            target = self.catalog._tables[name]
+            assigns: dict[str, str] = {}
+            for part in split_top_level(setlist):
+                col, expr = part.split("=", 1)
+                assigns[col.strip().lower()] = rewrite(expr.strip())
+            pred = (f"coalesce(({rewrite(where)}), false)" if where else "true")
+            types = {f.name.lower(): f.dataType.simpleString()
+                     for f in target.schema.fields}
+            exprs = []
+            for c in target.columns:
+                a = assigns.get(c.lower())
+                if a is None:
+                    exprs.append(c)
+                else:
+                    exprs.append(f"CASE WHEN {pred} THEN CAST(({a}) AS "
+                                 f"{types[c.lower()]}) ELSE {c} END AS {c}")
+            self.catalog.register_table(
+                name, target.selectExpr(*exprs).localCheckpoint(eager=True))
+            return None
+        m = _DELETE.match(sql)
+        if m:
+            # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
+            # keep the rows where p is not TRUE (NULL predicate keeps).
+            name, where = m.groups()
+            target = self.catalog._tables[name]
+            kept = (target.limit(0) if where is None else
+                    target.filter(f"NOT coalesce(({rewrite(where)}), false)"))
+            self.catalog.register_table(
+                name, kept.localCheckpoint(eager=True))
+            return None
+        m = _WMR.match(sql)
+        if m:
+            return self._execute_wmr(m.group(1))
+        m = _CREATE_SINK.match(sql)
+        if m:
+            # CREATE SINK s FROM obj INTO FILE '<path>' [FORMAT f]
+            # [ENVELOPE DEBEZIUM|UPSERT|NONE] — the reference's continuous
+            # Kafka/Iceberg sink surface (src/storage-types/src/sinks.rs:
+            # 137-140) mapped onto the file writers; the snapshot is written
+            # now, REFRESH-driven deltas via sinks.writers.
+            name, obj, path, fmt, envelope = m.groups()
+            from materialize_spark.sinks.writers import write_sink_snapshot
+            df = self.catalog.table(obj)
+            write_sink_snapshot(df, path, (fmt or "json").lower(),
+                                (envelope or "none").lower())
+            self._sinks[name] = {"from": obj, "path": path,
+                                 "format": (fmt or "json").lower(),
+                                 "envelope": (envelope or "none").lower()}
+            return None
         m = _CREATE_SOURCE.match(sql)
         if m:
-            name, path, fmt, gen = m.groups()
+            name, path, fmt, gen, is_webhook, body_fmt = m.groups()
+            if is_webhook:
+                # Webhook stand-in (reference statement.rs:52): a spool
+                # directory; posts via MzSession.webhook(name).post(...)
+                import tempfile
+
+                from materialize_spark.sources.webhook import WebhookSource
+                src = WebhookSource(
+                    self.spark, tempfile.mkdtemp(prefix=f"mz_webhook_{name}_"),
+                    body_format=body_fmt or "json")
+                src.on_post = lambda n=name, s=src: \
+                    self.catalog.register_table(n, s.df())
+                self._webhooks[name] = src
+                self.catalog.register_table(name, src.df())
+                return None
             if path:
                 fmt = (fmt or "parquet").lower()
                 df = self.spark.read.format(fmt).load(path) \
@@ -213,9 +429,13 @@ class MzSession:
             # Diff stream: first call emits the snapshot (+1 rows); later
             # calls emit changes since the previous SUBSCRIBE (reference
             # SUBSCRIBE = snapshot then updates as frontiers advance).
+            # Output modifiers (reference SubscribeOutput,
+            # src/sql/src/plan.rs:907-930): WITHIN TIMESTAMP ORDER BY for
+            # deterministic per-batch presentation, ENVELOPE UPSERT /
+            # DEBEZIUM (KEY (...)) for keyed change shapes.
             from pyspark.sql import functions as F
 
-            name = m.group(1)
+            name, order_by, env_kind, env_keys = m.groups()
             cur = self.catalog.table(name)
             prev = self._sub_state.get(name)
             if prev is None:
@@ -225,6 +445,18 @@ class MzSession:
                 rets = prev.exceptAll(cur).withColumn("diff", F.lit(-1))
                 delta = adds.unionByName(rets)
             self._sub_state[name] = cur.localCheckpoint(eager=True)
+            if env_kind:
+                from materialize_spark.streaming.subscribe import (
+                    envelope_debezium, envelope_upsert)
+                keys = [k.strip() for k in env_keys.split(",")]
+                fn = (envelope_upsert if env_kind.upper() == "UPSERT"
+                      else envelope_debezium)
+                return fn(delta, keys)
+            if order_by:
+                from materialize_spark.streaming.subscribe import (
+                    within_timestamp_order_by)
+                cols = [c.strip() for c in split_top_level(order_by)]
+                return within_timestamp_order_by(delta, *cols)
             return delta
         m = _COPY.match(sql)
         if m:
@@ -282,11 +514,53 @@ class MzSession:
             }[kind]
             return self.spark.createDataFrame([(n,) for n in names],
                                               "name string")
-        return self.spark.sql(rewrite(sql))
+        with self._strict():
+            return self.spark.sql(rewrite(sql))
 
     def sql(self, q: str) -> DataFrame:
         out = self.execute(q)
         assert out is not None, "statement returned no relation"
+        return out
+
+    # -- WITH MUTUALLY RECURSIVE --------------------------------------------
+    def _execute_wmr(self, tail: str) -> DataFrame:
+        """WITH MUTUALLY RECURSIVE b1 (cols) AS (q1), ... SELECT ...
+
+        Reference semantics (MIR LetRec, src/expr/src/relation.rs:154;
+        SQL surface test/sqllogictest/with_mutually_recursive.slt):
+        bindings start empty, each iteration re-evaluates every binding IN
+        ORDER — later bindings see earlier bindings' values from the same
+        iteration — until all bindings reach a fixpoint. Multiset
+        semantics: any DISTINCT/UNION the query wants must be written in
+        the binding bodies."""
+        from materialize_spark.operators.letrec import let_rec
+
+        bindings, final = _parse_wmr(tail)
+        shadowed = [b[0] for b in bindings
+                    if b[0] in self.catalog._tables or b[0] in
+                    self.catalog._views]
+        initial = {
+            name: self.spark.createDataFrame([], _pg_coldefs(coldefs))
+            for name, coldefs, _ in bindings
+        }
+
+        def step(cur):
+            env = dict(cur)
+            for name, _coldefs, body in bindings:
+                for k, v in env.items():
+                    v.createOrReplaceTempView(k)
+                env[name] = self.spark.sql(rewrite(body))
+            return env
+
+        result = let_rec(initial, step, distinct=False, max_iter=100)
+        for k, v in result.items():
+            v.createOrReplaceTempView(k)
+        out = self.spark.sql(rewrite(final))  # analyzed eagerly
+        # un-shadow: binding names must not leak over catalog objects
+        for name, _coldefs, _body in bindings:
+            self.spark.catalog.dropTempView(name)
+            if name in shadowed:
+                self.catalog.table(name).createOrReplaceTempView(name)
         return out
 
     # -- introspection relations (mz_catalog) -------------------------------

@@ -66,3 +66,100 @@ def sqlfront_matview_roundtrip(spark, sf_dir):
     out = sess.sql("SELECT n_name, n_cust FROM cust_by_nation")
     sess.execute("DROP VIEW cust_by_nation")
     return out
+
+
+@register(
+    "sqlfront_update_delete",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                  FROM orders WHERE o_orderkey <= 1000),
+    upd AS (SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN round(o_totalprice * 1.1, 2)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM base),
+    del AS (SELECT * FROM upd
+            WHERE NOT coalesce(o_totalprice > 200000, false))
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM del
+    """,
+    "sqlfront", "update-delete", "ddl",
+)
+def sqlfront_update_delete(spark, sf_dir):
+    """UPDATE / DELETE on a registered table (reference UpdateStatement /
+    DeleteStatement, src/sql-parser/src/ast/defs/statement.rs:526,558):
+    create, mutate twice, read back an aggregate of the final state."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("""CREATE TABLE ord_mut AS
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey <= 1000""")
+    sess.execute("""UPDATE ord_mut
+        SET o_totalprice = round(o_totalprice * 1.1, 2)
+        WHERE o_orderpriority = '1-URGENT'""")
+    sess.execute("DELETE FROM ord_mut WHERE o_totalprice > 200000")
+    out = sess.sql("""SELECT count(*)::int8 AS n,
+                             round(sum(o_totalprice), 2) AS total
+                      FROM ord_mut""")
+    sess.execute("DROP TABLE ord_mut")
+    return out
+
+
+@register(
+    "sqlfront_wmr",
+    """
+    WITH RECURSIVE reach(src, dst) AS (
+      SELECT n_nationkey AS src, n_nationkey // 2 AS dst
+      FROM nation WHERE n_nationkey > 0
+      UNION
+      SELECT r.src, e.dst
+      FROM reach r JOIN (SELECT n_nationkey AS src, n_nationkey // 2 AS dst
+                         FROM nation WHERE n_nationkey > 0) e
+        ON r.dst = e.src)
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM reach
+    """,
+    "sqlfront", "wmr", "letrec",
+)
+def sqlfront_wmr(spark, sf_dir):
+    """WITH MUTUALLY RECURSIVE via SQL text (reference
+    test/sqllogictest/with_mutually_recursive.slt; MIR LetRec
+    src/expr/src/relation.rs:154): transitive closure of the halving
+    chain over nation keys, hash-matched against DuckDB WITH RECURSIVE."""
+    sess = MzSession(spark, sf_dir)
+    return sess.sql("""
+        WITH MUTUALLY RECURSIVE
+          reach (src int8, dst int8) AS (
+            SELECT n_nationkey AS src, n_nationkey DIV 2 AS dst
+            FROM nation WHERE n_nationkey > 0
+            UNION
+            SELECT r.src AS src, e.dst AS dst
+            FROM reach r JOIN (SELECT n_nationkey AS src,
+                                      n_nationkey DIV 2 AS dst
+                               FROM nation WHERE n_nationkey > 0) e
+              ON r.dst = e.src)
+        SELECT src::int8 AS src, dst::int8 AS dst FROM reach
+    """)
+
+
+@register(
+    "sqlfront_create_sink",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+    """,
+    "sqlfront", "sink",
+)
+def sqlfront_create_sink(spark, sf_dir):
+    """CREATE SINK ... INTO FILE (the reference's continuous-sink surface,
+    src/storage-types/src/sinks.rs:137-140, mapped to file export):
+    write the snapshot through the SQL statement, read the files back."""
+    import tempfile
+
+    sess = MzSession(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mz_sink_")
+    sess.execute(
+        f"CREATE SINK nation_sink FROM nation INTO FILE '{d}/nation' "
+        f"FORMAT JSON")
+    back = spark.read.json(f"{d}/nation")
+    return back.selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey",
+                           "n_name")

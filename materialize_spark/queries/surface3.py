@@ -426,3 +426,25 @@ def record_struct_ops(spark, sf_dir):
             F.round(F.col("rec.price") * 2, 2).alias("price_doubled"),
         )
     )
+
+
+
+@register(
+    "tablefunc_generate_subscripts",
+    """
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(x AS BIGINT) AS subscript
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(x)
+    WHERE vec_id <= 3
+    """,
+    "tablefunc", "generate_subscripts",
+)
+def tablefunc_generate_subscripts(spark, sf_dir):
+    """generate_subscripts over the embedding arrays (reference
+    TableFunc::GenerateSubscriptsArray): emits each valid 1-based index."""
+    from materialize_spark.operators.tablefuncs import generate_subscripts
+
+    t = T(spark, sf_dir)
+    out = generate_subscripts(
+        t.embeddings.filter(F.col("vec_id") <= 3), "embedding")
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("subscript").cast("long").alias("subscript"))

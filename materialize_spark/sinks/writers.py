@@ -30,6 +30,30 @@ def copy_to(df: DataFrame, path: str, fmt: str = "parquet", *,
     w.format(fmt).save(path)
 
 
+def write_sink_snapshot(df: DataFrame, path: str, fmt: str = "json",
+                        envelope: str = "none") -> None:
+    """CREATE SINK initial snapshot (reference sinks emit a snapshot, then
+    deltas — src/storage-types/src/sinks.rs:137-140).
+
+    Envelopes shape the emitted records like the reference's Kafka sink:
+    - none: bare rows
+    - upsert: (key-less here) rows as upsert values with a null-means-delete
+      contract — snapshot rows are all values
+    - debezium: {"before": null, "after": row} change records
+    """
+    if envelope == "debezium":
+        out = df.select(
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("after"),
+        )
+    elif envelope == "upsert":
+        out = df.select(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"))
+    else:
+        out = df
+    copy_to(out, path, fmt)
+
+
 def stream_to_files(df: DataFrame, path: str, checkpoint: str,
                     fmt: str = "parquet", *, partition_by: list[str] | None = None,
                     trigger_available_now: bool = True):

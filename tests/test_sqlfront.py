@@ -206,3 +206,144 @@ def test_show_create_and_show_columns(spark):
     cols = s.sql("SHOW COLUMNS FROM region").collect()
     assert [(r.name, r.type) for r in cols][:2] == [
         ("r_regionkey", "int"), ("r_name", "string")]
+
+
+def test_create_table_nested_parens(spark):
+    """decimal(12,2) next to other columns must not break the column list."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE nt (id int8, bal decimal(12,2), note text)")
+    sess.execute("INSERT INTO nt VALUES (1, 3.50, 'a')")
+    row = sess.sql("SELECT * FROM nt").first()
+    assert (row.id, float(row.bal), row.note) == (1, 3.5, "a")
+    schema = {f.name: f.dataType.simpleString()
+              for f in sess.catalog.table("nt").schema.fields}
+    assert schema["bal"] == "decimal(12,2)"
+    sess.execute("DROP TABLE nt")
+
+
+def test_update_and_delete(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE ud (k int8, v int8)")
+    sess.execute("INSERT INTO ud VALUES (1, 10), (2, 20), (3, NULL)")
+    # assignments see OLD values; NULL predicate rows untouched
+    sess.execute("UPDATE ud SET v = v + k WHERE v >= 10")
+    got = {r.k: r.v for r in sess.sql("SELECT * FROM ud").collect()}
+    assert got == {1: 11, 2: 22, 3: None}
+    # DELETE with NULL predicate keeps the row (PG semantics)
+    sess.execute("DELETE FROM ud WHERE v > 20")
+    assert {r.k for r in sess.sql("SELECT * FROM ud").collect()} == {1, 3}
+    sess.execute("DELETE FROM ud")
+    assert sess.sql("SELECT count(*) AS n FROM ud").first().n == 0
+    sess.execute("DROP TABLE ud")
+
+
+def test_strict_division_by_zero(spark):
+    """Reference PG semantics: SELECT 1/0 errors (BinaryFunc::Div,
+    src/expr/src/scalar/func.rs) instead of returning NULL."""
+    import pytest as _pytest
+    sess = MzSession(spark, SF_DIR)
+    with _pytest.raises(Exception, match="(?i)divi.*zero|DIVIDE_BY_ZERO"):
+        sess.sql("SELECT 1/0 AS x").collect()
+    # invalid cast also raises under strict mode
+    with _pytest.raises(Exception):
+        sess.sql("SELECT CAST('abc' AS INT) AS x").collect()
+    # lenient opt-out preserves NULL-returning behavior
+    lenient = MzSession(spark, SF_DIR, strict_errors=False)
+    assert lenient.sql("SELECT 1/0 AS x").first().x is None
+
+
+def test_wmr_sql_counter(spark):
+    sess = MzSession(spark, SF_DIR)
+    out = sess.sql("""
+        WITH MUTUALLY RECURSIVE
+          cnt (n int8) AS (SELECT 1 AS n
+                           UNION SELECT n + 1 AS n FROM cnt WHERE n < 4)
+        SELECT * FROM cnt
+    """)
+    assert sorted(r.n for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_wmr_sql_mutual_bindings(spark):
+    """Two mutually referencing bindings reach the joint fixpoint."""
+    sess = MzSession(spark, SF_DIR)
+    out = sess.sql("""
+        WITH MUTUALLY RECURSIVE
+          evens (n int8) AS (SELECT 0 AS n
+                             UNION SELECT n + 1 AS n FROM odds WHERE n < 6),
+          odds (n int8) AS (SELECT n + 1 AS n FROM evens WHERE n < 6)
+        SELECT 'e' AS side, n FROM evens
+        UNION ALL SELECT 'o' AS side, n FROM odds
+    """)
+    rows = {(r.side, r.n) for r in out.collect()}
+    assert {n for s, n in rows if s == "e"} == {0, 2, 4, 6}
+    assert {n for s, n in rows if s == "o"} == {1, 3, 5}
+
+
+def test_wmr_binding_does_not_shadow_tables(spark):
+    """A WMR binding named like a base table must not clobber the view."""
+    sess = MzSession(spark, SF_DIR)
+    before = spark.table("nation").count()
+    sess.sql("""
+        WITH MUTUALLY RECURSIVE
+          nation (n int8) AS (SELECT 1 AS n)
+        SELECT * FROM nation
+    """).collect()
+    assert spark.table("nation").count() == before
+
+
+def test_create_sink_file_roundtrip(spark, tmp_path):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE SINK s1 FROM region INTO FILE '{tmp_path}/r' "
+                 f"FORMAT JSON ENVELOPE DEBEZIUM")
+    back = spark.read.json(f"{tmp_path}/r")
+    assert back.count() == sess.catalog.table("region").count()
+    assert "after" in back.columns
+    assert sess._sinks["s1"]["envelope"] == "debezium"
+
+
+def test_webhook_source_roundtrip(spark):
+    """CREATE SOURCE ... FROM WEBHOOK: posts become rows of the relation
+    (reference src/adapter/src/webhook.rs, statement.rs:52)."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE SOURCE hooks FROM WEBHOOK BODY FORMAT JSON")
+    assert sess.sql("SELECT count(*) AS n FROM hooks").first().n == 0
+    sess.webhook("hooks").post({"event": "signup", "user": 7},
+                               headers={"x-app": "t1"})
+    sess.webhook("hooks").post({"event": "login", "user": 7})
+    out = sess.sql("""
+        SELECT get_json_object(body, '$.event') AS event,
+               headers['x-app'] AS app
+        FROM hooks
+    """).collect()
+    got = {(r.event, r.app) for r in out}
+    assert got == {("signup", "t1"), ("login", None)}
+
+
+def test_subscribe_envelope_sql(spark):
+    """SUBSCRIBE ... ENVELOPE UPSERT/DEBEZIUM (KEY (...)) +
+    WITHIN TIMESTAMP ORDER BY (reference src/sql/src/plan.rs:907-930)."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE sub_t (k int8, v int8)")
+    sess.execute("INSERT INTO sub_t VALUES (1, 10), (2, 20)")
+    snap = sess.sql("SUBSCRIBE sub_t ENVELOPE UPSERT (KEY (k))").collect()
+    assert {(r.k, r.v) for r in snap} == {(1, 10), (2, 20)}
+    # delete key 2, update key 1
+    sess.execute("DELETE FROM sub_t WHERE k = 2")
+    sess.execute("UPDATE sub_t SET v = 11 WHERE k = 1")
+    upd = sess.sql("SUBSCRIBE sub_t ENVELOPE UPSERT (KEY (k))").collect()
+    got = {(r.k, r.v) for r in upd}
+    assert got == {(1, 11), (2, None)}  # tombstone for the deleted key
+    # debezium shape on a fresh subscription state
+    sess2 = MzSession(spark, SF_DIR)
+    sess2.execute("CREATE TABLE sub_d (k int8, v int8)")
+    sess2.execute("INSERT INTO sub_d VALUES (1, 10)")
+    sess2.sql("SUBSCRIBE sub_d ENVELOPE DEBEZIUM (KEY (k))").collect()
+    sess2.execute("UPDATE sub_d SET v = 99")
+    dbz = sess2.sql("SUBSCRIBE sub_d ENVELOPE DEBEZIUM (KEY (k))").collect()
+    assert len(dbz) == 1
+    assert dbz[0].before.v == 10 and dbz[0].after.v == 99
+    # ordered diff presentation
+    sess.execute("INSERT INTO sub_t VALUES (0, 1), (9, 2)")
+    ordered = sess.sql("SUBSCRIBE sub_t WITHIN TIMESTAMP ORDER BY k").collect()
+    ks = [r.k for r in ordered]
+    assert ks == sorted(ks)
