@@ -126,11 +126,14 @@ def window_hopping(spark, sf_dir):
 def temporal_filter(spark, sf_dir):
     t = T(spark, sf_dir)
     from materialize_spark.streaming.temporal import temporal_filter as tf
-    logical_now = t.events.agg(F.max("ts")).collect()[0][0]
+    # logical now = max(ts), kept lazy: broadcast the 1-row aggregate and
+    # cross-join it in, instead of a driver-side collect() that serializes
+    # an extra job into the query path (same shape tpch_q22 uses).
+    now = F.broadcast(t.events.agg(F.max("ts").alias("__now")))
     return (
-        tf(t.events, valid_from=F.col("ts"),
+        tf(t.events.crossJoin(now), valid_from=F.col("ts"),
            valid_until=F.col("ts") + F.expr("INTERVAL 3 DAYS"),
-           now=F.lit(logical_now))
+           now=F.col("__now"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("live_events"),
              F.round(F.sum("value"), 4).alias("live_value"))

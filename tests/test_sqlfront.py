@@ -347,3 +347,24 @@ def test_subscribe_envelope_sql(spark):
     ordered = sess.sql("SUBSCRIBE sub_t WITHIN TIMESTAMP ORDER BY k").collect()
     ks = [r.k for r in ordered]
     assert ks == sorted(ks)
+
+
+def test_ddl_with_nested_subquery(spark):
+    """DDL whose body contains nested parenthesized subqueries."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("""CREATE VIEW v_sub AS
+        SELECT n_name, (SELECT count(*) FROM customer
+                        WHERE c_nationkey = n_nationkey) AS n_cust
+        FROM nation
+        WHERE n_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = (SELECT min(n_regionkey)
+                                                   FROM nation))""")
+    out = sess.sql("SELECT count(*) AS n FROM v_sub").first()
+    assert out.n > 0
+    sess.execute("DROP VIEW v_sub")
+    sess.execute("""CREATE TABLE t_sub AS
+        SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_totalprice > (SELECT avg(o_totalprice)
+                                             FROM orders)) x""")
+    assert sess.sql("SELECT count(*) AS n FROM t_sub").first().n > 0
+    sess.execute("DROP TABLE t_sub")
