@@ -191,3 +191,54 @@ def jaccard_pairs(df: DataFrame, tokens: Column, *, threshold: float = 0.6,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def dedup_components(pairs: DataFrame, ids: DataFrame, *,
+                     id_col: str = "doc_id", src: str = "id_a",
+                     dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the step that
+    turns pairwise candidates (LSH / Jaccard / cosine output) into dedup
+    *clusters* with one canonical representative each.
+
+    Algorithm: min-label propagation — every node starts labeled with its
+    own id; each round every node takes the min label among itself and its
+    neighbors; fixpoint = per-component min id (the reference's fixpoint
+    machinery is MIR LetRec, src/expr/src/relation.rs:154 — this is that
+    loop over Spark jobs, operators/letrec.let_rec).
+
+    Scale: one join + one groupBy per round, converging in
+    O(graph diameter) rounds — near-dup graphs are overwhelmingly tiny
+    cliques, so 2-3 rounds in practice; every round is a keyed shuffle,
+    no driver-side data.
+    """
+    from materialize_spark.operators.letrec import let_rec
+
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b")))
+        .distinct()
+    )
+    labels0 = ids.select(F.col(id_col).alias("node"),
+                         F.col(id_col).alias("label"))
+
+    def step(cur):
+        lbl = cur["labels"]
+        neighbor_min = (
+            edges.join(lbl.withColumnRenamed("node", "b")
+                          .withColumnRenamed("label", "nlabel"), on="b")
+            .groupBy("a").agg(F.min("nlabel").alias("nlabel"))
+            .withColumnRenamed("a", "node")
+        )
+        nxt = (
+            lbl.join(neighbor_min, on="node", how="left")
+            .select("node", F.least(
+                F.col("label"),
+                F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"))
+        )
+        return {"labels": nxt}
+
+    out = let_rec({"labels": labels0}, step, distinct=False,
+                  max_iter=max_iter)
+    return out["labels"].select(F.col("node").alias(id_col),
+                                F.col("label").alias("cluster_id"))

@@ -359,3 +359,138 @@ def multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes", "checksum",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
+
+
+_CC_EDGES = rf"""
+    toks AS ({_DD_TOKENS}),
+    hashed AS (
+      SELECT doc_id, md5(array_to_string(tokens, ' ')) AS h FROM toks),
+    canon AS (
+      SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS c FROM hashed),
+    e1 AS (SELECT doc_id AS a, c AS b FROM canon WHERE doc_id <> c),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tokens) - 1),
+                            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+      FROM toks WHERE len(tokens) >= 3),
+    sigs AS (
+      SELECT doc_id,
+{_SIG_EXPRS}
+      FROM sh),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    e2 AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT a, b FROM e1 UNION SELECT b, a FROM e1
+      UNION SELECT a, b FROM e2 UNION SELECT b, a FROM e2)
+"""
+
+
+@register(
+    "dedup_components",
+    rf"""
+    WITH RECURSIVE
+{_CC_EDGES},
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    "pipeline", "dedup", "components", "letrec",
+)
+def dedup_components_query(spark, sf_dir):
+    """Near-dup clustering: exact-dup edges ∪ MinHash-LSH candidate edges,
+    collapsed into connected components by iterated min-label propagation
+    (pipeline.dedup.dedup_components over operators/letrec) — pairwise
+    candidates become dedup clusters with one canonical id each. The
+    DuckDB oracle recomputes the same graph and closes it with a
+    recursive CTE."""
+    from pyspark.sql import Window
+
+    from materialize_spark.pipeline.dedup import dedup_components
+
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    hashed = docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.col("tokens"))).alias("h"))
+    canon = hashed.withColumn(
+        "c", F.min("doc_id").over(Window.partitionBy("h")))
+    e1 = (canon.filter(F.col("doc_id") != F.col("c"))
+          .select(F.col("doc_id").alias("id_a"), F.col("c").alias("id_b")))
+    sigs = minhash_signatures(docs, F.col("tokens"), num_hashes=8, k=3)
+    e2 = (lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+          .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")))
+    comp = dedup_components(e1.unionByName(e2), t.documents)
+    return comp.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+@register(
+    "pipeline_pack_sequences",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    base AS (
+      SELECT doc_id, len(tokens) AS ntokens,
+             (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 16
+               AS shard
+      FROM toks),
+    packed AS (
+      SELECT doc_id, shard, ntokens,
+             sum(ntokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS cum_tokens
+      FROM base)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(ntokens AS BIGINT) AS ntokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - ntokens) / 2048.0) AS BIGINT) AS first_window,
+           CAST(floor((cum_tokens - 1) / 2048.0) AS BIGINT) AS last_window
+    FROM packed
+    """,
+    "pipeline", "packing",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Concatenative sequence packing into 2048-token context windows,
+    shard-parallel (pipeline.packing.pack_sequences)."""
+    from materialize_spark.pipeline.packing import pack_sequences
+
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    out = pack_sequences(docs, F.size("tokens"), capacity=2048)
+    return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
+
+
+def _stratified_oracle() -> str:
+    from materialize_spark.pipeline.packing import _rate_threshold
+    en, rest = _rate_threshold(0.5), _rate_threshold(0.1)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < CASE WHEN lang = 'en' THEN '{en}' ELSE '{rest}' END)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY lang
+    """
+
+
+@register("pipeline_sample_stratified", _stratified_oracle(),
+          "pipeline", "sampling")
+def pipeline_sample_stratified(spark, sf_dir):
+    """Language-stratified deterministic sampling (md5-hash buckets,
+    pipeline.packing.sample_stratified): 50% of English docs, 10% of every
+    other language — the corpus-mixing step of a training-data pipeline,
+    reproducible across engines and runs."""
+    from materialize_spark.pipeline.packing import sample_stratified
+
+    t = T(spark, sf_dir)
+    out = sample_stratified(t.documents, "lang", {"en": 0.5},
+                            default_rate=0.1)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

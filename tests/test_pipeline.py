@@ -180,3 +180,43 @@ def test_cosine_pairs_size_guard_falls_back_to_lsh(spark):
               for r in cosine_pairs_lsh_bucketed(emb, threshold=0.4).collect()}
     assert forced == direct, "guard did not route to the bucketed path"
     assert forced <= exact, "candidate pairs must be a subset of all-pairs"
+
+
+def test_dedup_components_chain(spark):
+    """A chain a-b, b-c plus an isolated node collapses to 2 clusters."""
+    from materialize_spark.pipeline.dedup import dedup_components
+    ids = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 1), (3, 2)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_components(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_pack_sequences_semantics(spark):
+    """Documents span window boundaries; windows are per-shard contiguous."""
+    from materialize_spark.pipeline.packing import pack_sequences
+    df = spark.createDataFrame([(i, "x") for i in range(1, 9)],
+                               "doc_id long, text string")
+    out = pack_sequences(df, F.lit(600), capacity=1000,
+                         num_shards=1).collect()
+    by_id = {r.doc_id: r for r in sorted(out, key=lambda r: r.doc_id)}
+    # doc1: tokens 1-600 → window 0; doc2: 601-1200 → spans windows 0-1
+    assert (by_id[1].first_window, by_id[1].last_window) == (0, 0)
+    assert (by_id[2].first_window, by_id[2].last_window) == (0, 1)
+    # cumulative sums are per-shard contiguous
+    assert by_id[8].cum_tokens == 8 * 600
+
+
+def test_sample_fraction_deterministic(spark):
+    from materialize_spark.pipeline.packing import sample_fraction
+    docs = load_tables(spark, SF_DIR)["documents"]
+    a = {r.doc_id for r in sample_fraction(docs, 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in sample_fraction(docs, 0.3).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # salt gives an independent (different) split at the same rate
+    c = {r.doc_id for r in sample_fraction(docs, 0.3, salt="v2")
+         .select("doc_id").collect()}
+    assert c != a
+    # sampling nests: a lower rate is a subset of a higher rate
+    d = {r.doc_id for r in sample_fraction(docs, 0.1).select("doc_id").collect()}
+    assert d <= a
