@@ -50,7 +50,7 @@ _INSERT = re.compile(
 _CREATE_SOURCE = re.compile(
     r"^\s*CREATE\s+SOURCE\s+(\w+)\s+FROM\s+"
     r"(?:FILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?"
-    r"|LOAD\s+GENERATOR\s+(\w+)"
+    r"|LOAD\s+GENERATOR\s+(\w+)(?:\s*\(\s*SCALE\s+FACTOR\s+([\d.]+)\s*\))?"
     r"|(WEBHOOK)(?:\s+BODY\s+FORMAT\s+(\w+))?)\s*$", re.I)
 _SUBSCRIBE = re.compile(
     r"^\s*SUBSCRIBE\s+(?:TO\s+)?(\w+)"
@@ -359,7 +359,7 @@ class MzSession:
             return None
         m = _CREATE_SOURCE.match(sql)
         if m:
-            name, path, fmt, gen, is_webhook, body_fmt = m.groups()
+            name, path, fmt, gen, gen_sf, is_webhook, body_fmt = m.groups()
             if is_webhook:
                 # Webhook stand-in (reference statement.rs:52): a spool
                 # directory; posts via MzSession.webhook(name).post(...)
@@ -380,7 +380,14 @@ class MzSession:
                     if fmt != "csv" else self.spark.read.csv(path, header=True)
             else:
                 from materialize_spark.sources.loadgen import load_generator
-                df = load_generator(self.spark, gen.lower())
+                kwargs = {"scale_factor": float(gen_sf)} if gen_sf else {}
+                df = load_generator(self.spark, gen.lower(), **kwargs)
+                if isinstance(df, dict):
+                    # multi-output generator (TPCH): one subsource per
+                    # table, named <source>_<table> like the reference
+                    for sub, sdf in df.items():
+                        self.catalog.register_table(f"{name}_{sub}", sdf)
+                    return None
             self.catalog.register_table(name, df)
             return None
         m = _REFRESH_MV.match(sql)

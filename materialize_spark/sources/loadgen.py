@@ -113,6 +113,88 @@ def keyvalue_source(spark: SparkSession, *, rows_per_second: int = 1000,
     )
 
 
+def _hash01(col) -> F.Column:
+    """Deterministic uniform(0,1) from any column: md5 prefix / 16^8 —
+    portable, repeatable, and computed scan-side (no shuffle)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("double") / float(16 ** 8)
+    )
+
+
+def tpch_source(spark: SparkSession, *, scale_factor: float = 0.001,
+                num_partitions: int | None = None) -> dict[str, DataFrame]:
+    """TPCH load generator (reference LoadGenerator::Tpch with SCALE
+    FACTOR, src/storage-types/src/sources/load_generator.rs:157-167):
+    deterministic synthetic tables at the reference's row counts
+    (lineitem ≈ 6M·sf is emitted via its orders, orders 1.5M·sf,
+    customer 150k·sf, part 200k·sf, supplier 10k·sf, nation 25, region 5).
+
+    Built on ``spark.range`` — generation is partition-parallel and
+    column-deterministic (md5-derived), so the same SF yields identical
+    data on any cluster size; at large SF this generates 100 TB without
+    any driver involvement.
+    """
+    def rng(n: int) -> DataFrame:
+        df = spark.range(n)
+        return df.repartition(num_partitions) if num_partitions else df
+
+    i = F.col("id")
+    region = rng(5).select(
+        i.alias("r_regionkey"),
+        F.concat(F.lit("REGION#"), i.cast("string")).alias("r_name"))
+    nation = rng(25).select(
+        i.alias("n_nationkey"),
+        F.concat(F.lit("NATION#"), i.cast("string")).alias("n_name"),
+        (i % 5).alias("n_regionkey"))
+    n_cust = max(1, int(150_000 * scale_factor))
+    customer = rng(n_cust).select(
+        i.alias("c_custkey"),
+        F.concat(F.lit("Customer#"), i.cast("string")).alias("c_name"),
+        (i % 25).alias("c_nationkey"),
+        F.round(_hash01(i) * 10_000 - 1_000, 2).alias("c_acctbal"))
+    n_supp = max(1, int(10_000 * scale_factor))
+    supplier = rng(n_supp).select(
+        i.alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), i.cast("string")).alias("s_name"),
+        (i % 25).alias("s_nationkey"))
+    n_part = max(1, int(200_000 * scale_factor))
+    part = rng(n_part).select(
+        i.alias("p_partkey"),
+        F.concat(F.lit("Part#"), i.cast("string")).alias("p_name"),
+        F.round(_hash01(i + 7) * 2_000, 2).alias("p_retailprice"))
+    n_ord = max(1, int(1_500_000 * scale_factor))
+    orders = rng(n_ord).select(
+        i.alias("o_orderkey"),
+        (F.floor(_hash01(i + 13) * n_cust)).alias("o_custkey"),
+        F.round(_hash01(i + 17) * 400_000, 2).alias("o_totalprice"),
+        F.date_add(F.lit("1992-01-01").cast("date"),
+                   (F.floor(_hash01(i + 19) * 2400)).cast("int"))
+        .alias("o_orderdate"))
+    lineitem = (
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.explode(F.sequence(
+                F.lit(1),
+                (F.floor(_hash01(F.col("o_orderkey") + 23) * 7) + 1)
+                .cast("int"))).alias("l_linenumber"))
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.floor(_hash01(F.col("l_orderkey") * 8 +
+                             F.col("l_linenumber")) * n_part))
+            .alias("l_partkey"),
+            F.round(_hash01(F.col("l_orderkey") * 16 +
+                            F.col("l_linenumber")) * 50 + 1, 0)
+            .alias("l_quantity"),
+            F.round(_hash01(F.col("l_orderkey") * 32 +
+                            F.col("l_linenumber")) * 100_000, 2)
+            .alias("l_extendedprice"))
+    )
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": lineitem}
+
+
 def load_generator(spark: SparkSession, name: str, **kwargs) -> DataFrame:
     """Dispatch `CREATE SOURCE ... FROM LOAD GENERATOR <name>` (reference
     generator enum: src/storage-types/src/sources/load_generator.rs)."""
@@ -124,6 +206,7 @@ def load_generator(spark: SparkSession, name: str, **kwargs) -> DataFrame:
         "marketing": marketing_source,
         "key_value": keyvalue_source,
         "keyvalue": keyvalue_source,
+        "tpch": tpch_source,
     }
     try:
         return gens[name.lower()](spark, **kwargs)

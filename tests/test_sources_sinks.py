@@ -208,3 +208,32 @@ def test_avro_roundtrip_or_skip(spark, tmp_path):
     back = spark.read.format("avro").load(path)
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)
+
+
+def test_tpch_load_generator(spark):
+    """LOAD GENERATOR TPCH (reference LoadGenerator::Tpch with SCALE
+    FACTOR): deterministic tables at the reference's row-count ratios,
+    exposed as per-table subsources."""
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.loadgen import tpch_source
+    t = tpch_source(spark, scale_factor=0.001)
+    assert t["region"].count() == 5 and t["nation"].count() == 25
+    assert t["customer"].count() == 150 and t["orders"].count() == 1500
+    # deterministic: same SF → identical data
+    a = t["orders"].agg({"o_totalprice": "sum"}).first()[0]
+    b = tpch_source(spark, scale_factor=0.001)["orders"] \
+        .agg({"o_totalprice": "sum"}).first()[0]
+    assert a == b
+    # lineitem fans out 1-7 lines per order
+    n_li = t["lineitem"].count()
+    assert 1500 <= n_li <= 1500 * 7
+    # SQL surface registers subsources
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE SOURCE gen FROM LOAD GENERATOR TPCH "
+                 "(SCALE FACTOR 0.001)")
+    assert sess.sql("SELECT count(*) AS n FROM gen_nation").first().n == 25
+    joined = sess.sql("""
+        SELECT count(*) AS n FROM gen_orders o
+        JOIN gen_customer c ON o.o_custkey = c.c_custkey
+    """).first()
+    assert joined.n == 1500
