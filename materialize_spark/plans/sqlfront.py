@@ -65,6 +65,13 @@ _EXPLAIN = re.compile(
 _COPY = re.compile(
     r"^\s*COPY\s+(?:\((.*)\)|(\w+))\s+TO\s+'([^']+)'"
     r"(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$", re.I | re.S)
+_COPY_FROM = re.compile(
+    r"^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'"
+    r"(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$", re.I)
+_SHOW_EXT = re.compile(r"^\s*SHOW\s+(SOURCES|SINKS)\s*$", re.I)
+_EXPLAIN_TS = re.compile(
+    r"^\s*EXPLAIN\s+TIMESTAMP\s+FOR\s+(?:SELECT\s+\*\s+FROM\s+)?(\w+)\s*$",
+    re.I)
 _AS_OF = re.compile(
     r"^\s*(?:SELECT\s+\*\s+FROM\s+|SUBSCRIBE\s+(?:TO\s+)?)(\w+)"
     r"\s+AS\s+OF\s+(\d+)\s*$", re.I)
@@ -376,8 +383,29 @@ class MzSession:
                 return None
             if path:
                 fmt = (fmt or "parquet").lower()
-                df = self.spark.read.format(fmt).load(path) \
-                    if fmt != "csv" else self.spark.read.csv(path, header=True)
+                if fmt == "debezium":
+                    # FORMAT DEBEZIUM: JSON change events {before, after,
+                    # op} decoded into explicit diffs and consolidated to
+                    # the current collection (reference SourceEnvelope
+                    # Debezium, src/storage-types/src/sources/envelope.rs)
+                    from pyspark.sql import functions as F
+
+                    from materialize_spark.sources.envelopes import (
+                        debezium_decode)
+                    probe = self.spark.read.json(path)
+                    row_ddl = ", ".join(
+                        f"{f.name} {f.dataType.simpleString()}"
+                        for f in probe.schema["after"].dataType.fields)
+                    updates = debezium_decode(
+                        self.spark.read.text(path), "value", row_ddl)
+                    data_cols = [c for c in updates.columns if c != "diff"]
+                    df = (updates.groupBy(*data_cols)
+                          .agg(F.sum("diff").alias("__net"))
+                          .filter(F.col("__net") > 0).drop("__net"))
+                elif fmt == "csv":
+                    df = self.spark.read.csv(path, header=True)
+                else:
+                    df = self.spark.read.format(fmt).load(path)
             else:
                 from materialize_spark.sources.loadgen import load_generator
                 kwargs = {"scale_factor": float(gen_sf)} if gen_sf else {}
@@ -474,6 +502,51 @@ class MzSession:
                   else self.catalog.table(name))
             copy_to(df, path, (fmt or "parquet").lower())
             return None
+        m = _COPY_FROM.match(sql)
+        if m:
+            # COPY t FROM '<path>' (reference CopyStatement, direction
+            # FROM): bulk-append files into a table, schema-aligned to the
+            # target (the reference's COPY FROM stdin analog for an engine
+            # whose inputs are files).
+            name, path, fmt = m.groups()
+            target = self.catalog._tables[name]
+            fmt = (fmt or "parquet").lower()
+            reader = self.spark.read.schema(target.schema)
+            rows = (reader.option("header", "true").csv(path)
+                    if fmt == "csv" else
+                    reader.json(path) if fmt == "json" else
+                    self.spark.read.parquet(path))
+            self.catalog.register_table(
+                name,
+                target.unionByName(rows.select(*target.columns))
+                .localCheckpoint(eager=True))
+            return None
+        m = _SHOW_EXT.match(sql)
+        if m:
+            # SHOW SOURCES / SHOW SINKS over the session's connector state
+            kind = m.group(1).lower()
+            if kind == "sinks":
+                rows = [(n, s["from"], s["format"], s["envelope"])
+                        for n, s in sorted(self._sinks.items())]
+                return self.spark.createDataFrame(
+                    rows or [], "name string, source string, format string,"
+                               " envelope string")
+            rows = [(n, "webhook") for n in sorted(self._webhooks)]
+            return self.spark.createDataFrame(
+                rows or [], "name string, type string")
+        m = _EXPLAIN_TS.match(sql)
+        if m:
+            # EXPLAIN TIMESTAMP (reference ExplainTimestampStatement):
+            # the object's read frontiers — since (compaction) and upper
+            # (write) — from its retained history when present, else the
+            # always-readable [0, now) window of a static table.
+            name = m.group(1)
+            hist = self._histories.get(name)
+            since = hist.since if hist is not None else 0
+            upper = hist.upper if hist is not None else 0
+            return self.spark.createDataFrame(
+                [(name, since, upper, max(since, upper - 1))],
+                "name string, since long, upper long, query_timestamp long")
         m = _EXPLAIN.match(sql)
         if m:
             # Reference EXPLAIN stages (doc/developer/101-query-compilation

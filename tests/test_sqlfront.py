@@ -368,3 +368,55 @@ def test_ddl_with_nested_subquery(spark):
                                              FROM orders)) x""")
     assert sess.sql("SELECT count(*) AS n FROM t_sub").first().n > 0
     sess.execute("DROP TABLE t_sub")
+
+
+def test_copy_from_bulk_append(spark, tmp_path):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE cf (k int8, v string)")
+    sess.execute("INSERT INTO cf VALUES (1, 'a')")
+    import json
+    with open(tmp_path / "in.json", "w") as f:
+        f.write(json.dumps({"k": 2, "v": "b"}) + "\n")
+        f.write(json.dumps({"k": 3, "v": "c"}) + "\n")
+    sess.execute(f"COPY cf FROM '{tmp_path}/in.json' WITH (FORMAT JSON)")
+    got = {(r.k, r.v) for r in sess.sql("SELECT * FROM cf").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    sess.execute("DROP TABLE cf")
+
+
+def test_show_sources_sinks_and_explain_timestamp(spark, tmp_path):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE SOURCE wh1 FROM WEBHOOK")
+    sess.execute(f"CREATE SINK sk1 FROM region INTO FILE '{tmp_path}/s' "
+                 f"FORMAT JSON")
+    assert [r.name for r in sess.sql("SHOW SOURCES").collect()] == ["wh1"]
+    sinks = sess.sql("SHOW SINKS").collect()
+    assert [(r.name, r.source, r.envelope) for r in sinks] == \
+        [("sk1", "region", "none")]
+    # EXPLAIN TIMESTAMP on an MV reports its history frontiers
+    sess.execute("CREATE MATERIALIZED VIEW mv_ts AS SELECT 1 AS x")
+    sess.execute("REFRESH MATERIALIZED VIEW mv_ts")
+    row = sess.sql("EXPLAIN TIMESTAMP FOR mv_ts").first()
+    assert row.since == 0 and row.upper == 2 and row.query_timestamp == 1
+    sess.execute("DROP VIEW mv_ts")
+
+
+def test_create_source_format_debezium(spark, tmp_path):
+    """FORMAT DEBEZIUM file source: change events consolidate to current
+    state (insert k1, insert+update k2, insert+delete k3)."""
+    import json
+    events = [
+        {"before": None, "after": {"k": 1, "v": "a"}, "op": "c"},
+        {"before": None, "after": {"k": 2, "v": "b"}, "op": "c"},
+        {"before": {"k": 2, "v": "b"}, "after": {"k": 2, "v": "B"}, "op": "u"},
+        {"before": None, "after": {"k": 3, "v": "c"}, "op": "c"},
+        {"before": {"k": 3, "v": "c"}, "after": None, "op": "d"},
+    ]
+    with open(tmp_path / "cdc.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE SOURCE cdc FROM FILE '{tmp_path}/cdc.json' "
+                 f"FORMAT DEBEZIUM")
+    got = {(r.k, r.v) for r in sess.sql("SELECT * FROM cdc").collect()}
+    assert got == {(1, "a"), (2, "B")}
