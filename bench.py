@@ -59,12 +59,35 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # Secondary metrics mirroring the reference's own benchmark protocol
+    # (BASELINE.md: cluster-spec-sheet measures arrangement_formation =
+    # one-time dataflow build, and peek_serving = reading the maintained
+    # result). For an IVM engine the steady state is maintained views:
+    # mv_create pays plan+execute once, mv_peek is what every subsequent
+    # read costs. Reported alongside — never mixed into — the ad-hoc
+    # headline number above.
+    mv_create: dict[str, float] = {}
+    mv_peek: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        snap = registry[name].fn(spark, sf_dir).localCheckpoint(eager=True)
+        mv_create[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            snap.collect()
+            best = min(best, time.perf_counter() - t0)
+        mv_peek[name] = round(best, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wallclock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "mv_create_sec": mv_create,
+        "mv_peek_sec": mv_peek,
+        "mv_peek_total": round(sum(mv_peek.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
