@@ -22,8 +22,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return _REGISTRY["tpch_q1"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _with_confs(fn: Callable[[SparkSession, str], DataFrame]):
+    """Apply the engine's required runtime confs (parquet nanos handling,
+    UTC, AQE) to the caller's session before the query builds any plan —
+    the driver contract hands us an arbitrary SparkSession."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from materialize_spark.catalog import ensure_session_confs
+        ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: _with_confs(spec.fn) for name, spec in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

