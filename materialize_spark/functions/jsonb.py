@@ -55,3 +55,12 @@ def jsonb_array_elements(js) -> Column:
 def jsonb_object_keys(js) -> Column:
     """Array of object keys — explode for the table-function form."""
     return F.json_object_keys(_col(js))
+
+
+def jsonb_strip_nulls(js, value_type: str = "int") -> Column:
+    """jsonb_strip_nulls for flat objects: drop null-valued fields
+    (reference UnaryFunc::JsonbStripNulls). Parses the object as a typed
+    map, filters null entries JVM-side, re-serializes."""
+    return F.to_json(F.map_filter(
+        F.from_json(_col(js), f"map<string,{value_type}>"),
+        lambda _k, v: v.isNotNull()))

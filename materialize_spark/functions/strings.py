@@ -43,3 +43,22 @@ def translate_(s, from_chars: str, to_chars: str) -> Column:
 
 def to_hex(n) -> Column:
     return F.lower(F.hex(_col(n)))
+
+
+def quote_ident(ident) -> Column:
+    """PG quote_ident: double-quote unless a safe lowercase identifier;
+    embedded double quotes doubled (reference pg_catalog quote_ident)."""
+    c = ident if isinstance(ident, Column) else F.col(ident)
+    safe = c.rlike("^[a-z_][a-z0-9_]*$")
+    return F.when(safe, c).otherwise(
+        F.concat(F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"')))
+
+
+def parse_ident(ident) -> Column:
+    """PG parse_ident: split a qualified identifier on dots, strip
+    double-quotes from quoted segments."""
+    c = ident if isinstance(ident, Column) else F.col(ident)
+    return F.transform(
+        F.split(c, r"\."),
+        lambda s: F.regexp_replace(F.regexp_replace(s, '^"|"$', ""),
+                                   '""', '"'))

@@ -198,3 +198,35 @@ def agg_jsonb_agg(spark, sf_dir):
     t = T(spark, sf_dir)
     return t.nation.groupBy("n_regionkey").agg(
         jsonb_agg("n_name", order_by="n_name").alias("nations_json"))
+
+
+@register(
+    "scalar_pg_compat2",
+    """
+    SELECT c_custkey,
+           list_transform(range(1, 4), x -> c_nationkey) AS filled,
+           string_split(c_name, '#') AS name_parts,
+           CASE WHEN regexp_matches(c_mktsegment, '^[a-z_][a-z0-9_]*$')
+                THEN c_mktsegment
+                ELSE '"' || replace(c_mktsegment, '"', '""') || '"'
+           END AS quoted,
+           CAST(len(string_split(c_name, '#')) AS BIGINT) AS ident_parts
+    FROM customer WHERE c_custkey <= 50
+    """,
+    "scalar", "pg-compat",
+)
+def scalar_pg_compat2(spark, sf_dir):
+    """array_fill / string_to_array / quote_ident / parse_ident
+    (reference VariadicFunc::ArrayFill, pg_catalog string_to_array /
+    quote_ident / parse_ident, src/sql/src/func.rs:1851)."""
+    from materialize_spark.functions.strings import quote_ident
+
+    t = T(spark, sf_dir)
+    return t.customer.filter(F.col("c_custkey") <= 50).select(
+        "c_custkey",
+        F.array_repeat(F.col("c_nationkey"), 3).alias("filled"),
+        F.split(F.col("c_name"), "#").alias("name_parts"),
+        quote_ident("c_mktsegment").alias("quoted"),
+        F.size(F.split(F.col("c_name"), "#")).cast("long")
+        .alias("ident_parts"),
+    )

@@ -113,3 +113,15 @@ def test_checked_cast_long_errors_on_garbage(spark):
     bad = spark.createDataFrame([("4x2",)], "s string")
     with pytest.raises(Exception, match="invalid input"):
         bad.select(checked_cast_long("s").alias("v")).collect()
+
+
+def test_jsonb_strip_nulls_and_parse_ident(spark):
+    from materialize_spark.functions.jsonb import jsonb_strip_nulls
+    from materialize_spark.functions.strings import parse_ident
+    df = spark.createDataFrame(
+        [('{"a":1,"b":null,"c":2}', 'public."My Table".col')],
+        "j string, i string")
+    r = df.select(jsonb_strip_nulls("j").alias("s"),
+                  parse_ident("i").alias("p")).first()
+    assert r.s == '{"a":1,"c":2}'
+    assert r.p == ["public", "My Table", "col"]

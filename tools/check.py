@@ -46,9 +46,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from materialize_spark.session import get_spark
 
-    spark = get_spark("check")
+    # VANILLA session, deliberately: the driver harness builds its own
+    # SparkSession with no engine confs, so the local gate must exercise
+    # exactly that contract — any conf a query needs has to be applied at
+    # runtime by the entry points themselves (catalog.ensure_session_confs).
+    import os
+
+    from pyspark.sql import SparkSession
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (SparkSession.builder.appName("check")
+             .master(f"local[{cpus}]")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
