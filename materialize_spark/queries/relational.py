@@ -361,3 +361,31 @@ def agg_rollup(spark, sf_dir):
         .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
                 F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"), "n")
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+    "join", "skew", "salting",
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-aware salted join (operators/skew.salted_join): identical
+    output to the plain equi-join — the oracle IS the plain join — with
+    the hot keys spread over 8 salted partitions. The explicit-salting
+    path AQE can't always rewrite (streaming micro-batches, pre-stats
+    plans); here exercised end-to-end against the unsalted oracle."""
+    from materialize_spark.operators.skew import salted_join
+
+    t = T(spark, sf_dir)
+    ev = t.events.select(F.col("user_id").alias("c_custkey"),
+                         "event_type", "value")
+    joined = salted_join(ev, t.customer.select("c_custkey"),
+                         on=["c_custkey"], salt=8)
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
