@@ -72,6 +72,20 @@ _SHOW_EXT = re.compile(r"^\s*SHOW\s+(SOURCES|SINKS)\s*$", re.I)
 _EXPLAIN_TS = re.compile(
     r"^\s*EXPLAIN\s+TIMESTAMP\s+FOR\s+(?:SELECT\s+\*\s+FROM\s+)?(\w+)\s*$",
     re.I)
+_PREPARE = re.compile(r"^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
+_EXECUTE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s*\((.*)\))?\s*$", re.I | re.S)
+_DEALLOCATE = re.compile(r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.I)
+_DECLARE = re.compile(r"^\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*)$",
+                      re.I | re.S)
+_FETCH = re.compile(r"^\s*FETCH\s+(?:(\d+|ALL)\s+)?(?:FROM\s+)?(\w+)\s*$",
+                    re.I)
+_CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
+_TXN_BEGIN = re.compile(r"^\s*(?:BEGIN|START\s+TRANSACTION)\s*$", re.I)
+_TXN_COMMIT = re.compile(r"^\s*COMMIT\s*$", re.I)
+_TXN_ROLLBACK = re.compile(r"^\s*ROLLBACK\s*$", re.I)
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+(?:TABLE|VIEW|SOURCE|INDEX|MATERIALIZED\s+VIEW)\s+(\w+)"
+    r"\s+RENAME\s+TO\s+(\w+)\s*$", re.I)
 _AS_OF = re.compile(
     r"^\s*(?:SELECT\s+\*\s+FROM\s+|SUBSCRIBE\s+(?:TO\s+)?)(\w+)"
     r"\s+AS\s+OF\s+(\d+)\s*$", re.I)
@@ -207,6 +221,9 @@ class MzSession:
         self._view_sql: dict[str, str] = {}
         self._sinks: dict[str, dict] = {}
         self._webhooks: dict[str, object] = {}
+        self._prepared: dict[str, str] = {}
+        self._cursors: dict[str, dict] = {}
+        self._txn_snapshot: dict | None = None
 
     def webhook(self, name: str):
         """The WebhookSource behind ``CREATE SOURCE name FROM WEBHOOK`` —
@@ -547,6 +564,94 @@ class MzSession:
             return self.spark.createDataFrame(
                 [(name, since, upper, max(since, upper - 1))],
                 "name string, since long, upper long, query_timestamp long")
+        m = _PREPARE.match(sql)
+        if m:
+            # PREPARE name AS <stmt with $1..$n> (reference
+            # PrepareStatement; the pgwire extended protocol surface)
+            self._prepared[m.group(1)] = m.group(2)
+            return None
+        m = _EXECUTE.match(sql)
+        if m and m.group(1) in self._prepared:
+            name, args = m.groups()
+            text = self._prepared[name]
+            if args:
+                vals = split_top_level(args)
+                for i in reversed(range(len(vals))):  # $10 before $1
+                    text = text.replace(f"${i + 1}", vals[i].strip())
+            return self.execute(text)
+        m = _DEALLOCATE.match(sql)
+        if m:
+            if m.group(1).upper() == "ALL":
+                self._prepared.clear()
+            else:
+                self._prepared.pop(m.group(1), None)
+            return None
+        m = _DECLARE.match(sql)
+        if m:
+            # DECLARE c CURSOR FOR q / FETCH [n] c / CLOSE c (reference
+            # Declare/Fetch/Close statements): the result set materializes
+            # on DECLARE; FETCH walks it in chunks.
+            name, body = m.groups()
+            df = self.sql(body)
+            self._cursors[name] = {"rows": df.collect(),
+                                   "schema": df.schema, "pos": 0}
+            return None
+        m = _FETCH.match(sql)
+        if m and m.group(2) in self._cursors:
+            count, name = m.groups()
+            cur = self._cursors[name]
+            n = (len(cur["rows"]) if count is None or count.upper() == "ALL"
+                 else int(count))
+            chunk = cur["rows"][cur["pos"]:cur["pos"] + n]
+            cur["pos"] += len(chunk)
+            return self.spark.createDataFrame(chunk, cur["schema"])
+        m = _CLOSE.match(sql)
+        if m and m.group(1) in self._cursors:
+            del self._cursors[m.group(1)]
+            return None
+        if _TXN_BEGIN.match(sql):
+            # Transactions over an immutable-DataFrame catalog are snapshot
+            # + restore: BEGIN snapshots the loaded table handles; ROLLBACK
+            # reinstates them (DataFrames are immutable, so the snapshot is
+            # O(names), not O(data)). Mirrors the reference's
+            # all-or-nothing write transactions.
+            if self._txn_snapshot is not None:
+                raise ValueError("already inside a transaction")
+            loaded = getattr(self.catalog._tables, "_loaded",
+                             self.catalog._tables)
+            self._txn_snapshot = dict(loaded)
+            return None
+        if _TXN_COMMIT.match(sql):
+            if self._txn_snapshot is None:
+                raise ValueError("no transaction in progress")
+            self._txn_snapshot = None
+            return None
+        if _TXN_ROLLBACK.match(sql):
+            if self._txn_snapshot is None:
+                raise ValueError("no transaction in progress")
+            loaded = getattr(self.catalog._tables, "_loaded",
+                             self.catalog._tables)
+            for name in set(loaded) - set(self._txn_snapshot):
+                self.spark.catalog.dropTempView(name)
+                del loaded[name]
+            for name, df in self._txn_snapshot.items():
+                loaded[name] = df
+                df.createOrReplaceTempView(name)
+            self._txn_snapshot = None
+            return None
+        m = _ALTER_RENAME.match(sql)
+        if m:
+            old, new = m.groups()
+            for store in (self.catalog._views, self.catalog._indexes,
+                          getattr(self.catalog._tables, "_loaded",
+                                  self.catalog._tables)):
+                if old in store:
+                    df = store.pop(old)
+                    store[new] = df
+                    self.spark.catalog.dropTempView(old)
+                    df.createOrReplaceTempView(new)
+                    return None
+            raise KeyError(f"unknown object {old!r}")
         m = _EXPLAIN.match(sql)
         if m:
             # Reference EXPLAIN stages (doc/developer/101-query-compilation

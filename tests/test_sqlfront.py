@@ -420,3 +420,58 @@ def test_create_source_format_debezium(spark, tmp_path):
                  f"FORMAT DEBEZIUM")
     got = {(r.k, r.v) for r in sess.sql("SELECT * FROM cdc").collect()}
     assert got == {(1, "a"), (2, "B")}
+
+
+def test_prepare_execute_deallocate(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("PREPARE topn AS SELECT n_nationkey, n_name FROM nation "
+                 "WHERE n_regionkey = $1 ORDER BY n_nationkey LIMIT $2")
+    rows = sess.sql("EXECUTE topn(0, 3)").collect()
+    assert len(rows) == 3 and all(r.n_nationkey is not None for r in rows)
+    one = sess.sql("EXECUTE topn(1, 1)").collect()
+    assert len(one) == 1
+    sess.execute("DEALLOCATE topn")
+    assert "topn" not in sess._prepared
+
+
+def test_declare_fetch_close(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("DECLARE c1 CURSOR FOR SELECT n_nationkey FROM nation "
+                 "ORDER BY n_nationkey")
+    first = [r.n_nationkey for r in sess.sql("FETCH 10 FROM c1").collect()]
+    assert first == list(range(10))
+    nxt = [r.n_nationkey for r in sess.sql("FETCH 5 c1").collect()]
+    assert nxt == list(range(10, 15))
+    rest = sess.sql("FETCH ALL c1").collect()
+    assert len(rest) == 10  # 25 nations total
+    assert sess.sql("FETCH 5 c1").count() == 0  # drained
+    sess.execute("CLOSE c1")
+    assert "c1" not in sess._cursors
+
+
+def test_transaction_commit_and_rollback(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE txn_t (k int8)")
+    sess.execute("INSERT INTO txn_t VALUES (1)")
+    sess.execute("BEGIN")
+    sess.execute("INSERT INTO txn_t VALUES (2)")
+    sess.execute("UPDATE txn_t SET k = k * 10 WHERE k = 1")
+    assert {r.k for r in sess.sql("SELECT * FROM txn_t").collect()} == {10, 2}
+    sess.execute("ROLLBACK")
+    assert {r.k for r in sess.sql("SELECT * FROM txn_t").collect()} == {1}
+    sess.execute("BEGIN")
+    sess.execute("DELETE FROM txn_t")
+    sess.execute("COMMIT")
+    assert sess.sql("SELECT count(*) AS n FROM txn_t").first().n == 0
+    sess.execute("DROP TABLE txn_t")
+
+
+def test_alter_rename(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE rn_old (k int8)")
+    sess.execute("INSERT INTO rn_old VALUES (7)")
+    sess.execute("ALTER TABLE rn_old RENAME TO rn_new")
+    assert sess.sql("SELECT k FROM rn_new").first().k == 7
+    sess.execute("CREATE VIEW rv_old AS SELECT 1 AS x")
+    sess.execute("ALTER VIEW rv_old RENAME TO rv_new")
+    assert sess.sql("SELECT x FROM rv_new").first().x == 1
