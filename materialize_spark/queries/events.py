@@ -216,3 +216,57 @@ def upsert_envelope_batch(spark, sf_dir):
     return latest.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.avg("value"), 6).alias("avg_latest_value"))
+
+
+@register(
+    "window_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WHERE user_id <= 50),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "window", "session",
+)
+def window_session(spark, sf_dir):
+    """Sessionization: per-user event sessions split at 30-minute
+    inactivity gaps — the session-window aggregate Structured Streaming
+    runs with F.session_window; expressed batch-side as gaps-and-islands
+    (lag + running sum) so the DuckDB oracle can verify it exactly.
+    Scale: two window passes over the same (user_id, ts) sort order —
+    one shuffle, the second window reuses the partitioning."""
+    from pyspark.sql import Window
+
+    t = T(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ordered = ev.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                  > 1800), 1).otherwise(0))
+    sessions = ordered.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sessions.groupBy(F.col("user_id").cast("long").alias("user_id"),
+                         F.col("session_id").cast("long").alias("session_id"))
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
