@@ -293,3 +293,68 @@ def ivf_search(
         .select("qid", F.col(id_col),
                 F.round("__cos", 4).alias("cos"))
     )
+
+
+def ivf_write_index(df: DataFrame, path: str, *, k_clusters: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the inverted file: vectors written as parquet PARTITIONED BY
+    their nearest-centroid id, centroids alongside. This is the on-disk
+    layout that makes ANN affordable at 100 TB: a probe reads only
+    nprobe/k_clusters of the directories (Spark partition pruning — the
+    probe's plan shows PartitionFilters on `cluster`), so index build is
+    one broadcast-join pass and search I/O is proportional to nprobe, not
+    corpus size. Same centroid scheme as ivf_search (deterministic
+    smallest-id seeds, quantized integer cosine)."""
+    from pyspark.sql import Window
+
+    q = df.select(F.col(id_col), quantized(F.col(vec_col)).alias("qv"))
+    cen = (q.orderBy(id_col).limit(k_clusters)
+           .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "cid")
+    assign = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("__sim", F.round(int_cosine(F.col("qv"), F.col("cv")), 9))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "qv", F.col("cid").alias("cluster"))
+    )
+    assign.write.mode("overwrite").partitionBy("cluster") \
+        .parquet(f"{path}/vectors")
+    cen.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_index(spark, path: str, *, nprobe: int = 4, n_queries: int = 3,
+                    k: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Probe a persisted IVF index: route each query to its nprobe nearest
+    centroids (the K-row centroid table is driver-resident metadata, as in
+    any ANN system), then scan ONLY those cluster partitions and rank by
+    exact quantized cosine. Emits (qid, vec_id, cos) identical to the
+    in-memory ivf_search for the same parameters."""
+    from pyspark.sql import Window
+
+    cen = spark.read.parquet(f"{path}/centroids")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    queries = (vectors.select(F.col(id_col), F.col("qv"))
+               .orderBy(id_col).limit(n_queries)
+               .select(F.col(id_col).alias("qid"), F.col("qv").alias("query")))
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("__sim"), "cid")
+    probes = (
+        queries.crossJoin(F.broadcast(cen))
+        .withColumn("__sim", F.round(int_cosine(F.col("query"), F.col("cv")), 9))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "query", "cid")
+    )
+    # literal cluster list → the vectors scan prunes to probed partitions
+    probed = {int(r.cid) for r in probes.select("cid").distinct().collect()}
+    candidates = vectors.filter(F.col("cluster").isin(*probed))
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("__cos"), id_col)
+    return (
+        probes.join(candidates,
+                    probes["cid"] == candidates["cluster"])
+        .withColumn("__cos", F.round(int_cosine(F.col("query"), F.col("qv")), 9))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= k)
+        .select("qid", F.col(id_col), F.round("__cos", 4).alias("cos"))
+    )

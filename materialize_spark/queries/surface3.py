@@ -448,3 +448,25 @@ def tablefunc_generate_subscripts(spark, sf_dir):
         t.embeddings.filter(F.col("vec_id") <= 3), "embedding")
     return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                       F.col("subscript").cast("long").alias("subscript"))
+
+
+@register(
+    "simsearch_ivf_disk",
+    _ivf_oracle(),
+    "pipeline", "simsearch", "ivf", "index",
+)
+def simsearch_ivf_disk(spark, sf_dir):
+    """Persisted IVF index: vectors written as parquet PARTITIONED BY
+    nearest-centroid, then probed with a literal cluster filter so the
+    scan reads only nprobe/k_clusters of the directories (partition
+    pruning — the 100 TB ANN I/O shape). Must produce results identical
+    to the in-memory ivf_search, so it shares that query's oracle."""
+    import tempfile
+
+    from materialize_spark.pipeline.simsearch import (
+        ivf_probe_index, ivf_write_index)
+
+    t = T(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mz_ivf_")
+    ivf_write_index(t.embeddings, path, k_clusters=16)
+    return ivf_probe_index(spark, path, nprobe=4, n_queries=3, k=10)

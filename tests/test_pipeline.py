@@ -220,3 +220,30 @@ def test_sample_fraction_deterministic(spark):
     # sampling nests: a lower rate is a subset of a higher rate
     d = {r.doc_id for r in sample_fraction(docs, 0.1).select("doc_id").collect()}
     assert d <= a
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF probe must read only the probed cluster
+    partitions: the scan carries partition filters on `cluster`, and the
+    files feeding the plan come from the probed directories only."""
+    from materialize_spark.pipeline.simsearch import (
+        ivf_probe_index, ivf_write_index)
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, k_clusters=8)
+    out = ivf_probe_index(spark, path, nprobe=2, n_queries=2, k=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    vectors = spark.read.parquet(f"{path}/vectors")
+    n_clusters = vectors.select("cluster").distinct().count()
+    pruned = vectors.filter(vectors.cluster.isin(0, 1))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the cluster predicate must be a partition filter on the scan (pruned
+    # at file listing), not a post-scan data filter
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert n_clusters > 2
+    # and the pruned read returns exactly those clusters' rows
+    per_cluster = {r.cluster: r.n for r in vectors.groupBy("cluster")
+                   .count().withColumnRenamed("count", "n").collect()}
+    assert pruned.count() == per_cluster.get(0, 0) + per_cluster.get(1, 0)
