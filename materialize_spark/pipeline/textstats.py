@@ -59,3 +59,28 @@ def fingerprint(text: Column) -> Column:
     token set (the classic 'fingerprint' clustering key)."""
     toks = tokens_col(text)
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def chunk_tokens(tokens, *, chunk_size: int = 64,
+                 overlap: int = 16):
+    """Overlapping token-window chunks (the RAG / context-window chunking
+    step): windows start every ``chunk_size - overlap`` tokens, each
+    ``chunk_size`` long (the final, shorter tail window included). Pure
+    generator expressions — explode of slices, no Python, no shuffle;
+    chunk_id is the 0-based window index."""
+    from pyspark.sql import functions as F
+
+    t = tokens if not isinstance(tokens, str) else F.col(tokens)
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    n = F.size(t)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(chunk_size) + F.lit(stride), F.lit(1)),
+        F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / stride).cast("long").alias("chunk_id"),
+            F.array_join(F.slice(t, s, chunk_size), " ").alias("chunk")))

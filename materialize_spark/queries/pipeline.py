@@ -494,3 +494,35 @@ def pipeline_sample_stratified(spark, sf_dir):
     out = sample_stratified(t.documents, "lang", {"en": 0.5},
                             default_rate=0.1)
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "text_chunking",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    starts AS (
+      SELECT doc_id, tokens,
+             unnest(range(1, greatest(len(tokens) - 64 + 48, 1) + 1, 48)) AS s
+      FROM toks)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(tokens, s, s + 63), ' ') AS chunk
+    FROM starts
+    """,
+    "pipeline", "chunking",
+)
+def text_chunking(spark, sf_dir):
+    """RAG-style overlapping chunking: 64-token windows, 16-token overlap
+    (stride 48), one row per (doc, chunk) — pipeline.textstats.chunk_tokens
+    as a pure generator expression (no shuffle; chunking at 100 TB is a
+    map-only pass)."""
+    from materialize_spark.pipeline.textstats import chunk_tokens
+
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    out = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(chunk_tokens(F.col("tokens"))).alias("c"))
+    return out.select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                      F.col("c.chunk").alias("chunk"))

@@ -173,3 +173,22 @@ def test_refresh_every_processing_time_trigger(spark, tmp_path):
     finally:
         q.stop()
     assert {r.k: r.t for r in mv.result().collect()} == {"a": 11, "b": 2}
+
+
+def test_incremental_dedup_across_batches(spark):
+    """Batch 2's duplicates of batch 1 are filtered; per-batch cost is a
+    join against compacted state, never a rescan of history."""
+    from materialize_spark.streaming.dedup_stream import IncrementalDeduper
+    d = IncrementalDeduper(spark)
+    b1 = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a dog ran"), (3, "THE CAT sat!")],
+        "doc_id long, text string")
+    out1 = {r.doc_id for r in d.on_batch(b1).collect()}
+    assert out1 == {1, 2}  # 3 normalizes to 1's content
+    b2 = spark.createDataFrame(
+        [(4, "the cat sat"), (5, "brand new text"), (6, "brand new text")],
+        "doc_id long, text string")
+    out2 = {r.doc_id for r in d.on_batch(b2).collect()}
+    assert out2 == {5}  # 4 duplicates batch-1 content; 6 duplicates 5
+    dups = {(r.canonical_id, r.n_seen) for r in d.duplicates().collect()}
+    assert dups == {(1, 3), (5, 2)}
