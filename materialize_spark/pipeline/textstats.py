@@ -84,3 +84,46 @@ def chunk_tokens(tokens, *, chunk_size: int = 64,
         lambda s: F.struct(
             ((s - 1) / stride).cast("long").alias("chunk_id"),
             F.array_join(F.slice(t, s, chunk_size), " ").alias("chunk")))
+
+
+# PII patterns shared verbatim with the DuckDB oracle — simple ERE subset
+# so both regex engines agree (no lookarounds, no shorthand classes that
+# differ across engines).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]"),
+    ("ssn", r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / SSN-shaped spans with
+    ``<KIND>`` placeholders — the scrubbing pass every training corpus
+    runs. Pure regexp_replace chain: scan-side, order fixed (ssn before
+    phone so the digit-run pattern can't eat an SSN first)."""
+    out = text
+    for kind, pat in (PII_PATTERNS[0], PII_PATTERNS[2], PII_PATTERNS[1]):
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def repetition_ratio(tokens: Column, *, n: int = 3) -> Column:
+    """Gopher-style repetition signal: the share of all token n-grams
+    taken by the single most frequent n-gram (1.0 = the document is one
+    phrase repeated). Computed as expressions over the shingle array —
+    aggregate(map accumulation) stays JVM-side, no shuffle."""
+    from materialize_spark.pipeline.dedup import shingles_col
+
+    sh = shingles_col(tokens, k=n)
+    counts = F.aggregate(
+        sh,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, s: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != s),
+            F.create_map(s, F.coalesce(
+                F.element_at(acc, s), F.lit(0)) + 1)),
+    )
+    top = F.array_max(F.map_values(counts))
+    return (F.when(F.size(sh) > 0,
+                   top.cast("double") / F.size(sh))
+            .otherwise(F.lit(0.0)))

@@ -526,3 +526,80 @@ def text_chunking(spark, sf_dir):
         F.explode(chunk_tokens(F.col("tokens"))).alias("c"))
     return out.select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
                       F.col("c.chunk").alias("chunk"))
+
+
+@register(
+    "text_redact_pii",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@example.com or +1 (555) 123-4567 '
+               || 'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents WHERE doc_id <= 50)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                 '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]',
+               '<SSN>', 'g'),
+             '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+    "pipeline", "textstats", "pii",
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails, phones, SSN shapes -> placeholders) over a
+    synthesized contact line per document — the redaction pass of a
+    training-data pipeline, shared regex subset with the oracle
+    (pipeline.textstats.redact_pii)."""
+    from materialize_spark.pipeline.textstats import redact_pii
+
+    t = T(spark, sf_dir)
+    synth = t.documents.filter(F.col("doc_id") <= 50).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1 (555) 123-4567 ssn 123-45-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+        .alias("text"))
+    return synth.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+
+
+@register(
+    "text_repetition",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tokens) - 1),
+                            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+      FROM toks),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS g, len(shingles) AS total
+      FROM sh WHERE len(shingles) > 0),
+    cnt AS (
+      SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+      FROM ex GROUP BY doc_id, g)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           coalesce(round(CAST((SELECT max(c) FROM cnt WHERE cnt.doc_id = t.doc_id) AS DOUBLE)
+                          / (SELECT any_value(total) FROM cnt WHERE cnt.doc_id = t.doc_id), 6),
+                    0.0) AS rep_ratio
+    FROM toks t
+    """,
+    "pipeline", "textstats", "quality", "gopher",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: share of all trigram shingles taken
+    by the most frequent one (pipeline.textstats.repetition_ratio) —
+    filters boilerplate/spam in training corpora. Scan-side map
+    accumulation, no shuffle."""
+    from materialize_spark.pipeline.textstats import repetition_ratio
+
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(repetition_ratio(F.col("tokens")), 6).alias("rep_ratio"))

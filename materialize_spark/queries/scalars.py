@@ -259,3 +259,42 @@ def scalar_casts(spark, sf_dir):
         (F.lit("123").cast("long") + k).alias("parsed_plus"),
         F.round(F.lit("3.5").cast("double") * k, 2).alias("parsed_dbl"),
     )
+
+
+@register(
+    "scalar_casts2",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
+           CAST(CAST(o_orderkey AS SMALLINT) AS BIGINT) AS key_small,
+           CAST(CAST(o_orderkey % 2 AS BOOLEAN) AS VARCHAR) AS odd_bool,
+           CAST(try_cast(o_orderpriority AS INTEGER) AS BIGINT) AS bad_int,
+           strftime(CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                         AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_roundtrip
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    "scalar", "casts",
+)
+def scalar_casts2(spark, sf_dir):
+    """Cast-matrix depth (reference UnaryFunc cast families,
+    src/expr/src/scalar/func/unary.rs): timestamp->date->string,
+    double->decimal->string, int narrowing round-trip, int->bool->string,
+    failing string->int via try_cast (NULL, both engines), and a
+    string<->timestamp round-trip."""
+    t = T(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+        .alias("date_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .alias("price_dec"),
+        F.col("o_orderkey").cast("smallint").cast("long").alias("key_small"),
+        (F.col("o_orderkey") % 2).cast("boolean").cast("string")
+        .alias("odd_bool"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999999"))
+        .cast("long").alias("bad_int"),
+        F.date_format(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            .cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("ts_roundtrip"),
+    )
