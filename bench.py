@@ -35,25 +35,25 @@ def main() -> None:
     # Optional extension benchmarks (pipeline ops) run when present.
     names += [n for n in registry if n.startswith("bench_") and n not in names]
 
-    # JVM/codegen warmup outside the timed region: three full passes at the
+    # JVM/codegen warmup outside the timed region: four full passes at the
     # target scale factor so whole-stage codegen is compiled and HotSpot has
     # tiered the Catalyst + execution hot paths before timing starts. (C2
     # compilation of the optimizer itself is the largest cold-start term —
     # single-pass warmup leaves 20-30% JIT noise in the timings.)
-    for _ in range(3):
+    for _ in range(4):
         for name in names:
             try:
                 registry[name].fn(spark, sf_dir).collect()
             except Exception:
                 pass
 
-    # Best-of-3 with a FRESH plan per iteration: every timed run pays full
+    # Best-of-4 with a FRESH plan per iteration: every timed run pays full
     # parse/analyze/optimize/execute, i.e. honest ad-hoc query latency —
     # no plan or result reuse inside the timed region.
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

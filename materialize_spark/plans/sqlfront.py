@@ -37,7 +37,15 @@ _CREATE_INDEX = re.compile(
     re.I)
 _DROP = re.compile(r"^\s*DROP\s+(VIEW|INDEX|TABLE|SOURCE)\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
                    re.I)
-_SHOW = re.compile(r"^\s*SHOW\s+(VIEWS|TABLES|INDEXES)\s*$", re.I)
+_SHOW = re.compile(
+    r"^\s*SHOW\s+(VIEWS|TABLES|INDEXES)(?:\s+LIKE\s+'([^']*)')?\s*$", re.I)
+_CREATE_SECRET = re.compile(
+    r"^\s*CREATE\s+SECRET\s+(\w+)\s+AS\s+'([^']*)'\s*$", re.I)
+_CREATE_CONN = re.compile(
+    r"^\s*CREATE\s+CONNECTION\s+(\w+)\s+TO\s+(\w+)\s*\((.*)\)\s*$",
+    re.I | re.S)
+_SHOW_SEC_CONN = re.compile(r"^\s*SHOW\s+(SECRETS|CONNECTIONS)\s*$", re.I)
+_TABLE_STMT = re.compile(r"^\s*TABLE\s+(\w+)\s*$", re.I)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+(?:MATERIALIZED\s+)?VIEW\s+(\w+)\s*$", re.I)
 _SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+(\w+)\s*$", re.I)
@@ -224,6 +232,8 @@ class MzSession:
         self._prepared: dict[str, str] = {}
         self._cursors: dict[str, dict] = {}
         self._txn_snapshot: dict | None = None
+        self._secrets: dict[str, str] = {}
+        self._connections: dict[str, dict] = {}
 
     def webhook(self, name: str):
         """The WebhookSource behind ``CREATE SOURCE name FROM WEBHOOK`` —
@@ -691,14 +701,59 @@ class MzSession:
             self._register_introspection()
         m = _SHOW.match(sql)
         if m:
-            kind = m.group(1).lower()
+            kind, like = m.group(1).lower(), m.group(2)
             names = {
                 "views": sorted(self.catalog._views),
                 "indexes": sorted(self.catalog._indexes),
                 "tables": sorted(self.catalog._tables),
             }[kind]
+            if like is not None:
+                # SQL LIKE pattern over object names (reference SHOW ...
+                # LIKE): % = any run, _ = one char
+                pat = ("^" + re.escape(like).replace("%", ".*")
+                       .replace("_", ".") + "$")
+                names = [n for n in names if re.match(pat, n)]
             return self.spark.createDataFrame([(n,) for n in names],
                                               "name string")
+        m = _CREATE_SECRET.match(sql)
+        if m:
+            # CREATE SECRET (reference CreateSecretStatement): opaque
+            # session-scoped value, referenced by connections; never echoed.
+            self._secrets[m.group(1)] = m.group(2)
+            return None
+        m = _CREATE_CONN.match(sql)
+        if m:
+            # CREATE CONNECTION name TO KAFKA (BROKER '...', ...) —
+            # reference CreateConnectionStatement; options resolve SECRET
+            # references and feed the matching reader/sink when used.
+            name, kind, opts = m.groups()
+            parsed = {}
+            for part in split_top_level(opts):
+                if not part:
+                    continue
+                key, _, val = part.partition(" ")
+                val = val.strip()
+                msec = re.match(r"^SECRET\s+(\w+)$", val, re.I)
+                if msec:
+                    val = self._secrets[msec.group(1)]
+                else:
+                    val = val.strip("'")
+                parsed[key.strip().lower()] = val
+            self._connections[name] = {"type": kind.lower(), **parsed}
+            return None
+        m = _SHOW_SEC_CONN.match(sql)
+        if m:
+            if m.group(1).upper() == "SECRETS":
+                rows = [(n,) for n in sorted(self._secrets)]
+                return self.spark.createDataFrame(rows or [], "name string")
+            rows = [(n, c["type"])
+                    for n, c in sorted(self._connections.items())]
+            return self.spark.createDataFrame(rows or [],
+                                              "name string, type string")
+        m = _TABLE_STMT.match(sql)
+        if m:
+            # PG `TABLE t` shorthand for SELECT * FROM t
+            return self.catalog.table(m.group(1))
         with self._strict():
             return self.spark.sql(rewrite(sql))
 

@@ -475,3 +475,24 @@ def test_alter_rename(spark):
     sess.execute("CREATE VIEW rv_old AS SELECT 1 AS x")
     sess.execute("ALTER VIEW rv_old RENAME TO rv_new")
     assert sess.sql("SELECT x FROM rv_new").first().x == 1
+
+
+def test_secrets_connections_show_like_table(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE SECRET kafka_pw AS 's3cr3t'")
+    sess.execute("CREATE CONNECTION kc TO KAFKA "
+                 "(BROKER 'host:9092', PASSWORD SECRET kafka_pw)")
+    assert [r.name for r in sess.sql("SHOW SECRETS").collect()] == ["kafka_pw"]
+    conns = sess.sql("SHOW CONNECTIONS").collect()
+    assert [(r.name, r.type) for r in conns] == [("kc", "kafka")]
+    # secret resolved into the connection, never echoed by SHOW
+    assert sess._connections["kc"]["password"] == "s3cr3t"
+    assert sess._connections["kc"]["broker"] == "host:9092"
+    # SHOW ... LIKE patterns
+    sess.execute("CREATE VIEW like_a AS SELECT 1 AS x")
+    sess.execute("CREATE VIEW like_b AS SELECT 2 AS x")
+    sess.execute("CREATE VIEW other_v AS SELECT 3 AS x")
+    got = [r.name for r in sess.sql("SHOW VIEWS LIKE 'like%'").collect()]
+    assert got == ["like_a", "like_b"]
+    # TABLE t shorthand
+    assert sess.sql("TABLE nation").count() == 25
