@@ -96,7 +96,7 @@ _ALTER_RENAME = re.compile(
     r"\s+RENAME\s+TO\s+(\w+)\s*$", re.I)
 _AS_OF = re.compile(
     r"^\s*(?:SELECT\s+\*\s+FROM\s+|SUBSCRIBE\s+(?:TO\s+)?)(\w+)"
-    r"\s+AS\s+OF\s+(\d+)\s*$", re.I)
+    r"\s+AS\s+OF\s+(\d+)(?:\s+UP\s+TO\s+(\d+))?\s*$", re.I)
 _ALTER_RETAIN = re.compile(
     r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+SET\s*\(\s*RETAIN\s+HISTORY"
     r"\s*(?:=|FOR)\s*'?(\d+)'?\s*\)\s*$", re.I)
@@ -478,14 +478,22 @@ class MzSession:
             return None
         m = _AS_OF.match(sql)
         if m:
-            # SELECT * FROM v AS OF t / SUBSCRIBE v AS OF t: time travel
-            # into the retained changelog. SELECT reconstructs the rows at
-            # epoch t; SUBSCRIBE returns the updates strictly after t.
-            name, ts = m.group(1), int(m.group(2))
+            # SELECT * FROM v AS OF t / SUBSCRIBE v AS OF t [UP TO u]:
+            # time travel into the retained changelog. SELECT reconstructs
+            # the rows at epoch t; SUBSCRIBE returns the updates strictly
+            # after t, bounded below u when UP TO is given (the reference's
+            # self-terminating subscribe).
+            name, ts, upto = m.group(1), int(m.group(2)), m.group(3)
             hist = self._histories[name]
             if sql.lstrip()[:6].upper() == "SELECT":
                 return hist.as_of(ts)
-            return hist.subscribe_since(ts)
+            out = hist.subscribe_since(ts)
+            if upto is not None:
+                from pyspark.sql import functions as F
+
+                from materialize_spark.streaming.history import TS_COL
+                out = out.filter(F.col(TS_COL) < int(upto))
+            return out
         m = _SUBSCRIBE.match(sql)
         if m:
             # Diff stream: first call emits the snapshot (+1 rows); later
@@ -764,17 +772,26 @@ class MzSession:
 
     # -- WITH MUTUALLY RECURSIVE --------------------------------------------
     def _execute_wmr(self, tail: str) -> DataFrame:
-        """WITH MUTUALLY RECURSIVE b1 (cols) AS (q1), ... SELECT ...
+        """WITH MUTUALLY RECURSIVE [(RETURN AT RECURSION LIMIT n)]
+        b1 (cols) AS (q1), ... SELECT ...
 
         Reference semantics (MIR LetRec, src/expr/src/relation.rs:154;
         SQL surface test/sqllogictest/with_mutually_recursive.slt):
         bindings start empty, each iteration re-evaluates every binding IN
         ORDER — later bindings see earlier bindings' values from the same
-        iteration — until all bindings reach a fixpoint. Multiset
-        semantics: any DISTINCT/UNION the query wants must be written in
-        the binding bodies."""
+        iteration — until all bindings reach a fixpoint, or until the
+        RECURSION LIMIT, whose non-erroring RETURN AT form yields the
+        state at that iteration (slt :39). Multiset semantics: any
+        DISTINCT/UNION the query wants must be written in the bodies."""
         from materialize_spark.operators.letrec import let_rec
 
+        max_iter = 100
+        mopt = re.match(
+            r"\s*\(\s*RETURN\s+AT\s+RECURSION\s+LIMIT\s+(\d+)\s*\)", tail,
+            re.I)
+        if mopt:
+            max_iter = int(mopt.group(1))
+            tail = tail[mopt.end():]
         bindings, final = _parse_wmr(tail)
         shadowed = [b[0] for b in bindings
                     if b[0] in self.catalog._tables or b[0] in
@@ -792,7 +809,8 @@ class MzSession:
                 env[name] = self.spark.sql(rewrite(body))
             return env
 
-        result = let_rec(initial, step, distinct=False, max_iter=100)
+        result = let_rec(initial, step, distinct=False,
+                         max_iter=max_iter)
         for k, v in result.items():
             v.createOrReplaceTempView(k)
         out = self.spark.sql(rewrite(final))  # analyzed eagerly

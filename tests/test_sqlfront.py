@@ -496,3 +496,30 @@ def test_secrets_connections_show_like_table(spark):
     assert got == ["like_a", "like_b"]
     # TABLE t shorthand
     assert sess.sql("TABLE nation").count() == 25
+
+
+def test_wmr_recursion_limit(spark):
+    """RETURN AT RECURSION LIMIT n yields the state at iteration n
+    (reference with_mutually_recursive.slt:39 non-erroring form)."""
+    sess = MzSession(spark, SF_DIR)
+    out = sess.sql("""
+        WITH MUTUALLY RECURSIVE (RETURN AT RECURSION LIMIT 3)
+          cnt (n int8) AS (SELECT 1 AS n
+                           UNION SELECT n + 1 AS n FROM cnt WHERE n < 100)
+        SELECT max(n) AS m FROM cnt
+    """)
+    # bindings start EMPTY; iteration k yields {1..k} → limit 3 gives 3
+    assert out.first().m == 3
+
+
+def test_subscribe_as_of_up_to(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE MATERIALIZED VIEW upto_mv AS SELECT 1 AS x")
+    for _ in range(3):
+        sess.execute("REFRESH MATERIALIZED VIEW upto_mv")
+    # epochs 0..3 recorded; AS OF 0 UP TO 2 sees only epoch-1 updates
+    rows = sess.sql("SUBSCRIBE upto_mv AS OF 0 UP TO 2").collect()
+    assert all(0 < r.mz_timestamp < 2 for r in rows)
+    unbounded = sess.sql("SUBSCRIBE upto_mv AS OF 0").collect()
+    assert len(unbounded) >= len(rows)
+    sess.execute("DROP VIEW upto_mv")
