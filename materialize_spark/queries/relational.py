@@ -389,3 +389,77 @@ def join_skew_salted(spark, sf_dir):
     return (joined.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@register(
+    "join_asof",
+    """
+    WITH calib AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hts,
+             round(avg(value), 6) AS calib
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT user_id, ts, event_id FROM events WHERE user_id <= 100)
+    SELECT CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c.calib), 2) AS total_calib
+    FROM l ASOF JOIN calib c ON l.user_id = c.user_id AND l.ts >= c.hts
+    GROUP BY l.user_id
+    """,
+    "join", "asof",
+)
+def join_asof(spark, sf_dir):
+    """As-of join (operators/asof.asof_join): attach each event's latest
+    hourly calibration at-or-before its timestamp. Union-merge form — tag
+    sides, per-key time sort, carry the last right payload forward — ONE
+    keyed shuffle, no inequality join, no per-key quadratic blowup. The
+    oracle is DuckDB's native ASOF JOIN."""
+    from materialize_spark.operators.asof import asof_join
+
+    t = T(spark, sf_dir)
+    calib = (t.events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hts"))
+        .agg(F.round(F.avg("value"), 6).alias("calib")))
+    left = (t.events.filter(F.col("user_id") <= 100)
+            .select("user_id", "ts", "event_id"))
+    joined = asof_join(left, calib, on=["user_id"],
+                       left_ts="ts", right_ts="hts")
+    return (joined.groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("calib"), 2).alias("total_calib")))
+
+
+@register(
+    "join_range_band",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+               FROM events WHERE user_id <= 20)
+    SELECT CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND abs(a.tus - b.tus) <= 300000000
+     AND a.event_id < b.event_id
+    GROUP BY a.user_id
+    """,
+    "join", "range", "band",
+)
+def join_range_band(spark, sf_dir):
+    """Range (band) join (operators/asof.range_join): event pairs of the
+    same user within 5 minutes. Bucketed into band-width bins so the
+    quadratic candidate set shrinks to same/adjacent-bin pairs and the
+    join is an equi-join on (user, bin); integer-microsecond time on both
+    engines. The oracle is the plain inequality join."""
+    from materialize_spark.operators.asof import range_join
+
+    t = T(spark, sf_dir)
+    base = (t.events.filter(F.col("user_id") <= 20)
+            .select("user_id", F.unix_micros("ts").alias("tus"), "event_id"))
+    l = base.select("user_id", F.col("tus").alias("ltus"),
+                    F.col("event_id").alias("id_a"))
+    r = base.select("user_id", F.col("tus").alias("rtus"),
+                    F.col("event_id").alias("id_b"))
+    pairs = range_join(l, r, on=["user_id"], left_ts="ltus",
+                       right_ts="rtus", width=300_000_000,
+                       how_filter=F.col("id_a") < F.col("id_b"))
+    return (pairs.groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -125,3 +125,31 @@ def test_jsonb_strip_nulls_and_parse_ident(spark):
                   parse_ident("i").alias("p")).first()
     assert r.s == '{"a":1,"c":2}'
     assert r.p == ["public", "My Table", "col"]
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before; no prior right → NULL."""
+    from materialize_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (2, 7)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 9, "c")], "k long, rts long, v string")
+    out = {(r.k, r.ts): r.v
+           for r in asof_join(left, right, on=["k"], left_ts="ts",
+                              right_ts="rts").collect()}
+    assert out == {(1, 5): None,     # before any right row
+                   (1, 10): "a",     # tie at equal ts matches
+                   (1, 20): "b",     # latest at-or-before
+                   (2, 7): None}
+
+
+def test_range_join_counts_each_pair_once(spark):
+    from materialize_spark.operators.asof import range_join
+    df = spark.createDataFrame(
+        [(1, 0, 1), (1, 90, 2), (1, 250, 3)], "k long, t long, id long")
+    l = df.select("k", F.col("t").alias("lt"), F.col("id").alias("id_a"))
+    r = df.select("k", F.col("t").alias("rt"), F.col("id").alias("id_b"))
+    pairs = range_join(l, r, on=["k"], left_ts="lt", right_ts="rt",
+                       width=100, how_filter=F.col("id_a") < F.col("id_b"))
+    got = sorted((p.id_a, p.id_b) for p in pairs.collect())
+    assert got == [(1, 2)]  # |0-90|<=100; |90-250|>100; |0-250|>100
