@@ -44,7 +44,7 @@ def _update_batches(events):
     SELECT user_id,
            round(sum(value), 2)            AS total,
            CAST(count(value) AS BIGINT)    AS n,
-           round(avg(value), 6)            AS mean,
+           round(avg(value), 4)            AS mean,
            round(min(value), 2)            AS lo,
            round(max(value), 2)            AS hi
     FROM events WHERE event_type <> 'error'
@@ -70,7 +70,7 @@ def ivm_retraction_agg(spark, sf_dir):
         "user_id",
         F.round("total", 2).alias("total"),
         F.col("n").cast("long").alias("n"),
-        F.round("mean", 6).alias("mean"),
+        F.round("mean", 4).alias("mean"),
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
     )
