@@ -38,12 +38,19 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
         / F.greatest(n_tok, F.lit(1))
     uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
     sw = stopword_ratio(toks)
-    # crude but monotone: enough tokens, sane word length, lexical diversity
-    score = (
-        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
-        + F.when((avg_len >= 3) & (avg_len <= 10), 1.0).otherwise(0.0) * 0.3
-        + F.least(uniq_ratio * 2, F.lit(1.0)) * 0.3
+    # crude but monotone: enough tokens, sane word length, lexical
+    # diversity. Computed as ONE division of an exact integer numerator
+    # (x1000·n): accumulating three float terms lands on 4th-decimal
+    # rounding boundaries whose last bit differs between engines; a single
+    # identical-integer division yields the identical double everywhere.
+    n1 = F.greatest(n_tok, F.lit(1))
+    d = F.size(F.array_distinct(toks))
+    score_num = (
+        F.least(n_tok, F.lit(50)) * 8 * n1
+        + F.when((avg_len >= 3) & (avg_len <= 10), 300).otherwise(0) * n1
+        + F.least(d * 600, n1 * 300)
     )
+    score = score_num.cast("double") / (n1.cast("double") * 1000.0)
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),

@@ -44,7 +44,12 @@ def _update_batches(events):
     SELECT user_id,
            round(sum(value), 2)            AS total,
            CAST(count(value) AS BIGINT)    AS n,
-           round(avg(value), 4)            AS mean,
+           -- mean compared as floor(x1000) of the 2-dp-rounded sum over
+           -- count: both engines floor IDENTICAL doubles — round() at any
+           -- width flakes on exact half-boundaries (sum/n hits .xxxx5
+           -- often), and Spark rounds the printed value where DuckDB
+           -- rounds the binary one
+           CAST(floor(round(sum(value), 2) / count(value) * 1000) AS BIGINT) AS mean_milli,
            round(min(value), 2)            AS lo,
            round(max(value), 2)            AS hi
     FROM events WHERE event_type <> 'error'
@@ -70,7 +75,8 @@ def ivm_retraction_agg(spark, sf_dir):
         "user_id",
         F.round("total", 2).alias("total"),
         F.col("n").cast("long").alias("n"),
-        F.round("mean", 4).alias("mean"),
+        F.floor(F.round("total", 2) / F.col("n") * 1000).cast("long")
+        .alias("mean_milli"),
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
     )

@@ -282,12 +282,14 @@ def text_language_id(spark, sf_dir):
                  / greatest(len(tokens), 1), 4) AS unique_ratio,
            round(CAST(len(list_filter(tokens, t -> t IN ({_SW_LIST}))) AS DOUBLE)
                  / greatest(len(tokens), 1), 4) AS stopword_ratio,
-           round(least(len(tokens) / 50.0, 1.0) * 0.4
+           round(CAST(least(len(tokens), 50) * 8 * greatest(len(tokens), 1)
                  + CASE WHEN CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE)
                              / greatest(len(tokens), 1) BETWEEN 3 AND 10
-                        THEN 1.0 ELSE 0.0 END * 0.3
-                 + least(CAST(len(list_distinct(tokens)) AS DOUBLE)
-                         / greatest(len(tokens), 1) * 2, 1.0) * 0.3, 4) AS quality_score
+                        THEN 300 ELSE 0 END * greatest(len(tokens), 1)
+                 + least(len(list_distinct(tokens)) * 600,
+                         greatest(len(tokens), 1) * 300) AS DOUBLE)
+                 / (CAST(greatest(len(tokens), 1) AS DOUBLE) * 1000.0),
+                 4) AS quality_score
     FROM toks
     """,
     "pipeline", "textstats",
