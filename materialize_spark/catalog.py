@@ -215,7 +215,7 @@ class Catalog:
         arranged.createOrReplaceTempView(name)
         return arranged
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str, *, if_exists: bool = False) -> None:
         for store in (self._views, self._indexes, self._tables):
             if name in store:
                 if store is self._indexes:
@@ -224,3 +224,6 @@ class Catalog:
                 del store[name]
                 self.spark.catalog.dropTempView(name)
                 return
+        if not if_exists:
+            raise KeyError(f"unknown catalog object {name!r} "
+                           f"(use IF EXISTS to make DROP a no-op)")

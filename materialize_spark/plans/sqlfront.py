@@ -297,7 +297,9 @@ class MzSession:
             return None
         m = _DROP.match(sql)
         if m:
-            self.catalog.drop(m.group(3))
+            # PG semantics: DROP of a missing object errors; IF EXISTS
+            # makes it a no-op.
+            self.catalog.drop(m.group(3), if_exists=bool(m.group(2)))
             for store in (self._matviews, self._matview_sql, self._view_sql,
                           self._histories, self._retain):
                 store.pop(m.group(3), None)
@@ -308,12 +310,15 @@ class MzSession:
             self.catalog.register_table(
                 name, self.spark.sql(rewrite(body)).localCheckpoint(eager=True))
             return None
-        m = re.match(r"^\s*CREATE\s+TABLE\s+(\w+)\s*(\()", sql, re.I)
+        m = re.match(r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+                     r"(\w+)\s*(\()", sql, re.I)
         if m and not _CREATE_TABLE_AS.match(sql):
             # paren-aware body extraction: nested type parens like
             # decimal(12,2) must not terminate the column list
-            name = m.group(1)
-            open_at = m.start(2)
+            if_not_exists, name = m.group(1), m.group(2)
+            if if_not_exists and name in self.catalog._tables:
+                return None
+            open_at = m.start(3)
             close_at = _match_paren(sql, open_at)
             if sql[close_at + 1:].strip() in ("", ";"):
                 ddl = _pg_coldefs(sql[open_at + 1:close_at])
@@ -769,6 +774,13 @@ class MzSession:
         out = self.execute(q)
         assert out is not None, "statement returned no relation"
         return out
+
+    def run_script(self, script: str) -> list[DataFrame | None]:
+        """Execute a multi-statement script: statements split on top-level
+        semicolons (paren- and literal-aware, so ';' inside strings or
+        subqueries survives); returns one result per statement."""
+        return [self.execute(stmt)
+                for stmt in split_top_level(script, ";") if stmt.strip()]
 
     # -- WITH MUTUALLY RECURSIVE --------------------------------------------
     def _execute_wmr(self, tail: str) -> DataFrame:

@@ -523,3 +523,30 @@ def test_subscribe_as_of_up_to(spark):
     unbounded = sess.sql("SUBSCRIBE upto_mv AS OF 0").collect()
     assert len(unbounded) >= len(rows)
     sess.execute("DROP VIEW upto_mv")
+
+
+def test_drop_semantics_and_if_not_exists(spark):
+    import pytest as _pytest
+    sess = MzSession(spark, SF_DIR)
+    with _pytest.raises(KeyError):
+        sess.execute("DROP TABLE never_existed")
+    sess.execute("DROP TABLE IF EXISTS never_existed")  # no-op
+    sess.execute("CREATE TABLE ine (k int8)")
+    sess.execute("INSERT INTO ine VALUES (1)")
+    sess.execute("CREATE TABLE IF NOT EXISTS ine (k int8)")  # keeps data
+    assert sess.sql("SELECT count(*) AS n FROM ine").first().n == 1
+    sess.execute("DROP TABLE ine")
+
+
+def test_run_script_multi_statement(spark):
+    sess = MzSession(spark, SF_DIR)
+    results = sess.run_script("""
+        CREATE TABLE scr (k int8, s text);
+        INSERT INTO scr VALUES (1, 'a;b');
+        UPDATE scr SET s = 'x;y' WHERE k = 1;
+        SELECT k, s FROM scr;
+        DROP TABLE scr
+    """)
+    assert results[0] is None and results[1] is None
+    row = results[3].first()
+    assert (row.k, row.s) == (1, "x;y")  # ';' inside literals survives
