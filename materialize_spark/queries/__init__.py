@@ -51,10 +51,24 @@ def load_all() -> dict[str, QuerySpec]:
         tpch, tpch2, relational, scalars, events, pipeline, sqlfront,
         collections, surface2, surface3, surface4, ivm_queries,
     )
+    # Flagships first: one representative of each distinctive capability
+    # (the queries a reviewer of any evaluation prefix must see), then
+    # round-robin the remainder across modules.
+    priority = [
+        "tpch_q1", "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+        "simsearch_cosine_topk", "simsearch_ivf", "ivm_retraction_agg",
+        "ivm_incremental_join", "sqlfront_wmr", "sqlfront_update_delete",
+        "join_asof", "join_range_band", "pipeline_pack_sequences",
+        "pipeline_sample_stratified", "text_redact_pii", "text_chunking",
+        "window_session", "temporal_filter",
+    ]
+    ordered: dict[str, QuerySpec] = {
+        name: REGISTRY[name] for name in priority if name in REGISTRY
+    }
     by_module: dict[str, list[QuerySpec]] = {}
     for spec in REGISTRY.values():
-        by_module.setdefault(spec.fn.__module__, []).append(spec)
-    ordered: dict[str, QuerySpec] = {}
+        if spec.name not in ordered:
+            by_module.setdefault(spec.fn.__module__, []).append(spec)
     queues = list(by_module.values())
     while queues:
         remaining = []
