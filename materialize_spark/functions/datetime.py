@@ -30,7 +30,10 @@ def date_bin(stride: str, ts, origin: str = "1970-01-01 00:00:00") -> Column:
     stride_us = F.unix_micros(F.lit(origin).cast("timestamp") + F.expr(f"INTERVAL {stride}")) \
         - F.unix_micros(F.lit(origin).cast("timestamp"))
     t, o = F.unix_micros(_col(ts)), F.unix_micros(F.lit(origin).cast("timestamp"))
-    binned = o + F.floor((t - o) / stride_us) * stride_us
+    # pure integer arithmetic: double division drifts a ULP near bin edges
+    # at large epochs; pmod gives floored-division semantics, so
+    # timestamps BEFORE the origin still bin downward (PG behavior).
+    binned = t - F.pmod(t - o, stride_us)
     return F.timestamp_micros(binned.cast("long"))
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import contextlib
 
 import pytest
+from pyspark.sql import functions as F2
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -111,3 +112,30 @@ def test_pipeline_and_ivm_in_first_50(name):
     from materialize_spark.queries import load_all
     first50 = list(load_all())[:50]
     assert name in first50
+
+
+def test_fresh_child_session_gets_confs(spark):
+    """spark.newSession() has independent runtime conf — the entry points
+    must apply engine confs per session, not once per JVM."""
+    import __spark_entry__ as e
+    child = spark.newSession()
+    with contextlib.suppress(Exception):
+        child.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    from materialize_spark import catalog
+    catalog._TABLE_CACHE.clear()
+    try:
+        out = e.queries()["temporal_filter"](child, SF_DIR)  # touches events
+        assert out.count() > 0
+    finally:
+        catalog._TABLE_CACHE.clear()
+
+
+def test_date_bin_before_origin(spark):
+    """Timestamps before the origin bin DOWNWARD (floored division)."""
+    from materialize_spark.functions.datetime import date_bin
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:30",), ("1970-01-01 00:00:30",)], ["s"])
+    got = [str(r.b) for r in df.select(
+        date_bin("1 minute", F2.col("s").cast("timestamp")).alias("b")
+    ).collect()]
+    assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]
