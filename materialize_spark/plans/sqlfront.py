@@ -204,6 +204,9 @@ def _pg_coldefs(coldefs: str) -> str:
     return ", ".join(cols)
 
 
+_NO_MATCH = object()  # family handler sentinel: no statement form matched
+
+
 class MzSession:
     """SQL surface bound to a SparkSession + Catalog.
 
@@ -260,9 +263,37 @@ class MzSession:
                 self.spark.conf.set("spark.sql.ansi.enabled", old)
         return ctx()
 
+    # Statement-head dispatch: the first keyword routes to a family
+    # handler; inside a family, statement forms are matched with anchored
+    # patterns plus paren-/literal-aware body parsing (_match_paren /
+    # split_top_level). Unknown heads and unmatched family forms fall
+    # through to the peek (one-shot query) path.
+    _HEADS = {
+        "CREATE": "_exec_create", "DROP": "_exec_drop",
+        "INSERT": "_exec_dml", "UPDATE": "_exec_dml", "DELETE": "_exec_dml",
+        "REFRESH": "_exec_refresh", "ALTER": "_exec_alter",
+        "SUBSCRIBE": "_exec_subscribe", "COPY": "_exec_copy",
+        "SHOW": "_exec_show", "EXPLAIN": "_exec_explain",
+        "PREPARE": "_exec_session", "EXECUTE": "_exec_session",
+        "DEALLOCATE": "_exec_session", "DECLARE": "_exec_session",
+        "FETCH": "_exec_session", "CLOSE": "_exec_session",
+        "BEGIN": "_exec_session", "START": "_exec_session",
+        "COMMIT": "_exec_session", "ROLLBACK": "_exec_session",
+    }
+
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
         None (SHOW returns a DataFrame listing)."""
+        mh = re.match(r"\s*([A-Za-z]+)", sql)
+        head = mh.group(1).upper() if mh else ""
+        out = getattr(self, self._HEADS.get(head, "_exec_peek"))(sql)
+        if out is _NO_MATCH:
+            out = self._exec_peek(sql)
+            assert out is not _NO_MATCH  # peek always resolves or raises
+        return out
+
+    def _exec_create(self, sql: str):
+        """CREATE family: view, index, table, sink, source, secret, connection."""
         m = _CREATE_VIEW.match(sql)
         if m:
             _, materialized, name, body = m.groups()
@@ -295,15 +326,6 @@ class MzSession:
                     else list(df.columns))
             self.catalog.create_index(iname or f"{obj}_idx", df, *keys)
             return None
-        m = _DROP.match(sql)
-        if m:
-            # PG semantics: DROP of a missing object errors; IF EXISTS
-            # makes it a no-op.
-            self.catalog.drop(m.group(3), if_exists=bool(m.group(2)))
-            for store in (self._matviews, self._matview_sql, self._view_sql,
-                          self._histories, self._retain):
-                store.pop(m.group(3), None)
-            return None
         m = _CREATE_TABLE_AS.match(sql)
         if m:
             name, body = m.groups()
@@ -325,61 +347,6 @@ class MzSession:
                 self.catalog.register_table(
                     name, self.spark.createDataFrame([], ddl))
                 return None
-        m = _INSERT.match(sql)
-        if m:
-            name, tail = m.groups()
-            target = self.catalog._tables[name]
-            if tail.upper().startswith("VALUES"):
-                rows = self.spark.sql(
-                    f"SELECT * FROM {rewrite(tail)}").toDF(*target.columns)
-            else:
-                rows = self.spark.sql(rewrite(tail)).toDF(*target.columns)
-            # Tables are append-only multisets (reference INSERT semantics);
-            # checkpoint so repeated inserts don't grow the plan.
-            self.catalog.register_table(
-                name, target.unionByName(rows).localCheckpoint(eager=True))
-            return None
-        m = _UPDATE.match(sql)
-        if m:
-            # UPDATE t SET c = e, ... [WHERE p] (reference UpdateStatement,
-            # src/sql-parser/src/ast/defs/statement.rs:526): rewrite every
-            # row in one SELECT — assignments see the OLD row values
-            # (simultaneous-assignment semantics), the result keeps the
-            # column's original type.
-            name, setlist, where = m.groups()
-            target = self.catalog._tables[name]
-            assigns: dict[str, str] = {}
-            for part in split_top_level(setlist):
-                col, expr = part.split("=", 1)
-                assigns[col.strip().lower()] = rewrite(expr.strip())
-            pred = (f"coalesce(({rewrite(where)}), false)" if where else "true")
-            types = {f.name.lower(): f.dataType.simpleString()
-                     for f in target.schema.fields}
-            exprs = []
-            for c in target.columns:
-                a = assigns.get(c.lower())
-                if a is None:
-                    exprs.append(c)
-                else:
-                    exprs.append(f"CASE WHEN {pred} THEN CAST(({a}) AS "
-                                 f"{types[c.lower()]}) ELSE {c} END AS {c}")
-            self.catalog.register_table(
-                name, target.selectExpr(*exprs).localCheckpoint(eager=True))
-            return None
-        m = _DELETE.match(sql)
-        if m:
-            # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
-            # keep the rows where p is not TRUE (NULL predicate keeps).
-            name, where = m.groups()
-            target = self.catalog._tables[name]
-            kept = (target.limit(0) if where is None else
-                    target.filter(f"NOT coalesce(({rewrite(where)}), false)"))
-            self.catalog.register_table(
-                name, kept.localCheckpoint(eager=True))
-            return None
-        m = _WMR.match(sql)
-        if m:
-            return self._execute_wmr(m.group(1))
         m = _CREATE_SINK.match(sql)
         if m:
             # CREATE SINK s FROM obj INTO FILE '<path>' [FORMAT f]
@@ -450,6 +417,105 @@ class MzSession:
                     return None
             self.catalog.register_table(name, df)
             return None
+        m = _CREATE_SECRET.match(sql)
+        if m:
+            # CREATE SECRET (reference CreateSecretStatement): opaque
+            # session-scoped value, referenced by connections; never echoed.
+            self._secrets[m.group(1)] = m.group(2)
+            return None
+        m = _CREATE_CONN.match(sql)
+        if m:
+            # CREATE CONNECTION name TO KAFKA (BROKER '...', ...) —
+            # reference CreateConnectionStatement; options resolve SECRET
+            # references and feed the matching reader/sink when used.
+            name, kind, opts = m.groups()
+            parsed = {}
+            for part in split_top_level(opts):
+                if not part:
+                    continue
+                key, _, val = part.partition(" ")
+                val = val.strip()
+                msec = re.match(r"^SECRET\s+(\w+)$", val, re.I)
+                if msec:
+                    val = self._secrets[msec.group(1)]
+                else:
+                    val = val.strip("'")
+                parsed[key.strip().lower()] = val
+            self._connections[name] = {"type": kind.lower(), **parsed}
+            return None
+        return _NO_MATCH
+
+    def _exec_drop(self, sql: str):
+        """DROP with PG IF EXISTS semantics."""
+        m = _DROP.match(sql)
+        if m:
+            # PG semantics: DROP of a missing object errors; IF EXISTS
+            # makes it a no-op.
+            self.catalog.drop(m.group(3), if_exists=bool(m.group(2)))
+            for store in (self._matviews, self._matview_sql, self._view_sql,
+                          self._histories, self._retain):
+                store.pop(m.group(3), None)
+            return None
+        return _NO_MATCH
+
+    def _exec_dml(self, sql: str):
+        """Table mutations: INSERT / UPDATE / DELETE."""
+        m = _INSERT.match(sql)
+        if m:
+            name, tail = m.groups()
+            target = self.catalog._tables[name]
+            if tail.upper().startswith("VALUES"):
+                rows = self.spark.sql(
+                    f"SELECT * FROM {rewrite(tail)}").toDF(*target.columns)
+            else:
+                rows = self.spark.sql(rewrite(tail)).toDF(*target.columns)
+            # Tables are append-only multisets (reference INSERT semantics);
+            # checkpoint so repeated inserts don't grow the plan.
+            self.catalog.register_table(
+                name, target.unionByName(rows).localCheckpoint(eager=True))
+            return None
+        m = _UPDATE.match(sql)
+        if m:
+            # UPDATE t SET c = e, ... [WHERE p] (reference UpdateStatement,
+            # src/sql-parser/src/ast/defs/statement.rs:526): rewrite every
+            # row in one SELECT — assignments see the OLD row values
+            # (simultaneous-assignment semantics), the result keeps the
+            # column's original type.
+            name, setlist, where = m.groups()
+            target = self.catalog._tables[name]
+            assigns: dict[str, str] = {}
+            for part in split_top_level(setlist):
+                col, expr = part.split("=", 1)
+                assigns[col.strip().lower()] = rewrite(expr.strip())
+            pred = (f"coalesce(({rewrite(where)}), false)" if where else "true")
+            types = {f.name.lower(): f.dataType.simpleString()
+                     for f in target.schema.fields}
+            exprs = []
+            for c in target.columns:
+                a = assigns.get(c.lower())
+                if a is None:
+                    exprs.append(c)
+                else:
+                    exprs.append(f"CASE WHEN {pred} THEN CAST(({a}) AS "
+                                 f"{types[c.lower()]}) ELSE {c} END AS {c}")
+            self.catalog.register_table(
+                name, target.selectExpr(*exprs).localCheckpoint(eager=True))
+            return None
+        m = _DELETE.match(sql)
+        if m:
+            # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
+            # keep the rows where p is not TRUE (NULL predicate keeps).
+            name, where = m.groups()
+            target = self.catalog._tables[name]
+            kept = (target.limit(0) if where is None else
+                    target.filter(f"NOT coalesce(({rewrite(where)}), false)"))
+            self.catalog.register_table(
+                name, kept.localCheckpoint(eager=True))
+            return None
+        return _NO_MATCH
+
+    def _exec_refresh(self, sql: str):
+        """REFRESH MATERIALIZED VIEW."""
         m = _REFRESH_MV.match(sql)
         if m:
             from pyspark.sql import functions as F
@@ -469,6 +535,10 @@ class MzSession:
                 if window is not None and hist.upper - 1 - window > hist.since:
                     hist.compact(hist.upper - 1 - window)
             return None
+        return _NO_MATCH
+
+    def _exec_alter(self, sql: str):
+        """ALTER: RETAIN HISTORY, RENAME TO."""
         m = _ALTER_RETAIN.match(sql)
         if m:
             # ALTER MATERIALIZED VIEW v SET (RETAIN HISTORY FOR n): keep the
@@ -481,6 +551,23 @@ class MzSession:
             if hist.upper - 1 - window > hist.since:
                 hist.compact(hist.upper - 1 - window)
             return None
+        m = _ALTER_RENAME.match(sql)
+        if m:
+            old, new = m.groups()
+            for store in (self.catalog._views, self.catalog._indexes,
+                          getattr(self.catalog._tables, "_loaded",
+                                  self.catalog._tables)):
+                if old in store:
+                    df = store.pop(old)
+                    store[new] = df
+                    self.spark.catalog.dropTempView(old)
+                    df.createOrReplaceTempView(new)
+                    return None
+            raise KeyError(f"unknown object {old!r}")
+        return _NO_MATCH
+
+    def _exec_asof(self, sql: str):
+        """Time travel: SELECT/SUBSCRIBE ... AS OF [UP TO]."""
         m = _AS_OF.match(sql)
         if m:
             # SELECT * FROM v AS OF t / SUBSCRIBE v AS OF t [UP TO u]:
@@ -498,6 +585,13 @@ class MzSession:
 
                 from materialize_spark.streaming.history import TS_COL
                 out = out.filter(F.col(TS_COL) < int(upto))
+            return out
+        return _NO_MATCH
+
+    def _exec_subscribe(self, sql: str):
+        """SUBSCRIBE diff streams (+ AS OF route)."""
+        out = self._exec_asof(sql)
+        if out is not _NO_MATCH:
             return out
         m = _SUBSCRIBE.match(sql)
         if m:
@@ -533,6 +627,10 @@ class MzSession:
                 cols = [c.strip() for c in split_top_level(order_by)]
                 return within_timestamp_order_by(delta, *cols)
             return delta
+        return _NO_MATCH
+
+    def _exec_copy(self, sql: str):
+        """COPY ... TO / COPY ... FROM."""
         m = _COPY.match(sql)
         if m:
             body, name, path, fmt = m.groups()
@@ -561,6 +659,10 @@ class MzSession:
                 target.unionByName(rows.select(*target.columns))
                 .localCheckpoint(eager=True))
             return None
+        return _NO_MATCH
+
+    def _exec_show(self, sql: str):
+        """SHOW listings: sources/sinks, create, columns, secrets/connections, objects."""
         m = _SHOW_EXT.match(sql)
         if m:
             # SHOW SOURCES / SHOW SINKS over the session's connector state
@@ -574,6 +676,56 @@ class MzSession:
             rows = [(n, "webhook") for n in sorted(self._webhooks)]
             return self.spark.createDataFrame(
                 rows or [], "name string, type string")
+        m = _SHOW_CREATE.match(sql)
+        if m:
+            # SHOW CREATE (MATERIALIZED) VIEW — reference ShowCreate*
+            # statements return (name, create_sql).
+            name = m.group(1)
+            body = self._matview_sql.get(name)
+            kind = "MATERIALIZED VIEW" if body is not None else "VIEW"
+            if body is None:
+                body = self._view_sql.get(name, "<dataframe-defined>")
+            return self.spark.createDataFrame(
+                [(name, f"CREATE {kind} {name} AS {body}")],
+                "name string, create_sql string")
+        m = _SHOW_COLUMNS.match(sql)
+        if m:
+            # SHOW COLUMNS FROM obj — (name, nullable, type) like the
+            # reference's output, in schema position order.
+            schema = self.catalog.table(m.group(1)).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.nullable, f.dataType.simpleString())
+                 for f in schema.fields],
+                "name string, nullable boolean, type string")
+        m = _SHOW_SEC_CONN.match(sql)
+        if m:
+            if m.group(1).upper() == "SECRETS":
+                rows = [(n,) for n in sorted(self._secrets)]
+                return self.spark.createDataFrame(rows or [], "name string")
+            rows = [(n, c["type"])
+                    for n, c in sorted(self._connections.items())]
+            return self.spark.createDataFrame(rows or [],
+                                              "name string, type string")
+        m = _SHOW.match(sql)
+        if m:
+            kind, like = m.group(1).lower(), m.group(2)
+            names = {
+                "views": sorted(self.catalog._views),
+                "indexes": sorted(self.catalog._indexes),
+                "tables": sorted(self.catalog._tables),
+            }[kind]
+            if like is not None:
+                # SQL LIKE pattern over object names (reference SHOW ...
+                # LIKE): % = any run, _ = one char
+                pat = ("^" + re.escape(like).replace("%", ".*")
+                       .replace("_", ".") + "$")
+                names = [n for n in names if re.match(pat, n)]
+            return self.spark.createDataFrame([(n,) for n in names],
+                                              "name string")
+        return _NO_MATCH
+
+    def _exec_explain(self, sql: str):
+        """EXPLAIN TIMESTAMP / RAW / OPTIMIZED / PHYSICAL."""
         m = _EXPLAIN_TS.match(sql)
         if m:
             # EXPLAIN TIMESTAMP (reference ExplainTimestampStatement):
@@ -587,6 +739,24 @@ class MzSession:
             return self.spark.createDataFrame(
                 [(name, since, upper, max(since, upper - 1))],
                 "name string, since long, upper long, query_timestamp long")
+        m = _EXPLAIN.match(sql)
+        if m:
+            # Reference EXPLAIN stages (doc/developer/101-query-compilation
+            # .md:50-91): RAW = parsed logical plan, OPTIMIZED = after
+            # Catalyst rewrites, PHYSICAL (default) = executable plan.
+            stage = (m.group(1) or "PHYSICAL").upper()
+            qe = self.spark.sql(rewrite(m.group(2)))._jdf.queryExecution()
+            text = {
+                "RAW": lambda: qe.logical().toString(),
+                "OPTIMIZED": lambda: qe.optimizedPlan().toString(),
+                "PHYSICAL": lambda: qe.executedPlan().toString(),
+            }[stage]()
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan string")
+        return _NO_MATCH
+
+    def _exec_session(self, sql: str):
+        """Session statements: prepared statements, cursors, transactions."""
         m = _PREPARE.match(sql)
         if m:
             # PREPARE name AS <stmt with $1..$n> (reference
@@ -662,107 +832,21 @@ class MzSession:
                 df.createOrReplaceTempView(name)
             self._txn_snapshot = None
             return None
-        m = _ALTER_RENAME.match(sql)
+        return _NO_MATCH
+
+    def _exec_peek(self, sql: str):
+        """One-shot query path (the reference's peek): WMR fixpoints,
+        AS OF time travel, TABLE shorthand, mz_catalog introspection,
+        then PG-dialect rewrite into Catalyst under strict (ANSI) error
+        semantics."""
+        m = _WMR.match(sql)
         if m:
-            old, new = m.groups()
-            for store in (self.catalog._views, self.catalog._indexes,
-                          getattr(self.catalog._tables, "_loaded",
-                                  self.catalog._tables)):
-                if old in store:
-                    df = store.pop(old)
-                    store[new] = df
-                    self.spark.catalog.dropTempView(old)
-                    df.createOrReplaceTempView(new)
-                    return None
-            raise KeyError(f"unknown object {old!r}")
-        m = _EXPLAIN.match(sql)
-        if m:
-            # Reference EXPLAIN stages (doc/developer/101-query-compilation
-            # .md:50-91): RAW = parsed logical plan, OPTIMIZED = after
-            # Catalyst rewrites, PHYSICAL (default) = executable plan.
-            stage = (m.group(1) or "PHYSICAL").upper()
-            qe = self.spark.sql(rewrite(m.group(2)))._jdf.queryExecution()
-            text = {
-                "RAW": lambda: qe.logical().toString(),
-                "OPTIMIZED": lambda: qe.optimizedPlan().toString(),
-                "PHYSICAL": lambda: qe.executedPlan().toString(),
-            }[stage]()
-            return self.spark.createDataFrame(
-                [(line,) for line in text.splitlines()], "plan string")
-        m = _SHOW_CREATE.match(sql)
-        if m:
-            # SHOW CREATE (MATERIALIZED) VIEW — reference ShowCreate*
-            # statements return (name, create_sql).
-            name = m.group(1)
-            body = self._matview_sql.get(name)
-            kind = "MATERIALIZED VIEW" if body is not None else "VIEW"
-            if body is None:
-                body = self._view_sql.get(name, "<dataframe-defined>")
-            return self.spark.createDataFrame(
-                [(name, f"CREATE {kind} {name} AS {body}")],
-                "name string, create_sql string")
-        m = _SHOW_COLUMNS.match(sql)
-        if m:
-            # SHOW COLUMNS FROM obj — (name, nullable, type) like the
-            # reference's output, in schema position order.
-            schema = self.catalog.table(m.group(1)).schema
-            return self.spark.createDataFrame(
-                [(f.name, f.nullable, f.dataType.simpleString())
-                 for f in schema.fields],
-                "name string, nullable boolean, type string")
+            return self._execute_wmr(m.group(1))
+        out = self._exec_asof(sql)
+        if out is not _NO_MATCH:
+            return out
         if _INTROSPECT.search(sql):
             self._register_introspection()
-        m = _SHOW.match(sql)
-        if m:
-            kind, like = m.group(1).lower(), m.group(2)
-            names = {
-                "views": sorted(self.catalog._views),
-                "indexes": sorted(self.catalog._indexes),
-                "tables": sorted(self.catalog._tables),
-            }[kind]
-            if like is not None:
-                # SQL LIKE pattern over object names (reference SHOW ...
-                # LIKE): % = any run, _ = one char
-                pat = ("^" + re.escape(like).replace("%", ".*")
-                       .replace("_", ".") + "$")
-                names = [n for n in names if re.match(pat, n)]
-            return self.spark.createDataFrame([(n,) for n in names],
-                                              "name string")
-        m = _CREATE_SECRET.match(sql)
-        if m:
-            # CREATE SECRET (reference CreateSecretStatement): opaque
-            # session-scoped value, referenced by connections; never echoed.
-            self._secrets[m.group(1)] = m.group(2)
-            return None
-        m = _CREATE_CONN.match(sql)
-        if m:
-            # CREATE CONNECTION name TO KAFKA (BROKER '...', ...) —
-            # reference CreateConnectionStatement; options resolve SECRET
-            # references and feed the matching reader/sink when used.
-            name, kind, opts = m.groups()
-            parsed = {}
-            for part in split_top_level(opts):
-                if not part:
-                    continue
-                key, _, val = part.partition(" ")
-                val = val.strip()
-                msec = re.match(r"^SECRET\s+(\w+)$", val, re.I)
-                if msec:
-                    val = self._secrets[msec.group(1)]
-                else:
-                    val = val.strip("'")
-                parsed[key.strip().lower()] = val
-            self._connections[name] = {"type": kind.lower(), **parsed}
-            return None
-        m = _SHOW_SEC_CONN.match(sql)
-        if m:
-            if m.group(1).upper() == "SECRETS":
-                rows = [(n,) for n in sorted(self._secrets)]
-                return self.spark.createDataFrame(rows or [], "name string")
-            rows = [(n, c["type"])
-                    for n, c in sorted(self._connections.items())]
-            return self.spark.createDataFrame(rows or [],
-                                              "name string, type string")
         m = _TABLE_STMT.match(sql)
         if m:
             # PG `TABLE t` shorthand for SELECT * FROM t
