@@ -101,8 +101,8 @@ _ALTER_RETAIN = re.compile(
     r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+SET\s*\(\s*RETAIN\s+HISTORY"
     r"\s*(?:=|FOR)\s*'?(\d+)'?\s*\)\s*$", re.I)
 _INTROSPECT = re.compile(
-    r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns)\b",
-    re.I)
+    r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
+    r"|sources|sinks)\b", re.I)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S)
 _DELETE = re.compile(
@@ -970,3 +970,15 @@ class MzSession:
            "id string, object_name string, name string, position int, "
            "nullable boolean, type string") \
             .filter("id <> 'u0'").createOrReplaceTempView("mz_columns")
+        # connector relations (reference mz_catalog.mz_sources / mz_sinks)
+        src_rows = [(f"s{i + 1}", n, "webhook")
+                    for i, n in enumerate(sorted(self._webhooks))]
+        mk(src_rows or [("s0", "", "")],
+           "id string, name string, type string") \
+            .filter("id <> 's0'").createOrReplaceTempView("mz_sources")
+        sink_rows = [(f"k{i + 1}", n, s["from"], s["format"], s["envelope"])
+                     for i, (n, s) in enumerate(sorted(self._sinks.items()))]
+        mk(sink_rows or [("k0", "", "", "", "")],
+           "id string, name string, source string, format string, "
+           "envelope string") \
+            .filter("id <> 'k0'").createOrReplaceTempView("mz_sinks")

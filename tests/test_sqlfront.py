@@ -550,3 +550,16 @@ def test_run_script_multi_statement(spark):
     assert results[0] is None and results[1] is None
     row = results[3].first()
     assert (row.k, row.s) == (1, "x;y")  # ';' inside literals survives
+
+
+def test_mz_sources_sinks_introspection(spark, tmp_path):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE SOURCE wh_i FROM WEBHOOK")
+    sess.execute(f"CREATE SINK sk_i FROM region INTO FILE '{tmp_path}/s' "
+                 f"FORMAT JSON ENVELOPE UPSERT")
+    srcs = [(r.name, r.type) for r in
+            sess.sql("SELECT name, type FROM mz_sources").collect()]
+    assert srcs == [("wh_i", "webhook")]
+    sinks = [(r.name, r.source, r.envelope) for r in
+             sess.sql("SELECT name, source, envelope FROM mz_sinks").collect()]
+    assert sinks == [("sk_i", "region", "upsert")]
