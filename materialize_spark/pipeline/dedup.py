@@ -253,3 +253,36 @@ def dedup_components(pairs: DataFrame, ids: DataFrame, *,
                   max_iter=max_iter)
     return out["labels"].select(F.col("node").alias(id_col),
                                 F.col("label").alias("cluster_id"))
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, *,
+                        tokens_col_name: str = "tokens", k: int = 3,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    k-gram shingle with an evaluation/benchmark corpus — the standard
+    pre-training hygiene step (contaminated docs leak test answers).
+
+    Both sides reduce to distinct shingle md5s; the check is one
+    broadcast-able semi-join on the hash followed by a per-doc count:
+    O(docs + benchmark), no quadratic pairing. Returns per-document
+    (doc_id, n_hits, contaminated)."""
+    doc_sh = (
+        docs.select(F.col(id_col),
+                    F.explode(F.array_distinct(
+                        shingles_col(F.col(tokens_col_name), k=k)))
+                    .alias("sh"))
+        .select(id_col, F.md5("sh").alias("h"))
+    )
+    bench_sh = (
+        benchmark.select(F.explode(F.array_distinct(
+            shingles_col(F.col(tokens_col_name), k=k))).alias("sh"))
+        .select(F.md5("sh").alias("h")).distinct()
+    )
+    hits = (doc_sh.join(F.broadcast(bench_sh), on="h")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    return (docs.select(id_col).distinct()
+            .join(hits, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))

@@ -605,3 +605,95 @@ def text_repetition(spark, sf_dir):
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(repetition_ratio(F.col("tokens")), 6).alias("rep_ratio"))
+
+
+@register(
+    "pipeline_contamination",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tokens) - 1),
+                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+               AS shingles
+      FROM toks),
+    bench AS (
+      SELECT DISTINCT md5(unnest(shingles)) AS h FROM sh WHERE doc_id < 25),
+    doc_sh AS (
+      SELECT doc_id, md5(unnest(shingles)) AS h FROM sh WHERE doc_id >= 25),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM doc_sh JOIN bench USING (h) GROUP BY doc_id)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(n_hits, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM toks WHERE doc_id >= 25) t
+    LEFT JOIN hits ON t.doc_id = hits.doc_id
+    """,
+    "pipeline", "dedup", "contamination",
+)
+def pipeline_contamination(spark, sf_dir):
+    """Benchmark decontamination (pipeline.dedup.contamination_check):
+    docs 0-24 stand in for an eval set; every other document is flagged
+    if it shares any trigram shingle — one broadcast semi-join on shingle
+    md5s, O(corpus + benchmark)."""
+    from materialize_spark.pipeline.dedup import contamination_check
+
+    t = T(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "tokens", F.split(normalize_text(F.col("text")), " "))
+    bench = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    out = contamination_check(train, bench)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("n_hits").cast("long").alias("n_hits"),
+                      "contaminated")
+
+
+@register(
+    "text_url_stats",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'see https://example.com/p/' || CAST(doc_id AS VARCHAR)
+               || ' and http://mirror' || CAST(doc_id % 7 AS VARCHAR)
+               || '.org/x ' || text AS text
+      FROM documents WHERE doc_id <= 100),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text,
+             'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*')) AS url
+      FROM synth),
+    domains AS (
+      SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+               AS domain
+      FROM urls)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM domains GROUP BY domain
+    """,
+    "pipeline", "textstats", "urls",
+)
+def text_url_stats(spark, sf_dir):
+    """URL extraction + per-domain histogram — the domain-mix audit every
+    web-scale corpus runs (synthesized URLs: the testdata has none).
+    Pure regexp extraction, scan-side; one shuffle for the histogram."""
+    t = T(spark, sf_dir)
+    synth = t.documents.filter(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.concat(F.lit("see https://example.com/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" and http://mirror"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org/x "), F.col("text")).alias("text"))
+    urls = synth.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            "text", F.lit(r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"), 0))
+        .alias("url"))
+    domains = urls.select(
+        "doc_id",
+        F.regexp_extract("url", r"https?://([A-Za-z0-9.-]+)", 1)
+        .alias("domain"))
+    return (domains.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs")))
