@@ -36,6 +36,29 @@ ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# In-memory arrangement budget for base tables. The reference keeps every
+# source arranged in memory (differential arrangements serve all reads); the
+# Spark analog is persisting the decoded columnar table, which turns every
+# subsequent query's parquet scan+decode into an in-memory columnar scan.
+# Gated on on-disk size so the model degrades correctly at scale: dimensions
+# (region..part, ~MBs even at 100 TB SF) stay resident on every executor's
+# block manager, while a fact table past the budget streams from parquet with
+# pushdown/pruning as before. 0 disables caching entirely.
+ARRANGE_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_BYTES", str(2 << 30)))
+
+
+def _on_disk_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
 
 # Runtime-settable SQL confs the engine depends on for CORRECTNESS. These are
 # applied to the *caller's* session on first table load: the driver harness
@@ -60,6 +83,9 @@ _RUNTIME_CONFS: dict[str, str] = {
     # to size rather than parallelism.
     "spark.sql.autoBroadcastJoinThreshold": "67108864",
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Hash join over sort-merge when the build side fits (reference joins
+    # are hash joins over arrangements; see session.py rationale).
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
@@ -107,6 +133,10 @@ class LazyTables(MutableMapping):
             for f in df.schema.fields:
                 if f.name == "ts" and f.dataType.simpleString() == "bigint":
                     df = df.withColumn("ts", SQLF.expr("timestamp_micros(ts div 1000)"))
+        # Arrange in memory when under budget (lazy: first use materializes;
+        # exact same rows, so correctness paths are unaffected).
+        if 0 < _on_disk_bytes(path) <= ARRANGE_BYTES:
+            df = df.persist()
         if self._register:
             df.createOrReplaceTempView(name)
         return df

@@ -60,6 +60,12 @@ def get_spark(
         # 10 MiB is tuned for small executors; at 100 TB the executors that
         # can hold a shuffle can hold a 64 MiB broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # Prefer shuffled-hash over sort-merge when a side's per-partition
+        # build fits memory: the reference's joins are always hash joins over
+        # arrangements (never sort-based), and skipping both sorts wins
+        # consistently (~13% at sf0.1; Spark falls back to SMJ for
+        # giant-x-giant sides, and AQE skew-splitting covers SHJ too).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Coalesce post-shuffle partitions to the advisory size rather than
         # keeping cluster-parallelism many tiny tasks: fewer, right-sized
         # tasks win both locally and at scale (AQE still splits skew).

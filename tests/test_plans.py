@@ -21,15 +21,39 @@ def q(name, spark):
 
 
 def test_q6_filter_pushed_and_schema_pruned(spark):
+    """The 100 TB path: with the in-memory arrangement budget off (a fact
+    table past the budget streams from parquet), predicates and column
+    pruning must reach the parquet reader."""
+    import materialize_spark.catalog as cat
+
+    saved = cat.ARRANGE_BYTES
+    cat.ARRANGE_BYTES = 0
+    cat._TABLE_CACHE.clear()
+    # Drop JVM-side cached relations too: Spark's CacheManager substitutes an
+    # InMemoryRelation for ANY logical plan matching a persisted one, so a
+    # lineitem cached by an earlier test would mask the parquet scan here.
+    spark.catalog.clearCache()
+    try:
+        df = q("tpch_q6", spark)
+        [scan] = scans(df)
+        # shipdate/discount/quantity predicates reach the parquet reader
+        assert "l_shipdate" in scan["PushedFilters"]
+        assert "l_discount" in scan["PushedFilters"]
+        # only the 4 needed columns are read from the 11-column table
+        cols = read_columns(scan)
+        assert cols == {"l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"}
+    finally:
+        cat.ARRANGE_BYTES = saved
+        cat._TABLE_CACHE.clear()
+
+
+def test_q6_cached_scan_under_budget(spark):
+    """Under the arrangement budget the same scan serves from the in-memory
+    columnar cache (InMemoryTableScan) instead of re-decoding parquet."""
     df = q("tpch_q6", spark)
-    [scan] = scans(df)
-    # shipdate/discount/quantity predicates reach the parquet reader
-    assert "l_shipdate" in scan["PushedFilters"]
-    assert "l_discount" in scan["PushedFilters"]
-    # only the 4 needed columns are read from the 11-column table
-    cols = read_columns(scan)
-    assert cols == {"l_shipdate", "l_discount", "l_quantity",
-                    "l_extendedprice"}
+    plan = physical_plan(df, "simple")
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan
 
 
 def test_q3_dims_broadcast_no_extra_shuffle(spark):
