@@ -1,0 +1,882 @@
+"""Recursive-descent SQL statement parser.
+
+The reference front-end is a hand-written recursive-descent parser over a
+lexed token stream (reference src/sql-parser/src/parser.rs:140; statement
+surface src/sql-parser/src/ast/defs/statement.rs:43-117). This module is
+the same design: :mod:`lexer` tokens in, typed AST statement nodes out.
+
+Division of labor: this parser owns *statement structure* — heads, names,
+options, clause boundaries, balanced parens — while query *bodies* and
+scalar *expressions* are captured as raw-text spans (token-sliced from the
+source) and delegated to Catalyst after the PG-dialect rewrite, exactly as
+the reference delegates expression typing/evaluation to its own
+expr layer. Spans are cut on token boundaries, so a ``)`` or ``,`` inside
+a string literal or comment can never truncate a body.
+
+``parse_statement`` returns one AST node, or raises :class:`ParseError`
+with the offending position. Query-shaped statements (SELECT/WITH/VALUES/
+parenthesized) come back as :class:`Peek` passthroughs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from materialize_spark.plans.lexer import LexError, Token, tokens
+
+
+class ParseError(ValueError):
+    def __init__(self, msg: str, tok: Token | None = None):
+        at = f" at position {tok.start} (near {tok.text!r})" if tok else ""
+        super().__init__(msg + at)
+
+
+# -- AST --------------------------------------------------------------------
+
+@dataclass
+class Stmt:
+    pass
+
+
+@dataclass
+class CreateView(Stmt):
+    name: str
+    body: str
+    materialized: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class CreateIndex(Stmt):
+    on: str
+    name: str | None = None
+    keys: list[str] | None = None   # None = DEFAULT / all columns
+    default: bool = False
+
+
+@dataclass
+class CreateTableAs(Stmt):
+    name: str
+    body: str
+
+
+@dataclass
+class CreateTable(Stmt):
+    name: str
+    coldefs: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateSink(Stmt):
+    name: str
+    source: str
+    path: str
+    fmt: str = "json"
+    envelope: str = "none"
+
+
+@dataclass
+class CreateSourceFile(Stmt):
+    name: str
+    path: str
+    fmt: str = "parquet"
+
+
+@dataclass
+class CreateSourceLoadgen(Stmt):
+    name: str
+    generator: str
+    scale_factor: float | None = None
+
+
+@dataclass
+class CreateSourceWebhook(Stmt):
+    name: str
+    body_format: str = "json"
+
+
+@dataclass
+class CreateSecret(Stmt):
+    name: str
+    value: str
+
+
+@dataclass
+class CreateConnection(Stmt):
+    name: str
+    kind: str
+    options: list[tuple[str, str, bool]] = field(default_factory=list)
+    # (key, value, is_secret_ref)
+
+
+@dataclass
+class Drop(Stmt):
+    kind: str
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class Insert(Stmt):
+    table: str
+    body: str   # VALUES ... or SELECT ...
+
+
+@dataclass
+class Update(Stmt):
+    table: str
+    assignments: list[tuple[str, str]]
+    where: str | None = None
+
+
+@dataclass
+class Delete(Stmt):
+    table: str
+    where: str | None = None
+
+
+@dataclass
+class RefreshMV(Stmt):
+    name: str
+
+
+@dataclass
+class AlterRename(Stmt):
+    name: str
+    new_name: str
+
+
+@dataclass
+class AlterRetain(Stmt):
+    name: str
+    window: int
+
+
+@dataclass
+class Subscribe(Stmt):
+    name: str
+    as_of: int | None = None
+    up_to: int | None = None
+    order_by: list[str] | None = None
+    envelope: str | None = None          # "upsert" | "debezium"
+    envelope_keys: list[str] | None = None
+
+
+@dataclass
+class CopyTo(Stmt):
+    path: str
+    fmt: str = "parquet"
+    body: str | None = None
+    table: str | None = None
+
+
+@dataclass
+class CopyFrom(Stmt):
+    table: str
+    path: str
+    fmt: str = "parquet"
+
+
+@dataclass
+class Show(Stmt):
+    kind: str               # views|tables|indexes|sources|sinks|secrets|connections
+    like: str | None = None
+
+
+@dataclass
+class ShowCreate(Stmt):
+    name: str
+
+
+@dataclass
+class ShowColumns(Stmt):
+    table: str
+
+
+@dataclass
+class ExplainTimestamp(Stmt):
+    name: str
+
+
+@dataclass
+class Explain(Stmt):
+    body: str
+    stage: str = "PHYSICAL"
+
+
+@dataclass
+class Prepare(Stmt):
+    name: str
+    body: str
+
+
+@dataclass
+class Execute(Stmt):
+    name: str
+    args: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Deallocate(Stmt):
+    name: str               # "ALL" deallocates everything
+
+
+@dataclass
+class Declare(Stmt):
+    name: str
+    body: str
+
+
+@dataclass
+class Fetch(Stmt):
+    cursor: str
+    count: int | None = None   # None = ALL
+
+
+@dataclass
+class Close(Stmt):
+    name: str
+
+
+@dataclass
+class Begin(Stmt):
+    pass
+
+
+@dataclass
+class Commit(Stmt):
+    pass
+
+
+@dataclass
+class Rollback(Stmt):
+    pass
+
+
+@dataclass
+class SelectAsOf(Stmt):
+    name: str
+    ts: int
+
+
+@dataclass
+class TableStmt(Stmt):
+    name: str
+
+
+@dataclass
+class Wmr(Stmt):
+    bindings: list[tuple[str, str, str]]   # (name, coldefs, body)
+    final: str
+    limit: int | None = None
+
+
+@dataclass
+class Peek(Stmt):
+    body: str
+
+
+# -- parser -----------------------------------------------------------------
+
+class Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = tokens(sql)
+        self.i = 0
+
+    # primitives ------------------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def at_kw(self, *words: str, k: int = 0) -> bool:
+        """True if the next tokens are exactly these keywords."""
+        for off, w in enumerate(words):
+            t = self.peek(k + off)
+            if t.kind != "WORD" or t.upper != w:
+                return False
+        return True
+
+    def take_kw(self, *words: str) -> bool:
+        if self.at_kw(*words):
+            self.i += len(words)
+            return True
+        return False
+
+    def expect_kw(self, *words: str) -> None:
+        if not self.take_kw(*words):
+            raise ParseError(f"expected {' '.join(words)}", self.peek())
+
+    def take_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "OP" and t.text == op:
+            self.next()
+            return True
+        return False
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind not in ("WORD", "QIDENT"):
+            raise ParseError("expected identifier", t)
+        return t.value
+
+    def string(self) -> str:
+        t = self.next()
+        if t.kind != "STRING":
+            raise ParseError("expected string literal", t)
+        return t.value
+
+    def int_(self) -> int:
+        t = self.next()
+        if t.kind != "NUMBER" or not t.text.isdigit():
+            raise ParseError("expected integer", t)
+        return int(t.text)
+
+    def expect_end(self) -> None:
+        t = self.peek()
+        if t.kind == "SEMI" and self.peek(1).kind == "EOF":
+            self.next()
+            t = self.peek()
+        if t.kind != "EOF":
+            raise ParseError("unexpected trailing input", t)
+
+    # span capture ----------------------------------------------------------
+    def rest(self) -> str:
+        """Raw text from the current token to end of statement (any single
+        trailing top-level ``;`` excluded)."""
+        start = self.peek().start
+        end = len(self.sql)
+        # find a trailing SEMI+EOF pair to exclude
+        if (self.toks[-1].kind == "EOF" and len(self.toks) >= 2
+                and self.toks[-2].kind == "SEMI"):
+            end = self.toks[-2].start
+        self.i = len(self.toks) - 1
+        return self.sql[start:end].strip()
+
+    def paren_span(self) -> str:
+        """Consume a balanced ``( ... )`` group, returning the inner raw
+        text. Token-level matching: parens inside strings or comments were
+        never tokenized, so depth counting cannot be fooled."""
+        t = self.next()
+        if t.kind != "LP":
+            raise ParseError("expected (", t)
+        depth, start = 1, self.peek().start
+        while depth:
+            t = self.next()
+            if t.kind == "EOF":
+                raise ParseError("unbalanced parentheses", t)
+            if t.kind == "LP":
+                depth += 1
+            elif t.kind == "RP":
+                depth -= 1
+        return self.sql[start:t.start].strip()
+
+    def span_until_kw(self, *stops: str) -> str:
+        """Raw text from here until one of the stop keywords at paren depth
+        0 (or end of statement). Does not consume the stop keyword."""
+        start = self.peek().start
+        depth = 0
+        while True:
+            t = self.peek()
+            if t.kind == "EOF" or (t.kind == "SEMI" and depth == 0):
+                return self.sql[start:t.start].strip()
+            if t.kind == "LP":
+                depth += 1
+            elif t.kind == "RP":
+                depth -= 1
+            elif (t.kind == "WORD" and depth == 0 and t.upper in stops):
+                return self.sql[start:t.start].strip()
+            self.next()
+
+    def comma_list_spans(self, *stops: str) -> list[str]:
+        """Comma-separated raw spans at paren depth 0, stopping at any of
+        the stop keywords (at depth 0) or end of statement."""
+        items: list[str] = []
+        start = self.peek().start
+        depth = 0
+        while True:
+            t = self.peek()
+            if (t.kind == "EOF" or (depth == 0 and t.kind == "SEMI")
+                    or (t.kind == "WORD" and depth == 0
+                        and t.upper in stops)):
+                last = self.sql[start:t.start].strip()
+                if last:
+                    items.append(last)
+                return items
+            if t.kind == "LP":
+                depth += 1
+            elif t.kind == "RP":
+                depth -= 1
+            elif t.kind == "COMMA" and depth == 0:
+                items.append(self.sql[start:t.start].strip())
+                self.next()
+                start = self.peek().start
+                continue
+            self.next()
+
+    # statement dispatch ----------------------------------------------------
+    def parse(self) -> Stmt:
+        t = self.peek()
+        if t.kind != "WORD":
+            return Peek(self.rest())   # e.g. "(SELECT ...)" set ops
+        head = t.upper
+        fn = getattr(self, f"_p_{head.lower()}", None)
+        if fn is None:
+            return Peek(self.rest())
+        return fn()
+
+    # CREATE ----------------------------------------------------------------
+    def _p_create(self) -> Stmt:
+        self.expect_kw("CREATE")
+        or_replace = self.take_kw("OR", "REPLACE")
+        if self.at_kw("MATERIALIZED", "VIEW") or self.at_kw("VIEW"):
+            materialized = self.take_kw("MATERIALIZED")
+            self.expect_kw("VIEW")
+            name = self.ident()
+            self.expect_kw("AS")
+            return CreateView(name, self.rest(), materialized=materialized,
+                              or_replace=or_replace)
+        if self.at_kw("DEFAULT", "INDEX") or self.at_kw("INDEX"):
+            default = self.take_kw("DEFAULT")
+            self.expect_kw("INDEX")
+            iname = None
+            if not self.at_kw("ON"):
+                iname = self.ident()
+            self.expect_kw("ON")
+            obj = self.ident()
+            keys = None
+            if self.peek().kind == "LP":
+                inner = self.paren_span()
+                keys = [c.strip() for c in inner.split(",") if c.strip()]
+            self.expect_end()
+            return CreateIndex(obj, name=iname, keys=keys, default=default)
+        if self.take_kw("TABLE"):
+            if_not_exists = self.take_kw("IF", "NOT", "EXISTS")
+            name = self.ident()
+            if self.take_kw("AS"):
+                return CreateTableAs(name, self.rest())
+            coldefs = self.paren_span()
+            self.expect_end()
+            return CreateTable(name, coldefs, if_not_exists=if_not_exists)
+        if self.take_kw("SINK"):
+            name = self.ident()
+            self.expect_kw("FROM")
+            source = self.ident()
+            self.expect_kw("INTO", "FILE")
+            path = self.string()
+            fmt = "json"
+            envelope = "none"
+            if self.take_kw("FORMAT"):
+                fmt = self.ident().lower()
+            if self.take_kw("ENVELOPE"):
+                envelope = self.ident().lower()
+            self.expect_end()
+            return CreateSink(name, source, path, fmt=fmt, envelope=envelope)
+        if self.take_kw("SOURCE"):
+            name = self.ident()
+            self.expect_kw("FROM")
+            if self.take_kw("FILE"):
+                path = self.string()
+                fmt = "parquet"
+                if self.take_kw("FORMAT"):
+                    fmt = self.ident().lower()
+                self.expect_end()
+                return CreateSourceFile(name, path, fmt=fmt)
+            if self.take_kw("LOAD", "GENERATOR"):
+                gen = self.ident()
+                sf = None
+                if self.peek().kind == "LP":
+                    self.next()
+                    self.expect_kw("SCALE", "FACTOR")
+                    t = self.next()
+                    if t.kind != "NUMBER":
+                        raise ParseError("expected scale factor", t)
+                    sf = float(t.text)
+                    if self.next().kind != "RP":
+                        raise ParseError("expected )", self.peek())
+                self.expect_end()
+                return CreateSourceLoadgen(name, gen.lower(), scale_factor=sf)
+            if self.take_kw("WEBHOOK"):
+                body_fmt = "json"
+                if self.take_kw("BODY", "FORMAT"):
+                    body_fmt = self.ident().lower()
+                self.expect_end()
+                return CreateSourceWebhook(name, body_format=body_fmt)
+            raise ParseError("expected FILE, LOAD GENERATOR, or WEBHOOK",
+                             self.peek())
+        if self.take_kw("SECRET"):
+            name = self.ident()
+            self.expect_kw("AS")
+            value = self.string()
+            self.expect_end()
+            return CreateSecret(name, value)
+        if self.take_kw("CONNECTION"):
+            name = self.ident()
+            self.expect_kw("TO")
+            kind = self.ident().lower()
+            opts: list[tuple[str, str, bool]] = []
+            if self.next().kind != "LP":
+                raise ParseError("expected (", self.peek())
+            while True:
+                t = self.peek()
+                if t.kind == "RP":
+                    self.next()
+                    break
+                key = self.ident().lower()
+                self.take_op("=")
+                if self.at_kw("SECRET"):
+                    self.next()
+                    opts.append((key, self.ident(), True))
+                else:
+                    v = self.next()
+                    if v.kind not in ("STRING", "NUMBER", "WORD"):
+                        raise ParseError("expected option value", v)
+                    opts.append((key, v.value, False))
+                if self.peek().kind == "COMMA":
+                    self.next()
+            self.expect_end()
+            return CreateConnection(name, kind, opts)
+        raise ParseError("unsupported CREATE statement", self.peek())
+
+    # DROP / DML ------------------------------------------------------------
+    def _p_drop(self) -> Stmt:
+        self.expect_kw("DROP")
+        t = self.next()
+        if t.kind != "WORD" or t.upper not in ("VIEW", "INDEX", "TABLE",
+                                               "SOURCE", "SINK"):
+            raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK", t)
+        kind = t.upper.lower()
+        if_exists = self.take_kw("IF", "EXISTS")
+        name = self.ident()
+        self.expect_end()
+        return Drop(kind, name, if_exists=if_exists)
+
+    def _p_insert(self) -> Stmt:
+        self.expect_kw("INSERT", "INTO")
+        table = self.ident()
+        if not (self.at_kw("VALUES") or self.at_kw("SELECT")
+                or self.at_kw("WITH") or self.at_kw("TABLE")):
+            raise ParseError("expected VALUES or query", self.peek())
+        return Insert(table, self.rest())
+
+    def _p_update(self) -> Stmt:
+        self.expect_kw("UPDATE")
+        table = self.ident()
+        self.expect_kw("SET")
+        assigns: list[tuple[str, str]] = []
+        for part in self.comma_list_spans("WHERE"):
+            col, eq, expr = part.partition("=")
+            if not eq:
+                raise ParseError(f"malformed assignment {part!r}")
+            assigns.append((col.strip(), expr.strip()))
+        if not assigns:
+            raise ParseError("UPDATE requires at least one assignment")
+        where = None
+        if self.take_kw("WHERE"):
+            where = self.rest()
+        self.expect_end()
+        return Update(table, assigns, where=where)
+
+    def _p_delete(self) -> Stmt:
+        self.expect_kw("DELETE", "FROM")
+        table = self.ident()
+        where = None
+        if self.take_kw("WHERE"):
+            where = self.rest()
+        self.expect_end()
+        return Delete(table, where=where)
+
+    # misc DDL ----------------------------------------------------------------
+    def _p_refresh(self) -> Stmt:
+        self.expect_kw("REFRESH", "MATERIALIZED", "VIEW")
+        name = self.ident()
+        self.expect_end()
+        return RefreshMV(name)
+
+    def _p_alter(self) -> Stmt:
+        self.expect_kw("ALTER")
+        if not (self.take_kw("MATERIALIZED", "VIEW") or self.take_kw("TABLE")
+                or self.take_kw("VIEW") or self.take_kw("SOURCE")
+                or self.take_kw("INDEX")):
+            raise ParseError("expected object kind", self.peek())
+        name = self.ident()
+        if self.take_kw("RENAME", "TO"):
+            new = self.ident()
+            self.expect_end()
+            return AlterRename(name, new)
+        if self.take_kw("SET"):
+            inner = self.paren_span()
+            p = Parser(inner)
+            p.expect_kw("RETAIN", "HISTORY")
+            if not p.take_kw("FOR"):
+                p.take_op("=")
+            t = p.next()
+            if t.kind == "STRING":
+                window = int(t.value)
+            elif t.kind == "NUMBER":
+                window = int(t.text)
+            else:
+                raise ParseError("expected retention window", t)
+            self.expect_end()
+            return AlterRetain(name, window)
+        raise ParseError("unsupported ALTER", self.peek())
+
+    # SUBSCRIBE ---------------------------------------------------------------
+    def _p_subscribe(self) -> Stmt:
+        self.expect_kw("SUBSCRIBE")
+        self.take_kw("TO")
+        name = self.ident()
+        node = Subscribe(name)
+        if self.take_kw("AS", "OF"):
+            node.as_of = self.int_()
+            if self.take_kw("UP", "TO"):
+                node.up_to = self.int_()
+        elif self.take_kw("WITHIN", "TIMESTAMP", "ORDER", "BY"):
+            node.order_by = self.comma_list_spans()
+        elif self.take_kw("ENVELOPE"):
+            t = self.next()
+            if t.upper not in ("UPSERT", "DEBEZIUM"):
+                raise ParseError("expected UPSERT or DEBEZIUM", t)
+            node.envelope = t.upper.lower()
+            inner = self.paren_span()
+            p = Parser(inner)
+            p.expect_kw("KEY")
+            keys = p.paren_span()
+            node.envelope_keys = [k.strip() for k in keys.split(",")]
+        self.expect_end()
+        return node
+
+    # COPY --------------------------------------------------------------------
+    def _p_copy(self) -> Stmt:
+        self.expect_kw("COPY")
+        body = table = None
+        if self.peek().kind == "LP":
+            body = self.paren_span()
+        else:
+            table = self.ident()
+        if self.take_kw("TO"):
+            path = self.string()
+            fmt = self._copy_format() or "parquet"
+            self.expect_end()
+            return CopyTo(path, fmt=fmt, body=body, table=table)
+        if table is not None and self.take_kw("FROM"):
+            path = self.string()
+            fmt = self._copy_format() or "parquet"
+            self.expect_end()
+            return CopyFrom(table, path, fmt=fmt)
+        raise ParseError("expected TO or FROM", self.peek())
+
+    def _copy_format(self) -> str | None:
+        if not self.take_kw("WITH"):
+            return None
+        inner = self.paren_span()
+        p = Parser(inner)
+        p.expect_kw("FORMAT")
+        return p.ident().lower()
+
+    # SHOW --------------------------------------------------------------------
+    def _p_show(self) -> Stmt:
+        self.expect_kw("SHOW")
+        if self.take_kw("CREATE"):
+            self.take_kw("MATERIALIZED")
+            self.expect_kw("VIEW")
+            name = self.ident()
+            self.expect_end()
+            return ShowCreate(name)
+        if self.take_kw("COLUMNS", "FROM"):
+            table = self.ident()
+            self.expect_end()
+            return ShowColumns(table)
+        t = self.next()
+        kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
+                 "SECRETS", "CONNECTIONS")
+        if t.kind != "WORD" or t.upper not in kinds:
+            raise ParseError(f"expected one of {', '.join(kinds)}", t)
+        like = None
+        if self.take_kw("LIKE"):
+            like = self.string()
+        self.expect_end()
+        return Show(t.upper.lower(), like=like)
+
+    # EXPLAIN -----------------------------------------------------------------
+    def _p_explain(self) -> Stmt:
+        self.expect_kw("EXPLAIN")
+        if self.take_kw("TIMESTAMP", "FOR"):
+            if self.take_kw("SELECT"):
+                t = self.peek()
+                if not (t.kind == "OP" and t.text == "*"):
+                    raise ParseError("expected SELECT * FROM <obj>", t)
+                self.next()
+                self.expect_kw("FROM")
+            name = self.ident()
+            self.expect_end()
+            return ExplainTimestamp(name)
+        stage = "PHYSICAL"
+        for s in ("RAW", "OPTIMIZED", "PHYSICAL"):
+            if self.take_kw(s):
+                stage = s
+                break
+        self.take_kw("PLAN", "FOR")
+        if not (self.at_kw("SELECT") or self.at_kw("WITH")):
+            raise ParseError("expected a query", self.peek())
+        return Explain(self.rest(), stage=stage)
+
+    # session statements ------------------------------------------------------
+    def _p_prepare(self) -> Stmt:
+        self.expect_kw("PREPARE")
+        name = self.ident()
+        self.expect_kw("AS")
+        return Prepare(name, self.rest())
+
+    def _p_execute(self) -> Stmt:
+        self.expect_kw("EXECUTE")
+        name = self.ident()
+        args: list[str] = []
+        if self.peek().kind == "LP":
+            inner = self.paren_span()
+            if inner.strip():
+                p = Parser(inner)
+                args = p.comma_list_spans()
+        self.expect_end()
+        return Execute(name, args)
+
+    def _p_deallocate(self) -> Stmt:
+        self.expect_kw("DEALLOCATE")
+        self.take_kw("PREPARE")
+        name = "ALL" if self.take_kw("ALL") else self.ident()
+        self.expect_end()
+        return Deallocate(name)
+
+    def _p_declare(self) -> Stmt:
+        self.expect_kw("DECLARE")
+        name = self.ident()
+        self.expect_kw("CURSOR", "FOR")
+        return Declare(name, self.rest())
+
+    def _p_fetch(self) -> Stmt:
+        self.expect_kw("FETCH")
+        count = None
+        t = self.peek()
+        if t.kind == "NUMBER":
+            count = self.int_()
+        elif self.take_kw("ALL"):
+            count = None
+        self.take_kw("FROM")
+        cursor = self.ident()
+        self.expect_end()
+        return Fetch(cursor, count=count)
+
+    def _p_close(self) -> Stmt:
+        self.expect_kw("CLOSE")
+        name = self.ident()
+        self.expect_end()
+        return Close(name)
+
+    def _p_begin(self) -> Stmt:
+        self.expect_kw("BEGIN")
+        self.expect_end()
+        return Begin()
+
+    def _p_start(self) -> Stmt:
+        self.expect_kw("START", "TRANSACTION")
+        self.expect_end()
+        return Begin()
+
+    def _p_commit(self) -> Stmt:
+        self.expect_kw("COMMIT")
+        self.expect_end()
+        return Commit()
+
+    def _p_rollback(self) -> Stmt:
+        self.expect_kw("ROLLBACK")
+        self.expect_end()
+        return Rollback()
+
+    # query heads -------------------------------------------------------------
+    def _p_table(self) -> Stmt:
+        # PG `TABLE t` shorthand; only the bare single-name form is special
+        if self.peek(2).kind in ("EOF", "SEMI") and \
+                self.peek(1).kind in ("WORD", "QIDENT"):
+            self.expect_kw("TABLE")
+            name = self.ident()
+            self.expect_end()
+            return TableStmt(name)
+        return Peek(self.rest())
+
+    def _p_select(self) -> Stmt:
+        # time-travel fast path: SELECT * FROM <obj> AS OF <ts> exactly
+        save = self.i
+        self.expect_kw("SELECT")
+        t = self.peek()
+        if t.kind == "OP" and t.text == "*":
+            self.next()
+            if self.take_kw("FROM"):
+                t = self.peek()
+                if t.kind in ("WORD", "QIDENT"):
+                    name = self.ident()
+                    if self.take_kw("AS", "OF"):
+                        ts_tok = self.peek()
+                        if ts_tok.kind == "NUMBER":
+                            ts = self.int_()
+                            if self.take_kw("UP", "TO"):
+                                self.int_()  # bound applies to SUBSCRIBE only
+                            if self.peek().kind in ("EOF", "SEMI"):
+                                return SelectAsOf(name, ts)
+        self.i = save
+        return Peek(self.rest())
+
+    def _p_values(self) -> Stmt:
+        return Peek(self.rest())
+
+    def _p_with(self) -> Stmt:
+        if not self.at_kw("WITH", "MUTUALLY", "RECURSIVE"):
+            return Peek(self.rest())
+        self.expect_kw("WITH", "MUTUALLY", "RECURSIVE")
+        limit = None
+        if self.peek().kind == "LP":
+            inner = self.paren_span()
+            p = Parser(inner)
+            p.expect_kw("RETURN", "AT", "RECURSION", "LIMIT")
+            limit = p.int_()
+            p.expect_end()
+        bindings: list[tuple[str, str, str]] = []
+        while True:
+            name = self.ident()
+            coldefs = self.paren_span()
+            self.expect_kw("AS")
+            body = self.paren_span()
+            bindings.append((name, coldefs, body))
+            if self.peek().kind == "COMMA":
+                self.next()
+                continue
+            break
+        return Wmr(bindings, self.rest(), limit=limit)
+
+
+def parse_statement(sql: str) -> Stmt:
+    """Parse one statement into an AST node (raises Parse/LexError)."""
+    p = Parser(sql)
+    t = p.peek()
+    if t.kind == "EOF":
+        raise ParseError("empty statement")
+    return p.parse()
+
+
+__all__ = [
+    "ParseError", "LexError", "Parser", "parse_statement",
+    "Stmt", "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
+    "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
+    "CreateSourceWebhook", "CreateSecret", "CreateConnection", "Drop",
+    "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
+    "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",
+    "ExplainTimestamp", "Explain", "Prepare", "Execute", "Deallocate",
+    "Declare", "Fetch", "Close", "Begin", "Commit", "Rollback",
+    "SelectAsOf", "TableStmt", "Wmr", "Peek",
+]
