@@ -1,8 +1,8 @@
-"""PG-dialect → Spark SQL rewriting.
+"""PG-dialect → Spark SQL rewriting, over the lexer's token stream.
 
 The reference parses a PostgreSQL dialect (src/sql-parser/, a sqlparser-rs
 fork). Spark SQL already accepts ~95% of it (SURVEY.md §7); this module
-closes the gap for the common PG-isms with token-aware text rewrites:
+closes the gap for the common PG-isms:
 
 | PG                           | Spark                                  |
 |------------------------------|----------------------------------------|
@@ -10,17 +10,22 @@ closes the gap for the common PG-isms with token-aware text rewrites:
 | ``a ~~ b`` / ``a !~~ b``     | ``a LIKE b`` / ``a NOT LIKE b``        |
 | ``a ~ b`` / ``a !~ b``       | ``a RLIKE b`` / ``NOT a RLIKE b``      |
 | ``col ->> 'k'`` / ``-> 'k'`` | ``get_json_object(col, '$.k')``        |
+| ``col -> 0``                 | ``get_json_object(col, '$[0]')``       |
 | ``generate_series(a, b)``    | ``explode(sequence(a, b))``            |
 | ``mz_now()`` / ``now()``     | ``current_timestamp()``                |
 | PG type names                | Spark type names (int8→BIGINT, ...)    |
 | ``DISTINCT ON (k) ... ORDER BY ...`` | row_number window + rn=1 filter|
 
-Rewrites skip string literals (single-quoted spans are preserved).
+Rewrites operate on lexed tokens (plans/lexer.py), not raw text, so a
+``->`` or ``::`` inside a string literal or comment is never touched, and
+operands with arbitrarily nested parens — ``(a + f(b, c))::int8`` — are
+captured exactly. Parenthesized groups are rewritten recursively, so the
+DISTINCT ON rewrite also applies inside subqueries.
 """
 
 from __future__ import annotations
 
-import re
+from materialize_spark.plans.lexer import LexError, Token, tokens
 
 _PG_TYPES = {
     "int2": "SMALLINT", "int4": "INT", "int8": "BIGINT",
@@ -30,127 +35,192 @@ _PG_TYPES = {
     "numeric": "DECIMAL(38,6)",
 }
 
-_IDENT = r"[A-Za-z_][A-Za-z_0-9.]*"
-# a cast operand: identifier/function call/literal/parenthesized expr
-_OPERAND = rf"(?:{_IDENT}\([^()]*\)|{_IDENT}|'[^']*'|\([^()]*\)|[0-9.]+)"
+# piece tags that can stand alone as the operand of a postfix operator
+_OPERAND_TAGS = ("WORD", "QIDENT", "NUMBER", "STRING", "PARAM", "GROUP")
+
+_LIKE_OPS = {"~~": "LIKE", "~~*": "ILIKE",
+             "!~~": "NOT LIKE", "!~~*": "NOT ILIKE"}
+
+# words that can precede a parenthesized group without being a function
+# name — `SELECT (a+b)::int` must not pop "SELECT" as part of the operand
+_NOT_FUNC_HEADS = frozenset("""
+    SELECT WHERE FROM AND OR NOT WHEN THEN ELSE END CASE ON BY AS IN IS
+    LIKE ILIKE RLIKE BETWEEN EXISTS ALL ANY SOME DISTINCT UNION INTERSECT
+    EXCEPT HAVING GROUP ORDER LIMIT OFFSET JOIN CROSS INNER LEFT RIGHT
+    FULL OUTER OVER PARTITION VALUES SET USING RETURNING INTERVAL ESCAPE
+    """.split())
 
 
-def _split_literals(sql: str) -> list[tuple[bool, str]]:
-    """Split into (is_literal, span) segments so rewrites never touch
-    quoted strings."""
-    out, buf, lit = [], [], False
+def _match_rp(toks: list[Token], i: int) -> int:
+    """Index of the RP matching the LP at ``toks[i]``."""
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j].kind == "LP":
+            depth += 1
+        elif toks[j].kind == "RP":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise LexError("unbalanced parentheses", toks[i].start)
+
+
+def _join(pieces: list[tuple[str, str]]) -> str:
+    """Reassemble piece texts; dots bind tight (``t.col``, ``1.5`` came in
+    as one NUMBER token already), everything else is space-separated —
+    whitespace is insignificant to Catalyst's parser."""
+    out: list[str] = []
+    for tag, text in pieces:
+        if tag == "OP" and text == "." and out:
+            out[-1] += "."
+        elif tag == "COMMA" and out:
+            out[-1] += ","
+        elif out and out[-1].endswith("."):
+            out[-1] += text
+        else:
+            out.append(text)
+    return " ".join(out)
+
+
+def _pop_operand(pieces: list[tuple[str, str]]) -> str:
+    """Remove and return the trailing operand expression: a parenthesized
+    group (with optional function-name head), or a literal/identifier,
+    either extended left through ``.``-qualified chains."""
+    if not pieces:
+        return ""
+    start = len(pieces) - 1
+    tag = pieces[start][0]
+    if tag == "GROUP" and start > 0 and (
+            pieces[start - 1][0] == "QIDENT"
+            or (pieces[start - 1][0] == "WORD"
+                and pieces[start - 1][1].upper() not in _NOT_FUNC_HEADS)):
+        start -= 1          # function call: name ( args )
+    # dotted qualification: db . t . col
+    while (start >= 2 and pieces[start - 1] == ("OP", ".")
+           and pieces[start - 2][0] in ("WORD", "QIDENT")):
+        start -= 2
+    text = _join(pieces[start:])
+    del pieces[start:]
+    return text
+
+
+def _rewrite_slice(toks: list[Token]) -> str:
+    pieces: list[tuple[str, str]] = []
     i = 0
-    while i < len(sql):
-        ch = sql[i]
-        if ch == "'":
-            if lit and i + 1 < len(sql) and sql[i + 1] == "'":
-                buf.append("''")
-                i += 2
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "LP":
+            j = _match_rp(toks, i)
+            inner = _rewrite_slice(toks[i + 1:j])
+            pieces.append(("GROUP", f"({inner})"))
+            i = j + 1
+            continue
+        if t.kind == "WORD":
+            low = t.upper
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if low in ("MZ_NOW", "NOW") and nxt is not None \
+                    and nxt.kind == "LP" and i + 2 < len(toks) \
+                    and toks[i + 2].kind == "RP":
+                # logical-clock reads collapse to the wall clock in batch
+                # (reference mz_now, doc/user/.../mz_now; temporal filters
+                # that need the frontier use streaming/temporal.py instead)
+                pieces.append(("GROUP", "current_timestamp()"))
+                i += 3
                 continue
-            buf.append(ch)
-            out.append((lit, "".join(buf)))
-            buf, lit = [], not lit
+            if low == "GENERATE_SERIES" and nxt is not None \
+                    and nxt.kind == "LP":
+                j = _match_rp(toks, i + 1)
+                inner = _rewrite_slice(toks[i + 2:j])
+                pieces.append(("GROUP", f"explode(sequence({inner}))"))
+                i = j + 1
+                continue
+            pieces.append(("WORD", t.text))
             i += 1
             continue
-        buf.append(ch)
+        if t.kind == "OP":
+            op = t.text
+            if op == "::" and i + 1 < len(toks) \
+                    and toks[i + 1].kind == "WORD":
+                typ = _PG_TYPES.get(toks[i + 1].text.lower(),
+                                    toks[i + 1].text)
+                i += 2
+                if i < len(toks) and toks[i].kind == "LP":
+                    # parameterized type: decimal(12,2)
+                    j = _match_rp(toks, i)
+                    typ += "(" + _rewrite_slice(toks[i + 1:j]) + ")"
+                    i = j + 1
+                operand = _pop_operand(pieces)
+                pieces.append(("GROUP", f"CAST({operand} AS {typ})"))
+                continue
+            if op in ("->", "->>") and i + 1 < len(toks) \
+                    and toks[i + 1].kind in ("STRING", "NUMBER"):
+                key_tok = toks[i + 1]
+                path = (f"$[{key_tok.text}]" if key_tok.kind == "NUMBER"
+                        else f"$.{key_tok.value}")
+                operand = _pop_operand(pieces)
+                pieces.append(
+                    ("GROUP", f"get_json_object({operand}, '{path}')"))
+                i += 2
+                continue
+            if op in _LIKE_OPS:
+                pieces.append(("WORD", _LIKE_OPS[op]))
+                i += 1
+                continue
+            if op == "!~" and pieces and pieces[-1][0] in _OPERAND_TAGS:
+                operand = _pop_operand(pieces)
+                pieces.append(("WORD", f"NOT {operand} RLIKE"))
+                i += 1
+                continue
+            if op == "~" and pieces and pieces[-1][0] in _OPERAND_TAGS \
+                    and i + 1 < len(toks) \
+                    and toks[i + 1].kind in ("STRING", "LP"):
+                pieces.append(("WORD", "RLIKE"))
+                i += 1
+                continue
+            pieces.append(("OP", t.text))
+            i += 1
+            continue
+        pieces.append((t.kind, t.text))
         i += 1
-    if buf:
-        out.append((lit, "".join(buf)))
-    return out
+    pieces = _rewrite_distinct_on(pieces)
+    return _join(pieces)
 
 
-def _rewrite_code(seg: str) -> str:
-    # type names inside CAST/:: targets
-    def typ(name: str) -> str:
-        return _PG_TYPES.get(name.lower(), name)
+def _rewrite_distinct_on(
+        pieces: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """SELECT DISTINCT ON (keys) proj FROM rel ORDER BY order →
+    row_number() window + rn = 1 filter (the reference plans DISTINCT ON
+    as TopK with limit 1 per key group — operators/topk.py is the
+    DataFrame version; this is the SQL-text version)."""
+    def is_kw(p, w):
+        return p[0] == "WORD" and p[1].upper() == w
 
-    # expr::type  (apply repeatedly for chained casts)
-    pat = re.compile(rf"({_OPERAND})\s*::\s*({_IDENT})")
-    prev = None
-    while prev != seg:
-        prev = seg
-        seg = pat.sub(lambda m: f"CAST({m.group(1)} AS {typ(m.group(2))})", seg)
-
-    # like/regex operators — starred variants are case-insensitive (ILIKE)
-    seg = re.sub(r"\s*!~~\*\s*", " NOT ILIKE ", seg)
-    seg = re.sub(r"\s*!~~\s*", " NOT LIKE ", seg)
-    seg = re.sub(r"\s*~~\*\s*", " ILIKE ", seg)
-    seg = re.sub(r"\s*~~\s*", " LIKE ", seg)
-    seg = re.sub(rf"({_OPERAND})\s*!~\s*", r"NOT \1 RLIKE ", seg)
-    seg = re.sub(rf"({_OPERAND})\s*~\s*('|\()", r"\1 RLIKE \2", seg)
-
-    # mz_now()/now()
-    seg = re.sub(r"\bmz_now\s*\(\s*\)", "current_timestamp()", seg, flags=re.I)
-    seg = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", seg, flags=re.I)
-
-    # generate_series(a, b[, step]) as a relation or projection
-    seg = re.sub(
-        r"\bgenerate_series\s*\(", "explode(sequence(", seg, flags=re.I)
-    # balance the extra paren we introduced
-    seg = _balance_explode_sequence(seg)
-    return seg
-
-
-def _balance_explode_sequence(seg: str) -> str:
-    out = []
-    i = 0
-    needle = "explode(sequence("
-    while True:
-        j = seg.find(needle, i)
-        if j < 0:
-            out.append(seg[i:])
-            return "".join(out)
-        out.append(seg[i:j + len(needle)])
-        depth = 2
-        k = j + len(needle)
-        while k < len(seg) and depth > 1:
-            if seg[k] == "(":
-                depth += 1
-            elif seg[k] == ")":
-                depth -= 1
-            out.append(seg[k])
-            k += 1
-        out.append(")")  # close the sequence( we opened
-        i = k
-
-
-_JSON_ARROW = re.compile(
-    rf"({_OPERAND})\s*->>?\s*'([^']*)'")
-
-
-def _rewrite_json_arrows(sql: str) -> str:
-    # applied to the full statement (the key is a literal we consume)
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _JSON_ARROW.sub(
-            lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql)
-    return sql
-
-
-_DISTINCT_ON = re.compile(
-    r"SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)"
-    r"\s+ORDER\s+BY\s+(.+)$",
-    re.I | re.S,
-)
-
-
-def _rewrite_distinct_on(sql: str) -> str:
-    m = _DISTINCT_ON.match(sql.strip())
-    if not m:
-        return sql
-    keys, proj, rel, order = (g.strip() for g in m.groups())
-    return (
-        f"SELECT {proj} FROM (SELECT *, row_number() OVER "
-        f"(PARTITION BY {keys} ORDER BY {order}) AS __mz_rn FROM {rel}) "
-        f"WHERE __mz_rn = 1"
-    )
+    if not (len(pieces) > 4 and is_kw(pieces[0], "SELECT")
+            and is_kw(pieces[1], "DISTINCT") and is_kw(pieces[2], "ON")
+            and pieces[3][0] == "GROUP"):
+        return pieces
+    keys = pieces[3][1][1:-1]
+    try:
+        from_i = next(i for i, p in enumerate(pieces) if is_kw(p, "FROM"))
+        order_i = next(i for i, p in enumerate(pieces)
+                       if is_kw(p, "ORDER") and i + 1 < len(pieces)
+                       and is_kw(pieces[i + 1], "BY") and i > from_i)
+    except StopIteration:
+        return pieces
+    proj = _join(pieces[4:from_i])
+    rel = _join(pieces[from_i + 1:order_i])
+    order = _join(pieces[order_i + 2:])
+    return [("GROUP",
+             f"SELECT {proj} FROM (SELECT *, row_number() OVER "
+             f"(PARTITION BY {keys} ORDER BY {order}) AS __mz_rn "
+             f"FROM {rel}) WHERE __mz_rn = 1")]
 
 
 def rewrite(sql: str) -> str:
     """Rewrite one PG-dialect statement into Spark SQL."""
-    sql = _rewrite_json_arrows(sql)
-    segs = _split_literals(sql)
-    sql = "".join(s if lit else _rewrite_code(s) for lit, s in segs)
-    sql = _rewrite_distinct_on(sql)
-    return sql
+    try:
+        toks = tokens(sql, lenient=True)[:-1]   # drop EOF
+    except LexError:
+        # Unterminated literal/comment: pass through verbatim and let
+        # Catalyst report the syntax error with its own message.
+        return sql
+    return _rewrite_slice(toks)

@@ -76,8 +76,13 @@ _WORD_CONT = _WORD_START | set("0123456789$")
 _DIGITS = set("0123456789")
 
 
-def tokens(sql: str) -> list[Token]:
-    """Tokenize one statement (or script) — always ends with an EOF token."""
+def tokens(sql: str, lenient: bool = False) -> list[Token]:
+    """Tokenize one statement (or script) — always ends with an EOF token.
+
+    ``lenient=True`` turns unknown characters into single-char OP tokens
+    instead of raising — for consumers (the dialect rewriter) that must
+    pass anything they don't understand through to Catalyst verbatim.
+    Unterminated strings/comments still raise in both modes."""
     out: list[Token] = []
     i, n = 0, len(sql)
     while i < n:
@@ -117,13 +122,13 @@ def tokens(sql: str) -> list[Token]:
             out.append(Token("STRING", sql[i:j + 1], i, j + 1))
             i = j + 1
             continue
-        if ch == '"':
+        if ch in '"`':   # PG-style and Spark-style quoted identifiers
             j = i + 1
             while True:
-                j = sql.find('"', j)
+                j = sql.find(ch, j)
                 if j < 0:
                     raise LexError("unterminated quoted identifier", i)
-                if j + 1 < n and sql[j + 1] == '"':
+                if j + 1 < n and sql[j + 1] == ch:
                     j += 2
                     continue
                 break
@@ -187,7 +192,10 @@ def tokens(sql: str) -> list[Token]:
                 i += len(op)
                 break
         else:
-            raise LexError(f"unexpected character {ch!r}", i)
+            if not lenient:
+                raise LexError(f"unexpected character {ch!r}", i)
+            out.append(Token("OP", ch, i, i + 1))
+            i += 1
     out.append(Token("EOF", "", n, n))
     return out
 

@@ -160,3 +160,50 @@ def test_parse_prepare_execute_params():
     e = parse_statement("EXECUTE q ('x, y', 2)")
     assert isinstance(e, ast.Execute)
     assert e.args == ["'x, y'", "2"]  # comma inside the literal survives
+
+
+# -- dialect rewriter (token-based) robustness ------------------------------
+
+def test_rewrite_arrow_inside_literal_untouched():
+    from materialize_spark.plans.dialect import rewrite
+
+    # the old regex rewriter ran the json-arrow rewrite on raw text and
+    # would corrupt a '->' inside a string literal
+    out = rewrite("SELECT 'a -> b' AS s, props ->> 'k' FROM t")
+    assert "'a -> b'" in out
+    assert "get_json_object(props, '$.k')" in out
+
+
+def test_rewrite_cast_of_nested_parens():
+    from materialize_spark.plans.dialect import rewrite
+
+    out = rewrite("SELECT (a + f(b, (c - d)))::int8 FROM t")
+    # whitespace is insignificant to Catalyst; compare modulo spaces
+    assert out.replace(" ", "") == "SELECTCAST((a+f(b,(c-d)))ASBIGINT)FROMt"
+
+
+def test_rewrite_cast_parameterized_type():
+    from materialize_spark.plans.dialect import rewrite
+
+    assert rewrite("x::decimal(12,2)") == "CAST(x AS decimal(12, 2))"
+
+
+def test_rewrite_json_array_index():
+    from materialize_spark.plans.dialect import rewrite
+
+    assert rewrite("j -> 0") == "get_json_object(j, '$[0]')"
+
+
+def test_rewrite_distinct_on_in_subquery():
+    from materialize_spark.plans.dialect import rewrite
+
+    out = rewrite("SELECT n FROM (SELECT DISTINCT ON (k) n FROM t "
+                  "ORDER BY k, v DESC) q")
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+
+
+def test_rewrite_comment_stripped():
+    from materialize_spark.plans.dialect import rewrite
+
+    out = rewrite("SELECT a::int4 -- cast ::int8 here\nFROM t")
+    assert "CAST(a AS INT)" in out and "int8" not in out
