@@ -106,6 +106,34 @@ def ensure_session_confs(spark: SparkSession) -> None:
         pass
 
 
+# Confs that mean "nobody tuned this": Spark's default, our session-factory
+# default, and the driver's SPARK_GRAFT_CPUS-derived value. Anything else is
+# an explicit caller choice and is left alone by scale_shuffle_partitions.
+def _untouched_shuffle_settings() -> set[str]:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return {"200", "32", str(cpus)} if cpus else {"200", "32"}
+
+
+def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
+    """Size post-shuffle parallelism to the data actually attached.
+
+    Fixed per-task overhead dominates when reducers hold a few MB each, so
+    target ~64 MiB of input per post-shuffle partition, floored at 8 (keep
+    some parallelism even for toy inputs) and capped at 4096 (at that point
+    AQE coalescing — always on, see _RUNTIME_CONFS — owns the decision; the
+    reference sizes its dataflow shards the same way, by data not by a
+    constant). Only applies over default/untuned settings.
+    """
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") \
+                not in _untouched_shuffle_settings():
+            return
+        target = max(8, min(total_bytes // (64 << 20), 4096))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    except Exception:
+        pass
+
+
 class LazyTables(MutableMapping):
     """Per-table lazy loader: a query only reads (and registers a temp view
     for) the tables it actually touches, so e.g. a TPC-H query can never be
@@ -122,6 +150,9 @@ class LazyTables(MutableMapping):
             if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
         ]
         ensure_session_confs(spark)
+        scale_shuffle_partitions(spark, sum(
+            _on_disk_bytes(os.path.join(sf_dir, f"{n}.parquet"))
+            for n in self._available))
 
     def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._sf_dir, f"{name}.parquet")
