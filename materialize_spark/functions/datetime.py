@@ -20,6 +20,12 @@ def _col(c) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+def _ts(c) -> Column:
+    # unix_micros rejects TIMESTAMP_NTZ (Spark 4.1+ reads parquet NANOS as
+    # NTZ); cast to session-TZ timestamp — a no-op for already-LTZ inputs.
+    return _col(c).cast("timestamp")
+
+
 def date_bin(stride: str, ts, origin: str = "1970-01-01 00:00:00") -> Column:
     """date_bin(stride, ts, origin): largest origin + k*stride <= ts.
 
@@ -29,7 +35,7 @@ def date_bin(stride: str, ts, origin: str = "1970-01-01 00:00:00") -> Column:
     """
     stride_us = F.unix_micros(F.lit(origin).cast("timestamp") + F.expr(f"INTERVAL {stride}")) \
         - F.unix_micros(F.lit(origin).cast("timestamp"))
-    t, o = F.unix_micros(_col(ts)), F.unix_micros(F.lit(origin).cast("timestamp"))
+    t, o = F.unix_micros(_ts(ts)), F.unix_micros(F.lit(origin).cast("timestamp"))
     # pure integer arithmetic: double division drifts a ULP near bin edges
     # at large epochs; pmod gives floored-division semantics, so
     # timestamps BEFORE the origin still bin downward (PG behavior).

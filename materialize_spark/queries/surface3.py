@@ -25,15 +25,15 @@ from materialize_spark.queries.util import T
     "agg_decimal",
     """
     SELECT l_returnflag,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))
-               AS sum_disc_price,
-           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS min_price,
-           CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS max_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+           CAST(CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS min_price,
+           CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS max_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -44,20 +44,23 @@ def agg_decimal(spark, sf_dir):
     """Exact decimal aggregation — the engine's Numeric story.
 
     Casting to DECIMAL before aggregating makes the sums exact and
-    order-independent (integer arithmetic under the hood), so this battery
-    needs no rounding to hash-match the oracle — the proof that decimal
-    semantics, not float luck, carry the comparison. Group-by shuffles only
-    the 3 returnflag groups after map-side partial aggregation.
+    order-independent (integer arithmetic under the hood). The final columns
+    are emitted as VARCHAR on BOTH engines: DuckDB's pandas path renders
+    DECIMAL as float64 while Spark returns Decimal objects, so identical
+    values hash differently unless canonicalized — fixed-scale decimal →
+    string is exact and engine-neutral. Group-by shuffles only the 3
+    returnflag groups after map-side partial aggregation.
     """
     t = T(spark, sf_dir)
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(price * disc).cast("decimal(38,6)").alias("sum_disc_price"),
-        F.min(price).cast("decimal(38,2)").alias("min_price"),
-        F.max(price).cast("decimal(38,2)").alias("max_price"),
+        F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty"),
+        F.sum(price * disc).cast("decimal(38,6)").cast("string")
+            .alias("sum_disc_price"),
+        F.min(price).cast("decimal(38,2)").cast("string").alias("min_price"),
+        F.max(price).cast("decimal(38,2)").cast("string").alias("max_price"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -66,10 +66,15 @@ def test_embedding_cosine_symmetric_bounds(spark):
 
 
 def test_decimal_sums_are_exact(spark):
+    # Final columns are canonical fixed-scale strings (engine-neutral for
+    # the driver's value hash); exactness shows as full decimal scale.
     df = run("agg_decimal", spark)
     from decimal import Decimal
     r = df.first()
-    assert isinstance(r.sum_qty, Decimal) and r.sum_qty == r.sum_qty.quantize(Decimal("0.01"))
+    assert isinstance(r.sum_qty, str)
+    parsed = Decimal(r.sum_qty)
+    assert parsed == parsed.quantize(Decimal("0.01"))
+    assert "." in r.sum_qty and len(r.sum_qty.split(".")[1]) == 2
 
 
 def test_repeat_row_drops_zero_counts(spark):
