@@ -49,7 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
     LLM-pipeline, SQL front-end) instead of front-loading one family."""
     from materialize_spark.queries import (  # noqa: F401
         tpch, tpch2, relational, scalars, events, pipeline, sqlfront,
-        collections, surface2, surface3, surface4, ivm_queries,
+        collections, surface2, surface3, surface4, surface5, ivm_queries,
     )
     # The driver harness evaluates only the first ~50 registry entries, so
     # this prefix is a deliberate set cover: at least one representative per

@@ -1,0 +1,221 @@
+"""Fifth surface wave: PG-compat builtins the round-3 review flagged as the
+top coverage gap — to_char, justify_days/hours/interval,
+regexp_split_to_array/to_table, encode/decode, digest.
+
+Reference parity: ToCharTimestamp (src/expr/src/scalar/func.rs:157,1740),
+JustifyDays/JustifyHours/JustifyInterval (func.rs unary interval funcs),
+RegexpSplitToArray + Encode/Decode/Digest
+(src/expr/src/scalar/func/variadic.rs). Names and semantics follow the
+catalog surface in /root/reference/src/sql/src/func.rs (PG_CATALOG_BUILTINS).
+
+All batteries are pure column expressions (whole-stage codegen); hmac —
+the one non-JVM function — is exercised in pytest with RFC 4231 vectors
+(DuckDB cannot compute it either, so there is no meaningful oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from materialize_spark.functions.pgcompat import (
+    digest,
+    encode,
+    justify_days,
+    justify_hours,
+    justify_interval,
+    regexp_split_to_table,
+    to_char,
+)
+from materialize_spark.queries import register
+from materialize_spark.queries.util import T
+
+# trunc-toward-zero integer division for the SQL oracle (DuckDB's // floors;
+# PG interval justification truncates).
+_TRUNC_DIV = "(CASE WHEN {n} < 0 THEN -1 ELSE 1 END * CAST(trunc(abs({n}) / {d}) AS BIGINT))"
+
+
+@register(
+    "scalar_to_char",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')       AS iso_day,
+           strftime(o_orderdate, '%d %b %Y')       AS pretty_day,
+           strftime(o_orderdate, '%a')             AS dow_abbrev,
+           strftime(o_orderdate, '%j')             AS day_of_year,
+           CAST(quarter(o_orderdate) AS VARCHAR)   AS qtr
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    "scalar", "to_char", "datetime",
+)
+def scalar_to_char(spark, sf_dir):
+    """to_char over the supported PG token set (func.rs ToCharTimestamp).
+
+    The oracle uses DuckDB's strftime with the equivalent C99 patterns —
+    same rendered text, which is exactly what to_char is for.
+    """
+    t = T(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            to_char(d, "YYYY-MM-DD").alias("iso_day"),
+            to_char(d, "DD Mon YYYY").alias("pretty_day"),
+            to_char(d, "Dy").alias("dow_abbrev"),
+            to_char(d, "DDD").alias("day_of_year"),
+            to_char(d, "Q").alias("qtr"),
+        )
+    )
+
+
+def _justify_oracle() -> str:
+    td_us = _TRUNC_DIV.format(n="us0", d=86400000000)
+    td_d = _TRUNC_DIV.format(n="d0", d=30)
+    # justify_interval: carry hours->days->months, then PG sign
+    # normalization (borrow a unit downward when component signs disagree
+    # with the leading component) — mirrors pgcompat.justify_interval.
+    return f"""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_suppkey % 25 - 12 AS BIGINT)  AS m0,
+               CAST(l_partkey % 100 - 50 AS BIGINT) AS d0,
+               CAST((l_orderkey % 90000 - 45000) AS BIGINT) * 1000000 AS us0
+        FROM lineitem WHERE l_orderkey <= 1000
+    ), jh AS (
+        SELECT *, {td_us} AS hcarry FROM src
+    ), jd AS (
+        SELECT *, {td_d} AS dcarry FROM jh
+    ), ji0 AS (
+        SELECT *,
+               d0 + hcarry AS ji_d2,
+               us0 - hcarry * 86400000000 AS ji_us2
+        FROM jd
+    ), ji1 AS (
+        SELECT *,
+               m0 + {_TRUNC_DIV.format(n="ji_d2", d=30)} AS ji_m2,
+               ji_d2 - {_TRUNC_DIV.format(n="ji_d2", d=30)} * 30 AS ji_d3
+        FROM ji0
+    ), ji2 AS (
+        SELECT *,
+            CASE WHEN ji_m2 > 0 AND (ji_d3 < 0 OR (ji_d3 = 0 AND ji_us2 < 0))
+                 THEN ji_m2 - 1 ELSE ji_m2 END AS ji_m3,
+            CASE WHEN ji_m2 > 0 AND (ji_d3 < 0 OR (ji_d3 = 0 AND ji_us2 < 0))
+                 THEN ji_d3 + 30 ELSE ji_d3 END AS ji_d4
+        FROM ji1
+    ), ji3 AS (
+        SELECT *,
+            CASE WHEN ji_m2 < 0 AND (ji_d4 > 0 OR (ji_d4 = 0 AND ji_us2 > 0))
+                 THEN ji_m3 + 1 ELSE ji_m3 END AS ji_m4,
+            CASE WHEN ji_m2 < 0 AND (ji_d4 > 0 OR (ji_d4 = 0 AND ji_us2 > 0))
+                 THEN ji_d4 - 30 ELSE ji_d4 END AS ji_d5
+        FROM ji2
+    ), ji4 AS (
+        SELECT *,
+            CASE WHEN ji_d5 > 0 AND ji_us2 < 0 THEN ji_d5 - 1 ELSE ji_d5 END AS ji_d6,
+            CASE WHEN ji_d5 > 0 AND ji_us2 < 0 THEN ji_us2 + 86400000000 ELSE ji_us2 END AS ji_us3
+        FROM ji3
+    ), ji5 AS (
+        SELECT *,
+            CASE WHEN ji_d6 < 0 AND ji_us3 > 0 THEN ji_d6 + 1 ELSE ji_d6 END AS ji_d7,
+            CASE WHEN ji_d6 < 0 AND ji_us3 > 0 THEN ji_us3 - 86400000000 ELSE ji_us3 END AS ji_us4
+        FROM ji4
+    )
+    SELECT l_orderkey, l_linenumber,
+           m0 AS jh_months, d0 + hcarry AS jh_days,
+           us0 - hcarry * 86400000000 AS jh_micros,
+           m0 + dcarry AS jd_months, d0 - dcarry * 30 AS jd_days,
+           us0 AS jd_micros,
+           ji_m4 AS ji_months, ji_d7 AS ji_days, ji_us4 AS ji_micros
+    FROM ji5
+    """
+
+
+@register(
+    "scalar_justify_interval",
+    _justify_oracle(),
+    "scalar", "interval", "justify",
+)
+def scalar_justify_interval(spark, sf_dir):
+    """justify_hours/days/interval over signed synthetic intervals derived
+    from lineitem keys (covers carry, truncation-toward-zero, and the
+    sign-normalization borrows of func.rs JustifyInterval)."""
+    t = T(spark, sf_dir)
+    li = (
+        t.lineitem.filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_suppkey") % 25 - 12).cast("long").alias("m0"),
+            (F.col("l_partkey") % 100 - 50).cast("long").alias("d0"),
+            ((F.col("l_orderkey") % 90000 - 45000).cast("long")
+             * 1_000_000).alias("us0"),
+        )
+    )
+    jh = justify_hours("m0", "d0", "us0")
+    jd = justify_days("m0", "d0", "us0")
+    ji = justify_interval("m0", "d0", "us0")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        jh.months.alias("jh_months"), jh.days.alias("jh_days"),
+        jh.micros.alias("jh_micros"),
+        jd.months.alias("jd_months"), jd.days.alias("jd_days"),
+        jd.micros.alias("jd_micros"),
+        ji.months.alias("ji_months"), ji.days.alias("ji_days"),
+        ji.micros.alias("ji_micros"),
+    )
+
+
+@register(
+    "scalar_encode_digest",
+    """
+    SELECT c_custkey,
+           base64(CAST(c_name AS BLOB))                       AS b64,
+           lower(hex(CAST(c_name AS BLOB)))                   AS hexed,
+           CAST(from_base64(base64(CAST(c_name AS BLOB))) AS VARCHAR)
+                                                              AS b64_roundtrip,
+           md5(c_name)                                        AS md5_hex,
+           sha256(c_name)                                     AS sha256_hex
+    FROM customer WHERE c_custkey <= 1000
+    """,
+    "scalar", "encode", "digest", "pgcrypto",
+)
+def scalar_encode_digest(spark, sf_dir):
+    """encode/decode (base64, hex) + digest (md5, sha256) — variadic.rs
+    Encode/Decode/Digest. All JVM builtins; lowercase-hex canonical form on
+    both engines."""
+    t = T(spark, sf_dir)
+    name = F.col("c_name")
+    return (
+        t.customer.filter(F.col("c_custkey") <= 1000)
+        .select(
+            "c_custkey",
+            encode(name, "base64").alias("b64"),
+            encode(name, "hex").alias("hexed"),
+            F.decode(F.unbase64(encode(name, "base64")), "UTF-8")
+                .alias("b64_roundtrip"),
+            digest(name, "md5").alias("md5_hex"),
+            digest(name, "sha256").alias("sha256_hex"),
+        )
+    )
+
+
+@register(
+    "tablefunc_regexp_split",
+    """
+    SELECT c_custkey, piece
+    FROM (
+        SELECT c_custkey,
+               unnest(regexp_split_to_array(c_name, '[#_]+')) AS piece
+        FROM customer WHERE c_custkey <= 1000
+    )
+    """,
+    "tablefunc", "regexp_split",
+)
+def tablefunc_regexp_split(spark, sf_dir):
+    """regexp_split_to_table (variadic.rs RegexpSplitToArray + FlatMap) —
+    one row per split piece; interior empty fields kept, PG-style."""
+    t = T(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey",
+                regexp_split_to_table("c_name", "[#_]+").alias("piece"))
+    )

@@ -1,0 +1,108 @@
+"""PG-compat builtins: to_char pattern translation, justify_* semantics
+(PG-verified expectations), hmac RFC-4231 vectors, encode/decode roundtrips.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from materialize_spark.functions import pgcompat as P
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_to_char_pattern_translation():
+    assert P._translate_pg_format("YYYY-MM-DD") == "yyyy-MM-dd"
+    assert P._translate_pg_format("HH24:MI:SS") == "HH:mm:ss"
+    assert P._translate_pg_format("DD Mon YYYY") == "dd MMM yyyy"
+    # literal pattern letters get quoted
+    assert P._translate_pg_format("YYYYT") == "yyyy'T'"
+
+
+def test_to_char_values(spark):
+    df = spark.sql("SELECT TIMESTAMP '1997-06-09 15:04:05' AS ts")
+    row = df.select(
+        P.to_char("ts", "YYYY-MM-DD HH24:MI:SS").alias("a"),
+        P.to_char("ts", "Dy DD Mon YYYY").alias("b"),
+        P.to_char("ts", "Q").alias("q"),
+        P.to_char("ts", "DDD").alias("doy"),
+        P.to_char("ts", "HH12 PM").alias("ampm"),
+    ).first()
+    assert row.a == "1997-06-09 15:04:05"
+    assert row.b == "Mon 09 Jun 1997"
+    assert row.q == "2"
+    assert row.doy == "160"
+    assert row.ampm == "03 PM"
+
+
+@pytest.mark.parametrize("m,d,us,exp", [
+    # justify_hours('27:00') = '1 day 03:00' (PG)
+    (0, 0, 27 * 3_600_000_000, (0, 1, 3 * 3_600_000_000)),
+    # negative truncates toward zero: '-27:00' -> '-1 day -03:00'
+    (0, 0, -27 * 3_600_000_000, (0, -1, -3 * 3_600_000_000)),
+])
+def test_justify_hours(spark, m, d, us, exp):
+    c = P.justify_hours(F.lit(m), F.lit(d), F.lit(us))
+    r = _one(spark, c)
+    assert (r.months, r.days, r.micros) == exp
+
+
+def test_justify_days(spark):
+    r = _one(spark, P.justify_days(F.lit(0), F.lit(35), F.lit(0)))
+    assert (r.months, r.days, r.micros) == (1, 5, 0)
+    r = _one(spark, P.justify_days(F.lit(0), F.lit(-35), F.lit(0)))
+    assert (r.months, r.days, r.micros) == (-1, -5, 0)
+
+
+def test_justify_interval_sign_normalization(spark):
+    # PG: justify_interval('1 mon -1 hour') = '29 days 23:00:00'
+    r = _one(spark, P.justify_interval(F.lit(1), F.lit(0),
+                                       F.lit(-3_600_000_000)))
+    assert (r.months, r.days, r.micros) == (0, 29, 23 * 3_600_000_000)
+    # carry chain: 1 mon 35 days 49 hours -> 2 mon 7 days 1 hour
+    r = _one(spark, P.justify_interval(F.lit(1), F.lit(35),
+                                       F.lit(49 * 3_600_000_000)))
+    assert (r.months, r.days, r.micros) == (2, 7, 3_600_000_000)
+
+
+def test_encode_decode_roundtrip(spark):
+    df = spark.sql("SELECT 'Customer#000001' AS s")
+    row = df.select(
+        P.encode("s", "base64").alias("b64"),
+        P.encode("s", "hex").alias("hx"),
+        F.decode(P.decode(P.encode("s", "base64"), "base64"), "UTF-8").alias("rt"),
+    ).first()
+    import base64
+    assert row.b64 == base64.b64encode(b"Customer#000001").decode()
+    assert row.hx == b"Customer#000001".hex()
+    assert row.rt == "Customer#000001"
+
+
+def test_digest_known_values(spark):
+    df = spark.sql("SELECT 'abc' AS s")
+    row = df.select(
+        P.digest("s", "md5").alias("m"),
+        P.digest("s", "sha1").alias("s1"),
+        P.digest("s", "sha256").alias("s2"),
+        P.digest("s", "sha512").alias("s5"),
+    ).first()
+    import hashlib
+    assert row.m == hashlib.md5(b"abc").hexdigest()
+    assert row.s1 == hashlib.sha1(b"abc").hexdigest()
+    assert row.s2 == hashlib.sha256(b"abc").hexdigest()
+    assert row.s5 == hashlib.sha512(b"abc").hexdigest()
+
+
+def test_hmac_rfc4231_vector(spark):
+    # RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
+    df = spark.sql("SELECT 'what do ya want for nothing?' AS s")
+    got = df.select(P.hmac("s", "Jefe", "sha256").alias("h")).first().h
+    assert got == ("5bdcc146bf60754e6a042426089575c7"
+                   "5a003f089d2739839dec58b964ec3843")
+
+
+def test_regexp_split_keeps_interior_empties(spark):
+    df = spark.sql("SELECT 'a,,b' AS s")
+    arr = df.select(P.regexp_split_to_array("s", ",").alias("a")).first().a
+    assert arr == ["a", "", "b"]
