@@ -192,3 +192,46 @@ def test_incremental_dedup_across_batches(spark):
     assert out2 == {5}  # 4 duplicates batch-1 content; 6 duplicates 5
     dups = {(r.canonical_id, r.n_seen) for r in d.duplicates().collect()}
     assert dups == {(1, 3), (5, 2)}
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming F.session_window sessions == batch gaps-and-islands
+    (queries/events.py window_session semantics) on the same data."""
+    from materialize_spark.streaming.sessions import session_window_agg
+
+    events = load_tables(spark, SF_DIR)["events"].filter(F.col("user_id") <= 10)
+    src = str(tmp_path / "sess_src")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sess = session_window_agg(
+        stream, ts_col="ts", gap="30 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 4).alias("total_value")])
+    q = (sess.writeStream.format("memory").queryName("sessions_out")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt")).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT user_id, CAST(session_start AS STRING), n_events, total_value "
+        "FROM sessions_out").collect()))
+
+    # batch oracle: gaps-and-islands with the same 30-minute gap
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ordered = events.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                  >= 1800), 1).otherwise(0))
+    sessions = ordered.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    expected = sorted(map(tuple, (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.min("ts").cast("string").alias("session_start"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select("user_id", "session_start", "n_events", "total_value")
+    ).collect()))
+    assert got == expected
