@@ -133,6 +133,11 @@ def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
     reference sizes its dataflow shards the same way, by data not by a
     constant). Only applies over default/untuned settings.
     """
+    # Note on AQE: measured at sf0.1, disabling it below ~1 GiB saves a few
+    # percent on flat plans but costs the same on the one fact-by-fact SMJ
+    # query — inside run-to-run noise both ways. It stays always-on: the
+    # stage-barrier cost is bounded, and at 100 TB runtime re-planning
+    # (skew splits, partition coalescing) is load-bearing.
     try:
         if spark.conf.get("spark.sql.shuffle.partitions") \
                 not in _untouched_shuffle_settings():
@@ -182,8 +187,19 @@ class LazyTables(MutableMapping):
                 # naive timestamps give the oracle side.
                 df = df.withColumn(f.name, SQLF.col(f.name).cast("timestamp"))
         # Arrange in memory when under budget (lazy: first use materializes;
-        # exact same rows, so correctness paths are unaffected).
-        if 0 < _on_disk_bytes(path) <= ARRANGE_BYTES:
+        # exact same rows, so correctness paths are unaffected). Shard the
+        # arrangement across cores: parquet files at small SF come out as
+        # 1-3 input splits, which serializes every later scan of the cache
+        # (measured 2.2x on a lineitem scan-agg at sf0.1: 3 -> 16 shards).
+        # Target ~4 MiB on-disk per shard, capped at core count — the same
+        # data-not-constant sizing as scale_shuffle_partitions, and the
+        # analog of the reference sharding arrangements across workers.
+        size = _on_disk_bytes(path)
+        if 0 < size <= ARRANGE_BYTES:
+            cores = self._spark.sparkContext.defaultParallelism
+            shards = max(1, min(size // (4 << 20), cores))
+            if shards > df.rdd.getNumPartitions():
+                df = df.repartition(shards)
             df = df.persist()
         if self._register:
             df.createOrReplaceTempView(name)
