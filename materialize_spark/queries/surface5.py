@@ -219,3 +219,74 @@ def tablefunc_regexp_split(spark, sf_dir):
         .select("c_custkey",
                 regexp_split_to_table("c_name", "[#_]+").alias("piece"))
     )
+
+
+@register(
+    "scalar_pg_compat3",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < -1000.0 THEN 0
+                WHEN c_acctbal >= 10000.0 THEN 21
+                ELSE CAST(floor((c_acctbal - (-1000.0))
+                                / ((10000.0 - (-1000.0)) / 20.0)) AS BIGINT) + 1
+           END                                         AS bal_bucket,
+           substr(c_name, 1, 2) || 'XXX' || substr(c_name, 7)
+                                                       AS name_masked,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+                                                       AS seg_initcap,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER))   AS letter,
+           CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS first_ascii,
+           repeat('ab', CAST(c_custkey % 4 AS INTEGER)) AS repeated,
+           reverse(c_mktsegment)                        AS seg_rev,
+           CAST(bit_length(c_name) AS BIGINT)           AS name_bits,
+           left(c_name, 9)                              AS name_l,
+           right(c_name, 4)                             AS name_r,
+           translate(c_name, '#0', '-x')                AS name_trans,
+           CAST(strpos(c_name, '#') AS BIGINT)          AS hash_pos,
+           starts_with(c_name, 'Customer')              AS is_cust,
+           CAST(array_position(string_to_array(c_name, '#'),
+                               right(c_name, 9)) AS BIGINT) AS num_part_idx,
+           printf('%s:%05d', c_mktsegment, CAST(c_custkey AS INTEGER))
+                                                        AS fmt
+    FROM customer WHERE c_custkey <= 1000
+    """,
+    "scalar", "pg-compat",
+)
+def scalar_pg_compat3(spark, sf_dir):
+    """Third PG-compat scalar battery: width_bucket, overlay, initcap,
+    chr/ascii, repeat/reverse, bit_length, left/right, translate, strpos,
+    starts_with, string_to_array + array_position, format.
+
+    Reference: the pg_catalog builtin surface
+    (/root/reference/src/sql/src/func.rs PG_CATALOG_BUILTINS). Where DuckDB
+    lacks the builtin (width_bucket, overlay, initcap) the oracle states
+    the defining formula instead — same output, independent derivation.
+    All columns are JVM builtins (whole-stage codegen)."""
+    t = T(spark, sf_dir)
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return (
+        t.customer.filter(F.col("c_custkey") <= 1000)
+        .select(
+            "c_custkey",
+            F.width_bucket(F.col("c_acctbal"), F.lit(-1000.0),
+                           F.lit(10000.0), F.lit(20)).alias("bal_bucket"),
+            F.overlay(name, F.lit("XXX"), F.lit(3), F.lit(4))
+                .alias("name_masked"),
+            F.initcap(F.lower(seg)).alias("seg_initcap"),
+            F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("letter"),
+            F.ascii(F.substring(name, 1, 1)).cast("long").alias("first_ascii"),
+            F.repeat(F.lit("ab"), (F.col("c_custkey") % 4).cast("int"))
+                .alias("repeated"),
+            F.reverse(seg).alias("seg_rev"),
+            F.bit_length(name).cast("long").alias("name_bits"),
+            F.left(name, F.lit(9)).alias("name_l"),
+            F.right(name, F.lit(4)).alias("name_r"),
+            F.translate(name, "#0", "-x").alias("name_trans"),
+            F.instr(name, "#").cast("long").alias("hash_pos"),
+            F.startswith(name, F.lit("Customer")).alias("is_cust"),
+            F.array_position(F.split(name, "#"), F.right(name, F.lit(9)))
+                .cast("long").alias("num_part_idx"),
+            F.format_string("%s:%05d", seg, F.col("c_custkey").cast("int"))
+                .alias("fmt"),
+        )
+    )
