@@ -64,3 +64,49 @@ def jsonb_strip_nulls(js, value_type: str = "int") -> Column:
     return F.to_json(F.map_filter(
         F.from_json(_col(js), f"map<string,{value_type}>"),
         lambda _k, v: v.isNotNull()))
+
+
+# -- mutation operators (flat objects) --------------------------------------
+# Reference: jsonb_set / jsonb_build_object / `||` / `-` operators
+# (src/expr/src/scalar/func/binary.rs JsonbConcat/JsonbDeleteString,
+# src/sql/src/func.rs jsonb_build_object). The engine's jsonb carrier is
+# JSON text; these mutators cover the flat-object case (typed map payloads
+# like events.props) — nested *reads* go through jsonb_get paths. Output is
+# canonical: keys sorted, no whitespace — PG jsonb's own normal form, and
+# what makes results engine-comparable.
+
+def _obj_map(js, value_type: str) -> Column:
+    return F.from_json(_col(js), f"map<string,{value_type}>")
+
+
+def jsonb_canonical(m) -> Column:
+    """Serialize a map column as key-sorted compact JSON (jsonb normal
+    form). array_sort on struct entries orders by key first."""
+    return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m))))
+
+
+def jsonb_set(js, key: str, value, value_type: str = "bigint") -> Column:
+    """jsonb_set(obj, '{key}', value) for flat objects: upsert the field,
+    emit canonical form."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    patch = F.create_map(F.lit(key), v.cast(value_type))
+    return jsonb_canonical(
+        F.map_concat(
+            F.map_filter(_obj_map(js, value_type), lambda k, _v: k != F.lit(key)),
+            patch))
+
+
+def jsonb_delete(js, key: str, value_type: str = "bigint") -> Column:
+    """PG `jsonb - 'key'`: drop the field, canonical output."""
+    return jsonb_canonical(
+        F.map_filter(_obj_map(js, value_type), lambda k, _v: k != F.lit(key)))
+
+
+def jsonb_concat(a, b, value_type: str = "bigint") -> Column:
+    """PG `jsonb || jsonb` for flat objects: right side wins on key
+    collisions (map_concat keeps the last duplicate under
+    spark.sql.mapKeyDedupPolicy=LAST_WIN; enforce by pre-filtering)."""
+    bm = _obj_map(b, value_type)
+    am = F.map_filter(_obj_map(a, value_type),
+                      lambda k, _v: ~F.array_contains(F.map_keys(bm), k))
+    return jsonb_canonical(F.map_concat(am, bm))

@@ -290,3 +290,46 @@ def scalar_pg_compat3(spark, sf_dir):
                 .alias("fmt"),
         )
     )
+
+
+@register(
+    "jsonb_mutation",
+    """
+    SELECT event_id,
+           '{"k":' || k || ',"v":' || k * 2 || '}'  AS set_v,
+           '{}'                                      AS del_k,
+           '{"k":' || k || ',"m":1}'                 AS concat_m,
+           '{"e":"' || event_type || '","k":' || k || '}' AS built,
+           '{"k":' || k || '}'                       AS stripped
+    FROM (
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id <= 2000
+    )
+    """,
+    "jsonb", "mutation",
+)
+def jsonb_mutation(spark, sf_dir):
+    """jsonb_set / `- key` / `||` / jsonb_build_object / jsonb_strip_nulls
+    over the events.props payloads, all in jsonb canonical form (sorted
+    keys, no whitespace). The oracle constructs the expected documents by
+    string concatenation — an independent derivation of the same canonical
+    form (binary.rs JsonbConcat/JsonbDeleteString parity)."""
+    from materialize_spark.functions.jsonb import (
+        jsonb_concat, jsonb_delete, jsonb_get, jsonb_set, jsonb_strip_nulls,
+    )
+    t = T(spark, sf_dir)
+    k = jsonb_get("props", "k").cast("long")
+    with_null = F.concat(F.lit('{"a":null,"k":'), k.cast("string"), F.lit("}"))
+    built = F.to_json(F.struct(F.col("event_type").alias("e"), k.alias("k")))
+    return (
+        t.events.filter(F.col("event_id") <= 2000)
+        .select(
+            "event_id",
+            jsonb_set("props", "v", k * 2).alias("set_v"),
+            jsonb_delete("props", "k").alias("del_k"),
+            jsonb_concat("props", F.lit('{"m":1}')).alias("concat_m"),
+            built.alias("built"),
+            jsonb_strip_nulls(with_null, "bigint").alias("stripped"),
+        )
+    )
