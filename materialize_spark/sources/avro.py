@@ -1,0 +1,186 @@
+"""FORMAT AVRO for flat records, without the spark-avro package.
+
+Reference: AvroEncoding + CSR integration
+(/root/reference/src/storage-types/src/sources/encoding.rs:95-102; Confluent
+wire framing in the reference's avro decode path). The sandbox ships neither
+the spark-avro JAR nor fastavro, so this module implements the Avro 1.11
+binary spec (public: avro.apache.org/docs/current/specification) directly
+for the case that covers the overwhelming majority of Kafka topics: a
+top-level record of primitive / nullable-primitive fields.
+
+Decode runs as mapInPandas — Arrow batches in, one Python loop per record
+batch (the same slow-path budget the engine grants other non-JVM codecs);
+when a real spark-avro is on the classpath, prefer `from_avro` and keep
+this as the fallback. Encode exists for tests (round-trip proof) and for
+the file sink's snapshot format.
+
+Wire formats:
+- raw: Avro binary record, field order = schema order.
+- confluent: magic 0x00 + big-endian 4-byte schema id + Avro binary
+  (ENVELOPE ... FORMAT AVRO USING CONFLUENT SCHEMA REGISTRY framing).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType, DoubleType, FloatType, LongType, StringType, StructField,
+    StructType,
+)
+
+_PRIMITIVES = {"long", "int", "string", "double", "float", "boolean", "null",
+               "bytes"}
+
+
+# -- binary primitives (Avro spec §binary encoding) -------------------------
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _decode_value(typ, buf: bytes, pos: int):
+    if isinstance(typ, list):  # union — index then value
+        idx, pos = _zigzag_decode(buf, pos)
+        return _decode_value(typ[idx], buf, pos)
+    if typ in ("long", "int"):
+        return _zigzag_decode(buf, pos)
+    if typ == "string":
+        n, pos = _zigzag_decode(buf, pos)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if typ == "bytes":
+        n, pos = _zigzag_decode(buf, pos)
+        return bytes(buf[pos:pos + n]), pos + n
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    if typ == "null":
+        return None, pos
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def _encode_value(typ, v) -> bytes:
+    if isinstance(typ, list):
+        if v is None:
+            return _zigzag_encode(typ.index("null"))
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        return _zigzag_encode(branch) + _encode_value(typ[branch], v)
+    if typ in ("long", "int"):
+        return _zigzag_encode(int(v))
+    if typ == "string":
+        raw = v.encode("utf-8")
+        return _zigzag_encode(len(raw)) + raw
+    if typ == "bytes":
+        return _zigzag_encode(len(v)) + bytes(v)
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "null":
+        return b""
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+# -- schema handling --------------------------------------------------------
+
+def _fields(schema: dict) -> list[tuple[str, object]]:
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    out = []
+    for f in schema["fields"]:
+        t = f["type"]
+        base = [x for x in t if x != "null"] if isinstance(t, list) else [t]
+        for b in base:
+            if not isinstance(b, str) or b not in _PRIMITIVES:
+                raise ValueError(
+                    f"field {f['name']}: only primitive/nullable-primitive "
+                    f"fields supported, got {t!r}")
+        out.append((f["name"], t))
+    return out
+
+
+_SPARK_TYPES = {"long": LongType(), "int": LongType(), "string": StringType(),
+                "double": DoubleType(), "float": FloatType(),
+                "boolean": BooleanType()}
+
+
+def avro_spark_schema(schema_json: str) -> StructType:
+    schema = json.loads(schema_json)
+    fields = []
+    for name, typ in _fields(schema):
+        base = next(x for x in (typ if isinstance(typ, list) else [typ])
+                    if x != "null")
+        fields.append(StructField(name, _SPARK_TYPES[base], True))
+    return StructType(fields)
+
+
+def encode_record(schema_json: str, row: dict, *,
+                  wire: str = "raw", schema_id: int = 1) -> bytes:
+    """Encode one record (test/sink helper, driver-side)."""
+    schema = json.loads(schema_json)
+    payload = b"".join(_encode_value(t, row.get(n))
+                       for n, t in _fields(schema))
+    if wire == "confluent":
+        return b"\x00" + struct.pack(">I", schema_id) + payload
+    return payload
+
+
+def decode_avro_stream(df: DataFrame, value_col: str, schema_json: str, *,
+                       wire: str = "raw") -> DataFrame:
+    """Decode a binary Avro column into typed columns.
+
+    Works on batch and streaming frames (mapInPandas both). Prefer
+    spark-avro's from_avro when the JAR is present — this is the
+    no-dependency fallback with identical output schema.
+    """
+    schema = json.loads(schema_json)
+    fields = _fields(schema)
+    out_schema = avro_spark_schema(schema_json)
+    offset = 5 if wire == "confluent" else 0
+    other = [f for f in df.schema.fields if f.name != value_col]
+    full_schema = StructType(other + list(out_schema.fields))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[value_col]:
+                buf = bytes(raw)[offset:]
+                pos, rec = 0, {}
+                for name, typ in fields:
+                    rec[name], pos = _decode_value(typ, buf, pos)
+                rows.append(rec)
+            decoded = pd.DataFrame(rows, columns=[n for n, _ in fields])
+            rest = pdf[[f.name for f in other]].reset_index(drop=True)
+            yield pd.concat([rest, decoded], axis=1)
+
+    return df.mapInPandas(decode, schema=full_schema)
