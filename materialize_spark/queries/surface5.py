@@ -333,3 +333,103 @@ def jsonb_mutation(spark, sf_dir):
             jsonb_strip_nulls(with_null, "bigint").alias("stripped"),
         )
     )
+
+
+@register(
+    "window_session_native",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WHERE user_id <= 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    "window", "session", "native",
+)
+def window_session_native(spark, sf_dir):
+    """Spark's native F.session_window in BATCH, proven against a
+    gaps-and-islands SQL oracle — the same stateful operator the streaming
+    path uses (streaming/sessions.py), so a green row here certifies the
+    session semantics end to end. Note the >= gap split convention:
+    F.session_window merges events strictly closer than the gap.
+
+    Scale: one shuffle on user_id; the window-merge is the native
+    state-store session operator, no Python."""
+    t = T(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 50)
+    win = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(win, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                F.date_format(F.col("session_window.start"),
+                              "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events", "total_value")
+    )
+
+
+@register(
+    "array_functions2",
+    """
+    SELECT p_partkey,
+           array_to_string(list_concat(words, ['x', 'y']), '-')   AS cat_xy,
+           array_to_string([first_w, first_w, first_w], '-') AS filled,
+           array_to_string([CAST(i AS BIGINT) FOR i IN generate_series(1, len(words))
+                            IF words[i] = first_w], ',')          AS first_positions,
+           array_to_string(list_filter(words, w -> w != first_w), '-') AS removed,
+           array_to_string(list_transform(words,
+                w -> CASE WHEN w = first_w THEN 'REPL' ELSE w END), '-') AS replaced,
+           CAST(len(words) AS BIGINT)                             AS cardinality_v,
+           array_to_string(list_append(list_prepend('head', words), 'tail'), '-')
+                                                                  AS pre_app,
+           array_to_string(words[1:len(words)-1], '-')            AS trimmed
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words,
+                 string_split(p_name, ' ')[1] AS first_w
+          FROM part WHERE p_partkey <= 2000)
+    """,
+    "collections", "array", "pg-compat",
+)
+def array_functions2(spark, sf_dir):
+    """PG array builtins round 2: array_cat, array_fill, array_positions
+    (all occurrences of a value), array_remove, array_replace, cardinality,
+    array_prepend/append, trim_array (func.rs pg_catalog array family).
+    All JVM higher-order/array expressions; arrays canonicalized to joined
+    strings per the repo convention."""
+    t = T(spark, sf_dir)
+    df = (t.part.filter(F.col("p_partkey") <= 2000)
+          .select("p_partkey", F.split("p_name", " ").alias("words"))
+          .withColumn("first_w", F.element_at("words", 1)))
+    w, fw = F.col("words"), F.col("first_w")
+    positions = F.filter(
+        F.transform(w, lambda x, i: F.when(x == fw, i + 1)),
+        lambda p: p.isNotNull())
+    return df.select(
+        "p_partkey",
+        F.array_join(F.concat(w, F.array(F.lit("x"), F.lit("y"))), "-")
+            .alias("cat_xy"),
+        F.array_join(F.array_repeat(fw, 3), "-").alias("filled"),
+        F.array_join(positions.cast("array<string>"), ",")
+            .alias("first_positions"),
+        F.array_join(F.array_remove(w, fw), "-").alias("removed"),
+        F.array_join(
+            F.transform(w, lambda x: F.when(x == fw, F.lit("REPL"))
+                        .otherwise(x)), "-").alias("replaced"),
+        F.size(w).cast("long").alias("cardinality_v"),
+        F.array_join(
+            F.concat(F.array(F.lit("head")), w, F.array(F.lit("tail"))), "-")
+            .alias("pre_app"),
+        F.array_join(F.slice(w, 1, F.size(w) - 1), "-").alias("trimmed"),
+    )
