@@ -433,3 +433,64 @@ def array_functions2(spark, sf_dir):
             .alias("pre_app"),
         F.array_join(F.slice(w, 1, F.size(w) - 1), "-").alias("trimmed"),
     )
+
+
+@register(
+    "scalar_string2",
+    """
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0')       AS padded_key,
+           rpad(c_mktsegment, 12, '.')                     AS padded_seg,
+           trim('  ' || c_mktsegment || '  ')              AS btrimmed,
+           trim(c_name, 'Cr0123456789')                    AS trim_chars,
+           ltrim(c_name, 'Cust')                           AS ltrim_chars,
+           rtrim(c_name, '0123456789')                     AS rtrim_chars,
+           concat_ws(':', c_mktsegment, CAST(c_custkey AS VARCHAR),
+                     CAST(c_nationkey AS VARCHAR))         AS joined,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS num_part,
+           split_part(c_name, '#', 2)                      AS after_hash,
+           CASE WHEN regexp_matches(c_mktsegment, '^[a-z_][a-z0-9_]*$')
+                THEN c_mktsegment
+                ELSE '"' || replace(c_mktsegment, '"', '""') || '"' END
+                                                           AS quoted_ident,
+           array_to_string([CASE WHEN regexp_matches(s, '^".*"$')
+                                 THEN replace(s[2:len(s)-1], '""', '"')
+                                 ELSE s END
+                            FOR s IN string_split(lower(c_mktsegment)
+                                     || '.' || 'tbl', '.')], '|')
+                                                           AS parsed_ident
+    FROM customer WHERE c_custkey <= 1500
+    """,
+    "scalar", "string", "pg-compat",
+)
+def scalar_string2(spark, sf_dir):
+    """Second string battery: lpad/rpad, btrim, trim/ltrim/rtrim with
+    character sets, concat_ws, substring-by-regex, split_part, quote_ident,
+    parse_ident (func.rs pg_catalog string family; quote/parse_ident in
+    functions/strings.py)."""
+    from materialize_spark.functions.strings import (
+        parse_ident, quote_ident, split_part,
+    )
+    t = T(spark, sf_dir)
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return (
+        t.customer.filter(F.col("c_custkey") <= 1500)
+        .select(
+            "c_custkey",
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0")
+                .alias("padded_key"),
+            F.rpad(seg, 12, ".").alias("padded_seg"),
+            F.btrim(F.concat(F.lit("  "), seg, F.lit("  "))).alias("btrimmed"),
+            F.btrim(name, F.lit("Cr0123456789")).alias("trim_chars"),
+            F.ltrim(name, F.lit("Cust")).alias("ltrim_chars"),
+            F.rtrim(name, F.lit("0123456789")).alias("rtrim_chars"),
+            F.concat_ws(":", seg, F.col("c_custkey").cast("string"),
+                        F.col("c_nationkey").cast("string")).alias("joined"),
+            F.regexp_extract(name, "([0-9]+)", 1).alias("num_part"),
+            split_part(name, "#", 2).alias("after_hash"),
+            quote_ident(seg).alias("quoted_ident"),
+            F.array_join(
+                parse_ident(F.concat(F.lower(seg), F.lit(".tbl"))), "|")
+                .alias("parsed_ident"),
+        )
+    )
