@@ -66,3 +66,43 @@ def _agg_names(aggs: list[Column]) -> list[str]:
         n = a._jc.toString()
         names.append(n.rsplit(" AS ", 1)[-1].strip("`"))
     return names
+
+
+def time_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    hop: str | None = None,
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (hop=None) or hopping window aggregation over event time.
+
+    The streaming counterpart of the batch date_bin / date_bin_hopping
+    model (functions/datetime.py; reference "windows are data" —
+    SURVEY §2.8.3): F.window assigns each event to its covering window(s),
+    state is per (window, keys) in the state store, closed by watermark.
+    A hopping event lands in width/hop windows — same fan-out the batch
+    date_bin_hopping sequence+explode produces.
+
+    Works on batch frames too (windows become plain group keys), which is
+    what the equivalence test exploits.
+    """
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    win = (F.window(F.col(ts_col), width, hop) if hop
+           else F.window(F.col(ts_col), width))
+    return (
+        events.groupBy(win, *keys)
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(a) for a in _agg_names(aggs)],
+        )
+    )

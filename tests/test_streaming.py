@@ -235,3 +235,39 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         .select("user_id", "session_start", "n_events", "total_value")
     ).collect()))
     assert got == expected
+
+
+def test_hopping_window_stream_matches_batch_date_bin(spark, tmp_path):
+    """Streaming F.window(width, hop) == batch date_bin_hopping explode —
+    the reference's 'windows are data' model and Spark's native stateful
+    operator agree window-for-window."""
+    from materialize_spark.functions.datetime import date_bin_hopping
+    from materialize_spark.streaming.sessions import time_window_agg
+
+    events = load_tables(spark, SF_DIR)["events"].filter(F.col("user_id") <= 20)
+    src = str(tmp_path / "hop_src")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    hopped = time_window_agg(
+        stream, ts_col="ts", width="1 hour", hop="15 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("value"), 4).alias("total")])
+    q = (hopped.writeStream.format("memory").queryName("hop_out")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT event_type, CAST(window_start AS STRING), n, total "
+        "FROM hop_out").collect()))
+
+    expected = sorted(map(tuple, (
+        events.select("event_type", "value",
+                      F.explode(date_bin_hopping("15 minutes", "1 hour", "ts"))
+                      .alias("w"))
+        .groupBy("event_type", F.col("w").cast("string").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
+    ).collect()))
+    assert got == expected
