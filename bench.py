@@ -59,6 +59,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # Optimizer-latency metric mirroring the reference's optbench (EXPLAIN
+    # only, no execution): plan build + analyze + optimize + physical
+    # planning. This is the dominant term in the small-SF ad-hoc numbers
+    # above (see PERF.md) and the term that amortizes away at scale.
+    plan_times: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            df._jdf.queryExecution().executedPlan()
+            best = min(best, time.perf_counter() - t0)
+        plan_times[name] = round(best, 3)
+
     # Secondary metrics mirroring the reference's own benchmark protocol
     # (BASELINE.md: cluster-spec-sheet measures arrangement_formation =
     # one-time dataflow build, and peek_serving = reading the maintained
@@ -85,6 +99,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "plan_sec": plan_times,
+        "plan_total": round(sum(plan_times.values()), 3),
         "mv_create_sec": mv_create,
         "mv_peek_sec": mv_peek,
         "mv_peek_total": round(sum(mv_peek.values()), 3),
