@@ -95,3 +95,38 @@ def sample_stratified(df: DataFrame, strata_col: str,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_rate_threshold(r))).otherwise(thr)
     return df.filter(prefix < thr)
+
+
+def sample_temperature(df: DataFrame, strata_col: str, *,
+                       alpha: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based stratum rebalancing (multilingual corpus mixing a
+    la XLM-R): keep-rate per stratum = (n_min / n_l)^alpha, which flattens
+    the language distribution toward uniform as alpha -> 1 and leaves it
+    unchanged at alpha -> 0. The largest strata are downsampled, the
+    smallest kept whole (rate 1).
+
+    Determinism/scale notes:
+    - the only driver-side data is the K-row stratum-count table (same
+      budget class as the IVF centroid collect);
+    - sampling itself is the md5-prefix filter — one scan, no shuffle;
+    - at alpha=0.5 the rate is sqrt(n_min/n_l): sqrt and divide are
+      IEEE-correctly-rounded, so an independent engine computing the same
+      formula gets bit-identical thresholds (the cross-engine test relies
+      on this; arbitrary alpha goes through libm pow, identical on one
+      host but not portable in principle).
+    """
+    import math
+
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    n_min = min(counts.values())
+    prefix = F.substring(_md5_of_id(id_col), 1, 8)
+    thr = F.lit("g")  # rate >= 1: every 8-hex md5 prefix sorts below 'g'
+    for value, n in counts.items():
+        if alpha == 0.5:
+            rate = math.sqrt(n_min / n)
+        else:
+            rate = (n_min / n) ** alpha
+        t = "g" if rate >= 1.0 else _rate_threshold(rate)
+        thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
+    return df.filter(prefix < thr)

@@ -697,3 +697,39 @@ def text_url_stats(spark, sf_dir):
     return (domains.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.countDistinct("doc_id").cast("long").alias("n_docs")))
+
+
+def _temperature_oracle() -> str:
+    # rate_l = sqrt(n_min / n_l); threshold = 8-hex md5-prefix cutoff,
+    # 'g' sentinel for rate 1 (every hex prefix < 'g'). sqrt/divide are
+    # correctly-rounded IEEE, so both engines derive identical thresholds.
+    return """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, sqrt((SELECT min(n) FROM counts) / n) AS rate FROM counts),
+    thr AS (
+      SELECT lang,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+             END AS cutoff
+      FROM rates)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.cutoff
+    GROUP BY d.lang
+    """
+
+
+@register("pipeline_sample_temperature", _temperature_oracle(),
+          "pipeline", "sampling", "temperature")
+def pipeline_sample_temperature(spark, sf_dir):
+    """Temperature rebalancing of the multilingual corpus at alpha=0.5
+    (pipeline.packing.sample_temperature): big languages downsampled by
+    sqrt(n_min/n_l), smallest kept whole — deterministic md5 thresholds,
+    verified bit-for-bit against the oracle's independent derivation."""
+    from materialize_spark.pipeline.packing import sample_temperature
+
+    t = T(spark, sf_dir)
+    out = sample_temperature(t.documents, "lang", alpha=0.5)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
