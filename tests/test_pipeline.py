@@ -247,3 +247,24 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     per_cluster = {r.cluster: r.n for r in vectors.groupBy("cluster")
                    .count().withColumnRenamed("count", "n").collect()}
     assert pruned.count() == per_cluster.get(0, 0) + per_cluster.get(1, 0)
+
+
+def test_sample_temperature_properties(spark):
+    from materialize_spark.pipeline.packing import sample_temperature
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    before = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    after = {r[0]: r[1]
+             for r in sample_temperature(docs, "lang", alpha=0.5)
+             .groupBy("lang").count().collect()}
+    n_min = min(before.values())
+    smallest = min(before, key=before.get)
+    # smallest language kept whole; others downsampled toward sqrt scaling
+    assert after[smallest] == before[smallest]
+    import math
+    for lang, n in before.items():
+        expected = n * math.sqrt(n_min / n)
+        assert abs(after.get(lang, 0) - expected) <= 4 * math.sqrt(expected) + 2
+    # flattening: max/min ratio strictly shrinks
+    assert (max(after.values()) / min(after.values())
+            < max(before.values()) / min(before.values()))
