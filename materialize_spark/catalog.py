@@ -18,6 +18,7 @@ never shuffle the fact side on dim joins.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import MutableMapping
 from dataclasses import dataclass, field
 
@@ -89,17 +90,19 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-_CONFS_APPLIED: set[int] = set()
+# Weak per-session memo (NOT id(spark): CPython reuses ids after GC, which
+# would silently skip conf application on a fresh session).
+_CONFS_APPLIED: weakref.WeakSet = weakref.WeakSet()
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set engine-required runtime confs on an externally built session.
 
-    Memoized per session id: each conf.set is a py4j roundtrip, and the
+    Memoized per live session: each conf.set is a py4j roundtrip, and the
     driver/bench call this through every query's entry point."""
-    if id(spark) in _CONFS_APPLIED:
+    if spark in _CONFS_APPLIED:
         return
-    _CONFS_APPLIED.add(id(spark))
+    _CONFS_APPLIED.add(spark)
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -242,9 +245,10 @@ class LazyTables(MutableMapping):
 
 # Handle cache: creating a parquet DataFrame reads file footers eagerly;
 # queries re-loading the same tables per call would pay that per query.
-# Keyed by session id so a fresh session re-resolves paths and re-applies
-# runtime confs.
-_TABLE_CACHE: dict[tuple[int, str], LazyTables] = {}
+# Weak-keyed by the live session (id() reuse after GC would resurrect
+# DataFrames bound to a dead session) so a fresh session re-resolves paths
+# and re-applies runtime confs.
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None,
@@ -253,12 +257,12 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None,
     first access). Also installs the engine's required runtime confs on the
     caller's session — the driver contract hands us an arbitrary session."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    key = (id(spark), sf_dir)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
     tables = LazyTables(spark, sf_dir, register=register)
-    _TABLE_CACHE[key] = tables
+    per_session[sf_dir] = tables
     return tables
 
 
