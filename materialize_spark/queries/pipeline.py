@@ -733,3 +733,68 @@ def pipeline_sample_temperature(spark, sf_dir):
     t = T(spark, sf_dir)
     out = sample_temperature(t.documents, "lang", alpha=0.5)
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "dedup_spans",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    spans AS (
+      SELECT doc_id,
+             CAST((s - 1) // 32 AS BIGINT) AS span_id,
+             md5(array_to_string(list_slice(tokens, s, s + 31), ' ')) AS h
+      FROM (SELECT doc_id, tokens,
+                   unnest(range(1, greatest(len(tokens) - 31, 1) + 1, 32)) AS s
+            FROM toks)
+      WHERE len(list_slice(tokens, s, s + 31)) = 32),
+    freq AS (SELECT h, count(*) AS n FROM spans GROUP BY h)
+    SELECT spans.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM spans JOIN freq USING (h)
+    GROUP BY spans.doc_id
+    """,
+    "pipeline", "dedup", "spans",
+)
+def dedup_spans(spark, sf_dir):
+    """Span-level exact dedup (RefinedWeb-style boilerplate detection):
+    non-overlapping 32-token spans hashed corpus-wide; per-document count
+    and fraction of spans that occur elsewhere. Distinct from document
+    dedup (dedup_exact) and near-dup (minhash): this finds REPEATED
+    PASSAGES inside otherwise-distinct documents.
+
+    Scale: explode is a map-side pass; the only shuffle is the span-hash
+    groupBy (partial-aggregated), then a hash join back — both keyed on
+    md5, uniformly distributed, no skew. At 100 TB the span-frequency side
+    is a fraction of corpus size and AQE picks broadcast when it fits."""
+    t = T(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("tokens"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("tokens") - 31, F.lit(1)), F.lit(32))
+    spans = (
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(
+                starts,
+                lambda s: F.struct(
+                    ((s - 1) / 32).cast("long").alias("span_id"),
+                    F.slice(F.col("tokens"), s, 32).alias("toks"))))
+            .alias("sp"))
+        .filter(F.size("sp.toks") == 32)
+        .select("doc_id", F.col("sp.span_id").alias("span_id"),
+                F.md5(F.array_join(F.col("sp.toks"), " ")).alias("h"))
+    )
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        spans.join(freq, on="h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(dup).alias("n_dup_spans"),
+             F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"))
+    )
