@@ -205,3 +205,30 @@ def hmac(data, key: str, algo: str = "sha256") -> Column:
             else _h.new(kb, str(v).encode(), getattr(hashlib, algo_l)).hexdigest())
 
     return _hmac(_col(data))
+
+
+# -- deterministic UUIDs ----------------------------------------------------
+
+def uuid_v3_text(namespace: str, name) -> Column:
+    """Deterministic RFC-4122-formatted UUID from md5(namespace ':' name).
+
+    The version (3) and variant (10xx) bits are set exactly per RFC 4122;
+    the digest input is the TEXT namespace rather than RFC namespace-UUID
+    bytes (PG computes uuid_generate_v3 only via the uuid-ossp extension,
+    and byte-level namespaces cannot be expressed in engines whose md5 is
+    text-only — the deviation is the input convention, not the format).
+    Stable across engines/runs: the pipeline's document-identity primitive.
+    """
+    h = F.md5(F.concat(F.lit(namespace), F.lit(":"),
+                       _col(name).cast("string")))
+    # variant nibble: (x & 0x3) | 0x8  ==  translate over hex digits
+    variant = F.translate(F.substring(h, 17, 1),
+                          "0123456789abcdef", "89ab89ab89ab89ab")
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("3"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )

@@ -494,3 +494,29 @@ def scalar_string2(spark, sf_dir):
                 .alias("parsed_ident"),
         )
     )
+
+
+@register(
+    "scalar_uuid",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('corpus:' || CAST(doc_id AS VARCHAR)) AS x
+      FROM documents)
+    SELECT doc_id,
+           substr(x,1,8) || '-' || substr(x,9,4) || '-3' || substr(x,14,3)
+           || '-' || translate(substr(x,17,1),
+                               '0123456789abcdef', '89ab89ab89ab89ab')
+           || substr(x,18,3) || '-' || substr(x,21,12) AS doc_uuid
+    FROM h
+    """,
+    "scalar", "uuid",
+)
+def scalar_uuid(spark, sf_dir):
+    """Deterministic per-document UUIDs (functions/pgcompat.uuid_v3_text):
+    RFC-4122 v3 format with correct version/variant bits, md5 over a text
+    namespace — the stable document-identity primitive a pipeline keys
+    everything on. Scan-side projection, no shuffle."""
+    from materialize_spark.functions.pgcompat import uuid_v3_text
+    t = T(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", uuid_v3_text("corpus", "doc_id").alias("doc_uuid"))
