@@ -106,3 +106,37 @@ def test_regexp_split_keeps_interior_empties(spark):
     df = spark.sql("SELECT 'a,,b' AS s")
     arr = df.select(P.regexp_split_to_array("s", ",").alias("a")).first().a
     assert arr == ["a", "", "b"]
+
+
+def test_jsonb_mutations_canonical(spark):
+    from materialize_spark.functions.jsonb import (
+        jsonb_concat, jsonb_delete, jsonb_set,
+    )
+    df = spark.sql("""SELECT '{"b":2,"a":1}' AS j""")
+    row = df.select(
+        jsonb_set("j", "c", F.lit(3)).alias("set_c"),
+        jsonb_set("j", "a", F.lit(9)).alias("overwrite_a"),
+        jsonb_delete("j", "a").alias("del_a"),
+        jsonb_concat("j", F.lit('{"a":7,"z":0}')).alias("cat"),
+    ).first()
+    # canonical: sorted keys, compact
+    assert row.set_c == '{"a":1,"b":2,"c":3}'
+    assert row.overwrite_a == '{"a":9,"b":2}'
+    assert row.del_a == '{"b":2}'
+    assert row.cat == '{"a":7,"b":2,"z":0}'  # right side wins
+
+
+def test_uuid_v3_text_stable_and_valid(spark):
+    import uuid
+    from materialize_spark.functions.pgcompat import uuid_v3_text
+    got = [r.u for r in
+           spark.range(3).select(uuid_v3_text("ns", "id").alias("u"))
+           .collect()]
+    assert len(set(got)) == 3
+    for g in got:
+        u = uuid.UUID(g)
+        assert u.version == 3
+    again = [r.u for r in
+             spark.range(3).select(uuid_v3_text("ns", "id").alias("u"))
+             .collect()]
+    assert got == again
