@@ -177,14 +177,31 @@ def jaccard_pairs(df: DataFrame, tokens: Column, *, threshold: float = 0.6,
             .select(F.col(id_col), "tok")
             .localCheckpoint(eager=True)  # both join sides read this
         )
-        pa = prefix.select(F.col(id_col).alias("doc_a"), "tok")
-        pb = prefix.select(F.col(id_col).alias("doc_b"), "tok")
+        # Same AQE bytes-vs-compute mismatch as the verify stage below:
+        # postings rows are tiny but the self-join is the quadratic part,
+        # so pin its parallelism with an explicit hash repartition on the
+        # join key (both sides identically partitioned -> no extra
+        # exchange inside the join).
+        par = prefix.sparkSession.sparkContext.defaultParallelism
+        pa = prefix.select(F.col(id_col).alias("doc_a"), "tok") \
+            .repartition(par, "tok")
+        pb = prefix.select(F.col(id_col).alias("doc_b"), "tok") \
+            .repartition(par, "tok")
         candidates = (
             pa.join(pb, on="tok")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()
         )
+    # The candidate stream is narrow (two ids/row), so AQE's byte-targeted
+    # coalescing squeezes it onto 1-2 partitions — but the verify stage
+    # below is COMPUTE-bound (array_intersect over full token sets per
+    # pair), and on a 32-core box that serialized ~98% of the work
+    # (measured 116s -> see PERF.md). Pin verify parallelism to the
+    # cluster's cores explicitly; the extra shuffle moves ~16 bytes/pair.
+    sess = candidates.sparkSession
+    candidates = candidates.repartition(
+        sess.sparkContext.defaultParallelism, "doc_a", "doc_b")
     ta = tok_arrays.select(F.col(id_col).alias("doc_a"),
                            F.col("__ta").alias("__ta_a"))
     tb = tok_arrays.select(F.col(id_col).alias("doc_b"),

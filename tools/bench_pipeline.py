@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PIPELINE = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_spans",
+    "pipeline_sample_temperature",
     "simsearch_cosine_topk", "simsearch_lsh_buckets", "simsearch_ivf",
     "text_language_id", "text_quality", "text_token_counts",
     "text_fingerprint", "multimodal_features",
