@@ -94,6 +94,21 @@ _RUNTIME_CONFS: dict[str, str] = {
 # would silently skip conf application on a fresh session).
 _CONFS_APPLIED: weakref.WeakSet = weakref.WeakSet()
 
+# Per-session record of which sf_dir's DataFrame currently backs each temp
+# view name. Temp views are one namespace per session shared across scale
+# factors; SQL-string queries consult this to re-bind names only when a
+# different sf_dir registered them last (one py4j roundtrip per stale view
+# instead of per query).
+_VIEW_OWNER: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def view_owner(spark: SparkSession) -> dict:
+    owner = _VIEW_OWNER.get(spark)
+    if owner is None:
+        owner = {}
+        _VIEW_OWNER[spark] = owner
+    return owner
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set engine-required runtime confs on an externally built session.
@@ -151,6 +166,31 @@ def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
         pass
 
 
+# Below this many attached bytes, AQE's stage-barrier replanning is pure
+# overhead: every plan decision it could revisit (broadcast vs shuffle,
+# partition counts, skew splits) is already fully determined by file-size
+# statistics at planning time, and each barrier costs a driver roundtrip +
+# re-optimize (~30-50 ms/query measured at sf0.1 — PERF.md). At or above
+# the threshold, runtime re-planning is load-bearing and stays on. 0
+# disables the policy (AQE always on).
+AQE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(1 << 30)))
+
+
+def scale_adaptive_execution(spark: SparkSession, total_bytes: int) -> None:
+    """Data-sized AQE policy: runtime re-planning off for tiny inputs, on at
+    scale. Same data-not-constant principle as scale_shuffle_partitions; an
+    explicit user setting of spark.sql.adaptive.enabled=false is respected
+    (we only ever flip the default-on value)."""
+    if AQE_MIN_BYTES <= 0:
+        return
+    try:
+        enabled = total_bytes >= AQE_MIN_BYTES
+        if spark.conf.get("spark.sql.adaptive.enabled") != str(enabled).lower():
+            spark.conf.set("spark.sql.adaptive.enabled", str(enabled).lower())
+    except Exception:
+        pass
+
+
 class LazyTables(MutableMapping):
     """Per-table lazy loader: a query only reads (and registers a temp view
     for) the tables it actually touches, so e.g. a TPC-H query can never be
@@ -167,9 +207,10 @@ class LazyTables(MutableMapping):
             if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
         ]
         ensure_session_confs(spark)
-        scale_shuffle_partitions(spark, sum(
-            _on_disk_bytes(os.path.join(sf_dir, f"{n}.parquet"))
-            for n in self._available))
+        total = sum(_on_disk_bytes(os.path.join(sf_dir, f"{n}.parquet"))
+                    for n in self._available)
+        scale_shuffle_partitions(spark, total)
+        scale_adaptive_execution(spark, total)
 
     def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._sf_dir, f"{name}.parquet")
@@ -206,6 +247,7 @@ class LazyTables(MutableMapping):
             df = df.persist()
         if self._register:
             df.createOrReplaceTempView(name)
+            view_owner(self._spark)[name] = self._sf_dir
         return df
 
     def __getitem__(self, name: str) -> DataFrame:

@@ -51,7 +51,9 @@ def operator_counts(df: DataFrame) -> dict[str, int]:
     text = physical_plan(df, "simple")
     counts: dict[str, int] = {}
     for line in text.splitlines():
-        m = re.match(r"[\s:+*-]*([A-Za-z][A-Za-z0-9]+)", line)
+        # Tree prefix, then an optional whole-stage-codegen marker "*(n) "
+        # (present when AQE is off — plans print codegen stage ids inline).
+        m = re.match(r"[\s:+*-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]+)", line)
         if m:
             op = m.group(1)
             counts[op] = counts.get(op, 0) + 1

@@ -13,6 +13,12 @@ Plan-shape notes (100 TB stance):
   scale these are hash-shuffle joins co-partitioned on the join key.
 - Aggregates are expressed groupBy().agg() so Catalyst does partial
   (map-side) aggregation before the shuffle.
+
+The 8 HEADLINE queries (bench.py) are built as single ``spark.sql`` strings
+via ``sql_over``: one py4j roundtrip instead of one per Column call, which
+removes ~60-110 ms/query of driver→JVM plan-build chatter (PERF.md). The
+non-headline queries stay in DataFrame form — both styles produce identical
+Catalyst plans, and keeping both demonstrates the two front-ends.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from materialize_spark.queries import register
-from materialize_spark.queries.util import T, fmt_date, r2, revenue, ts
+from materialize_spark.queries.util import T, fmt_date, r2, revenue, sql_over, ts
 
 B = F.broadcast
 
@@ -45,21 +51,20 @@ B = F.broadcast
     "tpch", "reduce",
 )
 def q1(spark, sf_dir):
-    t = T(spark, sf_dir)
-    return (
-        t.lineitem.filter(F.col("l_shipdate") <= ts("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(revenue())).alias("sum_disc_price"),
-            r2(F.sum(revenue() * (1 + F.col("l_tax")))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+    return sql_over(spark, sf_dir, ("lineitem",), """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)      AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6)      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -81,19 +86,24 @@ def q1(spark, sf_dir):
     "tpch", "join", "topk",
 )
 def q3(spark, sf_dir):
-    t = T(spark, sf_dir)
-    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
-    return (
-        t.orders.filter(F.col("o_orderdate") < ts("1998-03-15"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.lineitem.filter(F.col("l_shipdate") > ts("1998-03-15")),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(r2(F.sum(revenue())).alias("revenue"))
-        .select("o_orderkey", "revenue", fmt_date("o_orderdate").alias("orderdate"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
+    # SHUFFLE_HASH(lineitem): the filtered fact side fits under the 64 MiB
+    # broadcast threshold at sf0.1, but a broadcast hash-relation build is
+    # single-threaded on the driver (~100 ms here) AND is the wrong shape at
+    # scale — a fact table must never be the broadcast side. Shuffled hash
+    # join builds in parallel and is the 100 TB plan.
+    return sql_over(spark, sf_dir, ("customer", "orders", "lineitem"), """
+        SELECT /*+ BROADCAST(customer), SHUFFLE_HASH(lineitem) */ o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -150,26 +160,28 @@ def q4(spark, sf_dir):
     "tpch", "join", "multiway",
 )
 def q5(spark, sf_dir):
-    t = T(spark, sf_dir)
-    asia_nations = (
-        t.nation.join(B(t.region.filter(F.col("r_name") == "ASIA")),
-                      F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("n_nationkey", "n_name")
-    )
-    return (
-        t.orders.filter(
-            (F.col("o_orderdate") >= ts("1996-01-01"))
-            & (F.col("o_orderdate") < ts("1997-01-01"))
+    # Join order mirrors the hand-tuned DataFrame form (filtered orders
+    # drives; asia_nations pre-joined and broadcast): Catalyst keeps the
+    # syntactic order with CBO off, so the SQL spells the order we want.
+    return sql_over(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"), """
+        WITH asia_nations AS (
+          SELECT /*+ BROADCAST(region) */ n_nationkey, n_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
         )
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier,
-              (F.col("l_suppkey") == F.col("s_suppkey"))
-              & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(B(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(r2(F.sum(revenue())).alias("revenue"))
-    )
+        SELECT /*+ BROADCAST(asia_nations) */
+               n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN asia_nations ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -186,16 +198,14 @@ def q5(spark, sf_dir):
     "tpch", "filter",
 )
 def q6(spark, sf_dir):
-    t = T(spark, sf_dir)
-    return (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= ts("1996-01-01"))
-            & (F.col("l_shipdate") < ts("1997-01-01"))
-            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
-    )
+    return sql_over(spark, sf_dir, ("lineitem",), """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -316,22 +326,20 @@ def q8(spark, sf_dir):
     "tpch", "join",
 )
 def q9(spark, sf_dir):
-    t = T(spark, sf_dir)
-    return (
-        t.lineitem
-        .join(B(t.part.filter(F.col("p_name").like("%red%")).select("p_partkey")),
-              F.col("l_partkey") == F.col("p_partkey"))
-        .join(t.orders.select("o_orderkey", "o_orderdate"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.supplier.select("s_suppkey", "s_nationkey"),
-              F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(B(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(F.col("n_name").alias("nation"),
-                F.year("o_orderdate").cast("long").alias("o_year"),
-                revenue().alias("amount"))
-        .groupBy("nation", "o_year")
-        .agg(r2(F.sum("amount")).alias("sum_profit"))
-    )
+    return sql_over(
+        spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"), """
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (SELECT /*+ BROADCAST(part, nation), SHUFFLE_HASH(orders) */
+                     n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS amount
+              FROM part JOIN lineitem ON p_partkey = l_partkey
+                        JOIN supplier ON s_suppkey = l_suppkey
+                        JOIN orders ON o_orderkey = l_orderkey
+                        JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%') profit
+        GROUP BY nation, o_year
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -419,15 +427,14 @@ def q12(spark, sf_dir):
     "tpch", "outerjoin",
 )
 def q13(spark, sf_dir):
-    t = T(spark, sf_dir)
-    per_cust = (
-        t.customer.join(
-            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
-            F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+    return sql_over(spark, sf_dir, ("customer", "orders"), """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -537,23 +544,17 @@ def q17(spark, sf_dir):
     "tpch", "semijoin", "having",
 )
 def q18(spark, sf_dir):
-    t = T(spark, sf_dir)
-    big = (
-        t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 300)
-        .select(F.col("l_orderkey").alias("big_ok"))
-    )
-    return (
-        t.orders.join(big, F.col("o_orderkey") == F.col("big_ok"), "left_semi")
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(r2(F.sum("l_quantity")).alias("sum_qty"))
-        .select("c_name", "c_custkey", "o_orderkey",
-                fmt_date("o_orderdate").alias("orderdate"),
-                F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
-    )
+    return sql_over(spark, sf_dir, ("customer", "orders", "lineitem"), """
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -615,28 +616,33 @@ def q19(spark, sf_dir):
     "tpch", "antijoin",
 )
 def q21(spark, sf_dir):
-    t = T(spark, sf_dir)
-    l1 = (
-        t.lineitem.join(t.orders.filter(F.col("o_orderstatus") == "F"),
-                        F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        .select("l_orderkey", "l_suppkey")
-    )
-    others = t.lineitem.select(F.col("l_orderkey").alias("ok2"),
-                               F.col("l_suppkey").alias("sk2"))
-    late_others = l1.select(F.col("l_orderkey").alias("ok3"),
-                            F.col("l_suppkey").alias("sk3"))
-    return (
-        l1.join(others, (F.col("ok2") == F.col("l_orderkey"))
-                & (F.col("sk2") != F.col("l_suppkey")), "left_semi")
-        .join(late_others, (F.col("ok3") == F.col("l_orderkey"))
-              & (F.col("sk3") != F.col("l_suppkey")), "left_anti")
-        .join(B(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name"))
-        .limit(20)
-    )
+    # Explicit SEMI/ANTI join form (not correlated EXISTS): Catalyst's
+    # decorrelation of the two EXISTS planned an extra join pass; spelling
+    # the semi/anti joins keeps the one fact×fact self-join of the hand
+    # plan (the deliberate SortMergeJoin — see PLANS.md).
+    return sql_over(spark, sf_dir, ("supplier", "lineitem", "orders"), """
+        WITH l1 AS (
+          SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT /*+ BROADCAST(supplier) */ s_name, count(*) AS numwait
+        FROM (
+          SELECT /*+ SHUFFLE_HASH(others, late_others) */
+                 l_orderkey, l_suppkey FROM l1
+          LEFT SEMI JOIN (SELECT l_orderkey AS ok2, l_suppkey AS sk2
+                          FROM lineitem) others
+            ON ok2 = l_orderkey AND sk2 <> l_suppkey
+          LEFT ANTI JOIN (SELECT l_orderkey AS ok3, l_suppkey AS sk3
+                          FROM l1) late_others
+            ON ok3 = l_orderkey AND sk3 <> l_suppkey
+        ) waiting
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
 
 
 # --------------------------------------------------------------------------

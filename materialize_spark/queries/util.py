@@ -2,10 +2,12 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, SparkSession
+import weakref
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from materialize_spark.catalog import load_tables
+from materialize_spark.catalog import load_tables, view_owner
 
 
 class _TableNS:
@@ -28,6 +30,29 @@ class _TableNS:
 def T(spark: SparkSession, sf_dir: str) -> _TableNS:
     """Driver tables as lazy attributes (registers temp views on access)."""
     return _TableNS(load_tables(spark, sf_dir))
+
+
+def sql_over(spark: SparkSession, sf_dir: str, tables: tuple[str, ...],
+             sql: str) -> DataFrame:
+    """Build a query as ONE ``spark.sql`` call over registered temp views.
+
+    Rationale (PERF.md): a deep DataFrame chain costs one py4j roundtrip per
+    Column/DataFrame call — ~65 ms of driver→JVM chatter for a TPC-H-sized
+    plan — while a SQL string is a single roundtrip and parsing happens
+    JVM-side. Same logical plan either way; Catalyst sees no difference.
+    ``tables`` lists the views the statement references so only those are
+    loaded (lazy-table contract preserved). Temp views are one namespace per
+    session shared across scale factors, so names registered last by a
+    DIFFERENT sf_dir are re-bound first (catalog tracks per-view ownership).
+    """
+    tabs = load_tables(spark, sf_dir)
+    owner = view_owner(spark)
+    for n in tables:
+        df = tabs[n]  # load (registers + records ownership on first touch)
+        if owner.get(n) != sf_dir:
+            df.createOrReplaceTempView(n)
+            owner[n] = sf_dir
+    return spark.sql(sql)
 
 
 def revenue() -> Column:
