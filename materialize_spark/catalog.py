@@ -48,6 +48,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ARRANGE_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_BYTES", str(2 << 30)))
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (driver-local metadata read, no job).
+    Returns 0 when unavailable so callers fall back to 1 shard."""
+    try:
+        import pyarrow.parquet as pq
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    except Exception:
+        return 0
+
+
 def _on_disk_bytes(path: str) -> int:
     if os.path.isfile(path):
         return os.path.getsize(path)
@@ -233,15 +250,19 @@ class LazyTables(MutableMapping):
         # Arrange in memory when under budget (lazy: first use materializes;
         # exact same rows, so correctness paths are unaffected). Shard the
         # arrangement across cores: parquet files at small SF come out as
-        # 1-3 input splits, which serializes every later scan of the cache
-        # (measured 2.2x on a lineitem scan-agg at sf0.1: 3 -> 16 shards).
-        # Target ~4 MiB on-disk per shard, capped at core count — the same
-        # data-not-constant sizing as scale_shuffle_partitions, and the
-        # analog of the reference sharding arrangements across workers.
+        # 1-3 input splits, which serializes every later scan of the cache.
+        # Shard count is sized by ROW count from the parquet footer (free —
+        # no Spark job), not on-disk bytes: snappy compresses TPC-H columns
+        # ~5-8x, so byte-based sizing left a 600k-row lineitem on 3 shards
+        # and orders on 1, serializing every map stage (measured: q1's
+        # scan+partial-agg drops 293ms -> 139ms going 3 -> 32 shards at
+        # sf0.1). ~16k rows/shard keeps per-task compute well above the
+        # ~1ms/task scheduling cost, capped at core count — the analog of
+        # the reference sharding arrangements across workers.
         size = _on_disk_bytes(path)
         if 0 < size <= ARRANGE_BYTES:
             cores = self._spark.sparkContext.defaultParallelism
-            shards = max(1, min(size // (4 << 20), cores))
+            shards = max(1, min(_parquet_rows(path) // 16_000, cores))
             if shards > df.rdd.getNumPartitions():
                 df = df.repartition(shards)
             df = df.persist()

@@ -75,6 +75,20 @@ def get_spark(
         # catalog (micros truncation — matches DuckDB's read of the same file).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Throughput GC for the single-JVM local driver: G1's concurrent
+        # cycles add 10-100 ms pauses to sub-second queries; ParallelGC with
+        # a pre-sized young gen is flatter for this heap size. Overridable.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                               "-XX:+UseParallelGC -Xmn2g"))
+        # Shuffle/spill scratch on tmpfs when available: local-mode shuffle
+        # writes otherwise pay the sandbox's slow block device (~50-80 ms per
+        # shuffle stage measured at sf0.1). Real clusters set SPARK_LOCAL_DIRS
+        # to node-local NVMe; honoring the env var keeps that contract.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS")
+                or ("/dev/shm/spark-local"
+                    if os.access("/dev/shm", os.W_OK) else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
