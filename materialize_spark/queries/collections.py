@@ -230,3 +230,112 @@ def scalar_pg_compat2(spark, sf_dir):
         F.size(F.split(F.col("c_name"), "#")).cast("long")
         .alias("ident_parts"),
     )
+
+
+@register(
+    "scalar_ranges",
+    """
+    -- DuckDB has no PG range type; the oracle mirrors the canonical-[) int
+    -- semantics (and the continuous numrange cases) with plain arithmetic.
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey % 97 AS INT)                       AS a_lo,
+             CAST(o_orderkey % 97 + o_orderkey % 13 AS INT)     AS a_hi,
+             CAST(o_orderkey % 89 AS INT)                       AS b_lo,
+             CAST(o_orderkey % 89 + o_orderkey % 17 AS INT)     AS b_hi,
+             CAST(o_orderkey % 50 AS INT)                       AS x,
+             CAST(o_orderkey % 13 AS INT)                       AS d
+      FROM orders WHERE o_orderkey <= 2000),
+    r AS (
+      SELECT *,
+             a_lo >= a_hi AS e1,
+             b_lo >= b_hi AS e2
+      FROM base)
+    SELECT k AS o_orderkey,
+      CASE WHEN e1 THEN 'empty' ELSE '[' || a_lo || ',' || a_hi || ')' END
+        AS r1_txt,
+      CASE WHEN e2 THEN 'empty' ELSE '[' || b_lo || ',' || b_hi || ')' END
+        AS r2_txt,
+      CASE WHEN a_lo + 1 >= a_hi + 1 THEN 'empty'
+           ELSE '[' || (a_lo + 1) || ',' || (a_hi + 1) || ')' END
+        AS r3_txt,
+      (NOT e1 AND x >= a_lo AND x < a_hi)                       AS contains_x,
+      (e2 OR (NOT e1 AND a_lo <= b_lo AND a_hi >= b_hi))        AS contains_r2,
+      (NOT e1 AND NOT e2 AND a_lo < b_hi AND b_lo < a_hi)       AS overlaps,
+      (NOT e1 AND NOT e2 AND (a_hi = b_lo OR b_hi = a_lo))      AS adjacent,
+      (NOT e1 AND NOT e2 AND a_hi <= b_lo)                      AS before,
+      (x < 40)                                                  AS in_lt40,
+      CASE
+        WHEN e1 AND e2 THEN 'empty'
+        WHEN e1 THEN '[' || b_lo || ',' || b_hi || ')'
+        WHEN e2 THEN '[' || a_lo || ',' || a_hi || ')'
+        WHEN (a_lo < b_hi AND b_lo < a_hi) OR a_hi = b_lo OR b_hi = a_lo
+          THEN '[' || least(a_lo, b_lo) || ',' || greatest(a_hi, b_hi) || ')'
+      END                                                       AS union_txt,
+      CASE
+        WHEN NOT (NOT e1 AND NOT e2 AND a_lo < b_hi AND b_lo < a_hi)
+          THEN 'empty'
+        WHEN greatest(a_lo, b_lo) >= least(a_hi, b_hi) THEN 'empty'
+        ELSE '[' || greatest(a_lo, b_lo) || ',' || least(a_hi, b_hi) || ')'
+      END                                                       AS isect_txt,
+      CASE
+        WHEN e1 THEN 'empty'
+        WHEN e2 OR NOT (a_lo < b_hi AND b_lo < a_hi)
+          THEN '[' || a_lo || ',' || a_hi || ')'
+        WHEN b_lo <= a_lo AND b_hi >= a_hi THEN 'empty'
+        WHEN b_lo <= a_lo THEN '[' || b_hi || ',' || a_hi || ')'
+        WHEN b_hi >= a_hi THEN '[' || a_lo || ',' || b_lo || ')'
+      END                                                       AS diff_txt,
+      CASE WHEN d = 0 THEN 'empty'
+           ELSE '(' || CAST(a_lo + 0.5 AS DOUBLE)
+                || ',' || CAST(a_lo + 0.5 + d AS DOUBLE) || ')' END
+        AS nr_txt
+    FROM r
+    """,
+    "scalar", "range", "pg-compat",
+)
+def scalar_ranges(spark, sf_dir):
+    """Range type + operators battery (reference: SqlScalarType::Range,
+    src/repr/src/scalar.rs:1621-1760; RangeContains*/RangeOverlaps/
+    RangeUnion/RangeIntersection/RangeDifference/RangeAdjacent binary
+    funcs, src/expr/src/scalar/func/binary.rs). Exercises int4range
+    canonicalization ('(]' -> '[)'), element/range containment, overlap,
+    adjacency, strict ordering, union/intersection/difference, unbounded
+    sides, and continuous numrange construction — all as pure Column
+    expressions over the struct encoding in functions/ranges.py."""
+    from materialize_spark.functions import ranges as R
+
+    t = T(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 97).cast("int").alias("a_lo"),
+        ((F.col("o_orderkey") % 97) + (F.col("o_orderkey") % 13))
+        .cast("int").alias("a_hi"),
+        (F.col("o_orderkey") % 89).cast("int").alias("b_lo"),
+        ((F.col("o_orderkey") % 89) + (F.col("o_orderkey") % 17))
+        .cast("int").alias("b_hi"),
+        (F.col("o_orderkey") % 50).cast("int").alias("x"),
+        (F.col("o_orderkey") % 13).cast("int").alias("d"),
+    )
+    r1 = R.int4range(F.col("a_lo"), F.col("a_hi"))
+    r2 = R.int4range(F.col("b_lo"), F.col("b_hi"))
+    r3 = R.int4range(F.col("a_lo"), F.col("a_hi"), "(]")
+    unb = R.int4range(None, 40)
+    nr = R.numrange(F.col("a_lo") + 0.5, F.col("a_lo") + 0.5 + F.col("d"),
+                    "()")
+    return o.select(
+        "o_orderkey",
+        R.range_text(r1).alias("r1_txt"),
+        R.range_text(r2).alias("r2_txt"),
+        R.range_text(r3).alias("r3_txt"),
+        R.range_contains_elem(r1, F.col("x")).alias("contains_x"),
+        R.range_contains_range(r1, r2).alias("contains_r2"),
+        R.range_overlaps(r1, r2).alias("overlaps"),
+        R.range_adjacent(r1, r2).alias("adjacent"),
+        R.range_before(r1, r2).alias("before"),
+        R.range_contains_elem(unb, F.col("x")).alias("in_lt40"),
+        R.range_text(R.range_union(r1, r2)).alias("union_txt"),
+        R.range_text(R.range_intersection(r1, r2)).alias("isect_txt"),
+        R.range_text(R.range_difference(r1, r2)).alias("diff_txt"),
+        R.range_text(nr).alias("nr_txt"),
+    )

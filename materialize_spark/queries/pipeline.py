@@ -348,9 +348,38 @@ def text_fingerprint(spark, sf_dir):
 
 
 # Multimodal plumbing: mapInPandas feature extraction over binary payloads.
-# No SQL oracle (Arrow/Python kernel) -> driver records rows-only check;
-# correctness is asserted in tests/test_pipeline.py (checksum vs md5 oracle).
-@register("multimodal_features", None, "pipeline", "multimodal", "rows-only")
+# The Arrow/Python kernel IS DuckDB-expressible for this table: payloads are
+# UTF-8 text bytes (testdata documents are pure ASCII, so ascii(char) ==
+# byte), checksum is md5 over those bytes, and the stub feature fold is
+# integer byte sums (exact in float64) normalized and narrowed to float32 —
+# mirrored below with CAST(.. AS REAL). Kernel-level asserts also live in
+# tests/test_pipeline.py.
+@register(
+    "multimodal_features",
+    """
+    WITH b AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             'image' AS kind,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             md5(text) AS checksum,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(text[i])) AS bytes
+      FROM documents),
+    s AS (
+      SELECT media_id, kind, n_bytes, checksum,
+             list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+                      i -> CASE WHEN i % 8 = 0 THEN bytes[i + 1] ELSE 0 END))
+               AS s0,
+             list_sum(bytes) AS s_total
+      FROM b)
+    SELECT media_id, kind, n_bytes, checksum,
+           round(CAST(CAST(CASE WHEN coalesce(s_total, 0) = 0 THEN 0.0
+                      ELSE CAST(s0 AS DOUBLE) / CAST(s_total AS DOUBLE) END
+                      AS REAL) AS DOUBLE), 6) AS f0
+    FROM s
+    """,
+    "pipeline", "multimodal",
+)
 def multimodal_features(spark, sf_dir):
     from materialize_spark.pipeline.multimodal import (
         documents_as_media, extract_features,
