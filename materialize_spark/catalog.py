@@ -308,10 +308,26 @@ class LazyTables(MutableMapping):
 
 # Handle cache: creating a parquet DataFrame reads file footers eagerly;
 # queries re-loading the same tables per call would pay that per query.
-# Weak-keyed by the live session (id() reuse after GC would resurrect
-# DataFrames bound to a dead session) so a fresh session re-resolves paths
-# and re-applies runtime confs.
-_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+# The cache lives as an attribute ON the session object — not in a module
+# global — so its lifetime is exactly the session's: a stopped session and
+# its persisted DataFrames become collectible together (the session↔cache↔
+# DataFrame cycle has no global root; a module-level weak-keyed map whose
+# values reference DataFrames would pin the key session forever, since
+# every DataFrame holds its session).
+_TABLE_CACHE_ATTR = "_materialize_spark_tables"
+
+
+def clear_table_cache(spark: SparkSession) -> dict:
+    """Drop the session's table-handle cache (tests/tools use this to force
+    re-reads under changed budgets); returns the previous mapping so it can
+    be restored."""
+    old = getattr(spark, _TABLE_CACHE_ATTR, {})
+    setattr(spark, _TABLE_CACHE_ATTR, {})
+    return old
+
+
+def restore_table_cache(spark: SparkSession, cache: dict) -> None:
+    setattr(spark, _TABLE_CACHE_ATTR, dict(cache))
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None,
@@ -320,7 +336,10 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None,
     first access). Also installs the engine's required runtime confs on the
     caller's session — the driver contract hands us an arbitrary session."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, _TABLE_CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _TABLE_CACHE_ATTR, per_session)
     cached = per_session.get(sf_dir)
     if cached is not None:
         return cached

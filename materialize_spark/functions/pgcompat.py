@@ -38,52 +38,118 @@ def _col(c) -> Column:
 
 # -- to_char ----------------------------------------------------------------
 
-# PG pattern token -> java.time.DateTimeFormatter pattern. Longest-match
-# scan (e.g. 'DDD' before 'DD', 'Month' before 'Mon'). Only unambiguous,
-# locale-stable tokens: the battery and docs advertise exactly these.
-_TO_CHAR_TOKENS: list[tuple[str, str]] = [
+# PG pattern token -> rendering spec, longest-match scan ('DDD' before
+# 'DD', 'MONTH' before 'MON'). A spec is either a java.time pattern
+# fragment (str), a (case, pattern, pad_width) tuple for PG's cased /
+# blank-padded name tokens (PG renders MONTH upper-case and pads
+# Month/MONTH/Day/DAY to 9 chars), or a callable(ts) -> Column for tokens
+# java.time cannot express (WW = Jan-1-anchored week, J = Julian day).
+_PAD_NAME = 9  # PG blank-pads full month/day names to 9 characters
+
+
+def _ww(ts: Column) -> Column:
+    # PG 'WW': week of year with week 1 starting Jan 1, zero-padded to 2.
+    return F.lpad((F.floor((F.dayofyear(ts) - 1) / 7) + 1).cast("string"),
+                  2, "0")
+
+
+def _julian_day(ts: Column) -> Column:
+    # Julian day number: days since the Julian epoch; JDN(1970-01-01) =
+    # 2440588 (e.g. JDN(2000-01-01) = 2451545). Integer date arithmetic.
+    return (F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date"))
+            + 2440588).cast("string")
+
+
+_TO_CHAR_TOKENS: list[tuple[str, object]] = [
     ("YYYY", "yyyy"), ("YY", "yy"),
-    ("Month", "MMMM"), ("MONTH", "MMMM"), ("Mon", "MMM"), ("MON", "MMM"),
+    ("MONTH", ("upper", "MMMM", _PAD_NAME)),
+    ("Month", ("asis", "MMMM", _PAD_NAME)),
+    ("month", ("lower", "MMMM", _PAD_NAME)),
+    ("MON", ("upper", "MMM", 0)), ("Mon", "MMM"), ("mon", ("lower", "MMM", 0)),
     ("MM", "MM"),
     ("DDD", "DDD"), ("DD", "dd"),
-    ("Day", "EEEE"), ("DAY", "EEEE"), ("Dy", "EEE"), ("DY", "EEE"),
+    ("DAY", ("upper", "EEEE", _PAD_NAME)),
+    ("Day", ("asis", "EEEE", _PAD_NAME)),
+    ("day", ("lower", "EEEE", _PAD_NAME)),
+    ("DY", ("upper", "EEE", 0)), ("Dy", "EEE"), ("dy", ("lower", "EEE", 0)),
     ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
     ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"), ("US", "SSSSSS"),
     ("AM", "a"), ("PM", "a"),
-    ("TZ", "zz"), ("Q", "Q"), ("WW", "ww"), ("J", "g"),
+    ("am", ("lower", "a", 0)), ("pm", ("lower", "a", 0)),
+    ("TZ", "zz"), ("Q", "Q"), ("WW", _ww), ("J", _julian_day),
 ]
 
 
-def _translate_pg_format(fmt: str) -> str:
-    """Compile a PG to_char pattern to a Spark date_format pattern."""
-    out: list[str] = []
+def _compile_pg_format(fmt: str) -> list:
+    """Compile a PG to_char pattern into segments: plain java.time pattern
+    strings (merged greedily) interleaved with cased/padded/computed
+    specs."""
+    segs: list = []
     i = 0
     while i < len(fmt):
-        for tok, repl in _TO_CHAR_TOKENS:
+        for tok, spec in _TO_CHAR_TOKENS:
             if fmt.startswith(tok, i):
-                out.append(repl)
+                segs.append(spec)
                 i += len(tok)
                 break
         else:
             ch = fmt[i]
             # literal text must be quoted if it is a pattern letter
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            segs.append(f"'{ch}'" if ch.isalpha() else ch)
             i += 1
-    return "".join(out)
+    merged: list = []
+    for s in segs:
+        if isinstance(s, str) and merged and isinstance(merged[-1], str):
+            merged[-1] += s
+        else:
+            merged.append(s)
+    return merged
+
+
+def _translate_pg_format(fmt: str) -> str:
+    """Compile a PG pattern that maps onto a single date_format pattern;
+    raises for tokens needing post-processing (cased names, WW, J)."""
+    segs = _compile_pg_format(fmt) or [""]
+    if len(segs) != 1 or not isinstance(segs[0], str):
+        raise ValueError(
+            f"format {fmt!r} needs composed rendering; use to_char()")
+    return segs[0]
 
 
 def to_char(ts, fmt: str) -> Column:
     """PG to_char(timestamp, text) for the supported token set."""
-    return F.date_format(_col(ts), _translate_pg_format(fmt))
+    ts = _col(ts)
+    cols: list[Column] = []
+    for seg in _compile_pg_format(fmt):
+        if isinstance(seg, str):
+            cols.append(F.date_format(ts, seg))
+        elif callable(seg):
+            cols.append(seg(ts))
+        else:
+            case, pattern, pad = seg
+            c = F.date_format(ts, pattern)
+            if case == "upper":
+                c = F.upper(c)
+            elif case == "lower":
+                c = F.lower(c)
+            if pad:
+                c = F.rpad(c, pad, " ")
+            cols.append(c)
+    if not cols:
+        return F.lit("")
+    return cols[0] if len(cols) == 1 else F.concat(*cols)
 
 
 # -- justify_* --------------------------------------------------------------
 
 def _trunc_div(n: Column, d: int) -> Column:
     """Integer division truncating toward zero (PG interval semantics;
-    Spark's ``div`` on negatives floors)."""
+    Spark's ``div`` on negatives floors). Exact at all long magnitudes:
+    integer ``div`` on the absolute value (trunc == floor for
+    non-negatives) — never a double division, which would lose ULPs past
+    2^53 (~285-year intervals in micros)."""
     sign = F.when(n < 0, F.lit(-1)).otherwise(F.lit(1))
-    return sign * (F.abs(n) / F.lit(d)).cast("long")
+    return sign * F.call_function("div", F.abs(n), F.lit(d).cast("long"))
 
 
 def _interval_struct(months, days, micros) -> Column:

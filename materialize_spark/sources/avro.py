@@ -29,8 +29,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    BooleanType, DoubleType, FloatType, LongType, StringType, StructField,
-    StructType,
+    BinaryType, BooleanType, DoubleType, FloatType, LongType, StringType,
+    StructField, StructType,
 )
 
 _PRIMITIVES = {"long", "int", "string", "double", "float", "boolean", "null",
@@ -131,7 +131,7 @@ def _fields(schema: dict) -> list[tuple[str, object]]:
 
 _SPARK_TYPES = {"long": LongType(), "int": LongType(), "string": StringType(),
                 "double": DoubleType(), "float": FloatType(),
-                "boolean": BooleanType()}
+                "boolean": BooleanType(), "bytes": BinaryType()}
 
 
 def avro_spark_schema(schema_json: str) -> StructType:

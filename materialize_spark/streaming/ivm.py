@@ -74,6 +74,21 @@ class MaterializedView:
         self._state = new_state
         return delta
 
+    def on_state(self, state_df: DataFrame) -> DataFrame:
+        """Fold a full *replacement* of the source state and return the
+        (data, diff) delta frame.
+
+        ENVELOPE UPSERT sources maintain keyed state that replaces rather
+        than appends (reference: src/storage/src/upsert.rs feeding a
+        dataflow); for those the view recomputes over the new state and
+        diffs against its previous result — same SUBSCRIBE output shape as
+        ``on_batch``, without treating the input as an append."""
+        new_state = self.define(state_df).localCheckpoint(eager=True)
+        delta = self._delta(self._state, new_state)
+        self._state = new_state
+        self._history = None
+        return delta
+
     def result(self) -> DataFrame:
         if self._state is None:
             empty = self.spark.createDataFrame([], self.define(

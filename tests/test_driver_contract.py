@@ -41,13 +41,11 @@ def vanilla(spark):
             saved[k] = None
         with contextlib.suppress(Exception):
             spark.conf.unset(k)
-    cache = dict(catalog._TABLE_CACHE)
-    catalog._TABLE_CACHE.clear()
+    cache = catalog.clear_table_cache(spark)
     try:
         yield spark
     finally:
-        catalog._TABLE_CACHE.clear()
-        catalog._TABLE_CACHE.update(cache)
+        catalog.restore_table_cache(spark, cache)
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
@@ -126,12 +124,12 @@ def test_fresh_child_session_gets_confs(spark):
     with contextlib.suppress(Exception):
         child.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     from materialize_spark import catalog
-    catalog._TABLE_CACHE.clear()
+    catalog.clear_table_cache(child)
     try:
         out = e.queries()["temporal_filter"](child, SF_DIR)  # touches events
         assert out.count() > 0
     finally:
-        catalog._TABLE_CACHE.clear()
+        catalog.clear_table_cache(child)
 
 
 def test_date_bin_before_origin(spark):

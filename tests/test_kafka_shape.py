@@ -103,11 +103,13 @@ def test_debezium_topic_to_ivm_to_subscribe(spark, tmp_path):
     replayed = {k: (round(v[0], 4), v[1]) for k, v in state.items()}
     assert replayed == final
 
-    # At least one batch must have produced a correction (k=2's move
-    # retracts from 'a' and adds to 'b') — proves deltas, not snapshots.
+    # Deltas, not snapshots: batch 3 (k=1's delete) touches only 'a', so
+    # its envelope must carry exactly the corrected 'a' row — a snapshot
+    # would re-emit the unchanged 'b' aggregate too.
     assert len(subscribe_batches) == 3
-    assert any(any(all(v is None for v in row[1:]) for row in b) or True
-               for b in subscribe_batches)
+    last = subscribe_batches[2]
+    assert [row[0] for row in last] == ["a"]
+    assert (round(last[0][1], 4), last[0][2]) == (40.0, 1)
 
 
 def test_debezium_decode_shapes(spark):

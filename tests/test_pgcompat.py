@@ -140,3 +140,45 @@ def test_uuid_v3_text_stable_and_valid(spark):
              spark.range(3).select(uuid_v3_text("ns", "id").alias("u"))
              .collect()]
     assert got == again
+
+
+def test_to_char_cased_and_padded_names(spark):
+    df = spark.sql("SELECT TIMESTAMP '1997-06-09 15:04:05' AS ts")
+    row = df.select(
+        P.to_char("ts", "MON").alias("mon_up"),
+        P.to_char("ts", "mon").alias("mon_lo"),
+        P.to_char("ts", "MONTH").alias("month_up"),
+        P.to_char("ts", "Month").alias("month_pad"),
+        P.to_char("ts", "DAY").alias("day_up"),
+        P.to_char("ts", "Dy, DD").alias("mixed"),
+    ).first()
+    # PG renders MON/MONTH/DAY upper-case; Month/Day blank-pad to 9 chars
+    assert row.mon_up == "JUN" and row.mon_lo == "jun"
+    assert row.month_up == "JUNE     "
+    assert row.month_pad == "June     "
+    assert row.day_up == "MONDAY   "
+    assert row.mixed == "Mon, 09"
+
+
+def test_to_char_ww_and_julian(spark):
+    df = spark.sql("SELECT TIMESTAMP '2000-01-01 00:00:00' AS ts")
+    row = df.select(
+        P.to_char("ts", "WW").alias("ww"),
+        P.to_char("ts", "J").alias("j"),
+    ).first()
+    # PG: to_char('2000-01-01','WW') = '01', Julian day 2451545
+    assert row.ww == "01"
+    assert row.j == "2451545"
+    df2 = spark.sql("SELECT TIMESTAMP '1997-06-09 00:00:00' AS ts")
+    row2 = df2.select(P.to_char("ts", "WW").alias("ww")).first()
+    assert row2.ww == "23"  # doy 160 -> (160-1)//7+1
+
+
+def test_trunc_div_exact_at_large_magnitudes(spark):
+    # 2^60 micros: double division would be off by ULPs here
+    n = 1 << 60
+    d = 86_400_000_000
+    got = _one(spark, P._trunc_div(F.lit(n).cast("long"), d))
+    assert got == n // d
+    got_neg = _one(spark, P._trunc_div(F.lit(-n).cast("long"), d))
+    assert got_neg == -(n // d)

@@ -28,7 +28,7 @@ def test_q6_filter_pushed_and_schema_pruned(spark):
 
     saved = cat.ARRANGE_BYTES
     cat.ARRANGE_BYTES = 0
-    cat._TABLE_CACHE.clear()
+    cat.clear_table_cache(spark)
     # Drop JVM-side cached relations too: Spark's CacheManager substitutes an
     # InMemoryRelation for ANY logical plan matching a persisted one, so a
     # lineitem cached by an earlier test would mask the parquet scan here.
@@ -45,7 +45,7 @@ def test_q6_filter_pushed_and_schema_pruned(spark):
                         "l_extendedprice"}
     finally:
         cat.ARRANGE_BYTES = saved
-        cat._TABLE_CACHE.clear()
+        cat.clear_table_cache(spark)
 
 
 def test_q6_cached_scan_under_budget(spark):
