@@ -65,6 +65,31 @@ def _parquet_rows(path: str) -> int:
         return 0
 
 
+def _parquet_decoded_bytes(path: str) -> int:
+    """Uncompressed (decoded) byte size from parquet footers — what the
+    data actually weighs in memory and in shuffles. Snappy compresses
+    TPC-H columns 5-8x, so sizing parallelism by on-disk bytes
+    under-provisions by that factor. Falls back to on-disk bytes when
+    footers are unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        def one(f: str) -> int:
+            md = pq.ParquetFile(f).metadata
+            return sum(md.row_group(i).total_byte_size
+                       for i in range(md.num_row_groups))
+        if os.path.isfile(path):
+            return one(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += one(os.path.join(root, f))
+        return total or _on_disk_bytes(path)
+    except Exception:
+        return _on_disk_bytes(path)
+
+
 def _on_disk_bytes(path: str) -> int:
     if os.path.isfile(path):
         return os.path.getsize(path)
@@ -135,7 +160,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
     if spark in _CONFS_APPLIED:
         return
     _CONFS_APPLIED.add(spark)
-    for k, v in _RUNTIME_CONFS.items():
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    extra_pairs = [kv.split("=", 1) for kv in extra.split(",") if "=" in kv]
+    for k, v in list(_RUNTIME_CONFS.items()) + extra_pairs:
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -162,7 +189,7 @@ def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
     """Size post-shuffle parallelism to the data actually attached.
 
     Fixed per-task overhead dominates when reducers hold a few MB each, so
-    target ~64 MiB of input per post-shuffle partition, floored at 8 (keep
+    target ~32 MiB of DECODED input per post-shuffle partition, floored at 8 (keep
     some parallelism even for toy inputs) and capped at 4096 (at that point
     AQE coalescing — always on, see _RUNTIME_CONFS — owns the decision; the
     reference sizes its dataflow shards the same way, by data not by a
@@ -177,7 +204,8 @@ def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
         if spark.conf.get("spark.sql.shuffle.partitions") \
                 not in _untouched_shuffle_settings():
             return
-        target = max(8, min(total_bytes // (64 << 20), 4096))
+        target = max(int(os.environ.get("SPARK_GRAFT_MIN_SHUFFLE", "8")),
+                     min(total_bytes // (32 << 20), 4096))
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
     except Exception:
         pass
@@ -224,7 +252,9 @@ class LazyTables(MutableMapping):
             if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
         ]
         ensure_session_confs(spark)
-        total = sum(_on_disk_bytes(os.path.join(sf_dir, f"{n}.parquet"))
+        # Parallelism policies see DECODED bytes (what shuffles and caches
+        # actually carry), not the snappy-compressed on-disk size.
+        total = sum(_parquet_decoded_bytes(os.path.join(sf_dir, f"{n}.parquet"))
                     for n in self._available)
         scale_shuffle_partitions(spark, total)
         scale_adaptive_execution(spark, total)
@@ -262,7 +292,9 @@ class LazyTables(MutableMapping):
         size = _on_disk_bytes(path)
         if 0 < size <= ARRANGE_BYTES:
             cores = self._spark.sparkContext.defaultParallelism
-            shards = max(1, min(_parquet_rows(path) // 16_000, cores))
+            rows_per_shard = int(os.environ.get(
+                "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
+            shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
             if shards > df.rdd.getNumPartitions():
                 df = df.repartition(shards)
             df = df.persist()

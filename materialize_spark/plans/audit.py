@@ -64,3 +64,48 @@ def read_columns(scan: dict[str, str]) -> set[str]:
     """Column names out of a scan's ReadSchema struct string."""
     schema = scan.get("ReadSchema", "")
     return set(re.findall(r"(\w+):", schema))
+
+
+def fact_broadcasts(df: DataFrame,
+                    facts: tuple[str, ...] = ("lineitem", "orders"),
+                    ) -> list[str]:
+    """Fact tables whose ROWS are on a broadcast build side — the
+    scale-killer plan shape (a driver-built, single-threaded hash relation
+    of a table that grows with SF; unrunnable at 100 TB even when the
+    filtered subset fits the threshold today).
+
+    A broadcast whose subtree aggregates the fact first (e.g. a HAVING
+    key-set subquery) is NOT flagged: the broadcast side is then an
+    aggregate result, not fact rows. Walks the executed plan tree via the
+    JVM so subtree containment is exact, not string-guessed.
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def children(node):
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def scans_without_agg(node, facts_seen: list[str]) -> None:
+        name = node.nodeName()
+        if "Aggregate" in name:  # fact rows already reduced below here
+            return
+        text = node.simpleString(120)
+        for f in facts:
+            if ("Scan" in name or "Relation" in name) and f"{f}.parquet" in text:
+                facts_seen.append(f)
+        for c in children(node):
+            scans_without_agg(c, facts_seen)
+
+    offenders: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName().startswith("BroadcastExchange"):
+            seen: list[str] = []
+            for c in children(node):
+                scans_without_agg(c, seen)
+            offenders.extend(sorted(set(seen)))
+        for c in children(node):
+            walk(c)
+
+    walk(plan)
+    return offenders

@@ -103,3 +103,15 @@ def test_whole_stage_codegen_active(spark):
     df.collect()  # AQE finalizes (and codegens) only on execution
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in final  # starred stages = whole-stage-codegen spans
+
+
+def test_no_fact_broadcast_in_headline_queries(spark):
+    """No headline query may put fact-table ROWS on a broadcast build side
+    (driver-built single-threaded hash relation; wrong at any scale — a
+    filtered fact that fits the threshold at sf0.01 does not at 100 TB).
+    Aggregated key-set broadcasts (q18's HAVING subquery) are allowed."""
+    from materialize_spark.plans.audit import fact_broadcasts
+    from bench import HEADLINE
+
+    for name in HEADLINE:
+        assert fact_broadcasts(q(name, spark)) == [], name
