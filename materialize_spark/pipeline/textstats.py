@@ -134,3 +134,52 @@ def repetition_ratio(tokens: Column, *, n: int = 3) -> Column:
     return (F.when(F.size(sh) > 0,
                    top.cast("double") / F.size(sh))
             .otherwise(F.lit(0.0)))
+
+
+def lm_score(df: DataFrame, tokens: Column, *, id_col: str = "doc_id",
+             add_k: float = 1.0) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-style quality signal training pipelines use to rank/filter
+    documents (low average log-likelihood = boilerplate, gibberish, or
+    out-of-domain text).
+
+    Model: add-k-smoothed bigram LM trained on the corpus itself —
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), score = mean ln p over the
+    doc's bigrams. All relational: two counting aggregations (bigram,
+    unigram) + one keyed join back to the exploded bigram stream + a
+    per-doc aggregate.
+
+    Scale: counts are map-side-combined before their shuffles; the join
+    keys on (w1, w2) so fan-out is bounded by corpus vocabulary, and the
+    count tables (V and V^2-bounded, Zipf-truncated in practice) are far
+    smaller than the token stream. No Python, no collect.
+    """
+    bigrams = (
+        df.select(F.col(id_col), tokens.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            id_col,
+            F.explode(F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    unigram_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # single-row vocab size, broadcast into the scoring join
+    v_size = F.broadcast(bigrams.select(F.countDistinct("w2").alias("v")))
+    scored = (
+        bigrams
+        .join(bigram_counts, ["w1", "w2"])
+        .join(unigram_counts, ["w1"])
+        .crossJoin(v_size)
+        .select(
+            id_col,
+            (F.log((F.col("c12") + F.lit(add_k))
+                   / (F.col("c1") + F.lit(add_k) * F.col("v")))).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("lm_logprob"))

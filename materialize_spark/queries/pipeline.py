@@ -827,3 +827,38 @@ def dedup_spans(spark, sf_dir):
              F.sum(dup).alias("n_dup_spans"),
              F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"))
     )
+
+
+@register(
+    "text_lm_score",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    bg AS (
+      SELECT doc_id,
+             tokens[i] AS w1, tokens[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tokens))) AS t(i)
+      WHERE len(tokens) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM bg)
+    SELECT bg.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
+             AS lm_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+    "pipeline", "textstats", "lm",
+)
+def text_lm_score_query(spark, sf_dir):
+    """Corpus bigram-LM quality scoring (perplexity-style ranking signal
+    for training-data filtering): add-1-smoothed bigram log-likelihood
+    averaged per document, trained on the corpus itself. Purely
+    relational — two counting shuffles + one keyed join; see
+    pipeline/textstats.py lm_score for the scale notes."""
+    from materialize_spark.pipeline.dedup import normalize_text
+    from materialize_spark.pipeline.textstats import lm_score, tokens_col
+
+    t = T(spark, sf_dir)
+    toks = tokens_col(normalize_text(F.col("text")))
+    return lm_score(t.documents, toks)

@@ -520,3 +520,31 @@ def scalar_uuid(spark, sf_dir):
     t = T(spark, sf_dir)
     return t.documents.select(
         "doc_id", uuid_v3_text("corpus", "doc_id").alias("doc_uuid"))
+
+
+@register(
+    "sink_iceberg_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+    """,
+    "sink", "iceberg",
+)
+def sink_iceberg_roundtrip(spark, sf_dir):
+    """Iceberg-shaped sink roundtrip (reference Iceberg sink,
+    src/storage-types/src/sinks.rs:137-140): two commits (snapshot +
+    append) into a versioned table, read back the current snapshot.
+    Snapshot-log and time-travel semantics are pinned in
+    tests/test_iceberg_lite.py."""
+    import tempfile
+
+    from materialize_spark.sinks.iceberg_lite import (
+        read_iceberg, write_iceberg,
+    )
+
+    t = T(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mz_iceberg_")
+    nation = t.nation.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    write_iceberg(nation.filter(F.col("n_nationkey") <= 12), d)
+    write_iceberg(nation.filter(F.col("n_nationkey") > 12), d, mode="append")
+    return read_iceberg(spark, d)
