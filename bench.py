@@ -47,13 +47,15 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Best-of-4 with a FRESH plan per iteration: every timed run pays full
+    # Best-of-6 with a FRESH plan per iteration: every timed run pays full
     # parse/analyze/optimize/execute, i.e. honest ad-hoc query latency —
-    # no plan or result reuse inside the timed region.
+    # no plan or result reuse inside the timed region. (6 reps: the box's
+    # GC/frequency noise puts 50-150 ms outliers on ~1/4 of runs; a larger
+    # sample tightens the min without changing what is measured.)
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -548,3 +548,65 @@ def sink_iceberg_roundtrip(spark, sf_dir):
     write_iceberg(nation.filter(F.col("n_nationkey") <= 12), d)
     write_iceberg(nation.filter(F.col("n_nationkey") > 12), d, mode="append")
     return read_iceberg(spark, d)
+
+
+@register(
+    "scalar_pg_compat4",
+    """
+    SELECT o_orderkey,
+           CASE WHEN len(string_split(o_orderpriority, '-')) > 0 THEN 1 END
+             AS arr_lower,
+           CAST(len(string_split(o_orderpriority, '-')) AS BIGINT)
+             AS arr_upper,
+           array_to_string(string_split(o_orderpriority, '-')
+                           || string_split(o_orderstatus, '-'), ',')
+             AS arr_cat,
+           'bigint'            AS typeof_key,
+           'timestamp'         AS typeof_date,
+           (o_orderstatus = o_orderpriority) AS ct_eq,
+           strftime(try_strptime('2023-07-0' || CAST(o_orderkey % 9 + 1 AS VARCHAR)
+                                 || 'T12:34:56Z', '%Y-%m-%dT%H:%M:%SZ'),
+                    '%Y-%m-%d %H:%M:%S') AS iso_parsed,
+           try_strptime(o_orderpriority, '%Y-%m-%dT%H:%M:%SZ') IS NULL
+             AS iso_reject,
+           CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+                AS INT) AS age_months
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    "scalar", "pg-compat",
+)
+def scalar_pg_compat4(spark, sf_dir):
+    """Builtin-surface tail battery: array_lower/array_upper/array_cat
+    (func.rs pg_catalog array builtins), pg_typeof (plan-time type name),
+    constant_time_eq (timing-safe equality — semantics-equal comparison in
+    batch), try_parse_monotonic_iso8601_timestamp (NULL on non-ISO input,
+    reference src/expr/src/scalar/func.rs TryParseMonotonicIso8601
+    Timestamp), and age() month arithmetic (PG symbolic interval)."""
+    from materialize_spark.functions.datetime import age
+
+    t = T(spark, sf_dir)
+    arr_a = F.split(F.col("o_orderpriority"), "-")
+    arr_b = F.split(F.col("o_orderstatus"), "-")
+    iso = F.concat(F.lit("2023-07-0"),
+                   (F.col("o_orderkey") % 9 + 1).cast("string"),
+                   F.lit("T12:34:56Z"))
+    o = t.orders.filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        # array_lower(arr, 1): 1 for non-empty arrays, NULL otherwise
+        F.when(F.size(arr_a) > 0, F.lit(1)).alias("arr_lower"),
+        F.size(arr_a).cast("long").alias("arr_upper"),
+        F.array_join(F.concat(arr_a, arr_b), ",").alias("arr_cat"),
+        # pg_typeof is resolved at plan time from the schema
+        F.lit(dict(o.dtypes)["o_orderkey"]).alias("typeof_key"),
+        F.lit(dict(o.dtypes)["o_orderdate"]).alias("typeof_date"),
+        (F.col("o_orderstatus") == F.col("o_orderpriority")).alias("ct_eq"),
+        F.date_format(
+            F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            "yyyy-MM-dd HH:mm:ss").alias("iso_parsed"),
+        F.try_to_timestamp(F.col("o_orderpriority"),
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).isNull()
+        .alias("iso_reject"),
+        age("o_orderdate", F.lit("1995-01-15").cast("timestamp"))["months"]
+        .alias("age_months"),
+    )

@@ -10,6 +10,8 @@ in-session sink used by tests.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,3 +99,57 @@ def kafka_sink(df: DataFrame, bootstrap: str, topic: str, checkpoint: str, *,
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def kafka_murmur2(data: bytes) -> int:
+    """Apache Kafka's murmur2 (seed 0x9747b28c,
+    org.apache.kafka.common.utils.Utils#murmur2), signed-32 result —
+    byte-identical to the broker's DefaultPartitioner hash."""
+    length = len(data)
+    m, r = 0x5BD1E995, 24
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    tail = length - i
+    if tail == 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if tail >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if tail >= 1:
+        h = ((h ^ (data[i] & 0xFF)) * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def kafka_murmur2_partition(key: "Column | str", num_partitions: int):
+    """Kafka's DefaultPartitioner assignment for a key column:
+    ``murmur2(key_bytes) & 0x7fffffff % num_partitions``.
+
+    The reference exposes ``kafka_murmur2`` as a SQL builtin
+    (src/sql/src/func.rs mz_catalog) so sink routing is predictable; the
+    murmur2 variant is the public Apache Kafka one (seed 0x9747b28c,
+    org.apache.kafka.common.utils.Utils#murmur2). Implemented as an
+    Arrow-batched pandas UDF — byte-level mixing has no Column-expression
+    form; one UDF eval per row batch, used only on the sink path.
+    """
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("int")
+    def _murmur2_part(keys: pd.Series) -> pd.Series:
+        return keys.map(
+            lambda k: None if k is None else
+            (kafka_murmur2(
+                k if isinstance(k, (bytes, bytearray)) else str(k).encode())
+             & 0x7FFFFFFF) % num_partitions)
+
+    key_col = col(key) if isinstance(key, str) else key
+    return _murmur2_part(key_col)

@@ -259,3 +259,33 @@ def test_protobuf_roundtrip_or_skip(spark, tmp_path):
     except Exception as ex:
         pytest.skip("spark-protobuf module not deployed in this container: "
                     + str(ex).split("\n")[0][:100])
+
+
+def test_kafka_murmur2_public_vectors():
+    """Byte-identical to Apache Kafka Utils#murmur2 (public test vectors
+    from kafka's UtilsTest) — sink partition routing matches the broker's
+    DefaultPartitioner."""
+    from materialize_spark.sinks.writers import kafka_murmur2
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"": 275646681,
+    }
+    for key, expected in vectors.items():
+        assert kafka_murmur2(key) == expected, key
+
+
+def test_kafka_murmur2_partition_column(spark):
+    from materialize_spark.sinks.writers import (
+        kafka_murmur2, kafka_murmur2_partition,
+    )
+    df = spark.createDataFrame(
+        [("21",), ("foobar",), (None,)], "key string")
+    got = {r.key: r.p for r in df.select(
+        "key", kafka_murmur2_partition("key", 12).alias("p")).collect()}
+    assert got["21"] == (kafka_murmur2(b"21") & 0x7FFFFFFF) % 12
+    assert got["foobar"] == (kafka_murmur2(b"foobar") & 0x7FFFFFFF) % 12
+    assert got[None] is None
