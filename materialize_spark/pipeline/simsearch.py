@@ -358,3 +358,75 @@ def ivf_probe_index(spark, path: str, *, nprobe: int = 4, n_queries: int = 3,
         .filter(F.col("__rn") <= k)
         .select("qid", F.col(id_col), F.round("__cos", 4).alias("cos"))
     )
+
+
+# -- scalar quantization (SQ8) ----------------------------------------------
+
+def sq8_train(df: DataFrame, *, dims: int = 64,
+              vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] over the corpus — the SQ8 'codebook'.
+
+    One aggregation of 2*dims min/max columns — map-side partial
+    aggregation before a single-row shuffle, so at 100 TB this is one
+    combined pass; the codebook is bytes-sized and broadcasts anywhere.
+    """
+    emb = F.col(vec_col).cast("array<double>")
+    row = df.agg(
+        *[F.min(emb[i]).alias(f"lo{i}") for i in range(dims)],
+        *[F.max(emb[i]).alias(f"hi{i}") for i in range(dims)],
+    ).first()
+    return ([row[f"lo{i}"] for i in range(dims)],
+            [row[f"hi{i}"] for i in range(dims)])
+
+
+def sq8_encode(df: DataFrame, lo: list[float], hi: list[float], *,
+               vec_col: str = "embedding", code_col: str = "code") -> DataFrame:
+    """Quantize each vector to per-dimension 8-bit codes:
+    code_i = round(255 * (x_i - lo_i) / (hi_i - lo_i)), clamped to [0,255].
+
+    4x memory compression vs float32 (16x vs float64) — the scale lever
+    that keeps a 100 TB embedding corpus scannable from memory. Pure
+    column expressions; constant-width degenerate dims encode as 0.
+    """
+    emb = F.col(vec_col).cast("array<double>")
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    span = F.array(*[F.lit(float(h - l) if h > l else 1.0)
+                     for l, h in zip(lo, hi)])
+    scaled = F.zip_with(F.zip_with(emb, lo_a, lambda x, l: x - l), span,
+                        lambda d, s: d / s)
+    # floor(x*255 + 0.5): explicit half-up rounding — identical across
+    # engines (round() half-rule conventions differ between engines).
+    code = F.transform(
+        scaled,
+        lambda f: F.least(F.lit(255),
+                          F.greatest(F.lit(0),
+                                     F.floor(f * 255 + 0.5).cast("int"))))
+    return df.withColumn(code_col, code)
+
+
+def sq8_decode_col(code: Column, lo: list[float], hi: list[float]) -> Column:
+    """Reconstruct approximate doubles from codes (for scoring)."""
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    span = F.array(*[F.lit(float(h - l) if h > l else 1.0)
+                     for l, h in zip(lo, hi)])
+    return F.zip_with(
+        F.zip_with(code, span, lambda c, s: c.cast("double") / 255.0 * s),
+        lo_a, lambda x, l: x + l)
+
+
+def sq8_cosine_topk(df: DataFrame, query_vec: list[float],
+                    lo: list[float], hi: list[float], *, k: int = 10,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Approximate cosine top-k over SQ8 codes: encode the corpus, score
+    the query against *decoded* codes (asymmetric distance — the query
+    stays full-precision), exact ordering on the rounded score."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    coded = sq8_encode(df, lo, hi, vec_col=vec_col)
+    approx = sq8_decode_col(F.col("code"), lo, hi)
+    return (
+        coded.select(F.col(id_col),
+                     F.round(cosine(approx, q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -862,3 +862,67 @@ def text_lm_score_query(spark, sf_dir):
     t = T(spark, sf_dir)
     toks = tokens_col(normalize_text(F.col("text")))
     return lm_score(t.documents, toks)
+
+
+def _sq8_oracle() -> str:
+    """DuckDB mirror of sq8_train/encode/decode + asymmetric cosine."""
+    los = ",\n".join(
+        f"      min(embedding[{i}]::DOUBLE) AS lo{i}" for i in range(1, 65))
+    his = ",\n".join(
+        f"      max(embedding[{i}]::DOUBLE) AS hi{i}" for i in range(1, 65))
+    spans = ",\n".join(
+        f"      CASE WHEN hi{i} > lo{i} THEN hi{i} - lo{i} ELSE 1.0 END"
+        f" AS sp{i}" for i in range(1, 65))
+    codes = ",\n".join(
+        f"      least(255, greatest(0, CAST(floor((embedding[{i}]::DOUBLE"
+        f" - lo{i}) / sp{i} * 255 + 0.5) AS INT))) AS c{i}"
+        for i in range(1, 65))
+    approx_dot = " + ".join(
+        f"(c{i} / 255.0 * sp{i} + lo{i}) * qe[{i}]::DOUBLE"
+        for i in range(1, 65))
+    approx_norm = " + ".join(
+        f"(c{i} / 255.0 * sp{i} + lo{i}) * (c{i} / 255.0 * sp{i} + lo{i})"
+        for i in range(1, 65))
+    qnorm = ("sqrt(list_sum(list_transform(range(1, 65), "
+             "i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))")
+    return f"""
+    WITH stats AS (
+      SELECT
+{los},
+{his}
+      FROM embeddings),
+    sp AS (
+      SELECT *,
+{spans}
+      FROM stats),
+    q AS (SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    coded AS (
+      SELECT vec_id, qe,
+{codes},
+             sp.* FROM embeddings, sp, q)
+    SELECT vec_id,
+           round(({approx_dot}) / (sqrt({approx_norm}) * {qnorm}), 6)
+             AS cosine_sim
+    FROM coded
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("simsearch_sq8", _sq8_oracle(), "pipeline", "simsearch", "sq8")
+def simsearch_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN: per-dimension [min,max] codebook (one
+    map-side-combined aggregation), 8-bit codes (4x memory vs float32 —
+    the lever that keeps a 100 TB embedding corpus memory-resident),
+    asymmetric cosine scoring (full-precision query vs decoded codes).
+    pipeline/simsearch.py sq8_*; rounding is explicit floor(x+0.5) so
+    any engine reproduces the codes bit-for-bit."""
+    from materialize_spark.pipeline.simsearch import (
+        sq8_cosine_topk, sq8_train,
+    )
+
+    t = T(spark, sf_dir)
+    qrow = t.embeddings.orderBy("vec_id").select("embedding").first()
+    lo, hi = sq8_train(t.embeddings)
+    return sq8_cosine_topk(t.embeddings, list(qrow[0]), lo, hi, k=10)

@@ -268,3 +268,40 @@ def test_sample_temperature_properties(spark):
     # flattening: max/min ratio strictly shrinks
     assert (max(after.values()) / min(after.values())
             < max(before.values()) / min(before.values()))
+
+
+def test_sq8_quantization_roundtrip_and_recall(spark):
+    """SQ8 codes stay in [0,255]; reconstruction error is bounded by one
+    quantization step per dimension; approximate top-10 overlaps exact
+    top-10 heavily on real data."""
+    from materialize_spark.pipeline.simsearch import (
+        cosine_topk, sq8_cosine_topk, sq8_decode_col, sq8_encode, sq8_train,
+    )
+    from materialize_spark.queries.util import T
+
+    t = T(spark, SF_DIR)
+    emb = t.embeddings
+    lo, hi = sq8_train(emb)
+    assert len(lo) == 64 and len(hi) == 64
+    assert all(l <= h for l, h in zip(lo, hi))
+
+    coded = sq8_encode(emb, lo, hi)
+    bounds = coded.agg(
+        F.min(F.array_min("code")), F.max(F.array_max("code"))).first()
+    assert bounds[0] >= 0 and bounds[1] <= 255
+
+    # max |x - decode(encode(x))| over all rows/dims <= half a step
+    err = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   sq8_decode_col(F.col("code"), lo, hi),
+                   lambda x, y: F.abs(x - y)),
+        F.lit(0.0).cast("double"), lambda a, x: F.greatest(a, x))
+    max_err = coded.agg(F.max(err)).first()[0]
+    max_step = max((h - l) / 255.0 for l, h in zip(lo, hi) if h > l)
+    assert max_err <= max_step / 2 + 1e-9
+
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    exact = {r.vec_id for r in cosine_topk(emb, list(qrow[0]), k=10).collect()}
+    approx = {r.vec_id for r in
+              sq8_cosine_topk(emb, list(qrow[0]), lo, hi, k=10).collect()}
+    assert len(exact & approx) >= 8  # >=80% recall@10 on the test corpus
