@@ -110,3 +110,16 @@ def jsonb_concat(a, b, value_type: str = "bigint") -> Column:
     am = F.map_filter(_obj_map(a, value_type),
                       lambda k, _v: ~F.array_contains(F.map_keys(bm), k))
     return jsonb_canonical(F.map_concat(am, bm))
+
+
+def jsonb_path_query_first(js, path: str) -> Column:
+    """jsonb_path_query_first(js, '$.a.b[i]') — the member/index core of
+    PG's SQL/JSON path language (reference jsonb path funcs,
+    src/sql/src/func.rs pg_catalog). Spark's get_json_object evaluates
+    exactly this dialect JVM-side; scalars come back as unquoted text."""
+    return F.get_json_object(_col(js), path)
+
+
+def jsonb_path_exists(js, path: str) -> Column:
+    """jsonb_path_exists(js, path): does the path land on any value?"""
+    return F.get_json_object(_col(js), path).isNotNull()

@@ -102,19 +102,23 @@ def agg_rich(spark, sf_dir):
                             F.coalesce("l_linestatus", F.lit("ALL"))).alias("k"),
                 s(F.col("n")).alias("v")))
 
-    _ = (t.orders, t.customer)  # register temp views for the SQL arm
-    a_gsets = spark.sql("""
-        SELECT 'grouping_sets' AS tag,
-               concat_ws('|', coalesce(c_mktsegment, '*'),
-                              coalesce(o_orderpriority, '*'),
-                              concat(CAST(grouping(c_mktsegment) AS STRING),
-                                     CAST(grouping(o_orderpriority) AS STRING)))
-                 AS k,
-               CAST(count(*) AS STRING) AS v
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
-                                (c_mktsegment, o_orderpriority), ())
-    """)
+    # Native groupingSets (no temp-view SQL: immune to view rebinding when
+    # one session mixes scale factors).
+    a_gsets = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupingSets([["c_mktsegment"], ["o_orderpriority"],
+                       ["c_mktsegment", "o_orderpriority"], []],
+                      "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.grouping("c_mktsegment").alias("g_seg"),
+             F.grouping("o_orderpriority").alias("g_pri"))
+        .select(F.lit("grouping_sets").alias("tag"),
+                F.concat_ws("|",
+                            F.coalesce("c_mktsegment", F.lit("*")),
+                            F.coalesce("o_orderpriority", F.lit("*")),
+                            F.concat(s(F.col("g_seg")), s(F.col("g_pri"))))
+                .alias("k"),
+                s(F.col("n")).alias("v")))
     return a_string.unionAll(a_jsonb).unionAll(a_map) \
         .unionAll(a_rollup).unionAll(a_gsets)
 

@@ -324,17 +324,17 @@ def agg_grouping_sets(spark, sf_dir):
     Spark expands them into a single Expand + one aggregate, i.e. one
     shuffle for all four groupings."""
     t = T(spark, sf_dir)
-    _ = (t.orders, t.customer)  # touch → temp views registered
-    return spark.sql("""
-        SELECT c_mktsegment, o_orderpriority,
-               CAST(grouping(c_mktsegment) AS BIGINT)    AS g_seg,
-               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
-               COUNT(*)                                  AS n,
-               round(sum(o_totalprice), 2)               AS total
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
-                                (c_mktsegment, o_orderpriority), ())
-    """)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupingSets([["c_mktsegment"], ["o_orderpriority"],
+                       ["c_mktsegment", "o_orderpriority"], []],
+                      "c_mktsegment", "o_orderpriority")
+        .agg(F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+             F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select("c_mktsegment", "o_orderpriority",
+                "g_seg", "g_pri", "n", "total"))
 
 
 @register(

@@ -610,3 +610,56 @@ def scalar_pg_compat4(spark, sf_dir):
         age("o_orderdate", F.lit("1995-01-15").cast("timestamp"))["months"]
         .alias("age_months"),
     )
+
+
+@register(
+    "jsonb_path_battery",
+    """
+    WITH j AS (
+      SELECT event_id, props,
+             json_object('t', event_type,
+                         'm', json_object('v', value,
+                                          'arr', json_array(value, value * 2)))
+               AS doc
+      FROM events WHERE event_id <= 2000)
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(doc, '$.t')                   AS t_txt,
+           round(CAST(json_extract_string(doc, '$.m.v') AS DOUBLE), 6)
+             AS nested_v,
+           round(CAST(json_extract_string(doc, '$.m.arr[1]') AS DOUBLE), 6)
+             AS arr1,
+           json_extract_string(props, '$.k') IS NOT NULL     AS has_k,
+           json_extract_string(props, '$.nope') IS NOT NULL  AS has_nope
+    FROM j
+    """,
+    "jsonb", "jsonpath",
+)
+def jsonb_path_battery(spark, sf_dir):
+    """SQL/JSON path battery: jsonb_path_query_first / jsonb_path_exists
+    over the member/index path dialect, against both a stored JSON column
+    (events.props) and a nested document built in-query. All JVM-side
+    (get_json_object); no parsing in Python."""
+    from materialize_spark.functions.jsonb import (
+        jsonb_path_exists, jsonb_path_query_first,
+    )
+
+    t = T(spark, sf_dir)
+    doc = F.to_json(F.struct(
+        F.col("event_type").alias("t"),
+        F.struct(F.col("value").alias("v"),
+                 F.array(F.col("value"), F.col("value") * 2).alias("arr"))
+        .alias("m")))
+    return (
+        t.events.filter(F.col("event_id") <= 2000)
+        .select(
+            "event_id",
+            jsonb_path_query_first("props", "$.k").cast("long").alias("k_val"),
+            jsonb_path_query_first(doc, "$.t").alias("t_txt"),
+            F.round(jsonb_path_query_first(doc, "$.m.v").cast("double"), 6)
+            .alias("nested_v"),
+            F.round(jsonb_path_query_first(doc, "$.m.arr[1]").cast("double"),
+                    6).alias("arr1"),
+            jsonb_path_exists("props", "$.k").alias("has_k"),
+            jsonb_path_exists("props", "$.nope").alias("has_nope"),
+        ))
