@@ -463,3 +463,37 @@ def join_range_band(spark, sf_dir):
                        how_filter=F.col("id_a") < F.col("id_b"))
     return (pairs.groupBy(F.col("user_id").cast("long").alias("user_id"))
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+@register(
+    "join_wide_16way",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, n1.n_name AS nat,
+           r1.r_name AS reg, n8.n_name AS nat8, r8.r_name AS reg8
+    FROM customer c
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey JOIN region r2 ON r2.r_regionkey = n2.n_regionkey JOIN nation n3 ON n3.n_nationkey = n1.n_nationkey JOIN region r3 ON r3.r_regionkey = n3.n_regionkey JOIN nation n4 ON n4.n_nationkey = n1.n_nationkey JOIN region r4 ON r4.r_regionkey = n4.n_regionkey JOIN nation n5 ON n5.n_nationkey = n1.n_nationkey JOIN region r5 ON r5.r_regionkey = n5.n_regionkey JOIN nation n6 ON n6.n_nationkey = n1.n_nationkey JOIN region r6 ON r6.r_regionkey = n6.n_regionkey JOIN nation n7 ON n7.n_nationkey = n1.n_nationkey JOIN region r7 ON r7.r_regionkey = n7.n_regionkey JOIN nation n8 ON n8.n_nationkey = n1.n_nationkey JOIN region r8 ON r8.r_regionkey = n8.n_regionkey
+    WHERE c_custkey <= 500
+""",
+    "join", "wide", "delta",
+)
+def join_wide_16way(spark, sf_dir):
+    """16-relation join chain (reference: delta joins 'tested on joins of
+    up to 64 relations', README; MIR N-ary Join). One broadcast per
+    O(10)-row dim side; Catalyst folds the chain into a single codegen
+    pipeline over the customer scan — the shape a delta join keeps at
+    scale (no intermediate materialization)."""
+    from materialize_spark.queries.util import sql_over
+
+    return sql_over(
+        spark, sf_dir, ("customer", "nation", "region"),
+        """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, n1.n_name AS nat,
+           r1.r_name AS reg, n8.n_name AS nat8, r8.r_name AS reg8
+    FROM customer c
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey JOIN region r2 ON r2.r_regionkey = n2.n_regionkey JOIN nation n3 ON n3.n_nationkey = n1.n_nationkey JOIN region r3 ON r3.r_regionkey = n3.n_regionkey JOIN nation n4 ON n4.n_nationkey = n1.n_nationkey JOIN region r4 ON r4.r_regionkey = n4.n_regionkey JOIN nation n5 ON n5.n_nationkey = n1.n_nationkey JOIN region r5 ON r5.r_regionkey = n5.n_regionkey JOIN nation n6 ON n6.n_nationkey = n1.n_nationkey JOIN region r6 ON r6.r_regionkey = n6.n_regionkey JOIN nation n7 ON n7.n_nationkey = n1.n_nationkey JOIN region r7 ON r7.r_regionkey = n7.n_regionkey JOIN nation n8 ON n8.n_nationkey = n1.n_nationkey JOIN region r8 ON r8.r_regionkey = n8.n_regionkey
+    WHERE c_custkey <= 500
+""")
