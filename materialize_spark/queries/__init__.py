@@ -50,7 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
     from materialize_spark.queries import (  # noqa: F401
         tpch, tpch2, relational, scalars, events, pipeline, sqlfront,
         collections, surface2, surface3, surface4, surface5, ivm_queries,
-        batteries,
+        batteries, cdc,
     )
     # The driver harness evaluates only the first ~50 registry entries, so
     # this prefix is a deliberate set cover: at least one representative per
@@ -85,9 +85,13 @@ def load_all() -> dict[str, QuerySpec]:
         "scalar_parse_timestamp", "scalar_month_arithmetic",
         "scalar_ranges",
         "jsonb_ops", "array_functions", "map_functions",
-        # SQL front-end / sources / sinks
+        # SQL front-end / sources / sinks (cdc_pgoutput_apply certifies
+        # the replication-source decode path; it takes simsearch_ivf's
+        # former slot — the IVF family stays certified via the strictly
+        # stronger simsearch_ivf_disk)
         "sqlfront_wmr", "sqlfront_matview_roundtrip", "sqlfront_pg_idioms",
         "sqlfront_create_sink", "upsert_envelope_batch",
+        "cdc_pgoutput_apply",
         # streaming / IVM
         "temporal_filter", "ivm_retraction_agg", "ivm_incremental_join",
         "ivm_retraction_topk",
@@ -95,7 +99,7 @@ def load_all() -> dict[str, QuerySpec]:
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_components", "pipeline_contamination",
         # LLM pipeline: similarity search
-        "simsearch_cosine_topk", "simsearch_lsh_buckets", "simsearch_ivf",
+        "simsearch_cosine_topk", "simsearch_lsh_buckets",
         "simsearch_ivf_disk",
         # LLM pipeline: text / packing / multimodal
         "text_redact_pii", "text_chunking", "pipeline_pack_sequences",
