@@ -47,6 +47,84 @@ def _nation_log():
     return msgs, {rel["oid"]: rel}
 
 
+_SUP_TABLE_ID = 311
+_SUP_DDL = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+
+
+def _supplier_binlog():
+    """Deterministic binlog section over the driver's `supplier` table:
+    full-row-image updates of 0 and 10, delete 50, delete+re-insert 7,
+    insert 100, insert-then-delete 101 (never visible). Row images are
+    FULL (binlog_row_image default), so updates carry every column."""
+    from materialize_spark.sources.mysql_binlog import (
+        DELETE_ROWS_V2, T_DOUBLE, T_LONG, T_LONGLONG, T_VARCHAR,
+        UPDATE_ROWS_V2, WRITE_ROWS_V2, encode_rows_event, encode_table_map,
+    )
+    ct = [T_LONGLONG, T_VARCHAR, T_LONG, T_DOUBLE]
+    meta = [0, 255, 0, 8]
+    dummy = lambda k: [k, "?", 0, 0.0]  # before-image values never surface
+    events = [
+        encode_table_map(_SUP_TABLE_ID, "public", "supplier", ct, meta),
+        encode_rows_event(UPDATE_ROWS_V2, _SUP_TABLE_ID,
+                          [(dummy(0), [0, "SUP_ZERO", 9, 0.0])], ct, meta),
+        encode_rows_event(UPDATE_ROWS_V2, _SUP_TABLE_ID,
+                          [(dummy(10), [10, "SUP_TEN", 5, 1234.5])],
+                          ct, meta),
+        encode_rows_event(DELETE_ROWS_V2, _SUP_TABLE_ID, [dummy(50)],
+                          ct, meta),
+        encode_rows_event(DELETE_ROWS_V2, _SUP_TABLE_ID, [dummy(7)],
+                          ct, meta),
+        encode_rows_event(WRITE_ROWS_V2, _SUP_TABLE_ID,
+                          [[101, "SUP_GONE", 1, 9.0]], ct, meta),
+        encode_rows_event(WRITE_ROWS_V2, _SUP_TABLE_ID,
+                          [[7, "SUP_PHOENIX", 0, -1.25],
+                           [100, "SUP_NEW", 3, 42.0]], ct, meta),
+        encode_rows_event(DELETE_ROWS_V2, _SUP_TABLE_ID,
+                          [dummy(101)], ct, meta),
+    ]
+    return events
+
+
+@register(
+    "cdc_mysql_apply",
+    """
+    -- the same logical changes the binlog section encodes, in plain SQL
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey = 0 THEN 'SUP_ZERO'
+                WHEN s_suppkey = 10 THEN 'SUP_TEN'
+                WHEN s_suppkey = 7 THEN 'SUP_PHOENIX'
+                ELSE s_name END AS s_name,
+           CASE WHEN s_suppkey = 0 THEN 9
+                WHEN s_suppkey = 10 THEN 5
+                WHEN s_suppkey = 7 THEN 0
+                ELSE s_nationkey END AS s_nationkey,
+           CASE WHEN s_suppkey = 0 THEN 0.0
+                WHEN s_suppkey = 10 THEN 1234.5
+                WHEN s_suppkey = 7 THEN -1.25
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier WHERE s_suppkey <> 50
+    UNION ALL
+    SELECT CAST(100 AS BIGINT), 'SUP_NEW', CAST(3 AS INTEGER), 42.0
+    """,
+    "cdc", "source", "mysql",
+)
+def cdc_mysql_apply(spark, sf_dir):
+    from materialize_spark.sources.mysql_binlog import (
+        binlog_to_diff, decode_binlog_stream,
+    )
+    from materialize_spark.sources.pgoutput import apply_cdc
+    events = _supplier_binlog()
+    log = spark.createDataFrame(
+        [(i + 1, bytearray(e)) for i, e in enumerate(events)],
+        "pos long, event binary")
+    env = decode_binlog_stream(
+        log, columns={"public.supplier":
+                      ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]})
+    diff = binlog_to_diff(env, "public.supplier", _SUP_DDL)
+    base = T(spark, sf_dir).supplier
+    return apply_cdc(base, diff, ["s_suppkey"])
+
+
 @register(
     "cdc_pgoutput_apply",
     """
