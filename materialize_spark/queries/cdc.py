@@ -125,6 +125,54 @@ def cdc_mysql_apply(spark, sf_dir):
     return apply_cdc(base, diff, ["s_suppkey"])
 
 
+def _region_change_table(spark):
+    """cdc.region_CT emulation (no SQL Server in the sandbox): rename 0
+    (update pair), delete 3, delete+re-insert 1 across two transactions,
+    insert 5, insert-then-delete 6 (never visible). Two ops share a
+    start_lsn with distinct seqvals to exercise intra-txn ordering."""
+    from materialize_spark.sources.sqlserver_cdc import (
+        OP_DELETE, OP_INSERT, OP_UPDATE_NEW, OP_UPDATE_OLD, lsn_bytes,
+    )
+    rows = [
+        (lsn_bytes(1), lsn_bytes(0, 0, 1), OP_UPDATE_OLD, 0, "?"),
+        (lsn_bytes(1), lsn_bytes(0, 0, 1), OP_UPDATE_NEW, 0,
+         "REGION_ZERO"),
+        (lsn_bytes(2), lsn_bytes(0, 0, 1), OP_DELETE, 3, "?"),
+        # one transaction: delete 1 then insert 6 (seqval orders them)
+        (lsn_bytes(3), lsn_bytes(0, 0, 1), OP_DELETE, 1, "?"),
+        (lsn_bytes(3), lsn_bytes(0, 0, 2), OP_INSERT, 6, "EPHEMERAL"),
+        (lsn_bytes(4), lsn_bytes(0, 0, 1), OP_INSERT, 1, "REBORN"),
+        (lsn_bytes(4), lsn_bytes(0, 0, 2), OP_INSERT, 5, "NEWREGION"),
+        (lsn_bytes(5), lsn_bytes(0, 0, 1), OP_DELETE, 6, "?"),
+    ]
+    return spark.createDataFrame(
+        [(bytearray(a), bytearray(b), op, k, n)
+         for a, b, op, k, n in rows],
+        "`__$start_lsn` binary, `__$seqval` binary, `__$operation` int, "
+        "r_regionkey long, r_name string")
+
+
+@register(
+    "cdc_sqlserver_apply",
+    """
+    -- the same logical changes the change table encodes, in plain SQL
+    SELECT r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN 'REGION_ZERO'
+                WHEN r_regionkey = 1 THEN 'REBORN'
+                ELSE r_name END AS r_name
+    FROM region WHERE r_regionkey <> 3
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'NEWREGION'
+    """,
+    "cdc", "source", "sqlserver",
+)
+def cdc_sqlserver_apply(spark, sf_dir):
+    from materialize_spark.sources.sqlserver_cdc import apply_changes
+    base = T(spark, sf_dir).region
+    return apply_changes(base, _region_change_table(spark),
+                         ["r_regionkey"])
+
+
 @register(
     "cdc_pgoutput_apply",
     """

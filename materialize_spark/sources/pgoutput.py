@@ -312,8 +312,13 @@ def apply_cdc(base: DataFrame, diff: DataFrame, key_cols: list[str],
     from pyspark.sql.window import Window
 
     data_cols = [c for c in base.columns]
+    # the snapshot sorts before every replication LSN, whatever the LSN
+    # type: long positions (pgoutput/binlog) get 0, the SQL Server
+    # hex-string LSN gets "" (lexicographic floor for fixed-width hex)
+    lsn_type = diff.schema["lsn"].dataType.simpleString()
+    floor = F.lit("" if lsn_type == "string" else 0).cast(lsn_type)
     tagged_base = base.select(*data_cols).withColumn(
-        "lsn", F.lit(0).cast("long")).withColumn("diff", F.lit(1))
+        "lsn", floor).withColumn("diff", F.lit(1))
     all_updates = tagged_base.unionByName(
         diff.select(*data_cols, "lsn", "diff"))
     # diff desc tiebreak: an in-place update emits (+1 after, -1 before)
