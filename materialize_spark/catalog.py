@@ -35,6 +35,24 @@ TABLES: tuple[str, ...] = (
 )
 ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 
+# Arrangement keys — the reference's default: every source/index is an
+# arrangement BY KEY, and joins run against those arrangements without
+# re-shuffling (delta joins reuse indexes; SURVEY §4.3). Spark analog:
+# hash-repartition the persisted table on its primary join key, so
+# Catalyst's EnsureRequirements sees HashPartitioning on the fact side of
+# every equi-join on that key and elides the per-query Exchange — the
+# shuffle is paid once at arrangement build, like CREATE INDEX. Keys are
+# each table's dominant equi-join column in the reference's TPC-H suite
+# (lineitem/orders join on orderkey in q3/q5/q12/q18/q21; partsupp-style
+# part/supplier joins on their pk). Tables whose workloads are scan- or
+# explode-shaped (events/documents/embeddings) stay round-robin: their
+# operators repartition explicitly where compute-bound.
+ARRANGE_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey", "orders": "o_orderkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # In-memory arrangement budget for base tables. The reference keeps every
@@ -295,7 +313,12 @@ class LazyTables(MutableMapping):
             rows_per_shard = int(os.environ.get(
                 "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
             shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
-            if shards > df.rdd.getNumPartitions():
+            key = ARRANGE_KEYS.get(name)
+            if key is not None and key in df.columns and shards > 1:
+                # keyed arrangement: HashPartitioning survives persist(),
+                # so equi-joins on the key skip their Exchange entirely
+                df = df.repartition(shards, SQLF.col(key))
+            elif shards > df.rdd.getNumPartitions():
                 df = df.repartition(shards)
             df = df.persist()
         if self._register:
