@@ -335,6 +335,34 @@ class LazyTables(MutableMapping):
         self._loaded[name] = df
         return df
 
+    def index(self, name: str, key: str) -> DataFrame:
+        """Secondary arrangement — the CREATE INDEX analog. The primary
+        arrangement (_read) is keyed by the table's dominant join key;
+        a query joining on a DIFFERENT column would re-shuffle the fact
+        per execution. Like the reference (where each CREATE INDEX is
+        one more arrangement of the same collection, costed in memory),
+        this builds and persists one extra copy hash-partitioned on
+        ``key`` and registers it as the temp view ``{name}_by_{key}``,
+        so equi-joins on that key become exchange-free too."""
+        view = f"{name}_by_{key}"
+        if view in self._loaded:
+            return self._loaded[view]
+        base = self[name]
+        path = os.path.join(self._sf_dir, f"{name}.parquet")
+        cores = self._spark.sparkContext.defaultParallelism
+        rows_per_shard = int(os.environ.get(
+            "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
+        shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
+        if 0 < _on_disk_bytes(path) <= ARRANGE_BYTES and shards > 1:
+            arranged = base.repartition(shards, SQLF.col(key)).persist()
+        else:
+            arranged = base  # past budget: parquet scan shape unchanged
+        if self._register:
+            arranged.createOrReplaceTempView(view)
+            view_owner(self._spark)[view] = self._sf_dir
+        self._loaded[view] = arranged
+        return arranged
+
     def __setitem__(self, name: str, df: DataFrame) -> None:
         self._loaded[name] = df
 

@@ -160,9 +160,12 @@ def q4(spark, sf_dir):
     "tpch", "join", "multiway",
 )
 def q5(spark, sf_dir):
-    # Join order mirrors the hand-tuned DataFrame form (filtered orders
-    # drives; asia_nations pre-joined and broadcast): Catalyst keeps the
-    # syntactic order with CBO off, so the SQL spells the order we want.
+    # Join order is delta-join routing over arrangements: orders and
+    # lineitem are both arranged by orderkey, so the biggest join is
+    # exchange-free (lineitem — the fastest-growing table — never
+    # shuffles); only the much smaller post-join stream re-keys to meet
+    # customer, then supplier. Catalyst keeps the syntactic order with
+    # CBO off, so the SQL spells the routing.
     return sql_over(
         spark, sf_dir,
         ("customer", "orders", "lineitem", "supplier", "nation", "region"), """
@@ -432,12 +435,14 @@ def q13(spark, sf_dir):
     # orders projection whenever its estimate dips under the threshold, a
     # driver-built single-threaded hash relation of most of a fact table
     # (measured 0.64s at sf1-equivalent vs 0.27s shuffled; unrunnable at
-    # 100 TB). Shuffling both sides on the key is the shape that scales.
-    return sql_over(spark, sf_dir, ("customer", "orders"), """
+    # 100 TB). Both sides come from arrangements keyed on the join key
+    # (customer's primary, orders' secondary index on o_custkey), so the
+    # join AND the first GROUP BY (same key) run exchange-free.
+    return sql_over(spark, sf_dir, ("customer", "orders:o_custkey"), """
         SELECT c_count, count(*) AS custdist
         FROM (SELECT /*+ SHUFFLE_HASH(orders) */
                      c_custkey, count(o_orderkey) AS c_count
-              FROM customer LEFT OUTER JOIN orders
+              FROM customer LEFT OUTER JOIN orders_by_o_custkey AS orders
                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
               GROUP BY c_custkey) c_orders
         GROUP BY c_count

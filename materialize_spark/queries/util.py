@@ -48,7 +48,12 @@ def sql_over(spark: SparkSession, sf_dir: str, tables: tuple[str, ...],
     tabs = load_tables(spark, sf_dir)
     owner = view_owner(spark)
     for n in tables:
-        df = tabs[n]  # load (registers + records ownership on first touch)
+        if ":" in n:  # "orders:o_custkey" → secondary arrangement view
+            base, key = n.split(":", 1)
+            n = f"{base}_by_{key}"
+            df = tabs.index(base, key)
+        else:
+            df = tabs[n]  # load (registers + ownership on first touch)
         if owner.get(n) != sf_dir:
             df.createOrReplaceTempView(n)
             owner[n] = sf_dir
