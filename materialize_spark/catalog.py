@@ -147,6 +147,15 @@ _RUNTIME_CONFS: dict[str, str] = {
     # Hash join over sort-merge when the build side fits (reference joins
     # are hash joins over arrangements; see session.py rationale).
     "spark.sql.join.preferSortMergeJoin": "false",
+    # Arrangement (persisted-table) scan speed: the reference keeps
+    # arrangements as plain in-memory ordered batches, not compressed
+    # blocks. Spark's cache defaults (lz4-style per-column compression,
+    # 10k-row batches) cost ~20-25% on cached scan+agg (q1 at sf0.1:
+    # 0.167 → 0.128 s best-of-6 with both changes; measured, PERF.md).
+    # Memory trade-off is the reference's own: arrangements are sized
+    # raw, and the cache budget (ARRANGE_BYTES) already gates residency.
+    "spark.sql.inMemoryColumnarStorage.compression": "false",
+    "spark.sql.inMemoryColumnarStorage.batchSize": "65536",
 }
 
 
