@@ -97,6 +97,19 @@ class CreateSourceWebhook(Stmt):
 
 
 @dataclass
+class CreateSourceCdc(Stmt):
+    """CREATE SOURCE ... FROM POSTGRES|MYSQL|SQL SERVER CONNECTION c
+    [(PUBLICATION 'p')] FOR ALL TABLES | FOR TABLES (a, b) — the
+    reference's replication-source statements (statement.rs
+    CreatePostgres/MySql/SqlServer source variants)."""
+    name: str
+    flavor: str  # postgres | mysql | sqlserver
+    connection: str
+    tables: tuple[str, ...] | None = None  # None → FOR ALL TABLES
+    publication: str | None = None
+
+
+@dataclass
 class CreateSecret(Stmt):
     name: str
     value: str
@@ -509,8 +522,44 @@ class Parser:
                     body_fmt = self.ident().lower()
                 self.expect_end()
                 return CreateSourceWebhook(name, body_format=body_fmt)
-            raise ParseError("expected FILE, LOAD GENERATOR, or WEBHOOK",
-                             self.peek())
+            flavor = None
+            if self.take_kw("POSTGRES"):
+                flavor = "postgres"
+            elif self.take_kw("MYSQL"):
+                flavor = "mysql"
+            elif self.take_kw("SQL", "SERVER"):
+                flavor = "sqlserver"
+            if flavor is not None:
+                self.expect_kw("CONNECTION")
+                conn = self.ident()
+                publication = None
+                if self.peek().kind == "LP":
+                    self.next()
+                    self.expect_kw("PUBLICATION")
+                    publication = self.string()
+                    if self.next().kind != "RP":
+                        raise ParseError("expected )", self.peek())
+                tables: tuple[str, ...] | None = None
+                self.expect_kw("FOR")
+                if self.take_kw("ALL", "TABLES"):
+                    pass
+                else:
+                    self.expect_kw("TABLES")
+                    if self.next().kind != "LP":
+                        raise ParseError("expected (", self.peek())
+                    names = [self.ident()]
+                    while self.peek().kind == "COMMA":
+                        self.next()
+                        names.append(self.ident())
+                    if self.next().kind != "RP":
+                        raise ParseError("expected )", self.peek())
+                    tables = tuple(names)
+                self.expect_end()
+                return CreateSourceCdc(name, flavor, conn, tables=tables,
+                                       publication=publication)
+            raise ParseError(
+                "expected FILE, LOAD GENERATOR, WEBHOOK, POSTGRES, MYSQL,"
+                " or SQL SERVER", self.peek())
         if self.take_kw("SECRET"):
             name = self.ident()
             self.expect_kw("AS")
@@ -873,7 +922,8 @@ __all__ = [
     "ParseError", "LexError", "Parser", "parse_statement",
     "Stmt", "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
     "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
-    "CreateSourceWebhook", "CreateSecret", "CreateConnection", "Drop",
+    "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
+    "CreateConnection", "Drop",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",
     "ExplainTimestamp", "Explain", "Prepare", "Execute", "Deallocate",

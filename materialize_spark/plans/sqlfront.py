@@ -273,6 +273,113 @@ class MzSession:
         self._webhooks[name] = src
         self.catalog.register_table(name, src.df())
 
+    def _create_source_cdc(self, node: ast.CreateSourceCdc, sql: str):
+        """CREATE SOURCE ... FROM POSTGRES|MYSQL|SQL SERVER CONNECTION —
+        the reference's replication sources (sources.rs:694-700). No
+        database servers exist in this sandbox, so the connection's
+        options name the replication artifacts instead of a host (same
+        emulation stance as the file-spool webhook): ``log`` is a
+        parquet of (lsn, message) pgoutput frames / (pos, event) binlog
+        frames, ``changes_<table>`` a parquet of a cdc.<t>_CT change
+        table. Each captured table becomes the subsource
+        ``<source>_<table>`` holding snapshot ⊎ log (current state),
+        exactly the snapshot-then-replication handoff. Schemas come
+        from the replication metadata itself (pgoutput Relation
+        messages, change-table columns); MySQL's binlog carries no
+        column names, so — like the reference reading
+        information_schema out-of-band — the already-registered
+        snapshot table supplies them."""
+        from materialize_spark.sources.pgoutput import apply_cdc
+
+        conn = self._connections.get(node.connection)
+        if conn is None:
+            raise KeyError(f"unknown connection {node.connection!r}")
+        spark = self.spark
+
+        def base_or_empty(tname: str, schema_df):
+            try:
+                return self.catalog.table(tname)
+            except KeyError:
+                return spark.createDataFrame([], schema_df.schema)
+
+        wanted = set(node.tables) if node.tables else None
+        registered = []
+        if node.flavor == "postgres":
+            from materialize_spark.sources.pgoutput import (
+                collect_relations, decode_pgoutput_stream, pgoutput_to_diff,
+            )
+            log = spark.read.parquet(conn["log"])
+            rels = collect_relations(log)
+            env = decode_pgoutput_stream(log, relations=rels)
+            for rel in rels.values():
+                tname = rel["name"]
+                if wanted is not None and tname not in wanted:
+                    continue
+                diff = pgoutput_to_diff(env, rel)
+                keys = [c["name"] for c in rel["columns"] if c["is_key"]]
+                keys = keys or [rel["columns"][0]["name"]]
+                base = base_or_empty(tname, diff.drop("lsn", "diff"))
+                self.catalog.register_table(
+                    f"{node.name}_{tname}", apply_cdc(base, diff, keys))
+                registered.append(tname)
+        elif node.flavor == "mysql":
+            from materialize_spark.sources.mysql_binlog import (
+                binlog_to_diff, collect_table_maps, decode_binlog_stream,
+            )
+            log = spark.read.parquet(conn["log"])
+            maps = collect_table_maps(log)
+            names = {}
+            for tme in maps.values():
+                tname = tme["table"]
+                if wanted is not None and tname not in wanted:
+                    continue
+                try:
+                    snap = self.catalog.table(tname)
+                except KeyError:
+                    raise KeyError(
+                        f"MySQL source needs snapshot table {tname!r} "
+                        "registered for column names (binlog carries "
+                        "none; the reference reads information_schema)")
+                names[f"{tme['schema']}.{tname}"] = snap.columns
+            env = decode_binlog_stream(log, table_maps=maps, columns=names)
+            for tme in maps.values():
+                tname = tme["table"]
+                rel = f"{tme['schema']}.{tname}"
+                if rel not in names:
+                    continue
+                snap = self.catalog.table(tname)
+                row_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in snap.schema.fields)
+                diff = binlog_to_diff(env, rel, row_ddl)
+                self.catalog.register_table(
+                    f"{node.name}_{tname}",
+                    apply_cdc(snap, diff, [snap.columns[0]]))
+                registered.append(tname)
+        else:  # sqlserver
+            from materialize_spark.sources.sqlserver_cdc import (
+                changes_to_diff,
+            )
+            prefix = "changes_"
+            for key, path in conn.items():
+                if not key.startswith(prefix):
+                    continue
+                tname = key[len(prefix):]
+                if wanted is not None and tname not in wanted:
+                    continue
+                diff = changes_to_diff(spark.read.parquet(path))
+                base = base_or_empty(tname, diff.drop("lsn", "diff"))
+                self.catalog.register_table(
+                    f"{node.name}_{tname}",
+                    apply_cdc(base, diff, [diff.columns[0]]))
+                registered.append(tname)
+        if wanted is not None and (missing := wanted - set(registered)):
+            raise KeyError(
+                f"tables not present in replication source: {sorted(missing)}")
+        self._sources = getattr(self, "_sources", {})
+        self._sources[node.name] = {"flavor": node.flavor,
+                                    "tables": registered}
+
     def _create_secret(self, node: ast.CreateSecret, sql: str):
         # CREATE SECRET (reference CreateSecretStatement): opaque
         # session-scoped value, referenced by connections; never echoed.
@@ -467,6 +574,8 @@ class MzSession:
                             " envelope string")
         if kind == "sources":
             rows = [(n, "webhook") for n in sorted(self._webhooks)]
+            rows += [(n, s["flavor"])
+                     for n, s in sorted(getattr(self, "_sources", {}).items())]
             return self.spark.createDataFrame(
                 rows or [], "name string, type string")
         if kind == "secrets":
@@ -686,6 +795,7 @@ class MzSession:
         ast.CreateSourceFile: _create_source_file,
         ast.CreateSourceLoadgen: _create_source_loadgen,
         ast.CreateSourceWebhook: _create_source_webhook,
+        ast.CreateSourceCdc: _create_source_cdc,
         ast.CreateSecret: _create_secret,
         ast.CreateConnection: _create_connection,
         ast.Drop: _drop,

@@ -1,0 +1,123 @@
+"""CREATE SOURCE ... FROM POSTGRES | MYSQL | SQL SERVER through the SQL
+front-end: connection → replication artifacts → per-table subsources
+holding snapshot ⊎ log (reference sources.rs:694-700 statement shapes).
+"""
+
+import pytest
+
+from materialize_spark.plans.sqlfront import MzSession
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_pg_log(spark, path):
+    from materialize_spark.sources.pgoutput import (
+        encode_delete, encode_insert, encode_relation, encode_update,
+    )
+    oid = 9001
+    msgs = [
+        encode_relation(oid, "public", "fruit",
+                        [("id", 23, True), ("name", 25, False)]),
+        encode_insert(oid, [1, "apple"]),
+        encode_insert(oid, [2, "pear"]),
+        encode_update(oid, [1, "APPLE"], old_vals=[1, None],
+                      old_is_key_only=True),
+        encode_insert(oid, [3, "plum"]),
+        encode_delete(oid, [2, None]),
+    ]
+    spark.createDataFrame(
+        [(i + 1, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn long, message binary").write.mode("overwrite").parquet(path)
+
+
+def test_postgres_source_sql(spark, tmp_path):
+    path = str(tmp_path / "pg_log")
+    _write_pg_log(spark, path)
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE CONNECTION pgc TO POSTGRES (log = '{path}')")
+    sess.execute("CREATE SOURCE pg FROM POSTGRES CONNECTION pgc "
+                 "(PUBLICATION 'mz') FOR ALL TABLES")
+    rows = {r.id: r.name
+            for r in sess.execute("SELECT * FROM pg_fruit").collect()}
+    assert rows == {1: "APPLE", 3: "plum"}
+    srcs = {r.name: r.type
+            for r in sess.execute("SHOW SOURCES").collect()}
+    assert srcs.get("pg") == "postgres"
+
+
+def test_mysql_source_sql_uses_snapshot_schema(spark, tmp_path):
+    from materialize_spark.sources.mysql_binlog import (
+        DELETE_ROWS_V2, T_LONGLONG, T_VARCHAR, WRITE_ROWS_V2,
+        encode_rows_event, encode_table_map,
+    )
+    ct, meta = [T_LONGLONG, T_VARCHAR], [0, 255]
+    events = [
+        encode_table_map(7, "db", "pets", ct, meta),
+        encode_rows_event(WRITE_ROWS_V2, 7, [[10, "rex"], [11, "tom"]],
+                          ct, meta),
+        encode_rows_event(DELETE_ROWS_V2, 7, [[1, "?"]], ct, meta),
+    ]
+    path = str(tmp_path / "binlog")
+    spark.createDataFrame(
+        [(i + 1, bytearray(e)) for i, e in enumerate(events)],
+        "pos long, event binary").write.mode("overwrite").parquet(path)
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE pets (pet_id BIGINT, pet_name STRING)")
+    sess.execute("INSERT INTO pets VALUES (1, 'old'), (2, 'kept')")
+    sess.execute(f"CREATE CONNECTION myc TO MYSQL (log = '{path}')")
+    sess.execute("CREATE SOURCE my FROM MYSQL CONNECTION myc "
+                 "FOR TABLES (pets)")
+    rows = {r.pet_id: r.pet_name
+            for r in sess.execute("SELECT * FROM my_pets").collect()}
+    # snapshot row 1 deleted by the log; names come from the snapshot table
+    assert rows == {2: "kept", 10: "rex", 11: "tom"}
+
+
+def test_mysql_source_requires_snapshot(spark, tmp_path):
+    from materialize_spark.sources.mysql_binlog import (
+        T_LONGLONG, encode_table_map,
+    )
+    path = str(tmp_path / "binlog2")
+    spark.createDataFrame(
+        [(1, bytearray(encode_table_map(8, "db", "ghost",
+                                        [T_LONGLONG], [0])))],
+        "pos long, event binary").write.mode("overwrite").parquet(path)
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE CONNECTION myc2 TO MYSQL (log = '{path}')")
+    with pytest.raises(KeyError, match="information_schema"):
+        sess.execute("CREATE SOURCE my2 FROM MYSQL CONNECTION myc2 "
+                     "FOR ALL TABLES")
+
+
+def test_sqlserver_source_sql(spark, tmp_path):
+    from materialize_spark.sources.sqlserver_cdc import (
+        OP_DELETE, OP_INSERT, lsn_bytes,
+    )
+    path = str(tmp_path / "ct")
+    spark.createDataFrame(
+        [(bytearray(lsn_bytes(1)), bytearray(lsn_bytes(0, 0, 1)),
+          OP_INSERT, 5, "e"),
+         (bytearray(lsn_bytes(2)), bytearray(lsn_bytes(0, 0, 1)),
+          OP_DELETE, 5, "e"),
+         (bytearray(lsn_bytes(3)), bytearray(lsn_bytes(0, 0, 1)),
+          OP_INSERT, 6, "f")],
+        "`__$start_lsn` binary, `__$seqval` binary, `__$operation` int, "
+        "k long, v string").write.mode("overwrite").parquet(path)
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(
+        f"CREATE CONNECTION ssc TO SQLSERVER (changes_things = '{path}')")
+    sess.execute("CREATE SOURCE ss FROM SQL SERVER CONNECTION ssc "
+                 "FOR ALL TABLES")
+    rows = {r.k: r.v
+            for r in sess.execute("SELECT * FROM ss_things").collect()}
+    assert rows == {6: "f"}
+
+
+def test_for_tables_missing_errors(spark, tmp_path):
+    path = str(tmp_path / "pg_log3")
+    _write_pg_log(spark, path)
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE CONNECTION pgc3 TO POSTGRES (log = '{path}')")
+    with pytest.raises(KeyError, match="not present"):
+        sess.execute("CREATE SOURCE pg3 FROM POSTGRES CONNECTION pgc3 "
+                     "FOR TABLES (fruit, nosuch)")
