@@ -174,6 +174,8 @@ class Subscribe(Stmt):
     order_by: list[str] | None = None
     envelope: str | None = None          # "upsert" | "debezium"
     envelope_keys: list[str] | None = None
+    snapshot: bool = True                # WITH (SNAPSHOT [= bool])
+    progress: bool = False               # WITH (PROGRESS [= bool])
 
 
 @dataclass
@@ -699,6 +701,27 @@ class Parser:
             p.expect_kw("KEY")
             keys = p.paren_span()
             node.envelope_keys = [k.strip() for k in keys.split(",")]
+        if self.take_kw("WITH"):
+            # WITH (SNAPSHOT [= bool], PROGRESS [= bool]) — reference
+            # SubscribeOptions (src/sql/src/plan.rs SubscribeFrom opts)
+            inner = self.paren_span()
+            p = Parser(inner)
+            while True:
+                opt = p.ident().lower()
+                if opt not in ("snapshot", "progress"):
+                    raise ParseError(
+                        "expected SNAPSHOT or PROGRESS", p.peek())
+                val = True
+                if p.take_op("="):
+                    word = p.ident().lower()
+                    if word not in ("true", "false"):
+                        raise ParseError("expected TRUE or FALSE", p.peek())
+                    val = word == "true"
+                setattr(node, opt, val)
+                if p.peek().kind != "COMMA":
+                    break
+                p.next()
+            p.expect_end()
         self.expect_end()
         return node
 

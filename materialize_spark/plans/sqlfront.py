@@ -101,6 +101,7 @@ class MzSession:
         self._matviews: dict[str, DataFrame] = {}
         self._matview_sql: dict[str, str] = {}
         self._sub_state: dict[str, DataFrame] = {}
+        self._sub_ts: dict[str, int] = {}  # WITH (PROGRESS) batch clock
         # RETAIN HISTORY: per-MV changelog of refresh deltas, readable via
         # SELECT ... AS OF <epoch> (streaming.history.RetainedHistory);
         # retention window counted in refresh epochs.
@@ -521,7 +522,11 @@ class MzSession:
         cur = self.catalog.table(node.name)
         prev = self._sub_state.get(node.name)
         if prev is None:
-            delta = cur.withColumn("diff", F.lit(1))
+            # WITH (SNAPSHOT = false): suppress the initial state; the
+            # stream begins with changes after this call (plan.rs
+            # SubscribeOptions.snapshot)
+            delta = (cur if node.snapshot else cur.limit(0)) \
+                .withColumn("diff", F.lit(1))
         else:
             adds = cur.exceptAll(prev).withColumn("diff", F.lit(1))
             rets = prev.exceptAll(cur).withColumn("diff", F.lit(-1))
@@ -537,6 +542,24 @@ class MzSession:
             from materialize_spark.streaming.subscribe import (
                 within_timestamp_order_by)
             return within_timestamp_order_by(delta, *node.order_by)
+        if node.progress:
+            # WITH (PROGRESS): every batch additionally carries one
+            # mz_progressed=true row whose data columns are NULL — the
+            # frontier-advance marker that distinguishes "no changes"
+            # from "no news" (plan.rs SubscribeOptions.progress). The
+            # logical timestamp is the per-subscription batch counter.
+            ts = self._sub_ts.get(node.name, 0) + 1
+            self._sub_ts[node.name] = ts
+            data = delta.select(
+                F.lit(ts).alias("mz_timestamp"),
+                F.lit(False).alias("mz_progressed"),
+                *[F.col(c) for c in delta.columns])
+            marker = self.spark.range(1).select(
+                F.lit(ts).alias("mz_timestamp"),
+                F.lit(True).alias("mz_progressed"),
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in delta.schema.fields])
+            return data.unionByName(marker)
         return delta
 
     # -- COPY ---------------------------------------------------------------

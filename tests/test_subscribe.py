@@ -52,3 +52,33 @@ def test_within_timestamp_order_by(spark):
         [("c", 3), ("a", 1), ("b", 2)], SRC))
     ordered = within_timestamp_order_by(delta, "k").collect()
     assert [r.k for r in ordered] == ["a", "b", "c"]
+
+
+def test_subscribe_with_snapshot_false(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_snap (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_snap VALUES ('a', 1), ('b', 2)")
+    first = sess.execute(
+        "SUBSCRIBE sub_snap WITH (SNAPSHOT = false)").collect()
+    assert first == []  # initial state suppressed
+    sess.execute("INSERT INTO sub_snap VALUES ('c', 3)")
+    second = sess.execute(
+        "SUBSCRIBE sub_snap WITH (SNAPSHOT = false)").collect()
+    assert [(r.k, r.v, r.diff) for r in second] == [("c", 3, 1)]
+
+
+def test_subscribe_with_progress(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_prog (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_prog VALUES ('a', 1)")
+    b1 = sess.execute("SUBSCRIBE sub_prog WITH (PROGRESS)").collect()
+    data = [r for r in b1 if not r.mz_progressed]
+    marks = [r for r in b1 if r.mz_progressed]
+    assert [(r.k, r.v, r.diff) for r in data] == [("a", 1, 1)]
+    assert len(marks) == 1 and marks[0].k is None and marks[0].diff is None
+    # a no-change batch still progresses: one marker, zero data rows
+    b2 = sess.execute("SUBSCRIBE sub_prog WITH (PROGRESS)").collect()
+    assert [r.mz_progressed for r in b2] == [True]
+    assert b2[0].mz_timestamp > marks[0].mz_timestamp
