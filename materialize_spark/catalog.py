@@ -59,11 +59,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # source arranged in memory (differential arrangements serve all reads); the
 # Spark analog is persisting the decoded columnar table, which turns every
 # subsequent query's parquet scan+decode into an in-memory columnar scan.
-# Gated on on-disk size so the model degrades correctly at scale: dimensions
-# (region..part, ~MBs even at 100 TB SF) stay resident on every executor's
-# block manager, while a fact table past the budget streams from parquet with
-# pushdown/pruning as before. 0 disables caching entirely.
-ARRANGE_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_BYTES", str(2 << 30)))
+# Gated on DECODED size (parquet-footer uncompressed bytes — what the cache
+# actually occupies, 4-6x the snappy on-disk size) so the model degrades
+# correctly at scale: dimensions (region..part, ~MBs even at 100 TB SF) stay
+# resident on every executor's block manager, while a fact table past the
+# budget streams from parquet with pushdown/pruning as before — measured at
+# x50 (sf5-equivalent): gating on on-disk bytes kept a 2.9 GiB-decoded
+# lineitem cached and starved ShuffledHashJoin builds of execution memory
+# ("Can't acquire ... to build hash relation"); the decoded gate drops it
+# to the parquet path and every query completes. 0 disables caching.
+# Default 4 GiB decoded: sized against session.py's 24g local heap so the
+# protected storage region still holds the full arrangement set at
+# sf5-equivalent (measured: x50 headline total 16.1s uncached-lineitem vs
+# 8.0s cached, both stable; 2.9 GiB decoded lineitem + ~1 GiB rest).
+ARRANGE_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_BYTES", str(4 << 30)))
 
 
 def _parquet_rows(path: str) -> int:
@@ -316,7 +325,7 @@ class LazyTables(MutableMapping):
         # sf0.1). ~16k rows/shard keeps per-task compute well above the
         # ~1ms/task scheduling cost, capped at core count — the analog of
         # the reference sharding arrangements across workers.
-        size = _on_disk_bytes(path)
+        size = _parquet_decoded_bytes(path)
         if 0 < size <= ARRANGE_BYTES:
             cores = self._spark.sparkContext.defaultParallelism
             rows_per_shard = int(os.environ.get(
@@ -362,7 +371,7 @@ class LazyTables(MutableMapping):
         rows_per_shard = int(os.environ.get(
             "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
         shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
-        if 0 < _on_disk_bytes(path) <= ARRANGE_BYTES and shards > 1:
+        if 0 < _parquet_decoded_bytes(path) <= ARRANGE_BYTES and shards > 1:
             arranged = base.repartition(shards, SQLF.col(key)).persist()
         else:
             arranged = base  # past budget: parquet scan shape unchanged

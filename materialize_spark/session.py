@@ -74,7 +74,12 @@ def get_spark(
         # Spark's vectorized reader rejects; read as long and convert in the
         # catalog (micros truncation — matches DuckDB's read of the same file).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts driver + all executor threads in ONE JVM: heap must
+        # hold the arrangement cache (uncompressed columnar batches) AND
+        # per-task execution memory (SHJ hash relations cannot spill).
+        # 8g worked to sf1-equivalent but starved x50 joins; the box has
+        # 128 GiB, so size like an executor, not a coordinator.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Throughput GC for the single-JVM local driver: G1's concurrent
         # cycles add 10-100 ms pauses to sub-second queries; ParallelGC with
         # a pre-sized young gen is flatter for this heap size. Overridable.
