@@ -169,18 +169,20 @@ def q5(spark, sf_dir):
     return sql_over(
         spark, sf_dir,
         ("customer", "orders", "lineitem", "supplier", "nation", "region"), """
-        WITH asia_nations AS (
-          SELECT /*+ BROADCAST(region) */ n_nationkey, n_name
-          FROM nation JOIN region ON n_regionkey = r_regionkey
+        WITH asia_suppliers AS (
+          SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+                 s_suppkey, s_nationkey, n_name
+          FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
           WHERE r_name = 'ASIA'
         )
-        SELECT /*+ BROADCAST(asia_nations), SHUFFLE_HASH(orders) */
+        SELECT /*+ BROADCAST(asia_suppliers), SHUFFLE_HASH(orders) */
                n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM orders
-          JOIN lineitem ON l_orderkey = o_orderkey
-          JOIN customer ON o_custkey = c_custkey
-          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-          JOIN asia_nations ON s_nationkey = n_nationkey
+        FROM lineitem
+          JOIN asia_suppliers ON l_suppkey = s_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
