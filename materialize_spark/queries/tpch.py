@@ -334,13 +334,17 @@ def q9(spark, sf_dir):
     return sql_over(
         spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"), """
         SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
-        FROM (SELECT /*+ BROADCAST(part, nation), SHUFFLE_HASH(orders) */
+        FROM (SELECT /*+ BROADCAST(part, supplier, nation),
+                         SHUFFLE_HASH(orders) */
                      n_name AS nation,
                      CAST(year(o_orderdate) AS BIGINT) AS o_year,
                      l_extendedprice * (1 - l_discount) AS amount
+              -- broadcast joins preserve lineitem's orderkey
+              -- arrangement, so the orders join that follows them is
+              -- exchange-free; the only shuffle left is the final agg
               FROM part JOIN lineitem ON p_partkey = l_partkey
-                        JOIN supplier ON s_suppkey = l_suppkey
                         JOIN orders ON o_orderkey = l_orderkey
+                        JOIN supplier ON s_suppkey = l_suppkey
                         JOIN nation ON s_nationkey = n_nationkey
               WHERE p_name LIKE '%red%') profit
         GROUP BY nation, o_year
