@@ -25,7 +25,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from materialize_spark.sources.avro import (
     _decode_value, _fields, avro_spark_schema,
@@ -78,7 +78,8 @@ class SchemaRegistry:
 
 def decode_confluent_stream(df: DataFrame, value_col: str,
                             registry: SchemaRegistry, *,
-                            reader_schema_json: str | None = None) -> DataFrame:
+                            reader_schema_json: str | None = None,
+                            errors: str = "raise") -> DataFrame:
     """Decode Confluent-framed Avro where each record names its writer
     schema: magic 0x00 + BE32 schema id + Avro binary.
 
@@ -87,27 +88,54 @@ def decode_confluent_stream(df: DataFrame, value_col: str,
     reader dropped are discarded — Avro schema resolution for the
     flat-record case. Works on batch and streaming frames alike
     (mapInPandas both ways).
+
+    ``errors``: "raise" kills the dataflow on a malformed payload (the
+    reference's default); "inline" is ENVELOPE UPSERT (VALUE DECODING
+    ERRORS = INLINE) — the row keeps its pass-through (key) columns,
+    data fields come out NULL, and a ``decode_error`` string column
+    carries the message, so one poison record cannot wedge the source
+    (reference UpsertStyle::ValueErrInline, envelope.rs:80,299-308).
     """
+    if errors not in ("raise", "inline"):
+        raise ValueError("errors must be 'raise' or 'inline'")
+    inline = errors == "inline"
     reader_json = reader_schema_json or registry.schema_json(
         registry.latest_id())
     out_cols = [n for n, _ in _fields(json.loads(reader_json))]
     out_schema = avro_spark_schema(reader_json)
     other = [f for f in df.schema.fields if f.name != value_col]
-    full_schema = StructType(other + list(out_schema.fields))
+    fields = other + list(out_schema.fields)
+    if inline:
+        fields = fields + [StructField("decode_error", StringType())]
+    full_schema = StructType(fields)
+
+    def decode_one(buf: bytes) -> dict:
+        if not buf or buf[0] != 0:
+            raise ValueError("not Confluent-framed: bad magic byte")
+        sid = struct.unpack_from(">I", buf, 1)[0]
+        pos, rec = 5, {}
+        for name, typ in registry.fields(sid):
+            rec[name], pos = _decode_value(typ, buf, pos)
+        return rec
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            errs = []
             for raw in pdf[value_col]:
-                buf = bytes(raw)
-                if not buf or buf[0] != 0:
-                    raise ValueError("not Confluent-framed: bad magic byte")
-                sid = struct.unpack_from(">I", buf, 1)[0]
-                pos, rec = 5, {}
-                for name, typ in registry.fields(sid):
-                    rec[name], pos = _decode_value(typ, buf, pos)
+                if inline:
+                    try:
+                        rec = decode_one(bytes(raw))
+                        errs.append(None)
+                    except Exception as e:
+                        rec = {}
+                        errs.append(str(e))
+                else:
+                    rec = decode_one(bytes(raw))
                 rows.append([rec.get(c) for c in out_cols])
             decoded = pd.DataFrame(rows, columns=out_cols)
+            if inline:
+                decoded["decode_error"] = errs
             rest = pdf[[f.name for f in other]].reset_index(drop=True)
             yield pd.concat([rest, decoded], axis=1)
 

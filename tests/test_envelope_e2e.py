@@ -184,3 +184,42 @@ def test_protobuf_envelope_batch(spark):
     latest = upsert_latest(decoded, ["k"], [F.col("offset").desc()])
     got = sorted((r.k, r.category, r.amount) for r in latest.collect())
     assert got == [(1, "a", 15.0), (2, "b", 30.0)]
+
+
+def test_value_decoding_errors_inline(spark):
+    """ENVELOPE UPSERT (VALUE DECODING ERRORS = INLINE): a poison record
+    keeps its key columns, NULLs the data fields, and carries the message
+    in decode_error — and a later good value for the key supersedes it
+    (reference UpsertStyle::ValueErrInline, envelope.rs:80)."""
+    reg = _registry()
+    rows = [
+        (0, bytearray(_rec(1, 1, "a", 10.0))),
+        (1, bytearray(b"\x01garbage")),            # bad magic byte
+        (2, bytearray(b"\x00\x00\x00\x00\x63\x02")),  # unknown schema 99
+        (3, bytearray(_rec(1, 2, "b", 20.0))),
+    ]
+    df = spark.createDataFrame(rows, "offset bigint, value binary")
+    out = decode_confluent_stream(df, "value", reg, errors="inline") \
+        .orderBy("offset").collect()
+    assert [r.decode_error is None for r in out] == [True, False, False,
+                                                     True]
+    assert "magic byte" in out[1].decode_error
+    assert "schema id 99" in out[2].decode_error
+    assert out[1].k is None and out[2].category is None
+    assert (out[0].k, out[0].amount) == (1, 10.0)
+    assert (out[3].k, out[3].amount) == (2, 20.0)
+    # keyed upsert view: offsets still order the per-key state, so the
+    # error rows (keyless here) do not displace good keys
+    good = upsert_latest(
+        decode_confluent_stream(df, "value", reg, errors="inline")
+        .filter(F.col("decode_error").isNull()),
+        ["k"], [F.col("offset").desc()])
+    assert {r.k: r.amount for r in good.collect()} == {1: 10.0, 2: 20.0}
+
+
+def test_value_decoding_errors_default_raises(spark):
+    reg = _registry()
+    df = spark.createDataFrame([(0, bytearray(b"\x01oops"))],
+                               "offset bigint, value binary")
+    with pytest.raises(Exception, match="magic byte"):
+        decode_confluent_stream(df, "value", reg).collect()
