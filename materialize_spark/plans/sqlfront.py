@@ -39,7 +39,7 @@ from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
-    r"|sources|sinks)\b", re.I)
+    r"|sources|sinks|arrangement_sizes)\b", re.I)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -916,3 +916,36 @@ class MzSession:
            "id string, name string, source string, format string, "
            "envelope string") \
             .filter("id <> 'k0'").createOrReplaceTempView("mz_sinks")
+        # arrangement accounting (reference mz_internal.mz_arrangement_sizes:
+        # per-arrangement operator memory). Spark analog: every persisted
+        # base/secondary arrangement and CREATE INDEX cache, with its key,
+        # shard count, and decoded size (parquet-footer bytes — what the
+        # uncompressed columnar cache occupies; NULL when derived plans
+        # make it unknowable without running a job).
+        import os as _os
+
+        from materialize_spark.catalog import (
+            ARRANGE_KEYS, LazyTables, _parquet_decoded_bytes,
+        )
+        arr_rows = []
+        tabs = cat._tables
+        if isinstance(tabs, LazyTables):
+            for name, df in tabs._loaded.items():
+                if not getattr(df.storageLevel, "useMemory", False):
+                    continue
+                if "_by_" in name:
+                    base, key = name.split("_by_", 1)
+                    kind = "index"
+                else:
+                    base, key = name, ARRANGE_KEYS.get(name, "")
+                    kind = "base"
+                path = _os.path.join(tabs._sf_dir, f"{base}.parquet")
+                size = _parquet_decoded_bytes(path) or None
+                arr_rows.append((name, key or "", kind, size))
+        for name, df in cat._indexes.items():
+            arr_rows.append((name, ", ".join(cat._index_keys.get(name, [])),
+                             "create_index", None))
+        mk(arr_rows or [("", "", "", None)],
+           "name string, key string, kind string, size_bytes bigint") \
+            .filter("name <> ''").createOrReplaceTempView(
+                "mz_arrangement_sizes")

@@ -563,3 +563,20 @@ def test_mz_sources_sinks_introspection(spark, tmp_path):
     sinks = [(r.name, r.source, r.envelope) for r in
              sess.sql("SELECT name, source, envelope FROM mz_sinks").collect()]
     assert sinks == [("sk_i", "region", "upsert")]
+
+
+def test_mz_arrangement_sizes_introspection(spark):
+    sess = MzSession(spark, SF_DIR)
+    rows = {r.name: r for r in sess.execute(
+        "SELECT * FROM mz_arrangement_sizes ORDER BY name").collect()}
+    # base arrangements carry their dominant join key and decoded size
+    assert "lineitem" in rows
+    li = rows["lineitem"]
+    assert li.kind == "base" and li.key == "l_orderkey"
+    assert li.size_bytes and li.size_bytes > 0
+    # CREATE INDEX arrangements appear with their declared key
+    sess.execute("CREATE INDEX nat_idx ON nation (n_nationkey)")
+    rows2 = {r.name: r for r in sess.execute(
+        "SELECT * FROM mz_arrangement_sizes").collect()}
+    assert rows2["nat_idx"].kind == "create_index"
+    assert rows2["nat_idx"].key == "n_nationkey"
