@@ -766,11 +766,18 @@ class Parser:
             table = self.ident()
             self.expect_end()
             return ShowColumns(table)
+        if self.take_kw("MATERIALIZED", "VIEWS"):
+            like = None
+            if self.take_kw("LIKE"):
+                like = self.string()
+            self.expect_end()
+            return Show("materialized views", like=like)
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
                  "SECRETS", "CONNECTIONS")
         if t.kind != "WORD" or t.upper not in kinds:
-            raise ParseError(f"expected one of {', '.join(kinds)}", t)
+            raise ParseError(
+                f"expected one of MATERIALIZED VIEWS, {', '.join(kinds)}", t)
         like = None
         if self.take_kw("LIKE"):
             like = self.string()

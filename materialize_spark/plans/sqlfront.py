@@ -610,7 +610,9 @@ class MzSession:
             return self.spark.createDataFrame(rows or [],
                                               "name string, type string")
         names = {
-            "views": sorted(self.catalog._views),
+            "views": sorted(n for n in self.catalog._views
+                            if n not in self._matviews),
+            "materialized views": sorted(self._matviews),
             "indexes": sorted(self.catalog._indexes),
             "tables": sorted(self.catalog._tables),
         }[kind]

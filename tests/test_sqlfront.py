@@ -43,8 +43,13 @@ def test_session_ddl_and_fastpath(spark):
                  "SELECT * FROM orders WHERE o_totalprice > 100000")
     n_mv = sess.sql("SELECT count(*) AS n FROM big_orders_mv").collect()[0].n
     assert n_view == n_mv > 0
+    # the reference separates the namespaces: SHOW VIEWS excludes
+    # materialized views, which have their own SHOW statement
     shown = {r.name for r in sess.execute("SHOW VIEWS").collect()}
-    assert {"big_orders", "big_orders_mv"} <= shown
+    assert "big_orders" in shown and "big_orders_mv" not in shown
+    shown_mv = {r.name for r in
+                sess.execute("SHOW MATERIALIZED VIEWS").collect()}
+    assert "big_orders_mv" in shown_mv
     sess.execute("CREATE INDEX orders_by_cust ON orders (o_custkey)")
     assert "orders_by_cust" in {r.name for r in sess.execute("SHOW INDEXES").collect()}
     sess.execute("DROP VIEW big_orders")
@@ -580,3 +585,18 @@ def test_mz_arrangement_sizes_introspection(spark):
         "SELECT * FROM mz_arrangement_sizes").collect()}
     assert rows2["nat_idx"].kind == "create_index"
     assert rows2["nat_idx"].key == "n_nationkey"
+
+
+def test_show_materialized_views(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE VIEW just_a_view AS SELECT 1 AS x")
+    sess.execute("CREATE MATERIALIZED VIEW mv_show_test AS "
+                 "SELECT count(*) AS n FROM nation")
+    mvs = [r.name for r in
+           sess.execute("SHOW MATERIALIZED VIEWS").collect()]
+    assert "mv_show_test" in mvs and "just_a_view" not in mvs
+    views = [r.name for r in sess.execute("SHOW VIEWS").collect()]
+    assert "just_a_view" in views and "mv_show_test" not in views
+    liked = [r.name for r in sess.execute(
+        "SHOW MATERIALIZED VIEWS LIKE 'mv%'").collect()]
+    assert liked == ["mv_show_test"]
