@@ -95,8 +95,18 @@ def get_spark(
                 or ("/dev/shm/spark-local"
                     if os.access("/dev/shm", os.W_OK) else "/tmp"))
         .config("spark.ui.enabled", "false")
+        # Streaming state lives in RocksDB — the same backend the
+        # reference uses for ENVELOPE UPSERT state (storage/src/upsert.rs
+        # RocksDB-backed keyed state): bounded heap (state off-JVM-heap in
+        # native memory + spill to disk), incremental checkpointing, and
+        # point-lookup performance for the keyed upsert/TopK operators.
+        # The HDFS-backed provider keeps every key in executor heap — the
+        # 100 TB non-plan. SPARK_GRAFT_STATESTORE=hdfs restores it.
         .config("spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+                "org.apache.spark.sql.execution.streaming.state."
+                + ("HDFSBackedStateStoreProvider"
+                   if os.environ.get("SPARK_GRAFT_STATESTORE") == "hdfs"
+                   else "RocksDBStateStoreProvider"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
