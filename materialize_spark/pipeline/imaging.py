@@ -1,0 +1,130 @@
+"""Dependency-free image codecs for the multimodal pipeline.
+
+The sandbox has no PIL/libav, but two image families are fully
+decodable from their PUBLIC specs with nothing but numpy:
+
+- Netpbm (en.wikipedia.org/wiki/Netpbm): P5 (binary PGM, grayscale) and
+  P6 (binary PPM, RGB) — whitespace-separated header then raw samples.
+- BMP (the Windows BITMAPINFOHEADER format): 14-byte file header +
+  40-byte info header, 24bpp uncompressed BI_RGB, BGR samples in
+  4-byte-padded rows, bottom-up unless height is negative.
+
+These make the multimodal operators real end-to-end for the formats the
+container can exercise; anything else falls back to the documented
+byte-fold stub (multimodal.py). All kernels are numpy-vectorized — they
+run inside Arrow-batched mapInPandas, so per-image Python overhead is
+one call, not per-pixel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+DECODABLE_FORMATS = ("ppm", "pgm", "bmp")
+
+
+# ------------------------------------------------------------------ netpbm
+def _pnm_header(buf: bytes) -> tuple[bytes, list[int], int]:
+    """Parse magic + 3 header ints (2 for the caller to ignore maxval
+    handling if P5/P6 share shape), skipping whitespace and # comments.
+    Returns (magic, [w, h, maxval], data_offset)."""
+    magic = buf[0:2]
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    return magic, vals, pos + 1  # single whitespace after maxval
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """P6 (RGB) / P5 (grayscale, replicated to 3 channels) → HxWx3 u8."""
+    magic, (w, h, maxval), off = _pnm_header(buf)
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm image: {magic!r}")
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(buf, np.uint8, count=w * h * ch, offset=off)
+    arr = arr.reshape(h, w, ch)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr.copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 u8 → P6 bytes (the round-trip encoder for sinks/tests)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr.astype(np.uint8)).tobytes()
+
+
+# --------------------------------------------------------------------- bmp
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24bpp uncompressed BI_RGB BITMAPINFOHEADER → HxWx3 u8 (RGB)."""
+    if buf[0:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return rgb[::-1].copy() if flipped else rgb.copy()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 u8 (RGB) → 24bpp bottom-up BI_RGB bytes."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    raw = body.tobytes()
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(raw), 0, 0, 54)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw),
+                           2835, 2835, 0, 0)
+    return file_hdr + info_hdr + raw
+
+
+# ----------------------------------------------------------------- kernels
+def decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    fmt = (fmt or "").lower()
+    if fmt in ("ppm", "pgm"):
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise ValueError(f"no dependency-free decoder for format {fmt!r}")
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index maps (pure numpy)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def image_features(arr: np.ndarray) -> list[float]:
+    """Real 8-dim image descriptor: dims, per-channel means, gray std,
+    horizontal edge energy, dark-pixel fraction."""
+    gray = arr.astype(np.float32).mean(axis=2)
+    edge = float(np.abs(np.diff(gray, axis=1)).mean()) if arr.shape[1] > 1 \
+        else 0.0
+    return [
+        float(arr.shape[0]), float(arr.shape[1]),
+        float(arr[:, :, 0].mean()), float(arr[:, :, 1].mean()),
+        float(arr[:, :, 2].mean()), float(gray.std()),
+        edge, float((gray < 32.0).mean()),
+    ]

@@ -5,10 +5,13 @@ struct of metadata; decode / feature-extract / resize / frame-sample are
 Arrow-batched Python transforms (``mapInPandas``) because codecs are
 Python-side by nature.
 
-This container has no image/audio libraries, so the *decode kernel* is a
-deterministic stub (documented below); everything around it — schema,
-Arrow batching, partition-preserving plumbing, batch-shape contract — is
-real and tested. Swap ``_decode_stub`` for PIL/libav in production.
+Decode is REAL for the formats a dependency-free container can decode
+from public specs — netpbm P5/P6 and 24bpp BMP (pipeline/imaging.py,
+pure numpy): pixel-level features, nearest-neighbor resize with PPM
+re-encode. Every other format (no PIL/libav here) falls through to a
+deterministic byte-fold stub, clearly marked per row by ``meta_format``;
+the schema/Arrow-batching/partition-preserving plumbing is identical on
+both paths, so swapping in PIL/pyav touches only the kernel table.
 
 Scale: mapInPandas streams Arrow batches (see session.py
 ``arrow.maxRecordsPerBatch``); decode parallelism == partition count, no
@@ -61,10 +64,24 @@ def _decode_stub(payload: bytes) -> list[float]:
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:
-    """Binary payload → feature vector, streamed through Arrow batches."""
+    """Binary payload → feature vector, streamed through Arrow batches.
+
+    Decodable formats (imaging.DECODABLE_FORMATS) get a real pixel-level
+    descriptor; the rest get the byte-fold stub — both 8-dim."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from materialize_spark.pipeline.imaging import (
+            DECODABLE_FORMATS, decode_image, image_features,
+        )
+
+        def feat(payload: bytes, fmt: str) -> list[float]:
+            base = (fmt or "").split(";")[0].lower()
+            if base in DECODABLE_FORMATS:
+                return image_features(decode_image(payload, base))
+            return _decode_stub(payload)
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame({
@@ -72,7 +89,8 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                 "kind": pdf["kind"],
                 "n_bytes": payloads.map(len).astype("int64"),
                 "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                "feature": payloads.map(_decode_stub),
+                "feature": [feat(p, f) for p, f in
+                            zip(payloads, pdf["meta_format"])],
             })
 
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -107,27 +125,40 @@ FRAME_SCHEMA = StructType([
 
 def resize_media(media_df: DataFrame, *, width: int = 64,
                  height: int = 64) -> DataFrame:
-    """Resize kernel plumbing: 1 row in -> 1 row out with a size-bounded
-    payload and updated metadata.
+    """Resize: 1 row in -> 1 row out with a size-bounded payload and
+    updated metadata. Per-row binary -> binary, Arrow-batched,
+    partition-preserving (no shuffle).
 
-    STUB kernel (no PIL in this container): deterministically truncates /
-    tiles the payload to width*height bytes. The contract a real resize
-    drops into: per-row binary -> binary, metadata columns appended,
-    Arrow-batched, partition-preserving (no shuffle).
+    Decodable images (netpbm/BMP) get a REAL nearest-neighbor resample
+    re-encoded as PPM (imaging.py); other formats keep the documented
+    deterministic truncate/tile stand-in.
     """
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def kernel(b: bytes) -> bytes:
+        from materialize_spark.pipeline.imaging import (
+            DECODABLE_FORMATS, decode_image, encode_ppm, resize_nearest,
+        )
+
+        def stub(b: bytes) -> bytes:
             if not b:
                 return bytes(target)
             reps = (target // len(b)) + 1
             return (b * reps)[:target]
 
+        def kernel(b: bytes, fmt: str) -> tuple[bytes, str]:
+            base = (fmt or "").split(";")[0].lower()
+            if base in DECODABLE_FORMATS:
+                arr = resize_nearest(decode_image(b, base), width, height)
+                return encode_ppm(arr), f"ppm;{width}x{height}"
+            return stub(b), f"fake/raw;{width}x{height}"
+
         for pdf in batches:
+            resized = [kernel(p, f) for p, f in
+                       zip(pdf["payload"], pdf["meta_format"])]
             out = pdf[["media_id", "kind"]].copy()
-            out["payload"] = pdf["payload"].map(kernel)
-            out["meta_format"] = f"fake/raw;{width}x{height}"
+            out["payload"] = [p for p, _ in resized]
+            out["meta_format"] = [m for _, m in resized]
             out["width"] = width
             out["height"] = height
             yield out

@@ -392,6 +392,61 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+# Real-decoder certification: per-document solid-color PPM images are
+# synthesized Python-side (pipeline/imaging.encode_ppm), pushed through
+# the REAL netpbm decoder + pixel feature kernel, and the oracle states
+# the closed-form answers (a solid image's channel means ARE the color;
+# dims come from doc_id arithmetic) — so the driver cross-checks actual
+# image decode, not plumbing. Edge energy/dark fraction rows are covered
+# value-level in tests/test_imaging.py.
+@register(
+    "multimodal_decode_real",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(doc_id % 5 + 1 AS DOUBLE) AS img_h,
+           CAST(doc_id % 7 + 1 AS DOUBLE) AS img_w,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+    "pipeline", "multimodal", "codec",
+)
+def multimodal_decode_real(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from materialize_spark.pipeline.multimodal import extract_features
+    t = T(spark, sf_dir)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from materialize_spark.pipeline.imaging import encode_ppm
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                h, w = int(did) % 5 + 1, int(did) % 7 + 1
+                color = [int(did) % 256, (int(did) * 7) % 256,
+                         (int(did) * 13) % 256]
+                arr = np.tile(np.array(color, np.uint8), (h, w, 1))
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": "image", "payload": payloads,
+                "meta_format": "ppm"})
+
+    media = t.documents.select("doc_id").mapInPandas(
+        synth, schema="media_id long, kind string, payload binary, "
+                      "meta_format string")
+    feats = extract_features(media)
+    f = lambda i: F.element_at("feature", i).cast("double")
+    return feats.select(
+        "media_id", f(1).alias("img_h"), f(2).alias("img_w"),
+        f(3).alias("mean_r"), f(4).alias("mean_g"), f(5).alias("mean_b"))
+
+
 _CC_EDGES = rf"""
     toks AS ({_DD_TOKENS}),
     hashed AS (
