@@ -128,3 +128,63 @@ def image_features(arr: np.ndarray) -> list[float]:
         float(arr[:, :, 2].mean()), float(gray.std()),
         edge, float((gray < 32.0).mean()),
     ]
+
+
+# --------------------------------------------------------------------- wav
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (16-bit LE or 8-bit unsigned) → (samples float32 in
+    [-1, 1] shaped (n, channels), sample_rate). Chunk-walks the RIFF
+    container per the public spec — ignores LIST/INFO and other chunks."""
+    if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    else:
+        samples = (np.frombuffer(data, np.uint8).astype(np.float32)
+                   - 128.0) / 128.0
+    n = len(samples) // channels
+    return samples[: n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) float32 in [-1, 1] → 16-bit PCM RIFF bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    channels = samples.shape[1]
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """Real 8-dim audio descriptor: duration, rate, channels, RMS, peak,
+    zero-crossing rate, mean, clipping fraction — the standard cheap
+    quality/filter signals for audio corpora."""
+    mono = samples.mean(axis=1)
+    zc = float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 \
+        else 0.0
+    return [
+        float(len(mono)) / rate, float(rate), float(samples.shape[1]),
+        float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0,
+        float(np.abs(mono).max()) if len(mono) else 0.0,
+        zc, float(mono.mean()) if len(mono) else 0.0,
+        float((np.abs(samples) >= 32767.0 / 32768.0).mean()),
+    ]

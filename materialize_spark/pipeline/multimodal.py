@@ -73,13 +73,16 @@ def extract_features(media_df: DataFrame) -> DataFrame:
         import hashlib
 
         from materialize_spark.pipeline.imaging import (
-            DECODABLE_FORMATS, decode_image, image_features,
+            DECODABLE_FORMATS, audio_features, decode_image, decode_wav,
+            image_features,
         )
 
         def feat(payload: bytes, fmt: str) -> list[float]:
             base = (fmt or "").split(";")[0].lower()
             if base in DECODABLE_FORMATS:
                 return image_features(decode_image(payload, base))
+            if base == "wav":
+                return audio_features(*decode_wav(payload))
             return _decode_stub(payload)
 
         for pdf in batches:

@@ -447,6 +447,59 @@ def multimodal_decode_real(spark, sf_dir):
         f(3).alias("mean_r"), f(4).alias("mean_g"), f(5).alias("mean_b"))
 
 
+# Audio analog of multimodal_decode_real: constant-amplitude PCM WAVs
+# with amplitude (doc_id % 128)/128 — exactly representable in both
+# int16 PCM and float32, so RMS == peak == |mean| == the amplitude with
+# zero rounding slack; duration is sample-count arithmetic. The decoder
+# (pipeline/imaging.decode_wav) chunk-walks real RIFF bytes.
+@register(
+    "multimodal_audio_real",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           round(CAST(doc_id % 50 + 1 AS DOUBLE) / 8000, 9) AS duration_s,
+           CAST(8000 AS DOUBLE) AS sample_rate,
+           CAST(1 AS DOUBLE) AS channels,
+           round(CAST(doc_id % 128 AS DOUBLE) / 128, 9) AS rms,
+           round(CAST(doc_id % 128 AS DOUBLE) / 128, 9) AS peak
+    FROM documents
+    """,
+    "pipeline", "multimodal", "codec", "audio",
+)
+def multimodal_audio_real(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from materialize_spark.pipeline.multimodal import extract_features
+    t = T(spark, sf_dir)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from materialize_spark.pipeline.imaging import encode_wav
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = int(did) % 50 + 1
+                amp = (int(did) % 128) / 128.0
+                payloads.append(encode_wav(
+                    np.full((n, 1), amp, np.float32), 8000))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": "audio", "payload": payloads,
+                "meta_format": "wav"})
+
+    media = t.documents.select("doc_id").mapInPandas(
+        synth, schema="media_id long, kind string, payload binary, "
+                      "meta_format string")
+    feats = extract_features(media)
+    f = lambda i: F.element_at("feature", i).cast("double")
+    return feats.select(
+        "media_id", F.round(f(1), 9).alias("duration_s"),
+        f(2).alias("sample_rate"), f(3).alias("channels"),
+        F.round(f(4), 9).alias("rms"), F.round(f(5), 9).alias("peak"))
+
+
 _CC_EDGES = rf"""
     toks AS ({_DD_TOKENS}),
     hashed AS (

@@ -95,3 +95,43 @@ def test_resize_media_real_path(spark):
     assert np.array_equal(real, resize_nearest(arr, 4, 4))
     assert out[1].meta_format == "ppm;4x4"
     assert out[2].meta_format == "fake/raw;4x4" and len(out[2].payload) == 16
+
+
+def test_wav_round_trip_and_chunk_walk():
+    from materialize_spark.pipeline.imaging import decode_wav, encode_wav
+    rng = np.random.RandomState(5)
+    samples = (rng.rand(64, 2).astype(np.float32) - 0.5)
+    buf = encode_wav(samples, 16000)
+    # splice an ignorable LIST chunk between fmt and data
+    fmt_end = buf.index(b"data")
+    spliced = buf[:fmt_end] + b"LIST" + (7).to_bytes(4, "little") \
+        + b"INFOxyz" + b"\x00" + buf[fmt_end:]
+    out, rate = decode_wav(spliced)
+    assert rate == 16000 and out.shape == (64, 2)
+    # 16-bit quantization error bound
+    assert np.abs(out - samples).max() <= 1.0 / 32768 + 1e-7
+
+
+def test_wav_8bit_and_rejects():
+    from materialize_spark.pipeline.imaging import decode_wav
+    import struct as st
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    pcm = bytes([128, 255, 0, 128])
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(pcm)) + pcm)
+    buf = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, rate = decode_wav(buf)
+    assert rate == 8000
+    assert out[:, 0] == pytest.approx([0.0, 127 / 128, -1.0, 0.0])
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"nope")
+
+
+def test_audio_features_constant_signal():
+    from materialize_spark.pipeline.imaging import audio_features
+    samples = np.full((16, 1), 0.25, np.float32)
+    f = audio_features(samples, 8000)
+    assert f[0] == pytest.approx(16 / 8000)
+    assert f[1] == 8000.0 and f[2] == 1.0
+    assert f[3] == pytest.approx(0.25) and f[4] == pytest.approx(0.25)
+    assert f[5] == 0.0 and f[7] == 0.0
