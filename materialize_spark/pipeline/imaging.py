@@ -174,6 +174,97 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# --------------------------------------------------------------------- avi
+def decode_avi(buf: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI (RIFF 'AVI ', '00db'/'00dc' raw DIB frames) →
+    (frames (n,h,w,3) u8 RGB, fps). Container per the public RIFF/AVI
+    spec: LIST hdrl → avih carries frame timing and dims; LIST movi
+    carries per-frame chunks whose payload is a bottom-up BGR DIB body
+    (same row packing as BMP, no file header)."""
+    if buf[0:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    usec_per_frame, w, h = 0, 0, 0
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal usec_per_frame, w, h
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)  # skip list type tag
+            elif cid == b"avih":
+                usec_per_frame = struct.unpack_from("<I", buf, body_at)[0]
+                w, h = struct.unpack_from("<II", buf, body_at + 32)
+            elif cid[2:4] in (b"db", b"dc") and size:
+                stride = (w * 3 + 3) & ~3
+                rows = np.frombuffer(buf, np.uint8, count=stride * h,
+                                     offset=body_at)
+                rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR
+            pos = body_at + size + (size & 1)
+
+    walk(12, len(buf))
+    if not frames:
+        raise ValueError("no video frames in AVI")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return np.stack(frames), fps
+
+
+def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """(n,h,w,3) u8 RGB → minimal uncompressed AVI ('DIB ' video stream,
+    one '00db' chunk per frame)."""
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIII4I", int(1e6 / fps), frame_bytes * int(fps),
+                       0, 0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, int(fps), 0, n, frame_bytes, 0, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(
+        chunk(b"00db", _dib_body(frames[i], stride)) for i in range(n))
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _dib_body(frame: np.ndarray, stride: int) -> bytes:
+    h, w = frame.shape[:2]
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return body.tobytes()
+
+
+def video_features(frames: np.ndarray, fps: float) -> list[float]:
+    """Real 8-dim video descriptor: frame count, fps, dims, mean
+    brightness, brightness std across frames, temporal change energy,
+    dark-frame fraction."""
+    gray = frames.astype(np.float32).mean(axis=3)  # (n,h,w)
+    per_frame = gray.mean(axis=(1, 2))
+    temporal = float(np.abs(np.diff(per_frame)).mean()) \
+        if len(per_frame) > 1 else 0.0
+    return [
+        float(frames.shape[0]), float(fps),
+        float(frames.shape[1]), float(frames.shape[2]),
+        float(per_frame.mean()), float(per_frame.std()),
+        temporal, float((per_frame < 32.0).mean()),
+    ]
+
+
 def audio_features(samples: np.ndarray, rate: int) -> list[float]:
     """Real 8-dim audio descriptor: duration, rate, channels, RMS, peak,
     zero-crossing rate, mean, clipping fraction — the standard cheap

@@ -73,8 +73,8 @@ def extract_features(media_df: DataFrame) -> DataFrame:
         import hashlib
 
         from materialize_spark.pipeline.imaging import (
-            DECODABLE_FORMATS, audio_features, decode_image, decode_wav,
-            image_features,
+            DECODABLE_FORMATS, audio_features, decode_avi, decode_image,
+            decode_wav, image_features, video_features,
         )
 
         def feat(payload: bytes, fmt: str) -> list[float]:
@@ -83,6 +83,8 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                 return image_features(decode_image(payload, base))
             if base == "wav":
                 return audio_features(*decode_wav(payload))
+            if base == "avi":
+                return video_features(*decode_avi(payload))
             return _decode_stub(payload)
 
         for pdf in batches:
@@ -171,18 +173,36 @@ def resize_media(media_df: DataFrame, *, width: int = 64,
 
 def sample_frames(media_df: DataFrame, *, frame_bytes: int = 256,
                   max_frames: int = 4) -> DataFrame:
-    """Frame sampling plumbing: 1 video row -> N frame rows.
+    """Frame sampling: 1 video row -> N frame rows — the Python-side
+    analog of FlatMap (one input row yields a variable number of output
+    rows inside mapInPandas), no shuffle introduced.
 
-    STUB kernel: chunks the payload into ``frame_bytes`` slices (up to
-    ``max_frames``). The real-codec contract: a generator shape where one
-    input row yields a variable number of output rows inside mapInPandas —
-    the Python-side analog of FlatMap, no shuffle introduced.
+    AVI payloads get REAL frame extraction: up to ``max_frames`` frames
+    evenly strided across the video, each re-encoded as a standalone PPM
+    image. Other formats keep the documented byte-slice stand-in
+    (``frame_bytes`` chunks).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from materialize_spark.pipeline.imaging import (
+            decode_avi, encode_ppm,
+        )
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, payload, fmt in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["meta_format"]):
+                base = (fmt or "").split(";")[0].lower()
+                if base == "avi":
+                    video, _fps = decode_avi(bytes(payload))
+                    n = min(max_frames, len(video))
+                    picks = np.linspace(0, len(video) - 1, n).astype(int)
+                    for i, fi in enumerate(picks):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(encode_ppm(video[fi]))
+                    continue
                 n = min(max_frames,
                         max(1, (len(payload) + frame_bytes - 1) // frame_bytes))
                 for i in range(n):

@@ -500,6 +500,62 @@ def multimodal_audio_real(spark, sf_dir):
         F.round(f(4), 9).alias("rms"), F.round(f(5), 9).alias("peak"))
 
 
+# Video analog: constant-brightness uncompressed AVIs with closed-form
+# descriptors (integer gray levels are exact in float32 means; constant
+# frames ⇒ zero temporal energy). Certifies the RIFF/AVI container walk
+# + DIB frame decode (pipeline/imaging.decode_avi) cross-engine.
+@register(
+    "multimodal_video_real",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(doc_id % 6 + 2 AS DOUBLE) AS n_frames,
+           CAST(10 AS DOUBLE) AS fps,
+           CAST(doc_id % 3 + 1 AS DOUBLE) AS img_h,
+           CAST(doc_id % 4 + 1 AS DOUBLE) AS img_w,
+           CAST(doc_id % 200 AS DOUBLE) AS mean_bright,
+           CAST(CASE WHEN doc_id % 200 < 32 THEN 1 ELSE 0 END AS DOUBLE)
+             AS dark_frac
+    FROM documents
+    """,
+    "pipeline", "multimodal", "codec", "video",
+)
+def multimodal_video_real(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from materialize_spark.pipeline.multimodal import extract_features
+    t = T(spark, sf_dir)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from materialize_spark.pipeline.imaging import encode_avi
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = int(did) % 6 + 2
+                h, w = int(did) % 3 + 1, int(did) % 4 + 1
+                level = int(did) % 200
+                frames = np.full((n, h, w, 3), level, np.uint8)
+                payloads.append(encode_avi(frames, fps=10.0))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": "video", "payload": payloads,
+                "meta_format": "avi"})
+
+    media = t.documents.select("doc_id").mapInPandas(
+        synth, schema="media_id long, kind string, payload binary, "
+                      "meta_format string")
+    feats = extract_features(media)
+    f = lambda i: F.element_at("feature", i).cast("double")
+    return feats.select(
+        "media_id", f(1).alias("n_frames"), F.round(f(2), 9).alias("fps"),
+        f(3).alias("img_h"), f(4).alias("img_w"),
+        F.round(f(5), 9).alias("mean_bright"),
+        f(8).alias("dark_frac"))
+
+
 _CC_EDGES = rf"""
     toks AS ({_DD_TOKENS}),
     hashed AS (

@@ -135,3 +135,63 @@ def test_audio_features_constant_signal():
     assert f[1] == 8000.0 and f[2] == 1.0
     assert f[3] == pytest.approx(0.25) and f[4] == pytest.approx(0.25)
     assert f[5] == 0.0 and f[7] == 0.0
+
+
+def test_avi_round_trip():
+    from materialize_spark.pipeline.imaging import decode_avi, encode_avi
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(5, 4, 6, 3), dtype=np.uint8)
+    out, fps = decode_avi(encode_avi(frames, fps=10.0))
+    assert fps == pytest.approx(10.0)
+    assert np.array_equal(out, frames)
+
+
+def test_avi_rejects_non_avi():
+    from materialize_spark.pipeline.imaging import decode_avi
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi(b"RIFFxxxxWAVE")
+
+
+def test_video_features_values():
+    from materialize_spark.pipeline.imaging import video_features
+    frames = np.zeros((3, 2, 2, 3), np.uint8)
+    frames[1] = 90  # middle frame brighter
+    f = video_features(frames, 10.0)
+    assert f[0] == 3.0 and f[1] == 10.0 and f[2] == 2.0 and f[3] == 2.0
+    assert f[4] == pytest.approx(30.0)   # mean brightness
+    assert f[6] == pytest.approx(90.0)   # |0-90|, |90-0| mean
+    assert f[7] == pytest.approx(2 / 3)  # two dark frames
+
+
+def test_sample_frames_real_avi(spark):
+    from materialize_spark.pipeline.imaging import (
+        decode_ppm, encode_avi,
+    )
+    from materialize_spark.pipeline.multimodal import sample_frames
+    rng = np.random.RandomState(13)
+    video = rng.randint(0, 256, size=(10, 3, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(encode_avi(video, fps=5.0)), "avi"),
+         (2, "video", bytearray(b"ABCDEFGH"), "fake/raw")],
+        "media_id long, kind string, payload binary, meta_format string")
+    rows = sample_frames(df, frame_bytes=4, max_frames=4).collect()
+    real = sorted((r.frame_idx, bytes(r.frame)) for r in rows
+                  if r.media_id == 1)
+    # 4 evenly-strided frames: indexes 0, 3, 6, 9 of the source video
+    assert len(real) == 4
+    assert np.array_equal(decode_ppm(real[0][1]), video[0])
+    assert np.array_equal(decode_ppm(real[3][1]), video[9])
+    fake = [bytes(r.frame) for r in rows if r.media_id == 2]
+    assert fake == [b"ABCD", b"EFGH"]
+
+
+def test_extract_features_video_path(spark):
+    from materialize_spark.pipeline.imaging import encode_avi
+    from materialize_spark.pipeline.multimodal import extract_features
+    video = np.full((4, 2, 2, 3), 50, np.uint8)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(encode_avi(video, fps=8.0)), "avi")],
+        "media_id long, kind string, payload binary, meta_format string")
+    f = extract_features(df).collect()[0].feature
+    assert f[0] == 4.0 and f[1] == pytest.approx(8.0)
+    assert f[4] == pytest.approx(50.0)
