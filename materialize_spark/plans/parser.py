@@ -38,12 +38,38 @@ class Stmt:
     pass
 
 
+_INTERVAL_UNITS = {
+    "second": 1.0, "seconds": 1.0, "s": 1.0,
+    "minute": 60.0, "minutes": 60.0, "m": 60.0,
+    "hour": 3600.0, "hours": 3600.0, "h": 3600.0,
+    "day": 86400.0, "days": 86400.0, "d": 86400.0,
+}
+
+
+def _interval_seconds(text: str) -> float:
+    """PG-style interval string ('1 hour', '30 seconds', '2 days') →
+    seconds. Multi-part ('1 hour 30 minutes') sums."""
+    import re as _re
+    total, matched = 0.0, False
+    for num, unit in _re.findall(r"([0-9.]+)\s*([a-zA-Z]+)", text):
+        if unit.lower() not in _INTERVAL_UNITS:
+            raise ValueError(f"unknown interval unit {unit!r}")
+        total += float(num) * _INTERVAL_UNITS[unit.lower()]
+        matched = True
+    if not matched:
+        raise ValueError(f"cannot parse interval {text!r}")
+    return total
+
+
 @dataclass
 class CreateView(Stmt):
     name: str
     body: str
     materialized: bool = False
     or_replace: bool = False
+    # WITH (REFRESH EVERY '<interval>') — reference RefreshSchedule
+    # (src/repr/src/refresh_schedule.rs); seconds, None = on commit
+    refresh_every_s: float | None = None
 
 
 @dataclass
@@ -455,9 +481,21 @@ class Parser:
             materialized = self.take_kw("MATERIALIZED")
             self.expect_kw("VIEW")
             name = self.ident()
+            every = None
+            if materialized and self.take_kw("WITH"):
+                inner = self.paren_span()
+                p = Parser(inner)
+                p.expect_kw("REFRESH")
+                if p.take_kw("EVERY"):
+                    every = _interval_seconds(p.string())
+                elif p.take_kw("ON", "COMMIT"):
+                    every = None  # the default refresh schedule
+                else:
+                    raise ParseError("expected EVERY or ON COMMIT", p.peek())
+                p.expect_end()
             self.expect_kw("AS")
             return CreateView(name, self.rest(), materialized=materialized,
-                              or_replace=or_replace)
+                              or_replace=or_replace, refresh_every_s=every)
         if self.at_kw("DEFAULT", "INDEX") or self.at_kw("INDEX"):
             default = self.take_kw("DEFAULT")
             self.expect_kw("INDEX")

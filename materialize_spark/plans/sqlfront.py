@@ -102,6 +102,8 @@ class MzSession:
         self._matview_sql: dict[str, str] = {}
         self._sub_state: dict[str, DataFrame] = {}
         self._sub_ts: dict[str, int] = {}  # WITH (PROGRESS) batch clock
+        # MV name → (period_s, last_refresh monotonic) for REFRESH EVERY
+        self._refresh_every: dict[str, tuple[float, float]] = {}
         # RETAIN HISTORY: per-MV changelog of refresh deltas, readable via
         # SELECT ... AS OF <epoch> (streaming.history.RetainedHistory);
         # retention window counted in refresh epochs.
@@ -184,6 +186,16 @@ class MzSession:
             hist = RetainedHistory()
             hist.append(snap.withColumn("diff", F.lit(1)), 0)
             self._histories[node.name] = hist
+            if node.refresh_every_s is not None:
+                # WITH (REFRESH EVERY ...) — reference RefreshSchedule
+                # (refresh_schedule.rs + compute/src/sink/refresh.rs):
+                # the MV refreshes on schedule ticks, not on commit.
+                # Batch analog: record the period; the host drives
+                # tick_refreshes() from its clock (Trigger.ProcessingTime
+                # in the streaming path).
+                import time as _t
+                self._refresh_every[node.name] = (
+                    float(node.refresh_every_s), _t.monotonic())
         else:
             self.catalog.create_view(node.name, df)
             self._view_sql[node.name] = rewrite(node.body)
@@ -473,6 +485,25 @@ class MzSession:
             window = self._retain.get(name)
             if window is not None and hist.upper - 1 - window > hist.since:
                 hist.compact(hist.upper - 1 - window)
+
+    def tick_refreshes(self, now: float | None = None) -> list[str]:
+        """Drive the REFRESH EVERY schedules: refresh every MV whose
+        period has elapsed since its last refresh, update its clock, and
+        return the refreshed names. The host calls this from its own
+        timer (the reference's refresh.rs sink does the equivalent on
+        system-clock ticks; the Structured Streaming analog is
+        Trigger.ProcessingTime driving the same recompute). ``now``
+        overrides the monotonic clock for tests."""
+        import time as _t
+
+        now = _t.monotonic() if now is None else now
+        refreshed = []
+        for name, (period, last) in list(self._refresh_every.items()):
+            if now - last >= period:
+                self._refresh_mv(ast.RefreshMV(name), "")
+                self._refresh_every[name] = (period, now)
+                refreshed.append(name)
+        return refreshed
 
     def _alter_retain(self, node: ast.AlterRetain, sql: str):
         # ALTER MATERIALIZED VIEW v SET (RETAIN HISTORY FOR n): keep the

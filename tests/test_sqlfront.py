@@ -600,3 +600,36 @@ def test_show_materialized_views(spark):
     liked = [r.name for r in sess.execute(
         "SHOW MATERIALIZED VIEWS LIKE 'mv%'").collect()]
     assert liked == ["mv_show_test"]
+
+
+def test_refresh_every_schedule(spark):
+    import time
+
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE rev_src (v BIGINT)")
+    sess.execute("INSERT INTO rev_src VALUES (1)")
+    sess.execute("CREATE MATERIALIZED VIEW rev_mv "
+                 "WITH (REFRESH EVERY '1 hour') AS "
+                 "SELECT sum(v) AS total FROM rev_src")
+    assert sess.execute("SELECT total FROM rev_mv").collect()[0].total == 1
+    sess.execute("INSERT INTO rev_src VALUES (10)")
+    # not due yet: the MV holds its last refresh, and a tick is a no-op
+    assert sess.tick_refreshes() == []
+    assert sess.execute("SELECT total FROM rev_mv").collect()[0].total == 1
+    # advance past the period: the tick refreshes it
+    due = time.monotonic() + 3601
+    assert sess.tick_refreshes(now=due) == ["rev_mv"]
+    assert sess.execute("SELECT total FROM rev_mv").collect()[0].total == 11
+    # immediately after, nothing is due again
+    assert sess.tick_refreshes(now=due + 1) == []
+
+
+def test_refresh_every_interval_parsing():
+    from materialize_spark.plans.parser import _interval_seconds
+    assert _interval_seconds("1 hour") == 3600.0
+    assert _interval_seconds("30 seconds") == 30.0
+    assert _interval_seconds("1 hour 30 minutes") == 5400.0
+    assert _interval_seconds("2 days") == 172800.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _interval_seconds("fortnight")
