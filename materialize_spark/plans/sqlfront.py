@@ -418,7 +418,8 @@ class MzSession:
             return None
         self.catalog.drop(node.name, if_exists=node.if_exists)
         for store in (self._matviews, self._matview_sql, self._view_sql,
-                      self._histories, self._retain):
+                      self._histories, self._retain, self._refresh_every,
+                      self._sub_state, self._sub_ts):
             store.pop(node.name, None)
 
     def _insert(self, node: ast.Insert, sql: str):

@@ -633,3 +633,19 @@ def test_refresh_every_interval_parsing():
     import pytest as _pt
     with _pt.raises(ValueError):
         _interval_seconds("fortnight")
+
+
+def test_drop_clears_refresh_schedule_and_sub_state(spark):
+    import time
+
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE drop_src (v BIGINT)")
+    sess.execute("INSERT INTO drop_src VALUES (1)")
+    sess.execute("CREATE MATERIALIZED VIEW drop_mv "
+                 "WITH (REFRESH EVERY '1 second') AS "
+                 "SELECT sum(v) AS total FROM drop_src")
+    sess.execute("SUBSCRIBE drop_mv")  # seeds subscription state
+    sess.execute("DROP VIEW drop_mv")
+    # a tick after the drop must not try to refresh the dropped MV
+    assert sess.tick_refreshes(now=time.monotonic() + 10) == []
+    assert "drop_mv" not in sess._sub_state
