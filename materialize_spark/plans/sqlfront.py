@@ -526,6 +526,13 @@ class MzSession:
                 store[new] = df
                 self.spark.catalog.dropTempView(old)
                 df.createOrReplaceTempView(new)
+                # session-side state follows the object across the rename
+                for st in (self._matviews, self._matview_sql,
+                           self._view_sql, self._histories, self._retain,
+                           self._refresh_every, self._sub_state,
+                           self._sub_ts):
+                    if old in st:
+                        st[new] = st.pop(old)
                 return None
         raise KeyError(f"unknown object {old!r}")
 

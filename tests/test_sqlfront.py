@@ -649,3 +649,18 @@ def test_drop_clears_refresh_schedule_and_sub_state(spark):
     # a tick after the drop must not try to refresh the dropped MV
     assert sess.tick_refreshes(now=time.monotonic() + 10) == []
     assert "drop_mv" not in sess._sub_state
+
+
+def test_rename_migrates_mv_state(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE ren_src (v BIGINT)")
+    sess.execute("INSERT INTO ren_src VALUES (1)")
+    sess.execute("CREATE MATERIALIZED VIEW ren_mv AS "
+                 "SELECT sum(v) AS total FROM ren_src")
+    sess.execute("ALTER MATERIALIZED VIEW ren_mv RENAME TO ren_mv2")
+    assert sess.execute("SELECT total FROM ren_mv2").collect()[0].total == 1
+    # REFRESH works under the new name (definition followed the rename)
+    sess.execute("INSERT INTO ren_src VALUES (9)")
+    sess.execute("REFRESH MATERIALIZED VIEW ren_mv2")
+    assert sess.execute("SELECT total FROM ren_mv2").collect()[0].total == 10
+    assert "ren_mv" not in sess._matview_sql
