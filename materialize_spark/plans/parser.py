@@ -181,6 +181,20 @@ class RefreshMV(Stmt):
 
 
 @dataclass
+class AlterAddColumn(Stmt):
+    table: str
+    column: str
+    coltype: str  # PG type name, converted by the executor
+
+
+@dataclass
+class Comment(Stmt):
+    kind: str       # table | view | column | ...
+    name: str       # object name (column: "table.column")
+    text: str | None  # None = COMMENT IS NULL (remove)
+
+
+@dataclass
 class AlterRename(Stmt):
     name: str
     new_name: str
@@ -715,7 +729,35 @@ class Parser:
                 raise ParseError("expected retention window", t)
             self.expect_end()
             return AlterRetain(name, window)
+        if self.take_kw("ADD", "COLUMN"):
+            # AlterTableAddColumnStatement (statement.rs:84): nullable
+            # column appended; existing rows read NULL
+            col = self.ident()
+            coltype = self.rest().strip()
+            if not coltype:
+                raise ParseError("expected column type", self.peek())
+            return AlterAddColumn(name, col, coltype)
         raise ParseError("unsupported ALTER", self.peek())
+
+    # COMMENT -----------------------------------------------------------------
+    def _p_comment(self) -> Stmt:
+        """COMMENT ON <kind> <name> IS '<text>' | NULL (reference
+        CommentStatement, statement.rs:117)."""
+        self.expect_kw("COMMENT", "ON")
+        t = self.next()
+        if t.kind != "WORD":
+            raise ParseError("expected object kind", t)
+        kind = t.upper.lower()
+        if kind == "materialized":
+            self.expect_kw("VIEW")
+            kind = "materialized-view"
+        name = self.ident()
+        while self.take_op("."):
+            name += "." + self.ident()
+        self.expect_kw("IS")
+        text = None if self.take_kw("NULL") else self.string()
+        self.expect_end()
+        return Comment(kind, name, text)
 
     # SUBSCRIBE ---------------------------------------------------------------
     def _p_subscribe(self) -> Stmt:
@@ -993,6 +1035,7 @@ __all__ = [
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
     "CreateConnection", "Drop",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
+    "AlterAddColumn", "Comment",
     "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",
     "ExplainTimestamp", "Explain", "Prepare", "Execute", "Deallocate",
     "Declare", "Fetch", "Close", "Begin", "Commit", "Rollback",

@@ -39,7 +39,7 @@ from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
-    r"|sources|sinks|arrangement_sizes)\b", re.I)
+    r"|sources|sinks|arrangement_sizes|comments)\b", re.I)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -104,6 +104,7 @@ class MzSession:
         self._sub_ts: dict[str, int] = {}  # WITH (PROGRESS) batch clock
         # MV name → (period_s, last_refresh monotonic) for REFRESH EVERY
         self._refresh_every: dict[str, tuple[float, float]] = {}
+        self._comments: dict[tuple[str, str], str] = {}  # COMMENT ON
         # RETAIN HISTORY: per-MV changelog of refresh deltas, readable via
         # SELECT ... AS OF <epoch> (streaming.history.RetainedHistory);
         # retention window counted in refresh epochs.
@@ -506,6 +507,28 @@ class MzSession:
                 refreshed.append(name)
         return refreshed
 
+    def _alter_add_column(self, node: ast.AlterAddColumn, sql: str):
+        """ALTER TABLE t ADD COLUMN c <type>: appended nullable column,
+        existing rows read NULL (reference AlterTableAddColumnStatement)."""
+        from pyspark.sql import functions as F
+        df = self.catalog._tables[node.table]
+        if node.column in df.columns:
+            raise ValueError(f"column {node.column!r} already exists")
+        spark_type = _pg_coldefs(f"{node.column} {node.coltype}") \
+            .split(" ", 1)[1]
+        self.catalog.register_table(
+            node.table,
+            df.withColumn(node.column, F.lit(None).cast(spark_type)))
+
+    def _comment(self, node: ast.Comment, sql: str):
+        """COMMENT ON ... IS ...: session comment store, readable via the
+        mz_comments introspection relation (reference mz_internal)."""
+        key = (node.kind, node.name)
+        if node.text is None:
+            self._comments.pop(key, None)
+        else:
+            self._comments[key] = node.text
+
     def _alter_retain(self, node: ast.AlterRetain, sql: str):
         # ALTER MATERIALIZED VIEW v SET (RETAIN HISTORY FOR n): keep the
         # last n refresh epochs readable via AS OF; older epochs are
@@ -869,6 +892,8 @@ class MzSession:
         ast.RefreshMV: _refresh_mv,
         ast.AlterRetain: _alter_retain,
         ast.AlterRename: _alter_rename,
+        ast.AlterAddColumn: _alter_add_column,
+        ast.Comment: _comment,
         ast.Subscribe: _subscribe,
         ast.CopyTo: _copy_to,
         ast.CopyFrom: _copy_from,
@@ -990,3 +1015,9 @@ class MzSession:
            "name string, key string, kind string, size_bytes bigint") \
             .filter("name <> ''").createOrReplaceTempView(
                 "mz_arrangement_sizes")
+        # COMMENT ON store (reference mz_internal.mz_comments)
+        cm_rows = [(k, n, c) for (k, n), c in sorted(self._comments.items())]
+        mk(cm_rows or [("", "", "")],
+           "object_type string, name string, comment string") \
+            .filter("object_type <> ''").createOrReplaceTempView(
+                "mz_comments")

@@ -664,3 +664,35 @@ def test_rename_migrates_mv_state(spark):
     sess.execute("REFRESH MATERIALIZED VIEW ren_mv2")
     assert sess.execute("SELECT total FROM ren_mv2").collect()[0].total == 10
     assert "ren_mv" not in sess._matview_sql
+
+
+def test_alter_table_add_column(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE addcol_t (k BIGINT)")
+    sess.execute("INSERT INTO addcol_t VALUES (1), (2)")
+    sess.execute("ALTER TABLE addcol_t ADD COLUMN note TEXT")
+    rows = sess.execute(
+        "SELECT k, note FROM addcol_t ORDER BY k").collect()
+    assert [(r.k, r.note) for r in rows] == [(1, None), (2, None)]
+    sess.execute("INSERT INTO addcol_t VALUES (3, 'hi')")
+    got = {r.k: r.note for r in
+           sess.execute("SELECT * FROM addcol_t").collect()}
+    assert got == {1: None, 2: None, 3: "hi"}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="already exists"):
+        sess.execute("ALTER TABLE addcol_t ADD COLUMN note TEXT")
+
+
+def test_comment_on_and_mz_comments(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE cm_t (k BIGINT)")
+    sess.execute("COMMENT ON TABLE cm_t IS 'the key table'")
+    sess.execute("COMMENT ON COLUMN cm_t.k IS 'the key'")
+    got = {(r.object_type, r.name): r.comment for r in sess.execute(
+        "SELECT * FROM mz_comments").collect()}
+    assert got == {("table", "cm_t"): "the key table",
+                   ("column", "cm_t.k"): "the key"}
+    sess.execute("COMMENT ON TABLE cm_t IS NULL")
+    left = [r.name for r in
+            sess.execute("SELECT * FROM mz_comments").collect()]
+    assert left == ["cm_t.k"]
