@@ -878,7 +878,7 @@ class Parser:
             self.expect_end()
             return ExplainTimestamp(name)
         stage = "PHYSICAL"
-        for s in ("RAW", "OPTIMIZED", "PHYSICAL"):
+        for s in ("RAW", "OPTIMIZED", "PHYSICAL", "ANALYZE"):
             if self.take_kw(s):
                 stage = s
                 break

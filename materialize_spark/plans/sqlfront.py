@@ -725,7 +725,33 @@ class MzSession:
         # Reference EXPLAIN stages (doc/developer/101-query-compilation
         # .md:50-91): RAW = parsed logical plan, OPTIMIZED = after
         # Catalyst rewrites, PHYSICAL (default) = executable plan.
-        qe = self.spark.sql(rewrite(node.body))._jdf.queryExecution()
+        # ANALYZE executes the query and reports per-operator runtime
+        # metrics (the reference's EXPLAIN ANALYZE surface over
+        # mz_introspection; here Spark's SQL metrics).
+        df = self.spark.sql(rewrite(node.body))
+        if node.stage == "ANALYZE":
+            df.collect()
+            qe = df._jdf.queryExecution()
+            rows = []
+
+            def walk(plan, depth):
+                name = plan.nodeName()
+                it = plan.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    metric = kv._2()
+                    rows.append((depth, name, str(kv._1()),
+                                 int(metric.value())))
+                ch = plan.children().iterator()
+                while ch.hasNext():
+                    walk(ch.next(), depth + 1)
+
+            walk(qe.executedPlan(), 0)
+            return self.spark.createDataFrame(
+                rows or [(0, "", "", 0)],
+                "depth int, operator string, metric string, value long") \
+                .filter("operator <> ''")
+        qe = df._jdf.queryExecution()
         text = {
             "RAW": lambda: qe.logical().toString(),
             "OPTIMIZED": lambda: qe.optimizedPlan().toString(),

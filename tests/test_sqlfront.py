@@ -696,3 +696,16 @@ def test_comment_on_and_mz_comments(spark):
     left = [r.name for r in
             sess.execute("SELECT * FROM mz_comments").collect()]
     assert left == ["cm_t.k"]
+
+
+def test_explain_analyze_metrics(spark):
+    sess = MzSession(spark, SF_DIR)
+    rows = sess.execute(
+        "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n "
+        "FROM nation GROUP BY n_regionkey").collect()
+    ops = {r.operator for r in rows}
+    assert any("HashAggregate" in o for o in ops)
+    out = [r for r in rows if r.metric == "numOutputRows"
+           and "HashAggregate" in r.operator]
+    # the final aggregate emitted exactly the 5 region groups
+    assert any(r.value == 5 for r in out)
