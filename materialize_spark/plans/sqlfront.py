@@ -742,6 +742,13 @@ class MzSession:
                     metric = kv._2()
                     rows.append((depth, name, str(kv._1()),
                                  int(metric.value())))
+                # AQE wraps the real tree in childless shims: descend
+                # through AdaptiveSparkPlanExec.executedPlan and
+                # QueryStageExec.plan explicitly
+                if name.startswith("AdaptiveSparkPlan"):
+                    walk(plan.executedPlan(), depth + 1)
+                elif name.endswith("QueryStage"):
+                    walk(plan.plan(), depth + 1)
                 ch = plan.children().iterator()
                 while ch.hasNext():
                     walk(ch.next(), depth + 1)
