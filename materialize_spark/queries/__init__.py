@@ -103,9 +103,11 @@ def load_all() -> dict[str, QuerySpec]:
         # LLM pipeline: similarity search
         "simsearch_cosine_topk", "simsearch_lsh_buckets",
         "simsearch_ivf_disk",
-        # LLM pipeline: text / packing / multimodal
-        "text_redact_pii", "text_chunking", "pipeline_pack_sequences",
-        "multimodal_features",
+        # LLM pipeline: text / packing / multimodal (decode_real certifies
+        # the real pixel-decode path; chunking moved past the window in
+        # round 5, still local-oracle-green)
+        "text_redact_pii", "pipeline_pack_sequences",
+        "multimodal_features", "multimodal_decode_real",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY
