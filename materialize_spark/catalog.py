@@ -381,6 +381,38 @@ class LazyTables(MutableMapping):
         self._loaded[view] = arranged
         return arranged
 
+    def denorm(self, name: str) -> DataFrame:
+        """Shared denormalized arrangement — the reference's
+        share-arrangements-across-dataflows pattern (an index on a view:
+        the view pre-joins O(10)-row dims onto a dimension table, the
+        index keeps the result arranged). ``supplier_denorm`` attaches
+        n_name/r_name to supplier via its nation/region keys, so every
+        query that wants a supplier's nation or region name joins ONE
+        broadcast table instead of chaining three — at any scale the
+        denorm is exactly supplier-sized (dims add two short strings).
+        Built once per session, persisted, keyed like the base table."""
+        if name in self._loaded:
+            return self._loaded[name]
+        if name != "supplier_denorm":
+            raise KeyError(name)
+        sup, nat, reg = self["supplier"], self["nation"], self["region"]
+        df = (
+            sup.join(SQLF.broadcast(nat.select("n_nationkey", "n_name",
+                                               "n_regionkey")),
+                     sup["s_nationkey"] == SQLF.col("n_nationkey"))
+            .join(SQLF.broadcast(reg.select("r_regionkey", "r_name")),
+                  SQLF.col("n_regionkey") == SQLF.col("r_regionkey"))
+            .drop("n_nationkey", "n_regionkey", "r_regionkey")
+        )
+        path = os.path.join(self._sf_dir, "supplier.parquet")
+        if 0 < _parquet_decoded_bytes(path) <= ARRANGE_BYTES:
+            df = df.persist()
+        if self._register:
+            df.createOrReplaceTempView(name)
+            view_owner(self._spark)[name] = self._sf_dir
+        self._loaded[name] = df
+        return df
+
     def __setitem__(self, name: str, df: DataFrame) -> None:
         self._loaded[name] = df
 

@@ -139,7 +139,8 @@ def simhash(df: DataFrame, tokens: Column, *, bits: int = 16,
 
 def jaccard_pairs(df: DataFrame, tokens: Column, *, threshold: float = 0.6,
                   id_col: str = "doc_id",
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_broadcast_bytes: int = 256 << 20) -> DataFrame:
     """Exact token-set Jaccard similarity for document pairs at or above
     ``threshold``.
 
@@ -206,12 +207,34 @@ def jaccard_pairs(df: DataFrame, tokens: Column, *, threshold: float = 0.6,
                            F.col("__ta").alias("__ta_a"))
     tb = tok_arrays.select(F.col(id_col).alias("doc_b"),
                            F.col("__ta").alias("__ta_b"))
-    # Broadcast the per-doc arrays: the candidate stream is the huge side
-    # (up to O(pairs)); without the hint Catalyst's unknown-size estimate
-    # for the derived array table picks a 2-sided shuffle join.
+    # Join strategy for the verification lookups, budget-gated like
+    # cosine_pairs_blocked (simsearch.py): under budget, broadcast the
+    # per-doc arrays (the candidate stream is the huge side, up to
+    # O(pairs), and Catalyst's unknown-size estimate for the derived
+    # array table would otherwise pick a 2-sided shuffle join). Over
+    # budget — at corpus scale the token arrays are terabytes, far past
+    # Spark's broadcast ceiling — pin SHUFFLE_HASH on the array side:
+    # candidates hash-partition by doc_a/doc_b (already pre-shuffled on
+    # those keys above) and each array row ships exactly once, no sort,
+    # no driver-side hash relation. Decoded-bytes estimate, not on-disk:
+    # one agg over the already-checkpointed tok_arrays.
+    stats = tok_arrays.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("__ta")), F.lit(0)).alias("ntok"),
+        F.coalesce(F.sum(F.aggregate(
+            F.transform("__ta", lambda t: F.length(t)),
+            F.lit(0).cast("long"), lambda a, x: a + x)), F.lit(0))
+        .alias("chars"),
+    ).first()
+    # UnsafeArrayData layout: ~32 B/row header + ~24 B/token slot + chars
+    est_bytes = stats.n * 32 + stats.ntok * 24 + stats.chars * 2
+    if est_bytes <= max_broadcast_bytes:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
+    else:
+        ta, tb = ta.hint("shuffle_hash"), tb.hint("shuffle_hash")
     return (
-        candidates.join(F.broadcast(ta), on="doc_a")
-        .join(F.broadcast(tb), on="doc_b")
+        candidates.join(ta, on="doc_a")
+        .join(tb, on="doc_b")
         .withColumn("common",
                     F.size(F.array_intersect("__ta_a", "__ta_b")))
         .withColumn("jaccard", F.col("common") /

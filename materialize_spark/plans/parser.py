@@ -770,7 +770,7 @@ class Parser:
             if self.take_kw("UP", "TO"):
                 node.up_to = self.int_()
         elif self.take_kw("WITHIN", "TIMESTAMP", "ORDER", "BY"):
-            node.order_by = self.comma_list_spans()
+            node.order_by = self.comma_list_spans("WITH")
         elif self.take_kw("ENVELOPE"):
             t = self.next()
             if t.upper not in ("UPSERT", "DEBEZIUM"):

@@ -332,7 +332,7 @@ class MzSession:
                 diff = pgoutput_to_diff(env, rel)
                 keys = [c["name"] for c in rel["columns"] if c["is_key"]]
                 keys = keys or [rel["columns"][0]["name"]]
-                base = base_or_empty(tname, diff.drop("lsn", "diff"))
+                base = base_or_empty(tname, diff.drop("lsn", "seq", "diff"))
                 self.catalog.register_table(
                     f"{node.name}_{tname}", apply_cdc(base, diff, keys))
                 registered.append(tname)
@@ -382,7 +382,7 @@ class MzSession:
                 if wanted is not None and tname not in wanted:
                     continue
                 diff = changes_to_diff(spark.read.parquet(path))
-                base = base_or_empty(tname, diff.drop("lsn", "diff"))
+                base = base_or_empty(tname, diff.drop("lsn", "seq", "diff"))
                 self.catalog.register_table(
                     f"{node.name}_{tname}",
                     apply_cdc(base, diff, [diff.columns[0]]))
@@ -422,6 +422,13 @@ class MzSession:
                       self._histories, self._retain, self._refresh_every,
                       self._sub_state, self._sub_ts):
             store.pop(node.name, None)
+        # comments die with the object (reference: mz_comments rows are
+        # keyed by object id; a dropped id takes its comments — and its
+        # columns' comments, keyed "obj.col" — with it)
+        for key in [k for k in self._comments
+                    if k[1] == node.name
+                    or k[1].startswith(node.name + ".")]:
+            del self._comments[key]
 
     def _insert(self, node: ast.Insert, sql: str):
         target = self.catalog._tables[node.table]
@@ -556,6 +563,14 @@ class MzSession:
                            self._sub_ts):
                     if old in st:
                         st[new] = st.pop(old)
+                # comments track the object across the rename (reference:
+                # comments key on object id, which survives RENAME);
+                # column comments keyed "obj.col" are rekeyed too
+                for kind, name in [k for k in self._comments
+                                   if k[1] == old
+                                   or k[1].startswith(old + ".")]:
+                    self._comments[(kind, new + name[len(old):])] = \
+                        self._comments.pop((kind, name))
                 return None
         raise KeyError(f"unknown object {old!r}")
 
@@ -594,35 +609,38 @@ class MzSession:
             rets = prev.exceptAll(cur).withColumn("diff", F.lit(-1))
             delta = adds.unionByName(rets)
         self._sub_state[node.name] = cur.localCheckpoint(eager=True)
+        out = delta
         if node.envelope:
             from materialize_spark.streaming.subscribe import (
                 envelope_debezium, envelope_upsert)
             fn = (envelope_upsert if node.envelope == "upsert"
                   else envelope_debezium)
-            return fn(delta, node.envelope_keys)
-        if node.order_by:
+            out = fn(delta, node.envelope_keys)
+        elif node.order_by:
             from materialize_spark.streaming.subscribe import (
                 within_timestamp_order_by)
-            return within_timestamp_order_by(delta, *node.order_by)
+            out = within_timestamp_order_by(delta, *node.order_by)
         if node.progress:
             # WITH (PROGRESS): every batch additionally carries one
             # mz_progressed=true row whose data columns are NULL — the
             # frontier-advance marker that distinguishes "no changes"
             # from "no news" (plan.rs SubscribeOptions.progress). The
             # logical timestamp is the per-subscription batch counter.
+            # PROGRESS composes with ENVELOPE / WITHIN TIMESTAMP ORDER BY:
+            # the marker wraps whatever shape those modifiers produced.
             ts = self._sub_ts.get(node.name, 0) + 1
             self._sub_ts[node.name] = ts
-            data = delta.select(
+            data = out.select(
                 F.lit(ts).alias("mz_timestamp"),
                 F.lit(False).alias("mz_progressed"),
-                *[F.col(c) for c in delta.columns])
+                *[F.col(c) for c in out.columns])
             marker = self.spark.range(1).select(
                 F.lit(ts).alias("mz_timestamp"),
                 F.lit(True).alias("mz_progressed"),
                 *[F.lit(None).cast(f.dataType).alias(f.name)
-                  for f in delta.schema.fields])
+                  for f in out.schema.fields])
             return data.unionByName(marker)
-        return delta
+        return out
 
     # -- COPY ---------------------------------------------------------------
     def _copy_to(self, node: ast.CopyTo, sql: str):

@@ -61,53 +61,43 @@ def load_all() -> dict[str, QuerySpec]:
     # window_functions → ranking + navigation + ROWS frames) buy slots for
     # otherwise-untested families. The remainder round-robins across
     # modules so any longer evaluation prefix still spans the surface.
+    # Round-6 rotation policy (VERDICT r5 item 3): driver certification
+    # ACCUMULATES across rounds — the union of CORRECTNESS_r1..r5 covers
+    # 67 of 142 entries, so this round's 50-slot window consists entirely
+    # of entries no driver round has ever checked. Everything certified in
+    # r1-r5 stays green via the local full-registry gate (tools/check.py,
+    # 142/142 at sf0.01) and rotates back in only if it regresses.
     priority = [
-        # flagship + MIR core. (tpch_q3/q2_adapted/setops_union_all moved
-        # past the window in round 5 — joins and RowSetFinishing stay
-        # certified via q1/q4/join_*/outer_join/distinct_on, and the freed
-        # slots certify previously local-only families below.)
-        "tpch_q1", "tpch_q4",
-        "setops_except_intersect",
-        "distinct_on_first_order", "outer_join_full",
-        "join_asof", "join_range_band",
-        # aggregates (agg_rich: string_agg/jsonb_agg/map_agg/rollup/
-        # grouping-sets in one slot)
-        "agg_battery", "agg_decimal", "agg_rich",
-        # windows (+ RANGE frames, previously local-only)
-        "window_functions", "window_session", "window_tumbling",
-        "window_range_frame",
-        # table functions (battery: jsonb_array_elements/csv/unnest-
-        # ordinality/subscripts/wrap/repeat_row/series int+ts in one slot;
-        # regexp_matches moved past the window in round 5 — the regex
-        # family stays certified via scalar_regex, and its slot certifies
-        # the MySQL replication-source decode, a top-2 missing item)
-        "tablefunc_jsonb_each", "tablefunc_battery",
-        # scalar surface (+ the range type, previously uncovered)
-        "scalar_math", "scalar_string", "scalar_regex", "scalar_casts",
-        "scalar_parse_timestamp", "scalar_month_arithmetic",
-        "scalar_ranges",
-        "jsonb_ops", "array_functions", "map_functions",
-        # SQL front-end / sources / sinks (cdc_pgoutput_apply certifies
-        # the replication-source decode path; it takes simsearch_ivf's
-        # former slot — the IVF family stays certified via the strictly
-        # stronger simsearch_ivf_disk)
-        "sqlfront_wmr", "sqlfront_matview_roundtrip", "sqlfront_pg_idioms",
-        "sqlfront_create_sink", "upsert_envelope_batch",
-        "cdc_pgoutput_apply", "cdc_mysql_apply",
-        # streaming / IVM
-        "temporal_filter", "ivm_retraction_agg", "ivm_incremental_join",
-        "ivm_retraction_topk",
-        # LLM pipeline: dedup
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_ngram_jaccard", "dedup_components", "pipeline_contamination",
-        # LLM pipeline: similarity search
-        "simsearch_cosine_topk", "simsearch_lsh_buckets",
-        "simsearch_ivf_disk",
-        # LLM pipeline: text / packing / multimodal (decode_real certifies
-        # the real pixel-decode path; chunking moved past the window in
-        # round 5, still local-oracle-green)
-        "text_redact_pii", "pipeline_pack_sequences",
-        "multimodal_features", "multimodal_decode_real",
+        # never-checked TPC-H tail (the headline perf queries deserve
+        # driver-certified correctness, not just local-gate green)
+        "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22", "tpch_q20_adapted",
+        # LetRec fixpoints + TopK variants
+        "letrec_reachability", "letrec_mutual_parity",
+        "topk_orders_per_segment", "topk_events_per_user",
+        # join shapes (skew-salted, 16-way, cross, decorrelated subquery)
+        "join_skew_salted", "join_wide_16way", "cross_join_pairs",
+        "subquery_decorrelated",
+        # aggregate tail
+        "agg_statistics", "agg_jsonb_agg", "agg_map_agg",
+        "agg_string_agg_ordered", "agg_rollup", "agg_grouping_sets",
+        # window tail (hopping, navigation, native streaming sessions)
+        "window_hopping", "window_lag_lead", "window_session_native",
+        "sessionization",
+        # scalar/tablefunc spot-checks from the never-checked pool
+        "jsonb_path_battery", "scalar_encode_digest",
+        "tablefunc_unnest_ordinality",
+        # sources / sinks (SQL Server CDC decode, Iceberg sink)
+        "cdc_sqlserver_apply", "sink_iceberg_roundtrip",
+        # LLM pipeline: similarity search + dedup never-checked variants
+        "simsearch_sq8", "simsearch_lsh_pairs", "dedup_embedding_cosine",
+        "dedup_spans",
+        # LLM pipeline: text analysis + sampling
+        "text_language_id", "text_quality", "text_token_counts",
+        "text_fingerprint", "text_lm_score", "pipeline_sample_temperature",
+        # multimodal real codecs (audio/video; image certified in r5)
+        "multimodal_audio_real", "multimodal_video_real",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

@@ -164,23 +164,21 @@ def q5(spark, sf_dir):
     # lineitem are both arranged by orderkey, so the biggest join is
     # exchange-free (lineitem — the fastest-growing table — never
     # shuffles); only the much smaller post-join stream re-keys to meet
-    # customer, then supplier. Catalyst keeps the syntactic order with
-    # CBO off, so the SQL spells the routing.
+    # customer. Catalyst keeps the syntactic order with CBO off, so the
+    # SQL spells the routing. supplier_denorm is the SHARED arrangement
+    # of supplier⋈nation⋈region (catalog.denorm — the reference shares
+    # arrangements across dataflows the same way): the query pays ONE
+    # broadcast-build job instead of three (region, nation, and the
+    # derived CTE each cost a ~30 ms exchange job; PERF.md).
     return sql_over(
         spark, sf_dir,
-        ("customer", "orders", "lineitem", "supplier", "nation", "region"), """
-        WITH asia_suppliers AS (
-          SELECT /*+ BROADCAST(nation), BROADCAST(region) */
-                 s_suppkey, s_nationkey, n_name
-          FROM supplier
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-          WHERE r_name = 'ASIA'
-        )
-        SELECT /*+ BROADCAST(asia_suppliers), SHUFFLE_HASH(orders) */
+        ("customer", "orders", "lineitem", "supplier_denorm"), """
+        SELECT /*+ BROADCAST(asia), SHUFFLE_HASH(orders) */
                n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
-          JOIN asia_suppliers ON l_suppkey = s_suppkey
+          JOIN (SELECT s_suppkey, s_nationkey, n_name
+                FROM supplier_denorm WHERE r_name = 'ASIA') asia
+            ON l_suppkey = s_suppkey
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -331,10 +329,13 @@ def q8(spark, sf_dir):
     "tpch", "join",
 )
 def q9(spark, sf_dir):
+    # supplier_denorm (shared supplier⋈nation arrangement, catalog.denorm)
+    # replaces the separate supplier and nation broadcasts: one fewer
+    # broadcast-exchange job per execution, same rows broadcast.
     return sql_over(
-        spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"), """
+        spark, sf_dir, ("part", "lineitem", "supplier_denorm", "orders"), """
         SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
-        FROM (SELECT /*+ BROADCAST(part, supplier, nation),
+        FROM (SELECT /*+ BROADCAST(part, supplier_denorm),
                          SHUFFLE_HASH(orders) */
                      n_name AS nation,
                      CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -344,8 +345,7 @@ def q9(spark, sf_dir):
               -- exchange-free; the only shuffle left is the final agg
               FROM part JOIN lineitem ON p_partkey = l_partkey
                         JOIN orders ON o_orderkey = l_orderkey
-                        JOIN supplier ON s_suppkey = l_suppkey
-                        JOIN nation ON s_nationkey = n_nationkey
+                        JOIN supplier_denorm ON s_suppkey = l_suppkey
               WHERE p_name LIKE '%red%') profit
         GROUP BY nation, o_year
     """)
@@ -436,21 +436,26 @@ def q12(spark, sf_dir):
     "tpch", "outerjoin",
 )
 def q13(spark, sf_dir):
-    # SHUFFLE_HASH: both sides are facts (customer grows with SF; orders is
-    # the big side) — without the hint Catalyst broadcasts the filtered
-    # orders projection whenever its estimate dips under the threshold, a
-    # driver-built single-threaded hash relation of most of a fact table
-    # (measured 0.64s at sf1-equivalent vs 0.27s shuffled; unrunnable at
-    # 100 TB). Both sides come from arrangements keyed on the join key
-    # (customer's primary, orders' secondary index on o_custkey), so the
-    # join AND the first GROUP BY (same key) run exchange-free.
+    # Aggregate pushdown through the outer join: count orders per custkey
+    # FIRST (partial+final agg over the o_custkey secondary arrangement —
+    # exchange-free), then left-join customer to the counts. The join
+    # shrinks from |customer| x |orders| rows probed to |customer| x
+    # |custkeys-with-orders| (~10x fewer at any SF), and both join inputs
+    # remain arranged on the join key, so the whole pipeline to the final
+    # c_count regroup is still exchange-free. SHUFFLE_HASH pins the
+    # counts side out of broadcast: per-customer counts are
+    # customer-cardinality — a fact-sized relation at 100 TB, not a dim
+    # (same rule as test_plans.py's no-fact-broadcast guard).
     return sql_over(spark, sf_dir, ("customer", "orders:o_custkey"), """
         SELECT c_count, count(*) AS custdist
-        FROM (SELECT /*+ SHUFFLE_HASH(orders) */
-                     c_custkey, count(o_orderkey) AS c_count
-              FROM customer LEFT OUTER JOIN orders_by_o_custkey AS orders
-                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-              GROUP BY c_custkey) c_orders
+        FROM (SELECT /*+ SHUFFLE_HASH(oc) */
+                     c_custkey, coalesce(cnt, CAST(0 AS BIGINT)) AS c_count
+              FROM customer LEFT OUTER JOIN (
+                  SELECT o_custkey, count(*) AS cnt
+                  FROM orders_by_o_custkey
+                  WHERE o_orderpriority <> '1-URGENT'
+                  GROUP BY o_custkey) oc
+                ON c_custkey = o_custkey) c_orders
         GROUP BY c_count
     """)
 

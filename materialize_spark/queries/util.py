@@ -52,6 +52,8 @@ def sql_over(spark: SparkSession, sf_dir: str, tables: tuple[str, ...],
             base, key = n.split(":", 1)
             n = f"{base}_by_{key}"
             df = tabs.index(base, key)
+        elif n.endswith("_denorm"):  # shared denormalized arrangement
+            df = tabs.denorm(n)
         else:
             df = tabs[n]  # load (registers + ownership on first touch)
         if owner.get(n) != sf_dir:

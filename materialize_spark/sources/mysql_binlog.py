@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -45,10 +46,17 @@ from pyspark.sql.types import (
 )
 
 # event types (v4)
+FORMAT_DESCRIPTION_EVENT = 15
 TABLE_MAP_EVENT = 19
 WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
+
+# binlog_checksum algorithms (FORMAT_DESCRIPTION trailer byte)
+CHECKSUM_NONE, CHECKSUM_CRC32 = 0, 1
+# key under which the stream's checksum mode rides in the table_maps
+# dict (table ids are ints, so a string key cannot collide)
+_CHECKSUM_KEY = "checksum"
 
 # column types
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
@@ -164,18 +172,56 @@ def _read_row(buf: bytes, pos: int, tme: dict, present: list[bool],
     return vals, pos
 
 
+def parse_format_description(buf: bytes) -> dict:
+    """FORMAT_DESCRIPTION: binlog_version u16, server_version 50 bytes,
+    create_ts u32, header_len u8, post-header length array, then (since
+    5.6.1) a 1-byte checksum algorithm + the event's own CRC32. The
+    algorithm byte sits at event_size - 5 — it declares the checksum
+    mode for EVERY following event (real servers default to CRC32)."""
+    hdr = parse_header(buf)
+    (binlog_version,) = struct.unpack_from("<H", buf, 19)
+    server_version = buf[21:71].split(b"\0", 1)[0].decode()
+    alg = buf[hdr["event_size"] - 5]
+    return {"binlog_version": binlog_version,
+            "server_version": server_version,
+            "checksum": "crc32" if alg == CHECKSUM_CRC32 else "none"}
+
+
+def _event_end(buf: bytes, table_maps: dict) -> int:
+    """Body end: trim (and verify) the 4-byte CRC32 trailer when the
+    FORMAT_DESCRIPTION declared binlog_checksum=CRC32. Real MySQL
+    servers default to CRC32 since 5.6 — decoding the trailer as row
+    data would silently misparse."""
+    if table_maps.get(_CHECKSUM_KEY) != "crc32":
+        return len(buf)
+    (want,) = struct.unpack_from("<I", buf, len(buf) - 4)
+    got = zlib.crc32(buf[:-4]) & 0xFFFFFFFF
+    if want != got:
+        raise ValueError(
+            f"binlog CRC32 mismatch: event declares {want:#x}, "
+            f"computed {got:#x}")
+    return len(buf) - 4
+
+
 def parse_rows_event(buf: bytes, table_maps: dict[int, dict],
                      ) -> list[dict] | None:
     """WRITE/UPDATE/DELETE_ROWS v2 → list of envelope dicts (one per
-    row; update rows are (before, after) pairs — events.rs:360)."""
+    row; update rows are (before, after) pairs — events.rs:360).
+    FORMAT_DESCRIPTION events set the stream's checksum mode (CRC32
+    trailers are verified and trimmed from every subsequent event)."""
     hdr = parse_header(buf)
     etype = hdr["type"]
+    if etype == FORMAT_DESCRIPTION_EVENT:
+        fd = parse_format_description(buf)
+        table_maps[_CHECKSUM_KEY] = fd["checksum"]
+        return None
     if etype == TABLE_MAP_EVENT:
+        _event_end(buf, table_maps)  # verify trailer if CRC32 on
         tme = parse_table_map(buf)
         table_maps[tme["table_id"]] = tme
         return None
     if etype not in (WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2):
-        return None  # format-description / gtid / xid framing
+        return None  # gtid / xid framing
     pos = 19
     table_id = int.from_bytes(buf[pos:pos + 6], "little"); pos += 6
     pos += 2  # flags
@@ -194,7 +240,7 @@ def parse_rows_event(buf: bytes, table_maps: dict[int, dict],
         present2 = [bool(bm2[i // 8] & (1 << (i % 8))) for i in range(ncols)]
     out: list[dict] = []
     rel = f"{tme['schema']}.{tme['table']}"
-    end = len(buf)
+    end = _event_end(buf, table_maps)
     while pos < end:
         if etype == WRITE_ROWS_V2:
             vals, pos = _read_row(buf, pos, tme, present1)
@@ -209,6 +255,13 @@ def parse_rows_event(buf: bytes, table_maps: dict[int, dict],
             after, pos = _read_row(buf, pos, tme, present2)
             out.append({"relation": rel, "op": "update",
                         "before": before, "after": after})
+    if pos != end:
+        # the last row decode must land exactly on the body end — an
+        # overshoot means the trailer was misparsed as row data
+        # (checksum-mode mismatch) or the event is corrupt
+        raise ValueError(
+            f"rows event decode overran body: pos={pos} end={end} — "
+            "checksum mode mismatch or corrupt event")
     return out
 
 
@@ -216,6 +269,9 @@ def parse_rows_event(buf: bytes, table_maps: dict[int, dict],
 # Spark-side decode
 ENVELOPE_SCHEMA = StructType([
     StructField("pos", LongType()),
+    # per-row sequence within the decode task: multi-row events share one
+    # binlog pos, so (pos, seq) totally orders rows — like __$seqval.
+    StructField("seq", LongType()),
     StructField("relation", StringType()),
     StructField("op", StringType()),
     StructField("before", StringType()),  # JSON {col: value}, typed values
@@ -225,18 +281,30 @@ ENVELOPE_SCHEMA = StructType([
 
 def collect_table_maps(df: DataFrame, event_col: str = "event",
                        ) -> dict[int, dict]:
-    """Driver-side TABLE_MAP harvest (metadata; K rows — one per table).
-    Event type is header byte 5, so the filter pushes to the scan as a
-    1-byte substring compare — data events never reach the driver."""
+    """Driver-side TABLE_MAP + FORMAT_DESCRIPTION harvest (metadata; K
+    rows — one per table plus one FD per binlog file). Event type is
+    header byte 5, so the filter pushes to the scan as a 1-byte
+    substring compare — data events never reach the driver. The FD
+    event's checksum algorithm rides along in the returned dict so the
+    data decode trims CRC32 trailers."""
+    type_byte = F.substring(F.col(event_col), 5, 1)
     rows = (
-        df.filter(F.substring(F.col(event_col), 5, 1)
-                  == F.lit(bytes([TABLE_MAP_EVENT])))
+        df.filter(type_byte.isin(
+            F.lit(bytes([TABLE_MAP_EVENT])),
+            F.lit(bytes([FORMAT_DESCRIPTION_EVENT]))))
         .select(event_col).collect()
     )
     maps: dict[int, dict] = {}
-    for r in rows:
-        tme = parse_table_map(bytes(r[0]))
-        maps[tme["table_id"]] = tme
+    # FD first: table-map trailer verification needs the checksum mode
+    parsed = [bytes(r[0]) for r in rows]
+    for raw in parsed:
+        if raw[4] == FORMAT_DESCRIPTION_EVENT:
+            maps[_CHECKSUM_KEY] = parse_format_description(raw)["checksum"]
+    for raw in parsed:
+        if raw[4] == TABLE_MAP_EVENT:
+            _event_end(raw, maps)
+            tme = parse_table_map(raw)
+            maps[tme["table_id"]] = tme
     return maps
 
 
@@ -255,9 +323,10 @@ def decode_binlog_stream(df: DataFrame, event_col: str = "event",
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = dict(maps)
+        seq = 0  # row order within the task: same-pos tie resolution
         for pdf in batches:
-            out = {k: [] for k in ("pos", "relation", "op", "before",
-                                   "after")}
+            out = {k: [] for k in ("pos", "seq", "relation", "op",
+                                   "before", "after")}
             for pos_v, raw in zip(pdf[pos_col], pdf[event_col]):
                 envs = parse_rows_event(bytes(raw), local)
                 if not envs:
@@ -271,7 +340,9 @@ def decode_binlog_stream(df: DataFrame, event_col: str = "event",
                         ns = names or [f"c{i}" for i in range(len(vals))]
                         return json.dumps(dict(zip(ns, vals)))
 
+                    seq += 1
                     out["pos"].append(int(pos_v))
+                    out["seq"].append(seq)
                     out["relation"].append(env["relation"])
                     out["op"].append(env["op"])
                     out["before"].append(named(env["before"]))
@@ -289,15 +360,16 @@ def binlog_to_diff(env: DataFrame, relation: str, row_ddl: str,
     the whole projection. Same contract as pgoutput_to_diff /
     debezium_decode → shared IVM downstream."""
     mine = env.filter(F.col("relation") == relation)
+    pos_cols = ["pos", "seq"] if "seq" in env.columns else ["pos"]
     additions = (
         mine.filter(F.col("op").isin("insert", "update"))
-        .select(F.from_json("after", row_ddl).alias("r"), "pos")
-        .select("r.*", "pos").withColumn("diff", F.lit(1))
+        .select(F.from_json("after", row_ddl).alias("r"), *pos_cols)
+        .select("r.*", *pos_cols).withColumn("diff", F.lit(1))
     )
     retractions = (
         mine.filter(F.col("op").isin("delete", "update"))
-        .select(F.from_json("before", row_ddl).alias("r"), "pos")
-        .select("r.*", "pos").withColumn("diff", F.lit(-1))
+        .select(F.from_json("before", row_ddl).alias("r"), *pos_cols)
+        .select("r.*", *pos_cols).withColumn("diff", F.lit(-1))
     )
     return additions.unionByName(retractions).withColumnRenamed(
         "pos", "lsn")
@@ -309,6 +381,37 @@ def _header(etype: int, body_len: int, timestamp: int = 1_700_000_000,
             log_pos: int = 0) -> bytes:
     return struct.pack("<IBIIIH", timestamp, etype, 1, 19 + body_len,
                        log_pos, 0)
+
+
+def with_crc32(event: bytes) -> bytes:
+    """Append the binlog_checksum=CRC32 trailer: event_size grows by 4
+    and the CRC covers header+body with the grown size (how the server
+    writes it — the checksum is of the event as it appears on the wire
+    minus the checksum itself)."""
+    hdr = parse_header(event)
+    patched = (event[:9] + struct.pack("<I", hdr["event_size"] + 4)
+               + event[13:])
+    return patched + struct.pack("<I", zlib.crc32(patched) & 0xFFFFFFFF)
+
+
+def encode_format_description(checksum: str = "crc32",
+                              server_version: str = "8.0.36-log",
+                              timestamp: int = 1_700_000_000) -> bytes:
+    """FORMAT_DESCRIPTION with the given binlog_checksum mode. The FD
+    event itself always carries the algorithm byte + 4-byte trailer
+    (post-5.6.1 servers)."""
+    body = bytearray()
+    body += struct.pack("<H", 4)  # binlog_version
+    body += server_version.encode().ljust(50, b"\0")
+    body += struct.pack("<I", timestamp)
+    body += bytes([19])  # common header length
+    body += bytes(40)  # post-header length array (unused by this decoder)
+    alg = CHECKSUM_CRC32 if checksum == "crc32" else CHECKSUM_NONE
+    body += bytes([alg])
+    ev = _header(FORMAT_DESCRIPTION_EVENT, len(body) + 4,
+                 timestamp) + bytes(body)
+    # FD trailer: 4-byte CRC of everything so far (size already counts it)
+    return ev + struct.pack("<I", zlib.crc32(ev) & 0xFFFFFFFF)
 
 
 def encode_table_map(table_id: int, schema: str, table: str,

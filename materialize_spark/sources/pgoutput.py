@@ -191,6 +191,9 @@ def parse_message(buf: bytes, relations: dict[int, dict]) -> dict | None:
 # Spark-side decode
 ENVELOPE_SCHEMA = StructType([
     StructField("lsn", LongType()),
+    # per-message sequence within the decode task: orders messages that
+    # share an LSN (multi-row transactions), like SQL Server's __$seqval.
+    StructField("seq", LongType()),
     StructField("relation", StringType()),
     StructField("op", StringType()),
     # JSON-rendered {col: text-value}: Arrow ships plain strings (maps in
@@ -233,14 +236,34 @@ def decode_pgoutput_stream(df: DataFrame, message_col: str = "message",
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = dict(rels)  # per-task copy; in-stream 'R' still honored
+        seq = 0  # message order within the task: LSN-tie resolution
         for pdf in batches:
-            out = {k: [] for k in ("lsn", "relation", "op", "before",
+            out = {k: [] for k in ("lsn", "seq", "relation", "op", "before",
                                    "after", "key_only_before")}
             for lsn, raw in zip(pdf[lsn_col], pdf[message_col]):
                 env = parse_message(bytes(raw), local)
-                if env is None or env["op"] == "truncate":
+                if env is None:
                     continue
+                if env["op"] == "truncate":
+                    # The reference errors the source on TRUNCATE of a
+                    # replicated table (it cannot be expressed as diffs
+                    # without full state). Surface one envelope row per
+                    # truncated relation; pgoutput_to_diff turns it into
+                    # an execution-time error (or skips it on
+                    # on_truncate="ignore"), like DECODING ERRORS=INLINE.
+                    for rel_name in env["relations"]:
+                        seq += 1
+                        out["lsn"].append(int(lsn))
+                        out["seq"].append(seq)
+                        out["relation"].append(rel_name)
+                        out["op"].append("truncate")
+                        out["before"].append(None)
+                        out["after"].append(None)
+                        out["key_only_before"].append("f")
+                    continue
+                seq += 1
                 out["lsn"].append(int(lsn))
+                out["seq"].append(seq)
                 out["relation"].append(env["relation"])
                 out["op"].append(env["op"])
                 out["before"].append(
@@ -276,26 +299,47 @@ def typed_projection(col: str | Column, relation: dict) -> list[Column]:
     return out
 
 
-def pgoutput_to_diff(env: DataFrame, relation: dict) -> DataFrame:
+def pgoutput_to_diff(env: DataFrame, relation: dict,
+                     on_truncate: str = "error") -> DataFrame:
     """Envelope frame (one relation) → explicit-diff update frame:
     insert/update-after → +1, delete/update-before → -1. Identical
     contract to envelopes.debezium_decode → shared IVM downstream.
     Rows whose retraction carries key columns only (REPLICA IDENTITY
     DEFAULT) surface the non-key columns as NULL — callers holding
-    upsert state resolve them by key, as the reference does."""
+    upsert state resolve them by key, as the reference does.
+
+    TRUNCATE of the relation puts the stream into an errored state, like
+    the reference's Postgres source (replication.rs: a truncate of a
+    replicated table is a definite error — it cannot be expressed as
+    diffs). ``on_truncate="error"`` (default) raises at execution time
+    via a poisoned diff expression; ``"ignore"`` drops truncate rows
+    (pre-round-6 behavior, for callers that resnapshot out-of-band)."""
     name = relation["name"]
     mine = env.filter(F.col("relation") == name)
+    seq = F.col("seq") if "seq" in env.columns else F.lit(0)
+    add_pred = F.col("op").isin("insert", "update")
+    if on_truncate == "error":
+        # raise_error inside the diff column: any surviving truncate row
+        # errors the job the moment it is computed, and the expression
+        # cannot be pruned away (diff is always consumed downstream).
+        add_diff = F.when(F.col("op") == "truncate", F.raise_error(F.concat(
+            F.lit("pgoutput: TRUNCATE of replicated table "),
+            F.col("relation"),
+            F.lit(" — resnapshot required"))).cast("int")).otherwise(1)
+        add_pred = add_pred | (F.col("op") == "truncate")
+    else:
+        add_diff = F.lit(1)
     additions = (
-        mine.filter(F.col("op").isin("insert", "update"))
+        mine.filter(add_pred)
         .select(*typed_projection("after", relation),
-                F.col("lsn"), F.lit(1).alias("diff"))
+                F.col("lsn"), seq.alias("seq"), add_diff.alias("diff"))
     )
     retractions = (
         mine.filter(
             (F.col("op") == "delete")
             | ((F.col("op") == "update") & F.col("before").isNotNull()))
         .select(*typed_projection("before", relation),
-                F.col("lsn"), F.lit(-1).alias("diff"))
+                F.col("lsn"), seq.alias("seq"), F.lit(-1).alias("diff"))
     )
     return additions.unionByName(retractions)
 
@@ -317,18 +361,25 @@ def apply_cdc(base: DataFrame, diff: DataFrame, key_cols: list[str],
     # hex-string LSN gets "" (lexicographic floor for fixed-width hex)
     lsn_type = diff.schema["lsn"].dataType.simpleString()
     floor = F.lit("" if lsn_type == "string" else 0).cast(lsn_type)
+    has_seq = "seq" in diff.columns
     tagged_base = base.select(*data_cols).withColumn(
         "lsn", floor).withColumn("diff", F.lit(1))
+    pos_cols = ["lsn"]
+    if has_seq:
+        tagged_base = tagged_base.withColumn("seq", F.lit(0))
+        pos_cols.append("seq")
     all_updates = tagged_base.unionByName(
-        diff.select(*data_cols, "lsn", "diff"))
-    # diff desc tiebreak: an in-place update emits (+1 after, -1 before)
-    # at the SAME lsn for the same key — the addition must win the window.
-    w = Window.partitionBy(*key_cols).orderBy(F.col("lsn").desc(),
-                                              F.col("diff").desc())
+        diff.select(*data_cols, *pos_cols, "diff"))
+    # Order: position desc (lsn, then per-message seq when the source
+    # provides one — it distinguishes insert-then-delete of one key at a
+    # single LSN from an update pair), then diff desc so an in-place
+    # update's (+1 after, -1 before) tie resolves to the addition.
+    order = [F.col(c).desc() for c in pos_cols] + [F.col("diff").desc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     latest = (
         all_updates.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("diff") == 1))
-        .drop("_rn", "lsn", "diff")
+        .drop("_rn", "diff", *pos_cols)
     )
     # a delete is the latest event for its key → diff == -1 row filtered
     return latest

@@ -61,5 +61,32 @@ def envelope_debezium(delta: DataFrame, keys: list[str]) -> DataFrame:
 
 def within_timestamp_order_by(delta: DataFrame, *order_cols) -> DataFrame:
     """`WITHIN TIMESTAMP ORDER BY`: deterministic presentation order for
-    one batch's updates (the reference orders within each timestamp)."""
-    return delta.orderBy(*order_cols)
+    one batch's updates (the reference orders within each timestamp).
+    String items may carry ASC/DESC [NULLS FIRST|LAST] suffixes, as the
+    SQL front-end hands over raw ORDER BY spans."""
+    cols = []
+    for oc in order_cols:
+        if not isinstance(oc, str):
+            cols.append(oc)
+            continue
+        s = oc.strip()
+        up = s.upper()
+        nulls = None
+        if up.endswith(" NULLS FIRST"):
+            s, up, nulls = s[:-12].rstrip(), up[:-12].rstrip(), "first"
+        elif up.endswith(" NULLS LAST"):
+            s, up, nulls = s[:-11].rstrip(), up[:-11].rstrip(), "last"
+        desc = up.endswith(" DESC")
+        if desc:
+            s = s[:-5].rstrip()
+        elif up.endswith(" ASC"):
+            s = s[:-4].rstrip()
+        c = F.expr(s)
+        if desc:
+            c = (c.desc_nulls_first() if nulls == "first"
+                 else c.desc_nulls_last() if nulls == "last" else c.desc())
+        else:
+            c = (c.asc_nulls_first() if nulls == "first"
+                 else c.asc_nulls_last() if nulls == "last" else c.asc())
+        cols.append(c)
+    return delta.orderBy(*cols)

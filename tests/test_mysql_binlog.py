@@ -110,6 +110,60 @@ def test_apply_cdc_e2e(spark):
     assert state[state.id == 4].price.isna().all()
 
 
+def test_crc32_checksum_mode():
+    """Real MySQL servers default binlog_checksum=CRC32 since 5.6: the
+    FORMAT_DESCRIPTION declares the mode and every following event
+    carries a 4-byte trailer that must be verified and trimmed, not
+    decoded as row data (ADVICE r5)."""
+    from materialize_spark.sources.mysql_binlog import (
+        encode_format_description, parse_format_description, with_crc32,
+    )
+    fd = encode_format_description("crc32")
+    assert parse_format_description(fd)["checksum"] == "crc32"
+    maps = {}
+    assert parse_rows_event(fd, maps) is None
+    assert maps["checksum"] == "crc32"
+    # checksummed TABLE_MAP + rows events decode identically
+    assert parse_rows_event(with_crc32(_tme()), maps) is None
+    envs = parse_rows_event(with_crc32(_log()[1]), maps)
+    assert [e["after"] for e in envs] == [
+        [1, "a-1", 9.5, 2], [2, "b-2", 3.25, 1], [3, "c-3", 7.0, None]]
+    # corrupting the trailer is caught
+    bad = bytearray(with_crc32(_log()[3]))
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        parse_rows_event(bytes(bad), maps)
+    # checksum NONE: unadorned events still decode (back-compat)
+    maps2 = {}
+    assert parse_rows_event(encode_format_description("none"),
+                            maps2) is None
+    assert parse_rows_event(_tme(), maps2) is None
+    assert len(parse_rows_event(_log()[1], maps2)) == 3
+
+
+def test_crc32_stream_e2e(spark):
+    """Whole checksummed binlog through the Spark decode path: the FD
+    event rides in the frame, collect_table_maps harvests the mode, and
+    apply_cdc lands the same final state as the unchecksummed log."""
+    from materialize_spark.sources.mysql_binlog import (
+        encode_format_description, with_crc32,
+    )
+    events = [encode_format_description("crc32")] + [
+        with_crc32(e) for e in _log()]
+    df = spark.createDataFrame(
+        [(i + 1, bytearray(m)) for i, m in enumerate(events)],
+        "pos long, event binary")
+    maps = collect_table_maps(df)
+    assert maps["checksum"] == "crc32" and TID in maps
+    env = decode_binlog_stream(df, table_maps=maps, columns=COLS)
+    diff = binlog_to_diff(env, "shop.orders", ROW_DDL)
+    base = spark.createDataFrame(
+        [], "id bigint, sku string, price double, qty int")
+    state = apply_cdc(base, diff, ["id"]).toPandas().sort_values("id")
+    assert list(state.id) == [1, 2, 4]
+    assert state[state.id == 2].price.iloc[0] == pytest.approx(4.75)
+
+
 def test_unnamed_columns_fall_back_positional(spark):
     df = _log_df(spark)
     env = decode_binlog_stream(df)  # no column names supplied

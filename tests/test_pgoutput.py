@@ -165,6 +165,67 @@ def test_apply_cdc_nonempty_snapshot(spark):
     assert state[state.id == 3].name.iloc[0] == "carol2"  # delete+reinsert
 
 
+def test_truncate_errors_the_stream(spark):
+    """TRUNCATE of a replicated table puts the stream into an errored
+    state (reference: a truncate is a definite error — it cannot be
+    expressed as diffs); on_truncate="ignore" restores the old skip."""
+    msgs = [
+        _relation_msg(),
+        encode_insert(ACCOUNTS_OID, [1, "alice", 10.5, "t"]),
+        encode_truncate([ACCOUNTS_OID]),
+    ]
+    df = _log_df(spark, msgs)
+    rels = collect_relations(df)
+    env = decode_pgoutput_stream(df, relations=rels)
+    assert [r.op for r in env.collect()] == ["insert", "truncate"]
+    diff = pgoutput_to_diff(env, rels[ACCOUNTS_OID])
+    with pytest.raises(Exception, match="TRUNCATE of replicated table"):
+        diff.collect()
+    # ignore mode: truncate rows dropped, stream keeps serving
+    lenient = pgoutput_to_diff(env, rels[ACCOUNTS_OID],
+                               on_truncate="ignore")
+    assert lenient.count() == 1
+
+
+def test_same_lsn_insert_then_delete(spark):
+    """Insert-then-delete of one key inside a single LSN must not
+    resurrect the row: the per-message seq orders the tie (ADVICE r5)."""
+    msgs = [
+        _relation_msg(),
+        encode_insert(ACCOUNTS_OID, [7, "ghost", 1.0, "t"]),
+        encode_delete(ACCOUNTS_OID, [7, None, None, None]),
+    ]
+    # both data messages share lsn=5 (one transaction)
+    df = spark.createDataFrame(
+        [(1, bytearray(msgs[0])), (5, bytearray(msgs[1])),
+         (5, bytearray(msgs[2]))],
+        "lsn long, message binary").coalesce(1)
+    rels = collect_relations(df)
+    diff = pgoutput_to_diff(decode_pgoutput_stream(df, relations=rels),
+                            rels[ACCOUNTS_OID])
+    base = spark.createDataFrame(
+        [], "id long, name string, balance double, active boolean")
+    assert apply_cdc(base, diff, ["id"]).count() == 0
+    # and the reverse order (delete a snapshot row, re-insert at one lsn)
+    msgs2 = [
+        _relation_msg(),
+        encode_delete(ACCOUNTS_OID, [7, None, None, None]),
+        encode_insert(ACCOUNTS_OID, [7, "back", 2.0, "f"]),
+    ]
+    df2 = spark.createDataFrame(
+        [(1, bytearray(msgs2[0])), (5, bytearray(msgs2[1])),
+         (5, bytearray(msgs2[2]))],
+        "lsn long, message binary").coalesce(1)
+    rels2 = collect_relations(df2)
+    diff2 = pgoutput_to_diff(decode_pgoutput_stream(df2, relations=rels2),
+                             rels2[ACCOUNTS_OID])
+    base2 = spark.createDataFrame(
+        [(7, "orig", 1.0, True)],
+        "id long, name string, balance double, active boolean")
+    state = apply_cdc(base2, diff2, ["id"]).toPandas()
+    assert list(state.name) == ["back"]
+
+
 def test_oid_coverage():
     # every advertised OID casts to a valid Spark type string
     from pyspark.sql.types import _parse_datatype_string

@@ -698,6 +698,23 @@ def test_comment_on_and_mz_comments(spark):
     assert left == ["cm_t.k"]
 
 
+def test_comment_lifecycle_drop_and_rename(spark):
+    """Comments follow the object id (ADVICE r5): DROP takes the
+    object's and its columns' comments with it; ALTER RENAME migrates
+    them like every other per-object store."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE cml_t (k BIGINT)")
+    sess.execute("COMMENT ON TABLE cml_t IS 'obj'")
+    sess.execute("COMMENT ON COLUMN cml_t.k IS 'col'")
+    sess.execute("ALTER TABLE cml_t RENAME TO cml_u")
+    got = {r.name: r.comment for r in sess.execute(
+        "SELECT * FROM mz_comments WHERE name LIKE 'cml%'").collect()}
+    assert got == {"cml_u": "obj", "cml_u.k": "col"}
+    sess.execute("DROP TABLE cml_u")
+    assert sess.execute(
+        "SELECT * FROM mz_comments WHERE name LIKE 'cml%'").count() == 0
+
+
 def test_explain_analyze_metrics(spark):
     sess = MzSession(spark, SF_DIR)
     rows = sess.execute(

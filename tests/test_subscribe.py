@@ -82,3 +82,28 @@ def test_subscribe_with_progress(spark):
     b2 = sess.execute("SUBSCRIBE sub_prog WITH (PROGRESS)").collect()
     assert [r.mz_progressed for r in b2] == [True]
     assert b2[0].mz_timestamp > marks[0].mz_timestamp
+
+
+def test_subscribe_progress_composes_with_envelope(spark):
+    """WITH (PROGRESS) must not be silently dropped when combined with
+    ENVELOPE UPSERT or WITHIN TIMESTAMP ORDER BY (ADVICE r5): the
+    marker wraps whatever shape the modifier produced."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_pc (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_pc VALUES ('a', 1), ('b', 2)")
+    b1 = sess.execute(
+        "SUBSCRIBE sub_pc ENVELOPE UPSERT (KEY (k)) WITH (PROGRESS)"
+    ).collect()
+    marks = [r for r in b1 if r.mz_progressed]
+    data = [r for r in b1 if not r.mz_progressed]
+    assert len(marks) == 1 and marks[0].mz_timestamp == 1
+    assert {r.k for r in data} == {"a", "b"}
+    # envelope shape kept: upsert rows carry no raw diff column
+    assert not any(hasattr(r, "diff") for r in data)
+    # and with WITHIN TIMESTAMP ORDER BY
+    b2 = sess.execute(
+        "SUBSCRIBE sub_pc WITHIN TIMESTAMP ORDER BY v DESC WITH (PROGRESS)"
+    ).collect()
+    marks2 = [r for r in b2 if r.mz_progressed]
+    assert len(marks2) == 1 and marks2[0].mz_timestamp == 2
