@@ -294,6 +294,27 @@ class LazyTables(MutableMapping):
                     for n in self._available)
         scale_shuffle_partitions(spark, total)
         scale_adaptive_execution(spark, total)
+        # ONE shard count for every keyed arrangement (the reference
+        # arranges all collections across the same timely worker set).
+        # Per-table row-proportional counts left co-joined arrangements
+        # with MISMATCHED partitioning (orders at 4, lineitem at 18 at
+        # sf0.1), so EnsureRequirements re-shuffled the smaller fact on
+        # every orderkey join — a per-query exchange the arrangement
+        # exists to eliminate. Sized by the largest under-budget keyed
+        # table so the biggest fact keeps its per-shard compute, capped
+        # at core count.
+        cores = spark.sparkContext.defaultParallelism
+        rows_per_shard = int(os.environ.get(
+            "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
+        keyed_rows = [
+            _parquet_rows(os.path.join(sf_dir, f"{n}.parquet"))
+            for n in self._available
+            if n in ARRANGE_KEYS
+            and 0 < _parquet_decoded_bytes(
+                os.path.join(sf_dir, f"{n}.parquet")) <= ARRANGE_BYTES
+        ]
+        self._keyed_shards = max(
+            1, min(max(keyed_rows, default=0) // rows_per_shard, cores))
 
     def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._sf_dir, f"{name}.parquet")
@@ -332,10 +353,13 @@ class LazyTables(MutableMapping):
                 "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
             shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
             key = ARRANGE_KEYS.get(name)
-            if key is not None and key in df.columns and shards > 1:
+            if key is not None and key in df.columns \
+                    and self._keyed_shards > 1:
                 # keyed arrangement: HashPartitioning survives persist(),
-                # so equi-joins on the key skip their Exchange entirely
-                df = df.repartition(shards, SQLF.col(key))
+                # so equi-joins on the key skip their Exchange entirely.
+                # Uniform shard count across ALL keyed arrangements (see
+                # __init__) — co-partitioned joins need matching counts.
+                df = df.repartition(self._keyed_shards, SQLF.col(key))
             elif shards > df.rdd.getNumPartitions():
                 df = df.repartition(shards)
             df = df.persist()
@@ -367,12 +391,10 @@ class LazyTables(MutableMapping):
             return self._loaded[view]
         base = self[name]
         path = os.path.join(self._sf_dir, f"{name}.parquet")
-        cores = self._spark.sparkContext.defaultParallelism
-        rows_per_shard = int(os.environ.get(
-            "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
-        shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
-        if 0 < _parquet_decoded_bytes(path) <= ARRANGE_BYTES and shards > 1:
-            arranged = base.repartition(shards, SQLF.col(key)).persist()
+        if 0 < _parquet_decoded_bytes(path) <= ARRANGE_BYTES \
+                and self._keyed_shards > 1:
+            arranged = base.repartition(
+                self._keyed_shards, SQLF.col(key)).persist()
         else:
             arranged = base  # past budget: parquet scan shape unchanged
         if self._register:
@@ -406,7 +428,16 @@ class LazyTables(MutableMapping):
         )
         path = os.path.join(self._sf_dir, "supplier.parquet")
         if 0 < _parquet_decoded_bytes(path) <= ARRANGE_BYTES:
-            df = df.persist()
+            # broadcast-side arrangement: consumers always broadcast it,
+            # so co-located partitioning buys nothing — compact shards
+            # instead, making each broadcast BUILD a 1-2 task scan
+            # rather than one task per keyed shard.
+            cores = self._spark.sparkContext.defaultParallelism
+            rows_per_shard = int(os.environ.get(
+                "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
+            shards = max(1, min(
+                _parquet_rows(path) // rows_per_shard, cores))
+            df = df.repartition(shards).persist()
         if self._register:
             df.createOrReplaceTempView(name)
             view_owner(self._spark)[name] = self._sf_dir

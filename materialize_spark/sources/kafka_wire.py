@@ -1,0 +1,532 @@
+"""Kafka wire protocol: dependency-free client + in-process mini broker.
+
+Reference: the reference's Kafka source consumes topics via librdkafka and
+turns records into (key, value, offset, ts) updates feeding envelope
+decode (/root/reference/src/storage/src/source/kafka.rs — partition
+consumers emit messages with offsets as the progress frontier). The
+sandbox has neither a broker nor the spark-sql-kafka connector jar, so —
+exactly like sources/pgoutput.py and sources/mysql_binlog.py build CDC
+decoders from the PUBLIC wire formats — this module implements the PUBLIC
+Kafka protocol (kafka.apache.org/protocol: request framing, ApiVersions
+v0, Metadata v0, Produce v2, Fetch v2 with message-set v1) from scratch:
+
+- ``KafkaWireClient``: a minimal TCP client (metadata / produce / fetch).
+- ``MiniBroker``: an in-process loopback broker speaking the same APIs —
+  the test/emulation peer, like the CDC encoders.
+- ``read_kafka_wire``: the Spark source. The driver fetches METADATA
+  (K partitions — metadata-scale), then each Spark task fetches ITS
+  partitions over its own connection inside Arrow-batched mapInPandas —
+  one consumer per partition, the exact parallel shape of the
+  reference's source (and of the real spark-kafka connector). Records
+  surface as (topic, partition, offset, key, value, timestamp), feeding
+  the shared envelope decoders (envelopes.debezium_decode,
+  streaming.upsert) unchanged.
+
+Scale: fetch parallelism = partition count (the Kafka contract); offsets
+are per-partition monotonic so resume/rewind is an offset per partition,
+matching the reference's progress tracking. No driver-side record
+collection — only topic metadata touches the driver.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import zlib
+from typing import Iterator
+
+API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+
+
+# --------------------------------------------------------------------------
+# primitive encoders (big-endian, per the protocol guide)
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    raw = s.encode()
+    return struct.pack(">h", len(raw)) + raw
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+def _arr(items: list[bytes]) -> bytes:
+    return struct.pack(">i", len(items)) + b"".join(items)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, fmt: str):
+        vals = struct.unpack_from(">" + fmt, self.buf, self.pos)
+        self.pos += struct.calcsize(">" + fmt)
+        return vals if len(vals) > 1 else vals[0]
+
+    def string(self) -> str | None:
+        n = self.take("h")
+        if n < 0:
+            return None
+        s = self.buf[self.pos:self.pos + n].decode()
+        self.pos += n
+        return s
+
+    def bytes_(self) -> bytes | None:
+        n = self.take("i")
+        if n < 0:
+            return None
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+
+# --------------------------------------------------------------------------
+# message-set v1 (magic 1: crc32, attributes, timestamp, key, value)
+def encode_message_set(records: list[tuple[int, bytes | None, bytes | None,
+                                           int]]) -> bytes:
+    """records: [(offset, key, value, timestamp_ms)] → wire message set."""
+    out = bytearray()
+    for offset, key, value, ts in records:
+        body = (struct.pack(">bb q", 1, 0, ts)
+                + _bytes(key) + _bytes(value))
+        crc = zlib.crc32(body) & 0xFFFFFFFF
+        msg = struct.pack(">I", crc) + body
+        out += struct.pack(">q", offset) + struct.pack(">i", len(msg)) + msg
+    return bytes(out)
+
+
+def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None,
+                                                 bytes | None, int]]:
+    out = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        (offset, size) = struct.unpack_from(">qi", buf, pos)
+        pos += 12
+        if pos + size > len(buf):
+            break  # partial trailing message (fetch truncation): drop
+        msg = buf[pos:pos + size]
+        pos += size
+        (crc,) = struct.unpack_from(">I", msg, 0)
+        body = msg[4:]
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"message CRC mismatch at offset {offset}")
+        r = _Reader(body)
+        magic, attrs = r.take("b"), r.take("b")
+        ts = r.take("q") if magic >= 1 else -1
+        if attrs & 0x07:
+            raise ValueError("compressed message sets not supported")
+        key = r.bytes_()
+        value = r.bytes_()
+        out.append((offset, key, value, ts))
+    return out
+
+
+# --------------------------------------------------------------------------
+# client
+class KafkaWireClient:
+    """Blocking single-connection Kafka client (metadata/produce/fetch)."""
+
+    def __init__(self, host: str, port: int, client_id: str = "mz-spark"):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        self.client_id = client_id
+        self._corr = 0
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _roundtrip(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        self._corr += 1
+        header = (struct.pack(">hhi", api_key, api_version, self._corr)
+                  + _str(self.client_id))
+        frame = header + body
+        self.sock.sendall(struct.pack(">i", len(frame)) + frame)
+        raw = self._recv_frame()
+        r = _Reader(raw)
+        corr = r.take("i")
+        if corr != self._corr:
+            raise ValueError(f"correlation mismatch {corr} != {self._corr}")
+        return r
+
+    def _recv_frame(self) -> bytes:
+        hdr = self._recv_exact(4)
+        (size,) = struct.unpack(">i", hdr)
+        return self._recv_exact(size)
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("broker closed connection")
+            buf += chunk
+        return bytes(buf)
+
+    # -- APIs ---------------------------------------------------------------
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._roundtrip(API_VERSIONS, 0, b"")
+        err = r.take("h")
+        if err:
+            raise ValueError(f"ApiVersions error {err}")
+        out = {}
+        for _ in range(r.take("i")):
+            k, lo, hi = r.take("hhh")
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        body = _arr([_str(t) for t in (topics or [])])
+        r = self._roundtrip(API_METADATA, 0, body)
+        brokers = []
+        for _ in range(r.take("i")):
+            node = r.take("i")
+            host = r.string()
+            port = r.take("i")
+            brokers.append({"node": node, "host": host, "port": port})
+        tops = {}
+        for _ in range(r.take("i")):
+            terr = r.take("h")
+            tname = r.string()
+            parts = []
+            for _ in range(r.take("i")):
+                # error int16, partition int32, leader int32,
+                # replicas [int32], isr [int32]
+                perr = r.take("h")
+                pid = r.take("i")
+                leader = r.take("i")
+                replicas = [r.take("i") for _ in range(r.take("i"))]
+                isr = [r.take("i") for _ in range(r.take("i"))]
+                parts.append({"error": perr, "partition": pid,
+                              "leader": leader, "replicas": replicas,
+                              "isr": isr})
+            tops[tname] = {"error": terr, "partitions": parts}
+        return {"brokers": brokers, "topics": tops}
+
+    def produce(self, topic: str, partition: int,
+                records: list[tuple[bytes | None, bytes | None, int]],
+                base_offset_hint: int = -1) -> int:
+        """Append records [(key, value, ts_ms)]; returns base offset."""
+        ms = encode_message_set(
+            [(i, k, v, ts) for i, (k, v, ts) in enumerate(records)])
+        body = (struct.pack(">hi", 1, 10_000)
+                + _arr([_str(topic) + _arr([
+                    struct.pack(">i", partition) + _bytes(ms)])]))
+        r = self._roundtrip(API_PRODUCE, 2, body)
+        n_topics = r.take("i")
+        base = -1
+        for _ in range(n_topics):
+            r.string()
+            for _ in range(r.take("i")):
+                _pid = r.take("i")
+                err = r.take("h")
+                base = r.take("q")
+                _ts = r.take("q")
+                if err:
+                    raise ValueError(f"produce error {err}")
+        r.take("i")  # throttle_time_ms
+        return base
+
+    def fetch(self, topic: str, partition: int, offset: int = 0,
+              max_bytes: int = 1 << 22) -> tuple[int, list]:
+        """(high_watermark, records) from ``offset``."""
+        body = (struct.pack(">iii", -1, 100, 1)
+                + _arr([_str(topic) + _arr([
+                    struct.pack(">iqi", partition, offset, max_bytes)])]))
+        r = self._roundtrip(API_FETCH, 2, body)
+        r.take("i")  # throttle_time_ms
+        records: list = []
+        hw = -1
+        for _ in range(r.take("i")):
+            r.string()
+            for _ in range(r.take("i")):
+                _pid = r.take("i")
+                err = r.take("h")
+                hw = r.take("q")
+                ms = r.bytes_() or b""
+                if err:
+                    raise ValueError(f"fetch error {err}")
+                records.extend(decode_message_set(ms))
+        return hw, records
+
+    def fetch_all(self, topic: str, partition: int,
+                  offset: int = 0) -> list:
+        """Drain a partition from ``offset`` to the high watermark."""
+        out: list = []
+        while True:
+            hw, recs = self.fetch(topic, partition, offset)
+            if not recs:
+                return out
+            out.extend(recs)
+            offset = recs[-1][0] + 1
+            if offset >= hw:
+                return out
+
+
+# --------------------------------------------------------------------------
+# in-process broker (test/emulation peer; loopback TCP)
+class MiniBroker:
+    """Single-node broker: topic → partition → [(offset, key, value, ts)].
+
+    Speaks ApiVersions v0, Metadata v0, Produce v0-v2, Fetch v0-v2 — the
+    subset a pre-KIP-482 consumer needs. One thread per connection."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._log: dict[str, dict[int, list]] = {}
+        self._lock = threading.Lock()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(16)
+        self.host, self.port = self._srv.getsockname()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._accept_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- local log management ------------------------------------------------
+    def create_topic(self, topic: str, partitions: int = 1) -> None:
+        with self._lock:
+            self._log.setdefault(
+                topic, {p: [] for p in range(partitions)})
+
+    def append(self, topic: str, partition: int,
+               records: list[tuple[bytes | None, bytes | None, int]]) -> int:
+        """Local-append helper (tests can seed without a producer)."""
+        with self._lock:
+            part = self._log.setdefault(topic, {}).setdefault(partition, [])
+            base = len(part)
+            for i, (k, v, ts) in enumerate(records):
+                part.append((base + i, k, v, ts))
+            return base
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- wire ----------------------------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,),
+                             daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                hdr = self._recv_exact(conn, 4)
+                if hdr is None:
+                    return
+                (size,) = struct.unpack(">i", hdr)
+                frame = self._recv_exact(conn, size)
+                if frame is None:
+                    return
+                resp = self._handle(frame)
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return bytes(buf)
+
+    def _handle(self, frame: bytes) -> bytes:
+        r = _Reader(frame)
+        api_key, api_version, corr = r.take("hhi")
+        r.string()  # client_id
+        head = struct.pack(">i", corr)
+        if api_key == API_VERSIONS:
+            body = struct.pack(">h", 0) + _arr([
+                struct.pack(">hhh", k, 0, 2)
+                for k in (API_PRODUCE, API_FETCH, API_METADATA,
+                          API_VERSIONS)])
+            return head + body
+        if api_key == API_METADATA:
+            wanted = [r.string() for _ in range(max(r.take("i"), 0))]
+            with self._lock:
+                names = wanted or sorted(self._log)
+                topics = []
+                for t in names:
+                    parts = self._log.get(t)
+                    if parts is None:
+                        topics.append(struct.pack(">h", 3) + _str(t)
+                                      + _arr([]))  # UNKNOWN_TOPIC
+                        continue
+                    # error int16, partition int32, leader int32,
+                    # replicas [int32], isr [int32]
+                    pmeta = [struct.pack(">hii", 0, p, 0)
+                             + _arr([struct.pack(">i", 0)])
+                             + _arr([struct.pack(">i", 0)])
+                             for p in sorted(parts)]
+                    topics.append(struct.pack(">h", 0) + _str(t)
+                                  + _arr(pmeta))
+            brokers = _arr([struct.pack(">i", 0) + _str(self.host)
+                            + struct.pack(">i", self.port)])
+            return head + brokers + _arr(topics)
+        if api_key == API_PRODUCE:
+            _acks = r.take("h")
+            _timeout = r.take("i")
+            out_topics = []
+            for _ in range(r.take("i")):
+                t = r.string()
+                out_parts = []
+                for _ in range(r.take("i")):
+                    pid = r.take("i")
+                    ms = r.bytes_() or b""
+                    recs = decode_message_set(ms)
+                    base = self.append(
+                        t, pid, [(k, v, ts) for _o, k, v, ts in recs])
+                    part = struct.pack(">ihq", pid, 0, base)
+                    if api_version >= 2:
+                        part += struct.pack(">q", -1)  # log_append_time
+                    out_parts.append(part)
+                out_topics.append(_str(t) + _arr(out_parts))
+            body = _arr(out_topics)
+            if api_version >= 1:
+                body += struct.pack(">i", 0)  # throttle_time_ms
+            return head + body
+        if api_key == API_FETCH:
+            _replica = r.take("i")
+            _max_wait = r.take("i")
+            _min_bytes = r.take("i")
+            out_topics = []
+            for _ in range(r.take("i")):
+                t = r.string()
+                out_parts = []
+                for _ in range(r.take("i")):
+                    pid = r.take("i")
+                    off = r.take("q")
+                    maxb = r.take("i")
+                    with self._lock:
+                        part = self._log.get(t, {}).get(pid)
+                    if part is None:
+                        out_parts.append(
+                            struct.pack(">ihq", pid, 3, -1) + _bytes(b""))
+                        continue
+                    hw = len(part)
+                    ms = encode_message_set(part[off:off + 1000])[:maxb]
+                    out_parts.append(
+                        struct.pack(">ihq", pid, 0, hw) + _bytes(ms))
+                out_topics.append(_str(t) + _arr(out_parts))
+            body = b""
+            if api_version >= 1:
+                body += struct.pack(">i", 0)  # throttle_time_ms
+            body += _arr(out_topics)
+            return head + body
+        # unsupported API: error out loudly (correlation id + empty body
+        # would hang clients; better to close)
+        raise ValueError(f"unsupported api_key {api_key}")
+
+
+# --------------------------------------------------------------------------
+# Spark source
+def kafka_partitions(bootstrap: str, topic: str) -> list[int]:
+    """Driver-side metadata probe (K rows — partition ids only)."""
+    host, port = bootstrap.rsplit(":", 1)
+    with KafkaWireClient(host, int(port)) as c:
+        # raw metadata parse (the structured .metadata() helper above is
+        # for brokers; here only the partition ids are needed)
+        body = _arr([_str(topic)])
+        r = c._roundtrip(API_METADATA, 0, body)
+        for _ in range(r.take("i")):  # brokers
+            r.take("i"), r.string(), r.take("i")
+        parts: list[int] = []
+        for _ in range(r.take("i")):
+            terr = r.take("h")
+            tname = r.string()
+            n = r.take("i")
+            for _ in range(n):
+                r.take("h")  # error
+                pid = r.take("i")
+                r.take("i")  # leader
+                for _ in range(r.take("i")):
+                    r.take("i")  # replicas
+                for _ in range(r.take("i")):
+                    r.take("i")  # isr
+                if tname == topic:
+                    parts.append(pid)
+            if tname == topic and terr:
+                raise ValueError(f"metadata error {terr} for {topic!r}")
+        return sorted(parts)
+
+
+KAFKA_SCHEMA = ("topic string, partition int, offset long, "
+                "key binary, value binary, timestamp timestamp")
+
+
+def read_kafka_wire(spark, bootstrap: str, topic: str, *,
+                    starting_offsets: dict[int, int] | None = None):
+    """Kafka topic → DataFrame(topic, partition, offset, key, value,
+    timestamp) via the wire client — the same output contract as the
+    spark-sql-kafka connector's batch read.
+
+    Parallel shape: the driver reads ONLY metadata; each Spark task opens
+    its own connection and drains its assigned partitions (one consumer
+    per partition — kafka.rs's partition consumer model). At 100 TB the
+    fetch parallelism is the topic's partition count, exactly like the
+    real connector."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    parts = kafka_partitions(bootstrap, topic)
+    starts = starting_offsets or {}
+    host, port = bootstrap.rsplit(":", 1)
+    port_i = int(port)
+    assign = spark.createDataFrame(
+        [(p,) for p in parts], "partition int"
+    ).repartition(max(len(parts), 1), "partition")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("topic", "partition", "offset", "key",
+                                    "value", "timestamp")}
+            for pid in pdf["partition"]:
+                pid = int(pid)
+                with KafkaWireClient(host, port_i) as c:
+                    recs = c.fetch_all(topic, pid, starts.get(pid, 0))
+                for off, key, value, ts in recs:
+                    rows["topic"].append(topic)
+                    rows["partition"].append(pid)
+                    rows["offset"].append(off)
+                    rows["key"].append(key)
+                    rows["value"].append(value)
+                    rows["timestamp"].append(
+                        pd.Timestamp(ts, unit="ms") if ts >= 0 else None)
+            yield pd.DataFrame(rows)
+
+    return assign.mapInPandas(fetch, schema=KAFKA_SCHEMA)

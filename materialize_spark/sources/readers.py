@@ -69,8 +69,11 @@ def read_kafka_stream(spark: SparkSession, bootstrap: str, topic: str, *,
                       starting_offsets: str = "earliest") -> DataFrame:
     """Kafka source → (key, value, timestamp[, parsed value struct]).
 
-    Reference: KafkaSourceConnection. Requires the kafka connector jar
-    (absent in this container — call ``kafka_available`` first).
+    Reference: KafkaSourceConnection. Requires the kafka connector jar —
+    call ``kafka_available`` first. Without the jar, the dependency-free
+    wire client (sources/kafka_wire.read_kafka_wire: own protocol
+    implementation, per-partition parallel fetch) covers the batch/
+    snapshot path against any real broker.
     """
     raw = (
         spark.readStream.format("kafka")
