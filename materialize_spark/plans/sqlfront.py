@@ -39,7 +39,8 @@ from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
-    r"|sources|sinks|arrangement_sizes|comments)\b", re.I)
+    r"|sources|sinks|arrangement_sizes|comments)\b"
+    r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b", re.I)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -322,7 +323,21 @@ class MzSession:
             from materialize_spark.sources.pgoutput import (
                 collect_relations, decode_pgoutput_stream, pgoutput_to_diff,
             )
-            log = spark.read.parquet(conn["log"])
+            if "host" in conn:
+                # live endpoint: drain the replication slot over the
+                # wire (pg_replication.py — the reference's
+                # START_REPLICATION path, replication.rs:600+)
+                from materialize_spark.sources.pg_replication import (
+                    read_pg_replication,
+                )
+                log = read_pg_replication(
+                    spark, conn["host"], int(conn.get("port", 5432)),
+                    conn.get("slot", "mz_slot"),
+                    conn.get("publication", "mz_pub"),
+                    user=conn.get("user", "mz"),
+                    database=conn.get("database", "db"))
+            else:
+                log = spark.read.parquet(conn["log"])
             rels = collect_relations(log)
             env = decode_pgoutput_stream(log, relations=rels)
             for rel in rels.values():
@@ -340,10 +355,22 @@ class MzSession:
             from materialize_spark.sources.mysql_binlog import (
                 binlog_to_diff, collect_table_maps, decode_binlog_stream,
             )
-            log = spark.read.parquet(conn["log"])
+            if "host" in conn:
+                # live endpoint: replica handshake + COM_BINLOG_DUMP
+                # (mysql_wire.py — the reference's replica connection)
+                from materialize_spark.sources.mysql_wire import (
+                    read_mysql_binlog,
+                )
+                log = read_mysql_binlog(
+                    spark, conn["host"], int(conn.get("port", 3306)))
+            else:
+                log = spark.read.parquet(conn["log"])
             maps = collect_table_maps(log)
+            # int keys are TABLE_MAPs; the string "checksum" key carries
+            # the stream's binlog_checksum mode for the decoder
+            tmes = [v for k, v in maps.items() if isinstance(k, int)]
             names = {}
-            for tme in maps.values():
+            for tme in tmes:
                 tname = tme["table"]
                 if wanted is not None and tname not in wanted:
                     continue
@@ -356,7 +383,7 @@ class MzSession:
                         "none; the reference reads information_schema)")
                 names[f"{tme['schema']}.{tname}"] = snap.columns
             env = decode_binlog_stream(log, table_maps=maps, columns=names)
-            for tme in maps.values():
+            for tme in tmes:
                 tname = tme["table"]
                 rel = f"{tme['schema']}.{tname}"
                 if rel not in names:
@@ -1072,3 +1099,67 @@ class MzSession:
            "object_type string, name string, comment string") \
             .filter("object_type <> ''").createOrReplaceTempView(
                 "mz_comments")
+        # pg_catalog compatibility tail (reference exposes a pg_catalog
+        # shim for PG tooling — src/catalog's pg_* builtins). OIDs: user
+        # objects from 16384 by name order (PG's first user oid), system
+        # namespaces at their PG-fixed oids. atttypid maps Spark types
+        # back through the pgoutput OID table.
+        from materialize_spark.sources.pgoutput import PG_TYPE_OIDS
+        _t2oid = {}
+        for oid, t in PG_TYPE_OIDS.items():
+            _t2oid.setdefault(t, oid)
+        kind_map = {"table": "r", "view": "v",
+                    "materialized-view": "m", "index": "i"}
+        cls_rows = [(16384 + i, name, 2200, kind_map.get(typ, "r"))
+                    for i, (_id, name, typ) in enumerate(objs)]
+        mk(cls_rows or [(0, "", 0, "")],
+           "oid int, relname string, relnamespace int, relkind string") \
+            .filter("oid <> 0").createOrReplaceTempView("pg_class")
+        mk([(2200, "public"), (11, "pg_catalog"),
+            (16656, "mz_catalog"), (16657, "mz_internal")],
+           "oid int, nspname string").createOrReplaceTempView("pg_namespace")
+        name2oid = {name: 16384 + i
+                    for i, (_id, name, _typ) in enumerate(objs)}
+        att_rows = []
+        for oid_s, name, _typ in objs:
+            try:
+                schema = cat.table(name).schema
+            except KeyError:  # pragma: no cover
+                continue
+            for pos, f in enumerate(schema.fields, start=1):
+                att_rows.append((name2oid[name], f.name, pos,
+                                 _t2oid.get(f.dataType.simpleString(), 25),
+                                 not f.nullable))
+        mk(att_rows or [(0, "", 0, 0, False)],
+           "attrelid int, attname string, attnum int, atttypid int, "
+           "attnotnull boolean") \
+            .filter("attrelid <> 0").createOrReplaceTempView("pg_attribute")
+        mk([(name, "public") for (_i, name, t) in objs if t == "table"]
+           or [("", "")], "tablename string, schemaname string") \
+            .filter("tablename <> ''").createOrReplaceTempView("pg_tables")
+        view_rows = [(name, "public", self._view_sql.get(
+            name, self._matview_sql.get(name, "")))
+            for (_i, name, t) in objs if t in ("view", "materialized-view")]
+        mk(view_rows or [("", "", "")],
+           "viewname string, schemaname string, definition string") \
+            .filter("viewname <> ''").createOrReplaceTempView("pg_views")
+        # pg_description from the COMMENT ON store: table comments at
+        # objsubid 0, column comments ("obj.col") at the column attnum —
+        # what obj_description()/col_description() read in PG
+        desc_rows = []
+        colpos = {(rid, cname): pos
+                  for rid, cname, pos, _t, _nn in att_rows}
+        for (kind, name), text in self._comments.items():
+            if "." in name:
+                obj, col = name.rsplit(".", 1)
+                rid = name2oid.get(obj)
+                if rid is not None:
+                    desc_rows.append((rid, 1259,
+                                      colpos.get((rid, col), 0), text))
+            else:
+                rid = name2oid.get(name)
+                if rid is not None:
+                    desc_rows.append((rid, 1259, 0, text))
+        mk(desc_rows or [(0, 0, 0, "")],
+           "objoid int, classoid int, objsubid int, description string") \
+            .filter("objoid <> 0").createOrReplaceTempView("pg_description")

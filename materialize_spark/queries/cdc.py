@@ -204,3 +204,121 @@ def cdc_pgoutput_apply(spark, sf_dir):
     diff = pgoutput_to_diff(env, rels[_NATION_OID])
     base = T(spark, sf_dir).nation
     return apply_cdc(base, diff, ["n_nationkey"])
+
+
+# -- Kafka wire source (kafka_wire.py: real TCP protocol, no broker pkg) ----
+_KAFKA_BROKER = None
+
+
+def _kafka_broker():
+    """One MiniBroker per process, seeded deterministically — it must
+    outlive the query callable (the driver collects the returned
+    DataFrame later, and fetch tasks dial the socket at execute time)."""
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        import json as _json
+
+        from materialize_spark.sources.kafka_wire import (
+            KafkaWireClient, MiniBroker,
+        )
+        b = MiniBroker()
+        b.create_topic("orders_feed", partitions=4)
+        with KafkaWireClient(b.host, b.port) as c:
+            for p in range(4):
+                c.produce("orders_feed", p, [
+                    (str(100 * p + i).encode(),
+                     _json.dumps({"region": ["east", "west"][i % 2],
+                                  "qty": p + i}).encode(),
+                     1_700_000_000_000 + i)
+                    for i in range(25)])
+        _KAFKA_BROKER = b
+    return _KAFKA_BROKER
+
+
+@register(
+    "kafka_wire_e2e",
+    """
+    -- oracle: closed form of the produced feed. 4 partitions x 25 records,
+    -- region alternates east/west by record index, qty = partition + index.
+    WITH feed AS (
+      SELECT p, i,
+             CASE WHEN i % 2 = 0 THEN 'east' ELSE 'west' END AS region,
+             p + i AS qty
+      FROM (SELECT UNNEST(range(4)) AS p), (SELECT UNNEST(range(25)) AS i)
+    )
+    SELECT region, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(max(qty) AS BIGINT) AS max_qty
+    FROM feed GROUP BY region
+    """,
+    "source", "kafka", "wire",
+)
+def kafka_wire_e2e(spark, sf_dir):
+    """Kafka over a REAL socket: tasks fetch their partitions from the
+    in-process broker via the wire protocol (Fetch v2 / message-set v1),
+    values decode JVM-side with from_json, and the aggregate is
+    oracle-checked against the closed form of what was produced.
+    Reference: src/storage/src/source/kafka.rs (partition consumers);
+    wire format kafka.apache.org/protocol."""
+    from pyspark.sql import functions as F
+
+    from materialize_spark.sources.kafka_wire import read_kafka_wire
+    b = _kafka_broker()
+    frame = read_kafka_wire(spark, f"{b.host}:{b.port}", "orders_feed")
+    parsed = frame.select(F.from_json(
+        F.col("value").cast("string"),
+        "region string, qty int").alias("r")).select("r.*")
+    return parsed.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.max("qty").cast("long").alias("max_qty"))
+
+
+@register(
+    "mv_consistency_frontier",
+    """
+    -- oracle: closed form of three coordinated ingests over one source.
+    -- Batches i=1..3 append (k='a', v=i) and (k='b', v=10*i); both views
+    -- are read at the shared frontier ts=3.
+    SELECT k, CAST(3 AS BIGINT) AS ts,
+           CAST(CASE k WHEN 'a' THEN 1+2+3 ELSE 10+20+30 END AS BIGINT)
+             AS total,
+           CAST(3 AS BIGINT) AS n
+    FROM (SELECT UNNEST(['a','b']) AS k)
+    """,
+    "streaming", "ivm", "consistency",
+)
+def mv_consistency_frontier(spark, sf_dir):
+    """Two MVs over one coordinated source must expose one frontier
+    (streaming/oracle.py — the reference's timestamp-oracle + txn-wal
+    guarantee, /root/reference/src/timestamp-oracle/src/lib.rs:46).
+    The query joins both views' snapshots AT THEIR PUBLISHED TIMESTAMPS:
+    any divergence (one view at ts=2 while the other serves ts=3)
+    changes the joined rows and fails the hash compare."""
+    from pyspark.sql import functions as F
+
+    from materialize_spark.streaming.ivm import MaterializedView
+    from materialize_spark.streaming.oracle import CoordinatedSource
+
+    src = CoordinatedSource()
+    src.attach("totals", MaterializedView(
+        spark=spark,
+        define=lambda df: df.groupBy("k").agg(F.sum("v").alias("total")),
+        keys=["k"], combine={"total": "sum"}))
+    src.attach("counts", MaterializedView(
+        spark=spark,
+        define=lambda df: df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")),
+        keys=["k"], combine={"n": "sum"}))
+    for i in (1, 2, 3):
+        src.ingest(spark.createDataFrame(
+            [("a", i), ("b", 10 * i)], "k string, v long"))
+    ts1, totals = src.peek("totals")
+    ts2, counts = src.peek("counts")
+    return (
+        totals.withColumn("ts", F.lit(ts1).cast("long"))
+        .join(counts.withColumn("ts2", F.lit(ts2).cast("long")), on="k")
+        .filter(F.col("ts") == F.col("ts2"))  # divergence drops rows
+        .select("k", "ts", F.col("total").cast("long").alias("total"),
+                F.col("n").cast("long").alias("n"))
+    )

@@ -163,3 +163,37 @@ def sqlfront_create_sink(spark, sf_dir):
     back = spark.read.json(f"{d}/nation")
     return back.selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey",
                            "n_name")
+
+
+@register(
+    "sqlfront_pg_catalog",
+    """
+    -- oracle: literal truth of the deterministic DDL this entry issues.
+    SELECT * FROM (VALUES
+        ('pgcat_t', 'r', CAST(2 AS BIGINT), 'table doc'),
+        ('pgcat_v', 'v', CAST(1 AS BIGINT), NULL)
+    ) AS t(relname, relkind, ncols, description)
+    ORDER BY relname
+    """,
+    "sqlfront", "introspection", "pg_catalog",
+)
+def sqlfront_pg_catalog(spark, sf_dir):
+    """pg_catalog compatibility shim exercised end-to-end: pg_class /
+    pg_attribute / pg_description reflect fresh DDL + COMMENT ON, via
+    the join shapes PG tooling uses (obj_description-style). Reference:
+    the pg_catalog builtins in src/catalog (the reference ships the same
+    shim so psql/BI tools can introspect)."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE pgcat_t (a BIGINT NOT NULL, b TEXT)")
+    sess.execute("CREATE VIEW pgcat_v AS SELECT a FROM pgcat_t")
+    sess.execute("COMMENT ON TABLE pgcat_t IS 'table doc'")
+    return sess.sql("""
+        SELECT c.relname, c.relkind,
+               (SELECT count(*) FROM pg_attribute a
+                WHERE a.attrelid = c.oid) AS ncols,
+               (SELECT d.description FROM pg_description d
+                WHERE d.objoid = c.oid AND d.objsubid = 0) AS description
+        FROM pg_class c
+        WHERE c.relname IN ('pgcat_t', 'pgcat_v')
+        ORDER BY c.relname
+    """)

@@ -121,3 +121,63 @@ def test_for_tables_missing_errors(spark, tmp_path):
     with pytest.raises(KeyError, match="not present"):
         sess.execute("CREATE SOURCE pg3 FROM POSTGRES CONNECTION pgc3 "
                      "FOR TABLES (fruit, nosuch)")
+
+
+def test_postgres_source_sql_live_wire(spark):
+    """CREATE CONNECTION with HOST/PORT dials a real socket: the source
+    drains the replication slot via the wire protocol (round-6
+    pg_replication.py) instead of reading a log file."""
+    from materialize_spark.sources.pg_replication import MiniPostgres
+    from materialize_spark.sources.pgoutput import (
+        encode_delete, encode_insert, encode_relation,
+    )
+    oid = 61001
+    msgs = [
+        encode_relation(oid, "public", "gadgets",
+                        [("id", 20, True), ("label", 1043, False)]),
+        encode_insert(oid, [1, "gear"]),
+        encode_insert(oid, [2, "lever"]),
+        encode_delete(oid, [1, None]),
+        encode_insert(oid, [3, "cog"]),
+    ]
+    wal = [(100 + i, m) for i, m in enumerate(msgs)]
+    with MiniPostgres(wal) as srv:
+        sess = MzSession(spark, SF_DIR)
+        sess.execute(
+            f"CREATE CONNECTION pglive TO POSTGRES (host = '{srv.host}', "
+            f"port = {srv.port}, slot = 'mz_slot', publication = 'mz')")
+        sess.execute("CREATE SOURCE pgw FROM POSTGRES CONNECTION pglive "
+                     "(PUBLICATION 'mz') FOR ALL TABLES")
+        rows = {r.id: r.label for r in
+                sess.execute("SELECT * FROM pgw_gadgets").collect()}
+        assert rows == {2: "lever", 3: "cog"}
+
+
+def test_mysql_source_sql_live_wire(spark):
+    """MySQL flavor over a real socket: handshake + COM_BINLOG_DUMP with
+    CRC32 checksums (round-6 mysql_wire.py)."""
+    from materialize_spark.sources.mysql_binlog import (
+        T_LONGLONG, T_VARCHAR, WRITE_ROWS_V2, DELETE_ROWS_V2,
+        encode_format_description, encode_rows_event, encode_table_map,
+        with_crc32,
+    )
+    from materialize_spark.sources.mysql_wire import MiniMySQL
+    tid = 31
+    ct, md = [T_LONGLONG, T_VARCHAR], [0, 400]
+    events = [encode_format_description("crc32")] + [with_crc32(e) for e in [
+        encode_table_map(tid, "db", "widgets", ct, md),
+        encode_rows_event(WRITE_ROWS_V2, tid,
+                          [[1, "bolt"], [2, "nut"]], ct, md),
+        encode_rows_event(DELETE_ROWS_V2, tid, [[1, "bolt"]], ct, md),
+    ]]
+    with MiniMySQL(events) as srv:
+        sess = MzSession(spark, SF_DIR)
+        sess.execute("CREATE TABLE widgets (id BIGINT, label TEXT)")
+        sess.execute(
+            f"CREATE CONNECTION mylive TO MYSQL (host = '{srv.host}', "
+            f"port = {srv.port})")
+        sess.execute("CREATE SOURCE myw FROM MYSQL CONNECTION mylive "
+                     "FOR TABLES (widgets)")
+        rows = {r.id: r.label for r in
+                sess.execute("SELECT * FROM myw_widgets").collect()}
+        assert rows == {2: "nut"}

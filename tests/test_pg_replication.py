@@ -1,0 +1,103 @@
+"""PG streaming-replication wire protocol: client + mini server + e2e.
+
+Protocol under test is the PUBLIC wire protocol (postgresql.org/docs/
+current/protocol-flow.html + protocol-replication: startup with
+replication=database, CopyBoth, XLogData/keepalive frames); semantics
+mirrored are the reference's replication stream consumption
+(/root/reference/src/storage/src/source/postgres/replication.rs:600+).
+Completes the network layer over the round-5 pgoutput message decoder.
+"""
+
+import pytest
+
+from materialize_spark.sources.pg_replication import (
+    MiniPostgres, PgReplicationClient, read_pg_replication,
+)
+from materialize_spark.sources.pgoutput import (
+    apply_cdc, collect_relations, decode_pgoutput_stream, encode_begin,
+    encode_commit, encode_delete, encode_insert, encode_relation,
+    encode_update, pgoutput_to_diff,
+)
+
+OID = 51234
+COLS = [("id", 20, True), ("name", 1043, False), ("score", 701, False)]
+
+
+def _wal():
+    us = 1_700_000_000_000_000
+    msgs = [
+        encode_relation(OID, "public", "players", COLS),
+        encode_begin(100, us, 9),
+        encode_insert(OID, [1, "ann", 1.5]),
+        encode_insert(OID, [2, "bob", 2.5]),
+        encode_commit(100, 101, us),
+        encode_begin(200, us + 1, 10),
+        encode_update(OID, [2, "bob", 9.0], old_vals=[2, "bob", 2.5]),
+        encode_delete(OID, [1, None, None], key_only=True),
+        encode_insert(OID, [3, "cyd", 3.0]),
+        encode_commit(200, 201, us + 1),
+    ]
+    return [(10 + i, m) for i, m in enumerate(msgs)]
+
+
+def test_identify_system():
+    with MiniPostgres(_wal()) as srv:
+        with PgReplicationClient(srv.host, srv.port) as c:
+            info = c.identify_system()
+            assert info["timeline"] == "1"
+            assert info["xlogpos"] == "0/13"  # max lsn = 19 = 0x13
+
+
+def test_non_replication_connection_rejected():
+    with MiniPostgres(_wal()) as srv:
+        import socket
+        import struct
+        s = socket.create_connection((srv.host, srv.port), timeout=5)
+        params = b"user\0mz\0database\0db\0\0"  # no replication param
+        s.sendall(struct.pack(">ii", 8 + len(params), 196608) + params)
+        tag = s.recv(1)
+        assert tag == b"E"
+        s.close()
+
+
+def test_start_replication_drains_wal_and_acks():
+    with MiniPostgres(_wal()) as srv:
+        with PgReplicationClient(srv.host, srv.port) as c:
+            frames = c.start_replication("slot1", "pub1")
+        assert len(frames) == len(_wal())
+        assert [lsn for lsn, _ in frames] == [lsn for lsn, _ in _wal()]
+        assert frames[0][1][0:1] == b"R"  # relation message first
+        # the keepalive mid-stream demanded a reply: the client reported
+        # its flushed LSN (what lets a real server trim the slot). The
+        # server thread drains the ack asynchronously — poll briefly.
+        import time
+        for _ in range(50):
+            if srv.status_updates:
+                break
+            time.sleep(0.02)
+        assert srv.status_updates and srv.status_updates[0] >= 10
+
+
+def test_start_lsn_resume():
+    with MiniPostgres(_wal()) as srv:
+        with PgReplicationClient(srv.host, srv.port) as c:
+            frames = c.start_replication("slot1", "pub1", start_lsn=15)
+        assert [lsn for lsn, _ in frames] == [15, 16, 17, 18, 19]
+
+
+def test_wire_to_apply_cdc_e2e(spark):
+    """The full chain over a real socket: START_REPLICATION → XLogData →
+    pgoutput decode (distributed) → apply_cdc state fold."""
+    with MiniPostgres(_wal()) as srv:
+        log = read_pg_replication(spark, srv.host, srv.port,
+                                  "slot1", "pub1")
+        rels = collect_relations(log)
+        assert OID in rels
+        diff = pgoutput_to_diff(
+            decode_pgoutput_stream(log, relations=rels), rels[OID])
+        base = spark.createDataFrame(
+            [], "id long, name string, score double")
+        state = apply_cdc(base, diff, ["id"]).toPandas().sort_values("id")
+        assert list(state.id) == [2, 3]  # 1 deleted
+        assert state[state.id == 2].score.iloc[0] == pytest.approx(9.0)
+        assert state[state.id == 3].name.iloc[0] == "cyd"

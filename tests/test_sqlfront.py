@@ -726,3 +726,46 @@ def test_explain_analyze_metrics(spark):
            and "HashAggregate" in r.operator]
     # the final aggregate emitted exactly the 5 region groups
     assert any(r.value == 5 for r in out)
+
+
+def test_pg_catalog_compat(spark):
+    """pg_catalog shim: pg_class/pg_namespace/pg_attribute/pg_tables/
+    pg_views/pg_description — enough for PG tooling introspection,
+    including the obj_description/col_description join shape."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE pgt (a BIGINT NOT NULL, b TEXT)")
+    sess.execute("CREATE VIEW pgv AS SELECT a FROM pgt")
+    sess.execute("COMMENT ON TABLE pgt IS 'tbl doc'")
+    sess.execute("COMMENT ON COLUMN pgt.b IS 'col doc'")
+    cls = {r.relname: r.relkind for r in sess.execute(
+        "SELECT relname, relkind FROM pg_class "
+        "WHERE relname IN ('pgt','pgv')").collect()}
+    assert cls == {"pgt": "r", "pgv": "v"}
+    ns = {r.nspname for r in sess.execute(
+        "SELECT nspname FROM pg_namespace").collect()}
+    assert {"public", "pg_catalog"} <= ns
+    atts = sess.execute(
+        "SELECT a.attname, a.attnum, a.attnotnull FROM pg_attribute a "
+        "JOIN pg_class c ON a.attrelid = c.oid "
+        "WHERE c.relname = 'pgt' ORDER BY a.attnum").collect()
+    assert [(r.attname, r.attnum) for r in atts] == [("a", 1), ("b", 2)]
+    assert atts[0].attnotnull is True and atts[1].attnotnull is False
+    assert [r.tablename for r in sess.execute(
+        "SELECT tablename FROM pg_tables WHERE tablename='pgt'"
+    ).collect()] == ["pgt"]
+    assert [r.viewname for r in sess.execute(
+        "SELECT viewname FROM pg_views WHERE viewname='pgv'"
+    ).collect()] == ["pgv"]
+    # obj_description / col_description join shape over pg_description
+    tbl_doc = sess.execute(
+        "SELECT d.description FROM pg_description d "
+        "JOIN pg_class c ON d.objoid = c.oid "
+        "WHERE c.relname = 'pgt' AND d.objsubid = 0").collect()
+    assert [r.description for r in tbl_doc] == ["tbl doc"]
+    col_doc = sess.execute(
+        "SELECT d.description FROM pg_description d "
+        "JOIN pg_class c ON d.objoid = c.oid "
+        "JOIN pg_attribute a ON a.attrelid = c.oid "
+        " AND a.attnum = d.objsubid "
+        "WHERE c.relname = 'pgt' AND a.attname = 'b'").collect()
+    assert [r.description for r in col_doc] == ["col doc"]
