@@ -71,3 +71,64 @@ class WebhookSource:
     def stream(self) -> DataFrame:
         """Continuous tail of the spool (Structured Streaming source)."""
         return self.spark.readStream.schema(_SCHEMA).json(self.path)
+
+    # -- real HTTP endpoint (reference src/adapter/src/webhook.rs) -----------
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0,
+                   validate=None) -> tuple[str, int]:
+        """Expose this source as a live HTTP endpoint: POSTs append to
+        the spool exactly like ``post()``. ``validate(body, headers) ->
+        bool`` mirrors the reference's CHECK clause (webhook.rs runs the
+        validation expression before admitting the delivery; a False
+        verdict is 401, like the reference's unauthorized rejection).
+        Returns (host, port); the server runs on a daemon thread."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        src = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                headers = {k.lower(): v for k, v in self.headers.items()}
+                if validate is not None and not validate(body, headers):
+                    self.send_response(401)
+                    self.end_headers()
+                    return
+                src.post(body, headers)
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *args):  # no stderr chatter per POST
+                pass
+
+        srv = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        self._http = srv
+        return srv.server_address
+
+    def stop_http(self) -> None:
+        srv = getattr(self, "_http", None)
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+            self._http = None
+
+
+def hmac_sha256_check(secret: str, header: str = "x-signature"):
+    """CHECK-clause factory: admit a delivery only when ``header`` holds
+    the hex HMAC-SHA256 of the body under ``secret`` — the reference's
+    canonical webhook validation (CHECK (WITH (HEADERS, BODY, SECRET ...)
+    constant_time_eq(decode(headers->'x-signature', 'hex'),
+    hmac(body, secret, 'sha256')))). Constant-time compare, like the
+    reference's constant_time_eq."""
+    import hashlib
+    import hmac as _hmac
+
+    def validate(body: str, headers: dict) -> bool:
+        want = _hmac.new(secret.encode(), body.encode(),
+                         hashlib.sha256).hexdigest()
+        got = headers.get(header, "")
+        return _hmac.compare_digest(want, got)
+
+    return validate

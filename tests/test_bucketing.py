@@ -79,3 +79,20 @@ def test_salted_left_join_keeps_unmatched(spark):
     right = spark.createDataFrame([("a", 9)], "k string, w long")
     rows = sorted((r.k, r.w) for r in salted_join(left, right, ["k"], "left").collect())
     assert rows == [("a", 9), ("b", None)]
+
+
+def test_keyed_arrangements_share_one_shard_count(spark):
+    """Co-partitioned joins need MATCHING partition counts: every keyed
+    arrangement must use the session-uniform shard count (round 6 — the
+    reference arranges all collections across one timely worker set).
+    Pinned at sf0.1 where the counts are non-trivial."""
+    from materialize_spark.catalog import ARRANGE_KEYS, LazyTables
+    tabs = LazyTables(spark, "/root/testdata/sf0.1", register=False)
+    counts = {n: tabs[n].rdd.getNumPartitions()
+              for n in ("lineitem", "orders", "customer", "supplier",
+                        "part") if n in ARRANGE_KEYS}
+    assert len(set(counts.values())) == 1, counts
+    assert counts["lineitem"] > 1  # sf0.1 is big enough to be keyed
+    # secondary arrangements too
+    sec = tabs.index("orders", "o_custkey")
+    assert sec.rdd.getNumPartitions() == counts["orders"]

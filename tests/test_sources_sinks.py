@@ -289,3 +289,43 @@ def test_kafka_murmur2_partition_column(spark):
     assert got["21"] == (kafka_murmur2(b"21") & 0x7FFFFFFF) % 12
     assert got["foobar"] == (kafka_murmur2(b"foobar") & 0x7FFFFFFF) % 12
     assert got[None] is None
+
+
+def test_webhook_http_endpoint(spark, tmp_path):
+    """Live HTTP POSTs land in the source relation; the HMAC CHECK
+    rejects unsigned deliveries with 401 (reference webhook.rs CHECK
+    clause + constant_time_eq validation)."""
+    import hashlib
+    import hmac
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from materialize_spark.sources.webhook import (
+        WebhookSource, hmac_sha256_check,
+    )
+
+    src = WebhookSource(spark, str(tmp_path / "hooks"))
+    host, port = src.serve_http(
+        validate=hmac_sha256_check("s3cret", "x-signature"))
+    try:
+        url = f"http://{host}:{port}/"
+        body = _json.dumps({"event": "signup", "uid": 7}).encode()
+        sig = hmac.new(b"s3cret", body, hashlib.sha256).hexdigest()
+        req = urllib.request.Request(
+            url, data=body, headers={"x-signature": sig})
+        assert urllib.request.urlopen(req, timeout=5).status == 200
+        # tampered signature → 401, nothing spooled
+        bad = urllib.request.Request(
+            url, data=body, headers={"x-signature": "0" * 64})
+        try:
+            urllib.request.urlopen(bad, timeout=5)
+            raise AssertionError("unsigned delivery admitted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        rows = src.df().collect()
+        assert len(rows) == 1
+        assert _json.loads(rows[0].body)["uid"] == 7
+        assert rows[0].headers["x-signature"] == sig
+    finally:
+        src.stop_http()
