@@ -322,3 +322,94 @@ def mv_consistency_frontier(spark, sf_dir):
         .select("k", "ts", F.col("total").cast("long").alias("total"),
                 F.col("n").cast("long").alias("n"))
     )
+
+
+@register(
+    "cdc_pgoutput_wire_apply",
+    """
+    -- identical logical changes to cdc_pgoutput_apply, delivered over the
+    -- replication WIRE protocol instead of a log file
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 0 THEN 'ZERO_RENAMED'
+                ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey = 3 THEN 4
+                WHEN n_nationkey = 5 THEN 0
+                ELSE n_regionkey END AS n_regionkey
+    FROM (SELECT n_nationkey,
+                 CASE WHEN n_nationkey = 5 THEN 'PHOENIX'
+                      ELSE n_name END AS n_name, n_regionkey
+          FROM nation WHERE n_nationkey <> 7)
+    UNION ALL
+    SELECT CAST(25 AS INTEGER), 'NEWLAND', CAST(1 AS INTEGER)
+    """,
+    "cdc", "source", "pgoutput", "wire",
+)
+def cdc_pgoutput_wire_apply(spark, sf_dir):
+    """Same state fold as cdc_pgoutput_apply, but the log arrives by
+    dialing a replication endpoint: startup with replication=database,
+    START_REPLICATION, CopyBoth XLogData frames (pg_replication.py —
+    the reference's replication.rs network path). The wire drain is
+    eager, so the in-process server lives only for the call."""
+    from materialize_spark.sources.pg_replication import (
+        MiniPostgres, read_pg_replication,
+    )
+    from materialize_spark.sources.pgoutput import (
+        apply_cdc, pgoutput_to_diff, decode_pgoutput_stream,
+    )
+    msgs, rels = _nation_log()
+    wal = [(1000 + i, m) for i, m in enumerate(msgs)]
+    with MiniPostgres(wal) as srv:
+        log = read_pg_replication(spark, srv.host, srv.port,
+                                  "mz_slot", "mz_pub")
+    env = decode_pgoutput_stream(log, relations=rels)
+    diff = pgoutput_to_diff(env, rels[_NATION_OID])
+    base = T(spark, sf_dir).nation
+    return apply_cdc(base, diff, ["n_nationkey"])
+
+
+@register(
+    "cdc_mysql_wire_apply",
+    """
+    -- identical logical changes to cdc_mysql_apply, delivered over the
+    -- MySQL replica WIRE protocol (COM_BINLOG_DUMP) with CRC32 checksums
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey = 0 THEN 'SUP_ZERO'
+                WHEN s_suppkey = 10 THEN 'SUP_TEN'
+                WHEN s_suppkey = 7 THEN 'SUP_PHOENIX'
+                ELSE s_name END AS s_name,
+           CASE WHEN s_suppkey = 0 THEN 9
+                WHEN s_suppkey = 10 THEN 5
+                WHEN s_suppkey = 7 THEN 0
+                ELSE s_nationkey END AS s_nationkey,
+           CASE WHEN s_suppkey = 0 THEN 0.0
+                WHEN s_suppkey = 10 THEN 1234.5
+                WHEN s_suppkey = 7 THEN -1.25
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier WHERE s_suppkey <> 50
+    UNION ALL
+    SELECT CAST(100 AS BIGINT), 'SUP_NEW', CAST(3 AS INTEGER), 42.0
+    """,
+    "cdc", "source", "mysql", "wire",
+)
+def cdc_mysql_wire_apply(spark, sf_dir):
+    """Same state fold as cdc_mysql_apply, but the binlog arrives via
+    handshake + COM_BINLOG_DUMP (mysql_wire.py) with binlog_checksum=
+    CRC32 — the real-server default — verified and trimmed in decode."""
+    from materialize_spark.sources.mysql_binlog import (
+        binlog_to_diff, decode_binlog_stream, encode_format_description,
+        with_crc32,
+    )
+    from materialize_spark.sources.mysql_wire import (
+        MiniMySQL, read_mysql_binlog,
+    )
+    from materialize_spark.sources.pgoutput import apply_cdc
+    events = [encode_format_description("crc32")] + [
+        with_crc32(e) for e in _supplier_binlog()]
+    with MiniMySQL(events) as srv:
+        log = read_mysql_binlog(spark, srv.host, srv.port)
+    env = decode_binlog_stream(
+        log, columns={"public.supplier":
+                      ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]})
+    diff = binlog_to_diff(env, "public.supplier", _SUP_DDL)
+    base = T(spark, sf_dir).supplier
+    return apply_cdc(base, diff, ["s_suppkey"])
