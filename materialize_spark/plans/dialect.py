@@ -81,6 +81,66 @@ def _join(pieces: list[tuple[str, str]]) -> str:
     return " ".join(out)
 
 
+def _split_args(inner: str) -> list[str]:
+    """Split a rewritten argument list at top-level commas."""
+    parts, buf, depth, lit = [], [], 0, False
+    for ch in inner:
+        if lit:
+            buf.append(ch)
+            if ch == "'":
+                lit = False
+            continue
+        if ch == "'":
+            lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts or [""]
+
+
+# Spark typeof() names → PG regtype names (reference pg_typeof renders
+# the PG type name; src/sql/src/func.rs pg_typeof)
+_PG_TYPEOF_MAP = [
+    ("tinyint", "smallint"), ("smallint", "smallint"),
+    ("int", "integer"), ("bigint", "bigint"),
+    ("string", "text"), ("double", "double precision"),
+    ("float", "real"), ("boolean", "boolean"), ("date", "date"),
+    ("timestamp", "timestamp without time zone"), ("binary", "bytea"),
+]
+
+
+def _pg_typeof_sql(expr: str) -> str:
+    arms = " ".join(f"WHEN '{s}' THEN '{p}'" for s, p in _PG_TYPEOF_MAP)
+    return (f"(CASE WHEN typeof({expr}) LIKE 'decimal%' THEN 'numeric' "
+            f"WHEN typeof({expr}) LIKE 'array%' THEN 'array' "
+            f"ELSE CASE typeof({expr}) {arms} "
+            f"ELSE typeof({expr}) END END)")
+
+
+# type OID → PG type name (format_type; OIDs as in sources/pgoutput.py)
+_FORMAT_TYPE = {
+    16: "boolean", 20: "bigint", 21: "smallint", 23: "integer",
+    25: "text", 700: "real", 701: "double precision",
+    1042: "character", 1043: "character varying", 1082: "date",
+    1114: "timestamp without time zone",
+    1184: "timestamp with time zone", 1700: "numeric", 17: "bytea",
+}
+
+
+def _format_type_sql(oid_expr: str) -> str:
+    arms = " ".join(f"WHEN {o} THEN '{n}'"
+                    for o, n in sorted(_FORMAT_TYPE.items()))
+    return f"(CASE ({oid_expr}) {arms} ELSE '???' END)"
+
+
 def _pop_operand(pieces: list[tuple[str, str]]) -> str:
     """Remove and return the trailing operand expression: a parenthesized
     group (with optional function-name head), or a literal/identifier,
@@ -131,6 +191,59 @@ def _rewrite_slice(toks: list[Token]) -> str:
                 j = _match_rp(toks, i + 1)
                 inner = _rewrite_slice(toks[i + 2:j])
                 pieces.append(("GROUP", f"explode(sequence({inner}))"))
+                i = j + 1
+                continue
+            # system-information tail (reference pg-compat builtins,
+            # src/sql/src/func.rs): enough for PG tooling probes
+            if low in ("CURRENT_USER", "SESSION_USER", "CURRENT_ROLE",
+                       "CURRENT_SCHEMA"):
+                # keyword form or empty-paren call form
+                if nxt is not None and nxt.kind == "LP" \
+                        and i + 2 < len(toks) and toks[i + 2].kind == "RP":
+                    i += 3
+                else:
+                    i += 1
+                val = "public" if low == "CURRENT_SCHEMA" else "materialize"
+                pieces.append(("GROUP", f"'{val}'"))
+                continue
+            if low == "CURRENT_SCHEMAS" and nxt is not None \
+                    and nxt.kind == "LP":
+                j = _match_rp(toks, i + 1)
+                arg = _rewrite_slice(toks[i + 2:j]).strip().lower()
+                arr = ("array('mz_catalog', 'pg_catalog', 'public')"
+                       if arg == "true" else "array('public')")
+                pieces.append(("GROUP", arr))
+                i = j + 1
+                continue
+            if low == "PG_TYPEOF" and nxt is not None and nxt.kind == "LP":
+                j = _match_rp(toks, i + 1)
+                inner = _rewrite_slice(toks[i + 2:j])
+                pieces.append(("GROUP", _pg_typeof_sql(inner)))
+                i = j + 1
+                continue
+            if low == "FORMAT_TYPE" and nxt is not None \
+                    and nxt.kind == "LP":
+                j = _match_rp(toks, i + 1)
+                args = _split_args(_rewrite_slice(toks[i + 2:j]))
+                pieces.append(("GROUP", _format_type_sql(args[0])))
+                i = j + 1
+                continue
+            if low in ("OBJ_DESCRIPTION", "COL_DESCRIPTION") \
+                    and nxt is not None and nxt.kind == "LP":
+                j = _match_rp(toks, i + 1)
+                args = _split_args(_rewrite_slice(toks[i + 2:j]))
+                subid = (args[1] if low == "COL_DESCRIPTION"
+                         and len(args) > 1 else "0")
+                pieces.append(("GROUP",
+                               "(SELECT d.description FROM pg_description d"
+                               f" WHERE d.objoid = ({args[0]})"
+                               f" AND d.objsubid = ({subid}))"))
+                i = j + 1
+                continue
+            if low == "PG_TABLE_IS_VISIBLE" and nxt is not None \
+                    and nxt.kind == "LP":
+                j = _match_rp(toks, i + 1)
+                pieces.append(("GROUP", "true"))
                 i = j + 1
                 continue
             pieces.append(("WORD", t.text))

@@ -40,7 +40,8 @@ from materialize_spark.plans.lexer import LexError, split_statements
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
     r"|sources|sinks|arrangement_sizes|comments)\b"
-    r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b", re.I)
+    r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
+    r"|\b(?:obj|col)_description\b", re.I)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:

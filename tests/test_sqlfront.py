@@ -769,3 +769,32 @@ def test_pg_catalog_compat(spark):
         " AND a.attnum = d.objsubid "
         "WHERE c.relname = 'pgt' AND a.attname = 'b'").collect()
     assert [r.description for r in col_doc] == ["col doc"]
+
+
+def test_pg_system_information_functions(spark):
+    """System-information tail (reference pg-compat builtins): pg_typeof,
+    format_type, obj_description/col_description, current_user/schema(s),
+    pg_table_is_visible."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE sysi_t (a BIGINT, b TEXT)")
+    sess.execute("COMMENT ON TABLE sysi_t IS 'sys doc'")
+    sess.execute("COMMENT ON COLUMN sysi_t.b IS 'b doc'")
+    r = sess.sql(
+        "SELECT pg_typeof(1::int4) AS t_int, pg_typeof(1.5::float8) AS t_f,"
+        " pg_typeof('x') AS t_s, pg_typeof(1.5::numeric) AS t_n,"
+        " current_user AS cu, current_schema AS cs,"
+        " current_schemas(true) AS css,"
+        " format_type(23, NULL) AS ft_int,"
+        " format_type(1043, NULL) AS ft_vc").first()
+    assert r.t_int == "integer" and r.t_f == "double precision"
+    assert r.t_s == "text" and r.t_n == "numeric"
+    assert r.cu == "materialize" and r.cs == "public"
+    assert "pg_catalog" in r.css and "public" in r.css
+    assert r.ft_int == "integer" and r.ft_vc == "character varying"
+    # description functions join through pg_class/pg_description
+    d = sess.sql(
+        "SELECT obj_description(c.oid) AS od,"
+        " col_description(c.oid, 2) AS cd,"
+        " pg_table_is_visible(c.oid) AS vis"
+        " FROM pg_class c WHERE c.relname = 'sysi_t'").first()
+    assert d.od == "sys doc" and d.cd == "b doc" and d.vis is True
