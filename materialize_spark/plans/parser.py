@@ -157,6 +157,30 @@ class Drop(Stmt):
 
 
 @dataclass
+class CreateRole(Stmt):
+    name: str
+
+
+@dataclass
+class Grant(Stmt):
+    privileges: list[str]   # select/insert/update/delete (ALL expanded)
+    object: str
+    role: str
+
+
+@dataclass
+class Revoke(Stmt):
+    privileges: list[str]
+    object: str
+    role: str
+
+
+@dataclass
+class SetRole(Stmt):
+    name: str | None        # None = RESET ROLE
+
+
+@dataclass
 class Insert(Stmt):
     table: str
     body: str   # VALUES ... or SELECT ...
@@ -491,6 +515,14 @@ class Parser:
     def _p_create(self) -> Stmt:
         self.expect_kw("CREATE")
         or_replace = self.take_kw("OR", "REPLACE")
+        if self.take_kw("ROLE"):
+            name = self.ident()
+            # role attributes (INHERIT etc.) accepted and ignored — the
+            # reference's role options are cluster concerns (SURVEY §7)
+            while self.peek().kind == "WORD":
+                self.next()
+            self.expect_end()
+            return CreateRole(name)
         if self.at_kw("MATERIALIZED", "VIEW") or self.at_kw("VIEW"):
             materialized = self.take_kw("MATERIALIZED")
             self.expect_kw("VIEW")
@@ -653,8 +685,9 @@ class Parser:
         self.expect_kw("DROP")
         t = self.next()
         if t.kind != "WORD" or t.upper not in ("VIEW", "INDEX", "TABLE",
-                                               "SOURCE", "SINK"):
-            raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK", t)
+                                               "SOURCE", "SINK", "ROLE"):
+            raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK/ROLE",
+                             t)
         kind = t.upper.lower()
         if_exists = self.take_kw("IF", "EXISTS")
         name = self.ident()
@@ -695,6 +728,62 @@ class Parser:
             where = self.rest()
         self.expect_end()
         return Delete(table, where=where)
+
+    # RBAC --------------------------------------------------------------------
+    _PRIVS = ("SELECT", "INSERT", "UPDATE", "DELETE")
+
+    def _p_privileges(self) -> list[str]:
+        if self.take_kw("ALL"):
+            self.take_kw("PRIVILEGES")
+            return [p.lower() for p in self._PRIVS]
+        privs = []
+        while True:
+            t = self.next()
+            if t.kind != "WORD" or t.upper not in self._PRIVS:
+                raise ParseError("expected a privilege", t)
+            privs.append(t.upper.lower())
+            if self.peek().kind != "COMMA":
+                return privs
+            self.next()
+
+    def _p_grant(self) -> Stmt:
+        self.expect_kw("GRANT")
+        privs = self._p_privileges()
+        self.expect_kw("ON")
+        self.take_kw("TABLE")
+        obj = self.ident()
+        self.expect_kw("TO")
+        role = self.ident()
+        self.expect_end()
+        return Grant(privs, obj, role)
+
+    def _p_revoke(self) -> Stmt:
+        self.expect_kw("REVOKE")
+        privs = self._p_privileges()
+        self.expect_kw("ON")
+        self.take_kw("TABLE")
+        obj = self.ident()
+        self.expect_kw("FROM")
+        role = self.ident()
+        self.expect_end()
+        return Revoke(privs, obj, role)
+
+    def _p_set(self) -> Stmt:
+        self.expect_kw("SET")
+        if not self.take_kw("ROLE"):
+            raise ParseError("only SET ROLE is structured", self.peek())
+        if self.take_kw("NONE"):
+            self.expect_end()
+            return SetRole(None)
+        name = self.ident()
+        self.expect_end()
+        return SetRole(name)
+
+    def _p_reset(self) -> Stmt:
+        self.expect_kw("RESET")
+        self.expect_kw("ROLE")
+        self.expect_end()
+        return SetRole(None)
 
     # misc DDL ----------------------------------------------------------------
     def _p_refresh(self) -> Stmt:
@@ -854,7 +943,7 @@ class Parser:
             return Show("materialized views", like=like)
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
-                 "SECRETS", "CONNECTIONS")
+                 "SECRETS", "CONNECTIONS", "ROLES")
         if t.kind != "WORD" or t.upper not in kinds:
             raise ParseError(
                 f"expected one of MATERIALIZED VIEWS, {', '.join(kinds)}", t)
@@ -1033,7 +1122,7 @@ __all__ = [
     "Stmt", "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
     "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
-    "CreateConnection", "Drop",
+    "CreateConnection", "Drop", "CreateRole", "Grant", "Revoke", "SetRole",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",
     "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",

@@ -39,7 +39,7 @@ from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
-    r"|sources|sinks|arrangement_sizes|comments)\b"
+    r"|sources|sinks|arrangement_sizes|comments|roles)\b"
     r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
     r"|\b(?:obj|col)_description\b", re.I)
 
@@ -120,6 +120,15 @@ class MzSession:
         self._txn_snapshot: dict | None = None
         self._secrets: dict[str, str] = {}
         self._connections: dict[str, dict] = {}
+        # RBAC (reference CREATE ROLE / GRANT / REVOKE,
+        # src/sql-parser/src/ast/defs/statement.rs:63-65): session-scoped
+        # role set; 'materialize' is the default superuser role. Grants
+        # are (privilege, object, role); object creators own their
+        # objects and bypass grants on them.
+        self._roles: set[str] = {"materialize"}
+        self._role: str = "materialize"
+        self._grants: set[tuple[str, str, str]] = set()
+        self._owners: dict[str, str] = {}
 
     def webhook(self, name: str):
         """The WebhookSource behind ``CREATE SOURCE name FROM WEBHOOK`` —
@@ -174,6 +183,7 @@ class MzSession:
 
     # -- CREATE -------------------------------------------------------------
     def _create_view(self, node: ast.CreateView, sql: str):
+        self._owners[node.name] = self._role
         df = self.spark.sql(rewrite(node.body))
         if node.materialized:
             # Batch MV: eagerly refreshed snapshot (REFRESH ON COMMIT
@@ -211,11 +221,13 @@ class MzSession:
         self.catalog.create_index(node.name or f"{node.on}_idx", df, *keys)
 
     def _create_table_as(self, node: ast.CreateTableAs, sql: str):
+        self._owners[node.name] = self._role
         self.catalog.register_table(
             node.name,
             self.spark.sql(rewrite(node.body)).localCheckpoint(eager=True))
 
     def _create_table(self, node: ast.CreateTable, sql: str):
+        self._owners[node.name] = self._role
         if node.if_not_exists and node.name in self.catalog._tables:
             return None
         ddl = _pg_coldefs(node.coldefs)
@@ -440,6 +452,18 @@ class MzSession:
     def _drop(self, node: ast.Drop, sql: str):
         """DROP with PG IF EXISTS semantics: DROP of a missing object
         errors; IF EXISTS makes it a no-op."""
+        if node.kind == "role":
+            if node.name == "materialize":
+                raise PermissionError("cannot drop the superuser role")
+            if node.name not in self._roles and not node.if_exists:
+                raise KeyError(f"unknown role {node.name!r}")
+            self._roles.discard(node.name)
+            self._grants = {g for g in self._grants if g[2] != node.name}
+            return None
+        if not self._superuser() \
+                and self._owners.get(node.name, self._role) != self._role:
+            raise PermissionError(
+                f"must be owner of {node.name} to drop it")
         if node.kind == "sink":
             if node.name not in self._sinks and not node.if_exists:
                 raise KeyError(f"unknown sink {node.name!r}")
@@ -459,6 +483,7 @@ class MzSession:
             del self._comments[key]
 
     def _insert(self, node: ast.Insert, sql: str):
+        self._check_priv("insert", node.table)
         target = self.catalog._tables[node.table]
         tail = node.body
         if tail.upper().startswith("VALUES"):
@@ -472,6 +497,7 @@ class MzSession:
             node.table, target.unionByName(rows).localCheckpoint(eager=True))
 
     def _update(self, node: ast.Update, sql: str):
+        self._check_priv("update", node.table)
         # UPDATE t SET c = e, ... [WHERE p] (reference UpdateStatement,
         # src/sql-parser/src/ast/defs/statement.rs:526): rewrite every
         # row in one SELECT — assignments see the OLD row values
@@ -697,6 +723,9 @@ class MzSession:
     # -- SHOW ---------------------------------------------------------------
     def _show(self, node: ast.Show, sql: str):
         kind = node.kind
+        if kind == "roles":
+            return self.spark.createDataFrame(
+                [(r,) for r in sorted(self._roles)], "name string")
         if kind == "sinks":
             rows = [(n, s["from"], s["format"], s["envelope"])
                     for n, s in sorted(self._sinks.items())]
@@ -904,6 +933,7 @@ class MzSession:
         (ANSI) error semantics."""
         if _INTROSPECT.search(sql):
             self._register_introspection()
+        self._check_select_refs(sql)
         with self._strict():
             return self.spark.sql(rewrite(sql))
 
@@ -952,6 +982,65 @@ class MzSession:
         return out
 
     # node-type → handler (class attribute, bound per instance at call)
+    # -- RBAC ----------------------------------------------------------------
+    def _superuser(self) -> bool:
+        return self._role == "materialize"
+
+    def _check_priv(self, priv: str, obj: str) -> None:
+        """PG-style privilege check: superuser and owners bypass; others
+        need an explicit grant (reference rbac.rs check flow)."""
+        if self._superuser() or self._owners.get(obj) == self._role:
+            return
+        if (priv, obj, self._role) not in self._grants:
+            raise PermissionError(
+                f"permission denied for {obj} (role {self._role!r} "
+                f"lacks {priv.upper()})")
+
+    def _check_select_refs(self, sql: str) -> None:
+        """Peek-path enforcement: every catalog object the statement
+        references needs SELECT. References = identifier tokens
+        intersected with catalog names (the reference resolves names in
+        planning and checks each; token-intersection reaches the same
+        objects for any statement our catalog can satisfy)."""
+        if self._superuser():
+            return
+        from materialize_spark.plans.lexer import tokens as _tokens
+        known = set(self.catalog._tables) | set(self.catalog._views)
+        try:
+            toks = _tokens(sql, lenient=True)
+        except Exception:
+            return
+        seen = set()
+        for t in toks:
+            if t.kind == "WORD":
+                name = t.text.lower()
+                if name in known and name not in seen:
+                    seen.add(name)
+                    self._check_priv("select", name)
+
+    def _create_role(self, node: ast.CreateRole, sql: str):
+        if node.name in self._roles:
+            raise KeyError(f"role {node.name!r} already exists")
+        self._roles.add(node.name)
+
+    def _grant(self, node: ast.Grant, sql: str):
+        if node.role not in self._roles:
+            raise KeyError(f"unknown role {node.role!r}")
+        for p in node.privileges:
+            self._grants.add((p, node.object, node.role))
+
+    def _revoke(self, node: ast.Revoke, sql: str):
+        if node.role not in self._roles:
+            raise KeyError(f"unknown role {node.role!r}")
+        for p in node.privileges:
+            self._grants.discard((p, node.object, node.role))
+
+    def _set_role(self, node: ast.SetRole, sql: str):
+        name = node.name or "materialize"
+        if name not in self._roles:
+            raise KeyError(f"unknown role {name!r}")
+        self._role = name
+
     _DISPATCH = {
         ast.CreateView: _create_view,
         ast.CreateIndex: _create_index,
@@ -965,6 +1054,10 @@ class MzSession:
         ast.CreateSecret: _create_secret,
         ast.CreateConnection: _create_connection,
         ast.Drop: _drop,
+        ast.CreateRole: _create_role,
+        ast.Grant: _grant,
+        ast.Revoke: _revoke,
+        ast.SetRole: _set_role,
         ast.Insert: _insert,
         ast.Update: _update,
         ast.Delete: _delete,
@@ -1100,6 +1193,9 @@ class MzSession:
            "object_type string, name string, comment string") \
             .filter("object_type <> ''").createOrReplaceTempView(
                 "mz_comments")
+        # roles (reference mz_catalog.mz_roles)
+        mk([(f"r{i + 1}", r) for i, r in enumerate(sorted(self._roles))],
+           "id string, name string").createOrReplaceTempView("mz_roles")
         # pg_catalog compatibility tail (reference exposes a pg_catalog
         # shim for PG tooling — src/catalog's pg_* builtins). OIDs: user
         # objects from 16384 by name order (PG's first user oid), system
