@@ -181,6 +181,17 @@ class SetRole(Stmt):
 
 
 @dataclass
+class SetVar(Stmt):
+    name: str
+    value: str
+
+
+@dataclass
+class ShowVar(Stmt):
+    name: str
+
+
+@dataclass
 class Insert(Stmt):
     table: str
     body: str   # VALUES ... or SELECT ...
@@ -770,14 +781,25 @@ class Parser:
 
     def _p_set(self) -> Stmt:
         self.expect_kw("SET")
-        if not self.take_kw("ROLE"):
-            raise ParseError("only SET ROLE is structured", self.peek())
-        if self.take_kw("NONE"):
+        self.take_kw("SESSION") or self.take_kw("LOCAL")
+        if self.take_kw("ROLE"):
+            if self.take_kw("NONE"):
+                self.expect_end()
+                return SetRole(None)
+            name = self.ident()
             self.expect_end()
-            return SetRole(None)
-        name = self.ident()
+            return SetRole(name)
+        # SET <var> { = | TO } <value> (reference session variables,
+        # src/sql/src/session/vars.rs)
+        name = self.ident().lower()
+        if not (self.take_op("=") or self.take_kw("TO")):
+            raise ParseError("expected = or TO", self.peek())
+        t = self.next()
+        if t.kind not in ("STRING", "NUMBER", "WORD"):
+            raise ParseError("expected value", t)
+        value = t.value if t.kind == "STRING" else t.text
         self.expect_end()
-        return SetRole(name)
+        return SetVar(name, str(value))
 
     def _p_reset(self) -> Stmt:
         self.expect_kw("RESET")
@@ -945,6 +967,10 @@ class Parser:
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
                  "SECRETS", "CONNECTIONS", "ROLES")
         if t.kind != "WORD" or t.upper not in kinds:
+            # SHOW <session variable> (reference SHOW for vars.rs names)
+            if t.kind == "WORD" and self.peek().kind in ("EOF", "SEMI"):
+                self.expect_end()
+                return ShowVar(t.text.lower())
             raise ParseError(
                 f"expected one of MATERIALIZED VIEWS, {', '.join(kinds)}", t)
         like = None
@@ -1123,6 +1149,7 @@ __all__ = [
     "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
     "CreateConnection", "Drop", "CreateRole", "Grant", "Revoke", "SetRole",
+    "SetVar", "ShowVar",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",
     "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",

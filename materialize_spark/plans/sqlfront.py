@@ -127,6 +127,15 @@ class MzSession:
         # objects and bypass grants on them.
         self._roles: set[str] = {"materialize"}
         self._role: str = "materialize"
+        # session variables (reference src/sql/src/session/vars.rs);
+        # read-only defaults below, user SETs overlay
+        self._vars: dict[str, str] = {
+            "application_name": "", "search_path": "public",
+            "database": "materialize", "cluster": "quickstart",
+            "transaction_isolation": "strict serializable",
+            "statement_timeout": "0", "timezone": "UTC",
+            "server_version": "9.5.0", "emit_timestamp_notice": "off",
+        }
         self._grants: set[tuple[str, str, str]] = set()
         self._owners: dict[str, str] = {}
 
@@ -1035,6 +1044,23 @@ class MzSession:
         for p in node.privileges:
             self._grants.discard((p, node.object, node.role))
 
+    def _set_var(self, node: ast.SetVar, sql: str):
+        # unknown names error like the reference ("unrecognized
+        # configuration parameter") rather than silently storing
+        if node.name not in self._vars:
+            raise KeyError(
+                f"unrecognized configuration parameter {node.name!r}")
+        self._vars[node.name] = node.value
+        if node.name == "timezone":
+            self.spark.conf.set("spark.sql.session.timeZone", node.value)
+
+    def _show_var(self, node: ast.ShowVar, sql: str):
+        if node.name not in self._vars:
+            raise KeyError(
+                f"unrecognized configuration parameter {node.name!r}")
+        return self.spark.createDataFrame(
+            [(self._vars[node.name],)], f"{node.name} string")
+
     def _set_role(self, node: ast.SetRole, sql: str):
         name = node.name or "materialize"
         if name not in self._roles:
@@ -1058,6 +1084,8 @@ class MzSession:
         ast.Grant: _grant,
         ast.Revoke: _revoke,
         ast.SetRole: _set_role,
+        ast.SetVar: _set_var,
+        ast.ShowVar: _show_var,
         ast.Insert: _insert,
         ast.Update: _update,
         ast.Delete: _delete,

@@ -197,3 +197,42 @@ def sqlfront_pg_catalog(spark, sf_dir):
         WHERE c.relname IN ('pgcat_t', 'pgcat_v')
         ORDER BY c.relname
     """)
+
+
+@register(
+    "sqlfront_rbac",
+    """
+    -- oracle: literal truth of the deterministic role/grant script
+    SELECT * FROM (VALUES
+        ('analyst', TRUE,  CAST(5 AS BIGINT)),
+        ('intern',  FALSE, CAST(0 AS BIGINT))
+    ) AS t(role, can_select, visible_rows)
+    ORDER BY role
+    """,
+    "sqlfront", "rbac",
+)
+def sqlfront_rbac(spark, sf_dir):
+    """RBAC end-to-end: a granted role reads the table, an ungranted one
+    is denied (reference GRANT/REVOKE statements + rbac.rs checks).
+    The result encodes both outcomes so the oracle pins enforcement,
+    not just the catalog bookkeeping."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE rbacq_t AS "
+                 "SELECT r_regionkey FROM region")
+    sess.execute("CREATE ROLE analyst")
+    sess.execute("CREATE ROLE intern")
+    sess.execute("GRANT SELECT ON rbacq_t TO analyst")
+    rows = []
+    for role in ("analyst", "intern"):
+        sess.execute(f"SET ROLE {role}")
+        try:
+            n = sess.sql(
+                "SELECT count(*) AS n FROM rbacq_t").first().n
+            rows.append((role, True, n))
+        except PermissionError:
+            rows.append((role, False, 0))
+        finally:
+            sess.execute("RESET ROLE")
+    return spark.createDataFrame(
+        rows, "role string, can_select boolean, visible_rows long"
+    ).orderBy("role")

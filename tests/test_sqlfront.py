@@ -798,3 +798,27 @@ def test_pg_system_information_functions(spark):
         " pg_table_is_visible(c.oid) AS vis"
         " FROM pg_class c WHERE c.relname = 'sysi_t'").first()
     assert d.od == "sys doc" and d.cd == "b doc" and d.vis is True
+
+
+def test_session_variables(spark):
+    """SET/SHOW session variables (reference vars.rs): known names set
+    and read back; unknown names error like PG."""
+    import pytest as _pt
+    sess = MzSession(spark, SF_DIR)
+    assert sess.sql("SHOW transaction_isolation").first()[0] \
+        == "strict serializable"
+    sess.execute("SET application_name = 'etl-job'")
+    assert sess.sql("SHOW application_name").first()[0] == "etl-job"
+    sess.execute("SET search_path TO 'public'")
+    assert sess.sql("SHOW search_path").first()[0] == "public"
+    with _pt.raises(KeyError, match="unrecognized"):
+        sess.execute("SET nonsense_parameter = 1")
+    with _pt.raises(KeyError, match="unrecognized"):
+        sess.execute("SHOW nonsense_parameter")
+    # timezone SET flows through to the engine conf
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        sess.execute("SET timezone = 'UTC'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
