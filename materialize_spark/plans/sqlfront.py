@@ -138,6 +138,12 @@ class MzSession:
         }
         self._grants: set[tuple[str, str, str]] = set()
         self._owners: dict[str, str] = {}
+        # catalog durability (reference: the catalog is a durable record
+        # of DDL replayed on boot — src/catalog's durable layer): every
+        # state-changing statement is journaled in execution order;
+        # persist_catalog writes the journal, restore_catalog replays it
+        # into a fresh session against the same base data.
+        self._journal: list[str] = []
 
     def webhook(self, name: str):
         """The WebhookSource behind ``CREATE SOURCE name FROM WEBHOOK`` —
@@ -177,7 +183,10 @@ class MzSession:
             # permissive about expressions, strict about statement heads).
             return self._exec_peek(sql)
         handler = self._DISPATCH[type(node)]
-        return handler(self, node, sql)
+        out = handler(self, node, sql)
+        if type(node) in self._JOURNALED:
+            self._journal.append(sql)
+        return out
 
     def sql(self, q: str) -> DataFrame:
         out = self.execute(q)
@@ -1067,6 +1076,48 @@ class MzSession:
             raise KeyError(f"unknown role {name!r}")
         self._role = name
 
+    # statements that mutate session catalog state (queries, SHOWs,
+    # cursors, and transactions are reads / transient)
+    _JOURNALED_NAMES = (
+        "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
+        "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
+        "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
+        "CreateConnection", "Drop", "Insert", "Update", "Delete",
+        "RefreshMV", "AlterRetain", "AlterRename", "AlterAddColumn",
+        "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
+        "SetVar",
+    )
+
+    def persist_catalog(self, path: str) -> None:
+        """Write the DDL/DML journal. Together with the immutable base
+        parquet, this is the session's durable catalog: replaying it
+        reconstructs every object and its data."""
+        import json as _json
+        import os as _os
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"version": 1, "statements": self._journal}, f,
+                       indent=1)
+        _os.replace(tmp, path)  # atomic swap, like the reference's
+        # durable catalog writing complete snapshots
+
+    @classmethod
+    def restore_catalog(cls, spark: SparkSession, sf_dir: str,
+                        path: str, **kwargs) -> "MzSession":
+        """Boot a session from a persisted journal: replay every
+        journaled statement in order (the reference re-opens its durable
+        catalog and re-creates dataflows on restart)."""
+        import json as _json
+        with open(path) as f:
+            doc = _json.load(f)
+        if doc.get("version") != 1:
+            raise ValueError(f"unknown catalog version {doc.get('version')}")
+        sess = cls(spark, sf_dir, **kwargs)
+        for stmt in doc["statements"]:
+            sess.execute(stmt)
+        return sess
+
     _DISPATCH = {
         ast.CreateView: _create_view,
         ast.CreateIndex: _create_index,
@@ -1116,6 +1167,9 @@ class MzSession:
         ast.Wmr: _wmr,
         ast.Peek: _peek,
     }
+
+    _JOURNALED = {getattr(ast, n) for n in _JOURNALED_NAMES}
+
 
     # -- introspection relations (mz_catalog) -------------------------------
     def _register_introspection(self) -> None:

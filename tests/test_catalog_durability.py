@@ -1,0 +1,66 @@
+"""Catalog durability: DDL/DML journal persisted and replayed on boot.
+
+Reference: the catalog is a durable record of DDL; on restart the
+coordinator re-opens it and re-creates every object and dataflow
+(src/catalog's durable layer). The Spark analog journals every
+state-changing statement; restore_catalog replays it against the same
+immutable base parquet, reconstructing tables (with their DML applied),
+views, materialized views, comments, roles, and grants.
+"""
+
+import pytest
+
+from materialize_spark.plans.sqlfront import MzSession
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_restore_reconstructs_objects_and_data(spark, tmp_path):
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dur_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO dur_t VALUES ('a', 1), ('b', 2)")
+    s.execute("UPDATE dur_t SET v = v * 10 WHERE k = 'a'")
+    s.execute("DELETE FROM dur_t WHERE k = 'b'")
+    s.execute("CREATE VIEW dur_v AS SELECT k, v + 1 AS v1 FROM dur_t")
+    s.execute("CREATE MATERIALIZED VIEW dur_mv AS "
+              "SELECT count(*) AS n FROM dur_t")
+    s.execute("COMMENT ON TABLE dur_t IS 'durable'")
+    s.execute("CREATE ROLE dur_role")
+    s.execute("GRANT SELECT ON dur_t TO dur_role")
+    path = str(tmp_path / "catalog.json")
+    s.persist_catalog(path)
+
+    s2 = MzSession.restore_catalog(spark.newSession(), SF_DIR, path)
+    assert [(r.k, r.v) for r in s2.sql(
+        "SELECT * FROM dur_t ORDER BY k").collect()] == [("a", 10)]
+    assert s2.sql("SELECT * FROM dur_v").first().v1 == 11
+    assert s2.sql("SELECT * FROM dur_mv").first().n == 1
+    got = {r.name: r.comment for r in s2.sql(
+        "SELECT * FROM mz_comments WHERE name = 'dur_t'").collect()}
+    assert got == {"dur_t": "durable"}
+    # RBAC state survived: the restored role still has exactly its grant
+    s2.execute("SET ROLE dur_role")
+    assert s2.sql("SELECT count(*) AS n FROM dur_t").first().n == 1
+    with pytest.raises(PermissionError):
+        s2.execute("INSERT INTO dur_t VALUES ('c', 3)")
+
+
+def test_drops_replay_too(spark, tmp_path):
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dd_t (x BIGINT)")
+    s.execute("CREATE VIEW dd_v AS SELECT x FROM dd_t")
+    s.execute("DROP VIEW dd_v")
+    path = str(tmp_path / "cat2.json")
+    s.persist_catalog(path)
+    s2 = MzSession.restore_catalog(spark.newSession(), SF_DIR, path)
+    views = {r.name for r in s2.execute("SHOW VIEWS").collect()}
+    assert "dd_v" not in views
+    assert s2.sql("SELECT count(*) AS n FROM dd_t").first().n == 0
+
+
+def test_queries_not_journaled(spark, tmp_path):
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE qj_t (x BIGINT)")
+    s.sql("SELECT 1 AS one").collect()
+    s.execute("SHOW TABLES")
+    assert s._journal == ["CREATE TABLE qj_t (x BIGINT)"]
