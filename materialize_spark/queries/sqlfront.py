@@ -236,3 +236,33 @@ def sqlfront_rbac(spark, sf_dir):
     return spark.createDataFrame(
         rows, "role string, can_select boolean, visible_rows long"
     ).orderBy("role")
+
+
+@register(
+    "sqlfront_catalog_restore",
+    """
+    -- oracle: literal truth of the journaled script after restart replay
+    SELECT * FROM (VALUES
+        ('a', CAST(10 AS BIGINT), CAST(11 AS BIGINT))
+    ) AS t(k, v, v1)
+    """,
+    "sqlfront", "durability",
+)
+def sqlfront_catalog_restore(spark, sf_dir):
+    """Catalog durability end-to-end: DDL+DML journaled, persisted,
+    replayed into a FRESH session (spark.newSession — separate temp-view
+    namespace, like a restart), and the restored objects are queried.
+    Reference: the durable catalog re-opened on boot (src/catalog)."""
+    import os
+    import tempfile
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE TABLE durq_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO durq_t VALUES ('a', 1), ('b', 2)")
+    s.execute("UPDATE durq_t SET v = v * 10 WHERE k = 'a'")
+    s.execute("DELETE FROM durq_t WHERE k = 'b'")
+    s.execute("CREATE VIEW durq_v AS SELECT k, v, v + 1 AS v1 FROM durq_t")
+    path = os.path.join(tempfile.mkdtemp(prefix="mz_cat_"), "catalog.json")
+    s.persist_catalog(path)
+    restored = MzSession.restore_catalog(spark.newSession(), sf_dir, path)
+    return restored.sql("SELECT k, v, v1 FROM durq_v")
