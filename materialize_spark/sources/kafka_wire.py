@@ -501,7 +501,6 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
     fetch parallelism is the topic's partition count, exactly like the
     real connector."""
     import pandas as pd
-    from pyspark.sql import functions as F  # noqa: F401
 
     parts = kafka_partitions(bootstrap, topic)
     starts = starting_offsets or {}
