@@ -526,6 +526,53 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
                     rows["value"].append(value)
                     rows["timestamp"].append(
                         pd.Timestamp(ts, unit="ms") if ts >= 0 else None)
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            # empty batches infer float64 for the timestamp column, which
+            # Arrow cannot cast to timestamp — pin the dtype explicitly
+            out["timestamp"] = pd.to_datetime(out["timestamp"])
+            yield out
 
     return assign.mapInPandas(fetch, schema=KAFKA_SCHEMA)
+
+
+class KafkaWireStream:
+    """Continual ingestion over the wire: micro-batch pulls with durable
+    per-partition offsets — the reference's Kafka source loop (kafka.rs:
+    consume, emit, advance the offset frontier) expressed as repeated
+    bounded reads feeding foreachBatch-style consumers (streaming/ivm.py
+    MaterializedView.on_batch, envelope decoders, upsert merges).
+
+    ``poll()`` returns the next micro-batch DataFrame (possibly empty)
+    and advances the committed offsets only AFTER the caller's consumer
+    ran — call ``commit()`` when the batch is applied, so a failed batch
+    is re-polled from the same offsets (at-least-once, like the
+    reference before persist dedupes)."""
+
+    def __init__(self, spark, bootstrap: str, topic: str, *,
+                 starting_offsets: dict[int, int] | None = None):
+        self.spark = spark
+        self.bootstrap = bootstrap
+        self.topic = topic
+        self.offsets: dict[int, int] = dict(starting_offsets or {})
+        self._pending: dict[int, int] | None = None
+
+    def poll(self):
+        """Fetch everything new past the committed offsets as one batch
+        frame; remembers the batch's end offsets for commit()."""
+        df = read_kafka_wire(self.spark, self.bootstrap, self.topic,
+                             starting_offsets=self.offsets)
+        batch = df.localCheckpoint(eager=True)
+        from pyspark.sql import functions as F
+        ends = {r.partition: r.mx + 1 for r in batch.groupBy("partition")
+                .agg(F.max("offset").alias("mx")).collect()}
+        nxt = dict(self.offsets)
+        nxt.update(ends)
+        self._pending = nxt
+        return batch
+
+    def commit(self) -> dict[int, int]:
+        """Advance the offset frontier past the last polled batch."""
+        if self._pending is not None:
+            self.offsets = self._pending
+            self._pending = None
+        return dict(self.offsets)

@@ -128,7 +128,14 @@ class MaterializedView:
             *[F.col(k) for k in self.keys],
             *[F.col(c).alias(f"__p_{c}") for c in self.combine],
         )
-        joined = s.join(p, on=self.keys, how="full_outer")
+        if self.keys:
+            joined = s.join(p, on=self.keys, how="full_outer")
+        else:
+            # global aggregate (no grouping keys): both sides are <= 1
+            # row; a constant join key gives the same full-outer shape
+            joined = (s.withColumn("__one", F.lit(1))
+                      .join(p.withColumn("__one", F.lit(1)),
+                            on="__one", how="full_outer").drop("__one"))
         out_cols = [F.col(k) for k in self.keys]
         for c, how in self.combine.items():
             sc, pc = F.col(f"__s_{c}"), F.col(f"__p_{c}")

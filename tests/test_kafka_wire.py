@@ -128,3 +128,58 @@ def test_kafka_wire_to_debezium_ivm_chain(spark):
         total = mv.result().collect()[0].total
         # +10 +20 (creates) -10 +15 (update) -20 (delete) = 15
         assert total == 15
+
+
+def test_kafka_wire_stream_incremental_ivm(spark):
+    """Continual ingestion: poll/commit micro-batches over the socket
+    feed an incrementally maintained view; offsets resume exactly, and
+    an uncommitted batch is re-polled (at-least-once)."""
+    from pyspark.sql import functions as F
+
+    from materialize_spark.sources.kafka_wire import KafkaWireStream
+    from materialize_spark.streaming.ivm import MaterializedView
+
+    with MiniBroker() as broker:
+        broker.create_topic("metrics", partitions=2)
+        bootstrap = f"{broker.host}:{broker.port}"
+
+        def produce(rows):
+            with KafkaWireClient(broker.host, broker.port) as c:
+                for p, v in rows:
+                    c.produce("metrics", p, [(None, str(v).encode(), v)])
+
+        mv = MaterializedView(
+            spark=spark,
+            define=lambda df: df.groupBy().agg(
+                F.sum("v").alias("total"), F.count("*").alias("n")),
+            keys=[], combine={"total": "sum", "n": "sum"})
+        stream = KafkaWireStream(spark, bootstrap, "metrics")
+
+        produce([(0, 1), (1, 2), (0, 3)])
+        b1 = stream.poll().select(
+            F.col("value").cast("string").cast("long").alias("v"))
+        mv.on_batch(b1)
+        stream.commit()
+        r = mv.result().first()
+        assert (r.total, r.n) == (6, 3)
+
+        # nothing new → empty poll, frontier unchanged
+        empty = stream.poll()
+        assert empty.count() == 0
+        stream.commit()
+
+        produce([(1, 10)])
+        # poll WITHOUT commit: simulated consumer failure → re-poll
+        # serves the same batch again (at-least-once)
+        first = stream.poll()
+        assert first.count() == 1
+        again = stream.poll()
+        assert [r.offset for r in again.collect()] \
+            == [r.offset for r in first.collect()]
+        mv.on_batch(again.select(
+            F.col("value").cast("string").cast("long").alias("v")))
+        stream.commit()
+        r = mv.result().first()
+        assert (r.total, r.n) == (16, 4)
+        # committed frontier: partition 1 consumed 2 records
+        assert stream.offsets[1] == 2
