@@ -266,3 +266,35 @@ def sqlfront_catalog_restore(spark, sf_dir):
     s.persist_catalog(path)
     restored = MzSession.restore_catalog(spark.newSession(), sf_dir, path)
     return restored.sql("SELECT k, v, v1 FROM durq_v")
+
+
+@register(
+    "sqlfront_pgwire_roundtrip",
+    """
+    -- oracle: literal truth of the statements issued over the wire
+    SELECT * FROM (VALUES
+        ('a', CAST(1 AS BIGINT), 'bigint'),
+        ('b', NULL, 'bigint')
+    ) AS t(k, v, v_type)
+    ORDER BY k
+    """,
+    "sqlfront", "pgwire",
+)
+def sqlfront_pgwire_roundtrip(spark, sf_dir):
+    """The pgwire front-end exercised end-to-end: DDL + DML + a typed
+    SELECT travel the PG wire protocol (startup, simple query, T/D/C/Z)
+    through a real socket, and the text-format rows the client decodes
+    are compared against the oracle. Reference: src/pgwire serving psql
+    clients."""
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient
+
+    sess = MzSession(spark, sf_dir)
+    with MzPgServer(sess) as srv:
+        with PgWireClient(srv.host, srv.port) as c:
+            c.query("CREATE TABLE pgw_t (k STRING, v BIGINT)")
+            c.query("INSERT INTO pgw_t VALUES ('a', 1), ('b', NULL)")
+            [res] = c.query(
+                "SELECT k, v, pg_typeof(v) AS v_type FROM pgw_t ORDER BY k")
+    rows = [(k, int(v) if v is not None else None, t)
+            for k, v, t in res["rows"]]
+    return spark.createDataFrame(rows, "k string, v long, v_type string")
