@@ -432,6 +432,27 @@ class MzSession:
             from materialize_spark.sources.sqlserver_cdc import (
                 changes_to_diff,
             )
+            if "host" in conn:
+                # live endpoint: read cdc.<instance>_CT over TDS
+                # (tds_wire.py — the reference's by-query CDC reads)
+                from materialize_spark.sources.tds_wire import (
+                    read_sqlserver_ct,
+                )
+                for tname in (node.tables or ()):
+                    ct = read_sqlserver_ct(
+                        spark, conn["host"], int(conn.get("port", 1433)),
+                        tname)
+                    diff = changes_to_diff(ct)
+                    base = base_or_empty(
+                        tname, diff.drop("lsn", "seq", "diff"))
+                    self.catalog.register_table(
+                        f"{node.name}_{tname}",
+                        apply_cdc(base, diff, [diff.columns[0]]))
+                    registered.append(tname)
+                if not node.tables:
+                    raise ValueError(
+                        "SQL Server live sources need FOR TABLES (...) — "
+                        "capture instances are named per table")
             prefix = "changes_"
             for key, path in conn.items():
                 if not key.startswith(prefix):

@@ -413,3 +413,38 @@ def cdc_mysql_wire_apply(spark, sf_dir):
     diff = binlog_to_diff(env, "public.supplier", _SUP_DDL)
     base = T(spark, sf_dir).supplier
     return apply_cdc(base, diff, ["s_suppkey"])
+
+
+@register(
+    "cdc_sqlserver_wire_apply",
+    """
+    -- identical logical changes to cdc_sqlserver_apply, delivered over a
+    -- real TDS socket (PRELOGIN/LOGIN7/SQL_BATCH) instead of a frame
+    SELECT r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN 'REGION_ZERO'
+                WHEN r_regionkey = 1 THEN 'REBORN'
+                ELSE r_name END AS r_name
+    FROM region WHERE r_regionkey <> 3
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'NEWREGION'
+    """,
+    "cdc", "source", "sqlserver", "wire",
+)
+def cdc_sqlserver_wire_apply(spark, sf_dir):
+    """Same state fold as cdc_sqlserver_apply, but the change table is
+    read over the TDS wire protocol (tds_wire.py) from an in-process
+    server — the reference's by-query CDC consumption end-to-end."""
+    from materialize_spark.sources.sqlserver_cdc import apply_changes
+    from materialize_spark.sources.tds_wire import (
+        MiniSqlServer, read_sqlserver_ct,
+    )
+    ct_df = _region_change_table(spark)
+    schema = [("__$start_lsn", "varbinary"), ("__$seqval", "varbinary"),
+              ("__$operation", "int"), ("r_regionkey", "int"),
+              ("r_name", "nvarchar")]
+    rows = [(bytes(r[0]), bytes(r[1]), r[2], r[3], r[4])
+            for r in ct_df.collect()]
+    with MiniSqlServer({"cdc.region_CT": (schema, rows)}) as srv:
+        ct = read_sqlserver_ct(spark, srv.host, srv.port, "region")
+    base = T(spark, sf_dir).region
+    return apply_changes(base, ct, ["r_regionkey"])

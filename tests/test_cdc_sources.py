@@ -181,3 +181,30 @@ def test_mysql_source_sql_live_wire(spark):
         rows = {r.id: r.label for r in
                 sess.execute("SELECT * FROM myw_widgets").collect()}
         assert rows == {2: "nut"}
+
+
+def test_sqlserver_source_sql_live_wire(spark):
+    """SQL Server flavor over a real TDS socket: PRELOGIN/LOGIN7 +
+    SQL_BATCH change-table reads (round-6 tds_wire.py)."""
+    from materialize_spark.sources.sqlserver_cdc import (
+        OP_DELETE, OP_INSERT, lsn_bytes,
+    )
+    from materialize_spark.sources.tds_wire import MiniSqlServer
+    schema = [("__$start_lsn", "varbinary"), ("__$seqval", "varbinary"),
+              ("__$operation", "int"), ("id", "bigint"),
+              ("name", "nvarchar")]
+    rows = [
+        (lsn_bytes(1), lsn_bytes(0, 0, 1), OP_INSERT, 1, "one"),
+        (lsn_bytes(1), lsn_bytes(0, 0, 2), OP_INSERT, 2, "two"),
+        (lsn_bytes(2), lsn_bytes(0, 0, 1), OP_DELETE, 1, "one"),
+    ]
+    with MiniSqlServer({"cdc.things_CT": (schema, rows)}) as srv:
+        sess = MzSession(spark, SF_DIR)
+        sess.execute(
+            f"CREATE CONNECTION sqlive TO SQLSERVER (host = '{srv.host}', "
+            f"port = {srv.port})")
+        sess.execute("CREATE SOURCE ssw FROM SQL SERVER CONNECTION sqlive "
+                     "FOR TABLES (things)")
+        rows_out = {r.id: r.name for r in
+                    sess.execute("SELECT * FROM ssw_things").collect()}
+        assert rows_out == {2: "two"}
