@@ -153,3 +153,55 @@ def kafka_murmur2_partition(key: "Column | str", num_partitions: int):
 
     key_col = col(key) if isinstance(key, str) else key
     return _murmur2_part(key_col)
+
+
+def write_kafka_wire(df, bootstrap: str, topic: str, *,
+                     key_col: str = "key", value_col: str = "value",
+                     num_partitions: int | None = None) -> int:
+    """Kafka SINK over the wire protocol (sources/kafka_wire.py client):
+    rows route to partitions by murmur2(key) — byte-identical to the
+    broker's DefaultPartitioner (kafka_murmur2 above) — then each Spark
+    task produces ITS partitions over its own connection. Returns the
+    row count written.
+
+    Parallel shape mirrors the source: shuffle on the computed partition
+    (one producer per partition, ordered within it — the reference's
+    sink contract, src/storage/src/sink/kafka.rs: per-partition ordered
+    appends), no driver-side record collection."""
+    from typing import Iterator
+
+    from pyspark.sql import functions as F
+
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, kafka_partitions,
+    )
+
+    host, port = bootstrap.rsplit(":", 1)
+    port_i = int(port)
+    if num_partitions is None:
+        num_partitions = len(kafka_partitions(bootstrap, topic)) or 1
+    routed = df.select(
+        F.col(key_col).cast("binary").alias("k"),
+        F.col(value_col).cast("binary").alias("v"),
+        kafka_murmur2_partition(F.col(key_col).cast("binary"),
+                                num_partitions).alias("p"),
+    ).repartition(num_partitions, "p")
+
+    def produce(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            n = 0
+            if len(pdf):
+                by_p: dict[int, list] = {}
+                for k, v, p in zip(pdf["k"], pdf["v"], pdf["p"]):
+                    by_p.setdefault(int(p), []).append(
+                        (bytes(k) if k is not None else None,
+                         bytes(v) if v is not None else None, -1))
+                with KafkaWireClient(host, port_i) as c:
+                    for p, recs in sorted(by_p.items()):
+                        c.produce(topic, p, recs)
+                        n += len(recs)
+            yield pd.DataFrame({"n": [n]})
+
+    out = routed.mapInPandas(produce, schema="n long")
+    return int(out.agg(F.sum("n")).first()[0] or 0)

@@ -183,3 +183,30 @@ def test_kafka_wire_stream_incremental_ivm(spark):
         assert (r.total, r.n) == (16, 4)
         # committed frontier: partition 1 consumed 2 records
         assert stream.offsets[1] == 2
+
+
+def test_kafka_wire_sink_roundtrip(spark):
+    """The SINK side over the socket: rows route by murmur2(key) exactly
+    like the broker's DefaultPartitioner, each task produces its
+    partitions, and reading the topic back returns the same records on
+    the same partitions a real producer would have chosen."""
+    from materialize_spark.sinks.writers import (
+        kafka_murmur2, write_kafka_wire,
+    )
+
+    with MiniBroker() as broker:
+        broker.create_topic("out_topic", partitions=4)
+        bootstrap = f"{broker.host}:{broker.port}"
+        rows = [(f"k{i}", f"v{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "key string, value string")
+        n = write_kafka_wire(df, bootstrap, "out_topic")
+        assert n == 40
+        back = read_kafka_wire(spark, bootstrap, "out_topic").collect()
+        assert len(back) == 40
+        got = {bytes(r.key).decode(): (bytes(r.value).decode(),
+                                       r.partition) for r in back}
+        for k, v in rows:
+            value, part = got[k]
+            assert value == v
+            # placement matches the broker's DefaultPartitioner exactly
+            assert part == (kafka_murmur2(k.encode()) & 0x7FFFFFFF) % 4
