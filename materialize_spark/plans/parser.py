@@ -103,6 +103,17 @@ class CreateSink(Stmt):
 
 
 @dataclass
+class CreateSinkKafka(Stmt):
+    name: str
+    source: str
+    connection: str
+    topic: str
+    key: str | None = None
+    fmt: str = "json"
+    envelope: str = "none"
+
+
+@dataclass
 class CreateSourceFile(Stmt):
     name: str
     path: str
@@ -579,7 +590,34 @@ class Parser:
             name = self.ident()
             self.expect_kw("FROM")
             source = self.ident()
-            self.expect_kw("INTO", "FILE")
+            self.expect_kw("INTO")
+            if self.take_kw("KAFKA"):
+                # CREATE SINK s FROM obj INTO KAFKA CONNECTION c
+                # (TOPIC 't') [KEY (col)] [FORMAT JSON] (reference
+                # KafkaSinkConnection, sinks.rs:137-140)
+                self.expect_kw("CONNECTION")
+                conn = self.ident()
+                topic = None
+                if self.peek().kind == "LP":
+                    inner = self.paren_span()
+                    pp = Parser(inner)
+                    pp.expect_kw("TOPIC")
+                    topic = pp.string()
+                    pp.expect_end()
+                key = None
+                if self.take_kw("KEY"):
+                    key = self.paren_span().strip()
+                fmt = "json"
+                envelope = "none"
+                if self.take_kw("FORMAT"):
+                    fmt = self.ident().lower()
+                if self.take_kw("ENVELOPE"):
+                    envelope = self.ident().lower()
+                self.expect_end()
+                return CreateSinkKafka(name, source, conn,
+                                       topic or name, key=key, fmt=fmt,
+                                       envelope=envelope)
+            self.expect_kw("FILE")
             path = self.string()
             fmt = "json"
             envelope = "none"
@@ -1146,7 +1184,7 @@ def parse_statement(sql: str) -> Stmt:
 __all__ = [
     "ParseError", "LexError", "Parser", "parse_statement",
     "Stmt", "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
-    "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
+    "CreateSink", "CreateSinkKafka", "CreateSourceFile", "CreateSourceLoadgen",
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
     "CreateConnection", "Drop", "CreateRole", "Grant", "Revoke", "SetRole",
     "SetVar", "ShowVar",

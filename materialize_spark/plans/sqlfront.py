@@ -265,6 +265,32 @@ class MzSession:
                                   "format": node.fmt,
                                   "envelope": node.envelope}
 
+    def _create_sink_kafka(self, node: ast.CreateSinkKafka, sql: str):
+        # CREATE SINK ... INTO KAFKA CONNECTION c (TOPIC 't'): the
+        # snapshot is produced NOW over the wire (sinks.writers.
+        # write_kafka_wire — murmur2 routing, per-partition producers);
+        # REFRESH-driven deltas re-produce like the file sinks.
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sinks.writers import write_kafka_wire
+        conn = self._connections.get(node.connection)
+        if conn is None:
+            raise KeyError(f"unknown connection {node.connection!r}")
+        bootstrap = f"{conn['host']}:{conn.get('port', 9092)}"
+        df = self.catalog.table(node.source)
+        key = node.key or df.columns[0]
+        if node.fmt != "json":
+            raise ValueError(f"unsupported sink format {node.fmt!r}")
+        payload = df.select(
+            F.col(key).cast("string").alias("key"),
+            F.to_json(F.struct(*df.columns)).alias("value"))
+        n = write_kafka_wire(payload, bootstrap, node.topic)
+        self._sinks[node.name] = {"from": node.source,
+                                  "path": f"kafka://{node.topic}",
+                                  "format": node.fmt,
+                                  "envelope": node.envelope,
+                                  "rows": n}
+
     def _create_source_file(self, node: ast.CreateSourceFile, sql: str):
         fmt, path = node.fmt, node.path
         if fmt == "debezium":
@@ -1145,6 +1171,7 @@ class MzSession:
         ast.CreateTableAs: _create_table_as,
         ast.CreateTable: _create_table,
         ast.CreateSink: _create_sink,
+        ast.CreateSinkKafka: _create_sink_kafka,
         ast.CreateSourceFile: _create_source_file,
         ast.CreateSourceLoadgen: _create_source_loadgen,
         ast.CreateSourceWebhook: _create_source_webhook,

@@ -210,3 +210,30 @@ def test_kafka_wire_sink_roundtrip(spark):
             assert value == v
             # placement matches the broker's DefaultPartitioner exactly
             assert part == (kafka_murmur2(k.encode()) & 0x7FFFFFFF) % 4
+
+
+def test_create_sink_into_kafka_sql(spark):
+    """CREATE SINK ... INTO KAFKA CONNECTION (TOPIC ...) produces the
+    snapshot over the wire; reading the topic back returns the rows."""
+    import json as _json
+
+    from materialize_spark.plans.sqlfront import MzSession
+
+    with MiniBroker() as broker:
+        broker.create_topic("sink_topic", partitions=2)
+        sess = MzSession(spark, "/root/testdata/sf0.001")
+        sess.execute(
+            f"CREATE CONNECTION kc TO KAFKA (host = '{broker.host}', "
+            f"port = {broker.port})")
+        sess.execute("CREATE SINK region_out FROM region INTO KAFKA "
+                     "CONNECTION kc (TOPIC 'sink_topic') "
+                     "KEY (r_regionkey) FORMAT JSON")
+        sinks = {r.name for r in sess.execute("SHOW SINKS").collect()}
+        assert "region_out" in sinks
+        bootstrap = f"{broker.host}:{broker.port}"
+        back = read_kafka_wire(spark, bootstrap, "sink_topic").collect()
+        assert len(back) == 5
+        payloads = {int(bytes(r.key)): _json.loads(bytes(r.value))
+                    for r in back}
+        assert payloads[0]["r_name"] is not None
+        assert set(payloads) == {0, 1, 2, 3, 4}
