@@ -64,3 +64,31 @@ def test_queries_not_journaled(spark, tmp_path):
     s.sql("SELECT 1 AS one").collect()
     s.execute("SHOW TABLES")
     assert s._journal == ["CREATE TABLE qj_t (x BIGINT)"]
+
+
+def test_every_statement_has_a_durability_decision():
+    """Partition check: every dispatched statement type is either
+    journaled (catalog-mutating) or explicitly classified as a read /
+    transient / external-effect statement. A new statement type must
+    pick a side or this fails."""
+    from materialize_spark.plans import parser as ast
+    from materialize_spark.plans.sqlfront import MzSession
+
+    dispatched = set(MzSession._DISPATCH)
+    journaled = set(MzSession._JOURNALED)
+    # reads, transient session state (cursors/prepared/txns/role
+    # identity), and external side effects (COPY TO, live Kafka sink —
+    # re-producing on replay would duplicate records in the broker)
+    non_durable = {
+        ast.Peek, ast.SelectAsOf, ast.TableStmt, ast.Wmr, ast.Show,
+        ast.ShowCreate, ast.ShowColumns, ast.ShowVar, ast.Explain,
+        ast.ExplainTimestamp, ast.Subscribe, ast.CopyTo, ast.Prepare,
+        ast.Execute, ast.Deallocate, ast.Declare, ast.Fetch, ast.Close,
+        ast.Begin, ast.Commit, ast.Rollback, ast.SetRole,
+        ast.CreateSinkKafka,
+    }
+    assert journaled <= dispatched
+    missing = dispatched - journaled - non_durable
+    assert not missing, f"undeclared durability for: {missing}"
+    overlap = journaled & non_durable
+    assert not overlap, f"contradictory classification: {overlap}"
