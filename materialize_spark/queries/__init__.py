@@ -66,7 +66,20 @@ def load_all() -> dict[str, QuerySpec]:
     # 67 of 142 entries, so this round's 50-slot window consists entirely
     # of entries no driver round has ever checked. Everything certified in
     # r1-r5 stays green via the local full-registry gate (tools/check.py,
-    # 142/142 at sf0.01) and rotates back in only if it regresses.
+    # 152/152 at sf0.01) and rotates back in only if it regresses.
+    #
+    # ROUND-7 TODO: rotate in the remaining 35-entry never-checked pool
+    # (after r6 certifies this window, union = 117+50 = can reach 152):
+    # scalar_to_char justify_interval datetime conditional date_bin
+    # like_battery casts2 string2 bits_encode uuid pg_compat2/3/4
+    # decimal38_margin; tablefunc repeat_row regexp_split csv_extract
+    # wrap generate_series_ts generate_subscripts; range_operations
+    # jsonb_mutation array_functions2 record_struct_ops; text_repetition
+    # text_url_stats; kafka_wire_e2e mv_consistency_frontier
+    # cdc_{pgoutput,mysql,sqlserver}_wire_apply sqlfront_{pg_catalog,
+    # rbac,catalog_restore,pgwire_roundtrip}. That is 35 entries; fill
+    # the other 15 slots with the highest-value already-certified
+    # representatives (tpch_q1, dedup/simsearch flagships).
     priority = [
         # never-checked TPC-H tail (the headline perf queries deserve
         # driver-certified correctness, not just local-gate green)
