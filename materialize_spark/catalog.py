@@ -444,6 +444,35 @@ class LazyTables(MutableMapping):
         self._loaded[name] = df
         return df
 
+    def compact(self, name: str) -> DataFrame:
+        """Broadcast-side compact arrangement: the SAME rows as the keyed
+        arrangement, persisted in row-sized shards (1-2 at bench scale).
+        A broadcast BUILD scans every shard of its input as one task
+        each — building from the 18-shard keyed arrangement costs ~15 ms
+        of pure task overhead per query, from the compact copy ~5 ms.
+        Registered as ``{name}_compact``; memory cost is one extra copy
+        of a dimension-class table, gated by the same ARRANGE_BYTES
+        budget (past budget: the keyed/base arrangement serves reads and
+        no copy is made)."""
+        view = f"{name}_compact"
+        if view in self._loaded:
+            return self._loaded[view]
+        base = self[name]
+        path = os.path.join(self._sf_dir, f"{name}.parquet")
+        cores = self._spark.sparkContext.defaultParallelism
+        rows_per_shard = int(os.environ.get(
+            "SPARK_GRAFT_ROWS_PER_SHARD", "32000"))
+        shards = max(1, min(_parquet_rows(path) // rows_per_shard, cores))
+        if 0 < _parquet_decoded_bytes(path) <= ARRANGE_BYTES:
+            arranged = base.repartition(shards).persist()
+        else:
+            arranged = base
+        if self._register:
+            arranged.createOrReplaceTempView(view)
+            view_owner(self._spark)[view] = self._sf_dir
+        self._loaded[view] = arranged
+        return arranged
+
     def __setitem__(self, name: str, df: DataFrame) -> None:
         self._loaded[name] = df
 

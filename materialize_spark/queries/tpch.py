@@ -172,7 +172,7 @@ def q5(spark, sf_dir):
     # derived CTE each cost a ~30 ms exchange job; PERF.md).
     return sql_over(
         spark, sf_dir,
-        ("customer", "orders", "lineitem", "supplier_denorm"), """
+        ("customer:compact", "orders", "lineitem", "supplier_denorm"), """
         SELECT /*+ BROADCAST(asia), SHUFFLE_HASH(orders) */
                n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
@@ -180,11 +180,12 @@ def q5(spark, sf_dir):
                 FROM supplier_denorm WHERE r_name = 'ASIA') asia
             ON l_suppkey = s_suppkey
           JOIN orders ON l_orderkey = o_orderkey
-          -- customer stays AQE/threshold-governed: broadcast here at
-          -- small SF (measured 30 ms faster than re-keying the joined
-          -- stream), shuffled-hash once its size estimate crosses the
-          -- threshold at scale.
-          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          -- customer_compact: broadcast-side arrangement (same rows,
+          -- row-sized shards) — the broadcast build is a 1-2 task scan
+          -- instead of one task per keyed shard; stays AQE/threshold-
+          -- governed at scale (shuffled-hash past the estimate).
+          JOIN customer_compact AS customer
+            ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name

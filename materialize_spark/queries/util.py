@@ -48,7 +48,11 @@ def sql_over(spark: SparkSession, sf_dir: str, tables: tuple[str, ...],
     tabs = load_tables(spark, sf_dir)
     owner = view_owner(spark)
     for n in tables:
-        if ":" in n:  # "orders:o_custkey" → secondary arrangement view
+        if n.endswith(":compact"):  # broadcast-side compact arrangement
+            base = n.split(":", 1)[0]
+            n = f"{base}_compact"
+            df = tabs.compact(base)
+        elif ":" in n:  # "orders:o_custkey" → secondary arrangement view
             base, key = n.split(":", 1)
             n = f"{base}_by_{key}"
             df = tabs.index(base, key)
