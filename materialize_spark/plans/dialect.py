@@ -35,6 +35,17 @@ _PG_TYPES = {
     "numeric": "DECIMAL(38,6)",
 }
 
+# Session context threaded in by MzSession before each statement: the
+# active role backs CURRENT_USER/SESSION_USER/CURRENT_ROLE, so SET ROLE
+# is visible through them (the reference returns the active role,
+# src/sql/src/func.rs current_user — a fixed literal was wrong here).
+_SESSION: dict[str, str] = {"user": "materialize"}
+
+
+def set_session_user(name: str) -> None:
+    _SESSION["user"] = name
+
+
 # piece tags that can stand alone as the operand of a postfix operator
 _OPERAND_TAGS = ("WORD", "QIDENT", "NUMBER", "STRING", "PARAM", "GROUP")
 
@@ -203,7 +214,8 @@ def _rewrite_slice(toks: list[Token]) -> str:
                     i += 3
                 else:
                     i += 1
-                val = "public" if low == "CURRENT_SCHEMA" else "materialize"
+                val = ("public" if low == "CURRENT_SCHEMA"
+                       else _SESSION.get("user", "materialize"))
                 pieces.append(("GROUP", f"'{val}'"))
                 continue
             if low == "CURRENT_SCHEMAS" and nxt is not None \

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from materialize_spark.catalog import Catalog
 from materialize_spark.plans import parser as ast
-from materialize_spark.plans.dialect import rewrite
+from materialize_spark.plans.dialect import rewrite, set_session_user
 from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
@@ -174,6 +174,7 @@ class MzSession:
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
         None (SHOW returns a DataFrame listing)."""
+        set_session_user(self._role)  # CURRENT_USER tracks SET ROLE
         try:
             node = ast.parse_statement(sql)
         except (ast.ParseError, LexError):
@@ -201,6 +202,11 @@ class MzSession:
 
     # -- CREATE -------------------------------------------------------------
     def _create_view(self, node: ast.CreateView, sql: str):
+        # PG requires SELECT on every base relation the body references —
+        # without this, a role denied SELECT on t could launder access by
+        # owning `CREATE VIEW v AS SELECT * FROM t` (reference rbac.rs
+        # checks item privileges on the view's dependency closure).
+        self._check_select_refs(node.body)
         self._owners[node.name] = self._role
         df = self.spark.sql(rewrite(node.body))
         if node.materialized:
@@ -239,6 +245,7 @@ class MzSession:
         self.catalog.create_index(node.name or f"{node.on}_idx", df, *keys)
 
     def _create_table_as(self, node: ast.CreateTableAs, sql: str):
+        self._check_select_refs(node.body)  # same laundering guard as views
         self._owners[node.name] = self._role
         self.catalog.register_table(
             node.name,
@@ -589,6 +596,7 @@ class MzSession:
     def _delete(self, node: ast.Delete, sql: str):
         # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
         # keep the rows where p is not TRUE (NULL predicate keeps).
+        self._check_priv("delete", node.table)
         target = self.catalog._tables[node.table]
         kept = (target.limit(0) if node.where is None else
                 target.filter(f"NOT coalesce(({rewrite(node.where)}), false)"))
@@ -774,6 +782,7 @@ class MzSession:
         # bulk-append files into a table, schema-aligned to the target
         # (the reference's COPY FROM stdin analog for an engine whose
         # inputs are files).
+        self._check_priv("insert", node.table)
         target = self.catalog._tables[node.table]
         reader = self.spark.read.schema(target.schema)
         rows = (reader.option("header", "true").csv(node.path)

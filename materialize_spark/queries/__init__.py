@@ -61,56 +61,42 @@ def load_all() -> dict[str, QuerySpec]:
     # window_functions → ranking + navigation + ROWS frames) buy slots for
     # otherwise-untested families. The remainder round-robins across
     # modules so any longer evaluation prefix still spans the surface.
-    # Round-6 rotation policy (VERDICT r5 item 3): driver certification
-    # ACCUMULATES across rounds — the union of CORRECTNESS_r1..r5 covers
-    # 67 of 142 entries, so this round's 50-slot window consists entirely
-    # of entries no driver round has ever checked. Everything certified in
-    # r1-r5 stays green via the local full-registry gate (tools/check.py,
+    # Rotation policy (VERDICT r5 item 3): driver certification ACCUMULATES
+    # across rounds — the union of CORRECTNESS_r1..r6 covers 117 of 152
+    # entries. This round's 50-slot window holds the FINAL 35 entries no
+    # driver round has ever checked (⇒ union reaches 152/152), plus 15
+    # already-certified flagships as regression sentinels. Everything else
+    # stays green via the local full-registry gate (tools/check.py,
     # 152/152 at sf0.01) and rotates back in only if it regresses.
-    #
-    # ROUND-7 TODO: rotate in the remaining 35-entry never-checked pool
-    # (after r6 certifies this window, union = 117+50 = can reach 152):
-    # scalar_to_char justify_interval datetime conditional date_bin
-    # like_battery casts2 string2 bits_encode uuid pg_compat2/3/4
-    # decimal38_margin; tablefunc repeat_row regexp_split csv_extract
-    # wrap generate_series_ts generate_subscripts; range_operations
-    # jsonb_mutation array_functions2 record_struct_ops; text_repetition
-    # text_url_stats; kafka_wire_e2e mv_consistency_frontier
-    # cdc_{pgoutput,mysql,sqlserver}_wire_apply sqlfront_{pg_catalog,
-    # rbac,catalog_restore,pgwire_roundtrip}. That is 35 entries; fill
-    # the other 15 slots with the highest-value already-certified
-    # representatives (tpch_q1, dedup/simsearch flagships).
     priority = [
-        # never-checked TPC-H tail (the headline perf queries deserve
-        # driver-certified correctness, not just local-gate green)
-        "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
-        "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22", "tpch_q20_adapted",
-        # LetRec fixpoints + TopK variants
-        "letrec_reachability", "letrec_mutual_parity",
-        "topk_orders_per_segment", "topk_events_per_user",
-        # join shapes (skew-salted, 16-way, cross, decorrelated subquery)
-        "join_skew_salted", "join_wide_16way", "cross_join_pairs",
-        "subquery_decorrelated",
-        # aggregate tail
-        "agg_statistics", "agg_jsonb_agg", "agg_map_agg",
-        "agg_string_agg_ordered", "agg_rollup", "agg_grouping_sets",
-        # window tail (hopping, navigation, native streaming sessions)
-        "window_hopping", "window_lag_lead", "window_session_native",
-        "sessionization",
-        # scalar/tablefunc spot-checks from the never-checked pool
-        "jsonb_path_battery", "scalar_encode_digest",
-        "tablefunc_unnest_ordinality",
-        # sources / sinks (SQL Server CDC decode, Iceberg sink)
-        "cdc_sqlserver_apply", "sink_iceberg_roundtrip",
-        # LLM pipeline: similarity search + dedup never-checked variants
-        "simsearch_sq8", "simsearch_lsh_pairs", "dedup_embedding_cosine",
-        "dedup_spans",
-        # LLM pipeline: text analysis + sampling
-        "text_language_id", "text_quality", "text_token_counts",
-        "text_fingerprint", "text_lm_score", "pipeline_sample_temperature",
-        # multimodal real codecs (audio/video; image certified in r5)
-        "multimodal_audio_real", "multimodal_video_real",
+        # --- the 35 never-driver-certified entries (round-7 window) ---
+        # scalar surface tail
+        "scalar_to_char", "scalar_justify_interval", "scalar_datetime",
+        "scalar_conditional", "scalar_date_bin", "scalar_like_battery",
+        "scalar_casts2", "scalar_string2", "scalar_bits_encode",
+        "scalar_uuid", "scalar_pg_compat2", "scalar_pg_compat3",
+        "scalar_pg_compat4", "scalar_decimal38_margin",
+        # table-function tail
+        "tablefunc_repeat_row", "tablefunc_regexp_split",
+        "tablefunc_csv_extract", "tablefunc_wrap",
+        "tablefunc_generate_series_ts", "tablefunc_generate_subscripts",
+        # collections / records / ranges
+        "range_operations", "jsonb_mutation", "array_functions2",
+        "record_struct_ops",
+        # text-analysis tail
+        "text_repetition", "text_url_stats",
+        # wire sources end-to-end + cross-MV consistency
+        "kafka_wire_e2e", "cdc_pgoutput_wire_apply", "cdc_mysql_wire_apply",
+        "cdc_sqlserver_wire_apply", "mv_consistency_frontier",
+        # session-control surface
+        "sqlfront_pg_catalog", "sqlfront_rbac", "sqlfront_catalog_restore",
+        "sqlfront_pgwire_roundtrip",
+        # --- 15 already-certified regression sentinels ---
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "simsearch_cosine_topk", "simsearch_ivf_disk",
+        "ivm_retraction_agg", "temporal_filter",
+        "sqlfront_matview_roundtrip", "window_functions", "agg_battery",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

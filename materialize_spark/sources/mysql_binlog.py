@@ -321,17 +321,38 @@ def decode_binlog_stream(df: DataFrame, event_col: str = "event",
         df, event_col)
     col_names = columns or {}
 
+    # Cross-task same-pos ordering via a deterministic wire position —
+    # see pgoutput.decode_pgoutput_stream for why this must be computed
+    # on the input (monotonically_increasing_id) rather than derived
+    # from TaskContext in the decode task.
+    streaming = df.isStreaming
+    cols = [pos_col, event_col]
+    src = (df.select(*cols) if streaming else
+           df.select(*cols,
+                     F.monotonically_increasing_id().alias("_wirepos")))
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         local = dict(maps)
-        seq = 0  # row order within the task: same-pos tie resolution
+        ctx = TaskContext.get()
+        task_seq = (ctx.partitionId() if ctx is not None else 0) << 40
         for pdf in batches:
             out = {k: [] for k in ("pos", "seq", "relation", "op",
                                    "before", "after")}
-            for pos_v, raw in zip(pdf[pos_col], pdf[event_col]):
+            poss = (pdf["_wirepos"] if "_wirepos" in pdf.columns
+                    else [None] * len(pdf))
+            for pos_v, raw, wpos in zip(pdf[pos_col], pdf[event_col], poss):
+                if wpos is None:
+                    task_seq += 1
+                    base_seq = task_seq << 12
+                else:
+                    # room for 4096 rows per rows-event
+                    base_seq = int(wpos) << 12
                 envs = parse_rows_event(bytes(raw), local)
                 if not envs:
                     continue
-                for env in envs:
+                for j, env in enumerate(envs):
                     names = col_names.get(env["relation"])
 
                     def named(vals):
@@ -340,17 +361,15 @@ def decode_binlog_stream(df: DataFrame, event_col: str = "event",
                         ns = names or [f"c{i}" for i in range(len(vals))]
                         return json.dumps(dict(zip(ns, vals)))
 
-                    seq += 1
                     out["pos"].append(int(pos_v))
-                    out["seq"].append(seq)
+                    out["seq"].append(base_seq + j)
                     out["relation"].append(env["relation"])
                     out["op"].append(env["op"])
                     out["before"].append(named(env["before"]))
                     out["after"].append(named(env["after"]))
             yield pd.DataFrame(out)
 
-    return df.select(pos_col, event_col).mapInPandas(
-        decode, schema=ENVELOPE_SCHEMA)
+    return src.mapInPandas(decode, schema=ENVELOPE_SCHEMA)
 
 
 def binlog_to_diff(env: DataFrame, relation: str, row_ddl: str,

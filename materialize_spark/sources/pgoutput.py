@@ -234,13 +234,42 @@ def decode_pgoutput_stream(df: DataFrame, message_col: str = "message",
     rels = relations if relations is not None else collect_relations(
         df, message_col)
 
+    # Same-LSN ordering must hold ACROSS tasks (a multi-partition frame
+    # splits one LSN's messages over tasks whose local counters would
+    # otherwise overlap — insert-then-delete at one LSN could resurrect
+    # the row). seq derives from a wire position computed on the INPUT:
+    # monotonically_increasing_id is partition-prefixed with the child
+    # RDD's partition index, so it is (a) a total order whenever
+    # partition order == wire order (true for the drained frames) and
+    # (b) DETERMINISTIC across plan re-evaluations — a TaskContext-based
+    # prefix is not (in a union, branch tasks get union-level partition
+    # ids, so pgoutput_to_diff's +1/-1 branches would disagree on seq).
+    # Streaming frames disallow the id expression; there each micro-batch
+    # decodes once into state, so the per-task prefix is safe.
+    streaming = df.isStreaming
+    cols = [lsn_col, message_col]
+    src = (df.select(*cols) if streaming else
+           df.select(*cols,
+                     F.monotonically_increasing_id().alias("_wirepos")))
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         local = dict(rels)  # per-task copy; in-stream 'R' still honored
-        seq = 0  # message order within the task: LSN-tie resolution
+        ctx = TaskContext.get()
+        task_seq = (ctx.partitionId() if ctx is not None else 0) << 40
         for pdf in batches:
             out = {k: [] for k in ("lsn", "seq", "relation", "op", "before",
                                    "after", "key_only_before")}
-            for lsn, raw in zip(pdf[lsn_col], pdf[message_col]):
+            poss = (pdf["_wirepos"] if "_wirepos" in pdf.columns
+                    else [None] * len(pdf))
+            for lsn, raw, pos in zip(pdf[lsn_col], pdf[message_col], poss):
+                if pos is None:
+                    task_seq += 1
+                    base_seq = task_seq << 12
+                else:
+                    # room for 4096 rows per message (truncate fan-out)
+                    base_seq = int(pos) << 12
                 env = parse_message(bytes(raw), local)
                 if env is None:
                     continue
@@ -251,19 +280,17 @@ def decode_pgoutput_stream(df: DataFrame, message_col: str = "message",
                     # truncated relation; pgoutput_to_diff turns it into
                     # an execution-time error (or skips it on
                     # on_truncate="ignore"), like DECODING ERRORS=INLINE.
-                    for rel_name in env["relations"]:
-                        seq += 1
+                    for j, rel_name in enumerate(env["relations"]):
                         out["lsn"].append(int(lsn))
-                        out["seq"].append(seq)
+                        out["seq"].append(base_seq + j)
                         out["relation"].append(rel_name)
                         out["op"].append("truncate")
                         out["before"].append(None)
                         out["after"].append(None)
                         out["key_only_before"].append("f")
                     continue
-                seq += 1
                 out["lsn"].append(int(lsn))
-                out["seq"].append(seq)
+                out["seq"].append(base_seq)
                 out["relation"].append(env["relation"])
                 out["op"].append(env["op"])
                 out["before"].append(
@@ -276,8 +303,7 @@ def decode_pgoutput_stream(df: DataFrame, message_col: str = "message",
                     "t" if env["key_only_before"] else "f")
             yield pd.DataFrame(out)
 
-    return df.select(lsn_col, message_col).mapInPandas(
-        decode, schema=ENVELOPE_SCHEMA)
+    return src.mapInPandas(decode, schema=ENVELOPE_SCHEMA)
 
 
 def typed_projection(col: str | Column, relation: dict) -> list[Column]:

@@ -89,6 +89,18 @@ class MaterializedView:
         self._history = None
         return delta
 
+    def snapshot_state(self) -> tuple[DataFrame | None, DataFrame | None]:
+        """Copyable handle to the maintained state. DataFrames are
+        immutable, so holding (state, history) IS a snapshot — restoring
+        it undoes any number of on_batch/on_state applications (used by
+        CoordinatedSource for all-or-nothing multi-view ingest, the
+        txn-wal atomic-apply property)."""
+        return (self._state, self._history)
+
+    def restore_state(
+            self, snap: tuple[DataFrame | None, DataFrame | None]) -> None:
+        self._state, self._history = snap
+
     def result(self) -> DataFrame:
         if self._state is None:
             empty = self.spark.createDataFrame([], self.define(

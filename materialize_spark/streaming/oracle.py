@@ -107,16 +107,26 @@ class CoordinatedSource:
         """Apply one source batch to every member view, then publish all
         results at one new timestamp. Returns the committed timestamp.
 
-        Failure atomicity: if any member's apply raises, the frontier and
-        every published snapshot stay at the previous timestamp (the
-        txn-wal property — a multi-view write lands everywhere or
-        nowhere, as far as readers can tell)."""
+        Failure atomicity: if any member's apply raises, every member's
+        INTERNAL state is rolled back to its pre-batch snapshot and the
+        frontier and published snapshots stay at the previous timestamp —
+        so a failed ingest can simply be retried with the same batch and
+        no member double-applies (the txn-wal property: a multi-view
+        write lands everywhere or nowhere,
+        /root/reference/src/txn-wal/src/lib.rs:10-18)."""
         ts = self.oracle.write_ts()
+        saved = {name: mv.snapshot_state()
+                 for name, mv in self._members.items()}
         staged: dict[str, tuple[DataFrame, DataFrame]] = {}
-        for name, mv in self._members.items():
-            delta = mv.on_batch(batch_df)
-            staged[name] = (mv.result().localCheckpoint(eager=True),
-                            delta.localCheckpoint(eager=True))
+        try:
+            for name, mv in self._members.items():
+                delta = mv.on_batch(batch_df)
+                staged[name] = (mv.result().localCheckpoint(eager=True),
+                                delta.localCheckpoint(eager=True))
+        except BaseException:
+            for name, snap in saved.items():
+                self._members[name].restore_state(snap)
+            raise
         with self._lock:
             for name, (state, delta) in staged.items():
                 self._published[name] = _Published(ts, state)

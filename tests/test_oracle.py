@@ -111,3 +111,49 @@ def test_subscribe_deltas_aligned_across_members(spark):
     # since-cursor: strictly-after semantics
     later = src.subscribe("totals", since=1).collect()
     assert {r.mz_timestamp for r in later} == {2}
+
+
+def test_failed_ingest_is_retryable_without_double_apply(spark):
+    """Retry safety (txn-wal exactly-once multi-shard apply): member 2 of
+    3 fails transiently mid-batch; every member's INTERNAL state rolls
+    back, so retrying the same batch converges all three to the correct
+    state at one timestamp — no member double-applies."""
+    src = CoordinatedSource()
+    src.attach("totals", _sum_view(spark))
+
+    class Flaky(MaterializedView):
+        fail_next = True
+
+        def on_batch(self, batch_df):
+            if Flaky.fail_next:
+                Flaky.fail_next = False
+                raise RuntimeError("transient decode error")
+            return super().on_batch(batch_df)
+
+    src.attach("counts", Flaky(
+        spark=spark,
+        define=lambda df: df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")),
+        keys=["k"], combine={"n": "sum"}))
+    src.attach("maxes", MaterializedView(
+        spark=spark,
+        define=lambda df: df.groupBy("k").agg(F.max("v").alias("hi")),
+        keys=["k"], combine={"hi": "max"}))
+
+    Flaky.fail_next = False
+    ts1 = src.ingest(_batch(spark, [("a", 1), ("b", 2)]))
+    Flaky.fail_next = True
+    batch2 = _batch(spark, [("a", 10), ("b", 20)])
+    with pytest.raises(RuntimeError, match="transient"):
+        src.ingest(batch2)
+    ts2 = src.ingest(batch2)  # the retry
+    assert ts2 > ts1 and src.frontier() == ts2
+    t1, s1 = src.peek("totals")
+    t2, s2 = src.peek("counts")
+    t3, s3 = src.peek("maxes")
+    assert t1 == t2 == t3 == ts2
+    # totals applied batch2 exactly ONCE despite member 1 having applied
+    # before member 2 raised on the first attempt
+    assert {r.k: r.total for r in s1.collect()} == {"a": 11, "b": 22}
+    assert {r.k: r.n for r in s2.collect()} == {"a": 2, "b": 2}
+    assert {r.k: r.hi for r in s3.collect()} == {"a": 10, "b": 20}

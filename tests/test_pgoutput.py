@@ -226,6 +226,32 @@ def test_same_lsn_insert_then_delete(spark):
     assert list(state.name) == ["back"]
 
 
+def test_same_lsn_tie_across_partitions(spark):
+    """Same-LSN ordering must survive a MULTI-partition log frame: the
+    decode seq is partition-prefixed (partition order == wire order), so
+    an insert in task 0 and its delete in task 1 at one LSN still apply
+    insert-then-delete — per-task counters alone would overlap and could
+    resurrect the row (driver ADVICE r6)."""
+    msgs = [
+        _relation_msg(),
+        encode_insert(ACCOUNTS_OID, [7, "ghost", 1.0, "t"]),
+        encode_delete(ACCOUNTS_OID, [7, None, None, None]),
+    ]
+    rows = [(1, bytearray(msgs[0])), (5, bytearray(msgs[1])),
+            (5, bytearray(msgs[2]))]
+    # two slices in wire order: [rel, insert] | [delete]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        "lsn long, message binary")
+    assert df.rdd.getNumPartitions() == 2
+    rels = collect_relations(df)
+    diff = pgoutput_to_diff(decode_pgoutput_stream(df, relations=rels),
+                            rels[ACCOUNTS_OID])
+    base = spark.createDataFrame(
+        [], "id long, name string, balance double, active boolean")
+    assert apply_cdc(base, diff, ["id"]).count() == 0
+
+
 def test_oid_coverage():
     # every advertised OID casts to a valid Spark type string
     from pyspark.sql.types import _parse_datatype_string

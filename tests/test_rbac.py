@@ -77,6 +77,63 @@ def test_grant_all_and_owner_bypass(spark):
     s.execute("DROP TABLE own_t")  # superuser may
 
 
+def test_delete_and_copy_require_grants(spark, tmp_path):
+    # DELETE needs the DELETE privilege and COPY FROM needs INSERT —
+    # without these checks a grantless role could wipe or bulk-load any
+    # table (PG/reference rbac.rs check the same privileges).
+    s = _sess(spark)
+    s.execute("CREATE ROLE intruder")
+    s.execute("SET ROLE intruder")
+    with pytest.raises(PermissionError, match="DELETE"):
+        s.execute("DELETE FROM rbac_t")
+    path = str(tmp_path / "rows.json")
+    with pytest.raises(PermissionError, match="INSERT"):
+        s.execute(f"COPY rbac_t FROM '{path}' WITH (FORMAT JSON)")
+    s.execute("RESET ROLE")
+    assert s.sql("SELECT count(*) AS n FROM rbac_t").first().n == 1
+    s.execute("GRANT DELETE ON rbac_t TO intruder")
+    s.execute("SET ROLE intruder")
+    s.execute("DELETE FROM rbac_t WHERE k = 'a'")
+    s.execute("RESET ROLE")
+    assert s.sql("SELECT count(*) AS n FROM rbac_t").first().n == 0
+
+
+def test_view_creation_cannot_launder_select(spark):
+    # CREATE VIEW / CTAS / CREATE MATERIALIZED VIEW require SELECT on the
+    # base relations: otherwise a denied role could own a view over the
+    # table and read it through the owner bypass.
+    s = _sess(spark)
+    s.execute("CREATE ROLE analyst")
+    s.execute("SET ROLE analyst")
+    with pytest.raises(PermissionError, match="rbac_t"):
+        s.execute("CREATE VIEW leak_v AS SELECT * FROM rbac_t")
+    with pytest.raises(PermissionError, match="rbac_t"):
+        s.execute("CREATE TABLE leak_t AS SELECT * FROM rbac_t")
+    with pytest.raises(PermissionError, match="rbac_t"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW leak_mv AS SELECT * FROM rbac_t")
+    s.execute("RESET ROLE")
+    s.execute("GRANT SELECT ON rbac_t TO analyst")
+    s.execute("SET ROLE analyst")
+    s.execute("CREATE VIEW ok_v AS SELECT k FROM rbac_t")
+    assert s.sql("SELECT count(*) AS n FROM ok_v").first().n == 1
+
+
+def test_current_user_tracks_set_role(spark):
+    # The reference returns the ACTIVE role from current_user /
+    # session_user / current_role, not a fixed literal.
+    s = _sess(spark)
+    assert s.sql("SELECT current_user AS u").first().u == "materialize"
+    s.execute("CREATE ROLE analyst")
+    s.execute("GRANT SELECT ON rbac_t TO analyst")
+    s.execute("SET ROLE analyst")
+    assert s.sql("SELECT current_user AS u").first().u == "analyst"
+    assert s.sql("SELECT current_role AS u").first().u == "analyst"
+    assert s.sql("SELECT session_user AS u").first().u == "analyst"
+    s.execute("RESET ROLE")
+    assert s.sql("SELECT current_user AS u").first().u == "materialize"
+
+
 def test_revoked_role_grants_die_with_role(spark):
     s = _sess(spark)
     s.execute("CREATE ROLE temp_r")
