@@ -16,8 +16,16 @@ protocol-flow.html) over :class:`MzSession`:
   DataRows + CommandComplete; DDL returns its command tag;
 - errors → ErrorResponse with the Python message, then ReadyForQuery
   (the session survives, like a real server);
-- the extended protocol (Parse/Bind/Execute) is declined with a clear
-  error — PREPARE/EXECUTE are available as SQL statements instead.
+- the EXTENDED protocol (reference protocol.rs extended-query state
+  machine: Parse/Bind/Describe/Execute/Close/Flush/Sync), which is what
+  real drivers (psycopg, JDBC) use for every parameterized query:
+  Parse stores a named prepared statement with $n parameters; Bind
+  substitutes text-format parameters as typed SQL literals into a
+  portal; Describe returns ParameterDescription/RowDescription (the
+  portal's query is PLANNED lazily for its schema — Spark DataFrames
+  are plans, so this has no side effects); Execute streams DataRows
+  with the max-row/PortalSuspended resume protocol; errors put the
+  connection in error state until Sync, per the spec.
 
 A matching minimal client (``PgWireClient``) is included for tests and
 tooling, reusing the same public protocol (it is NOT needed to talk to
@@ -47,6 +55,35 @@ _OIDS = {
 
 def _cstr(s: str) -> bytes:
     return s.encode() + b"\0"
+
+
+def _param_indices(sql: str) -> list[str]:
+    """$n parameter numbers in a statement, quote-aware (mirrors
+    _substitute_params's scan)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            out.append(sql[i + 1:j])
+            i = j
+            continue
+        i += 1
+    return out
 
 
 def _render(v) -> bytes | None:
@@ -142,6 +179,11 @@ class MzPgServer:
                 conn.sendall(self._msg(b"S", _cstr(k) + _cstr(v)))
             conn.sendall(self._msg(b"K", struct.pack(">ii", 1, 1)))
             conn.sendall(self._msg(b"Z", b"I"))
+            # extended-protocol connection state (protocol.rs keeps the
+            # same per-connection maps of prepared statements + portals)
+            stmts: dict[str, tuple[str, tuple[int, ...]]] = {}
+            portals: dict[str, dict] = {}
+            in_error = False  # skip-until-Sync after an extended error
             while True:
                 tag = self._recv_exact(conn, 1)
                 if tag is None:
@@ -150,14 +192,31 @@ class MzPgServer:
                 payload = self._recv_exact(conn, sz - 4)
                 if tag == b"X":
                     return
+                if tag == b"S":  # Sync: leave error state, ReadyForQuery
+                    in_error = False
+                    conn.sendall(self._msg(b"Z", b"I"))
+                    continue
+                if in_error and tag in (b"P", b"B", b"E", b"D", b"C",
+                                        b"H"):
+                    continue  # discarded until Sync, per the spec
                 if tag == b"Q":
                     self._simple_query(conn, payload.rstrip(b"\0").decode())
-                elif tag in (b"P", b"B", b"E", b"D", b"C", b"S"):
-                    conn.sendall(self._msg(
-                        b"E", b"SERROR\0C0A000\0Mextended protocol not "
-                              b"supported; use simple queries (PREPARE/"
-                              b"EXECUTE are available as SQL)\0\0"))
-                    conn.sendall(self._msg(b"Z", b"I"))
+                elif tag == b"P":
+                    in_error = not self._parse(conn, payload, stmts)
+                elif tag == b"B":
+                    in_error = not self._bind(conn, payload, stmts, portals)
+                elif tag == b"D":
+                    in_error = not self._describe(conn, payload, stmts,
+                                                  portals)
+                elif tag == b"E":
+                    in_error = not self._execute(conn, payload, portals)
+                elif tag == b"C":
+                    kind = payload[0:1]
+                    name = payload[1:].split(b"\0")[0].decode()
+                    (stmts if kind == b"S" else portals).pop(name, None)
+                    conn.sendall(self._msg(b"3"))  # CloseComplete
+                elif tag == b"H":  # Flush — we already send eagerly
+                    pass
         except (ConnectionError, OSError):
             pass
         finally:
@@ -165,6 +224,239 @@ class MzPgServer:
                 conn.close()
             except OSError:
                 pass
+
+    # -- extended protocol ---------------------------------------------------
+    # PG type OID → SQL cast target for substituted parameter literals
+    _PARAM_CASTS = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
+                    700: "float", 701: "double", 1082: "date",
+                    1114: "timestamp", 1700: "decimal(38,9)"}
+    _QUERY_HEADS = frozenset(
+        ["select", "show", "with", "values", "table", "explain"])
+
+    def _ext_error(self, conn: socket.socket, message: str) -> bool:
+        """ErrorResponse in extended mode; returns False (→ error state:
+        the caller discards messages until Sync, per the spec)."""
+        self._send_error(conn, message)
+        return False
+
+    def _parse(self, conn, payload: bytes,
+               stmts: dict[str, tuple[str, tuple[int, ...]]]) -> bool:
+        try:
+            end = payload.index(0)
+            name = payload[:end].decode()
+            end2 = payload.index(0, end + 1)
+            sql = payload[end + 1:end2].decode()
+            (n,) = struct.unpack_from(">h", payload, end2 + 1)
+            oids = struct.unpack_from(f">{n}i", payload, end2 + 3)
+        except (ValueError, struct.error) as ex:
+            return self._ext_error(conn, f"malformed Parse: {ex}")
+        stmts[name] = (sql, tuple(oids))
+        conn.sendall(self._msg(b"1"))  # ParseComplete
+        return True
+
+    @staticmethod
+    def _substitute_params(sql: str, values: list[bytes | None],
+                           oids: tuple[int, ...]) -> str:
+        """Replace $n placeholders with typed SQL literals (text-format
+        parameters). Quote-aware: $n inside string literals, quoted
+        identifiers, or dollar-quoted strings is left alone."""
+        out = []
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n:
+                    if sql[j] == c:
+                        if j + 1 < n and sql[j + 1] == c:  # '' escape
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(sql[i:j + 1])
+                i = j + 1
+                continue
+            if c == "$" and i + 1 < n and sql[i + 1].isdigit():
+                j = i + 1
+                while j < n and sql[j].isdigit():
+                    j += 1
+                idx = int(sql[i + 1:j]) - 1
+                if idx < 0 or idx >= len(values):
+                    raise ValueError(f"parameter ${idx + 1} not bound")
+                v = values[idx]
+                if v is None:
+                    lit = "NULL"
+                else:
+                    lit = "'" + v.decode().replace("'", "''") + "'"
+                cast = (MzPgServer._PARAM_CASTS.get(oids[idx])
+                        if idx < len(oids) else None)
+                out.append(f"CAST({lit} AS {cast})" if cast and v is not None
+                           else lit)
+                i = j
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _bind(self, conn, payload: bytes, stmts, portals) -> bool:
+        try:
+            end = payload.index(0)
+            portal = payload[:end].decode()
+            end2 = payload.index(0, end + 1)
+            stmt = payload[end + 1:end2].decode()
+            pos = end2 + 1
+            (nfmt,) = struct.unpack_from(">h", payload, pos)
+            pos += 2
+            fmts = struct.unpack_from(f">{nfmt}h", payload, pos)
+            pos += 2 * nfmt
+            (nval,) = struct.unpack_from(">h", payload, pos)
+            pos += 2
+            values: list[bytes | None] = []
+            for k in range(nval):
+                (ln,) = struct.unpack_from(">i", payload, pos)
+                pos += 4
+                if ln < 0:
+                    values.append(None)
+                else:
+                    values.append(payload[pos:pos + ln])
+                    pos += ln
+                fmt = fmts[k] if nfmt == nval else (
+                    fmts[0] if nfmt == 1 else 0)
+                if fmt == 1 and values[-1] is not None:
+                    return self._ext_error(
+                        conn, "binary-format parameters not supported; "
+                              "send text format")
+            (nrf,) = struct.unpack_from(">h", payload, pos)
+            pos += 2
+            rfmts = struct.unpack_from(f">{nrf}h", payload, pos)
+            if any(f == 1 for f in rfmts):
+                return self._ext_error(
+                    conn, "binary result format not supported")
+        except (ValueError, struct.error) as ex:
+            return self._ext_error(conn, f"malformed Bind: {ex}")
+        if stmt not in stmts:
+            return self._ext_error(conn,
+                                   f"unknown prepared statement {stmt!r}")
+        sql, oids = stmts[stmt]
+        try:
+            bound = self._substitute_params(sql, values, oids)
+        except ValueError as ex:
+            return self._ext_error(conn, str(ex))
+        head = bound.lstrip().split(None, 1)
+        portals[portal] = {
+            "sql": bound, "df": None, "rows": None, "cursor": 0,
+            "is_query": bool(head) and head[0].lower() in self._QUERY_HEADS,
+        }
+        conn.sendall(self._msg(b"2"))  # BindComplete
+        return True
+
+    def _plan_portal(self, p: dict):
+        """Plan (not run) a query portal's DataFrame once. Spark
+        DataFrames are lazy plans, so this is the side-effect-free
+        schema source Describe needs."""
+        if p["df"] is None:
+            p["df"] = self.session.execute(p["sql"])
+        return p["df"]
+
+    def _describe(self, conn, payload: bytes, stmts, portals) -> bool:
+        kind = payload[0:1]
+        name = payload[1:].split(b"\0")[0].decode()
+        if kind == b"S":
+            if name not in stmts:
+                return self._ext_error(
+                    conn, f"unknown prepared statement {name!r}")
+            sql, oids = stmts[name]
+            nparams = max(
+                [int(m) for m in _param_indices(sql)] + [len(oids)])
+            desc = struct.pack(">h", nparams)
+            for k in range(nparams):
+                desc += struct.pack(
+                    ">i", oids[k] if k < len(oids) and oids[k] else 25)
+            conn.sendall(self._msg(b"t", desc))  # ParameterDescription
+            head = sql.lstrip().split(None, 1)
+            if head and head[0].lower() in self._QUERY_HEADS:
+                try:
+                    nulls = [None] * nparams
+                    df = self.session.execute(
+                        self._substitute_params(sql, nulls, oids))
+                    conn.sendall(self._msg(b"T", self._row_desc(df)))
+                except Exception:
+                    conn.sendall(self._msg(b"n"))  # NoData
+            else:
+                conn.sendall(self._msg(b"n"))
+            return True
+        if name not in portals:
+            return self._ext_error(conn, f"unknown portal {name!r}")
+        p = portals[name]
+        if not p["is_query"]:
+            conn.sendall(self._msg(b"n"))
+            return True
+        try:
+            df = self._plan_portal(p)
+        except Exception as ex:
+            return self._ext_error(conn, str(ex))
+        if df is None:
+            conn.sendall(self._msg(b"n"))
+            return True
+        conn.sendall(self._msg(b"T", self._row_desc(df)))
+        return True
+
+    def _execute(self, conn, payload: bytes, portals) -> bool:
+        end = payload.index(0)
+        name = payload[:end].decode()
+        (max_rows,) = struct.unpack_from(">i", payload, end + 1)
+        if name not in portals:
+            return self._ext_error(conn, f"unknown portal {name!r}")
+        p = portals[name]
+        try:
+            if p["rows"] is None:
+                out = self._plan_portal(p) if p["is_query"] else \
+                    self.session.execute(p["sql"])
+                if out is None:  # DDL / DML
+                    head = p["sql"].lstrip().split(None, 2)
+                    tag = " ".join(head[:2]).upper() if head else "OK"
+                    conn.sendall(self._msg(b"C", _cstr(tag)))
+                    return True
+                p["df"] = out
+                p["rows"] = out.collect()
+                p["cursor"] = 0
+        except Exception as ex:
+            return self._ext_error(conn, str(ex))
+        rows, cur = p["rows"], p["cursor"]
+        stop = len(rows) if max_rows <= 0 else min(len(rows),
+                                                   cur + max_rows)
+        nf = len(p["df"].schema.fields)
+        for row in rows[cur:stop]:
+            conn.sendall(self._msg(b"D", self._data_row(row, nf)))
+        p["cursor"] = stop
+        if stop < len(rows):
+            conn.sendall(self._msg(b"s"))  # PortalSuspended — resumable
+        else:
+            conn.sendall(self._msg(b"C", _cstr(f"SELECT {stop}")))
+        return True
+
+    @staticmethod
+    def _row_desc(df) -> bytes:
+        fields = df.schema.fields
+        desc = struct.pack(">h", len(fields))
+        for f in fields:
+            simple = f.dataType.simpleString()
+            oid = (1700 if simple.startswith("decimal")
+                   else _OIDS.get(simple, 25))
+            desc += (_cstr(f.name)
+                     + struct.pack(">ihihih", 0, 0, oid, -1, -1, 0))
+        return desc
+
+    @staticmethod
+    def _data_row(row, nfields: int) -> bytes:
+        cells = struct.pack(">h", nfields)
+        for v in row:
+            r = _render(v)
+            if r is None:
+                cells += struct.pack(">i", -1)
+            else:
+                cells += struct.pack(">i", len(r)) + r
+        return cells
 
     def _simple_query(self, conn: socket.socket, sql: str) -> None:
         from materialize_spark.plans.lexer import split_statements
@@ -189,27 +481,11 @@ class MzPgServer:
                 tag = " ".join(head[:2]).upper() if head else "OK"
                 conn.sendall(self._msg(b"C", _cstr(tag)))
                 continue
-            fields = out.schema.fields
-            desc = struct.pack(">h", len(fields))
-            for f in fields:
-                simple = f.dataType.simpleString()
-                oid = _OIDS.get(
-                    "decimal" if simple.startswith("decimal") else simple,
-                    25)
-                oid = 1700 if simple.startswith("decimal") else oid
-                desc += (_cstr(f.name)
-                         + struct.pack(">ihihih", 0, 0, oid, -1, -1, 0))
-            conn.sendall(self._msg(b"T", desc))
+            conn.sendall(self._msg(b"T", self._row_desc(out)))
+            nf = len(out.schema.fields)
             n = 0
             for row in out.collect():
-                cells = struct.pack(">h", len(fields))
-                for v in row:
-                    r = _render(v)
-                    if r is None:
-                        cells += struct.pack(">i", -1)
-                    else:
-                        cells += struct.pack(">i", len(r)) + r
-                conn.sendall(self._msg(b"D", cells))
+                conn.sendall(self._msg(b"D", self._data_row(row, nf)))
                 n += 1
             conn.sendall(self._msg(b"C", _cstr(f"SELECT {n}")))
         conn.sendall(self._msg(b"Z", b"I"))
@@ -332,3 +608,104 @@ class PgWireClient:
                 if err is not None:
                     raise ValueError(err)
                 return results
+
+    # -- extended protocol (Parse/Bind/Describe/Execute/Sync) ---------------
+    def _send(self, tag: bytes, payload: bytes = b"") -> None:
+        self.sock.sendall(tag + struct.pack(">i", 4 + len(payload))
+                          + payload)
+
+    def prepare(self, name: str, sql: str,
+                param_oids: tuple[int, ...] = ()) -> None:
+        body = (_cstr(name) + _cstr(sql)
+                + struct.pack(">h", len(param_oids))
+                + b"".join(struct.pack(">i", o) for o in param_oids))
+        self._send(b"P", body)
+        self._send(b"S")
+        self._drain_until_ready(expect=b"1")
+
+    def execute_prepared(self, name: str, params: list[str | None],
+                         *, max_rows: int = 0, portal: str = "") -> dict:
+        """Bind + Describe(portal) + Execute + Sync round-trip; returns
+        {"columns": [(name, oid)], "rows": [[str|None]], "tag": str,
+        "suspended": bool}."""
+        vals = b""
+        for p in params:
+            if p is None:
+                vals += struct.pack(">i", -1)
+            else:
+                b = p.encode()
+                vals += struct.pack(">i", len(b)) + b
+        body = (_cstr(portal) + _cstr(name)
+                + struct.pack(">h", 1) + struct.pack(">h", 0)  # all text
+                + struct.pack(">h", len(params)) + vals
+                + struct.pack(">h", 0))  # default (text) result formats
+        self._send(b"B", body)
+        self._send(b"D", b"P" + _cstr(portal))
+        self._send(b"E", _cstr(portal) + struct.pack(">i", max_rows))
+        self._send(b"S")
+        return self._collect_extended()
+
+    def resume_portal(self, portal: str = "", *, max_rows: int = 0) -> dict:
+        """Continue a suspended portal (PortalSuspended resume)."""
+        self._send(b"E", _cstr(portal) + struct.pack(">i", max_rows))
+        self._send(b"S")
+        return self._collect_extended()
+
+    def _drain_until_ready(self, expect: bytes | None = None) -> None:
+        seen = set()
+        err = None
+        while True:
+            tag, payload = self._recv_msg()
+            seen.add(tag)
+            if tag == b"E":
+                fields = payload.split(b"\0")
+                err = next((f[1:].decode() for f in fields
+                            if f.startswith(b"M")), "unknown error")
+            elif tag == b"Z":
+                if err is not None:
+                    raise ValueError(err)
+                if expect is not None and expect not in seen:
+                    raise ValueError(f"expected {expect!r}, saw {seen}")
+                return
+
+    def _collect_extended(self) -> dict:
+        out = {"columns": [], "rows": [], "tag": "", "suspended": False}
+        err = None
+        while True:
+            tag, payload = self._recv_msg()
+            if tag == b"T":
+                (n,) = struct.unpack_from(">h", payload, 0)
+                pos = 2
+                for _ in range(n):
+                    end = payload.index(0, pos)
+                    name = payload[pos:end].decode()
+                    pos = end + 1
+                    _t, _a, oid, _s, _m, _f = struct.unpack_from(
+                        ">ihihih", payload, pos)
+                    pos += 18
+                    out["columns"].append((name, oid))
+            elif tag == b"D":
+                (n,) = struct.unpack_from(">h", payload, 0)
+                pos = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", payload, pos)
+                    pos += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos:pos + ln].decode())
+                        pos += ln
+                out["rows"].append(row)
+            elif tag == b"C":
+                out["tag"] = payload.rstrip(b"\0").decode()
+            elif tag == b"s":
+                out["suspended"] = True
+            elif tag == b"E":
+                fields = payload.split(b"\0")
+                err = next((f[1:].decode() for f in fields
+                            if f.startswith(b"M")), "unknown error")
+            elif tag == b"Z":
+                if err is not None:
+                    raise ValueError(err)
+                return out

@@ -87,3 +87,72 @@ def test_shared_session_across_connections(spark):
         with PgWireClient(srv.host, srv.port) as c2:
             [res] = c2.query("SELECT x FROM wire_shared")
             assert res["rows"] == [["7"]]
+
+
+# -- extended protocol (Parse/Bind/Describe/Execute/Sync) -------------------
+def test_extended_parameterized_select(served):
+    """The round-trip every real driver (psycopg/JDBC) performs for a
+    parameterized query: Parse with $n + typed OIDs, Bind text params,
+    Describe portal, Execute, Sync."""
+    _sess, c = served
+    c.prepare("st1", "SELECT r_regionkey, r_name FROM region "
+                     "WHERE r_regionkey > $1 ORDER BY r_regionkey",
+              param_oids=(20,))
+    res = c.execute_prepared("st1", ["2"])
+    assert [n for n, _ in res["columns"]] == ["r_regionkey", "r_name"]
+    assert [r[0] for r in res["rows"]] == ["3", "4"]
+    assert res["tag"] == "SELECT 2"
+    # rebind with a different parameter — same statement
+    res2 = c.execute_prepared("st1", ["0"])
+    assert [r[0] for r in res2["rows"]] == ["1", "2", "3", "4"]
+
+
+def test_extended_null_and_string_params(served):
+    _sess, c = served
+    c.prepare("st2", "SELECT $1 AS a, $2 AS b", param_oids=(25, 25))
+    res = c.execute_prepared("st2", ["o'brien", None])
+    assert res["rows"] == [["o'brien", None]]
+
+
+def test_extended_dollar_inside_literal_untouched(served):
+    _sess, c = served
+    c.prepare("st3", "SELECT '$1 costs $2' AS s, $1 AS v",
+              param_oids=(23,))
+    res = c.execute_prepared("st3", ["7"])
+    assert res["rows"] == [["$1 costs $2", "7"]]
+
+
+def test_extended_portal_suspend_resume(served):
+    """max_rows + PortalSuspended: Execute streams a page, 's' says
+    more remain, a further Execute resumes from the cursor."""
+    _sess, c = served
+    c.prepare("st4", "SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    res = c.execute_prepared("st4", [], max_rows=10)
+    assert len(res["rows"]) == 10 and res["suspended"]
+    res2 = c.resume_portal(max_rows=10)
+    assert len(res2["rows"]) == 10 and res2["suspended"]
+    res3 = c.resume_portal()
+    assert len(res3["rows"]) == 5 and not res3["suspended"]
+    assert res3["tag"] == "SELECT 25"
+
+
+def test_extended_dml_and_error_recovery(served):
+    _sess, c = served
+    [r] = c.query("CREATE TABLE ext_t (k STRING, v BIGINT)")
+    c.prepare("ins", "INSERT INTO ext_t VALUES ($1, $2)",
+              param_oids=(25, 20))
+    res = c.execute_prepared("ins", ["a", "1"])
+    assert res["tag"].startswith("INSERT")
+    c.execute_prepared("ins", ["b", "2"])
+    # an error in extended mode poisons until Sync, then the session lives
+    c.prepare("bad", "SELECT * FROM no_such_table_xyz")
+    with pytest.raises(ValueError):
+        c.execute_prepared("bad", [])
+    [sel] = c.query("SELECT count(*) AS n FROM ext_t")
+    assert sel["rows"] == [["2"]]
+
+
+def test_extended_unknown_statement_errors(served):
+    _sess, c = served
+    with pytest.raises(ValueError, match="unknown prepared statement"):
+        c.execute_prepared("never_parsed", [])
