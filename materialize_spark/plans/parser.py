@@ -198,6 +198,19 @@ class SetVar(Stmt):
 
 
 @dataclass
+class CreateDatabase(Stmt):
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateSchema(Stmt):
+    name: str               # schema name
+    database: str | None = None  # None = current database
+    if_not_exists: bool = False
+
+
+@dataclass
 class ShowVar(Stmt):
     name: str
 
@@ -281,8 +294,9 @@ class CopyFrom(Stmt):
 
 @dataclass
 class Show(Stmt):
-    kind: str               # views|tables|indexes|sources|sinks|secrets|connections
+    kind: str               # views|tables|indexes|sources|sinks|secrets|connections|databases|schemas
     like: str | None = None
+    in_db: str | None = None  # SHOW SCHEMAS FROM <db>
 
 
 @dataclass
@@ -545,6 +559,21 @@ class Parser:
                 self.next()
             self.expect_end()
             return CreateRole(name)
+        if self.take_kw("DATABASE"):
+            if_not_exists = self.take_kw("IF", "NOT", "EXISTS")
+            name = self.ident()
+            self.expect_end()
+            return CreateDatabase(name, if_not_exists=if_not_exists)
+        if self.take_kw("SCHEMA"):
+            if_not_exists = self.take_kw("IF", "NOT", "EXISTS")
+            first = self.ident()
+            db = None
+            if self.peek().kind == "OP" and self.peek().text == ".":
+                self.next()
+                db, first = first, self.ident()
+            self.expect_end()
+            return CreateSchema(first, database=db,
+                                if_not_exists=if_not_exists)
         if self.at_kw("MATERIALIZED", "VIEW") or self.at_kw("VIEW"):
             materialized = self.take_kw("MATERIALIZED")
             self.expect_kw("VIEW")
@@ -733,13 +762,19 @@ class Parser:
     def _p_drop(self) -> Stmt:
         self.expect_kw("DROP")
         t = self.next()
-        if t.kind != "WORD" or t.upper not in ("VIEW", "INDEX", "TABLE",
-                                               "SOURCE", "SINK", "ROLE"):
-            raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK/ROLE",
-                             t)
+        if t.kind != "WORD" or t.upper not in (
+                "VIEW", "INDEX", "TABLE", "SOURCE", "SINK", "ROLE",
+                "DATABASE", "SCHEMA"):
+            raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK/ROLE"
+                             "/DATABASE/SCHEMA", t)
         kind = t.upper.lower()
         if_exists = self.take_kw("IF", "EXISTS")
         name = self.ident()
+        if kind == "schema" and self.peek().kind == "OP" \
+                and self.peek().text == ".":
+            self.next()
+            name = name + "." + self.ident()  # db.schema
+        self.take_kw("CASCADE")  # contained objects always drop with it
         self.expect_end()
         return Drop(kind, name, if_exists=if_exists)
 
@@ -832,12 +867,18 @@ class Parser:
         name = self.ident().lower()
         if not (self.take_op("=") or self.take_kw("TO")):
             raise ParseError("expected = or TO", self.peek())
-        t = self.next()
-        if t.kind not in ("STRING", "NUMBER", "WORD"):
-            raise ParseError("expected value", t)
-        value = t.value if t.kind == "STRING" else t.text
+        parts = []
+        while True:
+            t = self.next()
+            if t.kind not in ("STRING", "NUMBER", "WORD"):
+                raise ParseError("expected value", t)
+            parts.append(t.value if t.kind == "STRING" else t.text)
+            if self.peek().kind != "COMMA":
+                break
+            self.next()
         self.expect_end()
-        return SetVar(name, str(value))
+        # list values (search_path) keep their comma form
+        return SetVar(name, ", ".join(parts))
 
     def _p_reset(self) -> Stmt:
         self.expect_kw("RESET")
@@ -1003,7 +1044,7 @@ class Parser:
             return Show("materialized views", like=like)
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
-                 "SECRETS", "CONNECTIONS", "ROLES")
+                 "SECRETS", "CONNECTIONS", "ROLES", "DATABASES", "SCHEMAS")
         if t.kind != "WORD" or t.upper not in kinds:
             # SHOW <session variable> (reference SHOW for vars.rs names)
             if t.kind == "WORD" and self.peek().kind in ("EOF", "SEMI"):
@@ -1011,11 +1052,14 @@ class Parser:
                 return ShowVar(t.text.lower())
             raise ParseError(
                 f"expected one of MATERIALIZED VIEWS, {', '.join(kinds)}", t)
+        in_db = None
+        if t.upper == "SCHEMAS" and self.take_kw("FROM"):
+            in_db = self.ident()
         like = None
         if self.take_kw("LIKE"):
             like = self.string()
         self.expect_end()
-        return Show(t.upper.lower(), like=like)
+        return Show(t.upper.lower(), like=like, in_db=in_db)
 
     # EXPLAIN -----------------------------------------------------------------
     def _p_explain(self) -> Stmt:
@@ -1187,6 +1231,7 @@ __all__ = [
     "CreateSink", "CreateSinkKafka", "CreateSourceFile", "CreateSourceLoadgen",
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
     "CreateConnection", "Drop", "CreateRole", "Grant", "Revoke", "SetRole",
+    "CreateDatabase", "CreateSchema",
     "SetVar", "ShowVar",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",

@@ -138,6 +138,10 @@ class MzSession:
         }
         self._grants: set[tuple[str, str, str]] = set()
         self._owners: dict[str, str] = {}
+        # database/schema namespaces (reference names.rs 3-part naming;
+        # materialize.public IS the flat namespace)
+        from materialize_spark.plans.namespaces import NamespaceState
+        self._ns = NamespaceState()
         # catalog durability (reference: the catalog is a durable record
         # of DDL replayed on boot — src/catalog's durable layer): every
         # state-changing statement is journaled in execution order;
@@ -175,6 +179,7 @@ class MzSession:
         """Execute one statement; queries return a DataFrame, DDL returns
         None (SHOW returns a DataFrame listing)."""
         set_session_user(self._role)  # CURRENT_USER tracks SET ROLE
+        sql = self._resolve_names(sql)  # db.schema.obj → flat names
         try:
             node = ast.parse_statement(sql)
         except (ast.ParseError, LexError):
@@ -532,6 +537,23 @@ class MzSession:
             self._roles.discard(node.name)
             self._grants = {g for g in self._grants if g[2] != node.name}
             return None
+        if node.kind == "database":
+            if node.name not in self._ns.databases:
+                if node.if_exists:
+                    return None
+                raise KeyError(f"unknown database {node.name!r}")
+            for prefix in self._ns.drop_database(node.name):
+                self._drop_mangled(prefix)
+            return None
+        if node.kind == "schema":
+            db, _, name = node.name.rpartition(".")
+            db = db or self._vars["database"]
+            if (db, name) not in self._ns.schemas:
+                if node.if_exists:
+                    return None
+                raise KeyError(f"unknown schema {db}.{name}")
+            self._drop_mangled(self._ns.drop_schema(db, name))
+            return None
         if not self._superuser() \
                 and self._owners.get(node.name, self._role) != self._role:
             raise PermissionError(
@@ -795,8 +817,51 @@ class MzSession:
             .localCheckpoint(eager=True))
 
     # -- SHOW ---------------------------------------------------------------
+    def _drop_mangled(self, prefix: str) -> None:
+        """Drop every catalog object under a mangled-namespace prefix
+        (DROP SCHEMA/DATABASE takes contained objects with it)."""
+        doomed = [n for store in (self.catalog._tables,
+                                  self.catalog._views,
+                                  self.catalog._indexes)
+                  for n in list(store) if n.startswith(prefix)]
+        for n in set(doomed):
+            self.catalog.drop(n, if_exists=True)
+            for store in (self._matviews, self._matview_sql,
+                          self._view_sql, self._histories, self._retain,
+                          self._refresh_every, self._sub_state,
+                          self._sub_ts, self._owners):
+                store.pop(n, None)
+
+    def _create_database(self, node: ast.CreateDatabase, sql: str):
+        self._ns.create_database(node.name,
+                                 if_not_exists=node.if_not_exists)
+
+    def _create_schema(self, node: ast.CreateSchema, sql: str):
+        db = node.database or self._vars["database"]
+        self._ns.create_schema(db, node.name,
+                               if_not_exists=node.if_not_exists)
+
+    def _obj_exists(self, name: str) -> bool:
+        c = self.catalog
+        return (name in c._tables or name in c._views
+                or name in c._indexes)
+
+    def _resolve_names(self, sql: str) -> str:
+        path = [s.strip() for s in
+                self._vars["search_path"].split(",") if s.strip()]
+        return self._ns.resolve_sql(sql, self._vars["database"], path,
+                                    self._obj_exists)
+
     def _show(self, node: ast.Show, sql: str):
         kind = node.kind
+        if kind == "databases":
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(self._ns.databases)], "name string")
+        if kind == "schemas":
+            db = node.in_db or self._vars["database"]
+            return self.spark.createDataFrame(
+                [(s,) for d, s in sorted(self._ns.schemas) if d == db],
+                "name string")
         if kind == "roles":
             return self.spark.createDataFrame(
                 [(r,) for r in sorted(self._roles)], "name string")
@@ -1115,6 +1180,9 @@ class MzSession:
         if node.name not in self._vars:
             raise KeyError(
                 f"unrecognized configuration parameter {node.name!r}")
+        if node.name == "database" \
+                and node.value not in self._ns.databases:
+            raise KeyError(f"unknown database {node.value!r}")
         self._vars[node.name] = node.value
         if node.name == "timezone":
             self.spark.conf.set("spark.sql.session.timeZone", node.value)
@@ -1141,7 +1209,7 @@ class MzSession:
         "CreateConnection", "Drop", "Insert", "Update", "Delete",
         "RefreshMV", "AlterRetain", "AlterRename", "AlterAddColumn",
         "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
-        "SetVar",
+        "SetVar", "CreateDatabase", "CreateSchema",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -1188,6 +1256,8 @@ class MzSession:
         ast.CreateSecret: _create_secret,
         ast.CreateConnection: _create_connection,
         ast.Drop: _drop,
+        ast.CreateDatabase: _create_database,
+        ast.CreateSchema: _create_schema,
         ast.CreateRole: _create_role,
         ast.Grant: _grant,
         ast.Revoke: _revoke,
@@ -1351,8 +1421,12 @@ class MzSession:
         mk(cls_rows or [(0, "", 0, "")],
            "oid int, relname string, relnamespace int, relkind string") \
             .filter("oid <> 0").createOrReplaceTempView("pg_class")
+        user_schemas = sorted(
+            s for d, s in self._ns.schemas
+            if d == self._vars["database"] and s != "public")
         mk([(2200, "public"), (11, "pg_catalog"),
-            (16656, "mz_catalog"), (16657, "mz_internal")],
+            (16656, "mz_catalog"), (16657, "mz_internal")]
+           + [(16700 + i, s) for i, s in enumerate(user_schemas)],
            "oid int, nspname string").createOrReplaceTempView("pg_namespace")
         name2oid = {name: 16384 + i
                     for i, (_id, name, _typ) in enumerate(objs)}

@@ -497,3 +497,52 @@ def join_wide_16way(spark, sf_dir):
     JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey JOIN region r2 ON r2.r_regionkey = n2.n_regionkey JOIN nation n3 ON n3.n_nationkey = n1.n_nationkey JOIN region r3 ON r3.r_regionkey = n3.n_regionkey JOIN nation n4 ON n4.n_nationkey = n1.n_nationkey JOIN region r4 ON r4.r_regionkey = n4.n_regionkey JOIN nation n5 ON n5.n_nationkey = n1.n_nationkey JOIN region r5 ON r5.r_regionkey = n5.n_regionkey JOIN nation n6 ON n6.n_nationkey = n1.n_nationkey JOIN region r6 ON r6.r_regionkey = n6.n_regionkey JOIN nation n7 ON n7.n_nationkey = n1.n_nationkey JOIN region r7 ON r7.r_regionkey = n7.n_regionkey JOIN nation n8 ON n8.n_nationkey = n1.n_nationkey JOIN region r8 ON r8.r_regionkey = n8.n_regionkey
     WHERE c_custkey <= 500
 """)
+
+
+def _wide64_sql() -> str:
+    """64-relation join chain: customer + nation x32 + region x31 —
+    the reference's advertised delta-join width (README 'tested on
+    joins of up to 64 relations'; LDBC-BI experiments)."""
+    joins = []
+    for i in range(1, 33):
+        joins.append(f"JOIN nation n{i} "
+                     f"ON n{i}.n_nationkey = c.c_nationkey")
+        if i <= 31:
+            joins.append(f"JOIN region r{i} "
+                         f"ON r{i}.r_regionkey = n{i}.n_regionkey")
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        "n1.n_name AS nat, r1.r_name AS reg, "
+        "n32.n_name AS nat32, r31.r_name AS reg31 "
+        "FROM customer c " + " ".join(joins) + " WHERE c_custkey <= 500")
+
+
+@register(
+    "join_wide_64way",
+    # Oracle note: DuckDB's join-order optimizer is exponential past
+    # ~40 relations (measured: 32 rels 0.2s, 40 rels 2.5s, 48 rels 49s),
+    # so the oracle is the SEMANTICALLY equal collapsed form — every
+    # nation join is 1:1 on the same key, so the 64-way result equals
+    # the 3-way join with aliased repeats. Spark runs the REAL 64-way.
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           n.n_name AS nat, r.r_name AS reg,
+           n.n_name AS nat32, r.r_name AS reg31
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c_custkey <= 500
+    """,
+    "join", "wide", "delta",
+)
+def join_wide_64way(spark, sf_dir):
+    """64-relation join chain (reference README: delta joins 'tested on
+    joins of up to 64 relations'). Every dim side is a broadcast; the
+    customer fact never moves, and Catalyst reuses the repeated
+    nation/region broadcast exchanges — the no-intermediate-
+    materialization shape a delta join keeps at scale. Plan-pinned in
+    tests/test_golden_plans.py (zero runtime exchanges on the fact)."""
+    from materialize_spark.queries.util import sql_over
+
+    return sql_over(spark, sf_dir, ("customer", "nation", "region"),
+                    _wide64_sql())

@@ -298,3 +298,75 @@ def sqlfront_pgwire_roundtrip(spark, sf_dir):
     rows = [(k, int(v) if v is not None else None, t)
             for k, v, t in res["rows"]]
     return spark.createDataFrame(rows, "k string, v long, v_type string")
+
+
+@register(
+    "sqlfront_namespaces",
+    """
+    -- oracle: literal truth of the deterministic schema/search_path script
+    SELECT * FROM (VALUES
+        ('analytics', 'm1', CAST(10 AS BIGINT)),
+        ('staging',   'm1', CAST(1 AS BIGINT)),
+        ('path',      'm1', CAST(1 AS BIGINT)),
+        ('threepart', 'm1', CAST(10 AS BIGINT))
+    ) AS t(via, k, v)
+    ORDER BY via
+    """,
+    "sqlfront", "namespaces",
+)
+def sqlfront_namespaces(spark, sf_dir):
+    """Database/schema namespaces end-to-end: two schemas holding
+    same-named tables, resolved via qualified 2-part and 3-part names
+    and via search_path precedence. Reference: 3-part naming +
+    search_path resolution (src/sql/src/names.rs PartialItemName;
+    session vars database/search_path, src/sql/src/session/vars.rs)."""
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE SCHEMA analytics;
+        CREATE SCHEMA staging;
+        CREATE TABLE analytics.metrics (k STRING, v BIGINT);
+        CREATE TABLE staging.metrics (k STRING, v BIGINT);
+        INSERT INTO analytics.metrics VALUES ('m1', 10);
+        INSERT INTO staging.metrics VALUES ('m1', 1);
+        SET search_path = staging, public
+    """)
+    a = s.sql("SELECT 'analytics' AS via, k, v FROM analytics.metrics")
+    b = s.sql("SELECT 'staging' AS via, k, v FROM staging.metrics")
+    # unqualified: staging wins (first in search_path)
+    p = s.sql("SELECT 'path' AS via, k, v FROM metrics")
+    t = s.sql("SELECT 'threepart' AS via, k, v "
+              "FROM materialize.analytics.metrics")
+    return a.unionByName(b).unionByName(p).unionByName(t).orderBy("via")
+
+
+@register(
+    "sqlfront_pgwire_extended",
+    """
+    -- oracle: literal truth of the Parse/Bind/Execute round-trips
+    SELECT * FROM (VALUES
+        (CAST(3 AS BIGINT), 'r3'),
+        (CAST(4 AS BIGINT), 'r4')
+    ) AS t(rk, tag)
+    ORDER BY rk
+    """,
+    "sqlfront", "pgwire",
+)
+def sqlfront_pgwire_extended(spark, sf_dir):
+    """pgwire EXTENDED protocol end-to-end: a parameterized SELECT runs
+    through Parse (with a typed $1), Bind (text parameter), Describe,
+    Execute, Sync over a real socket — the path every production driver
+    (psycopg/JDBC) takes. Reference: src/pgwire/src/protocol.rs
+    extended-query state machine."""
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient
+
+    sess = MzSession(spark, sf_dir)
+    with MzPgServer(sess) as srv:
+        with PgWireClient(srv.host, srv.port) as c:
+            c.prepare(
+                "q", "SELECT r_regionkey, 'r' || r_regionkey AS tag "
+                     "FROM region WHERE r_regionkey > $1 "
+                     "AND r_regionkey < $2 ORDER BY r_regionkey",
+                param_oids=(20, 20))
+            res = c.execute_prepared("q", ["2", "5"])
+    rows = [(int(rk), tag) for rk, tag in res["rows"]]
+    return spark.createDataFrame(rows, "rk long, tag string")

@@ -52,6 +52,10 @@ GOLDEN = {
     # relational
     "window_functions": (1, 0),
     "join_wide_16way": (0, 16),  # 16 dims broadcast, fact never moves
+    # 64-relation delta-join width (reference README): 63 dim sides all
+    # broadcast (Catalyst may reuse repeated exchanges), customer fact
+    # never moves, zero runtime exchanges
+    "join_wide_64way": (0, 64),
     "topk_orders_per_segment": (1, 1),
 }
 
