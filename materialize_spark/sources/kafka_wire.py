@@ -262,15 +262,33 @@ class KafkaWireClient:
         return hw, records
 
     def fetch_all(self, topic: str, partition: int,
-                  offset: int = 0) -> list:
-        """Drain a partition from ``offset`` to the high watermark."""
+                  offset: int = 0, max_bytes: int = 1 << 22) -> list:
+        """Drain a partition from ``offset`` to the high watermark.
+
+        Resilient to the broker realities a real consumer must handle
+        (reference kafka.rs reads through librdkafka, which does the
+        same): responses capped below the full backlog (multi-batch
+        drain — keep fetching while behind the watermark) and a
+        response whose only content is a PARTIAL trailing message
+        (fetch-size truncation mid-record): progress is impossible at
+        the current fetch size, so double it and retry rather than
+        treating the empty decode as end-of-partition."""
         out: list = []
+        size = max_bytes
         while True:
-            hw, recs = self.fetch(topic, partition, offset)
-            if not recs:
-                return out
-            out.extend(recs)
-            offset = recs[-1][0] + 1
+            hw, recs = self.fetch(topic, partition, offset,
+                                  max_bytes=size)
+            if recs:
+                out.extend(recs)
+                offset = recs[-1][0] + 1
+                size = max_bytes
+            elif offset < hw:
+                size *= 2  # partial-only response: grow the window
+                if size > 1 << 30:
+                    raise ValueError(
+                        f"cannot make progress at offset {offset}: "
+                        f"single message exceeds 1 GiB fetch cap")
+                continue
             if offset >= hw:
                 return out
 
@@ -285,6 +303,10 @@ class MiniBroker:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._log: dict[str, dict[int, list]] = {}
+        # fault injection (protocol-conformance tests): api_key → Kafka
+        # error code returned at the partition level, like a real broker
+        # surfacing UNSUPPORTED_VERSION / NOT_LEADER / etc.
+        self.inject_errors: dict[int, int] = {}
         self._lock = threading.Lock()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -432,6 +454,12 @@ class MiniBroker:
                     pid = r.take("i")
                     off = r.take("q")
                     maxb = r.take("i")
+                    inj = self.inject_errors.get(API_FETCH)
+                    if inj:
+                        out_parts.append(
+                            struct.pack(">ihq", pid, inj, -1)
+                            + _bytes(b""))
+                        continue
                     with self._lock:
                         part = self._log.get(t, {}).get(pid)
                     if part is None:

@@ -295,13 +295,17 @@ def collect_table_maps(df: DataFrame, event_col: str = "event",
         .select(event_col).collect()
     )
     maps: dict[int, dict] = {}
-    # FD first: table-map trailer verification needs the checksum mode
+    # ONE ordered pass: a FORMAT_DESCRIPTION can flip the checksum mode
+    # MID-STREAM (server restart with binlog_checksum changed), and each
+    # table map's trailer must be verified with the mode in effect at
+    # its own position — a global last-FD-wins value mis-verifies maps
+    # that precede the flip. (In-task data decode handles flips the same
+    # way: parse_rows_event updates the mode as FD events stream by.)
     parsed = [bytes(r[0]) for r in rows]
     for raw in parsed:
         if raw[4] == FORMAT_DESCRIPTION_EVENT:
             maps[_CHECKSUM_KEY] = parse_format_description(raw)["checksum"]
-    for raw in parsed:
-        if raw[4] == TABLE_MAP_EVENT:
+        elif raw[4] == TABLE_MAP_EVENT:
             _event_end(raw, maps)
             tme = parse_table_map(raw)
             maps[tme["table_id"]] = tme

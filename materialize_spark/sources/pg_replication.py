@@ -39,6 +39,18 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\0"
 
 
+class ReplicationInterrupted(ConnectionError):
+    """A replication stream died mid-drain; carries what was received
+    and the LSN the client had flushed, so a reconnect can resume from
+    the restart LSN (reference postgres.rs reconnect/resume path)."""
+
+    def __init__(self, partial: list[tuple[int, bytes]], flushed: int):
+        super().__init__(f"replication stream interrupted at LSN "
+                         f"{flushed}")
+        self.partial = partial
+        self.flushed = flushed
+
+
 class PgReplicationClient:
     """Minimal PG wire client for logical replication (trust auth)."""
 
@@ -137,7 +149,10 @@ class PgReplicationClient:
 
         Returns [(wal_start_lsn, pgoutput_message_bytes)]. Keepalives are
         acknowledged with standby status updates ('r' frames carrying the
-        flushed LSN — what lets a real server trim the slot)."""
+        flushed LSN — what lets a real server trim the slot). A dropped
+        connection raises :class:`ReplicationInterrupted` carrying the
+        partial frames and the flushed LSN, so a caller can reconnect
+        and resume (see :func:`drain_replication`)."""
         self._send_query(
             f"START_REPLICATION SLOT {slot} LOGICAL "
             f"{start_lsn >> 32:X}/{start_lsn & 0xFFFFFFFF:X} "
@@ -145,7 +160,10 @@ class PgReplicationClient:
         out: list[tuple[int, bytes]] = []
         flushed = start_lsn
         while True:
-            tag, payload = self._recv_msg()
+            try:
+                tag, payload = self._recv_msg()
+            except (ConnectionError, OSError) as ex:
+                raise ReplicationInterrupted(out, flushed) from ex
             if tag == b"W":  # CopyBothResponse
                 continue
             if tag == b"d":  # CopyData
@@ -188,6 +206,11 @@ class MiniPostgres:
                  host: str = "127.0.0.1", port: int = 0):
         self.wal = list(wal)
         self.status_updates: list[int] = []  # flushed LSNs clients report
+        # fault injection: abruptly drop the FIRST streaming connection
+        # after N XLogData frames (None = never) — exercises the
+        # reconnect/restart-LSN path a real network forces
+        self.drop_after_frames: int | None = None
+        self._dropped_once = False
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -295,11 +318,19 @@ class MiniPostgres:
         conn.sendall(self._msg(b"W", struct.pack(">bh", 0, 0)))
         clock = 1_700_000_000_000_000 - _PG_EPOCH_US
         half = len(self.wal) // 2
+        sent = 0
         for i, (lsn, msg) in enumerate(self.wal):
             if lsn < start:
                 continue
             frame = b"w" + struct.pack(">qqq", lsn, lsn, clock) + msg
             conn.sendall(self._msg(b"d", frame))
+            sent += 1
+            if (self.drop_after_frames is not None
+                    and not self._dropped_once
+                    and sent >= self.drop_after_frames):
+                self._dropped_once = True
+                conn.close()  # abrupt network-style drop, no CopyDone
+                return
             if i == half:
                 ka = b"k" + struct.pack(">qqb", lsn, clock, 1)
                 conn.sendall(self._msg(b"d", ka))
@@ -318,15 +349,46 @@ class MiniPostgres:
         return bytes(buf)
 
 
+def drain_replication(host: str, port: int, slot: str, publication: str,
+                      *, start_lsn: int = 0, user: str = "mz",
+                      database: str = "db", max_reconnects: int = 5,
+                      ) -> list[tuple[int, bytes]]:
+    """Drain a logical slot, surviving connection drops: on interruption
+    the partial frames are kept and a fresh connection resumes from the
+    last flushed LSN + 1 — the restart-LSN semantics of a standby
+    (reference postgres.rs: the source reconnects and resumes from its
+    progress frontier rather than resnapshotting)."""
+    frames: list[tuple[int, bytes]] = []
+    resume = start_lsn
+    for _attempt in range(max_reconnects + 1):
+        try:
+            with PgReplicationClient(host, port, user=user,
+                                     database=database) as c:
+                frames.extend(c.start_replication(slot, publication,
+                                                  start_lsn=resume))
+            return frames
+        except ReplicationInterrupted as ex:
+            # keep frames strictly BELOW the flushed LSN and replay from
+            # the flushed LSN inclusive: messages can share an LSN (one
+            # transaction), and a drop between them must neither lose
+            # the rest of the group nor duplicate the received part
+            frames.extend((l, m) for l, m in ex.partial
+                          if l < ex.flushed)
+            resume = max(resume, ex.flushed)
+    raise ConnectionError(
+        f"replication to {host}:{port} failed after "
+        f"{max_reconnects} reconnects")
+
+
 def read_pg_replication(spark, host: str, port: int, slot: str,
                         publication: str, *, start_lsn: int = 0,
                         user: str = "mz", database: str = "db"):
     """Drain a logical slot over the wire → (lsn, message) DataFrame,
-    ready for decode_pgoutput_stream / pgoutput_to_diff / apply_cdc."""
-    with PgReplicationClient(host, port, user=user,
-                             database=database) as c:
-        frames = c.start_replication(slot, publication,
-                                     start_lsn=start_lsn)
+    ready for decode_pgoutput_stream / pgoutput_to_diff / apply_cdc.
+    Reconnect-resilient via :func:`drain_replication`."""
+    frames = drain_replication(host, port, slot, publication,
+                               start_lsn=start_lsn, user=user,
+                               database=database)
     return spark.createDataFrame(
         [(lsn, bytearray(msg)) for lsn, msg in frames],
         "lsn long, message binary")

@@ -43,12 +43,21 @@ def _ucs2(s: str) -> bytes:
 class _Framed:
     """TDS packet framing: messages may span packets; EOM bit terminates."""
 
-    def __init__(self, sock: socket.socket):
+    def __init__(self, sock: socket.socket, packet_size: int = 4096):
         self.sock = sock
+        # negotiated packet size: messages larger than one packet are
+        # split, EOM set only on the last (MS-TDS packet framing)
+        self.packet_size = packet_size
 
     def send(self, ptype: int, payload: bytes) -> None:
-        self.sock.sendall(struct.pack(">BBHHBB", ptype, 0x01,
-                                      8 + len(payload), 0, 1, 0) + payload)
+        cap = self.packet_size - 8
+        chunks = ([payload[i:i + cap]
+                   for i in range(0, len(payload), cap)] or [b""])
+        for idx, ch in enumerate(chunks):
+            status = 0x01 if idx == len(chunks) - 1 else 0x00
+            self.sock.sendall(struct.pack(
+                ">BBHHBB", ptype, status, 8 + len(ch), 0,
+                (idx % 255) + 1, 0) + ch)
 
     def recv(self) -> tuple[int, bytes]:
         out = bytearray()
@@ -225,8 +234,11 @@ class MiniSqlServer:
              "nvarchar": T_NVARCHAR, "varbinary": T_BIGVARBIN}
 
     def __init__(self, tables: dict, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, packet_size: int = 4096):
         self.tables = dict(tables)
+        # small packet_size forces MULTI-PACKET responses (spanning
+        # token streams), exercising the client's EOM reassembly
+        self.packet_size = packet_size
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -254,8 +266,10 @@ class MiniSqlServer:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
-            threading.Thread(target=self._serve,
-                             args=(_Framed(conn),), daemon=True).start()
+            threading.Thread(
+                target=self._serve,
+                args=(_Framed(conn, self.packet_size),),
+                daemon=True).start()
 
     def _serve(self, conn: _Framed) -> None:
         try:

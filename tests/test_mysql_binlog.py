@@ -170,3 +170,36 @@ def test_unnamed_columns_fall_back_positional(spark):
     row = env.filter("op = 'insert'").orderBy("pos").first()
     import json
     assert json.loads(row.after)["c0"] == 1
+
+
+def test_checksum_flip_mid_stream(spark):
+    """binlog_checksum can flip when the server restarts with changed
+    config: a new FORMAT_DESCRIPTION declares the new mode mid-stream.
+    Both the driver-side harvest (now one ORDERED pass: each table map
+    verifies with the mode in effect at its position) and the in-task
+    data decode must honor the flip."""
+    from materialize_spark.sources.mysql_binlog import (
+        WRITE_ROWS_V2, encode_format_description, encode_rows_event,
+        with_crc32,
+    )
+    pre = encode_rows_event(WRITE_ROWS_V2, TID, [[1, "pre", 1.0, 1]],
+                            COL_TYPES, METADATA)
+    post = encode_rows_event(WRITE_ROWS_V2, TID, [[2, "post", 2.0, 2]],
+                             COL_TYPES, METADATA)
+    events = [
+        encode_format_description("none"),
+        _tme(), pre,
+        # server restart: checksum now CRC32 — everything after carries
+        # (and must be verified against) a CRC32 trailer
+        encode_format_description("crc32"),
+        with_crc32(_tme()), with_crc32(post),
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, bytearray(m)) for i, m in enumerate(events)],
+        "pos long, event binary")
+    maps = collect_table_maps(df)
+    assert TID in maps and maps["checksum"] == "crc32"
+    env = decode_binlog_stream(df.coalesce(1), columns=COLS).collect()
+    import json as _json
+    got = sorted(_json.loads(r.after)["sku"] for r in env)
+    assert got == ["post", "pre"]

@@ -101,3 +101,33 @@ def test_wire_to_apply_cdc_e2e(spark):
         assert list(state.id) == [2, 3]  # 1 deleted
         assert state[state.id == 2].score.iloc[0] == pytest.approx(9.0)
         assert state[state.id == 3].name.iloc[0] == "cyd"
+
+
+def test_reconnect_resumes_from_restart_lsn():
+    """Mid-stream connection drop (network fault): the drain reconnects
+    and resumes from the flushed LSN, receiving every frame exactly
+    once — the reference postgres.rs reconnect/resume-from-frontier
+    behavior."""
+    from materialize_spark.sources.pg_replication import drain_replication
+
+    wal = _wal()
+    with MiniPostgres(wal) as srv:
+        srv.drop_after_frames = 4  # die mid-catchup on the 1st connection
+        frames = drain_replication(srv.host, srv.port, "s", "pub")
+        assert [l for l, _ in frames] == [l for l, _ in wal]
+        assert [m for _, m in frames] == [m for _, m in wal]
+
+
+def test_interrupted_drain_raises_with_progress():
+    from materialize_spark.sources.pg_replication import (
+        PgReplicationClient, ReplicationInterrupted,
+    )
+
+    wal = _wal()
+    with MiniPostgres(wal) as srv:
+        srv.drop_after_frames = 3
+        with PgReplicationClient(srv.host, srv.port) as c:
+            with pytest.raises(ReplicationInterrupted) as ei:
+                c.start_replication("s", "pub")
+        assert len(ei.value.partial) == 3
+        assert ei.value.flushed == wal[2][0]

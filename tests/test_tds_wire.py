@@ -69,3 +69,21 @@ def test_tds_to_apply_changes_e2e(spark):
         assert list(state.id) == [0, 5, 6]  # 3 deleted, 5/6 inserted
         assert state[state.id == 0].label.iloc[0] == "ZERO2"
         assert state[state.id == 6].label.isna().all()
+
+
+def test_multi_packet_response_reassembly():
+    """A server whose negotiated packet size is tiny must split the
+    token stream across many packets (EOM only on the last); the
+    client's framing layer reassembles them transparently."""
+    from materialize_spark.sources.tds_wire import (
+        MiniSqlServer, SqlServerWireClient,
+    )
+    schema = [("id", "bigint"), ("payload", "nvarchar")]
+    rows = [(i, "x" * 200) for i in range(50)]
+    with MiniSqlServer({"wide": (schema, rows)},
+                       packet_size=128) as srv:
+        with SqlServerWireClient(srv.host, srv.port) as c:
+            cols, got = c.query("SELECT * FROM wide")
+            assert cols == ["id", "payload"]
+            assert len(got) == 50
+            assert got[49] == [49, "x" * 200]
