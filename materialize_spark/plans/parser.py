@@ -46,6 +46,24 @@ _INTERVAL_UNITS = {
 }
 
 
+def _cluster_opts(span: str) -> dict[str, str]:
+    """(SIZE 'x', REPLICATION FACTOR n, ...) — unknown options are
+    accepted and ignored (managed-cluster knobs are orchestration
+    concerns; see the CreateCluster handler)."""
+    p = Parser(span)
+    out: dict[str, str] = {}
+    while p.peek().kind != "EOF":
+        if p.take_kw("SIZE"):
+            out["size"] = p.string()
+        elif p.take_kw("REPLICATION", "FACTOR"):
+            out["replication factor"] = str(p.int_())
+        else:
+            p.next()
+        if p.peek().kind == "COMMA":
+            p.next()
+    return out
+
+
 def _interval_seconds(text: str) -> float:
     """PG-style interval string ('1 hour', '30 seconds', '2 days') →
     seconds. Multi-part ('1 hour 30 minutes') sums."""
@@ -201,6 +219,20 @@ class SetVar(Stmt):
 class CreateDatabase(Stmt):
     name: str
     if_not_exists: bool = False
+
+
+@dataclass
+class CreateCluster(Stmt):
+    name: str
+    size: str | None = None
+    replication_factor: int = 1
+
+
+@dataclass
+class CreateClusterReplica(Stmt):
+    cluster: str
+    name: str
+    size: str | None = None
 
 
 @dataclass
@@ -564,6 +596,29 @@ class Parser:
             name = self.ident()
             self.expect_end()
             return CreateDatabase(name, if_not_exists=if_not_exists)
+        if self.take_kw("CLUSTER", "REPLICA"):
+            # CREATE CLUSTER REPLICA c.r [(SIZE '...')]
+            cluster = self.ident()
+            if not (self.peek().kind == "OP" and self.peek().text == "."):
+                raise ParseError("expected cluster.replica name",
+                                 self.peek())
+            self.next()
+            name = self.ident()
+            size = None
+            if self.peek().kind == "LP":
+                size = _cluster_opts(self.paren_span()).get("size")
+            self.expect_end()
+            return CreateClusterReplica(cluster, name, size=size)
+        if self.take_kw("CLUSTER"):
+            # CREATE CLUSTER c (SIZE '...', REPLICATION FACTOR n)
+            name = self.ident()
+            opts = {}
+            if self.peek().kind == "LP":
+                opts = _cluster_opts(self.paren_span())
+            self.expect_end()
+            return CreateCluster(
+                name, size=opts.get("size"),
+                replication_factor=int(opts.get("replication factor", 1)))
         if self.take_kw("SCHEMA"):
             if_not_exists = self.take_kw("IF", "NOT", "EXISTS")
             first = self.ident()
@@ -764,16 +819,18 @@ class Parser:
         t = self.next()
         if t.kind != "WORD" or t.upper not in (
                 "VIEW", "INDEX", "TABLE", "SOURCE", "SINK", "ROLE",
-                "DATABASE", "SCHEMA"):
+                "DATABASE", "SCHEMA", "CLUSTER"):
             raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK/ROLE"
-                             "/DATABASE/SCHEMA", t)
+                             "/DATABASE/SCHEMA/CLUSTER", t)
         kind = t.upper.lower()
+        if kind == "cluster" and self.take_kw("REPLICA"):
+            kind = "cluster replica"  # DROP CLUSTER REPLICA c.r
         if_exists = self.take_kw("IF", "EXISTS")
         name = self.ident()
-        if kind == "schema" and self.peek().kind == "OP" \
-                and self.peek().text == ".":
+        if kind in ("schema", "cluster replica") \
+                and self.peek().kind == "OP" and self.peek().text == ".":
             self.next()
-            name = name + "." + self.ident()  # db.schema
+            name = name + "." + self.ident()  # db.schema / cluster.replica
         self.take_kw("CASCADE")  # contained objects always drop with it
         self.expect_end()
         return Drop(kind, name, if_exists=if_exists)
@@ -1042,9 +1099,13 @@ class Parser:
                 like = self.string()
             self.expect_end()
             return Show("materialized views", like=like)
+        if self.take_kw("CLUSTER", "REPLICAS"):
+            self.expect_end()
+            return Show("cluster replicas")
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
-                 "SECRETS", "CONNECTIONS", "ROLES", "DATABASES", "SCHEMAS")
+                 "SECRETS", "CONNECTIONS", "ROLES", "DATABASES", "SCHEMAS",
+                 "CLUSTERS")
         if t.kind != "WORD" or t.upper not in kinds:
             # SHOW <session variable> (reference SHOW for vars.rs names)
             if t.kind == "WORD" and self.peek().kind in ("EOF", "SEMI"):
@@ -1231,7 +1292,8 @@ __all__ = [
     "CreateSink", "CreateSinkKafka", "CreateSourceFile", "CreateSourceLoadgen",
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
     "CreateConnection", "Drop", "CreateRole", "Grant", "Revoke", "SetRole",
-    "CreateDatabase", "CreateSchema",
+    "CreateDatabase", "CreateSchema", "CreateCluster",
+    "CreateClusterReplica",
     "SetVar", "ShowVar",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",

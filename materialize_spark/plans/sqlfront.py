@@ -39,7 +39,8 @@ from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
-    r"|sources|sinks|arrangement_sizes|comments|roles)\b"
+    r"|sources|sinks|arrangement_sizes|comments|roles|clusters"
+    r"|cluster_replicas)\b"
     r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
     r"|\b(?:obj|col)_description\b", re.I)
 
@@ -142,6 +143,17 @@ class MzSession:
         # materialize.public IS the flat namespace)
         from materialize_spark.plans.namespaces import NamespaceState
         self._ns = NamespaceState()
+        # clusters (reference CREATE CLUSTER / CLUSTER REPLICA,
+        # src/sql-parser statement.rs; compute pools in src/cluster/).
+        # Spark-first mapping: a cluster is a SCHEDULER POOL — with
+        # spark.scheduler.mode=FAIR each cluster's queries get isolated
+        # scheduling, the in-process analog of separate clusterd
+        # processes (on a real deployment: separate YARN/K8s queues).
+        # Replicas are availability bookkeeping (Spark's executor
+        # fault-tolerance replaces active-active replication).
+        self._clusters: dict[str, dict] = {
+            "quickstart": {"size": "1", "replicas": {"r1": {"size": "1"}}},
+        }
         # catalog durability (reference: the catalog is a durable record
         # of DDL replayed on boot — src/catalog's durable layer): every
         # state-changing statement is journaled in execution order;
@@ -537,6 +549,25 @@ class MzSession:
             self._roles.discard(node.name)
             self._grants = {g for g in self._grants if g[2] != node.name}
             return None
+        if node.kind == "cluster":
+            if node.name not in self._clusters:
+                if node.if_exists:
+                    return None
+                raise KeyError(f"unknown cluster {node.name!r}")
+            if node.name == self._vars["cluster"]:
+                raise PermissionError(
+                    f"cannot drop the active cluster {node.name!r}")
+            del self._clusters[node.name]
+            return None
+        if node.kind == "cluster replica":
+            cl, _, rep = node.name.partition(".")
+            c = self._clusters.get(cl)
+            if c is None or rep not in c["replicas"]:
+                if node.if_exists:
+                    return None
+                raise KeyError(f"unknown replica {node.name!r}")
+            del c["replicas"][rep]
+            return None
         if node.kind == "database":
             if node.name not in self._ns.databases:
                 if node.if_exists:
@@ -832,6 +863,25 @@ class MzSession:
                           self._sub_ts, self._owners):
                 store.pop(n, None)
 
+    def _create_cluster(self, node: ast.CreateCluster, sql: str):
+        if node.name in self._clusters:
+            raise KeyError(f"cluster {node.name!r} already exists")
+        self._clusters[node.name] = {
+            "size": node.size or "1",
+            "replicas": {f"r{i + 1}": {"size": node.size or "1"}
+                         for i in range(node.replication_factor)},
+        }
+
+    def _create_cluster_replica(self, node: ast.CreateClusterReplica,
+                                sql: str):
+        c = self._clusters.get(node.cluster)
+        if c is None:
+            raise KeyError(f"unknown cluster {node.cluster!r}")
+        if node.name in c["replicas"]:
+            raise KeyError(
+                f"replica {node.cluster}.{node.name!r} already exists")
+        c["replicas"][node.name] = {"size": node.size or c["size"]}
+
     def _create_database(self, node: ast.CreateDatabase, sql: str):
         self._ns.create_database(node.name,
                                  if_not_exists=node.if_not_exists)
@@ -854,6 +904,17 @@ class MzSession:
 
     def _show(self, node: ast.Show, sql: str):
         kind = node.kind
+        if kind == "clusters":
+            rows = [(n, c["size"], len(c["replicas"]))
+                    for n, c in sorted(self._clusters.items())]
+            return self.spark.createDataFrame(
+                rows, "name string, size string, replicas int")
+        if kind == "cluster replicas":
+            rows = [(cn, rn, r["size"])
+                    for cn, c in sorted(self._clusters.items())
+                    for rn, r in sorted(c["replicas"].items())]
+            return self.spark.createDataFrame(
+                rows, "cluster string, replica string, size string")
         if kind == "databases":
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self._ns.databases)], "name string")
@@ -1073,6 +1134,12 @@ class MzSession:
         if _INTROSPECT.search(sql):
             self._register_introspection()
         self._check_select_refs(sql)
+        # route the query to the active cluster's scheduler pool (with
+        # spark.scheduler.mode=FAIR, pools give per-cluster isolation —
+        # the serving analog of the reference running each query on the
+        # session's cluster)
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", self._vars["cluster"])
         with self._strict():
             return self.spark.sql(rewrite(sql))
 
@@ -1183,6 +1250,8 @@ class MzSession:
         if node.name == "database" \
                 and node.value not in self._ns.databases:
             raise KeyError(f"unknown database {node.value!r}")
+        if node.name == "cluster" and node.value not in self._clusters:
+            raise KeyError(f"unknown cluster {node.value!r}")
         self._vars[node.name] = node.value
         if node.name == "timezone":
             self.spark.conf.set("spark.sql.session.timeZone", node.value)
@@ -1209,7 +1278,8 @@ class MzSession:
         "CreateConnection", "Drop", "Insert", "Update", "Delete",
         "RefreshMV", "AlterRetain", "AlterRename", "AlterAddColumn",
         "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
-        "SetVar", "CreateDatabase", "CreateSchema",
+        "SetVar", "CreateDatabase", "CreateSchema", "CreateCluster",
+        "CreateClusterReplica",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -1258,6 +1328,8 @@ class MzSession:
         ast.Drop: _drop,
         ast.CreateDatabase: _create_database,
         ast.CreateSchema: _create_schema,
+        ast.CreateCluster: _create_cluster,
+        ast.CreateClusterReplica: _create_cluster_replica,
         ast.CreateRole: _create_role,
         ast.Grant: _grant,
         ast.Revoke: _revoke,
@@ -1405,6 +1477,20 @@ class MzSession:
         # roles (reference mz_catalog.mz_roles)
         mk([(f"r{i + 1}", r) for i, r in enumerate(sorted(self._roles))],
            "id string, name string").createOrReplaceTempView("mz_roles")
+        # clusters + replicas (reference mz_catalog.mz_clusters /
+        # mz_cluster_replicas)
+        mk([(f"u{i + 1}", n, c["size"], len(c["replicas"]))
+            for i, (n, c) in enumerate(sorted(self._clusters.items()))],
+           "id string, name string, size string, replication_factor int"
+           ).createOrReplaceTempView("mz_clusters")
+        rep_rows = [(f"u{i + 1}", cn, rn, r["size"])
+                    for i, (cn, c) in enumerate(
+                        sorted(self._clusters.items()))
+                    for rn, r in sorted(c["replicas"].items())]
+        mk(rep_rows or [("u0", "", "", "")],
+           "cluster_id string, cluster string, name string, size string"
+           ).filter("cluster_id <> 'u0'") \
+            .createOrReplaceTempView("mz_cluster_replicas")
         # pg_catalog compatibility tail (reference exposes a pg_catalog
         # shim for PG tooling — src/catalog's pg_* builtins). OIDs: user
         # objects from 16384 by name order (PG's first user oid), system

@@ -91,15 +91,15 @@ def load_all() -> dict[str, QuerySpec]:
         # session-control surface
         "sqlfront_pg_catalog", "sqlfront_rbac", "sqlfront_catalog_restore",
         "sqlfront_pgwire_roundtrip",
-        # --- new round-7 capabilities (namespaces, pgwire extended,
-        # 64-relation delta-join width) ---
-        "sqlfront_namespaces", "sqlfront_pgwire_extended",
-        "join_wide_64way",
-        # --- 12 already-certified regression sentinels ---
+        # --- new round-7 capabilities (namespaces, clusters, pgwire
+        # extended, 64-relation delta-join width) ---
+        "sqlfront_namespaces", "sqlfront_clusters",
+        "sqlfront_pgwire_extended", "join_wide_64way",
+        # --- 11 already-certified regression sentinels ---
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "simsearch_cosine_topk", "simsearch_ivf_disk",
-        "ivm_retraction_agg", "temporal_filter",
+        "ivm_retraction_agg",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

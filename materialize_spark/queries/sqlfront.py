@@ -370,3 +370,42 @@ def sqlfront_pgwire_extended(spark, sf_dir):
             res = c.execute_prepared("q", ["2", "5"])
     rows = [(int(rk), tag) for rk, tag in res["rows"]]
     return spark.createDataFrame(rows, "rk long, tag string")
+
+
+@register(
+    "sqlfront_clusters",
+    """
+    -- oracle: literal truth of the deterministic cluster DDL script
+    SELECT * FROM (VALUES
+        ('compute',    '400cc', CAST(2 AS BIGINT)),
+        ('quickstart', '1',     CAST(1 AS BIGINT)),
+        ('serving',    '100cc', CAST(3 AS BIGINT))
+    ) AS t(name, size, replicas)
+    ORDER BY name
+    """,
+    "sqlfront", "clusters",
+)
+def sqlfront_clusters(spark, sf_dir):
+    """Cluster surface end-to-end: CREATE CLUSTER (sized, replicated),
+    CREATE CLUSTER REPLICA, SET cluster routing queries to a scheduler
+    pool, and introspection via SHOW CLUSTERS / mz_cluster_replicas.
+    Reference: CREATE CLUSTER / CLUSTER REPLICA DDL
+    (src/sql-parser/src/ast/defs/statement.rs) and compute pools
+    (src/cluster/). Spark-first: a cluster IS a scheduler pool."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE CLUSTER compute (SIZE '400cc', REPLICATION FACTOR 2);
+        CREATE CLUSTER serving (SIZE '100cc', REPLICATION FACTOR 2);
+        CREATE CLUSTER REPLICA serving.r3;
+        SET cluster = compute
+    """)
+    # the peek below runs in the 'compute' pool (SET cluster routing)
+    assert s.sql("SELECT 1 AS one").first().one == 1
+    assert (spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+            == "compute")
+    return (s.execute("SHOW CLUSTERS")
+            .select("name", "size",
+                    F.col("replicas").cast("long").alias("replicas"))
+            .orderBy("name"))

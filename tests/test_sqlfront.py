@@ -1,5 +1,7 @@
 """SQL front-end: dialect rewrites + DDL surface."""
 
+import pytest
+
 from materialize_spark.plans.dialect import rewrite
 from materialize_spark.plans.sqlfront import MzSession
 
@@ -822,3 +824,49 @@ def test_session_variables(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+# -- clusters (compute pools) ----------------------------------------------
+def test_cluster_lifecycle(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute("CREATE CLUSTER compute (SIZE '400cc', REPLICATION FACTOR 2)")
+    rows = {r.name: (r.size, r.replicas)
+            for r in s.execute("SHOW CLUSTERS").collect()}
+    assert rows["quickstart"] == ("1", 1)
+    assert rows["compute"] == ("400cc", 2)
+    reps = [(r.cluster, r.replica) for r in
+            s.execute("SHOW CLUSTER REPLICAS").collect()]
+    assert ("compute", "r1") in reps and ("compute", "r2") in reps
+    s.execute("CREATE CLUSTER REPLICA compute.r3 (SIZE '800cc')")
+    reps = [(r.cluster, r.replica, r.size) for r in
+            s.execute("SHOW CLUSTER REPLICAS").collect()]
+    assert ("compute", "r3", "800cc") in reps
+    s.execute("DROP CLUSTER REPLICA compute.r3")
+    # SET cluster routes queries to the pool; unknown cluster errors
+    s.execute("SET cluster = compute")
+    assert s.sql("SHOW cluster").first()[0] == "compute"
+    assert s.sql("SELECT count(*) AS n FROM region").first().n == 5
+    assert spark.sparkContext.getLocalProperty(
+        "spark.scheduler.pool") == "compute"
+    with pytest.raises(KeyError, match="unknown cluster"):
+        s.execute("SET cluster = nope")
+    # the active cluster cannot be dropped; others can
+    with pytest.raises(PermissionError, match="active cluster"):
+        s.execute("DROP CLUSTER compute")
+    s.execute("SET cluster = quickstart")
+    s.execute("DROP CLUSTER compute")
+    assert "compute" not in {
+        r.name for r in s.execute("SHOW CLUSTERS").collect()}
+
+
+def test_mz_clusters_introspection(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute("CREATE CLUSTER serving (SIZE '100cc')")
+    got = {r.name: r.replication_factor for r in s.sql(
+        "SELECT name, replication_factor FROM mz_clusters").collect()}
+    assert got["serving"] == 1 and "quickstart" in got
+    reps = s.sql("SELECT cluster, name FROM mz_cluster_replicas "
+                 "WHERE cluster = 'serving'").collect()
+    assert [(r.cluster, r.name) for r in reps] == [("serving", "r1")]

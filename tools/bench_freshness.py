@@ -1,0 +1,191 @@
+"""IVM freshness benchmark: end-to-end lag from ingest to MV-visible.
+
+The reference's design point is maintained views: its chbench harness
+(/root/reference/test/chbench/) measures how stale a view is under a
+continuous update stream. This is the Spark-graft analog at sf0.1:
+lineitem is split into a 99% base plus N update batches (~0.1% each);
+for every headline materialized view we measure, per batch, the wall
+time from "batch ingested" to "refreshed snapshot peekable".
+
+Two maintenance plans, mirroring the reference's reduce plans
+(src/compute-types/src/plan/reduce.rs):
+
+- ACCUMULABLE (incremental): queries linear in lineitem — the batch
+  alone runs through the view transformation and merges into the state
+  by group-key combine (sum/count). Lag is O(batch + touched groups).
+- BASIC (recompute): the remaining headline shapes (HAVING thresholds,
+  anti-joins) recompute over base ∪ applied batches per refresh — what
+  REFRESH EVERY costs.
+
+Prints one JSON line:
+{"metric": "mv_freshness", "incremental": {q: {p50, max}},
+ "recompute": {q: {p50, max}}, "batch_rows": N, ...}
+
+Usage: python tools/bench_freshness.py [sf_dir] [n_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def _lag_series(refresh, batches) -> dict:
+    lags = []
+    for b in batches:
+        t0 = time.perf_counter()
+        refresh(b)
+        lags.append(time.perf_counter() - t0)
+    return {"p50": round(statistics.median(lags), 3),
+            "max": round(max(lags), 3)}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from materialize_spark.catalog import load_tables
+    from materialize_spark.session import get_spark
+    from materialize_spark.streaming.ivm import MaterializedView
+
+    spark = get_spark("bench-freshness")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, sf_dir)
+    lineitem, orders, customer = t["lineitem"], t["orders"], t["customer"]
+    supplier, nation, region = t["supplier"], t["nation"], t["region"]
+
+    # 99% base + n_batches update slices (~0.1% each), split by a stable
+    # hash so every run sees the same stream
+    h = F.abs(F.hash("l_orderkey", "l_linenumber")) % 1000
+    base = lineitem.filter(h < 1000 - n_batches).localCheckpoint(eager=True)
+    batches = [
+        lineitem.filter(h == 1000 - n_batches + i)
+        .localCheckpoint(eager=True)
+        for i in range(n_batches)
+    ]
+    batch_rows = sum(b.count() for b in batches) // n_batches
+
+    incremental: dict[str, dict] = {}
+    recompute: dict[str, dict] = {}
+
+    # -- ACCUMULABLE path: define(batch) merges into state by key -----------
+    def q1_def(df: DataFrame) -> DataFrame:
+        return (df.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").alias("sum_qty"),
+                     F.sum("l_extendedprice").alias("sum_base_price"),
+                     F.count(F.lit(1)).alias("count_order")))
+
+    def q6_def(df: DataFrame) -> DataFrame:
+        return (df.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24))
+            .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+                 .alias("revenue")))
+
+    # q3-shaped: revenue per order over the building-segment join — the
+    # batch joins the (fixed) dims alone, then merges by order key; the
+    # TopK is applied at peek over the maintained state
+    dims3 = (orders.join(
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .select("o_orderkey", "o_orderdate")
+        .localCheckpoint(eager=True))
+
+    def q3_def(df: DataFrame) -> DataFrame:
+        return (df.filter(F.col("l_shipdate") > "1995-03-15")
+                .join(dims3, df.l_orderkey == dims3.o_orderkey)
+                .groupBy("o_orderkey", "o_orderdate")
+                .agg(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).alias("revenue")))
+
+    # q5-shaped: local-supplier revenue by nation (ASIA/1994) — linear in
+    # lineitem over a fixed denormalized dim join
+    dims5 = (supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+             .join(region.filter(F.col("r_name") == "ASIA"),
+                   nation.n_regionkey == region.r_regionkey)
+             .select("s_suppkey", "s_nationkey", "n_name")
+             .localCheckpoint(eager=True))
+    ord5 = (orders.filter((F.col("o_orderdate") >= "1994-01-01")
+                          & (F.col("o_orderdate") < "1995-01-01"))
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .select("o_orderkey", "c_nationkey")
+            .localCheckpoint(eager=True))
+
+    def q5_def(df: DataFrame) -> DataFrame:
+        return (df.join(ord5, df.l_orderkey == ord5.o_orderkey)
+                .join(dims5, (df.l_suppkey == dims5.s_suppkey)
+                      & (F.col("c_nationkey") == F.col("s_nationkey")))
+                .groupBy("n_name")
+                .agg(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).alias("revenue")))
+
+    inc_specs = {
+        "tpch_q1": (q1_def, ["l_returnflag", "l_linestatus"],
+                    {"sum_qty": "sum", "sum_base_price": "sum",
+                     "count_order": "sum"}),
+        "tpch_q3_shape": (q3_def,
+                          ["o_orderkey", "o_orderdate"],
+                          {"revenue": "sum"}),
+        "tpch_q5_shape": (q5_def, ["n_name"], {"revenue": "sum"}),
+        "tpch_q6": (q6_def, [], {"revenue": "sum"}),
+    }
+    for name, (define, keys, combine) in inc_specs.items():
+        mv = MaterializedView(spark=spark, define=define, keys=keys,
+                              combine=combine)
+        mv.on_batch(base)  # arrangement formation (not timed as lag)
+
+        def refresh(b, mv=mv):
+            mv.on_batch(b)  # merge + publish checkpoint inside
+
+        incremental[name] = _lag_series(refresh, batches)
+
+    # -- BASIC path: recompute over base ∪ applied batches ------------------
+    # (q18's HAVING threshold and q21's anti-join are not mergeable —
+    # the reference's Basic reduce; q9 included as the recompute
+    # counterpart of an accumulable shape, for the comparison.)
+    from materialize_spark.queries import load_all
+    registry = load_all()
+    original_lineitem = lineitem
+    for name in ("tpch_q9", "tpch_q18", "tpch_q21"):
+        applied = base
+
+        def refresh(b, name=name):
+            nonlocal applied
+            applied = applied.unionByName(b)
+            # swap BOTH access paths the registered queries use: the
+            # lazy-table mapping and the already-owned temp view
+            t["lineitem"] = applied
+            applied.createOrReplaceTempView("lineitem")
+            registry[name].fn(spark, sf_dir).localCheckpoint(eager=True)
+
+        refresh(base.limit(0))  # plan warmup outside the timed series
+        recompute[name] = _lag_series(refresh, batches)
+        t["lineitem"] = original_lineitem
+        original_lineitem.createOrReplaceTempView("lineitem")
+
+    print(json.dumps({
+        "metric": "mv_freshness_ingest_to_visible",
+        "unit": "sec",
+        "incremental": incremental,
+        "recompute": recompute,
+        "batch_rows": batch_rows,
+        "n_batches": n_batches,
+        "sf_dir": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()
