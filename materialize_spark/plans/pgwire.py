@@ -75,6 +75,10 @@ def _param_indices(sql: str) -> list[str]:
                 j += 1
             i = j + 1
             continue
+        if c == "$" and i + 1 < n and sql[i + 1] == "$":
+            end = sql.find("$$", i + 2)
+            i = n if end < 0 else end + 2
+            continue
         if c == "$" and i + 1 < n and sql[i + 1].isdigit():
             j = i + 1
             while j < n and sql[j].isdigit():
@@ -275,6 +279,12 @@ class MzPgServer:
                     j += 1
                 out.append(sql[i:j + 1])
                 i = j + 1
+                continue
+            if c == "$" and i + 1 < n and sql[i + 1] == "$":
+                end = sql.find("$$", i + 2)  # dollar-quoted string
+                end = n if end < 0 else end + 2
+                out.append(sql[i:end])
+                i = end
                 continue
             if c == "$" and i + 1 < n and sql[i + 1].isdigit():
                 j = i + 1
