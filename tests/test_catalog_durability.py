@@ -92,3 +92,40 @@ def test_every_statement_has_a_durability_decision():
     assert not missing, f"undeclared durability for: {missing}"
     overlap = journaled & non_durable
     assert not overlap, f"contradictory classification: {overlap}"
+
+
+def test_namespaces_and_clusters_survive_restore(spark, tmp_path):
+    """Round-7 DDL (CREATE DATABASE/SCHEMA, CREATE CLUSTER) is journaled
+    and replays on restore: namespaced objects resolve by qualified name
+    and search_path in the fresh session, and the cluster catalog is
+    rebuilt."""
+    import os
+
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.run_script("""
+        CREATE SCHEMA stage;
+        CREATE TABLE stage.ev (k STRING, v BIGINT);
+        INSERT INTO stage.ev VALUES ('a', 1), ('b', 2);
+        CREATE DATABASE wh;
+        CREATE SCHEMA wh.facts;
+        CREATE TABLE wh.facts.f (x BIGINT);
+        INSERT INTO wh.facts.f VALUES (42);
+        CREATE CLUSTER pool (SIZE '200cc', REPLICATION FACTOR 2);
+        SET search_path = stage, public
+    """)
+    path = os.path.join(tmp_path, "catalog.json")
+    s.persist_catalog(path)
+    restored = MzSession.restore_catalog(spark.newSession(), SF_DIR, path)
+    # qualified + search_path resolution against the replayed namespaces
+    assert restored.sql(
+        "SELECT sum(v) AS s FROM stage.ev").first().s == 3
+    assert restored.sql("SELECT v FROM ev WHERE k = 'a'").first().v == 1
+    assert restored.sql(
+        "SELECT x FROM wh.facts.f").first().x == 42
+    names = {r.name for r in restored.execute("SHOW SCHEMAS").collect()}
+    assert "stage" in names
+    clusters = {r.name: r.replicas
+                for r in restored.execute("SHOW CLUSTERS").collect()}
+    assert clusters.get("pool") == 2
