@@ -57,6 +57,9 @@ GOLDEN = {
     # never moves, zero runtime exchanges
     "join_wide_64way": (0, 64),
     "topk_orders_per_segment": (1, 1),
+    # k-means result plan: one count exchange + the K-row presentation
+    # sort; the K-row norms broadcast; centroids are literals, no Python
+    "pipeline_cluster_kmeans": (2, 1),
 }
 
 
