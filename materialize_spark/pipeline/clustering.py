@@ -34,7 +34,12 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
 
 def assign_clusters(df: DataFrame, centroids: list[tuple[int, list[float]]],
                     vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid assignment; ties go to the lowest cluster id."""
+    """Nearest-centroid assignment; ties go to the lowest cluster id.
+
+    Centroids embed as plan literals — right for K up to the hundreds
+    (plan size is K x dims doubles). Past that, switch to a broadcast
+    join against a centroid TABLE with a per-row argmin, the
+    ivf_search routing shape (simsearch.py:254)."""
     cents = sorted(centroids)
     dists = F.array(*[_sqdist(F.col(vec_col), v) for _cid, v in cents])
     idx = F.array_position(dists, F.array_min(dists)).cast("int") - 1

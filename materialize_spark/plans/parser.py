@@ -179,6 +179,11 @@ class CreateConnection(Stmt):
 
 
 @dataclass
+class Validate(Stmt):
+    name: str   # VALIDATE CONNECTION <name>
+
+
+@dataclass
 class Drop(Stmt):
     kind: str
     name: str
@@ -814,6 +819,14 @@ class Parser:
         raise ParseError("unsupported CREATE statement", self.peek())
 
     # DROP / DML ------------------------------------------------------------
+    def _p_validate(self) -> Stmt:
+        # VALIDATE CONNECTION name (reference ValidateConnectionStatement:
+        # probe the endpoint now, error if unreachable)
+        self.expect_kw("VALIDATE", "CONNECTION")
+        name = self.ident()
+        self.expect_end()
+        return Validate(name)
+
     def _p_drop(self) -> Stmt:
         self.expect_kw("DROP")
         t = self.next()
@@ -1291,7 +1304,8 @@ __all__ = [
     "Stmt", "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
     "CreateSink", "CreateSinkKafka", "CreateSourceFile", "CreateSourceLoadgen",
     "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
-    "CreateConnection", "Drop", "CreateRole", "Grant", "Revoke", "SetRole",
+    "CreateConnection", "Validate", "Drop", "CreateRole", "Grant",
+    "Revoke", "SetRole",
     "CreateDatabase", "CreateSchema", "CreateCluster",
     "CreateClusterReplica",
     "SetVar", "ShowVar",

@@ -537,6 +537,30 @@ class MzSession:
             parsed[key] = self._secrets[value] if is_secret else value
         self._connections[node.name] = {"type": node.kind, **parsed}
 
+    def _validate(self, node: ast.Validate, sql: str):
+        """VALIDATE CONNECTION: dial the endpoint NOW and error if it is
+        unreachable (reference ValidateConnectionStatement — connection
+        creation is validated eagerly unless WITH (VALIDATE false))."""
+        import socket
+
+        conn = self._connections.get(node.name)
+        if conn is None:
+            raise KeyError(f"unknown connection {node.name!r}")
+        host = conn.get("host")
+        if host is None:
+            return None  # file-backed connection: nothing to dial
+        defaults = {"kafka": 9092, "postgres": 5432, "mysql": 3306,
+                    "sql-server": 1433, "sqlserver": 1433}
+        port = int(conn.get("port", defaults.get(conn["type"], 0)))
+        try:
+            sock = socket.create_connection((host, port), timeout=5)
+            sock.close()
+        except OSError as ex:
+            raise ConnectionError(
+                f"connection {node.name!r} failed validation "
+                f"({host}:{port}): {ex}") from ex
+        return None
+
     # -- DROP / DML ---------------------------------------------------------
     def _drop(self, node: ast.Drop, sql: str):
         """DROP with PG IF EXISTS semantics: DROP of a missing object
@@ -1325,6 +1349,7 @@ class MzSession:
         ast.CreateSourceCdc: _create_source_cdc,
         ast.CreateSecret: _create_secret,
         ast.CreateConnection: _create_connection,
+        ast.Validate: _validate,
         ast.Drop: _drop,
         ast.CreateDatabase: _create_database,
         ast.CreateSchema: _create_schema,

@@ -208,3 +208,28 @@ def test_sqlserver_source_sql_live_wire(spark):
         rows_out = {r.id: r.name for r in
                     sess.execute("SELECT * FROM ssw_things").collect()}
         assert rows_out == {2: "two"}
+
+
+def test_validate_connection(spark):
+    """VALIDATE CONNECTION dials the endpoint now: success against a
+    live MiniBroker, a clear error against a dead port, and file-backed
+    connections validate trivially."""
+    import pytest
+
+    from materialize_spark.sources.kafka_wire import MiniBroker
+
+    sess = MzSession(spark, SF_DIR)
+    with MiniBroker() as broker:
+        sess.execute(
+            f"CREATE CONNECTION live TO KAFKA "
+            f"(host = '{broker.host}', port = '{broker.port}')")
+        assert sess.execute("VALIDATE CONNECTION live") is None
+    sess.execute(
+        "CREATE CONNECTION dead TO KAFKA (host = '127.0.0.1', "
+        "port = '9')")  # discard port: nothing listens
+    with pytest.raises(ConnectionError, match="failed validation"):
+        sess.execute("VALIDATE CONNECTION dead")
+    with pytest.raises(KeyError, match="unknown connection"):
+        sess.execute("VALIDATE CONNECTION nope")
+    sess.execute("CREATE CONNECTION filec TO POSTGRES (log = '/tmp/x')")
+    assert sess.execute("VALIDATE CONNECTION filec") is None
