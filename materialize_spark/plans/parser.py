@@ -1118,7 +1118,7 @@ class Parser:
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
                  "SECRETS", "CONNECTIONS", "ROLES", "DATABASES", "SCHEMAS",
-                 "CLUSTERS")
+                 "CLUSTERS", "OBJECTS")
         if t.kind != "WORD" or t.upper not in kinds:
             # SHOW <session variable> (reference SHOW for vars.rs names)
             if t.kind == "WORD" and self.peek().kind in ("EOF", "SEMI"):

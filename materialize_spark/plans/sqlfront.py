@@ -970,6 +970,17 @@ class MzSession:
                     for n, c in sorted(self._connections.items())]
             return self.spark.createDataFrame(rows or [],
                                               "name string, type string")
+        if kind == "objects":
+            # SHOW OBJECTS: every catalog object with its type, the
+            # reference's cross-kind listing (mz_objects as a statement)
+            rows = ([(n, "table") for n in self.catalog._tables]
+                    + [(n, "materialized-view" if n in self._matviews
+                        else "view") for n in self.catalog._views]
+                    + [(n, "index") for n in self.catalog._indexes]
+                    + [(n, "sink") for n in self._sinks]
+                    + [(n, "connection") for n in self._connections])
+            return self.spark.createDataFrame(
+                sorted(rows), "name string, type string")
         names = {
             "views": sorted(n for n in self.catalog._views
                             if n not in self._matviews),

@@ -870,3 +870,15 @@ def test_mz_clusters_introspection(spark):
     reps = s.sql("SELECT cluster, name FROM mz_cluster_replicas "
                  "WHERE cluster = 'serving'").collect()
     assert [(r.cluster, r.name) for r in reps] == [("serving", "r1")]
+
+
+def test_show_objects_lists_all_kinds(spark):
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute("CREATE TABLE so_t (x BIGINT)")
+    s.execute("CREATE VIEW so_v AS SELECT 1 AS one")
+    s.execute("CREATE MATERIALIZED VIEW so_mv AS SELECT 2 AS two")
+    got = {r.name: r.type for r in s.execute("SHOW OBJECTS").collect()}
+    assert got["so_t"] == "table"
+    assert got["so_v"] == "view"
+    assert got["so_mv"] == "materialized-view"
+    assert got["region"] == "table"  # base tables included
