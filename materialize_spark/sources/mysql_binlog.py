@@ -279,37 +279,59 @@ ENVELOPE_SCHEMA = StructType([
 ])
 
 
+_CHECKSUM_BREAKS = "checksum_breaks"
+
+
 def collect_table_maps(df: DataFrame, event_col: str = "event",
-                       ) -> dict[int, dict]:
+                       pos_col: str = "pos") -> dict[int, dict]:
     """Driver-side TABLE_MAP + FORMAT_DESCRIPTION harvest (metadata; K
     rows — one per table plus one FD per binlog file). Event type is
     header byte 5, so the filter pushes to the scan as a 1-byte
-    substring compare — data events never reach the driver. The FD
-    event's checksum algorithm rides along in the returned dict so the
-    data decode trims CRC32 trailers."""
+    substring compare — data events never reach the driver.
+
+    Checksum tracking: a FORMAT_DESCRIPTION can flip binlog_checksum
+    MID-STREAM (server restart with changed config), so the harvest is
+    one ORDERED pass — each table map's trailer verifies with the mode
+    in effect at its own position — and the returned dict carries the
+    full (position → mode) break list under ``checksum_breaks``, so a
+    decode task that starts past a flip (multi-partition frames) picks
+    the mode for ITS events' positions instead of the final one."""
     type_byte = F.substring(F.col(event_col), 5, 1)
+    cols = ([pos_col, event_col] if pos_col in df.columns
+            else [event_col])
     rows = (
         df.filter(type_byte.isin(
             F.lit(bytes([TABLE_MAP_EVENT])),
             F.lit(bytes([FORMAT_DESCRIPTION_EVENT]))))
-        .select(event_col).collect()
+        .select(*cols).collect()
     )
     maps: dict[int, dict] = {}
-    # ONE ordered pass: a FORMAT_DESCRIPTION can flip the checksum mode
-    # MID-STREAM (server restart with binlog_checksum changed), and each
-    # table map's trailer must be verified with the mode in effect at
-    # its own position — a global last-FD-wins value mis-verifies maps
-    # that precede the flip. (In-task data decode handles flips the same
-    # way: parse_rows_event updates the mode as FD events stream by.)
-    parsed = [bytes(r[0]) for r in rows]
-    for raw in parsed:
+    breaks: list[tuple[int, str]] = []
+    for r in rows:
+        raw = bytes(r[event_col])
+        pos = int(r[pos_col]) if pos_col in r.__fields__ else 0
         if raw[4] == FORMAT_DESCRIPTION_EVENT:
-            maps[_CHECKSUM_KEY] = parse_format_description(raw)["checksum"]
+            mode = parse_format_description(raw)["checksum"]
+            maps[_CHECKSUM_KEY] = mode
+            breaks.append((pos, mode))
         elif raw[4] == TABLE_MAP_EVENT:
             _event_end(raw, maps)
             tme = parse_table_map(raw)
             maps[tme["table_id"]] = tme
+    maps[_CHECKSUM_BREAKS] = breaks
     return maps
+
+
+def _mode_at(breaks: list[tuple[int, str]], pos: int) -> str | None:
+    """Checksum mode in effect at binlog position ``pos`` (last FD at or
+    before it), or None if no FD precedes it."""
+    mode = None
+    for p, m in breaks:
+        if p <= pos:
+            mode = m
+        else:
+            break
+    return mode
 
 
 def decode_binlog_stream(df: DataFrame, event_col: str = "event",
@@ -339,6 +361,7 @@ def decode_binlog_stream(df: DataFrame, event_col: str = "event",
         from pyspark import TaskContext
 
         local = dict(maps)
+        breaks = local.get(_CHECKSUM_BREAKS) or []
         ctx = TaskContext.get()
         task_seq = (ctx.partitionId() if ctx is not None else 0) << 40
         for pdf in batches:
@@ -347,6 +370,11 @@ def decode_binlog_stream(df: DataFrame, event_col: str = "event",
             poss = (pdf["_wirepos"] if "_wirepos" in pdf.columns
                     else [None] * len(pdf))
             for pos_v, raw, wpos in zip(pdf[pos_col], pdf[event_col], poss):
+                # a task may start PAST a checksum flip without having
+                # seen the FD event: pick the mode for this position
+                mode = _mode_at(breaks, int(pos_v))
+                if mode is not None:
+                    local[_CHECKSUM_KEY] = mode
                 if wpos is None:
                     task_seq += 1
                     base_seq = task_seq << 12

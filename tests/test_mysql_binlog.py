@@ -203,3 +203,33 @@ def test_checksum_flip_mid_stream(spark):
     import json as _json
     got = sorted(_json.loads(r.after)["sku"] for r in env)
     assert got == ["post", "pre"]
+
+
+def test_checksum_flip_across_partitions(spark):
+    """A decode task starting PAST the flip (multi-partition frame, no
+    in-task FD event) must still verify with the mode at its events'
+    positions: the harvest carries the (position → mode) break list."""
+    from materialize_spark.sources.mysql_binlog import (
+        WRITE_ROWS_V2, encode_format_description, encode_rows_event,
+        with_crc32,
+    )
+    pre = encode_rows_event(WRITE_ROWS_V2, TID, [[1, "pre", 1.0, 1]],
+                            COL_TYPES, METADATA)
+    post = encode_rows_event(WRITE_ROWS_V2, TID, [[2, "post", 2.0, 2]],
+                             COL_TYPES, METADATA)
+    events = [
+        encode_format_description("none"), _tme(), pre,
+        encode_format_description("crc32"), with_crc32(_tme()),
+        with_crc32(post),
+    ]
+    rows = [(i + 1, bytearray(m)) for i, m in enumerate(events)]
+    # two slices: [fd-none, tme, pre] | [fd-crc32, tme, post] — then
+    # THREE slices so the crc32 data event lands in a task with no FD
+    for slices in (2, 3):
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, slices),
+            "pos long, event binary")
+        env = decode_binlog_stream(df, columns=COLS).collect()
+        import json as _json
+        got = sorted(_json.loads(r.after)["sku"] for r in env)
+        assert got == ["post", "pre"], f"slices={slices}"
