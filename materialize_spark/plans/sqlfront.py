@@ -421,7 +421,9 @@ class MzSession:
                 log = spark.read.parquet(conn["log"])
             rels = collect_relations(log)
             env = decode_pgoutput_stream(log, relations=rels)
-            for rel in rels.values():
+            for oid, rel in rels.items():
+                if not isinstance(oid, int):
+                    continue  # harvest metadata (relation_breaks)
                 tname = rel["name"]
                 if wanted is not None and tname not in wanted:
                     continue

@@ -205,20 +205,36 @@ ENVELOPE_SCHEMA = StructType([
 ])
 
 
+_REL_BREAKS = "relation_breaks"
+
+
 def collect_relations(df: DataFrame, message_col: str = "message",
-                      ) -> dict[int, dict]:
+                      lsn_col: str = "lsn") -> dict[int, dict]:
     """Driver-side Relation-message harvest. 'R' messages are one tiny
     record per replicated table (metadata, not data) — the collect is
     K rows where K = table count, the same budget class as IVF
-    centroids. The filter pushes to the scan: first byte == 'R'."""
+    centroids. The filter pushes to the scan: first byte == 'R'.
+
+    A relation can be RE-declared mid-stream with a new schema (ALTER
+    TABLE on the publisher sends a fresh 'R'), so alongside the
+    last-wins map the harvest returns the full (lsn → relation) version
+    list under ``relation_breaks``: a decode task that covers only a
+    pre-alter slice of a multi-partition frame resolves each message
+    against the version in effect at ITS lsn, not the final one."""
+    cols = ([lsn_col, message_col] if lsn_col in df.columns
+            else [message_col])
     rel_rows = (
         df.filter(F.substring(F.col(message_col), 1, 1) == F.lit(b"R"))
-        .select(message_col).collect()
+        .select(*cols).collect()
     )
     relations: dict[int, dict] = {}
+    breaks: list[tuple[int, int, dict]] = []
     for r in rel_rows:
-        rel = parse_relation(bytes(r[0]))
+        rel = parse_relation(bytes(r[message_col]))
+        lsn = int(r[lsn_col]) if lsn_col in r.__fields__ else 0
         relations[rel["oid"]] = rel
+        breaks.append((lsn, rel["oid"], rel))
+    relations[_REL_BREAKS] = breaks
     return relations
 
 
@@ -256,6 +272,15 @@ def decode_pgoutput_stream(df: DataFrame, message_col: str = "message",
         from pyspark import TaskContext
 
         local = dict(rels)  # per-task copy; in-stream 'R' still honored
+        # versioned relation resolution: when the harvest carries the
+        # (lsn → relation) break list, start from an empty map and apply
+        # versions as this task's lsns pass them — a task covering a
+        # pre-alter slice then decodes with the schema in effect THERE.
+        breaks = local.pop(_REL_BREAKS, None) or []
+        if breaks:
+            local = {k: v for k, v in local.items()
+                     if not isinstance(k, int)}
+        brk_i = 0
         ctx = TaskContext.get()
         task_seq = (ctx.partitionId() if ctx is not None else 0) << 40
         for pdf in batches:
@@ -264,6 +289,9 @@ def decode_pgoutput_stream(df: DataFrame, message_col: str = "message",
             poss = (pdf["_wirepos"] if "_wirepos" in pdf.columns
                     else [None] * len(pdf))
             for lsn, raw, pos in zip(pdf[lsn_col], pdf[message_col], poss):
+                while brk_i < len(breaks) and breaks[brk_i][0] <= int(lsn):
+                    local[breaks[brk_i][1]] = breaks[brk_i][2]
+                    brk_i += 1
                 if pos is None:
                     task_seq += 1
                     base_seq = task_seq << 12

@@ -257,3 +257,36 @@ def test_oid_coverage():
     from pyspark.sql.types import _parse_datatype_string
     for oid, t in PG_TYPE_OIDS.items():
         _parse_datatype_string(t)
+
+
+def test_relation_redeclared_mid_stream_across_partitions(spark):
+    """ALTER TABLE on the publisher sends a fresh 'R' with the new
+    schema mid-stream: each message must decode with the relation
+    version in effect AT ITS LSN, even when the decode task never sees
+    the 'R' event (multi-partition frame). The harvest's versioned
+    relation_breaks make that hold."""
+    import json as _json
+
+    v1 = encode_relation(ACCOUNTS_OID, "public", "accounts",
+                         [("id", 20, True), ("name", 1043, False)])
+    v2 = encode_relation(ACCOUNTS_OID, "public", "accounts",
+                         [("id", 20, True), ("name", 1043, False),
+                          ("vip", 16, False)])
+    msgs = [
+        (1, v1),
+        (2, encode_insert(ACCOUNTS_OID, [1, "old"])),
+        (3, v2),  # ALTER adds a column
+        (4, encode_insert(ACCOUNTS_OID, [2, "new", "t"])),
+    ]
+    rows = [(lsn, bytearray(m)) for lsn, m in msgs]
+    for slices in (1, 2, 4):
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, slices),
+            "lsn long, message binary")
+        rels = collect_relations(df)
+        env = decode_pgoutput_stream(df, relations=rels).collect()
+        after = {r.lsn: _json.loads(r.after) for r in env
+                 if r.op == "insert"}
+        assert after[2] == {"id": "1", "name": "old"}, f"slices={slices}"
+        assert after[4] == {"id": "2", "name": "new", "vip": "t"}, \
+            f"slices={slices}"
