@@ -40,7 +40,7 @@ from materialize_spark.plans.lexer import LexError, split_statements
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
     r"|sources|sinks|arrangement_sizes|comments|roles|clusters"
-    r"|cluster_replicas)\b"
+    r"|cluster_replicas|databases|schemas)\b"
     r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
     r"|\b(?:obj|col)_description\b", re.I)
 
@@ -1515,6 +1515,18 @@ class MzSession:
         # roles (reference mz_catalog.mz_roles)
         mk([(f"r{i + 1}", r) for i, r in enumerate(sorted(self._roles))],
            "id string, name string").createOrReplaceTempView("mz_roles")
+        # databases + schemas (reference mz_catalog.mz_databases /
+        # mz_schemas)
+        mk([(f"u{i + 1}", d) for i, d in
+            enumerate(sorted(self._ns.databases))],
+           "id string, name string").createOrReplaceTempView(
+            "mz_databases")
+        db_ids = {d: f"u{i + 1}"
+                  for i, d in enumerate(sorted(self._ns.databases))}
+        mk([(f"u{i + 1}", db_ids[d], s) for i, (d, s) in
+            enumerate(sorted(self._ns.schemas))],
+           "id string, database_id string, name string"
+           ).createOrReplaceTempView("mz_schemas")
         # clusters + replicas (reference mz_catalog.mz_clusters /
         # mz_cluster_replicas)
         mk([(f"u{i + 1}", n, c["size"], len(c["replicas"]))

@@ -141,3 +141,17 @@ def test_aliases_not_captured(sess):
     expected = sess.sql("SELECT n_name FROM nation "
                         "WHERE n_nationkey = 0").first().n_name
     assert out.n_name == expected
+
+
+def test_mz_databases_and_schemas_introspection(sess):
+    sess.execute("CREATE DATABASE d2")
+    sess.execute("CREATE SCHEMA d2.raw")
+    dbs = {r.name for r in sess.sql(
+        "SELECT name FROM mz_databases").collect()}
+    assert {"materialize", "d2"} <= dbs
+    rows = sess.sql(
+        "SELECT d.name AS db, s.name AS schema FROM mz_schemas s "
+        "JOIN mz_databases d ON s.database_id = d.id").collect()
+    pairs = {(r.db, r.schema) for r in rows}
+    assert ("d2", "raw") in pairs and ("d2", "public") in pairs
+    assert ("materialize", "public") in pairs
