@@ -56,6 +56,8 @@ def kmeans(df: DataFrame, *, k: int = 4, iters: int = 2, dims: int = 64,
     returned centroids are the means of that pass (rounded), i.e. one
     final update beyond the last assignment — exactly what the oracle
     computes."""
+    if iters < 1:
+        raise ValueError("kmeans needs at least one iteration")
     base = df.select(id_col, vec_col)
     init_rows = (base.orderBy(id_col).limit(k).collect())
     centroids = [(i, [float(x) for x in r[vec_col]])
