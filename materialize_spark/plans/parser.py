@@ -1115,6 +1115,10 @@ class Parser:
         if self.take_kw("CLUSTER", "REPLICAS"):
             self.expect_end()
             return Show("cluster replicas")
+        if self.take_kw("SUBSOURCES"):
+            src = self.ident() if self.take_kw("FROM") else None
+            self.expect_end()
+            return Show("subsources", in_db=src)
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
                  "SECRETS", "CONNECTIONS", "ROLES", "DATABASES", "SCHEMAS",

@@ -941,6 +941,19 @@ class MzSession:
                     for rn, r in sorted(c["replicas"].items())]
             return self.spark.createDataFrame(
                 rows, "cluster string, replica string, size string")
+        if kind == "subsources":
+            # SHOW SUBSOURCES [FROM src]: per-table subsources a CDC
+            # source registered (reference ShowSubsources)
+            srcs = getattr(self, "_sources", {})
+            if node.in_db is not None:
+                if node.in_db not in srcs:
+                    raise KeyError(f"unknown source {node.in_db!r}")
+                srcs = {node.in_db: srcs[node.in_db]}
+            rows = [(f"{sn}_{t}", sn, "subsource")
+                    for sn, s in sorted(srcs.items())
+                    for t in sorted(s.get("tables", []))]
+            return self.spark.createDataFrame(
+                rows or [], "name string, source string, type string")
         if kind == "databases":
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self._ns.databases)], "name string")

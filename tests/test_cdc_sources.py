@@ -233,3 +233,20 @@ def test_validate_connection(spark):
         sess.execute("VALIDATE CONNECTION nope")
     sess.execute("CREATE CONNECTION filec TO POSTGRES (log = '/tmp/x')")
     assert sess.execute("VALIDATE CONNECTION filec") is None
+
+
+def test_show_subsources(spark, tmp_path):
+    path = str(tmp_path / "pg_log_ss")
+    _write_pg_log(spark, path)
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE CONNECTION ssc TO POSTGRES (log = '{path}')")
+    sess.execute("CREATE SOURCE pgs FROM POSTGRES CONNECTION ssc "
+                 "(PUBLICATION 'mz') FOR ALL TABLES")
+    rows = [(r.name, r.source, r.type) for r in
+            sess.execute("SHOW SUBSOURCES").collect()]
+    assert ("pgs_fruit", "pgs", "subsource") in rows
+    rows2 = sess.execute("SHOW SUBSOURCES FROM pgs").collect()
+    assert [r.name for r in rows2] == ["pgs_fruit"]
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="unknown source"):
+        sess.execute("SHOW SUBSOURCES FROM nope")
