@@ -241,6 +241,13 @@ class CreateClusterReplica(Stmt):
 
 
 @dataclass
+class AlterCluster(Stmt):
+    name: str
+    size: str | None = None
+    replication_factor: int | None = None
+
+
+@dataclass
 class CreateSchema(Stmt):
     name: str               # schema name
     database: str | None = None  # None = current database
@@ -965,6 +972,17 @@ class Parser:
 
     def _p_alter(self) -> Stmt:
         self.expect_kw("ALTER")
+        if self.take_kw("CLUSTER"):
+            # ALTER CLUSTER c SET (SIZE '...', REPLICATION FACTOR n)
+            name = self.ident()
+            self.expect_kw("SET")
+            opts = _cluster_opts(self.paren_span())
+            self.expect_end()
+            return AlterCluster(
+                name, size=opts.get("size"),
+                replication_factor=(
+                    int(opts["replication factor"])
+                    if "replication factor" in opts else None))
         if not (self.take_kw("MATERIALIZED", "VIEW") or self.take_kw("TABLE")
                 or self.take_kw("VIEW") or self.take_kw("SOURCE")
                 or self.take_kw("INDEX")):
@@ -1311,7 +1329,7 @@ __all__ = [
     "CreateConnection", "Validate", "Drop", "CreateRole", "Grant",
     "Revoke", "SetRole",
     "CreateDatabase", "CreateSchema", "CreateCluster",
-    "CreateClusterReplica",
+    "CreateClusterReplica", "AlterCluster",
     "SetVar", "ShowVar",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",

@@ -908,6 +908,25 @@ class MzSession:
                 f"replica {node.cluster}.{node.name!r} already exists")
         c["replicas"][node.name] = {"size": node.size or c["size"]}
 
+    def _alter_cluster(self, node: ast.AlterCluster, sql: str):
+        c = self._clusters.get(node.name)
+        if c is None:
+            raise KeyError(f"unknown cluster {node.name!r}")
+        if node.size is not None:
+            c["size"] = node.size
+        if node.replication_factor is not None:
+            # managed-cluster resize: grow adds rN replicas, shrink
+            # drops the highest-numbered ones (reference ALTER CLUSTER
+            # managed semantics)
+            want = node.replication_factor
+            reps = c["replicas"]
+            for i in range(want):
+                reps.setdefault(f"r{i + 1}", {"size": c["size"]})
+            for name in [n for n in list(reps)
+                         if n.startswith("r") and n[1:].isdigit()
+                         and int(n[1:]) > want]:
+                del reps[name]
+
     def _create_database(self, node: ast.CreateDatabase, sql: str):
         self._ns.create_database(node.name,
                                  if_not_exists=node.if_not_exists)
@@ -1329,7 +1348,7 @@ class MzSession:
         "RefreshMV", "AlterRetain", "AlterRename", "AlterAddColumn",
         "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
         "SetVar", "CreateDatabase", "CreateSchema", "CreateCluster",
-        "CreateClusterReplica",
+        "CreateClusterReplica", "AlterCluster",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -1381,6 +1400,7 @@ class MzSession:
         ast.CreateSchema: _create_schema,
         ast.CreateCluster: _create_cluster,
         ast.CreateClusterReplica: _create_cluster_replica,
+        ast.AlterCluster: _alter_cluster,
         ast.CreateRole: _create_role,
         ast.Grant: _grant,
         ast.Revoke: _revoke,

@@ -156,3 +156,39 @@ def test_extended_unknown_statement_errors(served):
     _sess, c = served
     with pytest.raises(ValueError, match="unknown prepared statement"):
         c.execute_prepared("never_parsed", [])
+
+
+def test_extended_pipelined_single_write(served):
+    """psycopg3/JDBC pipeline Parse+Bind+Describe+Execute+Sync in ONE
+    network write and only then read. The server must process the
+    buffered sequence without deadlocking or reordering."""
+    import struct as _s
+
+    from materialize_spark.plans.pgwire import _cstr
+
+    _sess, c = served
+    sql = ("SELECT n_nationkey FROM nation WHERE n_nationkey < $1 "
+           "ORDER BY n_nationkey")
+    parse = _cstr("") + _cstr(sql) + _s.pack(">h", 1) + _s.pack(">i", 20)
+    bind = (_cstr("") + _cstr("") + _s.pack(">h", 0)
+            + _s.pack(">h", 1) + _s.pack(">i", 1) + b"3"
+            + _s.pack(">h", 0))
+    describe = b"P" + _cstr("")
+    execute = _cstr("") + _s.pack(">i", 0)
+    buf = b"".join(
+        tag + _s.pack(">i", 4 + len(p)) + p
+        for tag, p in ((b"P", parse), (b"B", bind), (b"D", describe),
+                       (b"E", execute), (b"S", b"")))
+    c.sock.sendall(buf)  # ONE write, no interleaved reads
+    seen = []
+    rows = []
+    while True:
+        tag, payload = c._recv_msg()
+        seen.append(tag)
+        if tag == b"D":
+            rows.append(payload)
+        if tag == b"Z":
+            break
+    assert seen[0] == b"1" and b"2" in seen and b"T" in seen
+    assert len(rows) == 3  # nationkeys 0,1,2
+    assert seen[-2:] == [b"C", b"Z"]

@@ -882,3 +882,19 @@ def test_show_objects_lists_all_kinds(spark):
     assert got["so_v"] == "view"
     assert got["so_mv"] == "materialized-view"
     assert got["region"] == "table"  # base tables included
+
+
+def test_alter_cluster(spark):
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute("CREATE CLUSTER elastic (SIZE '100cc', REPLICATION FACTOR 1)")
+    s.execute("ALTER CLUSTER elastic SET (REPLICATION FACTOR 3)")
+    reps = [r.replica for r in s.execute("SHOW CLUSTER REPLICAS").collect()
+            if r.cluster == "elastic"]
+    assert reps == ["r1", "r2", "r3"]
+    s.execute("ALTER CLUSTER elastic SET (SIZE '400cc', "
+              "REPLICATION FACTOR 1)")
+    rows = {r.name: (r.size, r.replicas)
+            for r in s.execute("SHOW CLUSTERS").collect()}
+    assert rows["elastic"] == ("400cc", 1)
+    with pytest.raises(KeyError, match="unknown cluster"):
+        s.execute("ALTER CLUSTER nope SET (SIZE '1')")
