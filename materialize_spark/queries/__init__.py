@@ -89,11 +89,11 @@ def load_all() -> dict[str, QuerySpec]:
         # extended, 64-relation delta-join width, k-means clustering) ---
         "sqlfront_namespaces", "sqlfront_clusters",
         "sqlfront_pgwire_extended", "join_wide_64way",
-        "pipeline_cluster_kmeans",
-        # --- 10 already-certified regression sentinels ---
+        "pipeline_cluster_kmeans", "text_tfidf_topterms",
+        # --- 9 already-certified regression sentinels ---
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "simsearch_cosine_topk", "simsearch_ivf_disk",
+        "simsearch_cosine_topk",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

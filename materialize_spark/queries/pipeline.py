@@ -1166,3 +1166,67 @@ def pipeline_cluster_kmeans(spark, sf_dir):
                     F.col("n").cast("long").alias("n"),
                     "centroid_norm")
             .orderBy("cluster"))
+
+
+@register(
+    "text_tfidf_topterms",
+    f"""
+    WITH toks0 AS ({_DD_TOKENS}),
+    toks AS (
+      SELECT doc_id, unnest(tokens) AS term FROM toks0),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * ln(n.n::DOUBLE / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank,
+           term, tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    "pipeline", "text", "tfidf",
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the retrieval-relevance signal
+    a curation pipeline uses for topic tagging / relevance filtering.
+    Scale shape: one explode + two keyed aggregations (tf by (doc,term),
+    df by term with map-side partial distinct) + a term-keyed join and a
+    doc-keyed window — every shuffle on a real key, no all-pairs work,
+    all JVM expressions. N is one driver scalar."""
+    from pyspark.sql.window import Window
+
+    from materialize_spark.pipeline.dedup import normalize_text
+
+    docs = T(spark, sf_dir).documents
+    n_docs = docs.count()
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " "))
+        .alias("term"))
+        .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select("doc_id", "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(dfreq, on="term")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                  6)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    "term", "tfidf")
+            .orderBy("doc_id", "rank"))
