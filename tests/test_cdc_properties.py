@@ -141,3 +141,45 @@ def test_sqlserver_lsn_bytes_order_is_numeric_order(vlf, block, rec):
     assert a <= b <= c or (rec == 2 ** 16 - 1 or vlf == 2 ** 32 - 1)
     # hex encoding preserves the order (the Spark-side sort key)
     assert (a.hex() <= b.hex()) == (a <= b)
+
+
+def test_cdc_final_state_invariant_to_partition_layout(spark):
+    """Partition-layout invariance: a wire drain decoded with 1, 2, 3,
+    or 5 slices must land the IDENTICAL final state — the deterministic
+    wire-position seq makes (lsn, seq) a total order no matter how the
+    frame is partitioned. Uses a history with same-LSN insert/delete
+    ties and an update pair, the shapes that broke per-task counters."""
+    from materialize_spark.sources.pgoutput import (
+        apply_cdc, collect_relations, decode_pgoutput_stream,
+        encode_delete, encode_insert, encode_relation, encode_update,
+        pgoutput_to_diff,
+    )
+
+    oid = 31001
+    rel = encode_relation(oid, "public", "items",
+                          [("id", 20, True), ("v", 25, False)])
+    history = [
+        (1, rel),
+        (5, encode_insert(oid, [1, "a"])),
+        (5, encode_delete(oid, [1, None])),          # same-LSN tie
+        (5, encode_insert(oid, [2, "b"])),
+        (8, encode_update(oid, [2, "b2"], old_vals=[2, "b"])),
+        (9, encode_insert(oid, [3, "c"])),
+        (9, encode_delete(oid, [3, None])),          # another tie
+        (9, encode_insert(oid, [3, "c2"])),
+    ]
+    rows = [(lsn, bytearray(m)) for lsn, m in history]
+    states = []
+    for slices in (1, 2, 3, 5):
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, slices),
+            "lsn long, message binary")
+        rels = collect_relations(df)
+        diff = pgoutput_to_diff(
+            decode_pgoutput_stream(df, relations=rels), rels[oid])
+        base = spark.createDataFrame([], "id long, v string")
+        got = sorted((r.id, r.v) for r in
+                     apply_cdc(base, diff, ["id"]).collect())
+        states.append(got)
+    assert all(s == states[0] for s in states), states
+    assert states[0] == [(2, "b2"), (3, "c2")]
