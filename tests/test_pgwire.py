@@ -192,3 +192,23 @@ def test_extended_pipelined_single_write(served):
     assert seen[0] == b"1" and b"2" in seen and b"T" in seen
     assert len(rows) == 3  # nationkeys 0,1,2
     assert seen[-2:] == [b"C", b"Z"]
+
+
+def test_extended_protocol_with_namespaces(served):
+    """Round-7 integration: a psycopg-style parameterized query against
+    a schema-qualified table — name resolution (namespaces) composes
+    with Parse/Bind/Execute (extended protocol)."""
+    _sess, c = served
+    c.query("CREATE SCHEMA app; "
+            "CREATE TABLE app.events (k STRING, v BIGINT); "
+            "INSERT INTO app.events VALUES ('a', 1), ('b', 2), ('c', 3)")
+    c.prepare("nsq", "SELECT k, v FROM app.events WHERE v >= $1 "
+                     "ORDER BY v", param_oids=(20,))
+    res = c.execute_prepared("nsq", ["2"])
+    assert res["rows"] == [["b", "2"], ["c", "3"]]
+    # search_path resolution through the wire too
+    c.query("SET search_path = app, public")
+    c.prepare("nsq2", "SELECT count(*) AS n FROM events WHERE v < $1",
+              param_oids=(20,))
+    res2 = c.execute_prepared("nsq2", ["3"])
+    assert res2["rows"] == [["2"]]
