@@ -23,6 +23,7 @@ PIPELINE = [
     "simsearch_cosine_topk", "simsearch_lsh_buckets", "simsearch_ivf",
     "text_language_id", "text_quality", "text_token_counts",
     "text_fingerprint", "multimodal_features",
+    "pipeline_cluster_kmeans", "text_tfidf_topterms",
 ]
 
 
