@@ -304,6 +304,18 @@ def _rewrite_slice(toks: list[Token]) -> str:
             pieces.append(("OP", t.text))
             i += 1
             continue
+        if t.kind == "STRING":
+            # PG string literals treat backslash as an ordinary character
+            # ('' is the only escape); Spark SQL's parser treats backslash
+            # as an escape by default. Re-render the PG-parsed value as a
+            # Spark literal so a value like 'C:\tmp' (or an extended-
+            # protocol text parameter ending in '\') survives verbatim.
+            v = t.value
+            pieces.append(
+                ("STRING",
+                 "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"))
+            i += 1
+            continue
         pieces.append((t.kind, t.text))
         i += 1
     pieces = _rewrite_distinct_on(pieces)

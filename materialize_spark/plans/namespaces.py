@@ -123,11 +123,35 @@ class NamespaceState:
         last_end = 0
         i = 0
         creation_slot = self._creation_slot(toks)
+        # FROM-list state: paren depths at which we are inside a FROM
+        # table list, so the second table of "FROM a, b" (prev token is a
+        # comma, not FROM) still resolves. A depth leaves the set when a
+        # clause keyword (WHERE/GROUP/...) ends the list at that depth or
+        # its RP closes.
+        depth = 0
+        from_depths: set[int] = set()
+        _FROM_ENDERS = {"WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                        "OFFSET", "WINDOW", "UNION", "EXCEPT", "INTERSECT",
+                        "SET", "RETURNING", "FETCH", "FOR", "VALUES",
+                        "SELECT"}
         while i < len(toks):
             t = toks[i]
+            if t.kind == "LP":
+                depth += 1
+                i += 1
+                continue
+            if t.kind == "RP":
+                from_depths.discard(depth)
+                depth -= 1
+                i += 1
+                continue
             if t.kind != "WORD":
                 i += 1
                 continue
+            if t.upper == "FROM":
+                from_depths.add(depth)
+            elif t.upper in _FROM_ENDERS:
+                from_depths.discard(depth)
             # dotted chain? collect WORD (. WORD)*
             chain = [t]
             j = i
@@ -161,9 +185,13 @@ class NamespaceState:
                 # search_path applies only in table-reference position
                 # (a bare column name must never be captured by a
                 # same-named table in the path)
-                table_pos = (prev is not None and prev.kind == "WORD"
-                             and prev.upper in ("FROM", "JOIN", "INTO",
-                                                "UPDATE", "TABLE"))
+                table_pos = (prev is not None
+                             and ((prev.kind == "WORD"
+                                   and prev.upper in ("FROM", "JOIN",
+                                                      "INTO", "UPDATE",
+                                                      "TABLE", "COPY"))
+                                  or (prev.kind == "COMMA"
+                                      and depth in from_depths)))
                 if i == creation_slot and path and path[0] != "public":
                     if (current_db, path[0]) in self.schemas:
                         repl = mangle(current_db, path[0], t.text)

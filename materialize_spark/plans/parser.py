@@ -188,6 +188,7 @@ class Drop(Stmt):
     kind: str
     name: str
     if_exists: bool = False
+    cascade: bool = False  # plain DROP SCHEMA/DATABASE on non-empty errors
 
 
 @dataclass
@@ -851,9 +852,11 @@ class Parser:
                 and self.peek().kind == "OP" and self.peek().text == ".":
             self.next()
             name = name + "." + self.ident()  # db.schema / cluster.replica
-        self.take_kw("CASCADE")  # contained objects always drop with it
+        cascade = bool(self.take_kw("CASCADE"))
+        if not cascade:
+            self.take_kw("RESTRICT")  # explicit RESTRICT == the default
         self.expect_end()
-        return Drop(kind, name, if_exists=if_exists)
+        return Drop(kind, name, if_exists=if_exists, cascade=cascade)
 
     def _p_insert(self) -> Stmt:
         self.expect_kw("INSERT", "INTO")

@@ -116,6 +116,9 @@ class MzSession:
         self._view_sql: dict[str, str] = {}
         self._sinks: dict[str, dict] = {}
         self._webhooks: dict[str, object] = {}
+        # catalog-table names that were created as SOURCEs (file/loadgen/
+        # webhook) — SHOW OBJECTS reports them as 'source', not 'table'
+        self._source_tables: set[str] = set()
         self._prepared: dict[str, str] = {}
         self._cursors: dict[str, dict] = {}
         self._txn_snapshot: dict | None = None
@@ -340,6 +343,7 @@ class MzSession:
         else:
             df = self.spark.read.format(fmt).load(path)
         self.catalog.register_table(node.name, df)
+        self._source_tables.add(node.name)
 
     def _create_source_loadgen(self, node: ast.CreateSourceLoadgen, sql: str):
         from materialize_spark.sources.loadgen import load_generator
@@ -351,8 +355,10 @@ class MzSession:
             # named <source>_<table> like the reference
             for sub, sdf in df.items():
                 self.catalog.register_table(f"{node.name}_{sub}", sdf)
+                self._source_tables.add(f"{node.name}_{sub}")
             return None
         self.catalog.register_table(node.name, df)
+        self._source_tables.add(node.name)
 
     def _create_source_webhook(self, node: ast.CreateSourceWebhook, sql: str):
         # Webhook stand-in (reference statement.rs:52): a spool
@@ -368,6 +374,7 @@ class MzSession:
             self.catalog.register_table(n, s.df())
         self._webhooks[name] = src
         self.catalog.register_table(name, src.df())
+        self._source_tables.add(name)
 
     def _create_source_cdc(self, node: ast.CreateSourceCdc, sql: str):
         """CREATE SOURCE ... FROM POSTGRES|MYSQL|SQL SERVER CONNECTION —
@@ -599,6 +606,15 @@ class MzSession:
                 if node.if_exists:
                     return None
                 raise KeyError(f"unknown database {node.name!r}")
+            if not node.cascade:
+                # PG semantics: plain DROP on a non-empty database errors;
+                # only CASCADE takes the contained objects with it.
+                for d, s in self._ns.schemas:
+                    if d == node.name and self._mangled_objects(
+                            f"__ns__{d}__{s}__"):
+                        raise ValueError(
+                            f"database {node.name!r} is not empty; "
+                            "use DROP DATABASE ... CASCADE")
             for prefix in self._ns.drop_database(node.name):
                 self._drop_mangled(prefix)
             return None
@@ -609,6 +625,11 @@ class MzSession:
                 if node.if_exists:
                     return None
                 raise KeyError(f"unknown schema {db}.{name}")
+            if not node.cascade and self._mangled_objects(
+                    f"__ns__{db}__{name}__"):
+                raise ValueError(
+                    f"schema {db}.{name} is not empty; "
+                    "use DROP SCHEMA ... CASCADE")
             self._drop_mangled(self._ns.drop_schema(db, name))
             return None
         if not self._superuser() \
@@ -621,6 +642,7 @@ class MzSession:
             self._sinks.pop(node.name, None)
             return None
         self.catalog.drop(node.name, if_exists=node.if_exists)
+        self._source_tables.discard(node.name)
         for store in (self._matviews, self._matview_sql, self._view_sql,
                       self._histories, self._retain, self._refresh_every,
                       self._sub_state, self._sub_ts):
@@ -874,13 +896,17 @@ class MzSession:
             .localCheckpoint(eager=True))
 
     # -- SHOW ---------------------------------------------------------------
+    def _mangled_objects(self, prefix: str) -> list[str]:
+        """Catalog objects living under a mangled-namespace prefix."""
+        return [n for store in (self.catalog._tables,
+                                self.catalog._views,
+                                self.catalog._indexes)
+                for n in list(store) if n.startswith(prefix)]
+
     def _drop_mangled(self, prefix: str) -> None:
         """Drop every catalog object under a mangled-namespace prefix
-        (DROP SCHEMA/DATABASE takes contained objects with it)."""
-        doomed = [n for store in (self.catalog._tables,
-                                  self.catalog._views,
-                                  self.catalog._indexes)
-                  for n in list(store) if n.startswith(prefix)]
+        (DROP ... CASCADE takes contained objects with it)."""
+        doomed = self._mangled_objects(prefix)
         for n in set(doomed):
             self.catalog.drop(n, if_exists=True)
             for store in (self._matviews, self._matview_sql,
@@ -1007,11 +1033,14 @@ class MzSession:
         if kind == "objects":
             # SHOW OBJECTS: every catalog object with its type, the
             # reference's cross-kind listing (mz_objects as a statement)
-            rows = ([(n, "table") for n in self.catalog._tables]
+            rows = ([(n, "source" if n in self._source_tables
+                        else "table") for n in self.catalog._tables]
                     + [(n, "materialized-view" if n in self._matviews
                         else "view") for n in self.catalog._views]
                     + [(n, "index") for n in self.catalog._indexes]
                     + [(n, "sink") for n in self._sinks]
+                    + [(n, "source") for n in getattr(self, "_sources", {})]
+                    + [(n, "secret") for n in self._secrets]
                     + [(n, "connection") for n in self._connections])
             return self.spark.createDataFrame(
                 sorted(rows), "name string, type string")
@@ -1566,10 +1595,11 @@ class MzSession:
             for i, (n, c) in enumerate(sorted(self._clusters.items()))],
            "id string, name string, size string, replication_factor int"
            ).createOrReplaceTempView("mz_clusters")
-        rep_rows = [(f"u{i + 1}", cn, rn, r["size"])
-                    for i, (cn, c) in enumerate(
-                        sorted(self._clusters.items()))
-                    for rn, r in sorted(c["replicas"].items())]
+        rep_rows = [(f"u{j + 1}", cn, rn, r["size"])
+                    for j, (cn, rn, r) in enumerate(
+                        (cn, rn, r)
+                        for cn, c in sorted(self._clusters.items())
+                        for rn, r in sorted(c["replicas"].items()))]
         mk(rep_rows or [("u0", "", "", "")],
            "cluster_id string, cluster string, name string, size string"
            ).filter("cluster_id <> 'u0'") \

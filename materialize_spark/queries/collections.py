@@ -204,8 +204,9 @@ def agg_jsonb_agg(spark, sf_dir):
     "scalar_pg_compat2",
     """
     SELECT c_custkey,
-           list_transform(range(1, 4), x -> c_nationkey) AS filled,
-           string_split(c_name, '#') AS name_parts,
+           array_to_string(list_transform(range(1, 4), x -> c_nationkey), ',')
+               AS filled,
+           array_to_string(string_split(c_name, '#'), ',') AS name_parts,
            CASE WHEN regexp_matches(c_mktsegment, '^[a-z_][a-z0-9_]*$')
                 THEN c_mktsegment
                 ELSE '"' || replace(c_mktsegment, '"', '""') || '"'
@@ -224,8 +225,9 @@ def scalar_pg_compat2(spark, sf_dir):
     t = T(spark, sf_dir)
     return t.customer.filter(F.col("c_custkey") <= 50).select(
         "c_custkey",
-        F.array_repeat(F.col("c_nationkey"), 3).alias("filled"),
-        F.split(F.col("c_name"), "#").alias("name_parts"),
+        F.array_join(F.array_repeat(F.col("c_nationkey"), 3), ",")
+        .alias("filled"),
+        F.array_join(F.split(F.col("c_name"), "#"), ",").alias("name_parts"),
         quote_ident("c_mktsegment").alias("quoted"),
         F.size(F.split(F.col("c_name"), "#")).cast("long")
         .alias("ident_parts"),

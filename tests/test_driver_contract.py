@@ -173,3 +173,26 @@ def test_date_bin_before_origin(spark):
         date_bin("1 minute", F2.col("s").cast("timestamp")).alias("b")
     ).collect()]
     assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]
+
+
+def test_all_registry_outputs_are_scalar_typed(spark):
+    """The driver canonicalizes results via toPandas().sort_values over every
+    column; Array/Map/Struct cells arrive as numpy arrays / dicts and raise
+    "unhashable type" (this is exactly how scalar_pg_compat2 stayed red for
+    seven rounds).  Walk every registry entry and assert the output schema is
+    scalar-only, without executing the queries (schema is plan-time)."""
+    import __spark_entry__ as e
+    from tools.check import complex_output_cols
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        try:
+            sdf = fn(spark, SF_DIR)
+        except Exception as ex:  # execution problems are other tests' job
+            offenders[name] = f"build error: {ex}"
+            continue
+        bad = complex_output_cols(sdf.schema)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, \
+        f"complex-typed output columns break the driver canon: {offenders}"

@@ -155,3 +155,72 @@ def test_mz_databases_and_schemas_introspection(sess):
     pairs = {(r.db, r.schema) for r in rows}
     assert ("d2", "raw") in pairs and ("d2", "public") in pairs
     assert ("materialize", "public") in pairs
+
+
+def test_comma_from_list_resolves_search_path(sess):
+    """The second (and later) tables of a comma-separated FROM list are in
+    table position even though the preceding token is a comma, not FROM
+    (round-7 ADVICE: namespaces.py bare-name resolution)."""
+    sess.execute("CREATE SCHEMA app")
+    sess.execute("CREATE TABLE app.users (uid BIGINT)")
+    sess.execute("CREATE TABLE app.orders_t (uid BIGINT, amt BIGINT)")
+    sess.execute("INSERT INTO app.users VALUES (1)")
+    sess.execute("INSERT INTO app.orders_t VALUES (1, 7)")
+    sess.execute("SET search_path = app")
+    got = sess.sql(
+        "SELECT o.amt FROM users u, orders_t o WHERE u.uid = o.uid"
+    ).first().amt
+    assert got == 7
+    # three-element list, mixed with a qualified name
+    got3 = sess.sql(
+        "SELECT count(*) AS n FROM users, orders_t, app.users"
+    ).first().n
+    assert got3 == 1
+    # a comma in a GROUP BY after the FROM list must NOT put bare words
+    # back in table position (they are columns)
+    grouped = sess.sql(
+        "SELECT uid, amt, count(*) AS n FROM orders_t "
+        "GROUP BY uid, amt").first()
+    assert (grouped.uid, grouped.amt, grouped.n) == (1, 7, 1)
+
+
+def test_copy_target_resolves_search_path(sess, tmp_path):
+    """COPY <bare-name> TO resolves the table through search_path."""
+    sess.execute("CREATE SCHEMA app2")
+    sess.execute("CREATE TABLE app2.snap (x BIGINT)")
+    sess.execute("INSERT INTO app2.snap VALUES (42)")
+    sess.execute("SET search_path = app2")
+    dest = str(tmp_path / "snap_out")
+    sess.execute(f"COPY snap TO '{dest}' WITH (FORMAT csv)")
+    import glob
+    data = "".join(open(p).read() for p in glob.glob(dest + "/*.csv"))
+    assert "42" in data
+
+
+def test_drop_schema_restrict_default(sess):
+    """Plain DROP SCHEMA (or RESTRICT) on a non-empty schema errors;
+    CASCADE is required to take the contained objects (PG semantics,
+    round-7 ADVICE on parser.py DROP)."""
+    sess.execute("CREATE SCHEMA full_s")
+    sess.execute("CREATE TABLE full_s.t (x BIGINT)")
+    with pytest.raises(ValueError, match="not empty"):
+        sess.execute("DROP SCHEMA full_s")
+    with pytest.raises(ValueError, match="not empty"):
+        sess.execute("DROP SCHEMA full_s RESTRICT")
+    sess.execute("DROP SCHEMA full_s CASCADE")
+    assert "full_s" not in {
+        r.name for r in sess.execute("SHOW SCHEMAS").collect()}
+    # an EMPTY schema drops without CASCADE
+    sess.execute("CREATE SCHEMA empty_s")
+    sess.execute("DROP SCHEMA empty_s")
+
+
+def test_drop_database_restrict_default(sess):
+    sess.execute("CREATE DATABASE full_db")
+    sess.execute("CREATE TABLE full_db.public.t (x BIGINT)")
+    with pytest.raises(ValueError, match="not empty"):
+        sess.execute("DROP DATABASE full_db")
+    sess.execute("DROP DATABASE full_db CASCADE")
+    # empty database (public schema only, no objects) drops plain
+    sess.execute("CREATE DATABASE empty_db")
+    sess.execute("DROP DATABASE empty_db")

@@ -898,3 +898,27 @@ def test_alter_cluster(spark):
     assert rows["elastic"] == ("400cc", 1)
     with pytest.raises(KeyError, match="unknown cluster"):
         s.execute("ALTER CLUSTER nope SET (SIZE '1')")
+
+
+def test_show_objects_includes_sources_and_secrets(spark):
+    """SHOW OBJECTS lists sources and secrets (reference mz_objects spans
+    all object kinds; round-7 ADVICE)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute(f"CREATE SOURCE objsrc FROM FILE '{SF_DIR}/region.parquet' "
+              "FORMAT PARQUET")
+    s.execute("CREATE SECRET objsec AS 'hunter2'")
+    kinds = {r.name: r.type for r in s.execute("SHOW OBJECTS").collect()}
+    assert kinds.get("objsrc") == "source"
+    assert kinds.get("objsec") == "secret"
+
+
+def test_cluster_replicas_have_distinct_ids(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE CLUSTER c1 (SIZE '2', REPLICATION FACTOR 2)")
+    s.execute("CREATE CLUSTER c2 (SIZE '1', REPLICATION FACTOR 2)")
+    rows = s.sql("SELECT cluster_id, cluster, name "
+                 "FROM mz_cluster_replicas").collect()
+    ids = [r.cluster_id for r in rows]
+    assert len(ids) == len(set(ids)) >= 4

@@ -36,6 +36,15 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+def complex_output_cols(schema) -> list[str]:
+    """Columns whose type the driver's pandas canonicalizer cannot sort
+    (numpy arrays / dicts are unhashable in pandas sort_values)."""
+    from pyspark.sql import types as ST
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (ST.ArrayType, ST.MapType,
+                                       ST.StructType))]
+
+
 def canon(rows, cols) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
@@ -77,6 +86,17 @@ def main() -> int:
             scols = sdf.columns
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            failed += 1
+            continue
+        # The driver canonicalizes via toPandas().sort_values over every
+        # column; Array/Map/Struct cells arrive as numpy arrays / dicts and
+        # raise "unhashable type". Enforce the same constraint here so
+        # local-pass actually predicts driver-pass (r7 VERDICT item #2).
+        bad = complex_output_cols(sdf.schema)
+        if bad:
+            print(f"FAIL {name}: complex-typed output columns {bad} — the "
+                  "driver's pandas canonicalizer cannot sort these; "
+                  "stringify (F.array_join / to_json) before returning")
             failed += 1
             continue
         if name not in oracles:
