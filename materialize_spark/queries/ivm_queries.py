@@ -110,6 +110,127 @@ def ivm_retraction_topk(spark, sf_dir):
 
 
 @register(
+    "ivm_q18_threshold_delta",
+    """
+    WITH net AS (SELECT * FROM lineitem WHERE l_returnflag <> 'R')
+    SELECT c_name, c_custkey, o_orderkey AS l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN net ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM net
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    "ivm", "retraction", "having-threshold",
+)
+def ivm_q18_threshold_delta(spark, sf_dir):
+    """tpch q18's HAVING-threshold semijoin maintained by DELTA, not
+    recompute: lineitem arrives in three insert waves plus a retraction
+    wave deleting every returned ('R') shipment; per batch only touched orderkeys
+    re-threshold and re-enrich (streaming/delta_ivm.ThresholdSemijoinMV).
+    Final maintained state must equal DuckDB's direct q18 over the net
+    rows — threshold crossings in BOTH directions happen under the
+    retraction wave."""
+    from materialize_spark.streaming.delta_ivm import ThresholdSemijoinMV
+
+    t = T(spark, sf_dir)
+    orders, customer = t.orders, t.customer
+
+    def enrich(q):  # q: (l_orderkey, __sum) — the changed qualifying keys
+        return (
+            q.join(orders, q.l_orderkey == orders.o_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .select(
+                "c_name", "c_custkey", "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("__sum", 2).alias("sum_qty"),
+            )
+        )
+
+    mv = ThresholdSemijoinMV(spark, keys=["l_orderkey"], val="l_quantity",
+                             having=lambda s: s > 250, enrich=enrich)
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    h = F.abs(F.hash("l_orderkey", "l_linenumber")) % 3
+    out = None
+    for wave in range(3):
+        out = mv.on_batch(li.filter(h == wave).withColumn("diff", F.lit(1)))
+    out = mv.on_batch(li.filter(F.col("l_returnflag") == "R")
+                      .withColumn("diff", F.lit(-1)))
+    return out
+
+
+@register(
+    "ivm_q21_antijoin_delta",
+    """
+    WITH net AS (SELECT * FROM lineitem WHERE l_linenumber < 6),
+    l1 AS (SELECT l_orderkey, l_suppkey
+           FROM net JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier JOIN l1 w ON s_suppkey = w.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM net l2
+                  WHERE l2.l_orderkey = w.l_orderkey
+                    AND l2.l_suppkey <> w.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = w.l_orderkey
+                        AND l3.l_suppkey <> w.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "ivm", "retraction", "antijoin",
+)
+def ivm_q21_antijoin_delta(spark, sf_dir):
+    """tpch q21's anti-join ("only late supplier of a multi-supplier
+    order") maintained by per-key support counts instead of recompute
+    (streaming/delta_ivm.ExclusiveAntiJoinMV): three insert waves plus a
+    retraction wave deleting every 6th-or-later line of its order. A retracted late row can
+    make ANOTHER supplier start qualifying — the non-monotonic flip the
+    reference's delta-join machinery exists for; the maintained pairs are
+    then rolled up per supplier and must equal DuckDB's direct answer over
+    the net rows."""
+    from materialize_spark.streaming.delta_ivm import ExclusiveAntiJoinMV
+
+    t = T(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_linenumber", "l_suppkey",
+                           "l_shipdate")
+    ords = t.orders.select("o_orderkey", "o_orderstatus", "o_orderdate")
+
+    def flags(rows):  # the late subset of a wave (o-join is a fixed dim)
+        return (rows.join(ords, rows.l_orderkey == ords.o_orderkey)
+                .filter((F.col("o_orderstatus") == "F")
+                        & (F.col("l_shipdate")
+                           > F.date_add(F.col("o_orderdate"), 60)))
+                .select("l_orderkey", "l_suppkey", "diff"))
+
+    mv = ExclusiveAntiJoinMV(spark, group_key="l_orderkey",
+                             member_key="l_suppkey")
+    h = F.abs(F.hash("l_orderkey", "l_linenumber")) % 3
+    for wave in range(3):
+        rows = li.filter(h == wave).withColumn("diff", F.lit(1))
+        mv.on_batch(all_delta=rows.select("l_orderkey", "l_suppkey", "diff"),
+                    flag_delta=flags(rows))
+    retract = (li.filter(F.col("l_linenumber") >= 6)
+               .withColumn("diff", F.lit(-1)))
+    wait = mv.on_batch(
+        all_delta=retract.select("l_orderkey", "l_suppkey", "diff"),
+        flag_delta=flags(retract))
+    return (
+        wait.join(F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+                  wait.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_flag").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
     "ivm_incremental_join",
     """
     SELECT o_orderpriority,

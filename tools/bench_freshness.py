@@ -13,9 +13,13 @@ Two maintenance plans, mirroring the reference's reduce plans
 - ACCUMULABLE (incremental): queries linear in lineitem — the batch
   alone runs through the view transformation and merges into the state
   by group-key combine (sum/count). Lag is O(batch + touched groups).
-- BASIC (recompute): the remaining headline shapes (HAVING thresholds,
-  anti-joins) recompute over base ∪ applied batches per refresh — what
-  REFRESH EVERY costs.
+- DELTA (retraction-based): the non-invertible shapes (q18's HAVING
+  threshold, q21's anti-join) maintained by per-key support so only
+  batch-touched orderkeys re-evaluate (streaming/delta_ivm.py — the
+  reference's delta-join/reduce-retraction machinery re-expressed).
+- BASIC (recompute): the same shapes recomputed over base ∪ applied
+  batches per refresh — what REFRESH EVERY costs; kept as the comparison
+  the DELTA path is graded against.
 
 Prints one JSON line:
 {"metric": "mv_freshness", "incremental": {q: {p50, max}},
@@ -152,6 +156,66 @@ def main() -> None:
 
         incremental[name] = _lag_series(refresh, batches)
 
+    # -- DELTA path: retraction-based maintenance of the NON-invertible
+    # shapes (HAVING threshold, anti-join) — per batch only touched
+    # orderkeys re-evaluate, so lag is O(batch + touched state), not
+    # O(base) (streaming/delta_ivm.py; reference delta_join.rs).
+    from materialize_spark.streaming.delta_ivm import (
+        ExclusiveAntiJoinMV, ThresholdSemijoinMV,
+    )
+    delta: dict[str, dict] = {}
+    one = F.lit(1).alias("diff")
+
+    # q18 shape: orderkeys whose sum(l_quantity) > 300, enriched with the
+    # (fixed) orders ⋈ customer dims
+    ocd = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+           .select("o_orderkey", "o_orderdate", "o_totalprice", "c_name",
+                   "c_custkey")
+           .localCheckpoint(eager=True))
+
+    def enrich18(q):
+        return (q.join(ocd, q.l_orderkey == ocd.o_orderkey)
+                .select("c_name", "c_custkey", "l_orderkey", "o_orderdate",
+                        "o_totalprice",
+                        F.col("__sum").alias("sum_qty")))
+
+    mv18 = ThresholdSemijoinMV(spark, keys=["l_orderkey"],
+                               val="l_quantity",
+                               having=lambda s: s > 300, enrich=enrich18)
+    mv18.on_batch(base.select("l_orderkey", "l_quantity", one))
+
+    delta["tpch_q18_delta"] = _lag_series(
+        lambda b: mv18.on_batch(b.select("l_orderkey", "l_quantity", one)),
+        batches)
+
+    # q21 shape: only late supplier of a multi-supplier 'F' order
+    ords_f = (orders.filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate")
+              .localCheckpoint(eager=True))
+
+    def split21(b, small=True):
+        rows = b.select("l_orderkey", "l_suppkey", "l_shipdate", "diff")
+        probe = F.broadcast(rows) if small else rows  # base formation is big
+        late = (ords_f.join(probe, ords_f.o_orderkey == rows.l_orderkey)
+                .filter(F.col("l_shipdate")
+                        > F.date_add(F.col("o_orderdate"), 60))
+                .select("l_orderkey", "l_suppkey", "diff"))
+        return rows.select("l_orderkey", "l_suppkey", "diff"), late
+
+    mv21 = ExclusiveAntiJoinMV(spark, group_key="l_orderkey",
+                               member_key="l_suppkey")
+    base_all, base_late = split21(
+        base.select("l_orderkey", "l_suppkey", "l_shipdate", one),
+        small=False)
+    mv21.on_batch(all_delta=base_all, flag_delta=base_late)
+
+    def refresh21(b):
+        a, fl = split21(b.select("l_orderkey", "l_suppkey",
+                                 "l_shipdate", one))
+        mv21.on_batch(all_delta=a, flag_delta=fl)
+
+    delta["tpch_q21_delta"] = _lag_series(refresh21, batches)
+
     # -- BASIC path: recompute over base ∪ applied batches ------------------
     # (q18's HAVING threshold and q21's anti-join are not mergeable —
     # the reference's Basic reduce; q9 included as the recompute
@@ -180,6 +244,7 @@ def main() -> None:
         "metric": "mv_freshness_ingest_to_visible",
         "unit": "sec",
         "incremental": incremental,
+        "delta": delta,
         "recompute": recompute,
         "batch_rows": batch_rows,
         "n_batches": n_batches,
