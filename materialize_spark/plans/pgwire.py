@@ -7,7 +7,11 @@ psql/BI tools connect. This module implements the SIMPLE query protocol
 (protocol 3.0) from the public spec (postgresql.org/docs/current/
 protocol-flow.html) over :class:`MzSession`:
 
-- startup (SSLRequest politely declined with 'N', trust auth),
+- startup: trust auth by default; with ``auth=`` the server requires
+  SCRAM-SHA-256 (RFC 7677, the PG password method — protocol.rs
+  AuthenticationSASL flow), storing only derived verifiers; with
+  ``ssl_context=`` SSLRequest upgrades the connection to TLS
+  (server.rs TlsMode) — otherwise it is declined with 'N';
   ParameterStatus (server_version etc.), BackendKeyData, ReadyForQuery;
 - 'Q' simple query: statements split token-aware, executed through the
   full engine surface (DDL, DML, SELECT/peek, SHOW, SUBSCRIBE, RBAC —
@@ -20,8 +24,11 @@ protocol-flow.html) over :class:`MzSession`:
   machine: Parse/Bind/Describe/Execute/Close/Flush/Sync), which is what
   real drivers (psycopg, JDBC) use for every parameterized query:
   Parse stores a named prepared statement with $n parameters; Bind
-  substitutes text-format parameters as typed SQL literals into a
-  portal; Describe returns ParameterDescription/RowDescription (the
+  substitutes text- or binary-format parameters (per-type PG binary
+  encodings for bool/int2/4/8/float4/8/text/bytea/date/timestamp) as
+  typed SQL literals into a portal, honoring requested result format
+  codes (binary results use the same per-type encodings); Describe
+  returns ParameterDescription/RowDescription (the
   portal's query is PLANNED lazily for its schema — Spark DataFrames
   are plans, so this has no side effects); Execute streams DataRows
   with the max-row/PortalSuspended resume protocol; errors put the
@@ -39,6 +46,11 @@ too, coord/peek.rs).
 
 from __future__ import annotations
 
+import base64
+import datetime
+import hashlib
+import hmac as _hmac
+import secrets
 import socket
 import struct
 import threading
@@ -90,6 +102,111 @@ def _param_indices(sql: str) -> list[str]:
     return out
 
 
+# --------------------------------------------------------------------------
+# SCRAM-SHA-256 (RFC 5802 / RFC 7677 — the PG auth method; reference
+# /root/reference/src/pgwire/src/protocol.rs AuthenticationSASL flow)
+
+def _h(b: bytes) -> bytes:
+    return hashlib.sha256(b).digest()
+
+
+def _hm(key: bytes, msg: bytes) -> bytes:
+    return _hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    return bytes(x ^ y for x, y in zip(a, b))
+
+
+def scram_verifier(password: str, *, salt: bytes | None = None,
+                   iterations: int = 4096) -> dict:
+    """Server-side stored credential: the server never keeps the password,
+    only (salt, i, StoredKey, ServerKey) — exactly what PG stores in
+    pg_authid.rolpassword for SCRAM-SHA-256."""
+    salt = salt if salt is not None else secrets.token_bytes(16)
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt,
+                                 iterations)
+    client_key = _hm(salted, b"Client Key")
+    return {"salt": salt, "iterations": iterations,
+            "stored_key": _h(client_key),
+            "server_key": _hm(salted, b"Server Key")}
+
+
+def _scram_attrs(msg: str) -> dict[str, str]:
+    return {p[0]: p[2:] for p in msg.split(",") if len(p) > 1
+            and p[1] == "="}
+
+
+# PG binary-format parameter decoding: OID -> text-format equivalent
+# (postgresql.org/docs/current/protocol-overview.html "Formats and Format
+# Codes"; per-type formats match PG's *send/*recv pairs)
+_PG_DATE_EPOCH = datetime.date(2000, 1, 1)
+_PG_TS_EPOCH = datetime.datetime(2000, 1, 1)
+
+
+def _decode_binary_param(v: bytes, oid: int) -> bytes:
+    """Binary Bind value → its text-format rendering (the literal
+    substitution path consumes text)."""
+    if oid == 16:
+        return b"t" if v != b"\x00" else b"f"
+    if oid == 21:
+        return str(struct.unpack(">h", v)[0]).encode()
+    if oid == 23:
+        return str(struct.unpack(">i", v)[0]).encode()
+    if oid == 20:
+        return str(struct.unpack(">q", v)[0]).encode()
+    if oid == 700:
+        return repr(struct.unpack(">f", v)[0]).encode()
+    if oid == 701:
+        return repr(struct.unpack(">d", v)[0]).encode()
+    if oid == 17:
+        return b"\\x" + v.hex().encode()
+    if oid in (25, 1042, 1043, 705, 0):  # text-family: identical bytes
+        return v
+    if oid == 1082:
+        days = struct.unpack(">i", v)[0]
+        return (_PG_DATE_EPOCH
+                + datetime.timedelta(days=days)).isoformat().encode()
+    if oid in (1114, 1184):
+        micros = struct.unpack(">q", v)[0]
+        ts = _PG_TS_EPOCH + datetime.timedelta(microseconds=micros)
+        return ts.strftime("%Y-%m-%d %H:%M:%S.%f").encode()
+    raise ValueError(f"binary-format parameter type oid {oid} "
+                     "not supported; send text format")
+
+
+def _encode_binary_cell(v, simple: str) -> bytes | None:
+    """Result cell → PG binary wire format for the common OIDs; raises for
+    types we only serve as text."""
+    if v is None:
+        return None
+    if simple == "boolean":
+        return b"\x01" if v else b"\x00"
+    if simple == "smallint":
+        return struct.pack(">h", v)
+    if simple == "int":
+        return struct.pack(">i", v)
+    if simple == "bigint":
+        return struct.pack(">q", v)
+    if simple == "float":
+        return struct.pack(">f", v)
+    if simple == "double":
+        return struct.pack(">d", v)
+    if simple == "binary":
+        return bytes(v)
+    if simple == "string":
+        return str(v).encode()
+    if simple == "date":
+        return struct.pack(">i", (v - _PG_DATE_EPOCH).days)
+    if simple.startswith("timestamp"):
+        delta = v - _PG_TS_EPOCH
+        micros = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+                  + delta.microseconds)
+        return struct.pack(">q", micros)
+    raise ValueError(f"binary result format not supported for {simple}; "
+                     "request text format")
+
+
 def _render(v) -> bytes | None:
     """Text-format cell rendering (PG conventions)."""
     if v is None:
@@ -107,8 +224,16 @@ class MzPgServer:
     environment in the reference)."""
 
     def __init__(self, session: MzSession, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, *, auth: dict[str, str] | None = None,
+                 ssl_context=None):
+        """``auth``: user → password map; when given, startup requires
+        SCRAM-SHA-256 (RFC 7677) — only the derived verifier is kept.
+        ``ssl_context``: an ``ssl.SSLContext``; when given, SSLRequest is
+        answered 'S' and the connection upgrades to TLS (reference
+        src/pgwire/src/server.rs TlsMode)."""
         self.session = session
+        self._auth = {u: scram_verifier(p) for u, p in (auth or {}).items()}
+        self._ssl_ctx = ssl_context
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -165,7 +290,15 @@ class MzPgServer:
                 if body is None:
                     return
                 (code,) = struct.unpack_from(">i", body, 0)
-                if code in (80877103, 80877104):  # SSL/GSSENC request
+                if code == 80877103:  # SSLRequest
+                    if self._ssl_ctx is not None:
+                        conn.sendall(b"S")
+                        conn = self._ssl_ctx.wrap_socket(conn,
+                                                         server_side=True)
+                    else:
+                        conn.sendall(b"N")
+                    continue
+                if code == 80877104:  # GSSENCRequest
                     conn.sendall(b"N")
                     continue
                 if code != 196608:
@@ -174,6 +307,12 @@ class MzPgServer:
                               b"Munsupported protocol version\0\0"))
                     return
                 break
+            params = body[4:].split(b"\0")
+            startup = {params[i].decode(): params[i + 1].decode()
+                       for i in range(0, len(params) - 1, 2) if params[i]}
+            if self._auth and not self._scram_handshake(
+                    conn, startup.get("user", "")):
+                return
             conn.sendall(self._msg(b"R", struct.pack(">i", 0)))  # AuthOk
             for k, v in (("server_version", "9.5.0"),
                          ("client_encoding", "UTF8"),
@@ -228,6 +367,72 @@ class MzPgServer:
                 conn.close()
             except OSError:
                 pass
+
+    # -- SCRAM-SHA-256 startup auth ------------------------------------------
+    def _scram_handshake(self, conn, user: str) -> bool:
+        """RFC 7677 over the PG SASL messages (AuthenticationSASL /
+        SASLInitialResponse / SASLContinue / SASLResponse / SASLFinal).
+        Returns True on success; on failure sends FATAL 28P01 and False."""
+        def fatal(msg: str) -> bool:
+            conn.sendall(self._msg(
+                b"E", b"SFATAL\0C28P01\0M" + msg.encode() + b"\0\0"))
+            return False
+
+        conn.sendall(self._msg(
+            b"R", struct.pack(">i", 10) + _cstr("SCRAM-SHA-256") + b"\0"))
+        tag = self._recv_exact(conn, 1)
+        if tag != b"p":
+            return fatal("expected SASLInitialResponse")
+        (sz,) = struct.unpack(">i", self._recv_exact(conn, 4))
+        body = self._recv_exact(conn, sz - 4)
+        end = body.index(0)
+        mech = body[:end].decode()
+        (dlen,) = struct.unpack_from(">i", body, end + 1)
+        first = body[end + 5:end + 5 + dlen].decode()
+        if mech != "SCRAM-SHA-256":
+            return fatal(f"unsupported SASL mechanism {mech}")
+        # gs2 header: we support no channel binding ("n,,"; "y,," also ok)
+        if first.startswith(("n,,", "y,,")):
+            gs2, bare = first[:3], first[3:]
+        else:
+            return fatal("channel binding not supported")
+        cnonce = _scram_attrs(bare).get("r")
+        if not cnonce:
+            return fatal("malformed client-first-message")
+        # Unknown users get a deterministic fake verifier (same message
+        # shape, proof can never match) — no user enumeration.
+        ver = self._auth.get(user) or scram_verifier(
+            secrets.token_hex(16), salt=_h(user.encode())[:16])
+        nonce = cnonce + secrets.token_urlsafe(18)
+        server_first = (f"r={nonce},"
+                        f"s={base64.b64encode(ver['salt']).decode()},"
+                        f"i={ver['iterations']}")
+        conn.sendall(self._msg(
+            b"R", struct.pack(">i", 11) + server_first.encode()))
+        tag = self._recv_exact(conn, 1)
+        if tag != b"p":
+            return fatal("expected SASLResponse")
+        (sz,) = struct.unpack(">i", self._recv_exact(conn, 4))
+        final = self._recv_exact(conn, sz - 4).decode()
+        attrs = _scram_attrs(final)
+        if attrs.get("r") != nonce:
+            return fatal("nonce mismatch")
+        if attrs.get("c") != base64.b64encode(gs2.encode()).decode():
+            return fatal("channel-binding mismatch")
+        try:
+            proof = base64.b64decode(attrs.get("p", ""))
+        except ValueError:
+            return fatal("malformed proof")
+        without_proof = final[:final.rindex(",p=")]
+        auth_msg = f"{bare},{server_first},{without_proof}".encode()
+        client_sig = _hm(ver["stored_key"], auth_msg)
+        recovered = _xor(proof, client_sig)
+        if user not in self._auth or _h(recovered) != ver["stored_key"]:
+            return fatal(f'password authentication failed for user "{user}"')
+        server_sig = base64.b64encode(_hm(ver["server_key"], auth_msg))
+        conn.sendall(self._msg(
+            b"R", struct.pack(">i", 12) + b"v=" + server_sig))
+        return True
 
     # -- extended protocol ---------------------------------------------------
     # PG type OID → SQL cast target for substituted parameter literals
@@ -294,12 +499,16 @@ class MzPgServer:
                 if idx < 0 or idx >= len(values):
                     raise ValueError(f"parameter ${idx + 1} not bound")
                 v = values[idx]
+                oid = oids[idx] if idx < len(oids) else 0
                 if v is None:
                     lit = "NULL"
+                elif oid == 17:  # bytea: text format is \x<hex>
+                    hexs = v.decode()
+                    lit = "X'" + (hexs[2:] if hexs.startswith("\\x")
+                                  else hexs) + "'"
                 else:
                     lit = "'" + v.decode().replace("'", "''") + "'"
-                cast = (MzPgServer._PARAM_CASTS.get(oids[idx])
-                        if idx < len(oids) else None)
+                cast = MzPgServer._PARAM_CASTS.get(oid)
                 out.append(f"CAST({lit} AS {cast})" if cast and v is not None
                            else lit)
                 i = j
@@ -321,33 +530,38 @@ class MzPgServer:
             pos += 2 * nfmt
             (nval,) = struct.unpack_from(">h", payload, pos)
             pos += 2
-            values: list[bytes | None] = []
+            raw: list[tuple[bytes | None, int]] = []
             for k in range(nval):
                 (ln,) = struct.unpack_from(">i", payload, pos)
                 pos += 4
-                if ln < 0:
-                    values.append(None)
-                else:
-                    values.append(payload[pos:pos + ln])
-                    pos += ln
                 fmt = fmts[k] if nfmt == nval else (
                     fmts[0] if nfmt == 1 else 0)
-                if fmt == 1 and values[-1] is not None:
-                    return self._ext_error(
-                        conn, "binary-format parameters not supported; "
-                              "send text format")
+                if ln < 0:
+                    raw.append((None, fmt))
+                else:
+                    raw.append((payload[pos:pos + ln], fmt))
+                    pos += ln
             (nrf,) = struct.unpack_from(">h", payload, pos)
             pos += 2
             rfmts = struct.unpack_from(f">{nrf}h", payload, pos)
-            if any(f == 1 for f in rfmts):
-                return self._ext_error(
-                    conn, "binary result format not supported")
         except (ValueError, struct.error) as ex:
             return self._ext_error(conn, f"malformed Bind: {ex}")
         if stmt not in stmts:
             return self._ext_error(conn,
                                    f"unknown prepared statement {stmt!r}")
         sql, oids = stmts[stmt]
+        try:
+            # binary-format parameters decode to their text renderings,
+            # then share the literal-substitution path (reference
+            # protocol.rs accepts both format codes per parameter)
+            values: list[bytes | None] = []
+            for k, (v, fmt) in enumerate(raw):
+                if fmt == 1 and v is not None:
+                    oid = oids[k] if k < len(oids) else 0
+                    v = _decode_binary_param(v, oid)
+                values.append(v)
+        except (ValueError, struct.error) as ex:
+            return self._ext_error(conn, str(ex))
         try:
             bound = self._substitute_params(sql, values, oids)
         except ValueError as ex:
@@ -356,6 +570,7 @@ class MzPgServer:
         portals[portal] = {
             "sql": bound, "df": None, "rows": None, "cursor": 0,
             "is_query": bool(head) and head[0].lower() in self._QUERY_HEADS,
+            "rfmts": tuple(rfmts),  # result format codes (0 text, 1 binary)
         }
         conn.sendall(self._msg(b"2"))  # BindComplete
         return True
@@ -408,13 +623,20 @@ class MzPgServer:
         if df is None:
             conn.sendall(self._msg(b"n"))
             return True
-        conn.sendall(self._msg(b"T", self._row_desc(df)))
+        try:
+            desc = self._row_desc(df, p.get("rfmts", ()))
+        except ValueError as ex:
+            return self._ext_error(conn, str(ex))
+        conn.sendall(self._msg(b"T", desc))
         return True
 
     def _execute(self, conn, payload: bytes, portals) -> bool:
-        end = payload.index(0)
-        name = payload[:end].decode()
-        (max_rows,) = struct.unpack_from(">i", payload, end + 1)
+        try:
+            end = payload.index(0)
+            name = payload[:end].decode()
+            (max_rows,) = struct.unpack_from(">i", payload, end + 1)
+        except (ValueError, struct.error) as ex:
+            return self._ext_error(conn, f"malformed Execute: {ex}")
         if name not in portals:
             return self._ext_error(conn, f"unknown portal {name!r}")
         p = portals[name]
@@ -425,6 +647,11 @@ class MzPgServer:
                 if out is None:  # DDL / DML
                     head = p["sql"].lstrip().split(None, 2)
                     tag = " ".join(head[:2]).upper() if head else "OK"
+                    # PG executes a portal at most once: mark it complete
+                    # so a retried Execute does not re-apply the statement.
+                    p["rows"] = []
+                    p["df"] = None
+                    p["tag"] = tag
                     conn.sendall(self._msg(b"C", _cstr(tag)))
                     return True
                 p["df"] = out
@@ -432,12 +659,26 @@ class MzPgServer:
                 p["cursor"] = 0
         except Exception as ex:
             return self._ext_error(conn, str(ex))
+        if p["df"] is None:  # completed DDL/DML portal re-executed
+            conn.sendall(self._msg(b"C", _cstr(p.get("tag", "OK"))))
+            return True
         rows, cur = p["rows"], p["cursor"]
         stop = len(rows) if max_rows <= 0 else min(len(rows),
                                                    cur + max_rows)
-        nf = len(p["df"].schema.fields)
+        fields = p["df"].schema.fields
+        nf = len(fields)
+        simples = [f.dataType.simpleString() for f in fields]
+        try:
+            fmts = self._col_fmts(p.get("rfmts", ()), nf)
+            if any(fmts):  # pre-validate binary encodability per column
+                probe = rows[cur] if cur < len(rows) else None
+                if probe is not None:
+                    self._data_row(probe, nf, fmts, simples)
+        except ValueError as ex:
+            return self._ext_error(conn, str(ex))
         for row in rows[cur:stop]:
-            conn.sendall(self._msg(b"D", self._data_row(row, nf)))
+            conn.sendall(self._msg(b"D", self._data_row(row, nf, fmts,
+                                                        simples)))
         p["cursor"] = stop
         if stop < len(rows):
             conn.sendall(self._msg(b"s"))  # PortalSuspended — resumable
@@ -446,22 +687,40 @@ class MzPgServer:
         return True
 
     @staticmethod
-    def _row_desc(df) -> bytes:
+    def _col_fmts(rfmts: tuple[int, ...], ncols: int) -> list[int]:
+        """Resolve Bind's result-format codes to one per column (PG rule:
+        zero codes → all text; one code → applies to every column)."""
+        if not rfmts:
+            return [0] * ncols
+        if len(rfmts) == 1:
+            return [rfmts[0]] * ncols
+        if len(rfmts) != ncols:
+            raise ValueError(
+                f"{len(rfmts)} result format codes for {ncols} columns")
+        return list(rfmts)
+
+    @staticmethod
+    def _row_desc(df, rfmts: tuple[int, ...] = ()) -> bytes:
         fields = df.schema.fields
+        fmts = MzPgServer._col_fmts(rfmts, len(fields))
         desc = struct.pack(">h", len(fields))
-        for f in fields:
+        for f, fmt in zip(fields, fmts):
             simple = f.dataType.simpleString()
             oid = (1700 if simple.startswith("decimal")
                    else _OIDS.get(simple, 25))
             desc += (_cstr(f.name)
-                     + struct.pack(">ihihih", 0, 0, oid, -1, -1, 0))
+                     + struct.pack(">ihihih", 0, 0, oid, -1, -1, fmt))
         return desc
 
     @staticmethod
-    def _data_row(row, nfields: int) -> bytes:
+    def _data_row(row, nfields: int, fmts: list[int] | None = None,
+                  simples: list[str] | None = None) -> bytes:
         cells = struct.pack(">h", nfields)
-        for v in row:
-            r = _render(v)
+        for k, v in enumerate(row):
+            if fmts and fmts[k] == 1:
+                r = _encode_binary_cell(v, simples[k])
+            else:
+                r = _render(v)
             if r is None:
                 cells += struct.pack(">i", -1)
             else:
@@ -510,24 +769,80 @@ class MzPgServer:
 # minimal simple-protocol client (tests/tooling; any PG client also works)
 class PgWireClient:
     def __init__(self, host: str, port: int, *, user: str = "materialize",
-                 database: str = "materialize"):
+                 database: str = "materialize", password: str | None = None,
+                 ssl_context=None):
         self.sock = socket.create_connection((host, port), timeout=10)
+        if ssl_context is not None:
+            # SSLRequest: expect 'S', then wrap (public protocol flow)
+            self.sock.sendall(struct.pack(">ii", 8, 80877103))
+            resp = self.sock.recv(1)
+            if resp != b"S":
+                raise ValueError("server refused TLS")
+            self.sock = ssl_context.wrap_socket(self.sock,
+                                                server_hostname=host)
         params = (_cstr("user") + _cstr(user)
                   + _cstr("database") + _cstr(database) + b"\0")
         self.sock.sendall(struct.pack(">ii", 8 + len(params), 196608)
                           + params)
         self.parameters: dict[str, str] = {}
+        scram: dict | None = None
         while True:
             tag, payload = self._recv_msg()
             if tag == b"R":
                 (code,) = struct.unpack_from(">i", payload, 0)
-                if code != 0:
+                if code == 0:
+                    pass
+                elif code == 10:  # AuthenticationSASL
+                    mechs = payload[4:].split(b"\0")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise ValueError(f"no shared SASL mechanism "
+                                         f"in {mechs}")
+                    if password is None:
+                        raise ValueError("server requires a password")
+                    cnonce = secrets.token_urlsafe(18)
+                    bare = f"n=,r={cnonce}"
+                    first = ("n,," + bare).encode()
+                    body = (_cstr("SCRAM-SHA-256")
+                            + struct.pack(">i", len(first)) + first)
+                    self.sock.sendall(b"p" + struct.pack(
+                        ">i", 4 + len(body)) + body)
+                    scram = {"bare": bare, "cnonce": cnonce}
+                elif code == 11:  # SASLContinue: server-first-message
+                    assert scram is not None
+                    sf = payload[4:].decode()
+                    at = _scram_attrs(sf)
+                    nonce, salt = at["r"], base64.b64decode(at["s"])
+                    if not nonce.startswith(scram["cnonce"]):
+                        raise ValueError("server nonce mismatch")
+                    salted = hashlib.pbkdf2_hmac(
+                        "sha256", password.encode(), salt, int(at["i"]))
+                    ckey = _hm(salted, b"Client Key")
+                    wo_proof = f"c=biws,r={nonce}"
+                    auth_msg = f"{scram['bare']},{sf},{wo_proof}".encode()
+                    proof = _xor(ckey, _hm(_h(ckey), auth_msg))
+                    scram["server_key"] = _hm(salted, b"Server Key")
+                    scram["auth_msg"] = auth_msg
+                    final = (wo_proof + ",p="
+                             + base64.b64encode(proof).decode()).encode()
+                    self.sock.sendall(b"p" + struct.pack(
+                        ">i", 4 + len(final)) + final)
+                elif code == 12:  # SASLFinal: verify server signature
+                    assert scram is not None
+                    v = _scram_attrs(payload[4:].decode()).get("v", "")
+                    want = _hm(scram["server_key"], scram["auth_msg"])
+                    if base64.b64decode(v) != want:
+                        raise ValueError("server signature mismatch "
+                                         "(not the real server?)")
+                else:
                     raise ValueError(f"unsupported auth {code}")
             elif tag == b"S":
                 k, _, v = payload.rstrip(b"\0").partition(b"\0")
                 self.parameters[k.decode()] = v.decode()
             elif tag == b"E":
-                raise ValueError(f"startup error: {payload!r}")
+                fields = payload.split(b"\0")
+                msg = next((f[1:].decode() for f in fields
+                            if f.startswith(b"M")), repr(payload))
+                raise ValueError(f"startup error: {msg}")
             elif tag == b"Z":
                 break
 
@@ -633,27 +948,36 @@ class PgWireClient:
         self._send(b"S")
         self._drain_until_ready(expect=b"1")
 
-    def execute_prepared(self, name: str, params: list[str | None],
-                         *, max_rows: int = 0, portal: str = "") -> dict:
+    def execute_prepared(self, name: str,
+                         params: list[str | bytes | None],
+                         *, max_rows: int = 0, portal: str = "",
+                         binary_results: bool = False) -> dict:
         """Bind + Describe(portal) + Execute + Sync round-trip; returns
         {"columns": [(name, oid)], "rows": [[str|None]], "tag": str,
-        "suspended": bool}."""
+        "suspended": bool}. A ``bytes`` parameter is sent in BINARY
+        format (PG per-type wire encoding); str params go as text.
+        ``binary_results`` requests every result column in binary format
+        (rows then hold raw ``bytes``)."""
+        fmts = b"".join(
+            struct.pack(">h", 1 if isinstance(p, (bytes, bytearray))
+                        else 0) for p in params)
         vals = b""
         for p in params:
             if p is None:
                 vals += struct.pack(">i", -1)
             else:
-                b = p.encode()
-                vals += struct.pack(">i", len(b)) + b
+                b = p if isinstance(p, (bytes, bytearray)) else p.encode()
+                vals += struct.pack(">i", len(b)) + bytes(b)
         body = (_cstr(portal) + _cstr(name)
-                + struct.pack(">h", 1) + struct.pack(">h", 0)  # all text
+                + struct.pack(">h", len(params)) + fmts  # per-param fmts
                 + struct.pack(">h", len(params)) + vals
-                + struct.pack(">h", 0))  # default (text) result formats
+                + (struct.pack(">hh", 1, 1) if binary_results
+                   else struct.pack(">h", 0)))
         self._send(b"B", body)
         self._send(b"D", b"P" + _cstr(portal))
         self._send(b"E", _cstr(portal) + struct.pack(">i", max_rows))
         self._send(b"S")
-        return self._collect_extended()
+        return self._collect_extended(binary=binary_results)
 
     def resume_portal(self, portal: str = "", *, max_rows: int = 0) -> dict:
         """Continue a suspended portal (PortalSuspended resume)."""
@@ -678,7 +1002,7 @@ class PgWireClient:
                     raise ValueError(f"expected {expect!r}, saw {seen}")
                 return
 
-    def _collect_extended(self) -> dict:
+    def _collect_extended(self, binary: bool = False) -> dict:
         out = {"columns": [], "rows": [], "tag": "", "suspended": False}
         err = None
         while True:
@@ -704,7 +1028,8 @@ class PgWireClient:
                     if ln < 0:
                         row.append(None)
                     else:
-                        row.append(payload[pos:pos + ln].decode())
+                        cell = payload[pos:pos + ln]
+                        row.append(cell if binary else cell.decode())
                         pos += ln
                 out["rows"].append(row)
             elif tag == b"C":
