@@ -7,25 +7,30 @@ retracted row re-evaluates only the affected keys (delta-join pathways:
 retractions: /root/reference/src/compute/src/render/reduce.rs). Before this
 module the engine maintained those shapes by full recompute (the Basic
 plan), whose refresh lag scales with BASE size; these operators bring lag
-down to O(batch + state of touched keys).
+down to O(batch + touched keys).
 
 Spark-first translation — no per-row Python, every join keyed:
 
-- State lives in checkpointed DataFrames keyed by the view key.
-- The per-batch "touched keys" set is tiny (bounded by the batch), so it is
-  **broadcast** into semi/anti joins against the state: the state is never
-  shuffled, only linearly scanned in memory (the Spark analog of an
-  arrangement probe — Spark has no point index, but a broadcast-hash probe
-  over a checkpointed in-memory table is scan-only, shuffle-free, and
-  independent of the ORIGINAL base relation's width).
-- Dimension enrichment joins broadcast the (tiny) changed-key side, so the
-  dim table is hash-probed, never shuffled.
+- **Support state is an append-only list of checkpointed parts** (the
+  arrangement's "unmerged batches"): each on_batch checkpoints only its own
+  small partial and APPENDS it — the big consolidated base part is never
+  rewritten per batch. Every ``compact_every`` batches the parts fold into
+  one (amortized O(state)/compact_every per batch) — the same merge/compact
+  discipline differential dataflow's arrangement spines use.
+- Point lookups ("previous sums of the touched keys") are a broadcast
+  semi-join of the tiny touched-key set against the concatenated parts: a
+  shuffle-free in-memory scan (the Spark analog of an arrangement probe —
+  no point index exists, but the probe never shuffles or rewrites state).
+- **The RESULT table is materialized per batch** — it is small for these
+  shapes (qualifying orders / waiting pairs), so an O(result) rewrite per
+  batch buys O(1) peeks, like the reference's maintained sink arrangement.
+- Dimension enrichment joins broadcast the (tiny) changed-key side.
 
-Scale note (100 TB): per-batch cost is O(batch) shuffle + O(|state|)
-in-memory scan + checkpoint. |state| is proportional to the number of
-DISTINCT KEYS, not base rows — for q18/q21 shapes that is #orders, already
-orders of magnitude below lineitem. On a real cluster the state tables
-would be bucketed by key so the scan prunes too.
+Scale note (100 TB): per-batch cost = O(batch) shuffle+write, O(result)
+write, O(|state|) scan (no shuffle, no write), amortized O(|state|)
+compaction write. |state| is proportional to DISTINCT KEYS (q18: orders)
+or distinct (group, member) pairs (q21), never raw history. On a cluster
+the parts would be bucketed by key so even the scan prunes.
 """
 
 from __future__ import annotations
@@ -40,8 +45,15 @@ from materialize_spark.operators.setops import DIFF_COL
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    """Break lineage each batch so the plan stays O(1) across batches."""
+    """Break lineage so per-batch plans stay O(parts), not O(history)."""
     return df.localCheckpoint(eager=True)
+
+
+def _concat(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @dataclass
@@ -49,15 +61,15 @@ class ThresholdSemijoinMV:
     """``... WHERE key IN (SELECT key FROM fact GROUP BY key
     HAVING sum(val) > T)`` maintained incrementally (tpch q18 shape).
 
-    The grouped sums are accumulable (diff arithmetic); only keys touched
-    by the batch are re-thresholded, and only keys whose qualification
-    status or sum changed have their output rows re-derived via ``enrich``
-    (the dimension join producing the final view rows).
+    The grouped sums are accumulable (diff arithmetic) and live as
+    append-only parts; only keys touched by the batch are re-thresholded,
+    and only they have their output rows re-derived via ``enrich`` (the
+    dimension join producing the final view rows).
 
     ``enrich(qualified)`` receives (keys + ``sum_col``) for the CHANGED
     qualifying keys only — it must return the final view rows and keep the
     key columns so replaced rows can be retired. The changed side is tiny:
-    broadcast it in the enrich join.
+    it arrives pre-wrapped in ``broadcast()``.
     """
 
     spark: SparkSession
@@ -66,52 +78,52 @@ class ThresholdSemijoinMV:
     having: Callable[[Column], Column]  # sum column -> boolean Column
     enrich: Callable[[DataFrame], DataFrame]
     sum_col: str = "__sum"
-    _sums: DataFrame | None = field(default=None, init=False)
+    compact_every: int = 16
+    _parts: list[DataFrame] = field(default_factory=list, init=False)
     _result: DataFrame | None = field(default=None, init=False)
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        d = F.col(DIFF_COL)
+        return delta.groupBy(*self.keys).agg(
+            F.sum(F.when(F.col(self.val).isNotNull(), F.col(self.val) * d)
+                  .otherwise(F.lit(0))).alias(self.sum_col),
+            F.sum(d).alias("__net"))
+
+    def _sums(self) -> DataFrame:
+        return (_concat(self._parts)
+                .groupBy(*self.keys)
+                .agg(F.sum(self.sum_col).alias(self.sum_col),
+                     F.sum("__net").alias("__net")))
 
     def on_batch(self, delta: DataFrame) -> DataFrame:
         """Fold one explicit-diff update frame (fact rows + ``diff``);
         return the maintained view."""
-        d = F.col(DIFF_COL)
-        partial = delta.groupBy(*self.keys).agg(
-            F.sum(F.when(F.col(self.val).isNotNull(), F.col(self.val) * d)
-                  .otherwise(F.lit(0))).alias(self.sum_col),
-            F.sum(d).alias("__net"))
+        partial = _ckpt(self._partial(delta))          # O(batch) write
         touched = F.broadcast(partial.select(*self.keys))
+        self._parts.append(partial)
 
-        if self._sums is None:
-            merged = partial
-            untouched = None
-        else:
-            prev = self._sums.join(touched, on=self.keys, how="left_semi")
-            untouched = self._sums.join(touched, on=self.keys,
-                                        how="left_anti")
-            p = partial.select(
-                *self.keys,
-                F.col(self.sum_col).alias("__p_sum"),
-                F.col("__net").alias("__p_net"))
-            merged = (prev.join(F.broadcast(p), on=self.keys,
-                                how="full_outer")
-                      .select(*self.keys,
-                              (F.coalesce(F.col(self.sum_col), F.lit(0))
-                               + F.coalesce("__p_sum", F.lit(0)))
-                              .alias(self.sum_col),
-                              (F.coalesce(F.col("__net"), F.lit(0))
-                               + F.coalesce("__p_net", F.lit(0)))
-                              .alias("__net")))
-        live = merged.filter(F.col("__net") != 0)
-        self._sums = _ckpt(live if untouched is None
-                           else untouched.unionByName(live))
+        # probe: new totals for the touched keys only — broadcast semi
+        # over the parts, shuffle on the (tiny) touched keys afterwards
+        merged = (_concat(self._parts)
+                  .join(touched, on=self.keys, how="left_semi")
+                  .groupBy(*self.keys)
+                  .agg(F.sum(self.sum_col).alias(self.sum_col),
+                       F.sum("__net").alias("__net")))
 
-        qualified = (live.filter((F.col("__net") > 0)
-                                 & self.having(F.col(self.sum_col)))
+        qualified = (merged.filter((F.col("__net") > 0)
+                                   & self.having(F.col(self.sum_col)))
                      .select(*self.keys, self.sum_col))
         new_rows = self.enrich(F.broadcast(qualified))
         if self._result is None:
-            self._result = _ckpt(new_rows)
+            self._result = _ckpt(new_rows)             # O(result) write
         else:
-            kept = self._result.join(touched, on=self.keys, how="left_anti")
+            kept = self._result.join(touched, on=self.keys,
+                                     how="left_anti")
             self._result = _ckpt(kept.unionByName(new_rows))
+
+        if len(self._parts) >= self.compact_every:     # amortized fold
+            self._parts = [_ckpt(self._sums()
+                                 .filter(F.col("__net") != 0))]
         return self._result
 
     def result(self) -> DataFrame:
@@ -148,7 +160,8 @@ class ExclusiveAntiJoinMV:
     spark: SparkSession
     group_key: str
     member_key: str
-    _supp: DataFrame | None = field(default=None, init=False)
+    compact_every: int = 16
+    _parts: list[DataFrame] = field(default_factory=list, init=False)
     _wait: DataFrame | None = field(default=None, init=False)
 
     def _batch_supp(self, all_delta: DataFrame | None,
@@ -163,48 +176,56 @@ class ExclusiveAntiJoinMV:
         if flag_delta is not None:
             parts.append(flag_delta.select(
                 g, m, F.lit(0).alias("__d_all"), d.alias("__d_flag")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.groupBy(g, m).agg(
+        return _concat(parts).groupBy(g, m).agg(
             F.sum("__d_all").alias("n_all"),
             F.sum("__d_flag").alias("n_flag"))
+
+    def _consolidated(self) -> DataFrame:
+        g, m = self.group_key, self.member_key
+        return (_concat(self._parts).groupBy(g, m)
+                .agg(F.sum("n_all").alias("n_all"),
+                     F.sum("n_flag").alias("n_flag")))
 
     def on_batch(self, all_delta: DataFrame | None = None,
                  flag_delta: DataFrame | None = None) -> DataFrame:
         g, m = self.group_key, self.member_key
-        batch = self._batch_supp(all_delta, flag_delta)
+        batch = _ckpt(self._batch_supp(all_delta, flag_delta))
         touched = F.broadcast(batch.select(g).distinct())
+        self._parts.append(batch)
 
-        if self._supp is None:
-            merged = batch.filter((F.col("n_all") != 0)
-                                  | (F.col("n_flag") != 0))
-            untouched = None
-        else:
-            prev = self._supp.join(touched, on=[g], how="left_semi")
-            untouched = self._supp.join(touched, on=[g], how="left_anti")
-            merged = (prev.unionByName(batch)
-                      .groupBy(g, m)
-                      .agg(F.sum("n_all").alias("n_all"),
-                           F.sum("n_flag").alias("n_flag"))
-                      .filter((F.col("n_all") != 0)
-                              | (F.col("n_flag") != 0)))
-        self._supp = _ckpt(merged if untouched is None
-                           else untouched.unionByName(merged))
+        # the touched groups' full new support (probe, shuffle-free scan),
+        # materialized so the state scan runs exactly once per batch and
+        # the downstream window/anti-join work on the tiny probe output
+        merged = _ckpt(
+            _concat(self._parts)
+            .join(touched, on=[g], how="left_semi")
+            .groupBy(g, m)
+            .agg(F.sum("n_all").alias("n_all"),
+                 F.sum("n_flag").alias("n_flag"))
+            .filter((F.col("n_all") != 0) | (F.col("n_flag") != 0)))
 
-        # re-evaluate the touched groups only (merged == their new support)
-        tot = merged.groupBy(g).agg(F.sum("n_all").alias("__tot_all"),
-                                    F.sum("n_flag").alias("__tot_flag"))
-        wait_t = (merged.join(tot, on=[g])
+        # re-evaluate the touched groups only; per-group totals come from
+        # a window over the (already keyed) support so the state scan runs
+        # exactly once per batch — a totals self-join would recompute it
+        from pyspark.sql import Window
+        w = Window.partitionBy(g)
+        wait_t = (merged
+                  .withColumn("__tot_all", F.sum("n_all").over(w))
+                  .withColumn("__tot_flag", F.sum("n_flag").over(w))
                   .filter((F.col("n_flag") > 0)
                           & (F.col("__tot_all") - F.col("n_all") > 0)
                           & (F.col("__tot_flag") - F.col("n_flag") == 0))
                   .select(g, m, "n_flag"))
         if self._wait is None:
-            self._wait = _ckpt(wait_t)
+            self._wait = _ckpt(wait_t)                 # O(result) write
         else:
             kept = self._wait.join(touched, on=[g], how="left_anti")
             self._wait = _ckpt(kept.unionByName(wait_t))
+
+        if len(self._parts) >= self.compact_every:     # amortized fold
+            self._parts = [_ckpt(self._consolidated()
+                                 .filter((F.col("n_all") != 0)
+                                         | (F.col("n_flag") != 0)))]
         return self._wait
 
     def result(self) -> DataFrame:
