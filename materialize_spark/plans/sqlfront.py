@@ -563,6 +563,15 @@ class MzSession:
         port = int(conn.get("port", defaults.get(conn["type"], 0)))
         try:
             sock = socket.create_connection((host, port), timeout=5)
+            # SSL options on the connection → validation dials TLS too
+            # (reference: connection validation exercises the configured
+            # TLS mode, src/storage-types/src/connections.rs)
+            from materialize_spark.sources.tlsconf import (
+                client_context, connection_ssl_conf,
+            )
+            ctx = client_context(connection_ssl_conf(conn))
+            if ctx is not None:
+                sock = ctx.wrap_socket(sock, server_hostname=host)
             sock.close()
         except OSError as ex:
             raise ConnectionError(

@@ -157,7 +157,8 @@ def kafka_murmur2_partition(key: "Column | str", num_partitions: int):
 
 def write_kafka_wire(df, bootstrap: str, topic: str, *,
                      key_col: str = "key", value_col: str = "value",
-                     num_partitions: int | None = None) -> int:
+                     num_partitions: int | None = None,
+                     ssl_conf: dict | None = None) -> int:
     """Kafka SINK over the wire protocol (sources/kafka_wire.py client):
     rows route to partitions by murmur2(key) — byte-identical to the
     broker's DefaultPartitioner (kafka_murmur2 above) — then each Spark
@@ -179,7 +180,8 @@ def write_kafka_wire(df, bootstrap: str, topic: str, *,
     host, port = bootstrap.rsplit(":", 1)
     port_i = int(port)
     if num_partitions is None:
-        num_partitions = len(kafka_partitions(bootstrap, topic)) or 1
+        num_partitions = len(kafka_partitions(bootstrap, topic,
+                                              ssl_conf)) or 1
     routed = df.select(
         F.col(key_col).cast("binary").alias("k"),
         F.col(value_col).cast("binary").alias("v"),
@@ -197,7 +199,12 @@ def write_kafka_wire(df, bootstrap: str, topic: str, *,
                     by_p.setdefault(int(p), []).append(
                         (bytes(k) if k is not None else None,
                          bytes(v) if v is not None else None, -1))
-                with KafkaWireClient(host, port_i) as c:
+                from materialize_spark.sources.tlsconf import (
+                    client_context,
+                )
+                with KafkaWireClient(
+                        host, port_i,
+                        ssl_context=client_context(ssl_conf)) as c:
                     for p, recs in sorted(by_p.items()):
                         c.produce(topic, p, recs)
                         n += len(recs)

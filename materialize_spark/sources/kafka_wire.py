@@ -131,8 +131,14 @@ def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None,
 class KafkaWireClient:
     """Blocking single-connection Kafka client (metadata/produce/fetch)."""
 
-    def __init__(self, host: str, port: int, client_id: str = "mz-spark"):
+    def __init__(self, host: str, port: int, client_id: str = "mz-spark",
+                 *, ssl_context=None):
         self.sock = socket.create_connection((host, port), timeout=10)
+        if ssl_context is not None:
+            # a TLS listener speaks TLS from byte 0 (like a real broker's
+            # SSL endpoint — no STARTTLS in the Kafka protocol)
+            self.sock = ssl_context.wrap_socket(self.sock,
+                                                server_hostname=host)
         self.client_id = client_id
         self._corr = 0
 
@@ -301,7 +307,9 @@ class MiniBroker:
     Speaks ApiVersions v0, Metadata v0, Produce v0-v2, Fetch v0-v2 — the
     subset a pre-KIP-482 consumer needs. One thread per connection."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
+                 ssl_context=None):
+        self._ssl_ctx = ssl_context  # TLS listener mode (cert required)
         self._log: dict[str, dict[int, list]] = {}
         # fault injection (protocol-conformance tests): api_key → Kafka
         # error code returned at the partition level, like a real broker
@@ -359,6 +367,8 @@ class MiniBroker:
 
     def _serve(self, conn: socket.socket) -> None:
         try:
+            if self._ssl_ctx is not None:
+                conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
             while True:
                 hdr = self._recv_exact(conn, 4)
                 if hdr is None:
@@ -483,10 +493,13 @@ class MiniBroker:
 
 # --------------------------------------------------------------------------
 # Spark source
-def kafka_partitions(bootstrap: str, topic: str) -> list[int]:
+def kafka_partitions(bootstrap: str, topic: str,
+                     ssl_conf: dict | None = None) -> list[int]:
     """Driver-side metadata probe (K rows — partition ids only)."""
+    from materialize_spark.sources.tlsconf import client_context
     host, port = bootstrap.rsplit(":", 1)
-    with KafkaWireClient(host, int(port)) as c:
+    with KafkaWireClient(host, int(port),
+                         ssl_context=client_context(ssl_conf)) as c:
         # raw metadata parse (the structured .metadata() helper above is
         # for brokers; here only the partition ids are needed)
         body = _arr([_str(topic)])
@@ -518,7 +531,8 @@ KAFKA_SCHEMA = ("topic string, partition int, offset long, "
 
 
 def read_kafka_wire(spark, bootstrap: str, topic: str, *,
-                    starting_offsets: dict[int, int] | None = None):
+                    starting_offsets: dict[int, int] | None = None,
+                    ssl_conf: dict | None = None):
     """Kafka topic → DataFrame(topic, partition, offset, key, value,
     timestamp) via the wire client — the same output contract as the
     spark-sql-kafka connector's batch read.
@@ -530,7 +544,7 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
     real connector."""
     import pandas as pd
 
-    parts = kafka_partitions(bootstrap, topic)
+    parts = kafka_partitions(bootstrap, topic, ssl_conf)
     starts = starting_offsets or {}
     host, port = bootstrap.rsplit(":", 1)
     port_i = int(port)
@@ -542,9 +556,12 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
         for pdf in batches:
             rows = {k: [] for k in ("topic", "partition", "offset", "key",
                                     "value", "timestamp")}
+            from materialize_spark.sources.tlsconf import client_context
+            ctx = client_context(ssl_conf)  # built per task: an
+            # SSLContext cannot ride a pickled closure; the conf dict can
             for pid in pdf["partition"]:
                 pid = int(pid)
-                with KafkaWireClient(host, port_i) as c:
+                with KafkaWireClient(host, port_i, ssl_context=ctx) as c:
                     recs = c.fetch_all(topic, pid, starts.get(pid, 0))
                 for off, key, value, ts in recs:
                     rows["topic"].append(topic)

@@ -58,10 +58,15 @@ class MySQLBinlogClient:
     """Replica-side client: handshake then COM_BINLOG_DUMP drain."""
 
     def __init__(self, host: str, port: int, *, user: str = "repl",
-                 server_id: int = 4242):
+                 server_id: int = 4242, ssl_context=None):
         self.server_id = server_id
-        self.conn = _Conn(socket.create_connection((host, port),
-                                                   timeout=10))
+        sock = socket.create_connection((host, port), timeout=10)
+        if ssl_context is not None:
+            # TLS listener mode (a real server upgrades via the in-
+            # protocol SSLRequest after the greeting; the mini peer
+            # exposes a TLS-from-connect listener instead)
+            sock = ssl_context.wrap_socket(sock, server_hostname=host)
+        self.conn = _Conn(sock)
         greet = self.conn.read_packet()
         if greet[0] == 0xFF:
             raise ValueError(f"server error on connect: {greet!r}")
@@ -121,7 +126,9 @@ class MiniMySQL:
     the checksum path end-to-end)."""
 
     def __init__(self, events: list[bytes], host: str = "127.0.0.1",
-                 port: int = 0, checksum: str = "crc32"):
+                 port: int = 0, checksum: str = "crc32", *,
+                 ssl_context=None):
+        self._ssl_ctx = ssl_context
         self.events = list(events)
         self.checksum = checksum
         self.dump_requests: list[tuple[str, int]] = []
@@ -152,8 +159,16 @@ class MiniMySQL:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
-            threading.Thread(target=self._serve, args=(_Conn(conn),),
+            threading.Thread(target=self._serve_raw, args=(conn,),
                              daemon=True).start()
+
+    def _serve_raw(self, sock: socket.socket) -> None:
+        if self._ssl_ctx is not None:
+            try:
+                sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
+            except (OSError, ValueError):
+                return
+        self._serve(_Conn(sock))
 
     def _serve(self, conn: _Conn) -> None:
         try:
@@ -207,9 +222,12 @@ class MiniMySQL:
 
 
 def read_mysql_binlog(spark, host: str, port: int, *,
-                      filename: str = "", pos: int = 4):
+                      filename: str = "", pos: int = 4,
+                      ssl_conf: dict | None = None):
     """Wire drain → (pos, event) DataFrame for decode_binlog_stream."""
-    with MySQLBinlogClient(host, port) as c:
+    from materialize_spark.sources.tlsconf import client_context
+    with MySQLBinlogClient(host, port,
+                           ssl_context=client_context(ssl_conf)) as c:
         events = c.binlog_dump(filename, pos)
     return spark.createDataFrame(
         [(p, bytearray(e)) for p, e in events],

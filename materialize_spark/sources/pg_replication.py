@@ -55,8 +55,15 @@ class PgReplicationClient:
     """Minimal PG wire client for logical replication (trust auth)."""
 
     def __init__(self, host: str, port: int, *, user: str = "mz",
-                 database: str = "db"):
+                 database: str = "db", ssl_context=None):
         self.sock = socket.create_connection((host, port), timeout=10)
+        if ssl_context is not None:
+            # the real PG dance: SSLRequest, expect 'S', then wrap
+            self.sock.sendall(struct.pack(">ii", 8, 80877103))
+            if self.sock.recv(1) != b"S":
+                raise ValueError("server refused TLS")
+            self.sock = ssl_context.wrap_socket(self.sock,
+                                                server_hostname=host)
         params = (_cstr("user") + _cstr(user)
                   + _cstr("database") + _cstr(database)
                   + _cstr("replication") + _cstr("database") + b"\0")
@@ -203,7 +210,9 @@ class MiniPostgres:
     then CopyDone + CommandComplete + ReadyForQuery."""
 
     def __init__(self, wal: list[tuple[int, bytes]],
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0, *,
+                 ssl_context=None):
+        self._ssl_ctx = ssl_context
         self.wal = list(wal)
         self.status_updates: list[int] = []  # flushed LSNs clients report
         # fault injection: abruptly drop the FIRST streaming connection
@@ -252,6 +261,17 @@ class MiniPostgres:
             (size,) = struct.unpack(">i", raw)
             body = self._recv_exact(conn, size - 4)
             (version,) = struct.unpack_from(">i", body, 0)
+            if version == 80877103:  # SSLRequest
+                if self._ssl_ctx is None:
+                    conn.sendall(b"N")
+                else:
+                    conn.sendall(b"S")
+                    conn = self._ssl_ctx.wrap_socket(conn,
+                                                     server_side=True)
+                raw = self._recv_exact(conn, 4)
+                (size,) = struct.unpack(">i", raw)
+                body = self._recv_exact(conn, size - 4)
+                (version,) = struct.unpack_from(">i", body, 0)
             if version != 196608:
                 conn.sendall(self._msg(b"E", b"SFATAL\0\0"))
                 return
@@ -352,18 +372,21 @@ class MiniPostgres:
 def drain_replication(host: str, port: int, slot: str, publication: str,
                       *, start_lsn: int = 0, user: str = "mz",
                       database: str = "db", max_reconnects: int = 5,
+                      ssl_conf: dict | None = None,
                       ) -> list[tuple[int, bytes]]:
     """Drain a logical slot, surviving connection drops: on interruption
     the partial frames are kept and a fresh connection resumes from the
     last flushed LSN + 1 — the restart-LSN semantics of a standby
     (reference postgres.rs: the source reconnects and resumes from its
     progress frontier rather than resnapshotting)."""
+    from materialize_spark.sources.tlsconf import client_context
     frames: list[tuple[int, bytes]] = []
     resume = start_lsn
     for _attempt in range(max_reconnects + 1):
         try:
-            with PgReplicationClient(host, port, user=user,
-                                     database=database) as c:
+            with PgReplicationClient(
+                    host, port, user=user, database=database,
+                    ssl_context=client_context(ssl_conf)) as c:
                 frames.extend(c.start_replication(slot, publication,
                                                   start_lsn=resume))
             return frames
@@ -382,13 +405,14 @@ def drain_replication(host: str, port: int, slot: str, publication: str,
 
 def read_pg_replication(spark, host: str, port: int, slot: str,
                         publication: str, *, start_lsn: int = 0,
-                        user: str = "mz", database: str = "db"):
+                        user: str = "mz", database: str = "db",
+                        ssl_conf: dict | None = None):
     """Drain a logical slot over the wire → (lsn, message) DataFrame,
     ready for decode_pgoutput_stream / pgoutput_to_diff / apply_cdc.
     Reconnect-resilient via :func:`drain_replication`."""
     frames = drain_replication(host, port, slot, publication,
                                start_lsn=start_lsn, user=user,
-                               database=database)
+                               database=database, ssl_conf=ssl_conf)
     return spark.createDataFrame(
         [(lsn, bytearray(msg)) for lsn, msg in frames],
         "lsn long, message binary")

@@ -85,9 +85,14 @@ class SqlServerWireClient:
     """PRELOGIN + LOGIN7 (trust) + SQL_BATCH query client."""
 
     def __init__(self, host: str, port: int, *, user: str = "mz",
-                 database: str = "db"):
-        self.conn = _Framed(socket.create_connection((host, port),
-                                                     timeout=10))
+                 database: str = "db", ssl_context=None):
+        sock = socket.create_connection((host, port), timeout=10)
+        if ssl_context is not None:
+            # TLS listener mode (real TDS negotiates TLS inside
+            # PRELOGIN; the mini peer exposes a TLS-from-connect
+            # listener instead)
+            sock = ssl_context.wrap_socket(sock, server_hostname=host)
+        self.conn = _Framed(sock)
         # PRELOGIN: VERSION + ENCRYPTION(not supported) + TERMINATOR
         opts = [(0x00, bytes([16, 0, 0, 0, 0, 0])), (0x01, bytes([2]))]
         off = 5 * len(opts) + 1
@@ -234,7 +239,9 @@ class MiniSqlServer:
              "nvarchar": T_NVARCHAR, "varbinary": T_BIGVARBIN}
 
     def __init__(self, tables: dict, host: str = "127.0.0.1",
-                 port: int = 0, packet_size: int = 4096):
+                 port: int = 0, packet_size: int = 4096, *,
+                 ssl_context=None):
+        self._ssl_ctx = ssl_context
         self.tables = dict(tables)
         # small packet_size forces MULTI-PACKET responses (spanning
         # token streams), exercising the client's EOM reassembly
@@ -266,10 +273,16 @@ class MiniSqlServer:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
-            threading.Thread(
-                target=self._serve,
-                args=(_Framed(conn, self.packet_size),),
-                daemon=True).start()
+            threading.Thread(target=self._serve_raw, args=(conn,),
+                             daemon=True).start()
+
+    def _serve_raw(self, sock: socket.socket) -> None:
+        if self._ssl_ctx is not None:
+            try:
+                sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
+            except (OSError, ValueError):
+                return
+        self._serve(_Framed(sock, self.packet_size))
 
     def _serve(self, conn: _Framed) -> None:
         try:
@@ -367,11 +380,14 @@ class MiniSqlServer:
 
 
 # --------------------------------------------------------------------------
-def read_sqlserver_ct(spark, host: str, port: int, instance: str):
+def read_sqlserver_ct(spark, host: str, port: int, instance: str,
+                      ssl_conf: dict | None = None):
     """Drain ``cdc.<instance>_CT`` over TDS → the change-table DataFrame
     (``__$start_lsn``, ``__$seqval``, ``__$operation``, data columns)
     that sqlserver_cdc.changes_to_diff consumes."""
-    with SqlServerWireClient(host, port) as c:
+    from materialize_spark.sources.tlsconf import client_context
+    with SqlServerWireClient(host, port,
+                             ssl_context=client_context(ssl_conf)) as c:
         names, rows = c.query(
             f"SELECT * FROM cdc.{instance}_CT ORDER BY __$start_lsn")
     fields = []

@@ -343,42 +343,9 @@ def test_scram_client_needs_password(spark):
             PgWireClient(srv.host, srv.port)
 
 
-def _self_signed_ctx(tmp_path):
-    """Server/client SSLContexts from a fresh self-signed cert (skips if
-    the cryptography package is unavailable)."""
-    x509 = pytest.importorskip("cryptography.x509")
-    import datetime as _dt
-
-    from cryptography.hazmat.primitives import hashes, serialization
-    from cryptography.hazmat.primitives.asymmetric import rsa
-
-    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
-    name = x509.Name([x509.NameAttribute(
-        x509.oid.NameOID.COMMON_NAME, "localhost")])
-    now = _dt.datetime.now(_dt.timezone.utc)
-    cert = (x509.CertificateBuilder()
-            .subject_name(name).issuer_name(name)
-            .public_key(key.public_key())
-            .serial_number(x509.random_serial_number())
-            .not_valid_before(now - _dt.timedelta(minutes=5))
-            .not_valid_after(now + _dt.timedelta(days=1))
-            .sign(key, hashes.SHA256()))
-    certf, keyf = tmp_path / "cert.pem", tmp_path / "key.pem"
-    certf.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
-    keyf.write_bytes(key.private_bytes(
-        serialization.Encoding.PEM,
-        serialization.PrivateFormat.TraditionalOpenSSL,
-        serialization.NoEncryption()))
-    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-    sctx.load_cert_chain(certf, keyf)
-    cctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-    cctx.check_hostname = False
-    cctx.verify_mode = ssl.CERT_NONE
-    return sctx, cctx
-
-
-def test_tls_query_roundtrip(spark, tmp_path):
-    sctx, cctx = _self_signed_ctx(tmp_path)
+def test_tls_query_roundtrip(spark):
+    from tests.tlsutil import client_ctx, server_ctx
+    sctx, cctx = server_ctx(), client_ctx()
     sess = MzSession(spark, SF_DIR)
     with MzPgServer(sess, ssl_context=sctx) as srv:
         with PgWireClient(srv.host, srv.port, ssl_context=cctx) as c:
@@ -386,10 +353,11 @@ def test_tls_query_roundtrip(spark, tmp_path):
             assert res["rows"] == [["5"]]
 
 
-def test_tls_plus_scram(spark, tmp_path):
+def test_tls_plus_scram(spark):
     """TLS upgrade then SCRAM over the encrypted channel (the production
     posture: never send SCRAM exchanges in clear)."""
-    sctx, cctx = _self_signed_ctx(tmp_path)
+    from tests.tlsutil import client_ctx, server_ctx
+    sctx, cctx = server_ctx(), client_ctx()
     sess = MzSession(spark, SF_DIR)
     with MzPgServer(sess, ssl_context=sctx,
                     auth={"materialize": "pw"}) as srv:
