@@ -44,6 +44,9 @@ _INTROSPECT = re.compile(
     r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
     r"|\b(?:obj|col)_description\b", re.I)
 
+# recursive view bodies (batch-only — see _create_view's gap note)
+_WMR_RE = re.compile(r"\s*WITH\s+MUTUALLY\s+RECURSIVE\b", re.I)
+
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0, outside string literals — so
@@ -221,21 +224,53 @@ class MzSession:
         return [self.execute(stmt) for stmt in split_statements(script)]
 
     # -- CREATE -------------------------------------------------------------
+    def _eval_view_body(self, body: str):
+        """View bodies are usually plain SELECTs; WITH MUTUALLY RECURSIVE
+        bodies route through the LetRec fixpoint evaluator (_wmr)."""
+        if _WMR_RE.match(body):
+            from materialize_spark.plans.parser import parse_statement
+            return self._wmr(parse_statement(body), body)
+        return self.spark.sql(rewrite(body))
+
     def _create_view(self, node: ast.CreateView, sql: str):
         # PG requires SELECT on every base relation the body references —
         # without this, a role denied SELECT on t could launder access by
         # owning `CREATE VIEW v AS SELECT * FROM t` (reference rbac.rs
         # checks item privileges on the view's dependency closure).
         self._check_select_refs(node.body)
+        if _WMR_RE.match(node.body):
+            # Recursive queries are batch-evaluated (SURVEY §2.8.9: WITH
+            # MUTUALLY RECURSIVE is an accepted streaming gap — the
+            # reference maintains LetRec dataflows incrementally,
+            # src/compute/src/render/mod.rs rendering LetRec; this engine
+            # re-runs the fixpoint per refresh). A continuously/scheduled-
+            # maintained recursive MV would silently be stale, so it is
+            # an explicit error; snapshot MVs (+ manual REFRESH) work.
+            if not node.materialized:
+                raise ValueError(
+                    "CREATE VIEW over WITH MUTUALLY RECURSIVE is not "
+                    "supported: recursive queries are batch-evaluated; "
+                    "use CREATE MATERIALIZED VIEW (snapshot semantics, "
+                    "re-run the fixpoint with REFRESH)")
+            if node.refresh_every_s is not None:
+                raise ValueError(
+                    "streaming/scheduled maintenance (REFRESH EVERY) of "
+                    "a WITH MUTUALLY RECURSIVE view is not supported: "
+                    "recursive dataflows are batch-only here; drop the "
+                    "REFRESH EVERY option and REFRESH explicitly")
         self._owners[node.name] = self._role
-        df = self.spark.sql(rewrite(node.body))
+        df = self._eval_view_body(node.body)
         if node.materialized:
             # Batch MV: eagerly refreshed snapshot (REFRESH ON COMMIT
             # analog); the streaming maintenance path is
             # streaming.ivm.MaterializedView.
             snap = df.localCheckpoint(eager=True)
             self._matviews[node.name] = snap
-            self._matview_sql[node.name] = rewrite(node.body)
+            # WMR bodies stay raw: _eval_view_body re-routes them through
+            # the fixpoint evaluator (which rewrites each binding itself)
+            self._matview_sql[node.name] = (
+                node.body if _WMR_RE.match(node.body)
+                else rewrite(node.body))
             self.catalog.create_view(node.name, snap)
             from pyspark.sql import functions as F
 
@@ -719,7 +754,7 @@ class MzSession:
 
         name = node.name
         old = self._matviews[name]
-        snap = self.spark.sql(
+        snap = self._eval_view_body(
             self._matview_sql[name]).localCheckpoint(eager=True)
         self._matviews[name] = snap
         self.catalog.create_view(name, snap)

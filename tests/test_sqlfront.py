@@ -922,3 +922,62 @@ def test_cluster_replicas_have_distinct_ids(spark):
                  "FROM mz_cluster_replicas").collect()
     ids = [r.cluster_id for r in rows]
     assert len(ids) == len(set(ids)) >= 4
+
+
+def test_wmr_materialized_view_snapshot_and_refresh(spark):
+    """A recursive MATERIALIZED VIEW works with snapshot semantics: the
+    fixpoint re-runs on REFRESH (batch-only WMR, SURVEY §2.8.9)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE wmr_edges (src BIGINT, dst BIGINT)")
+    s.execute("INSERT INTO wmr_edges VALUES (1, 2), (2, 3)")
+    s.execute("""
+        CREATE MATERIALIZED VIEW wmr_reach AS
+        WITH MUTUALLY RECURSIVE
+          reach (src int8, dst int8) AS (
+            SELECT src, dst FROM wmr_edges
+            UNION
+            SELECT r.src AS src, e.dst AS dst
+            FROM reach r JOIN wmr_edges e ON r.dst = e.src)
+        SELECT * FROM reach
+    """)
+    got = {(r.src, r.dst) for r in s.sql("SELECT * FROM wmr_reach"
+                                         ).collect()}
+    assert got == {(1, 2), (2, 3), (1, 3)}
+    # snapshot: a base update shows up only after REFRESH
+    s.execute("INSERT INTO wmr_edges VALUES (3, 4)")
+    assert {(r.src, r.dst) for r in s.sql(
+        "SELECT * FROM wmr_reach").collect()} == got
+    s.execute("REFRESH MATERIALIZED VIEW wmr_reach")
+    got2 = {(r.src, r.dst) for r in s.sql("SELECT * FROM wmr_reach"
+                                          ).collect()}
+    assert (1, 4) in got2 and (3, 4) in got2
+
+
+def test_wmr_streaming_mv_clean_error(spark):
+    """REFRESH EVERY (scheduled/streaming maintenance) of a recursive
+    view errors explicitly instead of going silently stale."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    with pytest.raises(ValueError, match="MUTUALLY RECURSIVE.*not "
+                                         "supported"):
+        s.execute("""
+            CREATE MATERIALIZED VIEW wmr_bad
+            WITH (REFRESH EVERY '10 seconds') AS
+            WITH MUTUALLY RECURSIVE
+              c (n int8) AS (SELECT 1 AS n UNION
+                             SELECT n + 1 AS n FROM c WHERE n < 3)
+            SELECT * FROM c
+        """)
+
+
+def test_wmr_plain_view_clean_error(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    with pytest.raises(ValueError, match="MATERIALIZED"):
+        s.execute("""
+            CREATE VIEW wmr_v AS
+            WITH MUTUALLY RECURSIVE
+              c (n int8) AS (SELECT 1 AS n)
+            SELECT * FROM c
+        """)
