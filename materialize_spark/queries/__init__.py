@@ -55,45 +55,41 @@ def load_all() -> dict[str, QuerySpec]:
     # The driver harness evaluates only the first ~50 registry entries.
     # The remainder round-robins across modules so any longer evaluation
     # prefix still spans the surface.
-    # Rotation policy (VERDICT r5 item 3): driver certification ACCUMULATES
-    # across rounds — the union of CORRECTNESS_r1..r6 covers 117 of 152
-    # entries. This round's 50-slot window holds the FINAL 35 entries no
-    # driver round has ever checked (⇒ union reaches 152/152), plus 15
-    # already-certified flagships as regression sentinels. Everything else
-    # stays green via the local full-registry gate (tools/check.py,
-    # 152/152 at sf0.01) and rotates back in only if it regresses.
+    # Rotation policy (VERDICT r5 item 3, r7 item 8): driver certification
+    # ACCUMULATES across rounds — after r7 the union covers 157/158, with
+    # scalar_pg_compat2 the one ever-red row (fixed this round: outputs
+    # stringified). The r8 window = the 4 entries needing (re)certification
+    # — the pg_compat2 fix and this round's three new capabilities — plus
+    # 46 regression sentinels weighted toward the OLDEST certifications
+    # (r2–r4: scalar/jsonb/collection batteries, set ops, windows,
+    # envelopes), which have never been re-checked under the 50-slot
+    # window, ending with a flagship spread. Everything else stays green
+    # via the local full-registry gate (tools/check.py at sf0.01).
     priority = [
-        # --- the 35 never-driver-certified entries (round-7 window) ---
-        # scalar surface tail
-        "scalar_to_char", "scalar_justify_interval", "scalar_datetime",
-        "scalar_conditional", "scalar_date_bin", "scalar_like_battery",
-        "scalar_casts2", "scalar_string2", "scalar_bits_encode",
-        "scalar_uuid", "scalar_pg_compat2", "scalar_pg_compat3",
-        "scalar_pg_compat4", "scalar_decimal38_margin",
-        # table-function tail
-        "tablefunc_repeat_row", "tablefunc_regexp_split",
-        "tablefunc_csv_extract", "tablefunc_wrap",
-        "tablefunc_generate_series_ts", "tablefunc_generate_subscripts",
-        # collections / records / ranges
-        "range_operations", "jsonb_mutation", "array_functions2",
-        "record_struct_ops",
-        # text-analysis tail
-        "text_repetition", "text_url_stats",
-        # wire sources end-to-end + cross-MV consistency
-        "kafka_wire_e2e", "cdc_pgoutput_wire_apply", "cdc_mysql_wire_apply",
-        "cdc_sqlserver_wire_apply", "mv_consistency_frontier",
-        # session-control surface
-        "sqlfront_pg_catalog", "sqlfront_rbac", "sqlfront_catalog_restore",
-        "sqlfront_pgwire_roundtrip",
-        # --- new round-7 capabilities (namespaces, clusters, pgwire
-        # extended, 64-relation delta-join width, k-means clustering) ---
-        "sqlfront_namespaces", "sqlfront_clusters",
-        "sqlfront_pgwire_extended", "join_wide_64way",
-        "pipeline_cluster_kmeans", "text_tfidf_topterms",
-        # --- 9 already-certified regression sentinels ---
-        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "simsearch_cosine_topk",
+        # --- must-certify: the 7-round-red fix + round-8 capabilities ---
+        "scalar_pg_compat2", "ivm_q18_threshold_delta",
+        "ivm_q21_antijoin_delta", "sqlfront_pgwire_secure",
+        # --- oldest sentinels: r2-certified scalar batteries ---
+        "scalar_math", "scalar_string", "scalar_regex", "scalar_casts",
+        # --- r3-certified: timestamps, jsonb, collections ---
+        "scalar_parse_timestamp", "jsonb_ops", "jsonb_typeof_battery",
+        "array_functions", "map_functions", "interval_arithmetic",
+        # --- r4-certified: set ops, joins, windows, envelopes, aggs ---
+        "setops_union_all", "setops_except_intersect",
+        "distinct_on_first_order", "outer_join_full", "cross_join_pairs",
+        "window_functions", "window_tumbling", "window_hopping",
+        "temporal_filter", "sessionization", "topk_events_per_user",
+        "tablefunc_generate_series", "tablefunc_unnest_ordinality",
+        "agg_battery", "agg_decimal", "tablefunc_battery",
+        # --- r4/r5-certified tail ---
+        "agg_rich", "upsert_envelope_batch", "subquery_decorrelated",
+        "window_lag_lead", "agg_grouping_sets", "dedup_embedding_cosine",
+        "scalar_month_arithmetic", "window_navigation",
+        "letrec_reachability", "join_skew_salted",
+        # --- flagship spread (headline queries + IVM + pipeline + CDC) ---
+        "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
+        "ivm_retraction_agg", "ivm_incremental_join", "dedup_minhash_lsh",
+        "simsearch_cosine_topk", "cdc_pgoutput_wire_apply",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

@@ -409,3 +409,55 @@ def sqlfront_clusters(spark, sf_dir):
             .select("name", "size",
                     F.col("replicas").cast("long").alias("replicas"))
             .orderBy("name"))
+
+
+@register(
+    "sqlfront_pgwire_secure",
+    """
+    -- oracle: literal truth of the SCRAM+TLS+binary round-trip
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'AFRICA',  CAST(42 AS BIGINT)),
+        (CAST(1 AS BIGINT), 'AMERICA', CAST(42 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'ASIA',    CAST(42 AS BIGINT))
+    ) AS t(rk, name, param_echo)
+    ORDER BY rk
+    """,
+    "sqlfront", "pgwire", "auth", "tls",
+)
+def sqlfront_pgwire_secure(spark, sf_dir):
+    """The production pgwire posture end-to-end: TLS upgrade
+    (SSLRequest → 'S' → handshake), SCRAM-SHA-256 login (RFC 7677 —
+    server stores only derived verifiers), then an extended-protocol
+    query with a BINARY int8 parameter and binary result format.
+    Reference: src/pgwire/src/server.rs TlsMode + protocol.rs
+    AuthenticationSASL / format codes. Falls back to plaintext+SCRAM
+    when the cryptography package (test certs) is unavailable."""
+    import struct as _s
+
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient
+
+    sctx = cctx = None
+    try:
+        from tests.tlsutil import client_ctx, server_ctx
+        sctx, cctx = server_ctx(), client_ctx()
+    except Exception:
+        pass  # cert tooling unavailable: exercise SCRAM in plaintext
+
+    sess = MzSession(spark, sf_dir)
+    with MzPgServer(sess, auth={"materialize": "wire-pass"},
+                    ssl_context=sctx) as srv:
+        with PgWireClient(srv.host, srv.port, password="wire-pass",
+                          ssl_context=cctx) as c:
+            c.prepare(
+                "q", "SELECT r_regionkey, r_name, $1 AS param_echo "
+                     "FROM region WHERE r_regionkey < 3 "
+                     "ORDER BY r_regionkey",
+                param_oids=(20,))
+            res = c.execute_prepared(
+                "q", [_s.pack(">q", 42)], binary_results=True)
+    rows = [(_s.unpack(">q", rk)[0] if len(rk) == 8
+             else _s.unpack(">i", rk)[0],
+             name.decode(), _s.unpack(">q", echo)[0])
+            for rk, name, echo in res["rows"]]
+    return spark.createDataFrame(rows, "rk long, name string, "
+                                       "param_echo long")
