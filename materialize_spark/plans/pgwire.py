@@ -46,10 +46,7 @@ too, coord/peek.rs).
 
 from __future__ import annotations
 
-import base64
 import datetime
-import hashlib
-import hmac as _hmac
 import secrets
 import socket
 import struct
@@ -102,40 +99,10 @@ def _param_indices(sql: str) -> list[str]:
     return out
 
 
-# --------------------------------------------------------------------------
-# SCRAM-SHA-256 (RFC 5802 / RFC 7677 — the PG auth method; reference
-# /root/reference/src/pgwire/src/protocol.rs AuthenticationSASL flow)
-
-def _h(b: bytes) -> bytes:
-    return hashlib.sha256(b).digest()
-
-
-def _hm(key: bytes, msg: bytes) -> bytes:
-    return _hmac.new(key, msg, hashlib.sha256).digest()
-
-
-def _xor(a: bytes, b: bytes) -> bytes:
-    return bytes(x ^ y for x, y in zip(a, b))
-
-
-def scram_verifier(password: str, *, salt: bytes | None = None,
-                   iterations: int = 4096) -> dict:
-    """Server-side stored credential: the server never keeps the password,
-    only (salt, i, StoredKey, ServerKey) — exactly what PG stores in
-    pg_authid.rolpassword for SCRAM-SHA-256."""
-    salt = salt if salt is not None else secrets.token_bytes(16)
-    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt,
-                                 iterations)
-    client_key = _hm(salted, b"Client Key")
-    return {"salt": salt, "iterations": iterations,
-            "stored_key": _h(client_key),
-            "server_key": _hm(salted, b"Server Key")}
-
-
-def _scram_attrs(msg: str) -> dict[str, str]:
-    return {p[0]: p[2:] for p in msg.split(",") if len(p) > 1
-            and p[1] == "="}
-
+# SCRAM-SHA-256 primitives shared with the Kafka SASL path
+from materialize_spark import scram as _scram
+from materialize_spark.scram import scram_attrs as _scram_attrs
+from materialize_spark.scram import scram_verifier
 
 # PG binary-format parameter decoding: OID -> text-format equivalent
 # (postgresql.org/docs/current/protocol-overview.html "Formats and Format
@@ -391,47 +358,26 @@ class MzPgServer:
         first = body[end + 5:end + 5 + dlen].decode()
         if mech != "SCRAM-SHA-256":
             return fatal(f"unsupported SASL mechanism {mech}")
-        # gs2 header: we support no channel binding ("n,,"; "y,," also ok)
-        if first.startswith(("n,,", "y,,")):
-            gs2, bare = first[:3], first[3:]
-        else:
-            return fatal("channel binding not supported")
-        cnonce = _scram_attrs(bare).get("r")
-        if not cnonce:
-            return fatal("malformed client-first-message")
         # Unknown users get a deterministic fake verifier (same message
         # shape, proof can never match) — no user enumeration.
         ver = self._auth.get(user) or scram_verifier(
-            secrets.token_hex(16), salt=_h(user.encode())[:16])
-        nonce = cnonce + secrets.token_urlsafe(18)
-        server_first = (f"r={nonce},"
-                        f"s={base64.b64encode(ver['salt']).decode()},"
-                        f"i={ver['iterations']}")
+            secrets.token_hex(16), salt=_scram.h(user.encode())[:16])
+        try:
+            sf, st = _scram.server_first(ver, first)
+        except ValueError as ex:
+            return fatal(str(ex))
         conn.sendall(self._msg(
-            b"R", struct.pack(">i", 11) + server_first.encode()))
+            b"R", struct.pack(">i", 11) + sf.encode()))
         tag = self._recv_exact(conn, 1)
         if tag != b"p":
             return fatal("expected SASLResponse")
         (sz,) = struct.unpack(">i", self._recv_exact(conn, 4))
         final = self._recv_exact(conn, sz - 4).decode()
-        attrs = _scram_attrs(final)
-        if attrs.get("r") != nonce:
-            return fatal("nonce mismatch")
-        if attrs.get("c") != base64.b64encode(gs2.encode()).decode():
-            return fatal("channel-binding mismatch")
-        try:
-            proof = base64.b64decode(attrs.get("p", ""))
-        except ValueError:
-            return fatal("malformed proof")
-        without_proof = final[:final.rindex(",p=")]
-        auth_msg = f"{bare},{server_first},{without_proof}".encode()
-        client_sig = _hm(ver["stored_key"], auth_msg)
-        recovered = _xor(proof, client_sig)
-        if user not in self._auth or _h(recovered) != ver["stored_key"]:
+        ok, server_final = _scram.server_verify(ver, st, final)
+        if not ok or user not in self._auth:
             return fatal(f'password authentication failed for user "{user}"')
-        server_sig = base64.b64encode(_hm(ver["server_key"], auth_msg))
         conn.sendall(self._msg(
-            b"R", struct.pack(">i", 12) + b"v=" + server_sig))
+            b"R", struct.pack(">i", 12) + server_final.encode()))
         return True
 
     # -- extended protocol ---------------------------------------------------
@@ -799,38 +745,23 @@ class PgWireClient:
                                          f"in {mechs}")
                     if password is None:
                         raise ValueError("server requires a password")
-                    cnonce = secrets.token_urlsafe(18)
-                    bare = f"n=,r={cnonce}"
-                    first = ("n,," + bare).encode()
+                    first, scram = _scram.client_first()
+                    first = first.encode()
                     body = (_cstr("SCRAM-SHA-256")
                             + struct.pack(">i", len(first)) + first)
                     self.sock.sendall(b"p" + struct.pack(
                         ">i", 4 + len(body)) + body)
-                    scram = {"bare": bare, "cnonce": cnonce}
                 elif code == 11:  # SASLContinue: server-first-message
                     assert scram is not None
-                    sf = payload[4:].decode()
-                    at = _scram_attrs(sf)
-                    nonce, salt = at["r"], base64.b64decode(at["s"])
-                    if not nonce.startswith(scram["cnonce"]):
-                        raise ValueError("server nonce mismatch")
-                    salted = hashlib.pbkdf2_hmac(
-                        "sha256", password.encode(), salt, int(at["i"]))
-                    ckey = _hm(salted, b"Client Key")
-                    wo_proof = f"c=biws,r={nonce}"
-                    auth_msg = f"{scram['bare']},{sf},{wo_proof}".encode()
-                    proof = _xor(ckey, _hm(_h(ckey), auth_msg))
-                    scram["server_key"] = _hm(salted, b"Server Key")
-                    scram["auth_msg"] = auth_msg
-                    final = (wo_proof + ",p="
-                             + base64.b64encode(proof).decode()).encode()
+                    final, scram = _scram.client_final(
+                        password, scram, payload[4:].decode())
+                    final = final.encode()
                     self.sock.sendall(b"p" + struct.pack(
                         ">i", 4 + len(final)) + final)
                 elif code == 12:  # SASLFinal: verify server signature
                     assert scram is not None
-                    v = _scram_attrs(payload[4:].decode()).get("v", "")
-                    want = _hm(scram["server_key"], scram["auth_msg"])
-                    if base64.b64decode(v) != want:
+                    if not _scram.client_check(scram,
+                                               payload[4:].decode()):
                         raise ValueError("server signature mismatch "
                                          "(not the real server?)")
                 else:

@@ -84,7 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
         # --- r4/r5-certified tail ---
         "agg_rich", "upsert_envelope_batch", "subquery_decorrelated",
         "window_lag_lead", "agg_grouping_sets", "dedup_embedding_cosine",
-        "scalar_month_arithmetic", "window_navigation",
+        "scalar_month_arithmetic", "text_language_id",
         "letrec_reachability", "join_skew_salted",
         # --- flagship spread (headline queries + IVM + pipeline + CDC) ---
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",

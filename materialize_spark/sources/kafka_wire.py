@@ -37,6 +37,8 @@ import zlib
 from typing import Iterator
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+API_SASL_HANDSHAKE, API_SASL_AUTHENTICATE = 17, 36
+_SASL_MECHS = ("PLAIN", "SCRAM-SHA-256")
 
 
 # --------------------------------------------------------------------------
@@ -132,7 +134,12 @@ class KafkaWireClient:
     """Blocking single-connection Kafka client (metadata/produce/fetch)."""
 
     def __init__(self, host: str, port: int, client_id: str = "mz-spark",
-                 *, ssl_context=None):
+                 *, ssl_context=None,
+                 sasl: tuple[str, str, str] | None = None):
+        """``sasl``: (mechanism, username, password) with mechanism PLAIN
+        or SCRAM-SHA-256 — the SaslHandshake/SaslAuthenticate flow a real
+        broker's SASL listener requires (reference Kafka connection SASL
+        options, src/storage-types/src/connections.rs)."""
         self.sock = socket.create_connection((host, port), timeout=10)
         if ssl_context is not None:
             # a TLS listener speaks TLS from byte 0 (like a real broker's
@@ -141,6 +148,39 @@ class KafkaWireClient:
                                                 server_hostname=host)
         self.client_id = client_id
         self._corr = 0
+        if sasl is not None:
+            self._sasl_login(*sasl)
+
+    def _sasl_round(self, data: bytes) -> bytes:
+        r = self._roundtrip(API_SASL_AUTHENTICATE, 0,
+                            struct.pack(">i", len(data)) + data)
+        err = r.take("h")
+        msg = r.string()
+        if err:
+            raise ValueError(f"SASL authentication failed: {msg or err}")
+        return r.bytes_() or b""
+
+    def _sasl_login(self, mech: str, user: str, password: str) -> None:
+        from materialize_spark import scram as _scram
+        r = self._roundtrip(API_SASL_HANDSHAKE, 1, _str(mech))
+        err = r.take("h")
+        if err:
+            offered = [r.string() for _ in range(max(r.take("i"), 0))]
+            raise ValueError(f"mechanism {mech} rejected ({err}); "
+                             f"broker offers {offered}")
+        r.take("i")  # enabled mechanisms (success path)
+        if mech == "PLAIN":
+            self._sasl_round(b"\0" + user.encode()
+                             + b"\0" + password.encode())
+        elif mech == "SCRAM-SHA-256":
+            first, st = _scram.client_first(user)
+            sf = self._sasl_round(first.encode()).decode()
+            final, st = _scram.client_final(password, st, sf)
+            server_final = self._sasl_round(final.encode()).decode()
+            if not _scram.client_check(st, server_final):
+                raise ValueError("SASL server signature mismatch")
+        else:
+            raise ValueError(f"unsupported SASL mechanism {mech}")
 
     def close(self) -> None:
         try:
@@ -308,8 +348,14 @@ class MiniBroker:
     subset a pre-KIP-482 consumer needs. One thread per connection."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
-                 ssl_context=None):
+                 ssl_context=None,
+                 sasl_users: dict[str, str] | None = None):
         self._ssl_ctx = ssl_context  # TLS listener mode (cert required)
+        # SASL listener mode: user -> password; PLAIN checks the raw
+        # password, SCRAM-SHA-256 only ever touches derived verifiers
+        self._sasl_plain = dict(sasl_users or {})
+        from materialize_spark.scram import scram_verifier as _sv
+        self._sasl_scram = {u: _sv(p) for u, p in self._sasl_plain.items()}
         self._log: dict[str, dict[int, list]] = {}
         # fault injection (protocol-conformance tests): api_key → Kafka
         # error code returned at the partition level, like a real broker
@@ -366,6 +412,10 @@ class MiniBroker:
                              daemon=True).start()
 
     def _serve(self, conn: socket.socket) -> None:
+        # per-connection SASL state (a real broker authenticates each
+        # connection; IllegalSaslState closes unauthenticated traffic)
+        sasl_state = {"authed": not self._sasl_plain, "mech": None,
+                      "scram": None, "user": None}
         try:
             if self._ssl_ctx is not None:
                 conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
@@ -377,7 +427,9 @@ class MiniBroker:
                 frame = self._recv_exact(conn, size)
                 if frame is None:
                     return
-                resp = self._handle(frame)
+                resp = self._handle(frame, sasl_state)
+                if resp is None:  # unauthenticated non-SASL request
+                    return
                 conn.sendall(struct.pack(">i", len(resp)) + resp)
         except (ConnectionError, OSError):
             pass
@@ -397,11 +449,70 @@ class MiniBroker:
             buf += chunk
         return bytes(buf)
 
-    def _handle(self, frame: bytes) -> bytes:
+    def _handle(self, frame: bytes,
+                sasl_state: dict | None = None) -> bytes | None:
+        from materialize_spark import scram as _scram
+        st = sasl_state if sasl_state is not None else {"authed": True}
         r = _Reader(frame)
         api_key, api_version, corr = r.take("hhi")
         r.string()  # client_id
         head = struct.pack(">i", corr)
+        if api_key == API_SASL_HANDSHAKE:
+            mech = r.string() or ""
+            mechs = _arr([_str(m) for m in _SASL_MECHS])
+            if not self._sasl_plain or mech not in _SASL_MECHS:
+                # 33 = UNSUPPORTED_SASL_MECHANISM
+                return head + struct.pack(">h", 33) + mechs
+            st["mech"] = mech
+            return head + struct.pack(">h", 0) + mechs
+        if api_key == API_SASL_AUTHENTICATE:
+            tok = r.bytes_() or b""
+
+            def fail(msg: str) -> bytes:
+                # 58 = SASL_AUTHENTICATION_FAILED
+                return (head + struct.pack(">h", 58) + _str(msg)
+                        + struct.pack(">i", 0))
+
+            def ok(data: bytes = b"") -> bytes:
+                return (head + struct.pack(">h", 0) + _str(None)
+                        + struct.pack(">i", len(data)) + data)
+
+            if st.get("mech") == "PLAIN":
+                parts = tok.split(b"\0")
+                if len(parts) != 3:
+                    return fail("malformed PLAIN token")
+                user, pw = parts[1].decode(), parts[2].decode()
+                if self._sasl_plain.get(user) != pw:
+                    return fail("authentication failed")
+                st["authed"], st["user"] = True, user
+                return ok()
+            if st.get("mech") == "SCRAM-SHA-256":
+                if st.get("scram") is None:
+                    first = tok.decode()
+                    user = _scram.scram_attrs(
+                        first[3:] if first[:3] in ("n,,", "y,,")
+                        else first).get("n", "")
+                    ver = self._sasl_scram.get(user) or \
+                        _scram.scram_verifier(
+                            "no-such-user",
+                            salt=_scram.h(user.encode())[:16])
+                    try:
+                        sf, state = _scram.server_first(ver, first)
+                    except ValueError as ex:
+                        return fail(str(ex))
+                    st["scram"] = (user, ver, state)
+                    return ok(sf.encode())
+                user, ver, state = st["scram"]
+                st["scram"] = None
+                good, server_final = _scram.server_verify(
+                    ver, state, tok.decode())
+                if not good or user not in self._sasl_scram:
+                    return fail("authentication failed")
+                st["authed"], st["user"] = True, user
+                return ok(server_final.encode())
+            return fail("SaslHandshake required first")
+        if not st.get("authed"):
+            return None  # close: unauthenticated non-SASL request
         if api_key == API_VERSIONS:
             body = struct.pack(">h", 0) + _arr([
                 struct.pack(">hhh", k, 0, 2)
@@ -494,12 +605,14 @@ class MiniBroker:
 # --------------------------------------------------------------------------
 # Spark source
 def kafka_partitions(bootstrap: str, topic: str,
-                     ssl_conf: dict | None = None) -> list[int]:
+                     ssl_conf: dict | None = None,
+                     sasl: tuple[str, str, str] | None = None) -> list[int]:
     """Driver-side metadata probe (K rows — partition ids only)."""
     from materialize_spark.sources.tlsconf import client_context
     host, port = bootstrap.rsplit(":", 1)
     with KafkaWireClient(host, int(port),
-                         ssl_context=client_context(ssl_conf)) as c:
+                         ssl_context=client_context(ssl_conf),
+                         sasl=sasl) as c:
         # raw metadata parse (the structured .metadata() helper above is
         # for brokers; here only the partition ids are needed)
         body = _arr([_str(topic)])
@@ -532,7 +645,8 @@ KAFKA_SCHEMA = ("topic string, partition int, offset long, "
 
 def read_kafka_wire(spark, bootstrap: str, topic: str, *,
                     starting_offsets: dict[int, int] | None = None,
-                    ssl_conf: dict | None = None):
+                    ssl_conf: dict | None = None,
+                    sasl: tuple[str, str, str] | None = None):
     """Kafka topic → DataFrame(topic, partition, offset, key, value,
     timestamp) via the wire client — the same output contract as the
     spark-sql-kafka connector's batch read.
@@ -544,7 +658,7 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
     real connector."""
     import pandas as pd
 
-    parts = kafka_partitions(bootstrap, topic, ssl_conf)
+    parts = kafka_partitions(bootstrap, topic, ssl_conf, sasl)
     starts = starting_offsets or {}
     host, port = bootstrap.rsplit(":", 1)
     port_i = int(port)
@@ -561,7 +675,8 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
             # SSLContext cannot ride a pickled closure; the conf dict can
             for pid in pdf["partition"]:
                 pid = int(pid)
-                with KafkaWireClient(host, port_i, ssl_context=ctx) as c:
+                with KafkaWireClient(host, port_i, ssl_context=ctx,
+                                     sasl=sasl) as c:
                     recs = c.fetch_all(topic, pid, starts.get(pid, 0))
                 for off, key, value, ts in recs:
                     rows["topic"].append(topic)

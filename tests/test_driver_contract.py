@@ -108,14 +108,14 @@ def test_registry_prefix_spans_families():
     assert len(modules) >= 10, sorted(modules)
 
 
-@pytest.mark.parametrize("name", ["dedup_exact", "simsearch_cosine_topk",
-                                  "text_repetition",
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh",
+                                  "simsearch_cosine_topk",
+                                  "text_language_id",
                                   "cdc_pgoutput_wire_apply"])
 def test_pipeline_families_in_first_50(name):
-    """The driver-checked prefix must still span the pipeline families.
-    Round 7 rotates in the FINAL 35 never-driver-checked entries plus
-    certified flagship sentinels; the representatives here are that
-    window's."""
+    """The driver-checked prefix must still span the pipeline families
+    (dedup, similarity search, text analysis, CDC). The representatives
+    here are the round-8 window's sentinels."""
     from materialize_spark.queries import load_all
     first50 = list(load_all())[:50]
     assert name in first50

@@ -178,3 +178,76 @@ def test_validate_connection_over_tls(spark):
             f"CREATE CONNECTION kplain TO KAFKA (host = '{plain.host}', "
             f"port = {plain.port})")
         sess.execute("VALIDATE CONNECTION kplain")
+
+
+# --------------------------------------------------------------------------
+# Kafka SASL (SaslHandshake + SaslAuthenticate: PLAIN and SCRAM-SHA-256)
+
+def test_kafka_sasl_plain():
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker(sasl_users={"svc": "pw1"}) as broker:
+        broker.create_topic("s1", partitions=1)
+        with KafkaWireClient(broker.host, broker.port,
+                             sasl=("PLAIN", "svc", "pw1")) as c:
+            c.produce("s1", 0, [(b"k", b"v", 1)])
+            _hw, recs = c.fetch("s1", 0, offset=0)
+            assert [(k, v) for _o, k, v, _t in recs] == [(b"k", b"v")]
+
+
+def test_kafka_sasl_scram():
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker(sasl_users={"svc": "pw1"}) as broker:
+        broker.create_topic("s2", partitions=1)
+        with KafkaWireClient(broker.host, broker.port,
+                             sasl=("SCRAM-SHA-256", "svc", "pw1")) as c:
+            assert c.api_versions()
+
+
+def test_kafka_sasl_wrong_password_and_unknown_user():
+    import pytest as _pytest
+
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker(sasl_users={"svc": "pw1"}) as broker:
+        for mech in ("PLAIN", "SCRAM-SHA-256"):
+            with _pytest.raises(ValueError,
+                                match="authentication failed"):
+                KafkaWireClient(broker.host, broker.port,
+                                sasl=(mech, "svc", "nope"))
+            with _pytest.raises(ValueError,
+                                match="authentication failed"):
+                KafkaWireClient(broker.host, broker.port,
+                                sasl=(mech, "ghost", "pw1"))
+
+
+def test_kafka_unauthenticated_connection_closed():
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker(sasl_users={"svc": "pw1"}) as broker:
+        broker.create_topic("s3", partitions=1)
+        c = KafkaWireClient(broker.host, broker.port)  # no SASL
+        with pytest.raises((ConnectionError, ValueError)):
+            c.metadata(["s3"])
+        c.close()
+
+
+def test_kafka_sasl_over_tls():
+    """The production posture: TLS listener + SCRAM credentials."""
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker(ssl_context=server_ctx(),
+                    sasl_users={"svc": "pw1"}) as broker:
+        broker.create_topic("s4", partitions=1)
+        with KafkaWireClient(broker.host, broker.port,
+                             ssl_context=client_ctx(),
+                             sasl=("SCRAM-SHA-256", "svc", "pw1")) as c:
+            c.produce("s4", 0, [(b"a", b"b", 1)])
+            _hw, recs = c.fetch("s4", 0, offset=0)
+            assert len(recs) == 1
