@@ -47,6 +47,7 @@ too, coord/peek.rs).
 from __future__ import annotations
 
 import datetime
+import re
 import secrets
 import socket
 import struct
@@ -172,6 +173,37 @@ def _encode_binary_cell(v, simple: str) -> bytes | None:
         return struct.pack(">q", micros)
     raise ValueError(f"binary result format not supported for {simple}; "
                      "request text format")
+
+
+# COPY sub-protocol (postgresql.org/docs/current/protocol-flow.html
+# "COPY Operations"; reference protocol.rs CopyOut/CopyIn responses).
+# Text format: tab-separated, \n-terminated, \N for NULL, backslash
+# escapes for the delimiter characters.
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?:(?P<src>\(.*\)|[\w.\"]+)\s+TO\s+STDOUT"
+    r"|(?P<tbl>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\))?\s+FROM\s+STDIN)"
+    r"\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _copy_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _copy_unescape(s: str) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            out.append({"t": "\t", "n": "\n", "r": "\r",
+                        "\\": "\\"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _render(v) -> bytes | None:
@@ -686,6 +718,14 @@ class MzPgServer:
             conn.sendall(self._msg(b"Z", b"I"))
             return
         for stmt in stmts:
+            copy = _COPY_RE.match(stmt)
+            if copy:
+                try:
+                    self._copy_statement(conn, copy)
+                except Exception as ex:
+                    self._send_error(conn, str(ex))
+                    break
+                continue
             try:
                 out = self.session.execute(stmt)
             except Exception as ex:
@@ -704,6 +744,88 @@ class MzPgServer:
                 n += 1
             conn.sendall(self._msg(b"C", _cstr(f"SELECT {n}")))
         conn.sendall(self._msg(b"Z", b"I"))
+
+    # -- COPY sub-protocol ---------------------------------------------------
+    def _copy_statement(self, conn: socket.socket, m) -> None:
+        """COPY ... TO STDOUT / COPY ... FROM STDIN over the wire (the
+        psql \\copy path; reference protocol.rs CopyOutResponse /
+        CopyInResponse). Text format only, like the engine's COPY."""
+        if m.group("src") is not None:  # COPY ... TO STDOUT
+            src = m.group("src").strip()
+            if src.startswith("("):
+                df = self.session.execute(src[1:-1])
+            else:
+                df = self.session.execute(
+                    f"SELECT * FROM {src.strip(chr(34))}")
+            rows = df.collect()
+            nf = len(df.schema.fields)
+            conn.sendall(self._msg(
+                b"H", struct.pack(">bh", 0, nf)
+                + struct.pack(f">{nf}h", *([0] * nf))))
+            for row in rows:
+                line = "\t".join(
+                    "\\N" if v is None
+                    else _copy_escape(_render(v).decode())
+                    for v in row) + "\n"
+                conn.sendall(self._msg(b"d", line.encode()))
+            conn.sendall(self._msg(b"c"))
+            conn.sendall(self._msg(b"C", _cstr(f"COPY {len(rows)}")))
+            return
+        # COPY tbl [(cols)] FROM STDIN — resolve the target BEFORE
+        # CopyInResponse so an unknown table errors without entering
+        # copy-in mode
+        tbl = m.group("tbl").strip(chr(34))
+        target = self.session.catalog._tables.get(tbl)
+        if target is None:
+            raise KeyError(f"unknown table {tbl!r}")
+        cols = ([c.strip().strip(chr(34)) for c in
+                 m.group("cols").split(",")] if m.group("cols")
+                else list(target.columns))
+        unknown = [c for c in cols if c not in target.columns]
+        if unknown:
+            raise KeyError(f"unknown column(s) {unknown} in {tbl!r}")
+        conn.sendall(self._msg(
+            b"G", struct.pack(">bh", 0, len(cols))
+            + struct.pack(f">{len(cols)}h", *([0] * len(cols)))))
+        buf = bytearray()
+        failed = None
+        while True:
+            tag = self._recv_exact(conn, 1)
+            if tag is None:
+                raise ConnectionError("client vanished mid-COPY")
+            (sz,) = struct.unpack(">i", self._recv_exact(conn, 4))
+            payload = self._recv_exact(conn, sz - 4)
+            if tag == b"d":
+                buf += payload
+            elif tag == b"c":
+                break
+            elif tag == b"f":  # CopyFail
+                failed = payload.rstrip(b"\0").decode() or "COPY aborted"
+                break
+            # other messages (Flush/Sync) are ignored in copy-in mode
+        if failed is not None:
+            raise ValueError(f"COPY failed: {failed}")
+        lines = [ln for ln in buf.decode().split("\n")
+                 if ln and ln != "\\."]
+        data = [[None if c == "\\N" else _copy_unescape(c)
+                 for c in ln.split("\t")] for ln in lines]
+        bad = next((r for r in data if len(r) != len(cols)), None)
+        if bad is not None:
+            raise ValueError(
+                f"COPY row has {len(bad)} columns, expected {len(cols)}")
+        if data:
+            types = {f.name: f.dataType.simpleString()
+                     for f in target.schema.fields}
+            incoming = self.session.spark.createDataFrame(
+                data, ", ".join(f"{c} string" for c in cols))
+            exprs = [
+                (f"CAST({c} AS {types[c]}) AS {c}" if c in cols
+                 else f"CAST(NULL AS {types[c]}) AS {c}")
+                for c in target.columns]
+            typed = incoming.selectExpr(*exprs)
+            self.session.catalog.register_table(
+                tbl, target.unionByName(typed).localCheckpoint(eager=True))
+        conn.sendall(self._msg(b"C", _cstr(f"COPY {len(data)}")))
 
     def _send_error(self, conn: socket.socket, message: str) -> None:
         payload = (b"SERROR\0CXX000\0M"
@@ -816,9 +938,21 @@ class PgWireClient:
         results: list[dict] = []
         cur: dict | None = None
         err: str | None = None
+        copy_buf: bytearray | None = None
         while True:
             tag, payload = self._recv_msg()
-            if tag == b"T":
+            if tag == b"H":  # CopyOutResponse
+                copy_buf = bytearray()
+            elif tag == b"d" and copy_buf is not None:
+                copy_buf += payload
+            elif tag == b"c" and copy_buf is not None:
+                lines = [ln for ln in copy_buf.decode().split("\n") if ln]
+                cur = {"columns": [], "tag": "",
+                       "rows": [[None if c == "\\N" else _copy_unescape(c)
+                                 for c in ln.split("\t")]
+                                for ln in lines]}
+                copy_buf = None
+            elif tag == b"T":
                 (n,) = struct.unpack_from(">h", payload, 0)
                 pos = 2
                 cols = []
@@ -864,6 +998,42 @@ class PgWireClient:
                 if err is not None:
                     raise ValueError(err)
                 return results
+
+    def copy_in(self, sql: str, rows: list[list[str | None]]) -> str:
+        """COPY ... FROM STDIN: send the statement, stream the rows as
+        CopyData in text format, CopyDone; returns the command tag."""
+        body = _cstr(sql)
+        self.sock.sendall(b"Q" + struct.pack(">i", 4 + len(body)) + body)
+        tag, payload = self._recv_msg()
+        if tag == b"E":
+            fields = payload.split(b"\0")
+            msg = next((f[1:].decode() for f in fields
+                        if f.startswith(b"M")), "unknown error")
+            # drain to ReadyForQuery before raising
+            while self._recv_msg()[0] != b"Z":
+                pass
+            raise ValueError(msg)
+        if tag != b"G":
+            raise ValueError(f"expected CopyInResponse, got {tag!r}")
+        for row in rows:
+            line = ("\t".join("\\N" if c is None else _copy_escape(c)
+                              for c in row) + "\n").encode()
+            self.sock.sendall(b"d" + struct.pack(">i", 4 + len(line))
+                              + line)
+        self.sock.sendall(b"c" + struct.pack(">i", 4))
+        cmd, err = "", None
+        while True:
+            tag, payload = self._recv_msg()
+            if tag == b"C":
+                cmd = payload.rstrip(b"\0").decode()
+            elif tag == b"E":
+                fields = payload.split(b"\0")
+                err = next((f[1:].decode() for f in fields
+                            if f.startswith(b"M")), "unknown error")
+            elif tag == b"Z":
+                if err is not None:
+                    raise ValueError(err)
+                return cmd
 
     # -- extended protocol (Parse/Bind/Describe/Execute/Sync) ---------------
     def _send(self, tag: bytes, payload: bytes = b"") -> None:

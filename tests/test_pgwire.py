@@ -373,3 +373,67 @@ def test_plaintext_client_still_works_without_tls(spark):
         with PgWireClient(srv.host, srv.port) as c:
             [res] = c.query("SELECT 1 AS x")
             assert res["rows"] == [["1"]]
+
+
+# --------------------------------------------------------------------------
+# COPY sub-protocol (CopyOutResponse / CopyInResponse — the psql \copy path)
+
+def test_copy_to_stdout_table(served):
+    _sess, c = served
+    [res] = c.query("COPY region TO STDOUT")
+    assert len(res["rows"]) == 5
+    assert res["rows"][0][0] == "0"
+
+
+def test_copy_to_stdout_query_with_nulls_and_escapes(served):
+    _sess, c = served
+    c.query("CREATE TABLE copy_esc (k STRING, v BIGINT)")
+    # PG literal semantics: backslash is an ORDINARY character, so the
+    # stored value is the two characters backslash + t — and COPY's text
+    # format must double it on the wire for a faithful round-trip
+    c.query("INSERT INTO copy_esc VALUES ('tab\\there', 1), ('b', NULL)")
+    [res] = c.query("COPY (SELECT k, v FROM copy_esc ORDER BY v) "
+                    "TO STDOUT")
+    rows = sorted(res["rows"])
+    assert ["b", None] in rows
+    assert any(r[0] == "tab\\there" for r in rows)
+
+
+def test_copy_from_stdin_roundtrip(served):
+    _sess, c = served
+    c.query("CREATE TABLE copy_in_t (k STRING, v BIGINT, ok BOOLEAN)")
+    tag = c.copy_in("COPY copy_in_t FROM STDIN",
+                    [["a", "1", "true"], ["with\ttab", "2", "false"],
+                     [None, "3", None]])
+    assert tag == "COPY 3"
+    [res] = c.query("SELECT k, v, ok FROM copy_in_t ORDER BY v")
+    assert res["rows"] == [["a", "1", "t"], ["with\ttab", "2", "f"],
+                           [None, "3", None]]
+
+
+def test_copy_from_stdin_column_subset(served):
+    _sess, c = served
+    c.query("CREATE TABLE copy_cols (a BIGINT, b STRING, c BIGINT)")
+    tag = c.copy_in("COPY copy_cols (c, a) FROM STDIN",
+                    [["10", "1"], ["20", "2"]])
+    assert tag == "COPY 2"
+    [res] = c.query("SELECT a, b, c FROM copy_cols ORDER BY a")
+    assert res["rows"] == [["1", None, "10"], ["2", None, "20"]]
+
+
+def test_copy_from_stdin_unknown_table_errors_before_copy_mode(served):
+    _sess, c = served
+    with pytest.raises(ValueError, match="unknown table"):
+        c.copy_in("COPY no_such_tbl FROM STDIN", [["1"]])
+    # session is healthy afterwards
+    [res] = c.query("SELECT 1 AS one")
+    assert res["rows"] == [["1"]]
+
+
+def test_copy_from_stdin_bad_arity_errors(served):
+    _sess, c = served
+    c.query("CREATE TABLE copy_bad (a BIGINT, b BIGINT)")
+    with pytest.raises(ValueError, match="columns, expected"):
+        c.copy_in("COPY copy_bad FROM STDIN", [["1"]])
+    [sel] = c.query("SELECT count(*) AS n FROM copy_bad")
+    assert sel["rows"] == [["0"]]
