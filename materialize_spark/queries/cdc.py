@@ -448,3 +448,83 @@ def cdc_sqlserver_wire_apply(spark, sf_dir):
         ct = read_sqlserver_ct(spark, srv.host, srv.port, "region")
     base = T(spark, sf_dir).region
     return apply_changes(base, ct, ["r_regionkey"])
+
+
+_KAFKA_SECURE_BROKER = None
+
+
+def _kafka_secure_broker():
+    """TLS + SASL/SCRAM MiniBroker, seeded like _kafka_broker; skipped
+    transparently when the cert tooling is unavailable (SASL-only)."""
+    global _KAFKA_SECURE_BROKER
+    if _KAFKA_SECURE_BROKER is None:
+        import json as _json
+
+        from materialize_spark.sources.kafka_wire import (
+            KafkaWireClient, MiniBroker,
+        )
+        sctx = cctx = None
+        cafile = None
+        try:
+            from tests.tlsutil import cert_files, client_ctx, server_ctx
+            sctx, cctx = server_ctx(), client_ctx()
+            cafile, _ = cert_files()
+        except Exception:
+            pass
+        b = MiniBroker(ssl_context=sctx,
+                       sasl_users={"ingest": "feed-pass"})
+        b.create_topic("secure_feed", partitions=2)
+        with KafkaWireClient(b.host, b.port, ssl_context=cctx,
+                             sasl=("SCRAM-SHA-256", "ingest",
+                                   "feed-pass")) as c:
+            for p in range(2):
+                c.produce("secure_feed", p, [
+                    (str(10 * p + i).encode(),
+                     _json.dumps({"shard": p, "v": 3 * i + p}).encode(),
+                     1_700_000_000_000 + i)
+                    for i in range(10)])
+        _KAFKA_SECURE_BROKER = (b, cafile)
+    return _KAFKA_SECURE_BROKER
+
+
+@register(
+    "kafka_wire_secure",
+    """
+    -- oracle: closed form of the secured feed. 2 partitions x 10 records,
+    -- v = 3*i + p.
+    WITH feed AS (
+      SELECT p, i, 3 * i + p AS v
+      FROM (SELECT UNNEST(range(2)) AS p), (SELECT UNNEST(range(10)) AS i)
+    )
+    SELECT CAST(p AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS total
+    FROM feed GROUP BY p ORDER BY shard
+    """,
+    "source", "kafka", "wire", "tls", "sasl",
+)
+def kafka_wire_secure(spark, sf_dir):
+    """The production Kafka posture end-to-end: every fetch task dials a
+    TLS listener and authenticates with SASL/SCRAM-SHA-256 before
+    draining its partition — TLS conf and credentials ride the task
+    closure as picklable values. Reference: Kafka connection TLS+SASL
+    options (src/storage-types/src/connections.rs) feeding
+    src/storage/src/source/kafka.rs partition consumers."""
+    from pyspark.sql import functions as F
+
+    from materialize_spark.sources.kafka_wire import read_kafka_wire
+    b, cafile = _kafka_secure_broker()
+    ssl_conf = ({"cafile": cafile, "insecure": True}
+                if cafile is not None else None)
+    frame = read_kafka_wire(
+        spark, f"{b.host}:{b.port}", "secure_feed",
+        ssl_conf=ssl_conf,
+        sasl=("SCRAM-SHA-256", "ingest", "feed-pass"))
+    parsed = frame.select(F.from_json(
+        F.col("value").cast("string"),
+        "shard int, v int").alias("r")).select("r.*")
+    return (parsed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("long").alias("total"))
+            .select(F.col("shard").cast("long").alias("shard"), "n",
+                    "total")
+            .orderBy("shard"))

@@ -194,3 +194,46 @@ def test_antijoin_empty_call_rejected(spark):
     mv = ExclusiveAntiJoinMV(spark, group_key="g", member_key="m")
     with pytest.raises(ValueError):
         mv.on_batch()
+
+
+def test_threshold_compaction_preserves_state(spark):
+    """compact_every folds the part list; results must be identical
+    across the fold boundary (the arrangement-merge invariant)."""
+    def enrich(q):
+        return q.select("k", F.col("__sum").alias("total"))
+    mv = ThresholdSemijoinMV(spark, keys=["k"], val="v",
+                             having=lambda s: s > 10, enrich=enrich,
+                             compact_every=2)
+    history = []
+    for wave in range(5):  # compaction fires twice
+        batch = [(k, 3, 1) for k in range(3)]
+        if wave == 3:  # retraction crossing the fold boundary
+            batch += [(0, 3, -1), (0, 3, -1)]
+        history.extend(batch)
+        got = mv.on_batch(spark.createDataFrame(batch, FACT_SCHEMA))
+        want = (spark.createDataFrame(history, FACT_SCHEMA)
+                .groupBy("k")
+                .agg(F.sum(F.col("v") * F.col("diff")).alias("total"),
+                     F.sum("diff").alias("n"))
+                .filter((F.col("n") > 0) & (F.col("total") > 10))
+                .select("k", "total"))
+        assert _rows(got, ["k", "total"]) == _rows(want, ["k", "total"])
+    assert len(mv._parts) <= 2  # folded, not accumulated
+
+
+def test_antijoin_compaction_preserves_state(spark):
+    mv = ExclusiveAntiJoinMV(spark, group_key="g", member_key="m",
+                             compact_every=2)
+    all_hist, flag_hist = [], []
+    for wave in range(5):
+        ab = [(1, 10, 1), (1, 11, 1), (2, 20, 1), (2, 21, 1)]
+        fb = [(1, 10, 1)] if wave < 3 else [(1, 10, -1)]
+        all_hist.extend(ab)
+        flag_hist.extend(fb)
+        got = mv.on_batch(
+            all_delta=spark.createDataFrame(ab, PAIR_SCHEMA),
+            flag_delta=spark.createDataFrame(fb, PAIR_SCHEMA))
+        want = _anti_oracle(spark, all_hist, flag_hist)
+        assert _rows(got, ["g", "m", "n_flag"]) == \
+            _rows(want, ["g", "m", "n_flag"])
+    assert len(mv._parts) <= 2
