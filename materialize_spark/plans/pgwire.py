@@ -233,6 +233,10 @@ class MzPgServer:
         self.session = session
         self._auth = {u: scram_verifier(p) for u, p in (auth or {}).items()}
         self._ssl_ctx = ssl_context
+        # CancelRequest bookkeeping: backend pid -> secret key
+        self._backends: dict[int, int] = {}
+        self._next_pid = 0
+        self._key_lock = threading.Lock()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -279,6 +283,7 @@ class MzPgServer:
         return tag + struct.pack(">i", 4 + len(payload)) + payload
 
     def _serve(self, conn: socket.socket) -> None:
+        pid = None
         try:
             while True:  # startup may retry after SSLRequest
                 raw = self._recv_exact(conn, 4)
@@ -300,6 +305,15 @@ class MzPgServer:
                 if code == 80877104:  # GSSENCRequest
                     conn.sendall(b"N")
                     continue
+                if code == 80877102:  # CancelRequest (psql Ctrl-C):
+                    # arrives on its OWN connection carrying the target
+                    # backend's key (protocol-flow "Canceling Requests");
+                    # cancel that backend's running Spark jobs.
+                    pid, secret = struct.unpack_from(">ii", body, 4)
+                    if self._backends.get(pid) == secret:
+                        self.session.spark.sparkContext.cancelJobGroup(
+                            f"pgwire-cancel-{pid}")
+                    return  # no response, per the spec
                 if code != 196608:
                     conn.sendall(self._msg(
                         b"E", b"SFATAL\0C0A000\0"
@@ -319,7 +333,17 @@ class MzPgServer:
                          ("TimeZone", "UTC"),
                          ("integer_datetimes", "on")):
                 conn.sendall(self._msg(b"S", _cstr(k) + _cstr(v)))
-            conn.sendall(self._msg(b"K", struct.pack(">ii", 1, 1)))
+            # per-connection backend key; this thread's Spark jobs join a
+            # cancelable job group (local properties are thread-local)
+            with self._key_lock:
+                self._next_pid += 1
+                pid = self._next_pid
+            secret = secrets.randbits(31)
+            self._backends[pid] = secret
+            self.session.spark.sparkContext.setJobGroup(
+                f"pgwire-cancel-{pid}", f"pgwire backend {pid}",
+                interruptOnCancel=True)
+            conn.sendall(self._msg(b"K", struct.pack(">ii", pid, secret)))
             conn.sendall(self._msg(b"Z", b"I"))
             # extended-protocol connection state (protocol.rs keeps the
             # same per-connection maps of prepared statements + portals)
@@ -362,6 +386,8 @@ class MzPgServer:
         except (ConnectionError, OSError):
             pass
         finally:
+            if pid is not None:
+                self._backends.pop(pid, None)
             try:
                 conn.close()
             except OSError:
@@ -853,10 +879,15 @@ class PgWireClient:
         self.sock.sendall(struct.pack(">ii", 8 + len(params), 196608)
                           + params)
         self.parameters: dict[str, str] = {}
+        self.backend_key: tuple[int, int] | None = None
+        self._peer = (host, port)
+        self._ssl_ctx = ssl_context
         scram: dict | None = None
         while True:
             tag, payload = self._recv_msg()
-            if tag == b"R":
+            if tag == b"K":  # BackendKeyData — held for CancelRequest
+                self.backend_key = struct.unpack(">ii", payload)
+            elif tag == b"R":
                 (code,) = struct.unpack_from(">i", payload, 0)
                 if code == 0:
                     pass
@@ -998,6 +1029,26 @@ class PgWireClient:
                 if err is not None:
                     raise ValueError(err)
                 return results
+
+    def cancel(self) -> None:
+        """CancelRequest on a NEW connection carrying this backend's key
+        (protocol-flow "Canceling Requests") — how psql implements ^C."""
+        if self.backend_key is None:
+            raise ValueError("no BackendKeyData received")
+        pid, secret = self.backend_key
+        s = socket.create_connection(self._peer, timeout=10)
+        try:
+            if self._ssl_ctx is not None:
+                s.sendall(struct.pack(">ii", 8, 80877103))
+                if s.recv(1) == b"S":
+                    s = self._ssl_ctx.wrap_socket(
+                        s, server_hostname=self._peer[0])
+            s.sendall(struct.pack(">iiii", 16, 80877102, pid, secret))
+        finally:
+            try:
+                s.close()
+            except OSError:
+                pass
 
     def copy_in(self, sql: str, rows: list[list[str | None]]) -> str:
         """COPY ... FROM STDIN: send the statement, stream the rows as

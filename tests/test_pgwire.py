@@ -437,3 +437,62 @@ def test_copy_from_stdin_bad_arity_errors(served):
         c.copy_in("COPY copy_bad FROM STDIN", [["1"]])
     [sel] = c.query("SELECT count(*) AS n FROM copy_bad")
     assert sel["rows"] == [["0"]]
+
+
+# --------------------------------------------------------------------------
+# CancelRequest (psql ^C): cancels the backend's running Spark jobs
+
+def test_backend_key_issued(served):
+    _sess, c = served
+    assert c.backend_key is not None
+    pid, secret = c.backend_key
+    assert pid > 0
+
+
+def test_cancel_request_interrupts_running_query(spark):
+    import threading
+    import time
+
+    sess = MzSession(spark, SF_DIR)
+    with MzPgServer(sess) as srv:
+        with PgWireClient(srv.host, srv.port) as c:
+            result: dict = {}
+
+            def run():
+                try:
+                    c.query("SELECT count(*) AS n FROM ("
+                            "SELECT explode(sequence(1, 40000000)) AS a"
+                            ") x, (SELECT explode(sequence(1, 40)) AS b) y")
+                    result["done"] = True
+                except (ValueError, ConnectionError) as ex:
+                    result["err"] = str(ex)
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            time.sleep(2.0)  # let the job start
+            c.cancel()
+            t.join(timeout=45)
+            assert not t.is_alive(), "query did not cancel in time"
+            # either the cancel landed mid-job (error) or the query had
+            # already finished (slow-box race); the first is the point
+            assert "err" in result or result.get("done")
+        # the SESSION survives a cancel: a fresh connection works
+        with PgWireClient(srv.host, srv.port) as c2:
+            [res] = c2.query("SELECT 1 AS x")
+            assert res["rows"] == [["1"]]
+
+
+def test_cancel_with_wrong_secret_is_ignored(spark):
+    import socket as _socket
+    import struct as _struct
+
+    sess = MzSession(spark, SF_DIR)
+    with MzPgServer(sess) as srv:
+        with PgWireClient(srv.host, srv.port) as c:
+            pid, _secret = c.backend_key
+            s = _socket.create_connection((srv.host, srv.port), timeout=5)
+            s.sendall(_struct.pack(">iiii", 16, 80877102, pid, 12345))
+            s.close()
+            # connection is unaffected
+            [res] = c.query("SELECT 2 AS x")
+            assert res["rows"] == [["2"]]
