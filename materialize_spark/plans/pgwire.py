@@ -237,6 +237,7 @@ class MzPgServer:
         self._backends: dict[int, int] = {}
         self._next_pid = 0
         self._key_lock = threading.Lock()
+        self._tls = threading.local()  # per-connection job-group name
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -281,6 +282,60 @@ class MzPgServer:
     @staticmethod
     def _msg(tag: bytes, payload: bytes = b"") -> bytes:
         return tag + struct.pack(">i", 4 + len(payload)) + payload
+
+    # -- statement_timeout ---------------------------------------------------
+    @staticmethod
+    def _timeout_ms(raw: str) -> float:
+        """PG statement_timeout values: bare int = ms; 'Ns'/'Nms'/'Nmin'
+        accepted (vars.rs parses the same unit suffixes)."""
+        raw = (raw or "0").strip().lower()
+        for suffix, mult in (("ms", 1.0), ("min", 60_000.0),
+                             ("s", 1000.0)):
+            if raw.endswith(suffix):
+                try:
+                    return float(raw[:-len(suffix)]) * mult
+                except ValueError:
+                    return 0.0
+        try:
+            return float(raw)
+        except ValueError:
+            return 0.0
+
+    def _collect(self, df):
+        """collect() under the session's statement_timeout: a watchdog
+        cancels this backend's job group when the budget elapses
+        (reference: the coordinator enforces statement_timeout on peeks).
+        """
+        ms = self._timeout_ms(self.session._vars.get("statement_timeout"))
+        group = getattr(self._tls, "group", None)
+        if ms <= 0 or group is None:
+            return df.collect()
+        import time as _time
+        done = threading.Event()
+        fired = threading.Event()
+        sc = self.session.spark.sparkContext
+
+        def watchdog():
+            if done.wait(ms / 1000.0):
+                return
+            fired.set()
+            # cancelJobGroup only kills ACTIVE jobs — a statement still
+            # planning at expiry would otherwise slip through, so keep
+            # re-cancelling until the collect returns
+            while not done.is_set():
+                sc.cancelJobGroup(group)
+                _time.sleep(0.2)
+
+        threading.Thread(target=watchdog, daemon=True).start()
+        try:
+            return df.collect()
+        except Exception:
+            if fired.is_set():
+                raise ValueError(
+                    "canceling statement due to statement timeout")
+            raise
+        finally:
+            done.set()
 
     def _serve(self, conn: socket.socket) -> None:
         pid = None
@@ -343,6 +398,7 @@ class MzPgServer:
             self.session.spark.sparkContext.setJobGroup(
                 f"pgwire-cancel-{pid}", f"pgwire backend {pid}",
                 interruptOnCancel=True)
+            self._tls.group = f"pgwire-cancel-{pid}"
             conn.sendall(self._msg(b"K", struct.pack(">ii", pid, secret)))
             conn.sendall(self._msg(b"Z", b"I"))
             # extended-protocol connection state (protocol.rs keeps the
@@ -659,7 +715,7 @@ class MzPgServer:
                     conn.sendall(self._msg(b"C", _cstr(tag)))
                     return True
                 p["df"] = out
-                p["rows"] = out.collect()
+                p["rows"] = self._collect(out)
                 p["cursor"] = 0
         except Exception as ex:
             return self._ext_error(conn, str(ex))
@@ -762,10 +818,16 @@ class MzPgServer:
                 tag = " ".join(head[:2]).upper() if head else "OK"
                 conn.sendall(self._msg(b"C", _cstr(tag)))
                 continue
+            try:
+                rows = self._collect(out)  # before RowDescription: a
+                # timeout/cancel renders as a clean ErrorResponse
+            except Exception as ex:
+                self._send_error(conn, str(ex))
+                break
             conn.sendall(self._msg(b"T", self._row_desc(out)))
             nf = len(out.schema.fields)
             n = 0
-            for row in out.collect():
+            for row in rows:
                 conn.sendall(self._msg(b"D", self._data_row(row, nf)))
                 n += 1
             conn.sendall(self._msg(b"C", _cstr(f"SELECT {n}")))
@@ -783,7 +845,7 @@ class MzPgServer:
             else:
                 df = self.session.execute(
                     f"SELECT * FROM {src.strip(chr(34))}")
-            rows = df.collect()
+            rows = self._collect(df)
             nf = len(df.schema.fields)
             conn.sendall(self._msg(
                 b"H", struct.pack(">bh", 0, nf)

@@ -496,3 +496,31 @@ def test_cancel_with_wrong_secret_is_ignored(spark):
             # connection is unaffected
             [res] = c.query("SELECT 2 AS x")
             assert res["rows"] == [["2"]]
+
+
+def test_statement_timeout_enforced(spark):
+    """SET statement_timeout cancels a query that runs past the budget;
+    resetting to 0 disables enforcement (reference: the coordinator's
+    statement_timeout on peeks)."""
+    sess = MzSession(spark, SF_DIR)
+    with MzPgServer(sess) as srv:
+        with PgWireClient(srv.host, srv.port) as c:
+            c.query("SET statement_timeout = '500ms'")
+            with pytest.raises(ValueError, match="statement timeout"):
+                c.query("SELECT count(*) AS n FROM ("
+                        "SELECT explode(sequence(1, 40000000)) AS a"
+                        ") x, (SELECT explode(sequence(1, 40)) AS b) y")
+            # connection + session survive; 0 disables the budget
+            c.query("SET statement_timeout = 0")
+            [res] = c.query("SELECT count(*) AS n FROM region")
+            assert res["rows"] == [["5"]]
+
+
+def test_statement_timeout_unit_parsing():
+    ms = MzPgServer._timeout_ms
+    assert ms("0") == 0 and ms("") == 0 and ms(None) == 0
+    assert ms("250") == 250.0
+    assert ms("250ms") == 250.0
+    assert ms("2s") == 2000.0
+    assert ms("1min") == 60000.0
+    assert ms("garbage") == 0
