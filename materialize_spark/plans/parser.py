@@ -152,6 +152,19 @@ class CreateSourceWebhook(Stmt):
 
 
 @dataclass
+class CreateSourceKafka(Stmt):
+    """CREATE SOURCE s FROM KAFKA CONNECTION c (TOPIC 't')
+    [FORMAT JSON|BYTES] [ENVELOPE NONE|UPSERT] — the reference's
+    primary source statement (statement.rs CreateSource with
+    KafkaSourceConnection, sources.rs)."""
+    name: str
+    connection: str
+    topic: str
+    fmt: str = "json"
+    envelope: str = "none"
+
+
+@dataclass
 class CreateSourceCdc(Stmt):
     """CREATE SOURCE ... FROM POSTGRES|MYSQL|SQL SERVER CONNECTION c
     [(PUBLICATION 'p')] FOR ALL TABLES | FOR TABLES (a, b) — the
@@ -727,6 +740,25 @@ class Parser:
         if self.take_kw("SOURCE"):
             name = self.ident()
             self.expect_kw("FROM")
+            if self.take_kw("KAFKA"):
+                self.expect_kw("CONNECTION")
+                conn = self.ident()
+                topic = name
+                if self.peek().kind == "LP":
+                    inner = self.paren_span()
+                    pp = Parser(inner)
+                    pp.expect_kw("TOPIC")
+                    topic = pp.string()
+                    pp.expect_end()
+                fmt = "json"
+                envelope = "none"
+                if self.take_kw("FORMAT"):
+                    fmt = self.ident().lower()
+                if self.take_kw("ENVELOPE"):
+                    envelope = self.ident().lower()
+                self.expect_end()
+                return CreateSourceKafka(name, conn, topic, fmt=fmt,
+                                         envelope=envelope)
             if self.take_kw("FILE"):
                 path = self.string()
                 fmt = "parquet"
@@ -1328,7 +1360,8 @@ __all__ = [
     "ParseError", "LexError", "Parser", "parse_statement",
     "Stmt", "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
     "CreateSink", "CreateSinkKafka", "CreateSourceFile", "CreateSourceLoadgen",
-    "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
+    "CreateSourceWebhook", "CreateSourceCdc", "CreateSourceKafka",
+    "CreateSecret",
     "CreateConnection", "Validate", "Drop", "CreateRole", "Grant",
     "Revoke", "SetRole",
     "CreateDatabase", "CreateSchema", "CreateCluster",

@@ -411,6 +411,72 @@ class MzSession:
         self.catalog.register_table(name, src.df())
         self._source_tables.add(name)
 
+    def _create_source_kafka(self, node: ast.CreateSourceKafka, sql: str):
+        """CREATE SOURCE ... FROM KAFKA CONNECTION c (TOPIC 't') — the
+        reference's primary source (sources.rs KafkaSourceConnection):
+        drains the topic over the wire protocol (one Spark task per
+        partition), decodes per FORMAT, applies ENVELOPE, and registers
+        the collection. The connection's SSL/SASL options ride into the
+        fetch tasks (connections.rs TLS + SASL surface)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sources.kafka_wire import read_kafka_wire
+        from materialize_spark.sources.tlsconf import connection_ssl_conf
+
+        conn = self._connections.get(node.connection)
+        if conn is None:
+            raise KeyError(f"unknown connection {node.connection!r}")
+        broker = conn.get("broker") or (
+            f"{conn['host']}:{conn.get('port', 9092)}"
+            if conn.get("host") else None)
+        if broker is None:
+            raise ValueError(
+                f"connection {node.connection!r} has no BROKER/HOST")
+        sasl = None
+        if conn.get("sasl_username") is not None:
+            sasl = (str(conn.get("sasl_mechanism",
+                                 "SCRAM-SHA-256")).upper(),
+                    conn["sasl_username"], conn.get("sasl_password", ""))
+        frame = read_kafka_wire(self.spark, broker, node.topic,
+                                ssl_conf=connection_ssl_conf(conn),
+                                sasl=sasl)
+        if node.fmt == "json":
+            # FORMAT JSON: one `data` text column of the JSON payload
+            # (the reference's jsonb column), key as text
+            df = frame.select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("data"),
+                "partition", "offset", "timestamp")
+        elif node.fmt in ("bytes", "text"):
+            df = frame.select(
+                F.col("key").cast("string").alias("key"),
+                (F.col("value") if node.fmt == "bytes"
+                 else F.col("value").cast("string")).alias("data"),
+                "partition", "offset", "timestamp")
+        else:
+            raise ValueError(f"unsupported FORMAT {node.fmt!r} "
+                             "(json | bytes | text)")
+        if node.envelope == "upsert":
+            from materialize_spark.streaming.upsert import upsert_latest
+            # per-key latest wins; Kafka orders within a partition and a
+            # consistent partitioner keeps one key on one partition, so
+            # (partition, offset) is the envelope's update order
+            df = upsert_latest(
+                df, ["key"],
+                [F.col("partition").desc(), F.col("offset").desc()],
+                value_cols=["data"],
+                delete_when=F.col("data").isNull())
+        elif node.envelope != "none":
+            raise ValueError(f"unsupported ENVELOPE {node.envelope!r} "
+                             "(none | upsert)")
+        self.catalog.register_table(
+            node.name, df.localCheckpoint(eager=True))
+        self._source_tables.add(node.name)
+        self._sources = getattr(self, "_sources", {})
+        self._sources[node.name] = {"flavor": "kafka",
+                                    "topic": node.topic,
+                                    "connection": node.connection}
+
     def _create_source_cdc(self, node: ast.CreateSourceCdc, sql: str):
         """CREATE SOURCE ... FROM POSTGRES|MYSQL|SQL SERVER CONNECTION —
         the reference's replication sources (sources.rs:694-700). No
@@ -1416,7 +1482,8 @@ class MzSession:
     _JOURNALED_NAMES = (
         "CreateView", "CreateIndex", "CreateTableAs", "CreateTable",
         "CreateSink", "CreateSourceFile", "CreateSourceLoadgen",
-        "CreateSourceWebhook", "CreateSourceCdc", "CreateSecret",
+        "CreateSourceWebhook", "CreateSourceCdc",
+        "CreateSourceKafka", "CreateSecret",
         "CreateConnection", "Drop", "Insert", "Update", "Delete",
         "RefreshMV", "AlterRetain", "AlterRename", "AlterAddColumn",
         "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
@@ -1465,6 +1532,7 @@ class MzSession:
         ast.CreateSourceLoadgen: _create_source_loadgen,
         ast.CreateSourceWebhook: _create_source_webhook,
         ast.CreateSourceCdc: _create_source_cdc,
+        ast.CreateSourceKafka: _create_source_kafka,
         ast.CreateSecret: _create_secret,
         ast.CreateConnection: _create_connection,
         ast.Validate: _validate,

@@ -528,3 +528,65 @@ def kafka_wire_secure(spark, sf_dir):
             .select(F.col("shard").cast("long").alias("shard"), "n",
                     "total")
             .orderBy("shard"))
+
+
+_KAFKA_SQL_BROKER = None
+
+
+def _kafka_sql_broker():
+    """Broker seeded for the CREATE SOURCE FROM KAFKA entry: 2 partitions
+    of keyed JSON updates where each key's last value wins and key 'k3'
+    ends tombstoned."""
+    global _KAFKA_SQL_BROKER
+    if _KAFKA_SQL_BROKER is None:
+        import json as _json
+
+        from materialize_spark.sources.kafka_wire import (
+            KafkaWireClient, MiniBroker,
+        )
+        b = MiniBroker()
+        b.create_topic("metrics_feed", partitions=2)
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("metrics_feed", 0, [
+                (b"k1", _json.dumps({"v": 1}).encode(), 1),
+                (b"k1", _json.dumps({"v": 5}).encode(), 2),
+                (b"k3", _json.dumps({"v": 9}).encode(), 3),
+                (b"k3", None, 4),
+            ])
+            c.produce("metrics_feed", 1, [
+                (b"k2", _json.dumps({"v": 2}).encode(), 5),
+                (b"k2", _json.dumps({"v": 7}).encode(), 6),
+            ])
+        _KAFKA_SQL_BROKER = b
+    return _KAFKA_SQL_BROKER
+
+
+@register(
+    "kafka_source_sql",
+    """
+    -- oracle: closed form of the upserted feed — latest value per key,
+    -- k3 tombstoned away.
+    SELECT * FROM (VALUES ('k1', CAST(5 AS BIGINT)),
+                          ('k2', CAST(7 AS BIGINT))) AS t(key, v)
+    ORDER BY key
+    """,
+    "source", "kafka", "sqlfront", "envelope",
+)
+def kafka_source_sql(spark, sf_dir):
+    """The reference's PRIMARY source statement end-to-end over SQL:
+    CREATE CONNECTION + CREATE SOURCE ... FROM KAFKA CONNECTION
+    (TOPIC) FORMAT JSON ENVELOPE UPSERT drains a real wire broker,
+    collapses to latest-per-key with tombstone deletes, and the JSON
+    payload is queried through the jsonb operators. Reference:
+    src/sql-parser CreateSource + sources.rs KafkaSourceConnection +
+    upsert.rs envelope."""
+    from materialize_spark.plans.sqlfront import MzSession
+
+    b = _kafka_sql_broker()
+    s = MzSession(spark, sf_dir)
+    s.execute(f"CREATE CONNECTION ksrc_conn TO KAFKA "
+              f"(host = '{b.host}', port = {b.port})")
+    s.execute("CREATE SOURCE metrics_cur FROM KAFKA CONNECTION ksrc_conn "
+              "(TOPIC 'metrics_feed') FORMAT JSON ENVELOPE UPSERT")
+    return s.sql("SELECT key, CAST(data ->> 'v' AS BIGINT) AS v "
+                 "FROM metrics_cur ORDER BY key")

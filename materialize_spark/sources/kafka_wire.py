@@ -709,10 +709,14 @@ class KafkaWireStream:
     reference before persist dedupes)."""
 
     def __init__(self, spark, bootstrap: str, topic: str, *,
-                 starting_offsets: dict[int, int] | None = None):
+                 starting_offsets: dict[int, int] | None = None,
+                 ssl_conf: dict | None = None,
+                 sasl: tuple[str, str, str] | None = None):
         self.spark = spark
         self.bootstrap = bootstrap
         self.topic = topic
+        self.ssl_conf = ssl_conf
+        self.sasl = sasl
         self.offsets: dict[int, int] = dict(starting_offsets or {})
         self._pending: dict[int, int] | None = None
 
@@ -720,7 +724,8 @@ class KafkaWireStream:
         """Fetch everything new past the committed offsets as one batch
         frame; remembers the batch's end offsets for commit()."""
         df = read_kafka_wire(self.spark, self.bootstrap, self.topic,
-                             starting_offsets=self.offsets)
+                             starting_offsets=self.offsets,
+                             ssl_conf=self.ssl_conf, sasl=self.sasl)
         batch = df.localCheckpoint(eager=True)
         from pyspark.sql import functions as F
         ends = {r.partition: r.mx + 1 for r in batch.groupBy("partition")
