@@ -1230,3 +1230,71 @@ def text_tfidf_topterms(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank"),
                     "term", "tfidf")
             .orderBy("doc_id", "rank"))
+
+
+_AGREE8 = " + ".join(
+    f"CASE WHEN x.sig{i} = y.sig{i} THEN 1 ELSE 0 END" for i in range(8))
+
+
+@register(
+    "dedup_incremental_lsh",
+    rf"""
+    WITH toks AS ({_DD_TOKENS}),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tokens) - 1),
+                            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+      FROM toks WHERE len(tokens) >= 3),
+    sigs AS (
+      SELECT doc_id,
+{_SIG_EXPRS}
+      FROM sh),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    ver AS (
+      SELECT DISTINCT c.doc_b
+      FROM cand c JOIN sigs x ON x.doc_id = c.doc_a
+                  JOIN sigs y ON y.doc_id = c.doc_b
+      WHERE {_AGREE8} >= 4)
+    SELECT CAST(count(*) AS BIGINT) AS survivors,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM ver)
+    """,
+    "pipeline", "dedup", "minhash", "ivm",
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Streaming near-dup dedup: documents arrive in three doc_id-ordered
+    batches through IncrementalLSHDedup (LSH bucket + signature state as
+    append-only parts, probe-only against seen corpus); the union of the
+    per-batch survivor sets must equal the batch drop rule evaluated on
+    the WHOLE corpus at once (drop a doc iff a verified >= 4/8-signature
+    candidate with a lower doc_id exists). Summarized as (count, id-sum)
+    so the result is scale-stable. Reference: the dedup pipeline over
+    upsert-state incrementality (src/storage/src/upsert.rs) applied to
+    the LSH operators."""
+    from materialize_spark.streaming.dedup_stream import IncrementalLSHDedup
+
+    t = T(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    dd = IncrementalLSHDedup(spark, num_hashes=8, band_size=2, k=3,
+                             min_agree=4)
+    tokens = F.split(normalize_text(F.col("text")), " ")
+    out = None
+    for lo, up in ((None, cut1), (cut1, cut2), (cut2, None)):
+        batch = docs
+        if lo is not None:
+            batch = batch.filter(F.col("doc_id") > lo)
+        if up is not None:
+            batch = batch.filter(F.col("doc_id") <= up)
+        surv = dd.on_batch(batch.localCheckpoint(eager=True), tokens)
+        s = surv.select("doc_id")
+        out = s if out is None else out.unionByName(s)
+    return out.agg(F.count(F.lit(1)).cast("long").alias("survivors"),
+                   F.sum("doc_id").cast("long").alias("id_sum"))

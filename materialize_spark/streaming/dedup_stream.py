@@ -88,3 +88,122 @@ class IncrementalDeduper:
         return (self._state.filter(F.col("n_seen") > 1)
                 .select(F.col("__sig").alias("signature"),
                         "canonical_id", "n_seen"))
+
+
+@dataclass
+class IncrementalLSHDedup:
+    """Near-duplicate dedup maintained incrementally (MinHash + LSH).
+
+    The batch operator (pipeline/dedup.py minhash_signatures +
+    lsh_candidate_pairs) answers "which docs in THIS corpus are near
+    dups"; a training-data ingest instead asks, per arriving batch,
+    "which of these are near dups of ANYTHING seen so far". Recomputing
+    LSH over history is O(history^ish) per batch; this operator keeps
+    every seen doc's band buckets and signature as append-only
+    checkpointed parts (the delta_ivm arrangement-spine discipline:
+    per-batch writes are O(batch), probes are broadcast semi-joins over
+    the concatenated parts — shuffle-free scans — and parts fold every
+    ``compact_every`` batches).
+
+    Drop rule (deterministic, non-recursive): a doc is a duplicate iff a
+    VERIFIED candidate (signature agreement >= ``min_agree`` of
+    ``num_hashes``) exists with a LOWER doc_id — within the batch or
+    against the seen corpus. With monotone doc_id assignment (ingest
+    order, the pipeline norm) the incremental survivor set is exactly
+    the batch rule's on the full corpus, which is what the oracle
+    checks. State keeps ALL seen docs (dropped ones too): a later doc
+    matching only a dropped doc must still drop.
+    """
+
+    spark: SparkSession
+    num_hashes: int = 8
+    band_size: int = 2
+    k: int = 3
+    min_agree: int = 4
+    id_col: str = "doc_id"
+    compact_every: int = 16
+    _bucket_parts: list = field(default_factory=list, init=False)
+    _sig_parts: list = field(default_factory=list, init=False)
+
+    def _concat(self, parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _agree(self, a: str, b: str) -> Column:
+        n = sum((F.col(f"{a}.sig{i}") == F.col(f"{b}.sig{i}")).cast("int")
+                for i in range(self.num_hashes))
+        return n >= F.lit(self.min_agree)
+
+    def on_batch(self, docs: DataFrame, tokens: Column) -> DataFrame:
+        """Fold one batch; returns the batch rows that SURVIVE (are not
+        near dups of a lower-id doc, seen or in-batch). ``tokens``: the
+        tokenized text column expression over ``docs``."""
+        from materialize_spark.pipeline.dedup import (
+            lsh_candidate_pairs, minhash_signatures,
+        )
+        idc = self.id_col
+        sigs_b = _ckpt(minhash_signatures(
+            docs, tokens, num_hashes=self.num_hashes, k=self.k,
+            id_col=idc))
+        n_bands = self.num_hashes // self.band_size
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[
+                    F.col(f"sig{b * self.band_size + j}")
+                    for j in range(self.band_size)])).alias("bucket"))
+            for b in range(n_bands)])
+        buckets_b = _ckpt(
+            sigs_b.select(F.col(idc), F.explode(bands).alias("bb"))
+            .select(idc, "bb.band", "bb.bucket"))
+
+        dup_ids = None
+        if self._bucket_parts:
+            touched = F.broadcast(
+                buckets_b.select("band", "bucket").distinct())
+            # probe: only state rows in buckets the batch touches
+            hits = (self._concat(self._bucket_parts)
+                    .join(touched, on=["band", "bucket"], how="left_semi")
+                    .withColumnRenamed(idc, "__old"))
+            cand = (hits.join(F.broadcast(buckets_b),
+                              on=["band", "bucket"])
+                    .filter(F.col("__old") < F.col(idc))
+                    .select("__old", idc).distinct())
+            old_sigs = (self._concat(self._sig_parts)
+                        .join(F.broadcast(cand.select("__old").distinct()
+                                          .withColumnRenamed("__old", idc)),
+                              on=idc, how="left_semi"))
+            dup_ids = (cand.alias("c")
+                       .join(old_sigs.alias("o"),
+                             F.col("c.__old") == F.col(f"o.{idc}"))
+                       .join(F.broadcast(sigs_b).alias("n"),
+                             F.col(f"c.{idc}") == F.col(f"n.{idc}"))
+                       .filter(self._agree("o", "n"))
+                       .select(F.col(f"c.{idc}").alias(idc)).distinct())
+
+        # within-batch near dups (drop the higher id of a verified pair)
+        pairs_b = lsh_candidate_pairs(
+            sigs_b, num_hashes=self.num_hashes, band_size=self.band_size,
+            id_col=idc)
+        batch_dups = (pairs_b.alias("p")
+                      .join(sigs_b.alias("o"),
+                            F.col("p.doc_a") == F.col(f"o.{idc}"))
+                      .join(sigs_b.alias("n"),
+                            F.col("p.doc_b") == F.col(f"n.{idc}"))
+                      .filter(self._agree("o", "n"))
+                      .select(F.col("p.doc_b").alias(idc)).distinct())
+        dup_ids = (batch_dups if dup_ids is None
+                   else dup_ids.unionByName(batch_dups).distinct())
+
+        survivors = docs.join(F.broadcast(dup_ids), on=idc,
+                              how="left_anti")
+
+        # every batch doc (dropped ones too) joins the seen corpus
+        self._bucket_parts.append(buckets_b)
+        self._sig_parts.append(sigs_b)
+        if len(self._bucket_parts) >= self.compact_every:
+            self._bucket_parts = [_ckpt(self._concat(self._bucket_parts))]
+            self._sig_parts = [_ckpt(self._concat(self._sig_parts))]
+        return survivors
