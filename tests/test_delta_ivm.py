@@ -237,3 +237,24 @@ def test_antijoin_compaction_preserves_state(spark):
         assert _rows(got, ["g", "m", "n_flag"]) == \
             _rows(want, ["g", "m", "n_flag"])
     assert len(mv._parts) <= 2
+
+
+def test_probe_plan_never_shuffles_state(spark):
+    """Scale pin (the golden-plan invariant for the delta path): the
+    state probe must be a BROADCAST semi-join — touched keys broadcast,
+    state scanned in place; a SortMerge/ShuffledHash probe would shuffle
+    the whole support state every batch."""
+    from materialize_spark.streaming.delta_ivm import _ckpt, _concat
+
+    mv = _mk_threshold_mv(spark)
+    mv.on_batch(spark.createDataFrame(
+        [(k, k, 1) for k in range(50)], FACT_SCHEMA))
+    batch = spark.createDataFrame([(1, 5, 1)], FACT_SCHEMA)
+    partial = _ckpt(mv._partial(batch))
+    touched = F.broadcast(partial.select("k"))
+    probe = (_concat(mv._parts + [partial])
+             .join(touched, on=["k"], how="left_semi"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
