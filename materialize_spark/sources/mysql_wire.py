@@ -28,6 +28,31 @@ BINLOG_DUMP_NON_BLOCK = 0x01
 COM_BINLOG_DUMP = 0x12
 
 
+
+def _native_password_token(password: str, scramble: bytes) -> bytes:
+    """mysql_native_password proof (public algorithm, MySQL internals
+    manual "Secure Password Authentication"):
+    SHA1(pw) XOR SHA1(scramble + SHA1(SHA1(pw)))."""
+    import hashlib
+    s1 = hashlib.sha1(password.encode()).digest()
+    s2 = hashlib.sha1(s1).digest()
+    mix = hashlib.sha1(scramble + s2).digest()
+    return bytes(a ^ b for a, b in zip(s1, mix))
+
+
+def _native_password_check(token: bytes, scramble: bytes,
+                           stored2: bytes) -> bool:
+    """Server side: stored2 = SHA1(SHA1(pw)) (what mysql.user holds);
+    recover SHA1(pw) from the proof and re-hash."""
+    import hashlib
+    import hmac as _hmac
+    if len(token) != 20:
+        return False
+    mix = hashlib.sha1(scramble + stored2).digest()
+    s1 = bytes(a ^ b for a, b in zip(token, mix))
+    return _hmac.compare_digest(hashlib.sha1(s1).digest(), stored2)
+
+
 class _Conn:
     def __init__(self, sock: socket.socket):
         self.sock = sock
@@ -58,7 +83,8 @@ class MySQLBinlogClient:
     """Replica-side client: handshake then COM_BINLOG_DUMP drain."""
 
     def __init__(self, host: str, port: int, *, user: str = "repl",
-                 server_id: int = 4242, ssl_context=None):
+                 password: str | None = None, server_id: int = 4242,
+                 ssl_context=None):
         self.server_id = server_id
         sock = socket.create_connection((host, port), timeout=10)
         if ssl_context is not None:
@@ -70,15 +96,26 @@ class MySQLBinlogClient:
         greet = self.conn.read_packet()
         if greet[0] == 0xFF:
             raise ValueError(f"server error on connect: {greet!r}")
-        self.server_version = greet[1:greet.index(0, 1)].decode()
-        # handshake response 41: caps u32, max_packet u32, charset u8,
-        # 23 zero bytes, user NUL, auth-response len u8 (0 = trust)
+        nul = greet.index(0, 1)
+        self.server_version = greet[1:nul].decode()
+        # protocol-10 greeting: thread id u32, auth-data part 1 (8) NUL,
+        # caps u16, charset u8, status u16, caps u16, auth len u8,
+        # 10 reserved, auth-data part 2 (12) NUL
+        p1 = greet[nul + 5:nul + 13]
+        p2_off = nul + 13 + 1 + 2 + 1 + 2 + 2 + 1 + 10
+        p2 = greet[p2_off:p2_off + 12]
+        scramble = p1 + p2
+        if password is not None:
+            token = _native_password_token(password, scramble)
+            auth = bytes([len(token)]) + token
+        else:
+            auth = bytes([0])  # trust
         resp = (struct.pack("<IIB", CLIENT_PROTOCOL_41, 1 << 24, 33)
-                + bytes(23) + user.encode() + b"\0" + bytes([0]))
+                + bytes(23) + user.encode() + b"\0" + auth)
         self.conn.send_packet(resp)
         ok = self.conn.read_packet()
         if ok[0:1] != b"\x00":
-            raise ValueError(f"auth rejected: {ok!r}")
+            raise ValueError(f"authentication failed: {ok[1:][:60]!r}")
 
     def close(self) -> None:
         try:
@@ -127,8 +164,15 @@ class MiniMySQL:
 
     def __init__(self, events: list[bytes], host: str = "127.0.0.1",
                  port: int = 0, checksum: str = "crc32", *,
-                 ssl_context=None):
+                 ssl_context=None, auth: tuple[str, str] | None = None):
         self._ssl_ctx = ssl_context
+        # mysql_native_password mode: only SHA1(SHA1(pw)) is stored,
+        # like mysql.user (auth = (user, password))
+        self._auth_user = auth[0] if auth else None
+        if auth:
+            import hashlib
+            self._auth_stored2 = hashlib.sha1(
+                hashlib.sha1(auth[1].encode()).digest()).digest()
         self.events = list(events)
         self.checksum = checksum
         self.dump_requests: list[tuple[str, int]] = []
@@ -173,14 +217,31 @@ class MiniMySQL:
     def _serve(self, conn: _Conn) -> None:
         try:
             # initial handshake: protocol 10, version, thread id,
-            # 8 auth bytes + NUL, caps, charset, status, more caps, ...
+            # auth-data part 1 (8) + NUL, caps, charset, status, caps,
+            # auth len, 10 reserved, auth-data part 2 (12) + NUL
+            import secrets as _secrets
+            scramble = _secrets.token_bytes(20)
             greet = (bytes([10]) + b"8.0.36-mini\0"
-                     + struct.pack("<I", 7) + b"12345678\0"
+                     + struct.pack("<I", 7) + scramble[:8] + b"\0"
                      + struct.pack("<HBH", CLIENT_PROTOCOL_41 & 0xFFFF, 33,
                                    2)
-                     + struct.pack("<H", 0) + bytes([0]) + bytes(10))
+                     + struct.pack("<H", 0) + bytes([21]) + bytes(10)
+                     + scramble[8:] + b"\0")
             conn.send_packet(greet)
-            conn.read_packet()  # handshake response: trust anything
+            resp = conn.read_packet()  # handshake response
+            if self._auth_user is not None:
+                # caps u32, max_packet u32, charset u8, 23 zero, user NUL,
+                # auth-len u8, token
+                unul = resp.index(0, 32)
+                user = resp[32:unul].decode()
+                alen = resp[unul + 1] if unul + 1 < len(resp) else 0
+                token = resp[unul + 2:unul + 2 + alen]
+                if user != self._auth_user or not _native_password_check(
+                        token, scramble, self._auth_stored2):
+                    conn.send_packet(
+                        b"\xff" + struct.pack("<H", 1045)
+                        + b"#28000Access denied")
+                    return
             conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
             while True:
                 cmd = conn.read_packet()

@@ -40,6 +40,24 @@ def _ucs2(s: str) -> bytes:
     return s.encode("utf-16-le")
 
 
+
+def _tds_password(pw: str) -> bytes:
+    """LOGIN7 password obfuscation (MS-TDS 2.2.6.4): per UCS-2 byte,
+    swap nibbles then XOR 0xA5. Self-inverse modulo the XOR order."""
+    out = bytearray()
+    for b in _ucs2(pw):
+        out.append((((b & 0x0F) << 4) | ((b & 0xF0) >> 4)) ^ 0xA5)
+    return bytes(out)
+
+
+def _tds_password_decode(raw: bytes) -> str:
+    b = bytearray()
+    for x in raw:
+        y = x ^ 0xA5
+        b.append(((y & 0x0F) << 4) | ((y & 0xF0) >> 4))
+    return bytes(b).decode("utf-16-le", "replace")
+
+
 class _Framed:
     """TDS packet framing: messages may span packets; EOM bit terminates."""
 
@@ -85,6 +103,7 @@ class SqlServerWireClient:
     """PRELOGIN + LOGIN7 (trust) + SQL_BATCH query client."""
 
     def __init__(self, host: str, port: int, *, user: str = "mz",
+                 password: str | None = None,
                  database: str = "db", ssl_context=None):
         sock = socket.create_connection((host, port), timeout=10)
         if ssl_context is not None:
@@ -106,23 +125,31 @@ class SqlServerWireClient:
         self.conn.recv()  # prelogin response (encryption negotiated off)
         # LOGIN7: fixed header + offset/length table for the variable part
         uname = _ucs2(user)
+        pw = _tds_password(password) if password else b""
         db = _ucs2(database)
-        var = uname + db
+        var = uname + pw + db
         fixed = struct.pack("<IIIIII", 0, 0x74000004, 4096, 7, 0, 0)
         fixed += struct.pack("<BBBB", 0, 0, 0, 0)
         fixed += struct.pack("<ii", 0, 0)  # timezone, lcid
-        base = 4 + len(fixed) + 4 * 2 * 9 + 6 + 4
+        # 9 offset-table entries of 4 bytes each precede ClientID(6)
+        # + SSPI(4); the old "4 * 2 * 9" double-counted entry width,
+        # harmless only while the trust-mode peer ignored offsets
+        base = 4 + len(fixed) + 4 * 9 + 6 + 4
         offtab = struct.pack("<HH", base, 0)                       # hostname
         offtab += struct.pack("<HH", base, len(uname) // 2)        # username
-        offtab += struct.pack("<HH", base + len(uname), 0)         # password
+        offtab += struct.pack("<HH", base + len(uname),
+                              len(pw) // 2)                        # password
         offtab += struct.pack("<HH", base, 0) * 4  # appname..unused
-        offtab += struct.pack("<HH", base + len(uname), len(db) // 2)
+        offtab += struct.pack("<HH", base + len(uname) + len(pw),
+                              len(db) // 2)
         offtab += struct.pack("<HH", base, 0)
         payload = fixed + offtab + bytes(6) + struct.pack("<I", 0) + var
         self.conn.send(PKT_LOGIN7,
                        struct.pack("<I", 4 + len(payload)) + payload)
         _ptype, resp = self.conn.recv()
         if not resp or resp[0] != TOK_LOGINACK:
+            if resp and resp[0] == 0xAA:  # TOK_ERROR
+                raise ValueError("login failed: access denied")
             raise ValueError(f"login rejected: {resp[:16]!r}")
 
     def close(self) -> None:
@@ -240,8 +267,9 @@ class MiniSqlServer:
 
     def __init__(self, tables: dict, host: str = "127.0.0.1",
                  port: int = 0, packet_size: int = 4096, *,
-                 ssl_context=None):
+                 ssl_context=None, auth: tuple[str, str] | None = None):
         self._ssl_ctx = ssl_context
+        self._auth = auth  # (user, password) — LOGIN7-verified when set
         self.tables = dict(tables)
         # small packet_size forces MULTI-PACKET responses (spanning
         # token streams), exercising the client's EOM reassembly
@@ -284,6 +312,23 @@ class MiniSqlServer:
                 return
         self._serve(_Framed(sock, self.packet_size))
 
+    def _login_ok(self, payload: bytes) -> bool:
+        """Verify LOGIN7's username + obfuscated password against the
+        configured credential (offset table entries 1 and 2)."""
+        try:
+            # offset table starts after the 4-byte length + 36-byte fixed
+            tab = 4 + 36
+            uoff, ulen = struct.unpack_from("<HH", payload, tab + 4)
+            poff, plen = struct.unpack_from("<HH", payload, tab + 8)
+            user = payload[uoff:uoff + 2 * ulen].decode("utf-16-le")
+            pw = _tds_password_decode(payload[poff:poff + 2 * plen])
+        except (struct.error, IndexError):
+            return False
+        import hmac as _hmac
+        want_u, want_p = self._auth
+        return (_hmac.compare_digest(user.encode(), want_u.encode())
+                and _hmac.compare_digest(pw.encode(), want_p.encode()))
+
     def _serve(self, conn: _Framed) -> None:
         try:
             while True:
@@ -301,6 +346,19 @@ class MiniSqlServer:
                     head.append(0xFF)
                     conn.send(PKT_RESPONSE, bytes(head + body))
                 elif ptype == PKT_LOGIN7:
+                    if self._auth is not None and not self._login_ok(
+                            payload):
+                        err_body = (struct.pack("<IB", 18456, 1)
+                                    + bytes([14])
+                                    + struct.pack("<H", 13)
+                                    + _ucs2("Login failed."))
+                        err = (bytes([0xAA])
+                               + struct.pack("<H", len(err_body))
+                               + err_body)
+                        done = bytes([TOK_DONE]) + struct.pack(
+                            "<HHQ", 0, 0, 0)
+                        conn.send(PKT_RESPONSE, err + done)
+                        return
                     ack_body = (bytes([1])
                                 + struct.pack("<I", 0x74000004)
                                 + bytes([10]) + _ucs2("mini-tds.."))

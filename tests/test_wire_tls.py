@@ -251,3 +251,64 @@ def test_kafka_sasl_over_tls():
             c.produce("s4", 0, [(b"a", b"b", 1)])
             _hw, recs = c.fetch("s4", 0, offset=0)
             assert len(recs) == 1
+
+
+# --------------------------------------------------------------------------
+# MySQL native-password and TDS LOGIN7 auth on the mini peers
+
+def test_mysql_native_password_roundtrip():
+    from materialize_spark.sources.mysql_binlog import (
+        T_LONGLONG, WRITE_ROWS_V2, encode_format_description,
+        encode_rows_event, encode_table_map, with_crc32,
+    )
+    from materialize_spark.sources.mysql_wire import (
+        MiniMySQL, MySQLBinlogClient,
+    )
+    events = [encode_format_description("crc32")] + [with_crc32(e) for e in [
+        encode_table_map(9, "db", "t", [T_LONGLONG], [0]),
+        encode_rows_event(WRITE_ROWS_V2, 9, [[5]], [T_LONGLONG], [0]),
+    ]]
+    with MiniMySQL(events, auth=("repl", "replica-pw")) as srv:
+        with MySQLBinlogClient(srv.host, srv.port, user="repl",
+                               password="replica-pw") as c:
+            assert len(c.binlog_dump("", 4)) == len(events)
+        for user, pw in (("repl", "wrong"), ("ghost", "replica-pw"),
+                         ("repl", None)):
+            with pytest.raises(ValueError,
+                               match="authentication failed"):
+                MySQLBinlogClient(srv.host, srv.port, user=user,
+                                  password=pw)
+
+
+def test_mysql_trust_mode_unchanged():
+    from materialize_spark.sources.mysql_binlog import (
+        encode_format_description,
+    )
+    from materialize_spark.sources.mysql_wire import (
+        MiniMySQL, MySQLBinlogClient,
+    )
+    with MiniMySQL([encode_format_description("crc32")]) as srv:
+        with MySQLBinlogClient(srv.host, srv.port) as c:
+            assert len(c.binlog_dump("", 4)) == 1
+
+
+def test_tds_login7_password_roundtrip():
+    from materialize_spark.sources.tds_wire import (
+        MiniSqlServer, SqlServerWireClient, _tds_password,
+        _tds_password_decode,
+    )
+    # the swizzle round-trips (MS-TDS 2.2.6.4)
+    assert _tds_password_decode(_tds_password("s3cr3t!")) == "s3cr3t!"
+    schema = [("id", "bigint")]
+    with MiniSqlServer({"dbo.t": (schema, [(1,)])},
+                       auth=("sa", "tds-pw")) as srv:
+        with SqlServerWireClient(srv.host, srv.port, user="sa",
+                                 password="tds-pw") as c:
+            _names, rows = c.query("SELECT * FROM dbo.t")
+            assert len(rows) == 1
+        with pytest.raises(ValueError, match="access denied"):
+            SqlServerWireClient(srv.host, srv.port, user="sa",
+                                password="nope")
+        with pytest.raises(ValueError, match="access denied"):
+            SqlServerWireClient(srv.host, srv.port, user="other",
+                                password="tds-pw")
