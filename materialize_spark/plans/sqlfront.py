@@ -519,12 +519,16 @@ class MzSession:
                 from materialize_spark.sources.pg_replication import (
                     read_pg_replication,
                 )
+                from materialize_spark.sources.tlsconf import (
+                    connection_ssl_conf,
+                )
                 log = read_pg_replication(
                     spark, conn["host"], int(conn.get("port", 5432)),
                     conn.get("slot", "mz_slot"),
                     conn.get("publication", "mz_pub"),
                     user=conn.get("user", "mz"),
-                    database=conn.get("database", "db"))
+                    database=conn.get("database", "db"),
+                    ssl_conf=connection_ssl_conf(conn))
             else:
                 log = spark.read.parquet(conn["log"])
             rels = collect_relations(log)
@@ -552,8 +556,14 @@ class MzSession:
                 from materialize_spark.sources.mysql_wire import (
                     read_mysql_binlog,
                 )
+                from materialize_spark.sources.tlsconf import (
+                    connection_ssl_conf,
+                )
                 log = read_mysql_binlog(
-                    spark, conn["host"], int(conn.get("port", 3306)))
+                    spark, conn["host"], int(conn.get("port", 3306)),
+                    user=conn.get("user", "repl"),
+                    password=conn.get("password"),
+                    ssl_conf=connection_ssl_conf(conn))
             else:
                 log = spark.read.parquet(conn["log"])
             maps = collect_table_maps(log)
@@ -599,9 +609,14 @@ class MzSession:
                     read_sqlserver_ct,
                 )
                 for tname in (node.tables or ()):
+                    from materialize_spark.sources.tlsconf import (
+                        connection_ssl_conf,
+                    )
                     ct = read_sqlserver_ct(
                         spark, conn["host"], int(conn.get("port", 1433)),
-                        tname)
+                        tname, ssl_conf=connection_ssl_conf(conn),
+                        user=conn.get("user", "mz"),
+                        password=conn.get("password"))
                     diff = changes_to_diff(ct)
                     base = base_or_empty(
                         tname, diff.drop("lsn", "seq", "diff"))

@@ -284,10 +284,11 @@ class MiniMySQL:
 
 def read_mysql_binlog(spark, host: str, port: int, *,
                       filename: str = "", pos: int = 4,
+                      user: str = "repl", password: str | None = None,
                       ssl_conf: dict | None = None):
     """Wire drain → (pos, event) DataFrame for decode_binlog_stream."""
     from materialize_spark.sources.tlsconf import client_context
-    with MySQLBinlogClient(host, port,
+    with MySQLBinlogClient(host, port, user=user, password=password,
                            ssl_context=client_context(ssl_conf)) as c:
         events = c.binlog_dump(filename, pos)
     return spark.createDataFrame(

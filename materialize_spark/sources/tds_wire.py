@@ -439,12 +439,13 @@ class MiniSqlServer:
 
 # --------------------------------------------------------------------------
 def read_sqlserver_ct(spark, host: str, port: int, instance: str,
-                      ssl_conf: dict | None = None):
+                      ssl_conf: dict | None = None, *,
+                      user: str = "mz", password: str | None = None):
     """Drain ``cdc.<instance>_CT`` over TDS → the change-table DataFrame
     (``__$start_lsn``, ``__$seqval``, ``__$operation``, data columns)
     that sqlserver_cdc.changes_to_diff consumes."""
     from materialize_spark.sources.tlsconf import client_context
-    with SqlServerWireClient(host, port,
+    with SqlServerWireClient(host, port, user=user, password=password,
                              ssl_context=client_context(ssl_conf)) as c:
         names, rows = c.query(
             f"SELECT * FROM cdc.{instance}_CT ORDER BY __$start_lsn")

@@ -343,3 +343,39 @@ def test_kafka_source_unknown_connection_errors(spark):
     with _pytest.raises(KeyError, match="unknown connection"):
         sess.execute("CREATE SOURCE nos FROM KAFKA CONNECTION nothere "
                      "(TOPIC 't')")
+
+
+def test_mysql_source_sql_with_credentials(spark):
+    """Live MySQL CDC source with mysql_native_password credentials from
+    CREATE CONNECTION (password via SECRET)."""
+    from materialize_spark.sources.mysql_binlog import (
+        T_LONGLONG, T_VARCHAR, WRITE_ROWS_V2, encode_format_description,
+        encode_rows_event, encode_table_map, with_crc32,
+    )
+    from materialize_spark.sources.mysql_wire import MiniMySQL
+    tid = 77
+    ct, md = [T_LONGLONG, T_VARCHAR], [0, 400]
+    events = [encode_format_description("crc32")] + [with_crc32(e) for e in [
+        encode_table_map(tid, "db", "parts_t", ct, md),
+        encode_rows_event(WRITE_ROWS_V2, tid, [[1, "bolt"]], ct, md),
+    ]]
+    with MiniMySQL(events, auth=("repl", "cdc-pw")) as srv:
+        sess = MzSession(spark, SF_DIR)
+        sess.execute("CREATE TABLE parts_t (id BIGINT, label TEXT)")
+        sess.execute("CREATE SECRET mypw AS 'cdc-pw'")
+        sess.execute(
+            f"CREATE CONNECTION myauth TO MYSQL (host = '{srv.host}', "
+            f"port = {srv.port}, user = 'repl', password = SECRET mypw)")
+        sess.execute("CREATE SOURCE myp FROM MYSQL CONNECTION myauth "
+                     "FOR TABLES (parts_t)")
+        rows = {r.id: r.label for r in
+                sess.execute("SELECT * FROM myp_parts_t").collect()}
+        assert rows == {1: "bolt"}
+        # wrong credentials fail cleanly
+        sess.execute(
+            f"CREATE CONNECTION mybad TO MYSQL (host = '{srv.host}', "
+            f"port = {srv.port}, user = 'repl', password = 'wrong')")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="authentication failed"):
+            sess.execute("CREATE SOURCE myq FROM MYSQL CONNECTION mybad "
+                         "FOR TABLES (parts_t)")
