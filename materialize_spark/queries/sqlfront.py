@@ -461,3 +461,55 @@ def sqlfront_pgwire_secure(spark, sf_dir):
             for rk, name, echo in res["rows"]]
     return spark.createDataFrame(rows, "rk long, name string, "
                                        "param_echo long")
+
+
+@register(
+    "sqlfront_http_api",
+    """
+    -- oracle: literal truth of the HTTP round-trips
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'AFRICA', 'simple'),
+        (CAST(2 AS BIGINT), 'ASIA',   'extended')
+    ) AS t(rk, name, via)
+    ORDER BY rk
+    """,
+    "sqlfront", "http",
+)
+def sqlfront_http_api(spark, sf_dir):
+    """The reference's HTTP SQL endpoint end-to-end
+    (/root/reference/src/environmentd/src/http/sql.rs): POST /api/sql
+    with a simple batch and an extended request with $n parameters,
+    HTTP Basic auth verified against the SCRAM-derived verifier store,
+    JSON response in the reference's results shape."""
+    import base64 as _b64
+    import json as _json
+    import urllib.request as _rq
+
+    from materialize_spark.plans.http_api import MzHttpServer
+
+    sess = MzSession(spark, sf_dir)
+    rows = []
+    with MzHttpServer(sess, auth={"materialize": "api-pass"}) as srv:
+        url = f"http://{srv.host}:{srv.port}/api/sql"
+
+        def post(payload):
+            req = _rq.Request(url,
+                              data=_json.dumps(payload).encode(),
+                              headers={"Content-Type":
+                                       "application/json"})
+            tok = _b64.b64encode(b"materialize:api-pass").decode()
+            req.add_header("Authorization", f"Basic {tok}")
+            with _rq.urlopen(req, timeout=30) as r:
+                return _json.loads(r.read())
+
+        simple = post({"query": "SELECT r_regionkey, r_name FROM region "
+                                "WHERE r_regionkey = 0"})
+        for rk, name in simple["results"][0]["rows"]:
+            rows.append((int(rk), name, "simple"))
+        ext = post({"queries": [
+            {"query": "SELECT r_regionkey, r_name FROM region "
+                      "WHERE r_regionkey = $1", "params": ["2"]}]})
+        for rk, name in ext["results"][0]["rows"]:
+            rows.append((int(rk), name, "extended"))
+    return spark.createDataFrame(rows,
+                                 "rk long, name string, via string")
