@@ -106,3 +106,21 @@ def test_https(spark):
                     {"query": "SELECT count(*) AS n FROM region"},
                     ctx=cctx)
         assert out["results"][0]["rows"] == [[5]]
+
+
+def test_subscribe_over_http(spark):
+    """SUBSCRIBE works through /api/sql (the reference streams it over
+    chunked HTTP; the batch engine returns the snapshot diff set)."""
+    sess = MzSession(spark, SF_DIR)
+    with MzHttpServer(sess) as srv:
+        url = f"http://{srv.host}:{srv.port}/api/sql"
+        _post(url, {"query": "CREATE TABLE hsub (k STRING, v BIGINT); "
+                             "INSERT INTO hsub VALUES ('a', 1); "
+                             "CREATE MATERIALIZED VIEW hmv AS "
+                             "SELECT k, sum(v) AS total FROM hsub "
+                             "GROUP BY k"})
+        out = _post(url, {"query": "SUBSCRIBE hmv"})
+        [res] = out["results"]
+        cols = [c["name"] for c in res["desc"]["columns"]]
+        assert "diff" in cols
+        assert res["rows"] == [["a", 1, 1]]
