@@ -130,3 +130,33 @@ def test_namespaces_and_clusters_survive_restore(spark, tmp_path):
     clusters = {r.name: r.replicas
                 for r in restored.execute("SHOW CLUSTERS").collect()}
     assert clusters.get("pool") == 2
+
+
+def test_restore_replays_kafka_source(spark, tmp_path):
+    """A journaled CREATE SOURCE ... FROM KAFKA re-drains the (still
+    live) broker on restore — the restart model for wire sources."""
+    import json as _json
+
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker() as b:
+        b.create_topic("durable_feed", partitions=1)
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("durable_feed", 0, [
+                (b"k1", _json.dumps({"v": 1}).encode(), 1),
+                (b"k1", _json.dumps({"v": 9}).encode(), 2),
+            ])
+        s = MzSession(spark, SF_DIR)
+        s.execute(f"CREATE CONNECTION dkc TO KAFKA (host = '{b.host}', "
+                  f"port = {b.port})")
+        s.execute("CREATE SOURCE dks FROM KAFKA CONNECTION dkc "
+                  "(TOPIC 'durable_feed') FORMAT JSON ENVELOPE UPSERT")
+        before = {(r.key, r.data) for r in
+                  s.sql("SELECT key, data FROM dks").collect()}
+        path = str(tmp_path / "cat")
+        s.persist_catalog(path)
+        s2 = MzSession.restore_catalog(spark.newSession(), SF_DIR, path)
+        after = {(r.key, r.data) for r in
+                 s2.sql("SELECT key, data FROM dks").collect()}
+        assert after == before == {("k1", '{"v": 9}')}
