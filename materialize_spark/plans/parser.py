@@ -88,6 +88,9 @@ class CreateView(Stmt):
     # WITH (REFRESH EVERY '<interval>') — reference RefreshSchedule
     # (src/repr/src/refresh_schedule.rs); seconds, None = on commit
     refresh_every_s: float | None = None
+    # WITH (MAINTENANCE 'delta'): incremental write-path maintenance for
+    # supported shapes (grouped-sum HAVING) instead of snapshot+REFRESH
+    maintenance: str | None = None
 
 
 @dataclass
@@ -660,20 +663,34 @@ class Parser:
             self.expect_kw("VIEW")
             name = self.ident()
             every = None
+            maintenance = None
             if materialized and self.take_kw("WITH"):
                 inner = self.paren_span()
                 p = Parser(inner)
-                p.expect_kw("REFRESH")
-                if p.take_kw("EVERY"):
-                    every = _interval_seconds(p.string())
-                elif p.take_kw("ON", "COMMIT"):
-                    every = None  # the default refresh schedule
-                else:
-                    raise ParseError("expected EVERY or ON COMMIT", p.peek())
+                while True:
+                    if p.take_kw("REFRESH"):
+                        if p.take_kw("EVERY"):
+                            every = _interval_seconds(p.string())
+                        elif p.take_kw("ON", "COMMIT"):
+                            every = None  # the default refresh schedule
+                        else:
+                            raise ParseError("expected EVERY or ON COMMIT",
+                                             p.peek())
+                    elif p.take_kw("MAINTENANCE"):
+                        p.take_op("=")
+                        maintenance = p.string().lower()
+                    else:
+                        raise ParseError("expected REFRESH or MAINTENANCE",
+                                         p.peek())
+                    if p.peek().kind == "COMMA":
+                        p.next()
+                        continue
+                    break
                 p.expect_end()
             self.expect_kw("AS")
             return CreateView(name, self.rest(), materialized=materialized,
-                              or_replace=or_replace, refresh_every_s=every)
+                              or_replace=or_replace, refresh_every_s=every,
+                              maintenance=maintenance)
         if self.at_kw("DEFAULT", "INDEX") or self.at_kw("INDEX"):
             default = self.take_kw("DEFAULT")
             self.expect_kw("INDEX")

@@ -47,6 +47,19 @@ _INTROSPECT = re.compile(
 # recursive view bodies (batch-only — see _create_view's gap note)
 _WMR_RE = re.compile(r"\s*WITH\s+MUTUALLY\s+RECURSIVE\b", re.I)
 
+# the view shape WITH (MAINTENANCE 'delta') maintains incrementally:
+# single-table grouped sum with a strict > HAVING threshold (the q18
+# inner shape — streaming/delta_ivm.ThresholdSemijoinMV)
+_DELTA_MV_RE = re.compile(
+    r"^\s*SELECT\s+(?P<keys>[\w\s,]+?)\s*,\s*"
+    r"SUM\s*\(\s*(?P<val>\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s+"
+    r"FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
+    r"\s+HAVING\s+SUM\s*\(\s*(?P=val)\s*\)\s*>\s*"
+    r"(?P<thr>-?\d+(?:\.\d+)?)\s*;?\s*$",
+    re.I | re.S)
+
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0, outside string literals — so
@@ -106,6 +119,9 @@ class MzSession:
         self.catalog = Catalog(spark, sf_dir) if sf_dir else Catalog(spark)
         self._matviews: dict[str, DataFrame] = {}
         self._matview_sql: dict[str, str] = {}
+        # WITH (MAINTENANCE 'delta') views: updated on WRITE, never
+        # refreshed (name -> {mv, table, keys, val, where})
+        self._delta_mvs: dict[str, dict] = {}
         self._sub_state: dict[str, DataFrame] = {}
         self._sub_ts: dict[str, int] = {}  # WITH (PROGRESS) batch clock
         # MV name → (period_s, last_refresh monotonic) for REFRESH EVERY
@@ -232,12 +248,99 @@ class MzSession:
             return self._wmr(parse_statement(body), body)
         return self.spark.sql(rewrite(body))
 
+    # -- delta-maintained MVs (WITH (MAINTENANCE 'delta')) -------------------
+    def _create_delta_mv(self, node: ast.CreateView) -> None:
+        """Always-fresh maintenance for the supported shape: the view
+        updates ON WRITE from each statement's delta (no REFRESH needed)
+        — the reference's defining behavior, powered by
+        streaming/delta_ivm.ThresholdSemijoinMV. Unsupported shapes get
+        an explicit error rather than silently degrading to snapshots."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.delta_ivm import ThresholdSemijoinMV
+
+        m = _DELTA_MV_RE.match(node.body)
+        if not m:
+            raise ValueError(
+                "MAINTENANCE 'delta' supports single-table views of the "
+                "form SELECT <keys>, SUM(<col>) AS <alias> FROM <table> "
+                "[WHERE ...] GROUP BY <keys> HAVING SUM(<col>) > <n>; "
+                "use a plain MATERIALIZED VIEW (snapshot + REFRESH) for "
+                "other shapes")
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        gkeys = [k.strip() for k in m.group("gkeys").split(",")]
+        if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
+            raise ValueError("MAINTENANCE 'delta': the SELECT keys must "
+                             "equal the GROUP BY keys")
+        table = m.group("table")
+        if table not in self.catalog._tables:
+            raise KeyError(f"unknown table {table!r}")
+        val, alias = m.group("val"), m.group("alias")
+        thr = float(m.group("thr"))
+        where = m.group("where")
+
+        def enrich(q):
+            return q.select(*keys, F.col("__sum").alias(alias))
+
+        mv = ThresholdSemijoinMV(self.spark, keys=keys, val=val,
+                                 having=lambda s: s > thr, enrich=enrich)
+        spec = {"mv": mv, "table": table, "keys": keys, "val": val,
+                "where": where}
+        self._delta_mvs[node.name] = spec
+        # formation: the table's current rows are the first insert batch
+        self._feed_delta_mv(node.name, self.catalog._tables[table]
+                            .withColumn("diff", F.lit(1)), initial=True)
+
+    def _feed_delta_mv(self, name: str, delta, initial: bool = False):
+        """Fold one explicit-diff update frame of the BASE table into a
+        delta MV and republish its (always fresh) result."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.history import RetainedHistory
+        spec = self._delta_mvs[name]
+        if spec["where"]:
+            delta = delta.filter(f"coalesce(({rewrite(spec['where'])}), "
+                                 "false)")
+        delta = delta.select(*spec["keys"], spec["val"], "diff")
+        old = self._matviews.get(name)
+        result = spec["mv"].on_batch(delta)
+        self._matviews[name] = result
+        self.catalog.create_view(name, result)
+        if initial:
+            hist = RetainedHistory()
+            hist.append(result.withColumn("diff", F.lit(1)), 0)
+            self._histories[name] = hist
+        else:
+            hist = self._histories.get(name)
+            if hist is not None:
+                adds = result.exceptAll(old).withColumn("diff", F.lit(1))
+                rets = old.exceptAll(result).withColumn("diff",
+                                                        F.lit(-1))
+                hist.append(adds.unionByName(rets), hist.upper)
+
+    def _feed_delta_mvs_for_table(self, table: str, delta) -> None:
+        for name, spec in list(self._delta_mvs.items()):
+            if spec["table"] == table:
+                self._feed_delta_mv(name, delta)
+
     def _create_view(self, node: ast.CreateView, sql: str):
         # PG requires SELECT on every base relation the body references —
         # without this, a role denied SELECT on t could launder access by
         # owning `CREATE VIEW v AS SELECT * FROM t` (reference rbac.rs
         # checks item privileges on the view's dependency closure).
         self._check_select_refs(node.body)
+        if getattr(node, "maintenance", None) is not None:
+            if node.maintenance != "delta":
+                raise ValueError(
+                    f"unknown MAINTENANCE mode {node.maintenance!r} "
+                    "(supported: 'delta')")
+            if not node.materialized:
+                raise ValueError("MAINTENANCE applies to MATERIALIZED "
+                                 "views")
+            self._owners[node.name] = self._role
+            self._matview_sql[node.name] = node.body
+            self._create_delta_mv(node)
+            return
         if _WMR_RE.match(node.body):
             # Recursive queries are batch-evaluated (SURVEY §2.8.9: WITH
             # MUTUALLY RECURSIVE is an accepted streaming gap — the
@@ -770,7 +873,7 @@ class MzSession:
         self._source_tables.discard(node.name)
         for store in (self._matviews, self._matview_sql, self._view_sql,
                       self._histories, self._retain, self._refresh_every,
-                      self._sub_state, self._sub_ts):
+                      self._sub_state, self._sub_ts, self._delta_mvs):
             store.pop(node.name, None)
         # comments die with the object (reference: mz_comments rows are
         # keyed by object id; a dropped id takes its comments — and its
@@ -793,6 +896,9 @@ class MzSession:
         # checkpoint so repeated inserts don't grow the plan.
         self.catalog.register_table(
             node.table, target.unionByName(rows).localCheckpoint(eager=True))
+        from pyspark.sql import functions as F
+        self._feed_delta_mvs_for_table(
+            node.table, rows.withColumn("diff", F.lit(1)))
 
     def _update(self, node: ast.Update, sql: str):
         self._check_priv("update", node.table)
@@ -816,8 +922,17 @@ class MzSession:
             else:
                 exprs.append(f"CASE WHEN {pred} THEN CAST(({a}) AS "
                              f"{types[c.lower()]}) ELSE {c} END AS {c}")
-        self.catalog.register_table(
-            node.table, target.selectExpr(*exprs).localCheckpoint(eager=True))
+        new_target = target.selectExpr(*exprs).localCheckpoint(eager=True)
+        self.catalog.register_table(node.table, new_target)
+        if any(sp["table"] == node.table
+               for sp in self._delta_mvs.values()):
+            from pyspark.sql import functions as F
+            adds = new_target.exceptAll(target).withColumn(
+                "diff", F.lit(1))
+            rets = target.exceptAll(new_target).withColumn(
+                "diff", F.lit(-1))
+            self._feed_delta_mvs_for_table(node.table,
+                                           adds.unionByName(rets))
 
     def _delete(self, node: ast.Delete, sql: str):
         # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
@@ -826,14 +941,21 @@ class MzSession:
         target = self.catalog._tables[node.table]
         kept = (target.limit(0) if node.where is None else
                 target.filter(f"NOT coalesce(({rewrite(node.where)}), false)"))
-        self.catalog.register_table(
-            node.table, kept.localCheckpoint(eager=True))
+        kept = kept.localCheckpoint(eager=True)
+        self.catalog.register_table(node.table, kept)
+        if any(sp["table"] == node.table
+               for sp in self._delta_mvs.values()):
+            from pyspark.sql import functions as F
+            gone = target.exceptAll(kept).withColumn("diff", F.lit(-1))
+            self._feed_delta_mvs_for_table(node.table, gone)
 
     # -- REFRESH / ALTER ----------------------------------------------------
     def _refresh_mv(self, node: ast.RefreshMV, sql: str):
         from pyspark.sql import functions as F
 
         name = node.name
+        if name in self._delta_mvs:
+            return  # delta-maintained: always fresh, REFRESH is a no-op
         old = self._matviews[name]
         snap = self._eval_view_body(
             self._matview_sql[name]).localCheckpoint(eager=True)

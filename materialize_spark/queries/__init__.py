@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         "ivm_q21_antijoin_delta", "sqlfront_pgwire_secure",
         "kafka_wire_secure", "kafka_source_sql",
         "dedup_incremental_lsh", "sqlfront_http_api",
+        "sqlfront_delta_mv",
         # --- oldest sentinels: r2-certified scalar batteries ---
         "scalar_math", "scalar_string", "scalar_regex", "scalar_casts",
         # --- r3-certified: timestamps, jsonb, collections ---
@@ -84,7 +85,7 @@ def load_all() -> dict[str, QuerySpec]:
         "tablefunc_generate_series", "tablefunc_unnest_ordinality",
         "agg_battery", "agg_decimal", "tablefunc_battery",
         # --- r4/r5-certified tail ---
-        "upsert_envelope_batch", "subquery_decorrelated",
+        "subquery_decorrelated",
         "scalar_month_arithmetic", "text_language_id",
         "letrec_reachability", "join_skew_salted",
         # --- flagship spread (headline queries + IVM + pipeline + CDC) ---

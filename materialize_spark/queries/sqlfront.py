@@ -513,3 +513,47 @@ def sqlfront_http_api(spark, sf_dir):
             rows.append((int(rk), name, "extended"))
     return spark.createDataFrame(rows,
                                  "rk long, name string, via string")
+
+
+@register(
+    "sqlfront_delta_mv",
+    """
+    -- oracle: literal truth of the write sequence against the delta-
+    -- maintained view (threshold 10; 'a' crosses up then back down,
+    -- 'b' crosses up via UPDATE)
+    SELECT * FROM (VALUES
+        ('mid',   'a', CAST(12 AS BIGINT)),
+        ('final', 'b', CAST(112 AS BIGINT))
+    ) AS t(at, k, total)
+    ORDER BY at, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance",
+)
+def sqlfront_delta_mv(spark, sf_dir):
+    """Always-fresh MVs at the SQL surface: WITH (MAINTENANCE 'delta')
+    routes the grouped-sum HAVING shape through the delta-IVM operator
+    and every INSERT/UPDATE/DELETE feeds its diff on WRITE — no REFRESH
+    anywhere in this sequence (the reference's defining behavior;
+    delta_join.rs / reduce.rs retractions)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dmv_reg_t (k STRING, v BIGINT);
+        INSERT INTO dmv_reg_t VALUES ('a', 6), ('a', 6), ('b', 4);
+        CREATE MATERIALIZED VIEW dmv_reg WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(v) AS total FROM dmv_reg_t
+          GROUP BY k HAVING SUM(v) > 10;
+    """)
+    mid = (s.sql("SELECT k, total FROM dmv_reg")
+           .withColumn("at", F.lit("mid")))
+    s.run_script("""
+        INSERT INTO dmv_reg_t VALUES ('b', 8);
+        DELETE FROM dmv_reg_t WHERE k = 'a' AND v = 6;
+        UPDATE dmv_reg_t SET v = v + 100 WHERE k = 'b' AND v = 4;
+    """)
+    fin = (s.sql("SELECT k, total FROM dmv_reg")
+           .withColumn("at", F.lit("final")))
+    return (mid.unionByName(fin)
+            .select("at", "k", F.col("total").cast("long").alias("total"))
+            .orderBy("at", "k"))

@@ -981,3 +981,66 @@ def test_wmr_plain_view_clean_error(spark):
               c (n int8) AS (SELECT 1 AS n)
             SELECT * FROM c
         """)
+
+
+def test_delta_maintained_mv_always_fresh(spark):
+    """WITH (MAINTENANCE 'delta'): the MV updates on WRITE — no REFRESH
+    — through insert, update, and delete, including threshold crossings
+    in both directions (streaming/delta_ivm at the SQL surface)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dmv_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO dmv_t VALUES ('a', 6), ('a', 6), ('b', 4)")
+    s.execute("CREATE MATERIALIZED VIEW dmv WITH (MAINTENANCE 'delta') "
+              "AS SELECT k, SUM(v) AS total FROM dmv_t "
+              "GROUP BY k HAVING SUM(v) > 10")
+
+    def rows():
+        return sorted((r.k, r.total) for r in
+                      s.sql("SELECT * FROM dmv").collect())
+
+    assert rows() == [("a", 12)]
+    # NO refresh between any of these — always fresh
+    s.execute("INSERT INTO dmv_t VALUES ('b', 8)")
+    assert rows() == [("a", 12), ("b", 12)]
+    s.execute("DELETE FROM dmv_t WHERE k = 'a' AND v = 6")
+    # one of the two (a,6) rows is gone? DELETE removes BOTH matching
+    # rows (predicate semantics), so 'a' drops below the threshold
+    assert rows() == [("b", 12)]
+    s.execute("UPDATE dmv_t SET v = v + 100 WHERE k = 'b' AND v = 4")
+    assert rows() == [("b", 112)]
+    # REFRESH is a harmless no-op
+    s.execute("REFRESH MATERIALIZED VIEW dmv")
+    assert rows() == [("b", 112)]
+    # SUBSCRIBE sees the maintained diffs
+    delta = s.sql("SUBSCRIBE dmv").collect()
+    assert sorted((r.k, r.total, r.diff) for r in delta)[-1][0] == "b"
+
+
+def test_delta_mv_where_clause_and_drop(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dmv2_t (k STRING, v BIGINT, ok BOOLEAN)")
+    s.execute("CREATE MATERIALIZED VIEW dmv2 WITH (MAINTENANCE 'delta') "
+              "AS SELECT k, SUM(v) AS total FROM dmv2_t "
+              "WHERE ok GROUP BY k HAVING SUM(v) > 5")
+    s.execute("INSERT INTO dmv2_t VALUES ('x', 10, true), "
+              "('x', 99, false)")  # the false row must not count
+    got = [(r.k, r.total) for r in s.sql("SELECT * FROM dmv2").collect()]
+    assert got == [("x", 10)]
+    s.execute("DROP VIEW dmv2")
+    assert "dmv2" not in {r.name for r in
+                          s.execute("SHOW MATERIALIZED VIEWS").collect()}
+
+
+def test_delta_mv_unsupported_shape_errors(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dmv3_t (k STRING, v BIGINT)")
+    with pytest.raises(ValueError, match="MAINTENANCE 'delta' supports"):
+        s.execute("CREATE MATERIALIZED VIEW bad WITH "
+                  "(MAINTENANCE 'delta') AS "
+                  "SELECT k, count(*) AS n FROM dmv3_t GROUP BY k")
+    with pytest.raises(ValueError, match="unknown MAINTENANCE"):
+        s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
+                  "(MAINTENANCE 'magic') AS SELECT 1 AS x")
