@@ -52,11 +52,13 @@ _WMR_RE = re.compile(r"\s*WITH\s+MUTUALLY\s+RECURSIVE\b", re.I)
 # inner shape — streaming/delta_ivm.ThresholdSemijoinMV)
 _DELTA_MV_RE = re.compile(
     r"^\s*SELECT\s+(?P<keys>[\w\s,]+?)\s*,\s*"
-    r"SUM\s*\(\s*(?P<val>\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s+"
+    r"(?:SUM\s*\(\s*(?P<val>\w+)\s*\)|COUNT\s*\(\s*\*\s*\))"
+    r"\s+AS\s+(?P<alias>\w+)\s+"
     r"FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
-    r"\s+HAVING\s+SUM\s*\(\s*(?P=val)\s*\)\s*>\s*"
+    r"\s+HAVING\s+(?:SUM\s*\(\s*(?P<hval>\w+)\s*\)"
+    r"|COUNT\s*\(\s*\*\s*\))\s*>\s*"
     r"(?P<thr>-?\d+(?:\.\d+)?)\s*;?\s*$",
     re.I | re.S)
 
@@ -276,13 +278,22 @@ class MzSession:
         if table not in self.catalog._tables:
             raise KeyError(f"unknown table {table!r}")
         val, alias = m.group("val"), m.group("alias")
+        if (val is None) != (m.group("hval") is None) or (
+                val and m.group("hval")
+                and val.lower() != m.group("hval").lower()):
+            raise ValueError("MAINTENANCE 'delta': HAVING must repeat "
+                             "the SELECT aggregate")
         thr = float(m.group("thr"))
         where = m.group("where")
 
         def enrich(q):
-            return q.select(*keys, F.col("__sum").alias(alias))
+            out = q.select(*keys, F.col("__sum").alias(alias))
+            if val is None:  # COUNT(*): integral output
+                out = out.withColumn(alias, F.col(alias).cast("long"))
+            return out
 
-        mv = ThresholdSemijoinMV(self.spark, keys=keys, val=val,
+        mv = ThresholdSemijoinMV(self.spark, keys=keys,
+                                 val=val or "__one",
                                  having=lambda s: s > thr, enrich=enrich)
         spec = {"mv": mv, "table": table, "keys": keys, "val": val,
                 "where": where}
@@ -301,7 +312,10 @@ class MzSession:
         if spec["where"]:
             delta = delta.filter(f"coalesce(({rewrite(spec['where'])}), "
                                  "false)")
-        delta = delta.select(*spec["keys"], spec["val"], "diff")
+        if spec["val"] is None:  # COUNT(*): every row weighs 1
+            delta = delta.withColumn("__one", F.lit(1))
+        delta = delta.select(*spec["keys"], spec["val"] or "__one",
+                             "diff")
         old = self._matviews.get(name)
         result = spec["mv"].on_batch(delta)
         self._matviews[name] = result

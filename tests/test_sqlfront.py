@@ -1044,3 +1044,25 @@ def test_delta_mv_unsupported_shape_errors(spark):
     with pytest.raises(ValueError, match="unknown MAINTENANCE"):
         s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
                   "(MAINTENANCE 'magic') AS SELECT 1 AS x")
+
+
+def test_delta_mv_count_star(spark):
+    """COUNT(*) thresholds maintain the same way (every row weighs 1)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dmvc_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW dmvc WITH (MAINTENANCE 'delta') "
+              "AS SELECT k, COUNT(*) AS n FROM dmvc_t "
+              "GROUP BY k HAVING COUNT(*) > 2")
+    s.execute("INSERT INTO dmvc_t VALUES ('a', 1), ('a', 2), ('b', 1)")
+    assert s.sql("SELECT * FROM dmvc").count() == 0
+    s.execute("INSERT INTO dmvc_t VALUES ('a', 3)")
+    got = [(r.k, r.n) for r in s.sql("SELECT * FROM dmvc").collect()]
+    assert got == [("a", 3)]
+    s.execute("DELETE FROM dmvc_t WHERE k = 'a' AND v = 1")
+    assert s.sql("SELECT * FROM dmvc").count() == 0
+    # mismatched aggregates error
+    with pytest.raises(ValueError, match="repeat the SELECT aggregate"):
+        s.execute("CREATE MATERIALIZED VIEW dmvx WITH "
+                  "(MAINTENANCE 'delta') AS SELECT k, SUM(v) AS t "
+                  "FROM dmvc_t GROUP BY k HAVING COUNT(*) > 1")
