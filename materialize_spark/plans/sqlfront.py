@@ -583,9 +583,31 @@ class MzSession:
                 [F.col("partition").desc(), F.col("offset").desc()],
                 value_cols=["data"],
                 delete_when=F.col("data").isNull())
+        elif node.envelope == "debezium":
+            # values are Debezium change events {before, after, op}:
+            # decode to explicit diffs and consolidate to the current
+            # collection (same envelope the FILE source supports;
+            # reference SourceEnvelope Debezium, envelope.rs) — THE
+            # reference combo for database->Kafka pipelines
+            from materialize_spark.sources.envelopes import debezium_decode
+            if node.fmt != "json":
+                raise ValueError(
+                    "ENVELOPE DEBEZIUM requires FORMAT JSON")
+            vals = (df.filter(F.col("data").isNotNull())
+                    .select(F.col("data").alias("value")))
+            probe = self.spark.read.json(
+                vals.rdd.map(lambda r: r.value))
+            row_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in probe.schema["after"].dataType.fields)
+            updates = debezium_decode(vals, "value", row_ddl)
+            data_cols = [c for c in updates.columns if c != "diff"]
+            df = (updates.groupBy(*data_cols)
+                  .agg(F.sum("diff").alias("__net"))
+                  .filter(F.col("__net") > 0).drop("__net"))
         elif node.envelope != "none":
             raise ValueError(f"unsupported ENVELOPE {node.envelope!r} "
-                             "(none | upsert)")
+                             "(none | upsert | debezium)")
         self.catalog.register_table(
             node.name, df.localCheckpoint(eager=True))
         self._source_tables.add(node.name)

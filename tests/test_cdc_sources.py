@@ -379,3 +379,44 @@ def test_mysql_source_sql_with_credentials(spark):
         with _pytest.raises(ValueError, match="authentication failed"):
             sess.execute("CREATE SOURCE myq FROM MYSQL CONNECTION mybad "
                          "FOR TABLES (parts_t)")
+
+
+def test_kafka_source_sql_envelope_debezium(spark):
+    """FORMAT JSON ENVELOPE DEBEZIUM over a wire broker: change events
+    {before, after, op} consolidate to the current collection — THE
+    reference combo for database->Kafka pipelines."""
+    import json as _json
+
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+
+    def ev(op, before=None, after=None):
+        return _json.dumps({"op": op, "before": before,
+                            "after": after}).encode()
+
+    with MiniBroker() as b:
+        b.create_topic("dbz", partitions=1)
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("dbz", 0, [
+                (b"1", ev("c", after={"id": 1, "name": "ada"}), 1),
+                (b"2", ev("c", after={"id": 2, "name": "bob"}), 2),
+                (b"1", ev("u", before={"id": 1, "name": "ada"},
+                          after={"id": 1, "name": "ada2"}), 3),
+                (b"2", ev("d", before={"id": 2, "name": "bob"}), 4),
+            ])
+        sess = MzSession(spark, SF_DIR)
+        sess.execute(
+            f"CREATE CONNECTION kdbz TO KAFKA (host = '{b.host}', "
+            f"port = {b.port})")
+        sess.execute("CREATE SOURCE dbz_cur FROM KAFKA CONNECTION kdbz "
+                     "(TOPIC 'dbz') FORMAT JSON ENVELOPE DEBEZIUM")
+        rows = {(r.id, r.name) for r in
+                sess.sql("SELECT id, name FROM dbz_cur").collect()}
+        assert rows == {(1, "ada2")}
+        # envelope requires JSON
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="requires FORMAT JSON"):
+            sess.execute("CREATE SOURCE dbz_b FROM KAFKA CONNECTION "
+                         "kdbz (TOPIC 'dbz') FORMAT BYTES "
+                         "ENVELOPE DEBEZIUM")

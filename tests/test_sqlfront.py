@@ -1066,3 +1066,40 @@ def test_delta_mv_count_star(spark):
         s.execute("CREATE MATERIALIZED VIEW dmvx WITH "
                   "(MAINTENANCE 'delta') AS SELECT k, SUM(v) AS t "
                   "FROM dmvc_t GROUP BY k HAVING COUNT(*) > 1")
+
+
+def test_delta_mv_random_write_soak_equals_recompute(spark):
+    """Property soak: 20 random INSERT/UPDATE/DELETE statements against
+    a delta-maintained MV; after EVERY statement the maintained result
+    must equal re-running the view SQL over the table (incremental ==
+    recompute, the defining IVM property, at the SQL surface)."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(29)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE soak_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW soak_mv WITH "
+              "(MAINTENANCE 'delta') AS SELECT k, SUM(v) AS total "
+              "FROM soak_t GROUP BY k HAVING SUM(v) > 20")
+    keys = ["a", "b", "c", "d"]
+    for step in range(20):
+        op = rng.random()
+        k = rng.choice(keys)
+        if op < 0.6:
+            vals = ", ".join(f"('{rng.choice(keys)}', "
+                             f"{rng.randrange(1, 15)})"
+                             for _ in range(rng.randrange(1, 4)))
+            s.execute(f"INSERT INTO soak_t VALUES {vals}")
+        elif op < 0.8:
+            s.execute(f"UPDATE soak_t SET v = v + "
+                      f"{rng.randrange(-5, 6)} WHERE k = '{k}'")
+        else:
+            s.execute(f"DELETE FROM soak_t WHERE k = '{k}' "
+                      f"AND v % 3 = {rng.randrange(3)}")
+        got = sorted((r.k, r.total) for r in
+                     s.sql("SELECT * FROM soak_mv").collect())
+        want = sorted((r.k, r.total) for r in s.sql(
+            "SELECT k, SUM(v) AS total FROM soak_t "
+            "GROUP BY k HAVING SUM(v) > 20").collect())
+        assert got == want, f"diverged at step {step}"
