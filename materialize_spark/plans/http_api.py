@@ -170,7 +170,14 @@ class MzHttpServer:
                 tag = " ".join(head[:2]).upper() if head else "OK"
                 results.append({"ok": tag, "notices": []})
                 continue
-            rows = [[_cell(v) for v in row] for row in out.collect()]
+            try:
+                collected = self.session.check_result_size(out.collect())
+            except Exception as ex:
+                results.append({"error": {"message": str(ex),
+                                          "code": "XX000"},
+                                "notices": []})
+                break
+            rows = [[_cell(v) for v in row] for row in collected]
             results.append({
                 "tag": f"SELECT {len(rows)}",
                 "rows": rows,

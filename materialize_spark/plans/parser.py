@@ -238,6 +238,17 @@ class SetVar(Stmt):
 
 
 @dataclass
+class ResetVar(Stmt):
+    name: str               # "all" = RESET ALL
+
+
+@dataclass
+class AlterSystem(Stmt):
+    name: str
+    value: str | None = None  # None = ALTER SYSTEM RESET
+
+
+@dataclass
 class CreateDatabase(Stmt):
     name: str
     if_not_exists: bool = False
@@ -1010,10 +1021,15 @@ class Parser:
         return SetVar(name, ", ".join(parts))
 
     def _p_reset(self) -> Stmt:
+        # RESET ROLE | RESET ALL | RESET <var> (PG/reference
+        # ResetVariableStatement)
         self.expect_kw("RESET")
-        self.expect_kw("ROLE")
+        if self.take_kw("ROLE"):
+            self.expect_end()
+            return SetRole(None)
+        name = self.ident().lower()
         self.expect_end()
-        return SetRole(None)
+        return ResetVar(name)
 
     # misc DDL ----------------------------------------------------------------
     def _p_refresh(self) -> Stmt:
@@ -1024,6 +1040,23 @@ class Parser:
 
     def _p_alter(self) -> Stmt:
         self.expect_kw("ALTER")
+        if self.take_kw("SYSTEM"):
+            # ALTER SYSTEM SET name = value | ALTER SYSTEM RESET name
+            # (reference AlterSystemSetStatement / AlterSystemReset)
+            if self.take_kw("RESET"):
+                name = self.ident().lower()
+                self.expect_end()
+                return AlterSystem(name, None)
+            self.expect_kw("SET")
+            name = self.ident().lower()
+            if not (self.take_op("=") or self.take_kw("TO")):
+                raise ParseError("expected = or TO", self.peek())
+            t = self.next()
+            if t.kind not in ("STRING", "NUMBER", "WORD"):
+                raise ParseError("expected value", t)
+            self.expect_end()
+            return AlterSystem(
+                name, t.value if t.kind == "STRING" else t.text)
         if self.take_kw("CLUSTER"):
             # ALTER CLUSTER c SET (SIZE '...', REPLICATION FACTOR n)
             name = self.ident()
@@ -1383,7 +1416,7 @@ __all__ = [
     "Revoke", "SetRole",
     "CreateDatabase", "CreateSchema", "CreateCluster",
     "CreateClusterReplica", "AlterCluster",
-    "SetVar", "ShowVar",
+    "SetVar", "ShowVar", "ResetVar", "AlterSystem",
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",
     "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",

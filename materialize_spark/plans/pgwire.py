@@ -309,7 +309,7 @@ class MzPgServer:
         ms = self._timeout_ms(self.session._vars.get("statement_timeout"))
         group = getattr(self._tls, "group", None)
         if ms <= 0 or group is None:
-            return df.collect()
+            return self.session.check_result_size(df.collect())
         import time as _time
         done = threading.Event()
         fired = threading.Event()
@@ -328,7 +328,7 @@ class MzPgServer:
 
         threading.Thread(target=watchdog, daemon=True).start()
         try:
-            return df.collect()
+            return self.session.check_result_size(df.collect())
         except Exception:
             if fired.is_set():
                 raise ValueError(
@@ -378,6 +378,15 @@ class MzPgServer:
             params = body[4:].split(b"\0")
             startup = {params[i].decode(): params[i + 1].decode()
                        for i in range(0, len(params) - 1, 2) if params[i]}
+            # max_connections (vars.rs; PG SQLSTATE 53300): active
+            # backends are the entries _serve hasn't popped yet
+            limit = self.session._size_bytes(
+                self.session._vars.get("max_connections", "0"))
+            if limit > 0 and len(self._backends) >= limit:
+                conn.sendall(self._msg(
+                    b"E", b"SFATAL\0C53300\0"
+                          b"Mtoo many connections\0\0"))
+                return
             if self._auth and not self._scram_handshake(
                     conn, startup.get("user", "")):
                 return

@@ -114,6 +114,37 @@ class MzSession:
     (reference BinaryFunc::Div, src/expr/src/scalar/func.rs) instead of
     returning NULL."""
 
+    # name -> (built-in default, description) — the vars.rs catalog of
+    # session/system variables this engine surfaces. SHOW ALL lists them;
+    # SET/RESET move the session value; ALTER SYSTEM SET/RESET moves the
+    # default layer underneath (reference SystemVars / SessionVars).
+    VAR_DEFAULTS: dict[str, tuple[str, str]] = {
+        "application_name": ("", "Sets the application name reported in "
+                                 "system tables and logs."),
+        "search_path": ("public", "Sets the schema search order for "
+                                  "unqualified names."),
+        "database": ("materialize", "Sets the current database."),
+        "cluster": ("quickstart", "Sets the current cluster."),
+        "transaction_isolation": ("strict serializable",
+                                  "Sets the current transaction's "
+                                  "isolation level."),
+        "statement_timeout": ("0", "Aborts any statement that runs "
+                                   "longer than this duration."),
+        "timezone": ("UTC", "Sets the time zone for timestamp display "
+                            "and conversion."),
+        "server_version": ("9.5.0", "Shows the PostgreSQL-compatible "
+                                    "server version."),
+        "emit_timestamp_notice": ("off", "Emits a NOTICE with the chosen "
+                                         "query timestamp."),
+        "max_result_size": ("1073741824", "The maximum size in bytes for "
+                                          "a single query's result."),
+        "max_connections": ("5000", "The maximum number of concurrent "
+                                    "client connections."),
+        "idle_in_transaction_session_timeout": (
+            "120s", "Terminates sessions idling inside an open "
+                    "transaction after this duration."),
+    }
+
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
                  strict_errors: bool = True):
         self.spark = spark
@@ -152,15 +183,17 @@ class MzSession:
         # objects and bypass grants on them.
         self._roles: set[str] = {"materialize"}
         self._role: str = "materialize"
-        # session variables (reference src/sql/src/session/vars.rs);
-        # read-only defaults below, user SETs overlay
+        # session variables (reference src/sql/src/session/vars.rs):
+        # live values in _vars; ALTER SYSTEM SET overlays sit in
+        # _system_vars (the reference's SystemVars layer) and become the
+        # default a RESET restores to; _session_set remembers which names
+        # the session SET explicitly so a later ALTER SYSTEM doesn't
+        # clobber a deliberate session choice (vars.rs precedence:
+        # session > system > built-in default).
         self._vars: dict[str, str] = {
-            "application_name": "", "search_path": "public",
-            "database": "materialize", "cluster": "quickstart",
-            "transaction_isolation": "strict serializable",
-            "statement_timeout": "0", "timezone": "UTC",
-            "server_version": "9.5.0", "emit_timestamp_notice": "off",
-        }
+            n: d for n, (d, _desc) in self.VAR_DEFAULTS.items()}
+        self._system_vars: dict[str, str] = {}
+        self._session_set: set[str] = set()
         self._grants: set[tuple[str, str, str]] = set()
         self._owners: dict[str, str] = {}
         # database/schema namespaces (reference names.rs 3-part naming;
@@ -1634,15 +1667,95 @@ class MzSession:
         if node.name == "cluster" and node.value not in self._clusters:
             raise KeyError(f"unknown cluster {node.value!r}")
         self._vars[node.name] = node.value
+        self._session_set.add(node.name)
         if node.name == "timezone":
             self.spark.conf.set("spark.sql.session.timeZone", node.value)
 
+    def _var_default(self, name: str) -> str:
+        """The value a RESET restores: the ALTER SYSTEM overlay when one
+        exists, else the built-in default (vars.rs precedence)."""
+        return self._system_vars.get(name, self.VAR_DEFAULTS[name][0])
+
+    def _reset_var(self, node: ast.ResetVar, sql: str):
+        # RESET <var> / RESET ALL (PG + reference semantics): drop the
+        # session override(s), restoring the system-level value
+        names = (list(self._vars) if node.name == "all" else [node.name])
+        if node.name != "all" and node.name not in self._vars:
+            raise KeyError(
+                f"unrecognized configuration parameter {node.name!r}")
+        for n in names:
+            self._session_set.discard(n)
+            self._vars[n] = self._var_default(n)
+            if n == "timezone":
+                self.spark.conf.set("spark.sql.session.timeZone",
+                                    self._vars[n])
+
+    def _alter_system(self, node: ast.AlterSystem, sql: str):
+        # ALTER SYSTEM SET name = value | ALTER SYSTEM RESET name
+        # (reference AlterSystemSet/ResetStatement, vars.rs SystemVars):
+        # moves the default layer; sessions that did not explicitly SET
+        # the name observe the new value immediately.
+        name = node.name
+        if name not in self._vars:
+            raise KeyError(
+                f"unrecognized configuration parameter {name!r}")
+        if node.value is None:
+            self._system_vars.pop(name, None)
+        else:
+            self._system_vars[name] = node.value
+        if name not in self._session_set:
+            self._vars[name] = self._var_default(name)
+            if name == "timezone":
+                self.spark.conf.set("spark.sql.session.timeZone",
+                                    self._vars[name])
+
     def _show_var(self, node: ast.ShowVar, sql: str):
+        if node.name == "all":
+            # SHOW ALL: (name, setting, description) like PG / the
+            # reference's ShowAllStatement over the vars catalog
+            rows = [(n, self._vars[n], self.VAR_DEFAULTS[n][1])
+                    for n in sorted(self._vars)]
+            return self.spark.createDataFrame(
+                rows, "name string, setting string, description string")
         if node.name not in self._vars:
             raise KeyError(
                 f"unrecognized configuration parameter {node.name!r}")
         return self.spark.createDataFrame(
             [(self._vars[node.name],)], f"{node.name} string")
+
+    @staticmethod
+    def _size_bytes(raw: str) -> int:
+        """Parse a size variable value: bare int = bytes; kB/MB/GB
+        suffixes accepted (vars.rs ByteSize values)."""
+        raw = (raw or "0").strip()
+        for suffix, mult in (("kb", 1024), ("mb", 1024 ** 2),
+                             ("gb", 1024 ** 3), ("b", 1)):
+            if raw.lower().endswith(suffix):
+                try:
+                    return int(float(raw[:-len(suffix)]) * mult)
+                except ValueError:
+                    return 0
+        try:
+            return int(raw)
+        except ValueError:
+            return 0
+
+    def check_result_size(self, rows: list) -> list:
+        """Enforce max_result_size on a collected result (the reference
+        coordinator bounds peek results the same way, vars.rs
+        max_result_size): estimated wire bytes must stay under the
+        session's limit. Returns the rows unchanged when within budget."""
+        limit = self._size_bytes(self._vars.get("max_result_size"))
+        if limit <= 0:
+            return rows
+        total = 0
+        for r in rows:
+            for v in r:
+                total += 8 if v is None else len(str(v))
+            if total > limit:
+                raise ValueError(
+                    f"result exceeds max size of {limit} bytes")
+        return rows
 
     def _set_role(self, node: ast.SetRole, sql: str):
         name = node.name or "materialize"
@@ -1661,7 +1774,7 @@ class MzSession:
         "RefreshMV", "AlterRetain", "AlterRename", "AlterAddColumn",
         "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
         "SetVar", "CreateDatabase", "CreateSchema", "CreateCluster",
-        "CreateClusterReplica", "AlterCluster",
+        "CreateClusterReplica", "AlterCluster", "AlterSystem", "ResetVar",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -1720,6 +1833,8 @@ class MzSession:
         ast.Revoke: _revoke,
         ast.SetRole: _set_role,
         ast.SetVar: _set_var,
+        ast.ResetVar: _reset_var,
+        ast.AlterSystem: _alter_system,
         ast.ShowVar: _show_var,
         ast.Insert: _insert,
         ast.Update: _update,

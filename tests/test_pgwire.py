@@ -67,6 +67,19 @@ def test_errors_keep_session_alive(served):
     assert res["rows"] == [["1"]]
 
 
+def test_max_result_size_over_the_wire(served):
+    """An oversized result bounces with the reference's max_result_size
+    error (vars.rs) instead of streaming; the session stays usable and
+    RESET restores the default."""
+    _sess, c = served
+    c.query("SET max_result_size = '16'")
+    with pytest.raises(ValueError, match="exceeds max size"):
+        c.query("SELECT r_regionkey, r_name FROM region")
+    c.query("RESET max_result_size")
+    [res] = c.query("SELECT count(*) AS n FROM region")
+    assert res["rows"] == [["5"]]
+
+
 def test_rbac_enforced_over_the_wire(served):
     sess, c = served
     c.query("CREATE TABLE wire_sec (x BIGINT)")

@@ -826,6 +826,68 @@ def test_session_variables(spark):
         spark.conf.set("spark.sql.session.timeZone", old)
 
 
+def test_show_all_and_reset(spark):
+    """SHOW ALL lists every variable with its description; RESET <var>
+    and RESET ALL restore defaults (reference ShowAllStatement /
+    ResetVariableStatement, vars.rs)."""
+    import pytest as _pt
+    sess = MzSession(spark, SF_DIR)
+    rows = {r.name: (r.setting, r.description)
+            for r in sess.sql("SHOW ALL").collect()}
+    assert rows["cluster"][0] == "quickstart"
+    assert "search order" in rows["search_path"][1]
+    assert set(rows) == set(MzSession.VAR_DEFAULTS)
+    sess.execute("SET application_name = 'abc'")
+    sess.execute("RESET application_name")
+    assert sess.sql("SHOW application_name").first()[0] == ""
+    with _pt.raises(KeyError, match="unrecognized"):
+        sess.execute("RESET nonsense_parameter")
+    sess.execute("SET application_name = 'abc'")
+    sess.execute("SET statement_timeout = '5s'")
+    sess.execute("RESET ALL")
+    assert sess.sql("SHOW application_name").first()[0] == ""
+    assert sess.sql("SHOW statement_timeout").first()[0] == "0"
+    # RESET ROLE still routes to the role path
+    sess.execute("RESET ROLE")
+
+
+def test_alter_system_set_and_reset(spark):
+    """ALTER SYSTEM SET moves the default layer: sessions that did not
+    explicitly SET the name observe it, an explicit session SET wins,
+    and ALTER SYSTEM RESET restores the built-in (vars.rs precedence:
+    session > system > default)."""
+    import pytest as _pt
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("ALTER SYSTEM SET statement_timeout = '30s'")
+    assert sess.sql("SHOW statement_timeout").first()[0] == "30s"
+    # a session-level SET shadows the system value...
+    sess.execute("SET statement_timeout = '5s'")
+    sess.execute("ALTER SYSTEM SET statement_timeout = '60s'")
+    assert sess.sql("SHOW statement_timeout").first()[0] == "5s"
+    # ...and RESET falls back to the system layer, not the built-in
+    sess.execute("RESET statement_timeout")
+    assert sess.sql("SHOW statement_timeout").first()[0] == "60s"
+    sess.execute("ALTER SYSTEM RESET statement_timeout")
+    assert sess.sql("SHOW statement_timeout").first()[0] == "0"
+    with _pt.raises(KeyError, match="unrecognized"):
+        sess.execute("ALTER SYSTEM SET nonsense_parameter = 1")
+
+
+def test_max_result_size_enforced(spark):
+    """max_result_size bounds collected results (reference vars.rs
+    max_result_size; the coordinator rejects oversized peeks)."""
+    import pytest as _pt
+    sess = MzSession(spark, SF_DIR)
+    rows = sess.sql("SELECT n_name FROM nation").collect()
+    assert sess.check_result_size(rows) is rows  # default 1GB: fine
+    sess.execute("SET max_result_size = '16'")
+    with _pt.raises(ValueError, match="exceeds max size"):
+        sess.check_result_size(rows)
+    # suffixed values parse (vars.rs ByteSize forms)
+    sess.execute("SET max_result_size = '1MB'")
+    assert sess.check_result_size(rows) is rows
+
+
 # -- clusters (compute pools) ----------------------------------------------
 def test_cluster_lifecycle(spark):
     from materialize_spark.plans.sqlfront import MzSession
