@@ -40,7 +40,8 @@ from materialize_spark.plans.lexer import LexError, split_statements
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
     r"|sources|sinks|arrangement_sizes|comments|roles|clusters"
-    r"|cluster_replicas|databases|schemas)\b"
+    r"|cluster_replicas|databases|schemas"
+    r"|source_statuses|sink_statuses|source_statistics)\b"
     r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
     r"|\b(?:obj|col)_description\b", re.I)
 
@@ -171,6 +172,15 @@ class MzSession:
         # catalog-table names that were created as SOURCEs (file/loadgen/
         # webhook) — SHOW OBJECTS reports them as 'source', not 'table'
         self._source_tables: set[str] = set()
+        # per-source/sink health + ingest counters backing the
+        # mz_internal.mz_source_statuses / mz_sink_statuses /
+        # mz_source_statistics relations (reference
+        # src/storage-client/src/healthcheck.rs status model;
+        # mz_source_statistics_raw counters). A failed CREATE keeps its
+        # 'stalled' row with the error — the reference's status history
+        # retains the last error for exactly this "why is my source
+        # broken" query.
+        self._source_stats: dict[str, dict] = {}
         self._prepared: dict[str, str] = {}
         self._cursors: dict[str, dict] = {}
         self._txn_snapshot: dict | None = None
@@ -503,6 +513,20 @@ class MzSession:
                                   "envelope": node.envelope,
                                   "rows": n}
 
+    def _source_stat(self, name: str, type_: str, *, status: str = "running",
+                     error: str | None = None, messages: int | None = None,
+                     snapshot: bool = True) -> None:
+        """Record a source's health + counters for the mz_internal status
+        relations (reference healthcheck.rs states: starting → running →
+        stalled/failed; mz_source_statistics_raw counters).
+        messages=None means "not knowable without a scan" — lazy file/
+        loadgen registrations stay NULL like a statistic not yet
+        reported."""
+        self._source_stats[name] = {
+            "type": type_, "status": status, "error": error,
+            "messages": messages, "snapshot": snapshot and status == "running",
+        }
+
     def _create_source_file(self, node: ast.CreateSourceFile, sql: str):
         fmt, path = node.fmt, node.path
         if fmt == "debezium":
@@ -529,12 +553,14 @@ class MzSession:
             df = self.spark.read.format(fmt).load(path)
         self.catalog.register_table(node.name, df)
         self._source_tables.add(node.name)
+        self._source_stat(node.name, fmt if fmt == "debezium" else "file")
 
     def _create_source_loadgen(self, node: ast.CreateSourceLoadgen, sql: str):
         from materialize_spark.sources.loadgen import load_generator
         kwargs = ({"scale_factor": node.scale_factor}
                   if node.scale_factor is not None else {})
         df = load_generator(self.spark, node.generator, **kwargs)
+        self._source_stat(node.name, "load-generator")
         if isinstance(df, dict):
             # multi-output generator (TPCH): one subsource per table,
             # named <source>_<table> like the reference
@@ -555,13 +581,35 @@ class MzSession:
         src = WebhookSource(
             self.spark, tempfile.mkdtemp(prefix=f"mz_webhook_{name}_"),
             body_format=node.body_format)
-        src.on_post = lambda n=name, s=src: \
-            self.catalog.register_table(n, s.df())
+        def _on_post(n=name, s=src):
+            df = s.df()
+            self.catalog.register_table(n, df)
+            # received-message counter: the spool is tiny (one file per
+            # POST), so the count is a metadata-scale scan
+            self._source_stat(n, "webhook", messages=df.count())
+        src.on_post = _on_post
         self._webhooks[name] = src
         self.catalog.register_table(name, src.df())
         self._source_tables.add(name)
+        self._source_stat(name, "webhook", messages=0)
 
     def _create_source_kafka(self, node: ast.CreateSourceKafka, sql: str):
+        # status-recording wrapper: a wire/decode failure leaves a
+        # 'stalled' row with the error in mz_source_statuses (reference
+        # healthcheck.rs keeps the last error for exactly this probe)
+        try:
+            self._create_source_kafka_impl(node, sql)
+        except Exception as ex:
+            self._source_stat(node.name, "kafka", status="stalled",
+                              error=str(ex), snapshot=False)
+            raise
+        # the registered collection is checkpointed: counting it is an
+        # in-memory scan, no re-fetch
+        self._source_stat(node.name, "kafka",
+                          messages=self.catalog.table(node.name).count())
+
+    def _create_source_kafka_impl(self, node: ast.CreateSourceKafka,
+                                  sql: str):
         """CREATE SOURCE ... FROM KAFKA CONNECTION c (TOPIC 't') — the
         reference's primary source (sources.rs KafkaSourceConnection):
         drains the topic over the wire protocol (one Spark task per
@@ -650,6 +698,18 @@ class MzSession:
                                     "connection": node.connection}
 
     def _create_source_cdc(self, node: ast.CreateSourceCdc, sql: str):
+        # status-recording wrapper (see _create_source_kafka). Subsource
+        # row counts are NOT taken here: their plans may replay a live
+        # replication read, so the counter stays NULL (unreported).
+        try:
+            self._create_source_cdc_impl(node, sql)
+        except Exception as ex:
+            self._source_stat(node.name, node.flavor, status="stalled",
+                              error=str(ex), snapshot=False)
+            raise
+        self._source_stat(node.name, node.flavor)
+
+    def _create_source_cdc_impl(self, node: ast.CreateSourceCdc, sql: str):
         """CREATE SOURCE ... FROM POSTGRES|MYSQL|SQL SERVER CONNECTION —
         the reference's replication sources (sources.rs:694-700). No
         database servers exist in this sandbox, so the connection's
@@ -1333,11 +1393,16 @@ class MzSession:
                 rows or [], "name string, source string, format string,"
                             " envelope string")
         if kind == "sources":
-            rows = [(n, "webhook") for n in sorted(self._webhooks)]
-            rows += [(n, s["flavor"])
-                     for n, s in sorted(getattr(self, "_sources", {}).items())]
+            # every source kind, like the reference's mz_sources-backed
+            # listing: webhook, wire (kafka/cdc), file, load-generator
+            types: dict[str, str] = {n: "webhook" for n in self._webhooks}
+            for n, s in sorted(getattr(self, "_sources", {}).items()):
+                types[n] = s["flavor"]
+            for n, st in self._source_stats.items():
+                if st["status"] == "running":
+                    types.setdefault(n, st["type"])
             return self.spark.createDataFrame(
-                rows or [], "name string, type string")
+                sorted(types.items()) or [], "name string, type string")
         if kind == "secrets":
             rows = [(n,) for n in sorted(self._secrets)]
             return self.spark.createDataFrame(rows or [], "name string")
@@ -1924,8 +1989,14 @@ class MzSession:
            "nullable boolean, type string") \
             .filter("id <> 'u0'").createOrReplaceTempView("mz_columns")
         # connector relations (reference mz_catalog.mz_sources / mz_sinks)
-        src_rows = [(f"s{i + 1}", n, "webhook")
-                    for i, n in enumerate(sorted(self._webhooks))]
+        src_types: dict[str, str] = {n: "webhook" for n in self._webhooks}
+        for n, s in getattr(self, "_sources", {}).items():
+            src_types[n] = s["flavor"]
+        for n, st in self._source_stats.items():
+            if st["status"] == "running":
+                src_types.setdefault(n, st["type"])
+        src_ids = {n: f"s{i + 1}" for i, n in enumerate(sorted(src_types))}
+        src_rows = [(src_ids[n], n, t) for n, t in sorted(src_types.items())]
         mk(src_rows or [("s0", "", "")],
            "id string, name string, type string") \
             .filter("id <> 's0'").createOrReplaceTempView("mz_sources")
@@ -1935,6 +2006,36 @@ class MzSession:
            "id string, name string, source string, format string, "
            "envelope string") \
             .filter("id <> 'k0'").createOrReplaceTempView("mz_sinks")
+        # health + ingest-counter relations (reference
+        # mz_internal.mz_source_statuses / mz_sink_statuses /
+        # mz_source_statistics over healthcheck.rs status updates).
+        # Stalled rows survive even when the CREATE failed — the status
+        # history keeps the last error a broken source reported.
+        stat_rows = [(src_ids.get(n, f"s{1000 + i}"), n, st["type"],
+                      st["status"], st["error"])
+                     for i, (n, st) in
+                     enumerate(sorted(self._source_stats.items()))]
+        mk(stat_rows or [("s0", "", "", "", None)],
+           "id string, name string, type string, status string, "
+           "error string") \
+            .filter("id <> 's0'").createOrReplaceTempView(
+                "mz_source_statuses")
+        mk([(f"k{i + 1}", n, "running", None)
+            for i, n in enumerate(sorted(self._sinks))]
+           or [("k0", "", "", None)],
+           "id string, name string, status string, error string") \
+            .filter("id <> 'k0'").createOrReplaceTempView(
+                "mz_sink_statuses")
+        counter_rows = [
+            (src_ids.get(n, f"s{1000 + i}"), n, bool(st["snapshot"]),
+             st["messages"])
+            for i, (n, st) in
+            enumerate(sorted(self._source_stats.items()))]
+        mk(counter_rows or [("s0", "", False, None)],
+           "id string, name string, snapshot_committed boolean, "
+           "messages_received bigint") \
+            .filter("id <> 's0'") \
+            .createOrReplaceTempView("mz_source_statistics")
         # arrangement accounting (reference mz_internal.mz_arrangement_sizes:
         # per-arrangement operator memory). Spark analog: every persisted
         # base/secondary arrangement and CREATE INDEX cache, with its key,

@@ -58,9 +58,11 @@ def load_all() -> dict[str, QuerySpec]:
     # Rotation policy (VERDICT r5 item 3, r7 item 8): driver certification
     # ACCUMULATES across rounds — after r7 the union covers 157/158, with
     # scalar_pg_compat2 the one ever-red row (fixed this round: outputs
-    # stringified). The r8 window = the 4 entries needing (re)certification
-    # — the pg_compat2 fix and this round's three new capabilities — plus
-    # 46 regression sentinels weighted toward the OLDEST certifications
+    # stringified). The r8 window = the 11 entries needing
+    # (re)certification — the pg_compat2 fix and this round's new
+    # capabilities (delta-IVM, secured wire, kafka SQL source,
+    # incremental LSH, HTTP API, delta MVs, source health, system vars)
+    # — plus regression sentinels weighted toward the OLDEST certifications
     # (r2–r4: scalar/jsonb/collection batteries, set ops, windows,
     # envelopes), which have never been re-checked under the 50-slot
     # window, ending with a flagship spread. Everything else stays green
@@ -71,11 +73,14 @@ def load_all() -> dict[str, QuerySpec]:
         "ivm_q21_antijoin_delta", "sqlfront_pgwire_secure",
         "kafka_wire_secure", "kafka_source_sql",
         "dedup_incremental_lsh", "sqlfront_http_api",
-        "sqlfront_delta_mv",
+        "sqlfront_delta_mv", "sqlfront_source_status",
+        "sqlfront_system_vars",
         # --- oldest sentinels: r2-certified scalar batteries ---
         "scalar_math", "scalar_string", "scalar_regex", "scalar_casts",
         # --- r3-certified: timestamps, jsonb, collections ---
-        "scalar_parse_timestamp", "jsonb_ops", "jsonb_typeof_battery",
+        # (jsonb_typeof_battery r3 sentinel rotated out for the two new
+        # round-8 entries — jsonb_ops still covers the family)
+        "scalar_parse_timestamp", "jsonb_ops",
         "array_functions", "map_functions", "interval_arithmetic",
         # --- r4-certified: set ops, joins, windows, envelopes, aggs ---
         "setops_union_all", "setops_except_intersect",
@@ -85,8 +90,7 @@ def load_all() -> dict[str, QuerySpec]:
         "tablefunc_generate_series", "tablefunc_unnest_ordinality",
         "agg_battery", "agg_decimal", "tablefunc_battery",
         # --- r4/r5-certified tail ---
-        "subquery_decorrelated",
-        "scalar_month_arithmetic", "text_language_id",
+        "subquery_decorrelated", "text_language_id",
         "letrec_reachability", "join_skew_salted",
         # --- flagship spread (headline queries + IVM + pipeline + CDC) ---
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",

@@ -1,0 +1,91 @@
+"""mz_internal health introspection: mz_source_statuses /
+mz_sink_statuses / mz_source_statistics.
+
+Semantics mirrored: the reference's source/sink healthcheck model
+(src/storage-client/src/healthcheck.rs — statuses starting → running →
+stalled with the last error retained) and the ingestion counters of
+mz_internal.mz_source_statistics. These are the first relations a
+production operator queries ("is my source healthy? is it ingesting?").
+"""
+
+import pytest
+
+from materialize_spark.plans.sqlfront import MzSession
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_source_statuses_and_statistics(spark, tmp_path):
+    sess = MzSession(spark, SF_DIR)
+    spark.range(7).toDF("v").write.parquet(f"{tmp_path}/seven")
+    sess.execute(
+        f"CREATE SOURCE f7 FROM FILE '{tmp_path}/seven' FORMAT PARQUET")
+    sess.execute("CREATE SOURCE hooks FROM WEBHOOK BODY FORMAT JSON")
+    sess.webhook("hooks").post({"event": "signup", "user": 7})
+    sess.webhook("hooks").post({"event": "login", "user": 7})
+
+    st = {r.name: (r.type, r.status, r.error)
+          for r in sess.sql("SELECT * FROM mz_source_statuses").collect()}
+    assert st["f7"] == ("file", "running", None)
+    assert st["hooks"] == ("webhook", "running", None)
+
+    stats = {r.name: (r.snapshot_committed, r.messages_received)
+             for r in
+             sess.sql("SELECT * FROM mz_source_statistics").collect()}
+    assert stats["hooks"] == (True, 2)  # two POSTs received
+    # lazy file registration: counter unreported (NULL), snapshot done
+    assert stats["f7"] == (True, None)
+
+    # SHOW SOURCES and mz_sources list every kind with its type
+    shown = {r.name: r.type
+             for r in sess.execute("SHOW SOURCES").collect()}
+    assert shown == {"f7": "file", "hooks": "webhook"}
+    mz = {r.name: r.type
+          for r in sess.sql("SELECT * FROM mz_sources").collect()}
+    assert mz == shown
+
+
+def test_loadgen_source_status(spark):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE SOURCE gen FROM LOAD GENERATOR TPCH "
+                 "(SCALE FACTOR 0)")
+    st = {r.name: (r.type, r.status)
+          for r in sess.sql("SELECT name, type, status "
+                            "FROM mz_source_statuses").collect()}
+    assert st["gen"] == ("load-generator", "running")
+
+
+def test_stalled_source_keeps_error(spark):
+    """A wire failure records a 'stalled' row with the error — the
+    reference's status history answers "why is my source broken" even
+    after the ingestion task died."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE CONNECTION dead TO KAFKA (BROKER '127.0.0.1:1')")
+    with pytest.raises(Exception):
+        sess.execute(
+            "CREATE SOURCE k FROM KAFKA CONNECTION dead (TOPIC 't') "
+            "FORMAT JSON")
+    st = {r.name: (r.type, r.status)
+          for r in sess.sql("SELECT name, type, status "
+                            "FROM mz_source_statuses").collect()}
+    assert st["k"] == ("kafka", "stalled")
+    [err] = [r.error for r in
+             sess.sql("SELECT error FROM mz_source_statuses "
+                      "WHERE name = 'k'").collect()]
+    assert err  # the connection failure text is retained
+    # a broken source is not a usable catalog object: absent from the
+    # listings, present only in the status history
+    assert "k" not in {r.name
+                       for r in sess.execute("SHOW SOURCES").collect()}
+    assert "k" not in {r.name
+                       for r in sess.sql("SELECT * FROM mz_sources")
+                       .collect()}
+
+
+def test_sink_statuses(spark, tmp_path):
+    sess = MzSession(spark, SF_DIR)
+    sess.execute(f"CREATE SINK snk FROM region INTO FILE '{tmp_path}/s' "
+                 f"FORMAT JSON")
+    st = {r.name: (r.status, r.error)
+          for r in sess.sql("SELECT * FROM mz_sink_statuses").collect()}
+    assert st["snk"] == ("running", None)
