@@ -141,9 +141,6 @@ class MzSession:
                                           "a single query's result."),
         "max_connections": ("5000", "The maximum number of concurrent "
                                     "client connections."),
-        "idle_in_transaction_session_timeout": (
-            "120s", "Terminates sessions idling inside an open "
-                    "transaction after this duration."),
     }
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
@@ -181,6 +178,8 @@ class MzSession:
         # retains the last error for exactly this "why is my source
         # broken" query.
         self._source_stats: dict[str, dict] = {}
+        # CREATE INDEX name -> (indexed object, cluster) for SHOW INDEXES
+        self._index_meta: dict[str, tuple[str, str]] = {}
         self._prepared: dict[str, str] = {}
         self._cursors: dict[str, dict] = {}
         self._txn_snapshot: dict | None = None
@@ -457,7 +456,11 @@ class MzSession:
         # CREATE DEFAULT INDEX (or no column list): key on ALL columns —
         # the reference's default-index semantics.
         keys = node.keys if node.keys else list(df.columns)
-        self.catalog.create_index(node.name or f"{node.on}_idx", df, *keys)
+        name = node.name or f"{node.on}_idx"
+        self.catalog.create_index(name, df, *keys)
+        # SHOW INDEXES bookkeeping: the indexed object and the cluster
+        # the arrangement lives in (reference mz_indexes columns)
+        self._index_meta[name] = (node.on, self._vars["cluster"])
 
     def _create_table_as(self, node: ast.CreateTableAs, sql: str):
         self._check_select_refs(node.body)  # same laundering guard as views
@@ -1425,11 +1428,27 @@ class MzSession:
                     + [(n, "connection") for n in self._connections])
             return self.spark.createDataFrame(
                 sorted(rows), "name string, type string")
+        if kind == "indexes":
+            # SHOW INDEXES: (name, on, cluster, key) like the reference's
+            # mz_indexes-backed listing; key is the arrangement's column
+            # list. Indexes registered below the SQL surface (catalog
+            # API) have no recorded object/cluster.
+            rows = []
+            for n in sorted(self.catalog._indexes):
+                on, cluster = self._index_meta.get(n, ("", ""))
+                key = ", ".join(self.catalog._index_keys.get(n, []))
+                rows.append((n, on, cluster, key))
+            if node.like is not None:
+                pat = ("^" + re.escape(node.like).replace("%", ".*")
+                       .replace("_", ".") + "$")
+                rows = [r for r in rows if re.match(pat, r[0])]
+            return self.spark.createDataFrame(
+                rows or [],
+                "name string, on string, cluster string, key string")
         names = {
             "views": sorted(n for n in self.catalog._views
                             if n not in self._matviews),
             "materialized views": sorted(self._matviews),
-            "indexes": sorted(self.catalog._indexes),
             "tables": sorted(self.catalog._tables),
         }[kind]
         if node.like is not None:

@@ -82,6 +82,19 @@ def test_stalled_source_keeps_error(spark):
                        .collect()}
 
 
+def test_show_indexes_shape(spark):
+    """SHOW INDEXES reports (name, on, cluster, key) like the
+    reference's mz_indexes-backed listing, not just names."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE INDEX nat_by_region ON nation (n_regionkey)")
+    rows = {r.name: (r.on, r.cluster, r.key)
+            for r in sess.execute("SHOW INDEXES").collect()}
+    assert rows["nat_by_region"] == \
+        ("nation", "quickstart", "n_regionkey")
+    liked = sess.execute("SHOW INDEXES LIKE 'nat%'").collect()
+    assert [r.name for r in liked] == ["nat_by_region"]
+
+
 def test_sink_statuses(spark, tmp_path):
     sess = MzSession(spark, SF_DIR)
     sess.execute(f"CREATE SINK snk FROM region INTO FILE '{tmp_path}/s' "
