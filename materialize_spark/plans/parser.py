@@ -1200,8 +1200,14 @@ class Parser:
     def _p_show(self) -> Stmt:
         self.expect_kw("SHOW")
         if self.take_kw("CREATE"):
+            # SHOW CREATE [MATERIALIZED] VIEW|TABLE|SOURCE|SINK|INDEX
+            # (reference ShowCreate* statements, one per object kind)
             self.take_kw("MATERIALIZED")
-            self.expect_kw("VIEW")
+            if not (self.take_kw("VIEW") or self.take_kw("TABLE")
+                    or self.take_kw("SOURCE") or self.take_kw("SINK")
+                    or self.take_kw("INDEX")
+                    or self.take_kw("CONNECTION")):
+                raise ParseError("expected object kind", self.peek())
             name = self.ident()
             self.expect_end()
             return ShowCreate(name)

@@ -180,6 +180,8 @@ class MzSession:
         self._source_stats: dict[str, dict] = {}
         # CREATE INDEX name -> (indexed object, cluster) for SHOW INDEXES
         self._index_meta: dict[str, tuple[str, str]] = {}
+        # object name -> original CREATE statement (SHOW CREATE ...)
+        self._create_sql: dict[str, str] = {}
         self._prepared: dict[str, str] = {}
         self._cursors: dict[str, dict] = {}
         self._txn_snapshot: dict | None = None
@@ -270,6 +272,12 @@ class MzSession:
         out = handler(self, node, sql)
         if type(node) in self._JOURNALED:
             self._journal.append(sql)
+        # SHOW CREATE source text: keep the original statement per
+        # created object (the reference reconstructs canonical SQL from
+        # the catalog; here the journaled statement IS the definition)
+        if type(node).__name__.startswith("Create") \
+                and getattr(node, "name", None):
+            self._create_sql[node.name] = sql.strip()
         return out
 
     def sql(self, q: str) -> DataFrame:
@@ -1461,16 +1469,28 @@ class MzSession:
                                           "name string")
 
     def _show_create(self, node: ast.ShowCreate, sql: str):
-        # SHOW CREATE (MATERIALIZED) VIEW — reference ShowCreate*
-        # statements return (name, create_sql).
+        # SHOW CREATE [MATERIALIZED] VIEW|TABLE|SOURCE|SINK|INDEX|
+        # CONNECTION — reference ShowCreate* statements return
+        # (name, create_sql). Views render from their stored body; every
+        # other object returns its original CREATE statement (the
+        # reference reconstructs canonical SQL from the catalog; the
+        # journaled statement IS this catalog's definition).
         name = node.name
-        body = self._matview_sql.get(name)
-        kind = "MATERIALIZED VIEW" if body is not None else "VIEW"
-        if body is None:
-            body = self._view_sql.get(name, "<dataframe-defined>")
+        if name in self._matview_sql:
+            create = (f"CREATE MATERIALIZED VIEW {name} AS "
+                      f"{self._matview_sql[name]}")
+        elif name in self._view_sql:
+            create = f"CREATE VIEW {name} AS {self._view_sql[name]}"
+        elif name in self._create_sql:
+            create = self._create_sql[name]
+        elif (name in self.catalog._views or name in self.catalog._tables
+              or name in self.catalog._indexes):
+            # registered through the DataFrame API, no SQL definition
+            create = f"CREATE VIEW {name} AS <dataframe-defined>"
+        else:
+            raise KeyError(f"unknown object {name!r}")
         return self.spark.createDataFrame(
-            [(name, f"CREATE {kind} {name} AS {body}")],
-            "name string, create_sql string")
+            [(name, create)], "name string, create_sql string")
 
     def _show_columns(self, node: ast.ShowColumns, sql: str):
         # SHOW COLUMNS FROM obj — (name, nullable, type) like the

@@ -102,3 +102,27 @@ def test_sink_statuses(spark, tmp_path):
     st = {r.name: (r.status, r.error)
           for r in sess.sql("SELECT * FROM mz_sink_statuses").collect()}
     assert st["snk"] == ("running", None)
+
+
+def test_show_create_all_object_kinds(spark, tmp_path):
+    """SHOW CREATE covers TABLE/SOURCE/SINK/INDEX/CONNECTION beyond
+    views (reference ShowCreate* statements): each returns the object's
+    defining SQL."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("CREATE TABLE sc_t (k STRING, v BIGINT)")
+    sess.execute("CREATE SOURCE sc_h FROM WEBHOOK")
+    sess.execute(f"CREATE SINK sc_s FROM region INTO FILE "
+                 f"'{tmp_path}/sc' FORMAT JSON")
+    sess.execute("CREATE INDEX sc_i ON nation (n_nationkey)")
+    sess.execute("CREATE CONNECTION sc_c TO KAFKA (BROKER 'h:9092')")
+    for name, frag in [("sc_t", "CREATE TABLE sc_t"),
+                       ("sc_h", "CREATE SOURCE sc_h FROM WEBHOOK"),
+                       ("sc_s", "CREATE SINK sc_s FROM region"),
+                       ("sc_i", "CREATE INDEX sc_i ON nation"),
+                       ("sc_c", "CREATE CONNECTION sc_c TO KAFKA")]:
+        kind = {"sc_t": "TABLE", "sc_h": "SOURCE", "sc_s": "SINK",
+                "sc_i": "INDEX", "sc_c": "CONNECTION"}[name]
+        row = sess.sql(f"SHOW CREATE {kind} {name}").first()
+        assert row.name == name and row.create_sql.startswith(frag)
+    with pytest.raises(KeyError, match="unknown object"):
+        sess.sql("SHOW CREATE TABLE no_such_obj")
