@@ -41,7 +41,8 @@ _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
     r"|sources|sinks|arrangement_sizes|comments|roles|clusters"
     r"|cluster_replicas|databases|schemas"
-    r"|source_statuses|sink_statuses|source_statistics)\b"
+    r"|source_statuses|sink_statuses|source_statistics"
+    r"|activity_log)\b"
     r"|\bpg_(?:class|namespace|attribute|tables|views|description)\b"
     r"|\b(?:obj|col)_description\b", re.I)
 
@@ -182,6 +183,10 @@ class MzSession:
         self._index_meta: dict[str, tuple[str, str]] = {}
         # object name -> original CREATE statement (SHOW CREATE ...)
         self._create_sql: dict[str, str] = {}
+        # bounded statement history backing mz_activity_log (reference
+        # mz_internal.mz_recent_activity_log / statement logging):
+        # (sql, role, cluster, status, error, duration_ms)
+        self._activity: list[tuple] = []
         self._prepared: dict[str, str] = {}
         self._cursors: dict[str, dict] = {}
         self._txn_snapshot: dict | None = None
@@ -258,6 +263,30 @@ class MzSession:
     def execute(self, sql: str) -> DataFrame | None:
         """Execute one statement; queries return a DataFrame, DDL returns
         None (SHOW returns a DataFrame listing)."""
+        import time as _time
+        t0 = _time.monotonic()
+        try:
+            out = self._execute_inner(sql)
+        except Exception as ex:
+            self._log_activity(sql, "error", str(ex), t0)
+            raise
+        self._log_activity(sql, "success", None, t0)
+        return out
+
+    def _log_activity(self, sql: str, status: str, error: str | None,
+                      t0: float) -> None:
+        """Statement history for mz_activity_log (reference
+        mz_internal.mz_recent_activity_log): bounded ring of the last
+        1000 statements with role/cluster/outcome/latency."""
+        import time as _time
+        self._activity.append(
+            (sql.strip()[:1024], self._role, self._vars["cluster"],
+             status, error,
+             round((_time.monotonic() - t0) * 1000.0, 3)))
+        if len(self._activity) > 1000:
+            del self._activity[:-1000]
+
+    def _execute_inner(self, sql: str) -> DataFrame | None:
         set_session_user(self._role)  # CURRENT_USER tracks SET ROLE
         sql = self._resolve_names(sql)  # db.schema.obj → flat names
         try:
@@ -2075,6 +2104,13 @@ class MzSession:
            "messages_received bigint") \
             .filter("id <> 's0'") \
             .createOrReplaceTempView("mz_source_statistics")
+        # statement history (reference mz_internal.mz_recent_activity_log
+        # / statement logging): the session's bounded ring, oldest first
+        act_rows = [(i + 1, *row) for i, row in enumerate(self._activity)]
+        mk(act_rows or [(0, "", "", "", "", None, 0.0)],
+           "id bigint, sql string, role string, cluster string, "
+           "status string, error string, duration_ms double") \
+            .filter("id <> 0").createOrReplaceTempView("mz_activity_log")
         # arrangement accounting (reference mz_internal.mz_arrangement_sizes:
         # per-arrangement operator memory). Spark analog: every persisted
         # base/secondary arrangement and CREATE INDEX cache, with its key,

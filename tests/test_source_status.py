@@ -104,6 +104,33 @@ def test_sink_statuses(spark, tmp_path):
     assert st["snk"] == ("running", None)
 
 
+def test_activity_log(spark):
+    """mz_activity_log records every statement with role, cluster,
+    outcome, and latency (reference mz_internal.mz_recent_activity_log
+    statement logging), including failures with their error text."""
+    sess = MzSession(spark, SF_DIR)
+    sess.execute("SET application_name = 'audit'")
+    sess.sql("SELECT count(*) AS n FROM region").collect()
+    with pytest.raises(Exception):
+        sess.execute("SELECT * FROM no_such_rel_al")
+    rows = sess.sql(
+        "SELECT sql, role, cluster, status, error, duration_ms "
+        "FROM mz_activity_log ORDER BY id").collect()
+    texts = [r.sql for r in rows]
+    assert "SET application_name = 'audit'" in texts
+    assert any(r.sql.startswith("SELECT count(*)")
+               and r.status == "success" and r.error is None
+               and r.duration_ms >= 0 for r in rows)
+    [bad] = [r for r in rows if "no_such_rel_al" in r.sql]
+    assert bad.status == "error" and bad.error
+    assert all(r.role == "materialize" and r.cluster == "quickstart"
+               for r in rows)
+    # the ring is bounded at 1000 entries
+    for i in range(1100):
+        sess._log_activity(f"SELECT {i}", "success", None, 0.0)
+    assert len(sess._activity) == 1000
+
+
 def test_show_create_all_object_kinds(spark, tmp_path):
     """SHOW CREATE covers TABLE/SOURCE/SINK/INDEX/CONNECTION beyond
     views (reference ShowCreate* statements): each returns the object's
