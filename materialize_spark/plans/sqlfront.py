@@ -1828,6 +1828,11 @@ class MzSession:
         # (reference AlterSystemSet/ResetStatement, vars.rs SystemVars):
         # moves the default layer; sessions that did not explicitly SET
         # the name observe the new value immediately.
+        if self._role != "materialize":
+            # reference: ALTER SYSTEM is superuser-only (vars.rs system
+            # vars are mutable by mz_system/superusers, not plain roles)
+            raise PermissionError(
+                "permission denied for ALTER SYSTEM: superuser required")
         name = node.name
         if name not in self._vars:
             raise KeyError(

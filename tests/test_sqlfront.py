@@ -871,6 +871,14 @@ def test_alter_system_set_and_reset(spark):
     assert sess.sql("SHOW statement_timeout").first()[0] == "0"
     with _pt.raises(KeyError, match="unrecognized"):
         sess.execute("ALTER SYSTEM SET nonsense_parameter = 1")
+    # superuser-only, like the reference's system vars
+    sess.execute("CREATE ROLE analyst")
+    sess.execute("SET ROLE analyst")
+    try:
+        with _pt.raises(PermissionError, match="superuser"):
+            sess.execute("ALTER SYSTEM SET statement_timeout = '1s'")
+    finally:
+        sess.execute("RESET ROLE")
 
 
 def test_max_result_size_enforced(spark):
