@@ -622,11 +622,12 @@ class MzSession:
             self.spark, tempfile.mkdtemp(prefix=f"mz_webhook_{name}_"),
             body_format=node.body_format)
         def _on_post(n=name, s=src):
-            df = s.df()
-            self.catalog.register_table(n, df)
-            # received-message counter: the spool is tiny (one file per
-            # POST), so the count is a metadata-scale scan
-            self._source_stat(n, "webhook", messages=df.count())
+            self.catalog.register_table(n, s.df())
+            # received-message counter: one request = one message, an
+            # O(1) increment (no per-POST scan of the spool)
+            st = self._source_stats.get(n)
+            got = (st["messages"] or 0) + 1 if st else 1
+            self._source_stat(n, "webhook", messages=got)
         src.on_post = _on_post
         self._webhooks[name] = src
         self.catalog.register_table(name, src.df())
