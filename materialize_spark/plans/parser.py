@@ -227,6 +227,99 @@ class Revoke(Stmt):
 
 
 @dataclass
+class GrantRole(Stmt):
+    """GRANT <role>[, ...] TO <member>[, ...] — role membership
+    (reference GrantRoleStatement, statement.rs)."""
+    roles: list[str]
+    members: list[str]
+
+
+@dataclass
+class RevokeRole(Stmt):
+    roles: list[str]
+    members: list[str]
+
+
+@dataclass
+class AlterOwner(Stmt):
+    """ALTER <kind> <name> OWNER TO <role> (reference
+    AlterOwnerStatement, statement.rs)."""
+    kind: str
+    name: str
+    new_owner: str
+
+
+@dataclass
+class AlterSwap(Stmt):
+    """ALTER <kind> a SWAP WITH b — atomic name exchange, the
+    blue/green cutover primitive (reference AlterObjectSwapStatement)."""
+    kind: str
+    name: str
+    other: str
+
+
+@dataclass
+class ReassignOwned(Stmt):
+    """REASSIGN OWNED BY <role>[, ...] TO <role> (reference
+    ReassignOwnedStatement)."""
+    old_roles: list[str]
+    new_owner: str
+
+
+@dataclass
+class DropOwned(Stmt):
+    """DROP OWNED BY <role>[, ...] [CASCADE|RESTRICT] (reference
+    DropOwnedStatement): drop owned objects, revoke the roles' grants."""
+    roles: list[str]
+    cascade: bool = False
+
+
+@dataclass
+class AlterDefaultPrivileges(Stmt):
+    """ALTER DEFAULT PRIVILEGES [FOR ROLE r] [IN SCHEMA s] GRANT|REVOKE
+    <privs> ON TABLES TO|FROM <role> (reference
+    AlterDefaultPrivilegesStatement). schema=None means all schemas;
+    target_role=None means the current role at CREATE time (PG rule)."""
+    target_role: str | None
+    schema: str | None
+    privileges: list[str]
+    grantee: str
+    is_grant: bool = True
+
+
+@dataclass
+class AlterRoleSet(Stmt):
+    """ALTER ROLE r SET var = value | ALTER ROLE r RESET var — role
+    default variables applied at SET ROLE (reference AlterRoleStatement
+    role variables)."""
+    role: str
+    var: str
+    value: str | None = None   # None = RESET
+
+
+@dataclass
+class Discard(Stmt):
+    """DISCARD { ALL | PLANS | TEMP } (reference DiscardStatement)."""
+    what: str
+
+
+@dataclass
+class AlterSecret(Stmt):
+    """ALTER SECRET name AS 'value' (reference AlterSecretStatement)."""
+    name: str
+    value: str
+
+
+@dataclass
+class AlterConnection(Stmt):
+    """ALTER CONNECTION name SET (opt = v) / RESET (opt) (reference
+    AlterConnectionStatement)."""
+    name: str
+    sets: dict
+    resets: list
+
+
+@dataclass
 class SetRole(Stmt):
     name: str | None        # None = RESET ROLE
 
@@ -897,15 +990,28 @@ class Parser:
 
     def _p_drop(self) -> Stmt:
         self.expect_kw("DROP")
+        if self.take_kw("OWNED", "BY"):
+            # DROP OWNED BY r[, ...] [CASCADE|RESTRICT] (reference
+            # DropOwnedStatement)
+            roles = self._ident_list()
+            cascade = bool(self.take_kw("CASCADE"))
+            if not cascade:
+                self.take_kw("RESTRICT")
+            self.expect_end()
+            return DropOwned(roles, cascade=cascade)
         t = self.next()
         if t.kind != "WORD" or t.upper not in (
                 "VIEW", "INDEX", "TABLE", "SOURCE", "SINK", "ROLE",
-                "DATABASE", "SCHEMA", "CLUSTER"):
+                "DATABASE", "SCHEMA", "CLUSTER", "SECRET", "CONNECTION",
+                "TYPE", "NETWORK"):
             raise ParseError("expected VIEW/INDEX/TABLE/SOURCE/SINK/ROLE"
                              "/DATABASE/SCHEMA/CLUSTER", t)
         kind = t.upper.lower()
         if kind == "cluster" and self.take_kw("REPLICA"):
             kind = "cluster replica"  # DROP CLUSTER REPLICA c.r
+        if kind == "network":
+            self.expect_kw("POLICY")
+            kind = "network policy"
         if_exists = self.take_kw("IF", "EXISTS")
         name = self.ident()
         if kind in ("schema", "cluster replica") \
@@ -970,8 +1076,25 @@ class Parser:
                 return privs
             self.next()
 
+    def _ident_list(self) -> list[str]:
+        names = [self.ident()]
+        while self.peek().kind == "COMMA":
+            self.next()
+            names.append(self.ident())
+        return names
+
     def _p_grant(self) -> Stmt:
         self.expect_kw("GRANT")
+        t = self.peek()
+        if t.kind == "WORD" and t.upper not in self._PRIVS \
+                and t.upper != "ALL":
+            # GRANT <role>[, ...] TO <member>[, ...] — role membership
+            # (reference GrantRoleStatement)
+            roles = self._ident_list()
+            self.expect_kw("TO")
+            members = self._ident_list()
+            self.expect_end()
+            return GrantRole(roles, members)
         privs = self._p_privileges()
         self.expect_kw("ON")
         self.take_kw("TABLE")
@@ -983,6 +1106,15 @@ class Parser:
 
     def _p_revoke(self) -> Stmt:
         self.expect_kw("REVOKE")
+        t = self.peek()
+        if t.kind == "WORD" and t.upper not in self._PRIVS \
+                and t.upper != "ALL":
+            # REVOKE <role>[, ...] FROM <member>[, ...]
+            roles = self._ident_list()
+            self.expect_kw("FROM")
+            members = self._ident_list()
+            self.expect_end()
+            return RevokeRole(roles, members)
         privs = self._p_privileges()
         self.expect_kw("ON")
         self.take_kw("TABLE")
@@ -1068,11 +1200,118 @@ class Parser:
                 replication_factor=(
                     int(opts["replication factor"])
                     if "replication factor" in opts else None))
-        if not (self.take_kw("MATERIALIZED", "VIEW") or self.take_kw("TABLE")
-                or self.take_kw("VIEW") or self.take_kw("SOURCE")
-                or self.take_kw("INDEX")):
+        if self.take_kw("DEFAULT", "PRIVILEGES"):
+            # ALTER DEFAULT PRIVILEGES [FOR ROLE r] [IN SCHEMA s]
+            # GRANT <privs> ON TABLES TO <role> (reference
+            # AlterDefaultPrivilegesStatement)
+            target = None
+            if self.take_kw("FOR"):
+                self.take_kw("ROLE") or self.take_kw("ALL", "ROLES")
+                if not self.at_kw("IN") and not self.at_kw("GRANT") \
+                        and not self.at_kw("REVOKE"):
+                    target = self.ident()
+            schema = None
+            if self.take_kw("IN", "SCHEMA"):
+                schema = self.ident()
+                while self.take_op("."):
+                    schema += "." + self.ident()
+            is_grant = bool(self.take_kw("GRANT"))
+            if not is_grant:
+                self.expect_kw("REVOKE")
+            privs = self._p_privileges()
+            self.expect_kw("ON", "TABLES")
+            self.expect_kw("TO") if is_grant else self.expect_kw("FROM")
+            grantee = self.ident()
+            self.expect_end()
+            return AlterDefaultPrivileges(target, schema, privs, grantee,
+                                          is_grant=is_grant)
+        if self.take_kw("ROLE"):
+            # ALTER ROLE r SET var = v | ALTER ROLE r RESET var — role
+            # default variables (reference AlterRoleStatement); role
+            # attributes (INHERIT etc.) accepted and ignored like CREATE
+            role = self.ident()
+            if self.take_kw("RESET"):
+                var = self.ident().lower()
+                self.expect_end()
+                return AlterRoleSet(role, var, None)
+            if self.take_kw("SET"):
+                var = self.ident().lower()
+                if not (self.take_op("=") or self.take_kw("TO")):
+                    raise ParseError("expected = or TO", self.peek())
+                t = self.next()
+                if t.kind not in ("STRING", "NUMBER", "WORD"):
+                    raise ParseError("expected value", t)
+                self.expect_end()
+                return AlterRoleSet(
+                    role, var, t.value if t.kind == "STRING" else t.text)
+            while self.peek().kind == "WORD":  # WITH <attributes>
+                self.next()
+            self.expect_end()
+            return AlterRoleSet(role, "", None)  # attribute-only no-op
+        if self.take_kw("SECRET"):
+            # ALTER SECRET name AS 'value' (reference AlterSecretStatement)
+            name = self.ident()
+            if self.take_kw("OWNER", "TO"):
+                owner = self.ident()
+                self.expect_end()
+                return AlterOwner("secret", name, owner)
+            if self.take_kw("RENAME", "TO"):
+                new = self.ident()
+                self.expect_end()
+                return AlterRename(name, new)
+            self.expect_kw("AS")
+            value = self.string()
+            self.expect_end()
+            return AlterSecret(name, value)
+        if self.take_kw("CONNECTION"):
+            # ALTER CONNECTION name SET (opt = v, ...) | RESET (opt, ...)
+            # (reference AlterConnectionStatement)
+            name = self.ident()
+            if self.take_kw("OWNER", "TO"):
+                owner = self.ident()
+                self.expect_end()
+                return AlterOwner("connection", name, owner)
+            sets: dict[str, str] = {}
+            resets: list[str] = []
+            while True:
+                if self.take_kw("SET"):
+                    p = Parser(self.paren_span())
+                    key = p.ident().lower()
+                    while p.peek().kind == "WORD":
+                        key += " " + p.ident().lower()
+                    if not (p.take_op("=") or p.take_kw("TO")):
+                        raise ParseError("expected =", p.peek())
+                    t = p.next()
+                    sets[key] = t.value if t.kind == "STRING" else t.text
+                elif self.take_kw("RESET"):
+                    p = Parser(self.paren_span())
+                    resets.extend(n.lower() for n in p._ident_list())
+                else:
+                    break
+                if not self.take_op(","):
+                    break
+            if not sets and not resets:
+                raise ParseError("expected SET or RESET", self.peek())
+            self.expect_end()
+            return AlterConnection(name, sets, resets)
+        kinds = (("MATERIALIZED", "VIEW"), ("TABLE",), ("VIEW",),
+                 ("SOURCE",), ("INDEX",), ("SINK",))
+        kind = None
+        for kw in kinds:
+            if self.take_kw(*kw):
+                kind = " ".join(kw).lower()
+                break
+        if kind is None:
             raise ParseError("expected object kind", self.peek())
         name = self.ident()
+        if self.take_kw("OWNER", "TO"):
+            owner = self.ident()
+            self.expect_end()
+            return AlterOwner(kind, name, owner)
+        if self.take_kw("SWAP", "WITH"):
+            other = self.ident()
+            self.expect_end()
+            return AlterSwap(kind, name, other)
         if self.take_kw("RENAME", "TO"):
             new = self.ident()
             self.expect_end()
@@ -1101,6 +1340,23 @@ class Parser:
                 raise ParseError("expected column type", self.peek())
             return AlterAddColumn(name, col, coltype)
         raise ParseError("unsupported ALTER", self.peek())
+
+    def _p_reassign(self) -> Stmt:
+        self.expect_kw("REASSIGN", "OWNED", "BY")
+        old = self._ident_list()
+        self.expect_kw("TO")
+        new = self.ident()
+        self.expect_end()
+        return ReassignOwned(old, new)
+
+    def _p_discard(self) -> Stmt:
+        self.expect_kw("DISCARD")
+        t = self.next()
+        if t.kind != "WORD" or t.upper not in ("ALL", "PLANS", "TEMP",
+                                               "TEMPORARY", "SEQUENCES"):
+            raise ParseError("expected ALL/PLANS/TEMP", t)
+        self.expect_end()
+        return Discard(t.upper.lower())
 
     # COMMENT -----------------------------------------------------------------
     def _p_comment(self) -> Stmt:

