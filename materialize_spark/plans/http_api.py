@@ -101,6 +101,13 @@ class MzHttpServer:
                 if self.path != "/api/sql":
                     self._reply(404, {"error": "unknown endpoint"})
                     return
+                # network-policy gate (reference: environmentd applies
+                # the active policy to HTTP sessions too)
+                try:
+                    session.check_network(self.client_address[0])
+                except PermissionError as ex:
+                    self._reply(403, {"error": str(ex)})
+                    return
                 if not self._authorized():
                     self.send_response(401)
                     self.send_header("WWW-Authenticate",

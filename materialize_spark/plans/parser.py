@@ -46,6 +46,25 @@ _INTERVAL_UNITS = {
 }
 
 
+def _split_top_level_commas(span: str) -> list[str]:
+    """Split an option list on commas outside parentheses (so
+    ``decimal(12,2)`` survives as one token)."""
+    parts, depth, cur = [], 0, []
+    for ch in span:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
 def _cluster_opts(span: str) -> dict[str, str]:
     """(SIZE 'x', REPLICATION FACTOR n, ...) — unknown options are
     accepted and ignored (managed-cluster knobs are orchestration
@@ -317,6 +336,29 @@ class AlterConnection(Stmt):
     name: str
     sets: dict
     resets: list
+
+
+@dataclass
+class CreateNetworkPolicy(Stmt):
+    """CREATE NETWORK POLICY p (RULES (r1 (ACTION 'allow', DIRECTION
+    'ingress', ADDRESS '1.2.3.0/24'), ...)) (reference
+    CreateNetworkPolicyStatement; rule options statement.rs
+    NetworkPolicyRuleOptionName: Direction, Action, Address)."""
+    name: str
+    rules: list    # [(rule_name, action, direction, address_cidr)]
+    replace: bool = False   # ALTER NETWORK POLICY reuses the node
+
+
+@dataclass
+class CreateType(Stmt):
+    """CREATE TYPE t AS LIST (ELEMENT TYPE = ty) | AS MAP (KEY TYPE =
+    ty, VALUE TYPE = ty) (reference CreateTypeStatement, statement.rs;
+    sql/src/plan/statement/ddl.rs custom list/map types)."""
+    name: str
+    kind: str                    # "list" | "map"
+    element: str | None = None   # list element type
+    key: str | None = None       # map key type
+    value: str | None = None     # map value type
 
 
 @dataclass
@@ -729,6 +771,33 @@ class Parser:
             name = self.ident()
             self.expect_end()
             return CreateDatabase(name, if_not_exists=if_not_exists)
+        if self.take_kw("NETWORK", "POLICY"):
+            name = self.ident()
+            rules = self._p_network_rules(self.paren_span())
+            self.expect_end()
+            return CreateNetworkPolicy(name, rules)
+        if self.take_kw("TYPE"):
+            # CREATE TYPE t AS LIST (ELEMENT TYPE = ty) / AS MAP (KEY
+            # TYPE = ty, VALUE TYPE = ty) (reference CreateTypeStatement)
+            name = self.ident()
+            self.expect_kw("AS")
+            if self.take_kw("LIST"):
+                opts = self._type_opts(self.paren_span())
+                if "element type" not in opts:
+                    raise ParseError("LIST types need ELEMENT TYPE",
+                                     self.peek())
+                self.expect_end()
+                return CreateType(name, "list",
+                                  element=opts["element type"])
+            if self.take_kw("MAP"):
+                opts = self._type_opts(self.paren_span())
+                if "key type" not in opts or "value type" not in opts:
+                    raise ParseError("MAP types need KEY TYPE and "
+                                     "VALUE TYPE", self.peek())
+                self.expect_end()
+                return CreateType(name, "map", key=opts["key type"],
+                                  value=opts["value type"])
+            raise ParseError("expected LIST or MAP", self.peek())
         if self.take_kw("CLUSTER", "REPLICA"):
             # CREATE CLUSTER REPLICA c.r [(SIZE '...')]
             cluster = self.ident()
@@ -1076,6 +1145,47 @@ class Parser:
                 return privs
             self.next()
 
+    @staticmethod
+    def _p_network_rules(span: str) -> list:
+        """RULES (r1 (ACTION 'allow', DIRECTION 'ingress', ADDRESS
+        '1.2.3.0/24'), r2 (...)) → [(name, action, direction, cidr)]."""
+        p = Parser(span)
+        p.expect_kw("RULES")
+        rules = []
+        inner = Parser(p.paren_span())
+        while inner.peek().kind != "EOF":
+            rname = inner.ident()
+            opts: dict[str, str] = {}
+            for part in _split_top_level_commas(inner.paren_span()):
+                k, _, v = part.partition("=")
+                opts[k.strip().lower()] = v.strip().strip("'")
+            missing = {"action", "direction", "address"} - set(opts)
+            if missing:
+                raise ParseError(
+                    f"network policy rule {rname!r} missing "
+                    f"{sorted(missing)}")
+            rules.append((rname, opts["action"].lower(),
+                          opts["direction"].lower(), opts["address"]))
+            if inner.peek().kind == "COMMA":
+                inner.next()
+        p.expect_end()
+        return rules
+
+    @staticmethod
+    def _type_opts(span: str) -> dict[str, str]:
+        """Parse ``KEY TYPE = ty, VALUE TYPE = ty`` style option lists
+        (types may carry parens, e.g. decimal(12,2))."""
+        opts: dict[str, str] = {}
+        for part in _split_top_level_commas(span):
+            if "=" in part:
+                k, _, v = part.partition("=")
+            else:  # ELEMENT TYPE int4 (option value without '=')
+                toks = part.rsplit(None, 1)
+                k, v = (toks[0], toks[1]) if len(toks) == 2 \
+                    else (part, "")
+            opts[" ".join(k.split()).lower()] = v.strip().lower()
+        return opts
+
     def _ident_list(self) -> list[str]:
         names = [self.ident()]
         while self.peek().kind == "COMMA":
@@ -1225,6 +1335,14 @@ class Parser:
             self.expect_end()
             return AlterDefaultPrivileges(target, schema, privs, grantee,
                                           is_grant=is_grant)
+        if self.take_kw("NETWORK", "POLICY"):
+            # ALTER NETWORK POLICY p SET (RULES (...)) — replaces the
+            # rule set (reference AlterNetworkPolicyStatement)
+            name = self.ident()
+            self.expect_kw("SET")
+            rules = self._p_network_rules(self.paren_span())
+            self.expect_end()
+            return CreateNetworkPolicy(name, rules, replace=True)
         if self.take_kw("ROLE"):
             # ALTER ROLE r SET var = v | ALTER ROLE r RESET var — role
             # default variables (reference AlterRoleStatement); role
@@ -1461,7 +1579,7 @@ class Parser:
             self.take_kw("MATERIALIZED")
             if not (self.take_kw("VIEW") or self.take_kw("TABLE")
                     or self.take_kw("SOURCE") or self.take_kw("SINK")
-                    or self.take_kw("INDEX")
+                    or self.take_kw("INDEX") or self.take_kw("TYPE")
                     or self.take_kw("CONNECTION")):
                 raise ParseError("expected object kind", self.peek())
             name = self.ident()
@@ -1480,6 +1598,9 @@ class Parser:
         if self.take_kw("CLUSTER", "REPLICAS"):
             self.expect_end()
             return Show("cluster replicas")
+        if self.take_kw("NETWORK", "POLICIES"):
+            self.expect_end()
+            return Show("network policies")
         if self.take_kw("SUBSOURCES"):
             src = self.ident() if self.take_kw("FROM") else None
             self.expect_end()
@@ -1487,7 +1608,7 @@ class Parser:
         t = self.next()
         kinds = ("VIEWS", "TABLES", "INDEXES", "SOURCES", "SINKS",
                  "SECRETS", "CONNECTIONS", "ROLES", "DATABASES", "SCHEMAS",
-                 "CLUSTERS", "OBJECTS")
+                 "CLUSTERS", "OBJECTS", "TYPES")
         if t.kind != "WORD" or t.upper not in kinds:
             # SHOW <session variable> (reference SHOW for vars.rs names)
             if t.kind == "WORD" and self.peek().kind in ("EOF", "SEMI"):

@@ -387,6 +387,18 @@ class MzPgServer:
                     b"E", b"SFATAL\0C53300\0"
                           b"Mtoo many connections\0\0"))
                 return
+            # network-policy gate (reference adapter check on new
+            # sessions; 28000 = invalid_authorization_specification)
+            try:
+                peer = conn.getpeername()[0]
+                self.session.check_network(peer)
+            except PermissionError as ex:
+                conn.sendall(self._msg(
+                    b"E", b"SFATAL\0C28000\0M" + str(ex).encode()
+                          + b"\0\0"))
+                return
+            except OSError:
+                pass
             if self._auth and not self._scram_handshake(
                     conn, startup.get("user", "")):
                 return

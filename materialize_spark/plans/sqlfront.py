@@ -40,6 +40,7 @@ from materialize_spark.plans.lexer import LexError, split_statements
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
     r"|sources|sinks|arrangement_sizes|comments|roles|role_members"
+    r"|types|network_policy_rules"
     r"|default_privileges|clusters"
     r"|cluster_replicas|databases|schemas"
     r"|source_statuses|sink_statuses|source_statistics"
@@ -94,16 +95,19 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
-def _pg_coldefs(coldefs: str) -> str:
+def _pg_coldefs(coldefs: str, custom_types: dict[str, str] | None = None
+                ) -> str:
     """Translate a PG column-def list to Spark DDL (paren-aware, so
-    ``decimal(12,2)`` next to other columns survives)."""
+    ``decimal(12,2)`` next to other columns survives). ``custom_types``
+    resolves CREATE TYPE names in column positions."""
     from materialize_spark.plans.dialect import _PG_TYPES
     cols = []
     for part in split_top_level(coldefs):
         toks = part.split(None, 1)
         name = toks[0]
         typ = toks[1].strip() if len(toks) > 1 else "string"
-        typ = _PG_TYPES.get(typ.lower(), typ)
+        typ = (custom_types or {}).get(typ.lower()) \
+            or _PG_TYPES.get(typ.lower(), typ)
         cols.append(f"{name} {typ}")
     return ", ".join(cols)
 
@@ -133,6 +137,8 @@ class MzSession:
                                   "isolation level."),
         "statement_timeout": ("0", "Aborts any statement that runs "
                                    "longer than this duration."),
+        "network_policy": ("default", "Sets the network policy that "
+                                      "gates new connections."),
         "timezone": ("UTC", "Sets the time zone for timestamp display "
                             "and conversion."),
         "server_version": ("9.5.0", "Shows the PostgreSQL-compatible "
@@ -226,6 +232,21 @@ class MzSession:
         # ALTER ROLE r SET var = v — role defaults applied at SET ROLE
         # unless the session explicitly SET the var (vars.rs precedence)
         self._role_vars: dict[str, dict[str, str]] = {}
+        # network policies (reference CreateNetworkPolicyStatement;
+        # adapter enforcement on new connections): name → rule list of
+        # (rule_name, action, direction, cidr). The built-in 'default'
+        # policy is open, like the reference's.
+        self._network_policies: dict[str, list[tuple]] = {
+            "default": [("open_ingress", "allow", "ingress",
+                         "0.0.0.0/0")],
+        }
+        # custom types (reference CreateTypeStatement: CREATE TYPE ... AS
+        # LIST/MAP, ddl.rs custom types): name → Spark DDL type string.
+        # Spark types are structural, so custom types resolve to their
+        # definition at use sites (casts, column defs) — the nominal-
+        # vs-structural distinction the reference enforces is documented
+        # as a capability delta.
+        self._types: dict[str, str] = {}
         # database/schema namespaces (reference names.rs 3-part naming;
         # materialize.public IS the flat namespace)
         from materialize_spark.plans.namespaces import NamespaceState
@@ -341,7 +362,7 @@ class MzSession:
         if _WMR_RE.match(body):
             from materialize_spark.plans.parser import parse_statement
             return self._wmr(parse_statement(body), body)
-        return self.spark.sql(rewrite(body))
+        return self.spark.sql(self._resolve_custom_types(rewrite(body)))
 
     # -- delta-maintained MVs (WITH (MAINTENANCE 'delta')) -------------------
     def _create_delta_mv(self, node: ast.CreateView) -> None:
@@ -528,7 +549,7 @@ class MzSession:
         self._apply_default_privs(node.name)
         if node.if_not_exists and node.name in self.catalog._tables:
             return None
-        ddl = _pg_coldefs(node.coldefs)
+        ddl = _pg_coldefs(node.coldefs, self._types)
         self.catalog.register_table(
             node.name, self.spark.createDataFrame([], ddl))
 
@@ -1077,6 +1098,24 @@ class MzSession:
             self._secrets.pop(node.name, None)
             self._owners.pop(node.name, None)
             return None
+        if node.kind == "type":
+            if node.name.lower() not in self._types \
+                    and not node.if_exists:
+                raise KeyError(f"unknown type {node.name!r}")
+            self._types.pop(node.name.lower(), None)
+            self._owners.pop(node.name, None)
+            return None
+        if node.kind == "network policy":
+            if node.name not in self._network_policies \
+                    and not node.if_exists:
+                raise KeyError(f"unknown network policy {node.name!r}")
+            if node.name == self._vars.get("network_policy"):
+                raise PermissionError(
+                    f"cannot drop the active network policy "
+                    f"{node.name!r}")
+            self._network_policies.pop(node.name, None)
+            self._owners.pop(node.name, None)
+            return None
         if node.kind == "connection":
             if node.name not in self._connections and not node.if_exists:
                 raise KeyError(f"unknown connection {node.name!r}")
@@ -1496,6 +1535,18 @@ class MzSession:
         if kind == "secrets":
             rows = [(n,) for n in sorted(self._secrets)]
             return self.spark.createDataFrame(rows or [], "name string")
+        if kind == "network policies":
+            rows = [(n, ", ".join(r[0] for r in rs))
+                    for n, rs in sorted(self._network_policies.items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, rules string")
+        if kind == "types":
+            # SHOW TYPES: (name, category) — list vs map, like the
+            # reference's mz_types category column
+            rows = [(n, "list" if t.startswith("array") else "map")
+                    for n, t in sorted(self._types.items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, category string")
         if kind == "connections":
             rows = [(n, c["type"])
                     for n, c in sorted(self._connections.items())]
@@ -1738,7 +1789,7 @@ class MzSession:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", self._vars["cluster"])
         with self._strict():
-            return self.spark.sql(rewrite(sql))
+            return self.spark.sql(self._resolve_custom_types(rewrite(sql)))
 
     # -- WITH MUTUALLY RECURSIVE --------------------------------------------
     def _wmr(self, node: ast.Wmr, sql: str) -> DataFrame:
@@ -2051,6 +2102,80 @@ class MzSession:
                 f"must be owner of {node.name} to alter it")
         self._secrets[node.name] = node.value
 
+    # -- network policies ------------------------------------------------------
+    def _create_network_policy(self, node: ast.CreateNetworkPolicy,
+                               sql: str):
+        """CREATE/ALTER NETWORK POLICY (reference
+        CreateNetworkPolicyStatement / AlterNetworkPolicyStatement).
+        Rules are validated eagerly: action must be 'allow' (the
+        reference's only action), direction 'ingress', address a valid
+        CIDR block."""
+        import ipaddress
+        if not node.replace and node.name in self._network_policies:
+            raise KeyError(f"network policy {node.name!r} already exists")
+        if node.replace and node.name not in self._network_policies:
+            raise KeyError(f"unknown network policy {node.name!r}")
+        for rname, action, direction, cidr in node.rules:
+            if action != "allow":
+                raise ValueError(
+                    f"rule {rname!r}: unknown ACTION {action!r} "
+                    "(only 'allow' is supported)")
+            if direction != "ingress":
+                raise ValueError(
+                    f"rule {rname!r}: unknown DIRECTION {direction!r}")
+            ipaddress.ip_network(cidr)  # raises ValueError on bad CIDR
+        self._network_policies[node.name] = list(node.rules)
+
+    def check_network(self, peer_ip: str) -> None:
+        """Connection-time enforcement: the active policy (system var
+        ``network_policy``) must contain an allow rule matching the
+        peer address, else the connection is denied (reference adapter
+        network-policy check, error 'session denied')."""
+        import ipaddress
+        policy = self._network_policies.get(
+            self._vars.get("network_policy", "default"), [])
+        addr = ipaddress.ip_address(peer_ip)
+        for _rname, action, direction, cidr in policy:
+            if action == "allow" and direction == "ingress" \
+                    and addr in ipaddress.ip_network(cidr):
+                return
+        raise PermissionError(
+            f"session denied by network policy for address {peer_ip}")
+
+    # -- custom types ----------------------------------------------------------
+    def _create_type(self, node: ast.CreateType, sql: str):
+        """CREATE TYPE ... AS LIST/MAP (reference CreateTypeStatement;
+        ddl.rs plan_create_type). Element/key/value types resolve
+        through the PG-type map and may reference earlier custom types
+        (the reference allows nested custom types the same way)."""
+        if node.name.lower() in self._types:
+            raise KeyError(f"type {node.name!r} already exists")
+        from materialize_spark.plans.dialect import _PG_TYPES
+
+        def res(t: str) -> str:
+            t = t.lower()
+            return self._types.get(t) or _PG_TYPES.get(t, t)
+
+        if node.kind == "list":
+            spark_t = f"array<{res(node.element)}>"
+        else:
+            key_t = res(node.key)
+            if key_t.lower() not in ("string", "text"):
+                # reference map keys must be text (ddl.rs)
+                raise ValueError("MAP key type must be text")
+            spark_t = f"map<string,{res(node.value)}>"
+        self._types[node.name.lower()] = spark_t
+        self._owners[node.name] = self._role
+
+    def _resolve_custom_types(self, s: str) -> str:
+        """Substitute registered custom type names at cast sites
+        (``CAST(x AS t)`` — the ``::t`` form already rewrote to CAST)."""
+        if not self._types:
+            return s
+        for name, typ in self._types.items():
+            s = re.sub(rf"(?i)(\bAS\s+){name}\b", rf"\g<1>{typ}", s)
+        return s
+
     def _alter_connection(self, node: ast.AlterConnection, sql: str):
         if node.name not in self._connections:
             raise KeyError(f"unknown connection {node.name!r}")
@@ -2072,6 +2197,10 @@ class MzSession:
         if node.name == "database" \
                 and node.value not in self._ns.databases:
             raise KeyError(f"unknown database {node.value!r}")
+        if node.name == "network_policy" \
+                and node.value not in self._network_policies:
+            raise KeyError(
+                f"unknown network policy {node.value!r}")
         if node.name == "cluster" and node.value not in self._clusters:
             raise KeyError(f"unknown cluster {node.value!r}")
         self._vars[node.name] = node.value
@@ -2115,6 +2244,10 @@ class MzSession:
         if node.value is None:
             self._system_vars.pop(name, None)
         else:
+            if name == "network_policy" \
+                    and node.value not in self._network_policies:
+                raise KeyError(
+                    f"unknown network policy {node.value!r}")
             self._system_vars[name] = node.value
         if name not in self._session_set:
             self._vars[name] = self._var_default(name)
@@ -2196,7 +2329,8 @@ class MzSession:
         "CreateClusterReplica", "AlterCluster", "AlterSystem", "ResetVar",
         "GrantRole", "RevokeRole", "AlterOwner", "AlterSwap",
         "ReassignOwned", "DropOwned", "AlterDefaultPrivileges",
-        "AlterRoleSet", "AlterSecret", "AlterConnection",
+        "AlterRoleSet", "AlterSecret", "AlterConnection", "CreateType",
+        "CreateNetworkPolicy",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -2264,6 +2398,8 @@ class MzSession:
         ast.Discard: _discard,
         ast.AlterSecret: _alter_secret,
         ast.AlterConnection: _alter_connection,
+        ast.CreateType: _create_type,
+        ast.CreateNetworkPolicy: _create_network_policy,
         ast.SetRole: _set_role,
         ast.SetVar: _set_var,
         ast.ResetVar: _reset_var,
@@ -2453,6 +2589,21 @@ class MzSession:
         # roles (reference mz_catalog.mz_roles)
         mk([(f"r{i + 1}", r) for i, r in enumerate(sorted(self._roles))],
            "id string, name string").createOrReplaceTempView("mz_roles")
+        # custom types (reference mz_catalog.mz_types: id, name,
+        # category)
+        mk([(f"u{i + 1}", n,
+             "list" if t.startswith("array") else "map")
+            for i, (n, t) in enumerate(sorted(self._types.items()))],
+           "id string, name string, category string"
+           ).createOrReplaceTempView("mz_types")
+        # network policies (reference mz_internal.mz_network_policies +
+        # mz_network_policy_rules)
+        mk([(n, r[0], r[1], r[2], r[3])
+            for n, rs in sorted(self._network_policies.items())
+            for r in rs],
+           "policy string, rule string, action string, "
+           "direction string, address string"
+           ).createOrReplaceTempView("mz_network_policy_rules")
         # role membership edges (reference mz_catalog.mz_role_members:
         # role_id, member, grantor — names here, this catalog keys by
         # name)

@@ -75,6 +75,9 @@ def load_all() -> dict[str, QuerySpec]:
         "dedup_incremental_lsh", "sqlfront_http_api",
         "sqlfront_delta_mv", "sqlfront_source_status",
         "sqlfront_system_vars",
+        # --- round-8 session additions: admin surface ---
+        "sqlfront_role_membership", "sqlfront_ownership",
+        "sqlfront_create_type", "sqlfront_network_policy",
         # --- oldest sentinels: r2-certified scalar batteries ---
         "scalar_math", "scalar_string", "scalar_regex", "scalar_casts",
         # --- r3-certified: timestamps, jsonb, collections ---
@@ -83,12 +86,16 @@ def load_all() -> dict[str, QuerySpec]:
         "scalar_parse_timestamp", "jsonb_ops",
         "array_functions", "map_functions", "interval_arithmetic",
         # --- r4-certified: set ops, joins, windows, envelopes, aggs ---
+        # (4 family-redundant r4 sentinels rotated out for the four new
+        # round-8 entries: cross_join_pairs, window_hopping,
+        # tablefunc_generate_series, agg_battery — each family keeps at
+        # least one sentinel below and stays green in the local gate)
         "setops_union_all", "setops_except_intersect",
-        "distinct_on_first_order", "outer_join_full", "cross_join_pairs",
-        "window_functions", "window_tumbling", "window_hopping",
+        "distinct_on_first_order", "outer_join_full",
+        "window_functions", "window_tumbling",
         "temporal_filter", "sessionization", "topk_events_per_user",
-        "tablefunc_generate_series", "tablefunc_unnest_ordinality",
-        "agg_battery", "agg_decimal", "tablefunc_battery",
+        "tablefunc_unnest_ordinality",
+        "agg_decimal", "tablefunc_battery",
         # --- r4/r5-certified tail ---
         "subquery_decorrelated", "text_language_id",
         "letrec_reachability", "join_skew_salted",

@@ -735,3 +735,107 @@ def sqlfront_ownership(spark, sf_dir):
     rows.append(("owned_objs_after_drop", left))
     return spark.createDataFrame(
         rows, "step string, outcome long").orderBy("step")
+
+
+@register(
+    "sqlfront_create_type",
+    """
+    -- oracle: literal truth of the custom-type script
+    SELECT * FROM (VALUES
+        ('cast_list',   '1,2,3',  CAST(3 AS BIGINT)),
+        ('cast_map',    'k=9',    CAST(1 AS BIGINT)),
+        ('table_col',   '4,5',    CAST(2 AS BIGINT)),
+        ('mz_types',    'ctq_ints:list,ctq_scores:map', CAST(2 AS BIGINT))
+    ) AS t(step, rendered, n)
+    ORDER BY step
+    """,
+    "sqlfront", "create-type",
+)
+def sqlfront_create_type(spark, sf_dir):
+    """Custom types end-to-end: CREATE TYPE ... AS LIST/MAP resolves at
+    cast sites and in column definitions, and mz_types lists the
+    catalog (reference CreateTypeStatement, statement.rs;
+    sql/src/plan/statement/ddl.rs plan_create_type). Outputs stringify
+    per the registry convention."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TYPE ctq_ints AS LIST (ELEMENT TYPE = int4)")
+    sess.execute("CREATE TYPE ctq_scores AS MAP (KEY TYPE = text, "
+                 "VALUE TYPE = int8)")
+    r1 = sess.sql(
+        "SELECT array_join(array(1,2,3)::ctq_ints, ',') AS s, "
+        "size(array(1,2,3)::ctq_ints) AS n").first()
+    r2 = sess.sql(
+        "SELECT concat_ws('=', map_keys(CAST(map('k', 9) AS "
+        "ctq_scores))[0], map_values(CAST(map('k', 9) AS "
+        "ctq_scores))[0]) AS s, size(map('k', 9)::ctq_scores) AS n"
+    ).first()
+    sess.execute("CREATE TABLE ctq_t (k STRING, vals ctq_ints)")
+    sess.execute("INSERT INTO ctq_t VALUES ('a', array(4,5))")
+    r3 = sess.sql("SELECT array_join(vals, ',') AS s, size(vals) AS n "
+                  "FROM ctq_t").first()
+    r4 = sess.sql(
+        "SELECT concat_ws(',', collect_list(concat(name, ':', "
+        "category))) AS s, count(*) AS n FROM (SELECT name, category "
+        "FROM mz_types ORDER BY name)").first()
+    rows = [("cast_list", r1.s, r1.n), ("cast_map", r2.s, r2.n),
+            ("table_col", r3.s, r3.n), ("mz_types", r4.s, r4.n)]
+    return spark.createDataFrame(
+        rows, "step string, rendered string, n long").orderBy("step")
+
+
+@register(
+    "sqlfront_network_policy",
+    """
+    -- oracle: literal truth of the network-policy script
+    SELECT * FROM (VALUES
+        ('default_localhost',  TRUE),
+        ('office_localhost',   FALSE),
+        ('office_intranet',    TRUE),
+        ('pgwire_denied',      TRUE),
+        ('pgwire_readmitted',  TRUE)
+    ) AS t(step, outcome)
+    ORDER BY step
+    """,
+    "sqlfront", "network-policy",
+)
+def sqlfront_network_policy(spark, sf_dir):
+    """Network policies end-to-end: the active policy's CIDR allow
+    rules gate new sessions — checked at the session layer and over a
+    real pgwire connection that is denied, then re-admitted after
+    ALTER NETWORK POLICY (reference CreateNetworkPolicyStatement /
+    AlterNetworkPolicyStatement + the adapter's session deny)."""
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient
+    sess = MzSession(spark, sf_dir)
+    rows = []
+
+    def allowed(ip):
+        try:
+            sess.check_network(ip)
+            return True
+        except PermissionError:
+            return False
+
+    rows.append(("default_localhost", allowed("127.0.0.1")))
+    sess.execute("CREATE NETWORK POLICY npq_office (RULES (ny (ACTION "
+                 "= 'allow', DIRECTION = 'ingress', ADDRESS = "
+                 "'10.1.0.0/16')))")
+    sess.execute("ALTER SYSTEM SET network_policy = npq_office")
+    rows.append(("office_localhost", allowed("127.0.0.1")))
+    rows.append(("office_intranet", allowed("10.1.2.3")))
+    with MzPgServer(sess) as srv:
+        try:
+            PgWireClient(srv.host, srv.port)
+            denied = False
+        except ValueError:
+            denied = True
+        rows.append(("pgwire_denied", denied))
+        sess.execute("ALTER NETWORK POLICY npq_office SET (RULES (lo "
+                     "(ACTION = 'allow', DIRECTION = 'ingress', "
+                     "ADDRESS = '127.0.0.0/8')))")
+        client = PgWireClient(srv.host, srv.port)
+        ok = client.query("SELECT 1 AS x")[0]["rows"] == [["1"]]
+        client.close()
+        rows.append(("pgwire_readmitted", ok))
+    sess.execute("ALTER SYSTEM RESET network_policy")
+    return spark.createDataFrame(
+        rows, "step string, outcome boolean").orderBy("step")

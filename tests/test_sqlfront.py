@@ -1310,3 +1310,75 @@ def test_swap_discard_alter_secret(spark):
     s.execute("PREPARE disc_p AS SELECT 1")
     s.execute("DISCARD ALL")
     assert s._role == "materialize" and not s._prepared
+
+
+def test_create_type_list_and_map(spark):
+    """CREATE TYPE ... AS LIST/MAP: custom types resolve at cast sites
+    and in column definitions; mz_types lists them; DROP TYPE removes
+    (reference CreateTypeStatement, ddl.rs plan_create_type)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TYPE ct_ints AS LIST (ELEMENT TYPE = int4)")
+    s.execute("CREATE TYPE ct_scores AS MAP (KEY TYPE = text, "
+              "VALUE TYPE = int8)")
+    s.execute("CREATE TYPE ct_matrix AS LIST (ELEMENT TYPE = ct_ints)")
+    assert s.sql("SELECT array(1,2)::ct_ints AS a").first().a == [1, 2]
+    assert s.sql("SELECT CAST(map('k', 9) AS ct_scores) AS m") \
+        .first().m == {"k": 9}
+    assert s.sql("SELECT array(array(1),array(2,3))::ct_matrix AS m") \
+        .first().m == [[1], [2, 3]]
+    s.execute("CREATE TABLE ct_t (k STRING, vals ct_ints)")
+    s.execute("INSERT INTO ct_t VALUES ('a', array(1,2,3))")
+    assert s.sql("SELECT size(vals) AS n FROM ct_t").first().n == 3
+    cats = {(r.name, r.category)
+            for r in s.sql("SELECT * FROM mz_types").collect()}
+    assert ("ct_ints", "list") in cats and ("ct_scores", "map") in cats
+    create = s.execute("SHOW CREATE TYPE ct_ints").first().create_sql
+    assert create.startswith("CREATE TYPE ct_ints AS LIST")
+    # map keys must be text like the reference
+    with pytest.raises(ValueError):
+        s.execute("CREATE TYPE ct_bad AS MAP (KEY TYPE = int4, "
+                  "VALUE TYPE = int8)")
+    s.execute("DROP TYPE ct_matrix")
+    assert s.execute("SHOW TYPES").count() == 2
+    with pytest.raises(KeyError):
+        s.execute("DROP TYPE ct_matrix")
+
+
+def test_network_policy_enforcement(spark):
+    """Network policies gate connections by peer CIDR: pgwire denies a
+    client outside the active policy's allow rules (reference
+    CreateNetworkPolicyStatement + adapter session checks)."""
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE NETWORK POLICY np_office (RULES (ny (ACTION = "
+              "'allow', DIRECTION = 'ingress', ADDRESS = '10.1.0.0/16')))")
+    # session-level check: default policy is open
+    s.check_network("127.0.0.1")
+    s.execute("ALTER SYSTEM SET network_policy = np_office")
+    with pytest.raises(PermissionError):
+        s.check_network("127.0.0.1")
+    s.check_network("10.1.2.3")
+    # active policy cannot be dropped; unknown policy cannot be set
+    with pytest.raises(PermissionError):
+        s.execute("DROP NETWORK POLICY np_office")
+    with pytest.raises(KeyError):
+        s.execute("ALTER SYSTEM SET network_policy = nonexistent")
+    # pgwire: denied while the policy excludes localhost, fine after
+    # ALTER NETWORK POLICY re-admits it
+    with MzPgServer(s) as srv:
+        with pytest.raises(ValueError, match="network policy"):
+            PgWireClient(srv.host, srv.port)
+        s.execute("ALTER NETWORK POLICY np_office SET (RULES (lo "
+                  "(ACTION = 'allow', DIRECTION = 'ingress', "
+                  "ADDRESS = '127.0.0.0/8')))")
+        c = PgWireClient(srv.host, srv.port)
+        assert c.query("SELECT 1 AS x")[0]["rows"] == [["1"]]
+        c.close()
+    s.execute("ALTER SYSTEM RESET network_policy")
+    # rules are validated eagerly
+    with pytest.raises(ValueError):
+        s.execute("CREATE NETWORK POLICY np_bad (RULES (r (ACTION = "
+                  "'deny', DIRECTION = 'ingress', ADDRESS = '1.2.3.0/24')))")
+    with pytest.raises(ValueError):
+        s.execute("CREATE NETWORK POLICY np_bad2 (RULES (r (ACTION = "
+                  "'allow', DIRECTION = 'ingress', ADDRESS = 'nonsense')))")
