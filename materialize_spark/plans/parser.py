@@ -1639,11 +1639,17 @@ class Parser:
             self.expect_end()
             return ExplainTimestamp(name)
         stage = "PHYSICAL"
-        for s in ("RAW", "OPTIMIZED", "PHYSICAL", "ANALYZE"):
-            if self.take_kw(s):
-                stage = s
-                break
-        self.take_kw("PLAN", "FOR")
+        if self.take_kw("FILTER", "PUSHDOWN"):
+            # reference ExplainPushdownStatement (EXPLAIN FILTER
+            # PUSHDOWN FOR SELECT ...)
+            stage = "PUSHDOWN"
+        else:
+            for s in ("RAW", "OPTIMIZED", "PHYSICAL", "ANALYZE"):
+                if self.take_kw(s):
+                    stage = s
+                    break
+        self.take_kw("PLAN")
+        self.take_kw("FOR")
         if not (self.at_kw("SELECT") or self.at_kw("WITH")):
             raise ParseError("expected a query", self.peek())
         return Explain(self.rest(), stage=stage)

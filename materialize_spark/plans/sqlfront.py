@@ -1681,6 +1681,57 @@ class MzSession:
                 rows or [(0, "", "", 0)],
                 "depth int, operator string, metric string, value long") \
                 .filter("operator <> ''")
+        if node.stage == "PUSHDOWN":
+            # EXPLAIN FILTER PUSHDOWN (reference
+            # ExplainPushdownStatement — which predicates reach storage
+            # and prune parts before reading). Spark analog: per scan
+            # node, the PushedFilters that reach the parquet reader
+            # (row-group/page pruning) vs the DataFilters evaluated
+            # post-scan; an empty pushdown on a filtered scan is the
+            # smell the statement exists to catch.
+            qe = df._jdf.queryExecution()
+            rows = []
+
+            def scan_walk(plan):
+                name = plan.nodeName()
+                if "Scan" in name:
+                    src, pushed, post = name, "[]", "[]"
+                    try:
+                        # FileSourceScanExec: PushedFilters reach the
+                        # parquet reader (row-group/page pruning)
+                        md = plan.metadata()
+                        it = md.iterator()
+                        meta = {}
+                        while it.hasNext():
+                            kv = it.next()
+                            meta[str(kv._1())] = str(kv._2())
+                        src = meta.get("Location", name)
+                        src = src.rstrip("]").rsplit("/", 1)[-1] \
+                            if "/" in src else src
+                        pushed = meta.get("PushedFilters", "[]")
+                        post = meta.get("DataFilters", "[]")
+                    except Exception:
+                        # InMemoryTableScan (cached arrangement): its
+                        # predicate list prunes cached batches by
+                        # min/max stats — the arrangement-side pushdown
+                        simple = str(plan.simpleString(20))
+                        m = re.findall(r"\[([^\[\]]*)\]", simple)
+                        if len(m) >= 2 and m[1].strip():
+                            pushed = f"[{m[1]}]"
+                    rows.append((src, pushed, post))
+                if name.startswith("AdaptiveSparkPlan"):
+                    scan_walk(plan.executedPlan())
+                elif name.endswith("QueryStage"):
+                    scan_walk(plan.plan())
+                ch = plan.children().iterator()
+                while ch.hasNext():
+                    scan_walk(ch.next())
+
+            scan_walk(qe.executedPlan())
+            return self.spark.createDataFrame(
+                rows or [("", "[]", "[]")],
+                "source string, pushed_filters string, "
+                "post_scan_filters string").filter("source <> ''")
         qe = df._jdf.queryExecution()
         text = {
             "RAW": lambda: qe.logical().toString(),

@@ -1382,3 +1382,21 @@ def test_network_policy_enforcement(spark):
     with pytest.raises(ValueError):
         s.execute("CREATE NETWORK POLICY np_bad2 (RULES (r (ACTION = "
                   "'allow', DIRECTION = 'ingress', ADDRESS = 'nonsense')))")
+
+
+def test_explain_filter_pushdown(spark):
+    """EXPLAIN FILTER PUSHDOWN reports, per scan, the predicates that
+    reach storage (reference ExplainPushdownStatement): parquet scans
+    show PushedFilters, cached arrangements show their batch-pruning
+    predicate list."""
+    s = MzSession(spark, SF_DIR)
+    rows = s.sql("EXPLAIN FILTER PUSHDOWN FOR SELECT l_orderkey FROM "
+                 "lineitem WHERE l_quantity > 40").collect()
+    assert rows and any("l_quantity" in r.pushed_filters for r in rows)
+    # raw parquet path: the filter must reach the reader
+    spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .createOrReplaceTempView("efp_orders_raw")
+    rows = s.sql("EXPLAIN FILTER PUSHDOWN FOR SELECT o_orderkey FROM "
+                 "efp_orders_raw WHERE o_totalprice > 100000").collect()
+    assert any("GreaterThan(o_totalprice" in r.pushed_filters
+               for r in rows), rows
