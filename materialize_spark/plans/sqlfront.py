@@ -66,6 +66,22 @@ _DELTA_MV_RE = re.compile(
     r"(?P<thr>-?\d+(?:\.\d+)?)\s*;?\s*$",
     re.I | re.S)
 
+# multi-aggregate delta-MV shape (no HAVING): SELECT keys, AGG(col) AS
+# a[, ...] FROM t [WHERE ...] GROUP BY keys — maintained by
+# RetractionAwareAgg (reference reduce plans: Accumulable for
+# sum/count/avg, Hierarchical for min/max under retractions,
+# src/compute-types/src/plan/reduce.rs)
+_DELTA_MV_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)\s*;?\s*$",
+    re.I | re.S)
+
+_DELTA_AGG_ITEM_RE = re.compile(
+    r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|\w+)\s*\)"
+    r"\s+as\s+(?P<alias>\w+)$", re.I)
+
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0, outside string literals — so
@@ -377,12 +393,16 @@ class MzSession:
 
         m = _DELTA_MV_RE.match(node.body)
         if not m:
+            if self._create_delta_mv_agg(node):
+                return
             raise ValueError(
                 "MAINTENANCE 'delta' supports single-table views of the "
                 "form SELECT <keys>, SUM(<col>) AS <alias> FROM <table> "
-                "[WHERE ...] GROUP BY <keys> HAVING SUM(<col>) > <n>; "
-                "use a plain MATERIALIZED VIEW (snapshot + REFRESH) for "
-                "other shapes")
+                "[WHERE ...] GROUP BY <keys> HAVING SUM(<col>) > <n>, "
+                "or SELECT <keys>, <SUM|COUNT|MIN|MAX|AVG>(<col>) AS "
+                "<alias>[, ...] FROM <table> [WHERE ...] GROUP BY "
+                "<keys>; use a plain MATERIALIZED VIEW (snapshot + "
+                "REFRESH) for other shapes")
         keys = [k.strip() for k in m.group("keys").split(",")]
         gkeys = [k.strip() for k in m.group("gkeys").split(",")]
         if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
@@ -416,6 +436,57 @@ class MzSession:
         self._feed_delta_mv(node.name, self.catalog._tables[table]
                             .withColumn("diff", F.lit(1)), initial=True)
 
+    def _create_delta_mv_agg(self, node: ast.CreateView) -> bool:
+        """Multi-aggregate delta MV: SELECT keys, AGG(col) AS a[, ...]
+        FROM t [WHERE] GROUP BY keys with AGG in SUM/COUNT/MIN/MAX/AVG.
+        Accumulable aggregates (sum/count/avg) maintain by merge;
+        min/max maintain hierarchically from a consolidated support
+        multiset, correct under DELETE/UPDATE retractions (reference
+        reduce plans, src/compute-types/src/plan/reduce.rs Accumulable
+        vs Hierarchical; streaming/retraction.py). Returns False when
+        the body is not this shape."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg,
+        )
+
+        m = _DELTA_MV_AGG_RE.match(node.body)
+        if not m:
+            return False
+        keys: list[str] = []
+        aggs: dict[str, tuple[str, str]] = {}
+        for item in split_top_level(m.group("select")):
+            item = item.strip()
+            am = _DELTA_AGG_ITEM_RE.match(item)
+            if am:
+                col = am.group("col")
+                if col == "*":
+                    if am.group("kind").lower() != "count":
+                        return False
+                    col = "__one"
+                aggs[am.group("alias")] = (am.group("kind").lower(), col)
+            elif re.fullmatch(r"\w+", item) and not aggs:
+                keys.append(item)
+            else:
+                return False   # expression keys / unaliased aggregates
+        if not aggs or not keys:
+            return False
+        gkeys = [k.strip() for k in m.group("gkeys").split(",")]
+        if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
+            raise ValueError("MAINTENANCE 'delta': the SELECT keys must "
+                             "equal the GROUP BY keys")
+        table = m.group("table")
+        if table not in self.catalog._tables:
+            raise KeyError(f"unknown table {table!r}")
+        mv = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
+        spec = {"mv": mv, "table": table, "keys": keys, "aggs": aggs,
+                "where": m.group("where"), "kind": "agg"}
+        self._delta_mvs[node.name] = spec
+        self._feed_delta_mv(node.name, self.catalog._tables[table]
+                            .withColumn("diff", F.lit(1)), initial=True)
+        return True
+
     def _feed_delta_mv(self, name: str, delta, initial: bool = False):
         """Fold one explicit-diff update frame of the BASE table into a
         delta MV and republish its (always fresh) result."""
@@ -426,10 +497,16 @@ class MzSession:
         if spec["where"]:
             delta = delta.filter(f"coalesce(({rewrite(spec['where'])}), "
                                  "false)")
-        if spec["val"] is None:  # COUNT(*): every row weighs 1
-            delta = delta.withColumn("__one", F.lit(1))
-        delta = delta.select(*spec["keys"], spec["val"] or "__one",
-                             "diff")
+        if spec.get("kind") == "agg":
+            in_cols = {c for _k, c in spec["aggs"].values()}
+            if "__one" in in_cols:  # COUNT(*): every row weighs 1
+                delta = delta.withColumn("__one", F.lit(1))
+            delta = delta.select(*spec["keys"], *sorted(in_cols), "diff")
+        else:
+            if spec["val"] is None:  # COUNT(*): every row weighs 1
+                delta = delta.withColumn("__one", F.lit(1))
+            delta = delta.select(*spec["keys"], spec["val"] or "__one",
+                                 "diff")
         old = self._matviews.get(name)
         result = spec["mv"].on_batch(delta)
         self._matviews[name] = result

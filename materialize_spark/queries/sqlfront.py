@@ -839,3 +839,42 @@ def sqlfront_network_policy(spark, sf_dir):
     sess.execute("ALTER SYSTEM RESET network_policy")
     return spark.createDataFrame(
         rows, "step string, outcome boolean").orderBy("step")
+
+
+@register(
+    "sqlfront_delta_mv_minmax",
+    """
+    -- oracle: recompute over the same deterministic write script
+    WITH base(k, v) AS (VALUES
+        ('a', 10), ('a', 3), ('b', 7), ('b', 25), ('c', 4),
+        ('a', 30), ('b', 1)),
+    after_del AS (SELECT * FROM base WHERE NOT (k = 'b' AND v < 5)),
+    after_upd AS (SELECT k, CASE WHEN k = 'a' THEN v + 5 ELSE v END AS v
+                  FROM after_del)
+    SELECT k, CAST(SUM(v) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+    FROM after_upd GROUP BY k ORDER BY k
+    """,
+    "sqlfront", "delta-mv-minmax",
+)
+def sqlfront_delta_mv_minmax(spark, sf_dir):
+    """Always-fresh multi-aggregate delta MV: MIN/MAX stay exact under
+    DELETE (which can evict the current extreme) and UPDATE, without
+    any REFRESH — the reference's Hierarchical reduce plan next to the
+    Accumulable one (src/compute-types/src/plan/reduce.rs:253-258;
+    maintained by streaming/retraction.RetractionAwareAgg)."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE dmq_t (k STRING, v BIGINT)")
+    sess.execute("CREATE MATERIALIZED VIEW dmq_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT k, SUM(v) AS total, COUNT(*) AS n, "
+                 "MIN(v) AS lo, MAX(v) AS hi FROM dmq_t GROUP BY k")
+    sess.execute("INSERT INTO dmq_t VALUES ('a', 10), ('a', 3), "
+                 "('b', 7), ('b', 25), ('c', 4)")
+    sess.execute("INSERT INTO dmq_t VALUES ('a', 30), ('b', 1)")
+    # delete a group's current MIN: the hierarchical path must re-derive
+    sess.execute("DELETE FROM dmq_t WHERE k = 'b' AND v < 5")
+    # update shifts every 'a' value (retract old + insert new)
+    sess.execute("UPDATE dmq_t SET v = v + 5 WHERE k = 'a'")
+    return sess.sql("SELECT k, total, n, lo, hi FROM dmq_mv "
+                    "ORDER BY k")

@@ -1107,10 +1107,19 @@ def test_delta_mv_unsupported_shape_errors(spark):
     from materialize_spark.plans.sqlfront import MzSession
     s = MzSession(spark, SF_DIR)
     s.execute("CREATE TABLE dmv3_t (k STRING, v BIGINT)")
+    # a grouped count with no HAVING is now the multi-aggregate shape —
+    # a join is still out of scope and must error explicitly
     with pytest.raises(ValueError, match="MAINTENANCE 'delta' supports"):
         s.execute("CREATE MATERIALIZED VIEW bad WITH "
                   "(MAINTENANCE 'delta') AS "
-                  "SELECT k, count(*) AS n FROM dmv3_t GROUP BY k")
+                  "SELECT a.k, count(*) AS n FROM dmv3_t a JOIN "
+                  "dmv3_t b ON a.k = b.k GROUP BY a.k")
+    # expression keys are out of scope too
+    with pytest.raises(ValueError, match="MAINTENANCE 'delta' supports"):
+        s.execute("CREATE MATERIALIZED VIEW bad3 WITH "
+                  "(MAINTENANCE 'delta') AS "
+                  "SELECT upper(k) AS ku, count(*) AS n FROM dmv3_t "
+                  "GROUP BY upper(k)")
     with pytest.raises(ValueError, match="unknown MAINTENANCE"):
         s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
                   "(MAINTENANCE 'magic') AS SELECT 1 AS x")
@@ -1400,3 +1409,39 @@ def test_explain_filter_pushdown(spark):
                  "efp_orders_raw WHERE o_totalprice > 100000").collect()
     assert any("GreaterThan(o_totalprice" in r.pushed_filters
                for r in rows), rows
+
+
+def test_delta_mv_minmax_soak(spark):
+    """WITH (MAINTENANCE 'delta') multi-aggregate shape: sum/count/avg
+    maintain accumulably, min/max hierarchically from support — exact
+    against recompute across a 20-step insert/update/delete soak
+    (reference reduce plans Accumulable vs Hierarchical,
+    src/compute-types/src/plan/reduce.rs)."""
+    import random
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dmm_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW dmm_mv WITH (MAINTENANCE "
+              "'delta') AS SELECT k, SUM(v) AS total, COUNT(*) AS n, "
+              "MIN(v) AS lo, MAX(v) AS hi FROM dmm_t GROUP BY k")
+    rng = random.Random(31)
+    keys = list("abc")
+    for step in range(20):
+        op = rng.random()
+        if op < 0.55:
+            vals = ", ".join(
+                f"('{rng.choice(keys)}', {rng.randrange(1, 30)})"
+                for _ in range(rng.randrange(1, 4)))
+            s.execute(f"INSERT INTO dmm_t VALUES {vals}")
+        elif op < 0.8:
+            s.execute(f"UPDATE dmm_t SET v = v + {rng.randrange(-6, 7)} "
+                      f"WHERE k = '{rng.choice(keys)}'")
+        else:
+            s.execute(f"DELETE FROM dmm_t WHERE k = "
+                      f"'{rng.choice(keys)}' AND v % 2 = "
+                      f"{rng.randrange(2)}")
+        got = sorted((r.k, r.total, r.n, r.lo, r.hi) for r in
+                     s.sql("SELECT * FROM dmm_mv").collect())
+        want = sorted((r.k, r.total, r.n, r.lo, r.hi) for r in s.sql(
+            "SELECT k, SUM(v) AS total, COUNT(*) AS n, MIN(v) AS lo, "
+            "MAX(v) AS hi FROM dmm_t GROUP BY k").collect())
+        assert got == want, f"diverged at step {step}"
