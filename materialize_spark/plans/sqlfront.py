@@ -82,6 +82,21 @@ _DELTA_AGG_ITEM_RE = re.compile(
     r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|\w+)\s*\)"
     r"\s+as\s+(?P<alias>\w+)$", re.I)
 
+# grouped TopK delta-MV shape — the ROW_NUMBER idiom the reference
+# plans as TopK (src/compute-types/src/plan/top_k.rs; non-monotonic
+# "Basic" plan maintained by streaming/retraction.RetractionAwareTopK):
+# SELECT cols FROM (SELECT cols, ROW_NUMBER() OVER (PARTITION BY keys
+# ORDER BY col [DESC]) AS rn FROM t [WHERE ...]) [alias] WHERE rn <= k
+_DELTA_MV_TOPK_RE = re.compile(
+    r"^\s*SELECT\s+(?P<cols>[\w\s,]+?)\s+FROM\s+\(\s*"
+    r"SELECT\s+(?P<icols>[\w\s,]+?)\s*,\s*ROW_NUMBER\s*\(\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?\s*\)\s+"
+    r"AS\s+(?P<rn>\w+)\s+FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s+(?:AS\s+)?\w+)?\s+"
+    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*;?\s*$",
+    re.I | re.S)
+
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0, outside string literals — so
@@ -393,7 +408,8 @@ class MzSession:
 
         m = _DELTA_MV_RE.match(node.body)
         if not m:
-            if self._create_delta_mv_agg(node):
+            if self._create_delta_mv_agg(node) \
+                    or self._create_delta_mv_topk(node):
                 return
             raise ValueError(
                 "MAINTENANCE 'delta' supports single-table views of the "
@@ -487,6 +503,43 @@ class MzSession:
                             .withColumn("diff", F.lit(1)), initial=True)
         return True
 
+    def _create_delta_mv_topk(self, node: ast.CreateView) -> bool:
+        """Grouped TopK delta MV via the ROW_NUMBER idiom (the shape
+        the reference plans as TopK, src/compute-types/src/plan/
+        top_k.rs). Maintained by RetractionAwareTopK: the full
+        compacted support survives deletes that evict a current top-k
+        row (the non-monotonic 'Basic' plan's guarantee)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareTopK,
+        )
+
+        m = _DELTA_MV_TOPK_RE.match(node.body)
+        if not m or m.group("rn").lower() != m.group("rn2").lower():
+            return False
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        icols = [c.strip() for c in m.group("icols").split(",")]
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        low = {c.lower() for c in icols}
+        if not all(c.lower() in low for c in cols) \
+                or not all(k.lower() in low for k in keys) \
+                or m.group("ord").lower() not in low:
+            return False
+        table = m.group("table")
+        if table not in self.catalog._tables:
+            raise KeyError(f"unknown table {table!r}")
+        mv = RetractionAwareTopK(
+            self.spark, keys=keys, order_col=m.group("ord"),
+            limit=int(m.group("k")),
+            descending=(m.group("dir") or "ASC").upper() == "DESC")
+        spec = {"mv": mv, "table": table, "keys": keys, "icols": icols,
+                "cols": cols, "where": m.group("where"), "kind": "topk"}
+        self._delta_mvs[node.name] = spec
+        self._feed_delta_mv(node.name, self.catalog._tables[table]
+                            .withColumn("diff", F.lit(1)), initial=True)
+        return True
+
     def _feed_delta_mv(self, name: str, delta, initial: bool = False):
         """Fold one explicit-diff update frame of the BASE table into a
         delta MV and republish its (always fresh) result."""
@@ -502,6 +555,8 @@ class MzSession:
             if "__one" in in_cols:  # COUNT(*): every row weighs 1
                 delta = delta.withColumn("__one", F.lit(1))
             delta = delta.select(*spec["keys"], *sorted(in_cols), "diff")
+        elif spec.get("kind") == "topk":
+            delta = delta.select(*spec["icols"], "diff")
         else:
             if spec["val"] is None:  # COUNT(*): every row weighs 1
                 delta = delta.withColumn("__one", F.lit(1))
@@ -509,6 +564,8 @@ class MzSession:
                                  "diff")
         old = self._matviews.get(name)
         result = spec["mv"].on_batch(delta)
+        if spec.get("kind") == "topk":  # project to the outer SELECT list
+            result = result.select(*spec["cols"])
         self._matviews[name] = result
         self.catalog.create_view(name, result)
         if initial:

@@ -878,3 +878,36 @@ def sqlfront_delta_mv_minmax(spark, sf_dir):
     sess.execute("UPDATE dmq_t SET v = v + 5 WHERE k = 'a'")
     return sess.sql("SELECT k, total, n, lo, hi FROM dmq_mv "
                     "ORDER BY k")
+
+
+@register(
+    "sqlfront_delta_mv_topk",
+    """
+    -- oracle: recompute over the same deterministic write script
+    WITH base(k, v) AS (VALUES
+        ('a', 5), ('a', 9), ('a', 2), ('b', 30), ('b', 8), ('b', 12)),
+    after_del AS (SELECT * FROM base WHERE NOT (k = 'b' AND v = 30)),
+    ranked AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k
+               ORDER BY v DESC) AS rn FROM after_del)
+    SELECT k, CAST(v AS BIGINT) AS v FROM ranked WHERE rn <= 2
+    ORDER BY k, v
+    """,
+    "sqlfront", "delta-mv-topk",
+)
+def sqlfront_delta_mv_topk(spark, sf_dir):
+    """Always-fresh grouped-TopK delta MV: deleting the current #1 of a
+    group pulls the previously-evicted row back into the top k with no
+    refresh — the reference's non-monotonic TopK plan guarantee
+    (src/compute-types/src/plan/top_k.rs:28-120; maintained by
+    streaming/retraction.RetractionAwareTopK)."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE tkq_t (k STRING, v BIGINT)")
+    sess.execute("CREATE MATERIALIZED VIEW tkq_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT k, v FROM (SELECT k, v, "
+                 "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) "
+                 "AS rn FROM tkq_t) WHERE rn <= 2")
+    sess.execute("INSERT INTO tkq_t VALUES ('a', 5), ('a', 9), "
+                 "('a', 2), ('b', 30), ('b', 8), ('b', 12)")
+    # evict b's current maximum: 8 must re-enter the top 2
+    sess.execute("DELETE FROM tkq_t WHERE k = 'b' AND v = 30")
+    return sess.sql("SELECT k, v FROM tkq_mv ORDER BY k, v")

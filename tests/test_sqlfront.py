@@ -1445,3 +1445,34 @@ def test_delta_mv_minmax_soak(spark):
             "SELECT k, SUM(v) AS total, COUNT(*) AS n, MIN(v) AS lo, "
             "MAX(v) AS hi FROM dmm_t GROUP BY k").collect())
         assert got == want, f"diverged at step {step}"
+
+
+def test_delta_mv_topk_soak(spark):
+    """WITH (MAINTENANCE 'delta') grouped-TopK shape (the ROW_NUMBER
+    idiom): deletes that evict a current top-k row pull evicted rows
+    back in, exact against recompute (reference non-monotonic TopK
+    plan, src/compute-types/src/plan/top_k.rs)."""
+    import random
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE tks_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW tks_mv WITH (MAINTENANCE "
+              "'delta') AS SELECT k, v FROM (SELECT k, v, ROW_NUMBER() "
+              "OVER (PARTITION BY k ORDER BY v DESC) AS rn FROM tks_t) "
+              "WHERE rn <= 2")
+    rng = random.Random(13)
+    for step in range(16):
+        if rng.random() < 0.6:
+            vals = ", ".join(
+                f"('{rng.choice('ab')}', {rng.randrange(1, 40)})"
+                for _ in range(rng.randrange(1, 4)))
+            s.execute(f"INSERT INTO tks_t VALUES {vals}")
+        else:
+            s.execute(f"DELETE FROM tks_t WHERE k = "
+                      f"'{rng.choice('ab')}' AND v > 25")
+        got = sorted((r.k, r.v) for r in
+                     s.sql("SELECT * FROM tks_mv").collect())
+        want = sorted((r.k, r.v) for r in s.sql(
+            "SELECT k, v FROM (SELECT k, v, ROW_NUMBER() OVER "
+            "(PARTITION BY k ORDER BY v DESC) AS rn FROM tks_t) "
+            "WHERE rn <= 2").collect())
+        assert got == want, f"diverged at step {step}"
