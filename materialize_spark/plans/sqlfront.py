@@ -82,6 +82,20 @@ _DELTA_AGG_ITEM_RE = re.compile(
     r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|\w+)\s*\)"
     r"\s+as\s+(?P<alias>\w+)$", re.I)
 
+# equi-join delta-MV shape, optionally with a grouped aggregate on top:
+# SELECT cols | keys, AGG(col) AS a[, ...] FROM t1 JOIN t2 ON k1 = k2
+# [WHERE ...] [GROUP BY keys] — maintained by the bilinear delta-join
+# ΔA⋈B + A⋈ΔB + ΔA⋈ΔB (reference linear_join.rs; operator
+# streaming/ivm_join.IncrementalJoinView), composed with
+# RetractionAwareAgg when grouped
+_DELTA_MV_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<t1>\w+)\s+(?:INNER\s+)?JOIN\s+(?P<t2>\w+)\s+"
+    r"ON\s+(?P<onl>\w+)\s*=\s*(?P<onr>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?))?\s*;?\s*$",
+    re.I | re.S)
+
 # grouped TopK delta-MV shape — the ROW_NUMBER idiom the reference
 # plans as TopK (src/compute-types/src/plan/top_k.rs; non-monotonic
 # "Basic" plan maintained by streaming/retraction.RetractionAwareTopK):
@@ -409,7 +423,8 @@ class MzSession:
         m = _DELTA_MV_RE.match(node.body)
         if not m:
             if self._create_delta_mv_agg(node) \
-                    or self._create_delta_mv_topk(node):
+                    or self._create_delta_mv_topk(node) \
+                    or self._create_delta_mv_join(node):
                 return
             raise ValueError(
                 "MAINTENANCE 'delta' supports single-table views of the "
@@ -540,6 +555,132 @@ class MzSession:
                             .withColumn("diff", F.lit(1)), initial=True)
         return True
 
+    def _create_delta_mv_join(self, node: ast.CreateView) -> bool:
+        """Equi-join delta MV, optionally with a grouped aggregate:
+        maintained by the bilinear delta-join ΔA⋈B + A⋈ΔB + ΔA⋈ΔB —
+        never a re-join of the histories — composed with
+        RetractionAwareAgg for the GROUP BY form (reference
+        src/compute/src/render/join/linear_join.rs; the q3/q5 'dim
+        join + grouped sum' always-fresh shape)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.ivm_join import (
+            IncrementalJoinView,
+        )
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg,
+        )
+
+        m = _DELTA_MV_JOIN_RE.match(node.body)
+        if not m:
+            return False
+        t1, t2 = m.group("t1"), m.group("t2")
+        if t1 == t2:
+            return False  # self-joins keep two states of one table: out
+        for t in (t1, t2):
+            if t not in self.catalog._tables:
+                raise KeyError(f"unknown table {t!r}")
+        c1 = set(self.catalog._tables[t1].columns)
+        c2 = set(self.catalog._tables[t2].columns)
+        onl, onr = m.group("onl"), m.group("onr")
+        if onl in c2 and onr in c1:   # written t2-key = t1-key
+            onl, onr = onr, onl
+        if onl not in c1 or onr not in c2:
+            return False
+        if (c1 - {onl}) & (c2 - {onr}):
+            return False  # non-key column collision: out of scope
+        keys: list[str] = []
+        aggs: dict[str, tuple[str, str]] = {}
+        cols: list[str] = []
+        if m.group("gkeys"):
+            for item in split_top_level(m.group("select")):
+                item = item.strip()
+                am = _DELTA_AGG_ITEM_RE.match(item)
+                if am:
+                    col = am.group("col")
+                    if col == "*":
+                        if am.group("kind").lower() != "count":
+                            return False
+                        col = "__one"
+                    aggs[am.group("alias")] = (am.group("kind").lower(),
+                                               col)
+                elif re.fullmatch(r"\w+", item) and not aggs:
+                    keys.append(item)
+                else:
+                    return False
+            gkeys = [k.strip() for k in m.group("gkeys").split(",")]
+            if not aggs or [k.lower() for k in keys] != \
+                    [k.lower() for k in gkeys]:
+                return False
+        else:
+            cols = [c.strip() for c in m.group("select").split(",")]
+            joined = (c1 | c2) - {onr}
+            if not all(re.fullmatch(r"\w+", c) and c in joined
+                       for c in cols):
+                return False
+        join = IncrementalJoinView(on=[onl])
+        agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
+            if aggs else None
+        spec = {"kind": "join", "tables": (t1, t2), "join": join,
+                "agg": agg, "keys": keys, "aggs": aggs, "cols": cols,
+                "where": m.group("where"), "right_key": (onr, onl),
+                "proj": None, "table": None}
+        self._delta_mvs[node.name] = spec
+        # formation: both snapshots in ONE batch — the ΔA⋈ΔB term then
+        # produces exactly A ⋈ B
+        self._feed_delta_mv_join(
+            node.name,
+            left=self.catalog._tables[t1].withColumn("diff", F.lit(1)),
+            right=self.catalog._tables[t2].withColumn("diff", F.lit(1)),
+            initial=True)
+        return True
+
+    def _feed_delta_mv_join(self, name: str, left=None, right=None,
+                            initial: bool = False) -> None:
+        """Fold base-table diffs through the join (and the aggregate on
+        top of it, when grouped) and republish."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.ivm_join import _consolidate
+
+        spec = self._delta_mvs[name]
+        onr, onl = spec["right_key"]
+        if right is not None and onr != onl:
+            right = right.withColumnRenamed(onr, onl)
+        out = spec["join"].on_batch(left_delta=left, right_delta=right)
+        if out is not None and spec["where"]:
+            out = out.filter(
+                f"coalesce(({rewrite(spec['where'])}), false)")
+        if spec["agg"] is not None:
+            if out is not None:
+                in_cols = {c for _k, c in spec["aggs"].values()}
+                if "__one" in in_cols:
+                    out = out.withColumn("__one", F.lit(1))
+                out = out.select(*spec["keys"], *sorted(in_cols),
+                                 "diff")
+                result = spec["agg"].on_batch(out)
+            else:
+                result = spec["agg"].result() \
+                    if spec["agg"]._acc is not None else None
+        else:
+            if out is not None:
+                spec["proj"] = _consolidate(
+                    spec["proj"], out.select(*spec["cols"], "diff"))
+            proj = spec["proj"]
+            if proj is None:
+                result = None
+            else:
+                result = (proj.filter(F.col("diff") > 0)
+                          .withColumn("__i", F.explode(
+                              F.sequence(F.lit(1), F.col("diff"))))
+                          .drop("diff", "__i"))
+        if result is None:
+            # nothing joined yet (both sides empty): evaluate the body
+            # once for an exact-schema empty snapshot
+            result = self.spark.sql(
+                rewrite(self._matview_sql[name])).limit(0)
+        self._publish_delta_mv(name, result, initial)
+
     def _feed_delta_mv(self, name: str, delta, initial: bool = False):
         """Fold one explicit-diff update frame of the BASE table into a
         delta MV and republish its (always fresh) result."""
@@ -562,10 +703,19 @@ class MzSession:
                 delta = delta.withColumn("__one", F.lit(1))
             delta = delta.select(*spec["keys"], spec["val"] or "__one",
                                  "diff")
-        old = self._matviews.get(name)
         result = spec["mv"].on_batch(delta)
         if spec.get("kind") == "topk":  # project to the outer SELECT list
             result = result.select(*spec["cols"])
+        self._publish_delta_mv(name, result, initial)
+
+    def _publish_delta_mv(self, name: str, result,
+                          initial: bool = False) -> None:
+        """Republish a delta MV's maintained result and append the
+        change to its SUBSCRIBE history."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.history import RetainedHistory
+        old = self._matviews.get(name)
         self._matviews[name] = result
         self.catalog.create_view(name, result)
         if initial:
@@ -584,6 +734,13 @@ class MzSession:
         for name, spec in list(self._delta_mvs.items()):
             if spec["table"] == table:
                 self._feed_delta_mv(name, delta)
+            elif spec.get("kind") == "join" \
+                    and table in spec.get("tables", ()):
+                t1, _t2 = spec["tables"]
+                if table == t1:
+                    self._feed_delta_mv_join(name, left=delta)
+                else:
+                    self._feed_delta_mv_join(name, right=delta)
 
     def _create_view(self, node: ast.CreateView, sql: str):
         # PG requires SELECT on every base relation the body references —
@@ -1313,6 +1470,7 @@ class MzSession:
         new_target = target.selectExpr(*exprs).localCheckpoint(eager=True)
         self.catalog.register_table(node.table, new_target)
         if any(sp["table"] == node.table
+               or node.table in sp.get("tables", ())
                for sp in self._delta_mvs.values()):
             from pyspark.sql import functions as F
             adds = new_target.exceptAll(target).withColumn(
@@ -1332,6 +1490,7 @@ class MzSession:
         kept = kept.localCheckpoint(eager=True)
         self.catalog.register_table(node.table, kept)
         if any(sp["table"] == node.table
+               or node.table in sp.get("tables", ())
                for sp in self._delta_mvs.values()):
             from pyspark.sql import functions as F
             gone = target.exceptAll(kept).withColumn("diff", F.lit(-1))

@@ -911,3 +911,46 @@ def sqlfront_delta_mv_topk(spark, sf_dir):
     # evict b's current maximum: 8 must re-enter the top 2
     sess.execute("DELETE FROM tkq_t WHERE k = 'b' AND v = 30")
     return sess.sql("SELECT k, v FROM tkq_mv ORDER BY k, v")
+
+
+@register(
+    "sqlfront_delta_mv_join",
+    """
+    -- oracle: recompute over the same deterministic write script
+    WITH ord0(ok, o_ck, amt) AS (VALUES
+        (100, 1, 8), (101, 2, 12), (102, 1, 3), (103, 2, 20)),
+    cust0(c_ck, seg) AS (VALUES (1, 'AUTO'), (2, 'BLDG'), (3, 'MACH')),
+    ord1 AS (SELECT * FROM ord0 WHERE amt <> 12
+             UNION ALL VALUES (104, 3, 7)),
+    cust1 AS (SELECT * FROM cust0 WHERE c_ck <> 1)
+    SELECT seg, CAST(SUM(amt) AS BIGINT) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ord1 JOIN cust1 ON o_ck = c_ck GROUP BY seg ORDER BY seg
+    """,
+    "sqlfront", "delta-mv-join",
+)
+def sqlfront_delta_mv_join(spark, sf_dir):
+    """Always-fresh equi-join + grouped-sum delta MV: each write folds
+    through the bilinear delta-join (dA JOIN B + A JOIN dB + dA JOIN
+    dB) into the
+    grouped aggregate; deleting a CUSTOMER retracts every joined order
+    row from the result with no refresh (reference
+    src/compute/src/render/join/linear_join.rs; operators
+    streaming/ivm_join.py + retraction.py)."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE djq_ord (ok BIGINT, o_ck BIGINT, "
+                 "amt BIGINT)")
+    sess.execute("CREATE TABLE djq_cust (c_ck BIGINT, seg STRING)")
+    sess.execute("INSERT INTO djq_cust VALUES (1, 'AUTO'), "
+                 "(2, 'BLDG'), (3, 'MACH')")
+    sess.execute("CREATE MATERIALIZED VIEW djq_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT seg, SUM(amt) AS rev, COUNT(*) "
+                 "AS n FROM djq_ord JOIN djq_cust ON o_ck = c_ck "
+                 "GROUP BY seg")
+    sess.execute("INSERT INTO djq_ord VALUES (100, 1, 8), "
+                 "(101, 2, 12), (102, 1, 3), (103, 2, 20)")
+    sess.execute("DELETE FROM djq_ord WHERE amt = 12")
+    sess.execute("INSERT INTO djq_ord VALUES (104, 3, 7)")
+    # right-side churn: the join must retract AUTO's joined rows
+    sess.execute("DELETE FROM djq_cust WHERE c_ck = 1")
+    return sess.sql("SELECT seg, rev, n FROM djq_mv ORDER BY seg")

@@ -1476,3 +1476,59 @@ def test_delta_mv_topk_soak(spark):
             "(PARTITION BY k ORDER BY v DESC) AS rn FROM tks_t) "
             "WHERE rn <= 2").collect())
         assert got == want, f"diverged at step {step}"
+
+
+def test_delta_mv_join_soak(spark):
+    """WITH (MAINTENANCE 'delta') equi-join shapes: bilinear delta-join
+    maintenance (never re-joining histories), plain projection and
+    grouped-aggregate forms, exact against recompute under churn on
+    BOTH sides (reference linear_join.rs delta terms)."""
+    import random
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE djs_ord (ok BIGINT, o_ck BIGINT, "
+              "amt BIGINT)")
+    s.execute("CREATE TABLE djs_cust (c_ck BIGINT, seg STRING)")
+    s.execute("INSERT INTO djs_cust VALUES (1, 'AUTO'), (2, 'BLDG')")
+    s.execute("CREATE MATERIALIZED VIEW djs_rev WITH (MAINTENANCE "
+              "'delta') AS SELECT seg, SUM(amt) AS rev, COUNT(*) AS n "
+              "FROM djs_ord JOIN djs_cust ON o_ck = c_ck GROUP BY seg")
+    s.execute("CREATE MATERIALIZED VIEW djs_flat WITH (MAINTENANCE "
+              "'delta') AS SELECT ok, seg, amt FROM djs_ord JOIN "
+              "djs_cust ON o_ck = c_ck WHERE amt > 5")
+    oracle_rev = ("SELECT seg, SUM(amt) AS rev, COUNT(*) AS n FROM "
+                  "djs_ord JOIN djs_cust ON o_ck = c_ck GROUP BY seg")
+    oracle_flat = ("SELECT ok, seg, amt FROM djs_ord JOIN djs_cust "
+                   "ON o_ck = c_ck WHERE amt > 5")
+    rng = random.Random(5)
+    next_ok = 100
+    for step in range(14):
+        op = rng.random()
+        if op < 0.5:
+            vals = ", ".join(
+                f"({next_ok + i}, {rng.randrange(1, 4)}, "
+                f"{rng.randrange(1, 20)})"
+                for i in range(rng.randrange(1, 4)))
+            next_ok += 3
+            s.execute(f"INSERT INTO djs_ord VALUES {vals}")
+        elif op < 0.7:
+            s.execute(f"DELETE FROM djs_ord WHERE amt % 3 = "
+                      f"{rng.randrange(3)}")
+        elif op < 0.85:
+            s.execute(f"UPDATE djs_ord SET amt = amt + "
+                      f"{rng.randrange(-4, 8)} WHERE o_ck = "
+                      f"{rng.randrange(1, 4)}")
+        elif rng.random() < 0.5:
+            s.execute(f"INSERT INTO djs_cust VALUES "
+                      f"({rng.randrange(3, 6)}, 'MACH')")
+        else:
+            s.execute("DELETE FROM djs_cust WHERE c_ck >= 3")
+        got = sorted((r.seg, r.rev, r.n) for r in
+                     s.sql("SELECT * FROM djs_rev").collect())
+        want = sorted((r.seg, r.rev, r.n) for r in
+                      s.sql(oracle_rev).collect())
+        assert got == want, f"rev diverged at step {step}"
+        gf = sorted((r.ok, r.seg, r.amt) for r in
+                    s.sql("SELECT * FROM djs_flat").collect())
+        wf = sorted((r.ok, r.seg, r.amt) for r in
+                    s.sql(oracle_flat).collect())
+        assert gf == wf, f"flat diverged at step {step}"
