@@ -90,11 +90,15 @@ _DELTA_AGG_ITEM_RE = re.compile(
 # RetractionAwareAgg when grouped
 _DELTA_MV_JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+"
-    r"FROM\s+(?P<t1>\w+)\s+(?:INNER\s+)?JOIN\s+(?P<t2>\w+)\s+"
-    r"ON\s+(?P<onl>\w+)\s*=\s*(?P<onr>\w+)"
+    r"FROM\s+(?P<t1>\w+)"
+    r"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?))?\s*;?\s*$",
     re.I | re.S)
+
+_DELTA_MV_JOIN_SEG_RE = re.compile(
+    r"\s+(?:INNER\s+)?JOIN\s+(?P<t>\w+)\s+ON\s+"
+    r"(?P<onl>\w+)\s*=\s*(?P<onr>\w+)", re.I)
 
 # grouped TopK delta-MV shape — the ROW_NUMBER idiom the reference
 # plans as TopK (src/compute-types/src/plan/top_k.rs; non-monotonic
@@ -574,21 +578,31 @@ class MzSession:
         m = _DELTA_MV_JOIN_RE.match(node.body)
         if not m:
             return False
-        t1, t2 = m.group("t1"), m.group("t2")
-        if t1 == t2:
+        # left-deep chain: t1 JOIN t2 ON .. [JOIN t3 ON ..]* — link i
+        # joins the accumulated left side with tables[i+1] (the
+        # reference's linear join plans compose the same way)
+        tables = [m.group("t1")]
+        links: list[tuple[str, str]] = []   # (acc-side key, right key)
+        for seg in _DELTA_MV_JOIN_SEG_RE.finditer(m.group("joins")):
+            tables.append(seg.group("t"))
+            links.append((seg.group("onl"), seg.group("onr")))
+        if len(set(tables)) != len(tables):
             return False  # self-joins keep two states of one table: out
-        for t in (t1, t2):
+        for t in tables:
             if t not in self.catalog._tables:
                 raise KeyError(f"unknown table {t!r}")
-        c1 = set(self.catalog._tables[t1].columns)
-        c2 = set(self.catalog._tables[t2].columns)
-        onl, onr = m.group("onl"), m.group("onr")
-        if onl in c2 and onr in c1:   # written t2-key = t1-key
-            onl, onr = onr, onl
-        if onl not in c1 or onr not in c2:
-            return False
-        if (c1 - {onl}) & (c2 - {onr}):
-            return False  # non-key column collision: out of scope
+        acc_cols = set(self.catalog._tables[tables[0]].columns)
+        norm_links: list[tuple[str, str]] = []
+        for i, (onl, onr) in enumerate(links):
+            rc = set(self.catalog._tables[tables[i + 1]].columns)
+            if onl in rc and onr in acc_cols:  # written right = left
+                onl, onr = onr, onl
+            if onl not in acc_cols or onr not in rc:
+                return False
+            if acc_cols & (rc - {onr}):
+                return False  # non-key column collision: out of scope
+            norm_links.append((onl, onr))
+            acc_cols |= rc - {onr}
         keys: list[str] = []
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
@@ -614,40 +628,67 @@ class MzSession:
                 return False
         else:
             cols = [c.strip() for c in m.group("select").split(",")]
-            joined = (c1 | c2) - {onr}
-            if not all(re.fullmatch(r"\w+", c) and c in joined
+            if not all(re.fullmatch(r"\w+", c) and c in acc_cols
                        for c in cols):
                 return False
-        join = IncrementalJoinView(on=[onl])
+        chain = [IncrementalJoinView(on=[onl])
+                 for onl, _onr in norm_links]
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
-        spec = {"kind": "join", "tables": (t1, t2), "join": join,
-                "agg": agg, "keys": keys, "aggs": aggs, "cols": cols,
-                "where": m.group("where"), "right_key": (onr, onl),
+        spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
+                "links": norm_links, "agg": agg, "keys": keys,
+                "aggs": aggs, "cols": cols, "where": m.group("where"),
                 "proj": None, "table": None}
         self._delta_mvs[node.name] = spec
-        # formation: both snapshots in ONE batch — the ΔA⋈ΔB term then
-        # produces exactly A ⋈ B
-        self._feed_delta_mv_join(
-            node.name,
-            left=self.catalog._tables[t1].withColumn("diff", F.lit(1)),
-            right=self.catalog._tables[t2].withColumn("diff", F.lit(1)),
-            initial=True)
+        # formation: all snapshots in ONE pass — with both deltas
+        # present, each link's ΔA⋈ΔB term produces exactly A ⋈ B
+        from pyspark.sql import functions as _F
+        snaps = [self.catalog._tables[t].withColumn("diff", _F.lit(1))
+                 for t in tables]
+        out = snaps[0]
+        for i, link in enumerate(chain):
+            onl, onr = norm_links[i]
+            r = snaps[i + 1]
+            if onr != onl:
+                r = r.withColumnRenamed(onr, onl)
+            out = link.on_batch(left_delta=out, right_delta=r)
+            if out is None:
+                break
+        self._finish_delta_mv_join(node.name, out, initial=True)
         return True
 
-    def _feed_delta_mv_join(self, name: str, left=None, right=None,
-                            initial: bool = False) -> None:
-        """Fold base-table diffs through the join (and the aggregate on
-        top of it, when grouped) and republish."""
+    def _feed_delta_mv_join(self, name: str, table: str,
+                            delta) -> None:
+        """Fold one base table's diffs through the join chain: the
+        table's link consumes the delta, and each downstream link
+        receives the previous link's output delta as its left input."""
+        spec = self._delta_mvs[name]
+        chain, links = spec["chain"], spec["links"]
+        idx = spec["tables"].index(table)
+        if idx == 0:
+            out = chain[0].on_batch(left_delta=delta)
+            rest = chain[1:]
+        else:
+            onl, onr = links[idx - 1]
+            if onr != onl:
+                delta = delta.withColumnRenamed(onr, onl)
+            out = chain[idx - 1].on_batch(right_delta=delta)
+            rest = chain[idx:]
+        for link in rest:
+            if out is None:
+                break
+            out = link.on_batch(left_delta=out)
+        self._finish_delta_mv_join(name, out)
+
+    def _finish_delta_mv_join(self, name: str, out,
+                              initial: bool = False) -> None:
+        """Apply WHERE / aggregate / projection to a join chain's output
+        delta and republish the maintained result."""
         from pyspark.sql import functions as F
 
         from materialize_spark.streaming.ivm_join import _consolidate
 
         spec = self._delta_mvs[name]
-        onr, onl = spec["right_key"]
-        if right is not None and onr != onl:
-            right = right.withColumnRenamed(onr, onl)
-        out = spec["join"].on_batch(left_delta=left, right_delta=right)
         if out is not None and spec["where"]:
             out = out.filter(
                 f"coalesce(({rewrite(spec['where'])}), false)")
@@ -736,11 +777,7 @@ class MzSession:
                 self._feed_delta_mv(name, delta)
             elif spec.get("kind") == "join" \
                     and table in spec.get("tables", ()):
-                t1, _t2 = spec["tables"]
-                if table == t1:
-                    self._feed_delta_mv_join(name, left=delta)
-                else:
-                    self._feed_delta_mv_join(name, right=delta)
+                self._feed_delta_mv_join(name, table, delta)
 
     def _create_view(self, node: ast.CreateView, sql: str):
         # PG requires SELECT on every base relation the body references —

@@ -134,15 +134,17 @@ class RetractionAwareAgg:
 
         self._acc = _ckpt(self._merge_acc(self._acc, self._acc_partial(delta)))
 
-        for out, (kind, col) in self.aggs.items():
-            if kind not in _HIERARCHICAL:
-                continue
+        # one support per distinct INPUT column — min and max over the
+        # same column share state (halves the per-batch state rewrite)
+        hier_cols = {col for (kind, col) in self.aggs.values()
+                     if kind in _HIERARCHICAL}
+        for col in hier_cols:
             batch_supp = (
                 delta.filter(F.col(col).isNotNull())
                 .select(*self.keys, F.col(col).alias("__val"),
                         F.col(DIFF_COL).alias("mult"))
             )
-            prev = self._support.get(out)
+            prev = self._support.get(col)
             if prev is None:
                 new_supp = _consolidate(batch_supp, self.keys, "__val")
             else:
@@ -151,7 +153,7 @@ class RetractionAwareAgg:
                 new_supp = untouched.unionByName(
                     _consolidate(touched_prev.unionByName(batch_supp),
                                  self.keys, "__val"))
-            self._support[out] = _ckpt(new_supp)
+            self._support[col] = _ckpt(new_supp)
 
         return self.result()
 
@@ -173,7 +175,7 @@ class RetractionAwareAgg:
                                  F.col(f"__sum_{name}") / F.col(f"__cnt_{name}")))
             else:  # min/max from support (visible values only: mult > 0)
                 agg = F.min("__val") if kind == "min" else F.max("__val")
-                mm = (self._support[name].filter(F.col("mult") > 0)
+                mm = (self._support[_col].filter(F.col("mult") > 0)
                       .groupBy(*self.keys).agg(agg.alias(name)))
                 out = out.join(mm, on=self.keys, how="left")
         return out.select(*self.keys, *self.aggs.keys())

@@ -79,9 +79,9 @@ def test_agg_untouched_groups_not_recomputed(spark):
     mv = RetractionAwareAgg(spark, keys=["k"], aggs={"hi": ("max", "v")})
     mv.on_batch(spark.createDataFrame(
         [("a", 3, 1), ("a", 7, 1), ("b", 1, 1)], SCHEMA))
-    before = _rows(mv._support["hi"].filter("k = 'a'"), ["k", "__val", "mult"])
+    before = _rows(mv._support["v"].filter("k = 'a'"), ["k", "__val", "mult"])
     mv.on_batch(spark.createDataFrame([("b", 8, 1)], SCHEMA))
-    after = _rows(mv._support["hi"].filter("k = 'a'"), ["k", "__val", "mult"])
+    after = _rows(mv._support["v"].filter("k = 'a'"), ["k", "__val", "mult"])
     assert before == after
     assert _rows(mv.result(), ["k", "hi"]) == [("a", 7), ("b", 8)]
 

@@ -1532,3 +1532,53 @@ def test_delta_mv_join_soak(spark):
         wf = sorted((r.ok, r.seg, r.amt) for r in
                     s.sql(oracle_flat).collect())
         assert gf == wf, f"flat diverged at step {step}"
+
+
+def test_delta_mv_three_way_join(spark):
+    """Left-deep delta-join chains: a 3-way join MV stays exact under
+    churn on every table including the middle one (each link's output
+    delta feeds the next link — the reference's linear join plans)."""
+    import random
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE d3s_li (lk BIGINT, l_ok BIGINT, amt BIGINT)")
+    s.execute("CREATE TABLE d3s_ord (o_ok BIGINT, o_ck BIGINT)")
+    s.execute("CREATE TABLE d3s_cust (c_ck BIGINT, seg STRING)")
+    s.execute("INSERT INTO d3s_cust VALUES (1, 'AUTO'), (2, 'BLDG')")
+    s.execute("INSERT INTO d3s_ord VALUES (10, 1), (11, 2), (12, 1)")
+    s.execute("CREATE MATERIALIZED VIEW d3s_mv WITH (MAINTENANCE "
+              "'delta') AS SELECT seg, SUM(amt) AS rev, COUNT(*) AS n "
+              "FROM d3s_li JOIN d3s_ord ON l_ok = o_ok "
+              "JOIN d3s_cust ON o_ck = c_ck GROUP BY seg")
+    oracle = ("SELECT seg, SUM(amt) AS rev, COUNT(*) AS n FROM d3s_li "
+              "JOIN d3s_ord ON l_ok = o_ok JOIN d3s_cust ON "
+              "o_ck = c_ck GROUP BY seg")
+    rng = random.Random(17)
+    nxt = 100
+    for step in range(12):
+        op = rng.random()
+        if op < 0.5:
+            vals = ", ".join(
+                f"({nxt + i}, {rng.randrange(10, 13)}, "
+                f"{rng.randrange(1, 20)})"
+                for i in range(rng.randrange(1, 4)))
+            nxt += 3
+            s.execute(f"INSERT INTO d3s_li VALUES {vals}")
+        elif op < 0.65:
+            s.execute(f"DELETE FROM d3s_li WHERE amt % 3 = "
+                      f"{rng.randrange(3)}")
+        elif op < 0.8:
+            if rng.random() < 0.5:
+                s.execute(f"INSERT INTO d3s_ord VALUES "
+                          f"({rng.randrange(13, 16)}, "
+                          f"{rng.randrange(1, 3)})")
+            else:
+                s.execute("DELETE FROM d3s_ord WHERE o_ok >= 13")
+        else:
+            seg = rng.choice(("MACH", "BLDG"))
+            s.execute(f"UPDATE d3s_cust SET seg = '{seg}' "
+                      "WHERE c_ck = 2")
+        got = sorted((r.seg, r.rev, r.n) for r in
+                     s.sql("SELECT * FROM d3s_mv").collect())
+        want = sorted((r.seg, r.rev, r.n) for r in
+                      s.sql(oracle).collect())
+        assert got == want, f"diverged at step {step}"

@@ -216,6 +216,61 @@ def main() -> None:
 
     delta["tpch_q21_delta"] = _lag_series(refresh21, batches)
 
+    # -- round-8 delta shapes: hierarchical min/max, grouped TopK, and
+    # the bilinear delta-join (streaming/retraction.py, ivm_join.py —
+    # the operators behind WITH (MAINTENANCE 'delta')'s new forms)
+    from materialize_spark.streaming.ivm_join import IncrementalJoinView
+    from materialize_spark.streaming.retraction import (
+        RetractionAwareAgg, RetractionAwareTopK,
+    )
+
+    # min/max per (returnflag, linestatus): hierarchical support —
+    # touched groups re-derive their extremes, sums merge accumulably
+    mm_cols = ["l_returnflag", "l_linestatus", "l_extendedprice",
+               "l_quantity"]
+    mm = RetractionAwareAgg(
+        spark, keys=["l_returnflag", "l_linestatus"],
+        aggs={"lo": ("min", "l_extendedprice"),
+              "hi": ("max", "l_extendedprice"),
+              "total": ("sum", "l_quantity")})
+    mm.on_batch(base.select(*mm_cols, one))
+    delta["minmax_delta"] = _lag_series(
+        lambda b: mm.on_batch(b.select(*mm_cols, one)), batches)
+
+    # top-5 prices per supplier: only batch-touched suppliers replay
+    # their window (the non-monotonic TopK plan's support discipline)
+    tk = RetractionAwareTopK(spark, keys=["l_suppkey"],
+                             order_col="l_extendedprice", limit=5)
+    tk.on_batch(base.select("l_suppkey", "l_extendedprice", one))
+    delta["topk_delta"] = _lag_series(
+        lambda b: tk.on_batch(b.select("l_suppkey", "l_extendedprice",
+                                       one)), batches)
+
+    # delta-join: lineitem deltas join the 1994-orders dim (right side
+    # held as consolidated state), output deltas fold into a grouped sum
+    jn = IncrementalJoinView(on=["o_orderkey"])
+    jagg = RetractionAwareAgg(spark, keys=["c_nationkey"],
+                              aggs={"revenue": ("sum", "rev")})
+
+    def jdelta(b):
+        return (b.withColumn("rev", F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")))
+                .select(F.col("l_orderkey").alias("o_orderkey"), "rev",
+                        "diff"))
+
+    out0 = jn.on_batch(left_delta=jdelta(base.select(
+        "l_orderkey", "l_extendedprice", "l_discount", one)),
+        right_delta=ord5.withColumn("diff", F.lit(1)))
+    jagg.on_batch(out0.select("c_nationkey", "rev", "diff"))
+
+    def refresh_join(b):
+        out = jn.on_batch(left_delta=jdelta(b.select(
+            "l_orderkey", "l_extendedprice", "l_discount", one)))
+        if out is not None:
+            jagg.on_batch(out.select("c_nationkey", "rev", "diff"))
+
+    delta["join_delta"] = _lag_series(refresh_join, batches)
+
     # -- BASIC path: recompute over base ∪ applied batches ------------------
     # (q18's HAVING threshold and q21's anti-join are not mergeable —
     # the reference's Basic reduce; q9 included as the recompute
