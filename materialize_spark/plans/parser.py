@@ -339,6 +339,22 @@ class AlterConnection(Stmt):
 
 
 @dataclass
+class ExplainSinkSchema(Stmt):
+    """EXPLAIN KEY|VALUE SCHEMA [AS JSON] FOR CREATE SINK ... (reference
+    ExplainSinkSchemaStatement: the Avro schema the sink would publish)."""
+    which: str          # "key" | "value"
+    create_sql: str     # the CREATE SINK statement text
+
+
+@dataclass
+class AlterSetCluster(Stmt):
+    """ALTER <kind> <name> SET CLUSTER c (reference
+    AlterSetClusterStatement): move the object's dataflow to a cluster."""
+    name: str
+    cluster: str
+
+
+@dataclass
 class CreateNetworkPolicy(Stmt):
     """CREATE NETWORK POLICY p (RULES (r1 (ACTION 'allow', DIRECTION
     'ingress', ADDRESS '1.2.3.0/24'), ...)) (reference
@@ -1237,6 +1253,17 @@ class Parser:
     def _p_set(self) -> Stmt:
         self.expect_kw("SET")
         self.take_kw("SESSION") or self.take_kw("LOCAL")
+        if self.take_kw("TRANSACTION"):
+            # SET TRANSACTION ISOLATION LEVEL <level> (reference
+            # SetTransactionStatement → the transaction_isolation var)
+            self.expect_kw("ISOLATION", "LEVEL")
+            words = []
+            while self.peek().kind == "WORD":
+                words.append(self.next().text.lower())
+            if not words:
+                raise ParseError("expected isolation level", self.peek())
+            self.expect_end()
+            return SetVar("transaction_isolation", " ".join(words))
         if self.take_kw("ROLE"):
             if self.take_kw("NONE"):
                 self.expect_end()
@@ -1426,6 +1453,11 @@ class Parser:
             owner = self.ident()
             self.expect_end()
             return AlterOwner(kind, name, owner)
+        if self.take_kw("SET", "CLUSTER"):
+            # ALTER ... SET CLUSTER c (reference AlterSetClusterStatement)
+            cluster = self.ident()
+            self.expect_end()
+            return AlterSetCluster(name, cluster)
         if self.take_kw("SWAP", "WITH"):
             other = self.ident()
             self.expect_end()
@@ -1638,6 +1670,16 @@ class Parser:
             name = self.ident()
             self.expect_end()
             return ExplainTimestamp(name)
+        for which in ("KEY", "VALUE"):
+            if self.take_kw(which, "SCHEMA"):
+                # EXPLAIN KEY|VALUE SCHEMA [AS JSON] FOR CREATE SINK ...
+                # (reference parse_explain_schema, parser.rs:9435)
+                if self.take_kw("AS"):
+                    self.expect_kw("JSON")  # only JSON, like the reference
+                self.expect_kw("FOR")
+                if not self.at_kw("CREATE"):
+                    raise ParseError("expected CREATE SINK", self.peek())
+                return ExplainSinkSchema(which.lower(), self.rest())
         stage = "PHYSICAL"
         if self.take_kw("FILTER", "PUSHDOWN"):
             # reference ExplainPushdownStatement (EXPLAIN FILTER

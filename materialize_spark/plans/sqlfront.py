@@ -281,6 +281,8 @@ class MzSession:
         # ALTER ROLE r SET var = v — role defaults applied at SET ROLE
         # unless the session explicitly SET the var (vars.rs precedence)
         self._role_vars: dict[str, dict[str, str]] = {}
+        # ALTER ... SET CLUSTER placements (object → cluster)
+        self._object_clusters: dict[str, str] = {}
         # network policies (reference CreateNetworkPolicyStatement;
         # adapter enforcement on new connections): name → rule list of
         # (rule_name, action, direction, cidr). The built-in 'default'
@@ -2483,6 +2485,69 @@ class MzSession:
                 f"must be owner of {node.name} to alter it")
         self._secrets[node.name] = node.value
 
+    # -- sink schema / cluster placement ---------------------------------------
+    @staticmethod
+    def _avro_type(field) -> object:
+        """Spark field → Avro schema type (reference avro encoding,
+        src/interchange/src/avro (column_names_and_types); nullable
+        columns become the ["null", t] union like the reference)."""
+        s = field.dataType.simpleString()
+        if s.startswith("decimal"):
+            p, sc = s[8:-1].split(",")
+            t: object = {"type": "bytes", "logicalType": "decimal",
+                         "precision": int(p), "scale": int(sc)}
+        elif s == "date":
+            t = {"type": "int", "logicalType": "date"}
+        elif s.startswith("timestamp"):
+            t = {"type": "long", "logicalType": "timestamp-micros"}
+        else:
+            t = {"tinyint": "int", "smallint": "int", "int": "int",
+                 "bigint": "long", "float": "float", "double": "double",
+                 "string": "string", "boolean": "boolean",
+                 "binary": "bytes"}.get(s, "string")
+        return ["null", t] if field.nullable else t
+
+    def _explain_sink_schema(self, node: ast.ExplainSinkSchema,
+                             sql: str):
+        """EXPLAIN KEY|VALUE SCHEMA FOR CREATE SINK: the Avro schema the
+        sink would publish, WITHOUT creating it (reference
+        ExplainSinkSchemaStatement, sql/src/plan/statement/ddl.rs)."""
+        import json as _json
+
+        from materialize_spark.plans.parser import parse_statement
+        create = parse_statement(node.create_sql)
+        if not isinstance(create, (ast.CreateSink, ast.CreateSinkKafka)):
+            raise ValueError(
+                "EXPLAIN ... SCHEMA expects a CREATE SINK statement")
+        src = self.catalog.table(create.source)
+        if node.which == "key":
+            key = getattr(create, "key", None)
+            if not key:
+                raise ValueError(
+                    f"sink {create.name!r} has no KEY; no key schema")
+            fields = [f for f in src.schema.fields if f.name == key]
+            name = f"{create.name}_key"
+        else:
+            fields = list(src.schema.fields)
+            name = "envelope"
+        doc = {"type": "record", "name": name,
+               "fields": [{"name": f.name, "type": self._avro_type(f)}
+                          for f in fields]}
+        return self.spark.createDataFrame(
+            [(_json.dumps(doc, indent=2),)], "schema string")
+
+    def _alter_set_cluster(self, node: ast.AlterSetCluster, sql: str):
+        """ALTER ... SET CLUSTER (reference AlterSetClusterStatement):
+        reassign the object's dataflow to another cluster's pool."""
+        if node.cluster not in self._clusters:
+            raise KeyError(f"unknown cluster {node.cluster!r}")
+        if self._object_kind(node.name) is None:
+            raise KeyError(f"unknown object {node.name!r}")
+        if node.name in self._index_meta:  # SHOW INDEXES stays in sync
+            on, _c = self._index_meta[node.name]
+            self._index_meta[node.name] = (on, node.cluster)
+        self._object_clusters[node.name] = node.cluster
+
     # -- network policies ------------------------------------------------------
     def _create_network_policy(self, node: ast.CreateNetworkPolicy,
                                sql: str):
@@ -2711,7 +2776,7 @@ class MzSession:
         "GrantRole", "RevokeRole", "AlterOwner", "AlterSwap",
         "ReassignOwned", "DropOwned", "AlterDefaultPrivileges",
         "AlterRoleSet", "AlterSecret", "AlterConnection", "CreateType",
-        "CreateNetworkPolicy",
+        "CreateNetworkPolicy", "AlterSetCluster",
     )
 
     def persist_catalog(self, path: str) -> None:
@@ -2781,6 +2846,8 @@ class MzSession:
         ast.AlterConnection: _alter_connection,
         ast.CreateType: _create_type,
         ast.CreateNetworkPolicy: _create_network_policy,
+        ast.ExplainSinkSchema: _explain_sink_schema,
+        ast.AlterSetCluster: _alter_set_cluster,
         ast.SetRole: _set_role,
         ast.SetVar: _set_var,
         ast.ResetVar: _reset_var,

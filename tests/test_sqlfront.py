@@ -1613,3 +1613,37 @@ def test_delta_mv_join_catalog_restore(spark):
     got = [(r.seg, r.rev) for r in
            restored.sql("SELECT seg, rev FROM djr_mv").collect()]
     assert got == [("AUTO", 15)], got
+
+
+def test_explain_sink_schema_and_set_cluster(spark):
+    """EXPLAIN KEY|VALUE SCHEMA FOR CREATE SINK emits the Avro schema
+    without creating the sink; ALTER ... SET CLUSTER reassigns an
+    object's placement; SET TRANSACTION ISOLATION LEVEL maps to the
+    transaction_isolation variable (reference ExplainSinkSchema/
+    AlterSetCluster/SetTransaction statements)."""
+    import json
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE ess_t (k BIGINT, name STRING, "
+              "price DECIMAL(12,2), ts TIMESTAMP)")
+    doc = json.loads(s.sql(
+        "EXPLAIN VALUE SCHEMA AS JSON FOR CREATE SINK ess_snk FROM "
+        "ess_t INTO FILE '/tmp/ess' FORMAT json").first().schema)
+    assert doc["type"] == "record" and doc["name"] == "envelope"
+    by_name = {f["name"]: f["type"] for f in doc["fields"]}
+    assert by_name["k"] == ["null", "long"]
+    assert by_name["price"][1]["logicalType"] == "decimal"
+    assert by_name["ts"][1]["logicalType"] == "timestamp-micros"
+    # the sink was NOT created
+    assert "ess_snk" not in s._sinks
+    # SET TRANSACTION ISOLATION LEVEL
+    s.execute("SET TRANSACTION ISOLATION LEVEL serializable")
+    assert s._vars["transaction_isolation"] == "serializable"
+    s.execute("SET TRANSACTION ISOLATION LEVEL strict serializable")
+    assert s._vars["transaction_isolation"] == "strict serializable"
+    # ALTER ... SET CLUSTER with validation
+    s.execute("CREATE CLUSTER ess_c (SIZE '1')")
+    s.execute("CREATE VIEW ess_v AS SELECT k FROM ess_t")
+    s.execute("ALTER VIEW ess_v SET CLUSTER ess_c")
+    assert s._object_clusters["ess_v"] == "ess_c"
+    with pytest.raises(KeyError):
+        s.execute("ALTER VIEW ess_v SET CLUSTER missing_cluster")
