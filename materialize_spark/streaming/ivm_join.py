@@ -46,6 +46,15 @@ def _consolidate(hist: DataFrame | None, delta: DataFrame | None) -> DataFrame |
     )
 
 
+def _concat(parts: list[DataFrame]) -> DataFrame | None:
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @dataclass
 class IncrementalJoinView:
     """An inner equi-join maintained incrementally from two diff streams.
@@ -54,12 +63,22 @@ class IncrementalJoinView:
     columns must be disjoint). ``on_batch`` takes either side's delta
     (or both) and returns the *output delta* — itself an explicit-diff
     frame, so views chain into multi-way join pipelines.
+
+    State discipline (arrangement-spine, like delta_ivm.py): each side
+    is a list of append-only checkpointed PARTS — per batch only the
+    delta is written (O(delta)), and every ``compact_every`` batches the
+    parts fold into one consolidated frame (amortized O(state)/
+    compact_every). Probing an unconsolidated union is multiset-correct:
+    a (+1, -1) pair for the same row contributes cancelling output
+    deltas. The maintained result is likewise part-accumulated and only
+    consolidated on ``result()``.
     """
 
     on: list[str]
-    _left: DataFrame | None = field(default=None, init=False)
-    _right: DataFrame | None = field(default=None, init=False)
-    _result: DataFrame | None = field(default=None, init=False)
+    compact_every: int = 16
+    _left: list[DataFrame] = field(default_factory=list, init=False)
+    _right: list[DataFrame] = field(default_factory=list, init=False)
+    _result: list[DataFrame] = field(default_factory=list, init=False)
 
     def _term(self, a: DataFrame | None, b: DataFrame | None) -> DataFrame | None:
         if a is None or b is None:
@@ -80,30 +99,46 @@ class IncrementalJoinView:
         """Fold one batch; returns the join's output delta (or None if no
         output rows changed)."""
         terms = [
-            self._term(left_delta, self._right),   # ΔA ⋈ B_old
-            self._term(self._left, right_delta),   # A_old ⋈ ΔB
-            self._term(left_delta, right_delta),   # ΔA ⋈ ΔB
+            self._term(left_delta, _concat(self._right)),  # ΔA ⋈ B_old
+            self._term(_concat(self._left), right_delta),  # A_old ⋈ ΔB
+            self._term(left_delta, right_delta),           # ΔA ⋈ ΔB
         ]
         terms = [t for t in terms if t is not None]
-        self._left = _consolidate(self._left, left_delta)
-        self._right = _consolidate(self._right, right_delta)
+        for parts, delta in ((self._left, left_delta),
+                             (self._right, right_delta)):
+            if delta is not None:
+                parts.append(delta.localCheckpoint(eager=True))
+            if len(parts) >= self.compact_every:  # amortized fold
+                folded = _consolidate(None, _concat(parts))
+                parts.clear()
+                if folded is not None:
+                    parts.append(folded)
         if not terms:
             return None
         out = terms[0]
         for t in terms[1:]:
             out = out.unionByName(t)
-        # fold the output delta into the maintained result — result() never
-        # re-joins the histories
-        self._result = _consolidate(self._result, out)
+        out = out.localCheckpoint(eager=True)
+        # append the output delta part — result() consolidates lazily,
+        # so the per-batch write stays O(delta)
+        self._result.append(out)
+        if len(self._result) >= self.compact_every:
+            folded = _consolidate(None, _concat(self._result))
+            self._result.clear()
+            if folded is not None:
+                self._result.append(folded)
         return out
 
     def result(self) -> DataFrame:
         """Current maintained join (consolidated, positive multiplicities,
         with the ``diff`` multiplicity column) — accumulated purely from
         output deltas, no re-join of the histories."""
-        if self._result is None:
+        if not self._result:
             raise RuntimeError("no batches folded yet")
-        return self._result.filter(F.col(DIFF_COL) > 0)
+        merged = _consolidate(None, _concat(self._result))
+        if merged is None:
+            merged = self._result[0].limit(0)
+        return merged.filter(F.col(DIFF_COL) > 0)
 
     def result_expanded(self) -> DataFrame:
         """Maintained join as plain rows (multiplicities expanded)."""
