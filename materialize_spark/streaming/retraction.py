@@ -198,40 +198,19 @@ class RetractionAwareTopK:
     order_col: str
     limit: int
     descending: bool = True
-    _support: DataFrame | None = field(default=None, init=False)
+    compact_every: int = 16
+    _parts: list[DataFrame] = field(default_factory=list, init=False)
+    _result: DataFrame | None = field(default=None, init=False)
+    _data_cols: list[str] | None = field(default=None, init=False)
 
-    def on_batch(self, delta: DataFrame) -> DataFrame:
-        data_cols = [c for c in delta.columns if c != DIFF_COL]
-        batch_supp = delta.groupBy(*data_cols).agg(
-            F.sum(DIFF_COL).alias("mult"))
-        if self._support is None:
-            new_supp = batch_supp.filter(F.col("mult") != 0)
-        else:
-            touched = delta.select(*self.keys).distinct()
-            untouched = self._support.join(touched, on=self.keys,
-                                           how="left_anti")
-            touched_prev = self._support.join(touched, on=self.keys,
-                                              how="left_semi")
-            merged = (
-                touched_prev.unionByName(batch_supp)
-                .groupBy(*data_cols).agg(F.sum("mult").alias("mult"))
-                .filter(F.col("mult") != 0)
-            )
-            new_supp = untouched.unionByName(merged)
-        self._support = _ckpt(new_supp)
-        return self.result()
-
-    def result(self) -> DataFrame:
-        """Top ``limit`` rows per group, duplicates (mult > 1) counted."""
+    def _topk_of(self, supp: DataFrame) -> DataFrame:
+        """Top ``limit`` rows per group of a net-multiplicity support
+        (duplicates counted; negative nets invisible until matched)."""
         from pyspark.sql import Window
 
-        if self._support is None:
-            raise RuntimeError("no batches folded yet")
         order = (F.col(self.order_col).desc() if self.descending
                  else F.col(self.order_col).asc())
-        # expand multiplicities (bounded by k per group after the window);
-        # negative nets (early retractions) are invisible until matched
-        expanded = self._support.filter(F.col("mult") > 0).withColumn(
+        expanded = supp.filter(F.col("mult") > 0).withColumn(
             "__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
         w = Window.partitionBy(*self.keys).orderBy(order, "__i")
         return (
@@ -239,3 +218,47 @@ class RetractionAwareTopK:
             .filter(F.col("__rn") <= self.limit)
             .drop("mult", "__i", "__rn")
         )
+
+    def on_batch(self, delta: DataFrame) -> DataFrame:
+        """Arrangement-spine discipline: the batch's consolidated rows
+        append as a PART (an O(delta) write); the touched groups' net
+        support comes from a semi-join probe over the part union (a
+        scan, never a full-state rewrite), and only those groups'
+        windows replay into the small RESULT table. Parts fold into one
+        every ``compact_every`` batches."""
+        data_cols = [c for c in delta.columns if c != DIFF_COL]
+        self._data_cols = data_cols
+        batch_supp = _ckpt(delta.groupBy(*data_cols)
+                           .agg(F.sum(DIFF_COL).alias("mult"))
+                           .filter(F.col("mult") != 0))
+        touched = delta.select(*self.keys).distinct()
+        self._parts.append(batch_supp)
+        all_supp = self._parts[0]
+        for p in self._parts[1:]:
+            all_supp = all_supp.unionByName(p)
+        if len(self._parts) >= self.compact_every:  # amortized fold
+            folded = _ckpt(all_supp.groupBy(*data_cols)
+                           .agg(F.sum("mult").alias("mult"))
+                           .filter(F.col("mult") != 0))
+            self._parts.clear()
+            self._parts.append(folded)
+            all_supp = folded
+        touched_net = (all_supp.join(touched, on=self.keys,
+                                     how="left_semi")
+                       .groupBy(*data_cols)
+                       .agg(F.sum("mult").alias("mult")))
+        topk_touched = self._topk_of(touched_net)
+        if self._result is None:
+            self._result = _ckpt(topk_touched)
+        else:
+            self._result = _ckpt(
+                self._result.join(touched, on=self.keys,
+                                  how="left_anti")
+                .unionByName(topk_touched))
+        return self._result
+
+    def result(self) -> DataFrame:
+        """Current maintained top-k per group."""
+        if self._result is None:
+            raise RuntimeError("no batches folded yet")
+        return self._result
