@@ -2903,32 +2903,37 @@ class MzSession:
                  for n in cat._views] + \
                 [("index", n) for n in cat._indexes]
         for i, (typ, name) in enumerate(sorted(named, key=lambda t: t[1])):
-            objs.append((f"u{i + 1}", name, typ))
+            # owner column (reference mz_objects.owner_id; names here —
+            # this catalog keys roles by name). Unattributed objects
+            # (DataFrame-API registrations) default to the superuser.
+            objs.append((f"u{i + 1}", name, typ,
+                         self._owners.get(name, "materialize")))
         spark = self.spark
         mk = spark.createDataFrame
-        mk(objs or [("u0", "", "")], "id string, name string, type string") \
+        mk(objs or [("u0", "", "", "")],
+           "id string, name string, type string, owner string") \
             .filter("id <> 'u0'").createOrReplaceTempView("mz_objects")
         for typ, rel in (("table", "mz_tables"), ("view", "mz_views"),
                          ("materialized-view", "mz_materialized_views"),
                          ("index", "mz_indexes")):
-            rows = [(i, n) for (i, n, t) in objs if t == typ]
+            rows = [(i, n) for (i, n, t, _o) in objs if t == typ]
             df = mk(rows or [("u0", "")], "id string, name string") \
                 .filter("id <> 'u0'")
             if rel == "mz_indexes":
                 key_rows = [(i, n, ", ".join(cat._index_keys.get(n, [])))
-                            for (i, n, t) in objs if t == typ]
+                            for (i, n, t, _o) in objs if t == typ]
                 df = mk(key_rows or [("u0", "", "")],
                         "id string, name string, key string") \
                     .filter("id <> 'u0'")
             if rel == "mz_materialized_views":
                 rows3 = [(i, n, self._matview_sql.get(n, ""))
-                         for (i, n, t) in objs if t == typ]
+                         for (i, n, t, _o) in objs if t == typ]
                 df = mk(rows3 or [("u0", "", "")],
                         "id string, name string, definition string") \
                     .filter("id <> 'u0'")
             df.createOrReplaceTempView(rel)
         col_rows = []
-        for oid, name, _typ in objs:
+        for oid, name, _typ, _own in objs:
             try:
                 schema = cat.table(name).schema
             except KeyError:  # pragma: no cover
@@ -3104,7 +3109,7 @@ class MzSession:
         kind_map = {"table": "r", "view": "v",
                     "materialized-view": "m", "index": "i"}
         cls_rows = [(16384 + i, name, 2200, kind_map.get(typ, "r"))
-                    for i, (_id, name, typ) in enumerate(objs)]
+                    for i, (_id, name, typ, _own) in enumerate(objs)]
         mk(cls_rows or [(0, "", 0, "")],
            "oid int, relname string, relnamespace int, relkind string") \
             .filter("oid <> 0").createOrReplaceTempView("pg_class")
@@ -3116,9 +3121,9 @@ class MzSession:
            + [(16700 + i, s) for i, s in enumerate(user_schemas)],
            "oid int, nspname string").createOrReplaceTempView("pg_namespace")
         name2oid = {name: 16384 + i
-                    for i, (_id, name, _typ) in enumerate(objs)}
+                    for i, (_id, name, _typ, _own) in enumerate(objs)}
         att_rows = []
-        for oid_s, name, _typ in objs:
+        for oid_s, name, _typ, _own in objs:
             try:
                 schema = cat.table(name).schema
             except KeyError:  # pragma: no cover
@@ -3131,12 +3136,12 @@ class MzSession:
            "attrelid int, attname string, attnum int, atttypid int, "
            "attnotnull boolean") \
             .filter("attrelid <> 0").createOrReplaceTempView("pg_attribute")
-        mk([(name, "public") for (_i, name, t) in objs if t == "table"]
+        mk([(name, "public") for (_i, name, t, _o) in objs if t == "table"]
            or [("", "")], "tablename string, schemaname string") \
             .filter("tablename <> ''").createOrReplaceTempView("pg_tables")
         view_rows = [(name, "public", self._view_sql.get(
             name, self._matview_sql.get(name, "")))
-            for (_i, name, t) in objs if t in ("view", "materialized-view")]
+            for (_i, name, t, _o) in objs if t in ("view", "materialized-view")]
         mk(view_rows or [("", "", "")],
            "viewname string, schemaname string, definition string") \
             .filter("viewname <> ''").createOrReplaceTempView("pg_views")

@@ -86,6 +86,7 @@ def test_every_statement_has_a_durability_decision():
         ast.Execute, ast.Deallocate, ast.Declare, ast.Fetch, ast.Close,
         ast.Begin, ast.Commit, ast.Rollback, ast.SetRole,
         ast.Discard,  # resets transient session state by definition
+        ast.ExplainSinkSchema,  # schema preview: creates nothing
         ast.CreateSinkKafka,
         ast.Validate,  # endpoint probe: no catalog mutation
     }

@@ -1647,3 +1647,15 @@ def test_explain_sink_schema_and_set_cluster(spark):
     assert s._object_clusters["ess_v"] == "ess_c"
     with pytest.raises(KeyError):
         s.execute("ALTER VIEW ess_v SET CLUSTER missing_cluster")
+
+
+def test_mz_objects_owner_column(spark):
+    """mz_objects carries the owner (reference mz_objects.owner_id)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE ROLE moc_r")
+    s.execute("CREATE TABLE moc_t AS SELECT 1 AS x")
+    s.execute("ALTER TABLE moc_t OWNER TO moc_r")
+    rows = {r.name: r.owner for r in s.sql(
+        "SELECT name, owner FROM mz_objects").collect()}
+    assert rows["moc_t"] == "moc_r"
+    assert rows.get("region", "materialize") == "materialize"
