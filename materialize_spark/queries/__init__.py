@@ -79,7 +79,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_role_membership", "sqlfront_ownership",
         "sqlfront_create_type", "sqlfront_network_policy",
         "sqlfront_delta_mv_minmax", "sqlfront_delta_mv_topk",
-        "sqlfront_delta_mv_join",
+        "sqlfront_delta_mv_join", "sqlfront_explain_pushdown",
         # --- oldest sentinels: r2-certified scalar batteries ---
         "scalar_math", "scalar_string", "scalar_regex", "scalar_casts",
         # --- r3-certified: timestamps, jsonb, collections ---
@@ -88,15 +88,15 @@ def load_all() -> dict[str, QuerySpec]:
         "scalar_parse_timestamp", "jsonb_ops",
         "array_functions", "map_functions", "interval_arithmetic",
         # --- r4-certified: set ops, joins, windows, envelopes, aggs ---
-        # (7 family-redundant r4 sentinels rotated out for the seven
+        # (8 family-redundant r4 sentinels rotated out for the eight
         # new round-8 entries: cross_join_pairs, window_hopping,
         # tablefunc_generate_series, agg_battery, setops_union_all,
-        # distinct_on_first_order, window_tumbling — each family keeps
-        # at least one sentinel below and stays green in the local gate)
+        # distinct_on_first_order, window_tumbling,
+        # tablefunc_unnest_ordinality — each family keeps at least one
+        # sentinel below and stays green in the local gate)
         "setops_except_intersect", "outer_join_full",
         "window_functions",
         "temporal_filter", "sessionization", "topk_events_per_user",
-        "tablefunc_unnest_ordinality",
         "agg_decimal", "tablefunc_battery",
         # --- r4/r5-certified tail ---
         "subquery_decorrelated", "text_language_id",

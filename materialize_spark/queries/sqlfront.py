@@ -954,3 +954,39 @@ def sqlfront_delta_mv_join(spark, sf_dir):
     # right-side churn: the join must retract AUTO's joined rows
     sess.execute("DELETE FROM djq_cust WHERE c_ck = 1")
     return sess.sql("SELECT seg, rev, n FROM djq_mv ORDER BY seg")
+
+
+@register(
+    "sqlfront_explain_pushdown",
+    """
+    -- oracle: literal truth of the pushdown report
+    SELECT * FROM (VALUES
+        ('arrangement_scan_pushed', TRUE),
+        ('parquet_scan_pushed',     TRUE)
+    ) AS t(step, outcome)
+    ORDER BY step
+    """,
+    "sqlfront", "explain-pushdown",
+)
+def sqlfront_explain_pushdown(spark, sf_dir):
+    """EXPLAIN FILTER PUSHDOWN end-to-end (reference
+    ExplainPushdownStatement): a filtered query over the cached
+    arrangement reports its batch-pruning predicates, and the same
+    query over a raw parquet view reports PushedFilters reaching the
+    reader — the 'did my predicate reach storage' check."""
+    sess = MzSession(spark, sf_dir)
+    arr = sess.sql(
+        "EXPLAIN FILTER PUSHDOWN FOR SELECT l_orderkey FROM lineitem "
+        "WHERE l_quantity > 40").collect()
+    arrangement_ok = any("l_quantity" in r.pushed_filters for r in arr)
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("epq_orders_raw")
+    raw = sess.sql(
+        "EXPLAIN FILTER PUSHDOWN FOR SELECT o_orderkey FROM "
+        "epq_orders_raw WHERE o_totalprice > 100000").collect()
+    parquet_ok = any("GreaterThan(o_totalprice" in r.pushed_filters
+                     for r in raw)
+    return spark.createDataFrame(
+        [("arrangement_scan_pushed", arrangement_ok),
+         ("parquet_scan_pushed", parquet_ok)],
+        "step string, outcome boolean").orderBy("step")
