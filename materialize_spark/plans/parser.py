@@ -1633,6 +1633,18 @@ class Parser:
         if self.take_kw("NETWORK", "POLICIES"):
             self.expect_end()
             return Show("network policies")
+        if self.take_kw("PRIVILEGES"):
+            # SHOW PRIVILEGES [FOR <role>] (reference
+            # ShowObjectsStatement::Privileges)
+            role = self.ident() if self.take_kw("FOR") else None
+            self.expect_end()
+            return Show("privileges", in_db=role)
+        if self.take_kw("ROLE", "MEMBERSHIP"):
+            # SHOW ROLE MEMBERSHIP [FOR <role>] (reference
+            # ShowObjectsStatement::RoleMembership)
+            role = self.ident() if self.take_kw("FOR") else None
+            self.expect_end()
+            return Show("role membership", in_db=role)
         if self.take_kw("SUBSOURCES"):
             src = self.ident() if self.take_kw("FROM") else None
             self.expect_end()

@@ -1867,6 +1867,27 @@ class MzSession:
         if kind == "secrets":
             rows = [(n,) for n in sorted(self._secrets)]
             return self.spark.createDataFrame(rows or [], "name string")
+        if kind == "privileges":
+            # SHOW PRIVILEGES [FOR role]: explicit grants (owner/
+            # superuser bypasses are implicit, like the reference's
+            # mz_show_all_privileges surfacing only granted rows)
+            rows = [(o, r, p) for (p, o, r) in sorted(
+                self._grants, key=lambda g: (g[1], g[2], g[0]))
+                if node.in_db is None or r == node.in_db]
+            return self.spark.createDataFrame(
+                rows or [], "object string, grantee string, "
+                            "privilege string")
+        if kind == "role membership":
+            # SHOW ROLE MEMBERSHIP [FOR role]: the membership edges,
+            # restricted to roles reachable from FOR's role when given
+            if node.in_db is not None:
+                reach = self._roles_reachable(node.in_db)
+                rows = sorted((r, m) for (r, m) in self._memberships
+                              if m in reach or m == node.in_db)
+            else:
+                rows = sorted(self._memberships)
+            return self.spark.createDataFrame(
+                rows or [], "role string, member string")
         if kind == "network policies":
             rows = [(n, ", ".join(r[0] for r in rs))
                     for n, rs in sorted(self._network_policies.items())]

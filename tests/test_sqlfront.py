@@ -1659,3 +1659,24 @@ def test_mz_objects_owner_column(spark):
         "SELECT name, owner FROM mz_objects").collect()}
     assert rows["moc_t"] == "moc_r"
     assert rows.get("region", "materialize") == "materialize"
+
+
+def test_show_privileges_and_role_membership(spark):
+    """SHOW PRIVILEGES [FOR role] and SHOW ROLE MEMBERSHIP [FOR role]
+    (reference ShowObjectsStatement::Privileges / RoleMembership)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE spv_t AS SELECT 1 AS x")
+    for r in ("spv_a", "spv_b"):
+        s.execute(f"CREATE ROLE {r}")
+    s.execute("GRANT SELECT, INSERT ON spv_t TO spv_a")
+    s.execute("GRANT spv_a TO spv_b")
+    rows = {(r.object, r.grantee, r.privilege) for r in
+            s.execute("SHOW PRIVILEGES FOR spv_a").collect()}
+    assert ("spv_t", "spv_a", "select") in rows
+    assert ("spv_t", "spv_a", "insert") in rows
+    mem = {(r.role, r.member) for r in
+           s.execute("SHOW ROLE MEMBERSHIP").collect()}
+    assert ("spv_a", "spv_b") in mem
+    mem_b = {(r.role, r.member) for r in
+             s.execute("SHOW ROLE MEMBERSHIP FOR spv_b").collect()}
+    assert ("spv_a", "spv_b") in mem_b
