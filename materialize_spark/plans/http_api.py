@@ -69,6 +69,8 @@ class MzHttpServer:
         self.session = session
         self._auth = ({u: _scram.scram_verifier(p)
                        for u, p in auth.items()} if auth else None)
+        # constant-cost decoy for unknown-user Basic auth attempts
+        self._dummy_verifier = _scram.scram_verifier("decoy")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -95,7 +97,14 @@ class MzHttpServer:
                 except Exception:
                     return False
                 ver = outer._auth.get(user)
-                return ver is not None and _verify_password(ver, pw)
+                if ver is None:
+                    # unknown users pay the same PBKDF2 cost as known
+                    # ones (the pgwire SCRAM path's fake-verifier
+                    # defense) so Basic auth can't enumerate users by
+                    # response timing
+                    _verify_password(outer._dummy_verifier, pw)
+                    return False
+                return _verify_password(ver, pw)
 
             def do_POST(self):
                 if self.path != "/api/sql":

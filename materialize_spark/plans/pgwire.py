@@ -143,6 +143,19 @@ def _decode_binary_param(v: bytes, oid: int) -> bytes:
                      "not supported; send text format")
 
 
+_BINARY_SIMPLES = frozenset(
+    {"boolean", "smallint", "int", "bigint", "float", "double", "binary",
+     "string", "date"})
+
+
+def _binary_encodable(simple: str) -> bool:
+    """Whether a column TYPE is servable in binary result format — checked
+    per type, not by probing a row's values: a NULL cell passes any probe
+    while a later non-NULL cell of an unsupported type would blow up
+    mid-DataRow-stream."""
+    return simple in _BINARY_SIMPLES or simple.startswith("timestamp")
+
+
 def _encode_binary_cell(v, simple: str) -> bytes | None:
     """Result cell → PG binary wire format for the common OIDs; raises for
     types we only serve as text."""
@@ -751,15 +764,22 @@ class MzPgServer:
         simples = [f.dataType.simpleString() for f in fields]
         try:
             fmts = self._col_fmts(p.get("rfmts", ()), nf)
-            if any(fmts):  # pre-validate binary encodability per column
-                probe = rows[cur] if cur < len(rows) else None
-                if probe is not None:
-                    self._data_row(probe, nf, fmts, simples)
+            # pre-validate binary encodability by column TYPE (a value
+            # probe is fooled by NULLs in the first row)
+            bad = next((simples[k] for k in range(nf) if fmts[k] == 1
+                        and not _binary_encodable(simples[k])), None)
+            if bad is not None:
+                raise ValueError(
+                    f"binary result format not supported for {bad}; "
+                    "request text format")
         except ValueError as ex:
             return self._ext_error(conn, str(ex))
-        for row in rows[cur:stop]:
-            conn.sendall(self._msg(b"D", self._data_row(row, nf, fmts,
-                                                        simples)))
+        try:
+            for row in rows[cur:stop]:
+                conn.sendall(self._msg(b"D", self._data_row(
+                    row, nf, fmts, simples)))
+        except ValueError as ex:  # belt-and-braces: clean ErrorResponse
+            return self._ext_error(conn, str(ex))
         p["cursor"] = stop
         if stop < len(rows):
             conn.sendall(self._msg(b"s"))  # PortalSuspended — resumable
@@ -932,8 +952,9 @@ class MzPgServer:
                  else f"CAST(NULL AS {types[c]}) AS {c}")
                 for c in target.columns]
             typed = incoming.selectExpr(*exprs)
-            self.session.catalog.register_table(
-                tbl, target.unionByName(typed).localCheckpoint(eager=True))
+            # route through the session append helper so delta-maintained
+            # MVs over this table see the inserted rows as +1 diffs
+            self.session.append_rows(tbl, typed)
         conn.sendall(self._msg(b"C", _cstr(f"COPY {len(data)}")))
 
     def _send_error(self, conn: socket.socket, message: str) -> None:

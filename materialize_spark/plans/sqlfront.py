@@ -51,6 +51,22 @@ _INTROSPECT = re.compile(
 # recursive view bodies (batch-only — see _create_view's gap note)
 _WMR_RE = re.compile(r"\s*WITH\s+MUTUALLY\s+RECURSIVE\b", re.I)
 
+# Credential redaction for statement surfaces the reference scrubs
+# (SHOW CREATE and the statement/activity log redact inline secret
+# values; references-by-name like `PASSWORD = SECRET pw` stay intact).
+_SECRET_AS_RE = re.compile(
+    r"((?:CREATE|ALTER)\s+SECRET\s+\S+\s+AS\s+)'(?:[^']|'')*'", re.I)
+_PASSWORD_OPT_RE = re.compile(
+    r"\b((?:sasl[_ ])?password|ssl[_ ]key|secret[_ ]access[_ ]key|token)"
+    r"(\s*=\s*)'(?:[^']|'')*'", re.I)
+
+
+def redact_sql(sql: str) -> str:
+    """Replace inline credential literals with '<REDACTED>' before a
+    statement is stored anywhere a non-owner can read it back."""
+    sql = _SECRET_AS_RE.sub(r"\1'<REDACTED>'", sql)
+    return _PASSWORD_OPT_RE.sub(r"\1\2'<REDACTED>'", sql)
+
 # the view shape WITH (MAINTENANCE 'delta') maintains incrementally:
 # single-table grouped sum with a strict > HAVING threshold (the q18
 # inner shape — streaming/delta_ivm.ThresholdSemijoinMV)
@@ -366,7 +382,8 @@ class MzSession:
         1000 statements with role/cluster/outcome/latency."""
         import time as _time
         self._activity.append(
-            (sql.strip()[:1024], self._role, self._vars["cluster"],
+            (redact_sql(sql.strip())[:1024], self._role,
+             self._vars["cluster"],
              status, error,
              round((_time.monotonic() - t0) * 1000.0, 3)))
         if len(self._activity) > 1000:
@@ -392,7 +409,10 @@ class MzSession:
         # the catalog; here the journaled statement IS the definition)
         if type(node).__name__.startswith("Create") \
                 and getattr(node, "name", None):
-            self._create_sql[node.name] = sql.strip()
+            # redacted: SHOW CREATE must not echo credential literals
+            # (the durability journal keeps the raw text — restore
+            # needs real values; it is not client-readable)
+            self._create_sql[node.name] = redact_sql(sql.strip())
         return out
 
     def sql(self, q: str) -> DataFrame:
@@ -1467,6 +1487,26 @@ class MzSession:
                     or k[1].startswith(node.name + ".")]:
             del self._comments[key]
 
+    def append_rows(self, table: str, rows) -> None:
+        """Append ``rows`` (schema-aligned to ``table``) to a base table
+        and feed the insertion as a +1 diff to every delta-maintained MV
+        over it. Every append path — INSERT, COPY ... FROM '<path>', and
+        the pgwire COPY ... FROM STDIN sub-protocol — must come through
+        here: a write that bypasses the delta feed leaves always-fresh
+        MVs permanently wrong (the reference funnels all table writes
+        through one persist append, so its dataflows see every diff)."""
+        target = self.catalog._tables[table]
+        # Tables are append-only multisets (reference INSERT semantics);
+        # checkpoint so repeated inserts don't grow the plan.
+        self.catalog.register_table(
+            table,
+            target.unionByName(rows.select(*target.columns))
+            .localCheckpoint(eager=True))
+        from pyspark.sql import functions as F
+        self._feed_delta_mvs_for_table(
+            table, rows.select(*target.columns).withColumn(
+                "diff", F.lit(1)))
+
     def _insert(self, node: ast.Insert, sql: str):
         self._check_priv("insert", node.table)
         target = self.catalog._tables[node.table]
@@ -1476,13 +1516,7 @@ class MzSession:
                 f"SELECT * FROM {rewrite(tail)}").toDF(*target.columns)
         else:
             rows = self.spark.sql(rewrite(tail)).toDF(*target.columns)
-        # Tables are append-only multisets (reference INSERT semantics);
-        # checkpoint so repeated inserts don't grow the plan.
-        self.catalog.register_table(
-            node.table, target.unionByName(rows).localCheckpoint(eager=True))
-        from pyspark.sql import functions as F
-        self._feed_delta_mvs_for_table(
-            node.table, rows.withColumn("diff", F.lit(1)))
+        self.append_rows(node.table, rows)
 
     def _update(self, node: ast.Update, sql: str):
         self._check_priv("update", node.table)
@@ -1727,10 +1761,7 @@ class MzSession:
                 if node.fmt == "csv" else
                 reader.json(node.path) if node.fmt == "json" else
                 self.spark.read.parquet(node.path))
-        self.catalog.register_table(
-            node.table,
-            target.unionByName(rows.select(*target.columns))
-            .localCheckpoint(eager=True))
+        self.append_rows(node.table, rows)
 
     # -- SHOW ---------------------------------------------------------------
     def _mangled_objects(self, prefix: str) -> list[str]:
@@ -2635,13 +2666,22 @@ class MzSession:
         self._owners[node.name] = self._role
 
     def _resolve_custom_types(self, s: str) -> str:
-        """Substitute registered custom type names at cast sites
-        (``CAST(x AS t)`` — the ``::t`` form already rewrote to CAST)."""
+        """Substitute registered custom type names at cast sites only
+        (``CAST(x AS t)`` — the ``::t`` form already rewrote to CAST).
+        The match requires the closing paren of the CAST and skips
+        string literals, so a column alias (``SELECT 1 AS ctq_ints``)
+        or literal text equal to a type name is left alone."""
         if not self._types:
             return s
-        for name, typ in self._types.items():
-            s = re.sub(rf"(?i)(\bAS\s+){name}\b", rf"\g<1>{typ}", s)
-        return s
+        # odd split indices are quoted literals — never rewrite those
+        parts = re.split(r"('(?:[^']|'')*')", s)
+        for i in range(0, len(parts), 2):
+            seg = parts[i]
+            for name, typ in self._types.items():
+                seg = re.sub(rf"(?i)(\bAS\s+){name}(?=\s*\))",
+                             rf"\g<1>{typ}", seg)
+            parts[i] = seg
+        return "".join(parts)
 
     def _alter_connection(self, node: ast.AlterConnection, sql: str):
         if node.name not in self._connections:
