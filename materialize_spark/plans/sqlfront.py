@@ -104,17 +104,33 @@ _DELTA_AGG_ITEM_RE = re.compile(
 # ΔA⋈B + A⋈ΔB + ΔA⋈ΔB (reference linear_join.rs; operator
 # streaming/ivm_join.IncrementalJoinView), composed with
 # RetractionAwareAgg when grouped
+_JOIN_KIND = r"(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
 _DELTA_MV_JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+"
     r"FROM\s+(?P<t1>\w+)"
-    r"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
+    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?))?\s*;?\s*$",
     re.I | re.S)
 
 _DELTA_MV_JOIN_SEG_RE = re.compile(
-    r"\s+(?:INNER\s+)?JOIN\s+(?P<t>\w+)\s+ON\s+"
+    rf"\s+(?P<kind>{_JOIN_KIND})JOIN\s+(?P<t>\w+)\s+ON\s+"
     r"(?P<onl>\w+)\s*=\s*(?P<onr>\w+)", re.I)
+
+# grouped TopK over a join chain — the join→TopK composition (the
+# reference assembles these per-operator plans in render.rs; TopK plan
+# selection src/compute-types/src/plan/top_k.rs): the bilinear delta
+# join's output delta feeds RetractionAwareTopK directly.
+_DELTA_MV_TOPK_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<cols>[\w\s,]+?)\s+FROM\s+\(\s*"
+    r"SELECT\s+(?P<icols>[\w\s,]+?)\s*,\s*ROW_NUMBER\s*\(\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?\s*\)\s+"
+    r"AS\s+(?P<rn>\w+)\s+FROM\s+(?P<t1>\w+)"
+    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s+(?:AS\s+)?\w+)?\s+"
+    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*;?\s*$",
+    re.I | re.S)
 
 # grouped TopK delta-MV shape — the ROW_NUMBER idiom the reference
 # plans as TopK (src/compute-types/src/plan/top_k.rs; non-monotonic
@@ -450,16 +466,16 @@ class MzSession:
         if not m:
             if self._create_delta_mv_agg(node) \
                     or self._create_delta_mv_topk(node) \
+                    or self._create_delta_mv_join_topk(node) \
                     or self._create_delta_mv_join(node):
                 return
             raise ValueError(
-                "MAINTENANCE 'delta' supports single-table views of the "
-                "form SELECT <keys>, SUM(<col>) AS <alias> FROM <table> "
-                "[WHERE ...] GROUP BY <keys> HAVING SUM(<col>) > <n>, "
-                "or SELECT <keys>, <SUM|COUNT|MIN|MAX|AVG>(<col>) AS "
-                "<alias>[, ...] FROM <table> [WHERE ...] GROUP BY "
-                "<keys>; use a plain MATERIALIZED VIEW (snapshot + "
-                "REFRESH) for other shapes")
+                "MAINTENANCE 'delta' supports: grouped aggregates "
+                "(SUM/COUNT/MIN/MAX/AVG [+ HAVING SUM > n]) over one "
+                "table; grouped TopK (the ROW_NUMBER <= k idiom); "
+                "INNER/LEFT/FULL equi-join chains — plain, GROUP BY "
+                "aggregated, or TopK'd; use a plain MATERIALIZED VIEW "
+                "(snapshot + REFRESH) for other shapes")
         keys = [k.strip() for k in m.group("keys").split(",")]
         gkeys = [k.strip() for k in m.group("gkeys").split(",")]
         if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
@@ -581,35 +597,21 @@ class MzSession:
                             .withColumn("diff", F.lit(1)), initial=True)
         return True
 
-    def _create_delta_mv_join(self, node: ast.CreateView) -> bool:
-        """Equi-join delta MV, optionally with a grouped aggregate:
-        maintained by the bilinear delta-join ΔA⋈B + A⋈ΔB + ΔA⋈ΔB —
-        never a re-join of the histories — composed with
-        RetractionAwareAgg for the GROUP BY form (reference
-        src/compute/src/render/join/linear_join.rs; the q3/q5 'dim
-        join + grouped sum' always-fresh shape)."""
-        from pyspark.sql import functions as F
-
-        from materialize_spark.streaming.ivm_join import (
-            IncrementalJoinView,
-        )
-        from materialize_spark.streaming.retraction import (
-            RetractionAwareAgg,
-        )
-
-        m = _DELTA_MV_JOIN_RE.match(node.body)
-        if not m:
-            return False
-        # left-deep chain: t1 JOIN t2 ON .. [JOIN t3 ON ..]* — link i
-        # joins the accumulated left side with tables[i+1] (the
-        # reference's linear join plans compose the same way)
-        tables = [m.group("t1")]
+    def _parse_delta_join_chain(self, t1: str, joins_text: str):
+        """Parse a left-deep join chain ``t1 [kind] JOIN t2 ON a = b ...``
+        into (tables, norm_links, kinds, acc_cols) where each norm_link
+        is (acc-side key, right key) and kind ∈ inner|left|full; None
+        when the chain is out of the supported shape."""
+        tables = [t1]
         links: list[tuple[str, str]] = []   # (acc-side key, right key)
-        for seg in _DELTA_MV_JOIN_SEG_RE.finditer(m.group("joins")):
+        kinds: list[str] = []
+        for seg in _DELTA_MV_JOIN_SEG_RE.finditer(joins_text):
             tables.append(seg.group("t"))
             links.append((seg.group("onl"), seg.group("onr")))
+            k = (seg.group("kind") or "").strip().lower().split()
+            kinds.append(k[0] if k else "inner")
         if len(set(tables)) != len(tables):
-            return False  # self-joins keep two states of one table: out
+            return None  # self-joins keep two states of one table: out
         for t in tables:
             if t not in self.catalog._tables:
                 raise KeyError(f"unknown table {t!r}")
@@ -620,11 +622,87 @@ class MzSession:
             if onl in rc and onr in acc_cols:  # written right = left
                 onl, onr = onr, onl
             if onl not in acc_cols or onr not in rc:
-                return False
+                return None
             if acc_cols & (rc - {onr}):
-                return False  # non-key column collision: out of scope
+                return None  # non-key column collision: out of scope
             norm_links.append((onl, onr))
             acc_cols |= rc - {onr}
+            if kinds[i] != "inner" and onr != onl:
+                # outer ON semantics keep BOTH key columns (the right
+                # key is NULL on unmatched-left rows, and vice versa)
+                if onr in acc_cols:
+                    return None
+                acc_cols.add(onr)
+        return tables, norm_links, kinds, acc_cols
+
+    def _build_delta_join_chain(self, tables: list[str],
+                                norm_links: list[tuple[str, str]],
+                                kinds: list[str]) -> list:
+        """Instantiate one maintained-join view per chain link: inner
+        links use the bilinear IncrementalJoinView; LEFT/FULL links use
+        IncrementalOuterJoinView (the reference lowers outer joins to
+        inner + null-padded anti parts, src/sql/src/plan/lowering.rs —
+        the delta rule follows that decomposition)."""
+        from materialize_spark.streaming.ivm_join import (
+            IncrementalJoinView, IncrementalOuterJoinView,
+        )
+
+        types: dict[str, str] = {}
+        for t in tables:
+            for f in self.catalog._tables[t].schema.fields:
+                types.setdefault(f.name, f.dataType.simpleString())
+        chain = []
+        acc = list(self.catalog._tables[tables[0]].columns)
+        for i, (onl, onr) in enumerate(norm_links):
+            right = self.catalog._tables[tables[i + 1]]
+            kind = kinds[i]
+            # outer ON semantics: when the key names differ, the right
+            # key survives as a payload column (NULL on unmatched-left
+            # rows); the joining copy onl is padded NULL on
+            # unmatched-right rows
+            keep_onr = kind != "inner" and onr != onl
+            rcols = [c for c in right.columns
+                     if c != onr or keep_onr]
+            if kind == "inner":
+                chain.append(IncrementalJoinView(on=[onl]))
+            else:
+                # same-name keys (USING-style) coalesce: the key column
+                # keeps the right side's value on unmatched-right rows
+                # and is never padded; distinct names NULL the left key
+                chain.append(IncrementalOuterJoinView(
+                    on=[onl],
+                    pad_right=[(c, types[c]) for c in rcols],
+                    how=kind,
+                    pad_left=[(c, types[c]) for c in acc
+                              if keep_onr or c != onl]))
+            acc += rcols
+        return chain
+
+    def _create_delta_mv_join(self, node: ast.CreateView) -> bool:
+        """Equi-join delta MV (INNER / LEFT / FULL links), optionally
+        with a grouped aggregate: maintained by the bilinear delta-join
+        ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — never a re-join of the histories — with
+        null-padded anti parts for outer links, composed with
+        RetractionAwareAgg for the GROUP BY form (reference
+        src/compute/src/render/join/linear_join.rs; the q3/q5 'dim
+        join + grouped sum' always-fresh shape)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg,
+        )
+
+        m = _DELTA_MV_JOIN_RE.match(node.body)
+        if not m:
+            return False
+        # left-deep chain: t1 JOIN t2 ON .. [JOIN t3 ON ..]* — link i
+        # joins the accumulated left side with tables[i+1] (the
+        # reference's linear join plans compose the same way)
+        parsed = self._parse_delta_join_chain(m.group("t1"),
+                                              m.group("joins"))
+        if parsed is None:
+            return False
+        tables, norm_links, kinds, acc_cols = parsed
         keys: list[str] = []
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
@@ -653,31 +731,93 @@ class MzSession:
             if not all(re.fullmatch(r"\w+", c) and c in acc_cols
                        for c in cols):
                 return False
-        chain = [IncrementalJoinView(on=[onl])
-                 for onl, _onr in norm_links]
+        chain = self._build_delta_join_chain(tables, norm_links, kinds)
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
-                "links": norm_links, "agg": agg, "keys": keys,
-                "aggs": aggs, "cols": cols, "where": m.group("where"),
-                "proj": None, "table": None}
+                "links": norm_links, "kinds": kinds, "agg": agg,
+                "keys": keys, "aggs": aggs, "cols": cols,
+                "where": m.group("where"),
+                "proj": None, "table": None, "topk": None}
         self._delta_mvs[node.name] = spec
-        # formation: all snapshots in ONE pass — with both deltas
-        # present, each link's ΔA⋈ΔB term produces exactly A ⋈ B
-        from pyspark.sql import functions as _F
-        snaps = [self.catalog._tables[t].withColumn("diff", _F.lit(1))
-                 for t in tables]
+        self._form_delta_mv_join(node.name)
+        return True
+
+    def _create_delta_mv_join_topk(self, node: ast.CreateView) -> bool:
+        """Join→TopK composition: the grouped-TopK ROW_NUMBER idiom over
+        a join chain. The chain's output delta feeds RetractionAwareTopK
+        — the per-operator plan composition the reference's render.rs
+        performs (reduce/top_k/join plan selection in
+        src/compute-types/src/plan/)."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareTopK,
+        )
+
+        m = _DELTA_MV_TOPK_JOIN_RE.match(node.body)
+        if not m or m.group("rn").lower() != m.group("rn2").lower():
+            return False
+        parsed = self._parse_delta_join_chain(m.group("t1"),
+                                              m.group("joins"))
+        if parsed is None:
+            return False
+        tables, norm_links, kinds, acc_cols = parsed
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        icols = [c.strip() for c in m.group("icols").split(",")]
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        low = {c.lower() for c in icols}
+        if not all(c.lower() in low for c in cols) \
+                or not all(k.lower() in low for k in keys) \
+                or m.group("ord").lower() not in low \
+                or not all(c in acc_cols for c in icols):
+            return False
+        mv = RetractionAwareTopK(
+            self.spark, keys=keys, order_col=m.group("ord"),
+            limit=int(m.group("k")),
+            descending=(m.group("dir") or "ASC").upper() == "DESC")
+        chain = self._build_delta_join_chain(tables, norm_links, kinds)
+        spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
+                "links": norm_links, "kinds": kinds, "agg": None,
+                "keys": keys, "aggs": {}, "cols": cols,
+                "where": m.group("where"),
+                "proj": None, "table": None,
+                "topk": {"mv": mv, "icols": icols}}
+        self._delta_mvs[node.name] = spec
+        self._form_delta_mv_join(node.name)
+        return True
+
+    def _form_delta_mv_join(self, name: str) -> None:
+        """Formation: all base-table snapshots in ONE pass — with both
+        deltas present, each link's ΔA⋈ΔB term produces exactly A ⋈ B
+        (and the outer links' anti terms produce the unmatched rows)."""
+        from pyspark.sql import functions as F
+
+        spec = self._delta_mvs[name]
+        snaps = [self.catalog._tables[t].withColumn("diff", F.lit(1))
+                 for t in spec["tables"]]
         out = snaps[0]
-        for i, link in enumerate(chain):
-            onl, onr = norm_links[i]
-            r = snaps[i + 1]
-            if onr != onl:
-                r = r.withColumnRenamed(onr, onl)
+        for i, link in enumerate(spec["chain"]):
+            r = self._align_join_delta(spec, i, snaps[i + 1])
             out = link.on_batch(left_delta=out, right_delta=r)
             if out is None:
                 break
-        self._finish_delta_mv_join(node.name, out, initial=True)
-        return True
+        self._finish_delta_mv_join(name, out, initial=True)
+
+    @staticmethod
+    def _align_join_delta(spec: dict, i: int, delta):
+        """Align a right-side delta to link i's join column: inner (or
+        same-name) links rename the right key to the accumulated side's
+        name; outer ON links with distinct names COPY it instead — the
+        original right key survives as a payload column (NULL-padded on
+        unmatched-left rows, ON semantics)."""
+        from pyspark.sql import functions as F
+
+        onl, onr = spec["links"][i]
+        if onr == onl:
+            return delta
+        kinds = spec.get("kinds") or ["inner"] * len(spec["links"])
+        if kinds[i] == "inner":
+            return delta.withColumnRenamed(onr, onl)
+        return delta.withColumn(onl, F.col(onr))
 
     def _feed_delta_mv_join(self, name: str, table: str,
                             delta) -> None:
@@ -691,9 +831,7 @@ class MzSession:
             out = chain[0].on_batch(left_delta=delta)
             rest = chain[1:]
         else:
-            onl, onr = links[idx - 1]
-            if onr != onl:
-                delta = delta.withColumnRenamed(onr, onl)
+            delta = self._align_join_delta(spec, idx - 1, delta)
             out = chain[idx - 1].on_batch(right_delta=delta)
             rest = chain[idx:]
         for link in rest:
@@ -714,6 +852,19 @@ class MzSession:
         if out is not None and spec["where"]:
             out = out.filter(
                 f"coalesce(({rewrite(spec['where'])}), false)")
+        if spec.get("topk") is not None:
+            tk = spec["topk"]
+            if out is not None:
+                result = tk["mv"].on_batch(
+                    out.select(*tk["icols"], "diff")).select(*spec["cols"])
+            else:
+                result = (tk["mv"].result().select(*spec["cols"])
+                          if tk["mv"]._result is not None else None)
+            if result is None:
+                result = self.spark.sql(
+                    rewrite(self._matview_sql[name])).limit(0)
+            self._publish_delta_mv(name, result, initial)
+            return
         if spec["agg"] is not None:
             if out is not None:
                 in_cols = {c for _k, c in spec["aggs"].values()}

@@ -990,3 +990,96 @@ def sqlfront_explain_pushdown(spark, sf_dir):
         [("arrangement_scan_pushed", arrangement_ok),
          ("parquet_scan_pushed", parquet_ok)],
         "step string, outcome boolean").orderBy("step")
+
+
+@register(
+    "sqlfront_delta_mv_outer_join",
+    """
+    -- oracle: recompute over the net state of the write script
+    -- (orders 101/102 survive; customers AUTO and MACH survive —
+    --  o_ck=2's match was deleted, so its rows fall into the NULL
+    --  group, here COALESCEd for deterministic ordering)
+    WITH ord(ok, o_ck, amt) AS (VALUES (101, 2, 12), (102, 3, 5)),
+         cust(c_ck, seg) AS (VALUES (1, 'AUTO'), (3, 'MACH'))
+    SELECT COALESCE(seg, 'unmatched') AS seg,
+           CAST(SUM(amt) AS BIGINT) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ord LEFT JOIN cust ON o_ck = c_ck
+    GROUP BY seg ORDER BY 1
+    """,
+    "sqlfront", "delta-mv-join", "outer-join",
+)
+def sqlfront_delta_mv_outer_join(spark, sf_dir):
+    """outer-join→agg delta MV: a LEFT JOIN maintained as inner +
+    null-padded anti parts (the reference lowers outer joins to unions
+    of inner joins, src/sql/src/plan/lowering.rs; the delta rule
+    follows), composed with the retraction-aware aggregate. The write
+    script crosses the first-match boundary in BOTH directions: a
+    customer insert retracts the NULL-group rows, a customer delete
+    restores them — with no REFRESH anywhere."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE djo_ord (ok BIGINT, o_ck BIGINT, "
+                 "amt BIGINT)")
+    sess.execute("CREATE TABLE djo_cust (c_ck BIGINT, seg STRING)")
+    sess.execute("INSERT INTO djo_cust VALUES (1, 'AUTO'), (2, 'BLDG')")
+    sess.execute("CREATE MATERIALIZED VIEW djo_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT seg, SUM(amt) AS rev, COUNT(*) "
+                 "AS n FROM djo_ord LEFT JOIN djo_cust ON o_ck = c_ck "
+                 "GROUP BY seg")
+    # o_ck=3 has no customer yet: NULL group forms
+    sess.execute("INSERT INTO djo_ord VALUES (100, 1, 8), "
+                 "(101, 2, 12), (102, 3, 5)")
+    # first match for o_ck=3: the NULL-group rows migrate to MACH
+    sess.execute("INSERT INTO djo_cust VALUES (3, 'MACH')")
+    # last match for o_ck=2 vanishes: its rows fall back to NULL group
+    sess.execute("DELETE FROM djo_cust WHERE c_ck = 2")
+    sess.execute("DELETE FROM djo_ord WHERE ok = 100")
+    return sess.sql(
+        "SELECT COALESCE(seg, 'unmatched') AS seg, rev, n "
+        "FROM djo_mv ORDER BY 1")
+
+
+@register(
+    "sqlfront_delta_mv_join_topk",
+    """
+    -- oracle: recompute of the final net state (order 103 deleted —
+    -- it was BLDG's maximum, so 101 re-enters the top 2; customer
+    -- AUTO deleted — its whole group vanishes)
+    WITH ord(ok, o_ck, amt) AS (VALUES
+        (101, 2, 12), (102, 2, 20), (104, 2, 3)),
+         cust(c_ck, seg) AS (VALUES (2, 'BLDG'), (3, 'MACH'))
+    SELECT seg, ok, CAST(amt AS BIGINT) AS amt FROM (
+        SELECT seg, ok, amt, ROW_NUMBER() OVER (
+            PARTITION BY seg ORDER BY amt DESC) AS rn
+        FROM ord JOIN cust ON o_ck = c_ck) t
+    WHERE rn <= 2 ORDER BY seg, amt
+    """,
+    "sqlfront", "delta-mv-join", "topk",
+)
+def sqlfront_delta_mv_join_topk(spark, sf_dir):
+    """join→TopK delta MV: the bilinear delta-join's output delta feeds
+    the retraction-aware grouped TopK (the per-operator plan
+    composition the reference's render.rs assembles; TopK plan
+    selection src/compute-types/src/plan/top_k.rs). Deleting the
+    current per-group maximum pulls a previously-evicted row back into
+    the top k — the non-monotonic guarantee — and deleting a customer
+    retracts its entire group, all with no REFRESH."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE tkj_ord (ok BIGINT, o_ck BIGINT, "
+                 "amt BIGINT)")
+    sess.execute("CREATE TABLE tkj_cust (c_ck BIGINT, seg STRING)")
+    sess.execute("INSERT INTO tkj_cust VALUES (1, 'AUTO'), "
+                 "(2, 'BLDG'), (3, 'MACH')")
+    sess.execute("CREATE MATERIALIZED VIEW tkj_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT seg, ok, amt FROM (SELECT seg, "
+                 "ok, amt, ROW_NUMBER() OVER (PARTITION BY seg ORDER "
+                 "BY amt DESC) AS rn FROM tkj_ord JOIN tkj_cust ON "
+                 "o_ck = c_ck) t WHERE rn <= 2")
+    sess.execute("INSERT INTO tkj_ord VALUES (100, 1, 9), "
+                 "(101, 2, 12), (102, 2, 20), (103, 2, 31), "
+                 "(104, 2, 3)")
+    # delete BLDG's current #1: evicted 101 must re-enter the top 2
+    sess.execute("DELETE FROM tkj_ord WHERE ok = 103")
+    # dimension churn: AUTO vanishes entirely
+    sess.execute("DELETE FROM tkj_cust WHERE c_ck = 1")
+    return sess.sql("SELECT seg, ok, amt FROM tkj_mv ORDER BY seg, amt")

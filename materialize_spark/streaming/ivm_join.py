@@ -124,9 +124,11 @@ class IncrementalJoinView:
         self._result.append(out)
         if len(self._result) >= self.compact_every:
             folded = _consolidate(None, _concat(self._result))
+            empty = self._result[0].limit(0)
             self._result.clear()
-            if folded is not None:
-                self._result.append(folded)
+            # an all-cancelled fold keeps an empty frame so result()
+            # still knows the schema
+            self._result.append(folded if folded is not None else empty)
         return out
 
     def result(self) -> DataFrame:
@@ -147,3 +149,174 @@ class IncrementalJoinView:
             r.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col(DIFF_COL))))
             .drop(DIFF_COL, "__i")
         )
+
+
+@dataclass
+class IncrementalOuterJoinView:
+    """A LEFT (or FULL) outer equi-join maintained incrementally.
+
+    The reference lowers outer joins to a union of the inner join with
+    null-padded anti-join parts (src/sql/src/plan/lowering.rs), then
+    maintains each part as an ordinary dataflow. Same decomposition here:
+
+        L ⟕ R  =  (L ⋈ R)  ∪  (L ▷ R) × {NULL_R}
+
+    The inner part uses the bilinear delta terms (see
+    :class:`IncrementalJoinView`). The anti part's delta has three terms
+    (derivable from Δ(L ⋉̸ R) with ⋉̸ = "no key match"):
+
+        ΔL ⋉̸ R_new                       (new left rows with no match)
+      + L_old ⋈ keys(present → absent)   (matches vanished: rows re-enter)
+      - L_old ⋈ keys(absent → present)   (matches appeared: rows retract)
+
+    Key presence is a per-key NET row count over the right state — one
+    keyed aggregate per batch restricted to the batch's touched keys, so
+    the per-batch cost stays O(Δ ⋈ state), never a full recompute. FULL
+    joins add the mirrored right-side anti part.
+
+    ``pad_right`` / ``pad_left``: (column, spark-type) pairs for the
+    null-padded side(s) — the non-key columns of the opposite input.
+    """
+
+    on: list[str]
+    pad_right: list[tuple[str, str]]
+    how: str = "left"                      # "left" | "full"
+    pad_left: list[tuple[str, str]] = field(default_factory=list)
+    compact_every: int = 16
+    _left: list[DataFrame] = field(default_factory=list, init=False)
+    _right: list[DataFrame] = field(default_factory=list, init=False)
+    _result: list[DataFrame] = field(default_factory=list, init=False)
+
+    def __post_init__(self) -> None:
+        if self.how not in ("left", "full"):
+            raise ValueError(f"unsupported outer-join kind {self.how!r}")
+        if self.how == "full" and not self.pad_left:
+            raise ValueError("FULL join needs pad_left column types")
+
+    # -- helpers --------------------------------------------------------------
+    def _inner_term(self, a, b):
+        if a is None or b is None:
+            return None
+        al = a.withColumnRenamed(DIFF_COL, "__dl")
+        bl = b.withColumnRenamed(DIFF_COL, "__dr")
+        return (al.join(bl, on=self.on, how="inner")
+                .withColumn(DIFF_COL, F.col("__dl") * F.col("__dr"))
+                .drop("__dl", "__dr"))
+
+    def _pad(self, rows: DataFrame, pads: list[tuple[str, str]],
+             negate: bool = False) -> DataFrame:
+        out = rows
+        for col, typ in pads:
+            out = out.withColumn(col, F.lit(None).cast(typ))
+        if negate:
+            out = out.withColumn(DIFF_COL, -F.col(DIFF_COL))
+        return out
+
+    @staticmethod
+    def _present_keys(state: DataFrame | None, on: list[str]):
+        """Keys with a positive net row count (the 'has a match' set)."""
+        if state is None:
+            return None
+        return (state.groupBy(*on).agg(F.sum(DIFF_COL).alias("__n"))
+                .filter(F.col("__n") > 0).select(*on))
+
+    @staticmethod
+    def _flips(old: DataFrame | None, delta: DataFrame,
+               on: list[str]) -> tuple[DataFrame, DataFrame]:
+        """(present→absent keys, absent→present keys) among the keys the
+        delta touches — a probe restricted to touched keys, not a scan
+        of untouched groups' values."""
+        touched = delta.select(*on).distinct()
+        dn = delta.groupBy(*on).agg(F.sum(DIFF_COL).alias("__dn"))
+        if old is None:
+            base = dn.withColumn("__on", F.lit(0))
+        else:
+            on_counts = (old.join(touched, on=on, how="left_semi")
+                         .groupBy(*on).agg(F.sum(DIFF_COL).alias("__on")))
+            base = dn.join(on_counts, on=on, how="left").withColumn(
+                "__on", F.coalesce(F.col("__on"), F.lit(0)))
+        base = base.withColumn("__nn", F.col("__on") + F.col("__dn"))
+        to_absent = base.filter((F.col("__on") > 0)
+                                & (F.col("__nn") <= 0)).select(*on)
+        to_present = base.filter((F.col("__on") <= 0)
+                                 & (F.col("__nn") > 0)).select(*on)
+        return to_absent, to_present
+
+    def _anti_terms(self, side_old, side_delta, other_old, other_delta,
+                    pads: list[tuple[str, str]]) -> list[DataFrame]:
+        """Anti-part delta for one side (the side that survives
+        unmatched, null-padded on ``pads`` = the other side's columns)."""
+        terms: list[DataFrame] = []
+        if side_delta is not None:
+            other_new = _concat([p for p in (other_old, other_delta)
+                                 if p is not None])
+            present = self._present_keys(other_new, self.on)
+            unmatched = (side_delta if present is None else
+                         side_delta.join(present, on=self.on,
+                                         how="left_anti"))
+            terms.append(self._pad(unmatched, pads))
+        if other_delta is not None and side_old is not None:
+            to_absent, to_present = self._flips(other_old, other_delta,
+                                                self.on)
+            terms.append(self._pad(
+                side_old.join(to_absent, on=self.on, how="inner"), pads))
+            terms.append(self._pad(
+                side_old.join(to_present, on=self.on, how="inner"),
+                pads, negate=True))
+        return terms
+
+    # -- batch fold ------------------------------------------------------------
+    def on_batch(self, left_delta: DataFrame | None = None,
+                 right_delta: DataFrame | None = None) -> DataFrame | None:
+        """Fold one batch; returns the outer join's output delta with the
+        padded side's columns NULL on unmatched rows."""
+        l_old, r_old = _concat(self._left), _concat(self._right)
+        terms = [t for t in (
+            self._inner_term(left_delta, r_old),
+            self._inner_term(l_old, right_delta),
+            self._inner_term(left_delta, right_delta)) if t is not None]
+        terms += self._anti_terms(l_old, left_delta, r_old, right_delta,
+                                  self.pad_right)
+        if self.how == "full":
+            mirrored = self._anti_terms(r_old, right_delta, l_old,
+                                        left_delta, self.pad_left)
+            # realign to the output column order (unionByName below)
+            terms += mirrored
+        for parts, delta in ((self._left, left_delta),
+                             (self._right, right_delta)):
+            if delta is not None:
+                parts.append(delta.localCheckpoint(eager=True))
+            if len(parts) >= self.compact_every:
+                folded = _consolidate(None, _concat(parts))
+                parts.clear()
+                if folded is not None:
+                    parts.append(folded)
+        if not terms:
+            return None
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t)
+        out = out.localCheckpoint(eager=True)
+        self._result.append(out)
+        if len(self._result) >= self.compact_every:
+            folded = _consolidate(None, _concat(self._result))
+            empty = self._result[0].limit(0)
+            self._result.clear()
+            self._result.append(folded if folded is not None else empty)
+        return out
+
+    def result(self) -> DataFrame:
+        """Current maintained outer join (consolidated, positive
+        multiplicities, ``diff`` column)."""
+        if not self._result:
+            raise RuntimeError("no batches folded yet")
+        merged = _consolidate(None, _concat(self._result))
+        if merged is None:
+            merged = self._result[0].limit(0)
+        return merged.filter(F.col(DIFF_COL) > 0)
+
+    def result_expanded(self) -> DataFrame:
+        r = self.result()
+        return (r.withColumn("__i", F.explode(
+            F.sequence(F.lit(1), F.col(DIFF_COL))))
+            .drop(DIFF_COL, "__i"))

@@ -63,6 +63,36 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ns_cond(keys: list[str]):
+    """Null-safe key equality between aliases __a and __b. Group keys can
+    be NULL (SQL groupBy makes NULL a real group — and outer-join delta
+    feeds produce NULL-padded keys), so every state probe keyed on group
+    must match NULL to NULL; plain `on=keys` joins silently never do."""
+    cond = None
+    for k in keys:
+        c = F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}"))
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _ns_probe(df: DataFrame, keys_df: DataFrame, keys: list[str],
+              anti: bool = False) -> DataFrame:
+    """Null-safe left_semi / left_anti of ``df`` against key set."""
+    how = "left_anti" if anti else "left_semi"
+    return (df.alias("__a")
+            .join(keys_df.alias("__b"), on=_ns_cond(keys), how=how))
+
+
+def _ns_attach(df: DataFrame, other: DataFrame, keys: list[str],
+               cols: list[str]) -> DataFrame:
+    """Null-safe LEFT join attaching ``cols`` from ``other`` keyed on
+    ``keys`` (NULL group keys match their NULL-keyed aggregate row)."""
+    a, b = df.alias("__a"), other.alias("__b")
+    out = a.join(b, on=_ns_cond(keys), how="left")
+    return out.select(*[F.col(f"__a.{c}") for c in df.columns],
+                      *[F.col(f"__b.{c}") for c in cols])
+
+
 @dataclass
 class RetractionAwareAgg:
     """groupBy(keys).agg(...) maintained under insert *and* delete updates.
@@ -112,16 +142,14 @@ class RetractionAwareAgg:
         if state is None:
             merged = partial
         else:
+            # union + re-aggregate instead of a key-equality join: SQL
+            # groupBy makes NULL a real group, and a full_outer on the
+            # keys would never merge the NULL group's state with its
+            # partial (NULL != NULL under join equality)
             val_cols = [c for c in partial.columns if c not in self.keys]
-            s = state.select(*self.keys,
-                             *[F.col(c).alias(f"__s{c}") for c in val_cols])
-            joined = s.join(partial, on=self.keys, how="full_outer")
-            merged = joined.select(
-                *self.keys,
-                *[(F.coalesce(F.col(f"__s{c}"), F.lit(0))
-                   + F.coalesce(F.col(c), F.lit(0))).alias(c)
-                  for c in val_cols],
-            )
+            merged = (state.unionByName(partial)
+                      .groupBy(*self.keys)
+                      .agg(*[F.sum(c).alias(c) for c in val_cols]))
         # Keep negative nets in state (out-of-order retractions); the
         # user-visible threshold lives in result().
         return merged.filter(F.col("__net") != 0)
@@ -148,8 +176,8 @@ class RetractionAwareAgg:
             if prev is None:
                 new_supp = _consolidate(batch_supp, self.keys, "__val")
             else:
-                untouched = prev.join(touched, on=self.keys, how="left_anti")
-                touched_prev = prev.join(touched, on=self.keys, how="left_semi")
+                untouched = _ns_probe(prev, touched, self.keys, anti=True)
+                touched_prev = _ns_probe(prev, touched, self.keys)
                 new_supp = untouched.unionByName(
                     _consolidate(touched_prev.unionByName(batch_supp),
                                  self.keys, "__val"))
@@ -177,7 +205,7 @@ class RetractionAwareAgg:
                 agg = F.min("__val") if kind == "min" else F.max("__val")
                 mm = (self._support[_col].filter(F.col("mult") > 0)
                       .groupBy(*self.keys).agg(agg.alias(name)))
-                out = out.join(mm, on=self.keys, how="left")
+                out = _ns_attach(out, mm, self.keys, [name])
         return out.select(*self.keys, *self.aggs.keys())
 
 
@@ -243,8 +271,7 @@ class RetractionAwareTopK:
             self._parts.clear()
             self._parts.append(folded)
             all_supp = folded
-        touched_net = (all_supp.join(touched, on=self.keys,
-                                     how="left_semi")
+        touched_net = (_ns_probe(all_supp, touched, self.keys)
                        .groupBy(*data_cols)
                        .agg(F.sum("mult").alias("mult")))
         topk_touched = self._topk_of(touched_net)
@@ -252,8 +279,7 @@ class RetractionAwareTopK:
             self._result = _ckpt(topk_touched)
         else:
             self._result = _ckpt(
-                self._result.join(touched, on=self.keys,
-                                  how="left_anti")
+                _ns_probe(self._result, touched, self.keys, anti=True)
                 .unionByName(topk_touched))
         return self._result
 

@@ -1,0 +1,143 @@
+"""Delta-MV composition at the SQL surface: outer-join chains and the
+join→TopK composition, maintained always-fresh through INSERT / DELETE /
+UPDATE with no REFRESH — every step compared against a full recompute of
+the view body (the reference maintains arbitrary SQL this way;
+src/compute/src/render.rs assembles per-operator incremental plans)."""
+
+import pytest
+
+from materialize_spark.plans.sqlfront import MzSession
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mk(spark):
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dc_ord (okey BIGINT, ckey BIGINT, "
+              "price BIGINT)")
+    s.execute("CREATE TABLE dc_cust (cust_key BIGINT, cname STRING)")
+    s.execute("CREATE TABLE dc_li (li_okey BIGINT, qty BIGINT)")
+    return s
+
+
+def _drop(s, *names):
+    for n in names:
+        s.execute(f"DROP VIEW {n}")
+    for t in ("dc_li", "dc_cust", "dc_ord"):
+        s.execute(f"DROP TABLE {t}")
+
+
+def _key(t):
+    return tuple((v is None, str(v)) for v in t)
+
+
+def _recompute(s, body):
+    return sorted((tuple(r) for r in s.spark.sql(body).collect()),
+                  key=_key)
+
+
+def _rows(s, name):
+    return sorted((tuple(r) for r in s.sql(f"SELECT * FROM {name}")
+                   .collect()), key=_key)
+
+
+def test_delta_mv_left_join_agg(spark):
+    """outer-join→agg: LEFT JOIN with a grouped aggregate on top stays
+    fresh under inserts and deletes on BOTH sides, including the
+    first-match/last-match transitions that flip null-padding."""
+    s = _mk(spark)
+    body = ("SELECT cname, SUM(price) AS total, COUNT(*) AS n "
+            "FROM dc_ord LEFT JOIN dc_cust ON ckey = cust_key "
+            "GROUP BY cname")
+    # seed BEFORE creation (formation pass covers existing rows)
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 11, 50)")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice')")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv1 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcv1") == _recompute(s, body)
+    assert (None, 50, 1) in _rows(s, "dcv1")  # unmatched ckey=11
+    # first match for ckey=11: the NULL-group row must migrate
+    s.execute("INSERT INTO dc_cust VALUES (11, 'bob')")
+    assert _rows(s, "dcv1") == _recompute(s, body)
+    # more orders, then delete the customer again (match vanishes)
+    s.execute("INSERT INTO dc_ord VALUES (3, 11, 25), (4, 12, 75)")
+    assert _rows(s, "dcv1") == _recompute(s, body)
+    s.execute("DELETE FROM dc_cust WHERE cust_key = 11")
+    assert _rows(s, "dcv1") == _recompute(s, body)
+    s.execute("UPDATE dc_ord SET price = price + 1 WHERE okey = 1")
+    assert _rows(s, "dcv1") == _recompute(s, body)
+    _drop(s, "dcv1")
+
+
+def test_delta_mv_full_join_projection(spark):
+    s = _mk(spark)
+    body = ("SELECT okey, ckey, cname "
+            "FROM dc_ord FULL JOIN dc_cust ON ckey = cust_key")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv2 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100)")
+    s.execute("INSERT INTO dc_cust VALUES (20, 'carol')")
+    assert _rows(s, "dcv2") == _recompute(s, body)
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice')")
+    assert _rows(s, "dcv2") == _recompute(s, body)
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")
+    assert _rows(s, "dcv2") == _recompute(s, body)
+    _drop(s, "dcv2")
+
+
+def test_delta_mv_join_topk(spark):
+    """join→TopK: top-2 orders by price per customer name, over an
+    inner join chain, fresh under churn in both inputs."""
+    s = _mk(spark)
+    body = ("SELECT cname, okey, price FROM ("
+            "SELECT cname, okey, price, ROW_NUMBER() OVER ("
+            "PARTITION BY cname ORDER BY price DESC) AS rn "
+            "FROM dc_ord JOIN dc_cust ON ckey = cust_key) t "
+            "WHERE rn <= 2")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv3 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 10, 200), "
+              "(3, 10, 300), (4, 11, 50)")
+    got = _rows(s, "dcv3")
+    assert got == _recompute(s, body)
+    assert ("alice", 1, 100) not in got  # evicted by top-2
+    # delete the current #1: the evicted row must come back
+    s.execute("DELETE FROM dc_ord WHERE okey = 3")
+    got = _rows(s, "dcv3")
+    assert got == _recompute(s, body)
+    assert ("alice", 1, 100) in got
+    # churn the dimension side: bob disappears entirely
+    s.execute("DELETE FROM dc_cust WHERE cust_key = 11")
+    assert _rows(s, "dcv3") == _recompute(s, body)
+    _drop(s, "dcv3")
+
+
+def test_delta_mv_left_join_chain_three_way(spark):
+    """Three-way chain mixing INNER and LEFT links with an aggregate."""
+    s = _mk(spark)
+    body = ("SELECT cname, SUM(qty) AS q "
+            "FROM dc_ord JOIN dc_cust ON ckey = cust_key "
+            "LEFT JOIN dc_li ON okey = li_okey GROUP BY cname")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv4 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 11, 50)")
+    assert _rows(s, "dcv4") == _recompute(s, body)  # q NULL both
+    s.execute("INSERT INTO dc_li VALUES (1, 7), (1, 3)")
+    assert _rows(s, "dcv4") == _recompute(s, body)
+    s.execute("DELETE FROM dc_li WHERE qty = 7")
+    assert _rows(s, "dcv4") == _recompute(s, body)
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")
+    assert _rows(s, "dcv4") == _recompute(s, body)
+    _drop(s, "dcv4")
+
+
+def test_delta_mv_unsupported_still_errors(spark):
+    s = _mk(spark)
+    with pytest.raises(ValueError, match="MAINTENANCE 'delta'"):
+        s.execute("CREATE MATERIALIZED VIEW dcbad WITH (MAINTENANCE "
+                  "'delta') AS SELECT DISTINCT okey FROM dc_ord "
+                  "ORDER BY okey")
+    for t in ("dc_li", "dc_cust", "dc_ord"):
+        s.execute(f"DROP TABLE {t}")

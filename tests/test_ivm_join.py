@@ -73,3 +73,93 @@ def test_three_way_join_by_chaining(spark):
     d_ab2 = ab.on_batch(left_delta=spark.createDataFrame([(1, 10, -1)], L))
     abc.on_batch(left_delta=d_ab2)
     assert abc.result_expanded().isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# IncrementalOuterJoinView: outer delta algebra == full outer re-join
+# ---------------------------------------------------------------------------
+
+def _outer_oracle(spark, lh, rh, how):
+    l = _expand(threshold(spark.createDataFrame(lh, L)))
+    r = _expand(threshold(spark.createDataFrame(rh, R)))
+    return l.join(r, on="k", how=how).select("k", "lv", "rv")
+
+
+def test_outer_join_left_random_workload(spark):
+    from materialize_spark.streaming.ivm_join import IncrementalOuterJoinView
+    rng = random.Random(11)
+    jv = IncrementalOuterJoinView(on=["k"], pad_right=[("rv", "bigint")],
+                                  how="left", compact_every=3)
+    lh, rh, l_live, r_live = [], [], [], []
+    for step in range(6):
+        lb, rb = [], []
+        for _ in range(6):
+            if l_live and rng.random() < 0.35:
+                v = l_live.pop(rng.randrange(len(l_live)))
+                lb.append((*v, -1))
+            else:
+                v = (rng.randrange(4), rng.randrange(20))
+                l_live.append(v); lb.append((*v, 1))
+            if r_live and rng.random() < 0.35:
+                v = r_live.pop(rng.randrange(len(r_live)))
+                rb.append((*v, -1))
+            else:
+                v = (rng.randrange(4), rng.randrange(20))
+                r_live.append(v); rb.append((*v, 1))
+        lh += lb; rh += rb
+        jv.on_batch(spark.createDataFrame(lb, L) if lb else None,
+                    spark.createDataFrame(rb, R) if rb else None)
+        got = _rows(jv.result_expanded().select("k", "lv", "rv"))
+        want = _rows(_outer_oracle(spark, lh, rh, "left"))
+        assert got == want, f"step {step}: {got} != {want}"
+
+
+def test_outer_join_full_random_workload(spark):
+    from materialize_spark.streaming.ivm_join import IncrementalOuterJoinView
+    rng = random.Random(7)
+    jv = IncrementalOuterJoinView(on=["k"], pad_right=[("rv", "bigint")],
+                                  pad_left=[("lv", "bigint")],
+                                  how="full", compact_every=4)
+    lh, rh = [], []
+    for step in range(6):
+        lb = [(rng.randrange(4), rng.randrange(9), 1) for _ in range(4)]
+        rb = [(rng.randrange(4), rng.randrange(9), 1) for _ in range(4)]
+        # throw in retractions of random live rows
+        if step >= 2:
+            lb.append((*lh[rng.randrange(len(lh))][:2], -1))
+            rb.append((*rh[rng.randrange(len(rh))][:2], -1))
+        lh += lb; rh += rb
+        jv.on_batch(spark.createDataFrame(lb, L),
+                    spark.createDataFrame(rb, R))
+        got = _rows(jv.result_expanded().select("k", "lv", "rv"))
+        want = _rows(_outer_oracle(spark, lh, rh, "full"))
+        assert got == want, f"step {step}: {got} != {want}"
+
+
+def test_outer_join_one_sided_batches(spark):
+    """Left-only and right-only batches, including the first-match
+    transition that retracts a null-padded row and the last-match
+    deletion that restores it."""
+    from materialize_spark.streaming.ivm_join import IncrementalOuterJoinView
+    jv = IncrementalOuterJoinView(on=["k"], pad_right=[("rv", "bigint")],
+                                  how="left")
+    jv.on_batch(left_delta=spark.createDataFrame([(1, 10, 1), (2, 20, 1)], L))
+    assert _rows(jv.result_expanded().select("k", "lv", "rv")) == [
+        (1, 10, None), (2, 20, None)]
+    # first match for k=1: null-padded row retracts, joined row appears
+    jv.on_batch(right_delta=spark.createDataFrame([(1, 100, 1)], R))
+    assert _rows(jv.result_expanded().select("k", "lv", "rv")) == [
+        (1, 10, 100), (2, 20, None)]
+    # second match: no anti change
+    jv.on_batch(right_delta=spark.createDataFrame([(1, 101, 1)], R))
+    assert _rows(jv.result_expanded().select("k", "lv", "rv")) == [
+        (1, 10, 100), (1, 10, 101), (2, 20, None)]
+    # delete both matches: null-padded row returns
+    jv.on_batch(right_delta=spark.createDataFrame(
+        [(1, 100, -1), (1, 101, -1)], R))
+    assert _rows(jv.result_expanded().select("k", "lv", "rv")) == [
+        (1, 10, None), (2, 20, None)]
+    # delete the left row entirely
+    jv.on_batch(left_delta=spark.createDataFrame([(1, 10, -1)], L))
+    assert _rows(jv.result_expanded().select("k", "lv", "rv")) == [
+        (2, 20, None)]
