@@ -176,14 +176,20 @@ class CreateSourceWebhook(Stmt):
 @dataclass
 class CreateSourceKafka(Stmt):
     """CREATE SOURCE s FROM KAFKA CONNECTION c (TOPIC 't')
-    [FORMAT JSON|BYTES] [ENVELOPE NONE|UPSERT] — the reference's
-    primary source statement (statement.rs CreateSource with
-    KafkaSourceConnection, sources.rs)."""
+    [FORMAT JSON|BYTES|TEXT
+     | AVRO USING CONFLUENT SCHEMA REGISTRY CONNECTION csr
+     | PROTOBUF USING CONFLUENT SCHEMA REGISTRY CONNECTION csr
+     | CSV WITH n COLUMNS [DELIMITED BY 'c'] | REGEX 'pattern']
+    [ENVELOPE NONE|UPSERT|DEBEZIUM] — the reference's primary source
+    statement (statement.rs CreateSource with KafkaSourceConnection;
+    DataEncoding variants src/storage-types/src/sources/
+    encoding.rs:95-102)."""
     name: str
     connection: str
     topic: str
     fmt: str = "json"
     envelope: str = "none"
+    fmt_opts: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -957,14 +963,38 @@ class Parser:
                     topic = pp.string()
                     pp.expect_end()
                 fmt = "json"
+                fmt_opts: dict = {}
                 envelope = "none"
                 if self.take_kw("FORMAT"):
                     fmt = self.ident().lower()
+                    if fmt in ("avro", "protobuf"):
+                        # FORMAT AVRO|PROTOBUF USING CONFLUENT SCHEMA
+                        # REGISTRY CONNECTION csr (reference
+                        # encoding.rs:95-102 AvroEncoding/
+                        # ProtobufEncoding with csr_connection)
+                        self.expect_kw("USING", "CONFLUENT", "SCHEMA",
+                                       "REGISTRY", "CONNECTION")
+                        fmt_opts["csr_connection"] = self.ident()
+                    elif fmt == "csv":
+                        # FORMAT CSV WITH n COLUMNS [DELIMITED BY 'c']
+                        self.expect_kw("WITH")
+                        t = self.next()
+                        if t.kind != "NUMBER":
+                            raise ParseError("expected column count", t)
+                        fmt_opts["columns"] = int(t.value)
+                        self.expect_kw("COLUMNS")
+                        if self.take_kw("DELIMITED", "BY"):
+                            fmt_opts["delimiter"] = self.string()
+                    elif fmt == "regex":
+                        # FORMAT REGEX 'pattern' (named groups become
+                        # columns; unnamed become column1..N)
+                        fmt_opts["regex"] = self.string()
                 if self.take_kw("ENVELOPE"):
                     envelope = self.ident().lower()
                 self.expect_end()
                 return CreateSourceKafka(name, conn, topic, fmt=fmt,
-                                         envelope=envelope)
+                                         envelope=envelope,
+                                         fmt_opts=fmt_opts)
             if self.take_kw("FILE"):
                 path = self.string()
                 fmt = "parquet"
@@ -1040,6 +1070,14 @@ class Parser:
             name = self.ident()
             self.expect_kw("TO")
             kind = self.ident().lower()
+            if kind == "confluent":
+                # CREATE CONNECTION c TO CONFLUENT SCHEMA REGISTRY
+                # (URL '...') — reference CsrConnection (connections.rs)
+                self.expect_kw("SCHEMA", "REGISTRY")
+                kind = "confluent-schema-registry"
+            elif kind == "sql":
+                self.expect_kw("SERVER")
+                kind = "sql-server"
             opts: list[tuple[str, str, bool]] = []
             if self.next().kind != "LP":
                 raise ParseError("expected (", self.peek())

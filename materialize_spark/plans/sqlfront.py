@@ -1219,6 +1219,7 @@ class MzSession:
         frame = read_kafka_wire(self.spark, broker, node.topic,
                                 ssl_conf=connection_ssl_conf(conn),
                                 sasl=sasl)
+        data_cols = ["data"]
         if node.fmt == "json":
             # FORMAT JSON: one `data` text column of the JSON payload
             # (the reference's jsonb column), key as text
@@ -1232,19 +1233,60 @@ class MzSession:
                 (F.col("value") if node.fmt == "bytes"
                  else F.col("value").cast("string")).alias("data"),
                 "partition", "offset", "timestamp")
+        elif node.fmt in ("avro", "protobuf"):
+            df, data_cols = self._decode_csr_format(node, frame)
+        elif node.fmt == "csv":
+            # FORMAT CSV WITH n COLUMNS: columns column1..columnN
+            # (reference csv.rs: positional names; wrong-arity rows are
+            # decode errors — here they surface as NULL tail columns)
+            n = int(node.fmt_opts["columns"])
+            delim = node.fmt_opts.get("delimiter", ",")
+            parts = F.split(F.col("value").cast("string"),
+                            re.escape(delim))
+            data_cols = [f"column{i}" for i in range(1, n + 1)]
+            df = frame.select(
+                F.col("key").cast("string").alias("key"),
+                *[F.element_at(parts, i).alias(f"column{i}")
+                  for i in range(1, n + 1)],
+                "partition", "offset", "timestamp")
+        elif node.fmt == "regex":
+            # FORMAT REGEX: capture groups become columns — named
+            # groups by name, unnamed as column1..N (reference
+            # encoding.rs RegexEncoding)
+            pat = node.fmt_opts["regex"]
+            compiled = re.compile(pat)
+            names = {v: k for k, v in compiled.groupindex.items()}
+            data_cols = [names.get(i, f"column{i}")
+                         for i in range(1, compiled.groups + 1)]
+            # Spark regexp_extract uses Java regex: strip the Python
+            # (?P<name>) spelling down to Java's (?<name>)
+            jpat = pat.replace("(?P<", "(?<")
+            val = F.col("value").cast("string")
+            df = frame.select(
+                F.col("key").cast("string").alias("key"),
+                *[F.nullif(F.regexp_extract(val, jpat, i), F.lit(""))
+                  .alias(data_cols[i - 1])
+                  for i in range(1, compiled.groups + 1)],
+                "partition", "offset", "timestamp")
         else:
-            raise ValueError(f"unsupported FORMAT {node.fmt!r} "
-                             "(json | bytes | text)")
+            raise ValueError(
+                f"unsupported FORMAT {node.fmt!r} (json | bytes | text "
+                "| avro | protobuf | csv | regex)")
         if node.envelope == "upsert":
+            from functools import reduce as _reduce
+
             from materialize_spark.streaming.upsert import upsert_latest
             # per-key latest wins; Kafka orders within a partition and a
             # consistent partitioner keeps one key on one partition, so
-            # (partition, offset) is the envelope's update order
+            # (partition, offset) is the envelope's update order. A
+            # tombstone (NULL value → every decoded column NULL) deletes.
             df = upsert_latest(
                 df, ["key"],
                 [F.col("partition").desc(), F.col("offset").desc()],
-                value_cols=["data"],
-                delete_when=F.col("data").isNull())
+                value_cols=data_cols,
+                delete_when=_reduce(lambda a, b: a & b,
+                                    [F.col(c).isNull()
+                                     for c in data_cols]))
         elif node.envelope == "debezium":
             # values are Debezium change events {before, after, op}:
             # decode to explicit diffs and consolidate to the current
@@ -1277,6 +1319,71 @@ class MzSession:
         self._sources[node.name] = {"flavor": "kafka",
                                     "topic": node.topic,
                                     "connection": node.connection}
+
+    def _decode_csr_format(self, node: ast.CreateSourceKafka, frame):
+        """FORMAT AVRO | PROTOBUF USING CONFLUENT SCHEMA REGISTRY
+        CONNECTION csr: resolve the topic's subject against the CSR
+        connection's URL and decode the Confluent-framed payloads
+        (reference encoding.rs:95-102 AvroEncoding/ProtobufEncoding +
+        the src/ccsr client). Returns (decoded frame, data columns)."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sources.schema_registry import (
+            HttpSchemaRegistry, SchemaRegistry, decode_confluent_stream,
+        )
+
+        csr_name = node.fmt_opts.get("csr_connection")
+        csr = self._connections.get(csr_name)
+        if csr is None:
+            raise KeyError(f"unknown connection {csr_name!r}")
+        if csr.get("url"):
+            registry = HttpSchemaRegistry(str(csr["url"]),
+                                          subject=f"{node.topic}-value")
+        elif csr.get("path"):  # registry snapshot file backend
+            registry = SchemaRegistry(path=str(csr["path"]))
+        else:
+            raise ValueError(
+                f"connection {csr_name!r} has no URL (confluent "
+                "schema registry connections need URL '...')")
+        base = frame.select(F.col("key").cast("string").alias("key"),
+                            "value", "partition", "offset", "timestamp")
+        if node.fmt == "avro":
+            out = decode_confluent_stream(base, "value", registry)
+            data_cols = [c for c in out.columns
+                         if c not in ("key", "partition", "offset",
+                                      "timestamp")]
+            return (out.select("key", *data_cols, "partition", "offset",
+                               "timestamp"), data_cols)
+        # protobuf: the subject stores the flat field-descriptor JSON
+        # {"<field number>": ["<name>", "<type>"], ...} this package's
+        # wire decoder consumes (sources/protobuf.py; the reference
+        # resolves compiled .proto descriptors the same way)
+        from materialize_spark.sources.protobuf import (
+            decode_proto_stream,
+        )
+        if isinstance(registry, HttpSchemaRegistry):
+            _sid, schema = registry.latest()
+        else:
+            schema = registry.schema_json(registry.latest_id())
+        fields = {int(k): (v[0], v[1])
+                  for k, v in _json.loads(schema).items()}
+        # strip the Confluent frame (magic + schema id [+ message
+        # indexes]) before the proto payload: framed CSR-protobuf
+        # carries a zigzag message-index list, 0x00 for the first type
+        stripped = base.withColumn(
+            "value",
+            F.when(F.col("value").isNotNull(),
+                   F.expr("substring(value, 7)")).otherwise(F.lit(None)))
+        # proto3 semantics: a missing scalar field IS its default
+        # (0 / "" / false) — only tombstones (NULL payloads) yield NULLs
+        out = decode_proto_stream(stripped, "value", fields,
+                                  missing_as_null=False)
+        # field-number order, matching proto_spark_schema
+        data_cols = [name for _n, (name, _t) in sorted(fields.items())]
+        return (out.select("key", *data_cols, "partition", "offset",
+                           "timestamp"), data_cols)
 
     def _create_source_cdc(self, node: ast.CreateSourceCdc, sql: str):
         # status-recording wrapper (see _create_source_kafka). Subsource

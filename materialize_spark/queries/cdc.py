@@ -590,3 +590,101 @@ def kafka_source_sql(spark, sf_dir):
               "(TOPIC 'metrics_feed') FORMAT JSON ENVELOPE UPSERT")
     return s.sql("SELECT key, CAST(data ->> 'v' AS BIGINT) AS v "
                  "FROM metrics_cur ORDER BY key")
+
+
+_CSR_PEERS = None
+
+
+def _csr_peers():
+    """MiniBroker + MiniSchemaRegistryServer seeded with a two-version
+    Avro subject — module-global so the sockets outlive the query
+    callable (fetch tasks dial at collect time)."""
+    global _CSR_PEERS
+    if _CSR_PEERS is None:
+        import json as _json
+
+        from materialize_spark.sources.avro import encode_record
+        from materialize_spark.sources.kafka_wire import (
+            KafkaWireClient, MiniBroker,
+        )
+        from materialize_spark.sources.schema_registry import (
+            MiniSchemaRegistryServer,
+        )
+        v1 = _json.dumps({"type": "record", "name": "t", "fields": [
+            {"name": "station", "type": "string"},
+            {"name": "temp", "type": "long"}]})
+        v2 = _json.dumps({"type": "record", "name": "t", "fields": [
+            {"name": "station", "type": "string"},
+            {"name": "temp", "type": "long"},
+            {"name": "humidity", "type": "long"}]})
+        b = MiniBroker()
+        b.create_topic("weather", partitions=2)
+        csr = MiniSchemaRegistryServer()
+        id1 = csr.register_subject("weather-value", v1)
+        id2 = csr.register_subject("weather-value", v2)
+        with KafkaWireClient(b.host, b.port) as c:
+            # 8 v1 records (no humidity -> NULL) + 8 v2 records,
+            # deterministic, split across partitions
+            for p in range(2):
+                recs = []
+                for i in range(4):
+                    recs.append((f"s{p}{i}".encode(), encode_record(
+                        v1, {"station": f"st{p}", "temp": 10 * p + i},
+                        wire="confluent", schema_id=id1),
+                        1_700_000_000_000 + i))
+                for i in range(4):
+                    recs.append((f"n{p}{i}".encode(), encode_record(
+                        v2, {"station": f"st{p}", "temp": 20 * p + i,
+                             "humidity": 50 + i},
+                        wire="confluent", schema_id=id2),
+                        1_700_000_000_100 + i))
+                c.produce("weather", p, recs)
+        _CSR_PEERS = (b, csr)
+    return _CSR_PEERS
+
+
+@register(
+    "kafka_source_avro_csr",
+    """
+    -- oracle: closed form of the produced feed — per partition p:
+    -- 4 writer-v1 records (humidity NULL) with temp 10p+i and
+    -- 4 writer-v2 records with temp 20p+i, humidity 50+i (i in 0..3)
+    WITH feed AS (
+      SELECT p, i, 'st' || p AS station, 10 * p + i AS temp,
+             CAST(NULL AS BIGINT) AS humidity
+      FROM (SELECT UNNEST(range(2)) AS p), (SELECT UNNEST(range(4)) AS i)
+      UNION ALL
+      SELECT p, i, 'st' || p, 20 * p + i, 50 + i
+      FROM (SELECT UNNEST(range(2)) AS p), (SELECT UNNEST(range(4)) AS i)
+    )
+    SELECT station, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(temp) AS BIGINT) AS total_temp,
+           CAST(COUNT(humidity) AS BIGINT) AS n_humidity,
+           CAST(AVG(humidity) AS DOUBLE) AS avg_humidity
+    FROM feed GROUP BY station ORDER BY station
+    """,
+    "source", "kafka", "sqlfront", "avro", "schema-registry",
+)
+def kafka_source_avro_csr(spark, sf_dir):
+    """FORMAT AVRO USING CONFLUENT SCHEMA REGISTRY end-to-end: a real
+    HTTP registry resolves per-record writer schema ids (two subject
+    versions live in the topic simultaneously), old records surface the
+    added column as NULL — Avro schema resolution, the reference's
+    primary production format (encoding.rs:95-102 AvroEncoding +
+    src/ccsr client; testdrive corpus test/testdrive/avro-*.td)."""
+    from materialize_spark.plans.sqlfront import MzSession
+
+    b, csr = _csr_peers()
+    s = MzSession(spark, sf_dir)
+    s.execute(f"CREATE CONNECTION wx_kc TO KAFKA "
+              f"(BROKER '{b.host}:{b.port}')")
+    s.execute(f"CREATE CONNECTION wx_csr TO CONFLUENT SCHEMA REGISTRY "
+              f"(URL '{csr.url}')")
+    s.execute("CREATE SOURCE weather FROM KAFKA CONNECTION wx_kc "
+              "(TOPIC 'weather') FORMAT AVRO USING CONFLUENT SCHEMA "
+              "REGISTRY CONNECTION wx_csr")
+    return s.sql(
+        "SELECT station, COUNT(*) AS n, SUM(temp) AS total_temp, "
+        "COUNT(humidity) AS n_humidity, "
+        "CAST(AVG(humidity) AS DOUBLE) AS avg_humidity "
+        "FROM weather GROUP BY station ORDER BY station")

@@ -151,8 +151,12 @@ def decode_proto_stream(df: DataFrame, value_col: str,
     names = [f.name for f in out_schema.fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        none_row = {n: None for n in names}
         for pdf in batches:
-            rows = [_decode_message(fields, bytes(raw),
+            # NULL payloads (Kafka tombstones) decode to all-NULL rows
+            # so the upsert envelope can read them as deletes
+            rows = [none_row if raw is None else
+                    _decode_message(fields, bytes(raw),
                                     missing_as_null=missing_as_null)
                     for raw in pdf[value_col]]
             decoded = pd.DataFrame(rows, columns=names)

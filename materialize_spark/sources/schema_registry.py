@@ -123,6 +123,13 @@ def decode_confluent_stream(df: DataFrame, value_col: str,
             rows = []
             errs = []
             for raw in pdf[value_col]:
+                if raw is None:
+                    # Kafka tombstone: a NULL value is not a decode
+                    # error — it rides through as an all-NULL row for
+                    # the envelope layer (UPSERT reads it as a delete)
+                    rows.append([None] * len(out_cols))
+                    errs.append(None)
+                    continue
                 if inline:
                     try:
                         rec = decode_one(bytes(raw))
@@ -140,3 +147,165 @@ def decode_confluent_stream(df: DataFrame, value_col: str,
             yield pd.concat([rest, decoded], axis=1)
 
     return df.mapInPandas(decode, schema=full_schema)
+
+
+# ---------------------------------------------------------------------------
+# Confluent REST API (the subset sources need) — real HTTP, like the
+# other wire peers in this package (kafka_wire.MiniBroker et al.)
+# ---------------------------------------------------------------------------
+
+class MiniSchemaRegistryServer:
+    """An in-process HTTP peer speaking the Confluent Schema Registry
+    REST subset the engine uses (docs.confluent.io/platform/current/
+    schema-registry/develop/api.html):
+
+    - ``POST /subjects/{subject}/versions`` body ``{"schema": "...",
+      "schemaType": "AVRO"|"PROTOBUF"}`` → ``{"id": N}``
+    - ``GET /schemas/ids/{id}`` → ``{"schema": "..."}``
+    - ``GET /subjects/{subject}/versions/latest`` →
+      ``{"subject", "version", "id", "schema"}``
+
+    Ids are global and monotonically assigned, version numbering is
+    per subject — the Confluent model. PROTOBUF subjects store the
+    flat field-descriptor JSON this package's decoder consumes
+    (sources/protobuf.py) in place of .proto text."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self._by_id: dict[int, dict] = {}
+        self._subjects: dict[str, list[int]] = {}
+        self._next = 1
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "application/vnd.schemaregistry.v1+json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:2] == ["schemas", "ids"] and len(parts) == 3:
+                    ent = outer._by_id.get(int(parts[2]))
+                    if ent is None:
+                        self._reply(404, {"error_code": 40403,
+                                          "message": "Schema not found"})
+                        return
+                    self._reply(200, {"schema": ent["schema"]})
+                    return
+                if (len(parts) == 4 and parts[0] == "subjects"
+                        and parts[2] == "versions"):
+                    ids = outer._subjects.get(parts[1])
+                    if not ids:
+                        self._reply(404, {"error_code": 40401,
+                                          "message": "Subject not found"})
+                        return
+                    ver = (len(ids) if parts[3] == "latest"
+                           else int(parts[3]))
+                    sid = ids[ver - 1]
+                    self._reply(200, {
+                        "subject": parts[1], "version": ver, "id": sid,
+                        "schema": outer._by_id[sid]["schema"]})
+                    return
+                if parts == ["subjects"]:
+                    body = json.dumps(
+                        sorted(outer._subjects)).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self._reply(404, {"error_code": 404,
+                                  "message": "unknown endpoint"})
+
+            def do_POST(self):
+                parts = self.path.strip("/").split("/")
+                if (len(parts) == 3 and parts[0] == "subjects"
+                        and parts[2] == "versions"):
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    sid = outer.register_subject(
+                        parts[1], req["schema"],
+                        req.get("schemaType", "AVRO"))
+                    self._reply(200, {"id": sid})
+                    return
+                self._reply(404, {"error_code": 404,
+                                  "message": "unknown endpoint"})
+
+        self._srv = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._srv.server_address[:2]
+        self.url = f"http://{self.host}:{self.port}"
+        threading.Thread(target=self._srv.serve_forever,
+                         daemon=True).start()
+
+    def register_subject(self, subject: str, schema: str,
+                         schema_type: str = "AVRO") -> int:
+        with self._lock:
+            sid = self._next
+            self._next += 1
+            self._by_id[sid] = {"schema": schema, "type": schema_type}
+            self._subjects.setdefault(subject, []).append(sid)
+        return sid
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class HttpSchemaRegistry(SchemaRegistry):
+    """Registry client over the Confluent REST API: resolves unknown
+    schema ids with ``GET /schemas/ids/{id}`` and the subject's latest
+    reader schema with ``GET /subjects/{s}/versions/latest``. Fetches
+    memoize, so executors pay one HTTP round-trip per distinct writer
+    schema id, not per record — the reference's CSR client caches the
+    same way (src/ccsr)."""
+
+    def __init__(self, url: str, subject: str | None = None):
+        super().__init__()
+        self.url = url.rstrip("/")
+        self.subject = subject
+
+    def _get(self, path: str) -> dict:
+        import urllib.request
+        with urllib.request.urlopen(self.url + path, timeout=10) as r:
+            return json.loads(r.read())
+
+    def schema_json(self, schema_id: int) -> str:
+        sid = int(schema_id)
+        if sid not in self._raw:
+            try:
+                self._raw[sid] = self._get(f"/schemas/ids/{sid}")["schema"]
+            except Exception as ex:
+                raise KeyError(
+                    f"schema id {sid} not in registry at {self.url}: "
+                    f"{ex}") from ex
+        return self._raw[sid]
+
+    def latest(self) -> tuple[int, str]:
+        """(id, schema) of the subject's latest version."""
+        if self.subject is None:
+            raise ValueError("no subject configured")
+        ent = self._get(f"/subjects/{self.subject}/versions/latest")
+        self._raw[int(ent["id"])] = ent["schema"]
+        return int(ent["id"]), ent["schema"]
+
+    def latest_id(self) -> int:
+        if self._raw and self.subject is None:
+            return max(self._raw)
+        return self.latest()[0]
