@@ -943,6 +943,7 @@ class MzSession:
                 rets = old.exceptAll(result).withColumn("diff",
                                                         F.lit(-1))
                 hist.append(adds.unionByName(rets), hist.upper)
+        self._emit_kafka_sinks_for(name)
 
     def _feed_delta_mvs_for_table(self, table: str, delta) -> None:
         for name, spec in list(self._delta_mvs.items()):
@@ -1068,30 +1069,66 @@ class MzSession:
                                   "envelope": node.envelope}
 
     def _create_sink_kafka(self, node: ast.CreateSinkKafka, sql: str):
-        # CREATE SINK ... INTO KAFKA CONNECTION c (TOPIC 't'): the
-        # snapshot is produced NOW over the wire (sinks.writers.
-        # write_kafka_wire — murmur2 routing, per-partition producers);
-        # REFRESH-driven deltas re-produce like the file sinks.
-        from pyspark.sql import functions as F
-
-        from materialize_spark.sinks.writers import write_kafka_wire
+        # CREATE SINK ... INTO KAFKA CONNECTION c (TOPIC 't') [ENVELOPE
+        # UPSERT|DEBEZIUM]: the snapshot is produced NOW with the
+        # envelope's framing, and every subsequent commit against the
+        # upstream object (INSERT/UPDATE/DELETE, REFRESH, delta-MV
+        # publish) produces its diff continuously — the reference's
+        # sink contract (src/storage-types/src/sinks.rs:137-140; sink
+        # rendering src/storage/src/render), not a one-shot export.
+        from materialize_spark.sinks.writers import (
+            kafka_envelope_frames, write_kafka_wire,
+        )
         conn = self._connections.get(node.connection)
         if conn is None:
             raise KeyError(f"unknown connection {node.connection!r}")
-        bootstrap = f"{conn['host']}:{conn.get('port', 9092)}"
+        bootstrap = conn.get("broker") or \
+            f"{conn['host']}:{conn.get('port', 9092)}"
         df = self.catalog.table(node.source)
         key = node.key or df.columns[0]
         if node.fmt != "json":
             raise ValueError(f"unsupported sink format {node.fmt!r}")
-        payload = df.select(
-            F.col(key).cast("string").alias("key"),
-            F.to_json(F.struct(*df.columns)).alias("value"))
-        n = write_kafka_wire(payload, bootstrap, node.topic)
+        if node.envelope not in ("none", "upsert", "debezium"):
+            raise ValueError(
+                f"unsupported sink ENVELOPE {node.envelope!r} "
+                "(none | upsert | debezium)")
+        snap = df.localCheckpoint(eager=True)
+        n = 0
+        for frame in kafka_envelope_frames(snap, None, key,
+                                           node.envelope):
+            n += write_kafka_wire(frame, bootstrap, node.topic)
         self._sinks[node.name] = {"from": node.source,
                                   "path": f"kafka://{node.topic}",
                                   "format": node.fmt,
                                   "envelope": node.envelope,
-                                  "rows": n}
+                                  "rows": n, "kafka": True,
+                                  "bootstrap": bootstrap,
+                                  "topic": node.topic, "key": key,
+                                  "last": snap}
+
+    def _emit_kafka_sinks_for(self, obj: str) -> None:
+        """Continuous emission: after a commit changes ``obj``, every
+        Kafka sink reading it produces the change batch (envelope-
+        framed diffs vs the sink's last-emitted state). The diff is the
+        maintained collection's exceptAll in both directions — the
+        Spark analog of the reference reading its sink's input
+        arrangement deltas."""
+        from materialize_spark.sinks.writers import (
+            kafka_envelope_frames, write_kafka_wire,
+        )
+        for spec in self._sinks.values():
+            if not spec.get("kafka") or spec["from"] != obj:
+                continue
+            cur = self.catalog.table(obj).localCheckpoint(eager=True)
+            adds = cur.exceptAll(spec["last"])
+            rets = spec["last"].exceptAll(cur)
+            if adds.isEmpty() and rets.isEmpty():
+                continue
+            for frame in kafka_envelope_frames(adds, rets, spec["key"],
+                                               spec["envelope"]):
+                spec["rows"] += write_kafka_wire(
+                    frame, spec["bootstrap"], spec["topic"])
+            spec["last"] = cur
 
     def _source_stat(self, name: str, type_: str, *, status: str = "running",
                      error: str | None = None, messages: int | None = None,
@@ -1764,6 +1801,7 @@ class MzSession:
         self._feed_delta_mvs_for_table(
             table, rows.select(*target.columns).withColumn(
                 "diff", F.lit(1)))
+        self._emit_kafka_sinks_for(table)
 
     def _insert(self, node: ast.Insert, sql: str):
         self._check_priv("insert", node.table)
@@ -1810,6 +1848,7 @@ class MzSession:
                 "diff", F.lit(-1))
             self._feed_delta_mvs_for_table(node.table,
                                            adds.unionByName(rets))
+        self._emit_kafka_sinks_for(node.table)
 
     def _delete(self, node: ast.Delete, sql: str):
         # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
@@ -1826,6 +1865,7 @@ class MzSession:
             from pyspark.sql import functions as F
             gone = target.exceptAll(kept).withColumn("diff", F.lit(-1))
             self._feed_delta_mvs_for_table(node.table, gone)
+        self._emit_kafka_sinks_for(node.table)
 
     # -- REFRESH / ALTER ----------------------------------------------------
     def _refresh_mv(self, node: ast.RefreshMV, sql: str):
@@ -1847,6 +1887,7 @@ class MzSession:
             window = self._retain.get(name)
             if window is not None and hist.upper - 1 - window > hist.since:
                 hist.compact(hist.upper - 1 - window)
+        self._emit_kafka_sinks_for(name)
 
     def tick_refreshes(self, now: float | None = None) -> list[str]:
         """Drive the REFRESH EVERY schedules: refresh every MV whose

@@ -688,3 +688,57 @@ def kafka_source_avro_csr(spark, sf_dir):
         "COUNT(humidity) AS n_humidity, "
         "CAST(AVG(humidity) AS DOUBLE) AS avg_humidity "
         "FROM weather GROUP BY station ORDER BY station")
+
+
+_SINK_RT_PEER = None
+
+
+def _sink_rt_peer():
+    global _SINK_RT_PEER
+    if _SINK_RT_PEER is None:
+        from materialize_spark.sources.kafka_wire import MiniBroker
+        b = MiniBroker()
+        b.create_topic("inv_out", partitions=2)
+        _SINK_RT_PEER = b
+    return _SINK_RT_PEER
+
+
+@register(
+    "sink_kafka_upsert_roundtrip",
+    """
+    -- oracle: closed form of the write script's net state — id 1
+    -- deleted, id 2 updated to 'B', id 3 inserted after the snapshot
+    SELECT * FROM (VALUES (CAST(2 AS BIGINT), 'B'),
+                          (CAST(3 AS BIGINT), 'c')) AS t(id, v)
+    ORDER BY id
+    """,
+    "sink", "kafka", "envelope", "upsert",
+)
+def sink_kafka_upsert_roundtrip(spark, sf_dir):
+    """The sink's output IS the envelope: a Kafka sink with ENVELOPE
+    UPSERT produces its snapshot then every commit's diff (update =
+    new value, delete = NULL tombstone) continuously; re-ingesting the
+    topic through the engine's own upsert decoder reproduces the
+    table exactly (reference sinks.rs:137-140 — the sink emits
+    correctly-framed change data, not a one-shot JSON dump)."""
+    import json as _json
+
+    from materialize_spark.plans.sqlfront import MzSession
+
+    b = _sink_rt_peer()
+    s = MzSession(spark, sf_dir)
+    s.execute(f"CREATE CONNECTION inv_kc TO KAFKA "
+              f"(BROKER '{b.host}:{b.port}')")
+    s.execute("CREATE TABLE inv (id BIGINT, v STRING)")
+    s.execute("INSERT INTO inv VALUES (1, 'a'), (2, 'b')")
+    s.execute("CREATE SINK inv_sink FROM inv INTO KAFKA CONNECTION "
+              "inv_kc (TOPIC 'inv_out') KEY (id) FORMAT JSON "
+              "ENVELOPE UPSERT")
+    s.execute("INSERT INTO inv VALUES (3, 'c')")
+    s.execute("UPDATE inv SET v = 'B' WHERE id = 2")
+    s.execute("DELETE FROM inv WHERE id = 1")
+    s.execute("CREATE SOURCE inv_back FROM KAFKA CONNECTION inv_kc "
+              "(TOPIC 'inv_out') FORMAT JSON ENVELOPE UPSERT")
+    return s.sql(
+        "SELECT CAST(key AS BIGINT) AS id, data ->> 'v' AS v "
+        "FROM inv_back ORDER BY id")

@@ -56,6 +56,63 @@ def write_sink_snapshot(df: DataFrame, path: str, fmt: str = "json",
     copy_to(out, path, fmt)
 
 
+def kafka_envelope_frames(adds: DataFrame, rets: DataFrame | None,
+                          key_col: str, envelope: str,
+                          ) -> list[DataFrame]:
+    """Frame a change batch (additions + retractions) as Kafka sink
+    records per the declared ENVELOPE (reference
+    src/storage-types/src/sinks.rs:137-140; upsert/debezium framing
+    src/interchange). Returns (key string, value string-or-NULL) frames
+    to produce IN ORDER — ordering carries the envelope's semantics
+    (a key's tombstone must precede its re-insert, never follow it).
+
+    - ``upsert``: latest-value-per-key with NULL-value tombstones for
+      keys that vanish; a key present in both sides is an update and
+      emits only its new value (no transient tombstone).
+    - ``debezium``: {"before", "after"} change records — deletes have
+      after = null, inserts before = null.
+    - ``none``: append-only bare values; retractions are unrepresentable
+      and raise (the reference rejects the combination at CREATE time).
+    """
+    data_cols = [c for c in adds.columns]
+    row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    key = F.col(key_col).cast("string").alias("key")
+    if envelope == "upsert":
+        frames = []
+        if rets is not None:
+            gone = rets.join(adds.select(key_col).distinct(),
+                             on=key_col, how="left_anti")
+            frames.append(gone.select(
+                key, F.lit(None).cast("string").alias("value")))
+        frames.append(adds.select(key, row_json.alias("value")))
+        return frames
+    if envelope == "debezium":
+        # ignoreNullFields=false keeps the explicit "before"/"after"
+        # nulls Debezium consumers dispatch on
+        opts = {"ignoreNullFields": "false"}
+        row_struct = F.struct(*[F.col(c) for c in data_cols])
+        null_side = F.lit(None).cast("string")
+        frames = []
+        if rets is not None:
+            frames.append(rets.select(key, F.to_json(F.struct(
+                row_struct.alias("before"),
+                null_side.alias("after"),
+                F.lit("d").alias("op")), opts).alias("value")))
+        frames.append(adds.select(key, F.to_json(F.struct(
+            null_side.alias("before"),
+            row_struct.alias("after"),
+            F.lit("c").alias("op")), opts).alias("value")))
+        return frames
+    if envelope == "none":
+        if rets is not None and not rets.isEmpty():
+            raise ValueError(
+                "ENVELOPE NONE Kafka sink cannot represent retractions; "
+                "recreate the sink with ENVELOPE UPSERT or DEBEZIUM")
+        return [adds.select(key, row_json.alias("value"))]
+    raise ValueError(f"unsupported sink ENVELOPE {envelope!r} "
+                     "(none | upsert | debezium)")
+
+
 def stream_to_files(df: DataFrame, path: str, checkpoint: str,
                     fmt: str = "parquet", *, partition_by: list[str] | None = None,
                     trigger_available_now: bool = True):
