@@ -1735,6 +1735,10 @@ class Parser:
             # reference ExplainPushdownStatement (EXPLAIN FILTER
             # PUSHDOWN FOR SELECT ...)
             stage = "PUSHDOWN"
+        elif self.take_kw("DECORRELATED"):
+            stage = "DECORRELATED"
+        elif self.take_kw("LOCALLY", "OPTIMIZED"):
+            stage = "LOCALLY OPTIMIZED"
         else:
             for s in ("RAW", "OPTIMIZED", "PHYSICAL", "ANALYZE"):
                 if self.take_kw(s):

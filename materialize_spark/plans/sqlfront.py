@@ -49,6 +49,11 @@ _INTROSPECT = re.compile(
     r"|\b(?:obj|col)_description\b", re.I)
 
 # recursive view bodies (batch-only — see _create_view's gap note)
+# in-memory budget for SQL-created TopK delta-MV support state: past
+# this many rows the compacted support spills to hash-prefix-partitioned
+# parquet and probes are partition-pruned (streaming/retraction.py)
+_TOPK_SPILL_ROWS = 2_000_000
+
 _WMR_RE = re.compile(r"\s*WITH\s+MUTUALLY\s+RECURSIVE\b", re.I)
 
 # Credential redaction for statement surfaces the reference scrubs
@@ -589,7 +594,8 @@ class MzSession:
         mv = RetractionAwareTopK(
             self.spark, keys=keys, order_col=m.group("ord"),
             limit=int(m.group("k")),
-            descending=(m.group("dir") or "ASC").upper() == "DESC")
+            descending=(m.group("dir") or "ASC").upper() == "DESC",
+            spill_rows=_TOPK_SPILL_ROWS)
         spec = {"mv": mv, "table": table, "keys": keys, "icols": icols,
                 "cols": cols, "where": m.group("where"), "kind": "topk"}
         self._delta_mvs[node.name] = spec
@@ -773,7 +779,8 @@ class MzSession:
         mv = RetractionAwareTopK(
             self.spark, keys=keys, order_col=m.group("ord"),
             limit=int(m.group("k")),
-            descending=(m.group("dir") or "ASC").upper() == "DESC")
+            descending=(m.group("dir") or "ASC").upper() == "DESC",
+            spill_rows=_TOPK_SPILL_ROWS)
         chain = self._build_delta_join_chain(tables, norm_links, kinds)
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": None,
@@ -2416,8 +2423,17 @@ class MzSession:
                 "source string, pushed_filters string, "
                 "post_scan_filters string").filter("source <> ''")
         qe = df._jdf.queryExecution()
+        # Stage map onto the reference pipeline (101-query-compilation
+        # .md:50-91): RAW = parsed, DECORRELATED = name/subquery
+        # resolution done but nothing rewritten (Catalyst's analyzed
+        # plan), LOCALLY OPTIMIZED = per-object rewrites only — cached
+        # arrangement substitution, no global optimization (Catalyst's
+        # withCachedData), OPTIMIZED = the global optimizer's output,
+        # PHYSICAL = executable.
         text = {
             "RAW": lambda: qe.logical().toString(),
+            "DECORRELATED": lambda: qe.analyzed().toString(),
+            "LOCALLY OPTIMIZED": lambda: qe.withCachedData().toString(),
             "OPTIMIZED": lambda: qe.optimizedPlan().toString(),
             "PHYSICAL": lambda: qe.executedPlan().toString(),
         }[node.stage]()

@@ -122,8 +122,47 @@ class IncrementalLSHDedup:
     min_agree: int = 4
     id_col: str = "doc_id"
     compact_every: int = 16
+    # state-spill budget (the 100 TB path): past this many rows the
+    # compacted seen-corpus state moves to hash-prefix-partitioned
+    # parquet; probes read ONLY the partitions the batch's bucket keys
+    # (resp. candidate doc ids) hash into — directory pruning instead
+    # of a full-corpus scan per batch. None = in-memory (small states).
+    spill_rows: int | None = None
+    spill_dir: str | None = None
+    spill_prefixes: int = 64
     _bucket_parts: list = field(default_factory=list, init=False)
     _sig_parts: list = field(default_factory=list, init=False)
+    _disk: dict = field(default_factory=dict, init=False)
+
+    def _spill_tier(self, name: str, df: DataFrame,
+                    key_cols: list[str]) -> None:
+        import os
+        import tempfile
+        if self.spill_dir is None:
+            self.spill_dir = tempfile.mkdtemp(prefix="mz_dedup_state_")
+        gen = sum(1 for d in os.listdir(self.spill_dir)
+                  if d.startswith(name))
+        path = os.path.join(self.spill_dir, f"{name}{gen}")
+        kp = F.pmod(F.xxhash64(*key_cols), F.lit(self.spill_prefixes))
+        (df.withColumn("__kp", kp)
+         .write.mode("overwrite").partitionBy("__kp").parquet(path))
+        self._disk[name] = path
+
+    def _disk_read(self, name: str, probe_keys: DataFrame | None,
+                   key_cols: list[str]) -> DataFrame | None:
+        """Spilled-tier read, partition-pruned to the probe keys'
+        hash prefixes (a <=spill_prefixes literal IN filter)."""
+        path = self._disk.get(name)
+        if path is None:
+            return None
+        out = self.spark.read.parquet(path)
+        if probe_keys is not None:
+            kp = F.pmod(F.xxhash64(*key_cols),
+                        F.lit(self.spill_prefixes))
+            pfx = [r.p for r in probe_keys.select(kp.alias("p"))
+                   .distinct().collect()]
+            out = out.filter(F.col("__kp").isin(pfx))
+        return out.drop("__kp")
 
     def _concat(self, parts):
         out = parts[0]
@@ -161,19 +200,31 @@ class IncrementalLSHDedup:
 
         dup_ids = None
         if self._bucket_parts:
-            touched = F.broadcast(
-                buckets_b.select("band", "bucket").distinct())
-            # probe: only state rows in buckets the batch touches
-            hits = (self._concat(self._bucket_parts)
+            touched_keys = buckets_b.select("band", "bucket").distinct()
+            touched = F.broadcast(touched_keys)
+            # probe: only state rows in buckets the batch touches —
+            # the spilled tier is additionally partition-pruned to the
+            # touched buckets' hash prefixes before any file I/O
+            state_buckets = self._concat(self._bucket_parts)
+            disk_b = self._disk_read("buckets", touched_keys,
+                                     ["band", "bucket"])
+            if disk_b is not None:
+                state_buckets = state_buckets.unionByName(disk_b)
+            hits = (state_buckets
                     .join(touched, on=["band", "bucket"], how="left_semi")
                     .withColumnRenamed(idc, "__old"))
             cand = (hits.join(F.broadcast(buckets_b),
                               on=["band", "bucket"])
                     .filter(F.col("__old") < F.col(idc))
                     .select("__old", idc).distinct())
-            old_sigs = (self._concat(self._sig_parts)
-                        .join(F.broadcast(cand.select("__old").distinct()
-                                          .withColumnRenamed("__old", idc)),
+            cand_ids = (cand.select("__old").distinct()
+                        .withColumnRenamed("__old", idc))
+            state_sigs = self._concat(self._sig_parts)
+            disk_s = self._disk_read("sigs", cand_ids, [idc])
+            if disk_s is not None:
+                state_sigs = state_sigs.unionByName(disk_s)
+            old_sigs = (state_sigs
+                        .join(F.broadcast(cand_ids),
                               on=idc, how="left_semi"))
             dup_ids = (cand.alias("c")
                        .join(old_sigs.alias("o"),
@@ -204,6 +255,27 @@ class IncrementalLSHDedup:
         self._bucket_parts.append(buckets_b)
         self._sig_parts.append(sigs_b)
         if len(self._bucket_parts) >= self.compact_every:
-            self._bucket_parts = [_ckpt(self._concat(self._bucket_parts))]
-            self._sig_parts = [_ckpt(self._concat(self._sig_parts))]
+            bfull = self._concat(self._bucket_parts)
+            sfull = self._concat(self._sig_parts)
+            disk_b = self._disk_read("buckets", None,
+                                     ["band", "bucket"])
+            disk_s = self._disk_read("sigs", None, [idc])
+            if disk_b is not None:
+                bfull = bfull.unionByName(disk_b)
+            if disk_s is not None:
+                sfull = sfull.unionByName(disk_s)
+            folded_b, folded_s = _ckpt(bfull), _ckpt(sfull)
+            if self.spill_rows is not None \
+                    and folded_b.count() > self.spill_rows:
+                # past the in-memory budget: the folded state becomes
+                # the partitioned on-disk tier; memory keeps only the
+                # post-fold tail parts
+                self._spill_tier("buckets", folded_b, ["band", "bucket"])
+                self._spill_tier("sigs", folded_s, [idc])
+                self._bucket_parts = [folded_b.limit(0)]
+                self._sig_parts = [folded_s.limit(0)]
+            else:
+                self._disk.clear()
+                self._bucket_parts = [folded_b]
+                self._sig_parts = [folded_s]
         return survivors

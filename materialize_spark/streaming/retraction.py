@@ -227,9 +227,44 @@ class RetractionAwareTopK:
     limit: int
     descending: bool = True
     compact_every: int = 16
+    # state-spill budget: when the compacted support exceeds this many
+    # rows it moves to key-hash-prefix-partitioned parquet — probes then
+    # read ONLY the partitions the batch's keys hash into (directory
+    # pruning), never the whole corpus. None = stay in memory (test/
+    # small-state mode). This is the 100 TB path: in-memory state would
+    # otherwise grow without bound and every probe would scan all of it.
+    spill_rows: int | None = None
+    spill_dir: str | None = None
+    spill_prefixes: int = 64
     _parts: list[DataFrame] = field(default_factory=list, init=False)
     _result: DataFrame | None = field(default=None, init=False)
     _data_cols: list[str] | None = field(default=None, init=False)
+    _disk: str | None = field(default=None, init=False)
+
+    def _kp(self) -> "F.Column":
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.spill_prefixes))
+
+    def _disk_probe(self, touched: DataFrame) -> DataFrame | None:
+        """Read only the spilled partitions the batch's keys hash into:
+        the prefix set is O(min(batch, spill_prefixes)) driver-side ints,
+        and the literal IN filter prunes directories before any I/O."""
+        if self._disk is None:
+            return None
+        pfx = [r.p for r in touched.select(
+            self._kp().alias("p")).distinct().collect()]
+        return (self.spark.read.parquet(self._disk)
+                .filter(F.col("__kp").isin(pfx)).drop("__kp"))
+
+    def _spill(self, folded: DataFrame) -> None:
+        import os
+        import tempfile
+        if self.spill_dir is None:
+            self.spill_dir = tempfile.mkdtemp(prefix="mz_topk_state_")
+        path = os.path.join(self.spill_dir,
+                            f"gen{len(os.listdir(self.spill_dir))}")
+        (folded.withColumn("__kp", self._kp())
+         .write.mode("overwrite").partitionBy("__kp").parquet(path))
+        self._disk = path
 
     def _topk_of(self, supp: DataFrame) -> DataFrame:
         """Top ``limit`` rows per group of a net-multiplicity support
@@ -265,12 +300,25 @@ class RetractionAwareTopK:
         for p in self._parts[1:]:
             all_supp = all_supp.unionByName(p)
         if len(self._parts) >= self.compact_every:  # amortized fold
-            folded = _ckpt(all_supp.groupBy(*data_cols)
+            full = all_supp
+            if self._disk is not None:  # fold the spilled tier in too
+                full = full.unionByName(
+                    self.spark.read.parquet(self._disk).drop("__kp"))
+            folded = _ckpt(full.groupBy(*data_cols)
                            .agg(F.sum("mult").alias("mult"))
                            .filter(F.col("mult") != 0))
             self._parts.clear()
-            self._parts.append(folded)
-            all_supp = folded
+            if self.spill_rows is not None \
+                    and folded.count() > self.spill_rows:
+                self._spill(folded)
+                self._parts.append(folded.limit(0))
+            else:
+                self._disk = None
+                self._parts.append(folded)
+            all_supp = self._parts[0]
+        disk_hits = self._disk_probe(touched)
+        if disk_hits is not None:
+            all_supp = all_supp.unionByName(disk_hits)
         touched_net = (_ns_probe(all_supp, touched, self.keys)
                        .groupBy(*data_cols)
                        .agg(F.sum("mult").alias("mult")))

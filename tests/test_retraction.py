@@ -163,3 +163,31 @@ def test_debezium_envelope_feeds_retraction_view(spark):
 
     rows = {r.k: (r.total, r.hi) for r in out.collect()}
     assert rows == {"a": (9, 5)}  # 5+4, max back down to 5; b gone
+
+
+def test_topk_spilled_state_still_exact(spark, tmp_path):
+    """TopK support past the spill budget: probes read the partitioned
+    on-disk tier (pruned to touched key prefixes) and a delete that
+    evicts a current top-k row still restores the right runner-up."""
+    from pyspark.sql import functions as F
+
+    from materialize_spark.streaming.retraction import RetractionAwareTopK
+
+    tk = RetractionAwareTopK(spark, keys=["k"], order_col="v", limit=2,
+                             descending=True, compact_every=2,
+                             spill_rows=1, spill_dir=str(tmp_path))
+    S = "k string, v long, diff long"
+    tk.on_batch(spark.createDataFrame(
+        [("a", 5, 1), ("a", 9, 1), ("a", 2, 1)], S))
+    tk.on_batch(spark.createDataFrame(
+        [("b", 30, 1), ("b", 8, 1)], S))  # -> compact + spill
+    assert tk._disk is not None, "support should have spilled"
+    # delete a's current #1: the evicted 2 must come back from DISK
+    out = tk.on_batch(spark.createDataFrame([("a", 9, -1)], S))
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", 2), ("a", 5), ("b", 8), ("b", 30)]
+    # untouched group b unchanged; another spill cycle keeps history
+    tk.on_batch(spark.createDataFrame([("c", 1, 1)], S))
+    out = tk.on_batch(spark.createDataFrame([("b", 30, -1)], S))
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", 2), ("a", 5), ("b", 8), ("c", 1)]

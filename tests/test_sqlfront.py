@@ -1680,3 +1680,28 @@ def test_show_privileges_and_role_membership(spark):
     mem_b = {(r.role, r.member) for r in
              s.execute("SHOW ROLE MEMBERSHIP FOR spv_b").collect()}
     assert ("spv_a", "spv_b") in mem_b
+
+
+def test_explain_all_five_stages_distinct(spark):
+    """EXPLAIN RAW | DECORRELATED | LOCALLY OPTIMIZED | OPTIMIZED |
+    PHYSICAL all return non-empty, pairwise-distinct plan text
+    (reference stages, doc/developer/101-query-compilation.md:50-91)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    q = ("FOR SELECT o_orderstatus, count(*) AS n FROM orders "
+         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) "
+         "GROUP BY o_orderstatus")
+    texts = {}
+    for stage in ("RAW", "DECORRELATED", "LOCALLY OPTIMIZED",
+                  "OPTIMIZED", "PHYSICAL"):
+        rows = s.sql(f"EXPLAIN {stage} PLAN {q}").collect()
+        assert rows, f"{stage}: empty plan"
+        texts[stage] = "\n".join(r.plan for r in rows)
+    # resolution happened between RAW and DECORRELATED
+    assert "unresolved" in texts["RAW"].lower() \
+        or texts["RAW"] != texts["DECORRELATED"]
+    # the optimizer did something between DECORRELATED and OPTIMIZED
+    assert texts["DECORRELATED"] != texts["OPTIMIZED"]
+    # the physical plan is not logical text
+    assert texts["PHYSICAL"] != texts["OPTIMIZED"]
+    assert len(set(texts.values())) >= 4
