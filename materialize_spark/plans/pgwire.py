@@ -248,6 +248,9 @@ class MzPgServer:
         self._ssl_ctx = ssl_context
         # CancelRequest bookkeeping: backend pid -> secret key
         self._backends: dict[int, int] = {}
+        # per-backend cancel flags (streaming SUBSCRIBE polls these —
+        # cancelJobGroup alone can't interrupt a sleep between batches)
+        self._cancel_events: dict[int, threading.Event] = {}
         self._next_pid = 0
         self._key_lock = threading.Lock()
         self._tls = threading.local()  # per-connection job-group name
@@ -379,6 +382,9 @@ class MzPgServer:
                     # cancel that backend's running Spark jobs.
                     pid, secret = struct.unpack_from(">ii", body, 4)
                     if self._backends.get(pid) == secret:
+                        ev = self._cancel_events.get(pid)
+                        if ev is not None:
+                            ev.set()
                         self.session.spark.sparkContext.cancelJobGroup(
                             f"pgwire-cancel-{pid}")
                     return  # no response, per the spec
@@ -433,6 +439,8 @@ class MzPgServer:
                 f"pgwire-cancel-{pid}", f"pgwire backend {pid}",
                 interruptOnCancel=True)
             self._tls.group = f"pgwire-cancel-{pid}"
+            self._cancel_events[pid] = threading.Event()
+            self._tls.cancel = self._cancel_events[pid]
             conn.sendall(self._msg(b"K", struct.pack(">ii", pid, secret)))
             conn.sendall(self._msg(b"Z", b"I"))
             # extended-protocol connection state (protocol.rs keeps the
@@ -478,6 +486,7 @@ class MzPgServer:
         finally:
             if pid is not None:
                 self._backends.pop(pid, None)
+                self._cancel_events.pop(pid, None)
             try:
                 conn.close()
             except OSError:
@@ -849,6 +858,9 @@ class MzPgServer:
                     self._send_error(conn, str(ex))
                     break
                 continue
+            if re.match(r"\s*SUBSCRIBE\b", stmt, re.I):
+                self._stream_subscribe(conn, stmt)
+                break  # the stream owns the connection until it ends
             try:
                 out = self.session.execute(stmt)
             except Exception as ex:
@@ -873,6 +885,68 @@ class MzPgServer:
                 n += 1
             conn.sendall(self._msg(b"C", _cstr(f"SELECT {n}")))
         conn.sendall(self._msg(b"Z", b"I"))
+
+    def _stream_subscribe(self, conn: socket.socket, stmt: str) -> None:
+        """SUBSCRIBE streamed over the wire: the portal stays open and
+        every frontier advance pushes its delta batch as more DataRows —
+        the reference's subscribe protocol semantics (src/compute/src/
+        sink/subscribe.rs; protocol.rs holds the portal open), not a
+        poll-per-statement model. The stream ends on CancelRequest
+        (error 57014, like psql Ctrl-C on a subscribe), client
+        disconnect, or — for AS OF ... UP TO — after its one bounded
+        batch (the self-terminating form)."""
+        import time as _time
+        cancel = getattr(self._tls, "cancel", None)
+        # NB: no ReadyForQuery here on any path — _simple_query sends
+        # the single trailing Z after this returns
+        try:
+            first = self.session.execute(stmt)
+            rows = self._collect(first)
+        except Exception as ex:
+            self._send_error(conn, str(ex))
+            return
+        conn.sendall(self._msg(b"T", self._row_desc(first)))
+        nf = len(first.schema.fields)
+        n = 0
+        for row in rows:
+            conn.sendall(self._msg(b"D", self._data_row(row, nf)))
+            n += 1
+        if re.search(r"\bUP\s+TO\b", stmt, re.I) or \
+                re.search(r"\bAS\s+OF\b", stmt, re.I):
+            # bounded subscribe: one batch, clean completion
+            conn.sendall(self._msg(b"C", _cstr(f"SUBSCRIBE {n}")))
+            return
+        conn.settimeout(0.05)
+        try:
+            while cancel is None or not cancel.is_set():
+                # a client that hangs up ends the stream: poke the
+                # socket for Terminate/EOF without blocking the loop
+                try:
+                    peek = conn.recv(1)
+                    if not peek or peek == b"X":
+                        return
+                except (TimeoutError, OSError):
+                    pass
+                try:
+                    delta = self.session.execute(stmt)
+                    batch = self._collect(delta)
+                except Exception as ex:
+                    self._send_error(conn, str(ex))
+                    return
+                for row in batch:
+                    conn.sendall(self._msg(b"D",
+                                           self._data_row(row, nf)))
+                    n += 1
+                _time.sleep(0.1)
+            # canceled: PG 57014 query_canceled, then ReadyForQuery —
+            # exactly what psql shows when Ctrl-C ends a subscribe
+            conn.sendall(self._msg(
+                b"E", b"SERROR\0C57014\0"
+                      b"Mcanceling statement due to user request\0\0"))
+        finally:
+            conn.settimeout(None)
+            if cancel is not None:
+                cancel.clear()
 
     # -- COPY sub-protocol ---------------------------------------------------
     def _copy_statement(self, conn: socket.socket, m) -> None:

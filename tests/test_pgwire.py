@@ -537,3 +537,97 @@ def test_statement_timeout_unit_parsing():
     assert ms("2s") == 2000.0
     assert ms("1min") == 60000.0
     assert ms("garbage") == 0
+
+
+def test_subscribe_streams_over_pgwire(spark):
+    """One SUBSCRIBE statement, multiple pushed batches: the portal
+    stays open and each committed write arrives as more DataRows
+    without the client re-issuing anything; CancelRequest ends the
+    stream with PG 57014 (reference src/compute/src/sink/subscribe.rs
+    + protocol.rs holding the portal open)."""
+    import struct as _struct
+
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient, _cstr
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE subw_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO subw_t VALUES ('a', 1)")
+    with MzPgServer(s, port=0) as srv:
+        with PgWireClient("127.0.0.1", srv.port) as cli:
+            body = _cstr("SUBSCRIBE subw_t")
+            cli.sock.sendall(b"Q" + _struct.pack(">i", 4 + len(body))
+                             + body)
+            cli.sock.settimeout(30)
+
+            def next_data_rows(want: int) -> list[list[str]]:
+                rows = []
+                while len(rows) < want:
+                    tag, payload = cli._recv_msg()
+                    if tag == b"D":
+                        (n,) = _struct.unpack_from(">h", payload, 0)
+                        pos, row = 2, []
+                        for _ in range(n):
+                            (ln,) = _struct.unpack_from(">i", payload,
+                                                        pos)
+                            pos += 4
+                            if ln < 0:
+                                row.append(None)
+                            else:
+                                row.append(
+                                    payload[pos:pos + ln].decode())
+                                pos += ln
+                        rows.append(row)
+                    elif tag == b"E":
+                        raise AssertionError(f"error: {payload!r}")
+                return rows
+
+            # batch 1: the snapshot (RowDescription first)
+            tag, _p = cli._recv_msg()
+            assert tag == b"T"
+            snap = next_data_rows(1)
+            assert snap[0][:2] == ["a", "1"]
+            # batch 2: a write committed while the portal is open
+            s.execute("INSERT INTO subw_t VALUES ('b', 2)")
+            b2 = next_data_rows(1)
+            assert b2[0][:2] == ["b", "2"]
+            # batch 3: another commit, still the same statement
+            s.execute("INSERT INTO subw_t VALUES ('c', 3)")
+            b3 = next_data_rows(1)
+            assert b3[0][:2] == ["c", "3"]
+            # Ctrl-C: CancelRequest on a new connection ends the stream
+            cli.cancel()
+            saw_cancel = False
+            while True:
+                tag, payload = cli._recv_msg()
+                if tag == b"E":
+                    assert b"57014" in payload
+                    saw_cancel = True
+                elif tag == b"Z":
+                    break
+            assert saw_cancel
+            # the connection is reusable after the stream ends
+            out = cli.query("SELECT 1 AS one")
+            assert out[0]["rows"][0][0] == "1"
+    s.execute("DROP TABLE subw_t")
+
+
+def test_subscribe_up_to_self_terminates_over_pgwire(spark):
+    """AS OF ... UP TO subscribes are bounded: one batch, then a clean
+    SUBSCRIBE command tag — no open-ended stream."""
+    from materialize_spark.plans.pgwire import MzPgServer, PgWireClient
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE subu_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW subu_mv AS "
+              "SELECT k, SUM(v) AS total FROM subu_t GROUP BY k")
+    s.execute("INSERT INTO subu_t VALUES ('a', 1)")
+    s.execute("REFRESH MATERIALIZED VIEW subu_mv")
+    with MzPgServer(s, port=0) as srv:
+        with PgWireClient("127.0.0.1", srv.port) as cli:
+            out = cli.query("SUBSCRIBE subu_mv AS OF 0 UP TO 99")
+            assert out[0]["tag"].startswith("SUBSCRIBE")
+            assert out[0]["rows"]
+    s.execute("DROP VIEW subu_mv")
+    s.execute("DROP TABLE subu_t")
