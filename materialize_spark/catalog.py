@@ -254,7 +254,16 @@ def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
 # re-optimize (~30-50 ms/query measured at sf0.1 — PERF.md). At or above
 # the threshold, runtime re-planning is load-bearing and stays on. 0
 # disables the policy (AQE always on).
-AQE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(1 << 30)))
+#
+# Threshold (round 9, measured): headline suite with AQE off is 21%
+# faster at sf0.1 (0.995 vs 1.259 s) and 8% faster at x10 (1.694 vs
+# 1.846 s) — the pinned plans leave AQE nothing to improve — while at
+# x50 (~12 GiB decoded) on/off is a wash (8.33 vs 8.33 s; AQE's
+# partition coalescing starts paying for its barriers). 8 GiB puts the
+# crossover between those measured points. NB: the old 1 GiB default
+# was crossed at sf0.1 by the NON-queried tables (events/documents/
+# embeddings share the dir), so AQE was on everywhere.
+AQE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(8 << 30)))
 
 
 def scale_adaptive_execution(spark: SparkSession, total_bytes: int) -> None:

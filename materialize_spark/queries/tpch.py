@@ -172,7 +172,7 @@ def q5(spark, sf_dir):
     # derived CTE each cost a ~30 ms exchange job; PERF.md).
     return sql_over(
         spark, sf_dir,
-        ("customer:compact", "orders", "lineitem", "supplier_denorm"), """
+        ("customer", "orders", "lineitem", "supplier_denorm"), """
         SELECT /*+ BROADCAST(asia), SHUFFLE_HASH(orders) */
                n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
@@ -180,11 +180,15 @@ def q5(spark, sf_dir):
                 FROM supplier_denorm WHERE r_name = 'ASIA') asia
             ON l_suppkey = s_suppkey
           JOIN orders ON l_orderkey = o_orderkey
-          -- customer_compact: broadcast-side arrangement (same rows,
-          -- row-sized shards) — the broadcast build is a 1-2 task scan
-          -- instead of one task per keyed shard; stays AQE/threshold-
-          -- governed at scale (shuffled-hash past the estimate).
-          JOIN customer_compact AS customer
+          -- customer: the KEYED arrangement (hash-partitioned on
+          -- c_custkey). Below the broadcast threshold Catalyst still
+          -- broadcasts it; past it (x10+) the join plans shuffled-hash
+          -- with the customer side EXCHANGE-FREE (HashPartitioning on
+          -- a subset of the join keys satisfies the distribution) —
+          -- only the small post-join stream re-keys. Measured x10:
+          -- 318 ms vs 366 ms for the broadcast-side compact copy,
+          -- and no fact-sized broadcast build at any scale.
+          JOIN customer
             ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
