@@ -271,6 +271,52 @@ def main() -> None:
 
     delta["join_delta"] = _lag_series(refresh_join, batches)
 
+    # -- round-9 compositions: outer-join→agg and join→TopK -----------------
+    # outer delta-join: lineitem deltas LEFT-join the 1994-orders dim;
+    # unmatched lineitems survive null-padded (the reference lowers
+    # outer joins to inner + anti parts, lowering.rs) and the grouped
+    # sum keeps a NULL-nation group — first/last-match flips retract
+    # and restore it incrementally.
+    from materialize_spark.streaming.ivm_join import (
+        IncrementalOuterJoinView,
+    )
+    ojn = IncrementalOuterJoinView(on=["o_orderkey"],
+                                   pad_right=[("c_nationkey", "int")],
+                                   how="left")
+    oagg = RetractionAwareAgg(spark, keys=["c_nationkey"],
+                              aggs={"revenue": ("sum", "rev")})
+    oout0 = ojn.on_batch(left_delta=jdelta(base.select(
+        "l_orderkey", "l_extendedprice", "l_discount", one)),
+        right_delta=ord5.withColumn("diff", F.lit(1)))
+    oagg.on_batch(oout0.select("c_nationkey", "rev", "diff"))
+
+    def refresh_outer(b):
+        out = ojn.on_batch(left_delta=jdelta(b.select(
+            "l_orderkey", "l_extendedprice", "l_discount", one)))
+        if out is not None:
+            oagg.on_batch(out.select("c_nationkey", "rev", "diff"))
+
+    delta["outer_join_delta"] = _lag_series(refresh_outer, batches)
+
+    # join→TopK: the delta-join's output delta feeds the retraction-
+    # aware grouped TopK (top-5 revenues per nation) — the per-operator
+    # composition render.rs assembles.
+    jn2 = IncrementalJoinView(on=["o_orderkey"])
+    tk2 = RetractionAwareTopK(spark, keys=["c_nationkey"],
+                              order_col="rev", limit=5)
+    jout0 = jn2.on_batch(left_delta=jdelta(base.select(
+        "l_orderkey", "l_extendedprice", "l_discount", one)),
+        right_delta=ord5.withColumn("diff", F.lit(1)))
+    tk2.on_batch(jout0.select("c_nationkey", "rev", "diff"))
+
+    def refresh_join_topk(b):
+        out = jn2.on_batch(left_delta=jdelta(b.select(
+            "l_orderkey", "l_extendedprice", "l_discount", one)))
+        if out is not None:
+            tk2.on_batch(out.select("c_nationkey", "rev", "diff"))
+
+    delta["join_topk_delta"] = _lag_series(refresh_join_topk, batches)
+
     # -- BASIC path: recompute over base ∪ applied batches ------------------
     # (q18's HAVING threshold and q21's anti-join are not mergeable —
     # the reference's Basic reduce; q9 included as the recompute
