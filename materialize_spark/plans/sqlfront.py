@@ -66,6 +66,21 @@ _PASSWORD_OPT_RE = re.compile(
     r"(\s*=\s*)'(?:[^']|'')*'", re.I)
 
 
+def _having_over_aliases(having: str,
+                         aggs: dict[str, tuple[str, str]]) -> str:
+    """Rewrite a HAVING clause to reference the SELECT's aggregate
+    aliases — the maintained result carries the aliases as columns, so
+    the threshold becomes an ordinary filter over it (the reference
+    lowers HAVING to a Filter above the Reduce the same way)."""
+    for alias, (kind, col) in aggs.items():
+        pat = (rf"(?i)\b{kind}\s*\(\s*\*\s*\)" if col == "__one"
+               else rf"(?i)\b{kind}\s*\(\s*{col}\s*\)")
+        having = re.sub(pat, alias, having)
+    if re.search(r"(?i)\b(sum|count|min|max|avg)\s*\(", having):
+        return None  # references an aggregate the SELECT doesn't keep
+    return having
+
+
 def redact_sql(sql: str) -> str:
     """Replace inline credential literals with '<REDACTED>' before a
     statement is stored anywhere a non-owner can read it back."""
@@ -96,7 +111,17 @@ _DELTA_MV_AGG_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+"
     r"FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
+    re.I | re.S)
+
+# DISTINCT delta-MV shape — the reference's reduce-with-no-aggregates
+# plan (src/compute-types/src/plan/reduce.rs Distinct), maintained by
+# net row multiplicity (streaming/retraction.RetractionAwareDistinct)
+_DELTA_MV_DISTINCT_RE = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+(?P<cols>[\w\s,]+?)\s+"
+    r"FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
     re.I | re.S)
 
 _DELTA_AGG_ITEM_RE = re.compile(
@@ -115,7 +140,8 @@ _DELTA_MV_JOIN_RE = re.compile(
     r"FROM\s+(?P<t1>\w+)"
     rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?)?\s*;?\s*$",
     re.I | re.S)
 
 _DELTA_MV_JOIN_SEG_RE = re.compile(
@@ -470,6 +496,7 @@ class MzSession:
         m = _DELTA_MV_RE.match(node.body)
         if not m:
             if self._create_delta_mv_agg(node) \
+                    or self._create_delta_mv_distinct(node) \
                     or self._create_delta_mv_topk(node) \
                     or self._create_delta_mv_join_topk(node) \
                     or self._create_delta_mv_join(node):
@@ -557,9 +584,42 @@ class MzSession:
         table = m.group("table")
         if table not in self.catalog._tables:
             raise KeyError(f"unknown table {table!r}")
+        having = m.group("having")
+        if having is not None:
+            having = _having_over_aliases(having, aggs)
+            if having is None:
+                return False  # HAVING over unselected aggregates
         mv = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
         spec = {"mv": mv, "table": table, "keys": keys, "aggs": aggs,
-                "where": m.group("where"), "kind": "agg"}
+                "where": m.group("where"), "kind": "agg",
+                "having": having}
+        self._delta_mvs[node.name] = spec
+        self._feed_delta_mv(node.name, self.catalog._tables[table]
+                            .withColumn("diff", F.lit(1)), initial=True)
+        return True
+
+    def _create_delta_mv_distinct(self, node: ast.CreateView) -> bool:
+        """SELECT DISTINCT delta MV (reference reduce.rs Distinct plan):
+        net row multiplicity decides visibility, so deletes of one
+        duplicate keep the row and deletes of the last one retire it."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareDistinct,
+        )
+
+        m = _DELTA_MV_DISTINCT_RE.match(node.body)
+        if not m:
+            return False
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        if not all(re.fullmatch(r"\w+", c) for c in cols):
+            return False
+        table = m.group("table")
+        if table not in self.catalog._tables:
+            raise KeyError(f"unknown table {table!r}")
+        mv = RetractionAwareDistinct(self.spark, cols=cols)
+        spec = {"mv": mv, "table": table, "cols": cols,
+                "where": m.group("where"), "kind": "distinct"}
         self._delta_mvs[node.name] = spec
         self._feed_delta_mv(node.name, self.catalog._tables[table]
                             .withColumn("diff", F.lit(1)), initial=True)
@@ -712,6 +772,12 @@ class MzSession:
         keys: list[str] = []
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
+        select = m.group("select")
+        distinct = bool(re.match(r"\s*DISTINCT\b", select, re.I))
+        if distinct:
+            if m.group("gkeys"):
+                return False  # DISTINCT + GROUP BY: out of shape
+            select = re.sub(r"^\s*DISTINCT\s+", "", select, flags=re.I)
         if m.group("gkeys"):
             for item in split_top_level(m.group("select")):
                 item = item.strip()
@@ -733,18 +799,30 @@ class MzSession:
                     [k.lower() for k in gkeys]:
                 return False
         else:
-            cols = [c.strip() for c in m.group("select").split(",")]
+            cols = [c.strip() for c in select.split(",")]
             if not all(re.fullmatch(r"\w+", c) and c in acc_cols
                        for c in cols):
                 return False
+        having = m.group("having")
+        if having is not None:
+            having = _having_over_aliases(having, aggs)
+            if having is None:
+                return False  # HAVING over unselected aggregates
         chain = self._build_delta_join_chain(tables, norm_links, kinds)
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
+        dmv = None
+        if distinct:
+            from materialize_spark.streaming.retraction import (
+                RetractionAwareDistinct,
+            )
+            dmv = RetractionAwareDistinct(self.spark, cols=cols)
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": agg,
                 "keys": keys, "aggs": aggs, "cols": cols,
-                "where": m.group("where"),
-                "proj": None, "table": None, "topk": None}
+                "where": m.group("where"), "having": having,
+                "proj": None, "table": None, "topk": None,
+                "distinct": dmv}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
         return True
@@ -872,6 +950,18 @@ class MzSession:
                     rewrite(self._matview_sql[name])).limit(0)
             self._publish_delta_mv(name, result, initial)
             return
+        if spec.get("distinct") is not None:
+            dmv = spec["distinct"]
+            if out is not None:
+                result = dmv.on_batch(out.select(*spec["cols"], "diff"))
+            else:
+                result = (dmv.result() if dmv._result is not None
+                          else None)
+            if result is None:
+                result = self.spark.sql(
+                    rewrite(self._matview_sql[name])).limit(0)
+            self._publish_delta_mv(name, result, initial)
+            return
         if spec["agg"] is not None:
             if out is not None:
                 in_cols = {c for _k, c in spec["aggs"].values()}
@@ -883,6 +973,8 @@ class MzSession:
             else:
                 result = spec["agg"].result() \
                     if spec["agg"]._acc is not None else None
+            if result is not None and spec.get("having"):
+                result = result.filter(rewrite(spec["having"]))
         else:
             if out is not None:
                 spec["proj"] = _consolidate(
@@ -919,6 +1011,8 @@ class MzSession:
             delta = delta.select(*spec["keys"], *sorted(in_cols), "diff")
         elif spec.get("kind") == "topk":
             delta = delta.select(*spec["icols"], "diff")
+        elif spec.get("kind") == "distinct":
+            delta = delta.select(*spec["cols"], "diff")
         else:
             if spec["val"] is None:  # COUNT(*): every row weighs 1
                 delta = delta.withColumn("__one", F.lit(1))
@@ -927,6 +1021,11 @@ class MzSession:
         result = spec["mv"].on_batch(delta)
         if spec.get("kind") == "topk":  # project to the outer SELECT list
             result = result.select(*spec["cols"])
+        if spec.get("having"):
+            # HAVING = a Filter above the maintained Reduce (the result
+            # is fully maintained, so the threshold is an ordinary
+            # filter over its aggregate-alias columns)
+            result = result.filter(rewrite(spec["having"]))
         self._publish_delta_mv(name, result, initial)
 
     def _publish_delta_mv(self, name: str, result,

@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
     priority = [
         # --- (a) round-9 capabilities ---
         "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
+        "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
         "kafka_source_avro_csr", "sink_kafka_upsert_roundtrip",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
@@ -92,10 +93,13 @@ def load_all() -> dict[str, QuerySpec]:
         "dedup_embedding_cosine",
         "multimodal_decode_real", "multimodal_audio_real",
         "multimodal_video_real",
-        "join_asof", "join_range_band",
+        # (join_range_band and agg_grouping_sets yield their slots to
+        # the two extra round-9 entries — join_asof / agg_rollup keep
+        # those families covered, and both stay green in the local gate)
+        "join_asof",
         "scalar_uuid", "scalar_decimal38_margin",
         "tpch_q15", "agg_rollup", "agg_string_agg_ordered",
-        "agg_grouping_sets", "range_operations",
+        "range_operations",
         "mv_consistency_frontier",
         # text-analysis family sentinel (window invariant: the checked
         # prefix spans every pipeline family)

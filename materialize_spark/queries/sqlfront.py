@@ -1083,3 +1083,69 @@ def sqlfront_delta_mv_join_topk(spark, sf_dir):
     # dimension churn: AUTO vanishes entirely
     sess.execute("DELETE FROM tkj_cust WHERE c_ck = 1")
     return sess.sql("SELECT seg, ok, amt FROM tkj_mv ORDER BY seg, amt")
+
+
+@register(
+    "sqlfront_delta_mv_distinct",
+    """
+    -- oracle: recompute of the final net state (okey 1 deleted — one
+    -- of two copies of (10, 100), so the distinct row SURVIVES; okey 3
+    -- deleted — the only (11, 50) row, so that one retires)
+    WITH ord(ok, ck, price) AS (VALUES (2, 10, 100), (4, 12, 75))
+    SELECT DISTINCT CAST(ck AS BIGINT) AS ck,
+                    CAST(price AS BIGINT) AS price
+    FROM ord ORDER BY ck, price
+    """,
+    "sqlfront", "delta-mv", "distinct",
+)
+def sqlfront_delta_mv_distinct(spark, sf_dir):
+    """SELECT DISTINCT under delta maintenance (the reference's
+    reduce-with-no-aggregates plan, src/compute-types/src/plan/
+    reduce.rs Distinct): visibility follows NET row multiplicity —
+    deleting one of two duplicates keeps the distinct row, deleting
+    the last copy retires it. No REFRESH anywhere."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE ddq_t (ok BIGINT, ck BIGINT, "
+                 "price BIGINT)")
+    sess.execute("CREATE MATERIALIZED VIEW ddq_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT DISTINCT ck, price FROM ddq_t")
+    sess.execute("INSERT INTO ddq_t VALUES (1, 10, 100), "
+                 "(2, 10, 100), (3, 11, 50), (4, 12, 75)")
+    sess.execute("DELETE FROM ddq_t WHERE ok = 1")  # dup copy: survives
+    sess.execute("DELETE FROM ddq_t WHERE ok = 3")  # last copy: retires
+    return sess.sql("SELECT ck, price FROM ddq_mv ORDER BY ck, price")
+
+
+@register(
+    "sqlfront_delta_mv_having",
+    """
+    -- oracle: recompute of the final net state over the join
+    WITH ord(ok, o_ck, amt) AS (VALUES
+        (101, 1, 30), (103, 2, 99), (104, 2, 2)),
+    cust(c_ck, seg) AS (VALUES (1, 'AUTO'), (2, 'BLDG'))
+    SELECT seg, CAST(SUM(amt) AS BIGINT) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ord JOIN cust ON o_ck = c_ck
+    GROUP BY seg HAVING SUM(amt) > 50 ORDER BY seg
+    """,
+    "sqlfront", "delta-mv", "having",
+)
+def sqlfront_delta_mv_having(spark, sf_dir):
+    """HAVING over multi-aggregate join delta MVs: the threshold is a
+    filter above the maintained reduce (reference lowering), so groups
+    cross it in BOTH directions under churn — AUTO crosses down when
+    its big order is deleted, BLDG crosses up on a later insert."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE dhq_ord (ok BIGINT, o_ck BIGINT, "
+                 "amt BIGINT)")
+    sess.execute("CREATE TABLE dhq_cust (c_ck BIGINT, seg STRING)")
+    sess.execute("INSERT INTO dhq_cust VALUES (1, 'AUTO'), (2, 'BLDG')")
+    sess.execute("CREATE MATERIALIZED VIEW dhq_mv WITH (MAINTENANCE "
+                 "'delta') AS SELECT seg, SUM(amt) AS rev, COUNT(*) "
+                 "AS n FROM dhq_ord JOIN dhq_cust ON o_ck = c_ck "
+                 "GROUP BY seg HAVING SUM(amt) > 50")
+    sess.execute("INSERT INTO dhq_ord VALUES (100, 1, 80), "
+                 "(101, 1, 30), (103, 2, 99)")
+    sess.execute("INSERT INTO dhq_ord VALUES (104, 2, 2)")  # BLDG up
+    sess.execute("DELETE FROM dhq_ord WHERE ok = 100")      # AUTO down
+    return sess.sql("SELECT seg, rev, n FROM dhq_mv ORDER BY seg")

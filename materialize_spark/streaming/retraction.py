@@ -210,6 +210,56 @@ class RetractionAwareAgg:
 
 
 @dataclass
+class RetractionAwareDistinct:
+    """SELECT DISTINCT maintained under inserts and deletes.
+
+    The reference plans DISTINCT as a reduce with no aggregates
+    (src/compute-types/src/plan/reduce.rs Distinct plan): the state is
+    the net multiplicity per distinct row; a row is visible while its
+    net is positive. Same arrangement-spine discipline as the other
+    retraction operators — per batch only the batch's rows re-derive
+    their visibility; untouched rows pass through."""
+
+    spark: SparkSession
+    cols: list[str]
+    compact_every: int = 16
+    _parts: list[DataFrame] = field(default_factory=list, init=False)
+    _result: DataFrame | None = field(default=None, init=False)
+
+    def on_batch(self, delta: DataFrame) -> DataFrame:
+        batch_supp = _ckpt(delta.groupBy(*self.cols)
+                           .agg(F.sum(DIFF_COL).alias("mult"))
+                           .filter(F.col("mult") != 0))
+        touched = batch_supp.select(*self.cols).distinct()
+        self._parts.append(batch_supp)
+        all_supp = self._parts[0]
+        for p in self._parts[1:]:
+            all_supp = all_supp.unionByName(p)
+        if len(self._parts) >= self.compact_every:
+            folded = _ckpt(all_supp.groupBy(*self.cols)
+                           .agg(F.sum("mult").alias("mult"))
+                           .filter(F.col("mult") != 0))
+            self._parts.clear()
+            self._parts.append(folded)
+            all_supp = folded
+        visible = (_ns_probe(all_supp, touched, self.cols)
+                   .groupBy(*self.cols).agg(F.sum("mult").alias("mult"))
+                   .filter(F.col("mult") > 0).drop("mult"))
+        if self._result is None:
+            self._result = _ckpt(visible)
+        else:
+            self._result = _ckpt(
+                _ns_probe(self._result, touched, self.cols, anti=True)
+                .unionByName(visible))
+        return self._result
+
+    def result(self) -> DataFrame:
+        if self._result is None:
+            raise RuntimeError("no batches folded yet")
+        return self._result
+
+
+@dataclass
 class RetractionAwareTopK:
     """Per-group TopK maintained under inserts and deletes.
 

@@ -141,3 +141,85 @@ def test_delta_mv_unsupported_still_errors(spark):
                   "ORDER BY okey")
     for t in ("dc_li", "dc_cust", "dc_ord"):
         s.execute(f"DROP TABLE {t}")
+
+
+def test_delta_mv_distinct_single_table(spark):
+    """SELECT DISTINCT: deleting one duplicate keeps the row; deleting
+    the last copy retires it (reference reduce.rs Distinct plan)."""
+    s = _mk(spark)
+    body = "SELECT DISTINCT ckey, price FROM dc_ord"
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 10, 100), "
+              "(3, 11, 50)")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv5 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcv5") == _recompute(s, body)
+    # delete ONE of the two (10, 100) rows: distinct row survives
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")
+    assert _rows(s, "dcv5") == _recompute(s, body)
+    assert (10, 100) in _rows(s, "dcv5")
+    # delete the last copy: the distinct row retires
+    s.execute("DELETE FROM dc_ord WHERE okey = 2")
+    assert _rows(s, "dcv5") == _recompute(s, body)
+    assert (10, 100) not in _rows(s, "dcv5")
+    _drop(s, "dcv5")
+
+
+def test_delta_mv_distinct_over_join(spark):
+    s = _mk(spark)
+    body = ("SELECT DISTINCT cname FROM dc_ord "
+            "JOIN dc_cust ON ckey = cust_key")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv6 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 10, 200), "
+              "(3, 11, 50)")
+    assert _rows(s, "dcv6") == _recompute(s, body)
+    # alice still has order 2 after deleting order 1
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")
+    assert _rows(s, "dcv6") == _recompute(s, body)
+    assert ("alice",) in _rows(s, "dcv6")
+    # her last order goes: the distinct name retires
+    s.execute("DELETE FROM dc_ord WHERE okey = 2")
+    assert _rows(s, "dcv6") == _recompute(s, body)
+    assert ("alice",) not in _rows(s, "dcv6")
+    _drop(s, "dcv6")
+
+
+def test_delta_mv_having_multi_agg(spark):
+    """HAVING over the multi-aggregate shape (beyond SUM > n): the
+    maintained result filters on its aggregate aliases."""
+    s = _mk(spark)
+    body = ("SELECT ckey, COUNT(*) AS n, MIN(price) AS lo "
+            "FROM dc_ord GROUP BY ckey HAVING COUNT(*) > 1")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv7 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 10, 50), "
+              "(3, 11, 75)")
+    assert _rows(s, "dcv7") == _recompute(s, body) == [(10, 2, 50)]
+    s.execute("INSERT INTO dc_ord VALUES (4, 11, 25)")
+    assert _rows(s, "dcv7") == _recompute(s, body)
+    # drop ckey=10 below the threshold
+    s.execute("DELETE FROM dc_ord WHERE okey = 2")
+    assert _rows(s, "dcv7") == _recompute(s, body)
+    assert all(r[0] != 10 for r in _rows(s, "dcv7"))
+    _drop(s, "dcv7")
+
+
+def test_delta_mv_having_over_join_agg(spark):
+    s = _mk(spark)
+    body = ("SELECT cname, SUM(price) AS rev FROM dc_ord "
+            "JOIN dc_cust ON ckey = cust_key GROUP BY cname "
+            "HAVING SUM(price) > 100")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv8 WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 80), (2, 10, 30), "
+              "(3, 11, 99)")
+    assert _rows(s, "dcv8") == _recompute(s, body) == [("alice", 110)]
+    # bob crosses up
+    s.execute("INSERT INTO dc_ord VALUES (4, 11, 2)")
+    assert _rows(s, "dcv8") == _recompute(s, body)
+    # alice crosses back down
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")
+    assert _rows(s, "dcv8") == _recompute(s, body)
+    _drop(s, "dcv8")
