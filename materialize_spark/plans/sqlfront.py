@@ -66,16 +66,56 @@ _PASSWORD_OPT_RE = re.compile(
     r"(\s*=\s*)'(?:[^']|'')*'", re.I)
 
 
-def _having_over_aliases(having: str,
-                         aggs: dict[str, tuple[str, str]]) -> str:
+def _parse_agg_select(select_text: str):
+    """Parse a delta-MV SELECT list of plain keys + aliased aggregates.
+    Aggregate INPUTS may be arbitrary scalar expressions (the q3/q5
+    revenue shape ``SUM(price * (1 - disc))``): each gets an internal
+    column computed on the delta before the keyed reduce. Returns
+    (keys, aggs, exprs) or None when out of shape; ``exprs`` maps
+    internal name -> source SQL."""
+    keys: list[str] = []
+    aggs: dict[str, tuple[str, str]] = {}
+    exprs: dict[str, str] = {}
+    for item in split_top_level(select_text):
+        item = item.strip()
+        am = _DELTA_AGG_ITEM_RE.match(item)
+        if am:
+            col = am.group("col").strip()
+            kind = am.group("kind").lower()
+            if col == "*":
+                if kind != "count":
+                    return None
+                col = "__one"
+            elif re.match(r"(?i)DISTINCT\b", col):
+                return None  # DISTINCT aggs are not accumulable
+            elif not re.fullmatch(r"\w+", col):
+                internal = f"__x{len(exprs)}"
+                exprs[internal] = col
+                col = internal
+            aggs[am.group("alias")] = (kind, col)
+        elif re.fullmatch(r"\w+", item) and not aggs:
+            keys.append(item)
+        else:
+            return None   # expression keys / unaliased aggregates
+    return keys, aggs, exprs
+
+
+def _having_over_aliases(having: str, aggs: dict[str, tuple[str, str]],
+                         exprs: dict[str, str] | None = None) -> str:
     """Rewrite a HAVING clause to reference the SELECT's aggregate
     aliases — the maintained result carries the aliases as columns, so
     the threshold becomes an ordinary filter over it (the reference
     lowers HAVING to a Filter above the Reduce the same way)."""
+    exprs = exprs or {}
     for alias, (kind, col) in aggs.items():
-        pat = (rf"(?i)\b{kind}\s*\(\s*\*\s*\)" if col == "__one"
-               else rf"(?i)\b{kind}\s*\(\s*{col}\s*\)")
-        having = re.sub(pat, alias, having)
+        src = exprs.get(col, col)
+        if src == "__one":
+            body = r"\*"
+        else:
+            # whitespace-insensitive match of the SELECT's source text
+            body = re.sub(r"(?:\\?\s)+", r"\\s*", re.escape(src))
+        having = re.sub(rf"(?i)\b{kind}\s*\(\s*{body}\s*\)", alias,
+                       having)
     if re.search(r"(?i)\b(sum|count|min|max|avg)\s*\(", having):
         return None  # references an aggregate the SELECT doesn't keep
     return having
@@ -125,8 +165,8 @@ _DELTA_MV_DISTINCT_RE = re.compile(
     re.I | re.S)
 
 _DELTA_AGG_ITEM_RE = re.compile(
-    r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|\w+)\s*\)"
-    r"\s+as\s+(?P<alias>\w+)$", re.I)
+    r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|.+)\s*\)"
+    r"\s+as\s+(?P<alias>\w+)$", re.I | re.S)
 
 # equi-join delta-MV shape, optionally with a grouped aggregate on top:
 # SELECT cols | keys, AGG(col) AS a[, ...] FROM t1 JOIN t2 ON k1 = k2
@@ -559,22 +599,10 @@ class MzSession:
         m = _DELTA_MV_AGG_RE.match(node.body)
         if not m:
             return False
-        keys: list[str] = []
-        aggs: dict[str, tuple[str, str]] = {}
-        for item in split_top_level(m.group("select")):
-            item = item.strip()
-            am = _DELTA_AGG_ITEM_RE.match(item)
-            if am:
-                col = am.group("col")
-                if col == "*":
-                    if am.group("kind").lower() != "count":
-                        return False
-                    col = "__one"
-                aggs[am.group("alias")] = (am.group("kind").lower(), col)
-            elif re.fullmatch(r"\w+", item) and not aggs:
-                keys.append(item)
-            else:
-                return False   # expression keys / unaliased aggregates
+        parsed = _parse_agg_select(m.group("select"))
+        if parsed is None:
+            return False
+        keys, aggs, exprs = parsed
         if not aggs or not keys:
             return False
         gkeys = [k.strip() for k in m.group("gkeys").split(",")]
@@ -586,13 +614,13 @@ class MzSession:
             raise KeyError(f"unknown table {table!r}")
         having = m.group("having")
         if having is not None:
-            having = _having_over_aliases(having, aggs)
+            having = _having_over_aliases(having, aggs, exprs)
             if having is None:
                 return False  # HAVING over unselected aggregates
         mv = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
         spec = {"mv": mv, "table": table, "keys": keys, "aggs": aggs,
                 "where": m.group("where"), "kind": "agg",
-                "having": having}
+                "having": having, "exprs": exprs}
         self._delta_mvs[node.name] = spec
         self._feed_delta_mv(node.name, self.catalog._tables[table]
                             .withColumn("diff", F.lit(1)), initial=True)
@@ -778,22 +806,12 @@ class MzSession:
             if m.group("gkeys"):
                 return False  # DISTINCT + GROUP BY: out of shape
             select = re.sub(r"^\s*DISTINCT\s+", "", select, flags=re.I)
+        exprs: dict[str, str] = {}
         if m.group("gkeys"):
-            for item in split_top_level(m.group("select")):
-                item = item.strip()
-                am = _DELTA_AGG_ITEM_RE.match(item)
-                if am:
-                    col = am.group("col")
-                    if col == "*":
-                        if am.group("kind").lower() != "count":
-                            return False
-                        col = "__one"
-                    aggs[am.group("alias")] = (am.group("kind").lower(),
-                                               col)
-                elif re.fullmatch(r"\w+", item) and not aggs:
-                    keys.append(item)
-                else:
-                    return False
+            parsed_sel = _parse_agg_select(select)
+            if parsed_sel is None:
+                return False
+            keys, aggs, exprs = parsed_sel
             gkeys = [k.strip() for k in m.group("gkeys").split(",")]
             if not aggs or [k.lower() for k in keys] != \
                     [k.lower() for k in gkeys]:
@@ -805,7 +823,7 @@ class MzSession:
                 return False
         having = m.group("having")
         if having is not None:
-            having = _having_over_aliases(having, aggs)
+            having = _having_over_aliases(having, aggs, exprs)
             if having is None:
                 return False  # HAVING over unselected aggregates
         chain = self._build_delta_join_chain(tables, norm_links, kinds)
@@ -822,7 +840,7 @@ class MzSession:
                 "keys": keys, "aggs": aggs, "cols": cols,
                 "where": m.group("where"), "having": having,
                 "proj": None, "table": None, "topk": None,
-                "distinct": dmv}
+                "distinct": dmv, "exprs": exprs}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
         return True
@@ -964,6 +982,9 @@ class MzSession:
             return
         if spec["agg"] is not None:
             if out is not None:
+                for internal, src in spec.get("exprs", {}).items():
+                    out = out.withColumn(internal,
+                                         F.expr(rewrite(src)))
                 in_cols = {c for _k, c in spec["aggs"].values()}
                 if "__one" in in_cols:
                     out = out.withColumn("__one", F.lit(1))
@@ -1005,6 +1026,10 @@ class MzSession:
             delta = delta.filter(f"coalesce(({rewrite(spec['where'])}), "
                                  "false)")
         if spec.get("kind") == "agg":
+            for internal, src in spec.get("exprs", {}).items():
+                # expression aggregate inputs (SUM(a * (1 - b))):
+                # computed on the delta before the keyed reduce
+                delta = delta.withColumn(internal, F.expr(rewrite(src)))
             in_cols = {c for _k, c in spec["aggs"].values()}
             if "__one" in in_cols:  # COUNT(*): every row weighs 1
                 delta = delta.withColumn("__one", F.lit(1))

@@ -223,3 +223,35 @@ def test_delta_mv_having_over_join_agg(spark):
     s.execute("DELETE FROM dc_ord WHERE okey = 1")
     assert _rows(s, "dcv8") == _recompute(s, body)
     _drop(s, "dcv8")
+
+
+def test_delta_mv_expression_aggregates(spark):
+    """Aggregate inputs may be scalar expressions — the q3/q5 revenue
+    shape SUM(price * (1 - disc)) — computed on each delta before the
+    keyed reduce, over both the single-table and join shapes."""
+    s = _mk(spark)
+    body1 = ("SELECT ckey, SUM(price * 2 + okey) AS w, "
+             "MIN(price - okey) AS lo FROM dc_ord GROUP BY ckey")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv9 WITH (MAINTENANCE "
+              f"'delta') AS {body1}")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 10, 50), "
+              "(3, 11, 75)")
+    assert _rows(s, "dcv9") == _recompute(s, body1)
+    s.execute("DELETE FROM dc_ord WHERE okey = 2")
+    assert _rows(s, "dcv9") == _recompute(s, body1)
+    s.execute("UPDATE dc_ord SET price = price + 7 WHERE okey = 3")
+    assert _rows(s, "dcv9") == _recompute(s, body1)
+    s.execute("DROP VIEW dcv9")
+    # join shape with expression agg + HAVING over the same expression
+    body2 = ("SELECT cname, SUM(price * (1 - okey)) AS rev "
+             "FROM dc_ord JOIN dc_cust ON ckey = cust_key "
+             "GROUP BY cname HAVING SUM(price * (1 - okey)) < -100")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute(f"CREATE MATERIALIZED VIEW dcv10 WITH (MAINTENANCE "
+              f"'delta') AS {body2}")
+    assert _rows(s, "dcv10") == _recompute(s, body2)
+    s.execute("INSERT INTO dc_ord VALUES (9, 11, 500)")
+    assert _rows(s, "dcv10") == _recompute(s, body2)
+    s.execute("DELETE FROM dc_ord WHERE okey = 9")
+    assert _rows(s, "dcv10") == _recompute(s, body2)
+    _drop(s, "dcv10")
