@@ -151,6 +151,7 @@ class CreateSinkKafka(Stmt):
     key: str | None = None
     fmt: str = "json"
     envelope: str = "none"
+    fmt_opts: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -930,15 +931,25 @@ class Parser:
                 if self.take_kw("KEY"):
                     key = self.paren_span().strip()
                 fmt = "json"
+                fmt_opts: dict = {}
                 envelope = "none"
                 if self.take_kw("FORMAT"):
                     fmt = self.ident().lower()
+                    if fmt == "avro":
+                        # FORMAT AVRO USING CONFLUENT SCHEMA REGISTRY
+                        # CONNECTION csr: the sink derives + registers
+                        # its value schema before producing (reference
+                        # sinks.rs + interchange/avro publisher)
+                        self.expect_kw("USING", "CONFLUENT", "SCHEMA",
+                                       "REGISTRY", "CONNECTION")
+                        fmt_opts["csr_connection"] = self.ident()
                 if self.take_kw("ENVELOPE"):
                     envelope = self.ident().lower()
                 self.expect_end()
                 return CreateSinkKafka(name, source, conn,
                                        topic or name, key=key, fmt=fmt,
-                                       envelope=envelope)
+                                       envelope=envelope,
+                                       fmt_opts=fmt_opts)
             self.expect_kw("FILE")
             path = self.string()
             fmt = "json"

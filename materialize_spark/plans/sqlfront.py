@@ -1217,25 +1217,90 @@ class MzSession:
             f"{conn['host']}:{conn.get('port', 9092)}"
         df = self.catalog.table(node.source)
         key = node.key or df.columns[0]
-        if node.fmt != "json":
-            raise ValueError(f"unsupported sink format {node.fmt!r}")
+        if node.fmt not in ("json", "avro"):
+            raise ValueError(f"unsupported sink format {node.fmt!r} "
+                             "(json | avro)")
         if node.envelope not in ("none", "upsert", "debezium"):
             raise ValueError(
                 f"unsupported sink ENVELOPE {node.envelope!r} "
                 "(none | upsert | debezium)")
+        spec = {"from": node.source, "path": f"kafka://{node.topic}",
+                "format": node.fmt, "envelope": node.envelope,
+                "rows": 0, "kafka": True, "bootstrap": bootstrap,
+                "topic": node.topic, "key": key}
+        if node.fmt == "avro":
+            # derive + register the value schema BEFORE producing
+            # (reference sinks publish CSR-registered Avro,
+            # src/interchange/src/avro); flat records only — the
+            # nested before/after debezium envelope needs record-typed
+            # fields the flat encoder rejects, so it errors loudly
+            if node.envelope == "debezium":
+                raise ValueError(
+                    "FORMAT AVRO sinks support ENVELOPE NONE|UPSERT "
+                    "(DEBEZIUM needs nested record encoding)")
+            from materialize_spark.sources.avro import (
+                spark_to_avro_schema,
+            )
+            from materialize_spark.sources.schema_registry import (
+                HttpSchemaRegistry,
+            )
+            csr_name = node.fmt_opts.get("csr_connection")
+            csr = self._connections.get(csr_name)
+            if csr is None or not csr.get("url"):
+                raise KeyError(
+                    f"unknown or URL-less CSR connection {csr_name!r}")
+            schema_json, stringified = spark_to_avro_schema(df.schema)
+            registry = HttpSchemaRegistry(str(csr["url"]))
+            sid = registry.register_subject(f"{node.topic}-value",
+                                            schema_json)
+            spec.update({"schema_json": schema_json, "schema_id": sid,
+                         "stringified": stringified})
         snap = df.localCheckpoint(eager=True)
-        n = 0
-        for frame in kafka_envelope_frames(snap, None, key,
-                                           node.envelope):
-            n += write_kafka_wire(frame, bootstrap, node.topic)
-        self._sinks[node.name] = {"from": node.source,
-                                  "path": f"kafka://{node.topic}",
-                                  "format": node.fmt,
-                                  "envelope": node.envelope,
-                                  "rows": n, "kafka": True,
-                                  "bootstrap": bootstrap,
-                                  "topic": node.topic, "key": key,
-                                  "last": snap}
+        for frame in self._kafka_sink_frames(spec, snap, None):
+            spec["rows"] += write_kafka_wire(frame, bootstrap,
+                                             node.topic)
+        spec["last"] = snap
+        self._sinks[node.name] = spec
+
+    def _kafka_sink_frames(self, spec: dict, adds, rets) -> list:
+        """Envelope- and format-framed (key, value) record frames for
+        one change batch, in produce order."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sinks.writers import (
+            kafka_envelope_frames,
+        )
+        if spec["format"] == "json":
+            return kafka_envelope_frames(adds, rets, spec["key"],
+                                         spec["envelope"])
+        # avro: encode data columns as Confluent-framed records
+        from materialize_spark.sources.avro import encode_avro_stream
+
+        def prep(df):
+            out = df
+            for c in spec["stringified"]:
+                out = out.withColumn(c, F.col(c).cast("string"))
+            return out.withColumn("__key",
+                                  F.col(spec["key"]).cast("string"))
+
+        frames = []
+        if rets is not None:
+            if spec["envelope"] == "none":
+                if not rets.isEmpty():
+                    raise ValueError(
+                        "ENVELOPE NONE Kafka sink cannot represent "
+                        "retractions; recreate the sink with ENVELOPE "
+                        "UPSERT")
+            else:  # upsert: vanished keys tombstone
+                gone = rets.join(adds.select(spec["key"]).distinct(),
+                                 on=spec["key"], how="left_anti")
+                frames.append(gone.select(
+                    F.col(spec["key"]).cast("string").alias("key"),
+                    F.lit(None).cast("binary").alias("value")))
+        frames.append(encode_avro_stream(
+            prep(adds), spec["schema_json"], spec["schema_id"],
+            key_col="__key"))
+        return frames
 
     def _emit_kafka_sinks_for(self, obj: str) -> None:
         """Continuous emission: after a commit changes ``obj``, every
@@ -1244,9 +1309,7 @@ class MzSession:
         maintained collection's exceptAll in both directions — the
         Spark analog of the reference reading its sink's input
         arrangement deltas."""
-        from materialize_spark.sinks.writers import (
-            kafka_envelope_frames, write_kafka_wire,
-        )
+        from materialize_spark.sinks.writers import write_kafka_wire
         for spec in self._sinks.values():
             if not spec.get("kafka") or spec["from"] != obj:
                 continue
@@ -1255,8 +1318,7 @@ class MzSession:
             rets = spec["last"].exceptAll(cur)
             if adds.isEmpty() and rets.isEmpty():
                 continue
-            for frame in kafka_envelope_frames(adds, rets, spec["key"],
-                                               spec["envelope"]):
+            for frame in self._kafka_sink_frames(spec, adds, rets):
                 spec["rows"] += write_kafka_wire(
                     frame, spec["bootstrap"], spec["topic"])
             spec["last"] = cur

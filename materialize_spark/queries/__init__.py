@@ -76,6 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
         "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
         "kafka_source_avro_csr", "sink_kafka_upsert_roundtrip",
+        "sink_kafka_avro_roundtrip",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
@@ -83,7 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
         "ivm_incremental_join", "dedup_incremental_lsh",
         "kafka_source_sql", "sqlfront_create_sink",
         "sqlfront_create_type", "sqlfront_http_api",
-        "sqlfront_pgwire_roundtrip", "sqlfront_pgwire_extended",
+        "sqlfront_pgwire_extended",
         "sqlfront_update_delete", "tpch_q5",
         # --- (c) oldest r5/r6 certifications, never re-checked ---
         "cdc_mysql_wire_apply", "cdc_sqlserver_wire_apply",
@@ -93,14 +94,15 @@ def load_all() -> dict[str, QuerySpec]:
         "dedup_embedding_cosine",
         "multimodal_decode_real", "multimodal_audio_real",
         "multimodal_video_real",
-        # (join_range_band and agg_grouping_sets yield their slots to
-        # the two extra round-9 entries — join_asof / agg_rollup keep
-        # those families covered, and both stay green in the local gate)
+        # (join_range_band, agg_grouping_sets, and
+        # sqlfront_pgwire_roundtrip yield their slots to the extra
+        # round-9 entries — join_asof / agg_rollup /
+        # sqlfront_pgwire_extended keep those families covered, and
+        # all stay green in the local gate)
         "join_asof",
         "scalar_uuid", "scalar_decimal38_margin",
         "tpch_q15", "agg_rollup", "agg_string_agg_ordered",
-        "range_operations",
-        "mv_consistency_frontier",
+        "range_operations", "mv_consistency_frontier",
         # text-analysis family sentinel (window invariant: the checked
         # prefix spans every pipeline family)
         "text_language_id",

@@ -742,3 +742,62 @@ def sink_kafka_upsert_roundtrip(spark, sf_dir):
     return s.sql(
         "SELECT CAST(key AS BIGINT) AS id, data ->> 'v' AS v "
         "FROM inv_back ORDER BY id")
+
+
+_AVRO_SINK_PEERS = None
+
+
+def _avro_sink_peers():
+    global _AVRO_SINK_PEERS
+    if _AVRO_SINK_PEERS is None:
+        from materialize_spark.sources.kafka_wire import MiniBroker
+        from materialize_spark.sources.schema_registry import (
+            MiniSchemaRegistryServer,
+        )
+        b = MiniBroker()
+        b.create_topic("stock_out", partitions=2)
+        _AVRO_SINK_PEERS = (b, MiniSchemaRegistryServer())
+    return _AVRO_SINK_PEERS
+
+
+@register(
+    "sink_kafka_avro_roundtrip",
+    """
+    -- oracle: closed form of the write script's net state — id 1
+    -- deleted, id 2 updated, id 3 inserted post-snapshot
+    SELECT * FROM (VALUES
+        (CAST(2 AS BIGINT), 'beta', CAST(20.5 AS DOUBLE)),
+        (CAST(3 AS BIGINT), 'gamma', CAST(0.25 AS DOUBLE))
+    ) AS t(id, name, qty) ORDER BY id
+    """,
+    "sink", "kafka", "avro", "schema-registry",
+)
+def sink_kafka_avro_roundtrip(spark, sf_dir):
+    """The production sink loop: an AVRO UPSERT sink derives its value
+    schema from the relation, registers it with the (real HTTP) schema
+    registry, and produces Confluent-framed records continuously; the
+    topic re-ingested through the engine's own CSR decoder over the
+    SAME registry reproduces the table (reference sinks.rs:137-140 +
+    src/interchange/src/avro + src/ccsr)."""
+    from materialize_spark.plans.sqlfront import MzSession
+
+    b, csr = _avro_sink_peers()
+    s = MzSession(spark, sf_dir)
+    s.execute(f"CREATE CONNECTION stk_kc TO KAFKA "
+              f"(BROKER '{b.host}:{b.port}')")
+    s.execute(f"CREATE CONNECTION stk_csr TO CONFLUENT SCHEMA "
+              f"REGISTRY (URL '{csr.url}')")
+    s.execute("CREATE TABLE stock (id BIGINT, name STRING, qty DOUBLE)")
+    s.execute("INSERT INTO stock VALUES (1, 'alpha', 10.0), "
+              "(2, 'bravo', 20.5)")
+    s.execute("CREATE SINK stock_sink FROM stock INTO KAFKA "
+              "CONNECTION stk_kc (TOPIC 'stock_out') KEY (id) "
+              "FORMAT AVRO USING CONFLUENT SCHEMA REGISTRY "
+              "CONNECTION stk_csr ENVELOPE UPSERT")
+    s.execute("UPDATE stock SET name = 'beta' WHERE id = 2")
+    s.execute("DELETE FROM stock WHERE id = 1")
+    s.execute("INSERT INTO stock VALUES (3, 'gamma', 0.25)")
+    s.execute("CREATE SOURCE stock_back FROM KAFKA CONNECTION stk_kc "
+              "(TOPIC 'stock_out') FORMAT AVRO USING CONFLUENT "
+              "SCHEMA REGISTRY CONNECTION stk_csr ENVELOPE UPSERT")
+    return s.sql("SELECT id, name, qty FROM stock_back ORDER BY id")

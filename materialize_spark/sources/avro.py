@@ -184,3 +184,61 @@ def decode_avro_stream(df: DataFrame, value_col: str, schema_json: str, *,
             yield pd.concat([rest, decoded], axis=1)
 
     return df.mapInPandas(decode, schema=full_schema)
+
+
+def spark_to_avro_schema(schema, name: str = "envelope") -> tuple[str, list]:
+    """Derive a flat Avro record schema from a Spark schema (the sink
+    direction — reference src/interchange/src/avro derives the sink's
+    value schema from the relation desc). Every field is a nullable
+    union; types outside the flat-primitive set (dates, timestamps,
+    decimals, nested) are emitted as strings — returned in the second
+    element so the caller casts them before encoding."""
+    type_map = {"bigint": "long", "int": "long", "smallint": "long",
+                "tinyint": "long", "string": "string",
+                "double": "double", "float": "float",
+                "boolean": "boolean", "binary": "bytes"}
+    fields, stringified = [], []
+    for f in schema.fields:
+        t = type_map.get(f.dataType.simpleString())
+        if t is None:
+            t = "string"
+            stringified.append(f.name)
+        fields.append({"name": f.name, "type": ["null", t]})
+    return (json.dumps({"type": "record", "name": name,
+                        "fields": fields}), stringified)
+
+
+def encode_avro_stream(df: DataFrame, schema_json: str, schema_id: int,
+                       *, key_col: str = "key") -> DataFrame:
+    """(key string, value binary) frame: each row's non-key columns
+    encoded as ONE Confluent-framed Avro record (magic 0x00 + BE32
+    schema id + binary record) — the sink-side mirror of
+    decode_confluent_stream, Arrow-batched, no driver collection."""
+    fields = _fields(json.loads(schema_json))
+    prefix = b"\x00" + struct.pack(">I", int(schema_id))
+    out_schema = StructType([StructField("key", StringType()),
+                             StructField("value", BinaryType())])
+
+    def _clean(v):
+        if v is None:
+            return None
+        try:
+            if pd.isna(v):  # pandas NaN/NaT stand-ins for NULL
+                return None
+        except (TypeError, ValueError):
+            pass  # arrays/bytes: isna is ambiguous, value is real
+        return v
+
+    def encode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            vals = [
+                prefix + b"".join(
+                    _encode_value(t, _clean(pdf[n].iloc[i]))
+                    for n, t in fields)
+                for i in range(len(pdf))
+            ]
+            keys = [None if k is None else str(k)
+                    for k in pdf[key_col]]
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return df.mapInPandas(encode, out_schema)

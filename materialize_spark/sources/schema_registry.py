@@ -309,3 +309,20 @@ class HttpSchemaRegistry(SchemaRegistry):
         if self._raw and self.subject is None:
             return max(self._raw)
         return self.latest()[0]
+
+    def register_subject(self, subject: str, schema: str,
+                         schema_type: str = "AVRO") -> int:
+        """POST a new subject version; returns the assigned global id
+        (the sink direction: the engine registers its derived value
+        schema before producing, like the reference's CSR publisher)."""
+        import urllib.request
+        body = json.dumps({"schema": schema,
+                           "schemaType": schema_type}).encode()
+        req = urllib.request.Request(
+            f"{self.url}/subjects/{subject}/versions", data=body,
+            headers={"Content-Type":
+                     "application/vnd.schemaregistry.v1+json"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            sid = int(json.loads(r.read())["id"])
+        self._raw[sid] = schema
+        return sid

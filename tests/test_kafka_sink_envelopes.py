@@ -130,3 +130,72 @@ def test_kafka_sink_over_materialized_view_refresh(spark):
         s.execute("DROP VIEW skm_mv")
         s.execute("DROP TABLE skm_t")
         s.execute("DROP CONNECTION skmc")
+
+
+def test_kafka_sink_avro_csr_roundtrip(spark):
+    """Table → AVRO(CSR) UPSERT sink → topic → AVRO(CSR) source: the
+    sink derives + registers its value schema and produces Confluent-
+    framed records; re-ingesting through the engine's own CSR decoder
+    over the SAME registry reproduces the table exactly — the
+    reference's production sink format loop (sinks.rs +
+    src/interchange/src/avro)."""
+    from materialize_spark.sources.schema_registry import (
+        MiniSchemaRegistryServer,
+    )
+    s = MzSession(spark, SF_DIR)
+    with MiniBroker() as broker, MiniSchemaRegistryServer() as csr:
+        broker.create_topic("out_av", partitions=2)
+        s.execute("CREATE TABLE ska_t (id BIGINT, v STRING, f DOUBLE, "
+                  "d DATE)")
+        s.execute("INSERT INTO ska_t VALUES (1, 'a', 1.5, "
+                  "DATE '2024-01-02'), (2, 'b', 2.5, DATE '2024-03-04')")
+        s.execute(f"CREATE CONNECTION skab TO KAFKA "
+                  f"(BROKER '{broker.host}:{broker.port}')")
+        s.execute(f"CREATE CONNECTION skac TO CONFLUENT SCHEMA "
+                  f"REGISTRY (URL '{csr.url}')")
+        s.execute("CREATE SINK ska FROM ska_t INTO KAFKA CONNECTION "
+                  "skab (TOPIC 'out_av') KEY (id) FORMAT AVRO USING "
+                  "CONFLUENT SCHEMA REGISTRY CONNECTION skac "
+                  "ENVELOPE UPSERT")
+        # continuous: update + delete after the snapshot
+        s.execute("UPDATE ska_t SET v = 'B' WHERE id = 2")
+        s.execute("DELETE FROM ska_t WHERE id = 1")
+        s.execute("INSERT INTO ska_t VALUES (3, 'c', 0.25, "
+                  "DATE '2024-05-06')")
+        s.execute("CREATE SOURCE ska_back FROM KAFKA CONNECTION skab "
+                  "(TOPIC 'out_av') FORMAT AVRO USING CONFLUENT "
+                  "SCHEMA REGISTRY CONNECTION skac ENVELOPE UPSERT")
+        back = sorted((int(r.key), r.id, r.v, r.f, r.d) for r in
+                      s.sql("SELECT key, id, v, f, d FROM ska_back")
+                      .collect())
+        want = sorted((r.id, r.id, r.v, r.f, str(r.d)) for r in
+                      s.sql("SELECT id, v, f, d FROM ska_t").collect())
+        assert back == want
+        assert [r[1:3] for r in back] == [(2, "B"), (3, "c")]
+        s.execute("DROP SOURCE ska_back")
+        s.execute("DROP SINK ska")
+        s.execute("DROP TABLE ska_t")
+        for c in ("skab", "skac"):
+            s.execute(f"DROP CONNECTION {c}")
+
+
+def test_kafka_sink_avro_debezium_rejected(spark):
+    from materialize_spark.sources.schema_registry import (
+        MiniSchemaRegistryServer,
+    )
+    s = MzSession(spark, SF_DIR)
+    with MiniBroker() as broker, MiniSchemaRegistryServer() as csr:
+        broker.create_topic("out_avd", partitions=1)
+        s.execute("CREATE TABLE skad_t (id BIGINT, v STRING)")
+        s.execute(f"CREATE CONNECTION skadb TO KAFKA "
+                  f"(BROKER '{broker.host}:{broker.port}')")
+        s.execute(f"CREATE CONNECTION skadc TO CONFLUENT SCHEMA "
+                  f"REGISTRY (URL '{csr.url}')")
+        with pytest.raises(ValueError, match="DEBEZIUM"):
+            s.execute("CREATE SINK skad FROM skad_t INTO KAFKA "
+                      "CONNECTION skadb (TOPIC 'out_avd') KEY (id) "
+                      "FORMAT AVRO USING CONFLUENT SCHEMA REGISTRY "
+                      "CONNECTION skadc ENVELOPE DEBEZIUM")
+        s.execute("DROP TABLE skad_t")
+        for c in ("skadb", "skadc"):
+            s.execute(f"DROP CONNECTION {c}")
