@@ -265,6 +265,14 @@ def scale_shuffle_partitions(spark: SparkSession, total_bytes: int) -> None:
 # embeddings share the dir), so AQE was on everywhere.
 AQE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(8 << 30)))
 
+# Crossover for the scan-optimal access path (LazyTables.scan): below,
+# the sharded in-memory arrangement reads faster (sf0.1 measured: q1
+# 135 ms cached vs 191 parquet); above, the vectorized parquet reader
+# wins (x10: q1 216 parquet vs 289 cached; lineitem decoded 13 MiB at
+# sf0.1, 580 MiB at x10 — 128 MiB sits between the measured points).
+SCAN_PARQUET_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_SCAN_PARQUET_BYTES", str(128 << 20)))
+
 
 def scale_adaptive_execution(spark: SparkSession, total_bytes: int) -> None:
     """Data-sized AQE policy: runtime re-planning off for tiny inputs, on at
@@ -325,7 +333,9 @@ class LazyTables(MutableMapping):
         self._keyed_shards = max(
             1, min(max(keyed_rows, default=0) // rows_per_shard, cores))
 
-    def _read(self, name: str) -> DataFrame:
+    def _read_parquet(self, name: str) -> DataFrame:
+        """Raw vectorized parquet read with the type normalizations every
+        access path needs (no caching/arrangement)."""
         path = os.path.join(self._sf_dir, f"{name}.parquet")
         df = self._spark.read.parquet(path)
         # Parquet TIMESTAMP(NANOS) columns surface differently per Spark
@@ -343,6 +353,11 @@ class LazyTables(MutableMapping):
                 # preserves the wall-clock value — same semantics DuckDB's
                 # naive timestamps give the oracle side.
                 df = df.withColumn(f.name, SQLF.col(f.name).cast("timestamp"))
+        return df
+
+    def _read(self, name: str) -> DataFrame:
+        path = os.path.join(self._sf_dir, f"{name}.parquet")
+        df = self._read_parquet(name)
         # Arrange in memory when under budget (lazy: first use materializes;
         # exact same rows, so correctness paths are unaffected). Shard the
         # arrangement across cores: parquet files at small SF come out as
@@ -451,6 +466,29 @@ class LazyTables(MutableMapping):
             df.createOrReplaceTempView(name)
             view_owner(self._spark)[name] = self._sf_dir
         self._loaded[name] = df
+        return df
+
+    def scan(self, name: str) -> DataFrame:
+        """Scan-optimal access path for no-join aggregate queries
+        (q1/q6 shapes): past SCAN_PARQUET_BYTES the raw VECTORIZED
+        parquet reader beats the columnar cache's decode (measured x10:
+        q1 216 vs 289 ms, q6 140 vs 165; the cache wins below — sf0.1
+        q1 135 vs 191). The keyed arrangement exists for join
+        co-location, which a pure scan-agg never uses, so it reads
+        whichever side of the crossover it is on. Registered as
+        ``{name}_scan``."""
+        view = f"{name}_scan"
+        if view in self._loaded:
+            return self._loaded[view]
+        path = os.path.join(self._sf_dir, f"{name}.parquet")
+        if _parquet_decoded_bytes(path) > SCAN_PARQUET_BYTES:
+            df = self._read_parquet(name)
+        else:
+            df = self[name]  # small: the cached arrangement is faster
+        if self._register:
+            df.createOrReplaceTempView(view)
+            view_owner(self._spark)[view] = self._sf_dir
+        self._loaded[view] = df
         return df
 
     def compact(self, name: str) -> DataFrame:

@@ -52,6 +52,10 @@ def sql_over(spark: SparkSession, sf_dir: str, tables: tuple[str, ...],
             base = n.split(":", 1)[0]
             n = f"{base}_compact"
             df = tabs.compact(base)
+        elif n.endswith(":scan"):  # scan-optimal path (no-join aggs)
+            base = n.split(":", 1)[0]
+            n = f"{base}_scan"
+            df = tabs.scan(base)
         elif ":" in n:  # "orders:o_custkey" → secondary arrangement view
             base, key = n.split(":", 1)
             n = f"{base}_by_{key}"
