@@ -175,10 +175,11 @@ _DELTA_AGG_ITEM_RE = re.compile(
 # streaming/ivm_join.IncrementalJoinView), composed with
 # RetractionAwareAgg when grouped
 _JOIN_KIND = r"(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
+_JOIN_COND = r"\w+\s*=\s*\w+(?:\s+AND\s+\w+\s*=\s*\w+)*"
 _DELTA_MV_JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+"
     r"FROM\s+(?P<t1>\w+)"
-    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
+    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+{_JOIN_COND})+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
     r"(?:\s+HAVING\s+(?P<having>.+?))?)?\s*;?\s*$",
@@ -186,7 +187,8 @@ _DELTA_MV_JOIN_RE = re.compile(
 
 _DELTA_MV_JOIN_SEG_RE = re.compile(
     rf"\s+(?P<kind>{_JOIN_KIND})JOIN\s+(?P<t>\w+)\s+ON\s+"
-    r"(?P<onl>\w+)\s*=\s*(?P<onr>\w+)", re.I)
+    rf"(?P<cond>{_JOIN_COND})", re.I)
+_JOIN_PAIR_RE = re.compile(r"(\w+)\s*=\s*(\w+)")
 
 # grouped TopK over a join chain — the join→TopK composition (the
 # reference assembles these per-operator plans in render.rs; TopK plan
@@ -198,7 +200,7 @@ _DELTA_MV_TOPK_JOIN_RE = re.compile(
     r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s+"
     r"ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?\s*\)\s+"
     r"AS\s+(?P<rn>\w+)\s+FROM\s+(?P<t1>\w+)"
-    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)+)"
+    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+{_JOIN_COND})+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s+(?:AS\s+)?\w+)?\s+"
     r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*;?\s*$",
     re.I | re.S)
@@ -692,16 +694,18 @@ class MzSession:
         return True
 
     def _parse_delta_join_chain(self, t1: str, joins_text: str):
-        """Parse a left-deep join chain ``t1 [kind] JOIN t2 ON a = b ...``
-        into (tables, norm_links, kinds, acc_cols) where each norm_link
-        is (acc-side key, right key) and kind ∈ inner|left|full; None
-        when the chain is out of the supported shape."""
+        """Parse a left-deep join chain ``t1 [kind] JOIN t2 ON a = b
+        [AND c = d ...] ...`` into (tables, norm_links, kinds,
+        acc_cols) where each norm_link is a LIST of (acc-side key,
+        right key) pairs and kind ∈ inner|left|full; None when the
+        chain is out of the supported shape."""
         tables = [t1]
-        links: list[tuple[str, str]] = []   # (acc-side key, right key)
+        links: list[list[tuple[str, str]]] = []
         kinds: list[str] = []
         for seg in _DELTA_MV_JOIN_SEG_RE.finditer(joins_text):
             tables.append(seg.group("t"))
-            links.append((seg.group("onl"), seg.group("onr")))
+            links.append([(a, b) for a, b
+                          in _JOIN_PAIR_RE.findall(seg.group("cond"))])
             k = (seg.group("kind") or "").strip().lower().split()
             kinds.append(k[0] if k else "inner")
         if len(set(tables)) != len(tables):
@@ -710,23 +714,29 @@ class MzSession:
             if t not in self.catalog._tables:
                 raise KeyError(f"unknown table {t!r}")
         acc_cols = set(self.catalog._tables[tables[0]].columns)
-        norm_links: list[tuple[str, str]] = []
-        for i, (onl, onr) in enumerate(links):
+        norm_links: list[list[tuple[str, str]]] = []
+        for i, pairs in enumerate(links):
             rc = set(self.catalog._tables[tables[i + 1]].columns)
-            if onl in rc and onr in acc_cols:  # written right = left
-                onl, onr = onr, onl
-            if onl not in acc_cols or onr not in rc:
-                return None
-            if acc_cols & (rc - {onr}):
+            norm_pairs: list[tuple[str, str]] = []
+            for onl, onr in pairs:
+                if onl in rc and onr in acc_cols:  # written right=left
+                    onl, onr = onr, onl
+                if onl not in acc_cols or onr not in rc:
+                    return None
+                norm_pairs.append((onl, onr))
+            onrs = {onr for _l, onr in norm_pairs}
+            if acc_cols & (rc - onrs):
                 return None  # non-key column collision: out of scope
-            norm_links.append((onl, onr))
-            acc_cols |= rc - {onr}
-            if kinds[i] != "inner" and onr != onl:
+            norm_links.append(norm_pairs)
+            acc_cols |= rc - onrs
+            if kinds[i] != "inner":
                 # outer ON semantics keep BOTH key columns (the right
                 # key is NULL on unmatched-left rows, and vice versa)
-                if onr in acc_cols:
-                    return None
-                acc_cols.add(onr)
+                for onl, onr in norm_pairs:
+                    if onr != onl:
+                        if onr in acc_cols:
+                            return None
+                        acc_cols.add(onr)
         return tables, norm_links, kinds, acc_cols
 
     def _build_delta_join_chain(self, tables: list[str],
@@ -747,28 +757,32 @@ class MzSession:
                 types.setdefault(f.name, f.dataType.simpleString())
         chain = []
         acc = list(self.catalog._tables[tables[0]].columns)
-        for i, (onl, onr) in enumerate(norm_links):
+        for i, pairs in enumerate(norm_links):
             right = self.catalog._tables[tables[i + 1]]
             kind = kinds[i]
-            # outer ON semantics: when the key names differ, the right
-            # key survives as a payload column (NULL on unmatched-left
-            # rows); the joining copy onl is padded NULL on
-            # unmatched-right rows
-            keep_onr = kind != "inner" and onr != onl
+            on = [onl for onl, _r in pairs]
+            onrs = {onr for _l, onr in pairs}
+            # outer ON semantics: when a key pair's names differ, the
+            # right key survives as a payload column (NULL on
+            # unmatched-left rows); its joining copy onl is padded NULL
+            # on unmatched-right rows
+            kept = ({onr for onl, onr in pairs if onr != onl}
+                    if kind != "inner" else set())
             rcols = [c for c in right.columns
-                     if c != onr or keep_onr]
+                     if c not in onrs or c in kept]
             if kind == "inner":
-                chain.append(IncrementalJoinView(on=[onl]))
+                chain.append(IncrementalJoinView(on=on))
             else:
                 # same-name keys (USING-style) coalesce: the key column
                 # keeps the right side's value on unmatched-right rows
                 # and is never padded; distinct names NULL the left key
+                same = {onl for onl, onr in pairs if onr == onl}
                 chain.append(IncrementalOuterJoinView(
-                    on=[onl],
+                    on=on,
                     pad_right=[(c, types[c]) for c in rcols],
                     how=kind,
                     pad_left=[(c, types[c]) for c in acc
-                              if keep_onr or c != onl]))
+                              if c not in same]))
             acc += rcols
         return chain
 
@@ -907,20 +921,22 @@ class MzSession:
 
     @staticmethod
     def _align_join_delta(spec: dict, i: int, delta):
-        """Align a right-side delta to link i's join column: inner (or
-        same-name) links rename the right key to the accumulated side's
-        name; outer ON links with distinct names COPY it instead — the
-        original right key survives as a payload column (NULL-padded on
-        unmatched-left rows, ON semantics)."""
+        """Align a right-side delta to link i's join columns: inner (or
+        same-name) key pairs rename the right key to the accumulated
+        side's name; outer ON pairs with distinct names COPY it instead
+        — the original right key survives as a payload column
+        (NULL-padded on unmatched-left rows, ON semantics)."""
         from pyspark.sql import functions as F
 
-        onl, onr = spec["links"][i]
-        if onr == onl:
-            return delta
         kinds = spec.get("kinds") or ["inner"] * len(spec["links"])
-        if kinds[i] == "inner":
-            return delta.withColumnRenamed(onr, onl)
-        return delta.withColumn(onl, F.col(onr))
+        for onl, onr in spec["links"][i]:
+            if onr == onl:
+                continue
+            if kinds[i] == "inner":
+                delta = delta.withColumnRenamed(onr, onl)
+            else:
+                delta = delta.withColumn(onl, F.col(onr))
+        return delta
 
     def _feed_delta_mv_join(self, name: str, table: str,
                             delta) -> None:

@@ -255,3 +255,41 @@ def test_delta_mv_expression_aggregates(spark):
     s.execute("DELETE FROM dc_ord WHERE okey = 9")
     assert _rows(s, "dcv10") == _recompute(s, body2)
     _drop(s, "dcv10")
+
+
+def test_delta_mv_multi_key_join(spark):
+    """Composite equi-join keys (ON a = b AND c = d — the q5
+    customer⋈supplier nation-match shape) maintained bilinearly."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE mk_ord (okey BIGINT, ckey BIGINT, "
+              "nat BIGINT, price BIGINT)")
+    s.execute("CREATE TABLE mk_cust (cust_key BIGINT, cust_nat BIGINT, "
+              "cname STRING)")
+    body = ("SELECT cname, SUM(price) AS rev FROM mk_ord "
+            "JOIN mk_cust ON ckey = cust_key AND nat = cust_nat "
+            "GROUP BY cname")
+    s.execute("INSERT INTO mk_cust VALUES (1, 7, 'alice'), "
+              "(1, 8, 'alice_dup'), (2, 7, 'bob')")
+    s.execute(f"CREATE MATERIALIZED VIEW mk_mv WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    # (1,7) matches alice only — NOT alice_dup (nat differs)
+    s.execute("INSERT INTO mk_ord VALUES (100, 1, 7, 50), "
+              "(101, 2, 7, 30), (102, 1, 8, 20)")
+    assert _rows(s, "mk_mv") == _recompute(s, body)
+    s.execute("DELETE FROM mk_cust WHERE cname = 'bob'")
+    assert _rows(s, "mk_mv") == _recompute(s, body)
+    s.execute("UPDATE mk_ord SET price = price + 5 WHERE okey = 102")
+    assert _rows(s, "mk_mv") == _recompute(s, body)
+    s.execute("DROP VIEW mk_mv")
+    # LEFT variant with composite keys: unmatched rows keep NULL name
+    body2 = ("SELECT okey, cname FROM mk_ord LEFT JOIN mk_cust "
+             "ON ckey = cust_key AND nat = cust_nat")
+    s.execute(f"CREATE MATERIALIZED VIEW mk_mv2 WITH (MAINTENANCE "
+              f"'delta') AS {body2}")
+    assert _rows(s, "mk_mv2") == _recompute(s, body2)
+    s.execute("INSERT INTO mk_cust VALUES (2, 7, 'bob2')")
+    assert _rows(s, "mk_mv2") == _recompute(s, body2)
+    s.execute("DROP VIEW mk_mv2")
+    for t in ("mk_cust", "mk_ord"):
+        s.execute(f"DROP TABLE {t}")
