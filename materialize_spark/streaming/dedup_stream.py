@@ -24,7 +24,9 @@ from materialize_spark.pipeline.dedup import normalize_text
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    # alias first: fresh attribute ids per part (see ivm_join._ckpt)
+    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
+    return fresh.localCheckpoint(eager=True)
 
 
 @dataclass

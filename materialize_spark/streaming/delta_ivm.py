@@ -45,8 +45,11 @@ from materialize_spark.operators.setops import DIFF_COL
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    """Break lineage so per-batch plans stay O(parts), not O(history)."""
-    return df.localCheckpoint(eager=True)
+    """Break lineage so per-batch plans stay O(parts), not O(history).
+    Alias first: fresh attribute ids per part (see ivm_join._ckpt —
+    shared exprIds across checkpointed parts break many-way unions)."""
+    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
+    return fresh.localCheckpoint(eager=True)
 
 
 def _concat(parts: list[DataFrame]) -> DataFrame:

@@ -34,15 +34,24 @@ from pyspark.sql import functions as F
 from materialize_spark.operators.setops import DIFF_COL
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Checkpoint with FRESH attribute ids: localCheckpoint keeps the
+    source plan's exprIds, so parts derived from the same state frames
+    all expose identical ids — a later many-way self-union of such
+    parts trips Catalyst's relation dedup with 'key not found: <attr>'.
+    The alias projection mints new ids per part."""
+    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
+    return fresh.localCheckpoint(eager=True)
+
+
 def _consolidate(hist: DataFrame | None, delta: DataFrame | None) -> DataFrame | None:
     if delta is None:
         return hist
     both = delta if hist is None else hist.unionByName(delta)
     cols = [c for c in both.columns if c != DIFF_COL]
-    return (
+    return _ckpt(
         both.groupBy(*cols).agg(F.sum(DIFF_COL).alias(DIFF_COL))
         .filter(F.col(DIFF_COL) != 0)
-        .localCheckpoint(eager=True)
     )
 
 
@@ -107,7 +116,7 @@ class IncrementalJoinView:
         for parts, delta in ((self._left, left_delta),
                              (self._right, right_delta)):
             if delta is not None:
-                parts.append(delta.localCheckpoint(eager=True))
+                parts.append(_ckpt(delta))
             if len(parts) >= self.compact_every:  # amortized fold
                 folded = _consolidate(None, _concat(parts))
                 parts.clear()
@@ -118,7 +127,7 @@ class IncrementalJoinView:
         out = terms[0]
         for t in terms[1:]:
             out = out.unionByName(t)
-        out = out.localCheckpoint(eager=True)
+        out = _ckpt(out)
         # append the output delta part — result() consolidates lazily,
         # so the per-batch write stays O(delta)
         self._result.append(out)
@@ -285,7 +294,7 @@ class IncrementalOuterJoinView:
         for parts, delta in ((self._left, left_delta),
                              (self._right, right_delta)):
             if delta is not None:
-                parts.append(delta.localCheckpoint(eager=True))
+                parts.append(_ckpt(delta))
             if len(parts) >= self.compact_every:
                 folded = _consolidate(None, _concat(parts))
                 parts.clear()
@@ -296,7 +305,7 @@ class IncrementalOuterJoinView:
         out = terms[0]
         for t in terms[1:]:
             out = out.unionByName(t)
-        out = out.localCheckpoint(eager=True)
+        out = _ckpt(out)
         self._result.append(out)
         if len(self._result) >= self.compact_every:
             folded = _consolidate(None, _concat(self._result))

@@ -59,8 +59,16 @@ def _consolidate(support: DataFrame, keys: list[str], val: str) -> DataFrame:
 
 def _ckpt(df: DataFrame) -> DataFrame:
     """Break lineage each batch — without this the plan grows per batch and
-    the job eventually spends its time in Catalyst, not execution."""
-    return df.localCheckpoint(eager=True)
+    the job eventually spends its time in Catalyst, not execution.
+
+    The alias projection first is load-bearing: localCheckpoint keeps
+    the source plan's attribute exprIds, so parts built from the same
+    state frames all expose IDENTICAL ids — a later many-way self-union
+    of such parts trips Catalyst's relation dedup with
+    'key not found: <attr>'. Alias(col) mints fresh exprIds, so every
+    checkpointed part is id-disjoint."""
+    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
+    return fresh.localCheckpoint(eager=True)
 
 
 def _ns_cond(keys: list[str]):

@@ -293,3 +293,75 @@ def test_delta_mv_multi_key_join(spark):
     s.execute("DROP VIEW mk_mv2")
     for t in ("mk_cust", "mk_ord"):
         s.execute(f"DROP TABLE {t}")
+
+
+def test_delta_mv_composition_random_soak(spark):
+    """20-step random walk of INSERT/DELETE/UPDATE over both inputs of
+    an outer-join→agg MV and a join→TopK MV simultaneously; every step
+    the maintained results must equal a full recompute — the property
+    the reference guarantees for any maintained dataflow."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(42)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE sk_ord (okey BIGINT, ckey BIGINT, "
+              "price BIGINT)")
+    s.execute("CREATE TABLE sk_cust (cust_key BIGINT, cname STRING)")
+    agg_body = ("SELECT cname, SUM(price) AS rev, COUNT(*) AS n "
+                "FROM sk_ord LEFT JOIN sk_cust ON ckey = cust_key "
+                "GROUP BY cname")
+    tk_body = ("SELECT cname, okey, price FROM (SELECT cname, okey, "
+               "price, ROW_NUMBER() OVER (PARTITION BY cname ORDER BY "
+               "price DESC) AS rn FROM sk_ord JOIN sk_cust ON "
+               "ckey = cust_key) t WHERE rn <= 2")
+    s.execute(f"CREATE MATERIALIZED VIEW sk_agg WITH (MAINTENANCE "
+              f"'delta') AS {agg_body}")
+    s.execute(f"CREATE MATERIALIZED VIEW sk_tk WITH (MAINTENANCE "
+              f"'delta') AS {tk_body}")
+    next_ok = [1]
+    live_ords: list[tuple[int, int, int]] = []
+    live_custs: dict[int, str] = {}
+
+    def step():
+        r = rng.random()
+        if r < 0.45 or not live_ords:
+            ok, ck = next_ok[0], rng.randrange(1, 5)
+            price = rng.randrange(1, 40) * 10 + ok % 7  # distinct-ish
+            next_ok[0] += 1
+            live_ords.append((ok, ck, price))
+            s.execute(f"INSERT INTO sk_ord VALUES ({ok}, {ck}, "
+                      f"{price})")
+        elif r < 0.65:
+            ok, ck, price = live_ords.pop(
+                rng.randrange(len(live_ords)))
+            s.execute(f"DELETE FROM sk_ord WHERE okey = {ok}")
+        elif r < 0.85 or not live_custs:
+            ck = rng.randrange(1, 5)
+            if ck not in live_custs:
+                live_custs[ck] = f"c{ck}"
+                s.execute(f"INSERT INTO sk_cust VALUES ({ck}, "
+                          f"'c{ck}')")
+            else:  # update an order instead
+                if live_ords:
+                    ok, ck2, price = live_ords[
+                        rng.randrange(len(live_ords))]
+                    s.execute(f"UPDATE sk_ord SET price = price + 3 "
+                              f"WHERE okey = {ok}")
+                    live_ords[[o[0] for o in live_ords].index(ok)] = (
+                        ok, ck2, price + 3)
+        else:
+            ck = rng.choice(list(live_custs))
+            del live_custs[ck]
+            s.execute(f"DELETE FROM sk_cust WHERE cust_key = {ck}")
+
+    for i in range(20):
+        step()
+        assert _rows(s, "sk_agg") == _recompute(s, agg_body), \
+            f"agg diverged at step {i}"
+        assert _rows(s, "sk_tk") == _recompute(s, tk_body), \
+            f"topk diverged at step {i}"
+    for v in ("sk_agg", "sk_tk"):
+        s.execute(f"DROP VIEW {v}")
+    for t in ("sk_cust", "sk_ord"):
+        s.execute(f"DROP TABLE {t}")
