@@ -191,6 +191,10 @@ class CreateSourceKafka(Stmt):
     fmt: str = "json"
     envelope: str = "none"
     fmt_opts: dict = field(default_factory=dict)
+    # INCLUDE KEY|PARTITION|OFFSET|TIMESTAMP [AS name] metadata columns
+    # (reference sources.rs KafkaMetadataKind); None → legacy default of
+    # including all four under their standard names
+    include: tuple | None = None
 
 
 @dataclass
@@ -1000,12 +1004,33 @@ class Parser:
                         # FORMAT REGEX 'pattern' (named groups become
                         # columns; unnamed become column1..N)
                         fmt_opts["regex"] = self.string()
+                include = None
+                if self.take_kw("INCLUDE"):
+                    # INCLUDE KEY|PARTITION|OFFSET|TIMESTAMP [AS name]
+                    # [, ...] (reference KafkaMetadataKind, sources.rs)
+                    include = []
+                    while True:
+                        kind = self.ident().lower()
+                        if kind not in ("key", "partition", "offset",
+                                        "timestamp"):
+                            raise ParseError(
+                                "INCLUDE supports KEY | PARTITION | "
+                                "OFFSET | TIMESTAMP", self.peek())
+                        alias = (self.ident() if self.take_kw("AS")
+                                 else kind)
+                        include.append((kind, alias))
+                        if self.peek().kind == "COMMA":
+                            self.next()
+                            continue
+                        break
+                    include = tuple(include)
                 if self.take_kw("ENVELOPE"):
                     envelope = self.ident().lower()
                 self.expect_end()
                 return CreateSourceKafka(name, conn, topic, fmt=fmt,
                                          envelope=envelope,
-                                         fmt_opts=fmt_opts)
+                                         fmt_opts=fmt_opts,
+                                         include=include)
             if self.take_kw("FILE"):
                 path = self.string()
                 fmt = "parquet"

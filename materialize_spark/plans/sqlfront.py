@@ -1558,6 +1558,27 @@ class MzSession:
         elif node.envelope != "none":
             raise ValueError(f"unsupported ENVELOPE {node.envelope!r} "
                              "(none | upsert | debezium)")
+        if node.include is not None:
+            # INCLUDE projection (reference KafkaMetadataKind): only the
+            # requested metadata columns survive, under their aliases;
+            # data columns always do. Requesting metadata the envelope
+            # consumed (e.g. OFFSET after UPSERT collapsed it) errors.
+            meta = dict(node.include)
+            missing = [k for k in meta if k not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"INCLUDE {', '.join(missing).upper()} not "
+                    f"available under ENVELOPE {node.envelope.upper()}")
+            sel = []
+            if "key" in meta:
+                sel.append(F.col("key").alias(meta["key"]))
+            sel += [F.col(c) for c in df.columns
+                    if c not in ("key", "partition", "offset",
+                                 "timestamp")]
+            sel += [F.col(k).alias(meta[k])
+                    for k in ("partition", "offset", "timestamp")
+                    if k in meta]
+            df = df.select(*sel)
         self.catalog.register_table(
             node.name, df.localCheckpoint(eager=True))
         self._source_tables.add(node.name)

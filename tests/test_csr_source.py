@@ -185,3 +185,34 @@ def test_avro_csr_unknown_connection_errors(spark):
                       "(TOPIC 'nope') FORMAT AVRO USING CONFLUENT "
                       "SCHEMA REGISTRY CONNECTION ghost")
         s.execute("DROP CONNECTION kc4")
+
+
+def test_include_metadata_projection(spark):
+    """INCLUDE KEY|PARTITION|OFFSET|TIMESTAMP [AS alias] controls which
+    metadata columns the source exposes (reference KafkaMetadataKind);
+    without INCLUDE the legacy full set remains."""
+    s = MzSession(spark, SF_DIR)
+    with MiniBroker() as broker:
+        broker.create_topic("inc", partitions=1)
+        with KafkaWireClient(broker.host, broker.port) as c:
+            c.produce("inc", 0, [(b"k1", b'{"v": 1}', 1000),
+                                 (b"k2", b'{"v": 2}', 1001)])
+        s.execute(f"CREATE CONNECTION ikc TO KAFKA "
+                  f"(BROKER '{broker.host}:{broker.port}')")
+        s.execute("CREATE SOURCE inc1 FROM KAFKA CONNECTION ikc "
+                  "(TOPIC 'inc') FORMAT JSON "
+                  "INCLUDE KEY AS msg_key, OFFSET")
+        cols = s.sql("SELECT * FROM inc1").columns
+        assert cols == ["msg_key", "data", "offset"]
+        got = sorted((r.msg_key, r.offset) for r in
+                     s.sql("SELECT msg_key, offset FROM inc1")
+                     .collect())
+        assert got == [("k1", 0), ("k2", 1)]
+        # upsert consumed partition/offset: requesting them errors
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="INCLUDE"):
+            s.execute("CREATE SOURCE inc2 FROM KAFKA CONNECTION ikc "
+                      "(TOPIC 'inc') FORMAT JSON INCLUDE OFFSET "
+                      "ENVELOPE UPSERT")
+        s.execute("DROP SOURCE inc1")
+        s.execute("DROP CONNECTION ikc")
