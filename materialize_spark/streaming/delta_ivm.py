@@ -82,8 +82,23 @@ class ThresholdSemijoinMV:
     enrich: Callable[[DataFrame], DataFrame]
     sum_col: str = "__sum"
     compact_every: int = 16
-    _parts: list[DataFrame] = field(default_factory=list, init=False)
+    # past this many folded rows, state spills to hash-prefix-
+    # partitioned parquet and probes prune to touched-key prefixes
+    # (streaming/state_spill.py — the 100 TB growth path)
+    spill_rows: int | None = None
+    spill_dir: str | None = None
+    _state: object = field(default=None, init=False)
     _result: DataFrame | None = field(default=None, init=False)
+
+    def _ensure_state(self):
+        if self._state is None:
+            from materialize_spark.streaming.state_spill import (
+                SpilledPartsState,
+            )
+            self._state = SpilledPartsState(
+                self.spark, key_cols=self.keys, name="q18sum",
+                spill_rows=self.spill_rows, spill_dir=self.spill_dir)
+        return self._state
 
     def _partial(self, delta: DataFrame) -> DataFrame:
         d = F.col(DIFF_COL)
@@ -93,7 +108,7 @@ class ThresholdSemijoinMV:
             F.sum(d).alias("__net"))
 
     def _sums(self) -> DataFrame:
-        return (_concat(self._parts)
+        return (self._ensure_state().full_frame()
                 .groupBy(*self.keys)
                 .agg(F.sum(self.sum_col).alias(self.sum_col),
                      F.sum("__net").alias("__net")))
@@ -101,13 +116,16 @@ class ThresholdSemijoinMV:
     def on_batch(self, delta: DataFrame) -> DataFrame:
         """Fold one explicit-diff update frame (fact rows + ``diff``);
         return the maintained view."""
+        state = self._ensure_state()
         partial = _ckpt(self._partial(delta))          # O(batch) write
-        touched = F.broadcast(partial.select(*self.keys))
-        self._parts.append(partial)
+        touched_keys = partial.select(*self.keys)
+        touched = F.broadcast(touched_keys)
+        state.append(partial)
 
         # probe: new totals for the touched keys only — broadcast semi
-        # over the parts, shuffle on the (tiny) touched keys afterwards
-        merged = (_concat(self._parts)
+        # over the parts (+ the spilled tier pruned to the touched
+        # keys' prefixes), shuffle on the tiny touched keys afterwards
+        merged = (state.probe_frame(touched_keys)
                   .join(touched, on=self.keys, how="left_semi")
                   .groupBy(*self.keys)
                   .agg(F.sum(self.sum_col).alias(self.sum_col),
@@ -124,9 +142,9 @@ class ThresholdSemijoinMV:
                                      how="left_anti")
             self._result = _ckpt(kept.unionByName(new_rows))
 
-        if len(self._parts) >= self.compact_every:     # amortized fold
-            self._parts = [_ckpt(self._sums()
-                                 .filter(F.col("__net") != 0))]
+        if state.n_parts() >= self.compact_every:      # amortized fold
+            state.replace(_ckpt(self._sums()
+                                .filter(F.col("__net") != 0)))
         return self._result
 
     def result(self) -> DataFrame:
@@ -164,8 +182,20 @@ class ExclusiveAntiJoinMV:
     group_key: str
     member_key: str
     compact_every: int = 16
-    _parts: list[DataFrame] = field(default_factory=list, init=False)
+    spill_rows: int | None = None
+    spill_dir: str | None = None
+    _state: object = field(default=None, init=False)
     _wait: DataFrame | None = field(default=None, init=False)
+
+    def _ensure_state(self):
+        if self._state is None:
+            from materialize_spark.streaming.state_spill import (
+                SpilledPartsState,
+            )
+            self._state = SpilledPartsState(
+                self.spark, key_cols=[self.group_key], name="q21supp",
+                spill_rows=self.spill_rows, spill_dir=self.spill_dir)
+        return self._state
 
     def _batch_supp(self, all_delta: DataFrame | None,
                     flag_delta: DataFrame | None) -> DataFrame:
@@ -185,22 +215,25 @@ class ExclusiveAntiJoinMV:
 
     def _consolidated(self) -> DataFrame:
         g, m = self.group_key, self.member_key
-        return (_concat(self._parts).groupBy(g, m)
+        return (self._ensure_state().full_frame().groupBy(g, m)
                 .agg(F.sum("n_all").alias("n_all"),
                      F.sum("n_flag").alias("n_flag")))
 
     def on_batch(self, all_delta: DataFrame | None = None,
                  flag_delta: DataFrame | None = None) -> DataFrame:
         g, m = self.group_key, self.member_key
+        state = self._ensure_state()
         batch = _ckpt(self._batch_supp(all_delta, flag_delta))
-        touched = F.broadcast(batch.select(g).distinct())
-        self._parts.append(batch)
+        touched_keys = batch.select(g).distinct()
+        touched = F.broadcast(touched_keys)
+        state.append(batch)
 
-        # the touched groups' full new support (probe, shuffle-free scan),
-        # materialized so the state scan runs exactly once per batch and
-        # the downstream window/anti-join work on the tiny probe output
+        # the touched groups' full new support (probe, shuffle-free
+        # scan + prefix-pruned spilled tier), materialized so the state
+        # scan runs exactly once per batch and the downstream
+        # window/anti-join work on the tiny probe output
         merged = _ckpt(
-            _concat(self._parts)
+            state.probe_frame(touched_keys)
             .join(touched, on=[g], how="left_semi")
             .groupBy(g, m)
             .agg(F.sum("n_all").alias("n_all"),
@@ -225,10 +258,10 @@ class ExclusiveAntiJoinMV:
             kept = self._wait.join(touched, on=[g], how="left_anti")
             self._wait = _ckpt(kept.unionByName(wait_t))
 
-        if len(self._parts) >= self.compact_every:     # amortized fold
-            self._parts = [_ckpt(self._consolidated()
-                                 .filter((F.col("n_all") != 0)
-                                         | (F.col("n_flag") != 0)))]
+        if state.n_parts() >= self.compact_every:      # amortized fold
+            state.replace(_ckpt(self._consolidated()
+                                .filter((F.col("n_all") != 0)
+                                        | (F.col("n_flag") != 0))))
         return self._wait
 
     def result(self) -> DataFrame:

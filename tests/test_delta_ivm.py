@@ -218,7 +218,7 @@ def test_threshold_compaction_preserves_state(spark):
                 .filter((F.col("n") > 0) & (F.col("total") > 10))
                 .select("k", "total"))
         assert _rows(got, ["k", "total"]) == _rows(want, ["k", "total"])
-    assert len(mv._parts) <= 2  # folded, not accumulated
+    assert mv._state.n_parts() <= 2  # folded, not accumulated
 
 
 def test_antijoin_compaction_preserves_state(spark):
@@ -236,7 +236,7 @@ def test_antijoin_compaction_preserves_state(spark):
         want = _anti_oracle(spark, all_hist, flag_hist)
         assert _rows(got, ["g", "m", "n_flag"]) == \
             _rows(want, ["g", "m", "n_flag"])
-    assert len(mv._parts) <= 2
+    assert mv._state.n_parts() <= 2
 
 
 def test_probe_plan_never_shuffles_state(spark):
@@ -252,9 +252,29 @@ def test_probe_plan_never_shuffles_state(spark):
     batch = spark.createDataFrame([(1, 5, 1)], FACT_SCHEMA)
     partial = _ckpt(mv._partial(batch))
     touched = F.broadcast(partial.select("k"))
-    probe = (_concat(mv._parts + [partial])
+    probe = (_concat(mv._state._parts + [partial])
              .join(touched, on=["k"], how="left_semi"))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_threshold_mv_spilled_state_still_exact(spark, tmp_path):
+    """q18-shape state forced past the spill budget: the folded sums
+    move to the hash-prefix-partitioned tier and threshold flips keep
+    working against pre-spill keys (streaming/state_spill.py)."""
+    mv = _mk_threshold_mv(spark)
+    mv.compact_every = 2
+    mv.spill_rows = 1
+    mv.spill_dir = str(tmp_path)
+    mv.on_batch(spark.createDataFrame(
+        [(1, 6, 1), (1, 6, 1), (2, 4, 1)], FACT_SCHEMA))
+    mv.on_batch(spark.createDataFrame([(3, 2, 1)], FACT_SCHEMA))
+    assert mv._state._disk is not None, "sums should have spilled"
+    # retraction against a SPILLED key must still flip it below
+    out = mv.on_batch(spark.createDataFrame([(1, 6, -1)], FACT_SCHEMA))
+    assert _rows(out, ["k", "total", "dim"]) == []
+    # and back up, folding disk + memory on the next compaction
+    out = mv.on_batch(spark.createDataFrame([(1, 9, 1)], FACT_SCHEMA))
+    assert _rows(out, ["k", "total", "dim"]) == [(1, 15, 100)]
