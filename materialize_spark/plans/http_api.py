@@ -60,6 +60,64 @@ def _cell(v):
     return r.decode() if r is not None else None
 
 
+# -- RFC 6455 WebSocket primitives (the /api/experimental/sql surface;
+# reference environmentd src/environmentd/src/http/sql.rs WS handler) --
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(key: str) -> str:
+    import hashlib
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+def _ws_send(sock, payload: str, opcode: int = 1) -> None:
+    import struct
+    data = payload.encode()
+    hdr = bytes([0x80 | opcode])
+    n = len(data)
+    if n < 126:
+        hdr += bytes([n])
+    elif n < 65536:
+        hdr += bytes([126]) + struct.pack(">H", n)
+    else:
+        hdr += bytes([127]) + struct.pack(">Q", n)
+    sock.sendall(hdr + data)
+
+
+def _ws_recv(sock):
+    """One frame → (opcode, payload) or None on EOF; client frames are
+    masked per the spec. Raises TimeoutError under a socket timeout."""
+    import struct
+
+    def exact(n):
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    head = exact(2)
+    if head is None:
+        return None
+    opcode = head[0] & 0x0F
+    masked = head[1] & 0x80
+    n = head[1] & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", exact(2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", exact(8))
+    mask = exact(4) if masked else b"\x00" * 4
+    data = exact(n) if n else b""
+    if data is None:
+        return None
+    if masked:
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    return opcode, data
+
+
 class MzHttpServer:
     """Threaded HTTP SQL endpoint over one MzSession."""
 
@@ -105,6 +163,36 @@ class MzHttpServer:
                     _verify_password(outer._dummy_verifier, pw)
                     return False
                 return _verify_password(ver, pw)
+
+            def do_GET(self):
+                # /api/experimental/sql: the WebSocket SQL surface
+                # (reference environmentd src/environmentd/src/http —
+                # the interface that streams SUBSCRIBE over HTTP)
+                if self.path != "/api/experimental/sql":
+                    self._reply(404, {"error": "unknown endpoint"})
+                    return
+                key = self.headers.get("Sec-WebSocket-Key")
+                if self.headers.get("Upgrade", "").lower() != "websocket" \
+                        or not key:
+                    self._reply(400, {"error": "expected websocket "
+                                               "upgrade"})
+                    return
+                try:
+                    session.check_network(self.client_address[0])
+                except PermissionError as ex:
+                    self._reply(403, {"error": str(ex)})
+                    return
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept",
+                                 _ws_accept_key(key))
+                self.end_headers()
+                self.close_connection = True
+                try:
+                    outer._serve_ws(self.connection)
+                except (ConnectionError, OSError):
+                    pass
 
             def do_POST(self):
                 if self.path != "/api/sql":
@@ -153,6 +241,130 @@ class MzHttpServer:
 
     def __exit__(self, *exc):
         self.close()
+
+    # -- WebSocket serve loop -------------------------------------------------
+    def _serve_ws(self, sock) -> None:
+        """The reference's WS message protocol over one connection:
+        client sends JSON {"query": "..."} frames; the server answers
+        each statement with Rows / Row* / CommandComplete (or Error),
+        then ReadyForQuery. SUBSCRIBE holds the stream open and pushes
+        each commit's delta rows as more Row messages until the client
+        closes or sends another frame (treated as cancel). With auth
+        configured the FIRST frame must be {"user", "password"}."""
+        import json as _json
+
+        from materialize_spark.plans.lexer import split_statements
+
+        def send(kind, payload=None):
+            _ws_send(sock, _json.dumps({"type": kind,
+                                        "payload": payload}))
+
+        if self._auth is not None:
+            got = _ws_recv(sock)
+            if got is None:
+                return
+            try:
+                init = _json.loads(got[1].decode() or "{}")
+            except ValueError:
+                init = {}
+            ver = self._auth.get(init.get("user", ""))
+            if ver is None:
+                _verify_password(self._dummy_verifier,
+                                 init.get("password", ""))
+                ok = False
+            else:
+                ok = _verify_password(ver, init.get("password", ""))
+            if not ok:
+                send("Error", {"message": "invalid credentials",
+                               "code": "28P01"})
+                _ws_send(sock, "", opcode=8)
+                return
+        send("ReadyForQuery", "I")
+        while True:
+            got = _ws_recv(sock)
+            if got is None or got[0] == 8:  # EOF / Close
+                return
+            if got[0] == 9:  # Ping → Pong
+                _ws_send(sock, got[1].decode("utf-8", "replace"),
+                         opcode=10)
+                continue
+            try:
+                req = _json.loads(got[1].decode())
+                stmts = split_statements(req.get("query", ""))
+            except Exception as ex:
+                send("Error", {"message": str(ex), "code": "XX000"})
+                send("ReadyForQuery", "I")
+                continue
+            for sql in stmts:
+                import re as _re
+                if _re.match(r"\s*SUBSCRIBE\b", sql, _re.I):
+                    self._ws_subscribe(sock, send, sql)
+                    break  # the stream owned the connection until here
+                try:
+                    out = self.session.execute(sql)
+                except Exception as ex:
+                    send("Error", {"message": str(ex), "code": "XX000"})
+                    break
+                if out is None:
+                    head = sql.lstrip().split(None, 2)
+                    send("CommandComplete",
+                         " ".join(head[:2]).upper() if head else "OK")
+                    continue
+                try:
+                    rows = self.session.check_result_size(out.collect())
+                except Exception as ex:
+                    send("Error", {"message": str(ex), "code": "XX000"})
+                    break
+                send("Rows", _desc(out))
+                for row in rows:
+                    send("Row", [_cell(v) for v in row])
+                send("CommandComplete", f"SELECT {len(rows)}")
+            send("ReadyForQuery", "I")
+
+    def _ws_subscribe(self, sock, send, sql: str) -> None:
+        """Stream a SUBSCRIBE over the socket: snapshot, then each
+        commit's delta batch as more Row messages. A client frame
+        (anything but Ping) or disconnect ends the stream — psql-Ctrl-C
+        semantics, PG 57014."""
+        import time as _time
+        try:
+            first = self.session.execute(sql)
+            rows = self.session.check_result_size(first.collect())
+        except Exception as ex:
+            send("Error", {"message": str(ex), "code": "XX000"})
+            return
+        send("Rows", _desc(first))
+        for row in rows:
+            send("Row", [_cell(v) for v in row])
+        import re as _re
+        if _re.search(r"\bUP\s+TO\b|\bAS\s+OF\b", sql, _re.I):
+            send("CommandComplete", f"SUBSCRIBE {len(rows)}")
+            return
+        sock.settimeout(0.05)
+        try:
+            while True:
+                try:
+                    got = _ws_recv(sock)
+                    if got is None or got[0] != 9:
+                        break  # close / cancel frame
+                    _ws_send(sock, got[1].decode("utf-8", "replace"),
+                             opcode=10)
+                except (TimeoutError, OSError):
+                    pass
+                try:
+                    delta = self.session.execute(sql)
+                    batch = self.session.check_result_size(
+                        delta.collect())
+                except Exception as ex:
+                    send("Error", {"message": str(ex), "code": "XX000"})
+                    return
+                for row in batch:
+                    send("Row", [_cell(v) for v in row])
+                _time.sleep(0.1)
+            send("Error", {"message": "canceling statement due to "
+                                      "user request", "code": "57014"})
+        finally:
+            sock.settimeout(None)
 
     # -- request execution ---------------------------------------------------
     def _run(self, req: dict) -> list[dict]:

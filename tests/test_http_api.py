@@ -124,3 +124,169 @@ def test_subscribe_over_http(spark):
         cols = [c["name"] for c in res["desc"]["columns"]]
         assert "diff" in cols
         assert res["rows"] == [["a", 1, 1]]
+
+
+# -- WebSocket SQL endpoint (/api/experimental/sql) --------------------------
+
+class _WsClient:
+    """Minimal RFC 6455 client for the tests (masked client frames)."""
+
+    def __init__(self, host, port, path="/api/experimental/sql"):
+        import base64
+        import os
+        import socket
+        self.sock = socket.create_connection((host, port), timeout=30)
+        key = base64.b64encode(os.urandom(16)).decode()
+        self.sock.sendall(
+            (f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+             f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+             f"Sec-WebSocket-Key: {key}\r\n"
+             f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += self.sock.recv(4096)
+        assert b"101" in buf.split(b"\r\n", 1)[0], buf
+        # frames may ride in the same packet as the handshake headers
+        self._buf = buf.split(b"\r\n\r\n", 1)[1]
+
+    def send(self, obj):
+        import json as _json
+        import os
+        import struct
+        data = _json.dumps(obj).encode()
+        mask = os.urandom(4)
+        hdr = bytes([0x81])
+        n = len(data)
+        if n < 126:
+            hdr += bytes([0x80 | n])
+        else:
+            hdr += bytes([0x80 | 126]) + struct.pack(">H", n)
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+        self.sock.sendall(hdr + mask + masked)
+
+    def recv(self):
+        import json as _json
+        import struct
+
+        def exact(n):
+            b = b""
+            while len(b) < n:
+                if self._buf:
+                    take = self._buf[:n - len(b)]
+                    self._buf = self._buf[len(take):]
+                    b += take
+                    continue
+                c = self.sock.recv(n - len(b))
+                if not c:
+                    return None
+                b += c
+            return b
+
+        head = exact(2)
+        if head is None:
+            return None
+        op = head[0] & 0x0F
+        n = head[1] & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", exact(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", exact(8))
+        data = exact(n) if n else b""
+        if op != 1:
+            return {"type": "__ctrl__", "opcode": op}
+        return _json.loads(data.decode())
+
+    def close(self):
+        self.sock.close()
+
+
+def test_websocket_sql_roundtrip(spark):
+    """The WS surface runs ordinary statements with the reference's
+    message shapes (Rows / Row / CommandComplete / ReadyForQuery)."""
+    from materialize_spark.plans.http_api import MzHttpServer
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    with MzHttpServer(s, port=0) as srv:
+        cli = _WsClient(srv.host, srv.port)
+        assert cli.recv()["type"] == "ReadyForQuery"
+        cli.send({"query": "SELECT r_regionkey AS rk FROM region "
+                           "WHERE r_regionkey < 2 ORDER BY 1"})
+        msgs = []
+        while True:
+            m = cli.recv()
+            msgs.append(m)
+            if m["type"] == "ReadyForQuery":
+                break
+        kinds = [m["type"] for m in msgs]
+        assert kinds == ["Rows", "Row", "Row", "CommandComplete",
+                         "ReadyForQuery"]
+        assert [m["payload"] for m in msgs if m["type"] == "Row"] == \
+            [[0], [1]]
+        cli.close()
+
+
+def test_websocket_subscribe_streams(spark):
+    """SUBSCRIBE over the WS surface pushes each commit's delta rows
+    without the client re-issuing anything; a client frame cancels
+    with PG 57014 and the connection stays usable."""
+    from materialize_spark.plans.http_api import MzHttpServer
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE wssub_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO wssub_t VALUES ('a', 1)")
+    with MzHttpServer(s, port=0) as srv:
+        cli = _WsClient(srv.host, srv.port)
+        assert cli.recv()["type"] == "ReadyForQuery"
+        cli.send({"query": "SUBSCRIBE wssub_t"})
+        assert cli.recv()["type"] == "Rows"
+        snap = cli.recv()
+        assert snap["type"] == "Row" and snap["payload"][:2] == ["a", 1]
+        # a write committed while the stream is open arrives as a Row
+        s.execute("INSERT INTO wssub_t VALUES ('b', 2)")
+        nxt = cli.recv()
+        assert nxt["type"] == "Row" and nxt["payload"][:2] == ["b", 2]
+        # cancel: any client frame ends the stream with 57014
+        cli.send({"cancel": True})
+        msgs = []
+        while True:
+            m = cli.recv()
+            msgs.append(m)
+            if m["type"] == "ReadyForQuery":
+                break
+        assert any(m["type"] == "Error"
+                   and m["payload"]["code"] == "57014" for m in msgs)
+        # connection reusable
+        cli.send({"query": "SELECT 7 AS x"})
+        out = []
+        while True:
+            m = cli.recv()
+            out.append(m)
+            if m["type"] == "ReadyForQuery":
+                break
+        assert [m["payload"] for m in out if m["type"] == "Row"] == [[7]]
+        cli.close()
+    s.execute("DROP TABLE wssub_t")
+
+
+def test_websocket_auth_first_frame(spark):
+    from materialize_spark.plans.http_api import MzHttpServer
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    with MzHttpServer(s, port=0, auth={"alice": "pw"}) as srv:
+        bad = _WsClient(srv.host, srv.port)
+        bad.send({"user": "alice", "password": "wrong"})
+        m = bad.recv()
+        assert m["type"] == "Error" and m["payload"]["code"] == "28P01"
+        bad.close()
+        good = _WsClient(srv.host, srv.port)
+        good.send({"user": "alice", "password": "pw"})
+        assert good.recv()["type"] == "ReadyForQuery"
+        good.send({"query": "SELECT 1 AS one"})
+        kinds = []
+        while True:
+            m = good.recv()
+            kinds.append(m["type"])
+            if m["type"] == "ReadyForQuery":
+                break
+        assert "Row" in kinds
+        good.close()
