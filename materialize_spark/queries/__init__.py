@@ -76,7 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
         "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
         "kafka_source_avro_csr", "sink_kafka_upsert_roundtrip",
-        "sink_kafka_avro_roundtrip",
+        "sink_kafka_avro_roundtrip", "sqlfront_ws_api",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
@@ -101,7 +101,7 @@ def load_all() -> dict[str, QuerySpec]:
         # all stay green in the local gate)
         "join_asof",
         "scalar_uuid", "scalar_decimal38_margin",
-        "tpch_q15", "agg_rollup", "agg_string_agg_ordered",
+        "agg_rollup", "agg_string_agg_ordered",
         "range_operations", "mv_consistency_frontier",
         # text-analysis family sentinel (window invariant: the checked
         # prefix spans every pipeline family)

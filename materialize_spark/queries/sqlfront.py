@@ -1149,3 +1149,108 @@ def sqlfront_delta_mv_having(spark, sf_dir):
     sess.execute("INSERT INTO dhq_ord VALUES (104, 2, 2)")  # BLDG up
     sess.execute("DELETE FROM dhq_ord WHERE ok = 100")      # AUTO down
     return sess.sql("SELECT seg, rev, n FROM dhq_mv ORDER BY seg")
+
+
+@register(
+    "sqlfront_ws_api",
+    """
+    -- oracle: literal truth of the WS conversation — two ad-hoc rows,
+    -- then a SUBSCRIBE snapshot row plus one streamed delta row
+    SELECT * FROM (VALUES
+        ('adhoc',  0, 'AFRICA'),
+        ('adhoc',  1, 'AMERICA'),
+        ('stream', 1, 'one'),
+        ('stream', 2, 'two')
+    ) AS t(phase, k, v) ORDER BY phase, k
+    """,
+    "sqlfront", "serving", "websocket",
+)
+def sqlfront_ws_api(spark, sf_dir):
+    """The WebSocket SQL surface end-to-end (reference environmentd
+    GET /api/experimental/sql, src/environmentd/src/http): an RFC 6455
+    client runs an ad-hoc query, then SUBSCRIBEs — the snapshot row
+    arrives, a write committed WHILE THE STREAM IS OPEN arrives as a
+    pushed Row with no client action, and a client frame cancels with
+    PG 57014 leaving the connection usable."""
+    import base64 as _b64
+    import json as _json
+    import os as _os
+    import socket as _socket
+    import struct as _struct
+
+    from materialize_spark.plans.http_api import MzHttpServer
+
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE wsq_t (k BIGINT, v STRING)")
+    sess.execute("INSERT INTO wsq_t VALUES (1, 'one')")
+    rows = []
+    with MzHttpServer(sess, port=0) as srv:
+        sock = _socket.create_connection((srv.host, srv.port),
+                                         timeout=30)
+        key = _b64.b64encode(_os.urandom(16)).decode()
+        sock.sendall((f"GET /api/experimental/sql HTTP/1.1\r\n"
+                      f"Host: x\r\nUpgrade: websocket\r\n"
+                      f"Connection: Upgrade\r\n"
+                      f"Sec-WebSocket-Key: {key}\r\n"
+                      f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += sock.recv(4096)
+        tail = [buf.split(b"\r\n\r\n", 1)[1]]
+
+        def exact(n):
+            b = b""
+            while len(b) < n:
+                if tail[0]:
+                    take = tail[0][:n - len(b)]
+                    tail[0] = tail[0][len(take):]
+                    b += take
+                    continue
+                c = sock.recv(n - len(b))
+                if not c:
+                    return None
+                b += c
+            return b
+
+        def recv():
+            head = exact(2)
+            op, n = head[0] & 0x0F, head[1] & 0x7F
+            if n == 126:
+                (n,) = _struct.unpack(">H", exact(2))
+            data = exact(n) if n else b""
+            return op, (_json.loads(data.decode()) if op == 1 else None)
+
+        def send(obj):
+            data = _json.dumps(obj).encode()
+            mask = _os.urandom(4)
+            hdr = bytes([0x81, 0x80 | len(data)])
+            sock.sendall(hdr + mask + bytes(
+                b ^ mask[i % 4] for i, b in enumerate(data)))
+
+        assert recv()[1]["type"] == "ReadyForQuery"
+        send({"query": "SELECT r_regionkey AS k, r_name AS v "
+                       "FROM region WHERE r_regionkey < 2 ORDER BY 1"})
+        while True:
+            _op, m = recv()
+            if m["type"] == "Row":
+                rows.append(("adhoc", *m["payload"]))
+            if m["type"] == "ReadyForQuery":
+                break
+        send({"query": "SUBSCRIBE wsq_t"})
+        _op, m = recv()
+        assert m["type"] == "Rows"
+        _op, m = recv()  # the snapshot row
+        rows.append(("stream", *m["payload"][:2]))
+        # a commit while the portal is open: pushed, not polled
+        sess.execute("INSERT INTO wsq_t VALUES (2, 'two')")
+        _op, m = recv()
+        rows.append(("stream", *m["payload"][:2]))
+        send({"cancel": True})  # ends the stream (57014 + RFQ)
+        while True:
+            _op, m = recv()
+            if m["type"] == "ReadyForQuery":
+                break
+        sock.close()
+    sess.execute("DROP TABLE wsq_t")
+    return spark.createDataFrame(
+        rows, "phase string, k long, v string").orderBy("phase", "k")
