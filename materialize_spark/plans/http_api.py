@@ -85,9 +85,18 @@ def _ws_send(sock, payload: str, opcode: int = 1) -> None:
     sock.sendall(hdr + data)
 
 
+# Largest client frame the server will buffer. Frames are read before
+# the auth handshake completes, so an uncapped length field (2^63 via
+# the 127 extended form) would be an unauthenticated memory-exhaustion
+# vector; beyond the cap the server closes with RFC 6455 code 1009
+# (Message Too Big).
+_WS_MAX_FRAME = 4 * 1024 * 1024
+
+
 def _ws_recv(sock):
-    """One frame → (opcode, payload) or None on EOF; client frames are
-    masked per the spec. Raises TimeoutError under a socket timeout."""
+    """One frame → (opcode, payload) or None on EOF (at ANY read point —
+    a truncated header never raises); client frames are masked per the
+    spec. Raises TimeoutError under a socket timeout."""
     import struct
 
     def exact(n):
@@ -106,10 +115,27 @@ def _ws_recv(sock):
     masked = head[1] & 0x80
     n = head[1] & 0x7F
     if n == 126:
-        (n,) = struct.unpack(">H", exact(2))
+        ext = exact(2)
+        if ext is None:
+            return None
+        (n,) = struct.unpack(">H", ext)
     elif n == 127:
-        (n,) = struct.unpack(">Q", exact(8))
-    mask = exact(4) if masked else b"\x00" * 4
+        ext = exact(8)
+        if ext is None:
+            return None
+        (n,) = struct.unpack(">Q", ext)
+    if n > _WS_MAX_FRAME:
+        try:  # close 1009 before buffering anything
+            sock.sendall(bytes([0x88, 0x02]) + struct.pack(">H", 1009))
+        except OSError:
+            pass
+        return None
+    if masked:
+        mask = exact(4)
+        if mask is None:
+            return None
+    else:
+        mask = b"\x00" * 4
     data = exact(n) if n else b""
     if data is None:
         return None
@@ -323,12 +349,17 @@ class MzHttpServer:
 
     def _ws_subscribe(self, sock, send, sql: str) -> None:
         """Stream a SUBSCRIBE over the socket: snapshot, then each
-        commit's delta batch as more Row messages. A client frame
-        (anything but Ping) or disconnect ends the stream — psql-Ctrl-C
-        semantics, PG 57014."""
-        import time as _time
+        commit's delta batch as more Row messages, from a
+        per-subscriber cursor (session.subscribe_open) woken by the
+        commit clock — O(delta) per commit, no table polling, and
+        concurrent WS/pgwire subscribers each receive the complete
+        stream. A client frame (anything but Ping) or disconnect ends
+        the stream — psql-Ctrl-C semantics, PG 57014. AS OF ... UP TO
+        self-terminates after its bounded batch; plain AS OF streams on
+        (the reference's semantics)."""
+        import select as _select
         try:
-            first = self.session.execute(sql)
+            sub_id, first, node = self.session.subscribe_open(sql)
             rows = self.session.check_result_size(first.collect())
         except Exception as ex:
             send("Error", {"message": str(ex), "code": "XX000"})
@@ -336,35 +367,41 @@ class MzHttpServer:
         send("Rows", _desc(first))
         for row in rows:
             send("Row", [_cell(v) for v in row])
-        import re as _re
-        if _re.search(r"\bUP\s+TO\b|\bAS\s+OF\b", sql, _re.I):
+        if node.up_to is not None:
             send("CommandComplete", f"SUBSCRIBE {len(rows)}")
             return
-        sock.settimeout(0.05)
+        seq = self.session.commit_seq()
         try:
             while True:
-                try:
-                    got = _ws_recv(sock)
+                # client-frame check without arming a socket timeout —
+                # sends below always run on a blocking socket, so a
+                # slow reader can't shear a frame mid-write
+                readable, _, _ = _select.select([sock], [], [], 0)
+                if readable:
+                    try:
+                        got = _ws_recv(sock)
+                    except OSError:
+                        return
                     if got is None or got[0] != 9:
                         break  # close / cancel frame
                     _ws_send(sock, got[1].decode("utf-8", "replace"),
                              opcode=10)
-                except (TimeoutError, OSError):
-                    pass
                 try:
-                    delta = self.session.execute(sql)
-                    batch = self.session.check_result_size(
-                        delta.collect())
+                    if self.session.wait_commit(seq, 0.1) == seq:
+                        continue  # timeout tick: nothing committed
+                    seq = self.session.commit_seq()
+                    delta = self.session.subscribe_poll(sub_id)
+                    batch = (self.session.check_result_size(
+                        delta.collect()) if delta is not None else [])
                 except Exception as ex:
                     send("Error", {"message": str(ex), "code": "XX000"})
                     return
                 for row in batch:
                     send("Row", [_cell(v) for v in row])
-                _time.sleep(0.1)
             send("Error", {"message": "canceling statement due to "
                                       "user request", "code": "57014"})
         finally:
-            sock.settimeout(None)
+            self.session.subscribe_close(sub_id)
 
     # -- request execution ---------------------------------------------------
     def _run(self, req: dict) -> list[dict]:

@@ -888,19 +888,24 @@ class MzPgServer:
 
     def _stream_subscribe(self, conn: socket.socket, stmt: str) -> None:
         """SUBSCRIBE streamed over the wire: the portal stays open and
-        every frontier advance pushes its delta batch as more DataRows —
-        the reference's subscribe protocol semantics (src/compute/src/
+        every COMMIT pushes its delta batch as more DataRows — the
+        reference's subscribe protocol semantics (src/compute/src/
         sink/subscribe.rs; protocol.rs holds the portal open), not a
-        poll-per-statement model. The stream ends on CancelRequest
-        (error 57014, like psql Ctrl-C on a subscribe), client
-        disconnect, or — for AS OF ... UP TO — after its one bounded
-        batch (the self-terminating form)."""
-        import time as _time
+        poll-per-statement model. Each stream owns a per-subscriber
+        cursor (session.subscribe_open) fed by commit diff frames and
+        woken by the commit clock — O(delta) per commit, zero work when
+        nothing commits, and concurrent subscribers each get the full
+        stream. The stream ends on CancelRequest (error 57014, like
+        psql Ctrl-C on a subscribe), client disconnect, or — for
+        AS OF ... UP TO — after its one bounded batch (the
+        self-terminating form; plain AS OF keeps streaming, like the
+        reference)."""
+        import select as _select
         cancel = getattr(self._tls, "cancel", None)
         # NB: no ReadyForQuery here on any path — _simple_query sends
         # the single trailing Z after this returns
         try:
-            first = self.session.execute(stmt)
+            sub_id, first, node = self.session.subscribe_open(stmt)
             rows = self._collect(first)
         except Exception as ex:
             self._send_error(conn, str(ex))
@@ -911,25 +916,39 @@ class MzPgServer:
         for row in rows:
             conn.sendall(self._msg(b"D", self._data_row(row, nf)))
             n += 1
-        if re.search(r"\bUP\s+TO\b", stmt, re.I) or \
-                re.search(r"\bAS\s+OF\b", stmt, re.I):
-            # bounded subscribe: one batch, clean completion
+        if node.up_to is not None:
+            # bounded subscribe (AS OF ... UP TO): one batch, clean
+            # completion; the cursor was never registered
             conn.sendall(self._msg(b"C", _cstr(f"SUBSCRIBE {n}")))
             return
-        conn.settimeout(0.05)
+        seq = self.session.commit_seq()
         try:
             while cancel is None or not cancel.is_set():
-                # a client that hangs up ends the stream: poke the
-                # socket for Terminate/EOF without blocking the loop
-                try:
-                    peek = conn.recv(1)
-                    if not peek or peek == b"X":
+                # Hangup/Terminate detection without consuming pipelined
+                # messages: select-readability then MSG_PEEK. Only a
+                # Terminate is drained; any other pipelined message
+                # stays buffered for the outer simple-query loop, so
+                # the protocol never desyncs. The socket keeps NO
+                # timeout armed — sendall below always runs blocking,
+                # so a slow reader can't shear a DataRow mid-frame.
+                readable, _, _ = _select.select([conn], [], [], 0)
+                if readable:
+                    try:
+                        peek = conn.recv(1, socket.MSG_PEEK)
+                    except OSError:
                         return
-                except (TimeoutError, OSError):
-                    pass
+                    if not peek:
+                        return  # EOF: client hung up
+                    if peek == b"X":
+                        conn.recv(5)  # drain the full Terminate
+                        return
                 try:
-                    delta = self.session.execute(stmt)
-                    batch = self._collect(delta)
+                    if self.session.wait_commit(seq, 0.1) == seq:
+                        continue  # timeout tick: nothing committed
+                    seq = self.session.commit_seq()
+                    delta = self.session.subscribe_poll(sub_id)
+                    batch = (self._collect(delta)
+                             if delta is not None else [])
                 except Exception as ex:
                     self._send_error(conn, str(ex))
                     return
@@ -937,14 +956,13 @@ class MzPgServer:
                     conn.sendall(self._msg(b"D",
                                            self._data_row(row, nf)))
                     n += 1
-                _time.sleep(0.1)
             # canceled: PG 57014 query_canceled, then ReadyForQuery —
             # exactly what psql shows when Ctrl-C ends a subscribe
             conn.sendall(self._msg(
                 b"E", b"SERROR\0C57014\0"
                       b"Mcanceling statement due to user request\0\0"))
         finally:
-            conn.settimeout(None)
+            self.session.subscribe_close(sub_id)
             if cancel is not None:
                 cancel.clear()
 

@@ -1,0 +1,208 @@
+"""SELECT-body AST for the delta-MV dispatcher.
+
+The statement parser (plans/parser.py) treats query bodies as opaque
+text and hands them to Catalyst — right for peeks, wrong for deciding
+HOW to incrementally maintain a view. This module parses the body into
+a small relational tree (SelectQ) that plans/sqlfront.py walks to
+assemble maintained operators per node — the way the reference walks
+its optimized MIR plan and emits per-operator rendering plans
+(src/compute/src/render.rs; plan selection src/compute-types/src/plan/
+reduce.rs, top_k.rs, join.rs) instead of pattern-matching SQL text.
+
+Token-level parsing (the same lexer as every other statement), so
+string literals, nested parens, whitespace variants, and expression
+aliases all parse where the old regexes fell through.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from materialize_spark.plans.lexer import LexError  # noqa: F401 (re-export)
+from materialize_spark.plans.parser import ParseError, Parser
+
+# aggregate item leaf: AGG(arg) — confined to one parsed select item,
+# never used for statement dispatch
+_AGG_RE = re.compile(
+    r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<arg>\*|.+)\s*\)$",
+    re.I | re.S)
+
+# ROW_NUMBER window leaf inside one parsed select item
+_ROW_NUMBER_RE = re.compile(
+    r"^ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+"
+    r"(?P<keys>.+?)\s+ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?"
+    r"\s*\)$", re.I | re.S)
+
+
+@dataclass
+class SelectItem:
+    expr: str                  # raw expression text (no alias)
+    alias: str | None = None   # AS alias, when given
+
+    @property
+    def is_column(self) -> bool:
+        return re.fullmatch(r"\w+", self.expr) is not None
+
+    @property
+    def agg(self) -> tuple[str, str] | None:
+        """(kind, arg) when the item is a bare aggregate call."""
+        m = _AGG_RE.match(self.expr)
+        if not m:
+            return None
+        return m.group("kind").lower(), m.group("arg").strip()
+
+    @property
+    def row_number(self) -> tuple[list[str], str, bool] | None:
+        """(partition keys, order col, descending) for the grouped-TopK
+        ROW_NUMBER idiom."""
+        m = _ROW_NUMBER_RE.match(self.expr)
+        if not m:
+            return None
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        return (keys, m.group("ord"),
+                (m.group("dir") or "ASC").upper() == "DESC")
+
+
+@dataclass
+class JoinSeg:
+    kind: str                        # inner | left | full | right
+    table: str
+    pairs: list[tuple[str, str]]     # equi-join ON pairs (raw order)
+    raw_on: str                      # the ON text (diagnostics)
+
+
+@dataclass
+class SelectQ:
+    items: list[SelectItem]
+    distinct: bool = False
+    table: str | None = None         # FROM base table, or …
+    sub: "SelectQ | None" = None     # … FROM (subquery)
+    sub_alias: str | None = None
+    joins: list[JoinSeg] = field(default_factory=list)
+    where: str | None = None
+    group_by: list[str] = field(default_factory=list)
+    having: str | None = None
+
+
+_STOPS_ITEMS = ("FROM",)
+_JOIN_INTRO = ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+_TAIL_STOPS = ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+               "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY") + _JOIN_INTRO
+
+
+def _split_alias(span: str) -> SelectItem:
+    """Split one select-item span into expression + AS alias using
+    tokens (a top-level AS inside a CAST(... AS int) never splits)."""
+    p = Parser(span)
+    depth = 0
+    last_as = None
+    while True:
+        t = p.peek()
+        if t.kind == "EOF":
+            break
+        if t.kind == "LP":
+            depth += 1
+        elif t.kind == "RP":
+            depth -= 1
+        elif t.kind == "WORD" and t.upper == "AS" and depth == 0:
+            last_as = (t.start, p.i)
+        p.next()
+    if last_as is None:
+        return SelectItem(expr=span.strip())
+    start, idx = last_as
+    alias_tok = p.toks[idx + 1] if idx + 1 < len(p.toks) else None
+    if alias_tok is None or alias_tok.kind not in ("WORD", "QIDENT") \
+            or (idx + 2 < len(p.toks)
+                and p.toks[idx + 2].kind != "EOF"):
+        return SelectItem(expr=span.strip())
+    return SelectItem(expr=span[:start].strip(), alias=alias_tok.value)
+
+
+def _parse_on_pairs(cond: str) -> list[tuple[str, str]] | None:
+    """Parse ``a = b [AND c = d ...]`` into equality pairs; None when
+    the condition is not a pure equi-conjunction."""
+    pairs: list[tuple[str, str]] = []
+    for part in re.split(r"(?i)\bAND\b", cond):
+        m = re.fullmatch(r"\s*(\w+)\s*=\s*(\w+)\s*", part)
+        if m is None:
+            return None
+        pairs.append((m.group(1), m.group(2)))
+    return pairs
+
+
+def parse_select(body: str) -> SelectQ:
+    """Parse one SELECT body (no set ops, no ORDER BY tail) into a
+    SelectQ tree; raises ParseError on anything else."""
+    p = Parser(body)
+    return _parse_query(p, top=True)
+
+
+def _parse_query(p: Parser, top: bool = False) -> SelectQ:
+    p.expect_kw("SELECT")
+    q = SelectQ(items=[])
+    q.distinct = p.take_kw("DISTINCT")
+    spans = p.comma_list_spans(*_STOPS_ITEMS)
+    if not spans:
+        raise ParseError("empty select list", p.peek())
+    q.items = [_split_alias(s) for s in spans]
+    p.expect_kw("FROM")
+    if p.peek().kind == "LP":
+        inner = p.paren_span()
+        sub = Parser(inner)
+        q.sub = _parse_query(sub)
+        sub.expect_end()
+        if p.peek().kind in ("WORD", "QIDENT") \
+                and p.peek().upper not in _TAIL_STOPS:
+            p.take_kw("AS")
+            q.sub_alias = p.ident()
+    else:
+        q.table = p.ident()
+        if p.peek().kind in ("WORD", "QIDENT") \
+                and p.peek().upper not in _TAIL_STOPS \
+                and p.peek().upper != "AS":
+            pass  # bare table aliases unsupported: leave for tail error
+    # join chain
+    while True:
+        kind = None
+        if p.take_kw("JOIN") or p.take_kw("INNER", "JOIN"):
+            kind = "inner"
+        elif p.take_kw("LEFT", "OUTER", "JOIN") or p.take_kw("LEFT",
+                                                             "JOIN"):
+            kind = "left"
+        elif p.take_kw("RIGHT", "OUTER", "JOIN") or p.take_kw("RIGHT",
+                                                              "JOIN"):
+            kind = "right"
+        elif p.take_kw("FULL", "OUTER", "JOIN") or p.take_kw("FULL",
+                                                             "JOIN"):
+            kind = "full"
+        elif p.at_kw("CROSS"):
+            raise ParseError("CROSS JOIN is not delta-maintainable",
+                             p.peek())
+        if kind is None:
+            break
+        t = p.ident()
+        p.expect_kw("ON")
+        cond = p.span_until_kw(*_TAIL_STOPS)
+        pairs = _parse_on_pairs(cond)
+        if pairs is None:
+            raise ParseError(
+                f"only equi-join ON conjunctions are delta-maintainable "
+                f"(got {cond!r})", p.peek())
+        q.joins.append(JoinSeg(kind=kind, table=t, pairs=pairs,
+                               raw_on=cond))
+    if p.take_kw("WHERE"):
+        q.where = p.span_until_kw("GROUP", "HAVING", "ORDER", "LIMIT")
+        if not q.where:
+            raise ParseError("empty WHERE", p.peek())
+    if p.take_kw("GROUP", "BY"):
+        q.group_by = p.comma_list_spans("HAVING", "ORDER", "LIMIT")
+    if p.take_kw("HAVING"):
+        q.having = p.span_until_kw("ORDER", "LIMIT")
+    t = p.peek()
+    if t.kind == "SEMI":
+        p.next()
+        t = p.peek()
+    if t.kind != "EOF":
+        raise ParseError("unsupported trailing clause", t)
+    return q

@@ -121,11 +121,25 @@ def _having_over_aliases(having: str, aggs: dict[str, tuple[str, str]],
     return having
 
 
+# statement kinds whose OPTIONS can carry inline credentials — the only
+# surfaces option-redaction applies to. A view body's ordinary data
+# predicate (WHERE token = 'abc') must NOT be rewritten: the reference
+# scrubs WITH-option values on connection-ish statements, never query
+# text (src/sql-parser redaction of CreateConnection/Secret options).
+_CREDENTIAL_STMT_RE = re.compile(
+    r"\s*(?:CREATE|ALTER)\s+(?:CONNECTION|SECRET|SOURCE|SINK)\b", re.I)
+
+
 def redact_sql(sql: str) -> str:
     """Replace inline credential literals with '<REDACTED>' before a
-    statement is stored anywhere a non-owner can read it back."""
+    statement is stored anywhere a non-owner can read it back. Applies
+    only to statement kinds that can carry credentials in options —
+    arbitrary view/MV bodies keep their literals intact (a data filter
+    like ``WHERE token = 'abc'`` is not a secret)."""
     sql = _SECRET_AS_RE.sub(r"\1'<REDACTED>'", sql)
-    return _PASSWORD_OPT_RE.sub(r"\1\2'<REDACTED>'", sql)
+    if _CREDENTIAL_STMT_RE.match(sql):
+        return _PASSWORD_OPT_RE.sub(r"\1\2'<REDACTED>'", sql)
+    return sql
 
 # the view shape WITH (MAINTENANCE 'delta') maintains incrementally:
 # single-table grouped sum with a strict > HAVING threshold (the q18
@@ -317,6 +331,20 @@ class MzSession:
         self._delta_mvs: dict[str, dict] = {}
         self._sub_state: dict[str, DataFrame] = {}
         self._sub_ts: dict[str, int] = {}  # WITH (PROGRESS) batch clock
+        # Push subscriptions: per-subscriber cursors, keyed by a
+        # subscription id — NOT by object name — so concurrent
+        # subscribers each own a complete delta stream (reference: each
+        # SUBSCRIBE is its own dataflow sink with its own frontier,
+        # src/compute/src/sink/subscribe.rs). Commits append their OWN
+        # diff frames to every open queue — O(delta), never a
+        # full-table diff.
+        self._subscriptions: dict[int, dict] = {}
+        self._sub_next_id = 0
+        # Commit clock: every commit bumps the sequence and wakes
+        # blocked stream loops (condition-variable push, not a poll).
+        import threading as _threading
+        self._commit_seq = 0
+        self._commit_cond = _threading.Condition()
         # MV name → (period_s, last_refresh monotonic) for REFRESH EVERY
         self._refresh_every: dict[str, tuple[float, float]] = {}
         self._comments: dict[tuple[str, str], str] = {}  # COMMENT ON
@@ -1083,14 +1111,19 @@ class MzSession:
             hist = RetainedHistory()
             hist.append(result.withColumn("diff", F.lit(1)), 0)
             self._histories[name] = hist
+            self._publish_commit(name, adds=result)
         else:
+            # the maintained result is small (a keyed reduce/TopK
+            # output); its diff feeds history, sinks and subscriptions
+            adds = result.exceptAll(old)
+            rets = old.exceptAll(result)
             hist = self._histories.get(name)
             if hist is not None:
-                adds = result.exceptAll(old).withColumn("diff", F.lit(1))
-                rets = old.exceptAll(result).withColumn("diff",
-                                                        F.lit(-1))
-                hist.append(adds.unionByName(rets), hist.upper)
-        self._emit_kafka_sinks_for(name)
+                hist.append(
+                    adds.withColumn("diff", F.lit(1)).unionByName(
+                        rets.withColumn("diff", F.lit(-1))),
+                    hist.upper)
+            self._publish_commit(name, adds, rets)
 
     def _feed_delta_mvs_for_table(self, table: str, delta) -> None:
         for name, spec in list(self._delta_mvs.items()):
@@ -1271,11 +1304,13 @@ class MzSession:
                                             schema_json)
             spec.update({"schema_json": schema_json, "schema_id": sid,
                          "stringified": stringified})
+        # snapshot emission at CREATE; afterwards every commit routes
+        # its own diff frames here via _publish_commit — the sink never
+        # holds (or re-diffs against) a table snapshot again
         snap = df.localCheckpoint(eager=True)
         for frame in self._kafka_sink_frames(spec, snap, None):
             spec["rows"] += write_kafka_wire(frame, bootstrap,
                                              node.topic)
-        spec["last"] = snap
         self._sinks[node.name] = spec
 
     def _kafka_sink_frames(self, spec: dict, adds, rets) -> list:
@@ -1318,26 +1353,26 @@ class MzSession:
             key_col="__key"))
         return frames
 
-    def _emit_kafka_sinks_for(self, obj: str) -> None:
+    def _emit_kafka_sinks(self, obj: str, adds: DataFrame | None,
+                          rets: DataFrame | None) -> None:
         """Continuous emission: after a commit changes ``obj``, every
-        Kafka sink reading it produces the change batch (envelope-
-        framed diffs vs the sink's last-emitted state). The diff is the
-        maintained collection's exceptAll in both directions — the
-        Spark analog of the reference reading its sink's input
-        arrangement deltas."""
+        Kafka sink reading it produces the commit's OWN diff frames,
+        envelope-framed. O(delta) — the Spark analog of the reference
+        reading its sink's input arrangement deltas (src/storage/src/
+        render); the old full-table exceptAll-vs-last-snapshot diff is
+        gone, so a sink on a huge object costs each commit only its
+        change batch."""
         from materialize_spark.sinks.writers import write_kafka_wire
-        for spec in self._sinks.values():
-            if not spec.get("kafka") or spec["from"] != obj:
-                continue
-            cur = self.catalog.table(obj).localCheckpoint(eager=True)
-            adds = cur.exceptAll(spec["last"])
-            rets = spec["last"].exceptAll(cur)
-            if adds.isEmpty() and rets.isEmpty():
-                continue
+        sinks = [sp for sp in self._sinks.values()
+                 if sp.get("kafka") and sp["from"] == obj]
+        if not sinks:
+            return
+        if adds is None:
+            adds = self.catalog.table(obj).limit(0)
+        for spec in sinks:
             for frame in self._kafka_sink_frames(spec, adds, rets):
                 spec["rows"] += write_kafka_wire(
                     frame, spec["bootstrap"], spec["topic"])
-            spec["last"] = cur
 
     def _source_stat(self, name: str, type_: str, *, status: str = "running",
                      error: str | None = None, messages: int | None = None,
@@ -2028,10 +2063,10 @@ class MzSession:
             target.unionByName(rows.select(*target.columns))
             .localCheckpoint(eager=True))
         from pyspark.sql import functions as F
+        aligned = rows.select(*target.columns)
         self._feed_delta_mvs_for_table(
-            table, rows.select(*target.columns).withColumn(
-                "diff", F.lit(1)))
-        self._emit_kafka_sinks_for(table)
+            table, aligned.withColumn("diff", F.lit(1)))
+        self._publish_commit(table, adds=aligned)
 
     def _insert(self, node: ast.Insert, sql: str):
         self._check_priv("insert", node.table)
@@ -2068,17 +2103,17 @@ class MzSession:
                              f"{types[c.lower()]}) ELSE {c} END AS {c}")
         new_target = target.selectExpr(*exprs).localCheckpoint(eager=True)
         self.catalog.register_table(node.table, new_target)
-        if any(sp["table"] == node.table
-               or node.table in sp.get("tables", ())
-               for sp in self._delta_mvs.values()):
+        if self._wants_diffs(node.table):
             from pyspark.sql import functions as F
-            adds = new_target.exceptAll(target).withColumn(
-                "diff", F.lit(1))
-            rets = target.exceptAll(new_target).withColumn(
-                "diff", F.lit(-1))
-            self._feed_delta_mvs_for_table(node.table,
-                                           adds.unionByName(rets))
-        self._emit_kafka_sinks_for(node.table)
+            adds = new_target.exceptAll(target)
+            rets = target.exceptAll(new_target)
+            self._feed_delta_mvs_for_table(
+                node.table,
+                adds.withColumn("diff", F.lit(1)).unionByName(
+                    rets.withColumn("diff", F.lit(-1))))
+            self._publish_commit(node.table, adds, rets)
+        else:
+            self._publish_commit(node.table)
 
     def _delete(self, node: ast.Delete, sql: str):
         # DELETE FROM t [WHERE p] (reference DeleteStatement :558):
@@ -2089,13 +2124,14 @@ class MzSession:
                 target.filter(f"NOT coalesce(({rewrite(node.where)}), false)"))
         kept = kept.localCheckpoint(eager=True)
         self.catalog.register_table(node.table, kept)
-        if any(sp["table"] == node.table
-               or node.table in sp.get("tables", ())
-               for sp in self._delta_mvs.values()):
+        if self._wants_diffs(node.table):
             from pyspark.sql import functions as F
-            gone = target.exceptAll(kept).withColumn("diff", F.lit(-1))
-            self._feed_delta_mvs_for_table(node.table, gone)
-        self._emit_kafka_sinks_for(node.table)
+            gone = target.exceptAll(kept)
+            self._feed_delta_mvs_for_table(
+                node.table, gone.withColumn("diff", F.lit(-1)))
+            self._publish_commit(node.table, rets=gone)
+        else:
+            self._publish_commit(node.table)
 
     # -- REFRESH / ALTER ----------------------------------------------------
     def _refresh_mv(self, node: ast.RefreshMV, sql: str):
@@ -2109,15 +2145,20 @@ class MzSession:
             self._matview_sql[name]).localCheckpoint(eager=True)
         self._matviews[name] = snap
         self.catalog.create_view(name, snap)
+        # REFRESH is a recompute by definition; the snapshot diff is the
+        # refresh's commit frame for history, sinks and subscriptions
+        adds = snap.exceptAll(old)
+        rets = old.exceptAll(snap)
         hist = self._histories.get(name)
         if hist is not None:
-            adds = snap.exceptAll(old).withColumn("diff", F.lit(1))
-            rets = old.exceptAll(snap).withColumn("diff", F.lit(-1))
-            hist.append(adds.unionByName(rets), hist.upper)
+            hist.append(
+                adds.withColumn("diff", F.lit(1)).unionByName(
+                    rets.withColumn("diff", F.lit(-1))),
+                hist.upper)
             window = self._retain.get(name)
             if window is not None and hist.upper - 1 - window > hist.since:
                 hist.compact(hist.upper - 1 - window)
-        self._emit_kafka_sinks_for(name)
+        self._publish_commit(name, adds, rets)
 
     def tick_refreshes(self, now: float | None = None) -> list[str]:
         """Drive the REFRESH EVERY schedules: refresh every MV whose
@@ -2237,6 +2278,20 @@ class MzSession:
             rets = prev.exceptAll(cur).withColumn("diff", F.lit(-1))
             delta = adds.unionByName(rets)
         self._sub_state[node.name] = cur.localCheckpoint(eager=True)
+        ts = None
+        if node.progress:
+            ts = self._sub_ts.get(node.name, 0) + 1
+            self._sub_ts[node.name] = ts
+        return self._shape_sub_batch(node, delta, ts)
+
+    def _shape_sub_batch(self, node: ast.Subscribe, delta: DataFrame,
+                         ts: int | None) -> DataFrame:
+        """Apply a SUBSCRIBE's output modifiers to one diff batch.
+        Output modifiers (reference SubscribeOutput, src/sql/src/
+        plan.rs:907-930): WITHIN TIMESTAMP ORDER BY for deterministic
+        per-batch presentation, ENVELOPE UPSERT / DEBEZIUM (KEY (...))
+        for keyed change shapes, WITH (PROGRESS) frontier markers."""
+        from pyspark.sql import functions as F
         out = delta
         if node.envelope:
             from materialize_spark.streaming.subscribe import (
@@ -2256,8 +2311,6 @@ class MzSession:
             # logical timestamp is the per-subscription batch counter.
             # PROGRESS composes with ENVELOPE / WITHIN TIMESTAMP ORDER BY:
             # the marker wraps whatever shape those modifiers produced.
-            ts = self._sub_ts.get(node.name, 0) + 1
-            self._sub_ts[node.name] = ts
             data = out.select(
                 F.lit(ts).alias("mz_timestamp"),
                 F.lit(False).alias("mz_progressed"),
@@ -2269,6 +2322,136 @@ class MzSession:
                   for f in out.schema.fields])
             return data.unionByName(marker)
         return out
+
+    # -- push subscriptions (per-subscriber cursors) --------------------------
+    def subscribe_open(self, sql: str) -> tuple[int, DataFrame,
+                                                ast.Subscribe]:
+        """Open a per-subscriber SUBSCRIBE cursor and return
+        ``(sub_id, first_batch, node)``. The first batch is the
+        snapshot (or the history since AS OF); afterwards every commit
+        against the object appends its OWN diff frames to this
+        subscription's queue — each subscriber owns a complete stream
+        with its own frontier (reference: one dataflow sink per
+        SUBSCRIBE, src/compute/src/sink/subscribe.rs). Callers drain
+        with subscribe_poll() after wait_commit() signals, and MUST
+        subscribe_close() when the stream ends.
+
+        AS OF without UP TO streams on after its historical batch (the
+        reference's semantics); AS OF ... UP TO is bounded — the
+        returned cursor is closed already and polls return None."""
+        from pyspark.sql import functions as F
+        node = ast.Parser(sql).parse()
+        if not isinstance(node, ast.Subscribe):
+            raise ValueError("subscribe_open requires a SUBSCRIBE "
+                             "statement")
+        self._check_priv("select", node.name)
+        bounded = node.up_to is not None
+        with self._commit_cond:
+            if node.as_of is not None:
+                hist = self._histories[node.name]
+                first = hist.subscribe_since(node.as_of)
+                if node.up_to is not None:
+                    from materialize_spark.streaming.history import TS_COL
+                    first = first.filter(F.col(TS_COL) < node.up_to)
+            else:
+                cur = self.catalog.table(node.name)
+                first = (cur if node.snapshot else cur.limit(0)) \
+                    .withColumn("diff", F.lit(1))
+            self._sub_next_id += 1
+            sub_id = self._sub_next_id
+            if not bounded:
+                self._subscriptions[sub_id] = {
+                    "node": node, "queue": [], "ts": 0}
+        ts = None
+        if node.progress and not bounded:
+            sub = self._subscriptions[sub_id]
+            sub["ts"] += 1
+            ts = sub["ts"]
+        elif node.progress:
+            ts = 1
+        return sub_id, self._shape_sub_batch(node, first, ts), node
+
+    def subscribe_poll(self, sub_id: int) -> DataFrame | None:
+        """Drain a subscription's queued diff frames into one shaped
+        batch, or None when nothing committed since the last poll.
+        O(delta): the frames ARE the commits' diffs."""
+        with self._commit_cond:
+            sub = self._subscriptions.get(sub_id)
+            if sub is None:
+                return None
+            frames = sub["queue"]
+            if not frames:
+                return None
+            sub["queue"] = []
+            if sub["node"].progress:
+                sub["ts"] += 1
+            ts = sub["ts"]
+        delta = frames[0]
+        for f in frames[1:]:
+            delta = delta.unionByName(f)
+        return self._shape_sub_batch(sub["node"], delta, ts)
+
+    def subscribe_close(self, sub_id: int) -> None:
+        with self._commit_cond:
+            self._subscriptions.pop(sub_id, None)
+
+    def commit_seq(self) -> int:
+        with self._commit_cond:
+            return self._commit_seq
+
+    def wait_commit(self, seq: int, timeout: float) -> int:
+        """Block until the commit clock advances past ``seq`` (or the
+        timeout elapses) and return the current sequence — the push
+        wake-up stream loops use instead of polling the table."""
+        with self._commit_cond:
+            if self._commit_seq == seq:
+                self._commit_cond.wait(timeout)
+            return self._commit_seq
+
+    def _wants_diffs(self, obj: str) -> bool:
+        """True when some consumer (delta MV, Kafka sink, open
+        subscription) needs this commit's explicit diff frames."""
+        return (any(sp["table"] == obj or obj in sp.get("tables", ())
+                    for sp in self._delta_mvs.values())
+                or any(sp.get("kafka") and sp["from"] == obj
+                       for sp in self._sinks.values())
+                or any(s["node"].name == obj
+                       for s in self._subscriptions.values()))
+
+    def _publish_commit(self, obj: str, adds: DataFrame | None = None,
+                        rets: DataFrame | None = None) -> None:
+        """Route one commit's explicit diff frames to every Kafka sink
+        and open subscription on ``obj``, then advance the commit clock
+        (waking blocked stream loops). O(delta) by construction: the
+        frames are the commit's own changes — no snapshot diffing
+        anywhere on this path (the reference's sinks read their input
+        arrangement's deltas the same way, src/storage/src/render)."""
+        from pyspark.sql import functions as F
+        has_subs = any(s["node"].name == obj
+                       for s in self._subscriptions.values())
+        has_sinks = any(sp.get("kafka") and sp["from"] == obj
+                        for sp in self._sinks.values())
+        empty_a = adds is None or adds.isEmpty()
+        empty_r = rets is None or rets.isEmpty()
+        if has_sinks and not (empty_a and empty_r):
+            self._emit_kafka_sinks(obj, adds, rets)
+        if has_subs and not (empty_a and empty_r):
+            frames = []
+            if not empty_a:
+                frames.append(adds.withColumn("diff", F.lit(1)))
+            if not empty_r:
+                frames.append(rets.withColumn("diff", F.lit(-1)))
+            frame = frames[0]
+            for f in frames[1:]:
+                frame = frame.unionByName(f)
+            frame = frame.localCheckpoint(eager=True)
+            with self._commit_cond:
+                for sub in self._subscriptions.values():
+                    if sub["node"].name == obj:
+                        sub["queue"].append(frame)
+        with self._commit_cond:
+            self._commit_seq += 1
+            self._commit_cond.notify_all()
 
     # -- COPY ---------------------------------------------------------------
     def _copy_to(self, node: ast.CopyTo, sql: str):

@@ -631,3 +631,109 @@ def test_subscribe_up_to_self_terminates_over_pgwire(spark):
             assert out[0]["rows"]
     s.execute("DROP VIEW subu_mv")
     s.execute("DROP TABLE subu_t")
+
+
+def test_two_concurrent_subscribes_each_get_full_stream(spark):
+    """Two clients SUBSCRIBE to the SAME object concurrently: each
+    owns a per-subscriber cursor, so BOTH receive every commit (the
+    old shared per-object cursor split the delta stream between
+    pollers)."""
+    import struct as _struct
+
+    from materialize_spark.plans.pgwire import (MzPgServer, PgWireClient,
+                                                _cstr)
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE subc_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO subc_t VALUES ('a', 1)")
+
+    def start_subscribe(cli):
+        body = _cstr("SUBSCRIBE subc_t")
+        cli.sock.sendall(b"Q" + _struct.pack(">i", 4 + len(body)) + body)
+        cli.sock.settimeout(30)
+        tag, _p = cli._recv_msg()
+        assert tag == b"T"
+
+    def next_data_rows(cli, want):
+        rows = []
+        while len(rows) < want:
+            tag, payload = cli._recv_msg()
+            if tag == b"D":
+                (n,) = _struct.unpack_from(">h", payload, 0)
+                pos, row = 2, []
+                for _ in range(n):
+                    (ln,) = _struct.unpack_from(">i", payload, pos)
+                    pos += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos:pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+            elif tag == b"E":
+                raise AssertionError(f"error: {payload!r}")
+        return rows
+
+    with MzPgServer(s, port=0) as srv:
+        with PgWireClient("127.0.0.1", srv.port) as c1, \
+                PgWireClient("127.0.0.1", srv.port) as c2:
+            start_subscribe(c1)
+            assert next_data_rows(c1, 1)[0][:2] == ["a", "1"]
+            start_subscribe(c2)  # late subscriber: own full snapshot
+            assert next_data_rows(c2, 1)[0][:2] == ["a", "1"]
+            s.execute("INSERT INTO subc_t VALUES ('b', 2)")
+            # BOTH streams carry the commit — no splitting
+            assert next_data_rows(c1, 1)[0][:2] == ["b", "2"]
+            assert next_data_rows(c2, 1)[0][:2] == ["b", "2"]
+            s.execute("INSERT INTO subc_t VALUES ('c', 3)")
+            assert next_data_rows(c2, 1)[0][:2] == ["c", "3"]
+            assert next_data_rows(c1, 1)[0][:2] == ["c", "3"]
+    s.execute("DROP TABLE subc_t")
+
+
+def test_subscribe_as_of_without_up_to_keeps_streaming(spark):
+    """Plain AS OF (no UP TO) streams on after its historical batch —
+    the reference's SUBSCRIBE AS OF semantics (not self-terminating)."""
+    import struct as _struct
+
+    from materialize_spark.plans.pgwire import (MzPgServer, PgWireClient,
+                                                _cstr)
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE suba_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW suba_mv AS "
+              "SELECT k, SUM(v) AS total FROM suba_t GROUP BY k")
+    s.execute("INSERT INTO suba_t VALUES ('a', 1)")
+    s.execute("REFRESH MATERIALIZED VIEW suba_mv")
+    with MzPgServer(s, port=0) as srv:
+        with PgWireClient("127.0.0.1", srv.port) as cli:
+            body = _cstr("SUBSCRIBE suba_mv AS OF 0")
+            cli.sock.sendall(b"Q" + _struct.pack(">i", 4 + len(body))
+                             + body)
+            cli.sock.settimeout(30)
+            tag, _p = cli._recv_msg()
+            assert tag == b"T"
+            got = []
+            while len(got) < 1:  # the AS OF 0 history: the epoch-1 diff
+                tag, payload = cli._recv_msg()
+                if tag == b"D":
+                    got.append(payload)
+                elif tag == b"E":
+                    raise AssertionError(payload)
+            assert b"a" in got[0]
+            # a LIVE commit after the historical batch still arrives
+            s.execute("INSERT INTO suba_t VALUES ('b', 7)")
+            s.execute("REFRESH MATERIALIZED VIEW suba_mv")
+            tag, payload = cli._recv_msg()
+            while tag != b"D":
+                tag, payload = cli._recv_msg()
+            assert b"b" in payload
+            cli.cancel()
+            while True:
+                tag, payload = cli._recv_msg()
+                if tag == b"Z":
+                    break
+    s.execute("DROP VIEW suba_mv")
+    s.execute("DROP TABLE suba_t")

@@ -107,3 +107,123 @@ def test_subscribe_progress_composes_with_envelope(spark):
     ).collect()
     marks2 = [r for r in b2 if r.mz_progressed]
     assert len(marks2) == 1 and marks2[0].mz_timestamp == 2
+
+
+# -- per-subscriber push cursors (reference: each SUBSCRIBE is its own
+# dataflow sink with its own frontier, src/compute/src/sink/subscribe.rs) --
+
+def _drain(sess, sub_id):
+    out = sess.subscribe_poll(sub_id)
+    return ([] if out is None else
+            sorted((r.k, r.v, r.diff) for r in out.collect()))
+
+
+def test_concurrent_subscribers_each_get_full_stream(spark):
+    """Two concurrent subscriptions on one object each receive the
+    COMPLETE delta sequence — the defect this API fixes was a shared
+    per-object cursor where the first poller consumed the delta."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_conc (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_conc VALUES ('a', 1)")
+    s1, first1, _ = sess.subscribe_open("SUBSCRIBE sub_conc")
+    s2, first2, _ = sess.subscribe_open("SUBSCRIBE sub_conc")
+    assert s1 != s2
+    snap = sorted((r.k, r.v, r.diff) for r in first1.collect())
+    assert snap == [("a", 1, 1)]
+    assert snap == sorted((r.k, r.v, r.diff) for r in first2.collect())
+    sess.execute("INSERT INTO sub_conc VALUES ('b', 2)")
+    # BOTH subscribers see the commit, regardless of poll order
+    assert _drain(sess, s1) == [("b", 2, 1)]
+    assert _drain(sess, s2) == [("b", 2, 1)]
+    sess.execute("DELETE FROM sub_conc WHERE k = 'a'")
+    sess.execute("INSERT INTO sub_conc VALUES ('c', 3)")
+    # multiple commits between polls coalesce into one batch
+    both = [("a", 1, -1), ("c", 3, 1)]
+    assert _drain(sess, s2) == both   # reversed poll order this time
+    assert _drain(sess, s1) == both
+    sess.subscribe_close(s1)
+    sess.subscribe_close(s2)
+
+
+def test_late_subscriber_gets_own_snapshot(spark):
+    """A subscriber arriving after others have consumed deltas gets its
+    own complete snapshot, not a diff vs someone else's frontier."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_late (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_late VALUES ('a', 1)")
+    s1, _, _ = sess.subscribe_open("SUBSCRIBE sub_late")
+    sess.execute("INSERT INTO sub_late VALUES ('b', 2)")
+    assert _drain(sess, s1) == [("b", 2, 1)]
+    s2, first2, _ = sess.subscribe_open("SUBSCRIBE sub_late")
+    assert sorted((r.k, r.v, r.diff) for r in first2.collect()) == \
+        [("a", 1, 1), ("b", 2, 1)]
+    # and the late subscriber still receives subsequent commits
+    sess.execute("INSERT INTO sub_late VALUES ('c', 3)")
+    assert _drain(sess, s2) == [("c", 3, 1)]
+    assert _drain(sess, s1) == [("c", 3, 1)]
+    sess.subscribe_close(s1)
+    sess.subscribe_close(s2)
+
+
+def test_wait_commit_wakes_on_commit(spark):
+    """The commit clock wakes a blocked waiter promptly — the stream
+    loops block on this instead of a 10 Hz table poll."""
+    import threading
+    import time
+
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_wake (k STRING, v BIGINT)")
+    seq0 = sess.commit_seq()
+    got = {}
+
+    def waiter():
+        got["seq"] = sess.wait_commit(seq0, timeout=10.0)
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    time.sleep(0.1)
+    sess.execute("INSERT INTO sub_wake VALUES ('a', 1)")
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+    assert got["seq"] > seq0
+    # no commit: wait_commit times out without advancing
+    assert sess.wait_commit(got["seq"], timeout=0.05) == got["seq"]
+
+
+def test_subscribe_poll_is_fed_by_commit_diffs_no_table_diff(spark):
+    """The poll path returns the commit's own frames: the delta plan
+    must not contain an Except against the full table (the O(table)
+    anti-pattern this API replaces)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_otable (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_otable VALUES ('a', 1)")
+    sid, _, _ = sess.subscribe_open("SUBSCRIBE sub_otable")
+    sess.execute("INSERT INTO sub_otable VALUES ('b', 2)")
+    delta = sess.subscribe_poll(sid)
+    plan = delta._jdf.queryExecution().optimizedPlan().toString()
+    assert "Except" not in plan
+    sess.subscribe_close(sid)
+
+
+def test_subscribe_progress_per_cursor_clock(spark):
+    """WITH (PROGRESS) batch timestamps are per-subscription, not
+    shared across subscribers."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_prog2 (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_prog2 VALUES ('a', 1)")
+    s1, f1, _ = sess.subscribe_open("SUBSCRIBE sub_prog2 WITH (PROGRESS)")
+    assert {r.mz_timestamp for r in f1.collect()} == {1}
+    sess.execute("INSERT INTO sub_prog2 VALUES ('b', 2)")
+    sess.execute("INSERT INTO sub_prog2 VALUES ('c', 3)")
+    # a LATE second subscriber starts at ITS OWN ts=1
+    s2, f2, _ = sess.subscribe_open("SUBSCRIBE sub_prog2 WITH (PROGRESS)")
+    assert {r.mz_timestamp for r in f2.collect()} == {1}
+    out1 = sess.subscribe_poll(s1)
+    assert {r.mz_timestamp for r in out1.collect()} == {2}
+    sess.subscribe_close(s1)
+    sess.subscribe_close(s2)
