@@ -66,37 +66,40 @@ _PASSWORD_OPT_RE = re.compile(
     r"(\s*=\s*)'(?:[^']|'')*'", re.I)
 
 
-def _parse_agg_select(select_text: str):
-    """Parse a delta-MV SELECT list of plain keys + aliased aggregates.
-    Aggregate INPUTS may be arbitrary scalar expressions (the q3/q5
-    revenue shape ``SUM(price * (1 - disc))``): each gets an internal
-    column computed on the delta before the keyed reduce. Returns
-    (keys, aggs, exprs) or None when out of shape; ``exprs`` maps
-    internal name -> source SQL."""
+def _classify_agg_items(items):
+    """Classify a parsed delta-MV SELECT list (select_ast.SelectItem)
+    into plain keys + aliased aggregates. Aggregate INPUTS may be
+    arbitrary scalar expressions (the q3/q5 revenue shape
+    ``SUM(price * (1 - disc))``): each gets an internal column computed
+    on the delta before the keyed reduce. Returns (keys, aggs, exprs)
+    or None when out of shape; ``exprs`` maps internal name -> source
+    SQL."""
     keys: list[str] = []
     aggs: dict[str, tuple[str, str]] = {}
     exprs: dict[str, str] = {}
-    for item in split_top_level(select_text):
-        item = item.strip()
-        am = _DELTA_AGG_ITEM_RE.match(item)
-        if am:
-            col = am.group("col").strip()
-            kind = am.group("kind").lower()
-            if col == "*":
+    for it in items:
+        agg = it.agg
+        if agg is not None:
+            kind, arg = agg
+            if arg == "*":
                 if kind != "count":
                     return None
                 col = "__one"
-            elif re.match(r"(?i)DISTINCT\b", col):
+            elif re.match(r"(?i)DISTINCT\b", arg):
                 return None  # DISTINCT aggs are not accumulable
-            elif not re.fullmatch(r"\w+", col):
+            elif re.fullmatch(r"\w+", arg):
+                col = arg
+            else:
                 internal = f"__x{len(exprs)}"
-                exprs[internal] = col
+                exprs[internal] = arg
                 col = internal
-            aggs[am.group("alias")] = (kind, col)
-        elif re.fullmatch(r"\w+", item) and not aggs:
-            keys.append(item)
+            if it.alias is None:
+                return None  # unaliased aggregates: no result column
+            aggs[it.alias] = (kind, col)
+        elif it.is_column and it.alias is None and not aggs:
+            keys.append(it.expr)
         else:
-            return None   # expression keys / unaliased aggregates
+            return None   # expression keys / aliased keys
     return keys, aggs, exprs
 
 
@@ -141,98 +144,24 @@ def redact_sql(sql: str) -> str:
         return _PASSWORD_OPT_RE.sub(r"\1\2'<REDACTED>'", sql)
     return sql
 
-# the view shape WITH (MAINTENANCE 'delta') maintains incrementally:
-# single-table grouped sum with a strict > HAVING threshold (the q18
-# inner shape — streaming/delta_ivm.ThresholdSemijoinMV)
-_DELTA_MV_RE = re.compile(
-    r"^\s*SELECT\s+(?P<keys>[\w\s,]+?)\s*,\s*"
-    r"(?:SUM\s*\(\s*(?P<val>\w+)\s*\)|COUNT\s*\(\s*\*\s*\))"
-    r"\s+AS\s+(?P<alias>\w+)\s+"
-    r"FROM\s+(?P<table>\w+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
-    r"\s+HAVING\s+(?:SUM\s*\(\s*(?P<hval>\w+)\s*\)"
-    r"|COUNT\s*\(\s*\*\s*\))\s*>\s*"
-    r"(?P<thr>-?\d+(?:\.\d+)?)\s*;?\s*$",
-    re.I | re.S)
+_DELTA_SUPPORTED = (
+    "supported shapes: grouped aggregates (SUM/COUNT/MIN/MAX/AVG over "
+    "scalar expressions [+ HAVING]) over one table or a stateless "
+    "subquery; SELECT DISTINCT; grouped TopK (the ROW_NUMBER <= k "
+    "idiom); INNER/LEFT/FULL equi-join chains — plain, filtered, "
+    "GROUP BY aggregated, DISTINCT, or TopK'd; use a plain "
+    "MATERIALIZED VIEW (snapshot + REFRESH) for other shapes")
 
-# multi-aggregate delta-MV shape (no HAVING): SELECT keys, AGG(col) AS
-# a[, ...] FROM t [WHERE ...] GROUP BY keys — maintained by
-# RetractionAwareAgg (reference reduce plans: Accumulable for
-# sum/count/avg, Hierarchical for min/max under retractions,
-# src/compute-types/src/plan/reduce.rs)
-_DELTA_MV_AGG_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+"
-    r"FROM\s+(?P<table>\w+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
-    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
-    re.I | re.S)
+# the TopK outer filter: WHERE rn <= k over the ROW_NUMBER subquery —
+# a leaf pattern checked on one parsed WHERE span (never statement
+# dispatch; the tree walk happens in _plan_delta_mv over select_ast)
+_TOPK_FILTER_RE = re.compile(r"^\s*(?P<rn>\w+)\s*<=\s*(?P<k>\d+)\s*$")
 
-# DISTINCT delta-MV shape — the reference's reduce-with-no-aggregates
-# plan (src/compute-types/src/plan/reduce.rs Distinct), maintained by
-# net row multiplicity (streaming/retraction.RetractionAwareDistinct)
-_DELTA_MV_DISTINCT_RE = re.compile(
-    r"^\s*SELECT\s+DISTINCT\s+(?P<cols>[\w\s,]+?)\s+"
-    r"FROM\s+(?P<table>\w+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
-    re.I | re.S)
-
-_DELTA_AGG_ITEM_RE = re.compile(
-    r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<col>\*|.+)\s*\)"
-    r"\s+as\s+(?P<alias>\w+)$", re.I | re.S)
-
-# equi-join delta-MV shape, optionally with a grouped aggregate on top:
-# SELECT cols | keys, AGG(col) AS a[, ...] FROM t1 JOIN t2 ON k1 = k2
-# [WHERE ...] [GROUP BY keys] — maintained by the bilinear delta-join
-# ΔA⋈B + A⋈ΔB + ΔA⋈ΔB (reference linear_join.rs; operator
-# streaming/ivm_join.IncrementalJoinView), composed with
-# RetractionAwareAgg when grouped
-_JOIN_KIND = r"(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
-_JOIN_COND = r"\w+\s*=\s*\w+(?:\s+AND\s+\w+\s*=\s*\w+)*"
-_DELTA_MV_JOIN_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+"
-    r"FROM\s+(?P<t1>\w+)"
-    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+{_JOIN_COND})+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gkeys>[\w\s,]+?)"
-    r"(?:\s+HAVING\s+(?P<having>.+?))?)?\s*;?\s*$",
-    re.I | re.S)
-
-_DELTA_MV_JOIN_SEG_RE = re.compile(
-    rf"\s+(?P<kind>{_JOIN_KIND})JOIN\s+(?P<t>\w+)\s+ON\s+"
-    rf"(?P<cond>{_JOIN_COND})", re.I)
-_JOIN_PAIR_RE = re.compile(r"(\w+)\s*=\s*(\w+)")
-
-# grouped TopK over a join chain — the join→TopK composition (the
-# reference assembles these per-operator plans in render.rs; TopK plan
-# selection src/compute-types/src/plan/top_k.rs): the bilinear delta
-# join's output delta feeds RetractionAwareTopK directly.
-_DELTA_MV_TOPK_JOIN_RE = re.compile(
-    r"^\s*SELECT\s+(?P<cols>[\w\s,]+?)\s+FROM\s+\(\s*"
-    r"SELECT\s+(?P<icols>[\w\s,]+?)\s*,\s*ROW_NUMBER\s*\(\s*\)\s+"
-    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s+"
-    r"ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?\s*\)\s+"
-    r"AS\s+(?P<rn>\w+)\s+FROM\s+(?P<t1>\w+)"
-    rf"(?P<joins>(?:\s+{_JOIN_KIND}JOIN\s+\w+\s+ON\s+{_JOIN_COND})+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s+(?:AS\s+)?\w+)?\s+"
-    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*;?\s*$",
-    re.I | re.S)
-
-# grouped TopK delta-MV shape — the ROW_NUMBER idiom the reference
-# plans as TopK (src/compute-types/src/plan/top_k.rs; non-monotonic
-# "Basic" plan maintained by streaming/retraction.RetractionAwareTopK):
-# SELECT cols FROM (SELECT cols, ROW_NUMBER() OVER (PARTITION BY keys
-# ORDER BY col [DESC]) AS rn FROM t [WHERE ...]) [alias] WHERE rn <= k
-_DELTA_MV_TOPK_RE = re.compile(
-    r"^\s*SELECT\s+(?P<cols>[\w\s,]+?)\s+FROM\s+\(\s*"
-    r"SELECT\s+(?P<icols>[\w\s,]+?)\s*,\s*ROW_NUMBER\s*\(\s*\)\s+"
-    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s+"
-    r"ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?\s*\)\s+"
-    r"AS\s+(?P<rn>\w+)\s+FROM\s+(?P<table>\w+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s+(?:AS\s+)?\w+)?\s+"
-    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*;?\s*$",
-    re.I | re.S)
+# the q18 threshold shape's HAVING: AGG(arg) > n or alias > n — decides
+# ThresholdSemijoinMV vs the general RetractionAwareAgg + filter
+_THRESHOLD_HAVING_RE = re.compile(
+    r"^\s*(?:SUM\s*\(\s*(?P<val>\w+)\s*\)|COUNT\s*\(\s*\*\s*\)"
+    r"|(?P<alias>\w+))\s*>\s*(?P<thr>-?\d+(?:\.\d+)?)\s*$", re.I)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -554,49 +483,142 @@ class MzSession:
 
     # -- delta-maintained MVs (WITH (MAINTENANCE 'delta')) -------------------
     def _create_delta_mv(self, node: ast.CreateView) -> None:
-        """Always-fresh maintenance for the supported shape: the view
-        updates ON WRITE from each statement's delta (no REFRESH needed)
-        — the reference's defining behavior, powered by
-        streaming/delta_ivm.ThresholdSemijoinMV. Unsupported shapes get
-        an explicit error rather than silently degrading to snapshots."""
-        from pyspark.sql import functions as F
+        """Always-fresh maintenance: the view updates ON WRITE from each
+        statement's delta (no REFRESH needed) — the reference's defining
+        behavior. The body is parsed into a relational tree
+        (plans/select_ast.SelectQ) and _plan_delta_mv walks it,
+        assembling maintained operators per node the way the reference's
+        render.rs walks its optimized plan and selects per-operator
+        rendering plans (src/compute-types/src/plan/{reduce,top_k,
+        join}.rs). Unsupported shapes get an explicit error rather than
+        silently degrading to snapshots."""
+        from materialize_spark.plans.select_ast import parse_select
 
-        from materialize_spark.streaming.delta_ivm import ThresholdSemijoinMV
-
-        m = _DELTA_MV_RE.match(node.body)
-        if not m:
-            if self._create_delta_mv_agg(node) \
-                    or self._create_delta_mv_distinct(node) \
-                    or self._create_delta_mv_topk(node) \
-                    or self._create_delta_mv_join_topk(node) \
-                    or self._create_delta_mv_join(node):
-                return
+        try:
+            q = parse_select(node.body)
+        except (ast.ParseError, LexError) as ex:
             raise ValueError(
-                "MAINTENANCE 'delta' supports: grouped aggregates "
-                "(SUM/COUNT/MIN/MAX/AVG [+ HAVING SUM > n]) over one "
-                "table; grouped TopK (the ROW_NUMBER <= k idiom); "
-                "INNER/LEFT/FULL equi-join chains — plain, GROUP BY "
-                "aggregated, or TopK'd; use a plain MATERIALIZED VIEW "
-                "(snapshot + REFRESH) for other shapes")
-        keys = [k.strip() for k in m.group("keys").split(",")]
-        gkeys = [k.strip() for k in m.group("gkeys").split(",")]
+                f"MAINTENANCE 'delta': cannot parse the view body for "
+                f"incremental maintenance ({ex}); " + _DELTA_SUPPORTED)
+        self._plan_delta_mv(node, q)
+
+    def _plan_delta_mv(self, node: ast.CreateView, q) -> None:
+        """Dispatch a parsed view body onto maintained operators:
+        subquery forms (TopK idiom, agg-over-map), join chains, and
+        single-table reduce/distinct."""
+        if q.sub is not None:
+            if self._plan_delta_topk(node, q) \
+                    or self._plan_delta_agg_over_subquery(node, q):
+                return
+        elif q.joins:
+            if self._plan_delta_join(node, q):
+                return
+        elif q.group_by:
+            if self._plan_delta_single_agg(node, q):
+                return
+        elif q.distinct:
+            if self._plan_delta_distinct(node, q):
+                return
+        raise ValueError(
+            "MAINTENANCE 'delta' does not support this shape; "
+            + _DELTA_SUPPORTED)
+
+    def _delta_check_table(self, table: str) -> None:
+        if table not in self.catalog._tables:
+            raise KeyError(f"unknown table {table!r}")
+
+    def _install_delta_mv(self, name: str, spec: dict) -> None:
+        """Register a single-table delta MV and form it: the table's
+        current rows are the first insert batch."""
+        from pyspark.sql import functions as F
+        self._delta_mvs[name] = spec
+        self._feed_delta_mv(name, self.catalog._tables[spec["table"]]
+                            .withColumn("diff", F.lit(1)), initial=True)
+
+    def _plan_delta_single_agg(self, node: ast.CreateView, q,
+                               pre: list[str] | None = None,
+                               pre_where: str | None = None) -> bool:
+        """Grouped aggregate over one table: SELECT keys, AGG(expr) AS
+        a[, ...] FROM t [WHERE] GROUP BY keys [HAVING ...] with AGG in
+        SUM/COUNT/MIN/MAX/AVG. Plan selection mirrors the reference's
+        reduce plans (src/compute-types/src/plan/reduce.rs): the q18
+        single-SUM/COUNT strict-threshold shape uses ThresholdSemijoinMV
+        (Accumulable + semijoin threshold); everything else uses
+        RetractionAwareAgg (Accumulable for sum/count/avg, Hierarchical
+        support for min/max under retractions) with HAVING as a Filter
+        over the maintained result. ``pre``/``pre_where`` carry an
+        inner stateless Map/Filter (agg-over-subquery composition)."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg,
+        )
+
+        parsed = _classify_agg_items(q.items)
+        if parsed is None:
+            return False
+        keys, aggs, exprs = parsed
+        if not aggs or not keys:
+            return False
+        gkeys = [k.strip() for k in q.group_by]
         if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
             raise ValueError("MAINTENANCE 'delta': the SELECT keys must "
                              "equal the GROUP BY keys")
-        table = m.group("table")
-        if table not in self.catalog._tables:
-            raise KeyError(f"unknown table {table!r}")
-        val, alias = m.group("val"), m.group("alias")
-        if (val is None) != (m.group("hval") is None) or (
-                val and m.group("hval")
-                and val.lower() != m.group("hval").lower()):
+        self._delta_check_table(q.table)
+        having = q.having
+        if having is not None:
+            thr_spec = self._threshold_plan(node, q, keys, aggs, exprs,
+                                            pre, pre_where)
+            if thr_spec is not None:
+                self._install_delta_mv(node.name, thr_spec)
+                return True
+            having = _having_over_aliases(having, aggs, exprs)
+            if having is None:
+                return False  # HAVING over unselected aggregates
+        mv = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
+        spec = {"mv": mv, "table": q.table, "keys": keys, "aggs": aggs,
+                "where": q.where, "kind": "agg",
+                "having": having, "exprs": exprs,
+                "pre": pre, "pre_where": pre_where}
+        self._install_delta_mv(node.name, spec)
+        return True
+
+    def _threshold_plan(self, node: ast.CreateView, q,
+                        keys: list[str], aggs: dict, exprs: dict,
+                        pre: list[str] | None,
+                        pre_where: str | None) -> dict | None:
+        """The q18 inner shape: a single SUM(col)/COUNT(*) with a strict
+        > threshold HAVING — maintained by ThresholdSemijoinMV (the
+        accumulable reduce + threshold semijoin fast path). None when
+        the body is not this shape (the general agg plan handles it)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.delta_ivm import (
+            ThresholdSemijoinMV,
+        )
+
+        if len(aggs) != 1 or exprs:
+            return None
+        alias, (kind, col) = next(iter(aggs.items()))
+        if kind not in ("sum", "count"):
+            return None
+        m = _THRESHOLD_HAVING_RE.match(q.having)
+        if m is None:
+            return None
+        hval, halias = m.group("val"), m.group("alias")
+        if hval is not None:
+            if kind != "sum" or hval.lower() != col.lower():
+                raise ValueError("MAINTENANCE 'delta': HAVING must "
+                                 "repeat the SELECT aggregate")
+        elif halias is not None:
+            if halias.lower() != alias.lower():
+                return None  # HAVING over a key: general plan decides
+        elif kind != "count":
             raise ValueError("MAINTENANCE 'delta': HAVING must repeat "
                              "the SELECT aggregate")
         thr = float(m.group("thr"))
-        where = m.group("where")
+        val = None if col == "__one" else col
 
-        def enrich(q):
-            out = q.select(*keys, F.col("__sum").alias(alias))
+        def enrich(out):
+            out = out.select(*keys, F.col("__sum").alias(alias))
             if val is None:  # COUNT(*): integral output
                 out = out.withColumn(alias, F.col(alias).cast("long"))
             return out
@@ -604,138 +626,157 @@ class MzSession:
         mv = ThresholdSemijoinMV(self.spark, keys=keys,
                                  val=val or "__one",
                                  having=lambda s: s > thr, enrich=enrich)
-        spec = {"mv": mv, "table": table, "keys": keys, "val": val,
-                "where": where}
-        self._delta_mvs[node.name] = spec
-        # formation: the table's current rows are the first insert batch
-        self._feed_delta_mv(node.name, self.catalog._tables[table]
-                            .withColumn("diff", F.lit(1)), initial=True)
+        return {"mv": mv, "table": q.table, "keys": keys, "val": val,
+                "where": q.where, "pre": pre, "pre_where": pre_where}
 
-    def _create_delta_mv_agg(self, node: ast.CreateView) -> bool:
-        """Multi-aggregate delta MV: SELECT keys, AGG(col) AS a[, ...]
-        FROM t [WHERE] GROUP BY keys with AGG in SUM/COUNT/MIN/MAX/AVG.
-        Accumulable aggregates (sum/count/avg) maintain by merge;
-        min/max maintain hierarchically from a consolidated support
-        multiset, correct under DELETE/UPDATE retractions (reference
-        reduce plans, src/compute-types/src/plan/reduce.rs Accumulable
-        vs Hierarchical; streaming/retraction.py). Returns False when
-        the body is not this shape."""
-        from pyspark.sql import functions as F
-
-        from materialize_spark.streaming.retraction import (
-            RetractionAwareAgg,
-        )
-
-        m = _DELTA_MV_AGG_RE.match(node.body)
-        if not m:
-            return False
-        parsed = _parse_agg_select(m.group("select"))
-        if parsed is None:
-            return False
-        keys, aggs, exprs = parsed
-        if not aggs or not keys:
-            return False
-        gkeys = [k.strip() for k in m.group("gkeys").split(",")]
-        if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
-            raise ValueError("MAINTENANCE 'delta': the SELECT keys must "
-                             "equal the GROUP BY keys")
-        table = m.group("table")
-        if table not in self.catalog._tables:
-            raise KeyError(f"unknown table {table!r}")
-        having = m.group("having")
-        if having is not None:
-            having = _having_over_aliases(having, aggs, exprs)
-            if having is None:
-                return False  # HAVING over unselected aggregates
-        mv = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
-        spec = {"mv": mv, "table": table, "keys": keys, "aggs": aggs,
-                "where": m.group("where"), "kind": "agg",
-                "having": having, "exprs": exprs}
-        self._delta_mvs[node.name] = spec
-        self._feed_delta_mv(node.name, self.catalog._tables[table]
-                            .withColumn("diff", F.lit(1)), initial=True)
-        return True
-
-    def _create_delta_mv_distinct(self, node: ast.CreateView) -> bool:
+    def _plan_delta_distinct(self, node: ast.CreateView, q) -> bool:
         """SELECT DISTINCT delta MV (reference reduce.rs Distinct plan):
         net row multiplicity decides visibility, so deletes of one
         duplicate keep the row and deletes of the last one retire it."""
-        from pyspark.sql import functions as F
-
         from materialize_spark.streaming.retraction import (
             RetractionAwareDistinct,
         )
 
-        m = _DELTA_MV_DISTINCT_RE.match(node.body)
-        if not m:
+        if not all(it.is_column and it.alias is None for it in q.items):
             return False
-        cols = [c.strip() for c in m.group("cols").split(",")]
-        if not all(re.fullmatch(r"\w+", c) for c in cols):
-            return False
-        table = m.group("table")
-        if table not in self.catalog._tables:
-            raise KeyError(f"unknown table {table!r}")
+        cols = [it.expr for it in q.items]
+        self._delta_check_table(q.table)
         mv = RetractionAwareDistinct(self.spark, cols=cols)
-        spec = {"mv": mv, "table": table, "cols": cols,
-                "where": m.group("where"), "kind": "distinct"}
-        self._delta_mvs[node.name] = spec
-        self._feed_delta_mv(node.name, self.catalog._tables[table]
-                            .withColumn("diff", F.lit(1)), initial=True)
+        spec = {"mv": mv, "table": q.table, "cols": cols,
+                "where": q.where, "kind": "distinct"}
+        self._install_delta_mv(node.name, spec)
         return True
 
-    def _create_delta_mv_topk(self, node: ast.CreateView) -> bool:
+    @staticmethod
+    def _topk_shape(q):
+        """Recognize the grouped-TopK idiom on a parsed tree: outer
+        ``SELECT cols FROM (inner) WHERE rn <= k`` where the inner
+        select list is plain columns + one ROW_NUMBER() OVER (PARTITION
+        BY keys ORDER BY col) AS rn. Returns (cols, icols, keys, ord,
+        desc, k, inner) or None."""
+        inner = q.sub
+        if (q.distinct or q.group_by or q.having or q.joins
+                or q.where is None or inner.distinct or inner.group_by
+                or inner.having):
+            return None
+        m = _TOPK_FILTER_RE.match(q.where)
+        if m is None:
+            return None
+        rn_item = None
+        icols: list[str] = []
+        for it in inner.items:
+            if it.row_number is not None:
+                if rn_item is not None:
+                    return None
+                rn_item = it
+            elif it.is_column and it.alias is None:
+                icols.append(it.expr)
+            else:
+                return None
+        if rn_item is None or rn_item.alias is None \
+                or rn_item.alias.lower() != m.group("rn").lower():
+            return None
+        if not all(it.is_column and it.alias is None for it in q.items):
+            return None
+        cols = [it.expr for it in q.items]
+        keys, ord_col, desc = rn_item.row_number
+        low = {c.lower() for c in icols}
+        if not all(c.lower() in low for c in cols) \
+                or not all(re.fullmatch(r"\w+", k) and k.lower() in low
+                           for k in keys) \
+                or ord_col.lower() not in low:
+            return None
+        return cols, icols, keys, ord_col, desc, int(m.group("k")), inner
+
+    def _plan_delta_topk(self, node: ast.CreateView, q) -> bool:
         """Grouped TopK delta MV via the ROW_NUMBER idiom (the shape
         the reference plans as TopK, src/compute-types/src/plan/
-        top_k.rs). Maintained by RetractionAwareTopK: the full
-        compacted support survives deletes that evict a current top-k
-        row (the non-monotonic 'Basic' plan's guarantee)."""
-        from pyspark.sql import functions as F
-
+        top_k.rs), over one table or a join chain. Maintained by
+        RetractionAwareTopK: the full compacted support survives
+        deletes that evict a current top-k row (the non-monotonic
+        'Basic' plan's guarantee); over joins, the bilinear chain's
+        output delta feeds the TopK directly — the per-operator plan
+        composition render.rs performs."""
         from materialize_spark.streaming.retraction import (
             RetractionAwareTopK,
         )
 
-        m = _DELTA_MV_TOPK_RE.match(node.body)
-        if not m or m.group("rn").lower() != m.group("rn2").lower():
+        shape = self._topk_shape(q)
+        if shape is None:
             return False
-        cols = [c.strip() for c in m.group("cols").split(",")]
-        icols = [c.strip() for c in m.group("icols").split(",")]
-        keys = [k.strip() for k in m.group("keys").split(",")]
-        low = {c.lower() for c in icols}
-        if not all(c.lower() in low for c in cols) \
-                or not all(k.lower() in low for k in keys) \
-                or m.group("ord").lower() not in low:
-            return False
-        table = m.group("table")
-        if table not in self.catalog._tables:
-            raise KeyError(f"unknown table {table!r}")
+        cols, icols, keys, ord_col, desc, k, inner = shape
         mv = RetractionAwareTopK(
-            self.spark, keys=keys, order_col=m.group("ord"),
-            limit=int(m.group("k")),
-            descending=(m.group("dir") or "ASC").upper() == "DESC",
-            spill_rows=_TOPK_SPILL_ROWS)
-        spec = {"mv": mv, "table": table, "keys": keys, "icols": icols,
-                "cols": cols, "where": m.group("where"), "kind": "topk"}
-        self._delta_mvs[node.name] = spec
-        self._feed_delta_mv(node.name, self.catalog._tables[table]
-                            .withColumn("diff", F.lit(1)), initial=True)
+            self.spark, keys=keys, order_col=ord_col, limit=k,
+            descending=desc, spill_rows=_TOPK_SPILL_ROWS)
+        if inner.joins:
+            parsed = self._normalize_join_chain(inner)
+            if parsed is None:
+                return False
+            tables, norm_links, kinds, acc_cols = parsed
+            if not all(c in acc_cols for c in icols):
+                return False
+            chain = self._build_delta_join_chain(tables, norm_links,
+                                                 kinds)
+            spec = {"kind": "join", "tables": tuple(tables),
+                    "chain": chain, "links": norm_links, "kinds": kinds,
+                    "agg": None, "keys": keys, "aggs": {}, "cols": cols,
+                    "where": inner.where, "proj": None, "table": None,
+                    "topk": {"mv": mv, "icols": icols}}
+            self._delta_mvs[node.name] = spec
+            self._form_delta_mv_join(node.name)
+            return True
+        self._delta_check_table(inner.table)
+        spec = {"mv": mv, "table": inner.table, "keys": keys,
+                "icols": icols, "cols": cols, "where": inner.where,
+                "kind": "topk"}
+        self._install_delta_mv(node.name, spec)
         return True
 
-    def _parse_delta_join_chain(self, t1: str, joins_text: str):
-        """Parse a left-deep join chain ``t1 [kind] JOIN t2 ON a = b
-        [AND c = d ...] ...`` into (tables, norm_links, kinds,
-        acc_cols) where each norm_link is a LIST of (acc-side key,
-        right key) pairs and kind ∈ inner|left|full; None when the
-        chain is out of the supported shape."""
-        tables = [t1]
+    def _plan_delta_agg_over_subquery(self, node: ast.CreateView,
+                                      q) -> bool:
+        """Aggregate over a stateless subquery: ``SELECT keys, AGG(..)
+        FROM (SELECT <scalar exprs> FROM t [WHERE ..]) GROUP BY keys``.
+        The inner Map/Filter carries no state, so it composes as a
+        per-delta transform in front of the maintained reduce — the way
+        the reference fuses Map/Filter/Project into the surrounding
+        rendered operators (mfp fusion in src/compute/src/render.rs)."""
+        inner = q.sub
+        if (inner.joins or inner.group_by or inner.having
+                or inner.distinct or inner.sub is not None
+                or not q.group_by):
+            return False
+        pre: list[str] = []
+        for it in inner.items:
+            if it.alias is not None:
+                pre.append(f"{rewrite(it.expr)} AS {it.alias}")
+            elif it.is_column:
+                pre.append(it.expr)
+            else:
+                return False  # unaliased expression: no output name
+        q2 = type(q)(items=q.items, distinct=q.distinct,
+                     table=inner.table, where=q.where,
+                     group_by=q.group_by, having=q.having)
+        return self._plan_delta_single_agg(
+            node, q2, pre=pre,
+            pre_where=rewrite(inner.where) if inner.where else None)
+
+    def _normalize_join_chain(self, q):
+        """Normalize a parsed left-deep join chain (select_ast.SelectQ
+        with JoinSeg links) into (tables, norm_links, kinds, acc_cols)
+        where each norm_link is a LIST of (acc-side key, right key)
+        pairs and kind ∈ inner|left|full; None when the chain is out
+        of the supported shape."""
+        tables = [q.table]
         links: list[list[tuple[str, str]]] = []
         kinds: list[str] = []
-        for seg in _DELTA_MV_JOIN_SEG_RE.finditer(joins_text):
-            tables.append(seg.group("t"))
-            links.append([(a, b) for a, b
-                          in _JOIN_PAIR_RE.findall(seg.group("cond"))])
-            k = (seg.group("kind") or "").strip().lower().split()
-            kinds.append(k[0] if k else "inner")
+        for seg in q.joins:
+            if seg.kind == "right":
+                raise ValueError(
+                    "MAINTENANCE 'delta': RIGHT JOIN is not supported — "
+                    "rewrite as the mirrored LEFT JOIN")
+            tables.append(seg.table)
+            links.append(list(seg.pairs))
+            kinds.append(seg.kind)
         if len(set(tables)) != len(tables):
             return None  # self-joins keep two states of one table: out
         for t in tables:
@@ -799,7 +840,8 @@ class MzSession:
             rcols = [c for c in right.columns
                      if c not in onrs or c in kept]
             if kind == "inner":
-                chain.append(IncrementalJoinView(on=on))
+                chain.append(IncrementalJoinView(
+                    on=on, spill_rows=_TOPK_SPILL_ROWS))
             else:
                 # same-name keys (USING-style) coalesce: the key column
                 # keeps the right side's value on unmatched-right rows
@@ -810,60 +852,55 @@ class MzSession:
                     pad_right=[(c, types[c]) for c in rcols],
                     how=kind,
                     pad_left=[(c, types[c]) for c in acc
-                              if c not in same]))
+                              if c not in same],
+                    spill_rows=_TOPK_SPILL_ROWS))
             acc += rcols
         return chain
 
-    def _create_delta_mv_join(self, node: ast.CreateView) -> bool:
+    def _plan_delta_join(self, node: ast.CreateView, q) -> bool:
         """Equi-join delta MV (INNER / LEFT / FULL links), optionally
         with a grouped aggregate: maintained by the bilinear delta-join
         ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — never a re-join of the histories — with
         null-padded anti parts for outer links, composed with
         RetractionAwareAgg for the GROUP BY form (reference
         src/compute/src/render/join/linear_join.rs; the q3/q5 'dim
-        join + grouped sum' always-fresh shape)."""
-        from pyspark.sql import functions as F
-
+        join + grouped sum' always-fresh shape). WHERE may reference
+        any column of the joined output — it filters the chain's
+        output delta."""
         from materialize_spark.streaming.retraction import (
             RetractionAwareAgg,
         )
 
-        m = _DELTA_MV_JOIN_RE.match(node.body)
-        if not m:
-            return False
         # left-deep chain: t1 JOIN t2 ON .. [JOIN t3 ON ..]* — link i
         # joins the accumulated left side with tables[i+1] (the
         # reference's linear join plans compose the same way)
-        parsed = self._parse_delta_join_chain(m.group("t1"),
-                                              m.group("joins"))
+        parsed = self._normalize_join_chain(q)
         if parsed is None:
             return False
         tables, norm_links, kinds, acc_cols = parsed
         keys: list[str] = []
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
-        select = m.group("select")
-        distinct = bool(re.match(r"\s*DISTINCT\b", select, re.I))
-        if distinct:
-            if m.group("gkeys"):
-                return False  # DISTINCT + GROUP BY: out of shape
-            select = re.sub(r"^\s*DISTINCT\s+", "", select, flags=re.I)
         exprs: dict[str, str] = {}
-        if m.group("gkeys"):
-            parsed_sel = _parse_agg_select(select)
+        if q.distinct and q.group_by:
+            return False  # DISTINCT + GROUP BY: out of shape
+        if q.group_by:
+            parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
             keys, aggs, exprs = parsed_sel
-            gkeys = [k.strip() for k in m.group("gkeys").split(",")]
+            gkeys = [k.strip() for k in q.group_by]
             if not aggs or [k.lower() for k in keys] != \
                     [k.lower() for k in gkeys]:
                 return False
         else:
-            cols = [c.strip() for c in select.split(",")]
-            if not all(re.fullmatch(r"\w+", c) and c in acc_cols
-                       for c in cols):
+            if not all(it.is_column and it.alias is None
+                       for it in q.items):
                 return False
-        having = m.group("having")
+            cols = [it.expr for it in q.items]
+            if not all(c in acc_cols for c in cols):
+                return False
+        having = q.having
         if having is not None:
             having = _having_over_aliases(having, aggs, exprs)
             if having is None:
@@ -872,7 +909,7 @@ class MzSession:
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
         dmv = None
-        if distinct:
+        if q.distinct:
             from materialize_spark.streaming.retraction import (
                 RetractionAwareDistinct,
             )
@@ -880,52 +917,9 @@ class MzSession:
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": agg,
                 "keys": keys, "aggs": aggs, "cols": cols,
-                "where": m.group("where"), "having": having,
+                "where": q.where, "having": having,
                 "proj": None, "table": None, "topk": None,
                 "distinct": dmv, "exprs": exprs}
-        self._delta_mvs[node.name] = spec
-        self._form_delta_mv_join(node.name)
-        return True
-
-    def _create_delta_mv_join_topk(self, node: ast.CreateView) -> bool:
-        """Join→TopK composition: the grouped-TopK ROW_NUMBER idiom over
-        a join chain. The chain's output delta feeds RetractionAwareTopK
-        — the per-operator plan composition the reference's render.rs
-        performs (reduce/top_k/join plan selection in
-        src/compute-types/src/plan/)."""
-        from materialize_spark.streaming.retraction import (
-            RetractionAwareTopK,
-        )
-
-        m = _DELTA_MV_TOPK_JOIN_RE.match(node.body)
-        if not m or m.group("rn").lower() != m.group("rn2").lower():
-            return False
-        parsed = self._parse_delta_join_chain(m.group("t1"),
-                                              m.group("joins"))
-        if parsed is None:
-            return False
-        tables, norm_links, kinds, acc_cols = parsed
-        cols = [c.strip() for c in m.group("cols").split(",")]
-        icols = [c.strip() for c in m.group("icols").split(",")]
-        keys = [k.strip() for k in m.group("keys").split(",")]
-        low = {c.lower() for c in icols}
-        if not all(c.lower() in low for c in cols) \
-                or not all(k.lower() in low for k in keys) \
-                or m.group("ord").lower() not in low \
-                or not all(c in acc_cols for c in icols):
-            return False
-        mv = RetractionAwareTopK(
-            self.spark, keys=keys, order_col=m.group("ord"),
-            limit=int(m.group("k")),
-            descending=(m.group("dir") or "ASC").upper() == "DESC",
-            spill_rows=_TOPK_SPILL_ROWS)
-        chain = self._build_delta_join_chain(tables, norm_links, kinds)
-        spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
-                "links": norm_links, "kinds": kinds, "agg": None,
-                "keys": keys, "aggs": {}, "cols": cols,
-                "where": m.group("where"),
-                "proj": None, "table": None,
-                "topk": {"mv": mv, "icols": icols}}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
         return True
@@ -1066,6 +1060,15 @@ class MzSession:
 
         from materialize_spark.streaming.history import RetainedHistory
         spec = self._delta_mvs[name]
+        if spec.get("pre_where"):
+            # inner stateless filter (agg-over-subquery composition):
+            # applied to the base delta before the inner projection
+            delta = delta.filter(
+                f"coalesce(({spec['pre_where']}), false)")
+        if spec.get("pre"):
+            # inner stateless Map/Project: rename/compute the columns
+            # the outer reduce consumes (mfp fusion per delta)
+            delta = delta.selectExpr(*spec["pre"], "diff")
         if spec["where"]:
             delta = delta.filter(f"coalesce(({rewrite(spec['where'])}), "
                                  "false)")

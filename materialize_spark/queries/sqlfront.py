@@ -1152,6 +1152,99 @@ def sqlfront_delta_mv_having(spark, sf_dir):
 
 
 @register(
+    "sqlfront_delta_mv_ast_filter",
+    """
+    -- oracle: recompute of the final net state — the WHERE mixes
+    -- columns of BOTH join sides with parens, OR, and a string
+    -- literal containing SQL keywords (regex-immune; the AST
+    -- dispatcher captures the span token-exactly)
+    WITH ord(ok, o_ck, amt, note) AS (VALUES
+        (101, 1, 12, 'x'), (102, 2, 60, 'JOIN ON WHERE'),
+        (105, 2, 9, 'x')),
+    cust(c_ck, seg) AS (VALUES (1, 'AUTO'), (2, 'BLDG'))
+    SELECT CAST(ok AS BIGINT) AS ok, seg, CAST(amt AS BIGINT) AS amt
+    FROM ord JOIN cust ON o_ck = c_ck
+    WHERE (amt > 50 AND seg = 'BLDG') OR note = 'JOIN ON WHERE'
+       OR (seg = 'AUTO' AND amt < 20)
+    ORDER BY ok
+    """,
+    "sqlfront", "delta-mv", "ast-dispatch",
+)
+def sqlfront_delta_mv_ast_filter(spark, sf_dir):
+    """Delta MV whose WHERE filters the JOIN OUTPUT with a compound
+    predicate over both sides — parenthesized OR branches and a string
+    literal full of SQL keywords. The regex-era matcher misparsed
+    bodies like this; the AST dispatcher (plans/select_ast.py walked
+    by _plan_delta_mv) captures clause spans at token level, the way
+    the reference plans from its parsed MIR rather than SQL text
+    (src/compute/src/render.rs). Churn crosses the predicate in both
+    directions with no REFRESH."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE daf_ord (ok BIGINT, o_ck BIGINT, "
+                 "amt BIGINT, note STRING)")
+    sess.execute("CREATE TABLE daf_cust (c_ck BIGINT, seg STRING)")
+    sess.execute("INSERT INTO daf_cust VALUES (1, 'AUTO'), (2, 'BLDG')")
+    sess.execute(
+        "CREATE MATERIALIZED VIEW daf_mv WITH (MAINTENANCE 'delta') AS "
+        "SELECT ok, seg, amt FROM daf_ord JOIN daf_cust ON o_ck = c_ck "
+        "WHERE (amt > 50 AND seg = 'BLDG') OR note = 'JOIN ON WHERE' "
+        "OR (seg = 'AUTO' AND amt < 20)")
+    sess.execute("INSERT INTO daf_ord VALUES "
+                 "(100, 1, 80, 'x'), (101, 1, 30, 'x'), "
+                 "(102, 2, 60, 'JOIN ON WHERE'), (103, 2, 99, 'x')")
+    # churn: 103 leaves (delete), 101 enters (amt drops under 20),
+    # 105 arrives below every branch except none (stays out… then the
+    # AUTO branch is irrelevant: seg BLDG, amt 9 → filtered out)
+    sess.execute("DELETE FROM daf_ord WHERE ok = 103")
+    sess.execute("UPDATE daf_ord SET amt = 12 WHERE ok = 101")
+    sess.execute("INSERT INTO daf_ord VALUES (105, 2, 9, 'x')")
+    sess.execute("DELETE FROM daf_ord WHERE ok = 100")
+    return sess.sql("SELECT ok, seg, amt FROM daf_mv ORDER BY ok")
+
+
+@register(
+    "sqlfront_delta_mv_ast_subquery",
+    """
+    -- oracle: recompute of the final net state of the agg-over-
+    -- subquery body (inner stateless Map/Filter, outer grouped SUM)
+    WITH t(k, v, tag) AS (VALUES
+        ('aa', 4, 'keep'), ('ab', 6, 'keep'), ('ba', 10, 'keep'),
+        ('bb', 3, 'keep'))
+    SELECT upper(substr(k, 1, 1)) AS grp,
+           CAST(SUM(v * 2) AS BIGINT) AS doubled,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE tag = 'keep' AND v > 3
+    GROUP BY upper(substr(k, 1, 1)) ORDER BY grp
+    """,
+    "sqlfront", "delta-mv", "ast-dispatch",
+)
+def sqlfront_delta_mv_ast_subquery(spark, sf_dir):
+    """Aggregate over a SUBQUERY under delta maintenance: the inner
+    SELECT is a stateless Map/Filter (scalar expressions + WHERE), so
+    it composes as a per-delta transform in front of the maintained
+    reduce — the reference's map/filter/project fusion into rendered
+    operators (src/compute/src/render.rs). The regex-era matcher had
+    no nested-FROM form at all. Churn exercises retraction through
+    the inner projection (UPDATE moves a row across the inner filter)."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE das_t (k STRING, v BIGINT, tag STRING)")
+    sess.execute(
+        "CREATE MATERIALIZED VIEW das_mv WITH (MAINTENANCE 'delta') AS "
+        "SELECT grp, SUM(dv) AS doubled, COUNT(*) AS n FROM "
+        "(SELECT upper(substr(k, 1, 1)) AS grp, v * 2 AS dv FROM das_t "
+        "WHERE tag = 'keep' AND v > 3) GROUP BY grp")
+    sess.execute("INSERT INTO das_t VALUES ('aa', 4, 'keep'), "
+                 "('ab', 6, 'keep'), ('ba', 2, 'keep'), "
+                 "('bb', 3, 'keep'), ('ca', 9, 'drop')")
+    # churn: 'ba' crosses INTO the inner filter via UPDATE; the 'drop'
+    # row stays invisible; one qualifying row is deleted and re-added
+    sess.execute("UPDATE das_t SET v = 10 WHERE k = 'ba'")
+    sess.execute("DELETE FROM das_t WHERE k = 'ab'")
+    sess.execute("INSERT INTO das_t VALUES ('ab', 6, 'keep')")
+    return sess.sql("SELECT grp, doubled, n FROM das_mv ORDER BY grp")
+
+
+@register(
     "sqlfront_ws_api",
     """
     -- oracle: literal truth of the WS conversation — two ad-hoc rows,

@@ -21,7 +21,12 @@ linear join plans.
 State sizing at 100 TB: history frames are the join-key-partitioned net
 collections (localCheckpoint here; a real deployment would persist them as
 bucketed tables on the join key — sources/bucketing.py — making every
-maintenance join shuffle-free).
+maintenance join shuffle-free). Past ``spill_rows`` each side's folded
+history moves to the hash-prefix-partitioned parquet tier
+(streaming/state_spill.SpilledPartsState) and every probe prunes to the
+delta's touched key prefixes BEFORE any I/O — the same treatment the
+TopK/dedup/q18 delta operators have, so a delta-maintained join over a
+growing fact table no longer holds both histories in executor memory.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from materialize_spark.operators.setops import DIFF_COL
+from materialize_spark.streaming.state_spill import SpilledPartsState
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -65,6 +71,45 @@ def _concat(parts: list[DataFrame]) -> DataFrame | None:
 
 
 @dataclass
+class _JoinSideState:
+    """One join side's history: append-only checkpointed parts with the
+    optional hash-prefix-partitioned spill tier past ``spill_rows``
+    (streaming/state_spill.SpilledPartsState — the same layout the
+    TopK/dedup/q18 delta state uses). ``frame(touched)`` is the probe
+    input: memory parts ∪ the spilled tier pruned to the touched keys'
+    prefixes BEFORE any I/O, so per-batch reads stay
+    O(state/prefixes × touched-prefixes), never O(state)."""
+
+    on: list[str]
+    name: str = "join_side"
+    spill_rows: int | None = None
+    compact_every: int = 16
+    _st: SpilledPartsState | None = field(default=None, init=False)
+    _appends: int = field(default=0, init=False)
+
+    def append(self, delta: DataFrame) -> None:
+        if self._st is None:
+            self._st = SpilledPartsState(
+                delta.sparkSession, key_cols=list(self.on),
+                name=self.name, spill_rows=self.spill_rows)
+        self._st.append(_ckpt(delta))
+        self._appends += 1
+        if self._appends >= self.compact_every:  # amortized fold
+            self._appends = 0
+            full = self._st.full_frame()
+            folded = _consolidate(None, full)
+            self._st.replace(folded if folded is not None
+                             else full.limit(0))
+
+    def frame(self, touched: DataFrame | None = None) -> DataFrame | None:
+        """The state visible to one probe, pruned to ``touched``'s key
+        prefixes when the spilled tier is engaged."""
+        if self._st is None:
+            return None
+        return self._st.probe_frame(touched)
+
+
+@dataclass
 class IncrementalJoinView:
     """An inner equi-join maintained incrementally from two diff streams.
 
@@ -85,9 +130,18 @@ class IncrementalJoinView:
 
     on: list[str]
     compact_every: int = 16
-    _left: list[DataFrame] = field(default_factory=list, init=False)
-    _right: list[DataFrame] = field(default_factory=list, init=False)
+    spill_rows: int | None = None
+    _left: _JoinSideState = field(init=False)
+    _right: _JoinSideState = field(init=False)
     _result: list[DataFrame] = field(default_factory=list, init=False)
+
+    def __post_init__(self) -> None:
+        self._left = _JoinSideState(
+            on=list(self.on), name="join_left",
+            spill_rows=self.spill_rows, compact_every=self.compact_every)
+        self._right = _JoinSideState(
+            on=list(self.on), name="join_right",
+            spill_rows=self.spill_rows, compact_every=self.compact_every)
 
     def _term(self, a: DataFrame | None, b: DataFrame | None) -> DataFrame | None:
         if a is None or b is None:
@@ -106,22 +160,20 @@ class IncrementalJoinView:
         right_delta: DataFrame | None = None,
     ) -> DataFrame | None:
         """Fold one batch; returns the join's output delta (or None if no
-        output rows changed)."""
+        output rows changed). Each Δ⋈state term probes the opposite
+        side's state pruned to the delta's touched key prefixes."""
         terms = [
-            self._term(left_delta, _concat(self._right)),  # ΔA ⋈ B_old
-            self._term(_concat(self._left), right_delta),  # A_old ⋈ ΔB
-            self._term(left_delta, right_delta),           # ΔA ⋈ ΔB
+            self._term(left_delta,
+                       self._right.frame(left_delta)),   # ΔA ⋈ B_old
+            self._term(self._left.frame(right_delta),
+                       right_delta),                     # A_old ⋈ ΔB
+            self._term(left_delta, right_delta),         # ΔA ⋈ ΔB
         ]
         terms = [t for t in terms if t is not None]
-        for parts, delta in ((self._left, left_delta),
-                             (self._right, right_delta)):
-            if delta is not None:
-                parts.append(_ckpt(delta))
-            if len(parts) >= self.compact_every:  # amortized fold
-                folded = _consolidate(None, _concat(parts))
-                parts.clear()
-                if folded is not None:
-                    parts.append(folded)
+        if left_delta is not None:
+            self._left.append(left_delta)
+        if right_delta is not None:
+            self._right.append(right_delta)
         if not terms:
             return None
         out = terms[0]
@@ -192,8 +244,9 @@ class IncrementalOuterJoinView:
     how: str = "left"                      # "left" | "full"
     pad_left: list[tuple[str, str]] = field(default_factory=list)
     compact_every: int = 16
-    _left: list[DataFrame] = field(default_factory=list, init=False)
-    _right: list[DataFrame] = field(default_factory=list, init=False)
+    spill_rows: int | None = None
+    _left: _JoinSideState = field(init=False)
+    _right: _JoinSideState = field(init=False)
     _result: list[DataFrame] = field(default_factory=list, init=False)
 
     def __post_init__(self) -> None:
@@ -201,6 +254,12 @@ class IncrementalOuterJoinView:
             raise ValueError(f"unsupported outer-join kind {self.how!r}")
         if self.how == "full" and not self.pad_left:
             raise ValueError("FULL join needs pad_left column types")
+        self._left = _JoinSideState(
+            on=list(self.on), name="ojoin_left",
+            spill_rows=self.spill_rows, compact_every=self.compact_every)
+        self._right = _JoinSideState(
+            on=list(self.on), name="ojoin_right",
+            spill_rows=self.spill_rows, compact_every=self.compact_every)
 
     # -- helpers --------------------------------------------------------------
     def _inner_term(self, a, b):
@@ -251,27 +310,36 @@ class IncrementalOuterJoinView:
                                  & (F.col("__nn") > 0)).select(*on)
         return to_absent, to_present
 
-    def _anti_terms(self, side_old, side_delta, other_old, other_delta,
+    def _anti_terms(self, side_state: _JoinSideState, side_delta,
+                    other_state: _JoinSideState, other_delta,
                     pads: list[tuple[str, str]]) -> list[DataFrame]:
         """Anti-part delta for one side (the side that survives
-        unmatched, null-padded on ``pads`` = the other side's columns)."""
+        unmatched, null-padded on ``pads`` = the other side's columns).
+        Every state read is probed pruned to the relevant delta's
+        touched key prefixes: the present-keys check only matters for
+        side_delta's keys, and the flip terms only touch other_delta's
+        keys."""
         terms: list[DataFrame] = []
         if side_delta is not None:
-            other_new = _concat([p for p in (other_old, other_delta)
-                                 if p is not None])
+            other_new = _concat(
+                [p for p in (other_state.frame(side_delta), other_delta)
+                 if p is not None])
             present = self._present_keys(other_new, self.on)
             unmatched = (side_delta if present is None else
                          side_delta.join(present, on=self.on,
                                          how="left_anti"))
             terms.append(self._pad(unmatched, pads))
-        if other_delta is not None and side_old is not None:
-            to_absent, to_present = self._flips(other_old, other_delta,
-                                                self.on)
-            terms.append(self._pad(
-                side_old.join(to_absent, on=self.on, how="inner"), pads))
-            terms.append(self._pad(
-                side_old.join(to_present, on=self.on, how="inner"),
-                pads, negate=True))
+        if other_delta is not None:
+            side_old = side_state.frame(other_delta)
+            if side_old is not None:
+                to_absent, to_present = self._flips(
+                    other_state.frame(other_delta), other_delta, self.on)
+                terms.append(self._pad(
+                    side_old.join(to_absent, on=self.on, how="inner"),
+                    pads))
+                terms.append(self._pad(
+                    side_old.join(to_present, on=self.on, how="inner"),
+                    pads, negate=True))
         return terms
 
     # -- batch fold ------------------------------------------------------------
@@ -279,27 +347,22 @@ class IncrementalOuterJoinView:
                  right_delta: DataFrame | None = None) -> DataFrame | None:
         """Fold one batch; returns the outer join's output delta with the
         padded side's columns NULL on unmatched rows."""
-        l_old, r_old = _concat(self._left), _concat(self._right)
         terms = [t for t in (
-            self._inner_term(left_delta, r_old),
-            self._inner_term(l_old, right_delta),
+            self._inner_term(left_delta, self._right.frame(left_delta)),
+            self._inner_term(self._left.frame(right_delta), right_delta),
             self._inner_term(left_delta, right_delta)) if t is not None]
-        terms += self._anti_terms(l_old, left_delta, r_old, right_delta,
-                                  self.pad_right)
+        terms += self._anti_terms(self._left, left_delta, self._right,
+                                  right_delta, self.pad_right)
         if self.how == "full":
-            mirrored = self._anti_terms(r_old, right_delta, l_old,
-                                        left_delta, self.pad_left)
+            mirrored = self._anti_terms(self._right, right_delta,
+                                        self._left, left_delta,
+                                        self.pad_left)
             # realign to the output column order (unionByName below)
             terms += mirrored
-        for parts, delta in ((self._left, left_delta),
-                             (self._right, right_delta)):
-            if delta is not None:
-                parts.append(_ckpt(delta))
-            if len(parts) >= self.compact_every:
-                folded = _consolidate(None, _concat(parts))
-                parts.clear()
-                if folded is not None:
-                    parts.append(folded)
+        if left_delta is not None:
+            self._left.append(left_delta)
+        if right_delta is not None:
+            self._right.append(right_delta)
         if not terms:
             return None
         out = terms[0]

@@ -365,3 +365,52 @@ def test_delta_mv_composition_random_soak(spark):
         s.execute(f"DROP VIEW {v}")
     for t in ("sk_cust", "sk_ord"):
         s.execute(f"DROP TABLE {t}")
+
+
+def test_delta_mv_ast_join_filter_churn(spark):
+    """WHERE over the join OUTPUT with parenthesized OR branches mixing
+    both sides' columns (an AST-dispatcher shape): fresh under churn
+    that crosses the predicate in both directions."""
+    s = _mk(spark)
+    body = ("SELECT okey, cname, price "
+            "FROM dc_ord JOIN dc_cust ON ckey = cust_key "
+            "WHERE (price > 150 AND cname = 'alice') "
+            "OR (cname = 'bob' AND price < 60)")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 10, 200), "
+              "(3, 11, 50), (4, 11, 80)")
+    s.execute(f"CREATE MATERIALIZED VIEW dcvf WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcvf") == _recompute(s, body)
+    # cross INTO the predicate via UPDATE on the fact side
+    s.execute("UPDATE dc_ord SET price = 160 WHERE okey = 1")
+    assert _rows(s, "dcvf") == _recompute(s, body)
+    # cross OUT via the dimension side (bob vanishes)
+    s.execute("DELETE FROM dc_cust WHERE cust_key = 11")
+    assert _rows(s, "dcvf") == _recompute(s, body)
+    s.execute("INSERT INTO dc_cust VALUES (11, 'bob')")
+    assert _rows(s, "dcvf") == _recompute(s, body)
+    _drop(s, "dcvf")
+
+
+def test_delta_mv_ast_agg_over_subquery_churn(spark):
+    """Aggregate over a stateless inner Map/Filter subquery: the inner
+    projection/filter composes per-delta in front of the maintained
+    reduce; retraction passes through the projection correctly."""
+    s = _mk(spark)
+    body = ("SELECT b, SUM(dbl) AS total, COUNT(*) AS n FROM "
+            "(SELECT ckey % 2 AS b, price * 2 AS dbl FROM dc_ord "
+            "WHERE price > 60) GROUP BY b")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 11, 50)")
+    s.execute(f"CREATE MATERIALIZED VIEW dcvs WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcvs") == _recompute(s, body)
+    # cross INTO the inner filter
+    s.execute("UPDATE dc_ord SET price = 70 WHERE okey = 2")
+    assert _rows(s, "dcvs") == _recompute(s, body)
+    # retraction through the projection; group retires entirely
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")
+    assert _rows(s, "dcvs") == _recompute(s, body)
+    s.execute("INSERT INTO dc_ord VALUES (5, 12, 61), (6, 13, 59)")
+    assert _rows(s, "dcvs") == _recompute(s, body)
+    _drop(s, "dcvs")

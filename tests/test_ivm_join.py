@@ -163,3 +163,74 @@ def test_outer_join_one_sided_batches(spark):
     jv.on_batch(left_delta=spark.createDataFrame([(1, 10, -1)], L))
     assert _rows(jv.result_expanded().select("k", "lv", "rv")) == [
         (2, 20, None)]
+
+
+def test_incremental_join_forced_spill_still_exact(spark, tmp_path):
+    """spill_rows=1 forces every compaction onto the hash-prefix
+    parquet tier: the maintained join stays exactly equal to the full
+    re-join through a multi-batch insert/delete churn, with probes
+    reading only touched prefixes."""
+    rng = random.Random(7)
+    jv = IncrementalJoinView(on=["k"], compact_every=2, spill_rows=1)
+    lh, rh, l_live, r_live = [], [], [], []
+    for _ in range(6):
+        lb, rb = [], []
+        for _ in range(5):
+            if l_live and rng.random() < 0.35:
+                v = l_live.pop(rng.randrange(len(l_live)))
+                lb.append((*v, -1))
+            else:
+                v = (rng.randrange(4), rng.randrange(30))
+                l_live.append(v); lb.append((*v, 1))
+            if r_live and rng.random() < 0.35:
+                v = r_live.pop(rng.randrange(len(r_live)))
+                rb.append((*v, -1))
+            else:
+                v = (rng.randrange(4), rng.randrange(30))
+                r_live.append(v); rb.append((*v, 1))
+        lh += lb; rh += rb
+        jv.on_batch(spark.createDataFrame(lb, L),
+                    spark.createDataFrame(rb, R))
+        got = _rows(jv.result_expanded())
+        want = _rows(
+            _expand(threshold(spark.createDataFrame(lh, L))).join(
+                _expand(threshold(spark.createDataFrame(rh, R))),
+                on="k"))
+        assert got == want
+    # the spilled tier actually engaged on both sides
+    assert jv._left._st is not None and jv._left._st._disk is not None
+    assert jv._right._st is not None and jv._right._st._disk is not None
+
+
+def test_incremental_outer_join_forced_spill_still_exact(spark):
+    """The outer-join view under a forced spill tier: null-padding
+    transitions (first match appears / last match vanishes) stay exact
+    against a full LEFT JOIN recompute with spilled, prefix-pruned
+    state."""
+    from materialize_spark.streaming.ivm_join import (
+        IncrementalOuterJoinView,
+    )
+    jv = IncrementalOuterJoinView(
+        on=["k"], pad_right=[("rv", "bigint")], how="left",
+        compact_every=2, spill_rows=1)
+    steps = [
+        ([(1, 10, 1), (2, 20, 1)], []),            # unmatched lefts
+        ([], [(1, 100, 1)]),                       # first match for k=1
+        ([(3, 30, 1)], [(2, 200, 1), (2, 201, 1)]),
+        ([], [(1, 100, -1)]),                      # last match vanishes
+        ([(2, 20, -1)], [(3, 300, 1)]),
+        ([(1, 11, 1)], [(2, 201, -1)]),
+    ]
+    lh, rh = [], []
+    for lb, rb in steps:
+        lh += lb; rh += rb
+        jv.on_batch(
+            spark.createDataFrame(lb, L) if lb else None,
+            spark.createDataFrame(rb, R) if rb else None)
+        got = _rows(jv.result_expanded())
+        want = _rows(
+            _expand(threshold(spark.createDataFrame(lh, L))).join(
+                _expand(threshold(spark.createDataFrame(rh, R))),
+                on="k", how="left"))
+        assert got == want
+    assert jv._left._st is not None and jv._left._st._disk is not None

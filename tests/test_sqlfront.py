@@ -1109,13 +1109,13 @@ def test_delta_mv_unsupported_shape_errors(spark):
     s.execute("CREATE TABLE dmv3_t (k STRING, v BIGINT)")
     # a grouped count with no HAVING is now the multi-aggregate shape —
     # a join is still out of scope and must error explicitly
-    with pytest.raises(ValueError, match="MAINTENANCE 'delta' supports"):
+    with pytest.raises(ValueError, match="MAINTENANCE .delta."):
         s.execute("CREATE MATERIALIZED VIEW bad WITH "
                   "(MAINTENANCE 'delta') AS "
                   "SELECT a.k, count(*) AS n FROM dmv3_t a JOIN "
                   "dmv3_t b ON a.k = b.k GROUP BY a.k")
     # expression keys are out of scope too
-    with pytest.raises(ValueError, match="MAINTENANCE 'delta' supports"):
+    with pytest.raises(ValueError, match="MAINTENANCE .delta."):
         s.execute("CREATE MATERIALIZED VIEW bad3 WITH "
                   "(MAINTENANCE 'delta') AS "
                   "SELECT upper(k) AS ku, count(*) AS n FROM dmv3_t "
