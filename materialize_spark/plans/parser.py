@@ -1006,19 +1006,32 @@ class Parser:
                         fmt_opts["regex"] = self.string()
                 include = None
                 if self.take_kw("INCLUDE"):
-                    # INCLUDE KEY|PARTITION|OFFSET|TIMESTAMP [AS name]
-                    # [, ...] (reference KafkaMetadataKind, sources.rs)
+                    # INCLUDE KEY|PARTITION|OFFSET|TIMESTAMP|HEADERS
+                    # [AS name] | HEADER 'key' [AS name] [BYTES]
+                    # [, ...] (reference KafkaMetadataKind,
+                    # src/storage-types/src/sources/kafka.rs:534-540)
                     include = []
                     while True:
                         kind = self.ident().lower()
-                        if kind not in ("key", "partition", "offset",
-                                        "timestamp"):
+                        if kind == "header":
+                            hkey = self.string()
+                            alias = (self.ident() if self.take_kw("AS")
+                                     else hkey)
+                            as_bytes = self.take_kw("BYTES")
+                            include.append(
+                                (f"header:{hkey}"
+                                 + (":bytes" if as_bytes else ""),
+                                 alias))
+                        elif kind in ("key", "partition", "offset",
+                                      "timestamp", "headers"):
+                            alias = (self.ident() if self.take_kw("AS")
+                                     else kind)
+                            include.append((kind, alias))
+                        else:
                             raise ParseError(
                                 "INCLUDE supports KEY | PARTITION | "
-                                "OFFSET | TIMESTAMP", self.peek())
-                        alias = (self.ident() if self.take_kw("AS")
-                                 else kind)
-                        include.append((kind, alias))
+                                "OFFSET | TIMESTAMP | HEADERS | "
+                                "HEADER 'key'", self.peek())
                         if self.peek().kind == "COMMA":
                             self.next()
                             continue
@@ -1114,6 +1127,26 @@ class Parser:
             elif kind == "sql":
                 self.expect_kw("SERVER")
                 kind = "sql-server"
+            elif kind == "ssh":
+                # reference SshConnection (src/storage-types/src/
+                # connections.rs:315): a network-tunnel object other
+                # connections reference. Running an SSH endpoint is a
+                # deployment concern this engine does not emulate, so
+                # the statement is RECOGNIZED and rejected explicitly
+                # rather than failing as unknown syntax.
+                self.expect_kw("TUNNEL")
+                # plain ValueError: must NOT be a ParseError, which the
+                # session treats as "delegate to the peek path"
+                raise ValueError(
+                    "CREATE CONNECTION ... TO SSH TUNNEL is not "
+                    "supported by this engine: connect brokers/hosts "
+                    "directly (TLS and SASL options are supported); "
+                    "network tunnels are a deployment concern")
+            elif kind == "aws" and self.at_kw("PRIVATELINK"):
+                raise ValueError(
+                    "CREATE CONNECTION ... TO AWS PRIVATELINK is not "
+                    "supported by this engine: connect brokers/hosts "
+                    "directly; VPC endpoints are a deployment concern")
             opts: list[tuple[str, str, bool]] = []
             if self.next().kind != "LP":
                 raise ParseError("expected (", self.peek())

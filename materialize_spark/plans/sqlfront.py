@@ -1283,15 +1283,11 @@ class MzSession:
         if node.fmt == "avro":
             # derive + register the value schema BEFORE producing
             # (reference sinks publish CSR-registered Avro,
-            # src/interchange/src/avro); flat records only — the
-            # nested before/after debezium envelope needs record-typed
-            # fields the flat encoder rejects, so it errors loudly
-            if node.envelope == "debezium":
-                raise ValueError(
-                    "FORMAT AVRO sinks support ENVELOPE NONE|UPSERT "
-                    "(DEBEZIUM needs nested record encoding)")
+            # src/interchange/src/avro). ENVELOPE DEBEZIUM registers
+            # the nested before/after envelope schema; NONE/UPSERT the
+            # flat row record.
             from materialize_spark.sources.avro import (
-                spark_to_avro_schema,
+                spark_to_avro_schema, spark_to_debezium_avro_schema,
             )
             from materialize_spark.sources.schema_registry import (
                 HttpSchemaRegistry,
@@ -1301,7 +1297,10 @@ class MzSession:
             if csr is None or not csr.get("url"):
                 raise KeyError(
                     f"unknown or URL-less CSR connection {csr_name!r}")
-            schema_json, stringified = spark_to_avro_schema(df.schema)
+            derive = (spark_to_debezium_avro_schema
+                      if node.envelope == "debezium"
+                      else spark_to_avro_schema)
+            schema_json, stringified = derive(df.schema)
             registry = HttpSchemaRegistry(str(csr["url"]))
             sid = registry.register_subject(f"{node.topic}-value",
                                             schema_json)
@@ -1337,6 +1336,22 @@ class MzSession:
             return out.withColumn("__key",
                                   F.col(spec["key"]).cast("string"))
 
+        if spec["envelope"] == "debezium":
+            # nested before/after change records (the reference's
+            # Debezium Avro sink, src/interchange/src/avro): deletes
+            # encode {before: row, after: null}, inserts the reverse
+            from materialize_spark.sources.avro import (
+                encode_avro_debezium_stream,
+            )
+            frames = []
+            if rets is not None:
+                frames.append(encode_avro_debezium_stream(
+                    prep(rets), spec["schema_json"], spec["schema_id"],
+                    key_col="__key", side="before"))
+            frames.append(encode_avro_debezium_stream(
+                prep(adds), spec["schema_json"], spec["schema_id"],
+                key_col="__key", side="after"))
+            return frames
         frames = []
         if rets is not None:
             if spec["envelope"] == "none":
@@ -1500,9 +1515,15 @@ class MzSession:
             sasl = (str(conn.get("sasl_mechanism",
                                  "SCRAM-SHA-256")).upper(),
                     conn["sasl_username"], conn.get("sasl_password", ""))
+        want_headers = bool(node.include) and any(
+            k == "headers" or k.startswith("header:")
+            for k, _a in node.include)
         frame = read_kafka_wire(self.spark, broker, node.topic,
                                 ssl_conf=connection_ssl_conf(conn),
-                                sasl=sasl)
+                                sasl=sasl,
+                                include_headers=want_headers)
+        meta_cols = ["partition", "offset", "timestamp"] + (
+            ["headers"] if want_headers else [])
         data_cols = ["data"]
         if node.fmt == "json":
             # FORMAT JSON: one `data` text column of the JSON payload
@@ -1510,13 +1531,13 @@ class MzSession:
             df = frame.select(
                 F.col("key").cast("string").alias("key"),
                 F.col("value").cast("string").alias("data"),
-                "partition", "offset", "timestamp")
+                *meta_cols)
         elif node.fmt in ("bytes", "text"):
             df = frame.select(
                 F.col("key").cast("string").alias("key"),
                 (F.col("value") if node.fmt == "bytes"
                  else F.col("value").cast("string")).alias("data"),
-                "partition", "offset", "timestamp")
+                *meta_cols)
         elif node.fmt in ("avro", "protobuf"):
             df, data_cols = self._decode_csr_format(node, frame)
         elif node.fmt == "csv":
@@ -1532,7 +1553,7 @@ class MzSession:
                 F.col("key").cast("string").alias("key"),
                 *[F.element_at(parts, i).alias(f"column{i}")
                   for i in range(1, n + 1)],
-                "partition", "offset", "timestamp")
+                *meta_cols)
         elif node.fmt == "regex":
             # FORMAT REGEX: capture groups become columns — named
             # groups by name, unnamed as column1..N (reference
@@ -1551,7 +1572,7 @@ class MzSession:
                 *[F.nullif(F.regexp_extract(val, jpat, i), F.lit(""))
                   .alias(data_cols[i - 1])
                   for i in range(1, compiled.groups + 1)],
-                "partition", "offset", "timestamp")
+                *meta_cols)
         else:
             raise ValueError(
                 f"unsupported FORMAT {node.fmt!r} (json | bytes | text "
@@ -1571,6 +1592,22 @@ class MzSession:
                 delete_when=_reduce(lambda a, b: a & b,
                                     [F.col(c).isNull()
                                      for c in data_cols]))
+        elif node.envelope == "debezium" and node.fmt == "avro" \
+                and {"before", "after"} <= set(data_cols):
+            # Debezium-enveloped AVRO: the CSR decode already produced
+            # the nested before/after row structs (sink mirror:
+            # encode_avro_debezium_stream) — fold change records to
+            # explicit diffs and consolidate to the net collection
+            rows_after = (df.filter(F.col("after").isNotNull())
+                          .select("after.*").withColumn("diff", F.lit(1)))
+            rows_before = (df.filter(F.col("before").isNotNull())
+                           .select("before.*")
+                           .withColumn("diff", F.lit(-1)))
+            updates = rows_after.unionByName(rows_before)
+            data_cols = [c for c in updates.columns if c != "diff"]
+            df = (updates.groupBy(*data_cols)
+                  .agg(F.sum("diff").alias("__net"))
+                  .filter(F.col("__net") > 0).drop("__net"))
         elif node.envelope == "debezium":
             # values are Debezium change events {before, after, op}:
             # decode to explicit diffs and consolidate to the current
@@ -1580,7 +1617,9 @@ class MzSession:
             from materialize_spark.sources.envelopes import debezium_decode
             if node.fmt != "json":
                 raise ValueError(
-                    "ENVELOPE DEBEZIUM requires FORMAT JSON")
+                    "ENVELOPE DEBEZIUM requires FORMAT JSON (or FORMAT "
+                    "AVRO USING CONFLUENT SCHEMA REGISTRY with the "
+                    "nested before/after envelope schema)")
             vals = (df.filter(F.col("data").isNotNull())
                     .select(F.col("data").alias("value")))
             probe = self.spark.read.json(
@@ -1597,25 +1636,46 @@ class MzSession:
             raise ValueError(f"unsupported ENVELOPE {node.envelope!r} "
                              "(none | upsert | debezium)")
         if node.include is not None:
-            # INCLUDE projection (reference KafkaMetadataKind): only the
+            # INCLUDE projection (reference KafkaMetadataKind,
+            # src/storage-types/src/sources/kafka.rs:534-540): only the
             # requested metadata columns survive, under their aliases;
             # data columns always do. Requesting metadata the envelope
             # consumed (e.g. OFFSET after UPSERT collapsed it) errors.
+            # HEADERS → the full list<record{key, value bytes}>;
+            # HEADER 'k' [BYTES] → that one header's value (text unless
+            # BYTES), NULL when the record lacks it.
             meta = dict(node.include)
-            missing = [k for k in meta if k not in df.columns]
+            missing = [k for k in meta
+                       if (k.split(":")[0] if k.startswith("header")
+                           else k) not in df.columns
+                       and not (k.startswith("header")
+                                and "headers" in df.columns)]
             if missing:
                 raise ValueError(
-                    f"INCLUDE {', '.join(missing).upper()} not "
-                    f"available under ENVELOPE {node.envelope.upper()}")
+                    f"INCLUDE {', '.join(m.split(':')[0] for m in missing).upper()} "
+                    f"not available under ENVELOPE {node.envelope.upper()}")
             sel = []
             if "key" in meta:
                 sel.append(F.col("key").alias(meta["key"]))
             sel += [F.col(c) for c in df.columns
                     if c not in ("key", "partition", "offset",
-                                 "timestamp")]
+                                 "timestamp", "headers")]
             sel += [F.col(k).alias(meta[k])
                     for k in ("partition", "offset", "timestamp")
                     if k in meta]
+            if "headers" in meta:
+                sel.append(F.col("headers").alias(meta["headers"]))
+            for k, alias in node.include:
+                if not k.startswith("header:"):
+                    continue
+                _tag, hkey, *rest = k.split(":")
+                val = F.try_element_at(
+                    F.filter(F.col("headers"),
+                             lambda h: h["key"] == F.lit(hkey)),
+                    F.lit(1))["value"]
+                if "bytes" not in rest:
+                    val = val.cast("string")
+                sel.append(val.alias(alias))
             df = df.select(*sel)
         self.catalog.register_table(
             node.name, df.localCheckpoint(eager=True))
@@ -1652,15 +1712,17 @@ class MzSession:
             raise ValueError(
                 f"connection {csr_name!r} has no URL (confluent "
                 "schema registry connections need URL '...')")
+        meta_cols = [c for c in ("partition", "offset", "timestamp",
+                                 "headers") if c in frame.columns]
         base = frame.select(F.col("key").cast("string").alias("key"),
-                            "value", "partition", "offset", "timestamp")
+                            "value", *meta_cols)
         if node.fmt == "avro":
             out = decode_confluent_stream(base, "value", registry)
             data_cols = [c for c in out.columns
                          if c not in ("key", "partition", "offset",
-                                      "timestamp")]
-            return (out.select("key", *data_cols, "partition", "offset",
-                               "timestamp"), data_cols)
+                                      "timestamp", "headers")]
+            return (out.select("key", *data_cols, *meta_cols),
+                    data_cols)
         # protobuf: the subject stores the flat field-descriptor JSON
         # {"<field number>": ["<name>", "<type>"], ...} this package's
         # wire decoder consumes (sources/protobuf.py; the reference
@@ -1687,8 +1749,7 @@ class MzSession:
                                   missing_as_null=False)
         # field-number order, matching proto_spark_schema
         data_cols = [name for _n, (name, _t) in sorted(fields.items())]
-        return (out.select("key", *data_cols, "partition", "offset",
-                           "timestamp"), data_cols)
+        return (out.select("key", *data_cols, *meta_cols), data_cols)
 
     def _create_source_cdc(self, node: ast.CreateSourceCdc, sql: str):
         # status-recording wrapper (see _create_source_kafka). Subsource

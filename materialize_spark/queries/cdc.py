@@ -801,3 +801,120 @@ def sink_kafka_avro_roundtrip(spark, sf_dir):
               "(TOPIC 'stock_out') FORMAT AVRO USING CONFLUENT "
               "SCHEMA REGISTRY CONNECTION stk_csr ENVELOPE UPSERT")
     return s.sql("SELECT id, name, qty FROM stock_back ORDER BY id")
+
+
+@register(
+    "sink_kafka_avro_debezium_roundtrip",
+    """
+    -- oracle: closed form of the write script's net state — id 1
+    -- deleted, id 2 renamed via UPDATE, id 3 inserted post-snapshot
+    SELECT * FROM (VALUES
+        (CAST(2 AS BIGINT), 'beta', CAST(20.5 AS DOUBLE)),
+        (CAST(3 AS BIGINT), 'gamma', CAST(0.25 AS DOUBLE))
+    ) AS t(id, name, qty) ORDER BY id
+    """,
+    "sink", "kafka", "avro", "debezium", "schema-registry",
+)
+def sink_kafka_avro_debezium_roundtrip(spark, sf_dir):
+    """Debezium-enveloped AVRO sink: the value schema is the NESTED
+    before/after envelope (each a row record — reference
+    src/interchange/src/avro), registered with the real HTTP schema
+    registry; deletes produce {before: row, after: null}, inserts the
+    reverse, continuously on every commit. The topic re-ingested
+    through the engine's own CSR decoder with ENVELOPE DEBEZIUM folds
+    the change records back to the table's net state."""
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.kafka_wire import MiniBroker
+    from materialize_spark.sources.schema_registry import (
+        MiniSchemaRegistryServer,
+    )
+
+    with MiniBroker() as b, MiniSchemaRegistryServer() as csr:
+        b.create_topic("ledger_dbz", partitions=2)
+        s = MzSession(spark, sf_dir)
+        s.execute(f"CREATE CONNECTION ldg_kc TO KAFKA "
+                  f"(BROKER '{b.host}:{b.port}')")
+        s.execute(f"CREATE CONNECTION ldg_csr TO CONFLUENT SCHEMA "
+                  f"REGISTRY (URL '{csr.url}')")
+        s.execute("CREATE TABLE ledger (id BIGINT, name STRING, "
+                  "qty DOUBLE)")
+        s.execute("INSERT INTO ledger VALUES (1, 'alpha', 10.0), "
+                  "(2, 'bravo', 20.5)")
+        s.execute("CREATE SINK ledger_sink FROM ledger INTO KAFKA "
+                  "CONNECTION ldg_kc (TOPIC 'ledger_dbz') KEY (id) "
+                  "FORMAT AVRO USING CONFLUENT SCHEMA REGISTRY "
+                  "CONNECTION ldg_csr ENVELOPE DEBEZIUM")
+        s.execute("UPDATE ledger SET name = 'beta' WHERE id = 2")
+        s.execute("DELETE FROM ledger WHERE id = 1")
+        s.execute("INSERT INTO ledger VALUES (3, 'gamma', 0.25)")
+        s.execute("CREATE SOURCE ledger_back FROM KAFKA CONNECTION "
+                  "ldg_kc (TOPIC 'ledger_dbz') FORMAT AVRO USING "
+                  "CONFLUENT SCHEMA REGISTRY CONNECTION ldg_csr "
+                  "ENVELOPE DEBEZIUM")
+        return s.sql("SELECT id, name, qty FROM ledger_back "
+                     "ORDER BY id")
+
+
+@register(
+    "kafka_source_include_headers",
+    """
+    -- oracle: literal truth of the seeded header-bearing feed —
+    -- per-record header projection (HEADER 'lang' → text, missing →
+    -- NULL; HEADER 'trace' BYTES → hex of the raw bytes) plus the
+    -- HEADERS list rendered as name:hex pairs
+    SELECT * FROM (VALUES
+        (0, 'en',  '7765-62',   'lang=656e,src=776562'),
+        (1, 'fr',  NULL,        'lang=6672'),
+        (2, NULL,  NULL,        '')
+    ) AS t(off, lang, trace_hex, all_headers)
+    ORDER BY off
+    """,
+    "source", "kafka", "sqlfront", "headers",
+)
+def kafka_source_include_headers(spark, sf_dir):
+    """INCLUDE HEADERS / HEADER 'key' [BYTES] end-to-end over the wire:
+    records with headers produce as magic-2 record batches (Produce v3,
+    CRC-32C — the only Kafka format that carries headers), fetch back
+    through the same decoder, and the SQL source projects them per the
+    reference's KafkaMetadataKind (src/storage-types/src/sources/
+    kafka.rs:299,534-540): HEADERS as list<record{key, value bytes}>,
+    HEADER 'k' as the one value (text unless BYTES), NULL when absent."""
+    from pyspark.sql import functions as F
+
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+
+    with MiniBroker() as b:
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("hdr_feed", 0, [
+                (b"k1", b'{"v": 1}', 10,
+                 [("lang", b"en"), ("src", b"web")]),
+                (b"k2", b'{"v": 2}', 11, [("lang", b"fr")]),
+            ])
+            c.produce("hdr_feed", 0, [(b"k3", b'{"v": 3}', 12)])
+        s = MzSession(spark, sf_dir)
+        s.execute(f"CREATE CONNECTION hdr_conn TO KAFKA "
+                  f"(BROKER '{b.host}:{b.port}')")
+        s.execute("CREATE SOURCE hdr_src FROM KAFKA CONNECTION hdr_conn "
+                  "(TOPIC 'hdr_feed') FORMAT JSON INCLUDE OFFSET, "
+                  "HEADERS, HEADER 'lang' AS lang, "
+                  "HEADER 'src' AS src_raw BYTES")
+        out = s.execute("SELECT * FROM hdr_src")
+        return (out.select(
+            F.col("offset").cast("bigint").alias("off"),
+            "lang",
+            # hex with a dash so the oracle literal is format-stable
+            F.when(F.col("src_raw").isNotNull(),
+                   F.concat(F.lower(F.hex(F.expr("substring(src_raw, 1, 2)"))),
+                            F.lit("-"),
+                            F.lower(F.hex(F.expr("substring(src_raw, 3)")))))
+            .alias("trace_hex"),
+            F.array_join(
+                F.transform(
+                    F.col("headers"),
+                    lambda h: F.concat(h["key"], F.lit("="),
+                                       F.lower(F.hex(h["value"])))),
+                ",").alias("all_headers"))
+            .orderBy("off"))

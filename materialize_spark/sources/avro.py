@@ -68,6 +68,13 @@ def _decode_value(typ, buf: bytes, pos: int):
     if isinstance(typ, list):  # union — index then value
         idx, pos = _zigzag_decode(buf, pos)
         return _decode_value(typ[idx], buf, pos)
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        # nested record (the Debezium before/after rows): fields in
+        # declaration order, decoded to a dict
+        rec = {}
+        for f in typ["fields"]:
+            rec[f["name"]], pos = _decode_value(f["type"], buf, pos)
+        return rec, pos
     if typ in ("long", "int"):
         return _zigzag_decode(buf, pos)
     if typ == "string":
@@ -93,6 +100,9 @@ def _encode_value(typ, v) -> bytes:
             return _zigzag_encode(typ.index("null"))
         branch = next(i for i, t in enumerate(typ) if t != "null")
         return _zigzag_encode(branch) + _encode_value(typ[branch], v)
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        return b"".join(_encode_value(f["type"], v.get(f["name"]))
+                        for f in typ["fields"])
     if typ in ("long", "int"):
         return _zigzag_encode(int(v))
     if typ == "string":
@@ -121,10 +131,13 @@ def _fields(schema: dict) -> list[tuple[str, object]]:
         t = f["type"]
         base = [x for x in t if x != "null"] if isinstance(t, list) else [t]
         for b in base:
-            if not isinstance(b, str) or b not in _PRIMITIVES:
+            if isinstance(b, dict) and b.get("type") == "record":
+                _fields(b)  # validate the nested record's fields
+            elif not isinstance(b, str) or b not in _PRIMITIVES:
                 raise ValueError(
-                    f"field {f['name']}: only primitive/nullable-primitive "
-                    f"fields supported, got {t!r}")
+                    f"field {f['name']}: only primitive / nullable-"
+                    f"primitive / inline-record fields supported, "
+                    f"got {t!r}")
         out.append((f["name"], t))
     return out
 
@@ -140,7 +153,11 @@ def avro_spark_schema(schema_json: str) -> StructType:
     for name, typ in _fields(schema):
         base = next(x for x in (typ if isinstance(typ, list) else [typ])
                     if x != "null")
-        fields.append(StructField(name, _SPARK_TYPES[base], True))
+        if isinstance(base, dict):  # inline record → nullable struct
+            spark_t = avro_spark_schema(json.dumps(base))
+        else:
+            spark_t = _SPARK_TYPES[base]
+        fields.append(StructField(name, spark_t, True))
     return StructType(fields)
 
 
@@ -237,6 +254,71 @@ def encode_avro_stream(df: DataFrame, schema_json: str, schema_id: int,
                     for n, t in fields)
                 for i in range(len(pdf))
             ]
+            keys = [None if k is None else str(k)
+                    for k in pdf[key_col]]
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def spark_to_debezium_avro_schema(schema) -> tuple[str, list]:
+    """Derive the Debezium-enveloped Avro value schema from a Spark
+    schema: a record with nullable ``before``/``after`` fields, each an
+    inline row record (reference src/interchange/src/avro encodes sink
+    values as this nested envelope; the two rows carry distinct record
+    names so no named-type references are needed). Returns
+    (schema json, stringified column names) like spark_to_avro_schema."""
+    row_json, stringified = spark_to_avro_schema(schema, name="row")
+    row = json.loads(row_json)
+
+    def named(n):
+        out = dict(row)
+        out["name"] = n
+        return out
+
+    env = {"type": "record", "name": "envelope", "fields": [
+        {"name": "before", "type": ["null", named("row_before")]},
+        {"name": "after", "type": ["null", named("row_after")]},
+    ]}
+    return json.dumps(env), stringified
+
+
+def encode_avro_debezium_stream(df: DataFrame, schema_json: str,
+                                schema_id: int, *, key_col: str = "key",
+                                side: str = "after") -> DataFrame:
+    """(key string, value binary) frame of Debezium-enveloped
+    Confluent-framed Avro records: inserts encode {before: null,
+    after: row} (side='after'), deletes {before: row, after: null}
+    (side='before') — the change-record framing the reference's
+    Debezium Avro sink produces."""
+    env = json.loads(schema_json)
+    fields = _fields(env)
+    row_fields = [f["name"] for f in
+                  next(x for x in dict(fields)["after"]
+                       if x != "null")["fields"]]
+    prefix = b"\x00" + struct.pack(">I", int(schema_id))
+    out_schema = StructType([StructField("key", StringType()),
+                             StructField("value", BinaryType())])
+
+    def _clean(v):
+        if v is None:
+            return None
+        try:
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass
+        return v
+
+    def encode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            vals = []
+            for i in range(len(pdf)):
+                row = {n: _clean(pdf[n].iloc[i]) for n in row_fields}
+                rec = {"before": row if side == "before" else None,
+                       "after": row if side == "after" else None}
+                vals.append(prefix + b"".join(
+                    _encode_value(t, rec[n]) for n, t in fields))
             keys = [None if k is None else str(k)
                     for k in pdf[key_col]]
             yield pd.DataFrame({"key": keys, "value": vals})

@@ -86,6 +86,11 @@ class _Reader:
         self.pos += n
         return b
 
+    def raw(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
 
 # --------------------------------------------------------------------------
 # message-set v1 (magic 1: crc32, attributes, timestamp, key, value)
@@ -126,6 +131,185 @@ def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None,
         value = r.bytes_()
         out.append((offset, key, value, ts))
     return out
+
+
+# --------------------------------------------------------------------------
+# record batch v2 (magic 2, KIP-98 format): the format that carries
+# RECORD HEADERS (kafka.apache.org/documentation/#recordbatch). The
+# reference's Kafka source surfaces these via INCLUDE HEADERS / HEADER
+# 'key' (src/storage-types/src/sources/kafka.rs:534-540); message-set
+# v0/v1 has no header field at all, so header-bearing produces use this
+# format. v2 checksums with CRC-32C (Castagnoli), not CRC-32.
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """Software CRC-32C (Castagnoli, poly 0x1EDC6F41 reflected) — the
+    public checksum record batch v2 mandates; table built once."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _varint(n: int) -> bytes:
+    """Zigzag varint (protobuf wire format, per the Kafka record spec)."""
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(r: "_Reader") -> int:
+    shift = u = 0
+    while True:
+        b = r.raw(1)[0]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u)
+        shift += 7
+
+
+def _vbytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _varint(-1)
+    return _varint(len(b)) + b
+
+
+Headers = list[tuple[str, bytes | None]]
+
+
+def encode_record_batch(records: list[tuple[int, bytes | None,
+                                            bytes | None, int, Headers]],
+                        base_offset: int = 0) -> bytes:
+    """records: [(offset, key, value, ts_ms, headers)] → one magic-2
+    record batch. Offsets/timestamps are stored as deltas per the spec."""
+    if not records:
+        return b""
+    base_ts = min(ts for _o, _k, _v, ts, _h in records)
+    max_ts = max(ts for _o, _k, _v, ts, _h in records)
+    recs = bytearray()
+    for off, key, value, ts, headers in records:
+        body = bytearray()
+        body += b"\x00"                      # record attributes
+        body += _varint(ts - base_ts)        # timestampDelta
+        body += _varint(off - base_offset)   # offsetDelta
+        body += _vbytes(key)
+        body += _vbytes(value)
+        body += _varint(len(headers))
+        for hk, hv in headers:
+            hkb = hk.encode()
+            recs_h = _varint(len(hkb)) + hkb + _vbytes(hv)
+            body += recs_h
+        recs += _varint(len(body)) + bytes(body)
+    # the CRC covers everything AFTER the crc field
+    after_crc = (struct.pack(">hiqq qhi i", 0,            # attributes
+                             len(records) - 1,            # lastOffsetDelta
+                             base_ts, max_ts,
+                             -1, -1, -1,                   # producer id/epoch/seq
+                             len(records)) + bytes(recs))
+    batch = (struct.pack(">i b I", -1, 2, _crc32c(after_crc))  # leaderEpoch, magic, crc
+             + after_crc)
+    return struct.pack(">q i", base_offset, len(batch)) + batch
+
+
+def _decode_record_batch(buf: bytes) -> list[tuple[int, bytes | None,
+                                                   bytes | None, int,
+                                                   Headers]]:
+    out: list = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        (base_offset, size) = struct.unpack_from(">qi", buf, pos)
+        pos += 12
+        if pos + size > len(buf):
+            break  # partial trailing batch (fetch truncation): drop
+        batch = buf[pos:pos + size]
+        pos += size
+        r = _Reader(batch)
+        r.take("i")                      # partitionLeaderEpoch
+        magic = r.take("b")
+        if magic != 2:
+            raise ValueError(f"unexpected magic {magic} in record batch")
+        crc = r.take("I")
+        rest = batch[r.pos:]
+        if _crc32c(rest) != crc:
+            raise ValueError("record batch CRC-32C mismatch")
+        attrs = r.take("h")
+        if attrs & 0x07:
+            raise ValueError("compressed record batches not supported")
+        r.take("i")                      # lastOffsetDelta
+        base_ts = r.take("q")
+        r.take("q")                      # maxTimestamp
+        r.take("q"); r.take("h"); r.take("i")  # producer id/epoch/seq
+        n = r.take("i")
+        for _ in range(n):
+            _rlen = _read_varint(r)
+            r.take("b")                  # record attributes
+            ts_delta = _read_varint(r)
+            off_delta = _read_varint(r)
+            klen = _read_varint(r)
+            key = r.raw(klen) if klen >= 0 else None
+            vlen = _read_varint(r)
+            value = r.raw(vlen) if vlen >= 0 else None
+            headers: Headers = []
+            for _h in range(_read_varint(r)):
+                hklen = _read_varint(r)
+                hk = r.raw(hklen).decode()
+                hvlen = _read_varint(r)
+                hv = r.raw(hvlen) if hvlen >= 0 else None
+                headers.append((hk, hv))
+            out.append((base_offset + off_delta, key, value,
+                        base_ts + ts_delta, headers))
+    return out
+
+
+def encode_records(records: list[tuple]) -> bytes:
+    """Encode log records [(offset, key, value, ts[, headers])]: the
+    v1 message set when no record carries headers (the pre-KIP-98
+    format every consumer reads), the magic-2 record batch when any
+    does (headers exist only in v2)."""
+    norm = [(r + ([],) if len(r) == 4 else r) for r in records]
+    if any(h for _o, _k, _v, _t, h in norm):
+        return encode_record_batch(norm,
+                                   base_offset=norm[0][0] if norm else 0)
+    return encode_message_set([(o, k, v, t)
+                               for o, k, v, t, _h in norm])
+
+
+def decode_records(buf: bytes) -> list[tuple[int, bytes | None,
+                                             bytes | None, int, Headers]]:
+    """Decode either wire format into 5-tuples (offset, key, value,
+    ts, headers). Disambiguation is the spec's own: byte 16 is the
+    magic in BOTH layouts (v0/v1: offset+size+crc precede it; v2:
+    offset+length+leaderEpoch precede it)."""
+    if len(buf) > 16 and buf[16] == 2:
+        return _decode_record_batch(buf)
+    return [(o, k, v, t, []) for o, k, v, t in decode_message_set(buf)]
 
 
 # --------------------------------------------------------------------------
@@ -262,15 +446,24 @@ class KafkaWireClient:
         return {"brokers": brokers, "topics": tops}
 
     def produce(self, topic: str, partition: int,
-                records: list[tuple[bytes | None, bytes | None, int]],
+                records: list[tuple],
                 base_offset_hint: int = -1) -> int:
-        """Append records [(key, value, ts_ms)]; returns base offset."""
-        ms = encode_message_set(
-            [(i, k, v, ts) for i, (k, v, ts) in enumerate(records)])
+        """Append records [(key, value, ts_ms[, headers])]; returns the
+        base offset. Headers ([(name, bytes|None)] pairs) force the
+        magic-2 record-batch format over Produce v3 (the version that
+        introduced it, KIP-98); header-less records keep the v1
+        message set over Produce v2."""
+        norm = [(r + ([],) if len(r) == 3 else r) for r in records]
+        with_headers = any(h for _k, _v, _t, h in norm)
+        ms = encode_records(
+            [(i, k, v, ts, h) for i, (k, v, ts, h) in enumerate(norm)])
         body = (struct.pack(">hi", 1, 10_000)
                 + _arr([_str(topic) + _arr([
                     struct.pack(">i", partition) + _bytes(ms)])]))
-        r = self._roundtrip(API_PRODUCE, 2, body)
+        if with_headers:
+            # Produce v3 request prepends a nullable transactional_id
+            body = _str(None) + body
+        r = self._roundtrip(API_PRODUCE, 3 if with_headers else 2, body)
         n_topics = r.take("i")
         base = -1
         for _ in range(n_topics):
@@ -286,8 +479,12 @@ class KafkaWireClient:
         return base
 
     def fetch(self, topic: str, partition: int, offset: int = 0,
-              max_bytes: int = 1 << 22) -> tuple[int, list]:
-        """(high_watermark, records) from ``offset``."""
+              max_bytes: int = 1 << 22,
+              with_headers: bool = False) -> tuple[int, list]:
+        """(high_watermark, records) from ``offset``. Records are
+        (offset, key, value, ts) 4-tuples, or 5-tuples with the record
+        headers appended when ``with_headers`` (both wire formats
+        decode; v0/v1 records carry no headers → [])."""
         body = (struct.pack(">iii", -1, 100, 1)
                 + _arr([_str(topic) + _arr([
                     struct.pack(">iqi", partition, offset, max_bytes)])]))
@@ -304,11 +501,15 @@ class KafkaWireClient:
                 ms = r.bytes_() or b""
                 if err:
                     raise ValueError(f"fetch error {err}")
-                records.extend(decode_message_set(ms))
+                recs = decode_records(ms)
+                records.extend(
+                    recs if with_headers else
+                    [(o, k, v, t) for o, k, v, t, _h in recs])
         return hw, records
 
     def fetch_all(self, topic: str, partition: int,
-                  offset: int = 0, max_bytes: int = 1 << 22) -> list:
+                  offset: int = 0, max_bytes: int = 1 << 22,
+                  with_headers: bool = False) -> list:
         """Drain a partition from ``offset`` to the high watermark.
 
         Resilient to the broker realities a real consumer must handle
@@ -323,7 +524,8 @@ class KafkaWireClient:
         size = max_bytes
         while True:
             hw, recs = self.fetch(topic, partition, offset,
-                                  max_bytes=size)
+                                  max_bytes=size,
+                                  with_headers=with_headers)
             if recs:
                 out.extend(recs)
                 offset = recs[-1][0] + 1
@@ -379,13 +581,16 @@ class MiniBroker:
                 topic, {p: [] for p in range(partitions)})
 
     def append(self, topic: str, partition: int,
-               records: list[tuple[bytes | None, bytes | None, int]]) -> int:
-        """Local-append helper (tests can seed without a producer)."""
+               records: list[tuple]) -> int:
+        """Local-append helper (tests can seed without a producer).
+        Records are (key, value, ts) or (key, value, ts, headers)."""
         with self._lock:
             part = self._log.setdefault(topic, {}).setdefault(partition, [])
             base = len(part)
-            for i, (k, v, ts) in enumerate(records):
-                part.append((base + i, k, v, ts))
+            for i, rec in enumerate(records):
+                k, v, ts = rec[:3]
+                headers = rec[3] if len(rec) > 3 else []
+                part.append((base + i, k, v, ts, headers))
             return base
 
     def close(self) -> None:
@@ -514,8 +719,10 @@ class MiniBroker:
         if not st.get("authed"):
             return None  # close: unauthenticated non-SASL request
         if api_key == API_VERSIONS:
+            # Produce up to v3 (magic-2 record batches with headers);
+            # the rest at their implemented v0-v2 range
             body = struct.pack(">h", 0) + _arr([
-                struct.pack(">hhh", k, 0, 2)
+                struct.pack(">hhh", k, 0, 3 if k == API_PRODUCE else 2)
                 for k in (API_PRODUCE, API_FETCH, API_METADATA,
                           API_VERSIONS)])
             return head + body
@@ -542,6 +749,8 @@ class MiniBroker:
                             + struct.pack(">i", self.port)])
             return head + brokers + _arr(topics)
         if api_key == API_PRODUCE:
+            if api_version >= 3:
+                r.string()  # transactional_id (nullable, KIP-98)
             _acks = r.take("h")
             _timeout = r.take("i")
             out_topics = []
@@ -551,9 +760,10 @@ class MiniBroker:
                 for _ in range(r.take("i")):
                     pid = r.take("i")
                     ms = r.bytes_() or b""
-                    recs = decode_message_set(ms)
+                    recs = decode_records(ms)
                     base = self.append(
-                        t, pid, [(k, v, ts) for _o, k, v, ts in recs])
+                        t, pid,
+                        [(k, v, ts, h) for _o, k, v, ts, h in recs])
                     part = struct.pack(">ihq", pid, 0, base)
                     if api_version >= 2:
                         part += struct.pack(">q", -1)  # log_append_time
@@ -588,7 +798,10 @@ class MiniBroker:
                             struct.pack(">ihq", pid, 3, -1) + _bytes(b""))
                         continue
                     hw = len(part)
-                    ms = encode_message_set(part[off:off + 1000])[:maxb]
+                    # encode_records picks the wire format: v1 message
+                    # set unless some record carries headers (magic-2
+                    # record batch — the only format with headers)
+                    ms = encode_records(part[off:off + 1000])[:maxb]
                     out_parts.append(
                         struct.pack(">ihq", pid, 0, hw) + _bytes(ms))
                 out_topics.append(_str(t) + _arr(out_parts))
@@ -641,15 +854,22 @@ def kafka_partitions(bootstrap: str, topic: str,
 
 KAFKA_SCHEMA = ("topic string, partition int, offset long, "
                 "key binary, value binary, timestamp timestamp")
+# with INCLUDE HEADERS: record headers decode to a list of (key, value)
+# records — the reference's headers column type
+# (src/storage-types/src/sources/kafka.rs:299)
+KAFKA_SCHEMA_H = (KAFKA_SCHEMA
+                  + ", headers array<struct<key: string, value: binary>>")
 
 
 def read_kafka_wire(spark, bootstrap: str, topic: str, *,
                     starting_offsets: dict[int, int] | None = None,
                     ssl_conf: dict | None = None,
-                    sasl: tuple[str, str, str] | None = None):
+                    sasl: tuple[str, str, str] | None = None,
+                    include_headers: bool = False):
     """Kafka topic → DataFrame(topic, partition, offset, key, value,
-    timestamp) via the wire client — the same output contract as the
-    spark-sql-kafka connector's batch read.
+    timestamp[, headers]) via the wire client — the same output
+    contract as the spark-sql-kafka connector's batch read (its
+    includeHeaders option maps to ``include_headers``).
 
     Parallel shape: the driver reads ONLY metadata; each Spark task opens
     its own connection and drains its assigned partitions (one consumer
@@ -668,8 +888,11 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in ("topic", "partition", "offset", "key",
-                                    "value", "timestamp")}
+            cols = ["topic", "partition", "offset", "key",
+                    "value", "timestamp"]
+            if include_headers:
+                cols.append("headers")
+            rows = {k: [] for k in cols}
             from materialize_spark.sources.tlsconf import client_context
             ctx = client_context(ssl_conf)  # built per task: an
             # SSLContext cannot ride a pickled closure; the conf dict can
@@ -677,8 +900,10 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
                 pid = int(pid)
                 with KafkaWireClient(host, port_i, ssl_context=ctx,
                                      sasl=sasl) as c:
-                    recs = c.fetch_all(topic, pid, starts.get(pid, 0))
-                for off, key, value, ts in recs:
+                    recs = c.fetch_all(topic, pid, starts.get(pid, 0),
+                                       with_headers=include_headers)
+                for rec in recs:
+                    off, key, value, ts = rec[:4]
                     rows["topic"].append(topic)
                     rows["partition"].append(pid)
                     rows["offset"].append(off)
@@ -686,13 +911,19 @@ def read_kafka_wire(spark, bootstrap: str, topic: str, *,
                     rows["value"].append(value)
                     rows["timestamp"].append(
                         pd.Timestamp(ts, unit="ms") if ts >= 0 else None)
+                    if include_headers:
+                        rows["headers"].append(
+                            [{"key": hk, "value": hv}
+                             for hk, hv in rec[4]])
             out = pd.DataFrame(rows)
             # empty batches infer float64 for the timestamp column, which
             # Arrow cannot cast to timestamp — pin the dtype explicitly
             out["timestamp"] = pd.to_datetime(out["timestamp"])
             yield out
 
-    return assign.mapInPandas(fetch, schema=KAFKA_SCHEMA)
+    return assign.mapInPandas(
+        fetch,
+        schema=KAFKA_SCHEMA_H if include_headers else KAFKA_SCHEMA)
 
 
 class KafkaWireStream:

@@ -283,3 +283,64 @@ def test_fetch_error_code_surfaces():
         broker.inject_errors.clear()
         with KafkaWireClient(broker.host, broker.port) as c:
             assert len(c.fetch_all("err", 0)) == 1
+
+
+def test_record_batch_v2_roundtrip_with_headers():
+    """magic-2 record batches (the only format with headers): zigzag
+    varints, CRC-32C, offset/timestamp deltas, null key/value/header
+    values all survive the encode→decode roundtrip."""
+    from materialize_spark.sources.kafka_wire import (
+        decode_records, encode_record_batch,
+    )
+    recs = [
+        (7, b"k1", b"v1", 1000, [("h1", b"x"), ("h2", None)]),
+        (8, None, b"v2", 999, []),
+        (9, b"k3", None, 1002, [("trace", b"\x00\x01\x7f\x80")]),
+    ]
+    buf = encode_record_batch(recs, base_offset=7)
+    assert decode_records(buf) == recs
+
+
+def test_record_batch_crc32c_detects_corruption():
+    import pytest as _pytest
+
+    from materialize_spark.sources.kafka_wire import (
+        decode_records, encode_record_batch,
+    )
+    buf = bytearray(encode_record_batch(
+        [(0, b"k", b"v", 0, [("a", b"b")])]))
+    buf[-1] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC-32C"):
+        decode_records(bytes(buf))
+
+
+def test_decode_records_handles_both_formats():
+    """Byte-16 magic disambiguation: v1 message sets decode to
+    empty-header 5-tuples, magic-2 batches keep their headers."""
+    from materialize_spark.sources.kafka_wire import (
+        decode_records, encode_message_set, encode_record_batch,
+    )
+    v1 = encode_message_set([(0, b"a", b"1", 5)])
+    assert decode_records(v1) == [(0, b"a", b"1", 5, [])]
+    v2 = encode_record_batch([(0, b"a", b"1", 5, [("x", b"y")])])
+    assert decode_records(v2) == [(0, b"a", b"1", 5, [("x", b"y")])]
+
+
+def test_produce_fetch_headers_over_the_wire():
+    """Headers ride Produce v3 / magic-2 through the broker and come
+    back on fetch with_headers; header-less consumers see 4-tuples."""
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    with MiniBroker() as b:
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("ht", 0, [
+                (b"k1", b"v1", 1, [("lang", b"en")]),
+                (b"k2", b"v2", 2, []),
+            ])
+            c.produce("ht", 0, [(b"k3", b"v3", 3)])  # legacy 3-tuple
+            recs = c.fetch_all("ht", 0, with_headers=True)
+            assert [r[4] for r in recs] == [[("lang", b"en")], [], []]
+            plain = c.fetch_all("ht", 0)
+            assert [len(r) for r in plain] == [4, 4, 4]
+            assert [r[1] for r in plain] == [b"k1", b"k2", b"k3"]

@@ -1705,3 +1705,18 @@ def test_explain_all_five_stages_distinct(spark):
     # the physical plan is not logical text
     assert texts["PHYSICAL"] != texts["OPTIMIZED"]
     assert len(set(texts.values())) >= 4
+
+
+def test_ssh_tunnel_connection_rejected_explicitly(spark):
+    """CREATE CONNECTION ... TO SSH TUNNEL / AWS PRIVATELINK are
+    RECOGNIZED statements (reference connections.rs SshTunnel /
+    AwsPrivatelink) rejected with a clear unsupported-feature error —
+    not an unknown-syntax fallthrough."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    with pytest.raises(Exception, match="SSH TUNNEL is not supported"):
+        s.execute("CREATE CONNECTION tun TO SSH TUNNEL "
+                  "(HOST 'bastion', PORT 22, USER 'mz')")
+    with pytest.raises(Exception, match="PRIVATELINK is not supported"):
+        s.execute("CREATE CONNECTION pl TO AWS PRIVATELINK "
+                  "(SERVICE NAME 'com.amazonaws.vpce.svc')")
