@@ -55,60 +55,50 @@ def load_all() -> dict[str, QuerySpec]:
     # The driver harness evaluates only the first ~50 registry entries.
     # The remainder round-robins across modules so any longer evaluation
     # prefix still spans the surface.
-    # Rotation policy (VERDICT r8 item 8): driver certification
-    # ACCUMULATES across rounds — after r8 the union covers all 176
-    # then-existing entries at least once, and the r8 window went
-    # 50/50 green. The r9 window = (a) the four round-9 capabilities
-    # (outer-join and join→TopK delta MVs, the Avro-over-CSR SQL
-    # source, the upsert Kafka-sink roundtrip), (b) every entry whose
-    # IMPLEMENTATION changed this round (delta machinery gained
-    # null-safe group keys + spilled-state probes; pgwire gained
-    # streamed SUBSCRIBE/binary-type validation/COPY delta feeds;
-    # kafka source format dispatch was rewritten; q5's join routing
-    # changed; custom-type CAST rewrite narrowed; HTTP auth hardened),
-    # and (c) the OLDEST r5/r6 certifications never re-checked under a
-    # 50-slot window (cdc wire appliers, simsearch family, iceberg
-    # sink, multimodal, asof/range joins, uuid/decimal margins),
+    # Rotation policy (VERDICT r9 item 8): driver certification
+    # ACCUMULATES across rounds — the cross-round union covers every
+    # entry at least once, and the r9 window went 50/50 green. The r10
+    # window = (a) the round-10 capabilities (AST-dispatcher delta-MV
+    # shapes, Kafka INCLUDE HEADERS over magic-2 record batches, the
+    # Debezium-enveloped Avro sink roundtrip), (b) every entry whose
+    # IMPLEMENTATION changed this round (the serving loop moved to
+    # per-subscriber cursors + commit-diff-fed sinks — all sink and
+    # SUBSCRIBE-adjacent entries; the delta-MV matcher became an AST
+    # dispatcher — every delta-MV entry; join views gained the spill
+    # tier; the kafka source branches now thread a headers column),
+    # and (c) the OLDEST certifications never re-checked under a
+    # 50-slot window (namespaces/clusters/rbac and the role graph from
+    # r6, the upsert envelope batch, the window-function family),
     # ending with the flagship spread. Everything else stays green via
     # the local full-registry gate (tools/check.py at sf0.01).
     priority = [
-        # --- (a) round-9 capabilities ---
-        "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
-        "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
-        "kafka_source_avro_csr", "sink_kafka_upsert_roundtrip",
-        "sink_kafka_avro_roundtrip", "sqlfront_ws_api",
+        # --- (a) round-10 capabilities ---
+        "sqlfront_delta_mv_ast_filter", "sqlfront_delta_mv_ast_subquery",
+        "kafka_source_include_headers",
+        "sink_kafka_avro_debezium_roundtrip",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
-        "ivm_retraction_agg", "ivm_retraction_topk",
-        "ivm_incremental_join", "dedup_incremental_lsh",
-        "kafka_source_sql", "sqlfront_create_sink",
-        "sqlfront_create_type", "sqlfront_http_api",
-        "sqlfront_pgwire_extended",
-        "sqlfront_update_delete", "tpch_q5",
-        # --- (c) oldest r5/r6 certifications, never re-checked ---
-        "cdc_mysql_wire_apply", "cdc_sqlserver_wire_apply",
-        "sink_iceberg_roundtrip",
-        "simsearch_lsh_buckets", "simsearch_lsh_pairs",
-        "simsearch_ivf", "simsearch_ivf_disk", "simsearch_sq8",
-        "dedup_embedding_cosine",
-        "multimodal_decode_real", "multimodal_audio_real",
-        "multimodal_video_real",
-        # (join_range_band, agg_grouping_sets, and
-        # sqlfront_pgwire_roundtrip yield their slots to the extra
-        # round-9 entries — join_asof / agg_rollup /
-        # sqlfront_pgwire_extended keep those families covered, and
-        # all stay green in the local gate)
-        "join_asof",
-        "scalar_uuid", "scalar_decimal38_margin",
-        "agg_rollup", "agg_string_agg_ordered",
-        "range_operations", "mv_consistency_frontier",
-        # text-analysis family sentinel (window invariant: the checked
-        # prefix spans every pipeline family)
-        "text_language_id",
+        "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
+        "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
+        "sink_kafka_upsert_roundtrip", "sink_kafka_avro_roundtrip",
+        "sqlfront_create_sink", "sqlfront_update_delete",
+        "mv_consistency_frontier", "sqlfront_ws_api",
+        "sqlfront_http_api", "sqlfront_pgwire_extended",
+        "kafka_source_sql", "kafka_source_avro_csr",
+        "ivm_incremental_join", "tpch_q5",
+        # --- (c) oldest certifications, never re-checked in a window ---
+        "sqlfront_namespaces", "sqlfront_clusters", "sqlfront_rbac",
+        "sqlfront_role_membership", "sqlfront_ownership",
+        "upsert_envelope_batch",
+        "window_functions", "window_navigation", "window_lag_lead",
+        "window_range_frame",
+        "window_tumbling", "window_hopping", "window_session",
+        "temporal_filter", "sqlfront_wmr",
         # --- flagship spread (headline queries + IVM + pipeline + CDC) ---
         "tpch_q1", "tpch_q13", "tpch_q18", "tpch_q21",
-        "dedup_minhash_lsh", "simsearch_cosine_topk",
+        "dedup_minhash_lsh", "dedup_incremental_lsh",
+        "simsearch_cosine_topk", "text_language_id",
         "cdc_pgoutput_wire_apply",
     ]
     ordered: dict[str, QuerySpec] = {

