@@ -629,10 +629,13 @@ class MzSession:
         return {"mv": mv, "table": q.table, "keys": keys, "val": val,
                 "where": q.where, "pre": pre, "pre_where": pre_where}
 
-    def _plan_delta_distinct(self, node: ast.CreateView, q) -> bool:
+    def _plan_delta_distinct(self, node: ast.CreateView, q,
+                             pre: list[str] | None = None,
+                             pre_where: str | None = None) -> bool:
         """SELECT DISTINCT delta MV (reference reduce.rs Distinct plan):
         net row multiplicity decides visibility, so deletes of one
-        duplicate keep the row and deletes of the last one retire it."""
+        duplicate keep the row and deletes of the last one retire it.
+        ``pre``/``pre_where`` carry an inner stateless Map/Filter."""
         from materialize_spark.streaming.retraction import (
             RetractionAwareDistinct,
         )
@@ -643,7 +646,8 @@ class MzSession:
         self._delta_check_table(q.table)
         mv = RetractionAwareDistinct(self.spark, cols=cols)
         spec = {"mv": mv, "table": q.table, "cols": cols,
-                "where": q.where, "kind": "distinct"}
+                "where": q.where, "kind": "distinct",
+                "pre": pre, "pre_where": pre_where}
         self._install_delta_mv(node.name, spec)
         return True
 
@@ -734,16 +738,17 @@ class MzSession:
 
     def _plan_delta_agg_over_subquery(self, node: ast.CreateView,
                                       q) -> bool:
-        """Aggregate over a stateless subquery: ``SELECT keys, AGG(..)
-        FROM (SELECT <scalar exprs> FROM t [WHERE ..]) GROUP BY keys``.
-        The inner Map/Filter carries no state, so it composes as a
-        per-delta transform in front of the maintained reduce — the way
-        the reference fuses Map/Filter/Project into the surrounding
+        """Reduce over a stateless subquery: ``SELECT keys, AGG(..)
+        FROM (SELECT <scalar exprs> FROM t [WHERE ..]) GROUP BY keys``
+        (or SELECT DISTINCT over the same inner shape). The inner
+        Map/Filter carries no state, so it composes as a per-delta
+        transform in front of the maintained reduce — the way the
+        reference fuses Map/Filter/Project into the surrounding
         rendered operators (mfp fusion in src/compute/src/render.rs)."""
         inner = q.sub
         if (inner.joins or inner.group_by or inner.having
                 or inner.distinct or inner.sub is not None
-                or not q.group_by):
+                or not (q.group_by or q.distinct)):
             return False
         pre: list[str] = []
         for it in inner.items:
@@ -756,9 +761,12 @@ class MzSession:
         q2 = type(q)(items=q.items, distinct=q.distinct,
                      table=inner.table, where=q.where,
                      group_by=q.group_by, having=q.having)
-        return self._plan_delta_single_agg(
-            node, q2, pre=pre,
-            pre_where=rewrite(inner.where) if inner.where else None)
+        pre_where = rewrite(inner.where) if inner.where else None
+        if q.distinct and not q.group_by:
+            return self._plan_delta_distinct(node, q2, pre=pre,
+                                             pre_where=pre_where)
+        return self._plan_delta_single_agg(node, q2, pre=pre,
+                                           pre_where=pre_where)
 
     def _normalize_join_chain(self, q):
         """Normalize a parsed left-deep join chain (select_ast.SelectQ

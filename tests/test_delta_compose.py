@@ -414,3 +414,24 @@ def test_delta_mv_ast_agg_over_subquery_churn(spark):
     s.execute("INSERT INTO dc_ord VALUES (5, 12, 61), (6, 13, 59)")
     assert _rows(s, "dcvs") == _recompute(s, body)
     _drop(s, "dcvs")
+
+
+def test_delta_mv_ast_distinct_over_subquery_churn(spark):
+    """DISTINCT over a stateless inner Map/Filter: the inner projection
+    composes per-delta in front of the maintained Distinct; retiring
+    the last contributing row retires the distinct value."""
+    s = _mk(spark)
+    body = ("SELECT DISTINCT b FROM "
+            "(SELECT ckey % 3 AS b FROM dc_ord WHERE price > 50)")
+    s.execute("INSERT INTO dc_ord VALUES (1, 3, 100), (2, 4, 40)")
+    s.execute(f"CREATE MATERIALIZED VIEW dcvd WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcvd") == _recompute(s, body)
+    s.execute("UPDATE dc_ord SET price = 60 WHERE okey = 2")  # enters
+    assert _rows(s, "dcvd") == _recompute(s, body)
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")            # retires
+    assert _rows(s, "dcvd") == _recompute(s, body)
+    s.execute("INSERT INTO dc_ord VALUES (3, 6, 99), (4, 6, 99)")
+    s.execute("DELETE FROM dc_ord WHERE okey = 3")  # dup copy survives
+    assert _rows(s, "dcvd") == _recompute(s, body)
+    _drop(s, "dcvd")
