@@ -67,9 +67,42 @@ def test_avro_streaming_decode(spark, tmp_path):
     assert got == {"/home": 10, "/a/b": 10, "": 10}
 
 
-def test_avro_rejects_nested():
+def test_avro_nested_record_maps_to_struct():
+    """Inline record fields (the Debezium before/after envelope shape)
+    map to nullable Spark structs; other complex types still reject."""
+    from pyspark.sql.types import LongType, StructType
+
     nested = ('{"type":"record","name":"r","fields":'
               '[{"name":"x","type":{"type":"record","name":"inner",'
-              '"fields":[]}}]}')
-    with pytest.raises(ValueError, match="primitive"):
-        avro_spark_schema(nested)
+              '"fields":[{"name":"a","type":["null","long"]}]}}]}')
+    sch = avro_spark_schema(nested)
+    assert isinstance(sch["x"].dataType, StructType)
+    assert isinstance(sch["x"].dataType["a"].dataType, LongType)
+    arrays = ('{"type":"record","name":"r","fields":'
+              '[{"name":"x","type":{"type":"array","items":"long"}}]}')
+    with pytest.raises(ValueError, match="record"):
+        avro_spark_schema(arrays)
+
+
+def test_avro_debezium_envelope_roundtrip():
+    """The nested envelope encodes/decodes through the binary codec:
+    {before: null, after: row} and the reverse."""
+    import json as _json
+
+    from materialize_spark.sources.avro import (
+        _decode_value, _encode_value, _fields,
+        spark_to_debezium_avro_schema,
+    )
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    sch = StructType([StructField("id", LongType()),
+                      StructField("name", StringType())])
+    sj, _strf = spark_to_debezium_avro_schema(sch)
+    fields = _fields(_json.loads(sj))
+    for rec in ({"before": None, "after": {"id": 5, "name": "x"}},
+                {"before": {"id": 5, "name": None}, "after": None}):
+        buf = b"".join(_encode_value(t, rec[n]) for n, t in fields)
+        pos, out = 0, {}
+        for n, t in fields:
+            out[n], pos = _decode_value(t, buf, pos)
+        assert out == rec
