@@ -508,7 +508,8 @@ class MzSession:
         single-table reduce/distinct."""
         if q.sub is not None:
             if self._plan_delta_topk(node, q) \
-                    or self._plan_delta_agg_over_subquery(node, q):
+                    or self._plan_delta_agg_over_subquery(node, q) \
+                    or self._plan_delta_over_join_subquery(node, q):
                 return
         elif q.joins:
             if self._plan_delta_join(node, q):
@@ -768,6 +769,67 @@ class MzSession:
         return self._plan_delta_single_agg(node, q2, pre=pre,
                                            pre_where=pre_where)
 
+    def _plan_delta_over_join_subquery(self, node: ast.CreateView,
+                                       q) -> bool:
+        """Reduce / DISTINCT / projection over a subquery whose FROM is
+        a JOIN CHAIN — the 'join, clean, aggregate' MV. The inner
+        select list is a stateless Map over the chain's output, so its
+        aliases SUBSTITUTE into the outer clauses and the whole body
+        flattens to the equivalent join+reduce plan the bilinear chain
+        already maintains (the reference's optimizer inlines such
+        subqueries the same way before render.rs sees them). Alias-of-
+        expression may appear in aggregate inputs and filters; group
+        keys must resolve to plain chain columns."""
+        inner = q.sub
+        if (not inner.joins or inner.group_by or inner.having
+                or inner.distinct or inner.sub is not None):
+            return False
+        # plain-column aliases become REAL renames of the chain output
+        # (they name the outer scope's columns — group keys included);
+        # expression aliases substitute textually into the outer
+        # clauses, with their bodies rewritten to the renamed columns
+        ren: dict[str, str] = {}
+        emap: dict[str, str] = {}
+        for it in inner.items:
+            if it.alias is None:
+                if not it.is_column:
+                    return False  # unaliased expression: no name
+            elif it.is_column:
+                if it.alias != it.expr:
+                    ren[it.expr] = it.alias
+            else:
+                emap[it.alias] = it.expr
+
+        def rensub(text: str) -> str:
+            return re.sub(r"\b(\w+)\b",
+                          lambda m: ren.get(m.group(1), m.group(1)),
+                          text)
+
+        emap = {a: f"({rensub(e)})" for a, e in emap.items()}
+
+        def osub(text: str) -> str:
+            return re.sub(r"\b(\w+)\b",
+                          lambda m: emap.get(m.group(1), m.group(1)),
+                          text)
+
+        from materialize_spark.plans.select_ast import SelectItem
+        items = [SelectItem(expr=osub(it.expr), alias=it.alias)
+                 for it in q.items]
+        group_by = [osub(k) for k in q.group_by]
+        if not all(re.fullmatch(r"\w+", k) for k in group_by):
+            return False  # expression group keys: out of scope
+        # rename applies FIRST, so both filters speak renamed columns
+        wheres = [w for w in
+                  (rensub(inner.where) if inner.where else None,
+                   osub(q.where) if q.where else None) if w]
+        where = " AND ".join(f"({w})" for w in wheres) if wheres \
+            else None
+        q2 = type(q)(items=items, distinct=q.distinct,
+                     table=inner.table, joins=inner.joins,
+                     where=where, group_by=group_by,
+                     having=osub(q.having) if q.having else None)
+        return self._plan_delta_join(node, q2, renames=ren)
+
     def _normalize_join_chain(self, q):
         """Normalize a parsed left-deep join chain (select_ast.SelectQ
         with JoinSeg links) into (tables, norm_links, kinds, acc_cols)
@@ -865,7 +927,8 @@ class MzSession:
             acc += rcols
         return chain
 
-    def _plan_delta_join(self, node: ast.CreateView, q) -> bool:
+    def _plan_delta_join(self, node: ast.CreateView, q,
+                         renames: dict[str, str] | None = None) -> bool:
         """Equi-join delta MV (INNER / LEFT / FULL links), optionally
         with a grouped aggregate: maintained by the bilinear delta-join
         ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — never a re-join of the histories — with
@@ -886,6 +949,8 @@ class MzSession:
         if parsed is None:
             return False
         tables, norm_links, kinds, acc_cols = parsed
+        if renames:
+            acc_cols = {renames.get(c, c) for c in acc_cols}
         keys: list[str] = []
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
@@ -927,7 +992,8 @@ class MzSession:
                 "keys": keys, "aggs": aggs, "cols": cols,
                 "where": q.where, "having": having,
                 "proj": None, "table": None, "topk": None,
-                "distinct": dmv, "exprs": exprs}
+                "distinct": dmv, "exprs": exprs,
+                "renames": renames or {}}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
         return True
@@ -998,6 +1064,11 @@ class MzSession:
         from materialize_spark.streaming.ivm_join import _consolidate
 
         spec = self._delta_mvs[name]
+        if out is not None:
+            # inner plain-column aliases rename the chain output FIRST
+            # (filters below speak the renamed columns)
+            for orig, new in spec.get("renames", {}).items():
+                out = out.withColumnRenamed(orig, new)
         if out is not None and spec["where"]:
             out = out.filter(
                 f"coalesce(({rewrite(spec['where'])}), false)")

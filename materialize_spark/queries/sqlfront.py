@@ -1245,6 +1245,55 @@ def sqlfront_delta_mv_ast_subquery(spark, sf_dir):
 
 
 @register(
+    "sqlfront_delta_mv_ast_join_subquery",
+    """
+    -- oracle: recompute of the final net state of the
+    -- join→Map/Filter→aggregate body (inner subquery renames a key,
+    -- computes an expression column, and filters; outer filters on
+    -- the computed column and aggregates)
+    WITH ord(ok, ck, amt) AS (VALUES
+        (11, 1, 7), (12, 2, 60), (13, 2, 9)),
+    cust(ck2, seg) AS (VALUES (1, 'A'), (2, 'B'))
+    SELECT grp, CAST(SUM(amt2) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT seg AS grp, amt * 2 AS amt2
+          FROM ord JOIN cust ON ck = ck2 WHERE amt > 2)
+    WHERE amt2 < 100 GROUP BY grp ORDER BY grp
+    """,
+    "sqlfront", "delta-mv", "ast-dispatch",
+)
+def sqlfront_delta_mv_ast_join_subquery(spark, sf_dir):
+    """The 'join, clean, aggregate' MV under delta maintenance: the
+    body nests a join chain inside a subquery whose select list
+    RENAMES a key column and computes expression columns, with filters
+    at both levels. The dispatcher flattens it — plain-column aliases
+    become renames of the bilinear chain's output delta, expression
+    aliases substitute into the outer clauses — onto the existing
+    join+reduce operators (the reference's optimizer inlines such
+    subqueries before render.rs assembles the dataflow). Churn crosses
+    both filters in both directions; no REFRESH anywhere."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE djs_ord (ok BIGINT, ck BIGINT, "
+                 "amt BIGINT)")
+    sess.execute("CREATE TABLE djs_cust (ck2 BIGINT, seg STRING)")
+    sess.execute("INSERT INTO djs_cust VALUES (1, 'A'), (2, 'B')")
+    sess.execute("INSERT INTO djs_ord VALUES (10, 1, 5), (11, 1, 7), "
+                 "(12, 2, 3)")
+    sess.execute(
+        "CREATE MATERIALIZED VIEW djs_mv WITH (MAINTENANCE 'delta') AS "
+        "SELECT grp, SUM(amt2) AS total, COUNT(*) AS n FROM "
+        "(SELECT seg AS grp, amt * 2 AS amt2 FROM djs_ord "
+        "JOIN djs_cust ON ck = ck2 WHERE amt > 2) "
+        "WHERE amt2 < 100 GROUP BY grp")
+    # churn: ok=12 crosses OUT through the OUTER filter via UPDATE
+    # (amt2 = 120), ok=10 retracts, ok=13 arrives
+    sess.execute("UPDATE djs_ord SET amt = 60 WHERE ok = 12")
+    sess.execute("DELETE FROM djs_ord WHERE ok = 10")
+    sess.execute("INSERT INTO djs_ord VALUES (13, 2, 9)")
+    return sess.sql("SELECT grp, total, n FROM djs_mv ORDER BY grp")
+
+
+@register(
     "sqlfront_ws_api",
     """
     -- oracle: literal truth of the WS conversation — two ad-hoc rows,

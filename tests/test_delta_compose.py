@@ -435,3 +435,28 @@ def test_delta_mv_ast_distinct_over_subquery_churn(spark):
     s.execute("DELETE FROM dc_ord WHERE okey = 3")  # dup copy survives
     assert _rows(s, "dcvd") == _recompute(s, body)
     _drop(s, "dcvd")
+
+
+def test_delta_mv_ast_join_subquery_churn(spark):
+    """join→Map/Filter subquery→aggregate: inner renames a key column
+    and computes expressions; filters at both levels. Fresh through
+    churn on both join sides against full recomputes."""
+    s = _mk(spark)
+    body = ("SELECT who, SUM(dbl) AS total FROM "
+            "(SELECT cname AS who, price * 2 AS dbl, price "
+            "FROM dc_ord JOIN dc_cust ON ckey = cust_key "
+            "WHERE price > 20) WHERE dbl < 500 GROUP BY who")
+    s.execute("INSERT INTO dc_cust VALUES (10, 'alice'), (11, 'bob')")
+    s.execute("INSERT INTO dc_ord VALUES (1, 10, 100), (2, 11, 30), "
+              "(3, 11, 10)")
+    s.execute(f"CREATE MATERIALIZED VIEW dcvj WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcvj") == _recompute(s, body)
+    s.execute("UPDATE dc_ord SET price = 300 WHERE okey = 1")  # dbl 600: out
+    assert _rows(s, "dcvj") == _recompute(s, body)
+    s.execute("DELETE FROM dc_cust WHERE cust_key = 11")  # bob vanishes
+    assert _rows(s, "dcvj") == _recompute(s, body)
+    s.execute("INSERT INTO dc_cust VALUES (11, 'bob')")
+    s.execute("UPDATE dc_ord SET price = 25 WHERE okey = 3")  # enters
+    assert _rows(s, "dcvj") == _recompute(s, body)
+    _drop(s, "dcvj")
