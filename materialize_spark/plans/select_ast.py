@@ -83,6 +83,8 @@ class SelectQ:
     where: str | None = None
     group_by: list[str] = field(default_factory=list)
     having: str | None = None
+    order: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None            # ORDER BY col [DESC] LIMIT k
 
 
 _STOPS_ITEMS = ("FROM",)
@@ -199,6 +201,20 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
         q.group_by = p.comma_list_spans("HAVING", "ORDER", "LIMIT")
     if p.take_kw("HAVING"):
         q.having = p.span_until_kw("ORDER", "LIMIT")
+    if p.take_kw("ORDER", "BY"):
+        while True:
+            col = p.ident()
+            desc = False
+            if p.take_kw("DESC"):
+                desc = True
+            else:
+                p.take_kw("ASC")
+            q.order.append((col, desc))
+            if p.peek().kind != "COMMA":
+                break
+            p.next()
+    if p.take_kw("LIMIT"):
+        q.limit = p.int_()
     t = p.peek()
     if t.kind == "SEMI":
         p.next()

@@ -505,7 +505,15 @@ class MzSession:
     def _plan_delta_mv(self, node: ast.CreateView, q) -> None:
         """Dispatch a parsed view body onto maintained operators:
         subquery forms (TopK idiom, agg-over-map), join chains, and
-        single-table reduce/distinct."""
+        single-table reduce/distinct; ORDER BY ... LIMIT k as the
+        global TopK."""
+        if q.order or q.limit is not None:
+            if self._plan_delta_global_topk(node, q):
+                return
+            raise ValueError(
+                "MAINTENANCE 'delta' supports ORDER BY ... LIMIT only "
+                "as the global TopK shape (plain columns over one "
+                "table, single ORDER BY column); " + _DELTA_SUPPORTED)
         if q.sub is not None:
             if self._plan_delta_topk(node, q) \
                     or self._plan_delta_agg_over_subquery(node, q) \
@@ -734,6 +742,38 @@ class MzSession:
         spec = {"mv": mv, "table": inner.table, "keys": keys,
                 "icols": icols, "cols": cols, "where": inner.where,
                 "kind": "topk"}
+        self._install_delta_mv(node.name, spec)
+        return True
+
+    def _plan_delta_global_topk(self, node: ast.CreateView, q) -> bool:
+        """Global TopK: ``SELECT cols FROM t [WHERE ..] ORDER BY c
+        [DESC] LIMIT k`` — the reference's TopK plan with an EMPTY
+        group key (src/compute-types/src/plan/top_k.rs; the leaderboard
+        MV). Maintained by RetractionAwareTopK over a constant group:
+        a deleted top-k row pulls the evicted successor back in."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareTopK,
+        )
+
+        if (q.limit is None or len(q.order) != 1 or q.group_by
+                or q.having or q.distinct or q.sub is not None
+                or q.joins):
+            return False
+        if not all(it.is_column and it.alias is None for it in q.items):
+            return False
+        ord_col, desc = q.order[0]
+        cols = [it.expr for it in q.items]
+        self._delta_check_table(q.table)
+        icols = list(cols)
+        if ord_col not in icols:
+            icols.append(ord_col)
+        icols.append("__g")
+        mv = RetractionAwareTopK(
+            self.spark, keys=["__g"], order_col=ord_col, limit=q.limit,
+            descending=desc, spill_rows=_TOPK_SPILL_ROWS)
+        spec = {"mv": mv, "table": q.table, "keys": ["__g"],
+                "icols": icols, "cols": cols, "where": q.where,
+                "kind": "topk", "pre": ["*", "1 AS __g"]}
         self._install_delta_mv(node.name, spec)
         return True
 

@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (a) round-10 capabilities ---
         "sqlfront_delta_mv_ast_filter", "sqlfront_delta_mv_ast_subquery",
         "sqlfront_delta_mv_ast_join_subquery",
+        "sqlfront_delta_mv_global_topk",
         "kafka_source_include_headers",
         "sink_kafka_avro_debezium_roundtrip",
         # --- (b) changed implementations this round ---

@@ -1294,6 +1294,40 @@ def sqlfront_delta_mv_ast_join_subquery(spark, sf_dir):
 
 
 @register(
+    "sqlfront_delta_mv_global_topk",
+    """
+    -- oracle: recompute of the final net state of the global-TopK
+    -- body (top 2 by score after the churn: deleting the leader pulls
+    -- the previously evicted row back in, then a new leader arrives)
+    WITH t(name, score) AS (VALUES
+        ('a', 10), ('c', 20), ('d', 5), ('e', 99))
+    SELECT name, CAST(score AS BIGINT) AS score
+    FROM t WHERE score > 6 ORDER BY score DESC LIMIT 2
+    """,
+    "sqlfront", "delta-mv", "topk", "ast-dispatch",
+)
+def sqlfront_delta_mv_global_topk(spark, sf_dir):
+    """Global TopK under delta maintenance: ``ORDER BY score DESC
+    LIMIT 2`` — the reference's TopK plan with an EMPTY group key
+    (src/compute-types/src/plan/top_k.rs; the leaderboard MV).
+    Deleting the current leader must pull the previously EVICTED row
+    back into the result (the non-monotonic guarantee the full
+    compacted support provides). No REFRESH anywhere."""
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE dgt_t (name STRING, score BIGINT)")
+    sess.execute("INSERT INTO dgt_t VALUES ('a', 10), ('b', 30), "
+                 "('c', 20), ('d', 5)")
+    sess.execute(
+        "CREATE MATERIALIZED VIEW dgt_mv WITH (MAINTENANCE 'delta') AS "
+        "SELECT name, score FROM dgt_t WHERE score > 6 "
+        "ORDER BY score DESC LIMIT 2")
+    sess.execute("DELETE FROM dgt_t WHERE name = 'b'")  # leader out
+    sess.execute("INSERT INTO dgt_t VALUES ('e', 99)")  # new leader
+    return sess.sql("SELECT name, score FROM dgt_mv "
+                    "ORDER BY score DESC, name")
+
+
+@register(
     "sqlfront_ws_api",
     """
     -- oracle: literal truth of the WS conversation — two ad-hoc rows,

@@ -460,3 +460,24 @@ def test_delta_mv_ast_join_subquery_churn(spark):
     s.execute("UPDATE dc_ord SET price = 25 WHERE okey = 3")  # enters
     assert _rows(s, "dcvj") == _recompute(s, body)
     _drop(s, "dcvj")
+
+
+def test_delta_mv_global_topk_churn(spark):
+    """Global ORDER BY ... LIMIT k (TopK with empty group key): exact
+    against full recomputes through leader deletes (evicted rows
+    return) and filter-crossing updates."""
+    s = _mk(spark)
+    body = ("SELECT okey, price FROM dc_ord WHERE price > 10 "
+            "ORDER BY price DESC LIMIT 3")
+    s.execute("INSERT INTO dc_ord VALUES (1, 0, 100), (2, 0, 90), "
+              "(3, 0, 80), (4, 0, 70), (5, 0, 8)")
+    s.execute(f"CREATE MATERIALIZED VIEW dcvg WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "dcvg") == _recompute(s, body)
+    s.execute("DELETE FROM dc_ord WHERE okey = 1")   # 4 re-enters
+    assert _rows(s, "dcvg") == _recompute(s, body)
+    s.execute("UPDATE dc_ord SET price = 95 WHERE okey = 5")  # crosses in
+    assert _rows(s, "dcvg") == _recompute(s, body)
+    s.execute("UPDATE dc_ord SET price = 9 WHERE okey = 2")   # crosses out
+    assert _rows(s, "dcvg") == _recompute(s, body)
+    _drop(s, "dcvg")
