@@ -670,7 +670,7 @@ class MzSession:
         inner = q.sub
         if (q.distinct or q.group_by or q.having or q.joins
                 or q.where is None or inner.distinct or inner.group_by
-                or inner.having):
+                or inner.having or inner.sub is not None):
             return None
         m = _TOPK_FILTER_RE.match(q.where)
         if m is None:

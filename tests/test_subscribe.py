@@ -227,3 +227,54 @@ def test_subscribe_progress_per_cursor_clock(spark):
     assert {r.mz_timestamp for r in out1.collect()} == {2}
     sess.subscribe_close(s1)
     sess.subscribe_close(s2)
+
+
+def test_push_subscriptions_under_interleaved_commits(spark):
+    """A longer churn: two subscribers polling at different rhythms
+    while commits interleave — each must reconstruct the table's exact
+    final state from its snapshot + the sum of its deltas."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_soak (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_soak VALUES ('seed', 0)")
+
+    def net(state, batch):
+        for row in batch.collect():
+            key = (row.k, row.v)
+            state[key] = state.get(key, 0) + row.diff
+        return state
+
+    s1, f1, _ = sess.subscribe_open("SUBSCRIBE sub_soak")
+    st1 = net({}, f1)
+    s2, f2, _ = sess.subscribe_open("SUBSCRIBE sub_soak")
+    st2 = net({}, f2)
+    import random
+    rng = random.Random(11)
+    live = [("seed", 0)]
+    for step in range(12):
+        if live and rng.random() < 0.4:
+            k, v = live.pop(rng.randrange(len(live)))
+            sess.execute(f"DELETE FROM sub_soak WHERE k = '{k}' "
+                         f"AND v = {v}")
+        else:
+            kv = (f"k{step}", rng.randrange(100))
+            live.append(kv)
+            sess.execute(f"INSERT INTO sub_soak VALUES "
+                         f"('{kv[0]}', {kv[1]})")
+        if step % 3 == 0:  # subscriber 1 polls often
+            out = sess.subscribe_poll(s1)
+            if out is not None:
+                st1 = net(st1, out)
+    # drain both fully at the end (coalesced multi-commit batches)
+    for sid, st in ((s1, st1), (s2, st2)):
+        out = sess.subscribe_poll(sid)
+        if out is not None:
+            net(st, out)
+    want = {}
+    for r in sess.execute("SELECT * FROM sub_soak").collect():
+        want[(r.k, r.v)] = want.get((r.k, r.v), 0) + 1
+    for st in (st1, st2):
+        got = {k: n for k, n in st.items() if n != 0}
+        assert got == want
+    sess.subscribe_close(s1)
+    sess.subscribe_close(s2)
