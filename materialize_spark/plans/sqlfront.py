@@ -1637,12 +1637,45 @@ class MzSession:
         want_headers = bool(node.include) and any(
             k == "headers" or k.startswith("header:")
             for k, _a in node.include)
-        frame = read_kafka_wire(self.spark, broker, node.topic,
-                                ssl_conf=connection_ssl_conf(conn),
-                                sasl=sasl,
-                                include_headers=want_headers)
-        meta_cols = ["partition", "offset", "timestamp"] + (
-            ["headers"] if want_headers else [])
+        # continuous-ingestion handle: the snapshot IS the stream's
+        # first poll, so the committed offset frontier starts exactly
+        # past what the snapshot decoded (tick_sources polls onward)
+        from materialize_spark.sources.kafka_wire import KafkaWireStream
+        stream = KafkaWireStream(self.spark, broker, node.topic,
+                                 ssl_conf=connection_ssl_conf(conn),
+                                 sasl=sasl,
+                                 include_headers=want_headers)
+        frame = stream.poll()
+        stream.commit()
+        df, data_cols = self._kafka_decode_frame(node, frame)
+        df = self._kafka_apply_envelope(node, df, data_cols)
+        df = self._kafka_apply_include(node, df)
+        self.catalog.register_table(
+            node.name, df.localCheckpoint(eager=True))
+        self._source_tables.add(node.name)
+        self._sources = getattr(self, "_sources", {})
+        tick_error = None
+        if node.include is not None and node.envelope != "none":
+            tick_error = (
+                "continuous ingestion of this source is not supported: "
+                "INCLUDE metadata under ENVELOPE "
+                f"{node.envelope.upper()} cannot be merged "
+                "incrementally; recreate the source without INCLUDE "
+                "(or with ENVELOPE NONE)")
+        self._sources[node.name] = {"flavor": "kafka",
+                                    "topic": node.topic,
+                                    "connection": node.connection,
+                                    "stream": stream, "node": node,
+                                    "tick_error": tick_error}
+
+    def _kafka_decode_frame(self, node: ast.CreateSourceKafka, frame):
+        """FORMAT decode of one wire frame (snapshot or tick batch) →
+        (df, data_cols); the metadata columns (partition / offset /
+        timestamp [/ headers]) survive alongside the decoded data."""
+        from pyspark.sql import functions as F
+
+        meta_cols = [c for c in ("partition", "offset", "timestamp",
+                                 "headers") if c in frame.columns]
         data_cols = ["data"]
         if node.fmt == "json":
             # FORMAT JSON: one `data` text column of the JSON payload
@@ -1696,6 +1729,14 @@ class MzSession:
             raise ValueError(
                 f"unsupported FORMAT {node.fmt!r} (json | bytes | text "
                 "| avro | protobuf | csv | regex)")
+        return df, data_cols
+
+    def _kafka_apply_envelope(self, node: ast.CreateSourceKafka, df,
+                              data_cols: list[str]):
+        """ENVELOPE applied over a FULL decoded topic history (the
+        snapshot form — tick batches use the incremental merges in
+        tick_sources instead)."""
+        from pyspark.sql import functions as F
         if node.envelope == "upsert":
             from functools import reduce as _reduce
 
@@ -1754,6 +1795,10 @@ class MzSession:
         elif node.envelope != "none":
             raise ValueError(f"unsupported ENVELOPE {node.envelope!r} "
                              "(none | upsert | debezium)")
+        return df
+
+    def _kafka_apply_include(self, node: ast.CreateSourceKafka, df):
+        from pyspark.sql import functions as F
         if node.include is not None:
             # INCLUDE projection (reference KafkaMetadataKind,
             # src/storage-types/src/sources/kafka.rs:534-540): only the
@@ -1796,13 +1841,113 @@ class MzSession:
                     val = val.cast("string")
                 sel.append(val.alias(alias))
             df = df.select(*sel)
-        self.catalog.register_table(
-            node.name, df.localCheckpoint(eager=True))
-        self._source_tables.add(node.name)
-        self._sources = getattr(self, "_sources", {})
-        self._sources[node.name] = {"flavor": "kafka",
-                                    "topic": node.topic,
-                                    "connection": node.connection}
+        return df
+
+    def tick_sources(self) -> list[str]:
+        """Drive CONTINUOUS ingestion for SQL-created Kafka sources:
+        poll each source's committed offset frontier, decode the new
+        records, and apply them as an ordinary COMMIT — delta MVs,
+        Kafka sinks, and open subscriptions all update through the
+        same diff bus DML uses. Host-driven like tick_refreshes (the
+        reference's source dataflows run continuously; kafka.rs
+        consume → emit → advance the offset frontier — the batch
+        analog is repeated bounded reads). Returns the names that
+        ingested new records. ENVELOPE NONE appends are O(batch);
+        UPSERT/DEBEZIUM merge keyed against the current collection
+        (O(batch ⋈ table) — the same cost class as an UPDATE)."""
+        advanced: list[str] = []
+        for name, spec in list(getattr(self, "_sources", {}).items()):
+            stream = spec.get("stream")
+            if stream is None:
+                continue
+            if spec.get("tick_error"):
+                raise ValueError(f"source {name!r}: "
+                                 + spec["tick_error"])
+            batch = stream.poll()
+            if batch.isEmpty():
+                stream.commit()
+                continue
+            node = spec["node"]
+            df, data_cols = self._kafka_decode_frame(node, batch)
+            self._apply_source_batch(name, node, df, data_cols)
+            stream.commit()
+            stat = self._source_stats.get(name)
+            if stat is not None and stat.get("messages") is not None:
+                stat["messages"] += batch.count()
+            advanced.append(name)
+        return advanced
+
+    def _apply_source_batch(self, name: str,
+                            node: ast.CreateSourceKafka, df,
+                            data_cols: list[str]) -> None:
+        """Merge one decoded tick batch into a source's collection per
+        its ENVELOPE and publish the commit's diff frames."""
+        from pyspark.sql import functions as F
+        old = self.catalog._tables[name]
+        if node.envelope == "none":
+            rows = self._kafka_apply_include(node, df)
+            self.append_rows(name, rows)
+            return
+        if node.envelope == "upsert":
+            from functools import reduce as _reduce
+
+            from materialize_spark.streaming.upsert import upsert_latest
+            if "key" not in old.columns:
+                raise ValueError(
+                    f"source {name!r}: incremental UPSERT merge needs "
+                    "the key column in the collection")
+            latest = upsert_latest(
+                df, ["key"],
+                [F.col("partition").desc(), F.col("offset").desc()],
+                value_cols=data_cols,
+                delete_when=_reduce(lambda a, b: a & b,
+                                    [F.col(c).isNull()
+                                     for c in data_cols]))
+            keys = df.select("key").distinct()
+            rets = old.join(keys, on="key", how="left_semi")
+            adds = latest.select(*old.columns)
+            new = (old.join(keys, on="key", how="left_anti")
+                   .unionByName(adds).localCheckpoint(eager=True))
+        elif node.envelope == "debezium":
+            if node.fmt == "avro" \
+                    and {"before", "after"} <= set(data_cols):
+                adds = (df.filter(F.col("after").isNotNull())
+                        .select("after.*"))
+                rets = (df.filter(F.col("before").isNotNull())
+                        .select("before.*"))
+            else:
+                from materialize_spark.sources.envelopes import (
+                    debezium_decode,
+                )
+                vals = (df.filter(F.col("data").isNotNull())
+                        .select(F.col("data").alias("value")))
+                row_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in old.schema.fields)
+                updates = debezium_decode(vals, "value", row_ddl)
+                adds = (updates.filter(F.col("diff") > 0).drop("diff"))
+                rets = (updates.filter(F.col("diff") < 0).drop("diff"))
+            adds = adds.select(*old.columns)
+            rets = rets.select(*old.columns)
+            # multiset merge: net multiplicities decide survival
+            merged = (old.withColumn("__d", F.lit(1))
+                      .unionByName(adds.withColumn("__d", F.lit(1)))
+                      .unionByName(rets.withColumn("__d", F.lit(-1))))
+            new = (merged.groupBy(*old.columns)
+                   .agg(F.sum("__d").alias("__n"))
+                   .filter(F.col("__n") > 0)
+                   .withColumn("__i", F.explode(
+                       F.sequence(F.lit(1), F.col("__n"))))
+                   .drop("__n", "__i").localCheckpoint(eager=True))
+        else:
+            raise ValueError(
+                f"unsupported ENVELOPE {node.envelope!r} for ticks")
+        self.catalog.register_table(name, new)
+        self._feed_delta_mvs_for_table(
+            name,
+            adds.withColumn("diff", F.lit(1)).unionByName(
+                rets.withColumn("diff", F.lit(-1))))
+        self._publish_commit(name, adds, rets)
 
     def _decode_csr_format(self, node: ast.CreateSourceKafka, frame):
         """FORMAT AVRO | PROTOBUF USING CONFLUENT SCHEMA REGISTRY

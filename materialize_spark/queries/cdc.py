@@ -918,3 +918,57 @@ def kafka_source_include_headers(spark, sf_dir):
                                        F.lower(F.hex(h["value"])))),
                 ",").alias("all_headers"))
             .orderBy("off"))
+
+
+@register(
+    "kafka_source_continuous_tick",
+    """
+    -- oracle: literal truth of the produce script — the snapshot saw
+    -- only k1@1; two tick rounds ingested the post-CREATE records, so
+    -- the delta-maintained count over the SOURCE reflects all five
+    SELECT * FROM (VALUES
+        ('k1', CAST(3 AS BIGINT)),
+        ('k2', CAST(2 AS BIGINT))
+    ) AS t(key, n) ORDER BY key
+    """,
+    "source", "kafka", "streaming", "delta-mv",
+)
+def kafka_source_continuous_tick(spark, sf_dir):
+    """The reference's PRIMARY loop end-to-end: Kafka topic → SOURCE →
+    delta-maintained MV, CONTINUOUSLY. Records produced AFTER CREATE
+    SOURCE arrive via the host-driven tick (tick_sources polls the
+    committed offset frontier — kafka.rs consume → emit → advance) and
+    apply as ordinary commits, so the always-fresh MV over the source
+    updates with no REFRESH anywhere. Two tick rounds prove the
+    frontier advances (no re-ingestion)."""
+    import json as _json
+
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+
+    with MiniBroker() as b:
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("cont_m", 0,
+                      [(b"k1", _json.dumps({"v": 1}).encode(), 1)])
+        s = MzSession(spark, sf_dir)
+        s.execute(f"CREATE CONNECTION cont_kc TO KAFKA "
+                  f"(BROKER '{b.host}:{b.port}')")
+        s.execute("CREATE SOURCE cont_ev FROM KAFKA CONNECTION cont_kc "
+                  "(TOPIC 'cont_m') FORMAT JSON")
+        s.execute("CREATE MATERIALIZED VIEW cont_mv WITH (MAINTENANCE "
+                  "'delta') AS SELECT key, COUNT(*) AS n FROM cont_ev "
+                  "GROUP BY key")
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("cont_m", 0,
+                      [(b"k1", _json.dumps({"v": 2}).encode(), 2),
+                       (b"k2", _json.dumps({"v": 9}).encode(), 3)])
+        s.tick_sources()
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("cont_m", 0,
+                      [(b"k2", _json.dumps({"v": 1}).encode(), 4),
+                       (b"k1", _json.dumps({"v": 0}).encode(), 5)])
+        s.tick_sources()
+        s.tick_sources()  # idle round: frontier already advanced
+        return s.sql("SELECT key, n FROM cont_mv ORDER BY key")

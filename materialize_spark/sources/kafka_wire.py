@@ -942,12 +942,14 @@ class KafkaWireStream:
     def __init__(self, spark, bootstrap: str, topic: str, *,
                  starting_offsets: dict[int, int] | None = None,
                  ssl_conf: dict | None = None,
-                 sasl: tuple[str, str, str] | None = None):
+                 sasl: tuple[str, str, str] | None = None,
+                 include_headers: bool = False):
         self.spark = spark
         self.bootstrap = bootstrap
         self.topic = topic
         self.ssl_conf = ssl_conf
         self.sasl = sasl
+        self.include_headers = include_headers
         self.offsets: dict[int, int] = dict(starting_offsets or {})
         self._pending: dict[int, int] | None = None
 
@@ -956,7 +958,8 @@ class KafkaWireStream:
         frame; remembers the batch's end offsets for commit()."""
         df = read_kafka_wire(self.spark, self.bootstrap, self.topic,
                              starting_offsets=self.offsets,
-                             ssl_conf=self.ssl_conf, sasl=self.sasl)
+                             ssl_conf=self.ssl_conf, sasl=self.sasl,
+                             include_headers=self.include_headers)
         batch = df.localCheckpoint(eager=True)
         from pyspark.sql import functions as F
         ends = {r.partition: r.mx + 1 for r in batch.groupBy("partition")

@@ -420,3 +420,72 @@ def test_kafka_source_sql_envelope_debezium(spark):
             sess.execute("CREATE SOURCE dbz_b FROM KAFKA CONNECTION "
                          "kdbz (TOPIC 'dbz') FORMAT BYTES "
                          "ENVELOPE DEBEZIUM")
+
+
+def test_kafka_source_ticks_feed_delta_mvs_and_subscriptions(spark):
+    """Continuous ingestion: records produced AFTER CREATE SOURCE
+    arrive via tick_sources() as ordinary commits — the delta MV over
+    the source and an open subscription both update; idle ticks are
+    no-ops."""
+    import json as _json
+
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    with MiniBroker() as b:
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("tick_m", 0,
+                      [(b"k1", _json.dumps({"v": 1}).encode(), 1)])
+        s.execute(f"CREATE CONNECTION tkc TO KAFKA "
+                  f"(BROKER '{b.host}:{b.port}')")
+        s.execute("CREATE SOURCE tick_ev FROM KAFKA CONNECTION tkc "
+                  "(TOPIC 'tick_m') FORMAT JSON")
+        s.execute("CREATE MATERIALIZED VIEW tick_mv WITH (MAINTENANCE "
+                  "'delta') AS SELECT key, COUNT(*) AS n FROM tick_ev "
+                  "GROUP BY key")
+        sid, _first, _ = s.subscribe_open("SUBSCRIBE tick_ev")
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("tick_m", 0,
+                      [(b"k1", _json.dumps({"v": 2}).encode(), 2),
+                       (b"k2", _json.dumps({"v": 9}).encode(), 3)])
+        assert s.tick_sources() == ["tick_ev"]
+        got = {r.key: r.n
+               for r in s.sql("SELECT * FROM tick_mv").collect()}
+        assert got == {"k1": 2, "k2": 1}
+        delta = s.subscribe_poll(sid)
+        assert sorted((r.key, r.diff) for r in delta.collect()) == \
+            [("k1", 1), ("k2", 1)]
+        assert s.tick_sources() == []  # idle: nothing re-ingested
+        s.subscribe_close(sid)
+
+
+def test_kafka_source_upsert_ticks_merge_keyed(spark):
+    """UPSERT ticks merge keyed against the current collection:
+    updates replace, tombstones delete, untouched keys survive."""
+    import json as _json
+
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.kafka_wire import (
+        KafkaWireClient, MiniBroker,
+    )
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    with MiniBroker() as b:
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("tick_u", 0,
+                      [(b"a", _json.dumps({"v": 1}).encode(), 1),
+                       (b"c", _json.dumps({"v": 3}).encode(), 2)])
+        s.execute(f"CREATE CONNECTION tku TO KAFKA "
+                  f"(BROKER '{b.host}:{b.port}')")
+        s.execute("CREATE SOURCE tick_us FROM KAFKA CONNECTION tku "
+                  "(TOPIC 'tick_u') FORMAT JSON ENVELOPE UPSERT")
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce("tick_u", 0,
+                      [(b"a", _json.dumps({"v": 5}).encode(), 3),
+                       (b"b", _json.dumps({"v": 7}).encode(), 4),
+                       (b"a", None, 5)])  # update then tombstone
+        s.tick_sources()
+        got = {r.key: _json.loads(r.data)["v"] for r in
+               s.sql("SELECT key, data FROM tick_us").collect()}
+        assert got == {"b": 7, "c": 3}  # c untouched, a gone, b new
