@@ -1579,8 +1579,22 @@ class MzSession:
         src = WebhookSource(
             self.spark, tempfile.mkdtemp(prefix=f"mz_webhook_{name}_"),
             body_format=node.body_format)
-        def _on_post(n=name, s=src):
+        def _on_post(rec, n=name, s=src):
+            from pyspark.sql import functions as F
             self.catalog.register_table(n, s.df())
+            # the delivery IS the commit's diff frame: route it through
+            # the diff bus so delta MVs, sinks, and subscriptions over
+            # the webhook source update on every POST (reference
+            # webhook.rs appends land in persist like any table write)
+            row = (self.spark.createDataFrame(
+                [(rec["body"], rec["headers"], rec["received_at"])],
+                "body string, headers map<string,string>, "
+                "received_at string")
+                .withColumn("received_at",
+                            F.col("received_at").cast("timestamp")))
+            self._feed_delta_mvs_for_table(
+                n, row.withColumn("diff", F.lit(1)))
+            self._publish_commit(n, adds=row)
             # received-message counter: one request = one message, an
             # O(1) increment (no per-POST scan of the spool)
             st = self._source_stats.get(n)

@@ -61,7 +61,7 @@ class WebhookSource:
             f.write(json.dumps(rec) + "\n")
         os.rename(tmp, fname)  # atomic append: readers never see partials
         if self.on_post is not None:
-            self.on_post()
+            self.on_post(rec)
 
     # -- relation views ------------------------------------------------------
     def df(self) -> DataFrame:

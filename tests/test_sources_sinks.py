@@ -329,3 +329,25 @@ def test_webhook_http_endpoint(spark, tmp_path):
         assert rows[0].headers["x-signature"] == sig
     finally:
         src.stop_http()
+
+
+def test_webhook_posts_feed_delta_mvs_and_subscriptions(spark):
+    """Every webhook POST is a commit: delta MVs over the source and
+    open subscriptions update without any REFRESH."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute("CREATE SOURCE hook FROM WEBHOOK BODY FORMAT JSON")
+    s.execute("CREATE MATERIALIZED VIEW hook_n WITH (MAINTENANCE "
+              "'delta') AS SELECT body, COUNT(*) AS n FROM hook "
+              "GROUP BY body")
+    sid, _first, _ = s.subscribe_open("SUBSCRIBE hook")
+    s.webhook("hook").post({"e": 1})
+    s.webhook("hook").post({"e": 1})
+    s.webhook("hook").post({"e": 2})
+    got = {r.body: r.n for r in s.sql("SELECT * FROM hook_n").collect()}
+    assert got == {'{"e": 1}': 2, '{"e": 2}': 1}
+    delta = s.subscribe_poll(sid)
+    assert sorted(r.body for r in delta.collect()) == \
+        ['{"e": 1}', '{"e": 1}', '{"e": 2}']
+    assert all(r.diff == 1 for r in delta.collect())
+    s.subscribe_close(sid)
