@@ -1871,12 +1871,20 @@ class MzSession:
         (O(batch ⋈ table) — the same cost class as an UPDATE)."""
         advanced: list[str] = []
         for name, spec in list(getattr(self, "_sources", {}).items()):
+            if spec.get("tick_error"):
+                # non-tickable combination: note it in the status
+                # relation once and keep ticking the other sources
+                stat = self._source_stats.get(name)
+                if stat is not None and not stat.get("error"):
+                    stat["error"] = spec["tick_error"]
+                continue
+            if spec.get("cdc_tick"):
+                if self._tick_cdc_postgres(name, spec):
+                    advanced.append(name)
+                continue
             stream = spec.get("stream")
             if stream is None:
                 continue
-            if spec.get("tick_error"):
-                raise ValueError(f"source {name!r}: "
-                                 + spec["tick_error"])
             batch = stream.poll()
             if batch.isEmpty():
                 stream.commit()
@@ -1890,6 +1898,68 @@ class MzSession:
                 stat["messages"] += batch.count()
             advanced.append(name)
         return advanced
+
+    def _tick_cdc_postgres(self, name: str, spec: dict) -> bool:
+        """Continuous replication for a Postgres CDC source: re-read
+        the slot/log, decode ONLY the frames past the applied LSN
+        frontier, fold them into each captured subsource with the same
+        snapshot⊎diff merge the CREATE handoff used, and publish each
+        table's commit diffs (reference replication.rs: the slot
+        stream keeps the table current after the snapshot)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sources.pgoutput import (
+            apply_cdc, decode_pgoutput_stream, pgoutput_to_diff,
+        )
+        conn = spec["conn"]
+        if "host" in conn:
+            from materialize_spark.sources.pg_replication import (
+                read_pg_replication,
+            )
+            from materialize_spark.sources.tlsconf import (
+                connection_ssl_conf,
+            )
+            log = read_pg_replication(
+                self.spark, conn["host"], int(conn.get("port", 5432)),
+                conn.get("slot", "mz_slot"),
+                conn.get("publication", "mz_pub"),
+                user=conn.get("user", "mz"),
+                database=conn.get("database", "db"),
+                ssl_conf=connection_ssl_conf(conn))
+        else:
+            log = self.spark.read.parquet(conn["log"])
+        fresh = log.filter(F.col("lsn") > spec["applied"])
+        if fresh.isEmpty():
+            return False
+        hi = fresh.agg(F.max("lsn").alias("m")).collect()[0].m
+        # relation metadata cached from CREATE: pgoutput Relation
+        # messages precede the data frames, so mid-stream NEW tables
+        # would need a re-snapshot anyway (reference behavior)
+        env = decode_pgoutput_stream(fresh, relations=spec["rels"])
+        moved = False
+        for tname in spec["tables"]:
+            rel = spec["rels_by_name"].get(tname)
+            if rel is None:
+                continue
+            diff = pgoutput_to_diff(env, rel)
+            if diff.isEmpty():
+                continue
+            keys = spec["keys"][tname]
+            sub = f"{name}_{tname}"
+            cur = self.catalog._tables[sub]
+            new = apply_cdc(cur, diff, keys).localCheckpoint(eager=True)
+            touched = diff.select(*keys).distinct()
+            rets = cur.join(touched, on=keys, how="left_semi")
+            adds = new.join(touched, on=keys, how="left_semi")
+            self.catalog.register_table(sub, new)
+            self._feed_delta_mvs_for_table(
+                sub,
+                adds.withColumn("diff", F.lit(1)).unionByName(
+                    rets.withColumn("diff", F.lit(-1))))
+            self._publish_commit(sub, adds, rets)
+            moved = True
+        spec["applied"] = hi
+        return moved
 
     def _apply_source_batch(self, name: str,
                             node: ast.CreateSourceKafka, df,
@@ -2097,6 +2167,8 @@ class MzSession:
                 log = spark.read.parquet(conn["log"])
             rels = collect_relations(log)
             env = decode_pgoutput_stream(log, relations=rels)
+            rels_by_name: dict[str, dict] = {}
+            keys_by_table: dict[str, list[str]] = {}
             for oid, rel in rels.items():
                 if not isinstance(oid, int):
                     continue  # harvest metadata (relation_breaks)
@@ -2110,6 +2182,16 @@ class MzSession:
                 self.catalog.register_table(
                     f"{node.name}_{tname}", apply_cdc(base, diff, keys))
                 registered.append(tname)
+                rels_by_name[tname] = rel
+                keys_by_table[tname] = keys
+            # continuous replication: ticks decode only frames past
+            # this LSN frontier (the CREATE handoff applied the rest)
+            from pyspark.sql import functions as F
+            hi = log.agg(F.max("lsn").alias("m")).collect()[0].m
+            tick_extra = {
+                "cdc_tick": True, "conn": conn, "applied": hi or 0,
+                "rels": rels, "rels_by_name": rels_by_name,
+                "keys": keys_by_table}
         elif node.flavor == "mysql":
             from materialize_spark.sources.mysql_binlog import (
                 binlog_to_diff, collect_table_maps, decode_binlog_stream,
@@ -2209,8 +2291,10 @@ class MzSession:
             raise KeyError(
                 f"tables not present in replication source: {sorted(missing)}")
         self._sources = getattr(self, "_sources", {})
-        self._sources[node.name] = {"flavor": node.flavor,
-                                    "tables": registered}
+        spec = {"flavor": node.flavor, "tables": registered}
+        if node.flavor == "postgres":
+            spec.update(tick_extra)
+        self._sources[node.name] = spec
 
     def _create_secret(self, node: ast.CreateSecret, sql: str):
         # CREATE SECRET (reference CreateSecretStatement): opaque

@@ -77,6 +77,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_ast_join_subquery",
         "sqlfront_delta_mv_global_topk",
         "kafka_source_include_headers", "kafka_source_continuous_tick",
+        "cdc_pgoutput_continuous_tick",
         "sink_kafka_avro_debezium_roundtrip",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",

@@ -972,3 +972,56 @@ def kafka_source_continuous_tick(spark, sf_dir):
         s.tick_sources()
         s.tick_sources()  # idle round: frontier already advanced
         return s.sql("SELECT key, n FROM cont_mv ORDER BY key")
+
+
+@register(
+    "cdc_pgoutput_continuous_tick",
+    """
+    -- oracle: literal truth of the two-phase replication script —
+    -- snapshot (alice, bob), then ticked WAL renames bob, adds carol,
+    -- deletes alice
+    SELECT * FROM (VALUES
+        (CAST(2 AS INTEGER), 'bobby'),
+        (CAST(3 AS INTEGER), 'carol')
+    ) AS t(id, name) ORDER BY id
+    """,
+    "cdc", "source", "pgoutput", "streaming",
+)
+def cdc_pgoutput_continuous_tick(spark, sf_dir):
+    """Continuous Postgres replication end-to-end at the SQL surface:
+    CREATE SOURCE snapshots the slot's current log, then WAL frames
+    appended AFTERWARDS arrive via the host-driven tick (tick_sources
+    decodes only frames past the applied LSN frontier — the
+    reference's replication.rs stream keeping the table current after
+    snapshot.rs hands off). Update + insert + delete all land; a
+    second idle tick proves the frontier advanced."""
+    import tempfile
+
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.pgoutput import (
+        encode_delete, encode_insert, encode_relation, encode_update,
+    )
+    OID = 920
+    rel = encode_relation(OID, "public", "folk",
+                          [("id", 23, True), ("name", 25, False)])
+    logdir = tempfile.mkdtemp(prefix="mz_cdc_tick_")
+    spark.createDataFrame(
+        [(1, bytearray(rel)),
+         (2, bytearray(encode_insert(OID, [1, "alice"]))),
+         (3, bytearray(encode_insert(OID, [2, "bob"])))],
+        "lsn long, message binary").write.mode("append").parquet(logdir)
+    s = MzSession(spark, sf_dir)
+    s.execute(f"CREATE CONNECTION ctk_conn TO POSTGRES "
+              f"(log = '{logdir}')")
+    s.execute("CREATE SOURCE ctk FROM POSTGRES CONNECTION ctk_conn "
+              "(PUBLICATION 'mz') FOR ALL TABLES")
+    spark.createDataFrame(
+        [(4, bytearray(encode_update(OID, [2, "bobby"],
+                                     old_vals=[2, None],
+                                     old_is_key_only=True))),
+         (5, bytearray(encode_insert(OID, [3, "carol"]))),
+         (6, bytearray(encode_delete(OID, [1, None])))],
+        "lsn long, message binary").write.mode("append").parquet(logdir)
+    s.tick_sources()
+    s.tick_sources()  # idle: frontier already advanced
+    return s.sql("SELECT id, name FROM ctk_folk ORDER BY id")

@@ -489,3 +489,51 @@ def test_kafka_source_upsert_ticks_merge_keyed(spark):
         got = {r.key: _json.loads(r.data)["v"] for r in
                s.sql("SELECT key, data FROM tick_us").collect()}
         assert got == {"b": 7, "c": 3}  # c untouched, a gone, b new
+
+
+def test_postgres_source_ticks_apply_new_wal(spark, tmp_path):
+    """Continuous replication: frames appended to the slot/log AFTER
+    CREATE SOURCE arrive via tick_sources() — the subsource, a delta
+    MV over it, and an open subscription all update; the LSN frontier
+    advances (idle ticks no-op)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.pgoutput import (
+        encode_delete, encode_insert, encode_relation, encode_update,
+    )
+    OID = 910
+    rel = encode_relation(OID, "public", "accts",
+                          [("id", 23, True), ("name", 25, False)])
+    logdir = str(tmp_path / "wal")
+    spark.createDataFrame(
+        [(1, bytearray(rel)),
+         (2, bytearray(encode_insert(OID, [1, "alice"]))),
+         (3, bytearray(encode_insert(OID, [2, "bob"])))],
+        "lsn long, message binary").write.mode("append").parquet(logdir)
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute(f"CREATE CONNECTION treplc TO POSTGRES (log = '{logdir}')")
+    s.execute("CREATE SOURCE tpg FROM POSTGRES CONNECTION treplc "
+              "(PUBLICATION 'mz') FOR ALL TABLES")
+    s.execute("CREATE MATERIALIZED VIEW tacct_n WITH (MAINTENANCE "
+              "'delta') AS SELECT name, COUNT(*) AS n FROM tpg_accts "
+              "GROUP BY name")
+    sid, _f, _ = s.subscribe_open("SUBSCRIBE tpg_accts")
+    spark.createDataFrame(
+        [(4, bytearray(encode_update(OID, [2, "bobby"],
+                                     old_vals=[2, None],
+                                     old_is_key_only=True))),
+         (5, bytearray(encode_insert(OID, [3, "carol"]))),
+         (6, bytearray(encode_delete(OID, [1, None])))],
+        "lsn long, message binary").write.mode("append").parquet(logdir)
+    assert "tpg" in s.tick_sources()
+    got = sorted((r.id, r.name)
+                 for r in s.sql("SELECT * FROM tpg_accts").collect())
+    assert got == [(2, "bobby"), (3, "carol")]
+    mv = sorted((r.name, r.n)
+                for r in s.sql("SELECT * FROM tacct_n").collect())
+    assert mv == [("bobby", 1), ("carol", 1)]
+    delta = s.subscribe_poll(sid)
+    assert sorted((r.id, r.name, r.diff) for r in delta.collect()) == [
+        (1, "alice", -1), (2, "bob", -1), (2, "bobby", 1),
+        (3, "carol", 1)]
+    assert s.tick_sources() == []  # frontier advanced: idle no-op
+    s.subscribe_close(sid)
