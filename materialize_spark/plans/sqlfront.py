@@ -1879,7 +1879,11 @@ class MzSession:
                     stat["error"] = spec["tick_error"]
                 continue
             if spec.get("cdc_tick"):
-                if self._tick_cdc_postgres(name, spec):
+                tick = {"postgres": self._tick_cdc_postgres,
+                        "mysql": self._tick_cdc_mysql,
+                        "sqlserver": self._tick_cdc_sqlserver}[
+                            spec["flavor"]]
+                if tick(name, spec):
                     advanced.append(name)
                 continue
             stream = spec.get("stream")
@@ -1959,6 +1963,110 @@ class MzSession:
             self._publish_commit(sub, adds, rets)
             moved = True
         spec["applied"] = hi
+        return moved
+
+    def _apply_cdc_tick_diff(self, name: str, tname: str, diff,
+                             keys: list[str]) -> None:
+        """Fold one table's new replication diffs into its subsource
+        and publish the commit (shared by all three CDC tick flavors)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sources.pgoutput import apply_cdc
+        sub = f"{name}_{tname}"
+        cur = self.catalog._tables[sub]
+        new = apply_cdc(cur, diff, keys).localCheckpoint(eager=True)
+        touched = diff.select(*keys).distinct()
+        rets = cur.join(touched, on=keys, how="left_semi")
+        adds = new.join(touched, on=keys, how="left_semi")
+        self.catalog.register_table(sub, new)
+        self._feed_delta_mvs_for_table(
+            sub,
+            adds.withColumn("diff", F.lit(1)).unionByName(
+                rets.withColumn("diff", F.lit(-1))))
+        self._publish_commit(sub, adds, rets)
+
+    def _tick_cdc_mysql(self, name: str, spec: dict) -> bool:
+        """Continuous binlog replication: decode only events past the
+        applied position (table maps + column names cached from the
+        CREATE handoff) and fold each table's diffs in."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sources.mysql_binlog import (
+            binlog_to_diff, decode_binlog_stream,
+        )
+        conn = spec["conn"]
+        if "host" in conn:
+            from materialize_spark.sources.mysql_wire import (
+                read_mysql_binlog,
+            )
+            from materialize_spark.sources.tlsconf import (
+                connection_ssl_conf,
+            )
+            log = read_mysql_binlog(
+                self.spark, conn["host"], int(conn.get("port", 3306)),
+                user=conn.get("user", "repl"),
+                password=conn.get("password"),
+                ssl_conf=connection_ssl_conf(conn))
+        else:
+            log = self.spark.read.parquet(conn["log"])
+        fresh = log.filter(F.col("pos") > spec["applied"])
+        if fresh.isEmpty():
+            return False
+        hi = fresh.agg(F.max("pos").alias("m")).collect()[0].m
+        env = decode_binlog_stream(fresh, table_maps=spec["maps"],
+                                   columns=spec["names"])
+        moved = False
+        for tname, rel in spec["rels_by_table"].items():
+            snap = self.catalog._tables[f"{name}_{tname}"]
+            row_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in snap.schema.fields)
+            diff = binlog_to_diff(env, rel, row_ddl)
+            if diff.isEmpty():
+                continue
+            self._apply_cdc_tick_diff(name, tname, diff,
+                                      [snap.columns[0]])
+            moved = True
+        spec["applied"] = hi
+        return moved
+
+    def _tick_cdc_sqlserver(self, name: str, spec: dict) -> bool:
+        """Continuous change-table replication: re-read each capture
+        instance and fold only rows past the applied LSN (the
+        40-hex-char string orders lexicographically)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.sources.sqlserver_cdc import (
+            changes_to_diff,
+        )
+        conn = spec["conn"]
+        moved = False
+        for tname, origin in spec["ct"].items():
+            kind, path = origin
+            if kind == "path":
+                ct = self.spark.read.parquet(path)
+            else:  # live TDS endpoint
+                from materialize_spark.sources.tds_wire import (
+                    read_sqlserver_ct,
+                )
+                from materialize_spark.sources.tlsconf import (
+                    connection_ssl_conf,
+                )
+                ct = read_sqlserver_ct(
+                    self.spark, conn["host"],
+                    int(conn.get("port", 1433)), tname,
+                    ssl_conf=connection_ssl_conf(conn),
+                    user=conn.get("user", "mz"),
+                    password=conn.get("password"))
+            diff = changes_to_diff(ct).filter(
+                F.col("lsn") > spec["applied"].get(tname, ""))
+            if diff.isEmpty():
+                continue
+            hi = diff.agg(F.max("lsn").alias("m")).collect()[0].m
+            self._apply_cdc_tick_diff(name, tname, diff,
+                                      [diff.columns[0]])
+            spec["applied"][tname] = hi
+            moved = True
         return moved
 
     def _apply_source_batch(self, name: str,
@@ -2230,6 +2338,7 @@ class MzSession:
                         "none; the reference reads information_schema)")
                 names[f"{tme['schema']}.{tname}"] = snap.columns
             env = decode_binlog_stream(log, table_maps=maps, columns=names)
+            rels_by_table: dict[str, str] = {}
             for tme in tmes:
                 tname = tme["table"]
                 rel = f"{tme['schema']}.{tname}"
@@ -2244,10 +2353,27 @@ class MzSession:
                     f"{node.name}_{tname}",
                     apply_cdc(snap, diff, [snap.columns[0]]))
                 registered.append(tname)
+                rels_by_table[tname] = rel
+            from pyspark.sql import functions as F
+            hi = log.agg(F.max("pos").alias("m")).collect()[0].m
+            tick_extra = {"cdc_tick": True, "conn": conn,
+                          "applied": hi or 0, "maps": maps,
+                          "names": names,
+                          "rels_by_table": rels_by_table}
         else:  # sqlserver
+            from pyspark.sql import functions as F
+
             from materialize_spark.sources.sqlserver_cdc import (
                 changes_to_diff,
             )
+            ct_origins: dict[str, tuple[str, str | None]] = {}
+            applied_by_table: dict[str, str] = {}
+
+            def _note_ct(tname, origin, diff):
+                ct_origins[tname] = origin
+                m = diff.agg(F.max("lsn").alias("m")).collect()[0].m
+                applied_by_table[tname] = m or ""
+
             if "host" in conn:
                 # live endpoint: read cdc.<instance>_CT over TDS
                 # (tds_wire.py — the reference's by-query CDC reads)
@@ -2270,6 +2396,7 @@ class MzSession:
                         f"{node.name}_{tname}",
                         apply_cdc(base, diff, [diff.columns[0]]))
                     registered.append(tname)
+                    _note_ct(tname, ("wire", None), diff)
                 if not node.tables:
                     raise ValueError(
                         "SQL Server live sources need FOR TABLES (...) — "
@@ -2287,13 +2414,16 @@ class MzSession:
                     f"{node.name}_{tname}",
                     apply_cdc(base, diff, [diff.columns[0]]))
                 registered.append(tname)
+                _note_ct(tname, ("path", path), diff)
+            tick_extra = {"cdc_tick": True, "conn": conn,
+                          "ct": ct_origins,
+                          "applied": applied_by_table}
         if wanted is not None and (missing := wanted - set(registered)):
             raise KeyError(
                 f"tables not present in replication source: {sorted(missing)}")
         self._sources = getattr(self, "_sources", {})
         spec = {"flavor": node.flavor, "tables": registered}
-        if node.flavor == "postgres":
-            spec.update(tick_extra)
+        spec.update(tick_extra)  # every CDC flavor ticks (frontier etc.)
         self._sources[node.name] = spec
 
     def _create_secret(self, node: ast.CreateSecret, sql: str):

@@ -537,3 +537,71 @@ def test_postgres_source_ticks_apply_new_wal(spark, tmp_path):
         (3, "carol", 1)]
     assert s.tick_sources() == []  # frontier advanced: idle no-op
     s.subscribe_close(sid)
+
+
+def test_mysql_source_ticks_apply_new_binlog(spark, tmp_path):
+    """Binlog events appended after CREATE arrive via tick_sources;
+    the position frontier advances."""
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.mysql_binlog import (
+        DELETE_ROWS_V2, T_LONGLONG, T_VARCHAR, WRITE_ROWS_V2,
+        encode_rows_event, encode_table_map,
+    )
+    ct = [T_LONGLONG, T_VARCHAR]
+    meta = [0, 255]
+    TID = 78
+    logdir = str(tmp_path / "binlog")
+    spark.createDataFrame(
+        [(1, bytearray(encode_table_map(TID, "public", "tpets", ct,
+                                        meta))),
+         (2, bytearray(encode_rows_event(WRITE_ROWS_V2, TID,
+                                         [[1, "rex"]], ct, meta)))],
+        "pos long, event binary").write.mode("append").parquet(logdir)
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute("CREATE TABLE tpets (id BIGINT, name STRING)")
+    s.execute(f"CREATE CONNECTION tmyc TO MYSQL (log = '{logdir}')")
+    s.execute("CREATE SOURCE tmy FROM MYSQL CONNECTION tmyc "
+              "FOR ALL TABLES")
+    spark.createDataFrame(
+        [(3, bytearray(encode_rows_event(WRITE_ROWS_V2, TID,
+                                         [[2, "max"]], ct, meta))),
+         (4, bytearray(encode_rows_event(DELETE_ROWS_V2, TID,
+                                         [[1, "rex"]], ct, meta)))],
+        "pos long, event binary").write.mode("append").parquet(logdir)
+    assert "tmy" in s.tick_sources()
+    got = sorted((r.id, r.name)
+                 for r in s.sql("SELECT * FROM tmy_tpets").collect())
+    assert got == [(2, "max")]
+    assert "tmy" not in s.tick_sources()
+
+
+def test_sqlserver_source_ticks_apply_new_changes(spark, tmp_path):
+    """Change-table rows appended after CREATE arrive via ticks; the
+    per-table LSN frontier advances (hex-string order)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.sqlserver_cdc import (
+        OP_DELETE, OP_INSERT, lsn_bytes,
+    )
+    DDL = ("`__$start_lsn` binary, `__$seqval` binary, "
+           "`__$operation` int, id long, color string")
+    ctdir = str(tmp_path / "ct")
+    spark.createDataFrame(
+        [(bytearray(lsn_bytes(1)), bytearray(lsn_bytes(0, 0, 1)),
+          OP_INSERT, 1, "red")], DDL
+    ).write.mode("append").parquet(ctdir)
+    s = MzSession(spark, "/root/testdata/sf0.001")
+    s.execute(f"CREATE CONNECTION tssc TO SQL SERVER "
+              f"(changes_tpaint = '{ctdir}')")
+    s.execute("CREATE SOURCE tss FROM SQL SERVER CONNECTION tssc "
+              "FOR ALL TABLES")
+    spark.createDataFrame(
+        [(bytearray(lsn_bytes(2)), bytearray(lsn_bytes(0, 0, 1)),
+          OP_INSERT, 2, "blue"),
+         (bytearray(lsn_bytes(3)), bytearray(lsn_bytes(0, 0, 1)),
+          OP_DELETE, 1, "red")], DDL
+    ).write.mode("append").parquet(ctdir)
+    assert "tss" in s.tick_sources()
+    got = sorted((r.id, r.color)
+                 for r in s.sql("SELECT * FROM tss_tpaint").collect())
+    assert got == [(2, "blue")]
+    assert "tss" not in s.tick_sources()
