@@ -1629,9 +1629,6 @@ class MzSession:
         partition), decodes per FORMAT, applies ENVELOPE, and registers
         the collection. The connection's SSL/SASL options ride into the
         fetch tasks (connections.rs TLS + SASL surface)."""
-        from pyspark.sql import functions as F
-
-        from materialize_spark.sources.kafka_wire import read_kafka_wire
         from materialize_spark.sources.tlsconf import connection_ssl_conf
 
         conn = self._connections.get(node.connection)
