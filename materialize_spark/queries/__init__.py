@@ -84,6 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
         "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
+        "sqlfront_subscribe_push_cursors",
         "sink_kafka_upsert_roundtrip", "sink_kafka_avro_roundtrip",
         "sqlfront_create_sink", "sqlfront_update_delete",
         "mv_consistency_frontier", "sqlfront_ws_api",
@@ -99,7 +100,7 @@ def load_all() -> dict[str, QuerySpec]:
         # covered and both stay green in the local gate)
         "window_functions", "window_navigation",
         "window_range_frame",
-        "window_tumbling", "window_hopping", "window_session",
+        "window_tumbling", "window_session",
         "temporal_filter", "agg_rollup",
         # --- flagship spread (headline queries + IVM + pipeline + CDC) ---
         "tpch_q1", "tpch_q13", "tpch_q18", "tpch_q21",

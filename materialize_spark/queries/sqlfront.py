@@ -1328,6 +1328,59 @@ def sqlfront_delta_mv_global_topk(spark, sf_dir):
 
 
 @register(
+    "sqlfront_subscribe_push_cursors",
+    """
+    -- oracle: literal truth of the two-subscriber conversation — both
+    -- cursors see the identical snapshot AND the identical delta
+    -- sequence (the old shared per-object cursor split deltas between
+    -- pollers); the late row arrives at both with diff +1 and the
+    -- delete at both with diff -1
+    SELECT * FROM (VALUES
+        ('s1', 'snap',  'a', 1, 1),
+        ('s2', 'snap',  'a', 1, 1),
+        ('s1', 'delta', 'a', 1, -1),
+        ('s1', 'delta', 'b', 2, 1),
+        ('s2', 'delta', 'a', 1, -1),
+        ('s2', 'delta', 'b', 2, 1)
+    ) AS t(sub, phase, k, v, diff)
+    ORDER BY sub, phase, k
+    """,
+    "sqlfront", "subscribe", "serving",
+)
+def sqlfront_subscribe_push_cursors(spark, sf_dir):
+    """Per-subscriber SUBSCRIBE cursors (the reference's one-dataflow-
+    sink-per-SUBSCRIBE model, src/compute/src/sink/subscribe.rs): two
+    concurrent subscriptions on one object each receive the COMPLETE
+    snapshot and the COMPLETE delta sequence, fed by each commit's own
+    diff frames — never a shared per-object cursor that the first
+    poller consumes, and never a full-table diff on the poll path."""
+    from pyspark.sql import functions as F
+
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE spc_t (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO spc_t VALUES ('a', 1)")
+    s1, first1, _ = sess.subscribe_open("SUBSCRIBE spc_t")
+    s2, first2, _ = sess.subscribe_open("SUBSCRIBE spc_t")
+    sess.execute("INSERT INTO spc_t VALUES ('b', 2)")
+    sess.execute("DELETE FROM spc_t WHERE k = 'a'")
+    d1 = sess.subscribe_poll(s1)
+    d2 = sess.subscribe_poll(s2)
+    sess.subscribe_close(s1)
+    sess.subscribe_close(s2)
+
+    def tag(df, sub, phase):
+        return df.select(F.lit(sub).alias("sub"),
+                         F.lit(phase).alias("phase"),
+                         "k", "v", F.col("diff").cast("int").alias("diff"))
+
+    return (tag(first1, "s1", "snap")
+            .unionByName(tag(first2, "s2", "snap"))
+            .unionByName(tag(d1, "s1", "delta"))
+            .unionByName(tag(d2, "s2", "delta"))
+            .orderBy("sub", "phase", "k"))
+
+
+@register(
     "sqlfront_ws_api",
     """
     -- oracle: literal truth of the WS conversation — two ad-hoc rows,
