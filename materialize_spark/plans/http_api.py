@@ -360,18 +360,26 @@ class MzHttpServer:
         import select as _select
         try:
             sub_id, first, node = self.session.subscribe_open(sql)
-            rows = self.session.check_result_size(first.collect())
         except Exception as ex:
             send("Error", {"message": str(ex), "code": "XX000"})
             return
-        send("Rows", _desc(first))
-        for row in rows:
-            send("Row", [_cell(v) for v in row])
-        if node.up_to is not None:
-            send("CommandComplete", f"SUBSCRIBE {len(rows)}")
-            return
-        seq = self.session.commit_seq()
+        # cursor-leak guard: a failing snapshot collect must still close
+        # the registered cursor (otherwise every later commit checkpoints
+        # frames into a dead queue forever)
         try:
+            try:
+                rows = self.session.check_result_size(first.collect())
+            except Exception as ex:
+                send("Error", {"message": str(ex), "code": "XX000"})
+                return
+            send("Rows", _desc(first))
+            for row in rows:
+                send("Row", [_cell(v) for v in row])
+            if node.up_to is not None:
+                send("CommandComplete", f"SUBSCRIBE {len(rows)}")
+                return
+            # frontier captured at cursor registration (no lost wakeup)
+            seq = self.session.subscribe_seq(sub_id)
             while True:
                 # client-frame check without arming a socket timeout —
                 # sends below always run on a blocking socket, so a

@@ -906,23 +906,32 @@ class MzPgServer:
         # the single trailing Z after this returns
         try:
             sub_id, first, node = self.session.subscribe_open(stmt)
-            rows = self._collect(first)
         except Exception as ex:
             self._send_error(conn, str(ex))
             return
-        conn.sendall(self._msg(b"T", self._row_desc(first)))
-        nf = len(first.schema.fields)
-        n = 0
-        for row in rows:
-            conn.sendall(self._msg(b"D", self._data_row(row, nf)))
-            n += 1
-        if node.up_to is not None:
-            # bounded subscribe (AS OF ... UP TO): one batch, clean
-            # completion; the cursor was never registered
-            conn.sendall(self._msg(b"C", _cstr(f"SUBSCRIBE {n}")))
-            return
-        seq = self.session.commit_seq()
+        # everything past open runs under the finally that closes the
+        # cursor: a failing snapshot collect (result-size cap) must not
+        # leave a registered cursor eating every future commit's frames
         try:
+            try:
+                rows = self._collect(first)
+            except Exception as ex:
+                self._send_error(conn, str(ex))
+                return
+            conn.sendall(self._msg(b"T", self._row_desc(first)))
+            nf = len(first.schema.fields)
+            n = 0
+            for row in rows:
+                conn.sendall(self._msg(b"D", self._data_row(row, nf)))
+                n += 1
+            if node.up_to is not None:
+                # bounded subscribe (AS OF ... UP TO): one batch, clean
+                # completion; the cursor was never registered
+                conn.sendall(self._msg(b"C", _cstr(f"SUBSCRIBE {n}")))
+                return
+            # the frontier captured at cursor registration — NOT the
+            # clock read now, after hundreds of ms of snapshot work
+            seq = self.session.subscribe_seq(sub_id)
             while cancel is None or not cancel.is_set():
                 # Hangup/Terminate detection without consuming pipelined
                 # messages: select-readability then MSG_PEEK. Only a

@@ -2658,8 +2658,21 @@ class MzSession:
         self.catalog.register_table(node.table, new_target)
         if self._wants_diffs(node.table):
             from pyspark.sql import functions as F
-            adds = new_target.exceptAll(target)
-            rets = target.exceptAll(new_target)
+            # The commit's diff frames derive from the PREDICATE, not a
+            # table-wide anti-join: only matched rows change, so the
+            # retractions are exactly `target WHERE pred` and the
+            # insertions are those same rows with the assignments
+            # applied — one filtered scan each, never O(table) exceptAll
+            # (the reference writes the matched rows' (old,-1),(new,+1)
+            # updates straight to persist the same way).
+            rets = target.filter(pred)
+            upd_exprs = []
+            for c in target.columns:
+                a = assigns.get(c.lower())
+                upd_exprs.append(
+                    c if a is None
+                    else f"CAST(({a}) AS {types[c.lower()]}) AS {c}")
+            adds = rets.selectExpr(*upd_exprs)
             self._feed_delta_mvs_for_table(
                 node.table,
                 adds.withColumn("diff", F.lit(1)).unionByName(
@@ -2679,7 +2692,11 @@ class MzSession:
         self.catalog.register_table(node.table, kept)
         if self._wants_diffs(node.table):
             from pyspark.sql import functions as F
-            gone = target.exceptAll(kept)
+            # gone is by construction the predicate's complement of
+            # `kept` — one filtered scan, never target.exceptAll(kept)
+            # (a table-wide hash anti-join per watched DELETE)
+            gone = (target if node.where is None else target.filter(
+                f"coalesce(({rewrite(node.where)}), false)"))
             self._feed_delta_mvs_for_table(
                 node.table, gone.withColumn("diff", F.lit(-1)))
             self._publish_commit(node.table, rets=gone)
@@ -2900,12 +2917,17 @@ class MzSession:
         self._check_priv("select", node.name)
         bounded = node.up_to is not None
         with self._commit_cond:
+            stamp_ts = False
             if node.as_of is not None:
                 hist = self._histories[node.name]
                 first = hist.subscribe_since(node.as_of)
                 if node.up_to is not None:
                     from materialize_spark.streaming.history import TS_COL
                     first = first.filter(F.col(TS_COL) < node.up_to)
+                # the historical batch carries mz_timestamp; later push
+                # frames must be stamped with the same column so every
+                # DataRow matches the RowDescription's field count
+                stamp_ts = True
             else:
                 cur = self.catalog.table(node.name)
                 first = (cur if node.snapshot else cur.limit(0)) \
@@ -2913,8 +2935,14 @@ class MzSession:
             self._sub_next_id += 1
             sub_id = self._sub_next_id
             if not bounded:
+                # seq0 is captured UNDER the commit lock while the
+                # cursor registers: a commit landing while the caller
+                # collects/sends the snapshot bumps the clock past seq0,
+                # so the first wait_commit(seq0) returns immediately and
+                # the queued frame is delivered — no lost wakeup.
                 self._subscriptions[sub_id] = {
-                    "node": node, "queue": [], "ts": 0}
+                    "node": node, "queue": [], "ts": 0,
+                    "stamp_ts": stamp_ts, "seq0": self._commit_seq}
         ts = None
         if node.progress and not bounded:
             sub = self._subscriptions[sub_id]
@@ -2947,6 +2975,16 @@ class MzSession:
     def subscribe_close(self, sub_id: int) -> None:
         with self._commit_cond:
             self._subscriptions.pop(sub_id, None)
+
+    def subscribe_seq(self, sub_id: int) -> int:
+        """The commit sequence captured when the cursor registered —
+        the stream loop's STARTING frontier. Using this (instead of
+        commit_seq() read after the snapshot was collected and sent)
+        closes the lost-wakeup window: a commit during the snapshot
+        send bumps the clock past it, so wait_commit returns at once."""
+        with self._commit_cond:
+            sub = self._subscriptions.get(sub_id)
+            return self._commit_seq if sub is None else sub["seq0"]
 
     def commit_seq(self) -> int:
         with self._commit_cond:
@@ -2984,6 +3022,14 @@ class MzSession:
                        for s in self._subscriptions.values())
         has_sinks = any(sp.get("kafka") and sp["from"] == obj
                         for sp in self._sinks.values())
+        if not has_subs and not has_sinks:
+            # no consumer: bump the commit clock and return before any
+            # Spark action — isEmpty() costs a job, and this is the
+            # per-commit hot path for every INSERT/UPDATE/DELETE
+            with self._commit_cond:
+                self._commit_seq += 1
+                self._commit_cond.notify_all()
+            return
         empty_a = adds is None or adds.isEmpty()
         empty_r = rets is None or rets.isEmpty()
         if has_sinks and not (empty_a and empty_r):
@@ -2998,9 +3044,23 @@ class MzSession:
             for f in frames[1:]:
                 frame = frame.unionByName(f)
             frame = frame.localCheckpoint(eager=True)
+            stamped = None  # built lazily: only AS OF streams need it
             with self._commit_cond:
                 for sub in self._subscriptions.values():
-                    if sub["node"].name == obj:
+                    if sub["node"].name != obj:
+                        continue
+                    if sub.get("stamp_ts"):
+                        if stamped is None:
+                            from materialize_spark.streaming.history \
+                                import TS_COL
+                            hist = self._histories.get(obj)
+                            ts = (hist.upper - 1 if hist is not None
+                                  and hist.upper > 0
+                                  else self._commit_seq + 1)
+                            stamped = frame.withColumn(
+                                TS_COL, F.lit(ts).cast("long"))
+                        sub["queue"].append(stamped)
+                    else:
                         sub["queue"].append(frame)
         with self._commit_cond:
             self._commit_seq += 1

@@ -737,3 +737,97 @@ def test_subscribe_as_of_without_up_to_keeps_streaming(spark):
                     break
     s.execute("DROP VIEW suba_mv")
     s.execute("DROP TABLE suba_t")
+
+
+def test_as_of_stream_datarow_field_counts_match_rowdesc(spark):
+    """Wire conformance for the streaming AS OF subscribe: every pushed
+    DataRow must declare exactly the RowDescription's field count (the
+    historical batch carries mz_timestamp; pushed commit frames are
+    stamped with the same column)."""
+    import struct as _struct
+
+    from materialize_spark.plans.pgwire import (MzPgServer, PgWireClient,
+                                                _cstr)
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE subfc_t (k STRING, v BIGINT)")
+    s.execute("CREATE MATERIALIZED VIEW subfc_mv AS "
+              "SELECT k, SUM(v) AS total FROM subfc_t GROUP BY k")
+    s.execute("INSERT INTO subfc_t VALUES ('a', 1)")
+    s.execute("REFRESH MATERIALIZED VIEW subfc_mv")
+    with MzPgServer(s, port=0) as srv:
+        with PgWireClient("127.0.0.1", srv.port) as cli:
+            body = _cstr("SUBSCRIBE subfc_mv AS OF 0")
+            cli.sock.sendall(b"Q" + _struct.pack(">i", 4 + len(body))
+                             + body)
+            cli.sock.settimeout(30)
+            tag, payload = cli._recv_msg()
+            assert tag == b"T"
+            (nfields,) = _struct.unpack_from(">h", payload, 0)
+
+            def assert_row_conforms(payload):
+                (n,) = _struct.unpack_from(">h", payload, 0)
+                assert n == nfields
+                pos = 2
+                for _ in range(n):  # walk every cell; must consume all
+                    (ln,) = _struct.unpack_from(">i", payload, pos)
+                    pos += 4 + max(ln, 0)
+                assert pos == len(payload)
+
+            # historical batch row(s)
+            tag, payload = cli._recv_msg()
+            while tag != b"D":
+                tag, payload = cli._recv_msg()
+            assert_row_conforms(payload)
+            # a LIVE pushed frame must conform too (the r10 bug: one
+            # fewer serialized cell than the declared field count)
+            s.execute("INSERT INTO subfc_t VALUES ('b', 7)")
+            s.execute("REFRESH MATERIALIZED VIEW subfc_mv")
+            tag, payload = cli._recv_msg()
+            while tag != b"D":
+                tag, payload = cli._recv_msg()
+            assert_row_conforms(payload)
+            cli.cancel()
+            while True:
+                tag, payload = cli._recv_msg()
+                if tag == b"Z":
+                    break
+    s.execute("DROP VIEW subfc_mv")
+    s.execute("DROP TABLE subfc_t")
+
+
+def test_failed_snapshot_collect_closes_cursor(spark):
+    """If the snapshot collect fails (result-size cap), the stream
+    handler must close the already-registered cursor — otherwise every
+    later commit checkpoints frames into a dead queue forever."""
+    import struct as _struct
+
+    from materialize_spark.plans.pgwire import (MzPgServer, PgWireClient,
+                                                _cstr)
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE sublk_t (k STRING, v BIGINT)")
+    for i in range(4):
+        s.execute(f"INSERT INTO sublk_t VALUES ('k{i}', {i})")
+    s.execute("SET max_result_size = 1")  # trip the cap on collect
+    try:
+        with MzPgServer(s, port=0) as srv:
+            with PgWireClient("127.0.0.1", srv.port) as cli:
+                body = _cstr("SUBSCRIBE sublk_t")
+                cli.sock.sendall(
+                    b"Q" + _struct.pack(">i", 4 + len(body)) + body)
+                cli.sock.settimeout(30)
+                saw_err = False
+                while True:
+                    tag, payload = cli._recv_msg()
+                    if tag == b"E":
+                        saw_err = True
+                    elif tag == b"Z":
+                        break
+                assert saw_err
+        assert s._subscriptions == {}  # cursor closed, not leaked
+    finally:
+        s.execute("RESET max_result_size")
+    s.execute("DROP TABLE sublk_t")

@@ -278,3 +278,55 @@ def test_push_subscriptions_under_interleaved_commits(spark):
         assert got == want
     sess.subscribe_close(s1)
     sess.subscribe_close(s2)
+
+
+def test_subscribe_seq_captured_at_registration(spark):
+    """A commit landing between subscribe_open and the caller's first
+    wait_commit is NOT lost: the cursor's starting frontier (seq0) is
+    captured under the commit lock at registration, so wait_commit on
+    it returns immediately and the queued frame drains."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_seq0 (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sub_seq0 VALUES ('a', 1)")
+    sid, first, _ = sess.subscribe_open("SUBSCRIBE sub_seq0")
+    assert len(first.collect()) == 1
+    # the commit lands while the caller would be collecting/sending the
+    # snapshot — BEFORE it ever reads the clock
+    sess.execute("INSERT INTO sub_seq0 VALUES ('b', 2)")
+    seq0 = sess.subscribe_seq(sid)
+    # the clock already moved past the cursor's frontier: no wait
+    assert sess.wait_commit(seq0, 0.0) > seq0
+    out = sess.subscribe_poll(sid)
+    assert out is not None
+    assert {(r.k, r.v) for r in out.collect()} == {("b", 2)}
+    sess.subscribe_close(sid)
+    sess.execute("DROP TABLE sub_seq0")
+
+
+def test_as_of_stream_frames_carry_mz_timestamp(spark):
+    """Plain AS OF (no UP TO) streams on; pushed frames must carry the
+    SAME column set as the historical first batch (mz_timestamp
+    included), or the wire protocol desyncs (DataRow field count !=
+    RowDescription)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE sub_asof_t (k STRING, v BIGINT)")
+    sess.execute("CREATE MATERIALIZED VIEW sub_asof_mv AS "
+                 "SELECT k, SUM(v) AS total FROM sub_asof_t GROUP BY k")
+    sess.execute("INSERT INTO sub_asof_t VALUES ('a', 1)")
+    sess.execute("REFRESH MATERIALIZED VIEW sub_asof_mv")
+    sid, first, _ = sess.subscribe_open("SUBSCRIBE sub_asof_mv AS OF 0")
+    ncols = len(first.columns)
+    assert "mz_timestamp" in first.columns
+    sess.execute("INSERT INTO sub_asof_t VALUES ('b', 7)")
+    sess.execute("REFRESH MATERIALIZED VIEW sub_asof_mv")
+    out = sess.subscribe_poll(sid)
+    assert out is not None
+    assert len(out.columns) == ncols
+    assert set(out.columns) == set(first.columns)
+    rows = out.collect()
+    assert rows and all(r["mz_timestamp"] is not None for r in rows)
+    sess.subscribe_close(sid)
+    sess.execute("DROP VIEW sub_asof_mv")
+    sess.execute("DROP TABLE sub_asof_t")
