@@ -733,7 +733,7 @@ class MzSession:
             spec = {"kind": "join", "tables": tuple(tables),
                     "chain": chain, "links": norm_links, "kinds": kinds,
                     "agg": None, "keys": keys, "aggs": {}, "cols": cols,
-                    "where": inner.where, "proj": None, "table": None,
+                    "where": inner.where, "table": None,
                     "topk": {"mv": mv, "icols": icols}}
             self._delta_mvs[node.name] = spec
             self._form_delta_mv_join(node.name)
@@ -1031,7 +1031,7 @@ class MzSession:
                 "links": norm_links, "kinds": kinds, "agg": agg,
                 "keys": keys, "aggs": aggs, "cols": cols,
                 "where": q.where, "having": having,
-                "proj": None, "table": None, "topk": None,
+                "table": None, "topk": None,
                 "distinct": dmv, "exprs": exprs,
                 "renames": renames or {}}
         self._delta_mvs[node.name] = spec
@@ -1101,7 +1101,9 @@ class MzSession:
         delta and republish the maintained result."""
         from pyspark.sql import functions as F
 
-        from materialize_spark.streaming.ivm_join import _consolidate
+        from materialize_spark.streaming.ivm_join import (
+            _concat as _concat_parts, _consolidate,
+        )
 
         spec = self._delta_mvs[name]
         if out is not None:
@@ -1112,8 +1114,15 @@ class MzSession:
         if out is not None and spec["where"]:
             out = out.filter(
                 f"coalesce(({rewrite(spec['where'])}), false)")
+        touched = tkeys = None
         if spec.get("topk") is not None:
+            # TopK: the maintained result is tiny (k rows per touched
+            # group), so the full result diff in _publish_delta_mv is
+            # O(k·groups); touched-scoping can't apply because the
+            # outer projection may drop the partition keys.
             tk = spec["topk"]
+            if out is None and not initial:
+                return  # nothing changed
             if out is not None:
                 result = tk["mv"].on_batch(
                     out.select(*tk["icols"], "diff")).select(*spec["cols"])
@@ -1127,17 +1136,25 @@ class MzSession:
             return
         if spec.get("distinct") is not None:
             dmv = spec["distinct"]
+            if out is None and not initial:
+                return  # nothing changed
             if out is not None:
-                result = dmv.on_batch(out.select(*spec["cols"], "diff"))
+                keyed = out.select(*spec["cols"], "diff")
+                touched, tkeys = (keyed.select(*spec["cols"]).distinct(),
+                                  spec["cols"])
+                result = dmv.on_batch(keyed)
             else:
                 result = (dmv.result() if dmv._result is not None
                           else None)
             if result is None:
                 result = self.spark.sql(
                     rewrite(self._matview_sql[name])).limit(0)
-            self._publish_delta_mv(name, result, initial)
+            self._publish_delta_mv(name, result, initial,
+                                   touched=touched, keys=tkeys)
             return
         if spec["agg"] is not None:
+            if out is None and not initial:
+                return  # nothing changed
             if out is not None:
                 for internal, src in spec.get("exprs", {}).items():
                     out = out.withColumn(internal,
@@ -1147,6 +1164,8 @@ class MzSession:
                     out = out.withColumn("__one", F.lit(1))
                 out = out.select(*spec["keys"], *sorted(in_cols),
                                  "diff")
+                touched, tkeys = (out.select(*spec["keys"]).distinct(),
+                                  spec["keys"])
                 result = spec["agg"].on_batch(out)
             else:
                 result = spec["agg"].result() \
@@ -1154,23 +1173,55 @@ class MzSession:
             if result is not None and spec.get("having"):
                 result = result.filter(rewrite(spec["having"]))
         else:
+            # Projection-shaped join MV: the chain's output delta IS the
+            # published diff (consolidated within the batch), and the
+            # maintained result is an append-only PARTS spine folded
+            # every compact_every batches — per commit the work is
+            # O(delta), never a re-consolidation of the full result
+            # (the reference's MV sink reads its input arrangement's
+            # deltas the same way, src/compute/src/sink/
+            # materialized_view.rs). Requires multiset-consistent feeds
+            # (a row is never retracted below zero), which every engine
+            # table commit guarantees.
+            out_delta = None
             if out is not None:
-                spec["proj"] = _consolidate(
-                    spec["proj"], out.select(*spec["cols"], "diff"))
-            proj = spec["proj"]
-            if proj is None:
+                out_delta = (out.select(*spec["cols"], "diff")
+                             .groupBy(*spec["cols"])
+                             .agg(F.sum("diff").alias("diff"))
+                             .filter(F.col("diff") != 0))
+                parts = spec.setdefault("proj_parts", [])
+                parts.append(out_delta)
+                if len(parts) >= 16:  # amortized fold
+                    folded = _consolidate(None, _concat_parts(parts))
+                    empty = parts[0].limit(0)
+                    parts.clear()
+                    parts.append(folded if folded is not None else empty)
+            elif not initial:
+                return  # nothing changed: no republish, no frames
+            parts = spec.get("proj_parts")
+            if parts is None:
                 result = None
             else:
-                result = (proj.filter(F.col("diff") > 0)
+                allp = _concat_parts(parts)
+                result = (allp.groupBy(*spec["cols"])
+                          .agg(F.sum("diff").alias("diff"))
+                          .filter(F.col("diff") > 0)
                           .withColumn("__i", F.explode(
                               F.sequence(F.lit(1), F.col("diff"))))
                           .drop("diff", "__i"))
+            if result is None:
+                result = self.spark.sql(
+                    rewrite(self._matview_sql[name])).limit(0)
+            self._publish_delta_mv(name, result, initial,
+                                   out_delta=out_delta)
+            return
         if result is None:
             # nothing joined yet (both sides empty): evaluate the body
             # once for an exact-schema empty snapshot
             result = self.spark.sql(
                 rewrite(self._matview_sql[name])).limit(0)
-        self._publish_delta_mv(name, result, initial)
+        self._publish_delta_mv(name, result, initial,
+                               touched=touched, keys=tkeys)
 
     def _feed_delta_mv(self, name: str, delta, initial: bool = False):
         """Fold one explicit-diff update frame of the BASE table into a
@@ -1191,6 +1242,7 @@ class MzSession:
         if spec["where"]:
             delta = delta.filter(f"coalesce(({rewrite(spec['where'])}), "
                                  "false)")
+        touched = tkeys = None
         if spec.get("kind") == "agg":
             for internal, src in spec.get("exprs", {}).items():
                 # expression aggregate inputs (SUM(a * (1 - b))):
@@ -1200,15 +1252,21 @@ class MzSession:
             if "__one" in in_cols:  # COUNT(*): every row weighs 1
                 delta = delta.withColumn("__one", F.lit(1))
             delta = delta.select(*spec["keys"], *sorted(in_cols), "diff")
+            touched, tkeys = (delta.select(*spec["keys"]).distinct(),
+                              spec["keys"])
         elif spec.get("kind") == "topk":
             delta = delta.select(*spec["icols"], "diff")
         elif spec.get("kind") == "distinct":
             delta = delta.select(*spec["cols"], "diff")
+            touched, tkeys = (delta.select(*spec["cols"]).distinct(),
+                              spec["cols"])
         else:
             if spec["val"] is None:  # COUNT(*): every row weighs 1
                 delta = delta.withColumn("__one", F.lit(1))
             delta = delta.select(*spec["keys"], spec["val"] or "__one",
                                  "diff")
+            touched, tkeys = (delta.select(*spec["keys"]).distinct(),
+                              spec["keys"])
         result = spec["mv"].on_batch(delta)
         if spec.get("kind") == "topk":  # project to the outer SELECT list
             result = result.select(*spec["cols"])
@@ -1217,12 +1275,30 @@ class MzSession:
             # is fully maintained, so the threshold is an ordinary
             # filter over its aggregate-alias columns)
             result = result.filter(rewrite(spec["having"]))
-        self._publish_delta_mv(name, result, initial)
+        self._publish_delta_mv(name, result, initial,
+                               touched=touched, keys=tkeys)
 
     def _publish_delta_mv(self, name: str, result,
-                          initial: bool = False) -> None:
+                          initial: bool = False, out_delta=None,
+                          touched=None, keys=None) -> None:
         """Republish a delta MV's maintained result and append the
-        change to its SUBSCRIBE history."""
+        change to its SUBSCRIBE history.
+
+        The published diff is derived at the cheapest level available:
+
+        - ``out_delta`` — the operator's OWN consolidated output delta
+          (projection-shaped join MVs hand the chain's signed frame
+          straight through): O(delta), no snapshot diffing of any kind
+          (the reference's MV sink reads its input arrangement's
+          deltas, src/compute/src/sink/materialized_view.rs).
+        - ``touched``+``keys`` — keyed operators (reduce/DISTINCT)
+          confine the old-vs-new diff to the groups the batch touched
+          (a null-safe semi-probe + exceptAll over those rows only):
+          O(touched groups), never a full-result anti-join.
+        - neither — full ``result.exceptAll(old)``: ONLY the REFRESH
+          recompute path and TopK (whose maintained result is k rows
+          per group and whose projection may drop the group keys).
+        """
         from pyspark.sql import functions as F
 
         from materialize_spark.streaming.history import RetainedHistory
@@ -1234,18 +1310,39 @@ class MzSession:
             hist.append(result.withColumn("diff", F.lit(1)), 0)
             self._histories[name] = hist
             self._publish_commit(name, adds=result)
-        else:
-            # the maintained result is small (a keyed reduce/TopK
-            # output); its diff feeds history, sinks and subscriptions
-            adds = result.exceptAll(old)
-            rets = old.exceptAll(result)
+            return
+        if out_delta is not None:
+            adds = (out_delta.filter(F.col("diff") > 0)
+                    .withColumn("__i", F.explode(
+                        F.sequence(F.lit(1), F.col("diff"))))
+                    .drop("diff", "__i"))
+            rets = (out_delta.filter(F.col("diff") < 0)
+                    .withColumn("diff", -F.col("diff"))
+                    .withColumn("__i", F.explode(
+                        F.sequence(F.lit(1), F.col("diff"))))
+                    .drop("diff", "__i"))
             hist = self._histories.get(name)
             if hist is not None:
-                hist.append(
-                    adds.withColumn("diff", F.lit(1)).unionByName(
-                        rets.withColumn("diff", F.lit(-1))),
-                    hist.upper)
+                hist.append(out_delta, hist.upper)
             self._publish_commit(name, adds, rets)
+            return
+        if touched is not None and keys:
+            from materialize_spark.streaming.retraction import _ns_probe
+            old_t = _ns_probe(old, touched, keys)
+            new_t = _ns_probe(result, touched, keys)
+            adds = new_t.exceptAll(old_t)
+            rets = old_t.exceptAll(new_t)
+        else:
+            # REFRESH recompute / TopK: diff the (small) full result
+            adds = result.exceptAll(old)
+            rets = old.exceptAll(result)
+        hist = self._histories.get(name)
+        if hist is not None:
+            hist.append(
+                adds.withColumn("diff", F.lit(1)).unionByName(
+                    rets.withColumn("diff", F.lit(-1))),
+                hist.upper)
+        self._publish_commit(name, adds, rets)
 
     def _feed_delta_mvs_for_table(self, table: str, delta) -> None:
         for name, spec in list(self._delta_mvs.items()):

@@ -1720,3 +1720,88 @@ def test_ssh_tunnel_connection_rejected_explicitly(spark):
     with pytest.raises(Exception, match="PRIVATELINK is not supported"):
         s.execute("CREATE CONNECTION pl TO AWS PRIVATELINK "
                   "(SERVICE NAME 'com.amazonaws.vpce.svc')")
+
+
+def test_projection_join_mv_publish_is_odelta_no_exceptall(spark):
+    """The commit→publish path of a projection-shaped join delta MV
+    consumes the join chain's OWN output delta: no exceptAll (full
+    result anti-join) anywhere — the frames a subscriber receives are
+    the chain's consolidated diffs (reference: the MV sink reads its
+    input arrangement's deltas, src/compute/src/sink/
+    materialized_view.rs)."""
+    from pyspark.sql import DataFrame
+
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE pjm_ord (ok BIGINT, ck BIGINT, amt BIGINT)")
+    s.execute("CREATE TABLE pjm_cust (cst BIGINT, nm STRING)")
+    s.execute("INSERT INTO pjm_ord VALUES (1, 10, 5), (2, 20, 7)")
+    s.execute("INSERT INTO pjm_cust VALUES (10, 'a'), (20, 'b')")
+    s.execute("CREATE MATERIALIZED VIEW pjm WITH (MAINTENANCE 'delta') "
+              "AS SELECT ok, nm, amt FROM pjm_ord "
+              "JOIN pjm_cust ON ck = cst")
+    sid, first, _ = s.subscribe_open("SUBSCRIBE pjm")
+    assert {(r.ok, r.nm, r.amt) for r in first.collect()} == {
+        (1, "a", 5), (2, "b", 7)}
+
+    calls = []
+    orig = DataFrame.exceptAll
+
+    def spy(self, other):
+        calls.append(True)
+        return orig(self, other)
+
+    DataFrame.exceptAll = spy
+    try:
+        s.execute("INSERT INTO pjm_ord VALUES (3, 10, 9)")
+        s.execute("DELETE FROM pjm_ord WHERE ok = 2")
+    finally:
+        DataFrame.exceptAll = orig
+    assert calls == []  # O(delta) end-to-end: no snapshot diffing
+    out = s.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        k = (r.ok, r.nm, r.amt)
+        got[k] = got.get(k, 0) + r.diff
+    assert got == {(3, "a", 9): 1, (2, "b", 7): -1}
+    # the maintained result matches a from-scratch evaluation
+    want = {(r.ok, r.nm, r.amt) for r in s.execute(
+        "SELECT ok, nm, amt FROM pjm_ord JOIN pjm_cust ON ck = cst"
+    ).collect()}
+    assert {(r.ok, r.nm, r.amt)
+            for r in s.execute("SELECT * FROM pjm").collect()} == want
+    s.subscribe_close(sid)
+    s.execute("DROP VIEW pjm")
+    s.execute("DROP TABLE pjm_ord")
+    s.execute("DROP TABLE pjm_cust")
+
+
+def test_agg_mv_publish_scoped_to_touched_groups(spark):
+    """Reduce-shaped delta MVs publish diffs confined to the touched
+    groups (semi-probe + exceptAll over those rows only), and the
+    frames are value-correct under inserts, updates and deletes."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE agt_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO agt_t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    s.execute("CREATE MATERIALIZED VIEW agt WITH (MAINTENANCE 'delta') "
+              "AS SELECT k, SUM(v) AS total FROM agt_t GROUP BY k")
+    sid, first, _ = s.subscribe_open("SUBSCRIBE agt")
+    assert {(r.k, r.total) for r in first.collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)}
+    s.execute("INSERT INTO agt_t VALUES ('a', 10)")
+    out = s.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        got[(r.k, r.total)] = got.get((r.k, r.total), 0) + r.diff
+    # ONLY group a's diff pair — untouched groups publish nothing
+    assert got == {("a", 1): -1, ("a", 11): 1}
+    s.execute("DELETE FROM agt_t WHERE k = 'b'")
+    out = s.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        got[(r.k, r.total)] = got.get((r.k, r.total), 0) + r.diff
+    assert got == {("b", 2): -1}
+    s.subscribe_close(sid)
+    s.execute("DROP VIEW agt")
+    s.execute("DROP TABLE agt_t")
