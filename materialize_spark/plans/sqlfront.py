@@ -258,8 +258,10 @@ class MzSession:
         # WITH (MAINTENANCE 'delta') views: updated on WRITE, never
         # refreshed (name -> {mv, table, keys, val, where})
         self._delta_mvs: dict[str, dict] = {}
-        self._sub_state: dict[str, DataFrame] = {}
-        self._sub_ts: dict[str, int] = {}  # WITH (PROGRESS) batch clock
+        # execute-path SUBSCRIBE: one lazily-opened internal PUSH cursor
+        # per object (name -> sub_id in _subscriptions). Concurrent
+        # pollers must DECLARE their own named cursors instead.
+        self._exec_subs: dict[str, int] = {}
         # Push subscriptions: per-subscriber cursors, keyed by a
         # subscription id — NOT by object name — so concurrent
         # subscribers each own a complete delta stream (reference: each
@@ -2686,9 +2688,9 @@ class MzSession:
         self._source_tables.discard(node.name)
         for store in (self._matviews, self._matview_sql, self._view_sql,
                       self._histories, self._retain, self._refresh_every,
-                      self._sub_state, self._sub_ts, self._delta_mvs,
-                      self._owners):
+                      self._delta_mvs, self._owners):
             store.pop(node.name, None)
+        self._close_exec_sub(node.name)
         # comments die with the object (reference: mz_comments rows are
         # keyed by object id; a dropped id takes its comments — and its
         # columns' comments, keyed "obj.col" — with it)
@@ -2891,10 +2893,16 @@ class MzSession:
                 # session-side state follows the object across the rename
                 for st in (self._matviews, self._matview_sql,
                            self._view_sql, self._histories, self._retain,
-                           self._refresh_every, self._sub_state,
-                           self._sub_ts, self._owners):
+                           self._refresh_every, self._exec_subs,
+                           self._owners):
                     if old in st:
                         st[new] = st.pop(old)
+                # push cursors follow the object too: commits publish
+                # under the new name after the rename
+                with self._commit_cond:
+                    for s in self._subscriptions.values():
+                        if s["node"].name == old:
+                            s["node"].name = new
                 # grants key on the object name too
                 self._grants = {
                     (p, new if o == old else o, r)
@@ -2924,31 +2932,53 @@ class MzSession:
                 out = out.filter(F.col(TS_COL) < node.up_to)
             return out
         # Diff stream: first call emits the snapshot (+1 rows); later
-        # calls emit changes since the previous SUBSCRIBE (reference
-        # SUBSCRIBE = snapshot then updates as frontiers advance).
-        # Output modifiers (reference SubscribeOutput,
-        # src/sql/src/plan.rs:907-930): WITHIN TIMESTAMP ORDER BY for
-        # deterministic per-batch presentation, ENVELOPE UPSERT /
-        # DEBEZIUM (KEY (...)) for keyed change shapes.
+        # calls DRAIN the object's internal push cursor — each commit's
+        # own diff frames, queued by _publish_commit, never an
+        # exceptAll poll of the table (reference SUBSCRIBE = snapshot
+        # then updates as frontiers advance). This is the single-poller
+        # convenience path: all execute-path callers of one object
+        # share the cursor. Concurrent pollers each DECLARE a named
+        # cursor (DECLARE c CURSOR FOR SUBSCRIBE ...) — a private
+        # subscription carrying the full stream. Output modifiers
+        # (reference SubscribeOutput, src/sql/src/plan.rs:907-930)
+        # shape each drained batch with THIS call's options.
         from pyspark.sql import functions as F
 
-        cur = self.catalog.table(node.name)
-        prev = self._sub_state.get(node.name)
-        if prev is None:
-            # WITH (SNAPSHOT = false): suppress the initial state; the
-            # stream begins with changes after this call (plan.rs
-            # SubscribeOptions.snapshot)
-            delta = (cur if node.snapshot else cur.limit(0)) \
-                .withColumn("diff", F.lit(1))
-        else:
-            adds = cur.exceptAll(prev).withColumn("diff", F.lit(1))
-            rets = prev.exceptAll(cur).withColumn("diff", F.lit(-1))
-            delta = adds.unionByName(rets)
-        self._sub_state[node.name] = cur.localCheckpoint(eager=True)
-        ts = None
-        if node.progress:
-            ts = self._sub_ts.get(node.name, 0) + 1
-            self._sub_ts[node.name] = ts
+        frames: list = []
+        delta = None
+        sub_id = self._exec_subs.get(node.name)
+        with self._commit_cond:
+            sub = (self._subscriptions.get(sub_id)
+                   if sub_id is not None else None)
+            if sub is None:
+                # first call: register the cursor and snapshot. WITH
+                # (SNAPSHOT = false) suppresses the initial state; the
+                # stream begins with changes after this call (plan.rs
+                # SubscribeOptions.snapshot).
+                cur = self.catalog.table(node.name)
+                delta = (cur if node.snapshot else cur.limit(0)) \
+                    .withColumn("diff", F.lit(1))
+                self._sub_next_id += 1
+                sub_id = self._sub_next_id
+                sub = {"node": node, "queue": [], "ts": 0,
+                       "stamp_ts": False, "seq0": self._commit_seq}
+                self._subscriptions[sub_id] = sub
+                self._exec_subs[node.name] = sub_id
+            else:
+                frames = sub["queue"]
+                sub["queue"] = []
+            ts = None
+            if node.progress:
+                sub["ts"] += 1
+                ts = sub["ts"]
+        if delta is None:
+            if frames:
+                delta = frames[0]
+                for f in frames[1:]:
+                    delta = delta.unionByName(f)
+            else:  # nothing committed since the last drain
+                delta = (self.catalog.table(node.name).limit(0)
+                         .withColumn("diff", F.lit(1)))
         return self._shape_sub_batch(node, delta, ts)
 
     def _shape_sub_batch(self, node: ast.Subscribe, delta: DataFrame,
@@ -3072,6 +3102,13 @@ class MzSession:
     def subscribe_close(self, sub_id: int) -> None:
         with self._commit_cond:
             self._subscriptions.pop(sub_id, None)
+
+    def _close_exec_sub(self, name: str) -> None:
+        """Tear down an object's internal execute-path push cursor
+        (dropped/renamed-away objects must not keep queueing frames)."""
+        sid = self._exec_subs.pop(name, None)
+        if sid is not None:
+            self.subscribe_close(sid)
 
     def subscribe_seq(self, sub_id: int) -> int:
         """The commit sequence captured when the cursor registered —
@@ -3201,9 +3238,9 @@ class MzSession:
             self.catalog.drop(n, if_exists=True)
             for store in (self._matviews, self._matview_sql,
                           self._view_sql, self._histories, self._retain,
-                          self._refresh_every, self._sub_state,
-                          self._sub_ts, self._owners):
+                          self._refresh_every, self._owners):
                 store.pop(n, None)
+            self._close_exec_sub(n)
 
     def _create_cluster(self, node: ast.CreateCluster, sql: str):
         if node.name in self._clusters:
@@ -3578,8 +3615,20 @@ class MzSession:
 
     def _declare(self, node: ast.Declare, sql: str):
         # DECLARE c CURSOR FOR q / FETCH [n] c / CLOSE c (reference
-        # Declare/Fetch/Close statements): the result set materializes
-        # on DECLARE; FETCH walks it in chunks.
+        # Declare/Fetch/Close statements). A plain query materializes
+        # on DECLARE and FETCH walks it in chunks. DECLARE ... FOR
+        # SUBSCRIBE opens a PRIVATE per-cursor push subscription — the
+        # reference's canonical polling idiom (DECLARE c CURSOR FOR
+        # SUBSCRIBE ...; FETCH c): each named cursor owns the complete
+        # diff stream, so concurrent pollers (e.g. two HTTP clients)
+        # never split one stream between them.
+        import re as _re
+        if _re.match(r"\s*SUBSCRIBE\b", node.body, _re.I):
+            sub_id, first, snode = self.subscribe_open(node.body)
+            self._cursors[node.name] = {
+                "sub": sub_id, "first": first, "node": snode,
+                "schema": first.schema, "buf": []}
+            return
         df = self.sql(node.body)
         self._cursors[node.name] = {"rows": df.collect(),
                                     "schema": df.schema, "pos": 0}
@@ -3588,6 +3637,30 @@ class MzSession:
         if node.cursor not in self._cursors:
             return self._exec_peek(sql)
         cur = self._cursors[node.cursor]
+        if "sub" in cur:  # subscribe cursor: drain snapshot, then polls
+            def next_batch():
+                if cur["first"] is not None:
+                    out = cur["first"]
+                    cur["first"] = None
+                    return out
+                return self.subscribe_poll(cur["sub"])
+            if node.count is None:  # FETCH ALL: the available batch
+                out = next_batch()
+                if cur["buf"]:
+                    rows, cur["buf"] = cur["buf"], []
+                    got = self.spark.createDataFrame(rows, cur["schema"])
+                    return got if out is None else got.unionByName(out)
+                return (out if out is not None else
+                        self.spark.createDataFrame([], cur["schema"]))
+            # FETCH n: chunked reads keep the remainder buffered
+            while len(cur["buf"]) < node.count:
+                out = next_batch()
+                if out is None:
+                    break
+                cur["buf"].extend(out.collect())
+            chunk, cur["buf"] = (cur["buf"][:node.count],
+                                 cur["buf"][node.count:])
+            return self.spark.createDataFrame(chunk, cur["schema"])
         n = len(cur["rows"]) if node.count is None else node.count
         chunk = cur["rows"][cur["pos"]:cur["pos"] + n]
         cur["pos"] += len(chunk)
@@ -3596,7 +3669,9 @@ class MzSession:
     def _close(self, node: ast.Close, sql: str):
         if node.name not in self._cursors:
             return self._exec_peek(sql)
-        del self._cursors[node.name]
+        cur = self._cursors.pop(node.name)
+        if "sub" in cur:
+            self.subscribe_close(cur["sub"])
 
     def _begin(self, node: ast.Begin, sql: str):
         # Transactions over an immutable-DataFrame catalog are snapshot

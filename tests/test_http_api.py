@@ -290,3 +290,43 @@ def test_websocket_auth_first_frame(spark):
                 break
         assert "Row" in kinds
         good.close()
+
+
+def test_two_concurrent_http_pollers_via_named_cursors(spark):
+    """Two HTTP pollers each DECLARE their own SUBSCRIBE cursor: each
+    receives the COMPLETE delta sequence (the old shared per-object
+    execute-path state split one stream between concurrent pollers).
+    This is the reference's polling idiom: DECLARE c CURSOR FOR
+    SUBSCRIBE ...; FETCH c."""
+    sess = MzSession(spark, SF_DIR)
+    with MzHttpServer(sess) as srv:
+        url = f"http://{srv.host}:{srv.port}/api/sql"
+        _post(url, {"query": "CREATE TABLE hconc (k STRING, v BIGINT); "
+                             "INSERT INTO hconc VALUES ('a', 1)"})
+        # both pollers open their own cursor and take the snapshot
+        out = _post(url, {"query": "DECLARE p1 CURSOR FOR "
+                                   "SUBSCRIBE hconc; FETCH ALL p1"})
+        assert out["results"][1]["rows"] == [["a", 1, 1]]
+        out = _post(url, {"query": "DECLARE p2 CURSOR FOR "
+                                   "SUBSCRIBE hconc; FETCH ALL p2"})
+        assert out["results"][1]["rows"] == [["a", 1, 1]]
+        # a commit lands; BOTH pollers see it on their next poll
+        _post(url, {"query": "INSERT INTO hconc VALUES ('b', 2)"})
+        r1 = _post(url, {"query": "FETCH ALL p1"})["results"][0]["rows"]
+        r2 = _post(url, {"query": "FETCH ALL p2"})["results"][0]["rows"]
+        assert r1 == [["b", 2, 1]] and r2 == [["b", 2, 1]]
+        # another commit; polls in the other order, still full streams
+        _post(url, {"query": "INSERT INTO hconc VALUES ('c', 3)"})
+        r2 = _post(url, {"query": "FETCH ALL p2"})["results"][0]["rows"]
+        r1 = _post(url, {"query": "FETCH ALL p1"})["results"][0]["rows"]
+        assert r1 == [["c", 3, 1]] and r2 == [["c", 3, 1]]
+        # chunked FETCH n keeps the remainder buffered per cursor
+        _post(url, {"query": "INSERT INTO hconc VALUES ('d', 4); "
+                             "INSERT INTO hconc VALUES ('e', 5)"})
+        r1a = _post(url, {"query": "FETCH 1 p1"})["results"][0]["rows"]
+        r1b = _post(url, {"query": "FETCH 1 p1"})["results"][0]["rows"]
+        assert len(r1a) == 1 and len(r1b) == 1 and r1a != r1b
+        _post(url, {"query": "CLOSE p1; CLOSE p2"})
+        assert sess._subscriptions == {} or all(
+            s["node"].name != "hconc"
+            for s in sess._subscriptions.values())

@@ -650,7 +650,9 @@ def test_drop_clears_refresh_schedule_and_sub_state(spark):
     sess.execute("DROP VIEW drop_mv")
     # a tick after the drop must not try to refresh the dropped MV
     assert sess.tick_refreshes(now=time.monotonic() + 10) == []
-    assert "drop_mv" not in sess._sub_state
+    assert "drop_mv" not in sess._exec_subs
+    assert not any(s["node"].name == "drop_mv"
+                   for s in sess._subscriptions.values())
 
 
 def test_rename_migrates_mv_state(spark):
