@@ -502,6 +502,12 @@ class AlterRetain(Stmt):
 @dataclass
 class Subscribe(Stmt):
     name: str
+    # SUBSCRIBE (SELECT ...): the reference subscribes to arbitrary
+    # queries, not just named objects (SubscribeStatement's relation is
+    # a full query, src/sql-parser/src/ast/defs/statement.rs). When set,
+    # the session plans the body as an ephemeral maintained view and
+    # fills ``name`` with its generated object name.
+    query: str | None = None
     as_of: int | None = None
     up_to: int | None = None
     order_by: list[str] | None = None
@@ -1639,8 +1645,11 @@ class Parser:
     def _p_subscribe(self) -> Stmt:
         self.expect_kw("SUBSCRIBE")
         self.take_kw("TO")
-        name = self.ident()
-        node = Subscribe(name)
+        if self.peek().kind == "LP":
+            # SUBSCRIBE (SELECT ...) — query form
+            node = Subscribe("", query=self.paren_span())
+        else:
+            node = Subscribe(self.ident())
         if self.take_kw("AS", "OF"):
             node.as_of = self.int_()
             if self.take_kw("UP", "TO"):

@@ -262,6 +262,12 @@ class MzSession:
         # per object (name -> sub_id in _subscriptions). Concurrent
         # pollers must DECLARE their own named cursors instead.
         self._exec_subs: dict[str, int] = {}
+        # SUBSCRIBE (SELECT ...): ephemeral query-subscription state —
+        # recompute-on-commit specs (non-delta-maintainable shapes),
+        # bounded-cursor teardown names, and the name counter
+        self._query_subs: dict[str, dict] = {}
+        self._eph_bounded: dict[int, str] = {}
+        self._subq_n = 0
         # Push subscriptions: per-subscriber cursors, keyed by a
         # subscription id — NOT by object name — so concurrent
         # subscribers each own a complete delta stream (reference: each
@@ -2920,6 +2926,18 @@ class MzSession:
 
     # -- SUBSCRIBE ----------------------------------------------------------
     def _subscribe(self, node: ast.Subscribe, sql: str):
+        if getattr(node, "query", None):
+            # one-shot SUBSCRIBE (SELECT ...) on the execute path:
+            # evaluate the body and return its +1 snapshot, stateless —
+            # the streaming/polling forms are subscribe_open (pgwire/WS
+            # streams) and DECLARE c CURSOR FOR SUBSCRIBE (...)
+            from pyspark.sql import functions as F
+            self._check_select_refs(node.query)
+            out = self._eval_view_body(node.query)
+            out = (out if node.snapshot else out.limit(0)) \
+                .withColumn("diff", F.lit(1))
+            return self._shape_sub_batch(
+                node, out, 1 if node.progress else None)
         if node.as_of is not None:
             # Time travel: updates strictly after AS OF, bounded below
             # UP TO when given (the reference's self-terminating subscribe).
@@ -3041,7 +3059,15 @@ class MzSession:
         if not isinstance(node, ast.Subscribe):
             raise ValueError("subscribe_open requires a SUBSCRIBE "
                              "statement")
-        self._check_priv("select", node.name)
+        ephemeral = None
+        if getattr(node, "query", None):
+            # SUBSCRIBE (SELECT ...): plan the body as an ephemeral
+            # maintained view (delta-maintained when the dispatcher
+            # supports the shape, recompute-on-commit otherwise) and
+            # subscribe to it; subscribe_close tears it down.
+            node.name = ephemeral = self._open_query_sub(node.query)
+        else:
+            self._check_priv("select", node.name)
         bounded = node.up_to is not None
         with self._commit_cond:
             stamp_ts = False
@@ -3069,7 +3095,13 @@ class MzSession:
                 # the queued frame is delivered — no lost wakeup.
                 self._subscriptions[sub_id] = {
                     "node": node, "queue": [], "ts": 0,
-                    "stamp_ts": stamp_ts, "seq0": self._commit_seq}
+                    "stamp_ts": stamp_ts, "seq0": self._commit_seq,
+                    "ephemeral": ephemeral}
+            elif ephemeral is not None:
+                # bounded query subscription: the cursor never
+                # registers, so record the ephemeral view for teardown
+                # on the caller's subscribe_close
+                self._eph_bounded[sub_id] = ephemeral
         ts = None
         if node.progress and not bounded:
             sub = self._subscriptions[sub_id]
@@ -3101,7 +3133,102 @@ class MzSession:
 
     def subscribe_close(self, sub_id: int) -> None:
         with self._commit_cond:
-            self._subscriptions.pop(sub_id, None)
+            sub = self._subscriptions.pop(sub_id, None)
+        eph = ((sub or {}).get("ephemeral")
+               or self._eph_bounded.pop(sub_id, None))
+        if eph is not None:
+            self._drop_query_sub(eph)
+
+    # -- SUBSCRIBE (SELECT ...): ephemeral query subscriptions ---------------
+    def _open_query_sub(self, body: str) -> str:
+        """Plan a SUBSCRIBE query body as an ephemeral maintained view
+        and return its generated name. Delta-maintained when
+        _plan_delta_mv accepts the shape (always-fresh, O(delta) per
+        commit); otherwise recompute-on-commit over the body's base
+        dependencies — honest about the cost, like the reference
+        rendering any SUBSCRIBE relation as its own dataflow
+        (src/compute/src/sink/subscribe.rs)."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.plans.select_ast import parse_select
+        from materialize_spark.streaming.history import RetainedHistory
+        self._check_select_refs(body)
+        self._subq_n += 1
+        name = f"__subq{self._subq_n}"
+        self._matview_sql[name] = body
+        fake = ast.CreateView(name=name, body=body, materialized=True,
+                              maintenance="delta")
+        try:
+            self._plan_delta_mv(fake, parse_select(body))
+            return name
+        except (ValueError, KeyError, ast.ParseError, LexError):
+            pass  # shape not delta-maintainable: recompute on commit
+        snap = self._eval_view_body(body).localCheckpoint(eager=True)
+        self._matviews[name] = snap
+        self.catalog.create_view(name, snap)
+        hist = RetainedHistory()
+        hist.append(snap.withColumn("diff", F.lit(1)), 0)
+        self._histories[name] = hist
+        self._query_subs[name] = {"deps": self._table_deps(body)}
+        return name
+
+    def _table_deps(self, body: str) -> set[str]:
+        """Commit-publishing objects a query body depends on: tables
+        and materialized views it references, expanded one level through
+        plain-view definitions (a virtual view never publishes commits;
+        its base tables do)."""
+        from materialize_spark.plans.lexer import tokens as _tokens
+        out: set[str] = set()
+        frontier, seen = [body], set()
+        while frontier:
+            sql = frontier.pop()
+            try:
+                toks = _tokens(sql, lenient=True)
+            except Exception:
+                continue
+            for t in toks:
+                if t.kind != "WORD":
+                    continue
+                n = t.text.lower()
+                if n in seen:
+                    continue
+                seen.add(n)
+                if n in self.catalog._tables or n in self._matviews:
+                    out.add(n)
+                if n in self._view_sql:
+                    frontier.append(self._view_sql[n])
+        return out
+
+    def _recompute_query_sub(self, name: str) -> None:
+        """Recompute-on-commit for a non-delta-maintainable query
+        subscription: re-evaluate the body and publish the snapshot
+        diff — the declared fallback cost class (the delta dispatcher
+        handles every supported shape without this)."""
+        from pyspark.sql import functions as F
+        body = self._matview_sql.get(name)
+        old = self._matviews.get(name)
+        if body is None or old is None:
+            return
+        snap = self._eval_view_body(body).localCheckpoint(eager=True)
+        self._matviews[name] = snap
+        self.catalog.create_view(name, snap)
+        adds = snap.exceptAll(old)
+        rets = old.exceptAll(snap)
+        hist = self._histories.get(name)
+        if hist is not None:
+            hist.append(
+                adds.withColumn("diff", F.lit(1)).unionByName(
+                    rets.withColumn("diff", F.lit(-1))),
+                hist.upper)
+        self._publish_commit(name, adds, rets)
+
+    def _drop_query_sub(self, name: str) -> None:
+        """Tear down an ephemeral query subscription's backing view."""
+        self.catalog.drop(name, if_exists=True)
+        for store in (self._delta_mvs, self._matviews,
+                      self._matview_sql, self._histories,
+                      self._query_subs):
+            store.pop(name, None)
 
     def _close_exec_sub(self, name: str) -> None:
         """Tear down an object's internal execute-path push cursor
@@ -3152,6 +3279,17 @@ class MzSession:
         anywhere on this path (the reference's sinks read their input
         arrangement's deltas the same way, src/storage/src/render)."""
         from pyspark.sql import functions as F
+        # recompute-on-commit query subscriptions that depend on this
+        # object re-derive and publish under their OWN names first
+        # (guarded against re-entrancy; delta-maintained query subs are
+        # fed by the ordinary _feed_delta_mvs_for_table path instead)
+        for qname, qspec in list(self._query_subs.items()):
+            if obj in qspec["deps"] and not qspec.get("busy"):
+                qspec["busy"] = True
+                try:
+                    self._recompute_query_sub(qname)
+                finally:
+                    qspec["busy"] = False
         has_subs = any(s["node"].name == obj
                        for s in self._subscriptions.values())
         has_sinks = any(sp.get("kafka") and sp["from"] == obj

@@ -1483,3 +1483,49 @@ def sqlfront_ws_api(spark, sf_dir):
     sess.execute("DROP TABLE wsq_t")
     return spark.createDataFrame(
         rows, "phase string, k long, v string").orderBy("phase", "k")
+
+
+@register(
+    "sqlfront_subscribe_query",
+    """
+    -- oracle: literal truth of the conversation — the snapshot of the
+    -- query's result, then the touched group's diff pair after a commit
+    SELECT * FROM (VALUES
+        ('snap',  'a', 1, 1),
+        ('snap',  'b', 2, 1),
+        ('delta', 'a', 1, -1),
+        ('delta', 'a', 11, 1)
+    ) AS t(phase, k, total, diff)
+    ORDER BY phase, k, total
+    """,
+    "sqlfront", "subscribe", "serving",
+)
+def sqlfront_subscribe_query(spark, sf_dir):
+    """SUBSCRIBE (SELECT ...) — subscribing to a QUERY, not a named
+    object (reference: SubscribeStatement's relation is a full query,
+    src/sql-parser/src/ast/defs/statement.rs, rendered as its own
+    dataflow in src/compute/src/sink/subscribe.rs). The body becomes an
+    ephemeral maintained view — delta-maintained here (grouped SUM), so
+    each commit pushes exactly the touched group's diff pair; close
+    tears the ephemeral view down."""
+    from pyspark.sql import functions as F
+
+    sess = MzSession(spark, sf_dir)
+    sess.execute("CREATE TABLE sq_t (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO sq_t VALUES ('a', 1), ('b', 2)")
+    sid, first, _ = sess.subscribe_open(
+        "SUBSCRIBE (SELECT k, SUM(v) AS total FROM sq_t GROUP BY k)")
+    sess.execute("INSERT INTO sq_t VALUES ('a', 10)")
+    delta = sess.subscribe_poll(sid)
+    sess.subscribe_close(sid)
+    assert not any(n.startswith("__subq") for n in sess._delta_mvs)
+
+    def tag(df, phase):
+        return df.select(
+            F.lit(phase).alias("phase"), "k",
+            F.col("total").cast("int").alias("total"),
+            F.col("diff").cast("int").alias("diff"))
+
+    return (tag(first.withColumn("diff", F.col("diff")), "snap")
+            .unionByName(tag(delta, "delta"))
+            .orderBy("phase", "k", "total"))

@@ -207,3 +207,11 @@ def test_rewrite_comment_stripped():
 
     out = rewrite("SELECT a::int4 -- cast ::int8 here\nFROM t")
     assert "CAST(a AS INT)" in out and "int8" not in out
+
+
+def test_subscribe_query_form():
+    n = parse_statement("SUBSCRIBE (SELECT k, sum(v) AS t FROM x GROUP BY k)")
+    assert n.query == "SELECT k, sum(v) AS t FROM x GROUP BY k"
+    assert n.name == ""
+    n2 = parse_statement("SUBSCRIBE (SELECT a FROM b) WITH (SNAPSHOT = false)")
+    assert n2.query == "SELECT a FROM b" and n2.snapshot is False

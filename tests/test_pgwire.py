@@ -831,3 +831,45 @@ def test_failed_snapshot_collect_closes_cursor(spark):
     finally:
         s.execute("RESET max_result_size")
     s.execute("DROP TABLE sublk_t")
+
+
+def test_subscribe_query_streams_over_pgwire(spark):
+    """SUBSCRIBE (SELECT ...) over the wire: the ephemeral maintained
+    view streams pushed commits like any named object, and cancel tears
+    the ephemeral view down."""
+    import struct as _struct
+
+    from materialize_spark.plans.pgwire import (MzPgServer, PgWireClient,
+                                                _cstr)
+    from materialize_spark.plans.sqlfront import MzSession
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE sqw_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO sqw_t VALUES ('a', 1)")
+    with MzPgServer(s, port=0) as srv:
+        with PgWireClient("127.0.0.1", srv.port) as cli:
+            body = _cstr("SUBSCRIBE (SELECT k, SUM(v) AS total "
+                         "FROM sqw_t GROUP BY k)")
+            cli.sock.sendall(b"Q" + _struct.pack(">i", 4 + len(body))
+                             + body)
+            cli.sock.settimeout(30)
+            tag, _p = cli._recv_msg()
+            assert tag == b"T"
+            tag, payload = cli._recv_msg()
+            while tag != b"D":
+                tag, payload = cli._recv_msg()
+            assert b"a" in payload  # snapshot: (a, 1, +1)
+            s.execute("INSERT INTO sqw_t VALUES ('b', 7)")
+            tag, payload = cli._recv_msg()
+            while tag != b"D":
+                tag, payload = cli._recv_msg()
+            assert b"b" in payload  # pushed delta for the new group
+            cli.cancel()
+            while True:
+                tag, payload = cli._recv_msg()
+                if tag == b"Z":
+                    break
+    # the ephemeral view is torn down after the stream ends
+    assert not any(k.startswith("__subq") for k in s._delta_mvs)
+    assert not any(k.startswith("__subq") for k in s._matviews)
+    s.execute("DROP TABLE sqw_t")

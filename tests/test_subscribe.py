@@ -330,3 +330,102 @@ def test_as_of_stream_frames_carry_mz_timestamp(spark):
     sess.subscribe_close(sid)
     sess.execute("DROP VIEW sub_asof_mv")
     sess.execute("DROP TABLE sub_asof_t")
+
+
+def test_subscribe_query_delta_maintained(spark):
+    """SUBSCRIBE (SELECT ...) over a delta-maintainable shape: the body
+    becomes an ephemeral always-fresh view; two concurrent subscribers
+    each receive the complete stream; close tears the view down."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE subq_t (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO subq_t VALUES ('a', 1), ('b', 2)")
+    stmt = ("SUBSCRIBE (SELECT k, SUM(v) AS total FROM subq_t "
+            "GROUP BY k)")
+    s1, f1, n1 = sess.subscribe_open(stmt)
+    s2, f2, n2 = sess.subscribe_open(stmt)
+    assert n1.name != n2.name  # each subscription owns its own view
+    for f in (f1, f2):
+        assert {(r.k, r.total) for r in f.collect()} == {
+            ("a", 1), ("b", 2)}
+    sess.execute("INSERT INTO subq_t VALUES ('a', 10)")
+    for sid in (s1, s2):
+        out = sess.subscribe_poll(sid)
+        got = {}
+        for r in out.collect():
+            got[(r.k, r.total)] = got.get((r.k, r.total), 0) + r.diff
+        assert got == {("a", 1): -1, ("a", 11): 1}
+    sess.subscribe_close(s1)
+    sess.subscribe_close(s2)
+    # the ephemeral views are gone
+    assert not any(k.startswith("__subq") for k in sess._matviews)
+    assert not any(k.startswith("__subq") for k in sess._delta_mvs)
+    sess.execute("DROP TABLE subq_t")
+
+
+def test_subscribe_query_recompute_fallback(spark):
+    """A body the delta dispatcher can't maintain (global aggregate, no
+    GROUP BY) falls back to recompute-on-commit: commits to the base
+    table still push correct diffs to the subscriber."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE subq_g (v BIGINT)")
+    sess.execute("INSERT INTO subq_g VALUES (1), (2)")
+    sid, first, node = sess.subscribe_open(
+        "SUBSCRIBE (SELECT MAX(v) AS m FROM subq_g)")
+    assert node.name in sess._query_subs  # the fallback path
+    assert [r.m for r in first.collect()] == [2]
+    sess.execute("INSERT INTO subq_g VALUES (9)")
+    out = sess.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        got[r.m] = got.get(r.m, 0) + r.diff
+    assert got == {2: -1, 9: 1}
+    # DELETE flows through the recompute too
+    sess.execute("DELETE FROM subq_g WHERE v = 9")
+    out = sess.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        got[r.m] = got.get(r.m, 0) + r.diff
+    assert got == {9: -1, 2: 1}
+    sess.subscribe_close(sid)
+    assert sess._query_subs == {}
+    sess.execute("DROP TABLE subq_g")
+
+
+def test_subscribe_query_one_shot_execute(spark):
+    """Execute-path SUBSCRIBE (SELECT ...) is a stateless one-shot
+    snapshot (the polling forms are DECLARE cursors / stream loops)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE subq_o (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO subq_o VALUES ('a', 1)")
+    rows = sess.sql(
+        "SUBSCRIBE (SELECT k, v FROM subq_o WHERE v > 0)").collect()
+    assert [(r.k, r.v, r.diff) for r in rows] == [("a", 1, 1)]
+    # no ephemeral state left behind
+    assert sess._query_subs == {}
+    assert not any(k.startswith("__subq") for k in sess._matviews)
+    sess.execute("DROP TABLE subq_o")
+
+
+def test_subscribe_query_via_declared_cursor(spark):
+    """DECLARE c CURSOR FOR SUBSCRIBE (SELECT ...): the reference's
+    polling idiom over a query subscription."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE subq_c (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO subq_c VALUES ('a', 1)")
+    sess.execute("DECLARE qc CURSOR FOR SUBSCRIBE "
+                 "(SELECT k, SUM(v) AS total FROM subq_c GROUP BY k)")
+    rows = sess.sql("FETCH ALL qc").collect()
+    assert {(r.k, r.total) for r in rows} == {("a", 1)}
+    sess.execute("INSERT INTO subq_c VALUES ('a', 4)")
+    rows = sess.sql("FETCH ALL qc").collect()
+    got = {}
+    for r in rows:
+        got[(r.k, r.total)] = got.get((r.k, r.total), 0) + r.diff
+    assert got == {("a", 1): -1, ("a", 5): 1}
+    sess.execute("CLOSE qc")
+    assert not any(k.startswith("__subq") for k in sess._delta_mvs)
+    sess.execute("DROP TABLE subq_c")
