@@ -140,6 +140,52 @@ def parse_select(body: str) -> SelectQ:
     return _parse_query(p, top=True)
 
 
+def split_union_all(body: str) -> list[str]:
+    """Split a body on TOP-LEVEL ``UNION ALL`` into branch spans
+    (token-level: parens and string literals never split). Plain UNION
+    / INTERSECT / EXCEPT raise — UNION deduplicates, which is a reduce,
+    not a linear operator; the reference's Union relation is the
+    ALL form (src/expr/src/relation/mod.rs MirRelationExpr::Union)."""
+    p = Parser(body)
+    depth = 0
+    spans: list[str] = []
+    start = 0
+    while True:
+        t = p.peek()
+        if t.kind == "EOF":
+            break
+        if t.kind == "LP":
+            depth += 1
+        elif t.kind == "RP":
+            depth -= 1
+        elif t.kind == "WORD" and depth == 0 \
+                and t.upper in ("UNION", "INTERSECT", "EXCEPT"):
+            if t.upper != "UNION":
+                raise ParseError(
+                    f"{t.upper} is not delta-maintainable", t)
+            cut = t.start
+            p.next()
+            nt = p.peek()
+            if not (nt.kind == "WORD" and nt.upper == "ALL"):
+                raise ParseError(
+                    "only UNION ALL is delta-maintainable (UNION "
+                    "deduplicates — wrap in SELECT DISTINCT if needed)",
+                    t)
+            p.next()
+            spans.append(body[start:cut])
+            start = p.peek().start
+            continue
+        p.next()
+    spans.append(body[start:])
+    return spans
+
+
+def parse_select_branches(body: str) -> list[SelectQ]:
+    """Parse a body that may be a top-level UNION ALL chain into one
+    SelectQ per branch (a single-branch list for a plain SELECT)."""
+    return [parse_select(s) for s in split_union_all(body)]
+
+
 def _parse_query(p: Parser, top: bool = False) -> SelectQ:
     p.expect_kw("SELECT")
     q = SelectQ(items=[])

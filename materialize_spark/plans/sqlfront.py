@@ -500,15 +500,20 @@ class MzSession:
         rendering plans (src/compute-types/src/plan/{reduce,top_k,
         join}.rs). Unsupported shapes get an explicit error rather than
         silently degrading to snapshots."""
-        from materialize_spark.plans.select_ast import parse_select
+        from materialize_spark.plans.select_ast import (
+            parse_select_branches,
+        )
 
         try:
-            q = parse_select(node.body)
+            qs = parse_select_branches(node.body)
         except (ast.ParseError, LexError) as ex:
             raise ValueError(
                 f"MAINTENANCE 'delta': cannot parse the view body for "
                 f"incremental maintenance ({ex}); " + _DELTA_SUPPORTED)
-        self._plan_delta_mv(node, q)
+        if len(qs) > 1:
+            self._plan_delta_union(node, qs)
+            return
+        self._plan_delta_mv(node, qs[0])
 
     def _plan_delta_mv(self, node: ast.CreateView, q) -> None:
         """Dispatch a parsed view body onto maintained operators:
@@ -543,6 +548,88 @@ class MzSession:
     def _delta_check_table(self, table: str) -> None:
         if table not in self.catalog._tables:
             raise KeyError(f"unknown table {table!r}")
+
+    def _plan_delta_union(self, node: ast.CreateView, qs) -> None:
+        """UNION ALL delta MV: Union is LINEAR in diff algebra — each
+        branch maintains independently and the MV's output delta is the
+        branches' diff-sum (reference MirRelationExpr::Union,
+        src/expr/src/relation/mod.rs:292; render.rs just concatenates
+        the input streams). Branches are stateless Map/Filter/Project
+        over one table each, so a commit to table t costs exactly the
+        transforms of t's branches over the commit's delta — no state
+        probe at all. Column names resolve positionally to the FIRST
+        branch's output names (SQL set-op semantics)."""
+        from pyspark.sql import functions as F
+
+        cols: list[str] | None = None
+        branches: list[dict] = []
+        for q in qs:
+            if (q.joins or q.group_by or q.having or q.distinct
+                    or q.sub is not None or q.order
+                    or q.limit is not None):
+                raise ValueError(
+                    "MAINTENANCE 'delta' UNION ALL: every branch must "
+                    "be a stateless SELECT over one table (plain or "
+                    "aliased-expression columns, optional WHERE; no "
+                    "joins, aggregates, DISTINCT, subqueries or "
+                    "ORDER BY within a branch)")
+            self._delta_check_table(q.table)
+            names, exprs = [], []
+            for it in q.items:
+                if it.alias is not None:
+                    names.append(it.alias)
+                    exprs.append(rewrite(it.expr))
+                elif it.is_column:
+                    names.append(it.expr)
+                    exprs.append(it.expr)
+                else:
+                    raise ValueError(
+                        "MAINTENANCE 'delta' UNION ALL: expression "
+                        "branch columns need an AS alias")
+            if cols is None:
+                cols = names
+            elif len(names) != len(cols):
+                raise ValueError(
+                    "UNION ALL branches must have the same number of "
+                    "columns")
+            branches.append({
+                "table": q.table,
+                "select": [f"({e}) AS {cols[i]}"
+                           for i, e in enumerate(exprs)],
+                "where": (f"coalesce(({rewrite(q.where)}), false)"
+                          if q.where else None)})
+        spec = {"kind": "union", "branches": branches, "cols": cols,
+                "tables": tuple({b["table"] for b in branches})}
+        self._delta_mvs[node.name] = spec
+        # formation: every branch's current rows are its first +1 batch
+        frames = [
+            self._union_branch_delta(
+                b, self.catalog._tables[b["table"]]
+                .withColumn("diff", F.lit(1)))
+            for b in branches]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        self._publish_spine(node.name, spec, out, initial=True)
+
+    @staticmethod
+    def _union_branch_delta(branch: dict, delta):
+        """One branch's stateless transform of a base-table delta."""
+        if branch["where"]:
+            delta = delta.filter(branch["where"])
+        return delta.selectExpr(*branch["select"], "diff")
+
+    def _feed_delta_mv_union(self, name: str, table: str,
+                             delta) -> None:
+        """Fold one table's diffs through every branch that reads it
+        and publish the diff-sum — Union's delta rule."""
+        spec = self._delta_mvs[name]
+        frames = [self._union_branch_delta(b, delta)
+                  for b in spec["branches"] if b["table"] == table]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        self._publish_spine(name, spec, out)
 
     def _install_delta_mv(self, name: str, spec: dict) -> None:
         """Register a single-table delta MV and form it: the table's
@@ -1109,10 +1196,6 @@ class MzSession:
         delta and republish the maintained result."""
         from pyspark.sql import functions as F
 
-        from materialize_spark.streaming.ivm_join import (
-            _concat as _concat_parts, _consolidate,
-        )
-
         spec = self._delta_mvs[name]
         if out is not None:
             # inner plain-column aliases rename the chain output FIRST
@@ -1181,47 +1264,11 @@ class MzSession:
             if result is not None and spec.get("having"):
                 result = result.filter(rewrite(spec["having"]))
         else:
-            # Projection-shaped join MV: the chain's output delta IS the
-            # published diff (consolidated within the batch), and the
-            # maintained result is an append-only PARTS spine folded
-            # every compact_every batches — per commit the work is
-            # O(delta), never a re-consolidation of the full result
-            # (the reference's MV sink reads its input arrangement's
-            # deltas the same way, src/compute/src/sink/
-            # materialized_view.rs). Requires multiset-consistent feeds
-            # (a row is never retracted below zero), which every engine
-            # table commit guarantees.
-            out_delta = None
-            if out is not None:
-                out_delta = (out.select(*spec["cols"], "diff")
-                             .groupBy(*spec["cols"])
-                             .agg(F.sum("diff").alias("diff"))
-                             .filter(F.col("diff") != 0))
-                parts = spec.setdefault("proj_parts", [])
-                parts.append(out_delta)
-                if len(parts) >= 16:  # amortized fold
-                    folded = _consolidate(None, _concat_parts(parts))
-                    empty = parts[0].limit(0)
-                    parts.clear()
-                    parts.append(folded if folded is not None else empty)
-            elif not initial:
-                return  # nothing changed: no republish, no frames
-            parts = spec.get("proj_parts")
-            if parts is None:
-                result = None
-            else:
-                allp = _concat_parts(parts)
-                result = (allp.groupBy(*spec["cols"])
-                          .agg(F.sum("diff").alias("diff"))
-                          .filter(F.col("diff") > 0)
-                          .withColumn("__i", F.explode(
-                              F.sequence(F.lit(1), F.col("diff"))))
-                          .drop("diff", "__i"))
-            if result is None:
-                result = self.spark.sql(
-                    rewrite(self._matview_sql[name])).limit(0)
-            self._publish_delta_mv(name, result, initial,
-                                   out_delta=out_delta)
+            # Projection-shaped join MV: the chain's output delta IS
+            # the published diff; result = an append-only parts spine
+            self._publish_spine(name, spec,
+                                out.select(*spec["cols"], "diff")
+                                if out is not None else None, initial)
             return
         if result is None:
             # nothing joined yet (both sides empty): evaluate the body
@@ -1285,6 +1332,54 @@ class MzSession:
             result = result.filter(rewrite(spec["having"]))
         self._publish_delta_mv(name, result, initial,
                                touched=touched, keys=tkeys)
+
+    def _publish_spine(self, name: str, spec: dict, out,
+                       initial: bool = False) -> None:
+        """Publish one batch of a spine-maintained MV (projection-shaped
+        join MVs, UNION ALL MVs): the operator's signed output delta is
+        consolidated within the batch, appended to the MV's parts spine
+        (folded every 16 batches), and published AS the diff — per
+        commit the work is O(delta), never a re-consolidation or
+        snapshot diff of the full result (reference: the MV sink reads
+        its input arrangement's deltas, src/compute/src/sink/
+        materialized_view.rs). Requires multiset-consistent feeds (a
+        row is never retracted below zero), which every engine table
+        commit guarantees."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.ivm_join import (
+            _concat as _concat_parts, _consolidate,
+        )
+        out_delta = None
+        if out is not None:
+            out_delta = (out.groupBy(*spec["cols"])
+                         .agg(F.sum("diff").alias("diff"))
+                         .filter(F.col("diff") != 0))
+            parts = spec.setdefault("proj_parts", [])
+            parts.append(out_delta)
+            if len(parts) >= 16:  # amortized fold
+                folded = _consolidate(None, _concat_parts(parts))
+                empty = parts[0].limit(0)
+                parts.clear()
+                parts.append(folded if folded is not None else empty)
+        elif not initial:
+            return  # nothing changed: no republish, no frames
+        parts = spec.get("proj_parts")
+        if parts is None:
+            result = None
+        else:
+            allp = _concat_parts(parts)
+            result = (allp.groupBy(*spec["cols"])
+                      .agg(F.sum("diff").alias("diff"))
+                      .filter(F.col("diff") > 0)
+                      .withColumn("__i", F.explode(
+                          F.sequence(F.lit(1), F.col("diff"))))
+                      .drop("diff", "__i"))
+        if result is None:
+            result = self.spark.sql(
+                rewrite(self._matview_sql[name])).limit(0)
+        self._publish_delta_mv(name, result, initial,
+                               out_delta=out_delta)
 
     def _publish_delta_mv(self, name: str, result,
                           initial: bool = False, out_delta=None,
@@ -1354,7 +1449,10 @@ class MzSession:
 
     def _feed_delta_mvs_for_table(self, table: str, delta) -> None:
         for name, spec in list(self._delta_mvs.items()):
-            if spec["table"] == table:
+            if spec.get("kind") == "union":
+                if table in spec["tables"]:
+                    self._feed_delta_mv_union(name, table, delta)
+            elif spec["table"] == table:
                 self._feed_delta_mv(name, delta)
             elif spec.get("kind") == "join" \
                     and table in spec.get("tables", ()):
@@ -3263,7 +3361,7 @@ class MzSession:
     def _wants_diffs(self, obj: str) -> bool:
         """True when some consumer (delta MV, Kafka sink, open
         subscription) needs this commit's explicit diff frames."""
-        return (any(sp["table"] == obj or obj in sp.get("tables", ())
+        return (any(sp.get("table") == obj or obj in sp.get("tables", ())
                     for sp in self._delta_mvs.values())
                 or any(sp.get("kafka") and sp["from"] == obj
                        for sp in self._sinks.values())

@@ -1529,3 +1529,56 @@ def sqlfront_subscribe_query(spark, sf_dir):
     return (tag(first.withColumn("diff", F.col("diff")), "snap")
             .unionByName(tag(delta, "delta"))
             .orderBy("phase", "k", "total"))
+
+
+@register(
+    "sqlfront_delta_mv_union",
+    """
+    -- oracle: literal truth of the write sequence against a UNION ALL
+    -- delta MV over two tables (branch filters apply; duplicates kept)
+    SELECT * FROM (VALUES
+        ('mid',   'a', CAST(5 AS BIGINT)),
+        ('mid',   'a', CAST(5 AS BIGINT)),
+        ('mid',   'y', CAST(20 AS BIGINT)),
+        ('final', 'a', CAST(5 AS BIGINT)),
+        ('final', 'y', CAST(20 AS BIGINT)),
+        ('final', 'z', CAST(30 AS BIGINT)),
+        ('final', 'q', CAST(7 AS BIGINT))
+    ) AS t(at, k, v)
+    ORDER BY at, k, v
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "union",
+)
+def sqlfront_delta_mv_union(spark, sf_dir):
+    """UNION ALL delta maintenance: Union is linear in diff algebra
+    (reference MirRelationExpr::Union, src/expr/src/relation/mod.rs;
+    render just concatenates the input streams), so each branch
+    maintains independently and a commit to either table publishes the
+    branches' diff-sum — duplicates across branches are preserved
+    (multiset semantics), and branch WHERE filters apply per delta."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dmu_l (k STRING, v BIGINT);
+        CREATE TABLE dmu_r (k STRING, v BIGINT);
+        INSERT INTO dmu_l VALUES ('a', 5), ('skip', 100);
+        INSERT INTO dmu_r VALUES ('a', 5), ('y', 20);
+        CREATE MATERIALIZED VIEW dmu WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dmu_l WHERE v < 50
+          UNION ALL
+          SELECT k, v FROM dmu_r;
+    """)
+    mid = s.sql("SELECT k, v FROM dmu").withColumn("at", F.lit("mid"))
+    s.run_script("""
+        INSERT INTO dmu_l VALUES ('z', 30), ('skip2', 99);
+        DELETE FROM dmu_r WHERE k = 'a';
+        UPDATE dmu_l SET k = 'q', v = 7 WHERE k = 'a';
+        DELETE FROM dmu_l WHERE k = 'q' AND v = 7;
+        INSERT INTO dmu_r VALUES ('q', 7);
+        INSERT INTO dmu_l VALUES ('a', 5);
+    """)
+    fin = s.sql("SELECT k, v FROM dmu").withColumn("at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "k", F.col("v").cast("long").alias("v"))
+            .orderBy("at", "k", "v"))

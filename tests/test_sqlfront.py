@@ -1807,3 +1807,87 @@ def test_agg_mv_publish_scoped_to_touched_groups(spark):
     s.subscribe_close(sid)
     s.execute("DROP VIEW agt")
     s.execute("DROP TABLE agt_t")
+
+
+def test_delta_mv_union_all_churn(spark):
+    """UNION ALL delta MV under interleaved inserts/updates/deletes on
+    BOTH branches: always equal to a from-scratch evaluation, and a
+    subscriber receives exactly the diff-sum frames (no exceptAll on
+    the commit path — the spine publish)."""
+    import random
+
+    from pyspark.sql import DataFrame
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE unl (k STRING, v BIGINT)")
+    s.execute("CREATE TABLE unr (k STRING, v BIGINT)")
+    s.execute("INSERT INTO unl VALUES ('a', 1)")
+    s.execute("INSERT INTO unr VALUES ('b', 2)")
+    s.execute("CREATE MATERIALIZED VIEW unmv WITH (MAINTENANCE 'delta')"
+              " AS SELECT k, v FROM unl WHERE v < 100"
+              " UNION ALL SELECT k, v FROM unr")
+    sid, first, _ = s.subscribe_open("SUBSCRIBE unmv")
+    state = {}
+    for r in first.collect():
+        state[(r.k, r.v)] = state.get((r.k, r.v), 0) + 1
+
+    calls = []
+    orig = DataFrame.exceptAll
+
+    def spy(self, other):
+        calls.append(True)
+        return orig(self, other)
+
+    rng = random.Random(7)
+    DataFrame.exceptAll = spy
+    try:
+        for step in range(10):
+            t = "unl" if step % 2 == 0 else "unr"
+            roll = rng.random()
+            if roll < 0.5:
+                s.execute(f"INSERT INTO {t} VALUES "
+                          f"('k{step}', {rng.randrange(150)})")
+            elif roll < 0.75:
+                s.execute(f"UPDATE {t} SET v = v + 10 WHERE "
+                          f"v % 3 = {step % 3}")
+            else:
+                s.execute(f"DELETE FROM {t} WHERE v % 5 = {step % 5}")
+    finally:
+        DataFrame.exceptAll = orig
+    assert calls == []  # commit path is spine-published, O(delta)
+    # subscriber frames net to the recomputed truth
+    out = s.subscribe_poll(sid)
+    if out is not None:
+        for r in out.collect():
+            k = (r.k, r.v)
+            state[k] = state.get(k, 0) + r.diff
+    want = {}
+    for r in s.execute("SELECT k, v FROM unl WHERE v < 100 "
+                       "UNION ALL SELECT k, v FROM unr").collect():
+        want[(r.k, r.v)] = want.get((r.k, r.v), 0) + 1
+    assert {k: n for k, n in state.items() if n != 0} == want
+    # the maintained view itself matches too
+    got = {}
+    for r in s.execute("SELECT * FROM unmv").collect():
+        got[(r.k, r.v)] = got.get((r.k, r.v), 0) + 1
+    assert got == want
+    s.subscribe_close(sid)
+    s.execute("DROP VIEW unmv")
+    s.execute("DROP TABLE unl")
+    s.execute("DROP TABLE unr")
+
+
+def test_delta_mv_union_rejects_non_linear_setops(spark):
+    import pytest as _pytest
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE unx (k STRING)")
+    with _pytest.raises(ValueError, match="UNION ALL|deduplicates"):
+        s.execute("CREATE MATERIALIZED VIEW bad1 WITH "
+                  "(MAINTENANCE 'delta') AS SELECT k FROM unx "
+                  "UNION SELECT k FROM unx")
+    with _pytest.raises(ValueError, match="INTERSECT"):
+        s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
+                  "(MAINTENANCE 'delta') AS SELECT k FROM unx "
+                  "INTERSECT SELECT k FROM unx")
+    s.execute("DROP TABLE unx")
