@@ -133,6 +133,27 @@ _CREDENTIAL_STMT_RE = re.compile(
     r"\s*(?:CREATE|ALTER)\s+(?:CONNECTION|SECRET|SOURCE|SINK)\b", re.I)
 
 
+def _sub_ident_tokens(text: str, mapping: dict[str, str]) -> str:
+    """Substitute bare identifier tokens per ``mapping`` using the
+    shared lexer: string literals, quoted identifiers and numbers are
+    separate token kinds and never rewrite — the raw-regex version
+    (\\b\\w+\\b over text) also rewrote matches INSIDE string literals,
+    silently changing predicate semantics (e.g. WHERE note = 'grp')."""
+    from materialize_spark.plans.lexer import tokens as _tokens
+    try:
+        toks = _tokens(text, lenient=True)
+    except Exception:
+        return text
+    out, last = [], 0
+    for t in toks:
+        if t.kind == "WORD" and t.text in mapping:
+            out.append(text[last:t.start])
+            out.append(mapping[t.text])
+            last = t.start + len(t.text)
+    out.append(text[last:])
+    return "".join(out)
+
+
 def redact_sql(sql: str) -> str:
     """Replace inline credential literals with '<REDACTED>' before a
     statement is stored anywhere a non-owner can read it back. Applies
@@ -936,16 +957,12 @@ class MzSession:
                 emap[it.alias] = it.expr
 
         def rensub(text: str) -> str:
-            return re.sub(r"\b(\w+)\b",
-                          lambda m: ren.get(m.group(1), m.group(1)),
-                          text)
+            return _sub_ident_tokens(text, ren)
 
         emap = {a: f"({rensub(e)})" for a, e in emap.items()}
 
         def osub(text: str) -> str:
-            return re.sub(r"\b(\w+)\b",
-                          lambda m: emap.get(m.group(1), m.group(1)),
-                          text)
+            return _sub_ident_tokens(text, emap)
 
         from materialize_spark.plans.select_ast import SelectItem
         items = [SelectItem(expr=osub(it.expr), alias=it.alias)

@@ -1891,3 +1891,29 @@ def test_delta_mv_union_rejects_non_linear_setops(spark):
                   "(MAINTENANCE 'delta') AS SELECT k FROM unx "
                   "INTERSECT SELECT k FROM unx")
     s.execute("DROP TABLE unx")
+
+
+def test_join_subquery_alias_sub_skips_string_literals(spark):
+    """Alias substitution into outer clauses is token-wise: an alias
+    word appearing INSIDE a string literal of the outer WHERE must not
+    rewrite (the raw-regex version changed predicate semantics)."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE jsl_o (ok BIGINT, ck BIGINT, note STRING)")
+    s.execute("CREATE TABLE jsl_c (cst BIGINT, seg STRING)")
+    s.execute("INSERT INTO jsl_o VALUES (1, 10, 'grp'), (2, 20, 'x')")
+    s.execute("INSERT INTO jsl_c VALUES (10, 'A'), (20, 'B')")
+    # inner aliases ok -> grp (the literal 'grp' in the outer WHERE
+    # must stay a literal, not become '(ok)')
+    s.execute(
+        "CREATE MATERIALIZED VIEW jsl WITH (MAINTENANCE 'delta') AS "
+        "SELECT grp, COUNT(*) AS n FROM "
+        "(SELECT ok AS grp, note FROM jsl_o JOIN jsl_c ON ck = cst) "
+        "WHERE note = 'grp' GROUP BY grp")
+    rows = {(r.grp, r.n) for r in s.sql("SELECT * FROM jsl").collect()}
+    assert rows == {(1, 1)}
+    s.execute("INSERT INTO jsl_o VALUES (3, 10, 'grp')")
+    rows = {(r.grp, r.n) for r in s.sql("SELECT * FROM jsl").collect()}
+    assert rows == {(1, 1), (3, 1)}
+    s.execute("DROP VIEW jsl")
+    s.execute("DROP TABLE jsl_o")
+    s.execute("DROP TABLE jsl_c")
