@@ -1136,18 +1136,12 @@ class Parser:
             elif kind == "ssh":
                 # reference SshConnection (src/storage-types/src/
                 # connections.rs:315): a network-tunnel object other
-                # connections reference. Running an SSH endpoint is a
-                # deployment concern this engine does not emulate, so
-                # the statement is RECOGNIZED and rejected explicitly
-                # rather than failing as unknown syntax.
+                # connections reference via SSH TUNNEL <conn>. Backed
+                # by a real SSH-2 transport (sources/ssh_tunnel.py:
+                # curve25519 kex, ed25519 host keys, aes128-ctr +
+                # hmac-sha2-256, direct-tcpip forwarding).
                 self.expect_kw("TUNNEL")
-                # plain ValueError: must NOT be a ParseError, which the
-                # session treats as "delegate to the peek path"
-                raise ValueError(
-                    "CREATE CONNECTION ... TO SSH TUNNEL is not "
-                    "supported by this engine: connect brokers/hosts "
-                    "directly (TLS and SASL options are supported); "
-                    "network tunnels are a deployment concern")
+                kind = "ssh-tunnel"
             elif kind == "aws" and self.at_kw("PRIVATELINK"):
                 raise ValueError(
                     "CREATE CONNECTION ... TO AWS PRIVATELINK is not "
@@ -1162,6 +1156,14 @@ class Parser:
                     self.next()
                     break
                 key = self.ident().lower()
+                if key == "ssh" and self.take_kw("TUNNEL"):
+                    # SSH TUNNEL <conn> — reference connections route
+                    # their dial through a named ssh-tunnel connection
+                    self.take_op("=")
+                    opts.append(("ssh_tunnel", self.ident(), False))
+                    if self.peek().kind == "COMMA":
+                        self.next()
+                    continue
                 self.take_op("=")
                 if self.at_kw("SECRET"):
                     self.next()

@@ -2146,7 +2146,8 @@ class MzSession:
                 conn.get("publication", "mz_pub"),
                 user=conn.get("user", "mz"),
                 database=conn.get("database", "db"),
-                ssl_conf=connection_ssl_conf(conn))
+                ssl_conf=connection_ssl_conf(conn),
+                dialer=self._ssh_dialer(conn))
         else:
             log = self.spark.read.parquet(conn["log"])
         fresh = log.filter(F.col("lsn") > spec["applied"])
@@ -2223,7 +2224,8 @@ class MzSession:
                 self.spark, conn["host"], int(conn.get("port", 3306)),
                 user=conn.get("user", "repl"),
                 password=conn.get("password"),
-                ssl_conf=connection_ssl_conf(conn))
+                ssl_conf=connection_ssl_conf(conn),
+                dialer=self._ssh_dialer(conn))
         else:
             log = self.spark.read.parquet(conn["log"])
         fresh = log.filter(F.col("pos") > spec["applied"])
@@ -2487,7 +2489,8 @@ class MzSession:
                     conn.get("publication", "mz_pub"),
                     user=conn.get("user", "mz"),
                     database=conn.get("database", "db"),
-                    ssl_conf=connection_ssl_conf(conn))
+                    ssl_conf=connection_ssl_conf(conn),
+                    dialer=self._ssh_dialer(conn))
             else:
                 log = spark.read.parquet(conn["log"])
             rels = collect_relations(log)
@@ -2534,7 +2537,8 @@ class MzSession:
                     spark, conn["host"], int(conn.get("port", 3306)),
                     user=conn.get("user", "repl"),
                     password=conn.get("password"),
-                    ssl_conf=connection_ssl_conf(conn))
+                    ssl_conf=connection_ssl_conf(conn),
+                    dialer=self._ssh_dialer(conn))
             else:
                 log = spark.read.parquet(conn["log"])
             maps = collect_table_maps(log)
@@ -2657,10 +2661,27 @@ class MzSession:
             parsed[key] = self._secrets[value] if is_secret else value
         self._connections[node.name] = {"type": node.kind, **parsed}
 
+    def _ssh_dialer(self, conn: dict):
+        """None, or a ``dialer(host, port) -> socket-like`` routing
+        through the connection's ``SSH TUNNEL <name>`` reference
+        (reference connections.rs: tunnel resolution happens when the
+        owning connection dials)."""
+        tname = conn.get("ssh_tunnel")
+        if tname is None:
+            return None
+        tconn = self._connections.get(tname)
+        if tconn is None or tconn.get("type") != "ssh-tunnel":
+            raise KeyError(
+                f"unknown ssh-tunnel connection {tname!r}")
+        from materialize_spark.sources.ssh_tunnel import tunnel_dialer
+        return tunnel_dialer(tconn)
+
     def _validate(self, node: ast.Validate, sql: str):
         """VALIDATE CONNECTION: dial the endpoint NOW and error if it is
         unreachable (reference ValidateConnectionStatement — connection
-        creation is validated eagerly unless WITH (VALIDATE false))."""
+        creation is validated eagerly unless WITH (VALIDATE false)).
+        ssh-tunnel connections run the FULL client handshake (kex +
+        host key verification + auth), not just a TCP connect."""
         import socket
 
         conn = self._connections.get(node.name)
@@ -2669,6 +2690,30 @@ class MzSession:
         host = conn.get("host")
         if host is None:
             return None  # file-backed connection: nothing to dial
+        if conn.get("type") == "ssh-tunnel":
+            from materialize_spark.sources.ssh_tunnel import (
+                tunnel_dialer,
+            )
+            try:
+                # tunnel_dialer's client constructor performs kex,
+                # host-key pinning and auth; opening no channel
+                import base64
+                from materialize_spark.sources.ssh_tunnel import (
+                    SshTunnelClient,
+                )
+                hk = conn.get("host_key")
+                cli = SshTunnelClient(
+                    host, int(conn.get("port", 22)),
+                    user=conn.get("user", "mz"),
+                    password=conn.get("password", ""),
+                    host_key=(base64.b64decode(hk)
+                              if isinstance(hk, str) else hk))
+                cli.close()
+            except (OSError, ConnectionError, PermissionError) as ex:
+                raise ConnectionError(
+                    f"connection {node.name!r} failed validation "
+                    f"({host}): {ex}") from ex
+            return None
         defaults = {"kafka": 9092, "postgres": 5432, "mysql": 3306,
                     "sql-server": 1433, "sqlserver": 1433}
         port = int(conn.get("port", defaults.get(conn["type"], 0)))

@@ -57,56 +57,52 @@ def load_all() -> dict[str, QuerySpec]:
     # prefix still spans the surface.
     # Rotation policy (VERDICT r9 item 8): driver certification
     # ACCUMULATES across rounds — the cross-round union covers every
-    # entry at least once, and the r9 window went 50/50 green. The r10
-    # window = (a) the round-10 capabilities (AST-dispatcher delta-MV
-    # shapes, Kafka INCLUDE HEADERS over magic-2 record batches, the
-    # Debezium-enveloped Avro sink roundtrip), (b) every entry whose
-    # IMPLEMENTATION changed this round (the serving loop moved to
-    # per-subscriber cursors + commit-diff-fed sinks — all sink and
-    # SUBSCRIBE-adjacent entries; the delta-MV matcher became an AST
-    # dispatcher — every delta-MV entry; join views gained the spill
-    # tier; the kafka source branches now thread a headers column),
-    # and (c) the OLDEST certifications never re-checked under a
-    # 50-slot window (namespaces/clusters/rbac and the role graph from
-    # r6, the upsert envelope batch, the window-function family),
-    # ending with the flagship spread. Everything else stays green via
-    # the local full-registry gate (tools/check.py at sf0.01).
+    # entry at least once. NOTE: the driver never emitted
+    # CORRECTNESS_r10.json, so the r10 window was NEVER driver-run;
+    # per VERDICT r10 item 7 the r11 window leads with (a) every entry
+    # that has NEVER been driver-certified (the whole r10 capability
+    # block plus the r10 behavioral entries), then (b) this round's NEW
+    # capabilities (SUBSCRIBE (SELECT ...), UNION ALL delta MVs), then
+    # (c) entries whose IMPLEMENTATION changed this round — the publish
+    # path now consumes the operator's own output delta (every delta-MV
+    # entry), UPDATE/DELETE derive diffs from the predicate, the
+    # execute-path SUBSCRIBE moved to push cursors, and sinks read the
+    # same commit frames — then (d) the oldest certifications and the
+    # flagship spread. Everything else stays green in the local
+    # full-registry gate (tools/check.py at sf0.01, 193+ entries).
     priority = [
-        # --- (a) round-10 capabilities ---
+        # --- (a) never driver-certified (r10 window never ran) ---
         "sqlfront_delta_mv_ast_filter", "sqlfront_delta_mv_ast_subquery",
         "sqlfront_delta_mv_ast_join_subquery",
         "sqlfront_delta_mv_global_topk",
         "kafka_source_include_headers", "kafka_source_continuous_tick",
         "cdc_pgoutput_continuous_tick",
         "sink_kafka_avro_debezium_roundtrip",
-        # --- (b) changed implementations this round ---
+        "sqlfront_subscribe_push_cursors",
+        # --- (b) round-11 capabilities ---
+        "sqlfront_subscribe_query", "sqlfront_delta_mv_union",
+        "cdc_pgoutput_via_ssh_tunnel",
+        # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
         "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
-        "sqlfront_subscribe_push_cursors",
+        "sqlfront_update_delete",
         "sink_kafka_upsert_roundtrip", "sink_kafka_avro_roundtrip",
-        "sqlfront_create_sink", "sqlfront_update_delete",
-        "mv_consistency_frontier", "sqlfront_ws_api",
-        "sqlfront_pgwire_extended", "scalar_uuid",
-        "scalar_decimal38_margin",
-        "kafka_source_sql", "kafka_source_avro_csr",
-        "ivm_incremental_join", "tpch_q5",
-        # --- (c) oldest certifications, never re-checked in a window ---
+        "sqlfront_create_sink", "sqlfront_ws_api", "sqlfront_http_api",
+        "sqlfront_pgwire_extended", "ivm_incremental_join",
+        "mv_consistency_frontier",
+        # --- (d) oldest certifications + flagship spread ---
         "sqlfront_namespaces", "sqlfront_clusters", "sqlfront_rbac",
-        "upsert_envelope_batch",
-        # (role_membership/ownership yield their slots to the extra
-        # round-10 capabilities — sqlfront_rbac keeps the family
-        # covered and both stay green in the local gate)
-        "window_functions", "window_navigation",
-        "window_range_frame",
-        "window_tumbling", "window_session",
-        "temporal_filter", "agg_rollup",
-        # --- flagship spread (headline queries + IVM + pipeline + CDC) ---
-        "tpch_q1", "tpch_q13", "tpch_q18", "tpch_q21",
+        "upsert_envelope_batch", "window_functions",
+        "window_navigation", "window_range_frame", "window_tumbling",
+        "window_session", "temporal_filter", "agg_rollup",
+        "scalar_uuid", "scalar_decimal38_margin",
+        "kafka_source_sql", "kafka_source_avro_csr",
+        "cdc_pgoutput_wire_apply",
+        "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
         "dedup_minhash_lsh", "dedup_incremental_lsh",
         "simsearch_cosine_topk", "text_language_id",
-        "cdc_pgoutput_wire_apply",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

@@ -1025,3 +1025,55 @@ def cdc_pgoutput_continuous_tick(spark, sf_dir):
     s.tick_sources()
     s.tick_sources()  # idle: frontier already advanced
     return s.sql("SELECT id, name FROM ctk_folk ORDER BY id")
+
+
+@register(
+    "cdc_pgoutput_via_ssh_tunnel",
+    """
+    -- identical logical changes to cdc_pgoutput_wire_apply, but the
+    -- replication wire dials THROUGH an SSH-2 direct-tcpip tunnel
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 0 THEN 'ZERO_RENAMED'
+                ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey = 3 THEN 4
+                WHEN n_nationkey = 5 THEN 0
+                ELSE n_regionkey END AS n_regionkey
+    FROM (SELECT n_nationkey,
+                 CASE WHEN n_nationkey = 5 THEN 'PHOENIX'
+                      ELSE n_name END AS n_name, n_regionkey
+          FROM nation WHERE n_nationkey <> 7)
+    UNION ALL
+    SELECT CAST(25 AS INTEGER), 'NEWLAND', CAST(1 AS INTEGER)
+    """,
+    "cdc", "source", "pgoutput", "wire", "ssh-tunnel",
+)
+def cdc_pgoutput_via_ssh_tunnel(spark, sf_dir):
+    """cdc_pgoutput_wire_apply's exact state fold, with the wire dialed
+    through a real SSH tunnel (sources/ssh_tunnel.py: curve25519 kex,
+    ed25519 host-key pinning, aes128-ctr + hmac-sha2-256, password
+    auth, direct-tcpip forwarding) — reference SshConnection
+    (src/storage-types/src/connections.rs:315) + ssh-util. Byte-equal
+    WAL implies the tunnel is transparent to the replication client."""
+    from materialize_spark.sources.pg_replication import (
+        MiniPostgres, read_pg_replication,
+    )
+    from materialize_spark.sources.pgoutput import (
+        apply_cdc, pgoutput_to_diff, decode_pgoutput_stream,
+    )
+    from materialize_spark.sources.ssh_tunnel import (
+        SshTunnelServer, tunnel_dialer,
+    )
+    msgs, rels = _nation_log()
+    wal = [(1000 + i, m) for i, m in enumerate(msgs)]
+    with MiniPostgres(wal) as srv, \
+            SshTunnelServer({"mz": "pw"}) as bastion:
+        dial = tunnel_dialer({
+            "host": bastion.host, "port": bastion.port,
+            "user": "mz", "password": "pw",
+            "host_key": bastion.host_public_key})
+        log = read_pg_replication(spark, srv.host, srv.port,
+                                  "mz_slot", "mz_pub", dialer=dial)
+    env = decode_pgoutput_stream(log, relations=rels)
+    diff = pgoutput_to_diff(env, rels[_NATION_OID])
+    base = T(spark, sf_dir).nation
+    return apply_cdc(base, diff, ["n_nationkey"])

@@ -84,9 +84,19 @@ class MySQLBinlogClient:
 
     def __init__(self, host: str, port: int, *, user: str = "repl",
                  password: str | None = None, server_id: int = 4242,
-                 ssl_context=None):
+                 ssl_context=None, dialer=None):
         self.server_id = server_id
-        sock = socket.create_connection((host, port), timeout=10)
+        # dialer(host, port) -> socket-like: the SSH TUNNEL path
+        # (sources/ssh_tunnel.py) forwards the replica wire through a
+        # direct-tcpip channel
+        if dialer is not None:
+            if ssl_context is not None:
+                raise NotImplementedError(
+                    "TLS over an SSH tunnel is redundant and not "
+                    "supported: the tunnel already encrypts the hop")
+            sock = dialer(host, port)
+        else:
+            sock = socket.create_connection((host, port), timeout=10)
         if ssl_context is not None:
             # TLS listener mode (a real server upgrades via the in-
             # protocol SSLRequest after the greeting; the mini peer
@@ -285,11 +295,12 @@ class MiniMySQL:
 def read_mysql_binlog(spark, host: str, port: int, *,
                       filename: str = "", pos: int = 4,
                       user: str = "repl", password: str | None = None,
-                      ssl_conf: dict | None = None):
+                      ssl_conf: dict | None = None, dialer=None):
     """Wire drain → (pos, event) DataFrame for decode_binlog_stream."""
     from materialize_spark.sources.tlsconf import client_context
     with MySQLBinlogClient(host, port, user=user, password=password,
-                           ssl_context=client_context(ssl_conf)) as c:
+                           ssl_context=client_context(ssl_conf),
+                           dialer=dialer) as c:
         events = c.binlog_dump(filename, pos)
     return spark.createDataFrame(
         [(p, bytearray(e)) for p, e in events],

@@ -55,8 +55,20 @@ class PgReplicationClient:
     """Minimal PG wire client for logical replication (trust auth)."""
 
     def __init__(self, host: str, port: int, *, user: str = "mz",
-                 database: str = "db", ssl_context=None):
-        self.sock = socket.create_connection((host, port), timeout=10)
+                 database: str = "db", ssl_context=None, dialer=None):
+        # ``dialer(host, port) -> socket-like`` overrides the direct
+        # TCP connect — the SSH TUNNEL path (sources/ssh_tunnel.py)
+        # forwards the PG wire through a direct-tcpip channel, like the
+        # reference's ssh-util tunnels its replication connections.
+        if dialer is not None:
+            if ssl_context is not None:
+                raise NotImplementedError(
+                    "TLS over an SSH tunnel is redundant and not "
+                    "supported: the tunnel already encrypts the hop")
+            self.sock = dialer(host, port)
+        else:
+            self.sock = socket.create_connection((host, port),
+                                                 timeout=10)
         if ssl_context is not None:
             # the real PG dance: SSLRequest, expect 'S', then wrap
             self.sock.sendall(struct.pack(">ii", 8, 80877103))
@@ -372,7 +384,7 @@ class MiniPostgres:
 def drain_replication(host: str, port: int, slot: str, publication: str,
                       *, start_lsn: int = 0, user: str = "mz",
                       database: str = "db", max_reconnects: int = 5,
-                      ssl_conf: dict | None = None,
+                      ssl_conf: dict | None = None, dialer=None,
                       ) -> list[tuple[int, bytes]]:
     """Drain a logical slot, surviving connection drops: on interruption
     the partial frames are kept and a fresh connection resumes from the
@@ -386,7 +398,8 @@ def drain_replication(host: str, port: int, slot: str, publication: str,
         try:
             with PgReplicationClient(
                     host, port, user=user, database=database,
-                    ssl_context=client_context(ssl_conf)) as c:
+                    ssl_context=client_context(ssl_conf),
+                    dialer=dialer) as c:
                 frames.extend(c.start_replication(slot, publication,
                                                   start_lsn=resume))
             return frames
@@ -406,13 +419,14 @@ def drain_replication(host: str, port: int, slot: str, publication: str,
 def read_pg_replication(spark, host: str, port: int, slot: str,
                         publication: str, *, start_lsn: int = 0,
                         user: str = "mz", database: str = "db",
-                        ssl_conf: dict | None = None):
+                        ssl_conf: dict | None = None, dialer=None):
     """Drain a logical slot over the wire → (lsn, message) DataFrame,
     ready for decode_pgoutput_stream / pgoutput_to_diff / apply_cdc.
     Reconnect-resilient via :func:`drain_replication`."""
     frames = drain_replication(host, port, slot, publication,
                                start_lsn=start_lsn, user=user,
-                               database=database, ssl_conf=ssl_conf)
+                               database=database, ssl_conf=ssl_conf,
+                               dialer=dialer)
     return spark.createDataFrame(
         [(lsn, bytearray(msg)) for lsn, msg in frames],
         "lsn long, message binary")

@@ -605,3 +605,83 @@ def test_sqlserver_source_ticks_apply_new_changes(spark, tmp_path):
                  for r in s.sql("SELECT * FROM tss_tpaint").collect())
     assert got == [(2, "blue")]
     assert "tss" not in s.tick_sources()
+
+
+def test_postgres_source_through_ssh_tunnel(spark):
+    """CREATE SOURCE ... FROM POSTGRES CONNECTION where the connection
+    says SSH TUNNEL tun: the replication wire dials THROUGH the SSH
+    peer's direct-tcpip channel (reference connections.rs SshTunnel +
+    ssh-util) and the drained WAL matches the direct-dial result."""
+    import base64
+
+    from materialize_spark.sources.pg_replication import MiniPostgres
+    from materialize_spark.sources.pgoutput import (
+        encode_delete, encode_insert, encode_relation,
+    )
+    from materialize_spark.sources.ssh_tunnel import SshTunnelServer
+    oid = 61077
+    msgs = [
+        encode_relation(oid, "public", "tunneled",
+                        [("id", 20, True), ("label", 1043, False)]),
+        encode_insert(oid, [1, "alpha"]),
+        encode_insert(oid, [2, "beta"]),
+        encode_delete(oid, [1, None]),
+        encode_insert(oid, [3, "gamma"]),
+    ]
+    wal = [(500 + i, m) for i, m in enumerate(msgs)]
+    with MiniPostgres(wal) as pg, \
+            SshTunnelServer({"mz": "pw"}) as bastion:
+        hk = base64.b64encode(bastion.host_public_key).decode()
+        sess = MzSession(spark, SF_DIR)
+        sess.execute("CREATE SECRET tpw AS 'pw'")
+        sess.execute(
+            f"CREATE CONNECTION bast TO SSH TUNNEL (HOST "
+            f"'{bastion.host}', PORT {bastion.port}, USER 'mz', "
+            f"PASSWORD SECRET tpw, HOST_KEY '{hk}')")
+        sess.execute(
+            f"CREATE CONNECTION pgtun TO POSTGRES (host = '{pg.host}',"
+            f" port = {pg.port}, slot = 'mz_slot', publication = 'mz',"
+            f" SSH TUNNEL bast)")
+        sess.execute("CREATE SOURCE pgt FROM POSTGRES CONNECTION pgtun"
+                     " (PUBLICATION 'mz') FOR ALL TABLES")
+        rows = {r.id: r.label for r in
+                sess.execute("SELECT * FROM pgt_tunneled").collect()}
+        assert rows == {2: "beta", 3: "gamma"}
+
+
+def test_mysql_source_through_ssh_tunnel(spark):
+    """MySQL replica wire through the SSH tunnel: handshake +
+    COM_BINLOG_DUMP forwarded over a direct-tcpip channel."""
+    from materialize_spark.sources.mysql_binlog import (
+        T_LONGLONG, T_VARCHAR, WRITE_ROWS_V2, DELETE_ROWS_V2,
+        encode_format_description, encode_rows_event, encode_table_map,
+        with_crc32,
+    )
+    from materialize_spark.sources.mysql_wire import MiniMySQL
+    from materialize_spark.sources.ssh_tunnel import SshTunnelServer
+    tid = 77
+    ct, md = [T_LONGLONG, T_VARCHAR], [0, 400]
+    events = [encode_format_description("crc32")] + [
+        with_crc32(e) for e in [
+            encode_table_map(tid, "db", "tcogs", ct, md),
+            encode_rows_event(WRITE_ROWS_V2, tid,
+                              [[1, "bolt"], [2, "nut"]], ct, md),
+            encode_rows_event(DELETE_ROWS_V2, tid, [[1, "bolt"]],
+                              ct, md),
+        ]]
+    with MiniMySQL(events) as my, \
+            SshTunnelServer({"mz": "pw"}) as bastion:
+        sess = MzSession(spark, SF_DIR)
+        sess.execute("CREATE TABLE tcogs (id BIGINT, label TEXT)")
+        sess.execute(
+            f"CREATE CONNECTION mbast TO SSH TUNNEL (HOST "
+            f"'{bastion.host}', PORT {bastion.port}, USER 'mz', "
+            f"PASSWORD 'pw')")
+        sess.execute(
+            f"CREATE CONNECTION mytun TO MYSQL (host = '{my.host}', "
+            f"port = {my.port}, SSH TUNNEL mbast)")
+        sess.execute("CREATE SOURCE myt FROM MYSQL CONNECTION mytun "
+                     "FOR TABLES (tcogs)")
+        rows = {r.id: r.label for r in
+                sess.execute("SELECT * FROM myt_tcogs").collect()}
+        assert rows == {2: "nut"}

@@ -1709,16 +1709,31 @@ def test_explain_all_five_stages_distinct(spark):
     assert len(set(texts.values())) >= 4
 
 
-def test_ssh_tunnel_connection_rejected_explicitly(spark):
-    """CREATE CONNECTION ... TO SSH TUNNEL / AWS PRIVATELINK are
-    RECOGNIZED statements (reference connections.rs SshTunnel /
-    AwsPrivatelink) rejected with a clear unsupported-feature error —
-    not an unknown-syntax fallthrough."""
+def test_ssh_tunnel_connection_validates_and_privatelink_rejected(spark):
+    """CREATE CONNECTION ... TO SSH TUNNEL is a REAL connection kind
+    (reference connections.rs SshTunnel; sources/ssh_tunnel.py speaks
+    the SSH-2 transport) — VALIDATE runs the full handshake including
+    password auth. AWS PRIVATELINK stays an explicit rejection."""
+    import base64
+
     from materialize_spark.plans.sqlfront import MzSession
+    from materialize_spark.sources.ssh_tunnel import SshTunnelServer
     s = MzSession(spark, SF_DIR)
-    with pytest.raises(Exception, match="SSH TUNNEL is not supported"):
-        s.execute("CREATE CONNECTION tun TO SSH TUNNEL "
-                  "(HOST 'bastion', PORT 22, USER 'mz')")
+    with SshTunnelServer({"mz": "hunter2"}) as srv:
+        hk = base64.b64encode(srv.host_public_key).decode()
+        s.execute("CREATE SECRET sshpw AS 'hunter2'")
+        s.execute(
+            f"CREATE CONNECTION tun TO SSH TUNNEL (HOST '{srv.host}', "
+            f"PORT {srv.port}, USER 'mz', PASSWORD SECRET sshpw, "
+            f"HOST_KEY '{hk}')")
+        s.execute("VALIDATE CONNECTION tun")
+        # bad credentials fail validation with the auth error surfaced
+        s.execute(
+            f"CREATE CONNECTION tunbad TO SSH TUNNEL (HOST "
+            f"'{srv.host}', PORT {srv.port}, USER 'mz', "
+            f"PASSWORD 'wrong')")
+        with pytest.raises(ConnectionError, match="failed validation"):
+            s.execute("VALIDATE CONNECTION tunbad")
     with pytest.raises(Exception, match="PRIVATELINK is not supported"):
         s.execute("CREATE CONNECTION pl TO AWS PRIVATELINK "
                   "(SERVICE NAME 'com.amazonaws.vpce.svc')")
