@@ -662,7 +662,8 @@ class MzSession:
 
     def _plan_delta_single_agg(self, node: ast.CreateView, q,
                                pre: list[str] | None = None,
-                               pre_where: str | None = None) -> bool:
+                               pre_where: str | None = None,
+                               pre_layers: list | None = None) -> bool:
         """Grouped aggregate over one table: SELECT keys, AGG(expr) AS
         a[, ...] FROM t [WHERE] GROUP BY keys [HAVING ...] with AGG in
         SUM/COUNT/MIN/MAX/AVG. Plan selection mirrors the reference's
@@ -691,7 +692,7 @@ class MzSession:
         having = q.having
         if having is not None:
             thr_spec = self._threshold_plan(node, q, keys, aggs, exprs,
-                                            pre, pre_where)
+                                            pre, pre_where, pre_layers)
             if thr_spec is not None:
                 self._install_delta_mv(node.name, thr_spec)
                 return True
@@ -701,15 +702,16 @@ class MzSession:
         mv = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
         spec = {"mv": mv, "table": q.table, "keys": keys, "aggs": aggs,
                 "where": q.where, "kind": "agg",
-                "having": having, "exprs": exprs,
-                "pre": pre, "pre_where": pre_where}
+                "having": having, "exprs": exprs, "pre": pre,
+                "pre_where": pre_where, "pre_layers": pre_layers or ()}
         self._install_delta_mv(node.name, spec)
         return True
 
     def _threshold_plan(self, node: ast.CreateView, q,
                         keys: list[str], aggs: dict, exprs: dict,
                         pre: list[str] | None,
-                        pre_where: str | None) -> dict | None:
+                        pre_where: str | None,
+                        pre_layers: list | None = None) -> dict | None:
         """The q18 inner shape: a single SUM(col)/COUNT(*) with a strict
         > threshold HAVING — maintained by ThresholdSemijoinMV (the
         accumulable reduce + threshold semijoin fast path). None when
@@ -752,11 +754,13 @@ class MzSession:
                                  val=val or "__one",
                                  having=lambda s: s > thr, enrich=enrich)
         return {"mv": mv, "table": q.table, "keys": keys, "val": val,
-                "where": q.where, "pre": pre, "pre_where": pre_where}
+                "where": q.where, "pre": pre, "pre_where": pre_where,
+                "pre_layers": pre_layers or ()}
 
     def _plan_delta_distinct(self, node: ast.CreateView, q,
                              pre: list[str] | None = None,
-                             pre_where: str | None = None) -> bool:
+                             pre_where: str | None = None,
+                             pre_layers: list | None = None) -> bool:
         """SELECT DISTINCT delta MV (reference reduce.rs Distinct plan):
         net row multiplicity decides visibility, so deletes of one
         duplicate keep the row and deletes of the last one retire it.
@@ -771,8 +775,8 @@ class MzSession:
         self._delta_check_table(q.table)
         mv = RetractionAwareDistinct(self.spark, cols=cols)
         spec = {"mv": mv, "table": q.table, "cols": cols,
-                "where": q.where, "kind": "distinct",
-                "pre": pre, "pre_where": pre_where}
+                "where": q.where, "kind": "distinct", "pre": pre,
+                "pre_where": pre_where, "pre_layers": pre_layers or ()}
         self._install_delta_mv(node.name, spec)
         return True
 
@@ -902,28 +906,42 @@ class MzSession:
         transform in front of the maintained reduce — the way the
         reference fuses Map/Filter/Project into the surrounding
         rendered operators (mfp fusion in src/compute/src/render.rs)."""
-        inner = q.sub
-        if (inner.joins or inner.group_by or inner.having
-                or inner.distinct or inner.sub is not None
-                or not (q.group_by or q.distinct)):
+        if not (q.group_by or q.distinct):
             return False
-        pre: list[str] = []
-        for it in inner.items:
-            if it.alias is not None:
-                pre.append(f"{rewrite(it.expr)} AS {it.alias}")
-            elif it.is_column:
-                pre.append(it.expr)
-            else:
-                return False  # unaliased expression: no output name
+        # Descend through ARBITRARILY NESTED stateless layers to the
+        # base table: each layer is a Map/Filter over the previous
+        # one's output, so the whole chain composes as an ordered list
+        # of per-delta transforms in front of the maintained reduce
+        # (the reference's optimizer flattens such nests into one MFP
+        # before render.rs sees them).
+        layers: list[tuple[str | None, list[str]]] = []
+        cur = q.sub
+        while True:
+            if (cur.joins or cur.group_by or cur.having or cur.distinct
+                    or cur.order or cur.limit is not None):
+                return False
+            sel: list[str] = []
+            for it in cur.items:
+                if it.alias is not None:
+                    sel.append(f"{rewrite(it.expr)} AS {it.alias}")
+                elif it.is_column:
+                    sel.append(it.expr)
+                else:
+                    return False  # unaliased expression: no output name
+            layers.append((rewrite(cur.where) if cur.where else None,
+                           sel))
+            if cur.sub is None:
+                break
+            cur = cur.sub
+        layers.reverse()  # innermost transform applies first
         q2 = type(q)(items=q.items, distinct=q.distinct,
-                     table=inner.table, where=q.where,
+                     table=cur.table, where=q.where,
                      group_by=q.group_by, having=q.having)
-        pre_where = rewrite(inner.where) if inner.where else None
         if q.distinct and not q.group_by:
-            return self._plan_delta_distinct(node, q2, pre=pre,
-                                             pre_where=pre_where)
-        return self._plan_delta_single_agg(node, q2, pre=pre,
-                                           pre_where=pre_where)
+            return self._plan_delta_distinct(node, q2,
+                                             pre_layers=layers)
+        return self._plan_delta_single_agg(node, q2,
+                                           pre_layers=layers)
 
     def _plan_delta_over_join_subquery(self, node: ast.CreateView,
                                        q) -> bool:
@@ -1302,6 +1320,16 @@ class MzSession:
 
         from materialize_spark.streaming.history import RetainedHistory
         spec = self._delta_mvs[name]
+        for lw, lsel in spec.get("pre_layers", ()):
+            # stateless subquery layers, innermost first (arbitrary
+            # nesting depth — each is a Map/Filter the reference's mfp
+            # fusion would fold into the surrounding operator): WHERE
+            # filters the previous layer's output, then the select list
+            # computes this layer's columns, per delta
+            if lw:
+                delta = delta.filter(f"coalesce(({lw}), false)")
+            if lsel:
+                delta = delta.selectExpr(*lsel, "diff")
         if spec.get("pre_where"):
             # inner stateless filter (agg-over-subquery composition):
             # applied to the base delta before the inner projection

@@ -82,6 +82,7 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (b) round-11 capabilities ---
         "sqlfront_subscribe_query", "sqlfront_delta_mv_union",
         "cdc_pgoutput_via_ssh_tunnel",
+        "sqlfront_delta_mv_nested_subquery",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",

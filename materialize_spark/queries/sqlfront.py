@@ -1582,3 +1582,53 @@ def sqlfront_delta_mv_union(spark, sf_dir):
     return (mid.unionByName(fin)
             .select("at", "k", F.col("v").cast("long").alias("v"))
             .orderBy("at", "k", "v"))
+
+
+@register(
+    "sqlfront_delta_mv_nested_subquery",
+    """
+    -- oracle: literal truth of the write sequence against a delta MV
+    -- whose body nests TWO stateless subquery layers under the reduce
+    SELECT * FROM (VALUES
+        ('mid',   'a', CAST(10 AS BIGINT)),
+        ('mid',   'b', CAST(8 AS BIGINT)),
+        ('final', 'a', CAST(4 AS BIGINT)),
+        ('final', 'b', CAST(18 AS BIGINT))
+    ) AS t(at, grp, total)
+    ORDER BY at, grp
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_nested_subquery(spark, sf_dir):
+    """Reduce over arbitrarily nested STATELESS subqueries: every layer
+    (Map + Filter) composes as a per-delta transform in front of the
+    maintained reduce — the reference's optimizer flattens such nests
+    into one MapFilterProject before rendering (mfp fusion,
+    src/compute/src/render.rs), and round 11 lifts the one-level
+    restriction on this engine's dispatcher the same way."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dnst_t (k STRING, v BIGINT);
+        INSERT INTO dnst_t VALUES ('a', 1), ('a', 2), ('b', 3),
+                                  ('b', -5);
+        CREATE MATERIALIZED VIEW dnst WITH (MAINTENANCE 'delta') AS
+          SELECT grp, SUM(dbl) AS total FROM
+            (SELECT k2 AS grp, v2 * 2 AS dbl FROM
+              (SELECT k AS k2, v + 1 AS v2 FROM dnst_t WHERE v > 0)
+             WHERE v2 < 100)
+          GROUP BY grp;
+    """)
+    mid = s.sql("SELECT grp, total FROM dnst").withColumn(
+        "at", F.lit("mid"))
+    s.run_script("""
+        INSERT INTO dnst_t VALUES ('b', 4), ('c', -1);
+        DELETE FROM dnst_t WHERE k = 'a' AND v = 2;
+    """)
+    fin = s.sql("SELECT grp, total FROM dnst").withColumn(
+        "at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "grp",
+                    F.col("total").cast("long").alias("total"))
+            .orderBy("at", "grp"))

@@ -1932,3 +1932,33 @@ def test_join_subquery_alias_sub_skips_string_literals(spark):
     s.execute("DROP VIEW jsl")
     s.execute("DROP TABLE jsl_o")
     s.execute("DROP TABLE jsl_c")
+
+
+def test_delta_mv_nested_stateless_subqueries(spark):
+    """Agg over ARBITRARILY NESTED stateless subqueries: each layer's
+    Map/Filter composes as a per-delta transform (mfp fusion), so the
+    MV stays always-fresh under writes at any nesting depth."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE nst_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO nst_t VALUES ('a', 1), ('a', 2), ('b', 3), "
+              "('b', -5)")
+    s.execute(
+        "CREATE MATERIALIZED VIEW nst WITH (MAINTENANCE 'delta') AS "
+        "SELECT grp, SUM(dbl) AS total FROM "
+        "(SELECT k2 AS grp, v2 * 2 AS dbl FROM "
+        " (SELECT k AS k2, v + 1 AS v2 FROM nst_t WHERE v > 0) "
+        " WHERE v2 < 100) "
+        "GROUP BY grp")
+    spec = s._delta_mvs["nst"]
+    assert len(spec["pre_layers"]) == 2  # both layers flattened
+    rows = {(r.grp, r.total) for r in s.sql("SELECT * FROM nst").collect()}
+    # a: (1+1)*2 + (2+1)*2 = 10 ; b: (3+1)*2 = 8 (v=-5 filtered)
+    assert rows == {("a", 10), ("b", 8)}
+    s.execute("INSERT INTO nst_t VALUES ('b', 4), ('c', -1)")
+    rows = {(r.grp, r.total) for r in s.sql("SELECT * FROM nst").collect()}
+    assert rows == {("a", 10), ("b", 18)}
+    s.execute("DELETE FROM nst_t WHERE k = 'a' AND v = 2")
+    rows = {(r.grp, r.total) for r in s.sql("SELECT * FROM nst").collect()}
+    assert rows == {("a", 4), ("b", 18)}
+    s.execute("DROP VIEW nst")
+    s.execute("DROP TABLE nst_t")
