@@ -3338,7 +3338,9 @@ class MzSession:
         (src/compute/src/sink/subscribe.rs)."""
         from pyspark.sql import functions as F
 
-        from materialize_spark.plans.select_ast import parse_select
+        from materialize_spark.plans.select_ast import (
+            parse_select_branches,
+        )
         from materialize_spark.streaming.history import RetainedHistory
         self._check_select_refs(body)
         self._subq_n += 1
@@ -3347,7 +3349,11 @@ class MzSession:
         fake = ast.CreateView(name=name, body=body, materialized=True,
                               maintenance="delta")
         try:
-            self._plan_delta_mv(fake, parse_select(body))
+            qs = parse_select_branches(body)
+            if len(qs) > 1:
+                self._plan_delta_union(fake, qs)
+            else:
+                self._plan_delta_mv(fake, qs[0])
             return name
         except (ValueError, KeyError, ast.ParseError, LexError):
             pass  # shape not delta-maintainable: recompute on commit

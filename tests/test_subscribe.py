@@ -429,3 +429,28 @@ def test_subscribe_query_via_declared_cursor(spark):
     sess.execute("CLOSE qc")
     assert not any(k.startswith("__subq") for k in sess._delta_mvs)
     sess.execute("DROP TABLE subq_c")
+
+
+def test_subscribe_query_union_all_delta_maintained(spark):
+    """SUBSCRIBE (SELECT ... UNION ALL SELECT ...) routes through the
+    UNION ALL delta planner — pushed frames are the branches' diff-sum,
+    not a recompute."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE squ_l (k STRING, v BIGINT)")
+    sess.execute("CREATE TABLE squ_r (k STRING, v BIGINT)")
+    sess.execute("INSERT INTO squ_l VALUES ('a', 1)")
+    sess.execute("INSERT INTO squ_r VALUES ('b', 2)")
+    sid, first, node = sess.subscribe_open(
+        "SUBSCRIBE (SELECT k, v FROM squ_l UNION ALL "
+        "SELECT k, v FROM squ_r)")
+    assert node.name in sess._delta_mvs  # maintained, not recompute
+    assert sess._delta_mvs[node.name]["kind"] == "union"
+    assert {(r.k, r.v) for r in first.collect()} == {("a", 1), ("b", 2)}
+    sess.execute("INSERT INTO squ_r VALUES ('c', 3)")
+    out = sess.subscribe_poll(sid)
+    assert {(r.k, r.v, r.diff) for r in out.collect()} == {("c", 3, 1)}
+    sess.subscribe_close(sid)
+    assert not any(k.startswith("__subq") for k in sess._delta_mvs)
+    sess.execute("DROP TABLE squ_l")
+    sess.execute("DROP TABLE squ_r")
