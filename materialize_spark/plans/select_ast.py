@@ -70,6 +70,7 @@ class JoinSeg:
     table: str
     pairs: list[tuple[str, str]]     # equi-join ON pairs (raw order)
     raw_on: str                      # the ON text (diagnostics)
+    extra: str | None = None         # non-equi residual conjuncts
 
 
 @dataclass
@@ -121,16 +122,26 @@ def _split_alias(span: str) -> SelectItem:
     return SelectItem(expr=span[:start].strip(), alias=alias_tok.value)
 
 
-def _parse_on_pairs(cond: str) -> list[tuple[str, str]] | None:
-    """Parse ``a = b [AND c = d ...]`` into equality pairs; None when
-    the condition is not a pure equi-conjunction."""
+def _parse_on_pairs(
+        cond: str) -> tuple[list[tuple[str, str]], str | None] | None:
+    """Split an ON conjunction into (equality pairs, residual): equi
+    conjuncts ``a = b`` become join-key pairs, everything else joins a
+    residual predicate evaluated over the joined row. None when there
+    is no equi conjunct at all (a keyless join would be a cross
+    product — not delta-maintainable)."""
     pairs: list[tuple[str, str]] = []
+    residual: list[str] = []
     for part in re.split(r"(?i)\bAND\b", cond):
         m = re.fullmatch(r"\s*(\w+)\s*=\s*(\w+)\s*", part)
         if m is None:
-            return None
-        pairs.append((m.group(1), m.group(2)))
-    return pairs
+            residual.append(part.strip())
+        else:
+            pairs.append((m.group(1), m.group(2)))
+    if not pairs:
+        return None
+    extra = " AND ".join(f"({r})" for r in residual) if residual \
+        else None
+    return pairs, extra
 
 
 def parse_select(body: str) -> SelectQ:
@@ -232,13 +243,14 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
         t = p.ident()
         p.expect_kw("ON")
         cond = p.span_until_kw(*_TAIL_STOPS)
-        pairs = _parse_on_pairs(cond)
-        if pairs is None:
+        parsed = _parse_on_pairs(cond)
+        if parsed is None:
             raise ParseError(
-                f"only equi-join ON conjunctions are delta-maintainable "
-                f"(got {cond!r})", p.peek())
+                f"the join ON needs at least one equi conjunct to be "
+                f"delta-maintainable (got {cond!r})", p.peek())
+        pairs, extra = parsed
         q.joins.append(JoinSeg(kind=kind, table=t, pairs=pairs,
-                               raw_on=cond))
+                               raw_on=cond, extra=extra))
     if p.take_kw("WHERE"):
         q.where = p.span_until_kw("GROUP", "HAVING", "ORDER", "LIMIT")
         if not q.where:

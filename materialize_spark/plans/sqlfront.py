@@ -845,11 +845,11 @@ class MzSession:
             parsed = self._normalize_join_chain(inner)
             if parsed is None:
                 return False
-            tables, norm_links, kinds, acc_cols = parsed
+            tables, norm_links, kinds, acc_cols, extras = parsed
             if not all(c in acc_cols for c in icols):
                 return False
             chain = self._build_delta_join_chain(tables, norm_links,
-                                                 kinds)
+                                                 kinds, extras)
             spec = {"kind": "join", "tables": tuple(tables),
                     "chain": chain, "links": norm_links, "kinds": kinds,
                     "agg": None, "keys": keys, "aggs": {}, "cols": cols,
@@ -1009,14 +1009,21 @@ class MzSession:
         tables = [q.table]
         links: list[list[tuple[str, str]]] = []
         kinds: list[str] = []
+        extras: list[str | None] = []
         for seg in q.joins:
             if seg.kind == "right":
                 raise ValueError(
                     "MAINTENANCE 'delta': RIGHT JOIN is not supported — "
                     "rewrite as the mirrored LEFT JOIN")
+            if seg.extra is not None and seg.kind != "inner":
+                raise ValueError(
+                    "MAINTENANCE 'delta': non-equi ON conjuncts are "
+                    "supported on INNER links only (an outer link's "
+                    "match-set would depend on the residual)")
             tables.append(seg.table)
             links.append(list(seg.pairs))
             kinds.append(seg.kind)
+            extras.append(seg.extra)
         if len(set(tables)) != len(tables):
             return None  # self-joins keep two states of one table: out
         for t in tables:
@@ -1046,11 +1053,12 @@ class MzSession:
                         if onr in acc_cols:
                             return None
                         acc_cols.add(onr)
-        return tables, norm_links, kinds, acc_cols
+        return tables, norm_links, kinds, acc_cols, extras
 
     def _build_delta_join_chain(self, tables: list[str],
                                 norm_links: list[tuple[str, str]],
-                                kinds: list[str]) -> list:
+                                kinds: list[str],
+                                extras: list | None = None) -> list:
         """Instantiate one maintained-join view per chain link: inner
         links use the bilinear IncrementalJoinView; LEFT/FULL links use
         IncrementalOuterJoinView (the reference lowers outer joins to
@@ -1080,8 +1088,10 @@ class MzSession:
             rcols = [c for c in right.columns
                      if c not in onrs or c in kept]
             if kind == "inner":
+                extra = extras[i] if extras else None
                 chain.append(IncrementalJoinView(
-                    on=on, spill_rows=_TOPK_SPILL_ROWS))
+                    on=on, spill_rows=_TOPK_SPILL_ROWS,
+                    extra=rewrite(extra) if extra else None))
             else:
                 # same-name keys (USING-style) coalesce: the key column
                 # keeps the right side's value on unmatched-right rows
@@ -1118,7 +1128,7 @@ class MzSession:
         parsed = self._normalize_join_chain(q)
         if parsed is None:
             return False
-        tables, norm_links, kinds, acc_cols = parsed
+        tables, norm_links, kinds, acc_cols, extras = parsed
         if renames:
             acc_cols = {renames.get(c, c) for c in acc_cols}
         keys: list[str] = []
@@ -1148,7 +1158,8 @@ class MzSession:
             having = _having_over_aliases(having, aggs, exprs)
             if having is None:
                 return False  # HAVING over unselected aggregates
-        chain = self._build_delta_join_chain(tables, norm_links, kinds)
+        chain = self._build_delta_join_chain(tables, norm_links, kinds,
+                                             extras)
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
         dmv = None

@@ -83,6 +83,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_subscribe_query", "sqlfront_delta_mv_union",
         "cdc_pgoutput_via_ssh_tunnel",
         "sqlfront_delta_mv_nested_subquery",
+        "sqlfront_delta_mv_nonequi_join",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",

@@ -1632,3 +1632,49 @@ def sqlfront_delta_mv_nested_subquery(spark, sf_dir):
             .select("at", "grp",
                     F.col("total").cast("long").alias("total"))
             .orderBy("at", "grp"))
+
+
+@register(
+    "sqlfront_delta_mv_nonequi_join",
+    """
+    -- oracle: literal truth of the write sequence against a delta MV
+    -- whose join carries a non-equi ON conjunct (amt < cap)
+    SELECT * FROM (VALUES
+        ('mid',   CAST(1 AS BIGINT), CAST(5 AS BIGINT),  CAST(30 AS BIGINT)),
+        ('final', CAST(2 AS BIGINT), CAST(50 AS BIGINT), CAST(60 AS BIGINT)),
+        ('final', CAST(4 AS BIGINT), CAST(2 AS BIGINT),  CAST(3 AS BIGINT))
+    ) AS t(at, ok, amt, cap)
+    ORDER BY at, ok
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "join",
+)
+def sqlfront_delta_mv_nonequi_join(spark, sf_dir):
+    """Delta-maintained join with a NON-EQUI ON conjunct: the equi
+    pairs key the bilinear terms and the residual (amt < cap) filters
+    each term — join-then-filter is linear, so Δ(A ⋈σ B) follows the
+    same three-term rule (the reference plans residuals as an MFP over
+    the join closure, src/compute-types/src/plan/join.rs). Dim updates
+    that flip qualification retract/insert the affected rows."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dne_o (ok BIGINT, ck BIGINT, amt BIGINT);
+        CREATE TABLE dne_c (cst BIGINT, cap BIGINT);
+        INSERT INTO dne_o VALUES (1, 10, 5), (2, 10, 50), (3, 20, 7);
+        INSERT INTO dne_c VALUES (10, 30), (20, 3);
+        CREATE MATERIALIZED VIEW dne WITH (MAINTENANCE 'delta') AS
+          SELECT ok, amt, cap FROM dne_o
+          JOIN dne_c ON ck = cst AND amt < cap;
+    """)
+    mid = s.sql("SELECT ok, amt, cap FROM dne").withColumn(
+        "at", F.lit("mid"))
+    s.run_script("""
+        INSERT INTO dne_o VALUES (4, 20, 2);
+        UPDATE dne_c SET cap = 60 WHERE cst = 10;
+        DELETE FROM dne_o WHERE ok = 1;
+    """)
+    fin = s.sql("SELECT ok, amt, cap FROM dne").withColumn(
+        "at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "ok", "amt", "cap").orderBy("at", "ok"))

@@ -131,6 +131,11 @@ class IncrementalJoinView:
     on: list[str]
     compact_every: int = 16
     spill_rows: int | None = None
+    # non-equi residual ON conjuncts (e.g. ``a.x < b.y``), filtered
+    # over each joined term: join-then-filter is still linear, so the
+    # bilinear delta rule holds unchanged (the reference plans such
+    # predicates as an MFP on the join closure, join.rs)
+    extra: str | None = None
     _left: _JoinSideState = field(init=False)
     _right: _JoinSideState = field(init=False)
     _result: list[DataFrame] = field(default_factory=list, init=False)
@@ -148,9 +153,11 @@ class IncrementalJoinView:
             return None
         al = a.withColumnRenamed(DIFF_COL, "__dl")
         bl = b.withColumnRenamed(DIFF_COL, "__dr")
+        out = al.join(bl, on=self.on, how="inner")
+        if self.extra is not None:
+            out = out.filter(f"coalesce(({self.extra}), false)")
         return (
-            al.join(bl, on=self.on, how="inner")
-            .withColumn(DIFF_COL, F.col("__dl") * F.col("__dr"))
+            out.withColumn(DIFF_COL, F.col("__dl") * F.col("__dr"))
             .drop("__dl", "__dr")
         )
 

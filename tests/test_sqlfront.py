@@ -1962,3 +1962,44 @@ def test_delta_mv_nested_stateless_subqueries(spark):
     assert rows == {("a", 4), ("b", 18)}
     s.execute("DROP VIEW nst")
     s.execute("DROP TABLE nst_t")
+
+
+def test_delta_mv_join_non_equi_residual(spark):
+    """INNER join links accept non-equi ON conjuncts alongside the equi
+    keys: the residual filters each bilinear term (join-then-filter is
+    linear, so the delta rule is unchanged); outer links reject it."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE neq_o (ok BIGINT, ck BIGINT, amt BIGINT)")
+    s.execute("CREATE TABLE neq_c (cst BIGINT, cap BIGINT)")
+    s.execute("INSERT INTO neq_o VALUES (1, 10, 5), (2, 10, 50), "
+              "(3, 20, 7)")
+    s.execute("INSERT INTO neq_c VALUES (10, 30), (20, 3)")
+    s.execute(
+        "CREATE MATERIALIZED VIEW neq WITH (MAINTENANCE 'delta') AS "
+        "SELECT ok, amt, cap FROM neq_o "
+        "JOIN neq_c ON ck = cst AND amt < cap")
+    def snap():
+        return {(r.ok, r.amt, r.cap)
+                for r in s.sql("SELECT * FROM neq").collect()}
+    assert snap() == {(1, 5, 30)}  # amt<cap only for ok=1
+    s.execute("INSERT INTO neq_o VALUES (4, 20, 2)")
+    assert snap() == {(1, 5, 30), (4, 2, 3)}
+    # a dim update flips which orders qualify
+    s.execute("UPDATE neq_c SET cap = 60 WHERE cst = 10")
+    assert snap() == {(1, 5, 60), (2, 50, 60), (4, 2, 3)}
+    s.execute("DELETE FROM neq_o WHERE ok = 1")
+    assert snap() == {(2, 50, 60), (4, 2, 3)}
+    # truth check vs recompute
+    want = {(r.ok, r.amt, r.cap) for r in s.execute(
+        "SELECT ok, amt, cap FROM neq_o JOIN neq_c "
+        "ON ck = cst AND amt < cap").collect()}
+    assert snap() == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="INNER links only"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW neqbad WITH (MAINTENANCE "
+            "'delta') AS SELECT ok, amt FROM neq_o "
+            "LEFT JOIN neq_c ON ck = cst AND amt < cap")
+    s.execute("DROP VIEW neq")
+    s.execute("DROP TABLE neq_o")
+    s.execute("DROP TABLE neq_c")
