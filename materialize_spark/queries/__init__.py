@@ -94,14 +94,14 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_create_sink", "sqlfront_ws_api", "sqlfront_http_api",
         "sqlfront_pgwire_extended", "ivm_incremental_join",
         "mv_consistency_frontier",
-        # --- (d) oldest certifications + flagship spread ---
-        "sqlfront_namespaces", "sqlfront_clusters", "sqlfront_rbac",
-        "upsert_envelope_batch", "window_functions",
-        "window_navigation", "window_range_frame", "window_tumbling",
-        "window_session", "temporal_filter", "agg_rollup",
-        "scalar_uuid", "scalar_decimal38_margin",
-        "kafka_source_sql", "kafka_source_avro_csr",
-        "cdc_pgoutput_wire_apply",
+        # --- (d) oldest certifications + flagship spread (trimmed to
+        # keep the window at 50: the window/scalar/kafka families
+        # yielded their slots to this round's capability block — all
+        # stay green in the local full-registry gate) ---
+        "sqlfront_rbac", "upsert_envelope_batch", "window_functions",
+        "temporal_filter", "agg_rollup", "kafka_source_sql",
+        "cdc_pgoutput_wire_apply", "scalar_uuid", "agg_statistics",
+        "tablefunc_battery",
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
         "dedup_minhash_lsh", "dedup_incremental_lsh",
         "simsearch_cosine_topk", "text_language_id",
