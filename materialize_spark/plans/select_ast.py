@@ -79,6 +79,8 @@ class SelectQ:
     distinct: bool = False
     table: str | None = None         # FROM base table, or …
     sub: "SelectQ | None" = None     # … FROM (subquery)
+    # … FROM (q1 UNION ALL q2 [...]): one SelectQ per branch
+    sub_branches: "list[SelectQ] | None" = None
     sub_alias: str | None = None
     joins: list[JoinSeg] = field(default_factory=list)
     where: str | None = None
@@ -208,9 +210,11 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
     p.expect_kw("FROM")
     if p.peek().kind == "LP":
         inner = p.paren_span()
-        sub = Parser(inner)
-        q.sub = _parse_query(sub)
-        sub.expect_end()
+        branches = parse_select_branches(inner)
+        if len(branches) == 1:
+            q.sub = branches[0]
+        else:
+            q.sub_branches = branches
         if p.peek().kind in ("WORD", "QIDENT") \
                 and p.peek().upper not in _TAIL_STOPS:
             p.take_kw("AS")

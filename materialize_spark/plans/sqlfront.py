@@ -541,6 +541,13 @@ class MzSession:
         subquery forms (TopK idiom, agg-over-map), join chains, and
         single-table reduce/distinct; ORDER BY ... LIMIT k as the
         global TopK."""
+        if getattr(q, "sub_branches", None):
+            if self._plan_delta_union_agg(node, q):
+                return
+            raise ValueError(
+                "MAINTENANCE 'delta' over a UNION ALL subquery "
+                "supports a grouped aggregate or SELECT DISTINCT above "
+                "stateless branches; " + _DELTA_SUPPORTED)
         if q.order or q.limit is not None:
             if self._plan_delta_global_topk(node, q):
                 return
@@ -580,13 +587,23 @@ class MzSession:
         transforms of t's branches over the commit's delta — no state
         probe at all. Column names resolve positionally to the FIRST
         branch's output names (SQL set-op semantics)."""
-        from pyspark.sql import functions as F
+        branches, cols = self._union_branch_specs(qs)
+        spec = {"kind": "union", "branches": branches, "cols": cols,
+                "tables": tuple({b["table"] for b in branches})}
+        self._delta_mvs[node.name] = spec
+        self._form_delta_mv_union(node.name)
 
+    def _union_branch_specs(
+            self, qs) -> tuple[list[dict], list[str]]:
+        """Validate and normalize UNION ALL branches (stateless
+        Map/Filter over one table each; names resolve positionally to
+        the first branch's output names)."""
         cols: list[str] | None = None
         branches: list[dict] = []
         for q in qs:
             if (q.joins or q.group_by or q.having or q.distinct
-                    or q.sub is not None or q.order
+                    or q.sub is not None
+                    or getattr(q, "sub_branches", None) or q.order
                     or q.limit is not None):
                 raise ValueError(
                     "MAINTENANCE 'delta' UNION ALL: every branch must "
@@ -619,19 +636,130 @@ class MzSession:
                            for i, e in enumerate(exprs)],
                 "where": (f"coalesce(({rewrite(q.where)}), false)"
                           if q.where else None)})
-        spec = {"kind": "union", "branches": branches, "cols": cols,
-                "tables": tuple({b["table"] for b in branches})}
+        return branches, cols
+
+    def _plan_delta_union_agg(self, node: ast.CreateView, q) -> bool:
+        """Reduce / DISTINCT over a UNION ALL subquery: the union's
+        diff-sum feeds a maintained RetractionAwareAgg/Distinct — the
+        same per-operator composition the join chain's terminal uses
+        (reference render.rs stacks a reduce over a Union input like
+        any other)."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg, RetractionAwareDistinct,
+        )
+
+        branches, cols = self._union_branch_specs(q.sub_branches)
+        if q.order or q.limit is not None:
+            return False
+        spec = {"kind": "union", "branches": branches,
+                "union_cols": cols,
+                "tables": tuple({b["table"] for b in branches}),
+                "where": q.where}
+        if q.group_by:
+            parsed = _classify_agg_items(q.items)
+            if parsed is None:
+                return False
+            keys, aggs, exprs = parsed
+            gkeys = [k.strip() for k in q.group_by]
+            if not aggs or [k.lower() for k in keys] != \
+                    [k.lower() for k in gkeys]:
+                return False
+            having = q.having
+            if having is not None:
+                having = _having_over_aliases(having, aggs, exprs)
+                if having is None:
+                    return False
+            spec.update({"agg": RetractionAwareAgg(
+                self.spark, keys=keys, aggs=aggs), "keys": keys,
+                "aggs": aggs, "exprs": exprs, "having": having})
+        elif q.distinct:
+            if not all(it.is_column and it.alias is None
+                       for it in q.items):
+                return False
+            dcols = [it.expr for it in q.items]
+            spec.update({"distinct": RetractionAwareDistinct(
+                self.spark, cols=dcols), "dcols": dcols})
+        else:
+            return False
         self._delta_mvs[node.name] = spec
-        # formation: every branch's current rows are its first +1 batch
+        self._form_delta_mv_union(node.name)
+        return True
+
+    def _form_delta_mv_union(self, name: str) -> None:
+        """Formation: every branch's current rows are its first +1
+        batch."""
+        from pyspark.sql import functions as F
+
+        spec = self._delta_mvs[name]
         frames = [
             self._union_branch_delta(
                 b, self.catalog._tables[b["table"]]
                 .withColumn("diff", F.lit(1)))
-            for b in branches]
+            for b in spec["branches"]]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        self._publish_spine(node.name, spec, out, initial=True)
+        self._finish_delta_mv_union(name, out, initial=True)
+
+    def _finish_delta_mv_union(self, name: str, out,
+                               initial: bool = False) -> None:
+        """Route a union's diff-sum to its terminal: maintained reduce
+        / DISTINCT (touched-group publish) or the plain parts spine."""
+        from pyspark.sql import functions as F
+
+        spec = self._delta_mvs[name]
+        if spec.get("agg") is not None:
+            if out is None and not initial:
+                return
+            if out is not None and spec.get("where"):
+                out = out.filter(
+                    f"coalesce(({rewrite(spec['where'])}), false)")
+            touched = tkeys = None
+            if out is not None:
+                for internal, src in spec.get("exprs", {}).items():
+                    out = out.withColumn(internal, F.expr(rewrite(src)))
+                in_cols = {c for _k, c in spec["aggs"].values()}
+                if "__one" in in_cols:
+                    out = out.withColumn("__one", F.lit(1))
+                out = out.select(*spec["keys"], *sorted(in_cols),
+                                 "diff")
+                touched, tkeys = (out.select(*spec["keys"]).distinct(),
+                                  spec["keys"])
+                result = spec["agg"].on_batch(out)
+            else:
+                result = spec["agg"].result() \
+                    if spec["agg"]._acc is not None else None
+            if result is not None and spec.get("having"):
+                result = result.filter(rewrite(spec["having"]))
+            if result is None:
+                result = self.spark.sql(
+                    rewrite(self._matview_sql[name])).limit(0)
+            self._publish_delta_mv(name, result, initial,
+                                   touched=touched, keys=tkeys)
+            return
+        if spec.get("distinct") is not None:
+            if out is None and not initial:
+                return
+            touched = tkeys = None
+            if out is not None and spec.get("where"):
+                out = out.filter(
+                    f"coalesce(({rewrite(spec['where'])}), false)")
+            if out is not None:
+                keyed = out.select(*spec["dcols"], "diff")
+                touched, tkeys = (keyed.select(*spec["dcols"])
+                                  .distinct(), spec["dcols"])
+                result = spec["distinct"].on_batch(keyed)
+            else:
+                result = (spec["distinct"].result()
+                          if spec["distinct"]._result is not None
+                          else None)
+            if result is None:
+                result = self.spark.sql(
+                    rewrite(self._matview_sql[name])).limit(0)
+            self._publish_delta_mv(name, result, initial,
+                                   touched=touched, keys=tkeys)
+            return
+        self._publish_spine(name, spec, out, initial)
 
     @staticmethod
     def _union_branch_delta(branch: dict, delta):
@@ -650,7 +778,7 @@ class MzSession:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        self._publish_spine(name, spec, out)
+        self._finish_delta_mv_union(name, out)
 
     def _install_delta_mv(self, name: str, spec: dict) -> None:
         """Register a single-table delta MV and form it: the table's

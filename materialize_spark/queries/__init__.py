@@ -84,6 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
         "cdc_pgoutput_via_ssh_tunnel",
         "sqlfront_delta_mv_nested_subquery",
         "sqlfront_delta_mv_nonequi_join",
+        "sqlfront_delta_mv_union_agg",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
@@ -103,7 +104,7 @@ def load_all() -> dict[str, QuerySpec]:
         "cdc_pgoutput_wire_apply", "scalar_uuid", "agg_statistics",
         "tablefunc_battery",
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
-        "dedup_minhash_lsh", "dedup_incremental_lsh",
+        "dedup_minhash_lsh",
         "simsearch_cosine_topk", "text_language_id",
     ]
     ordered: dict[str, QuerySpec] = {

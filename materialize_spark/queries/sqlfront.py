@@ -1678,3 +1678,54 @@ def sqlfront_delta_mv_nonequi_join(spark, sf_dir):
         "at", F.lit("final"))
     return (mid.unionByName(fin)
             .select("at", "ok", "amt", "cap").orderBy("at", "ok"))
+
+
+@register(
+    "sqlfront_delta_mv_union_agg",
+    """
+    -- oracle: literal truth of the write sequence against a grouped
+    -- SUM over a UNION ALL subquery, delta-maintained
+    SELECT * FROM (VALUES
+        ('mid',   'a', CAST(11 AS BIGINT)),
+        ('mid',   'b', CAST(2 AS BIGINT)),
+        ('mid',   'c', CAST(3 AS BIGINT)),
+        ('final', 'a', CAST(10 AS BIGINT)),
+        ('final', 'b', CAST(22 AS BIGINT)),
+        ('final', 'c', CAST(3 AS BIGINT))
+    ) AS t(at, k, total)
+    ORDER BY at, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "union",
+)
+def sqlfront_delta_mv_union_agg(spark, sf_dir):
+    """Reduce over a UNION ALL subquery: the union's diff-sum feeds the
+    maintained RetractionAwareAgg — per-operator composition over a
+    Union input, exactly how the reference stacks a reduce over any
+    rendered collection (render.rs; Union src/expr/src/relation/
+    mod.rs:292). Commits on EITHER branch update only touched groups."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dua_l (k STRING, v BIGINT);
+        CREATE TABLE dua_r (k STRING, v BIGINT);
+        INSERT INTO dua_l VALUES ('a', 1), ('b', 2);
+        INSERT INTO dua_r VALUES ('a', 10), ('c', 3);
+        CREATE MATERIALIZED VIEW dua WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(v) AS total FROM
+            (SELECT k, v FROM dua_l WHERE v < 100
+             UNION ALL SELECT k, v FROM dua_r)
+          GROUP BY k;
+    """)
+    mid = s.sql("SELECT k, total FROM dua").withColumn(
+        "at", F.lit("mid"))
+    s.run_script("""
+        INSERT INTO dua_r VALUES ('b', 20);
+        DELETE FROM dua_l WHERE k = 'a';
+    """)
+    fin = s.sql("SELECT k, total FROM dua").withColumn(
+        "at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "k",
+                    F.col("total").cast("long").alias("total"))
+            .orderBy("at", "k"))

@@ -2003,3 +2003,52 @@ def test_delta_mv_join_non_equi_residual(spark):
     s.execute("DROP VIEW neq")
     s.execute("DROP TABLE neq_o")
     s.execute("DROP TABLE neq_c")
+
+
+def test_delta_mv_agg_over_union_all(spark):
+    """Grouped aggregate over a UNION ALL subquery: the union's
+    diff-sum feeds the maintained reduce; DISTINCT over a union works
+    too; commits on either branch update only touched groups."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE uag_l (k STRING, v BIGINT)")
+    s.execute("CREATE TABLE uag_r (k STRING, v BIGINT)")
+    s.execute("INSERT INTO uag_l VALUES ('a', 1), ('b', 2)")
+    s.execute("INSERT INTO uag_r VALUES ('a', 10), ('c', 3)")
+    s.execute(
+        "CREATE MATERIALIZED VIEW uag WITH (MAINTENANCE 'delta') AS "
+        "SELECT k, SUM(v) AS total FROM "
+        "(SELECT k, v FROM uag_l WHERE v < 100 "
+        " UNION ALL SELECT k, v FROM uag_r) "
+        "GROUP BY k")
+    def snap():
+        return {(r.k, r.total)
+                for r in s.sql("SELECT * FROM uag").collect()}
+    assert snap() == {("a", 11), ("b", 2), ("c", 3)}
+    s.execute("INSERT INTO uag_r VALUES ('b', 20)")
+    assert snap() == {("a", 11), ("b", 22), ("c", 3)}
+    s.execute("DELETE FROM uag_l WHERE k = 'a'")
+    assert snap() == {("a", 10), ("b", 22), ("c", 3)}
+    s.execute("UPDATE uag_r SET v = 300 WHERE k = 'c'")  # filtered? no:
+    # the branch filter is on uag_l only; c moves to 300
+    assert snap() == {("a", 10), ("b", 22), ("c", 300)}
+    # truth vs recompute
+    want = {(r.k, r.total) for r in s.execute(
+        "SELECT k, SUM(v) AS total FROM "
+        "(SELECT k, v FROM uag_l WHERE v < 100 "
+        " UNION ALL SELECT k, v FROM uag_r) GROUP BY k").collect()}
+    assert snap() == want
+    # DISTINCT terminal
+    s.execute(
+        "CREATE MATERIALIZED VIEW udi WITH (MAINTENANCE 'delta') AS "
+        "SELECT DISTINCT k FROM "
+        "(SELECT k, v FROM uag_l UNION ALL SELECT k, v FROM uag_r)")
+    got = {r.k for r in s.sql("SELECT * FROM udi").collect()}
+    assert got == {"a", "b", "c"}
+    s.execute("DELETE FROM uag_r WHERE k = 'a'")
+    s.execute("DELETE FROM uag_l WHERE k = 'a'")
+    got = {r.k for r in s.sql("SELECT * FROM udi").collect()}
+    assert got == {"b", "c"}
+    s.execute("DROP VIEW uag")
+    s.execute("DROP VIEW udi")
+    s.execute("DROP TABLE uag_l")
+    s.execute("DROP TABLE uag_r")
