@@ -34,6 +34,14 @@ _ROW_NUMBER_RE = re.compile(
     r"(?P<keys>.+?)\s+ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?"
     r"\s*\)$", re.I | re.S)
 
+# frameless window-aggregate leaf: AGG(arg) OVER (PARTITION BY keys) —
+# no ORDER BY means no frame, so the value is the whole partition's
+# aggregate (a Reduce joined back to its input)
+_WIN_AGG_RE = re.compile(
+    r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s*"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s*\)$",
+    re.I | re.S)
+
 
 @dataclass
 class SelectItem:
@@ -51,6 +59,16 @@ class SelectItem:
         if not m:
             return None
         return m.group("kind").lower(), m.group("arg").strip()
+
+    @property
+    def win_agg(self) -> tuple[str, str, list[str]] | None:
+        """(kind, arg, partition keys) when the item is an aggregate
+        over a frameless PARTITION BY window."""
+        m = _WIN_AGG_RE.match(self.expr)
+        if not m:
+            return None
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        return m.group("kind").lower(), m.group("arg").strip(), keys
 
     @property
     def row_number(self) -> tuple[list[str], str, bool] | None:
@@ -153,15 +171,16 @@ def parse_select(body: str) -> SelectQ:
     return _parse_query(p, top=True)
 
 
-def split_union_all(body: str) -> list[str]:
-    """Split a body on TOP-LEVEL ``UNION ALL`` into branch spans
-    (token-level: parens and string literals never split). Plain UNION
-    / INTERSECT / EXCEPT raise — UNION deduplicates, which is a reduce,
-    not a linear operator; the reference's Union relation is the
-    ALL form (src/expr/src/relation/mod.rs MirRelationExpr::Union)."""
+def _split_setops(
+        body: str) -> tuple[list[str], list[tuple[str, bool]]]:
+    """Split a body on TOP-LEVEL set operators (token-level: parens and
+    string literals never split). Returns (branch spans, operators
+    between consecutive spans) with each operator as (kind, is_all),
+    kind ∈ union | intersect | except."""
     p = Parser(body)
     depth = 0
     spans: list[str] = []
+    ops: list[tuple[str, bool]] = []
     start = 0
     while True:
         t = p.peek()
@@ -173,23 +192,38 @@ def split_union_all(body: str) -> list[str]:
             depth -= 1
         elif t.kind == "WORD" and depth == 0 \
                 and t.upper in ("UNION", "INTERSECT", "EXCEPT"):
-            if t.upper != "UNION":
-                raise ParseError(
-                    f"{t.upper} is not delta-maintainable", t)
             cut = t.start
             p.next()
             nt = p.peek()
-            if not (nt.kind == "WORD" and nt.upper == "ALL"):
-                raise ParseError(
-                    "only UNION ALL is delta-maintainable (UNION "
-                    "deduplicates — wrap in SELECT DISTINCT if needed)",
-                    t)
-            p.next()
+            is_all = False
+            if nt.kind == "WORD" and nt.upper == "ALL":
+                is_all = True
+                p.next()
+            elif nt.kind == "WORD" and nt.upper == "DISTINCT":
+                p.next()  # explicit DISTINCT = the SQL default
+            ops.append((t.upper.lower(), is_all))
             spans.append(body[start:cut])
             start = p.peek().start
             continue
         p.next()
     spans.append(body[start:])
+    return spans, ops
+
+
+def split_union_all(body: str) -> list[str]:
+    """Split a body on TOP-LEVEL ``UNION ALL`` into branch spans. Any
+    other set operator raises — callers that maintain the other set ops
+    (top-level MV bodies) go through parse_set_op_branches instead;
+    this strict form guards the positions (FROM-subqueries) where only
+    the linear Union is composable (the reference's Union relation is
+    the ALL form, src/expr/src/relation/mod.rs MirRelationExpr::Union)."""
+    spans, ops = _split_setops(body)
+    for kind, is_all in ops:
+        if kind != "union" or not is_all:
+            raise ParseError(
+                f"only UNION ALL is delta-maintainable here "
+                f"(got {kind.upper()}{'' if is_all else ' [DISTINCT]'})",
+                Parser(body).peek())
     return spans
 
 
@@ -197,6 +231,25 @@ def parse_select_branches(body: str) -> list[SelectQ]:
     """Parse a body that may be a top-level UNION ALL chain into one
     SelectQ per branch (a single-branch list for a plain SELECT)."""
     return [parse_select(s) for s in split_union_all(body)]
+
+
+def parse_set_op_branches(
+        body: str) -> tuple[str, bool, list[SelectQ]]:
+    """Parse a body that may be a top-level set-op chain into
+    (op, is_all, branches). op ∈ select (no set op — one branch) |
+    union | intersect | except; mixed-operator chains raise (their
+    grouping is precedence-sensitive — parenthesize and the inner
+    chain becomes a subquery)."""
+    spans, ops = _split_setops(body)
+    if not ops:
+        return "select", True, [parse_select(spans[0])]
+    if len({o for o in ops}) > 1:
+        raise ParseError(
+            "mixed set operators are not delta-maintainable in one "
+            "chain (parenthesize the inner chain)",
+            Parser(body).peek())
+    kind, is_all = ops[0]
+    return kind, is_all, [parse_select(s) for s in spans]
 
 
 def _parse_query(p: Parser, top: bool = False) -> SelectQ:

@@ -170,8 +170,10 @@ _DELTA_SUPPORTED = (
     "scalar expressions [+ HAVING]) over one table or a stateless "
     "subquery; SELECT DISTINCT; grouped TopK (the ROW_NUMBER <= k "
     "idiom); INNER/LEFT/FULL equi-join chains — plain, filtered, "
-    "GROUP BY aggregated, DISTINCT, or TopK'd; use a plain "
-    "MATERIALIZED VIEW (snapshot + REFRESH) for other shapes")
+    "GROUP BY aggregated, DISTINCT, or TopK'd; top-level set-op "
+    "chains (UNION [ALL], EXCEPT [ALL], INTERSECT [ALL]) of stateless "
+    "branches; use a plain MATERIALIZED VIEW (snapshot + REFRESH) for "
+    "other shapes")
 
 # the TopK outer filter: WHERE rn <= k over the ROW_NUMBER subquery —
 # a leaf pattern checked on one parsed WHERE span (never statement
@@ -522,17 +524,22 @@ class MzSession:
         join}.rs). Unsupported shapes get an explicit error rather than
         silently degrading to snapshots."""
         from materialize_spark.plans.select_ast import (
-            parse_select_branches,
+            parse_set_op_branches,
         )
 
         try:
-            qs = parse_select_branches(node.body)
+            op, is_all, qs = parse_set_op_branches(node.body)
         except (ast.ParseError, LexError) as ex:
             raise ValueError(
                 f"MAINTENANCE 'delta': cannot parse the view body for "
                 f"incremental maintenance ({ex}); " + _DELTA_SUPPORTED)
         if len(qs) > 1:
-            self._plan_delta_union(node, qs)
+            if op == "union" and is_all:
+                self._plan_delta_union(node, qs)
+            elif op == "union":
+                self._plan_delta_union_distinct(node, qs)
+            else:
+                self._plan_delta_setop(node, qs, op, is_all)
             return
         self._plan_delta_mv(node, qs[0])
 
@@ -569,6 +576,15 @@ class MzSession:
         elif q.distinct:
             if self._plan_delta_distinct(node, q):
                 return
+        elif any(it.win_agg for it in q.items):
+            if self._plan_delta_window_agg(node, q):
+                return
+            raise ValueError(
+                "MAINTENANCE 'delta' window aggregates support "
+                "SUM/COUNT/MIN/MAX/AVG OVER (PARTITION BY ...) with "
+                "one shared partition key set that the SELECT also "
+                "projects (no ORDER BY / frame inside OVER); "
+                + _DELTA_SUPPORTED)
         raise ValueError(
             "MAINTENANCE 'delta' does not support this shape; "
             + _DELTA_SUPPORTED)
@@ -779,6 +795,205 @@ class MzSession:
         for f in frames[1:]:
             out = out.unionByName(f)
         self._finish_delta_mv_union(name, out)
+
+    def _plan_delta_union_distinct(self, node: ast.CreateView,
+                                   qs) -> None:
+        """UNION [DISTINCT] delta MV: the reference plans it as a
+        Distinct reduce over the ALL-form Union
+        (src/sql/src/plan/query.rs plan_set_expr), so the maintained
+        form is the union diff-sum feeding a RetractionAwareDistinct —
+        per commit only the touched rows re-derive visibility."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareDistinct,
+        )
+
+        branches, cols = self._union_branch_specs(qs)
+        spec = {"kind": "union", "branches": branches,
+                "union_cols": cols,
+                "tables": tuple({b["table"] for b in branches}),
+                "where": None,
+                "distinct": RetractionAwareDistinct(
+                    self.spark, cols=cols), "dcols": cols}
+        self._delta_mvs[node.name] = spec
+        self._form_delta_mv_union(node.name)
+
+    def _plan_delta_setop(self, node: ast.CreateView, qs, op: str,
+                          is_all: bool) -> None:
+        """EXCEPT/INTERSECT [ALL] delta MV over stateless branches:
+        the per-side multiplicity state (RetractionAwareSetOp) realizes
+        the reference's Threshold(Union(A, Negate(B))) composition
+        (src/sql/src/plan/query.rs plan_set_expr; Negate/Threshold at
+        src/expr/src/relation.rs:278-288) without materializing the
+        negated union — commits touch only their own rows' visibility."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareSetOp,
+        )
+
+        branches, cols = self._union_branch_specs(qs)
+        spec = {"kind": "setop", "branches": branches, "cols": cols,
+                "tables": tuple({b["table"] for b in branches}),
+                "mv": RetractionAwareSetOp(
+                    self.spark, cols=cols, op=op, all=is_all,
+                    nsides=len(branches))}
+        self._delta_mvs[node.name] = spec
+        self._form_delta_mv_setop(node.name)
+
+    def _setop_frames(self, spec: dict, tagged) -> "DataFrame | None":
+        """Union the side-tagged branch transforms of (side, delta)
+        pairs into one __side-carrying diff frame."""
+        from pyspark.sql import functions as F
+
+        frames = [
+            self._union_branch_delta(b, delta)
+            .withColumn("__side", F.lit(i))
+            for i, b, delta in tagged]
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _form_delta_mv_setop(self, name: str) -> None:
+        """Formation: every branch's current rows are its side's first
+        +1 batch."""
+        from pyspark.sql import functions as F
+
+        spec = self._delta_mvs[name]
+        tagged = [
+            (i, b, self.catalog._tables[b["table"]]
+             .withColumn("diff", F.lit(1)))
+            for i, b in enumerate(spec["branches"])]
+        self._finish_delta_mv_setop(
+            name, self._setop_frames(spec, tagged), initial=True)
+
+    def _feed_delta_mv_setop(self, name: str, table: str,
+                             delta) -> None:
+        """Fold one table's diffs through every branch (side) that
+        reads it; the state operator re-derives only the touched rows'
+        visible multiplicity."""
+        spec = self._delta_mvs[name]
+        tagged = [(i, b, delta)
+                  for i, b in enumerate(spec["branches"])
+                  if b["table"] == table]
+        out = self._setop_frames(spec, tagged)
+        if out is not None:
+            self._finish_delta_mv_setop(name, out)
+
+    def _finish_delta_mv_setop(self, name: str, out,
+                               initial: bool = False) -> None:
+        spec = self._delta_mvs[name]
+        touched = out.select(*spec["cols"]).distinct()
+        result = spec["mv"].on_batch(out.select(*spec["cols"],
+                                                "__side", "diff"))
+        self._publish_delta_mv(name, result, initial,
+                               touched=touched, keys=spec["cols"])
+
+    def _plan_delta_window_agg(self, node: ast.CreateView, q) -> bool:
+        """Frameless window aggregate over one table:
+        SELECT cols..., AGG(x) OVER (PARTITION BY k) AS a FROM t
+        [WHERE ...]. With no ORDER BY inside OVER the window value is
+        the whole partition's aggregate, so the reference lowers it to
+        a Reduce joined back to its input (window function planning in
+        src/sql/src/plan/query.rs); maintained form: a
+        RetractionAwareAgg keyed on the partition + a touched-partition
+        row refresh from the current table — a commit re-derives ONLY
+        its own partitions' rows, never the table."""
+        if q.table is None:
+            return False
+        wins: dict[str, tuple[str, str]] = {}
+        exprs: dict[str, str] = {}
+        plains: list[str] = []
+        out_cols: list[str] = []
+        pkeys: list[str] | None = None
+        for it in q.items:
+            wa = it.win_agg
+            if wa is not None:
+                kind, arg, keys = wa
+                if it.alias is None:
+                    return False  # unaliased window: no output name
+                if pkeys is None:
+                    pkeys = keys
+                elif [k.lower() for k in keys] != \
+                        [k.lower() for k in pkeys]:
+                    return False  # one shared partition key set
+                if arg == "*":
+                    if kind != "count":
+                        return False
+                    col = "__one"
+                elif re.match(r"(?i)DISTINCT\b", arg):
+                    return False
+                elif re.fullmatch(r"\w+", arg):
+                    col = arg
+                else:
+                    col = f"__x{len(exprs)}"
+                    exprs[col] = arg
+                wins[it.alias] = (kind, col)
+                out_cols.append(it.alias)
+            elif it.is_column and it.alias is None:
+                plains.append(it.expr)
+                out_cols.append(it.expr)
+            else:
+                return False  # expression passthroughs: out of shape
+        if not wins or pkeys is None:
+            return False
+        low_plains = {p.lower() for p in plains}
+        if any(k.lower() not in low_plains for k in pkeys):
+            return False  # partition keys must be projected
+        try:
+            self._delta_check_table(q.table)
+        except KeyError:
+            return False
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg,
+        )
+        spec = {"kind": "winagg", "table": q.table, "where": q.where,
+                "plains": plains, "out_cols": out_cols, "wins": wins,
+                "exprs": exprs, "pkeys": pkeys,
+                "agg": RetractionAwareAgg(self.spark, keys=pkeys,
+                                          aggs=wins)}
+        self._install_delta_mv(node.name, spec)
+        return True
+
+    def _feed_delta_mv_winagg(self, name: str, spec: dict, delta,
+                              initial: bool) -> None:
+        """Fold one base-table diff frame into a window-aggregate MV:
+        update the partition reduce, then refresh ONLY the touched
+        partitions' rows from the current table."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import (
+            _ckpt, _ns_attach, _ns_probe,
+        )
+        if spec["where"]:
+            delta = delta.filter(
+                f"coalesce(({rewrite(spec['where'])}), false)")
+        for internal, src in spec["exprs"].items():
+            delta = delta.withColumn(internal, F.expr(rewrite(src)))
+        in_cols = {c for _k, c in spec["wins"].values()}
+        if "__one" in in_cols:
+            delta = delta.withColumn("__one", F.lit(1))
+        keyed = delta.select(*spec["pkeys"], *sorted(in_cols), "diff")
+        touched = keyed.select(*spec["pkeys"]).distinct()
+        agg_res = spec["agg"].on_batch(keyed)
+        base = self.catalog._tables[spec["table"]]
+        if spec["where"]:
+            base = base.filter(
+                f"coalesce(({rewrite(spec['where'])}), false)")
+        rows = _ns_probe(base, touched, spec["pkeys"]) \
+            .select(*spec["plains"])
+        agg_t = _ns_probe(agg_res, touched, spec["pkeys"])
+        new_rows = _ns_attach(rows, agg_t, spec["pkeys"],
+                              list(spec["wins"].keys())) \
+            .select(*spec["out_cols"])
+        old = self._matviews.get(name)
+        if initial or old is None:
+            result = new_rows
+        else:
+            result = (_ns_probe(old, touched, spec["pkeys"], anti=True)
+                      .unionByName(new_rows))
+        self._publish_delta_mv(name, _ckpt(result), initial,
+                               touched=touched, keys=spec["pkeys"])
 
     def _install_delta_mv(self, name: str, spec: dict) -> None:
         """Register a single-table delta MV and form it: the table's
@@ -1459,6 +1674,9 @@ class MzSession:
 
         from materialize_spark.streaming.history import RetainedHistory
         spec = self._delta_mvs[name]
+        if spec.get("kind") == "winagg":
+            self._feed_delta_mv_winagg(name, spec, delta, initial)
+            return
         for lw, lsel in spec.get("pre_layers", ()):
             # stateless subquery layers, innermost first (arbitrary
             # nesting depth — each is a Map/Filter the reference's mfp
@@ -1636,6 +1854,9 @@ class MzSession:
             if spec.get("kind") == "union":
                 if table in spec["tables"]:
                     self._feed_delta_mv_union(name, table, delta)
+            elif spec.get("kind") == "setop":
+                if table in spec["tables"]:
+                    self._feed_delta_mv_setop(name, table, delta)
             elif spec["table"] == table:
                 self._feed_delta_mv(name, delta)
             elif spec.get("kind") == "join" \
@@ -3478,7 +3699,7 @@ class MzSession:
         from pyspark.sql import functions as F
 
         from materialize_spark.plans.select_ast import (
-            parse_select_branches,
+            parse_set_op_branches,
         )
         from materialize_spark.streaming.history import RetainedHistory
         self._check_select_refs(body)
@@ -3488,9 +3709,14 @@ class MzSession:
         fake = ast.CreateView(name=name, body=body, materialized=True,
                               maintenance="delta")
         try:
-            qs = parse_select_branches(body)
+            op, is_all, qs = parse_set_op_branches(body)
             if len(qs) > 1:
-                self._plan_delta_union(fake, qs)
+                if op == "union" and is_all:
+                    self._plan_delta_union(fake, qs)
+                elif op == "union":
+                    self._plan_delta_union_distinct(fake, qs)
+                else:
+                    self._plan_delta_setop(fake, qs, op, is_all)
             else:
                 self._plan_delta_mv(fake, qs[0])
             return name

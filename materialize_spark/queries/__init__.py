@@ -85,6 +85,8 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_nested_subquery",
         "sqlfront_delta_mv_nonequi_join",
         "sqlfront_delta_mv_union_agg",
+        "sqlfront_delta_mv_except", "sqlfront_delta_mv_intersect",
+        "sqlfront_delta_mv_window_agg",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
@@ -101,8 +103,7 @@ def load_all() -> dict[str, QuerySpec]:
         # stay green in the local full-registry gate) ---
         "sqlfront_rbac", "upsert_envelope_batch", "window_functions",
         "temporal_filter", "agg_rollup", "kafka_source_sql",
-        "cdc_pgoutput_wire_apply", "scalar_uuid", "agg_statistics",
-        "tablefunc_battery",
+        "cdc_pgoutput_wire_apply",
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
         "dedup_minhash_lsh",
         "simsearch_cosine_topk", "text_language_id",

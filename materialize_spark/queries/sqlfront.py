@@ -1729,3 +1729,195 @@ def sqlfront_delta_mv_union_agg(spark, sf_dir):
             .select("at", "k",
                     F.col("total").cast("long").alias("total"))
             .orderBy("at", "k"))
+
+
+@register(
+    "sqlfront_delta_mv_except",
+    """
+    -- oracle: literal truth of the write sequence against EXCEPT ALL /
+    -- EXCEPT delta MVs over two tables (multiset vs distinct semantics)
+    SELECT * FROM (VALUES
+        ('mid',   'all',  'a', CAST(1 AS BIGINT)),
+        ('mid',   'all',  'c', CAST(3 AS BIGINT)),
+        ('mid',   'dist', 'c', CAST(3 AS BIGINT)),
+        ('final', 'all',  'a', CAST(1 AS BIGINT)),
+        ('final', 'all',  'a', CAST(1 AS BIGINT)),
+        ('final', 'all',  'c', CAST(9 AS BIGINT)),
+        ('final', 'dist', 'a', CAST(1 AS BIGINT)),
+        ('final', 'dist', 'c', CAST(9 AS BIGINT))
+    ) AS t(at, mv, k, v)
+    ORDER BY at, mv, k, v
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "setops",
+)
+def sqlfront_delta_mv_except(spark, sf_dir):
+    """EXCEPT [ALL] delta maintenance: the reference compiles EXCEPT
+    into Threshold(Union(A, Negate(B))) and maintains it like any
+    dataflow (src/sql/src/plan/query.rs plan_set_expr; Negate/Threshold
+    at src/expr/src/relation.rs:278-288); here one per-side
+    multiplicity state derives the visible count max(mA - mB, 0) — or
+    the 0/1 distinct form — re-deriving only the committed rows."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dse_l (k STRING, v BIGINT);
+        CREATE TABLE dse_r (k STRING, v BIGINT);
+        INSERT INTO dse_l VALUES ('a', 1), ('a', 1), ('b', 2), ('c', 3);
+        INSERT INTO dse_r VALUES ('a', 1), ('b', 2), ('b', 2);
+        CREATE MATERIALIZED VIEW dse_all WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dse_l EXCEPT ALL SELECT k, v FROM dse_r;
+        CREATE MATERIALIZED VIEW dse_d WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dse_l EXCEPT SELECT k, v FROM dse_r;
+    """)
+
+    def snap(at):
+        a = s.sql("SELECT k, v FROM dse_all").select(
+            F.lit(at).alias("at"), F.lit("all").alias("mv"), "k", "v")
+        d = s.sql("SELECT k, v FROM dse_d").select(
+            F.lit(at).alias("at"), F.lit("dist").alias("mv"), "k", "v")
+        return a.unionByName(d)
+
+    mid = snap("mid")
+    s.run_script("""
+        INSERT INTO dse_l VALUES ('b', 2);
+        DELETE FROM dse_r WHERE k = 'a';
+        INSERT INTO dse_r VALUES ('c', 3);
+        UPDATE dse_l SET v = 9 WHERE k = 'c';
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", "k", F.col("v").cast("long").alias("v"))
+            .orderBy("at", "mv", "k", "v"))
+
+
+@register(
+    "sqlfront_delta_mv_intersect",
+    """
+    -- oracle: literal truth of the write sequence against INTERSECT
+    -- ALL / INTERSECT / UNION DISTINCT delta MVs over two tables
+    SELECT * FROM (VALUES
+        ('mid',   'iall', 'a', CAST(1 AS BIGINT)),
+        ('mid',   'iall', 'a', CAST(1 AS BIGINT)),
+        ('mid',   'iall', 'b', CAST(2 AS BIGINT)),
+        ('mid',   'id',   'a', CAST(1 AS BIGINT)),
+        ('mid',   'id',   'b', CAST(2 AS BIGINT)),
+        ('mid',   'ud',   'a', CAST(1 AS BIGINT)),
+        ('mid',   'ud',   'b', CAST(2 AS BIGINT)),
+        ('mid',   'ud',   'c', CAST(3 AS BIGINT)),
+        ('mid',   'ud',   'd', CAST(4 AS BIGINT)),
+        ('final', 'iall', 'c', CAST(3 AS BIGINT)),
+        ('final', 'iall', 'd', CAST(4 AS BIGINT)),
+        ('final', 'id',   'c', CAST(3 AS BIGINT)),
+        ('final', 'id',   'd', CAST(4 AS BIGINT)),
+        ('final', 'ud',   'a', CAST(1 AS BIGINT)),
+        ('final', 'ud',   'b', CAST(2 AS BIGINT)),
+        ('final', 'ud',   'c', CAST(3 AS BIGINT)),
+        ('final', 'ud',   'd', CAST(4 AS BIGINT))
+    ) AS t(at, mv, k, v)
+    ORDER BY at, mv, k, v
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "setops",
+)
+def sqlfront_delta_mv_intersect(spark, sf_dir):
+    """INTERSECT [ALL] and UNION [DISTINCT] delta maintenance:
+    INTERSECT ALL's visible count is min(mA, mB) over the per-side
+    nets; UNION DISTINCT is the Distinct reduce over the ALL-form
+    Union (reference plan_set_expr, src/sql/src/plan/query.rs) — all
+    three stay fresh through deletes that drain one side."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dsi_l (k STRING, v BIGINT);
+        CREATE TABLE dsi_r (k STRING, v BIGINT);
+        INSERT INTO dsi_l VALUES ('a', 1), ('a', 1), ('b', 2), ('c', 3);
+        INSERT INTO dsi_r VALUES ('a', 1), ('a', 1), ('a', 1), ('b', 2),
+                                 ('d', 4);
+        CREATE MATERIALIZED VIEW dsi_iall WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dsi_l INTERSECT ALL SELECT k, v FROM dsi_r;
+        CREATE MATERIALIZED VIEW dsi_id WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dsi_l INTERSECT SELECT k, v FROM dsi_r;
+        CREATE MATERIALIZED VIEW dsi_ud WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dsi_l UNION SELECT k, v FROM dsi_r;
+    """)
+
+    def snap(at):
+        out = None
+        for mv, name in (("iall", "dsi_iall"), ("id", "dsi_id"),
+                         ("ud", "dsi_ud")):
+            part = s.sql(f"SELECT k, v FROM {name}").select(
+                F.lit(at).alias("at"), F.lit(mv).alias("mv"), "k", "v")
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    mid = snap("mid")
+    s.run_script("""
+        DELETE FROM dsi_l WHERE k = 'a';
+        INSERT INTO dsi_l VALUES ('d', 4);
+        DELETE FROM dsi_r WHERE k = 'b';
+        INSERT INTO dsi_r VALUES ('c', 3), ('c', 3);
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", "k", F.col("v").cast("long").alias("v"))
+            .orderBy("at", "mv", "k", "v"))
+
+
+@register(
+    "sqlfront_delta_mv_window_agg",
+    """
+    -- oracle: literal truth of the write sequence against a frameless
+    -- window-aggregate delta MV (WHERE applies before the window)
+    SELECT * FROM (VALUES
+        ('mid',   'a', CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('mid',   'a', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('mid',   'b', CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('final', 'a', CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('final', 'a', CAST(10 AS BIGINT), CAST(12 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('final', 'c', CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+         CAST(1 AS BIGINT))
+    ) AS t(at, k, v, tot, n)
+    ORDER BY at, k, v
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "window",
+)
+def sqlfront_delta_mv_window_agg(spark, sf_dir):
+    """Frameless window aggregates (SUM/COUNT OVER (PARTITION BY k))
+    delta-maintained: with no ORDER BY the window value is the whole
+    partition's aggregate, which the reference lowers to a Reduce
+    joined back to its input (window planning in
+    src/sql/src/plan/query.rs) — here a RetractionAwareAgg plus a
+    touched-partition row refresh, so a commit re-derives only its own
+    partitions' rows."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dwa_t (k STRING, v BIGINT);
+        INSERT INTO dwa_t VALUES ('a', 1), ('a', 2), ('b', 5),
+                                 ('b', 500);
+        CREATE MATERIALIZED VIEW dwa WITH (MAINTENANCE 'delta') AS
+          SELECT k, v, SUM(v) OVER (PARTITION BY k) AS tot,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM dwa_t WHERE v < 100;
+    """)
+    mid = s.sql("SELECT k, v, tot, n FROM dwa").withColumn(
+        "at", F.lit("mid"))
+    s.run_script("""
+        INSERT INTO dwa_t VALUES ('a', 10), ('c', 4);
+        DELETE FROM dwa_t WHERE k = 'b' AND v = 5;
+        DELETE FROM dwa_t WHERE k = 'a' AND v = 1;
+    """)
+    fin = s.sql("SELECT k, v, tot, n FROM dwa").withColumn(
+        "at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "k", F.col("v").cast("long").alias("v"),
+                    F.col("tot").cast("long").alias("tot"),
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("at", "k", "v"))

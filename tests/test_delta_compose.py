@@ -481,3 +481,43 @@ def test_delta_mv_global_topk_churn(spark):
     s.execute("UPDATE dc_ord SET price = 9 WHERE okey = 2")   # crosses out
     assert _rows(s, "dcvg") == _recompute(s, body)
     _drop(s, "dcvg")
+
+
+def test_delta_mv_window_agg_churn(spark):
+    """Frameless window aggregate (AGG(x) OVER (PARTITION BY k)) stays
+    fresh through churn: the maintained reduce + touched-partition row
+    refresh must equal a full recompute every step — including a
+    partition drained to empty and a WHERE that excludes rows before
+    the window (SQL evaluates WHERE first)."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(11)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE wac_t (k STRING, v BIGINT)")
+    body = ("SELECT k, v, SUM(v) OVER (PARTITION BY k) AS tot, "
+            "COUNT(*) OVER (PARTITION BY k) AS n "
+            "FROM wac_t WHERE v < 50")
+    s.execute("INSERT INTO wac_t VALUES ('a', 1), ('a', 2), ('b', 3)")
+    s.execute(f"CREATE MATERIALIZED VIEW wac WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    live = [("a", 1), ("a", 2), ("b", 3)]
+    for i in range(15):
+        r = rng.random()
+        if r < 0.5 or not live:
+            k, v = rng.choice("abc"), rng.randrange(1, 60)
+            live.append((k, v))
+            s.execute(f"INSERT INTO wac_t VALUES ('{k}', {v})")
+        elif r < 0.8:
+            k, v = live.pop(rng.randrange(len(live)))
+            s.execute(f"DELETE FROM wac_t WHERE k = '{k}' AND v = {v}")
+        else:
+            k, v = live[rng.randrange(len(live))]
+            nv = v + 5
+            live = [(k, nv) if x == (k, v) else x for x in live]
+            s.execute(f"UPDATE wac_t SET v = {nv} WHERE k = '{k}' "
+                      f"AND v = {v}")
+        assert _rows(s, "wac") == _recompute(s, body), \
+            f"window agg diverged at step {i}"
+    s.execute("DROP VIEW wac")
+    s.execute("DROP TABLE wac_t")
