@@ -28,9 +28,14 @@ _AGG_RE = re.compile(
     r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<arg>\*|.+)\s*\)$",
     re.I | re.S)
 
-# ROW_NUMBER window leaf inside one parsed select item
+# ranking-function window leaf inside one parsed select item: the TopK
+# idiom accepts ROW_NUMBER (k rows per group), RANK (ties share a rank,
+# so <= k may keep more than k rows), and DENSE_RANK (<= k keeps the
+# rows of the k best distinct order values) — the reference's TopK
+# covers the same family (src/compute-types/src/plan/top_k.rs)
 _ROW_NUMBER_RE = re.compile(
-    r"^ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+"
+    r"^(?P<fn>ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+"
     r"(?P<keys>.+?)\s+ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?"
     r"\s*\)$", re.I | re.S)
 
@@ -71,14 +76,14 @@ class SelectItem:
         return m.group("kind").lower(), m.group("arg").strip(), keys
 
     @property
-    def row_number(self) -> tuple[list[str], str, bool] | None:
-        """(partition keys, order col, descending) for the grouped-TopK
-        ROW_NUMBER idiom."""
+    def row_number(self) -> tuple[str, list[str], str, bool] | None:
+        """(ranking fn, partition keys, order col, descending) for the
+        grouped-TopK ranking idiom (ROW_NUMBER / RANK / DENSE_RANK)."""
         m = _ROW_NUMBER_RE.match(self.expr)
         if not m:
             return None
         keys = [k.strip() for k in m.group("keys").split(",")]
-        return (keys, m.group("ord"),
+        return (m.group("fn").lower(), keys, m.group("ord"),
                 (m.group("dir") or "ASC").upper() == "DESC")
 
 

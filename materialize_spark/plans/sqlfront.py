@@ -585,13 +585,41 @@ class MzSession:
                 "one shared partition key set that the SELECT also "
                 "projects (no ORDER BY / frame inside OVER); "
                 + _DELTA_SUPPORTED)
+        elif q.table is not None:
+            # stateless Map/Filter over one relation — a one-branch
+            # Union on the parts spine (output delta = the transformed
+            # input delta, O(delta) per commit with no state at all);
+            # meaningful mainly when the relation is an upstream delta
+            # MV (stacked dataflows)
+            try:
+                self._plan_delta_union(node, [q])
+                return
+            except ValueError:
+                pass
         raise ValueError(
             "MAINTENANCE 'delta' does not support this shape; "
             + _DELTA_SUPPORTED)
 
     def _delta_check_table(self, table: str) -> None:
-        if table not in self.catalog._tables:
-            raise KeyError(f"unknown table {table!r}")
+        """A delta-MV base relation: a table, or ANOTHER delta MV —
+        stacked always-fresh dataflows, the reference's views-over-views
+        composition (a dependent dataflow imports the upstream
+        arrangement, src/compute/src/render.rs). Snapshot/REFRESH MVs
+        are rejected: they publish no per-commit diffs, so a downstream
+        'always fresh' view over one would silently be stale."""
+        if table not in self.catalog._tables \
+                and table not in self._delta_mvs:
+            raise KeyError(
+                f"unknown table {table!r} (a delta-MV base must be a "
+                "table or another MAINTENANCE 'delta' view)")
+
+    def _base_frame(self, name: str):
+        """Current rows of a delta-MV base relation (table or upstream
+        delta MV's maintained result)."""
+        t = self.catalog._tables.get(name)
+        if t is not None:
+            return t
+        return self._matviews[name]
 
     def _plan_delta_union(self, node: ast.CreateView, qs) -> None:
         """UNION ALL delta MV: Union is LINEAR in diff algebra — each
@@ -630,6 +658,16 @@ class MzSession:
             self._delta_check_table(q.table)
             names, exprs = [], []
             for it in q.items:
+                if re.search(r"(?i)\b(sum|count|min|max|avg)\s*\(|"
+                             r"\bOVER\b|\(\s*SELECT\b", it.expr):
+                    # an aggregate / window / scalar subquery is NOT a
+                    # stateless per-row transform — applying it to a
+                    # delta would silently differ from applying it to
+                    # the table
+                    raise ValueError(
+                        "MAINTENANCE 'delta': branch columns must be "
+                        "stateless scalar expressions (no aggregates, "
+                        "window functions, or subqueries)")
                 if it.alias is not None:
                     names.append(it.alias)
                     exprs.append(rewrite(it.expr))
@@ -709,7 +747,7 @@ class MzSession:
         spec = self._delta_mvs[name]
         frames = [
             self._union_branch_delta(
-                b, self.catalog._tables[b["table"]]
+                b, self._base_frame(b["table"])
                 .withColumn("diff", F.lit(1)))
             for b in spec["branches"]]
         out = frames[0]
@@ -861,7 +899,7 @@ class MzSession:
 
         spec = self._delta_mvs[name]
         tagged = [
-            (i, b, self.catalog._tables[b["table"]]
+            (i, b, self._base_frame(b["table"])
              .withColumn("diff", F.lit(1)))
             for i, b in enumerate(spec["branches"])]
         self._finish_delta_mv_setop(
@@ -976,7 +1014,7 @@ class MzSession:
         keyed = delta.select(*spec["pkeys"], *sorted(in_cols), "diff")
         touched = keyed.select(*spec["pkeys"]).distinct()
         agg_res = spec["agg"].on_batch(keyed)
-        base = self.catalog._tables[spec["table"]]
+        base = self._base_frame(spec["table"])
         if spec["where"]:
             base = base.filter(
                 f"coalesce(({rewrite(spec['where'])}), false)")
@@ -1000,7 +1038,7 @@ class MzSession:
         current rows are the first insert batch."""
         from pyspark.sql import functions as F
         self._delta_mvs[name] = spec
-        self._feed_delta_mv(name, self.catalog._tables[spec["table"]]
+        self._feed_delta_mv(name, self._base_frame(spec["table"])
                             .withColumn("diff", F.lit(1)), initial=True)
 
     def _plan_delta_single_agg(self, node: ast.CreateView, q,
@@ -1155,14 +1193,15 @@ class MzSession:
         if not all(it.is_column and it.alias is None for it in q.items):
             return None
         cols = [it.expr for it in q.items]
-        keys, ord_col, desc = rn_item.row_number
+        mode, keys, ord_col, desc = rn_item.row_number
         low = {c.lower() for c in icols}
         if not all(c.lower() in low for c in cols) \
                 or not all(re.fullmatch(r"\w+", k) and k.lower() in low
                            for k in keys) \
                 or ord_col.lower() not in low:
             return None
-        return cols, icols, keys, ord_col, desc, int(m.group("k")), inner
+        return (cols, icols, keys, ord_col, desc, int(m.group("k")),
+                inner, mode)
 
     def _plan_delta_topk(self, node: ast.CreateView, q) -> bool:
         """Grouped TopK delta MV via the ROW_NUMBER idiom (the shape
@@ -1180,10 +1219,10 @@ class MzSession:
         shape = self._topk_shape(q)
         if shape is None:
             return False
-        cols, icols, keys, ord_col, desc, k, inner = shape
+        cols, icols, keys, ord_col, desc, k, inner, mode = shape
         mv = RetractionAwareTopK(
             self.spark, keys=keys, order_col=ord_col, limit=k,
-            descending=desc, spill_rows=_TOPK_SPILL_ROWS)
+            descending=desc, spill_rows=_TOPK_SPILL_ROWS, mode=mode)
         if inner.joins:
             parsed = self._normalize_join_chain(inner)
             if parsed is None:
@@ -1370,12 +1409,11 @@ class MzSession:
         if len(set(tables)) != len(tables):
             return None  # self-joins keep two states of one table: out
         for t in tables:
-            if t not in self.catalog._tables:
-                raise KeyError(f"unknown table {t!r}")
-        acc_cols = set(self.catalog._tables[tables[0]].columns)
+            self._delta_check_table(t)
+        acc_cols = set(self._base_frame(tables[0]).columns)
         norm_links: list[list[tuple[str, str]]] = []
         for i, pairs in enumerate(links):
-            rc = set(self.catalog._tables[tables[i + 1]].columns)
+            rc = set(self._base_frame(tables[i + 1]).columns)
             norm_pairs: list[tuple[str, str]] = []
             for onl, onr in pairs:
                 if onl in rc and onr in acc_cols:  # written right=left
@@ -1413,12 +1451,12 @@ class MzSession:
 
         types: dict[str, str] = {}
         for t in tables:
-            for f in self.catalog._tables[t].schema.fields:
+            for f in self._base_frame(t).schema.fields:
                 types.setdefault(f.name, f.dataType.simpleString())
         chain = []
-        acc = list(self.catalog._tables[tables[0]].columns)
+        acc = list(self._base_frame(tables[0]).columns)
         for i, pairs in enumerate(norm_links):
-            right = self.catalog._tables[tables[i + 1]]
+            right = self._base_frame(tables[i + 1])
             kind = kinds[i]
             on = [onl for onl, _r in pairs]
             onrs = {onr for _l, onr in pairs}
@@ -1529,7 +1567,7 @@ class MzSession:
         from pyspark.sql import functions as F
 
         spec = self._delta_mvs[name]
-        snaps = [self.catalog._tables[t].withColumn("diff", F.lit(1))
+        snaps = [self._base_frame(t).withColumn("diff", F.lit(1))
                  for t in spec["tables"]]
         out = snaps[0]
         for i, link in enumerate(spec["chain"]):
@@ -1830,6 +1868,7 @@ class MzSession:
             if hist is not None:
                 hist.append(out_delta, hist.upper)
             self._publish_commit(name, adds, rets)
+            self._feed_downstream(name, adds, rets)
             return
         if touched is not None and keys:
             from materialize_spark.streaming.retraction import _ns_probe
@@ -1848,6 +1887,32 @@ class MzSession:
                     rets.withColumn("diff", F.lit(-1))),
                 hist.upper)
         self._publish_commit(name, adds, rets)
+        self._feed_downstream(name, adds, rets)
+
+    def _feed_downstream(self, name: str, adds, rets) -> None:
+        """Stacked dataflows: a delta MV's published diff IS a commit
+        for any delta MV that reads it as a base relation (the
+        reference composes maintained views by importing the upstream
+        arrangement into the dependent dataflow,
+        src/compute/src/render.rs). Zero cost when nothing depends on
+        this MV."""
+        from pyspark.sql import functions as F
+
+        if not any(n != name and (sp.get("table") == name
+                                  or name in sp.get("tables", ()))
+                   for n, sp in self._delta_mvs.items()):
+            return
+        frames = []
+        if adds is not None:
+            frames.append(adds.withColumn("diff", F.lit(1)))
+        if rets is not None:
+            frames.append(rets.withColumn("diff", F.lit(-1)))
+        if not frames:
+            return
+        delta = frames[0]
+        for f in frames[1:]:
+            delta = delta.unionByName(f)
+        self._feed_delta_mvs_for_table(name, delta)
 
     def _feed_delta_mvs_for_table(self, table: str, delta) -> None:
         for name, spec in list(self._delta_mvs.items()):
@@ -3238,6 +3303,24 @@ class MzSession:
             self._connections.pop(node.name, None)
             self._owners.pop(node.name, None)
             return None
+        deps = [n for n, sp in self._delta_mvs.items()
+                if n != node.name and (sp.get("table") == node.name
+                                       or node.name in sp.get("tables",
+                                                              ()))]
+        if deps:
+            # PG/reference dependency semantics: a relation that an
+            # always-fresh view reads cannot be dropped out from under
+            # it (the downstream would silently stop updating); CASCADE
+            # takes the dependents with it.
+            if not node.cascade:
+                raise ValueError(
+                    f"cannot drop {node.name!r}: delta-maintained view "
+                    f"{deps[0]!r} depends on it (use DROP ... CASCADE)")
+            from dataclasses import replace as _dc_replace
+            for d in deps:
+                if d in self._delta_mvs:  # not already cascaded away
+                    self._drop(_dc_replace(node, kind="view", name=d),
+                               sql)
         self.catalog.drop(node.name, if_exists=node.if_exists)
         self._source_tables.discard(node.name)
         for store in (self._matviews, self._matview_sql, self._view_sql,

@@ -1921,3 +1921,151 @@ def sqlfront_delta_mv_window_agg(spark, sf_dir):
                     F.col("tot").cast("long").alias("tot"),
                     F.col("n").cast("long").alias("n"))
             .orderBy("at", "k", "v"))
+
+
+@register(
+    "sqlfront_delta_mv_stacked",
+    """
+    -- oracle: literal truth of the write sequence against a THREE-level
+    -- stacked delta-MV chain (join MV -> grouped agg over it ->
+    -- stateless filter over that); a base-table commit propagates
+    -- through every level
+    SELECT * FROM (VALUES
+        ('mid',   'agg', 'ann', CAST(30 AS BIGINT), CAST(2 AS BIGINT)),
+        ('mid',   'agg', 'bob', CAST(5 AS BIGINT),  CAST(1 AS BIGINT)),
+        ('mid',   'hot', 'ann', CAST(30 AS BIGINT), CAST(NULL AS BIGINT)),
+        ('final', 'agg', 'ann', CAST(99 AS BIGINT), CAST(1 AS BIGINT)),
+        ('final', 'agg', 'bob', CAST(55 AS BIGINT), CAST(2 AS BIGINT)),
+        ('final', 'hot', 'ann', CAST(99 AS BIGINT), CAST(NULL AS BIGINT)),
+        ('final', 'hot', 'bob', CAST(55 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(at, lvl, cname, rev, n)
+    ORDER BY at, lvl, cname
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "stacked",
+)
+def sqlfront_delta_mv_stacked(spark, sf_dir):
+    """Stacked delta MVs — a MAINTENANCE 'delta' view whose base
+    relation is ANOTHER delta MV: each level's published diff is the
+    next level's commit, the reference's views-over-views dataflow
+    composition (a dependent dataflow imports the upstream arrangement,
+    src/compute/src/render.rs). The chain here is join MV -> grouped
+    aggregate -> stateless filter; one UPDATE/DELETE/INSERT script on
+    the base tables must refresh all three levels."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dst_ord (okey BIGINT, ckey BIGINT, price BIGINT);
+        CREATE TABLE dst_cust (ck2 BIGINT, cname STRING);
+        INSERT INTO dst_ord VALUES (1, 1, 10), (2, 1, 20), (3, 2, 5);
+        INSERT INTO dst_cust VALUES (1, 'ann'), (2, 'bob');
+        CREATE MATERIALIZED VIEW dst_join WITH (MAINTENANCE 'delta') AS
+          SELECT cname, price FROM dst_ord
+          JOIN dst_cust ON ckey = ck2;
+        CREATE MATERIALIZED VIEW dst_agg WITH (MAINTENANCE 'delta') AS
+          SELECT cname, SUM(price) AS rev, COUNT(*) AS n FROM dst_join
+          GROUP BY cname;
+        CREATE MATERIALIZED VIEW dst_hot WITH (MAINTENANCE 'delta') AS
+          SELECT cname, rev FROM dst_agg WHERE rev > 12;
+    """)
+
+    def snap(at):
+        a = s.sql("SELECT cname, rev, n FROM dst_agg").select(
+            F.lit(at).alias("at"), F.lit("agg").alias("lvl"),
+            "cname", "rev", "n")
+        h = s.sql("SELECT cname, rev FROM dst_hot").select(
+            F.lit(at).alias("at"), F.lit("hot").alias("lvl"),
+            "cname", "rev", F.lit(None).cast("long").alias("n"))
+        return a.unionByName(h)
+
+    mid = snap("mid")
+    s.run_script("""
+        INSERT INTO dst_ord VALUES (4, 2, 50);
+        DELETE FROM dst_ord WHERE okey = 1;
+        UPDATE dst_ord SET price = 99 WHERE okey = 2;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "lvl", "cname",
+                    F.col("rev").cast("long").alias("rev"),
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("at", "lvl", "cname"))
+
+
+@register(
+    "sqlfront_delta_mv_rank_topk",
+    """
+    -- oracle: literal truth of the write sequence against RANK /
+    -- DENSE_RANK <= k delta MVs (ties share a rank: RANK keeps whole
+    -- tie groups past k; DENSE_RANK keeps the k best distinct values)
+    SELECT * FROM (VALUES
+        ('mid',   'rank',  'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid',   'rank',  'a', CAST(2 AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid',   'rank',  'b', CAST(5 AS BIGINT), CAST(7 AS BIGINT)),
+        ('mid',   'rank',  'b', CAST(6 AS BIGINT), CAST(7 AS BIGINT)),
+        ('mid',   'rank',  'b', CAST(7 AS BIGINT), CAST(7 AS BIGINT)),
+        ('mid',   'dense', 'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid',   'dense', 'a', CAST(2 AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid',   'dense', 'a', CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+        ('mid',   'dense', 'b', CAST(5 AS BIGINT), CAST(7 AS BIGINT)),
+        ('mid',   'dense', 'b', CAST(6 AS BIGINT), CAST(7 AS BIGINT)),
+        ('mid',   'dense', 'b', CAST(7 AS BIGINT), CAST(7 AS BIGINT)),
+        ('final', 'rank',  'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        ('final', 'rank',  'a', CAST(8 AS BIGINT), CAST(9 AS BIGINT)),
+        ('final', 'rank',  'b', CAST(5 AS BIGINT), CAST(7 AS BIGINT)),
+        ('final', 'rank',  'b', CAST(7 AS BIGINT), CAST(3 AS BIGINT)),
+        ('final', 'dense', 'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        ('final', 'dense', 'a', CAST(8 AS BIGINT), CAST(9 AS BIGINT)),
+        ('final', 'dense', 'b', CAST(5 AS BIGINT), CAST(7 AS BIGINT)),
+        ('final', 'dense', 'b', CAST(7 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(at, mv, g, item, score)
+    ORDER BY at, mv, g, item
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "topk",
+)
+def sqlfront_delta_mv_rank_topk(spark, sf_dir):
+    """Grouped TopK via RANK / DENSE_RANK <= k, delta-maintained: the
+    reference's TopK plan covers the whole ranking family
+    (src/compute-types/src/plan/top_k.rs); under RANK a tie group
+    straddling the cut line survives whole, and a delete that breaks
+    the tie re-derives only that group from its compacted support."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE drk_t (g STRING, item BIGINT, score BIGINT);
+        INSERT INTO drk_t VALUES ('a', 1, 10), ('a', 2, 10),
+            ('a', 3, 5), ('a', 4, 4), ('b', 5, 7), ('b', 6, 7),
+            ('b', 7, 7);
+        CREATE MATERIALIZED VIEW drk_rank WITH (MAINTENANCE 'delta') AS
+          SELECT g, item, score FROM (SELECT g, item, score,
+            RANK() OVER (PARTITION BY g ORDER BY score DESC) AS rnk
+            FROM drk_t) t WHERE rnk <= 2;
+        CREATE MATERIALIZED VIEW drk_dense WITH (MAINTENANCE 'delta')
+          AS SELECT g, item, score FROM (SELECT g, item, score,
+            DENSE_RANK() OVER (PARTITION BY g ORDER BY score DESC)
+            AS rnk FROM drk_t) t WHERE rnk <= 2;
+    """)
+
+    def snap(at):
+        r = s.sql("SELECT g, item, score FROM drk_rank").select(
+            F.lit(at).alias("at"), F.lit("rank").alias("mv"),
+            "g", "item", "score")
+        d = s.sql("SELECT g, item, score FROM drk_dense").select(
+            F.lit(at).alias("at"), F.lit("dense").alias("mv"),
+            "g", "item", "score")
+        return r.unionByName(d)
+
+    mid = snap("mid")
+    s.run_script("""
+        DELETE FROM drk_t WHERE item = 2;
+        INSERT INTO drk_t VALUES ('a', 8, 9);
+        DELETE FROM drk_t WHERE item = 6;
+        UPDATE drk_t SET score = 3 WHERE item = 7;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", "g",
+                    F.col("item").cast("long").alias("item"),
+                    F.col("score").cast("long").alias("score"))
+            .orderBy("at", "mv", "g", "item"))

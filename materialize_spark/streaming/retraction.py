@@ -392,6 +392,12 @@ class RetractionAwareTopK:
     order_col: str
     limit: int
     descending: bool = True
+    # ranking semantics of the <= k filter: row_number (exactly k rows
+    # per group), rank (ties share a rank — <= k may keep more), or
+    # dense_rank (the rows of the k best distinct order values); the
+    # reference's TopK covers the same family
+    # (src/compute-types/src/plan/top_k.rs)
+    mode: str = "row_number"
     compact_every: int = 16
     # state-spill budget: when the compacted support exceeds this many
     # rows it moves to key-hash-prefix-partitioned parquet — probes then
@@ -441,9 +447,18 @@ class RetractionAwareTopK:
                  else F.col(self.order_col).asc())
         expanded = supp.filter(F.col("mult") > 0).withColumn(
             "__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
-        w = Window.partitionBy(*self.keys).orderBy(order, "__i")
+        if self.mode == "row_number":
+            # __i tie-break keeps duplicate rows deterministic
+            w = Window.partitionBy(*self.keys).orderBy(order, "__i")
+            rn = F.row_number()
+        else:
+            # rank/dense_rank tie ONLY on the order value — duplicates
+            # (and the __i copies of one row) share a rank, so <= k
+            # keeps whole tie groups
+            w = Window.partitionBy(*self.keys).orderBy(order)
+            rn = F.rank() if self.mode == "rank" else F.dense_rank()
         return (
-            expanded.withColumn("__rn", F.row_number().over(w))
+            expanded.withColumn("__rn", rn.over(w))
             .filter(F.col("__rn") <= self.limit)
             .drop("mult", "__i", "__rn")
         )

@@ -521,3 +521,51 @@ def test_delta_mv_window_agg_churn(spark):
             f"window agg diverged at step {i}"
     s.execute("DROP VIEW wac")
     s.execute("DROP TABLE wac_t")
+
+
+def test_delta_mv_rank_and_dense_rank_topk_churn(spark):
+    """TopK idiom with RANK / DENSE_RANK: ties share a rank, so the
+    <= k filter keeps whole tie groups (RANK) or the rows of the k
+    best distinct order values (DENSE_RANK) — the reference's TopK
+    family covers all three ranking functions. Churn drives ties in
+    and out of the cut line; every step must equal a recompute."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(31)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE rkt_t (g STRING, item BIGINT, "
+              "score BIGINT)")
+    rank_body = ("SELECT g, item, score FROM (SELECT g, item, score, "
+                 "RANK() OVER (PARTITION BY g ORDER BY score DESC) "
+                 "AS rnk FROM rkt_t) t WHERE rnk <= 2")
+    dense_body = ("SELECT g, item, score FROM (SELECT g, item, score, "
+                  "DENSE_RANK() OVER (PARTITION BY g ORDER BY score "
+                  "DESC) AS rnk FROM rkt_t) t WHERE rnk <= 2")
+    s.execute("INSERT INTO rkt_t VALUES ('a', 1, 10), ('a', 2, 10), "
+              "('a', 3, 5), ('b', 4, 7)")
+    s.execute(f"CREATE MATERIALIZED VIEW rkt_rank WITH (MAINTENANCE "
+              f"'delta') AS {rank_body}")
+    s.execute(f"CREATE MATERIALIZED VIEW rkt_dense WITH (MAINTENANCE "
+              f"'delta') AS {dense_body}")
+    nxt, live = [5], [(1, "a", 10), (2, "a", 10), (3, "a", 5),
+                      (4, "b", 7)]
+    for i in range(14):
+        r = rng.random()
+        if r < 0.55 or not live:
+            it, g = nxt[0], rng.choice("ab")
+            score = rng.randrange(1, 6) * 5  # tie-prone scores
+            nxt[0] += 1
+            live.append((it, g, score))
+            s.execute(f"INSERT INTO rkt_t VALUES ('{g}', {it}, "
+                      f"{score})")
+        else:
+            it, g, score = live.pop(rng.randrange(len(live)))
+            s.execute(f"DELETE FROM rkt_t WHERE item = {it}")
+        assert _rows(s, "rkt_rank") == _recompute(s, rank_body), \
+            f"RANK topk diverged at step {i}"
+        assert _rows(s, "rkt_dense") == _recompute(s, dense_body), \
+            f"DENSE_RANK topk diverged at step {i}"
+    for v in ("rkt_rank", "rkt_dense"):
+        s.execute(f"DROP VIEW {v}")
+    s.execute("DROP TABLE rkt_t")
