@@ -561,6 +561,11 @@ class Explain(Stmt):
 
 
 @dataclass
+class ExplainMaintenance(Stmt):
+    name: str   # EXPLAIN MAINTENANCE FOR [MATERIALIZED VIEW] <name>
+
+
+@dataclass
 class Prepare(Stmt):
     name: str
     body: str
@@ -1810,6 +1815,15 @@ class Parser:
                 if not self.at_kw("CREATE"):
                     raise ParseError("expected CREATE SINK", self.peek())
                 return ExplainSinkSchema(which.lower(), self.rest())
+        if self.take_kw("MAINTENANCE", "FOR"):
+            # EXPLAIN MAINTENANCE FOR [MATERIALIZED VIEW] <name> —
+            # render the maintained-operator tree of a delta MV (the
+            # reference's EXPLAIN over an installed dataflow)
+            self.take_kw("MATERIALIZED")
+            self.take_kw("VIEW")
+            name = self.ident()
+            self.expect_end()
+            return ExplainMaintenance(name)
         stage = "PHYSICAL"
         if self.take_kw("FILTER", "PUSHDOWN"):
             # reference ExplainPushdownStatement (EXPLAIN FILTER
@@ -1985,7 +1999,8 @@ __all__ = [
     "Insert", "Update", "Delete", "RefreshMV", "AlterRename", "AlterRetain",
     "AlterAddColumn", "Comment",
     "Subscribe", "CopyTo", "CopyFrom", "Show", "ShowCreate", "ShowColumns",
-    "ExplainTimestamp", "Explain", "Prepare", "Execute", "Deallocate",
+    "ExplainTimestamp", "Explain", "ExplainMaintenance",
+    "Prepare", "Execute", "Deallocate",
     "Declare", "Fetch", "Close", "Begin", "Commit", "Rollback",
     "SelectAsOf", "TableStmt", "Wmr", "Peek",
 ]

@@ -585,6 +585,9 @@ class MzSession:
                 "one shared partition key set that the SELECT also "
                 "projects (no ORDER BY / frame inside OVER); "
                 + _DELTA_SUPPORTED)
+        elif q.items and all(it.agg for it in q.items):
+            if self._plan_delta_global_agg(node, q):
+                return
         elif q.table is not None:
             # stateless Map/Filter over one relation — a one-branch
             # Union on the parts spine (output delta = the transformed
@@ -1085,6 +1088,36 @@ class MzSession:
                 "where": q.where, "kind": "agg",
                 "having": having, "exprs": exprs, "pre": pre,
                 "pre_where": pre_where, "pre_layers": pre_layers or ()}
+        self._install_delta_mv(node.name, spec)
+        return True
+
+    def _plan_delta_global_agg(self, node: ast.CreateView, q) -> bool:
+        """Global aggregate over one table (no GROUP BY): the
+        reference's reduce with an EMPTY key (one output row —
+        src/compute-types/src/plan/reduce.rs renders keyless reduces
+        like any other). Maintained by RetractionAwareAgg on a
+        synthetic constant group; the empty-input row (COUNT = 0, the
+        rest NULL) is synthesized when the state drains, matching SQL's
+        one-row guarantee for keyless aggregates."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg,
+        )
+
+        if q.having is not None:
+            return False
+        parsed = _classify_agg_items(q.items)
+        if parsed is None:
+            return False
+        keys, aggs, exprs = parsed
+        if keys or not aggs:
+            return False
+        self._delta_check_table(q.table)
+        mv = RetractionAwareAgg(self.spark, keys=["__g"], aggs=aggs)
+        spec = {"mv": mv, "table": q.table, "keys": ["__g"],
+                "aggs": aggs, "where": q.where, "kind": "agg",
+                "having": None, "exprs": exprs, "pre": None,
+                "pre_where": None, "pre_layers": (),
+                "global_agg": True}
         self._install_delta_mv(node.name, spec)
         return True
 
@@ -1739,6 +1772,8 @@ class MzSession:
                                  "false)")
         touched = tkeys = None
         if spec.get("kind") == "agg":
+            if spec.get("global_agg"):
+                delta = delta.withColumn("__g", F.lit(0))
             for internal, src in spec.get("exprs", {}).items():
                 # expression aggregate inputs (SUM(a * (1 - b))):
                 # computed on the delta before the keyed reduce
@@ -1763,6 +1798,19 @@ class MzSession:
             touched, tkeys = (delta.select(*spec["keys"]).distinct(),
                               spec["keys"])
         result = spec["mv"].on_batch(delta)
+        if spec.get("global_agg"):
+            result = result.drop("__g")
+            if result.isEmpty():
+                # keyless aggregates return ONE row on empty input:
+                # COUNT = 0, everything else NULL (typed from the
+                # maintained result's own schema)
+                cols = []
+                for f in result.schema.fields:
+                    kind = spec["aggs"][f.name][0]
+                    base = F.lit(0) if kind == "count" else F.lit(None)
+                    cols.append(base.cast(f.dataType).alias(f.name))
+                result = self.spark.range(1).select(*cols)
+            touched = tkeys = None
         if spec.get("kind") == "topk":  # project to the outer SELECT list
             result = result.select(*spec["cols"])
         if spec.get("having"):
@@ -4267,6 +4315,138 @@ class MzSession:
             [(node.name, since, upper, max(since, upper - 1))],
             "name string, since long, upper long, query_timestamp long")
 
+    def _explain_maintenance(self, node: ast.ExplainMaintenance,
+                             sql: str):
+        """EXPLAIN MAINTENANCE FOR <delta MV>: render the
+        maintained-operator tree the dispatcher assembled — the
+        reference's EXPLAIN over an installed dataflow shows its
+        per-operator incremental plans the same way
+        (src/compute-types/src/plan/{reduce,top_k,join}.rs)."""
+        spec = self._delta_mvs.get(node.name)
+        if spec is None:
+            if node.name in self._matviews:
+                raise ValueError(
+                    f"{node.name!r} is not delta-maintained (snapshot "
+                    "/ REFRESH MV) — EXPLAIN MAINTENANCE applies to "
+                    "WITH (MAINTENANCE 'delta') views")
+            raise KeyError(f"unknown materialized view {node.name!r}")
+        lines = self._render_maintenance(spec)
+        return self.spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(lines)],
+            "seq int, plan string")
+
+    def _render_maintenance(self, spec: dict) -> list[str]:
+        """One indented line per maintained operator, leaves last."""
+        def rel(t):
+            return f"Import {t} (upstream delta MV)" \
+                if t in self._delta_mvs else f"Scan {t}"
+
+        def branch_lines(branches, pad="  "):
+            out = []
+            for b in branches:
+                mfp = f"{pad}MapFilterProject"
+                if b.get("where"):
+                    mfp += f" [filter: {b['where']}]"
+                out.append(mfp)
+                out.append(f"{pad}  {rel(b['table'])}")
+            return out
+
+        kind = spec.get("kind")
+        lines: list[str] = []
+        if kind == "union":
+            if spec.get("agg") is not None:
+                a = spec["agg"]
+                lines.append(
+                    f"Reduce keys={a.keys} aggs={list(a.aggs)}"
+                    + (f" having=[{spec['having']}]"
+                       if spec.get("having") else ""))
+            elif spec.get("distinct") is not None:
+                lines.append(f"Distinct cols={spec['dcols']}")
+            lines.append("Union (diff-sum, linear)")
+            lines += branch_lines(spec["branches"])
+        elif kind == "setop":
+            mv = spec["mv"]
+            op = ("ExceptAll" if mv.op == "except" and mv.all else
+                  "Except" if mv.op == "except" else
+                  "IntersectAll" if mv.all else "Intersect")
+            lines.append(
+                f"Threshold[{op}] sides={mv.nsides} "
+                f"(per-side multiplicity state)")
+            lines += branch_lines(spec["branches"])
+        elif kind == "join":
+            if spec.get("agg") is not None:
+                lines.append(
+                    f"Reduce keys={spec['keys']} "
+                    f"aggs={list(spec['aggs'])}"
+                    + (f" having=[{spec['having']}]"
+                       if spec.get("having") else ""))
+            if spec.get("topk") is not None:
+                tk = spec["topk"]["mv"]
+                lines.append(
+                    f"TopK mode={tk.mode} keys={tk.keys} "
+                    f"order={tk.order_col} limit={tk.limit}")
+            if spec.get("distinct") is not None:
+                lines.append("Distinct")
+            if spec.get("where"):
+                lines.append(f"Filter [{spec['where']}]")
+            lines.append(
+                "DeltaJoin (bilinear: dA*B + A*dB + dA*dB, "
+                "spill-tiered state)")
+            lines.append(f"  {rel(spec['tables'][0])}")
+            for i, t in enumerate(spec["tables"][1:]):
+                k = spec["kinds"][i]
+                on = spec["links"][i]
+                lines.append(f"  {k.upper()} JOIN {rel(t)} on={on}")
+        elif kind == "winagg":
+            lines.append(
+                f"WindowAggregate partition={spec['pkeys']} "
+                f"aggs={list(spec['wins'])} "
+                "(Reduce + touched-partition row refresh)")
+            if spec.get("where"):
+                lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        elif kind == "topk":
+            tk = spec["mv"]
+            lines.append(
+                f"TopK mode={tk.mode} keys={tk.keys} "
+                f"order={tk.order_col} limit={tk.limit} "
+                "(compacted support survives deletes)")
+            if spec.get("where"):
+                lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        elif kind == "distinct":
+            lines.append(f"Distinct cols={spec['cols']} "
+                         "(net-multiplicity state)")
+            if spec.get("where"):
+                lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        elif kind == "agg":
+            a = spec["mv"]
+            strategies = {
+                out: ("accumulable" if k[0] in ("sum", "count", "avg")
+                      else "hierarchical")
+                for out, k in spec["aggs"].items()}
+            head = ("Reduce keys=[] (global, one-row guarantee)"
+                    if spec.get("global_agg")
+                    else f"Reduce keys={spec['keys']}")
+            lines.append(f"{head} aggs={strategies}"
+                         + (f" having=[{spec['having']}]"
+                            if spec.get("having") else ""))
+            for lw, lsel in spec.get("pre_layers", ()):
+                lines.append("  MapFilterProject (subquery layer)"
+                             + (f" [filter: {lw}]" if lw else ""))
+            if spec.get("where"):
+                lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        else:
+            # threshold-semijoin and any other single-table form
+            lines.append(f"{type(spec['mv']).__name__} "
+                         f"keys={spec.get('keys')}")
+            if spec.get("where"):
+                lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        return lines
+
     def _explain(self, node: ast.Explain, sql: str):
         # Reference EXPLAIN stages (doc/developer/101-query-compilation
         # .md:50-91): RAW = parsed logical plan, OPTIMIZED = after
@@ -5216,6 +5396,7 @@ class MzSession:
         ast.ShowColumns: _show_columns,
         ast.ExplainTimestamp: _explain_timestamp,
         ast.Explain: _explain,
+        ast.ExplainMaintenance: _explain_maintenance,
         ast.Prepare: _prepare,
         ast.Execute: _execute_prepared,
         ast.Deallocate: _deallocate,

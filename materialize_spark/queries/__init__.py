@@ -87,7 +87,8 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_union_agg",
         "sqlfront_delta_mv_except", "sqlfront_delta_mv_intersect",
         "sqlfront_delta_mv_window_agg", "sqlfront_delta_mv_stacked",
-        "sqlfront_delta_mv_rank_topk",
+        "sqlfront_delta_mv_rank_topk", "sqlfront_delta_mv_global_agg",
+        "sqlfront_explain_maintenance",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
@@ -102,8 +103,7 @@ def load_all() -> dict[str, QuerySpec]:
         # keep the window at 50: the window/scalar/kafka families
         # yielded their slots to this round's capability block — all
         # stay green in the local full-registry gate) ---
-        "upsert_envelope_batch",
-        "temporal_filter", "agg_rollup", "kafka_source_sql",
+        "upsert_envelope_batch", "kafka_source_sql",
         "cdc_pgoutput_wire_apply",
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
         "dedup_minhash_lsh",

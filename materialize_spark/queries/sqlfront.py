@@ -2069,3 +2069,100 @@ def sqlfront_delta_mv_rank_topk(spark, sf_dir):
                     F.col("item").cast("long").alias("item"),
                     F.col("score").cast("long").alias("score"))
             .orderBy("at", "mv", "g", "item"))
+
+
+@register(
+    "sqlfront_delta_mv_global_agg",
+    """
+    -- oracle: literal truth of the write sequence against a keyless
+    -- (no GROUP BY) aggregate delta MV, incl. the one-row empty-input
+    -- guarantee after a full drain
+    SELECT * FROM (VALUES
+        ('mid',   CAST(6 AS BIGINT),  CAST(2 AS BIGINT),
+         CAST(1 AS BIGINT),    CAST(5 AS BIGINT)),
+        ('empty', CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        ('final', CAST(77 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(7 AS BIGINT),    CAST(70 AS BIGINT))
+    ) AS t(at, s, n, lo, hi)
+    ORDER BY at
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "aggregates",
+)
+def sqlfront_delta_mv_global_agg(spark, sf_dir):
+    """Keyless aggregates delta-maintained: the reference's reduce with
+    an EMPTY key (src/compute-types/src/plan/reduce.rs renders keyless
+    reduces like any other; SQL guarantees one output row even on empty
+    input). MIN/MAX survive deletes through the hierarchical support;
+    a full drain publishes the empty-input row (COUNT = 0, rest
+    NULL)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dga_t (k STRING, v BIGINT);
+        INSERT INTO dga_t VALUES ('a', 1), ('b', 5), ('c', 500);
+        CREATE MATERIALIZED VIEW dga WITH (MAINTENANCE 'delta') AS
+          SELECT SUM(v) AS s, COUNT(*) AS n, MIN(v) AS lo,
+                 MAX(v) AS hi
+          FROM dga_t WHERE v < 100;
+    """)
+
+    def snap(at):
+        return s.sql("SELECT s, n, lo, hi FROM dga").select(
+            F.lit(at).alias("at"), "s", "n", "lo", "hi")
+
+    mid = snap("mid")
+    s.execute("DELETE FROM dga_t")
+    empty = snap("empty")
+    s.run_script("INSERT INTO dga_t VALUES ('z', 7), ('y', 70);")
+    fin = snap("final")
+    return (mid.unionByName(empty).unionByName(fin)
+            .select("at", F.col("s").cast("long").alias("s"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("lo").cast("long").alias("lo"),
+                    F.col("hi").cast("long").alias("hi"))
+            .orderBy("at"))
+
+
+@register(
+    "sqlfront_explain_maintenance",
+    """
+    -- oracle: the rendered maintained-operator trees are deterministic
+    -- strings (reduce over a table; stateless map/filter importing an
+    -- upstream delta MV)
+    SELECT * FROM (VALUES
+        ('agg', 0, 'Reduce keys=[''k''] aggs={''tot'': ''accumulable''}'),
+        ('agg', 1, '  Scan dxm_t'),
+        ('hot', 0, 'Union (diff-sum, linear)'),
+        ('hot', 1, '  MapFilterProject [filter: coalesce((tot > 0), false)]'),
+        ('hot', 2, '    Import dxm_agg (upstream delta MV)')
+    ) AS t(mv, seq, plan)
+    ORDER BY mv, seq
+    """,
+    "sqlfront", "explain", "delta-maintenance",
+)
+def sqlfront_explain_maintenance(spark, sf_dir):
+    """EXPLAIN MAINTENANCE FOR <delta MV>: the maintained-operator
+    tree the dispatcher assembled, one line per operator — the
+    reference's EXPLAIN over an installed dataflow renders its
+    per-operator incremental plans the same way
+    (src/compute-types/src/plan/{reduce,top_k,join}.rs). Includes the
+    stacked-MV case: the downstream view's leaf is an Import of the
+    upstream arrangement, not a table scan."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dxm_t (k STRING, v BIGINT);
+        INSERT INTO dxm_t VALUES ('a', 1);
+        CREATE MATERIALIZED VIEW dxm_agg WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(v) AS tot FROM dxm_t GROUP BY k;
+        CREATE MATERIALIZED VIEW dxm_hot WITH (MAINTENANCE 'delta') AS
+          SELECT k, tot FROM dxm_agg WHERE tot > 0;
+    """)
+    a = s.sql("EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW dxm_agg") \
+        .select(F.lit("agg").alias("mv"), "seq", "plan")
+    h = s.sql("EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW dxm_hot") \
+        .select(F.lit("hot").alias("mv"), "seq", "plan")
+    return a.unionByName(h).orderBy("mv", "seq")

@@ -569,3 +569,37 @@ def test_delta_mv_rank_and_dense_rank_topk_churn(spark):
     for v in ("rkt_rank", "rkt_dense"):
         s.execute(f"DROP VIEW {v}")
     s.execute("DROP TABLE rkt_t")
+
+
+def test_delta_mv_global_agg_churn(spark):
+    """Keyless aggregates (no GROUP BY) delta-maintained, including the
+    one-row empty-input guarantee (COUNT = 0, the rest NULL) when the
+    state drains, and MIN/MAX re-derivation under deletes."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(17)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE gac_t (k STRING, v BIGINT)")
+    body = ("SELECT SUM(v) AS s, COUNT(*) AS n, MIN(v) AS lo, "
+            "MAX(v) AS hi FROM gac_t WHERE v < 50")
+    s.execute(f"CREATE MATERIALIZED VIEW gac WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "gac") == _recompute(s, body)  # empty input: 1 row
+    live = []
+    for i in range(14):
+        r = rng.random()
+        if r < 0.55 or not live:
+            k, v = rng.choice("ab"), rng.randrange(1, 60)
+            live.append((k, v))
+            s.execute(f"INSERT INTO gac_t VALUES ('{k}', {v})")
+        else:
+            k, v = live.pop(rng.randrange(len(live)))
+            s.execute(f"DELETE FROM gac_t WHERE k = '{k}' AND v = {v}")
+        assert _rows(s, "gac") == _recompute(s, body), \
+            f"global agg diverged at step {i}"
+    # drain completely: back to the one empty-input row
+    s.execute("DELETE FROM gac_t")
+    assert _rows(s, "gac") == _recompute(s, body)
+    s.execute("DROP VIEW gac")
+    s.execute("DROP TABLE gac_t")

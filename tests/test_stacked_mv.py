@@ -163,3 +163,38 @@ def test_stacked_subscribe_downstream(spark):
     s.execute("DROP VIEW stv_b")
     s.execute("DROP VIEW stv_a")
     s.execute("DROP TABLE stv_t")
+
+
+def test_explain_maintenance(spark):
+    """EXPLAIN MAINTENANCE FOR <delta MV> renders the maintained
+    operator tree (reduce/join/topk/setop/union nodes, upstream MV
+    imports); snapshot MVs and unknown names error."""
+    import pytest
+
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE exm_t (k STRING, v BIGINT)")
+    s.execute("INSERT INTO exm_t VALUES ('a', 1)")
+    s.execute("CREATE MATERIALIZED VIEW exm_agg WITH (MAINTENANCE "
+              "'delta') AS SELECT k, SUM(v) AS tot FROM exm_t "
+              "GROUP BY k")
+    s.execute("CREATE MATERIALIZED VIEW exm_hot WITH (MAINTENANCE "
+              "'delta') AS SELECT k, tot FROM exm_agg WHERE tot > 0")
+    plan = [r.plan for r in s.sql(
+        "EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW exm_agg")
+        .orderBy("seq").collect()]
+    assert any("Reduce keys=['k']" in ln for ln in plan)
+    assert any("Scan exm_t" in ln for ln in plan)
+    plan2 = [r.plan for r in s.sql(
+        "EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW exm_hot")
+        .orderBy("seq").collect()]
+    assert any("Import exm_agg (upstream delta MV)" in ln
+               for ln in plan2)
+    s.execute("CREATE MATERIALIZED VIEW exm_snap AS "
+              "SELECT k FROM exm_t")
+    with pytest.raises(Exception, match="not delta-maintained"):
+        s.execute("EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW exm_snap")
+    with pytest.raises(Exception, match="unknown materialized view"):
+        s.execute("EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW nope")
+    for v in ("exm_snap", "exm_hot", "exm_agg"):
+        s.execute(f"DROP VIEW {v}")
+    s.execute("DROP TABLE exm_t")

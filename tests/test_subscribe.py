@@ -364,33 +364,65 @@ def test_subscribe_query_delta_maintained(spark):
 
 
 def test_subscribe_query_recompute_fallback(spark):
-    """A body the delta dispatcher can't maintain (global aggregate, no
-    GROUP BY) falls back to recompute-on-commit: commits to the base
-    table still push correct diffs to the subscriber."""
+    """A body the delta dispatcher can't maintain (a navigation window
+    with an ORDER BY frame) falls back to recompute-on-commit: commits
+    to the base table still push correct diffs to the subscriber."""
     from materialize_spark.plans.sqlfront import MzSession
     sess = MzSession(spark, "/root/testdata/sf0.001")
     sess.execute("CREATE TABLE subq_g (v BIGINT)")
     sess.execute("INSERT INTO subq_g VALUES (1), (2)")
     sid, first, node = sess.subscribe_open(
-        "SUBSCRIBE (SELECT MAX(v) AS m FROM subq_g)")
+        "SUBSCRIBE (SELECT v, LAG(v) OVER (ORDER BY v) AS m "
+        "FROM subq_g)")
     assert node.name in sess._query_subs  # the fallback path
-    assert [r.m for r in first.collect()] == [2]
+    assert sorted((r.v, r.m) for r in first.collect()) == \
+        [(1, None), (2, 1)]
     sess.execute("INSERT INTO subq_g VALUES (9)")
+    out = sess.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        got[(r.v, r.m)] = got.get((r.v, r.m), 0) + r.diff
+    assert got == {(9, 2): 1}
+    # DELETE flows through the recompute too
+    sess.execute("DELETE FROM subq_g WHERE v = 2")
+    out = sess.subscribe_poll(sid)
+    got = {}
+    for r in out.collect():
+        got[(r.v, r.m)] = got.get((r.v, r.m), 0) + r.diff
+    assert got == {(2, 1): -1, (9, 2): -1, (9, 1): 1}
+    sess.subscribe_close(sid)
+    assert sess._query_subs == {}
+    sess.execute("DROP TABLE subq_g")
+
+
+def test_subscribe_query_global_agg_maintained(spark):
+    """SUBSCRIBE (SELECT MAX(v) ...) — a keyless aggregate — is now
+    DELTA-maintained (reduce with an empty key), not recompute
+    fallback; deletes that evict the current max re-derive it from the
+    maintained support."""
+    from materialize_spark.plans.sqlfront import MzSession
+    sess = MzSession(spark, "/root/testdata/sf0.001")
+    sess.execute("CREATE TABLE subq_ga (v BIGINT)")
+    sess.execute("INSERT INTO subq_ga VALUES (1), (2)")
+    sid, first, node = sess.subscribe_open(
+        "SUBSCRIBE (SELECT MAX(v) AS m FROM subq_ga)")
+    assert node.name in sess._delta_mvs  # maintained, not fallback
+    assert node.name not in sess._query_subs
+    assert [r.m for r in first.collect()] == [2]
+    sess.execute("INSERT INTO subq_ga VALUES (9)")
     out = sess.subscribe_poll(sid)
     got = {}
     for r in out.collect():
         got[r.m] = got.get(r.m, 0) + r.diff
     assert got == {2: -1, 9: 1}
-    # DELETE flows through the recompute too
-    sess.execute("DELETE FROM subq_g WHERE v = 9")
+    sess.execute("DELETE FROM subq_ga WHERE v = 9")
     out = sess.subscribe_poll(sid)
     got = {}
     for r in out.collect():
         got[r.m] = got.get(r.m, 0) + r.diff
     assert got == {9: -1, 2: 1}
     sess.subscribe_close(sid)
-    assert sess._query_subs == {}
-    sess.execute("DROP TABLE subq_g")
+    sess.execute("DROP TABLE subq_ga")
 
 
 def test_subscribe_query_one_shot_execute(spark):
