@@ -735,7 +735,8 @@ class MzSession:
                 return False
             dcols = [it.expr for it in q.items]
             spec.update({"distinct": RetractionAwareDistinct(
-                self.spark, cols=dcols), "dcols": dcols})
+                self.spark, cols=dcols,
+                spill_rows=_TOPK_SPILL_ROWS), "dcols": dcols})
         else:
             return False
         self._delta_mvs[node.name] = spec
@@ -854,7 +855,8 @@ class MzSession:
                 "tables": tuple({b["table"] for b in branches}),
                 "where": None,
                 "distinct": RetractionAwareDistinct(
-                    self.spark, cols=cols), "dcols": cols}
+                    self.spark, cols=cols,
+                    spill_rows=_TOPK_SPILL_ROWS), "dcols": cols}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_union(node.name)
 
@@ -875,7 +877,8 @@ class MzSession:
                 "tables": tuple({b["table"] for b in branches}),
                 "mv": RetractionAwareSetOp(
                     self.spark, cols=cols, op=op, all=is_all,
-                    nsides=len(branches))}
+                    nsides=len(branches),
+                    spill_rows=_TOPK_SPILL_ROWS)}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_setop(node.name)
 
@@ -1187,7 +1190,8 @@ class MzSession:
             return False
         cols = [it.expr for it in q.items]
         self._delta_check_table(q.table)
-        mv = RetractionAwareDistinct(self.spark, cols=cols)
+        mv = RetractionAwareDistinct(self.spark, cols=cols,
+                                     spill_rows=_TOPK_SPILL_ROWS)
         spec = {"mv": mv, "table": q.table, "cols": cols,
                 "where": q.where, "kind": "distinct", "pre": pre,
                 "pre_where": pre_where, "pre_layers": pre_layers or ()}
@@ -1581,7 +1585,8 @@ class MzSession:
             from materialize_spark.streaming.retraction import (
                 RetractionAwareDistinct,
             )
-            dmv = RetractionAwareDistinct(self.spark, cols=cols)
+            dmv = RetractionAwareDistinct(
+                self.spark, cols=cols, spill_rows=_TOPK_SPILL_ROWS)
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": agg,
                 "keys": keys, "aggs": aggs, "cols": cols,

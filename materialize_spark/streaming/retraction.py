@@ -231,25 +231,35 @@ class RetractionAwareDistinct:
     spark: SparkSession
     cols: list[str]
     compact_every: int = 16
-    _parts: list[DataFrame] = field(default_factory=list, init=False)
+    # distinct-support state is INPUT-sized (every distinct live row);
+    # past this row budget it moves to the hash-prefix-partitioned
+    # parquet tier (streaming/state_spill.py) and probes prune to the
+    # touched rows' prefixes before any I/O — the 100 TB growth path
+    spill_rows: int | None = None
+    _state: object = field(default=None, init=False)
     _result: DataFrame | None = field(default=None, init=False)
+
+    def __post_init__(self) -> None:
+        from materialize_spark.streaming.state_spill import (
+            SpilledPartsState,
+        )
+        self._state = SpilledPartsState(
+            self.spark, key_cols=self.cols, name="distinct",
+            spill_rows=self.spill_rows)
 
     def on_batch(self, delta: DataFrame) -> DataFrame:
         batch_supp = _ckpt(delta.groupBy(*self.cols)
                            .agg(F.sum(DIFF_COL).alias("mult"))
                            .filter(F.col("mult") != 0))
         touched = batch_supp.select(*self.cols).distinct()
-        self._parts.append(batch_supp)
-        all_supp = self._parts[0]
-        for p in self._parts[1:]:
-            all_supp = all_supp.unionByName(p)
-        if len(self._parts) >= self.compact_every:
-            folded = _ckpt(all_supp.groupBy(*self.cols)
+        self._state.append(batch_supp)
+        if self._state.n_parts() >= self.compact_every:
+            folded = _ckpt(self._state.full_frame()
+                           .groupBy(*self.cols)
                            .agg(F.sum("mult").alias("mult"))
                            .filter(F.col("mult") != 0))
-            self._parts.clear()
-            self._parts.append(folded)
-            all_supp = folded
+            self._state.replace(folded)
+        all_supp = self._state.probe_frame(touched)
         visible = (_ns_probe(all_supp, touched, self.cols)
                    .groupBy(*self.cols).agg(F.sum("mult").alias("mult"))
                    .filter(F.col("mult") > 0).drop("mult"))
@@ -300,12 +310,23 @@ class RetractionAwareSetOp:
     all: bool
     nsides: int = 2
     compact_every: int = 16
-    _parts: list[DataFrame] = field(default_factory=list, init=False)
+    # set-op support is INPUT-sized ((row, side) -> net); the same
+    # spill tier as the join/TopK states bounds executor memory and
+    # prefix-prunes probes — without it a 100 TB EXCEPT would hold
+    # both inputs in memory
+    spill_rows: int | None = None
+    _state: object = field(default=None, init=False)
     _result: DataFrame | None = field(default=None, init=False)
 
     def __post_init__(self) -> None:
         if self.op not in ("except", "intersect"):
             raise ValueError(f"unsupported set op {self.op!r}")
+        from materialize_spark.streaming.state_spill import (
+            SpilledPartsState,
+        )
+        self._state = SpilledPartsState(
+            self.spark, key_cols=self.cols, name="setop",
+            spill_rows=self.spill_rows)
 
     def _vis(self) -> "F.Column":
         """Visible multiplicity from per-side clamped nets __m0..__mN."""
@@ -339,17 +360,14 @@ class RetractionAwareSetOp:
                            .agg(F.sum(DIFF_COL).alias("mult"))
                            .filter(F.col("mult") != 0))
         touched = delta.select(*self.cols).distinct()
-        self._parts.append(batch_supp)
-        all_supp = self._parts[0]
-        for p in self._parts[1:]:
-            all_supp = all_supp.unionByName(p)
-        if len(self._parts) >= self.compact_every:  # amortized fold
-            folded = _ckpt(all_supp.groupBy(*self.cols, "__side")
+        self._state.append(batch_supp)
+        if self._state.n_parts() >= self.compact_every:
+            folded = _ckpt(self._state.full_frame()
+                           .groupBy(*self.cols, "__side")
                            .agg(F.sum("mult").alias("mult"))
                            .filter(F.col("mult") != 0))
-            self._parts.clear()
-            self._parts.append(folded)
-            all_supp = folded
+            self._state.replace(folded)
+        all_supp = self._state.probe_frame(touched)
         pivoted = (
             _ns_probe(all_supp, touched, self.cols)
             .groupBy(*self.cols)

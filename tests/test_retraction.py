@@ -191,3 +191,52 @@ def test_topk_spilled_state_still_exact(spark, tmp_path):
     out = tk.on_batch(spark.createDataFrame([("b", 30, -1)], S))
     got = sorted((r.k, r.v) for r in out.collect())
     assert got == [("a", 2), ("a", 5), ("b", 8), ("c", 1)]
+
+
+def test_setop_spilled_state_still_exact(spark):
+    """Set-op support past the spill budget: the (row, side) nets live
+    on the partitioned parquet tier and a delete on one side still
+    re-derives the visible multiplicity from disk."""
+    from materialize_spark.streaming.retraction import (
+        RetractionAwareSetOp,
+    )
+
+    so = RetractionAwareSetOp(spark, cols=["k", "v"], op="except",
+                              all=True, compact_every=2, spill_rows=1)
+    S = "k string, v long, __side int, diff long"
+    so.on_batch(spark.createDataFrame(
+        [("a", 1, 0, 1), ("a", 1, 0, 1), ("b", 2, 0, 1)], S))
+    so.on_batch(spark.createDataFrame(
+        [("a", 1, 1, 1)], S))  # -> compact + spill
+    assert so._state._disk is not None, "support should have spilled"
+    got = sorted((r.k, r.v) for r in so.result().collect())
+    assert got == [("a", 1), ("b", 2)]  # 2-1 copies of a1 + b2
+    # retract the right-side a1 FROM DISK state: a1 count goes back to 2
+    out = so.on_batch(spark.createDataFrame([("a", 1, 1, -1)], S))
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", 1), ("a", 1), ("b", 2)]
+    # drain the left side of a entirely (also disk-resident now)
+    out = so.on_batch(spark.createDataFrame(
+        [("a", 1, 0, -1), ("a", 1, 0, -1)], S))
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("b", 2)]
+
+
+def test_distinct_spilled_state_still_exact(spark):
+    """DISTINCT support past the spill budget: net multiplicities read
+    back from the partitioned tier keep visibility exact when a row's
+    last copy is retracted."""
+    from materialize_spark.streaming.retraction import (
+        RetractionAwareDistinct,
+    )
+
+    d = RetractionAwareDistinct(spark, cols=["k"], compact_every=2,
+                                spill_rows=1)
+    S = "k string, diff long"
+    d.on_batch(spark.createDataFrame([("a", 1), ("a", 1), ("b", 1)], S))
+    d.on_batch(spark.createDataFrame([("c", 1)], S))  # -> spill
+    assert d._state._disk is not None, "support should have spilled"
+    out = d.on_batch(spark.createDataFrame([("a", -1)], S))
+    assert sorted(r.k for r in out.collect()) == ["a", "b", "c"]
+    out = d.on_batch(spark.createDataFrame([("a", -1)], S))
+    assert sorted(r.k for r in out.collect()) == ["b", "c"]
