@@ -39,12 +39,13 @@ _ROW_NUMBER_RE = re.compile(
     r"(?P<keys>.+?)\s+ORDER\s+BY\s+(?P<ord>\w+)\s*(?P<dir>ASC|DESC)?"
     r"\s*\)$", re.I | re.S)
 
-# frameless window-aggregate leaf: AGG(arg) OVER (PARTITION BY keys) —
-# no ORDER BY means no frame, so the value is the whole partition's
-# aggregate (a Reduce joined back to its input)
+# frameless window-aggregate leaf: AGG(arg) OVER ([PARTITION BY keys])
+# — no ORDER BY means no frame, so the value is the whole partition's
+# aggregate (a Reduce joined back to its input); OVER () is the global
+# total (the share-of-total idiom v / SUM(v) OVER ())
 _WIN_AGG_RE = re.compile(
     r"^(?P<kind>sum|count|min|max|avg)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s*"
-    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s*\)$",
+    r"OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<keys>[\w\s,]+?))?\s*\)$",
     re.I | re.S)
 
 
@@ -67,12 +68,13 @@ class SelectItem:
 
     @property
     def win_agg(self) -> tuple[str, str, list[str]] | None:
-        """(kind, arg, partition keys) when the item is an aggregate
-        over a frameless PARTITION BY window."""
+        """(kind, arg, partition keys — empty for OVER ()) when the
+        item is an aggregate over a frameless window."""
         m = _WIN_AGG_RE.match(self.expr)
         if not m:
             return None
-        keys = [k.strip() for k in m.group("keys").split(",")]
+        keys = [k.strip() for k in m.group("keys").split(",")] \
+            if m.group("keys") else []
         return m.group("kind").lower(), m.group("arg").strip(), keys
 
     @property

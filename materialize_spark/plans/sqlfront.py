@@ -98,9 +98,41 @@ def _classify_agg_items(items):
             aggs[it.alias] = (kind, col)
         elif it.is_column and it.alias is None and not aggs:
             keys.append(it.expr)
+        elif it.alias is not None and not aggs \
+                and not re.search(
+                    r"(?i)\b(sum|count|min|max|avg)\s*\(|\bOVER\b|"
+                    r"\(\s*SELECT\b", it.expr):
+            # aliased EXPRESSION key (date_trunc buckets, a || b, …):
+            # computed as an internal column on the delta before the
+            # keyed reduce, named by the alias — the reference's mfp
+            # fusion puts group-key expressions in the same pre-reduce
+            # Map (reduce.rs group_key is a list of MirScalarExprs)
+            keys.append(it.alias)
+            exprs[it.alias] = it.expr
         else:
-            return None   # expression keys / aliased keys
+            return None   # unaliased/aggregate-bearing expression keys
     return keys, aggs, exprs
+
+
+def _keys_match_group_by(keys: list[str], exprs: dict[str, str],
+                         group_by: list[str]) -> bool:
+    """GROUP BY entries must match the SELECT's keys in order — each
+    either the key's output name or the key's source expression
+    (whitespace/case-insensitive)."""
+    if len(keys) != len(group_by):
+        return False
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", "", s).lower()
+
+    for k, g in zip(keys, group_by):
+        if norm(g) == norm(k):
+            continue
+        src = exprs.get(k)
+        if src is not None and norm(g) == norm(src):
+            continue
+        return False
+    return True
 
 
 def _having_over_aliases(having: str, aggs: dict[str, tuple[str, str]],
@@ -718,8 +750,8 @@ class MzSession:
                 return False
             keys, aggs, exprs = parsed
             gkeys = [k.strip() for k in q.group_by]
-            if not aggs or [k.lower() for k in keys] != \
-                    [k.lower() for k in gkeys]:
+            if not aggs or not _keys_match_group_by(keys, exprs,
+                                                    gkeys):
                 return False
             having = q.having
             if having is not None:
@@ -945,22 +977,19 @@ class MzSession:
         its own partitions' rows, never the table."""
         if q.table is None:
             return False
-        wins: dict[str, tuple[str, str]] = {}
         exprs: dict[str, str] = {}
         plains: list[str] = []
         out_cols: list[str] = []
-        pkeys: list[str] | None = None
+        # one maintained reduce per DISTINCT partition key set; the
+        # empty set (OVER ()) is the global total — the share-of-total
+        # idiom. keyed by the lowered key tuple.
+        sets: dict[tuple, dict] = {}
         for it in q.items:
             wa = it.win_agg
             if wa is not None:
                 kind, arg, keys = wa
                 if it.alias is None:
                     return False  # unaliased window: no output name
-                if pkeys is None:
-                    pkeys = keys
-                elif [k.lower() for k in keys] != \
-                        [k.lower() for k in pkeys]:
-                    return False  # one shared partition key set
                 if arg == "*":
                     if kind != "count":
                         return False
@@ -972,18 +1001,21 @@ class MzSession:
                 else:
                     col = f"__x{len(exprs)}"
                     exprs[col] = arg
-                wins[it.alias] = (kind, col)
+                sk = tuple(k.lower() for k in keys)
+                st = sets.setdefault(sk, {"keys": keys, "wins": {}})
+                st["wins"][it.alias] = (kind, col)
                 out_cols.append(it.alias)
             elif it.is_column and it.alias is None:
                 plains.append(it.expr)
                 out_cols.append(it.expr)
             else:
                 return False  # expression passthroughs: out of shape
-        if not wins or pkeys is None:
+        if not sets:
             return False
         low_plains = {p.lower() for p in plains}
-        if any(k.lower() not in low_plains for k in pkeys):
-            return False  # partition keys must be projected
+        for sk in sets:
+            if any(k not in low_plains for k in sk):
+                return False  # partition keys must be projected
         try:
             self._delta_check_table(q.table)
         except KeyError:
@@ -991,19 +1023,23 @@ class MzSession:
         from materialize_spark.streaming.retraction import (
             RetractionAwareAgg,
         )
+        for st in sets.values():
+            st["agg"] = RetractionAwareAgg(
+                self.spark, keys=st["keys"] or ["__g"],
+                aggs=st["wins"])
         spec = {"kind": "winagg", "table": q.table, "where": q.where,
-                "plains": plains, "out_cols": out_cols, "wins": wins,
-                "exprs": exprs, "pkeys": pkeys,
-                "agg": RetractionAwareAgg(self.spark, keys=pkeys,
-                                          aggs=wins)}
+                "plains": plains, "out_cols": out_cols,
+                "exprs": exprs, "sets": list(sets.values())}
         self._install_delta_mv(node.name, spec)
         return True
 
     def _feed_delta_mv_winagg(self, name: str, spec: dict, delta,
                               initial: bool) -> None:
         """Fold one base-table diff frame into a window-aggregate MV:
-        update the partition reduce, then refresh ONLY the touched
-        partitions' rows from the current table."""
+        update each partition set's reduce, then refresh ONLY the rows
+        of touched partitions from the current table (a view with a
+        global OVER () set inherently refreshes every row — its output
+        genuinely changes table-wide when the total moves)."""
         from pyspark.sql import functions as F
 
         from materialize_spark.streaming.retraction import (
@@ -1014,30 +1050,99 @@ class MzSession:
                 f"coalesce(({rewrite(spec['where'])}), false)")
         for internal, src in spec["exprs"].items():
             delta = delta.withColumn(internal, F.expr(rewrite(src)))
-        in_cols = {c for _k, c in spec["wins"].values()}
-        if "__one" in in_cols:
-            delta = delta.withColumn("__one", F.lit(1))
-        keyed = delta.select(*spec["pkeys"], *sorted(in_cols), "diff")
-        touched = keyed.select(*spec["pkeys"]).distinct()
-        agg_res = spec["agg"].on_batch(keyed)
+        has_global = any(not st["keys"] for st in spec["sets"])
+        touched_by_set = []
+        for st in spec["sets"]:
+            in_cols = {c for _k, c in st["wins"].values()}
+            d = delta
+            if "__one" in in_cols:
+                d = d.withColumn("__one", F.lit(1))
+            if not st["keys"]:
+                d = d.withColumn("__g", F.lit(0))
+            keyed = d.select(*(st["keys"] or ["__g"]),
+                             *sorted(in_cols), "diff")
+            st["res"] = st["agg"].on_batch(keyed)
+            # _ckpt the (tiny) touched-key frames: every per-set probe
+            # on BOTH sides of the later result union references them,
+            # and live same-source plans would share exprIds (Catalyst
+            # relation-dedup 'key not found')
+            touched_by_set.append(
+                None if not st["keys"]
+                else _ckpt(keyed.select(*st["keys"]).distinct()))
         base = self._base_frame(spec["table"])
         if spec["where"]:
             base = base.filter(
                 f"coalesce(({rewrite(spec['where'])}), false)")
-        rows = _ns_probe(base, touched, spec["pkeys"]) \
-            .select(*spec["plains"])
-        agg_t = _ns_probe(agg_res, touched, spec["pkeys"])
-        new_rows = _ns_attach(rows, agg_t, spec["pkeys"],
-                              list(spec["wins"].keys())) \
-            .select(*spec["out_cols"])
+
+        def attach(rows, sets):
+            for st in sets:
+                if st["keys"]:
+                    rows = _ns_attach(rows, st["res"], st["keys"],
+                                      list(st["wins"]))
+                else:  # global total: one-row broadcast cross join
+                    rows = rows.crossJoin(
+                        F.broadcast(st["res"].drop("__g")
+                                    .select(*st["wins"])))
+            return rows
+
         old = self._matviews.get(name)
-        if initial or old is None:
-            result = new_rows
-        else:
-            result = (_ns_probe(old, touched, spec["pkeys"], anti=True)
-                      .unionByName(new_rows))
-        self._publish_delta_mv(name, _ckpt(result), initial,
-                               touched=touched, keys=spec["pkeys"])
+        if initial or old is None or has_global:
+            # global set (or formation): every row's output may change
+            result = attach(base.select(*spec["plains"]),
+                            spec["sets"]).select(*spec["out_cols"])
+            self._publish_delta_mv(name, _ckpt(result), initial)
+            return
+        # partition the base into per-set touched slices (disjoint by
+        # sequential anti-probe) and re-derive only those rows
+        # hit part i = rows touched by set i's partitions but not by an
+        # earlier set's (disjoint without materializing remainders).
+        # Every part probes the SAME checkpointed base/old leaf, so the
+        # later unions would share exprIds and trip Catalyst's relation
+        # dedup ('key not found') — _ckpt each part; all of them are
+        # touched-rows-sized, so the per-commit materialization stays
+        # O(touched), never O(table). The untouched remainder stays ONE
+        # live plan (used exactly once, in the result union).
+        base_proj = base.select(*spec["plains"])
+        hit_parts, old_hits = [], []
+        remaining_old = old
+        for i, (st, touched) in enumerate(
+                zip(spec["sets"], touched_by_set)):
+            hit = _ns_probe(base_proj, touched, st["keys"])
+            oh = _ns_probe(old, touched, st["keys"])
+            for j in range(i):
+                pj, tj = spec["sets"][j], touched_by_set[j]
+                hit = _ns_probe(hit, tj, pj["keys"], anti=True)
+                oh = _ns_probe(oh, tj, pj["keys"], anti=True)
+            hit_parts.append(_ckpt(hit))
+            old_hits.append(_ckpt(oh))
+            remaining_old = _ns_probe(remaining_old, touched,
+                                      st["keys"], anti=True)
+        new_touched = hit_parts[0]
+        for p in hit_parts[1:]:
+            new_touched = new_touched.unionByName(p)
+        # deliberately LIVE (not _ckpt'd): a bare checkpoint leaf under
+        # a later checkpointed union trips Spark's LogicalRDD
+        # constraint rewrite ('key not found' on an interior exprId);
+        # the plan stays small — hit parts are checkpoint leaves
+        new_rows = attach(new_touched,
+                          spec["sets"]).select(*spec["out_cols"])
+        old_touched = old_hits[0]
+        for p in old_hits[1:]:
+            old_touched = old_touched.unionByName(p)
+        out_delta = (new_rows.exceptAll(old_touched)
+                     .groupBy(*spec["out_cols"])
+                     .agg(F.count("*").cast("long").alias("diff"))
+                     .unionByName(
+                         old_touched.exceptAll(new_rows)
+                         .groupBy(*spec["out_cols"])
+                         .agg((-F.count("*").cast("long"))
+                              .alias("diff")))
+                     .groupBy(*spec["out_cols"])
+                     .agg(F.sum("diff").alias("diff"))
+                     .filter(F.col("diff") != 0))
+        result = _ckpt(remaining_old.unionByName(new_rows))
+        self._publish_delta_mv(name, result, initial,
+                               out_delta=out_delta)
 
     def _install_delta_mv(self, name: str, spec: dict) -> None:
         """Register a single-table delta MV and form it: the table's
@@ -1072,9 +1177,10 @@ class MzSession:
         if not aggs or not keys:
             return False
         gkeys = [k.strip() for k in q.group_by]
-        if [k.lower() for k in keys] != [k.lower() for k in gkeys]:
+        if not _keys_match_group_by(keys, exprs, gkeys):
             raise ValueError("MAINTENANCE 'delta': the SELECT keys must "
-                             "equal the GROUP BY keys")
+                             "equal the GROUP BY keys (by output name "
+                             "or source expression)")
         self._delta_check_table(q.table)
         having = q.having
         if having is not None:
@@ -1561,8 +1667,8 @@ class MzSession:
                 return False
             keys, aggs, exprs = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
-            if not aggs or [k.lower() for k in keys] != \
-                    [k.lower() for k in gkeys]:
+            if not aggs or not _keys_match_group_by(keys, exprs,
+                                                    gkeys):
                 return False
         else:
             if not all(it.is_column and it.alias is None

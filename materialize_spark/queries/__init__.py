@@ -89,6 +89,8 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_window_agg", "sqlfront_delta_mv_stacked",
         "sqlfront_delta_mv_rank_topk", "sqlfront_delta_mv_global_agg",
         "sqlfront_explain_maintenance",
+        "sqlfront_delta_mv_expr_group_keys",
+        "sqlfront_delta_mv_window_share",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
         "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
@@ -103,7 +105,6 @@ def load_all() -> dict[str, QuerySpec]:
         # keep the window at 50: the window/scalar/kafka families
         # yielded their slots to this round's capability block — all
         # stay green in the local full-registry gate) ---
-        "upsert_envelope_batch", "kafka_source_sql",
         "cdc_pgoutput_wire_apply",
         "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
         "dedup_minhash_lsh",

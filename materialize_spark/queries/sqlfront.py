@@ -2166,3 +2166,144 @@ def sqlfront_explain_maintenance(spark, sf_dir):
     h = s.sql("EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW dxm_hot") \
         .select(F.lit("hot").alias("mv"), "seq", "plan")
     return a.unionByName(h).orderBy("mv", "seq")
+
+
+@register(
+    "sqlfront_delta_mv_expr_group_keys",
+    """
+    -- oracle: literal truth of the write sequence against delta MVs
+    -- grouped on EXPRESSION keys (a date_trunc bucket and a
+    -- concatenation, incl. the GROUP BY-alias form)
+    SELECT * FROM (VALUES
+        ('mid',   'day',  '2024-01-01', CAST(3 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('mid',   'day',  '2024-01-02', CAST(30 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('mid',   'tag',  'A',          CAST(2 AS BIGINT),
+         CAST(NULL AS BIGINT)),
+        ('mid',   'tag',  'B',          CAST(30 AS BIGINT),
+         CAST(NULL AS BIGINT)),
+        ('final', 'day',  '2024-01-01', CAST(2 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('final', 'day',  '2024-01-02', CAST(37 AS BIGINT),
+         CAST(2 AS BIGINT)),
+        ('final', 'tag',  'A',          CAST(7 AS BIGINT),
+         CAST(NULL AS BIGINT)),
+        ('final', 'tag',  'B',          CAST(30 AS BIGINT),
+         CAST(NULL AS BIGINT))
+    ) AS t(at, mv, key, agg1, agg2)
+    ORDER BY at, mv, key
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "aggregates",
+)
+def sqlfront_delta_mv_expr_group_keys(spark, sf_dir):
+    """Expression GROUP BY keys delta-maintained: the key expression
+    (date_trunc bucket / upper()) computes on each delta before the
+    keyed reduce, the reference's pre-reduce Map — its reduce group_key
+    is a list of scalar EXPRESSIONS, not column refs
+    (src/compute-types/src/plan/reduce.rs). Both the repeated-
+    expression and GROUP BY-alias spellings plan."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dek_t (k STRING, ts TIMESTAMP, v BIGINT);
+        INSERT INTO dek_t VALUES
+            ('a', TIMESTAMP '2024-01-01 10:30:00', 1),
+            ('a', TIMESTAMP '2024-01-01 23:00:00', 2),
+            ('b', TIMESTAMP '2024-01-02 05:00:00', 30);
+        CREATE MATERIALIZED VIEW dek_day WITH (MAINTENANCE 'delta') AS
+          SELECT date_trunc('day', ts) AS day, SUM(v) AS tot,
+                 COUNT(*) AS n
+          FROM dek_t GROUP BY date_trunc('day', ts);
+        CREATE MATERIALIZED VIEW dek_tag WITH (MAINTENANCE 'delta') AS
+          SELECT upper(k) AS tag, MAX(v) AS hi FROM dek_t
+          GROUP BY tag;
+    """)
+
+    def snap(at):
+        d = s.sql("SELECT day, tot, n FROM dek_day").select(
+            F.lit(at).alias("at"), F.lit("day").alias("mv"),
+            F.date_format("day", "yyyy-MM-dd").alias("key"),
+            F.col("tot").alias("agg1"), F.col("n").alias("agg2"))
+        t = s.sql("SELECT tag, hi FROM dek_tag").select(
+            F.lit(at).alias("at"), F.lit("tag").alias("mv"),
+            F.col("tag").alias("key"), F.col("hi").alias("agg1"),
+            F.lit(None).cast("long").alias("agg2"))
+        return d.unionByName(t)
+
+    mid = snap("mid")
+    s.run_script("""
+        INSERT INTO dek_t VALUES
+            ('a', TIMESTAMP '2024-01-02 09:00:00', 7),
+            ('a', TIMESTAMP '2024-01-01 01:00:00', 8);
+        DELETE FROM dek_t WHERE v = 2;
+        UPDATE dek_t SET v = 1 WHERE v = 8;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", "key",
+                    F.col("agg1").cast("long").alias("agg1"),
+                    F.col("agg2").cast("long").alias("agg2"))
+            .orderBy("at", "mv", "key"))
+
+
+@register(
+    "sqlfront_delta_mv_window_share",
+    """
+    -- oracle: literal truth of the write sequence against a delta MV
+    -- mixing a per-partition window SUM and the global OVER () total
+    -- (the share-of-total idiom)
+    SELECT * FROM (VALUES
+        ('mid',   'a', CAST(1 AS BIGINT), CAST(4 AS BIGINT),
+         CAST(10 AS BIGINT)),
+        ('mid',   'a', CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+         CAST(10 AS BIGINT)),
+        ('mid',   'b', CAST(6 AS BIGINT), CAST(6 AS BIGINT),
+         CAST(10 AS BIGINT)),
+        ('final', 'a', CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(13 AS BIGINT)),
+        ('final', 'b', CAST(4 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(13 AS BIGINT)),
+        ('final', 'b', CAST(6 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(13 AS BIGINT))
+    ) AS t(at, k, v, sk, total)
+    ORDER BY at, k, v
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "window",
+)
+def sqlfront_delta_mv_window_share(spark, sf_dir):
+    """Multiple frameless window sets in one delta MV — a per-partition
+    SUM plus the global OVER () total (share-of-total): each distinct
+    partition key set keeps its own maintained reduce (the empty set
+    is the keyless reduce), and a commit re-derives rows through every
+    set's join-back — the reference plans one Reduce per distinct
+    window partition the same way (window planning in
+    src/sql/src/plan/query.rs)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dmw_t (k STRING, v BIGINT);
+        INSERT INTO dmw_t VALUES ('a', 1), ('a', 3), ('b', 6);
+        CREATE MATERIALIZED VIEW dmw WITH (MAINTENANCE 'delta') AS
+          SELECT k, v, SUM(v) OVER (PARTITION BY k) AS sk,
+                 SUM(v) OVER () AS total
+          FROM dmw_t;
+    """)
+
+    def snap(at):
+        return s.sql("SELECT k, v, sk, total FROM dmw").select(
+            F.lit(at).alias("at"), "k", "v", "sk", "total")
+
+    mid = snap("mid")
+    s.run_script("""
+        INSERT INTO dmw_t VALUES ('b', 4);
+        DELETE FROM dmw_t WHERE k = 'a' AND v = 1;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "k", F.col("v").cast("long").alias("v"),
+                    F.col("sk").cast("long").alias("sk"),
+                    F.col("total").cast("long").alias("total"))
+            .orderBy("at", "k", "v"))

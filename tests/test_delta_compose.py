@@ -603,3 +603,81 @@ def test_delta_mv_global_agg_churn(spark):
     assert _rows(s, "gac") == _recompute(s, body)
     s.execute("DROP VIEW gac")
     s.execute("DROP TABLE gac_t")
+
+
+def test_delta_mv_expression_group_keys_churn(spark):
+    """Expression GROUP BY keys (date_trunc buckets, concatenations,
+    the GROUP BY-alias form) maintained through churn: the key
+    expression computes per delta before the keyed reduce — the
+    reference's pre-reduce Map (reduce.rs group_key MirScalarExprs)."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(41)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE egk_t (k STRING, d BIGINT, v BIGINT)")
+    b1 = ("SELECT k || '_' || CAST(d AS STRING) AS bucket, "
+          "SUM(v) AS tot, COUNT(*) AS n FROM egk_t "
+          "GROUP BY k || '_' || CAST(d AS STRING)")
+    b2 = ("SELECT upper(k) AS ku, MAX(v) AS hi FROM egk_t "
+          "GROUP BY ku")
+    s.execute("INSERT INTO egk_t VALUES ('a', 1, 10), ('a', 2, 20), "
+              "('b', 1, 5)")
+    s.execute(f"CREATE MATERIALIZED VIEW egk1 WITH (MAINTENANCE "
+              f"'delta') AS {b1}")
+    s.execute(f"CREATE MATERIALIZED VIEW egk2 WITH (MAINTENANCE "
+              f"'delta') AS {b2}")
+    live = [("a", 1, 10), ("a", 2, 20), ("b", 1, 5)]
+    for i in range(12):
+        r = rng.random()
+        if r < 0.55 or not live:
+            k, d, v = (rng.choice("ab"), rng.randrange(1, 4),
+                       rng.randrange(1, 40))
+            live.append((k, d, v))
+            s.execute(f"INSERT INTO egk_t VALUES ('{k}', {d}, {v})")
+        else:
+            k, d, v = live.pop(rng.randrange(len(live)))
+            s.execute(f"DELETE FROM egk_t WHERE k = '{k}' AND "
+                      f"d = {d} AND v = {v}")
+        assert _rows(s, "egk1") == _recompute(s, b1), \
+            f"expr-key agg diverged at step {i}"
+        assert _rows(s, "egk2") == _recompute(s, b2), \
+            f"alias-key agg diverged at step {i}"
+    for v in ("egk1", "egk2"):
+        s.execute(f"DROP VIEW {v}")
+    s.execute("DROP TABLE egk_t")
+
+
+def test_delta_mv_multi_window_sets_churn(spark):
+    """One view with several frameless window sets — two different
+    PARTITION BY keys plus the global OVER () total (the
+    share-of-total idiom) — stays fresh through churn; each set keeps
+    its own maintained reduce."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(53)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE mws_t (k STRING, g STRING, v BIGINT)")
+    body = ("SELECT k, g, v, SUM(v) OVER (PARTITION BY k) AS sk, "
+            "COUNT(*) OVER (PARTITION BY g) AS ng, "
+            "SUM(v) OVER () AS total FROM mws_t WHERE v < 50")
+    s.execute("INSERT INTO mws_t VALUES ('a', 'x', 1), ('b', 'y', 2)")
+    s.execute(f"CREATE MATERIALIZED VIEW mws WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    live = [("a", "x", 1), ("b", "y", 2)]
+    for i in range(12):
+        r = rng.random()
+        if r < 0.55 or not live:
+            k, g, v = (rng.choice("ab"), rng.choice("xy"),
+                       rng.randrange(1, 60))
+            live.append((k, g, v))
+            s.execute(f"INSERT INTO mws_t VALUES ('{k}', '{g}', {v})")
+        else:
+            k, g, v = live.pop(rng.randrange(len(live)))
+            s.execute(f"DELETE FROM mws_t WHERE k = '{k}' AND "
+                      f"g = '{g}' AND v = {v}")
+        assert _rows(s, "mws") == _recompute(s, body), \
+            f"multi-window-set view diverged at step {i}"
+    s.execute("DROP VIEW mws")
+    s.execute("DROP TABLE mws_t")
