@@ -199,13 +199,17 @@ def redact_sql(sql: str) -> str:
 
 _DELTA_SUPPORTED = (
     "supported shapes: grouped aggregates (SUM/COUNT/MIN/MAX/AVG over "
-    "scalar expressions [+ HAVING]) over one table or a stateless "
-    "subquery; SELECT DISTINCT; grouped TopK (the ROW_NUMBER <= k "
-    "idiom); INNER/LEFT/FULL equi-join chains — plain, filtered, "
+    "scalar expressions, plain or EXPRESSION group keys [+ HAVING]), "
+    "keyless (global) aggregates, over one table or stateless "
+    "subqueries; SELECT DISTINCT; grouped TopK (the "
+    "ROW_NUMBER/RANK/DENSE_RANK <= k idiom) and global ORDER BY ... "
+    "LIMIT; frameless window aggregates (AGG OVER (PARTITION BY ...) "
+    "/ OVER ()); INNER/LEFT/FULL equi-join chains — plain, filtered, "
     "GROUP BY aggregated, DISTINCT, or TopK'd; top-level set-op "
     "chains (UNION [ALL], EXCEPT [ALL], INTERSECT [ALL]) of stateless "
-    "branches; use a plain MATERIALIZED VIEW (snapshot + REFRESH) for "
-    "other shapes")
+    "branches; stateless Map/Filter over one relation; any base "
+    "relation may itself be a delta MV (stacked views); use a plain "
+    "MATERIALIZED VIEW (snapshot + REFRESH) for other shapes")
 
 # the TopK outer filter: WHERE rn <= k over the ROW_NUMBER subquery —
 # a leaf pattern checked on one parsed WHERE span (never statement
@@ -594,6 +598,9 @@ class MzSession:
                 "MAINTENANCE 'delta' supports ORDER BY ... LIMIT only "
                 "as the global TopK shape (plain columns over one "
                 "table, single ORDER BY column); " + _DELTA_SUPPORTED)
+        if q.sub is not None and q.joins:
+            if self._plan_delta_join_over_from_subquery(node, q):
+                return
         if q.sub is not None:
             if self._plan_delta_topk(node, q) \
                     or self._plan_delta_agg_over_subquery(node, q) \
@@ -964,6 +971,62 @@ class MzSession:
                                                 "__side", "diff"))
         self._publish_delta_mv(name, result, initial,
                                touched=touched, keys=spec["cols"])
+
+    def _plan_delta_join_over_from_subquery(self, node: ast.CreateView,
+                                            q) -> bool:
+        """FROM (stateless subquery) JOIN t ... — desugared into a
+        STACKED plan: the subquery becomes an internal delta MV (the
+        one-branch Map/Filter spine) and the outer join chain reads it
+        as its first base relation, exactly how the reference renders a
+        Let binding feeding a join (render.rs builds the subplan once
+        and imports its arrangement). The internal view is dropped with
+        its owner."""
+        sub = q.sub
+        if (sub.joins or sub.group_by or sub.having or sub.distinct
+                or sub.sub is not None
+                or getattr(sub, "sub_branches", None) or sub.order
+                or sub.limit is not None or sub.table is None):
+            return False
+        internal = f"__jsub_{node.name}"
+        if internal in self._delta_mvs:
+            return False
+        sel = []
+        for it in sub.items:
+            if it.alias is not None:
+                sel.append(f"{it.expr} AS {it.alias}")
+            elif it.is_column:
+                sel.append(it.expr)
+            else:
+                return False  # unaliased expression: no output name
+        body = f"SELECT {', '.join(sel)} FROM {sub.table}"
+        if sub.where:
+            body += f" WHERE {sub.where}"
+        fake = ast.CreateView(name=internal, body=body,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = body
+        try:
+            self._plan_delta_union(fake, [sub])
+        except (ValueError, KeyError):
+            self._matview_sql.pop(internal, None)
+            self._delta_mvs.pop(internal, None)
+            return False
+        from dataclasses import replace as _dc_replace
+        q2 = _dc_replace(q, sub=None, sub_alias=None, table=internal)
+        try:
+            ok = self._plan_delta_join(node, q2)
+        except Exception:
+            ok = False
+        if not ok:
+            # roll the internal view back out
+            for store in (self._matviews, self._matview_sql,
+                          self._histories, self._delta_mvs):
+                store.pop(internal, None)
+            self.catalog.drop(internal, if_exists=True)
+            return False
+        self._delta_mvs[node.name]["internal_deps"] = (internal,)
+        self._owners.setdefault(internal,
+                                self._owners.get(node.name, self._role))
+        return True
 
     def _plan_delta_window_agg(self, node: ast.CreateView, q) -> bool:
         """Frameless window aggregate over one table:
@@ -3480,12 +3543,22 @@ class MzSession:
                 if d in self._delta_mvs:  # not already cascaded away
                     self._drop(_dc_replace(node, kind="view", name=d),
                                sql)
+        internals = tuple((self._delta_mvs.get(node.name) or {})
+                          .get("internal_deps", ()))
         self.catalog.drop(node.name, if_exists=node.if_exists)
         self._source_tables.discard(node.name)
         for store in (self._matviews, self._matview_sql, self._view_sql,
                       self._histories, self._retain, self._refresh_every,
                       self._delta_mvs, self._owners):
             store.pop(node.name, None)
+        for dep in internals:
+            # planner-generated upstream views (FROM-subquery desugar)
+            # die with their owner
+            self.catalog.drop(dep, if_exists=True)
+            for store in (self._matviews, self._matview_sql,
+                          self._histories, self._delta_mvs,
+                          self._owners):
+                store.pop(dep, None)
         self._close_exec_sub(node.name)
         # comments die with the object (reference: mz_comments rows are
         # keyed by object id; a dropped id takes its comments — and its
@@ -4509,10 +4582,12 @@ class MzSession:
                 on = spec["links"][i]
                 lines.append(f"  {k.upper()} JOIN {rel(t)} on={on}")
         elif kind == "winagg":
-            lines.append(
-                f"WindowAggregate partition={spec['pkeys']} "
-                f"aggs={list(spec['wins'])} "
-                "(Reduce + touched-partition row refresh)")
+            for st in spec["sets"]:
+                part = st["keys"] if st["keys"] else "[] (global)"
+                lines.append(
+                    f"WindowAggregate partition={part} "
+                    f"aggs={list(st['wins'])} "
+                    "(Reduce + touched-partition row refresh)")
             if spec.get("where"):
                 lines.append(f"  Filter [{spec['where']}]")
             lines.append(f"  {rel(spec['table'])}")

@@ -91,16 +91,18 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_explain_maintenance",
         "sqlfront_delta_mv_expr_group_keys",
         "sqlfront_delta_mv_window_share",
+        "sqlfront_delta_mv_join_from_subquery",
         # --- (c) changed implementations this round ---
-        "sqlfront_delta_mv", "sqlfront_delta_mv_minmax",
-        "sqlfront_delta_mv_topk", "sqlfront_delta_mv_join",
-        "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_join_topk",
-        "sqlfront_delta_mv_distinct", "sqlfront_delta_mv_having",
+        "sqlfront_delta_mv", "sqlfront_delta_mv_join",
+        "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_minmax",
         "sqlfront_update_delete",
         "sink_kafka_upsert_roundtrip", "sink_kafka_avro_roundtrip",
-        "sqlfront_create_sink", "sqlfront_ws_api", "sqlfront_http_api",
-        "sqlfront_pgwire_extended", "ivm_incremental_join",
+        "sqlfront_create_sink", "sqlfront_http_api",
+        "ivm_incremental_join",
         "mv_consistency_frontier",
+        # family sentinels keeping the prefix spanning ≥10 modules
+        "window_functions", "temporal_filter", "scalar_uuid",
+        "agg_statistics", "tablefunc_battery",
         # --- (d) oldest certifications + flagship spread (trimmed to
         # keep the window at 50: the window/scalar/kafka families
         # yielded their slots to this round's capability block — all

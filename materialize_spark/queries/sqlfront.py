@@ -2307,3 +2307,60 @@ def sqlfront_delta_mv_window_share(spark, sf_dir):
                     F.col("sk").cast("long").alias("sk"),
                     F.col("total").cast("long").alias("total"))
             .orderBy("at", "k", "v"))
+
+
+@register(
+    "sqlfront_delta_mv_join_from_subquery",
+    """
+    -- oracle: literal truth of the write sequence against a delta MV
+    -- joining a stateless FROM-subquery (computed column + filter)
+    -- with a dimension table, grouped above the join
+    SELECT * FROM (VALUES
+        ('mid',   'ann', CAST(20 AS BIGINT), CAST(1 AS BIGINT)),
+        ('mid',   'bob', CAST(10 AS BIGINT), CAST(1 AS BIGINT)),
+        ('final', 'ann', CAST(180 AS BIGINT), CAST(2 AS BIGINT)),
+        ('final', 'bob', CAST(24 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(at, cname, rev, n)
+    ORDER BY at, cname
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery", "join",
+)
+def sqlfront_delta_mv_join_from_subquery(spark, sf_dir):
+    """FROM (stateless subquery) JOIN dim — desugared into a STACKED
+    plan: the subquery forms an internal delta MV (one-branch
+    Map/Filter spine) that the bilinear join chain imports as its
+    first base relation, the way the reference renders a Let binding
+    feeding a join (src/compute/src/render.rs builds the subplan once
+    and imports its arrangement). The internal view is planner-owned
+    and dies with the outer view."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE djf_ord (okey BIGINT, ckey BIGINT, price BIGINT);
+        CREATE TABLE djf_cust (ck2 BIGINT, cname STRING);
+        INSERT INTO djf_ord VALUES (1, 1, 10), (2, 2, 5), (3, 1, 900);
+        INSERT INTO djf_cust VALUES (1, 'ann'), (2, 'bob');
+        CREATE MATERIALIZED VIEW djf WITH (MAINTENANCE 'delta') AS
+          SELECT cname, SUM(dbl) AS rev, COUNT(*) AS n FROM
+            (SELECT ckey, price * 2 AS dbl FROM djf_ord
+             WHERE price < 100)
+          JOIN djf_cust ON ckey = ck2 GROUP BY cname;
+    """)
+
+    def snap(at):
+        return s.sql("SELECT cname, rev, n FROM djf").select(
+            F.lit(at).alias("at"), "cname", "rev", "n")
+
+    mid = snap("mid")
+    s.run_script("""
+        INSERT INTO djf_ord VALUES (4, 2, 7), (5, 1, 40);
+        DELETE FROM djf_ord WHERE okey = 1;
+        UPDATE djf_ord SET price = 50 WHERE okey = 3;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "cname",
+                    F.col("rev").cast("long").alias("rev"),
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("at", "cname"))

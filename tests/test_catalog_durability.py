@@ -162,3 +162,38 @@ def test_restore_replays_kafka_source(spark, tmp_path):
         after = {(r.key, r.data) for r in
                  s2.sql("SELECT key, data FROM dks").collect()}
         assert after == before == {("k1", '{"v": 9}')}
+
+
+def test_restore_replays_stacked_and_setop_mvs(spark, tmp_path):
+    """Round-11 MV kinds survive restore: the journal replays CREATEs
+    in execution order, so a stacked chain re-forms with its upstream
+    first, a set-op MV rebuilds its per-side state, and a post-restore
+    commit flows through every level always-fresh."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE dsr_l (k STRING, v BIGINT)")
+    s.execute("CREATE TABLE dsr_r (k STRING, v BIGINT)")
+    s.execute("INSERT INTO dsr_l VALUES ('a', 1), ('a', 1), ('b', 2)")
+    s.execute("INSERT INTO dsr_r VALUES ('a', 1)")
+    s.execute("CREATE MATERIALIZED VIEW dsr_ex WITH (MAINTENANCE "
+              "'delta') AS SELECT k, v FROM dsr_l EXCEPT ALL "
+              "SELECT k, v FROM dsr_r")
+    s.execute("CREATE MATERIALIZED VIEW dsr_sum WITH (MAINTENANCE "
+              "'delta') AS SELECT k, SUM(v) AS tot FROM dsr_ex "
+              "GROUP BY k")
+    s.execute("CREATE MATERIALIZED VIEW dsr_win WITH (MAINTENANCE "
+              "'delta') AS SELECT k, v, SUM(v) OVER () AS total "
+              "FROM dsr_l")
+    path = str(tmp_path / "catalog.json")
+    s.persist_catalog(path)
+
+    s2 = MzSession.restore_catalog(spark.newSession(), SF_DIR, path)
+    assert sorted((r.k, r.tot) for r in s2.sql(
+        "SELECT * FROM dsr_sum").collect()) == [("a", 1), ("b", 2)]
+    # post-restore commit propagates through the restored chain
+    s2.execute("INSERT INTO dsr_r VALUES ('b', 2)")
+    s2.execute("INSERT INTO dsr_l VALUES ('c', 9)")
+    assert sorted((r.k, r.tot) for r in s2.sql(
+        "SELECT * FROM dsr_sum").collect()) == [("a", 1), ("c", 9)]
+    assert sorted((r.k, r.v, r.total) for r in s2.sql(
+        "SELECT * FROM dsr_win").collect()) == [
+        ("a", 1, 13), ("a", 1, 13), ("b", 2, 13), ("c", 9, 13)]

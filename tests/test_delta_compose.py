@@ -681,3 +681,47 @@ def test_delta_mv_multi_window_sets_churn(spark):
             f"multi-window-set view diverged at step {i}"
     s.execute("DROP VIEW mws")
     s.execute("DROP TABLE mws_t")
+
+
+def test_delta_mv_join_over_from_subquery_churn(spark):
+    """FROM (stateless subquery) JOIN t — desugared into a stacked
+    plan (internal delta MV + join chain reading it); stays fresh
+    through churn on both tables, and the internal view dies with its
+    owner."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(61)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE jfs_ord (okey BIGINT, ckey BIGINT, "
+              "price BIGINT)")
+    s.execute("CREATE TABLE jfs_cust (ck2 BIGINT, cname STRING)")
+    s.execute("INSERT INTO jfs_ord VALUES (1, 1, 10), (2, 2, 60)")
+    s.execute("INSERT INTO jfs_cust VALUES (1, 'ann'), (2, 'bob')")
+    body = ("SELECT cname, SUM(dbl) AS rev, COUNT(*) AS n FROM "
+            "(SELECT ckey, price * 2 AS dbl FROM jfs_ord "
+            "WHERE price < 50) JOIN jfs_cust ON ckey = ck2 "
+            "GROUP BY cname")
+    s.execute(f"CREATE MATERIALIZED VIEW jfs WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert "__jsub_jfs" in s._delta_mvs
+    nxt = [3]
+    live = [(1, 1, 10), (2, 2, 60)]
+    for i in range(12):
+        r = rng.random()
+        if r < 0.55 or not live:
+            ok, ck = nxt[0], rng.randrange(1, 3)
+            price = rng.randrange(1, 80)
+            nxt[0] += 1
+            live.append((ok, ck, price))
+            s.execute(f"INSERT INTO jfs_ord VALUES ({ok}, {ck}, "
+                      f"{price})")
+        else:
+            ok, ck, price = live.pop(rng.randrange(len(live)))
+            s.execute(f"DELETE FROM jfs_ord WHERE okey = {ok}")
+        assert _rows(s, "jfs") == _recompute(s, body), \
+            f"join-over-subquery diverged at step {i}"
+    s.execute("DROP VIEW jfs")
+    assert "__jsub_jfs" not in s._delta_mvs
+    for t in ("jfs_cust", "jfs_ord"):
+        s.execute(f"DROP TABLE {t}")

@@ -1116,12 +1116,12 @@ def test_delta_mv_unsupported_shape_errors(spark):
                   "(MAINTENANCE 'delta') AS "
                   "SELECT a.k, count(*) AS n FROM dmv3_t a JOIN "
                   "dmv3_t b ON a.k = b.k GROUP BY a.k")
-    # expression keys are out of scope too
+    # DISTINCT aggregates are not accumulable: still out of scope
     with pytest.raises(ValueError, match="MAINTENANCE .delta."):
         s.execute("CREATE MATERIALIZED VIEW bad3 WITH "
                   "(MAINTENANCE 'delta') AS "
-                  "SELECT upper(k) AS ku, count(*) AS n FROM dmv3_t "
-                  "GROUP BY upper(k)")
+                  "SELECT k, count(DISTINCT v) AS n FROM dmv3_t "
+                  "GROUP BY k")
     with pytest.raises(ValueError, match="unknown MAINTENANCE"):
         s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
                   "(MAINTENANCE 'magic') AS SELECT 1 AS x")
@@ -1893,18 +1893,27 @@ def test_delta_mv_union_all_churn(spark):
 
 
 def test_delta_mv_union_rejects_non_linear_setops(spark):
+    """Round 11 made UNION [DISTINCT] / EXCEPT / INTERSECT first-class
+    maintained shapes; what still MUST reject is a mixed-operator chain
+    (precedence-sensitive grouping) and a stateful branch."""
     import pytest as _pytest
 
     s = MzSession(spark, SF_DIR)
     s.execute("CREATE TABLE unx (k STRING)")
-    with _pytest.raises(ValueError, match="UNION ALL|deduplicates"):
+    with _pytest.raises(ValueError, match="(?i)mixed set operators"):
         s.execute("CREATE MATERIALIZED VIEW bad1 WITH "
                   "(MAINTENANCE 'delta') AS SELECT k FROM unx "
-                  "UNION SELECT k FROM unx")
-    with _pytest.raises(ValueError, match="INTERSECT"):
+                  "UNION ALL SELECT k FROM unx "
+                  "EXCEPT SELECT k FROM unx")
+    with _pytest.raises(ValueError, match="stateless"):
         s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
                   "(MAINTENANCE 'delta') AS SELECT k FROM unx "
-                  "INTERSECT SELECT k FROM unx")
+                  "INTERSECT SELECT k FROM unx GROUP BY k")
+    # the formerly-rejected plain UNION now maintains (Distinct over
+    # the diff-sum)
+    s.execute("CREATE MATERIALIZED VIEW unok WITH (MAINTENANCE "
+              "'delta') AS SELECT k FROM unx UNION SELECT k FROM unx")
+    s.execute("DROP VIEW unok")
     s.execute("DROP TABLE unx")
 
 

@@ -189,6 +189,15 @@ def test_explain_maintenance(spark):
         .orderBy("seq").collect()]
     assert any("Import exm_agg (upstream delta MV)" in ln
                for ln in plan2)
+    s.execute("CREATE MATERIALIZED VIEW exm_win WITH (MAINTENANCE "
+              "'delta') AS SELECT k, v, SUM(v) OVER (PARTITION BY k) "
+              "AS sk, SUM(v) OVER () AS total FROM exm_t")
+    plan3 = [r.plan for r in s.sql(
+        "EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW exm_win")
+        .orderBy("seq").collect()]
+    assert any("partition=['k']" in ln for ln in plan3)
+    assert any("(global)" in ln for ln in plan3)
+    s.execute("DROP VIEW exm_win")
     s.execute("CREATE MATERIALIZED VIEW exm_snap AS "
               "SELECT k FROM exm_t")
     with pytest.raises(Exception, match="not delta-maintained"):
