@@ -86,7 +86,15 @@ def _classify_agg_items(items):
                     return None
                 col = "__one"
             elif re.match(r"(?i)DISTINCT\b", arg):
-                return None  # DISTINCT aggs are not accumulable
+                # COUNT/SUM(DISTINCT col): re-derived from the shared
+                # (group, value) support — the reference's DistinctBy
+                # reduce collation (plan/reduce.rs)
+                inner = arg[len("DISTINCT"):].strip()
+                if kind not in ("count", "sum") \
+                        or not re.fullmatch(r"\w+", inner):
+                    return None
+                kind = f"{kind}_distinct"
+                col = inner
             elif re.fullmatch(r"\w+", arg):
                 col = arg
             else:

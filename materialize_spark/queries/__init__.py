@@ -92,9 +92,10 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_expr_group_keys",
         "sqlfront_delta_mv_window_share",
         "sqlfront_delta_mv_join_from_subquery",
+        "sqlfront_delta_mv_distinct_aggs",
         # --- (c) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
-        "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_minmax",
+        "sqlfront_delta_mv_outer_join",
         "sqlfront_update_delete",
         "sink_kafka_upsert_roundtrip", "sink_kafka_avro_roundtrip",
         "sqlfront_create_sink", "sqlfront_http_api",

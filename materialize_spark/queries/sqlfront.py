@@ -2364,3 +2364,71 @@ def sqlfront_delta_mv_join_from_subquery(spark, sf_dir):
                     F.col("rev").cast("long").alias("rev"),
                     F.col("n").cast("long").alias("n"))
             .orderBy("at", "cname"))
+
+
+@register(
+    "sqlfront_delta_mv_distinct_aggs",
+    """
+    -- oracle: literal truth of the write sequence against
+    -- COUNT(DISTINCT) / SUM(DISTINCT) delta MVs (grouped and keyless)
+    SELECT * FROM (VALUES
+        ('mid',   'a',   CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(4 AS BIGINT)),
+        ('mid',   'b',   CAST(1 AS BIGINT), CAST(5 AS BIGINT),
+         CAST(5 AS BIGINT)),
+        ('mid',   '_all', CAST(3 AS BIGINT), CAST(8 AS BIGINT),
+         CAST(NULL AS BIGINT)),
+        ('final', 'a',   CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(4 AS BIGINT)),
+        ('final', 'b',   CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+         CAST(17 AS BIGINT)),
+        ('final', '_all', CAST(3 AS BIGINT), CAST(14 AS BIGINT),
+         CAST(NULL AS BIGINT))
+    ) AS t(at, k, nd, sd, tot)
+    ORDER BY at, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "aggregates",
+)
+def sqlfront_delta_mv_distinct_aggs(spark, sf_dir):
+    """COUNT(DISTINCT) / SUM(DISTINCT) delta-maintained: both re-derive
+    from the shared compacted (group, value) support the hierarchical
+    aggregates keep — the reference collates distinct aggregates
+    through a DistinctBy reduce over the group's values
+    (src/compute-types/src/plan/reduce.rs). A delete that removes the
+    LAST copy of a value drops it from the distinct set; earlier
+    copies keep it. The keyless form rides the same global-agg path."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dda_t (k STRING, v BIGINT);
+        INSERT INTO dda_t VALUES ('a', 1), ('a', 1), ('a', 2),
+                                 ('b', 5);
+        CREATE MATERIALIZED VIEW dda WITH (MAINTENANCE 'delta') AS
+          SELECT k, COUNT(DISTINCT v) AS nd, SUM(DISTINCT v) AS sd,
+                 SUM(v) AS tot
+          FROM dda_t GROUP BY k;
+        CREATE MATERIALIZED VIEW dda_g WITH (MAINTENANCE 'delta') AS
+          SELECT COUNT(DISTINCT v) AS nd, SUM(DISTINCT v) AS sd
+          FROM dda_t;
+    """)
+
+    def snap(at):
+        g = s.sql("SELECT k, nd, sd, tot FROM dda").select(
+            F.lit(at).alias("at"), "k", "nd", "sd", "tot")
+        a = s.sql("SELECT nd, sd FROM dda_g").select(
+            F.lit(at).alias("at"), F.lit("_all").alias("k"),
+            "nd", "sd", F.lit(None).cast("long").alias("tot"))
+        return g.unionByName(a)
+
+    mid = snap("mid")
+    s.run_script("""
+        DELETE FROM dda_t WHERE k = 'a' AND v = 1;
+        INSERT INTO dda_t VALUES ('b', 7), ('b', 5), ('a', 2);
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "k", F.col("nd").cast("long").alias("nd"),
+                    F.col("sd").cast("long").alias("sd"),
+                    F.col("tot").cast("long").alias("tot"))
+            .orderBy("at", "k"))

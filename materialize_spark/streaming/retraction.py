@@ -42,6 +42,11 @@ from materialize_spark.operators.setops import DIFF_COL
 # aggregate kinds and their maintenance strategy
 _ACCUMULABLE = ("sum", "count", "avg")
 _HIERARCHICAL = ("min", "max")
+# DISTINCT aggregates re-derive from the same compacted support the
+# hierarchical kinds keep (the reference collates distinct aggregates
+# through a DistinctBy reduce over the group's values,
+# src/compute-types/src/plan/reduce.rs)
+_DISTINCT_KINDS = ("count_distinct", "sum_distinct")
 
 
 def _consolidate(support: DataFrame, keys: list[str], val: str) -> DataFrame:
@@ -126,7 +131,8 @@ class RetractionAwareAgg:
 
     def __post_init__(self) -> None:
         for out, (kind, _col) in self.aggs.items():
-            if kind not in _ACCUMULABLE + _HIERARCHICAL:
+            if kind not in _ACCUMULABLE + _HIERARCHICAL \
+                    + _DISTINCT_KINDS:
                 raise ValueError(f"unsupported aggregate kind {kind!r} ({out})")
 
     # -- internal column plumbing -------------------------------------------
@@ -170,10 +176,11 @@ class RetractionAwareAgg:
 
         self._acc = _ckpt(self._merge_acc(self._acc, self._acc_partial(delta)))
 
-        # one support per distinct INPUT column — min and max over the
-        # same column share state (halves the per-batch state rewrite)
+        # one support per distinct INPUT column — min/max/DISTINCT aggs
+        # over the same column share state (halves the per-batch state
+        # rewrite)
         hier_cols = {col for (kind, col) in self.aggs.values()
-                     if kind in _HIERARCHICAL}
+                     if kind in _HIERARCHICAL + _DISTINCT_KINDS}
         for col in hier_cols:
             batch_supp = (
                 delta.filter(F.col(col).isNotNull())
@@ -209,11 +216,23 @@ class RetractionAwareAgg:
                 out = out.withColumn(
                     name, F.when(F.col(f"__cnt_{name}") > 0,
                                  F.col(f"__sum_{name}") / F.col(f"__cnt_{name}")))
-            else:  # min/max from support (visible values only: mult > 0)
-                agg = F.min("__val") if kind == "min" else F.max("__val")
+            else:
+                # min/max/DISTINCT from support (visible values only:
+                # mult > 0; support is already one row per distinct
+                # (group, value), so COUNT/SUM over it ARE the
+                # DISTINCT aggregates)
+                agg = {"min": F.min, "max": F.max,
+                       "count_distinct": F.count,
+                       "sum_distinct": F.sum}[kind]("__val")
                 mm = (self._support[_col].filter(F.col("mult") > 0)
                       .groupBy(*self.keys).agg(agg.alias(name)))
                 out = _ns_attach(out, mm, self.keys, [name])
+                if kind == "count_distinct":
+                    # COUNT(DISTINCT) of a group whose values are all
+                    # NULL (or gone) is 0, not NULL
+                    out = out.withColumn(
+                        name, F.coalesce(F.col(name), F.lit(0))
+                        .cast("long"))
         return out.select(*self.keys, *self.aggs.keys())
 
 

@@ -82,7 +82,8 @@ def test_every_statement_has_a_durability_decision():
     non_durable = {
         ast.Peek, ast.SelectAsOf, ast.TableStmt, ast.Wmr, ast.Show,
         ast.ShowCreate, ast.ShowColumns, ast.ShowVar, ast.Explain,
-        ast.ExplainTimestamp, ast.Subscribe, ast.CopyTo, ast.Prepare,
+        ast.ExplainTimestamp, ast.ExplainMaintenance,  # plan preview
+        ast.Subscribe, ast.CopyTo, ast.Prepare,
         ast.Execute, ast.Deallocate, ast.Declare, ast.Fetch, ast.Close,
         ast.Begin, ast.Commit, ast.Rollback, ast.SetRole,
         ast.Discard,  # resets transient session state by definition

@@ -725,3 +725,38 @@ def test_delta_mv_join_over_from_subquery_churn(spark):
     assert "__jsub_jfs" not in s._delta_mvs
     for t in ("jfs_cust", "jfs_ord"):
         s.execute(f"DROP TABLE {t}")
+
+
+def test_delta_mv_distinct_aggregates_churn(spark):
+    """COUNT(DISTINCT)/SUM(DISTINCT) maintained from the shared
+    (group, value) support — a delete that removes the LAST copy of a
+    value must drop it from the distinct count while earlier copies
+    keep it; drained groups disappear."""
+    import random
+
+    from materialize_spark.plans.sqlfront import MzSession
+    rng = random.Random(71)
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE cda_t (k STRING, v BIGINT)")
+    body = ("SELECT k, COUNT(DISTINCT v) AS nd, SUM(DISTINCT v) AS sd,"
+            " SUM(v) AS tot FROM cda_t GROUP BY k")
+    s.execute("INSERT INTO cda_t VALUES ('a', 1), ('a', 1), ('b', 2)")
+    s.execute(f"CREATE MATERIALIZED VIEW cda WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    live = [("a", 1), ("a", 1), ("b", 2)]
+    for i in range(14):
+        r = rng.random()
+        if r < 0.55 or not live:
+            k, v = rng.choice("ab"), rng.randrange(1, 5)
+            live.append((k, v))
+            s.execute(f"INSERT INTO cda_t VALUES ('{k}', {v})")
+        else:
+            k, v = live[rng.randrange(len(live))]
+            s.execute(f"UPDATE cda_t SET v = -{i + 1} WHERE k = '{k}' "
+                      f"AND v = {v}")
+            # UPDATE rewrites ALL copies of (k, v); mirror that
+            live = [(k, -(i + 1)) if x == (k, v) else x for x in live]
+        assert _rows(s, "cda") == _recompute(s, body), \
+            f"distinct aggs diverged at step {i}"
+    s.execute("DROP VIEW cda")
+    s.execute("DROP TABLE cda_t")
