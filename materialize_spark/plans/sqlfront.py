@@ -157,6 +157,9 @@ def _having_over_aliases(having: str, aggs: dict[str, tuple[str, str]],
         else:
             # whitespace-insensitive match of the SELECT's source text
             body = re.sub(r"(?:\\?\s)+", r"\\s*", re.escape(src))
+        if kind.endswith("_distinct"):
+            kind = kind[:-len("_distinct")]
+            body = rf"DISTINCT\s+{body}"
         having = re.sub(rf"(?i)\b{kind}\s*\(\s*{body}\s*\)", alias,
                        having)
     if re.search(r"(?i)\b(sum|count|min|max|avg)\s*\(", having):
