@@ -90,7 +90,7 @@ def _classify_agg_items(items):
                 # (group, value) support — the reference's DistinctBy
                 # reduce collation (plan/reduce.rs)
                 inner = arg[len("DISTINCT"):].strip()
-                if kind not in ("count", "sum") \
+                if kind not in ("count", "sum", "avg") \
                         or not re.fullmatch(r"\w+", inner):
                     return None
                 kind = f"{kind}_distinct"

@@ -46,7 +46,8 @@ _HIERARCHICAL = ("min", "max")
 # hierarchical kinds keep (the reference collates distinct aggregates
 # through a DistinctBy reduce over the group's values,
 # src/compute-types/src/plan/reduce.rs)
-_DISTINCT_KINDS = ("count_distinct", "sum_distinct")
+_DISTINCT_KINDS = ("count_distinct", "sum_distinct",
+                   "avg_distinct")
 
 
 def _consolidate(support: DataFrame, keys: list[str], val: str) -> DataFrame:
@@ -223,7 +224,8 @@ class RetractionAwareAgg:
                 # DISTINCT aggregates)
                 agg = {"min": F.min, "max": F.max,
                        "count_distinct": F.count,
-                       "sum_distinct": F.sum}[kind]("__val")
+                       "sum_distinct": F.sum,
+                       "avg_distinct": F.avg}[kind]("__val")
                 mm = (self._support[_col].filter(F.col("mult") > 0)
                       .groupBy(*self.keys).agg(agg.alias(name)))
                 out = _ns_attach(out, mm, self.keys, [name])
