@@ -4531,8 +4531,14 @@ class MzSession:
             "seq int, plan string")
 
     def _render_maintenance(self, spec: dict) -> list[str]:
-        """One indented line per maintained operator, leaves last."""
+        """One indented line per maintained operator, leaves last.
+        Planner-internal upstreams (FROM-subquery desugar) inline their
+        own subtree; user-created upstream MVs render as Imports."""
         def rel(t):
+            if t.startswith("__jsub_") and t in self._delta_mvs:
+                sub = self._render_maintenance(self._delta_mvs[t])
+                return "\n".join([f"Subplan {t} (planner-internal)"]
+                                 + [f"  {ln}" for ln in sub])
             return f"Import {t} (upstream delta MV)" \
                 if t in self._delta_mvs else f"Scan {t}"
 
@@ -4642,7 +4648,16 @@ class MzSession:
             if spec.get("where"):
                 lines.append(f"  Filter [{spec['where']}]")
             lines.append(f"  {rel(spec['table'])}")
-        return lines
+        out: list[str] = []
+        for ln in lines:  # flatten inlined subplans, keeping indent
+            if "\n" in ln:
+                first, *rest = ln.split("\n")
+                pad = " " * (len(first) - len(first.lstrip()))
+                out.append(first)
+                out.extend(pad + r for r in rest)
+            else:
+                out.append(ln)
+        return out
 
     def _explain(self, node: ast.Explain, sql: str):
         # Reference EXPLAIN stages (doc/developer/101-query-compilation
