@@ -198,3 +198,30 @@ def test_restore_replays_stacked_and_setop_mvs(spark, tmp_path):
     assert sorted((r.k, r.v, r.total) for r in s2.sql(
         "SELECT * FROM dsr_win").collect()) == [
         ("a", 1, 13), ("a", 1, 13), ("b", 2, 13), ("c", 9, 13)]
+
+
+def test_restore_replays_from_subquery_join_mv(spark, tmp_path):
+    """A FROM-subquery join MV restores by re-desugaring: the journal
+    replays the CREATE, the planner recreates its internal view, and a
+    post-restore commit flows through both."""
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE drj_o (okey BIGINT, ckey BIGINT, "
+              "price BIGINT)")
+    s.execute("CREATE TABLE drj_c (ck2 BIGINT, cname STRING)")
+    s.execute("INSERT INTO drj_o VALUES (1, 1, 10), (2, 1, 900)")
+    s.execute("INSERT INTO drj_c VALUES (1, 'ann')")
+    s.execute("CREATE MATERIALIZED VIEW drj WITH (MAINTENANCE "
+              "'delta') AS SELECT cname, SUM(dbl) AS rev FROM "
+              "(SELECT ckey, price * 2 AS dbl FROM drj_o "
+              "WHERE price < 100) JOIN drj_c ON ckey = ck2 "
+              "GROUP BY cname")
+    path = str(tmp_path / "catalog.json")
+    s.persist_catalog(path)
+
+    s2 = MzSession.restore_catalog(spark.newSession(), SF_DIR, path)
+    assert "__jsub_drj" in s2._delta_mvs
+    assert [(r.cname, r.rev) for r in s2.sql(
+        "SELECT * FROM drj").collect()] == [("ann", 20)]
+    s2.execute("INSERT INTO drj_o VALUES (3, 1, 5)")
+    assert [(r.cname, r.rev) for r in s2.sql(
+        "SELECT * FROM drj").collect()] == [("ann", 30)]
