@@ -1205,6 +1205,11 @@ class Parser:
             self.expect_end()
             return DropOwned(roles, cascade=cascade)
         t = self.next()
+        if t.kind == "WORD" and t.upper == "MATERIALIZED":
+            # DROP MATERIALIZED VIEW — the reference's spelling for
+            # dropping an MV (catalog stores both under one namespace)
+            self.expect_kw("VIEW")
+            t = t._replace(text="VIEW")
         if t.kind != "WORD" or t.upper not in (
                 "VIEW", "INDEX", "TABLE", "SOURCE", "SINK", "ROLE",
                 "DATABASE", "SCHEMA", "CLUSTER", "SECRET", "CONNECTION",

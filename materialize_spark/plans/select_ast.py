@@ -90,6 +90,25 @@ class SelectItem:
 
 
 @dataclass
+class SubFilter:
+    """One ``[NOT] EXISTS (SELECT ...)`` / ``expr [NOT] IN (SELECT
+    ...)`` conjunct lifted out of a WHERE clause. The reference
+    decorrelates these into semi/anti joins during lowering
+    (src/sql/src/plan/lowering.rs:10-37) and maintains them like any
+    dataflow; the planner (plans/sqlfront._plan_delta_semijoin)
+    classifies ``conjuncts`` into correlation pairs vs inner-local
+    predicates once it knows both sides' columns."""
+
+    negated: bool
+    kind: str                  # exists | in
+    table: str                 # inner FROM table
+    alias: str | None          # inner table alias, when given
+    conjuncts: list[str]       # raw inner WHERE conjuncts
+    in_expr: str | None = None  # IN: the outer-side expression text
+    in_col: str | None = None   # IN: the inner SELECT column
+
+
+@dataclass
 class JoinSeg:
     kind: str                        # inner | left | full | right
     table: str
@@ -113,6 +132,8 @@ class SelectQ:
     having: str | None = None
     order: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None            # ORDER BY col [DESC] LIMIT k
+    # [NOT] EXISTS / [NOT] IN subquery conjuncts lifted from WHERE
+    subfilters: list[SubFilter] = field(default_factory=list)
 
 
 _STOPS_ITEMS = ("FROM",)
@@ -169,6 +190,209 @@ def _parse_on_pairs(
     extra = " AND ".join(f"({r})" for r in residual) if residual \
         else None
     return pairs, extra
+
+
+_OVER_PART_RE = re.compile(
+    r"^\s*PARTITION\s+BY\s+(?P<keys>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>.+?))?\s*$", re.I | re.S)
+
+
+def window_specs(expr: str) -> list[tuple[list[str], bool]]:
+    """Find every ``OVER (...)`` clause in one select-item expression
+    (token-level paren matching) and return (partition keys, has ORDER
+    BY) per window. Windows without PARTITION BY return ([] , ordered).
+    Used by the delta planners to route frameless window aggregates
+    (maintained Reduce) vs ordered windows (touched-partition
+    recompute)."""
+    out: list[tuple[list[str], bool]] = []
+    p = Parser(expr)
+    while True:
+        t = p.peek()
+        if t.kind == "EOF":
+            break
+        if t.kind == "WORD" and t.upper == "OVER" \
+                and p.peek(1).kind == "LP":
+            p.next()
+            inner = p.paren_span()
+            m = _OVER_PART_RE.match(inner)
+            if m is not None:
+                keys_txt = m.group("keys")
+                # a frame clause may trail the ORDER BY; ordered is
+                # what routing needs, keys must be plain columns
+                keys = [k.strip() for k in keys_txt.split(",")]
+                out.append((keys, m.group("ord") is not None))
+            else:
+                ordered = re.search(r"(?i)\bORDER\s+BY\b",
+                                    inner) is not None
+                out.append(([], ordered))
+            continue
+        p.next()
+    return out
+
+
+def split_conjuncts(text: str) -> list[str]:
+    """Split a predicate on TOP-LEVEL ``AND`` (token-level: parens and
+    string literals never split)."""
+    p = Parser(text)
+    depth = 0
+    spans: list[str] = []
+    start = 0
+    while True:
+        t = p.peek()
+        if t.kind == "EOF":
+            break
+        if t.kind == "LP":
+            depth += 1
+        elif t.kind == "RP":
+            depth -= 1
+        elif t.kind == "WORD" and depth == 0 and t.upper == "AND":
+            spans.append(text[start:t.start])
+            p.next()
+            start = p.peek().start
+            continue
+        p.next()
+    spans.append(text[start:])
+    return [s.strip() for s in spans if s.strip()]
+
+
+def _parse_sub_body(body: str, kind: str) -> SubFilter | None:
+    """Parse one EXISTS/IN subquery body ``SELECT ... FROM t [alias]
+    [WHERE ...]`` into a partial SubFilter (negation filled by caller).
+    None when the body is out of the supported decorrelatable shape."""
+    p = Parser(body)
+    if not p.take_kw("SELECT"):
+        return None
+    spans = p.comma_list_spans("FROM")
+    if not spans:
+        return None
+    in_col = None
+    if kind == "in":
+        if len(spans) != 1 or not re.fullmatch(r"\w+", spans[0].strip()):
+            return None  # IN needs exactly one plain inner column
+        in_col = spans[0].strip()
+    if not p.take_kw("FROM"):
+        return None
+    if p.peek().kind not in ("WORD", "QIDENT"):
+        return None
+    table = p.ident()
+    alias = None
+    if p.peek().kind in ("WORD", "QIDENT") \
+            and p.peek().upper not in ("WHERE",):
+        p.take_kw("AS")
+        alias = p.ident()
+    conjuncts: list[str] = []
+    if p.take_kw("WHERE"):
+        w = p.span_until_kw()
+        if not w:
+            return None
+        conjuncts = split_conjuncts(w)
+    if p.peek().kind == "SEMI":
+        p.next()
+    if p.peek().kind != "EOF":
+        return None
+    return SubFilter(negated=False, kind=kind, table=table,
+                     alias=alias, conjuncts=conjuncts, in_col=in_col)
+
+
+def _match_subfilter(conj: str) -> SubFilter | None:
+    """Recognize one WHERE conjunct as ``[NOT] EXISTS (SELECT ...)`` or
+    ``expr [NOT] IN (SELECT ...)``; None for ordinary predicates."""
+    # strip redundant outer parens: (EXISTS (...)) == EXISTS (...)
+    while True:
+        p = Parser(conj)
+        if p.peek().kind != "LP":
+            break
+        inner = p.paren_span()
+        if p.peek().kind != "EOF":
+            break
+        conj = inner
+    p = Parser(conj)
+    negated = False
+    if p.at_kw("NOT", "EXISTS") or p.at_kw("EXISTS"):
+        negated = p.take_kw("NOT")
+        p.expect_kw("EXISTS")
+        if p.peek().kind != "LP":
+            return None
+        body = p.paren_span()
+        if p.peek().kind != "EOF":
+            return None
+        sf = _parse_sub_body(body, "exists")
+        if sf is None:
+            return None
+        sf.negated = negated
+        return sf
+    # scan for a top-level [NOT] IN ( SELECT ...
+    depth = 0
+    while True:
+        t = p.peek()
+        if t.kind == "EOF":
+            return None
+        if t.kind == "LP":
+            depth += 1
+        elif t.kind == "RP":
+            depth -= 1
+        elif t.kind == "WORD" and depth == 0 \
+                and t.upper in ("IN", "NOT"):
+            if t.upper == "NOT":
+                if not p.at_kw("NOT", "IN", k=0):
+                    p.next()
+                    continue
+                negated = True
+                cut = t.start
+                p.next()
+            else:
+                cut = t.start
+            p.next()  # IN
+            if p.peek().kind != "LP" \
+                    or not (p.peek(1).kind == "WORD"
+                            and p.peek(1).upper == "SELECT"):
+                return None
+            body = p.paren_span()
+            if p.peek().kind != "EOF":
+                return None
+            expr = conj[:cut].strip()
+            if not expr:
+                return None
+            # IN binds tighter than OR/NOT: a disjunct to the left
+            # means this is NOT a standalone membership conjunct
+            ep = Parser(expr)
+            ed = 0
+            while ep.peek().kind != "EOF":
+                et = ep.next()
+                if et.kind == "LP":
+                    ed += 1
+                elif et.kind == "RP":
+                    ed -= 1
+                elif et.kind == "WORD" and ed == 0 \
+                        and et.upper in ("OR", "NOT", "AND", "CASE"):
+                    return None
+            sf = _parse_sub_body(body, "in")
+            if sf is None:
+                return None
+            sf.negated = negated
+            sf.in_expr = expr
+            return sf
+        p.next()
+
+
+def extract_subfilters(
+        where: str) -> tuple[str | None, list[SubFilter]]:
+    """Lift top-level AND-connected ``[NOT] EXISTS`` / ``[NOT] IN
+    (SELECT ...)`` conjuncts out of a WHERE predicate. Returns the
+    residual predicate (None when every conjunct lifted) and the
+    lifted SubFilters in order."""
+    subs: list[SubFilter] = []
+    rest: list[str] = []
+    for conj in split_conjuncts(where):
+        sf = _match_subfilter(conj)
+        if sf is not None:
+            subs.append(sf)
+        else:
+            rest.append(conj)
+    if not subs:
+        return where, []
+    residual = " AND ".join(f"({c})" for c in rest) if rest else None
+    return residual, subs
 
 
 def parse_select(body: str) -> SelectQ:
@@ -319,6 +543,7 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
         q.where = p.span_until_kw("GROUP", "HAVING", "ORDER", "LIMIT")
         if not q.where:
             raise ParseError("empty WHERE", p.peek())
+        q.where, q.subfilters = extract_subfilters(q.where)
     if p.take_kw("GROUP", "BY"):
         q.group_by = p.comma_list_spans("HAVING", "ORDER", "LIMIT")
     if p.take_kw("HAVING"):

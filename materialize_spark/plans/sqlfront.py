@@ -36,6 +36,9 @@ from materialize_spark.catalog import Catalog
 from materialize_spark.plans import parser as ast
 from materialize_spark.plans.dialect import rewrite, set_session_user
 from materialize_spark.plans.lexer import LexError, split_statements
+from materialize_spark.plans.select_ast import (
+    window_specs as _window_specs,
+)
 
 _INTROSPECT = re.compile(
     r"\bmz_(?:tables|views|materialized_views|indexes|objects|columns"
@@ -216,7 +219,10 @@ _DELTA_SUPPORTED = (
     "ROW_NUMBER/RANK/DENSE_RANK <= k idiom) and global ORDER BY ... "
     "LIMIT; frameless window aggregates (AGG OVER (PARTITION BY ...) "
     "/ OVER ()); INNER/LEFT/FULL equi-join chains — plain, filtered, "
-    "GROUP BY aggregated, DISTINCT, or TopK'd; top-level set-op "
+    "GROUP BY aggregated, DISTINCT, or TopK'd; [NOT] EXISTS / [NOT] "
+    "IN (SELECT ...) conjuncts with equality correlation (plus at "
+    "most one <> exclusion — the q21 shape) over a table or join "
+    "chain; top-level set-op "
     "chains (UNION [ALL], EXCEPT [ALL], INTERSECT [ALL]) of stateless "
     "branches; stateless Map/Filter over one relation; any base "
     "relation may itself be a delta MV (stacked views); use a plain "
@@ -577,6 +583,9 @@ class MzSession:
         try:
             op, is_all, qs = parse_set_op_branches(node.body)
         except (ast.ParseError, LexError) as ex:
+            if "mixed set operators" in str(ex):
+                self._plan_delta_setop_mixed(node)
+                return
             raise ValueError(
                 f"MAINTENANCE 'delta': cannot parse the view body for "
                 f"incremental maintenance ({ex}); " + _DELTA_SUPPORTED)
@@ -590,11 +599,94 @@ class MzSession:
             return
         self._plan_delta_mv(node, qs[0])
 
+    def _plan_delta_setop_mixed(self, node: ast.CreateView) -> None:
+        """Mixed set-operator chains (``A UNION ALL B EXCEPT C``):
+        pairwise reduction into STACKED internal delta MVs with SQL
+        precedence (INTERSECT binds tighter; UNION/EXCEPT associate
+        left) — the reference plans such chains as nested
+        Threshold/Union/Negate trees (src/sql/src/plan/query.rs
+        plan_set_expr), and each pair here is exactly one maintained
+        2-side node whose published diff is the next node's commit
+        (the views-over-views dataflow composition, render.rs)."""
+        from materialize_spark.plans.select_ast import _split_setops
+
+        spans, ops = _split_setops(node.body)
+        work_items: list[tuple[str, object]] = [("span", sp)
+                                               for sp in spans]
+        work_ops = list(ops)
+        created: list[str] = []
+
+        def branch_text(item):
+            kind, val = item
+            if kind == "span":
+                return val
+            name, cols = val
+            return f"SELECT {', '.join(cols)} FROM {name}"
+
+        def rollback():
+            for dep in created:
+                self.catalog.drop(dep, if_exists=True)
+                for store in (self._matviews, self._matview_sql,
+                              self._histories, self._delta_mvs,
+                              self._owners):
+                    store.pop(dep, None)
+
+        def reduce_pair(a, b, kind, is_all, name):
+            body = (f"{branch_text(a)} {kind.upper()}"
+                    f"{' ALL' if is_all else ''} {branch_text(b)}")
+            fake = ast.CreateView(name=name, body=body,
+                                  materialized=True,
+                                  maintenance="delta")
+            internal = name != node.name
+            if internal:
+                self._matview_sql[name] = body
+            try:
+                self._create_delta_mv(fake)
+            except Exception:
+                if internal:
+                    self._matview_sql.pop(name, None)
+                rollback()
+                raise
+            if internal:
+                created.append(name)
+                self._owners.setdefault(
+                    name, self._owners.get(node.name, self._role))
+            return ("internal",
+                    (name, list(self._matviews[name].columns)))
+
+        idx = 0
+        for precedence in (("intersect",), ("union", "except")):
+            i = 0
+            while i < len(work_ops):
+                kind, is_all = work_ops[i]
+                if kind not in precedence:
+                    i += 1
+                    continue
+                last = len(work_ops) == 1
+                name = node.name if last \
+                    else f"__setop_{node.name}_{idx}"
+                idx += 1
+                merged = reduce_pair(work_items[i], work_items[i + 1],
+                                     kind, is_all, name)
+                work_items[i:i + 2] = [merged]
+                work_ops.pop(i)
+        self._delta_mvs[node.name]["internal_deps"] = tuple(created)
+
     def _plan_delta_mv(self, node: ast.CreateView, q) -> None:
         """Dispatch a parsed view body onto maintained operators:
         subquery forms (TopK idiom, agg-over-map), join chains, and
         single-table reduce/distinct; ORDER BY ... LIMIT k as the
         global TopK."""
+        if getattr(q, "subfilters", None):
+            if self._plan_delta_semijoin(node, q):
+                return
+            raise ValueError(
+                "MAINTENANCE 'delta' maintains [NOT] EXISTS / [NOT] "
+                "IN (SELECT ...) only as top-level AND conjuncts over "
+                "a table or equi-join chain (plain columns, GROUP BY "
+                "aggregate, or DISTINCT above), with one equality "
+                "correlation (plus at most one <> exclusion) per "
+                "subquery; " + _DELTA_SUPPORTED)
         if getattr(q, "sub_branches", None):
             if self._plan_delta_union_agg(node, q):
                 return
@@ -626,15 +718,20 @@ class MzSession:
         elif q.distinct:
             if self._plan_delta_distinct(node, q):
                 return
-        elif any(it.win_agg for it in q.items):
-            if self._plan_delta_window_agg(node, q):
+        elif any(_window_specs(it.expr) for it in q.items):
+            # frameless window aggregates keep the maintained-Reduce
+            # plan; any ORDER BY inside OVER routes to the
+            # touched-partition recompute plan
+            if self._plan_delta_window_agg(node, q) \
+                    or self._plan_delta_window_order(node, q):
                 return
             raise ValueError(
-                "MAINTENANCE 'delta' window aggregates support "
-                "SUM/COUNT/MIN/MAX/AVG OVER (PARTITION BY ...) with "
-                "one shared partition key set that the SELECT also "
-                "projects (no ORDER BY / frame inside OVER); "
-                + _DELTA_SUPPORTED)
+                "MAINTENANCE 'delta' window functions support "
+                "AGG(x) OVER (PARTITION BY ...) / OVER () (maintained "
+                "reduce) and ordered windows — running aggregates, "
+                "LAG/LEAD, FIRST/LAST_VALUE, ROW_NUMBER — with ONE "
+                "shared plain-column partition key set that the "
+                "SELECT also projects; " + _DELTA_SUPPORTED)
         elif q.items and all(it.agg for it in q.items):
             if self._plan_delta_global_agg(node, q):
                 return
@@ -699,7 +796,7 @@ class MzSession:
         branches: list[dict] = []
         for q in qs:
             if (q.joins or q.group_by or q.having or q.distinct
-                    or q.sub is not None
+                    or q.sub is not None or q.subfilters
                     or getattr(q, "sub_branches", None) or q.order
                     or q.limit is not None):
                 raise ValueError(
@@ -994,7 +1091,7 @@ class MzSession:
         its owner."""
         sub = q.sub
         if (sub.joins or sub.group_by or sub.having or sub.distinct
-                or sub.sub is not None
+                or sub.sub is not None or sub.subfilters
                 or getattr(sub, "sub_branches", None) or sub.order
                 or sub.limit is not None or sub.table is None):
             return False
@@ -1218,6 +1315,115 @@ class MzSession:
         self._publish_delta_mv(name, result, initial,
                                out_delta=out_delta)
 
+    def _plan_delta_window_order(self, node: ast.CreateView,
+                                 q) -> bool:
+        """Ordered window functions over one table — running
+        SUM/COUNT/MIN/MAX/AVG, LAG/LEAD, FIRST/LAST_VALUE, NTILE,
+        ROW_NUMBER with ``OVER (PARTITION BY k ORDER BY o [frame])``.
+        The reference executes window functions as whole-group Reduce
+        computations (src/expr/src/relation/func.rs:1960-1999), so its
+        maintenance cost class is 'recompute the touched partitions' —
+        exactly what this plan does: a commit re-derives ONLY its own
+        partitions' rows from the current table via Spark's native
+        window execution, untouched partitions pass through. Every
+        window in the view must share one non-empty partition key set
+        (the touched-confinement key); the partition keys must be
+        projected."""
+        from materialize_spark.plans.select_ast import window_specs
+
+        if q.table is None:
+            return False
+        shared: tuple | None = None
+        any_ordered = False
+        plains: list[str] = []
+        out_exprs: list[str] = []
+        out_cols: list[str] = []
+        n_windows = 0
+        for it in q.items:
+            wins = window_specs(it.expr)
+            if wins:
+                if it.alias is None:
+                    return False  # windowed expression needs a name
+                for keys, ordered in wins:
+                    n_windows += 1
+                    any_ordered = any_ordered or ordered
+                    if not keys or not all(re.fullmatch(r"\w+", k)
+                                           for k in keys):
+                        return False  # global / expression partitions
+                    sk = tuple(k.lower() for k in keys)
+                    if shared is None:
+                        shared = sk
+                    elif sk != shared:
+                        return False  # mixed partition sets
+                out_exprs.append(f"{rewrite(it.expr)} AS {it.alias}")
+                out_cols.append(it.alias)
+            elif it.is_column and it.alias is None:
+                plains.append(it.expr)
+                out_exprs.append(it.expr)
+                out_cols.append(it.expr)
+            elif it.alias is not None:
+                # deterministic scalar passthrough: recomputed with
+                # the touched slice
+                out_exprs.append(f"{rewrite(it.expr)} AS {it.alias}")
+                out_cols.append(it.alias)
+            else:
+                return False
+        if not n_windows or not any_ordered or shared is None:
+            return False  # frameless-only: the maintained-Reduce plan
+        low_plains = {p.lower() for p in plains}
+        if any(k not in low_plains for k in shared):
+            return False  # partition keys must be projected
+        keys = [p for p in plains if p.lower() in shared]
+        try:
+            self._delta_check_table(q.table)
+        except KeyError:
+            return False
+        spec = {"kind": "winorder", "table": q.table, "where": q.where,
+                "keys": keys, "out_exprs": out_exprs,
+                "out_cols": out_cols}
+        self._install_delta_mv(node.name, spec)
+        return True
+
+    def _feed_delta_mv_winorder(self, name: str, spec: dict, delta,
+                                initial: bool) -> None:
+        """Fold one base-table diff frame into an ordered-window MV:
+        re-derive ONLY the touched partitions' rows from the current
+        table (Spark's native window execution over the slice), keep
+        every untouched partition's rows as they are, and publish the
+        touched slice's consolidated old-vs-new diff."""
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import (
+            _ckpt, _ns_probe,
+        )
+        if spec["where"]:
+            delta = delta.filter(
+                f"coalesce(({rewrite(spec['where'])}), false)")
+        base = self._base_frame(spec["table"])
+        if spec["where"]:
+            base = base.filter(
+                f"coalesce(({rewrite(spec['where'])}), false)")
+        old = self._matviews.get(name)
+        if initial or old is None:
+            result = _ckpt(base.selectExpr(*spec["out_exprs"]))
+            self._publish_delta_mv(name, result, initial)
+            return
+        keys = spec["keys"]
+        touched = _ckpt(delta.select(*keys).distinct())
+        hit = _ckpt(_ns_probe(base, touched, keys))
+        new_rows = _ckpt(hit.selectExpr(*spec["out_exprs"]))
+        old_hits = _ckpt(_ns_probe(old, touched, keys))
+        remaining_old = _ns_probe(old, touched, keys, anti=True)
+        out_delta = (new_rows.withColumn("diff", F.lit(1))
+                     .unionByName(old_hits.withColumn("diff",
+                                                      F.lit(-1)))
+                     .groupBy(*spec["out_cols"])
+                     .agg(F.sum("diff").alias("diff"))
+                     .filter(F.col("diff") != 0))
+        result = _ckpt(remaining_old.unionByName(new_rows))
+        self._publish_delta_mv(name, result, initial,
+                               out_delta=out_delta)
+
     def _install_delta_mv(self, name: str, spec: dict) -> None:
         """Register a single-table delta MV and form it: the table's
         current rows are the first insert batch."""
@@ -1387,8 +1593,9 @@ class MzSession:
         desc, k, inner) or None."""
         inner = q.sub
         if (q.distinct or q.group_by or q.having or q.joins
-                or q.where is None or inner.distinct or inner.group_by
-                or inner.having or inner.sub is not None):
+                or q.where is None or q.subfilters or inner.distinct
+                or inner.group_by or inner.having or inner.subfilters
+                or inner.sub is not None):
             return None
         m = _TOPK_FILTER_RE.match(q.where)
         if m is None:
@@ -1517,6 +1724,7 @@ class MzSession:
         cur = q.sub
         while True:
             if (cur.joins or cur.group_by or cur.having or cur.distinct
+                    or cur.subfilters
                     or cur.order or cur.limit is not None):
                 return False
             sel: list[str] = []
@@ -1555,7 +1763,8 @@ class MzSession:
         keys must resolve to plain chain columns."""
         inner = q.sub
         if (not inner.joins or inner.group_by or inner.having
-                or inner.distinct or inner.sub is not None):
+                or inner.distinct or inner.sub is not None
+                or inner.subfilters):
             return False
         # plain-column aliases become REAL renames of the chain output
         # (they name the outer scope's columns — group keys included);
@@ -1599,21 +1808,288 @@ class MzSession:
                      having=osub(q.having) if q.having else None)
         return self._plan_delta_join(node, q2, renames=ren)
 
+    _SUB_CMP_RE = re.compile(
+        r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<c1>\w+)\s*"
+        r"(?P<op>=|<>|!=)\s*"
+        r"(?:(?P<q2>\w+)\s*\.\s*)?(?P<c2>\w+)\s*$")
+
+    def _plan_delta_semijoin(self, node: ast.CreateView, q) -> bool:
+        """``[NOT] EXISTS (SELECT ...)`` / ``expr [NOT] IN (SELECT
+        ...)`` WHERE conjuncts over a table or equi-join chain,
+        optionally with a grouped aggregate / DISTINCT above. The
+        reference decorrelates these into semi/anti joins
+        (src/sql/src/plan/lowering.rs:10-37) and maintains them like
+        any dataflow — here each subquery becomes a maintained
+        SemiAntiFilterMV stage on the chain's diff stream (support
+        counts keyed by the correlation; flips emit ± current outer
+        rows), composed in front of the usual reduce/DISTINCT/spine."""
+        from materialize_spark.streaming.retraction import (
+            RetractionAwareAgg, RetractionAwareDistinct,
+        )
+
+        if (q.order or q.limit is not None or q.sub is not None
+                or getattr(q, "sub_branches", None)):
+            return False
+        parsed = self._normalize_join_chain(q)
+        if parsed is None:
+            return False
+        tables, norm_links, kinds, acc_cols, extras = parsed
+        # inner links drop the right key name from the chain output;
+        # subfilter correlations and the residual WHERE may still say
+        # the dropped name — substitute the surviving (equal-valued)
+        # left name
+        renmap: dict[str, str] = {}
+        for i, pairs in enumerate(norm_links):
+            if kinds[i] == "inner":
+                for onl, onr in pairs:
+                    if onl != onr:
+                        renmap[onr] = onl
+        keys: list[str] = []
+        aggs: dict[str, tuple[str, str]] = {}
+        cols: list[str] = []
+        exprs: dict[str, str] = {}
+        if q.distinct and q.group_by:
+            return False
+        if q.group_by:
+            parsed_sel = _classify_agg_items(q.items)
+            if parsed_sel is None:
+                return False
+            keys, aggs, exprs = parsed_sel
+            gkeys = [k.strip() for k in q.group_by]
+            if not aggs or not _keys_match_group_by(keys, exprs,
+                                                    gkeys):
+                return False
+        else:
+            if not all(it.is_column and it.alias is None
+                       for it in q.items):
+                return False
+            cols = [it.expr for it in q.items]
+            if not all(c in acc_cols for c in cols):
+                return False
+        having = q.having
+        if having is not None:
+            having = _having_over_aliases(having, aggs, exprs)
+            if having is None:
+                return False
+        stages = [self._build_subfilter_stage(sf, tables, acc_cols,
+                                              renmap)
+                  for sf in q.subfilters]
+        chain = self._build_delta_join_chain(tables, norm_links, kinds,
+                                             extras) if norm_links \
+            else []
+        agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
+            if aggs else None
+        dmv = RetractionAwareDistinct(
+            self.spark, cols=cols, spill_rows=_TOPK_SPILL_ROWS) \
+            if q.distinct else None
+        src_where = _sub_ident_tokens(q.where, renmap) if q.where \
+            else None
+        spec = {"kind": "semijoin", "tables": tuple(tables),
+                "chain": chain, "links": norm_links, "kinds": kinds,
+                "agg": agg, "keys": keys, "aggs": aggs, "cols": cols,
+                "where": None, "src_where": src_where,
+                "having": having, "table": None, "topk": None,
+                "distinct": dmv, "exprs": exprs, "renames": {},
+                "stages": stages,
+                "inner_tables": tuple({st["table"] for st in stages})}
+        self._delta_mvs[node.name] = spec
+        self._form_delta_mv_semijoin(node.name)
+        return True
+
+    def _build_subfilter_stage(self, sf, tables: list[str],
+                               acc_cols: set, renmap: dict) -> dict:
+        """Classify one SubFilter's inner conjuncts against the outer
+        chain's columns into (correlation pairs, <> exclusion, local
+        predicate) and instantiate the maintained stage. The
+        correlation resolution mirrors the reference's lowering of
+        correlated subqueries to join keys (lowering.rs)."""
+        from materialize_spark.streaming.semijoin import (
+            SemiAntiFilterMV,
+        )
+
+        self._delta_check_table(sf.table)
+        inner_cols = set(self._base_frame(sf.table).columns)
+        iq = (sf.alias or sf.table).lower()
+        outer_quals = {t.lower() for t in tables} - {iq}
+        if sf.table.lower() in {t.lower() for t in tables} \
+                and sf.alias is None:
+            raise ValueError(
+                f"MAINTENANCE 'delta': the subquery over {sf.table!r} "
+                "needs an alias to disambiguate its columns from the "
+                "outer reference to the same table")
+
+        def side(qual, col):
+            if qual is not None:
+                ql = qual.lower()
+                if ql == iq:
+                    return ("inner", col)
+                if ql in outer_quals:
+                    return ("outer", col)
+                raise ValueError(
+                    f"MAINTENANCE 'delta': unknown qualifier "
+                    f"{qual!r} in subquery predicate")
+            if col in inner_cols:
+                return ("inner", col)
+            if col in acc_cols or renmap.get(col, col) in acc_cols:
+                return ("outer", col)
+            return ("lit", col)
+
+        def outer_name(col):
+            mapped = renmap.get(col, col)
+            if mapped not in acc_cols:
+                raise ValueError(
+                    f"MAINTENANCE 'delta': correlated column {col!r} "
+                    "is not a column of the outer relation")
+            return mapped
+
+        pairs: list[tuple[str, str]] = []   # (inner col, outer col)
+        member: tuple[str, str] | None = None
+        local: list[str] = []
+        strip = re.compile(rf"(?i)\b{re.escape(iq)}\s*\.\s*")
+        for conj in sf.conjuncts:
+            m = self._SUB_CMP_RE.match(conj)
+            sides = None
+            if m is not None:
+                s1 = side(m.group("q1"), m.group("c1"))
+                s2 = side(m.group("q2"), m.group("c2"))
+                sides = {s1[0], s2[0]}
+                if sides == {"inner", "outer"}:
+                    ic = s1[1] if s1[0] == "inner" else s2[1]
+                    oc = s2[1] if s1[0] == "inner" else s1[1]
+                    if m.group("op") == "=":
+                        pairs.append((ic, outer_name(oc)))
+                    else:
+                        if sf.kind != "exists":
+                            raise ValueError(
+                                "MAINTENANCE 'delta': <> correlation "
+                                "is supported in EXISTS subqueries "
+                                "only")
+                        if member is not None:
+                            raise ValueError(
+                                "MAINTENANCE 'delta': at most one <> "
+                                "correlation per subquery")
+                        member = (ic, outer_name(oc))
+                    continue
+            # not a correlation: must be a purely inner-local predicate
+            for qm in re.finditer(r"\b(\w+)\s*\.\s*\w+", conj):
+                if qm.group(1).lower() in outer_quals:
+                    raise ValueError(
+                        "MAINTENANCE 'delta': correlated subquery "
+                        f"predicates beyond equality/<> are not "
+                        f"maintainable ({conj!r})")
+            local.append(strip.sub("", conj))
+        if sf.kind == "in":
+            in_expr = strip_outer = sf.in_expr
+            for t in tables:
+                strip_outer = re.sub(
+                    rf"(?i)\b{re.escape(t)}\s*\.\s*", "", strip_outer)
+            if not re.fullmatch(r"\w+", strip_outer.strip()):
+                raise ValueError(
+                    "MAINTENANCE 'delta': the IN expression must be a "
+                    f"plain outer column (got {in_expr!r})")
+            if sf.in_col not in inner_cols:
+                raise ValueError(
+                    f"MAINTENANCE 'delta': {sf.in_col!r} is not a "
+                    f"column of {sf.table!r}")
+            pairs.append((sf.in_col, outer_name(strip_outer.strip())))
+        if not pairs:
+            raise ValueError(
+                "MAINTENANCE 'delta': the subquery needs at least one "
+                "equality correlation with the outer relation")
+        if sf.kind == "in":
+            kind = "not_in" if sf.negated else "in"
+        else:
+            kind = "not_exists" if sf.negated else "exists"
+        prep_select = list(pairs)
+        okeys = [oc for _ic, oc in pairs]
+        omember = None
+        if member is not None:
+            prep_select.append(member)
+            omember = member[1]
+        op = SemiAntiFilterMV(
+            self.spark, keys=okeys, kind=kind, member=omember,
+            spill_rows=_TOPK_SPILL_ROWS)
+        return {"op": op, "table": sf.table, "kind": kind,
+                "prep_where": " AND ".join(f"({c})" for c in local)
+                if local else None,
+                "prep_select": prep_select}
+
+    def _subfilter_inner_delta(self, stage: dict, delta):
+        """Project one inner-table diff frame to the stage's support
+        columns (outer-side names), applying the inner-local filter."""
+        from pyspark.sql import functions as F
+
+        d = delta
+        if stage["prep_where"]:
+            d = d.filter(
+                f"coalesce(({rewrite(stage['prep_where'])}), false)")
+        return d.select(*[F.col(ic).alias(oc)
+                          for ic, oc in stage["prep_select"]], "diff")
+
+    def _feed_delta_mv_semijoin(self, name: str, table: str,
+                                delta) -> None:
+        """Fold one table's diffs through the chain and the semi/anti
+        filter stages: the chain output delta rides the stages' outer
+        side, while the same commit feeds any stage whose INNER table
+        it is (both in one bilinear on_batch when the table plays both
+        roles — the q21 self-correlation)."""
+        spec = self._delta_mvs[name]
+        out = None
+        if table in spec["tables"]:
+            out = self._fold_join_chain(spec, table, delta)
+            if out is not None and spec.get("src_where"):
+                out = out.filter(
+                    f"coalesce(({rewrite(spec['src_where'])}), false)")
+        for stage in spec["stages"]:
+            ind = (self._subfilter_inner_delta(stage, delta)
+                   if stage["table"] == table else None)
+            if out is None and ind is None:
+                continue
+            out = stage["op"].on_batch(outer_delta=out,
+                                       inner_delta=ind)
+        self._finish_delta_mv_join(name, out)
+
+    def _form_delta_mv_semijoin(self, name: str) -> None:
+        """Formation: base snapshots flow through the chain and every
+        stage in one pass (each stage folds its inner snapshot first,
+        against an empty outer state, then the outer snapshot
+        qualifies against the formed support — exactly the bilinear
+        rule's initial condition)."""
+        from pyspark.sql import functions as F
+
+        spec = self._delta_mvs[name]
+        snaps = [self._base_frame(t).withColumn("diff", F.lit(1))
+                 for t in spec["tables"]]
+        out = snaps[0]
+        for i, link in enumerate(spec["chain"]):
+            r = self._align_join_delta(spec, i, snaps[i + 1])
+            out = link.on_batch(left_delta=out, right_delta=r)
+            if out is None:
+                break
+        if out is not None and spec.get("src_where"):
+            out = out.filter(
+                f"coalesce(({rewrite(spec['src_where'])}), false)")
+        for stage in spec["stages"]:
+            ind = self._subfilter_inner_delta(
+                stage, self._base_frame(stage["table"])
+                .withColumn("diff", F.lit(1)))
+            out = stage["op"].on_batch(outer_delta=out,
+                                       inner_delta=ind)
+        self._finish_delta_mv_join(name, out, initial=True)
+
     def _normalize_join_chain(self, q):
         """Normalize a parsed left-deep join chain (select_ast.SelectQ
         with JoinSeg links) into (tables, norm_links, kinds, acc_cols)
         where each norm_link is a LIST of (acc-side key, right key)
         pairs and kind ∈ inner|left|full; None when the chain is out
         of the supported shape."""
+        if q.table is None:
+            return None
         tables = [q.table]
         links: list[list[tuple[str, str]]] = []
         kinds: list[str] = []
         extras: list[str | None] = []
         for seg in q.joins:
-            if seg.kind == "right":
-                raise ValueError(
-                    "MAINTENANCE 'delta': RIGHT JOIN is not supported — "
-                    "rewrite as the mirrored LEFT JOIN")
             if seg.extra is not None and seg.kind != "inner":
                 raise ValueError(
                     "MAINTENANCE 'delta': non-equi ON conjuncts are "
@@ -1814,14 +2290,15 @@ class MzSession:
                 delta = delta.withColumn(onl, F.col(onr))
         return delta
 
-    def _feed_delta_mv_join(self, name: str, table: str,
-                            delta) -> None:
-        """Fold one base table's diffs through the join chain: the
+    def _fold_join_chain(self, spec: dict, table: str, delta):
+        """Fold one base table's diffs through a spec's join chain: the
         table's link consumes the delta, and each downstream link
-        receives the previous link's output delta as its left input."""
-        spec = self._delta_mvs[name]
-        chain, links = spec["chain"], spec["links"]
+        receives the previous link's output delta as its left input.
+        A chainless (single-table) spec passes the delta through."""
+        chain = spec["chain"]
         idx = spec["tables"].index(table)
+        if not chain:
+            return delta
         if idx == 0:
             out = chain[0].on_batch(left_delta=delta)
             rest = chain[1:]
@@ -1833,6 +2310,12 @@ class MzSession:
             if out is None:
                 break
             out = link.on_batch(left_delta=out)
+        return out
+
+    def _feed_delta_mv_join(self, name: str, table: str,
+                            delta) -> None:
+        spec = self._delta_mvs[name]
+        out = self._fold_join_chain(spec, table, delta)
         self._finish_delta_mv_join(name, out)
 
     def _finish_delta_mv_join(self, name: str, out,
@@ -1852,23 +2335,29 @@ class MzSession:
                 f"coalesce(({rewrite(spec['where'])}), false)")
         touched = tkeys = None
         if spec.get("topk") is not None:
-            # TopK: the maintained result is tiny (k rows per touched
-            # group), so the full result diff in _publish_delta_mv is
-            # O(k·groups); touched-scoping can't apply because the
-            # outer projection may drop the partition keys.
+            # TopK over a join chain: when the outer projection keeps
+            # the group keys, the publish diff confines to the touched
+            # groups (the maintained result replaces whole touched
+            # groups); key-dropping projections fall back to the small
+            # O(k·groups) full-result diff.
             tk = spec["topk"]
             if out is None and not initial:
                 return  # nothing changed
             if out is not None:
-                result = tk["mv"].on_batch(
-                    out.select(*tk["icols"], "diff")).select(*spec["cols"])
+                keyed = out.select(*tk["icols"], "diff")
+                tkk = tk["mv"].keys
+                if all(k in spec["cols"] for k in tkk):
+                    touched, tkeys = (keyed.select(*tkk).distinct(),
+                                      list(tkk))
+                result = tk["mv"].on_batch(keyed).select(*spec["cols"])
             else:
                 result = (tk["mv"].result().select(*spec["cols"])
                           if tk["mv"]._result is not None else None)
             if result is None:
                 result = self.spark.sql(
                     rewrite(self._matview_sql[name])).limit(0)
-            self._publish_delta_mv(name, result, initial)
+            self._publish_delta_mv(name, result, initial,
+                                   touched=touched, keys=tkeys)
             return
         if spec.get("distinct") is not None:
             dmv = spec["distinct"]
@@ -1933,6 +2422,9 @@ class MzSession:
         if spec.get("kind") == "winagg":
             self._feed_delta_mv_winagg(name, spec, delta, initial)
             return
+        if spec.get("kind") == "winorder":
+            self._feed_delta_mv_winorder(name, spec, delta, initial)
+            return
         for lw, lsel in spec.get("pre_layers", ()):
             # stateless subquery layers, innermost first (arbitrary
             # nesting depth — each is a Map/Filter the reference's mfp
@@ -1971,6 +2463,15 @@ class MzSession:
                               spec["keys"])
         elif spec.get("kind") == "topk":
             delta = delta.select(*spec["icols"], "diff")
+            if all(k in spec["cols"] for k in spec["keys"]):
+                # grouped TopK whose projection KEEPS the group keys:
+                # the publish diff confines to the touched groups (the
+                # maintained result replaces whole touched groups, so
+                # the old-vs-new slice diff is exact); key-dropping
+                # projections (incl. the global __g TopK) keep the
+                # small full-result diff
+                touched, tkeys = (delta.select(*spec["keys"])
+                                  .distinct(), spec["keys"])
         elif spec.get("kind") == "distinct":
             delta = delta.select(*spec["cols"], "diff")
             touched, tkeys = (delta.select(*spec["cols"]).distinct(),
@@ -2072,8 +2573,10 @@ class MzSession:
           (a null-safe semi-probe + exceptAll over those rows only):
           O(touched groups), never a full-result anti-join.
         - neither — full ``result.exceptAll(old)``: ONLY the REFRESH
-          recompute path and TopK (whose maintained result is k rows
-          per group and whose projection may drop the group keys).
+          recompute path and TopK projections that DROP the group keys
+          (incl. the global TopK; the result is k rows per group, so
+          this stays small). Key-keeping TopK projections ride the
+          touched path.
         """
         from pyspark.sql import functions as F
 
@@ -2132,7 +2635,9 @@ class MzSession:
         from pyspark.sql import functions as F
 
         if not any(n != name and (sp.get("table") == name
-                                  or name in sp.get("tables", ()))
+                                  or name in sp.get("tables", ())
+                                  or name in sp.get("inner_tables",
+                                                    ()))
                    for n, sp in self._delta_mvs.items()):
             return
         frames = []
@@ -2155,6 +2660,10 @@ class MzSession:
             elif spec.get("kind") == "setop":
                 if table in spec["tables"]:
                     self._feed_delta_mv_setop(name, table, delta)
+            elif spec.get("kind") == "semijoin":
+                if table in spec.get("tables", ()) \
+                        or table in spec.get("inner_tables", ()):
+                    self._feed_delta_mv_semijoin(name, table, delta)
             elif spec["table"] == table:
                 self._feed_delta_mv(name, delta)
             elif spec.get("kind") == "join" \
@@ -3539,7 +4048,9 @@ class MzSession:
         deps = [n for n, sp in self._delta_mvs.items()
                 if n != node.name and (sp.get("table") == node.name
                                        or node.name in sp.get("tables",
-                                                              ()))]
+                                                              ())
+                                       or node.name in sp.get(
+                                           "inner_tables", ()))]
         if deps:
             # PG/reference dependency semantics: a relation that an
             # always-fresh view reads cannot be dropped out from under
@@ -3587,15 +4098,22 @@ class MzSession:
         here: a write that bypasses the delta feed leaves always-fresh
         MVs permanently wrong (the reference funnels all table writes
         through one persist append, so its dataflows see every diff)."""
+        from pyspark.sql import functions as F
         target = self.catalog._tables[table]
+        # Align NAMES and TYPES to the table schema: VALUES literals
+        # infer narrow types (INT for small ints), and a delta frame
+        # whose key column type differs from the table's breaks every
+        # type-sensitive downstream — xxhash64 spill-prefix pruning
+        # above all (hash(INT 6) != hash(BIGINT 6): the probe would
+        # silently miss the state partition).
+        aligned = rows.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in target.schema.fields])
         # Tables are append-only multisets (reference INSERT semantics);
         # checkpoint so repeated inserts don't grow the plan.
         self.catalog.register_table(
             table,
-            target.unionByName(rows.select(*target.columns))
-            .localCheckpoint(eager=True))
-        from pyspark.sql import functions as F
-        aligned = rows.select(*target.columns)
+            target.unionByName(aligned).localCheckpoint(eager=True))
         self._feed_delta_mvs_for_table(
             table, aligned.withColumn("diff", F.lit(1)))
         self._publish_commit(table, adds=aligned)
@@ -4148,7 +4666,9 @@ class MzSession:
     def _wants_diffs(self, obj: str) -> bool:
         """True when some consumer (delta MV, Kafka sink, open
         subscription) needs this commit's explicit diff frames."""
-        return (any(sp.get("table") == obj or obj in sp.get("tables", ())
+        return (any(sp.get("table") == obj
+                    or obj in sp.get("tables", ())
+                    or obj in sp.get("inner_tables", ())
                     for sp in self._delta_mvs.values())
                 or any(sp.get("kafka") and sp["from"] == obj
                        for sp in self._sinks.values())
@@ -4598,6 +5118,42 @@ class MzSession:
                 k = spec["kinds"][i]
                 on = spec["links"][i]
                 lines.append(f"  {k.upper()} JOIN {rel(t)} on={on}")
+        elif kind == "semijoin":
+            if spec.get("agg") is not None:
+                lines.append(
+                    f"Reduce keys={spec['keys']} "
+                    f"aggs={list(spec['aggs'])}"
+                    + (f" having=[{spec['having']}]"
+                       if spec.get("having") else ""))
+            if spec.get("distinct") is not None:
+                lines.append("Distinct")
+            for st in reversed(spec["stages"]):
+                op = st["op"]
+                label = {"exists": "SemiJoin[EXISTS]",
+                         "not_exists": "AntiJoin[NOT EXISTS]",
+                         "in": "SemiJoin[IN]",
+                         "not_in": "AntiJoin[NOT IN]"}[st["kind"]]
+                extra = (f" exclude-member={op.member}"
+                         if op.member else "")
+                lines.append(
+                    f"{label} keys={op.keys}{extra} "
+                    "(support counts, flip retractions)")
+                lines.append(f"  {rel(st['table'])} (inner)"
+                             + (f" [filter: {st['prep_where']}]"
+                                if st.get("prep_where") else ""))
+            if spec.get("src_where"):
+                lines.append(f"Filter [{spec['src_where']}]")
+            if spec["chain"]:
+                lines.append(
+                    "DeltaJoin (bilinear: dA*B + A*dB + dA*dB, "
+                    "spill-tiered state)")
+                lines.append(f"  {rel(spec['tables'][0])}")
+                for i, t in enumerate(spec["tables"][1:]):
+                    k = spec["kinds"][i]
+                    on = spec["links"][i]
+                    lines.append(f"  {k.upper()} JOIN {rel(t)} on={on}")
+            else:
+                lines.append(f"{rel(spec['tables'][0])}")
         elif kind == "winagg":
             for st in spec["sets"]:
                 part = st["keys"] if st["keys"] else "[] (global)"
@@ -4605,6 +5161,14 @@ class MzSession:
                     f"WindowAggregate partition={part} "
                     f"aggs={list(st['wins'])} "
                     "(Reduce + touched-partition row refresh)")
+            if spec.get("where"):
+                lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        elif kind == "winorder":
+            lines.append(
+                f"WindowOrdered partition={spec['keys']} "
+                f"exprs={spec['out_cols']} "
+                "(touched-partition recompute via native windows)")
             if spec.get("where"):
                 lines.append(f"  Filter [{spec['where']}]")
             lines.append(f"  {rel(spec['table'])}")

@@ -2432,3 +2432,414 @@ def sqlfront_delta_mv_distinct_aggs(spark, sf_dir):
                     F.col("sd").cast("long").alias("sd"),
                     F.col("tot").cast("long").alias("tot"))
             .orderBy("at", "k"))
+
+
+@register(
+    "sqlfront_delta_mv_exists",
+    """
+    -- oracle: literal truth of the write sequence against EXISTS /
+    -- IN (SELECT ...) delta MVs (semi-join maintenance: keys appear
+    -- and retract as the inner support crosses zero)
+    SELECT * FROM (VALUES
+        ('mid',   'ex', CAST(1 AS BIGINT), 'a'),
+        ('mid',   'ex', CAST(3 AS BIGINT), 'c'),
+        ('mid',   'in', CAST(1 AS BIGINT), 'a'),
+        ('mid',   'in', CAST(3 AS BIGINT), 'c'),
+        ('final', 'ex', CAST(2 AS BIGINT), 'b'),
+        ('final', 'ex', CAST(3 AS BIGINT), 'c'),
+        ('final', 'ex', CAST(4 AS BIGINT), 'd'),
+        ('final', 'in', CAST(2 AS BIGINT), 'b'),
+        ('final', 'in', CAST(3 AS BIGINT), 'c'),
+        ('final', 'in', CAST(4 AS BIGINT), 'd')
+    ) AS t(at, mv, k, v)
+    ORDER BY at, mv, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_exists(spark, sf_dir):
+    """Correlated EXISTS and membership IN delta-maintained as
+    semi-joins: the reference decorrelates both into semi-join
+    dataflows during lowering (src/sql/src/plan/lowering.rs:10-37)
+    and maintains the inner relation as an arrangement keyed by the
+    correlation; here a SemiAntiFilterMV keeps (key -> support count)
+    and inner-side commits emit ± the current outer rows of keys whose
+    support crossed zero (streaming/semijoin.py). Churn hits BOTH
+    sides: outer inserts probe the live support, inner deletes retract
+    previously-qualified outer rows."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dex_t (k BIGINT, v STRING);
+        CREATE TABLE dex_u (k2 BIGINT, w BIGINT);
+        INSERT INTO dex_t VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        INSERT INTO dex_u VALUES (1, 10), (1, 11), (3, 20), (9, 30);
+        CREATE MATERIALIZED VIEW dex_e WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dex_t
+          WHERE EXISTS (SELECT 1 FROM dex_u
+                        WHERE dex_u.k2 = dex_t.k AND dex_u.w < 100);
+        CREATE MATERIALIZED VIEW dex_i WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dex_t
+          WHERE k IN (SELECT k2 FROM dex_u WHERE w < 100);
+    """)
+
+    def snap(at):
+        e = s.sql("SELECT k, v FROM dex_e").select(
+            F.lit(at).alias("at"), F.lit("ex").alias("mv"), "k", "v")
+        i = s.sql("SELECT k, v FROM dex_i").select(
+            F.lit(at).alias("at"), F.lit("in").alias("mv"), "k", "v")
+        return e.unionByName(i)
+
+    mid = snap("mid")
+    s.run_script("""
+        DELETE FROM dex_u WHERE k2 = 1;
+        INSERT INTO dex_u VALUES (2, 5), (4, 6);
+        INSERT INTO dex_t VALUES (4, 'd');
+        DELETE FROM dex_t WHERE k = 1;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", F.col("k").cast("long").alias("k"), "v")
+            .orderBy("at", "mv", "k"))
+
+
+@register(
+    "sqlfront_delta_mv_not_exists",
+    """
+    -- oracle: literal truth of the write sequence against NOT EXISTS /
+    -- NOT IN delta MVs, incl. SQL's three-valued NOT IN semantics (an
+    -- inner NULL poisons every row; the empty inner set keeps all)
+    SELECT * FROM (VALUES
+        ('mid',    'nex', CAST(2 AS BIGINT), 'b'),
+        ('mid',    'nex', NULL, 'n'),
+        ('mid',    'nin', CAST(2 AS BIGINT), 'b'),
+        ('poison', 'nex', CAST(2 AS BIGINT), 'b'),
+        ('poison', 'nex', NULL, 'n'),
+        ('final',  'nex', CAST(1 AS BIGINT), 'a'),
+        ('final',  'nex', CAST(2 AS BIGINT), 'b'),
+        ('final',  'nex', NULL, 'n'),
+        ('final',  'nin', CAST(1 AS BIGINT), 'a'),
+        ('final',  'nin', CAST(2 AS BIGINT), 'b')
+    ) AS t(at, mv, k, v)
+    ORDER BY at, mv, k, v
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_not_exists(spark, sf_dir):
+    """NOT EXISTS / NOT IN delta-maintained as anti-joins with exact
+    SQL three-valued semantics: NOT EXISTS keeps NULL-keyed outer rows
+    (a NULL key matches nothing, so the anti-join holds them), while
+    NOT IN drops them unless the inner set is EMPTY, and one inner
+    NULL poisons every outer row (x <> NULL is UNKNOWN). The inner
+    null-count and total are scalar frontiers whose zero-crossings
+    re-derive the outer side — the reference gets the same answers
+    from its decorrelated anti-join plan (lowering.rs)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dnx_t (k BIGINT, v STRING);
+        CREATE TABLE dnx_u (j BIGINT);
+        INSERT INTO dnx_t VALUES (1, 'a'), (2, 'b'), (NULL, 'n');
+        INSERT INTO dnx_u VALUES (1), (1), (7);
+        CREATE MATERIALIZED VIEW dnx_e WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dnx_t
+          WHERE NOT EXISTS (SELECT 1 FROM dnx_u
+                            WHERE dnx_u.j = dnx_t.k);
+        CREATE MATERIALIZED VIEW dnx_i WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM dnx_t WHERE k NOT IN (SELECT j FROM dnx_u);
+    """)
+
+    def snap(at):
+        e = s.sql("SELECT k, v FROM dnx_e").select(
+            F.lit(at).alias("at"), F.lit("nex").alias("mv"), "k", "v")
+        i = s.sql("SELECT k, v FROM dnx_i").select(
+            F.lit(at).alias("at"), F.lit("nin").alias("mv"), "k", "v")
+        return e.unionByName(i)
+
+    mid = snap("mid")
+    s.run_script("INSERT INTO dnx_u VALUES (NULL);")
+    poison = snap("poison")
+    s.run_script("""
+        DELETE FROM dnx_u WHERE j IS NULL;
+        DELETE FROM dnx_u WHERE j = 1;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(poison).unionByName(fin)
+            .select("at", "mv", F.col("k").cast("long").alias("k"), "v")
+            .orderBy("at", "mv", "k", "v"))
+
+
+@register(
+    "sqlfront_delta_mv_q21_exists",
+    """
+    -- oracle: literal truth of the write sequence against the TPC-H
+    -- q21 shape — join chain + EXISTS(other supplier) + NOT
+    -- EXISTS(other LATE supplier) with <> correlation, GROUP BY count
+    SELECT * FROM (VALUES
+        ('mid',   's1', CAST(1 AS BIGINT)),
+        ('final', 's1', CAST(1 AS BIGINT)),
+        ('final', 's2', CAST(1 AS BIGINT))
+    ) AS t(at, s_name, numwait)
+    ORDER BY at, s_name
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery", "tpch",
+)
+def sqlfront_delta_mv_q21_exists(spark, sf_dir):
+    """The reference's flagship maintained NOT-EXISTS shape — TPC-H
+    q21 as written (test/sqllogictest/tpch_create_materialized_view.slt
+    maintains all 22 queries, q21 included): a 4-relation join chain
+    whose WHERE carries a self-correlated EXISTS and NOT EXISTS with a
+    <> member exclusion, under a grouped COUNT(*). The <> support is
+    kept per (order, supplier) with per-key totals — a pair qualifies
+    iff ANOTHER member's (late) row exists — exactly the reference's
+    decorrelated semi/anti join pair over the same arrangement
+    (lowering.rs; delta_join.rs). Commits to ANY of the five roles
+    (chain tables or either subquery side) keep the count fresh."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dq_supp (s_suppkey BIGINT, s_name STRING,
+                              s_nationkey BIGINT);
+        CREATE TABLE dq_li (l_orderkey BIGINT, l_suppkey BIGINT,
+                            l_receiptdate BIGINT, l_commitdate BIGINT);
+        CREATE TABLE dq_ord (o_orderkey BIGINT, o_orderstatus STRING);
+        CREATE TABLE dq_nat (n_nationkey BIGINT, n_name STRING);
+        INSERT INTO dq_supp VALUES (1, 's1', 10), (2, 's2', 10),
+                                   (3, 's3', 20);
+        INSERT INTO dq_nat VALUES (10, 'SAUDI ARABIA'), (20, 'FRANCE');
+        INSERT INTO dq_ord VALUES (100, 'F'), (200, 'F'), (300, 'O');
+        INSERT INTO dq_li VALUES (100, 1, 5, 3), (100, 2, 2, 3),
+                                 (200, 1, 9, 3), (200, 2, 9, 3),
+                                 (300, 1, 9, 3);
+        CREATE MATERIALIZED VIEW dq21 WITH (MAINTENANCE 'delta') AS
+          SELECT s_name, COUNT(*) AS numwait
+          FROM dq_supp
+          JOIN dq_li ON s_suppkey = l_suppkey
+          JOIN dq_ord ON o_orderkey = l_orderkey
+          JOIN dq_nat ON s_nationkey = n_nationkey
+          WHERE o_orderstatus = 'F' AND l_receiptdate > l_commitdate
+            AND n_name = 'SAUDI ARABIA'
+            AND EXISTS (SELECT 1 FROM dq_li l2
+                        WHERE l2.l_orderkey = dq_li.l_orderkey
+                          AND l2.l_suppkey <> dq_li.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM dq_li l3
+                            WHERE l3.l_orderkey = dq_li.l_orderkey
+                              AND l3.l_suppkey <> dq_li.l_suppkey
+                              AND l3.l_receiptdate > l3.l_commitdate)
+          GROUP BY s_name;
+    """)
+    mid = s.sql("SELECT s_name, numwait FROM dq21").withColumn(
+        "at", F.lit("mid"))
+    # churn every role: a lineitem UPDATE flips order 200 to a
+    # single-late-supplier order (s2 now waits there), and a new
+    # F-order 400 gives s1 a second waiting line — but its other
+    # supplier turns late in the same script, cancelling it again
+    s.run_script("""
+        UPDATE dq_li SET l_receiptdate = 2
+          WHERE l_orderkey = 200 AND l_suppkey = 1;
+        INSERT INTO dq_ord VALUES (400, 'F');
+        INSERT INTO dq_li VALUES (400, 1, 9, 3), (400, 3, 2, 3);
+        DELETE FROM dq_li WHERE l_orderkey = 400 AND l_suppkey = 3;
+        INSERT INTO dq_li VALUES (400, 3, 9, 3);
+    """)
+    fin = s.sql("SELECT s_name, numwait FROM dq21").withColumn(
+        "at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "s_name",
+                    F.col("numwait").cast("long").alias("numwait"))
+            .orderBy("at", "s_name"))
+
+
+@register(
+    "sqlfront_delta_mv_window_order",
+    """
+    -- oracle: literal truth of the write sequence against an ordered-
+    -- window delta MV (running SUM, LAG, FIRST_VALUE); the mid-
+    -- partition DELETE shifts every subsequent running sum
+    SELECT * FROM (VALUES
+        ('mid', 'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(10 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid', 'a', CAST(2 AS BIGINT), CAST(20 AS BIGINT),
+         CAST(30 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid', 'a', CAST(3 AS BIGINT), CAST(5 AS BIGINT),
+         CAST(35 AS BIGINT), CAST(20 AS BIGINT), CAST(10 AS BIGINT)),
+        ('mid', 'b', CAST(1 AS BIGINT), CAST(7 AS BIGINT),
+         CAST(7 AS BIGINT), CAST(NULL AS BIGINT), CAST(7 AS BIGINT)),
+        ('final', 'a', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT)),
+        ('final', 'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(11 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        ('final', 'a', CAST(3 AS BIGINT), CAST(5 AS BIGINT),
+         CAST(16 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT)),
+        ('final', 'b', CAST(1 AS BIGINT), CAST(7 AS BIGINT),
+         CAST(7 AS BIGINT), CAST(NULL AS BIGINT), CAST(7 AS BIGINT)),
+        ('final', 'c', CAST(1 AS BIGINT), CAST(9 AS BIGINT),
+         CAST(9 AS BIGINT), CAST(NULL AS BIGINT), CAST(9 AS BIGINT))
+    ) AS t(at, k, seq, v, run, prev, fv)
+    ORDER BY at, k, seq
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "window",
+)
+def sqlfront_delta_mv_window_order(spark, sf_dir):
+    """Ordered window functions delta-maintained — running SUM, LAG,
+    FIRST_VALUE with OVER (PARTITION BY k ORDER BY seq). The reference
+    executes window functions as whole-group Reduce computations
+    (src/expr/src/relation/func.rs:1960-1999), so per-commit it
+    recomputes touched groups; this plan does exactly that — a commit
+    re-derives ONLY its own partitions' rows through Spark's native
+    window execution, untouched partitions pass through, and the
+    published diff is the touched slice's old-vs-new consolidation.
+    A mid-partition DELETE shifting every subsequent running sum is
+    the churn case the oracle pins."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dwo_t (k STRING, seq BIGINT, v BIGINT);
+        INSERT INTO dwo_t VALUES ('a', 1, 10), ('a', 2, 20),
+                                 ('a', 3, 5), ('b', 1, 7);
+        CREATE MATERIALIZED VIEW dwo WITH (MAINTENANCE 'delta') AS
+          SELECT k, seq, v,
+                 SUM(v) OVER (PARTITION BY k ORDER BY seq) AS run,
+                 LAG(v) OVER (PARTITION BY k ORDER BY seq) AS prev,
+                 FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY seq)
+                   AS fv
+          FROM dwo_t;
+    """)
+    mid = s.sql("SELECT * FROM dwo").withColumn("at", F.lit("mid"))
+    s.run_script("""
+        DELETE FROM dwo_t WHERE k = 'a' AND seq = 2;
+        INSERT INTO dwo_t VALUES ('a', 0, 1), ('c', 1, 9);
+    """)
+    fin = s.sql("SELECT * FROM dwo").withColumn("at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", "k",
+                    F.col("seq").cast("long").alias("seq"),
+                    F.col("v").cast("long").alias("v"),
+                    F.col("run").cast("long").alias("run"),
+                    F.col("prev").cast("long").alias("prev"),
+                    F.col("fv").cast("long").alias("fv"))
+            .orderBy("at", "k", "seq"))
+
+
+@register(
+    "sqlfront_delta_mv_right_join",
+    """
+    -- oracle: literal truth of the write sequence against a RIGHT
+    -- JOIN delta MV (unmatched right rows pad the left columns NULL)
+    SELECT * FROM (VALUES
+        ('mid', CAST(1 AS BIGINT), 'x', CAST(1 AS BIGINT), 'p'),
+        ('mid', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(3 AS BIGINT), 'q'),
+        ('final', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(1 AS BIGINT), 'p'),
+        ('final', CAST(3 AS BIGINT), 'z', CAST(3 AS BIGINT), 'q'),
+        ('final', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(5 AS BIGINT), 'r')
+    ) AS t(at, k, a, k2, b)
+    ORDER BY at, k2
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "join",
+)
+def sqlfront_delta_mv_right_join(spark, sf_dir):
+    """RIGHT JOIN delta maintenance: the mirrored anti part keeps
+    unmatched RIGHT rows null-padded on the left columns (the
+    reference lowers RIGHT as the mirrored LEFT decomposition,
+    src/sql/src/plan/lowering.rs) — left-side churn flips rows
+    between matched and padded without recomputing the join."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE drj_l (k BIGINT, a STRING);
+        CREATE TABLE drj_r (k2 BIGINT, b STRING);
+        INSERT INTO drj_l VALUES (1, 'x'), (2, 'y');
+        INSERT INTO drj_r VALUES (1, 'p'), (3, 'q');
+        CREATE MATERIALIZED VIEW drj WITH (MAINTENANCE 'delta') AS
+          SELECT k, a, k2, b FROM drj_l RIGHT JOIN drj_r ON k = k2;
+    """)
+    mid = s.sql("SELECT * FROM drj").withColumn("at", F.lit("mid"))
+    s.run_script("""
+        DELETE FROM drj_l WHERE k = 1;
+        INSERT INTO drj_l VALUES (3, 'z');
+        INSERT INTO drj_r VALUES (5, 'r');
+    """)
+    fin = s.sql("SELECT * FROM drj").withColumn("at", F.lit("final"))
+    return (mid.unionByName(fin)
+            .select("at", F.col("k").cast("long").alias("k"), "a",
+                    F.col("k2").cast("long").alias("k2"), "b")
+            .orderBy("at", "k2"))
+
+
+@register(
+    "sqlfront_delta_mv_mixed_setop",
+    """
+    -- oracle: literal truth of the write sequence against mixed
+    -- set-operator chains (SQL precedence: INTERSECT binds tighter,
+    -- UNION/EXCEPT associate left)
+    SELECT * FROM (VALUES
+        ('mid',   'ue', CAST(1 AS BIGINT)),
+        ('mid',   'ue', CAST(2 AS BIGINT)),
+        ('mid',   'ue', CAST(2 AS BIGINT)),
+        ('mid',   'ue', CAST(3 AS BIGINT)),
+        ('mid',   'ui', CAST(1 AS BIGINT)),
+        ('mid',   'ui', CAST(2 AS BIGINT)),
+        ('final', 'ue', CAST(2 AS BIGINT)),
+        ('final', 'ue', CAST(2 AS BIGINT)),
+        ('final', 'ue', CAST(2 AS BIGINT)),
+        ('final', 'ue', CAST(3 AS BIGINT)),
+        ('final', 'ue', CAST(4 AS BIGINT)),
+        ('final', 'ui', CAST(1 AS BIGINT)),
+        ('final', 'ui', CAST(2 AS BIGINT)),
+        ('final', 'ui', CAST(4 AS BIGINT))
+    ) AS t(at, mv, k)
+    ORDER BY at, mv, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "setops",
+)
+def sqlfront_delta_mv_mixed_setop(spark, sf_dir):
+    """Mixed set-operator chains delta-maintained: ``A UNION ALL B
+    EXCEPT ALL C`` and ``A UNION B INTERSECT C`` reduce pairwise into
+    stacked internal maintained nodes with SQL precedence — the
+    reference plans mixed chains as nested Threshold/Union/Negate
+    trees (src/sql/src/plan/query.rs plan_set_expr) and maintains each
+    node; here every pair's published diff is the next pair's commit
+    (views-over-views composition, render.rs)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dms_a (k BIGINT);
+        CREATE TABLE dms_b (k BIGINT);
+        CREATE TABLE dms_c (k BIGINT);
+        INSERT INTO dms_a VALUES (1), (2), (2);
+        INSERT INTO dms_b VALUES (2), (3);
+        INSERT INTO dms_c VALUES (2), (4);
+        CREATE MATERIALIZED VIEW dms_ue WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM dms_a UNION ALL SELECT k FROM dms_b
+          EXCEPT ALL SELECT k FROM dms_c;
+        CREATE MATERIALIZED VIEW dms_ui WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM dms_a UNION SELECT k FROM dms_b
+          INTERSECT SELECT k FROM dms_c;
+    """)
+
+    def snap(at):
+        e = s.sql("SELECT k FROM dms_ue").select(
+            F.lit(at).alias("at"), F.lit("ue").alias("mv"), "k")
+        i = s.sql("SELECT k FROM dms_ui").select(
+            F.lit(at).alias("at"), F.lit("ui").alias("mv"), "k")
+        return e.unionByName(i)
+
+    mid = snap("mid")
+    s.run_script("""
+        DELETE FROM dms_c WHERE k = 2;
+        INSERT INTO dms_a VALUES (4);
+        INSERT INTO dms_c VALUES (1);
+        INSERT INTO dms_b VALUES (4);
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", F.col("k").cast("long").alias("k"))
+            .orderBy("at", "mv", "k"))

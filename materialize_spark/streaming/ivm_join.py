@@ -221,7 +221,7 @@ class IncrementalJoinView:
 
 @dataclass
 class IncrementalOuterJoinView:
-    """A LEFT (or FULL) outer equi-join maintained incrementally.
+    """A LEFT / RIGHT / FULL outer equi-join maintained incrementally.
 
     The reference lowers outer joins to a union of the inner join with
     null-padded anti-join parts (src/sql/src/plan/lowering.rs), then
@@ -257,10 +257,11 @@ class IncrementalOuterJoinView:
     _result: list[DataFrame] = field(default_factory=list, init=False)
 
     def __post_init__(self) -> None:
-        if self.how not in ("left", "full"):
+        if self.how not in ("left", "right", "full"):
             raise ValueError(f"unsupported outer-join kind {self.how!r}")
-        if self.how == "full" and not self.pad_left:
-            raise ValueError("FULL join needs pad_left column types")
+        if self.how in ("right", "full") and not self.pad_left:
+            raise ValueError(
+                f"{self.how.upper()} join needs pad_left column types")
         self._left = _JoinSideState(
             on=list(self.on), name="ojoin_left",
             spill_rows=self.spill_rows, compact_every=self.compact_every)
@@ -358,9 +359,14 @@ class IncrementalOuterJoinView:
             self._inner_term(left_delta, self._right.frame(left_delta)),
             self._inner_term(self._left.frame(right_delta), right_delta),
             self._inner_term(left_delta, right_delta)) if t is not None]
-        terms += self._anti_terms(self._left, left_delta, self._right,
-                                  right_delta, self.pad_right)
-        if self.how == "full":
+        if self.how in ("left", "full"):
+            terms += self._anti_terms(self._left, left_delta,
+                                      self._right, right_delta,
+                                      self.pad_right)
+        if self.how in ("right", "full"):
+            # RIGHT keeps unmatched right rows null-padded on the left
+            # columns — the mirror of the left anti part (the reference
+            # plans RIGHT as the mirrored LEFT lowering, lowering.rs)
             mirrored = self._anti_terms(self._right, right_delta,
                                         self._left, left_delta,
                                         self.pad_left)

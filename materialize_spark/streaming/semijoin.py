@@ -1,0 +1,324 @@
+"""Delta-maintained semi/anti-join filters — [NOT] EXISTS / [NOT] IN.
+
+The reference decorrelates EXISTS/IN subqueries into semi and anti
+joins during SQL lowering (src/sql/src/plan/lowering.rs:10-37, with
+SemijoinIdempotence at src/transform/src/semijoin_idempotence.rs) and
+then maintains them like any other dataflow: an arrangement of the
+inner relation keyed by the correlation key, probed by the outer rows,
+with retractions flowing when a key's inner support drains to zero or
+first appears.
+
+Spark-first translation. The operator is a *filter stage* on a diff
+stream: outer deltas flow through (kept or dropped per the current
+inner support), and inner deltas emit ±(current outer rows) for every
+key whose qualification FLIPPED. That is the bilinear rule for a
+semijoin,
+
+    Δ(O ⋉ I)  =  ΔO ⋉ I_new  +  flip(I_old → I_new) × O_old,
+
+so per-batch cost is O(batch + touched keys' state), never a re-join
+of the histories. Both states live on the shared append-only
+parts-spine (streaming/state_spill.SpilledPartsState): O(delta)
+appends, amortized folds, hash-prefix-pruned probes at scale.
+
+Variants:
+
+- ``exists`` / ``not_exists``: correlated equality — a NULL outer key
+  never matches (EXISTS false, NOT EXISTS true — constant, never
+  flips; plain `=` joins below implement exactly that).
+- the ``member`` exclusion: ``EXISTS (... WHERE i.k = o.k AND
+  i.m <> o.m)`` — the TPC-H q21 shape. Support is kept per (key,
+  member); a pair qualifies iff the key's total minus its own count is
+  positive (an *other* member's row exists). NULL members never
+  satisfy ``<>`` (excluded from support; outer NULL members get
+  other-count 0).
+- ``in`` / ``not_in``: membership with SQL's three-valued semantics —
+  inner NULLs poison NOT IN (no row qualifies while the inner side
+  holds a NULL), NULL outer values match nothing, and ``x NOT IN
+  (empty)`` is TRUE for every x including NULL. The two global terms
+  (inner null count / inner total) are scalar frontiers; a
+  zero-crossing re-derives the whole outer side (it genuinely flips
+  every row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from materialize_spark.operators.setops import DIFF_COL
+from materialize_spark.streaming.state_spill import SpilledPartsState
+
+_KINDS = ("exists", "not_exists", "in", "not_in")
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Lineage break with fresh attribute ids (see retraction._ckpt)."""
+    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
+    return fresh.localCheckpoint(eager=True)
+
+
+def _ns_semi(df: DataFrame, keys_df: DataFrame,
+             keys: list[str]) -> DataFrame:
+    """Null-safe left_semi keyed probe."""
+    cond = None
+    for k in keys:
+        c = F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}"))
+        cond = c if cond is None else cond & c
+    return df.alias("__a").join(keys_df.alias("__b"), on=cond,
+                                how="left_semi")
+
+
+@dataclass
+class SemiAntiFilterMV:
+    """One maintained ``[NOT] EXISTS`` / ``[NOT] IN`` filter stage.
+
+    ``keys``: the outer-side correlation column names (inner deltas
+    arrive pre-projected/renamed to these names by the planner).
+    ``member``: outer-side column for the ``<>`` exclusion (exists
+    kinds only). ``on_batch(outer_delta, inner_delta)`` returns the
+    stage's output delta (outer columns + ``diff``) or None.
+    """
+
+    spark: SparkSession
+    keys: list[str]
+    kind: str                      # exists | not_exists | in | not_in
+    member: str | None = None
+    compact_every: int = 16
+    spill_rows: int | None = None
+    _outer: SpilledPartsState | None = field(default=None, init=False)
+    _inner: SpilledPartsState | None = field(default=None, init=False)
+    _null_cnt: int = field(default=0, init=False)
+    _total: int = field(default=0, init=False)
+    _o_appends: int = field(default=0, init=False)
+    _i_appends: int = field(default=0, init=False)
+
+    def __post_init__(self) -> None:
+        if self.kind not in _KINDS:
+            raise ValueError(f"unsupported subfilter kind {self.kind!r}")
+        if self.member is not None and self.kind in ("in", "not_in"):
+            raise ValueError("member exclusion applies to EXISTS kinds")
+
+    # -- state plumbing -----------------------------------------------------
+    def _ikey(self) -> list[str]:
+        return self.keys + ([self.member] if self.member else [])
+
+    def _ensure(self) -> None:
+        if self._inner is None:
+            self._inner = SpilledPartsState(
+                self.spark, key_cols=list(self.keys), name="semi_inner",
+                spill_rows=self.spill_rows)
+        if self._outer is None:
+            self._outer = SpilledPartsState(
+                self.spark, key_cols=list(self.keys), name="semi_outer",
+                spill_rows=self.spill_rows)
+
+    def _counts(self, touched: DataFrame | None) -> DataFrame | None:
+        """Current inner support (keys[, member] -> __cnt), confined to
+        ``touched`` keys when given (probe prefixes prune first, then a
+        semi-join keeps the aggregate O(touched state))."""
+        probe = self._inner.probe_frame(touched)
+        if probe is None:
+            return None
+        if touched is not None:
+            probe = _ns_semi(probe, touched, self.keys)
+        return (probe.groupBy(*self._ikey())
+                .agg(F.sum("__cnt").alias("__cnt"))
+                .filter(F.col("__cnt") != 0))
+
+    def _outer_rows(self, touched: DataFrame | None) -> DataFrame | None:
+        """Consolidated current outer rows (confined to touched keys
+        when given)."""
+        probe = self._outer.probe_frame(touched)
+        if probe is None:
+            return None
+        if touched is not None:
+            probe = _ns_semi(probe, touched, self.keys)
+        cols = [c for c in probe.columns if c != DIFF_COL]
+        return (probe.groupBy(*cols)
+                .agg(F.sum(DIFF_COL).alias(DIFF_COL))
+                .filter(F.col(DIFF_COL) != 0))
+
+    # -- qualification ------------------------------------------------------
+    def _qual_plain(self, cnt, total=None, null_cnt=None):
+        """Boolean Column from a (possibly NULL) attached count.
+        ``total``/``null_cnt`` override the scalar frontiers (the
+        global-flip path evaluates the OLD side under the pre-batch
+        scalars; the predicate embeds them at construction time)."""
+        total = self._total if total is None else total
+        null_cnt = self._null_cnt if null_cnt is None else null_cnt
+        n = F.coalesce(cnt, F.lit(0))
+        if self.kind == "exists":
+            return n > 0
+        if self.kind == "not_exists":
+            return n <= 0
+        key = F.col(self.keys[0])
+        if self.kind == "in":
+            return key.isNotNull() & (n > 0)
+        # not_in: inner NULL poisons everything; the empty inner set
+        # keeps every row (NULL keys included)
+        if total == 0:
+            return F.lit(True)
+        if null_cnt > 0:
+            return F.lit(False)
+        return key.isNotNull() & (n <= 0)
+
+    def _qual_member(self, tot, cnt):
+        """Member-exclusion qualification: does ANOTHER member's inner
+        row exist for this key? NULL members satisfy no ``<>``."""
+        other = F.when(
+            F.col(self.member).isNull(), F.lit(0)).otherwise(
+            F.coalesce(tot, F.lit(0)) - F.coalesce(cnt, F.lit(0)))
+        return other > 0 if self.kind == "exists" else other <= 0
+
+    def _attach(self, rows: DataFrame, counts: DataFrame | None,
+                sfx: str) -> DataFrame:
+        """Left-attach ``__cnt{sfx}`` (and ``__tot{sfx}`` for the
+        member variant) to outer rows. Plain `=` joins throughout:
+        NULL outer keys must NOT match any inner group (SQL equality),
+        and the support holds no NULL keys. ``counts`` is _ckpt'd
+        first — the member variant reads it twice (per-key totals +
+        per-pair counts), and shared live subplans under one plan are
+        the relation-dedup hazard."""
+        cnt_c, tot_c = f"__cnt{sfx}", f"__tot{sfx}"
+        if counts is None:
+            out = rows.withColumn(cnt_c, F.lit(None).cast("long"))
+            if self.member:
+                out = out.withColumn(tot_c, F.lit(None).cast("long"))
+            return out
+        counts = _ckpt(counts)
+        if self.member:
+            tots = (counts.groupBy(*self.keys)
+                    .agg(F.sum("__cnt").alias(tot_c)))
+            out = rows.join(tots, on=self.keys, how="left")
+            a = out.alias("__a")
+            b = (counts.select(
+                *self.keys, F.col(self.member).alias("__im"),
+                F.col("__cnt").alias(cnt_c)).alias("__b"))
+            cond = F.col(f"__a.{self.member}") == F.col("__b.__im")
+            for k in self.keys:
+                cond = cond & (F.col(f"__a.{k}") == F.col(f"__b.{k}"))
+            return a.join(b, on=cond, how="left").select(
+                *[F.col(f"__a.{c}") for c in out.columns],
+                F.col(f"__b.{cnt_c}"))
+        return rows.join(counts.withColumnRenamed("__cnt", cnt_c),
+                         on=self.keys, how="left")
+
+    def _qual(self, sfx: str, total=None, null_cnt=None):
+        cnt = F.col(f"__cnt{sfx}")
+        if self.member:
+            return self._qual_member(F.col(f"__tot{sfx}"), cnt)
+        return self._qual_plain(cnt, total, null_cnt)
+
+    def _qualify(self, rows: DataFrame,
+                 counts: DataFrame | None) -> DataFrame:
+        """Filter outer rows to the qualifying ones under ``counts``.
+        The filtered frame is _ckpt'd WITH its attached count columns
+        and projected afterwards: checkpointing a plan that filters on
+        subsequently-dropped columns leaves the captured LogicalRDD
+        constraints referencing out-of-scope attributes ('key not
+        found' on any later re-plan)."""
+        att = self._attach(rows, counts, "")
+        kept = _ckpt(att.filter(self._qual("")))
+        return kept.select(*rows.columns)
+
+    # -- batch fold ----------------------------------------------------------
+    def on_batch(self, outer_delta: DataFrame | None = None,
+                 inner_delta: DataFrame | None = None
+                 ) -> DataFrame | None:
+        """Fold one commit's deltas (either side or both); returns the
+        stage's output delta or None. Inner deltas arrive pre-projected
+        to (keys..[, member], diff). The inner side folds FIRST against
+        the pre-batch outer state, then the outer delta qualifies
+        against the post-batch inner support — the bilinear order."""
+        self._ensure()
+        terms: list[DataFrame] = []
+        if inner_delta is not None:
+            terms += self._fold_inner(inner_delta)
+        if outer_delta is not None:
+            od = _ckpt(outer_delta)
+            new_counts = self._counts(od.select(*self.keys).distinct())
+            terms.append(self._qualify(od, new_counts))
+            self._outer.append(od)
+            self._o_appends += 1
+        self._maybe_compact()
+        if not terms:
+            return None
+        # each term is a live projection over its OWN fresh checkpoint
+        # leaf (see _qualify/_fold_inner), so the union's branches are
+        # attribute-disjoint — no relation-dedup hazard, no extra ckpt
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t)
+        return out
+
+    def _fold_inner(self, inner_delta: DataFrame) -> list[DataFrame]:
+        batch_t = batch_n = 0
+        global_flip = False
+        if self.kind in ("in", "not_in"):
+            row = inner_delta.agg(
+                F.sum(DIFF_COL).alias("t"),
+                F.sum(F.when(F.col(self.keys[0]).isNull(),
+                             F.col(DIFF_COL)).otherwise(F.lit(0)))
+                .alias("n")).collect()[0]
+            batch_t, batch_n = int(row.t or 0), int(row.n or 0)
+            old_flags = (self._total == 0, self._null_cnt > 0)
+            self._total += batch_t
+            self._null_cnt += batch_n
+            global_flip = self.kind == "not_in" \
+                and old_flags != (self._total == 0, self._null_cnt > 0)
+        # NULL keys / NULL members never satisfy `=` / `<>`: exclude
+        # from support entirely
+        clean = inner_delta
+        for k in self._ikey():
+            clean = clean.filter(F.col(k).isNotNull())
+        partial = _ckpt(clean.groupBy(*self._ikey())
+                        .agg(F.sum(DIFF_COL).alias("__cnt"))
+                        .filter(F.col("__cnt") != 0))
+        touched = _ckpt(partial.select(*self.keys).distinct())
+        scope = None if global_flip else touched
+        old_counts = self._counts(scope)
+        self._inner.append(partial)
+        self._i_appends += 1
+        old_rows = self._outer_rows(scope)
+        if old_rows is None:
+            return []
+        old_rows = _ckpt(old_rows)
+        new_counts = self._counts(scope)
+        # single-plan flip: attach OLD and NEW support side by side and
+        # emit ±rows where the qualification changed — no self-union,
+        # no exceptAll (unions whose branches share leaves evaluate
+        # wrongly under Catalyst's relation dedup)
+        att = self._attach(self._attach(old_rows, old_counts, "_o"),
+                           new_counts, "_n")
+        old_q = self._qual("_o", total=self._total - batch_t,
+                           null_cnt=self._null_cnt - batch_n)
+        new_q = self._qual("_n")
+        sign = (F.when(new_q & ~old_q, F.lit(1))
+                .when(old_q & ~new_q, F.lit(-1)))
+        flip = _ckpt(att.withColumn("__s", sign)
+                     .filter(F.col("__s").isNotNull()))
+        cols = [c for c in old_rows.columns if c != DIFF_COL]
+        return [flip.select(
+            *cols, (F.col(DIFF_COL) * F.col("__s")).alias(DIFF_COL))]
+
+    def _maybe_compact(self) -> None:
+        if self._i_appends >= self.compact_every:
+            full = self._inner.full_frame()
+            if full is not None:
+                self._inner.replace(_ckpt(
+                    full.groupBy(*self._ikey())
+                    .agg(F.sum("__cnt").alias("__cnt"))
+                    .filter(F.col("__cnt") != 0)))
+            self._i_appends = 0
+        if self._o_appends >= self.compact_every:
+            full = self._outer.full_frame()
+            if full is not None:
+                cols = [c for c in full.columns if c != DIFF_COL]
+                self._outer.replace(_ckpt(
+                    full.groupBy(*cols)
+                    .agg(F.sum(DIFF_COL).alias(DIFF_COL))
+                    .filter(F.col(DIFF_COL) != 0)))
+            self._o_appends = 0

@@ -1,0 +1,293 @@
+"""Delta-maintained [NOT] EXISTS / [NOT] IN subquery filters.
+
+Reference behavior: EXISTS/IN decorrelate to semi/anti joins at
+lowering (src/sql/src/plan/lowering.rs:10-37) and maintain like any
+dataflow; q21's <> self-correlation is the flagship maintained shape
+(test/sqllogictest/tpch_create_materialized_view.slt)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mz(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    return MzSession(spark)
+
+
+def rows(s, q):
+    return sorted((tuple(r) for r in s.sql(q).collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def test_exists_churn_both_sides(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sj_t (k BIGINT, v STRING);
+        CREATE TABLE sj_u (k2 BIGINT, w BIGINT);
+        INSERT INTO sj_t VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        INSERT INTO sj_u VALUES (1, 10), (1, 11), (3, 200);
+        CREATE MATERIALIZED VIEW sj_e WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM sj_t
+          WHERE EXISTS (SELECT 1 FROM sj_u
+                        WHERE sj_u.k2 = sj_t.k AND sj_u.w < 100);
+    """)
+    assert rows(s, "SELECT * FROM sj_e") == [(1, "a")]
+    # inner-side delete drains key 1; insert qualifies key 2; a new
+    # outer row probes the live support
+    s.run_script("""
+        DELETE FROM sj_u WHERE k2 = 1;
+        INSERT INTO sj_u VALUES (2, 5);
+        INSERT INTO sj_t VALUES (4, 'd');
+        INSERT INTO sj_u VALUES (4, 7);
+    """)
+    assert rows(s, "SELECT * FROM sj_e") == [(2, "b"), (4, "d")]
+    # dup inner rows: deleting ONE of two support rows keeps the key
+    s.run_script("""
+        INSERT INTO sj_u VALUES (2, 6);
+        DELETE FROM sj_u WHERE k2 = 2 AND w = 5;
+    """)
+    assert rows(s, "SELECT * FROM sj_e") == [(2, "b"), (4, "d")]
+    s.run_script("DROP MATERIALIZED VIEW sj_e;"
+                 "DROP TABLE sj_t; DROP TABLE sj_u;")
+
+
+def test_not_exists_keeps_null_keys(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE nj_t (k BIGINT, v STRING);
+        CREATE TABLE nj_u (j BIGINT);
+        INSERT INTO nj_t VALUES (1, 'a'), (2, 'b'), (NULL, 'n');
+        INSERT INTO nj_u VALUES (1);
+        CREATE MATERIALIZED VIEW nj_e WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM nj_t
+          WHERE NOT EXISTS (SELECT 1 FROM nj_u WHERE nj_u.j = nj_t.k);
+    """)
+    # NULL keys match nothing -> NOT EXISTS holds them, always
+    assert rows(s, "SELECT * FROM nj_e") == [(2, "b"), (None, "n")]
+    s.run_script("DELETE FROM nj_u WHERE j = 1;"
+                 "INSERT INTO nj_u VALUES (2);")
+    assert rows(s, "SELECT * FROM nj_e") == [(1, "a"), (None, "n")]
+    s.run_script("DROP MATERIALIZED VIEW nj_e;"
+                 "DROP TABLE nj_t; DROP TABLE nj_u;")
+
+
+def test_not_in_null_poison_and_empty_set(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ni_t (k BIGINT);
+        CREATE TABLE ni_u (j BIGINT);
+        INSERT INTO ni_t VALUES (1), (2), (NULL);
+        CREATE MATERIALIZED VIEW ni WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM ni_t WHERE k NOT IN (SELECT j FROM ni_u);
+    """)
+    # empty inner set: every row qualifies, NULL included
+    assert rows(s, "SELECT * FROM ni") == [(1,), (2,), (None,)]
+    s.run_script("INSERT INTO ni_u VALUES (1);")
+    assert rows(s, "SELECT * FROM ni") == [(2,)]
+    s.run_script("INSERT INTO ni_u VALUES (NULL);")  # poison
+    assert rows(s, "SELECT * FROM ni") == []
+    s.run_script("DELETE FROM ni_u WHERE j IS NULL;")
+    assert rows(s, "SELECT * FROM ni") == [(2,)]
+    s.run_script("DELETE FROM ni_u WHERE j = 1;")
+    assert rows(s, "SELECT * FROM ni") == [(1,), (2,), (None,)]
+    s.run_script("DROP MATERIALIZED VIEW ni;"
+                 "DROP TABLE ni_t; DROP TABLE ni_u;")
+
+
+def test_exists_under_group_by(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ga_t (g STRING, k BIGINT, x BIGINT);
+        CREATE TABLE ga_u (k2 BIGINT);
+        INSERT INTO ga_t VALUES ('a', 1, 10), ('a', 2, 20),
+                                ('b', 2, 30);
+        INSERT INTO ga_u VALUES (2);
+        CREATE MATERIALIZED VIEW ga WITH (MAINTENANCE 'delta') AS
+          SELECT g, SUM(x) AS sx FROM ga_t
+          WHERE EXISTS (SELECT 1 FROM ga_u WHERE ga_u.k2 = ga_t.k)
+          GROUP BY g;
+    """)
+    assert rows(s, "SELECT * FROM ga") == [("a", 20), ("b", 30)]
+    s.run_script("INSERT INTO ga_u VALUES (1);"
+                 "DELETE FROM ga_t WHERE g = 'b';")
+    assert rows(s, "SELECT * FROM ga") == [("a", 30)]
+    # draining the inner support retracts through the aggregate
+    s.run_script("DELETE FROM ga_u WHERE k2 = 2;")
+    assert rows(s, "SELECT * FROM ga") == [("a", 10)]
+    s.run_script("DROP MATERIALIZED VIEW ga;"
+                 "DROP TABLE ga_t; DROP TABLE ga_u;")
+
+
+def test_q21_member_exclusion_self_correlation(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE mq_li (ok BIGINT, sk BIGINT, late BIGINT);
+        CREATE MATERIALIZED VIEW mq WITH (MAINTENANCE 'delta') AS
+          SELECT ok, sk FROM mq_li
+          WHERE late = 1
+            AND EXISTS (SELECT 1 FROM mq_li l2
+                        WHERE l2.ok = mq_li.ok AND l2.sk <> mq_li.sk)
+            AND NOT EXISTS (SELECT 1 FROM mq_li l3
+                            WHERE l3.ok = mq_li.ok
+                              AND l3.sk <> mq_li.sk AND l3.late = 1);
+    """)
+    s.run_script("INSERT INTO mq_li VALUES (1, 10, 1), (1, 11, 0);")
+    assert rows(s, "SELECT * FROM mq") == [(1, 10)]
+    # the other member turns late: both disqualify
+    s.run_script("DELETE FROM mq_li WHERE ok = 1 AND sk = 11;"
+                 "INSERT INTO mq_li VALUES (1, 11, 1);")
+    assert rows(s, "SELECT * FROM mq") == []
+    # back on time
+    s.run_script("DELETE FROM mq_li WHERE ok = 1 AND sk = 11;"
+                 "INSERT INTO mq_li VALUES (1, 11, 0);")
+    assert rows(s, "SELECT * FROM mq") == [(1, 10)]
+    # single-member order never qualifies (EXISTS other fails)
+    s.run_script("INSERT INTO mq_li VALUES (2, 20, 1);")
+    assert rows(s, "SELECT * FROM mq") == [(1, 10)]
+    s.run_script("DROP MATERIALIZED VIEW mq; DROP TABLE mq_li;")
+
+
+def test_spilled_state_soak(spark, monkeypatch):
+    import materialize_spark.plans.sqlfront as sf
+    monkeypatch.setattr(sf, "_TOPK_SPILL_ROWS", 5)
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sp_t (k BIGINT, v BIGINT);
+        CREATE TABLE sp_u (k2 BIGINT);
+    """)
+    s.append_rows("sp_t", spark.createDataFrame(
+        [(i, i * 10) for i in range(30)], "k: bigint, v: bigint"))
+    s.append_rows("sp_u", spark.createDataFrame(
+        [(i,) for i in range(0, 30, 2)], "k2: bigint"))
+    s.run_script("""
+        CREATE MATERIALIZED VIEW sp WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM sp_t
+          WHERE EXISTS (SELECT 1 FROM sp_u WHERE sp_u.k2 = sp_t.k);
+    """)
+    # churn enough commits to force compaction folds (compact_every=16)
+    for i in range(18):
+        s.execute(f"DELETE FROM sp_u WHERE k2 = {2 * (i % 5)}")
+        s.execute(f"INSERT INTO sp_u VALUES ({2 * (i % 5)})")
+    got = rows(s, "SELECT k FROM sp")
+    assert got == [(i,) for i in range(0, 30, 2)]
+    s.run_script("DROP MATERIALIZED VIEW sp;"
+                 "DROP TABLE sp_t; DROP TABLE sp_u;")
+
+
+def test_rejections_are_loud(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE rj_t (k BIGINT);
+        CREATE TABLE rj_u (j BIGINT, w BIGINT);
+    """)
+    # no equality correlation
+    with pytest.raises(Exception, match="equality correlation"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW rj1 WITH (MAINTENANCE 'delta') "
+            "AS SELECT k FROM rj_t WHERE EXISTS "
+            "(SELECT 1 FROM rj_u WHERE rj_u.w > 5)")
+    # correlated inequality beyond =/<> is not maintainable
+    with pytest.raises(Exception, match="beyond equality"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW rj2 WITH (MAINTENANCE 'delta') "
+            "AS SELECT k FROM rj_t WHERE EXISTS "
+            "(SELECT 1 FROM rj_u WHERE rj_u.j = rj_t.k "
+            "AND rj_u.w > rj_t.k)")
+    # self-reference without an alias is ambiguous
+    with pytest.raises(Exception, match="alias"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW rj3 WITH (MAINTENANCE 'delta') "
+            "AS SELECT k FROM rj_t WHERE EXISTS "
+            "(SELECT 1 FROM rj_t WHERE k = 1)")
+    s.run_script("DROP TABLE rj_t; DROP TABLE rj_u;")
+
+
+def test_inner_table_drop_protection(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE dp_t (k BIGINT);
+        CREATE TABLE dp_u (j BIGINT);
+        CREATE MATERIALIZED VIEW dp WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM dp_t WHERE k IN (SELECT j FROM dp_u);
+    """)
+    # the INNER side is a real dependency: dropping it out from under
+    # the maintained anti-join must fail without CASCADE
+    with pytest.raises(Exception, match="depends"):
+        s.execute("DROP TABLE dp_u")
+    s.run_script("DROP MATERIALIZED VIEW dp;"
+                 "DROP TABLE dp_t; DROP TABLE dp_u;")
+
+
+def test_subscribe_sees_semijoin_diffs(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sb_t (k BIGINT);
+        CREATE TABLE sb_u (j BIGINT);
+        INSERT INTO sb_t VALUES (1), (2);
+        INSERT INTO sb_u VALUES (1);
+        CREATE MATERIALIZED VIEW sb WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM sb_t WHERE k IN (SELECT j FROM sb_u);
+    """)
+    sub_id, snap, _cols = s.subscribe_open("SUBSCRIBE sb")
+    assert sorted(r.k for r in snap.collect()) == [1]
+    # an inner-side commit must surface as diffs on the subscription
+    s.execute("INSERT INTO sb_u VALUES (2)")
+    batch = s.subscribe_poll(sub_id)
+    got = [(r.k, r.diff) for r in batch.collect()]
+    assert got == [(2, 1)]
+    s.subscribe_close(sub_id)
+    s.run_script("DROP MATERIALIZED VIEW sb;"
+                 "DROP TABLE sb_t; DROP TABLE sb_u;")
+
+
+def test_ordered_window_maintenance(spark):
+    """Ordered windows (running sums, LAG, ROW_NUMBER) maintain by
+    touched-partition recompute — a mid-partition delete shifts every
+    subsequent running value (reference: window functions execute as
+    whole-group Reduce, src/expr/src/relation/func.rs:1960)."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE wo_t (k STRING, seq BIGINT, v BIGINT);
+        INSERT INTO wo_t VALUES ('a', 1, 10), ('a', 2, 20),
+                                ('a', 3, 5), ('b', 1, 7);
+        CREATE MATERIALIZED VIEW wo WITH (MAINTENANCE 'delta') AS
+          SELECT k, seq,
+                 SUM(v) OVER (PARTITION BY k ORDER BY seq) AS run,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq) AS rn
+          FROM wo_t;
+    """)
+    assert rows(s, "SELECT * FROM wo") == [
+        ("a", 1, 10, 1), ("a", 2, 30, 2), ("a", 3, 35, 3),
+        ("b", 1, 7, 1)]
+    s.run_script("DELETE FROM wo_t WHERE k = 'a' AND seq = 2;"
+                 "INSERT INTO wo_t VALUES ('a', 0, 1);")
+    assert rows(s, "SELECT * FROM wo") == [
+        ("a", 0, 1, 1), ("a", 1, 11, 2), ("a", 3, 16, 3),
+        ("b", 1, 7, 1)]
+    # untouched partition b unchanged through a-only commits; a new
+    # partition forms from its first commit
+    s.run_script("INSERT INTO wo_t VALUES ('c', 5, 4);")
+    assert rows(s, "SELECT * FROM wo WHERE k = 'c'") == [("c", 5, 4, 1)]
+    s.run_script("DROP MATERIALIZED VIEW wo; DROP TABLE wo_t;")
+
+
+def test_ordered_window_publishes_touched_diffs_only(spark):
+    """The published commit diff is confined to touched partitions."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE wd_t (k STRING, seq BIGINT, v BIGINT);
+        INSERT INTO wd_t VALUES ('a', 1, 1), ('b', 1, 2), ('b', 2, 3);
+        CREATE MATERIALIZED VIEW wd WITH (MAINTENANCE 'delta') AS
+          SELECT k, seq,
+                 SUM(v) OVER (PARTITION BY k ORDER BY seq) AS run
+          FROM wd_t;
+    """)
+    sub_id, _snap, _ = s.subscribe_open("SUBSCRIBE wd")
+    s.execute("INSERT INTO wd_t VALUES ('b', 3, 5)")
+    batch = s.subscribe_poll(sub_id)
+    got = sorted((r.k, r.seq, r.run, r.diff) for r in batch.collect())
+    # only partition b rows appear in the diff; row (b,2) is unchanged
+    # (its running sum keeps its value) so it does not churn
+    assert got == [("b", 3, 10, 1)]
+    s.subscribe_close(sub_id)
+    s.run_script("DROP MATERIALIZED VIEW wd; DROP TABLE wd_t;")

@@ -165,15 +165,38 @@ def test_setop_mv_three_branch_chain(spark):
         s.execute(f"DROP TABLE {t}")
 
 
-def test_setop_mv_mixed_chain_rejected(spark):
-    """Mixed-operator chains are precedence-sensitive; the dispatcher
-    rejects them loudly instead of guessing a grouping."""
+def test_setop_mv_mixed_chain_maintains(spark):
+    """Mixed-operator chains maintain via pairwise stacked internal
+    MVs with SQL precedence (INTERSECT binds tighter; UNION/EXCEPT
+    left-assoc) — the reference plans such chains as nested
+    Threshold/Union/Negate trees (plan_set_expr)."""
     s = _mk(spark)
-    with pytest.raises(Exception, match="(?i)mixed set operators"):
-        s.execute("CREATE MATERIALIZED VIEW so_bad WITH (MAINTENANCE "
-                  "'delta') AS SELECT k, v FROM so_l UNION ALL "
-                  "SELECT k, v FROM so_r EXCEPT "
-                  "SELECT k, v FROM so_l")
+    body = ("SELECT k, v FROM so_l UNION ALL "
+            "SELECT k, v FROM so_r EXCEPT "
+            "SELECT k, v FROM so_l")
+    s.execute("INSERT INTO so_l VALUES ('a', 1), ('b', 2)")
+    s.execute("INSERT INTO so_r VALUES ('b', 2), ('c', 3)")
+    s.execute("CREATE MATERIALIZED VIEW so_mix WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+    assert _rows(s, "so_mix") == _recompute(s, body)
+    s.execute("INSERT INTO so_r VALUES ('d', 4)")
+    s.execute("DELETE FROM so_l WHERE k = 'a'")
+    s.execute("INSERT INTO so_l VALUES ('c', 3)")
+    assert _rows(s, "so_mix") == _recompute(s, body)
+    # precedence: INTERSECT groups before the EXCEPT applies
+    body2 = ("SELECT k, v FROM so_l EXCEPT "
+             "SELECT k, v FROM so_r INTERSECT "
+             "SELECT k, v FROM so_l")
+    s.execute("CREATE MATERIALIZED VIEW so_mix2 WITH (MAINTENANCE "
+              f"'delta') AS {body2}")
+    assert _rows(s, "so_mix2") == _recompute(s, body2)
+    s.execute("DELETE FROM so_r WHERE k = 'b'")
+    assert _rows(s, "so_mix") == _recompute(s, body)
+    assert _rows(s, "so_mix2") == _recompute(s, body2)
+    # DROP takes the planner-internal pair nodes with it
+    s.execute("DROP VIEW so_mix")
+    s.execute("DROP VIEW so_mix2")
+    assert not [n for n in s._delta_mvs if n.startswith("__setop_")]
     for t in ("so_l", "so_r"):
         s.execute(f"DROP TABLE {t}")
 

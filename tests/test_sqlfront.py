@@ -2061,3 +2061,38 @@ def test_delta_mv_agg_over_union_all(spark):
     s.execute("DROP VIEW udi")
     s.execute("DROP TABLE uag_l")
     s.execute("DROP TABLE uag_r")
+
+
+def test_topk_publish_confined_to_touched_groups(spark):
+    """A grouped-TopK MV whose projection keeps the group keys
+    publishes touched-group-confined diffs: _publish_delta_mv receives
+    touched+keys (the old-vs-new diff runs over the touched groups'
+    slice, never the full leaderboard — O(k·touched), not O(k·groups)
+    per commit)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark, SF_DIR)
+    s.execute("CREATE TABLE tkp_t (g STRING, item STRING, sc BIGINT)")
+    s.execute("INSERT INTO tkp_t VALUES ('a', 'x', 5), ('a', 'y', 9), "
+              "('a', 'z', 1), ('b', 'p', 3)")
+    s.execute(
+        "CREATE MATERIALIZED VIEW tkp WITH (MAINTENANCE 'delta') AS "
+        "SELECT g, item, sc FROM (SELECT g, item, sc, ROW_NUMBER() "
+        "OVER (PARTITION BY g ORDER BY sc DESC) AS rn FROM tkp_t) "
+        "WHERE rn <= 2")
+    seen = []
+    orig = s._publish_delta_mv
+
+    def spy(name, result, initial=False, **kw):
+        seen.append((name, initial, kw.get("touched") is not None,
+                     kw.get("keys")))
+        return orig(name, result, initial, **kw)
+
+    s._publish_delta_mv = spy
+    s.execute("INSERT INTO tkp_t VALUES ('a', 'w', 7)")
+    s._publish_delta_mv = orig
+    assert seen == [("tkp", False, True, ["g"])]
+    got = sorted((r.g, r.item, r.sc)
+                 for r in s.execute("SELECT * FROM tkp").collect())
+    assert got == [("a", "w", 7), ("a", "y", 9), ("b", "p", 3)]
+    s.execute("DROP MATERIALIZED VIEW tkp")
+    s.execute("DROP TABLE tkp_t")
