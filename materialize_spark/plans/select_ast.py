@@ -232,9 +232,11 @@ def window_specs(expr: str) -> list[tuple[list[str], bool]]:
 
 def split_conjuncts(text: str) -> list[str]:
     """Split a predicate on TOP-LEVEL ``AND`` (token-level: parens and
-    string literals never split)."""
+    string literals never split; the AND that pairs a BETWEEN's bounds
+    is part of the BETWEEN, not a conjunction)."""
     p = Parser(text)
     depth = 0
+    pending_between = 0
     spans: list[str] = []
     start = 0
     while True:
@@ -245,11 +247,16 @@ def split_conjuncts(text: str) -> list[str]:
             depth += 1
         elif t.kind == "RP":
             depth -= 1
+        elif t.kind == "WORD" and depth == 0 and t.upper == "BETWEEN":
+            pending_between += 1
         elif t.kind == "WORD" and depth == 0 and t.upper == "AND":
-            spans.append(text[start:t.start])
-            p.next()
-            start = p.peek().start
-            continue
+            if pending_between:
+                pending_between -= 1
+            else:
+                spans.append(text[start:t.start])
+                p.next()
+                start = p.peek().start
+                continue
         p.next()
     spans.append(text[start:])
     return [s.strip() for s in spans if s.strip()]

@@ -687,6 +687,16 @@ class MzSession:
                 "aggregate, or DISTINCT above), with one equality "
                 "correlation (plus at most one <> exclusion) per "
                 "subquery; " + _DELTA_SUPPORTED)
+        if q.where and re.search(r"(?i)\bmz_now\s*\(", q.where):
+            if self._plan_delta_temporal(node, q):
+                return
+            raise ValueError(
+                "MAINTENANCE 'delta' temporal filters support "
+                "mz_now() bound conjuncts (mz_now() <=/</>=/> expr, "
+                "expr cmp mz_now(), or mz_now() BETWEEN lo AND hi) "
+                "over one table with stateless select items — rows "
+                "then appear and retract as time passes (tick_time); "
+                + _DELTA_SUPPORTED)
         if getattr(q, "sub_branches", None):
             if self._plan_delta_union_agg(node, q):
                 return
@@ -1314,6 +1324,170 @@ class MzSession:
         result = _ckpt(remaining_old.unionByName(new_rows))
         self._publish_delta_mv(name, result, initial,
                                out_delta=out_delta)
+
+    _MZNOW_L_RE = re.compile(
+        r"(?is)^\s*MZ_NOW\s*\(\s*\)\s*(?P<op><=|<|>=|>)\s*(?P<e>.+)$")
+    _MZNOW_R_RE = re.compile(
+        r"(?is)^(?P<e>.+?)\s*(?P<op><=|<|>=|>)\s*MZ_NOW\s*\(\s*\)\s*$")
+    _MZNOW_BTW_RE = re.compile(
+        r"(?is)^\s*MZ_NOW\s*\(\s*\)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
+        r"(?P<hi>.+)$")
+
+    def _plan_delta_temporal(self, node: ast.CreateView, q) -> bool:
+        """Temporal filters on a MAINTAINED view: WHERE conjuncts
+        comparing ``mz_now()`` against row expressions become validity
+        BOUNDS (the reference's MfpPlan lower/upper bound extraction,
+        src/expr/src/linear.rs:1724-1760; design doc
+        20210426_temporal_filters.md) — rows appear and RETRACT as the
+        logical clock passes their bounds, with no commit required
+        (``tick_time``), the reference's hallmark temporal-filter
+        behavior."""
+        from materialize_spark.plans.select_ast import split_conjuncts
+
+        if (q.table is None or q.joins or q.group_by or q.having
+                or q.distinct or q.sub is not None
+                or getattr(q, "sub_branches", None) or q.order
+                or q.limit is not None or q.subfilters):
+            return False
+        bounds: list[tuple[str, str]] = []   # (op, expr), mz_now left
+        static: list[str] = []
+        flip = {"<=": ">=", "<": ">", ">=": "<=", ">": "<"}
+        for conj in split_conjuncts(q.where):
+            m = self._MZNOW_L_RE.match(conj)
+            if m:
+                bounds.append((m.group("op"), m.group("e").strip()))
+                continue
+            m = self._MZNOW_R_RE.match(conj)
+            if m and not re.search(r"(?i)\bmz_now\s*\(",
+                                   m.group("e")):
+                bounds.append((flip[m.group("op")],
+                               m.group("e").strip()))
+                continue
+            m = self._MZNOW_BTW_RE.match(conj)
+            if m:
+                bounds.append((">=", m.group("lo").strip()))
+                bounds.append(("<=", m.group("hi").strip()))
+                continue
+            if re.search(r"(?i)\bmz_now\s*\(", conj):
+                return False  # mz_now in an unsupported position
+            static.append(conj)
+        if not bounds:
+            return False
+        out_exprs: list[str] = []
+        out_cols: list[str] = []
+        for it in q.items:
+            if re.search(r"(?i)\bmz_now\s*\(", it.expr):
+                return False  # the clock belongs in bounds, not values
+            if it.is_column and it.alias is None:
+                out_exprs.append(it.expr)
+                out_cols.append(it.expr)
+            elif it.alias is not None:
+                out_exprs.append(f"{rewrite(it.expr)} AS {it.alias}")
+                out_cols.append(it.alias)
+            else:
+                return False
+        try:
+            self._delta_check_table(q.table)
+        except KeyError:
+            return False
+        from datetime import datetime
+        spec = {"kind": "temporal", "table": q.table,
+                "where": None,
+                "static": " AND ".join(f"({c})" for c in static)
+                if static else None,
+                "bounds": bounds, "out_exprs": out_exprs,
+                "out_cols": out_cols, "last_tick": datetime.now()}
+        self._install_delta_mv(node.name, spec)
+        return True
+
+    @staticmethod
+    def _vis_sql(bounds: list[tuple[str, str]], t) -> str:
+        """Visibility predicate of a row at logical time ``t`` (SQL
+        text): AND over the extracted mz_now() bound conjuncts with
+        the clock replaced by a timestamp literal."""
+        lit = "TIMESTAMP '" + t.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        parts = [f"({lit} {op} ({rewrite(e)}))" for op, e in bounds]
+        return "coalesce(" + " AND ".join(parts) + ", false)"
+
+    def _feed_delta_mv_temporal(self, name: str, spec: dict, delta,
+                                initial: bool, now=None) -> None:
+        """Advance one temporal MV from its last logical time T0 to
+        ``now`` (T1) and fold an optional commit delta evaluated at
+        the same instant. The published diff is
+
+            base⋅[vis(T1) ∧ ¬vis(T0)]  −  base⋅[vis(T0) ∧ ¬vis(T1)]
+            +  Δ⋅vis(T0)
+
+        which equals (post-commit rows visible at T1) − (pre-commit
+        rows visible at T0) — bound-crossing rows appear/retract as
+        +1/−1 diffs with no commit, exactly the reference's temporal
+        filter semantics. Per tick the work is one vectorized filter
+        scan of the base (no shuffle, no state); at 100 TB the scan
+        prunes by partitioning the base on its bound columns."""
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import _ckpt
+        T0 = spec["last_tick"]
+        T1 = now if now is not None else max(datetime.now(), T0)
+        spec["last_tick"] = T1
+        base = self._base_frame(spec["table"])
+        if spec["static"]:
+            st = f"coalesce(({rewrite(spec['static'])}), false)"
+            base = base.filter(st)
+            if delta is not None:
+                delta = delta.filter(st)
+        vis0 = self._vis_sql(spec["bounds"], T0)
+        vis1 = self._vis_sql(spec["bounds"], T1)
+        if initial:
+            result = _ckpt(base.filter(vis1)
+                           .selectExpr(*spec["out_exprs"]))
+            self._publish_delta_mv(name, result, initial=True)
+            return
+        terms = []
+        if T1 != T0:
+            terms.append(base.filter(f"({vis1}) AND NOT ({vis0})")
+                         .selectExpr(*spec["out_exprs"])
+                         .withColumn("diff", F.lit(1)))
+            terms.append(base.filter(f"({vis0}) AND NOT ({vis1})")
+                         .selectExpr(*spec["out_exprs"])
+                         .withColumn("diff", F.lit(-1)))
+        if delta is not None:
+            terms.append(delta.filter(vis0)
+                         .selectExpr(*spec["out_exprs"], "diff"))
+        if not terms:
+            return
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t)
+        out_delta = (out.groupBy(*spec["out_cols"])
+                     .agg(F.sum("diff").alias("diff"))
+                     .filter(F.col("diff") != 0))
+        result = _ckpt(base.filter(vis1)
+                       .selectExpr(*spec["out_exprs"]))
+        self._publish_delta_mv(name, result, False,
+                               out_delta=out_delta)
+
+    def tick_time(self, now=None) -> list[str]:
+        """Advance the logical clock for every temporal delta MV:
+        rows whose validity bounds were crossed since the MV's last
+        logical time appear/retract as published diffs (cursors,
+        sinks, downstream MVs all see them) — the tick_sources /
+        tick_refreshes sibling for TIME itself. Returns the MVs that
+        changed clock."""
+        from datetime import datetime
+        ticked = []
+        for name, spec in list(self._delta_mvs.items()):
+            if spec.get("kind") != "temporal":
+                continue
+            t1 = now if now is not None else datetime.now()
+            if t1 <= spec["last_tick"]:
+                continue
+            self._feed_delta_mv_temporal(name, spec, None, False,
+                                         now=t1)
+            ticked.append(name)
+        return ticked
 
     def _plan_delta_window_order(self, node: ast.CreateView,
                                  q) -> bool:
@@ -2424,6 +2598,9 @@ class MzSession:
             return
         if spec.get("kind") == "winorder":
             self._feed_delta_mv_winorder(name, spec, delta, initial)
+            return
+        if spec.get("kind") == "temporal":
+            self._feed_delta_mv_temporal(name, spec, delta, initial)
             return
         for lw, lsel in spec.get("pre_layers", ()):
             # stateless subquery layers, innermost first (arbitrary
@@ -5163,6 +5340,13 @@ class MzSession:
                     "(Reduce + touched-partition row refresh)")
             if spec.get("where"):
                 lines.append(f"  Filter [{spec['where']}]")
+            lines.append(f"  {rel(spec['table'])}")
+        elif kind == "temporal":
+            lines.append(
+                f"TemporalFilter bounds={spec['bounds']} "
+                "(rows appear/retract as tick_time passes the bounds)")
+            if spec.get("static"):
+                lines.append(f"  Filter [{spec['static']}]")
             lines.append(f"  {rel(spec['table'])}")
         elif kind == "winorder":
             lines.append(

@@ -2843,3 +2843,79 @@ def sqlfront_delta_mv_mixed_setop(spark, sf_dir):
     return (mid.unionByName(fin)
             .select("at", "mv", F.col("k").cast("long").alias("k"))
             .orderBy("at", "mv", "k"))
+
+
+@register(
+    "sqlfront_delta_mv_temporal",
+    """
+    -- oracle: literal truth of the write+tick sequence against a
+    -- temporal-filter delta MV (rows appear and retract as the
+    -- logical clock passes their validity bounds, no commits needed)
+    SELECT * FROM (VALUES
+        ('t0',    'live'),
+        ('t1',    'live'),
+        ('t1',    'live2'),
+        ('t2100', 'future'),
+        ('t2100', 'live'),
+        ('t2100', 'live2'),
+        ('t2100', 'win'),
+        ('tjul',  'future'),
+        ('tjul',  'live'),
+        ('tjul',  'live2'),
+        ('tend',  'gone')
+    ) AS t(at, k)
+    ORDER BY at, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "temporal",
+)
+def sqlfront_delta_mv_temporal(spark, sf_dir):
+    """Temporal filters on MAINTAINED views — the reference's hallmark
+    behavior (MfpPlan lower/upper bounds, src/expr/src/linear.rs:
+    1724-1760; design doc 20210426_temporal_filters.md): a delta MV
+    whose WHERE compares mz_now() against row expressions stores the
+    bounds, and ``tick_time`` publishes the bound-crossing rows as
+    +1/−1 diffs with NO commit in between — future-valid rows appear
+    when the clock reaches valid_from, retract past valid_until.
+    Commits interleave on the same timeline (a commit advances the
+    MV's clock first, then folds its delta at that instant)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dtf_t (k STRING, vf TIMESTAMP, vu TIMESTAMP);
+        INSERT INTO dtf_t VALUES
+          ('live',   TIMESTAMP '1990-01-01 00:00:00',
+                     TIMESTAMP '2200-01-01 00:00:00'),
+          ('future', TIMESTAMP '2100-01-01 00:00:00',
+                     TIMESTAMP '2200-01-01 00:00:00'),
+          ('old',    TIMESTAMP '1990-01-01 00:00:00',
+                     TIMESTAMP '1991-01-01 00:00:00'),
+          ('win',    TIMESTAMP '2100-01-01 00:00:00',
+                     TIMESTAMP '2100-06-01 00:00:00');
+        CREATE MATERIALIZED VIEW dtf WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM dtf_t WHERE mz_now() >= vf AND mz_now() < vu;
+    """)
+
+    def snap(at):
+        return s.sql("SELECT k FROM dtf").select(
+            F.lit(at).alias("at"), "k")
+
+    t0 = snap("t0")
+    s.execute("INSERT INTO dtf_t VALUES ('live2', "
+              "TIMESTAMP '2000-01-01 00:00:00', "
+              "TIMESTAMP '2200-01-01 00:00:00')")
+    t1 = snap("t1")
+    s.tick_time(now=datetime(2100, 2, 1))
+    t2 = snap("t2100")
+    s.tick_time(now=datetime(2100, 7, 1))
+    t3 = snap("tjul")
+    s.tick_time(now=datetime(2201, 1, 1))
+    # a commit AFTER the clock advanced evaluates at that time
+    s.execute("INSERT INTO dtf_t VALUES ('gone', "
+              "TIMESTAMP '2200-06-01 00:00:00', "
+              "TIMESTAMP '2300-01-01 00:00:00')")
+    t4 = snap("tend")
+    return (t0.unionByName(t1).unionByName(t2).unionByName(t3)
+            .unionByName(t4).orderBy("at", "k"))

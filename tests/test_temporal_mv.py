@@ -1,0 +1,115 @@
+"""Temporal-filter ticking on delta MVs (reference: MfpPlan temporal
+bounds, src/expr/src/linear.rs:1724-1760; rows appear/retract as the
+logical clock passes validity bounds, with no commits)."""
+
+from datetime import datetime
+
+import pytest
+
+
+def _mz(spark):
+    from materialize_spark.plans.sqlfront import MzSession
+    return MzSession(spark)
+
+
+def _ks(s, name="tmv"):
+    return sorted(r.k for r in s.sql(f"SELECT * FROM {name}").collect())
+
+
+def test_tick_appears_and_retracts(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE tt (k STRING, vf TIMESTAMP, vu TIMESTAMP);
+        INSERT INTO tt VALUES
+          ('a', TIMESTAMP '1990-01-01 00:00:00',
+                TIMESTAMP '2200-01-01 00:00:00'),
+          ('b', TIMESTAMP '2100-01-01 00:00:00',
+                TIMESTAMP '2100-06-01 00:00:00');
+        CREATE MATERIALIZED VIEW tmv WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM tt WHERE mz_now() >= vf AND mz_now() < vu;
+    """)
+    assert _ks(s) == ["a"]
+    assert s.tick_time(now=datetime(2100, 2, 1)) == ["tmv"]
+    assert _ks(s) == ["a", "b"]
+    # no clock movement -> no work, no change
+    assert s.tick_time(now=datetime(2100, 2, 1)) == []
+    assert s.tick_time(now=datetime(2100, 7, 1)) == ["tmv"]
+    assert _ks(s) == ["a"]
+    s.run_script("DROP MATERIALIZED VIEW tmv; DROP TABLE tt;")
+
+
+def test_tick_diffs_reach_subscribers_and_downstream(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE tt2 (k STRING, n BIGINT, vf TIMESTAMP);
+        INSERT INTO tt2 VALUES
+          ('a', 1, TIMESTAMP '1990-01-01 00:00:00'),
+          ('b', 2, TIMESTAMP '2100-01-01 00:00:00');
+        CREATE MATERIALIZED VIEW tmv2 WITH (MAINTENANCE 'delta') AS
+          SELECT k, n FROM tt2 WHERE mz_now() >= vf;
+        CREATE MATERIALIZED VIEW tagg WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(n) AS total FROM tmv2 GROUP BY k;
+    """)
+    sid, snap, _ = s.subscribe_open("SUBSCRIBE tmv2")
+    assert sorted(r.k for r in snap.collect()) == ["a"]
+    s.tick_time(now=datetime(2100, 2, 1))
+    batch = s.subscribe_poll(sid)
+    assert sorted((r.k, r.diff) for r in batch.collect()) == [("b", 1)]
+    # the stacked MV over the temporal MV saw the tick as a commit
+    got = sorted((r.k, r.total)
+                 for r in s.sql("SELECT * FROM tagg").collect())
+    assert got == [("a", 1), ("b", 2)]
+    s.subscribe_close(sid)
+    s.run_script("DROP MATERIALIZED VIEW tagg;"
+                 "DROP MATERIALIZED VIEW tmv2; DROP TABLE tt2;")
+
+
+def test_commit_advances_clock_then_folds(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE tt3 (k STRING, vu TIMESTAMP);
+        INSERT INTO tt3 VALUES ('a', TIMESTAMP '2200-01-01 00:00:00');
+        CREATE MATERIALIZED VIEW tmv3 WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM tt3 WHERE mz_now() < vu;
+    """)
+    s.tick_time(now=datetime(2150, 1, 1))
+    # a commit after the clock advanced evaluates at >= that instant:
+    # an already-expired row never appears, a valid one does
+    s.execute("INSERT INTO tt3 VALUES "
+              "('dead', TIMESTAMP '2100-01-01 00:00:00')")
+    s.execute("INSERT INTO tt3 VALUES "
+              "('ok', TIMESTAMP '2300-01-01 00:00:00')")
+    assert _ks(s, "tmv3") == ["a", "ok"]
+    s.run_script("DROP MATERIALIZED VIEW tmv3; DROP TABLE tt3;")
+
+
+def test_between_and_static_conjuncts(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE tt4 (k STRING, cat STRING, vf TIMESTAMP,
+                          vu TIMESTAMP);
+        INSERT INTO tt4 VALUES
+          ('a', 'keep', TIMESTAMP '1990-01-01 00:00:00',
+                        TIMESTAMP '2200-01-01 00:00:00'),
+          ('b', 'drop', TIMESTAMP '1990-01-01 00:00:00',
+                        TIMESTAMP '2200-01-01 00:00:00'),
+          ('c', 'keep', TIMESTAMP '2100-01-01 00:00:00',
+                        TIMESTAMP '2200-01-01 00:00:00');
+        CREATE MATERIALIZED VIEW tmv4 WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM tt4
+          WHERE cat = 'keep' AND mz_now() BETWEEN vf AND vu;
+    """)
+    assert _ks(s, "tmv4") == ["a"]
+    s.tick_time(now=datetime(2100, 2, 1))
+    assert _ks(s, "tmv4") == ["a", "c"]
+    s.run_script("DROP MATERIALIZED VIEW tmv4; DROP TABLE tt4;")
+
+
+def test_unsupported_mznow_shapes_reject_loudly(spark):
+    s = _mz(spark)
+    s.execute("CREATE TABLE tt5 (k STRING, vu TIMESTAMP)")
+    with pytest.raises(Exception, match="temporal filters"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW bad5 WITH (MAINTENANCE 'delta') "
+            "AS SELECT k FROM tt5 WHERE mz_now() = vu")
+    s.execute("DROP TABLE tt5")
