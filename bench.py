@@ -24,6 +24,15 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Contamination guard (VERDICT r11 item 7): sample the load BEFORE
+    # any Spark work — a loaded box inflates every number uniformly
+    # (BENCH_r11 ran ~30% hot incl. pure plan time) and the stamp lets
+    # readers reject such runs instead of chasing phantom regressions.
+    try:
+        _load1 = os.getloadavg()[0]
+        _cpus = os.cpu_count() or 1
+    except OSError:
+        _load1 = _cpus = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from materialize_spark.queries import load_all
     from materialize_spark.session import get_spark
@@ -95,6 +104,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         mv_peek[name] = round(best, 3)
 
+    load1, cpus = _load1, _cpus
+    idle_ok = None if load1 is None else load1 / cpus < 0.25
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wallclock",
@@ -106,6 +118,10 @@ def main() -> None:
         "mv_create_sec": mv_create,
         "mv_peek_sec": mv_peek,
         "mv_peek_total": round(sum(mv_peek.values()), 3),
+        "load1_before": None if load1 is None else round(load1, 2),
+        "load_per_cpu": None if load1 is None
+        else round(load1 / cpus, 3),
+        "idle_ok": idle_ok,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

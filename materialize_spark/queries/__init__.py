@@ -56,62 +56,56 @@ def load_all() -> dict[str, QuerySpec]:
     # The remainder round-robins across modules so any longer evaluation
     # prefix still spans the surface.
     # Rotation policy (VERDICT r9 item 8): driver certification
-    # ACCUMULATES across rounds — the cross-round union covers every
-    # entry at least once. NOTE: the driver never emitted
-    # CORRECTNESS_r10.json, so the r10 window was NEVER driver-run;
-    # per VERDICT r10 item 7 the r11 window leads with (a) every entry
-    # that has NEVER been driver-certified (the whole r10 capability
-    # block plus the r10 behavioral entries), then (b) this round's NEW
-    # capabilities (SUBSCRIBE (SELECT ...), UNION ALL delta MVs), then
-    # (c) entries whose IMPLEMENTATION changed this round — the publish
-    # path now consumes the operator's own output delta (every delta-MV
-    # entry), UPDATE/DELETE derive diffs from the predicate, the
-    # execute-path SUBSCRIBE moved to push cursors, and sinks read the
-    # same commit frames — then (d) the oldest certifications and the
-    # flagship spread. Everything else stays green in the local
-    # full-registry gate (tools/check.py at sf0.01, 193+ entries).
+    # ACCUMULATES across rounds — after r11 the cross-round union
+    # covers all entries at least once, so per VERDICT r11 item 6 the
+    # r12 window leads with (a) this round's NEW capabilities — the
+    # maintained [NOT] EXISTS / [NOT] IN semi/anti joins incl. the
+    # TPC-H q21 self-correlated shape, ordered window maintenance,
+    # RIGHT JOIN, mixed set-op chains, and temporal-filter ticking —
+    # then (b) entries whose IMPLEMENTATION changed in r12: every
+    # INSERT-fed delta MV rides the new schema-cast commit path
+    # (append_rows aligns VALUES literal types to the table schema —
+    # the xxhash64 spill-prefix fix), grouped TopK publishes
+    # touched-group-confined diffs, and the outer-join operator grew
+    # the mirrored anti part; then (c) the OLDEST certifications — the
+    # r01-r05 era TPC-H / scalar / collection / relational entries —
+    # keeping the ≥10-module spread. Everything else stays green in
+    # the local full-registry gate (tools/check.py at sf0.01).
     priority = [
-        # --- (a) never driver-certified (r10 window never ran) ---
-        "sqlfront_delta_mv_ast_filter", "sqlfront_delta_mv_ast_subquery",
-        "sqlfront_delta_mv_ast_join_subquery",
-        "sqlfront_delta_mv_global_topk",
-        "kafka_source_include_headers", "kafka_source_continuous_tick",
-        "cdc_pgoutput_continuous_tick",
-        "sink_kafka_avro_debezium_roundtrip",
-        "sqlfront_subscribe_push_cursors",
-        # --- (b) round-11 capabilities ---
-        "sqlfront_subscribe_query", "sqlfront_delta_mv_union",
-        "cdc_pgoutput_via_ssh_tunnel",
-        "sqlfront_delta_mv_nested_subquery",
-        "sqlfront_delta_mv_nonequi_join",
-        "sqlfront_delta_mv_union_agg",
-        "sqlfront_delta_mv_except", "sqlfront_delta_mv_intersect",
-        "sqlfront_delta_mv_window_agg", "sqlfront_delta_mv_stacked",
-        "sqlfront_delta_mv_rank_topk", "sqlfront_delta_mv_global_agg",
-        "sqlfront_explain_maintenance",
-        "sqlfront_delta_mv_expr_group_keys",
-        "sqlfront_delta_mv_window_share",
-        "sqlfront_delta_mv_join_from_subquery",
-        "sqlfront_delta_mv_distinct_aggs",
-        # --- (c) changed implementations this round ---
+        # --- (a) round-12 capabilities ---
+        "sqlfront_delta_mv_exists", "sqlfront_delta_mv_not_exists",
+        "sqlfront_delta_mv_q21_exists",
+        "sqlfront_delta_mv_window_order",
+        "sqlfront_delta_mv_right_join",
+        "sqlfront_delta_mv_mixed_setop",
+        "sqlfront_delta_mv_temporal",
+        # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join",
+        "sqlfront_delta_mv_rank_topk", "sqlfront_delta_mv_global_topk",
+        "sqlfront_delta_mv_except", "sqlfront_delta_mv_intersect",
+        "sqlfront_delta_mv_union", "sqlfront_delta_mv_union_agg",
+        "sqlfront_delta_mv_window_agg", "sqlfront_delta_mv_stacked",
+        "sqlfront_delta_mv_global_agg",
+        "sqlfront_delta_mv_distinct_aggs",
+        "sqlfront_delta_mv_nonequi_join",
+        "sqlfront_delta_mv_join_from_subquery",
+        "sqlfront_explain_maintenance",
         "sqlfront_update_delete",
-        "sink_kafka_upsert_roundtrip", "sink_kafka_avro_roundtrip",
-        "sqlfront_create_sink", "sqlfront_http_api",
+        "ivm_q18_threshold_delta", "ivm_q21_antijoin_delta",
         "ivm_incremental_join",
-        "mv_consistency_frontier",
-        # family sentinels keeping the prefix spanning ≥10 modules
-        "window_functions", "temporal_filter", "scalar_uuid",
-        "agg_statistics", "tablefunc_battery",
-        # --- (d) oldest certifications + flagship spread (trimmed to
-        # keep the window at 50: the window/scalar/kafka families
-        # yielded their slots to this round's capability block — all
-        # stay green in the local full-registry gate) ---
-        "cdc_pgoutput_wire_apply",
-        "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q18", "tpch_q21",
-        "dedup_minhash_lsh",
-        "simsearch_cosine_topk", "text_language_id",
+        # --- (c) oldest certifications (r01-r05 era) + flagship
+        # spread keeping the 50-slot window across ≥10 modules ---
+        "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q13",
+        "tpch_q2_adapted",
+        "setops_union_all", "outer_join_full",
+        "distinct_on_first_order", "topk_orders_per_segment",
+        "scalar_math", "scalar_datetime", "scalar_casts",
+        "array_functions", "interval_arithmetic", "agg_statistics",
+        "jsonb_ops", "temporal_filter", "window_functions",
+        "window_navigation", "tablefunc_battery",
+        "cdc_pgoutput_wire_apply", "kafka_wire_e2e",
+        "dedup_exact", "simsearch_lsh_buckets", "text_language_id",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY
