@@ -580,6 +580,9 @@ class MzSession:
             parse_set_op_branches,
         )
 
+        if _WMR_RE.match(node.body):
+            self._plan_delta_wmr(node)
+            return
         try:
             op, is_all, qs = parse_set_op_branches(node.body)
         except (ast.ParseError, LexError) as ex:
@@ -598,6 +601,54 @@ class MzSession:
                 self._plan_delta_setop(node, qs, op, is_all)
             return
         self._plan_delta_mv(node, qs[0])
+
+    def _plan_delta_wmr(self, node: ast.CreateView) -> None:
+        """Delta-maintained WITH MUTUALLY RECURSIVE: the MV stays
+        always fresh ON WRITE by re-running the LetRec fixpoint per
+        commit — WARM-STARTED from the previous binding fixpoints for
+        monotone bindings under insert-only commits (the old fixpoint
+        sits below the new least fixpoint, so the monotone iteration
+        climbs the remaining distance only — semi-naive in iteration
+        count; the reference maintains LetRec incrementally in
+        differential dataflow, src/expr/src/relation.rs:154). Commits
+        carrying retractions, or bindings with non-monotone constructs,
+        re-run the fixpoint from empty (DRed-style over-deletion is
+        out of scope; a cold re-run is always correct)."""
+        wmr = ast.parse_statement(node.body)
+        if not isinstance(wmr, ast.Wmr):
+            raise ValueError("not a WITH MUTUALLY RECURSIVE body")
+        deps = self._table_deps(node.body)
+        deps -= {b[0].lower() for b in wmr.bindings}
+        if not deps:
+            raise ValueError(
+                "MAINTENANCE 'delta' on WITH MUTUALLY RECURSIVE needs "
+                "at least one base table to maintain against")
+        text = " ".join(b[2] for b in wmr.bindings)
+        monotone = re.search(
+            r"(?i)\b(EXCEPT|INTERSECT|NOT|GROUP|COUNT|SUM|AVG|MIN|MAX"
+            r"|LIMIT|LEFT|RIGHT|FULL|OVER)\b", text) is None
+        spec = {"kind": "wmr", "wmr": wmr, "tables": tuple(deps),
+                "monotone": monotone, "bind_state": None,
+                "table": None}
+        self._delta_mvs[node.name] = spec
+        from materialize_spark.streaming.retraction import _ckpt
+        binds, out = self._wmr_fixpoint(wmr)
+        spec["bind_state"] = binds
+        self._publish_delta_mv(node.name, _ckpt(out), initial=True)
+
+    def _feed_delta_mv_wmr(self, name: str, table: str,
+                           delta) -> None:
+        from pyspark.sql import functions as F
+
+        from materialize_spark.streaming.retraction import _ckpt
+        spec = self._delta_mvs[name]
+        seed = None
+        if spec["monotone"] and spec.get("bind_state") is not None \
+                and delta.filter(F.col("diff") < 0).isEmpty():
+            seed = spec["bind_state"]
+        binds, out = self._wmr_fixpoint(spec["wmr"], seed=seed)
+        spec["bind_state"] = binds
+        self._publish_delta_mv(name, _ckpt(out))
 
     def _plan_delta_setop_mixed(self, node: ast.CreateView) -> None:
         """Mixed set-operator chains (``A UNION ALL B EXCEPT C``):
@@ -2841,6 +2892,9 @@ class MzSession:
                 if table in spec.get("tables", ()) \
                         or table in spec.get("inner_tables", ()):
                     self._feed_delta_mv_semijoin(name, table, delta)
+            elif spec.get("kind") == "wmr":
+                if table in spec.get("tables", ()):
+                    self._feed_delta_mv_wmr(name, table, delta)
             elif spec["table"] == table:
                 self._feed_delta_mv(name, delta)
             elif spec.get("kind") == "join" \
@@ -5341,6 +5395,15 @@ class MzSession:
             if spec.get("where"):
                 lines.append(f"  Filter [{spec['where']}]")
             lines.append(f"  {rel(spec['table'])}")
+        elif kind == "wmr":
+            wm = spec["wmr"]
+            mode = "warm-start fixpoint (monotone, insert-only)" \
+                if spec.get("monotone") else "cold fixpoint per commit"
+            lines.append(
+                f"LetRec bindings={[b[0] for b in wm.bindings]} "
+                f"[{mode}]")
+            for t in spec["tables"]:
+                lines.append(f"  {rel(t)}")
         elif kind == "temporal":
             lines.append(
                 f"TemporalFilter bounds={spec['bounds']} "
@@ -5665,13 +5728,25 @@ class MzSession:
         RECURSION LIMIT, whose non-erroring RETURN AT form yields the
         state at that iteration (slt :39). Multiset semantics: any
         DISTINCT/UNION the query wants must be written in the bodies."""
+        return self._wmr_fixpoint(node)[1]
+
+    def _wmr_fixpoint(self, node: ast.Wmr, seed=None
+                      ) -> tuple[dict, DataFrame]:
+        """Run the LetRec fixpoint and return (binding fixpoints,
+        final-query result). ``seed`` warm-starts the iteration from a
+        previous fixpoint instead of empty bindings — sound for
+        monotone bindings under insert-only base commits (the old
+        fixpoint is below the new least fixpoint and the monotone
+        iteration climbs from it; the reference's LetRec maintains the
+        same way in differential dataflow by seeding with the changed
+        diffs, src/expr/src/relation.rs:154)."""
         from materialize_spark.operators.letrec import let_rec
 
         bindings = node.bindings
         shadowed = [b[0] for b in bindings
                     if b[0] in self.catalog._tables or b[0] in
                     self.catalog._views]
-        initial = {
+        initial = seed if seed is not None else {
             name: self.spark.createDataFrame([], _pg_coldefs(coldefs))
             for name, coldefs, _ in bindings
         }
@@ -5694,7 +5769,7 @@ class MzSession:
             self.spark.catalog.dropTempView(name)
             if name in shadowed:
                 self.catalog.table(name).createOrReplaceTempView(name)
-        return out
+        return result, out
 
     # node-type → handler (class attribute, bound per instance at call)
     # -- RBAC ----------------------------------------------------------------

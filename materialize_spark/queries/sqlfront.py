@@ -2919,3 +2919,68 @@ def sqlfront_delta_mv_temporal(spark, sf_dir):
     t4 = snap("tend")
     return (t0.unionByName(t1).unionByName(t2).unionByName(t3)
             .unionByName(t4).orderBy("at", "k"))
+
+
+@register(
+    "sqlfront_delta_mv_wmr",
+    """
+    -- oracle: literal truth of the write sequence against a delta-
+    -- maintained WITH MUTUALLY RECURSIVE reachability MV (inserts
+    -- warm-start the fixpoint; deletes re-run it cold)
+    SELECT * FROM (VALUES
+        ('mid',   CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        ('mid',   CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        ('mid',   CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        ('ins',   CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        ('ins',   CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        ('ins',   CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+        ('ins',   CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        ('ins',   CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+        ('ins',   CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+        ('final', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        ('final', CAST(3 AS BIGINT), CAST(4 AS BIGINT))
+    ) AS t(at, src, dst)
+    ORDER BY at, src, dst
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "letrec",
+)
+def sqlfront_delta_mv_wmr(spark, sf_dir):
+    """WITH MUTUALLY RECURSIVE under MAINTENANCE 'delta': the LetRec
+    fixpoint stays always-fresh ON WRITE. Insert-only commits on
+    monotone bindings WARM-START the iteration from the previous
+    binding fixpoints (the old fixpoint lies below the new least
+    fixpoint, so the monotone iteration climbs only the remaining
+    distance — the semi-naive property; the reference maintains LetRec
+    incrementally in differential dataflow,
+    src/expr/src/relation.rs:154). Deleting an edge re-runs the
+    fixpoint cold — derived facts downstream of the deleted edge
+    vanish (no DRed over-deletion needed for correctness)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dwm_e (src BIGINT, dst BIGINT);
+        INSERT INTO dwm_e VALUES (1, 2), (2, 3);
+        CREATE MATERIALIZED VIEW dwm WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          reach (src int8, dst int8) AS (
+            SELECT src, dst FROM dwm_e
+            UNION
+            SELECT r.src, e.dst FROM reach r
+            JOIN dwm_e e ON r.dst = e.src)
+        SELECT src, dst FROM reach;
+    """)
+
+    def snap(at):
+        return s.sql("SELECT src, dst FROM dwm").select(
+            F.lit(at).alias("at"), "src", "dst")
+
+    mid = snap("mid")
+    s.execute("INSERT INTO dwm_e VALUES (3, 4)")
+    ins = snap("ins")
+    s.execute("DELETE FROM dwm_e WHERE src = 2")
+    fin = snap("final")
+    return (mid.unionByName(ins).unionByName(fin)
+            .select("at", F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst"))
+            .orderBy("at", "src", "dst"))

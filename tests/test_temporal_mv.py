@@ -113,3 +113,45 @@ def test_unsupported_mznow_shapes_reject_loudly(spark):
             "CREATE MATERIALIZED VIEW bad5 WITH (MAINTENANCE 'delta') "
             "AS SELECT k FROM tt5 WHERE mz_now() = vu")
     s.execute("DROP TABLE tt5")
+
+
+def test_wmr_delta_maintained(spark):
+    """MAINTENANCE 'delta' on WITH MUTUALLY RECURSIVE: always fresh on
+    write; monotone insert commits warm-start from the previous
+    fixpoint, deletes recompute cold (reference LetRec maintains in
+    differential dataflow, src/expr/src/relation.rs:154)."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE wme (src BIGINT, dst BIGINT);
+        INSERT INTO wme VALUES (1, 2);
+        CREATE MATERIALIZED VIEW wmr_mv WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          reach (src int8, dst int8) AS (
+            SELECT src, dst FROM wme
+            UNION
+            SELECT r.src, e.dst FROM reach r
+            JOIN wme e ON r.dst = e.src)
+        SELECT src, dst FROM reach;
+    """)
+    def ks():
+        return sorted((r.src, r.dst)
+                      for r in s.sql("SELECT * FROM wmr_mv").collect())
+    assert ks() == [(1, 2)]
+    assert s._delta_mvs["wmr_mv"]["monotone"] is True
+    # warm-start path: a long chain appended edge by edge
+    s.execute("INSERT INTO wme VALUES (2, 3)")
+    s.execute("INSERT INTO wme VALUES (3, 4)")
+    assert ks() == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # delete: cold recompute drops all facts derived through the edge
+    s.execute("DELETE FROM wme WHERE src = 2")
+    assert ks() == [(1, 2), (3, 4)]
+    # subscribers see the recursive MV's diffs like any other
+    sid, snap, _ = s.subscribe_open("SUBSCRIBE wmr_mv")
+    s.execute("INSERT INTO wme VALUES (2, 3)")
+    batch = s.subscribe_poll(sid)
+    # edges are now {(1,2),(3,4),(2,3)}: the new edge re-links the
+    # chain, deriving four new reachability facts
+    assert sorted((r.src, r.dst, r.diff) for r in batch.collect()) == [
+        (1, 3, 1), (1, 4, 1), (2, 3, 1), (2, 4, 1)]
+    s.subscribe_close(sid)
+    s.run_script("DROP MATERIALIZED VIEW wmr_mv; DROP TABLE wme;")
