@@ -1395,8 +1395,8 @@ class MzSession:
         behavior."""
         from materialize_spark.plans.select_ast import split_conjuncts
 
-        if (q.table is None or q.joins or q.group_by or q.having
-                or q.distinct or q.sub is not None
+        if (q.table is None or q.joins or q.distinct
+                or q.sub is not None
                 or getattr(q, "sub_branches", None) or q.order
                 or q.limit is not None or q.subfilters):
             return False
@@ -1424,19 +1424,60 @@ class MzSession:
             static.append(conj)
         if not bounds:
             return False
-        out_exprs: list[str] = []
-        out_cols: list[str] = []
         for it in q.items:
             if re.search(r"(?i)\bmz_now\s*\(", it.expr):
                 return False  # the clock belongs in bounds, not values
-            if it.is_column and it.alias is None:
-                out_exprs.append(it.expr)
-                out_cols.append(it.expr)
-            elif it.alias is not None:
-                out_exprs.append(f"{rewrite(it.expr)} AS {it.alias}")
-                out_cols.append(it.alias)
-            else:
+        agg = None
+        keys: list[str] = []
+        aggs: dict = {}
+        having = None
+        out_exprs: list[str] = []
+        out_cols: list[str] = []
+        if q.group_by:
+            # sliding-window aggregate — the flagship temporal idiom
+            # (SELECT k, agg(..) FROM t WHERE mz_now() <= ts + ...
+            # GROUP BY k): the temporal stage's ± diffs feed a
+            # maintained reduce, so windows slide with NO commits
+            from materialize_spark.streaming.retraction import (
+                RetractionAwareAgg,
+            )
+            parsed_sel = _classify_agg_items(q.items)
+            if parsed_sel is None:
                 return False
+            keys, aggs, exprs = parsed_sel
+            gkeys = [k.strip() for k in q.group_by]
+            if not aggs or not _keys_match_group_by(keys, exprs,
+                                                    gkeys):
+                return False
+            having = q.having
+            if having is not None:
+                having = _having_over_aliases(having, aggs, exprs)
+                if having is None:
+                    return False
+            in_cols = sorted({c for _k, c in aggs.values()})
+            out_exprs = list(keys)
+            for c in in_cols:
+                if c == "__one":
+                    out_exprs.append("1 AS __one")
+                elif c in exprs:
+                    out_exprs.append(f"({rewrite(exprs[c])}) AS {c}")
+                else:
+                    out_exprs.append(c)
+            out_cols = keys + in_cols
+            agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs)
+        elif q.having:
+            return False
+        else:
+            for it in q.items:
+                if it.is_column and it.alias is None:
+                    out_exprs.append(it.expr)
+                    out_cols.append(it.expr)
+                elif it.alias is not None:
+                    out_exprs.append(
+                        f"{rewrite(it.expr)} AS {it.alias}")
+                    out_cols.append(it.alias)
+                else:
+                    return False
         try:
             self._delta_check_table(q.table)
         except KeyError:
@@ -1447,7 +1488,9 @@ class MzSession:
                 "static": " AND ".join(f"({c})" for c in static)
                 if static else None,
                 "bounds": bounds, "out_exprs": out_exprs,
-                "out_cols": out_cols, "last_tick": datetime.now()}
+                "out_cols": out_cols, "agg": agg, "keys": keys,
+                "aggs": aggs, "having": having,
+                "last_tick": datetime.now()}
         self._install_delta_mv(node.name, spec)
         return True
 
@@ -1492,9 +1535,16 @@ class MzSession:
         vis0 = self._vis_sql(spec["bounds"], T0)
         vis1 = self._vis_sql(spec["bounds"], T1)
         if initial:
-            result = _ckpt(base.filter(vis1)
-                           .selectExpr(*spec["out_exprs"]))
-            self._publish_delta_mv(name, result, initial=True)
+            first = base.filter(vis1).selectExpr(*spec["out_exprs"])
+            if spec.get("agg") is not None:
+                result = spec["agg"].on_batch(
+                    first.withColumn("diff", F.lit(1)))
+                if spec.get("having"):
+                    result = result.filter(rewrite(spec["having"]))
+                self._publish_delta_mv(name, result, initial=True)
+            else:
+                self._publish_delta_mv(name, _ckpt(first),
+                                       initial=True)
             return
         terms = []
         if T1 != T0:
@@ -1512,6 +1562,18 @@ class MzSession:
         out = terms[0]
         for t in terms[1:]:
             out = out.unionByName(t)
+        if spec.get("agg") is not None:
+            # sliding-window reduce: the temporal stage's ± diffs fold
+            # into the maintained aggregate, touched groups only
+            out = _ckpt(out.select(*spec["out_cols"], "diff"))
+            touched = out.select(*spec["keys"]).distinct()
+            result = spec["agg"].on_batch(out)
+            if spec.get("having"):
+                result = result.filter(rewrite(spec["having"]))
+            self._publish_delta_mv(name, result, False,
+                                   touched=touched,
+                                   keys=spec["keys"])
+            return
         out_delta = (out.groupBy(*spec["out_cols"])
                      .agg(F.sum("diff").alias("diff"))
                      .filter(F.col("diff") != 0))

@@ -2984,3 +2984,73 @@ def sqlfront_delta_mv_wmr(spark, sf_dir):
             .select("at", F.col("src").cast("long").alias("src"),
                     F.col("dst").cast("long").alias("dst"))
             .orderBy("at", "src", "dst"))
+
+
+@register(
+    "sqlfront_delta_mv_sliding_agg",
+    """
+    -- oracle: literal truth of the write+tick sequence against a
+    -- sliding-window aggregate (temporal filter + GROUP BY): windows
+    -- slide with NO commits, groups drain and disappear as rows age
+    SELECT * FROM (VALUES
+        ('t0',    'a', CAST(10 AS BIGINT), CAST(1 AS BIGINT)),
+        ('t0',    'b', CAST(7 AS BIGINT),  CAST(1 AS BIGINT)),
+        ('ins',   'a', CAST(10 AS BIGINT), CAST(1 AS BIGINT)),
+        ('ins',   'b', CAST(10 AS BIGINT), CAST(2 AS BIGINT)),
+        ('t2100', 'a', CAST(15 AS BIGINT), CAST(2 AS BIGINT)),
+        ('t2100', 'b', CAST(10 AS BIGINT), CAST(2 AS BIGINT)),
+        ('t2141', 'a', CAST(5 AS BIGINT),  CAST(1 AS BIGINT)),
+        ('t2141', 'b', CAST(3 AS BIGINT),  CAST(1 AS BIGINT)),
+        ('t2160', 'a', CAST(5 AS BIGINT),  CAST(1 AS BIGINT))
+    ) AS t(at, k, total, n)
+    ORDER BY at, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "temporal",
+)
+def sqlfront_delta_mv_sliding_agg(spark, sf_dir):
+    """Sliding-window aggregates — the flagship temporal-filter idiom
+    (``SELECT k, SUM(x) FROM t WHERE mz_now() >= ts AND mz_now() < ts
+    + INTERVAL ... GROUP BY k``): the temporal stage's bound-crossing
+    ± diffs feed a maintained RetractionAwareAgg, so per tick only the
+    aged/arrived rows' groups update and a group whose window empties
+    DISAPPEARS (Threshold semantics) — no commits anywhere. Reference:
+    temporal filters compose with any downstream dataflow operator
+    (MfpPlan bounds, src/expr/src/linear.rs:1724-1760)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dsl_t (k STRING, amt BIGINT, ts TIMESTAMP);
+        INSERT INTO dsl_t VALUES
+          ('a', 10, TIMESTAMP '1990-01-01 00:00:00'),
+          ('a', 5,  TIMESTAMP '2100-01-01 00:00:00'),
+          ('b', 7,  TIMESTAMP '1990-06-01 00:00:00');
+        CREATE MATERIALIZED VIEW dsl WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(amt) AS total, COUNT(*) AS n FROM dsl_t
+          WHERE mz_now() >= ts
+            AND mz_now() < ts + INTERVAL 150 YEAR
+          GROUP BY k;
+    """)
+
+    def snap(at):
+        return s.sql("SELECT k, total, n FROM dsl").select(
+            F.lit(at).alias("at"), "k", "total", "n")
+
+    t0 = snap("t0")
+    s.execute("INSERT INTO dsl_t VALUES "
+              "('b', 3, TIMESTAMP '2000-01-01 00:00:00')")
+    t1 = snap("ins")
+    s.tick_time(now=datetime(2100, 2, 1))
+    t2 = snap("t2100")
+    s.tick_time(now=datetime(2141, 1, 1))
+    t3 = snap("t2141")
+    s.tick_time(now=datetime(2160, 1, 1))
+    t4 = snap("t2160")
+    return (t0.unionByName(t1).unionByName(t2).unionByName(t3)
+            .unionByName(t4)
+            .select("at", "k",
+                    F.col("total").cast("long").alias("total"),
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("at", "k"))

@@ -155,3 +155,40 @@ def test_wmr_delta_maintained(spark):
         (1, 3, 1), (1, 4, 1), (2, 3, 1), (2, 4, 1)]
     s.subscribe_close(sid)
     s.run_script("DROP MATERIALIZED VIEW wmr_mv; DROP TABLE wme;")
+
+
+def test_sliding_window_aggregate(spark):
+    """The flagship temporal idiom: a grouped aggregate over a
+    temporal filter — windows slide with NO commits (tick_time feeds
+    the reduce ± diffs for bound-crossing rows)."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sw (k STRING, amt BIGINT, ts TIMESTAMP);
+        INSERT INTO sw VALUES
+          ('a', 10, TIMESTAMP '1990-01-01 00:00:00'),
+          ('a', 5,  TIMESTAMP '2100-01-01 00:00:00'),
+          ('b', 7,  TIMESTAMP '1990-06-01 00:00:00');
+        CREATE MATERIALIZED VIEW swagg WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(amt) AS total, COUNT(*) AS n FROM sw
+          WHERE mz_now() >= ts AND mz_now() < ts + INTERVAL 150 YEAR
+          GROUP BY k;
+    """)
+    def got():
+        return sorted((r.k, r.total, r.n)
+                      for r in s.sql("SELECT * FROM swagg").collect())
+    # 1990 rows in-window now (2026ish); the 2100 row not yet
+    assert got() == [("a", 10, 1), ("b", 7, 1)]
+    # commit interleaves with the clock
+    s.execute("INSERT INTO sw VALUES "
+              "('b', 3, TIMESTAMP '2000-01-01 00:00:00')")
+    assert got() == [("a", 10, 1), ("b", 10, 2)]
+    # tick into 2100: the future row enters the window
+    s.tick_time(now=datetime(2100, 2, 1))
+    assert got() == [("a", 15, 2), ("b", 10, 2)]
+    # tick past 1990+150y: both groups' oldest rows age out
+    s.tick_time(now=datetime(2141, 1, 1))
+    assert got() == [("a", 5, 1), ("b", 3, 1)]
+    # tick past 2000+150y: group b drains entirely and disappears
+    s.tick_time(now=datetime(2160, 1, 1))
+    assert got() == [("a", 5, 1)]
+    s.run_script("DROP MATERIALIZED VIEW swagg; DROP TABLE sw;")
