@@ -115,6 +115,7 @@ class JoinSeg:
     pairs: list[tuple[str, str]]     # equi-join ON pairs (raw order)
     raw_on: str                      # the ON text (diagnostics)
     extra: str | None = None         # non-equi residual conjuncts
+    alias: str | None = None         # table alias, when given
 
 
 @dataclass
@@ -127,6 +128,12 @@ class SelectQ:
     sub_branches: "list[SelectQ] | None" = None
     sub_alias: str | None = None
     joins: list[JoinSeg] = field(default_factory=list)
+    # FROM list incl. comma-joined items: [(table, alias-or-None)];
+    # explicit-JOIN bodies keep only the first item here
+    from_items: list[tuple[str, str | None]] = field(
+        default_factory=list)
+    # alias -> table for every aliased relation in scope
+    aliases: dict[str, str] = field(default_factory=dict)
     where: str | None = None
     group_by: list[str] = field(default_factory=list)
     having: str | None = None
@@ -173,14 +180,18 @@ def _split_alias(span: str) -> SelectItem:
 def _parse_on_pairs(
         cond: str) -> tuple[list[tuple[str, str]], str | None] | None:
     """Split an ON conjunction into (equality pairs, residual): equi
-    conjuncts ``a = b`` become join-key pairs, everything else joins a
-    residual predicate evaluated over the joined row. None when there
-    is no equi conjunct at all (a keyless join would be a cross
-    product — not delta-maintainable)."""
+    conjuncts ``a = b`` become join-key pairs (qualifiers stripped —
+    membership in the actual column sets disambiguates during
+    normalization), everything else joins a residual predicate
+    evaluated over the joined row. None when there is no equi conjunct
+    at all (a keyless join would be a cross product — not
+    delta-maintainable)."""
     pairs: list[tuple[str, str]] = []
     residual: list[str] = []
     for part in re.split(r"(?i)\bAND\b", cond):
-        m = re.fullmatch(r"\s*(\w+)\s*=\s*(\w+)\s*", part)
+        m = re.fullmatch(
+            r"\s*(?:\w+\s*\.\s*)?(\w+)\s*=\s*"
+            r"(?:\w+\s*\.\s*)?(\w+)\s*", part)
         if m is None:
             residual.append(part.strip())
         else:
@@ -511,11 +522,31 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
             p.take_kw("AS")
             q.sub_alias = p.ident()
     else:
+        def _opt_alias() -> str | None:
+            if p.take_kw("AS"):
+                return p.ident()
+            t = p.peek()
+            if t.kind in ("WORD", "QIDENT") \
+                    and t.upper not in _TAIL_STOPS \
+                    and t.upper != "ON":
+                return p.ident()
+            return None
+
         q.table = p.ident()
-        if p.peek().kind in ("WORD", "QIDENT") \
-                and p.peek().upper not in _TAIL_STOPS \
-                and p.peek().upper != "AS":
-            pass  # bare table aliases unsupported: leave for tail error
+        a = _opt_alias()
+        q.from_items = [(q.table, a)]
+        if a:
+            q.aliases[a] = q.table
+        # comma-joined FROM list (implicit joins — the TPC-H text
+        # style); the planner desugars WHERE equi conjuncts into an
+        # explicit left-deep chain
+        while p.peek().kind == "COMMA":
+            p.next()
+            t = p.ident()
+            a = _opt_alias()
+            q.from_items.append((t, a))
+            if a:
+                q.aliases[a] = t
     # join chain
     while True:
         kind = None
@@ -535,7 +566,20 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
                              p.peek())
         if kind is None:
             break
+        if len(q.from_items) > 1:
+            raise ParseError(
+                "mixing comma-joined FROM items with explicit JOIN "
+                "syntax is not supported — use one style", p.peek())
         t = p.ident()
+        al = None
+        if p.take_kw("AS"):
+            al = p.ident()
+        elif p.peek().kind in ("WORD", "QIDENT") \
+                and p.peek().upper != "ON" \
+                and p.peek().upper not in _TAIL_STOPS:
+            al = p.ident()
+        if al:
+            q.aliases[al] = t
         p.expect_kw("ON")
         cond = p.span_until_kw(*_TAIL_STOPS)
         parsed = _parse_on_pairs(cond)
@@ -545,7 +589,7 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
                 f"delta-maintainable (got {cond!r})", p.peek())
         pairs, extra = parsed
         q.joins.append(JoinSeg(kind=kind, table=t, pairs=pairs,
-                               raw_on=cond, extra=extra))
+                               raw_on=cond, extra=extra, alias=al))
     if p.take_kw("WHERE"):
         q.where = p.span_until_kw("GROUP", "HAVING", "ORDER", "LIMIT")
         if not q.where:

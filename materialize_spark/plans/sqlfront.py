@@ -723,11 +723,162 @@ class MzSession:
                 work_ops.pop(i)
         self._delta_mvs[node.name]["internal_deps"] = tuple(created)
 
+    @staticmethod
+    def _strip_quals(text: str | None, quals: set[str]) -> str | None:
+        """Remove ``qual.`` prefixes for the given relation names and
+        aliases (TOKEN-level: string literals never rewrite; chain
+        output columns are bare, so qualified references resolve by
+        dropping the qualifier — uniqueness is enforced by the chain
+        normalizer's collision checks)."""
+        if not text or not quals:
+            return text
+        from materialize_spark.plans.lexer import tokens as _lex
+        low = {qn.lower() for qn in quals}
+        try:
+            toks = _lex(text, lenient=True)
+        except Exception:
+            return text
+        cuts: list[tuple[int, int]] = []
+        for i, t in enumerate(toks):
+            if t.kind != "WORD" or t.text.lower() not in low:
+                continue
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            nn = toks[i + 2] if i + 2 < len(toks) else None
+            if nxt is not None and nxt.kind == "OP" \
+                    and nxt.text == "." and nn is not None \
+                    and nn.kind in ("WORD", "QIDENT"):
+                cuts.append((t.start, nxt.end))
+        for a, b in reversed(cuts):
+            text = text[:a] + text[b:]
+        return text
+
+    def _desugar_implicit_joins(self, q):
+        """Rewrite a comma-joined FROM list (``FROM a, b c, d WHERE a.x
+        = c.y AND ...``) into the explicit left-deep equi-join chain
+        the dispatcher maintains — the classic implicit-join planning
+        the reference's optimizer performs. Equality conjuncts linking
+        a new FROM item to the accumulated ones become its ON pairs;
+        every other conjunct stays a residual filter. Qualified
+        references then drop their qualifiers (chain columns are
+        bare)."""
+        from dataclasses import replace as _dc_replace
+
+        from materialize_spark.plans.select_ast import (
+            JoinSeg, SelectItem, split_conjuncts,
+        )
+
+        items = q.from_items
+        for t, _a in items:
+            self._delta_check_table(t)
+        cols_of = {i: set(self._base_frame(t).columns)
+                   for i, (t, _a) in enumerate(items)}
+        alias_of = {(a or t).lower(): i
+                    for i, (t, a) in enumerate(items)}
+
+        def owner(qual: str | None, col: str) -> int | None:
+            if qual is not None:
+                return alias_of.get(qual.lower())
+            hits = [i for i, cs in cols_of.items() if col in cs]
+            return hits[0] if len(hits) == 1 else None
+
+        def unwrap(c: str) -> str:
+            # conjuncts re-joined after subfilter extraction arrive
+            # wrapped in parens
+            while True:
+                m = re.fullmatch(r"\s*\((.*)\)\s*", c, re.S)
+                if m is None:
+                    return c.strip()
+                inner = m.group(1)
+                depth = 0
+                for ch in inner:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth < 0:
+                            return c.strip()
+                c = inner
+
+        conjs = [unwrap(c) for c in split_conjuncts(q.where)] \
+            if q.where else []
+        cmp_re = re.compile(
+            r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*"
+            r"(?:(\w+)\s*\.\s*)?(\w+)\s*$")
+        links: list[tuple[int, int, str, str]] = []  # (i, j, ci, cj)
+        residual: list[str] = []
+        for c in conjs:
+            m = cmp_re.match(c)
+            if m:
+                o1 = owner(m.group(1), m.group(2))
+                o2 = owner(m.group(3), m.group(4))
+                if o1 is not None and o2 is not None and o1 != o2:
+                    links.append((o1, o2, m.group(2), m.group(4)))
+                    continue
+            residual.append(c)
+        joins: list[JoinSeg] = []
+        placed = {0}
+        for i in range(1, len(items)):
+            pairs = []
+            rest = []
+            for (a_i, b_i, ca, cb) in links:
+                if b_i == i and a_i in placed:
+                    pairs.append((ca, cb))
+                elif a_i == i and b_i in placed:
+                    pairs.append((cb, ca))
+                else:
+                    rest.append((a_i, b_i, ca, cb))
+            links = rest
+            if not pairs:
+                raise ValueError(
+                    f"MAINTENANCE 'delta': FROM item "
+                    f"{items[i][0]!r} has no equality link to the "
+                    "preceding items (a cross product is not "
+                    "delta-maintainable)")
+            placed.add(i)
+            joins.append(JoinSeg(kind="inner", table=items[i][0],
+                                 pairs=pairs, raw_on="",
+                                 alias=items[i][1]))
+        # links whose both ends were already placed became residual
+        # equalities over the joined row
+        for (a_i, b_i, ca, cb) in links:
+            residual.append(f"{ca} = {cb}")
+        quals = {(a or t) for t, a in items} | {t for t, _ in items}
+        st = lambda s: self._strip_quals(s, quals)  # noqa: E731
+        return _dc_replace(
+            q, table=items[0][0], joins=joins, from_items=[],
+            items=[SelectItem(expr=st(it.expr), alias=it.alias)
+                   for it in q.items],
+            where=" AND ".join(f"({st(c)})" for c in residual)
+            if residual else None,
+            group_by=[st(k) for k in q.group_by],
+            having=st(q.having))
+
     def _plan_delta_mv(self, node: ast.CreateView, q) -> None:
         """Dispatch a parsed view body onto maintained operators:
         subquery forms (TopK idiom, agg-over-map), join chains, and
         single-table reduce/distinct; ORDER BY ... LIMIT k as the
         global TopK."""
+        if getattr(q, "from_items", None) and len(q.from_items) > 1:
+            q = self._desugar_implicit_joins(q)
+        elif q.table is not None and (getattr(q, "aliases", None)
+                                      or q.joins):
+            # aliased/qualified references over explicit relations:
+            # qualifiers drop (chain output columns are bare)
+            from dataclasses import replace as _dc_replace
+
+            from materialize_spark.plans.select_ast import SelectItem
+            quals = (set(q.aliases) | {q.table}
+                     | {seg.table for seg in q.joins})
+            st = lambda s: self._strip_quals(s, quals)  # noqa: E731
+            q = _dc_replace(
+                q,
+                items=[SelectItem(expr=st(it.expr), alias=it.alias)
+                       for it in q.items],
+                where=st(q.where), group_by=[st(k) for k in
+                                             q.group_by],
+                having=st(q.having),
+                joins=[_dc_replace(seg, extra=st(seg.extra))
+                       for seg in q.joins])
         if getattr(q, "subfilters", None):
             if self._plan_delta_semijoin(node, q):
                 return
@@ -2158,8 +2309,9 @@ class MzSession:
             having = _having_over_aliases(having, aggs, exprs)
             if having is None:
                 return False
+        aliases = set(getattr(q, "aliases", {}) or ())
         stages = [self._build_subfilter_stage(sf, tables, acc_cols,
-                                              renmap)
+                                              renmap, aliases)
                   for sf in q.subfilters]
         chain = self._build_delta_join_chain(tables, norm_links, kinds,
                                              extras) if norm_links \
@@ -2184,7 +2336,8 @@ class MzSession:
         return True
 
     def _build_subfilter_stage(self, sf, tables: list[str],
-                               acc_cols: set, renmap: dict) -> dict:
+                               acc_cols: set, renmap: dict,
+                               aliases: set | None = None) -> dict:
         """Classify one SubFilter's inner conjuncts against the outer
         chain's columns into (correlation pairs, <> exclusion, local
         predicate) and instantiate the maintained stage. The
@@ -2197,7 +2350,8 @@ class MzSession:
         self._delta_check_table(sf.table)
         inner_cols = set(self._base_frame(sf.table).columns)
         iq = (sf.alias or sf.table).lower()
-        outer_quals = {t.lower() for t in tables} - {iq}
+        outer_quals = ({t.lower() for t in tables}
+                       | {a.lower() for a in (aliases or ())}) - {iq}
         if sf.table.lower() in {t.lower() for t in tables} \
                 and sf.alias is None:
             raise ValueError(

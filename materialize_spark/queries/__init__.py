@@ -74,7 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
     priority = [
         # --- (a) round-12 capabilities ---
         "sqlfront_delta_mv_exists", "sqlfront_delta_mv_not_exists",
-        "sqlfront_delta_mv_q21_exists",
+        "sqlfront_delta_mv_q21_exists", "sqlfront_delta_mv_q21_text",
         "sqlfront_delta_mv_window_order",
         "sqlfront_delta_mv_right_join",
         "sqlfront_delta_mv_mixed_setop",

@@ -3054,3 +3054,57 @@ def sqlfront_delta_mv_sliding_agg(spark, sf_dir):
                     F.col("total").cast("long").alias("total"),
                     F.col("n").cast("long").alias("n"))
             .orderBy("at", "k"))
+
+
+_Q21_TEXT_BODY = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_extendedprice > l1.l_quantity * 1400
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_extendedprice > l3.l_quantity * 1400)
+  AND s_nationkey = n_nationkey
+GROUP BY s_name"""
+
+
+@register(
+    "sqlfront_delta_mv_q21_text",
+    f"""
+    -- oracle: the SAME comma-FROM/aliased/self-correlated q21-shape
+    -- SQL evaluated directly (the synthetic lineitem lacks receipt/
+    -- commit dates, so 'late' adapts to a price predicate; structure
+    -- is the verbatim TPC-H q21 text)
+    SELECT s_name, CAST(numwait AS BIGINT) AS numwait FROM (
+    {_Q21_TEXT_BODY}
+    ) q ORDER BY s_name
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery", "tpch",
+)
+def sqlfront_delta_mv_q21_text(spark, sf_dir):
+    """MAINTENANCE 'delta' accepts the TPC-H q21 TEXT as written —
+    comma-joined FROM list with table aliases, qualified references,
+    and the self-correlated EXISTS / NOT EXISTS pair with <>
+    exclusions (the reference maintains all 22 TPC-H queries as
+    materialized views, test/sqllogictest/
+    tpch_create_materialized_view.slt). The planner desugars the
+    implicit joins into the left-deep bilinear chain (the classic
+    implicit-join planning the reference's optimizer performs),
+    strips qualifiers token-wise, and decorrelates the subqueries
+    into maintained semi/anti stages; the oracle here is the SAME SQL
+    evaluated directly by DuckDB over the parquet tables."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q21_text WITH "
+              f"(MAINTENANCE 'delta') AS {_Q21_TEXT_BODY}")
+    return (s.sql("SELECT s_name, numwait FROM q21_text")
+            .select("s_name",
+                    F.col("numwait").cast("long").alias("numwait"))
+            .orderBy("s_name"))

@@ -291,3 +291,71 @@ def test_ordered_window_publishes_touched_diffs_only(spark):
     assert got == [("b", 3, 10, 1)]
     s.subscribe_close(sub_id)
     s.run_script("DROP MATERIALIZED VIEW wd; DROP TABLE wd_t;")
+
+
+def test_comma_from_implicit_joins_with_aliases(spark):
+    """Comma-joined FROM lists (the TPC-H text style) desugar into the
+    maintained left-deep chain: WHERE equi conjuncts become ON pairs,
+    everything else stays a residual filter, qualifiers strip
+    token-wise — and churn flows through every role."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE cf_o (ok BIGINT, ck BIGINT, status STRING);
+        CREATE TABLE cf_c (ckey BIGINT, cname STRING);
+        CREATE TABLE cf_li (lok BIGINT, amt BIGINT);
+        INSERT INTO cf_o VALUES (1, 10, 'F'), (2, 20, 'O');
+        INSERT INTO cf_c VALUES (10, 'ann'), (20, 'bob');
+        INSERT INTO cf_li VALUES (1, 5), (1, 7), (2, 9);
+        CREATE MATERIALIZED VIEW cf WITH (MAINTENANCE 'delta') AS
+          SELECT cname, SUM(amt) AS rev
+          FROM cf_o o, cf_c, cf_li l
+          WHERE o.ok = l.lok AND o.ck = cf_c.ckey
+            AND o.status = 'F'
+          GROUP BY cname;
+    """)
+    assert rows(s, "SELECT * FROM cf") == [("ann", 12)]
+    s.run_script("""
+        UPDATE cf_o SET status = 'F' WHERE ok = 2;
+        INSERT INTO cf_li VALUES (2, 1);
+        DELETE FROM cf_li WHERE lok = 1 AND amt = 5;
+    """)
+    assert rows(s, "SELECT * FROM cf") == [("ann", 7), ("bob", 10)]
+    s.run_script("DROP MATERIALIZED VIEW cf; DROP TABLE cf_o;"
+                 "DROP TABLE cf_c; DROP TABLE cf_li;")
+
+
+def test_explicit_join_aliases_strip(spark):
+    """Explicit JOIN ... ON with table aliases and qualified
+    references: qualifiers drop token-wise (string literals never
+    rewrite) and the chain maintains as usual."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ea_a (x BIGINT, tag STRING);
+        CREATE TABLE ea_b (y BIGINT, v BIGINT);
+        INSERT INTO ea_a VALUES (1, 'ea_b.y'), (2, 'keep');
+        INSERT INTO ea_b VALUES (1, 100), (2, 200);
+        CREATE MATERIALIZED VIEW ea WITH (MAINTENANCE 'delta') AS
+          SELECT a.x, a.tag, b.v FROM ea_a a
+          JOIN ea_b b ON a.x = b.y
+          WHERE a.tag <> 'drop';
+    """)
+    # the literal 'ea_b.y' survives qualifier stripping intact
+    assert rows(s, "SELECT * FROM ea") == [(1, "ea_b.y", 100),
+                                           (2, "keep", 200)]
+    s.run_script("INSERT INTO ea_b VALUES (3, 300);"
+                 "INSERT INTO ea_a VALUES (3, 'drop');")
+    assert rows(s, "SELECT * FROM ea") == [(1, "ea_b.y", 100),
+                                           (2, "keep", 200)]
+    s.run_script("DROP MATERIALIZED VIEW ea;"
+                 "DROP TABLE ea_a; DROP TABLE ea_b;")
+
+
+def test_comma_from_cross_product_rejected(spark):
+    s = _mz(spark)
+    s.run_script("CREATE TABLE cp_a (x BIGINT);"
+                 "CREATE TABLE cp_b (y BIGINT);")
+    with pytest.raises(Exception, match="no equality link"):
+        s.execute("CREATE MATERIALIZED VIEW cp WITH (MAINTENANCE "
+                  "'delta') AS SELECT x, y FROM cp_a, cp_b "
+                  "WHERE x > 0")
+    s.run_script("DROP TABLE cp_a; DROP TABLE cp_b;")
