@@ -192,3 +192,42 @@ def test_sliding_window_aggregate(spark):
     s.tick_time(now=datetime(2160, 1, 1))
     assert got() == [("a", 5, 1)]
     s.run_script("DROP MATERIALIZED VIEW swagg; DROP TABLE sw;")
+
+
+def test_explain_maintenance_renders_new_plans(spark):
+    """EXPLAIN MAINTENANCE covers the round's new maintained kinds:
+    semi/anti stages, temporal bounds, ordered windows, LetRec."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE xm_t (k BIGINT, seq BIGINT, v BIGINT,
+                           vu TIMESTAMP);
+        CREATE TABLE xm_u (j BIGINT);
+        CREATE MATERIALIZED VIEW xm_semi WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM xm_t WHERE k IN (SELECT j FROM xm_u);
+        CREATE MATERIALIZED VIEW xm_tmp WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM xm_t WHERE mz_now() < vu;
+        CREATE MATERIALIZED VIEW xm_wo WITH (MAINTENANCE 'delta') AS
+          SELECT k, seq, SUM(v) OVER (PARTITION BY k ORDER BY seq)
+            AS run FROM xm_t;
+        CREATE MATERIALIZED VIEW xm_wm WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          r (k int8) AS (SELECT k FROM xm_t UNION
+                         SELECT k + 1 AS k FROM r WHERE k < 2)
+        SELECT k FROM r;
+    """)
+
+    def plan(name):
+        return "\n".join(
+            r.plan for r in s.execute(
+                f"EXPLAIN MAINTENANCE FOR MATERIALIZED VIEW {name}"
+            ).collect())
+
+    assert "SemiJoin[IN]" in plan("xm_semi")
+    assert "inner" in plan("xm_semi")
+    assert "TemporalFilter" in plan("xm_tmp")
+    assert "WindowOrdered" in plan("xm_wo")
+    assert "LetRec" in plan("xm_wm")
+    assert "warm-start" in plan("xm_wm")
+    for v in ("xm_semi", "xm_tmp", "xm_wo", "xm_wm"):
+        s.execute(f"DROP MATERIALIZED VIEW {v}")
+    s.run_script("DROP TABLE xm_t; DROP TABLE xm_u;")
