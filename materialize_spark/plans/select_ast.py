@@ -100,12 +100,20 @@ class SubFilter:
     predicates once it knows both sides' columns."""
 
     negated: bool
-    kind: str                  # exists | in
+    kind: str                  # exists | in | cmpagg
     table: str                 # inner FROM table
     alias: str | None          # inner table alias, when given
     conjuncts: list[str]       # raw inner WHERE conjuncts
     in_expr: str | None = None  # IN: the outer-side expression text
     in_col: str | None = None   # IN: the inner SELECT column
+    # cmpagg (scalar-aggregate comparison, the q17/q2/q20 family):
+    # ``lhs op (SELECT <expr around one AGG(arg)> FROM u WHERE ...)``
+    cmp_op: str | None = None      # <, <=, >, >=, =, <>
+    agg_kind: str | None = None    # sum | count | min | max | avg
+    agg_arg: str | None = None     # the aggregate's argument text
+    # the scalar expression around the aggregate with the call
+    # replaced by the marker __AGGVAL__ (e.g. "0.2 * __AGGVAL__")
+    template: str | None = None
 
 
 @dataclass
@@ -273,6 +281,37 @@ def split_conjuncts(text: str) -> list[str]:
     return [s.strip() for s in spans if s.strip()]
 
 
+_AGG_CALL_RE = re.compile(r"(?is)\b(sum|count|min|max|avg)\s*\(")
+
+
+def _parse_scalar_agg_item(item: str
+                           ) -> tuple[str, str, str] | None:
+    """Decompose one scalar select item containing exactly one
+    aggregate call into (agg kind, agg argument text, template with
+    the call replaced by __AGGVAL__)."""
+    m = _AGG_CALL_RE.search(item)
+    if m is None:
+        return None
+    if _AGG_CALL_RE.search(item, m.end()):
+        return None  # more than one aggregate: out of shape
+    # match the call's closing paren
+    depth = 1
+    i = m.end()
+    while i < len(item) and depth:
+        if item[i] == "(":
+            depth += 1
+        elif item[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    arg = item[m.end():i - 1].strip()
+    if re.match(r"(?is)^DISTINCT\b", arg):
+        return None
+    template = item[:m.start()] + "__AGGVAL__" + item[i:]
+    return m.group(1).lower(), arg, template.strip()
+
+
 def _parse_sub_body(body: str, kind: str) -> SubFilter | None:
     """Parse one EXISTS/IN subquery body ``SELECT ... FROM t [alias]
     [WHERE ...]`` into a partial SubFilter (negation filled by caller).
@@ -284,10 +323,18 @@ def _parse_sub_body(body: str, kind: str) -> SubFilter | None:
     if not spans:
         return None
     in_col = None
+    agg_kind = agg_arg = template = None
     if kind == "in":
         if len(spans) != 1 or not re.fullmatch(r"\w+", spans[0].strip()):
             return None  # IN needs exactly one plain inner column
         in_col = spans[0].strip()
+    elif kind == "cmpagg":
+        if len(spans) != 1:
+            return None
+        parsed = _parse_scalar_agg_item(spans[0].strip())
+        if parsed is None:
+            return None
+        agg_kind, agg_arg, template = parsed
     if not p.take_kw("FROM"):
         return None
     if p.peek().kind not in ("WORD", "QIDENT"):
@@ -309,7 +356,26 @@ def _parse_sub_body(body: str, kind: str) -> SubFilter | None:
     if p.peek().kind != "EOF":
         return None
     return SubFilter(negated=False, kind=kind, table=table,
-                     alias=alias, conjuncts=conjuncts, in_col=in_col)
+                     alias=alias, conjuncts=conjuncts, in_col=in_col,
+                     agg_kind=agg_kind, agg_arg=agg_arg,
+                     template=template)
+
+
+def _has_top_bool(expr: str) -> bool:
+    """True when a top-level boolean operator appears — the expression
+    is then not a standalone comparison/membership operand."""
+    ep = Parser(expr)
+    d = 0
+    while ep.peek().kind != "EOF":
+        et = ep.next()
+        if et.kind == "LP":
+            d += 1
+        elif et.kind == "RP":
+            d -= 1
+        elif et.kind == "WORD" and d == 0 \
+                and et.upper in ("OR", "NOT", "AND", "CASE"):
+            return True
+    return False
 
 
 def _match_subfilter(conj: str) -> SubFilter | None:
@@ -339,7 +405,8 @@ def _match_subfilter(conj: str) -> SubFilter | None:
             return None
         sf.negated = negated
         return sf
-    # scan for a top-level [NOT] IN ( SELECT ...
+    # scan for a top-level [NOT] IN ( SELECT ...  or  a top-level
+    # comparison against a scalar-aggregate subquery (q17/q2/q20)
     depth = 0
     while True:
         t = p.peek()
@@ -349,6 +416,27 @@ def _match_subfilter(conj: str) -> SubFilter | None:
             depth += 1
         elif t.kind == "RP":
             depth -= 1
+        elif t.kind == "OP" and depth == 0 \
+                and t.text in ("<", "<=", ">", ">=", "=", "<>", "!="):
+            if not (p.peek(1).kind == "LP"
+                    and p.peek(2).kind == "WORD"
+                    and p.peek(2).upper == "SELECT"):
+                p.next()
+                continue
+            cut = t.start
+            p.next()
+            body = p.paren_span()
+            if p.peek().kind != "EOF":
+                return None
+            lhs = conj[:cut].strip()
+            if not lhs or _has_top_bool(lhs):
+                return None
+            sf = _parse_sub_body(body, "cmpagg")
+            if sf is None:
+                return None
+            sf.in_expr = lhs
+            sf.cmp_op = "<>" if t.text == "!=" else t.text
+            return sf
         elif t.kind == "WORD" and depth == 0 \
                 and t.upper in ("IN", "NOT"):
             if t.upper == "NOT":
@@ -369,21 +457,10 @@ def _match_subfilter(conj: str) -> SubFilter | None:
             if p.peek().kind != "EOF":
                 return None
             expr = conj[:cut].strip()
-            if not expr:
+            if not expr or _has_top_bool(expr):
+                # IN binds tighter than OR/NOT: a disjunct to the left
+                # means this is NOT a standalone membership conjunct
                 return None
-            # IN binds tighter than OR/NOT: a disjunct to the left
-            # means this is NOT a standalone membership conjunct
-            ep = Parser(expr)
-            ed = 0
-            while ep.peek().kind != "EOF":
-                et = ep.next()
-                if et.kind == "LP":
-                    ed += 1
-                elif et.kind == "RP":
-                    ed -= 1
-                elif et.kind == "WORD" and ed == 0 \
-                        and et.upper in ("OR", "NOT", "AND", "CASE"):
-                    return None
             sf = _parse_sub_body(body, "in")
             if sf is None:
                 return None

@@ -2419,15 +2419,13 @@ class MzSession:
                         f"predicates beyond equality/<> are not "
                         f"maintainable ({conj!r})")
             local.append(strip.sub("", conj))
+        outer_strip = {t for t in tables} | set(aliases or ())
         if sf.kind == "in":
-            in_expr = strip_outer = sf.in_expr
-            for t in tables:
-                strip_outer = re.sub(
-                    rf"(?i)\b{re.escape(t)}\s*\.\s*", "", strip_outer)
+            strip_outer = self._strip_quals(sf.in_expr, outer_strip)
             if not re.fullmatch(r"\w+", strip_outer.strip()):
                 raise ValueError(
                     "MAINTENANCE 'delta': the IN expression must be a "
-                    f"plain outer column (got {in_expr!r})")
+                    f"plain outer column (got {sf.in_expr!r})")
             if sf.in_col not in inner_cols:
                 raise ValueError(
                     f"MAINTENANCE 'delta': {sf.in_col!r} is not a "
@@ -2437,12 +2435,46 @@ class MzSession:
             raise ValueError(
                 "MAINTENANCE 'delta': the subquery needs at least one "
                 "equality correlation with the outer relation")
+        prep_where = " AND ".join(f"({c})" for c in local) \
+            if local else None
+        okeys = [oc for _ic, oc in pairs]
+        if sf.kind == "cmpagg":
+            # scalar-aggregate comparison (q17/q2/q20 family): the
+            # per-key aggregate maintains in a RetractionAwareAgg and
+            # the comparison's truth flips per touched key
+            from materialize_spark.streaming.semijoin import (
+                CmpAggFilterMV,
+            )
+            if member is not None:
+                raise ValueError(
+                    "MAINTENANCE 'delta': <> correlation does not "
+                    "apply to scalar-aggregate subqueries")
+            lhs = rewrite(self._strip_quals(sf.in_expr, outer_strip))
+            tmpl = rewrite(self._strip_quals(sf.template, outer_strip))
+            vexpr = "coalesce({V}, 0)" if sf.agg_kind == "count" \
+                else "{V}"
+            qual = (f"coalesce(({lhs}) {sf.cmp_op} "
+                    f"({tmpl.replace('__AGGVAL__', vexpr)}), false)")
+            op = CmpAggFilterMV(
+                self.spark, keys=okeys, qual_tmpl=qual,
+                agg_kind=sf.agg_kind, spill_rows=_TOPK_SPILL_ROWS)
+            arg = sf.agg_arg.strip()
+            if arg == "*":
+                if sf.agg_kind != "count":
+                    raise ValueError(
+                        "MAINTENANCE 'delta': * argument is only "
+                        "valid for COUNT")
+                arg = "1"  # COUNT(*): every row weighs one
+            return {"op": op, "table": sf.table, "kind": "cmpagg",
+                    "prep_where": prep_where,
+                    "prep_select": list(pairs),
+                    "prep_arg": strip.sub("", arg),
+                    "cmp": (sf.cmp_op, sf.agg_kind)}
         if sf.kind == "in":
             kind = "not_in" if sf.negated else "in"
         else:
             kind = "not_exists" if sf.negated else "exists"
         prep_select = list(pairs)
-        okeys = [oc for _ic, oc in pairs]
         omember = None
         if member is not None:
             prep_select.append(member)
@@ -2451,8 +2483,7 @@ class MzSession:
             self.spark, keys=okeys, kind=kind, member=omember,
             spill_rows=_TOPK_SPILL_ROWS)
         return {"op": op, "table": sf.table, "kind": kind,
-                "prep_where": " AND ".join(f"({c})" for c in local)
-                if local else None,
+                "prep_where": prep_where,
                 "prep_select": prep_select}
 
     def _subfilter_inner_delta(self, stage: dict, delta):
@@ -2464,8 +2495,10 @@ class MzSession:
         if stage["prep_where"]:
             d = d.filter(
                 f"coalesce(({rewrite(stage['prep_where'])}), false)")
-        return d.select(*[F.col(ic).alias(oc)
-                          for ic, oc in stage["prep_select"]], "diff")
+        sel = [f"{ic} AS {oc}" for ic, oc in stage["prep_select"]]
+        if stage.get("prep_arg"):
+            sel.append(f"({rewrite(stage['prep_arg'])}) AS __arg")
+        return d.selectExpr(*sel, "diff")
 
     def _feed_delta_mv_semijoin(self, name: str, table: str,
                                 delta) -> None:
@@ -5579,9 +5612,13 @@ class MzSession:
                 label = {"exists": "SemiJoin[EXISTS]",
                          "not_exists": "AntiJoin[NOT EXISTS]",
                          "in": "SemiJoin[IN]",
-                         "not_in": "AntiJoin[NOT IN]"}[st["kind"]]
+                         "not_in": "AntiJoin[NOT IN]",
+                         "cmpagg": "ScalarAggCompare"}[st["kind"]]
+                if st["kind"] == "cmpagg":
+                    cop, ckind = st["cmp"]
+                    label += f"[{cop} {ckind.upper()}]"
                 extra = (f" exclude-member={op.member}"
-                         if op.member else "")
+                         if getattr(op, "member", None) else "")
                 lines.append(
                     f"{label} keys={op.keys}{extra} "
                     "(support counts, flip retractions)")

@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_mixed_setop",
         "sqlfront_delta_mv_temporal", "sqlfront_delta_mv_wmr",
         "sqlfront_delta_mv_sliding_agg",
+        "sqlfront_delta_mv_scalar_agg_cmp",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join",

@@ -3108,3 +3108,79 @@ def sqlfront_delta_mv_q21_text(spark, sf_dir):
             .select("s_name",
                     F.col("numwait").cast("long").alias("numwait"))
             .orderBy("s_name"))
+
+
+@register(
+    "sqlfront_delta_mv_scalar_agg_cmp",
+    """
+    -- oracle: literal truth of the write sequence against correlated
+    -- scalar-aggregate comparison MVs (the TPC-H q17/q2/q20 family):
+    -- deletes RAISE the maintained MIN (hierarchical support), moves
+    -- in avg re-qualify only the touched key's rows
+    SELECT * FROM (VALUES
+        ('mid',   'avg', CAST(1 AS BIGINT), CAST(1 AS DOUBLE)),
+        ('mid',   'avg', CAST(2 AS BIGINT), CAST(5 AS DOUBLE)),
+        ('mid',   'min', CAST(1 AS BIGINT), CAST(1 AS DOUBLE)),
+        ('mid',   'min', CAST(2 AS BIGINT), CAST(5 AS DOUBLE)),
+        ('final', 'avg', CAST(2 AS BIGINT), CAST(2 AS DOUBLE)),
+        ('final', 'min', CAST(1 AS BIGINT), CAST(10 AS DOUBLE)),
+        ('final', 'min', CAST(1 AS BIGINT), CAST(10 AS DOUBLE)),
+        ('final', 'min', CAST(2 AS BIGINT), CAST(2 AS DOUBLE))
+    ) AS t(at, mv, pk, qty)
+    ORDER BY at, mv, pk, qty
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_scalar_agg_cmp(spark, sf_dir):
+    """Correlated scalar-aggregate comparisons delta-maintained — the
+    q17 idiom ``l1.qty < (SELECT 0.5*avg(l2.qty) FROM li l2 WHERE
+    l2.pk = l1.pk)`` and the q2-style MIN comparison. The reference
+    decorrelates the scalar subquery into a per-key Reduce joined back
+    to the outer relation (src/sql/src/plan/lowering.rs); here the
+    per-key aggregate lives in a RetractionAwareAgg (accumulable
+    sum/count/avg, hierarchical MIN/MAX — deleting the minimum RAISES
+    the maintained value correctly) and inner commits re-qualify ONLY
+    the touched keys' outer rows, emitting ± diffs where the
+    comparison's truth flipped (streaming/semijoin.CmpAggFilterMV).
+    Empty groups yield NULL (comparison UNKNOWN → filtered), COUNT
+    yields 0 — SQL scalar subquery semantics."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE dca_li (pk BIGINT, qty DOUBLE);
+        INSERT INTO dca_li VALUES (1, 1), (1, 10), (1, 10),
+                                  (2, 5), (2, 50);
+        CREATE MATERIALIZED VIEW dca_avg WITH (MAINTENANCE 'delta') AS
+          SELECT pk, qty FROM dca_li l1
+          WHERE l1.qty < (SELECT 0.5 * avg(l2.qty) FROM dca_li l2
+                          WHERE l2.pk = l1.pk);
+        CREATE MATERIALIZED VIEW dca_min WITH (MAINTENANCE 'delta') AS
+          SELECT pk, qty FROM dca_li l1
+          WHERE l1.qty < (SELECT min(l2.qty) * 3 FROM dca_li l2
+                          WHERE l2.pk = l1.pk);
+    """)
+
+    def snap(at):
+        a = s.sql("SELECT pk, qty FROM dca_avg").select(
+            F.lit(at).alias("at"), F.lit("avg").alias("mv"),
+            "pk", "qty")
+        m = s.sql("SELECT pk, qty FROM dca_min").select(
+            F.lit(at).alias("at"), F.lit("min").alias("mv"),
+            "pk", "qty")
+        return a.unionByName(m)
+
+    mid = snap("mid")
+    # deleting group 2's minimum RAISES its maintained MIN (5 -> 50);
+    # the later inserts lower it again; group 1 drains its small row
+    s.run_script("""
+        DELETE FROM dca_li WHERE pk = 2 AND qty = 5;
+        INSERT INTO dca_li VALUES (2, 20);
+        DELETE FROM dca_li WHERE pk = 1 AND qty = 1;
+        INSERT INTO dca_li VALUES (2, 2);
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", F.col("pk").cast("long").alias("pk"),
+                    F.col("qty").cast("double").alias("qty"))
+            .orderBy("at", "mv", "pk", "qty"))

@@ -322,3 +322,136 @@ class SemiAntiFilterMV:
                     .agg(F.sum(DIFF_COL).alias(DIFF_COL))
                     .filter(F.col(DIFF_COL) != 0)))
             self._o_appends = 0
+
+
+@dataclass
+class CmpAggFilterMV:
+    """Correlated scalar-aggregate comparison filter — the TPC-H
+    q17/q2/q20 family: ``lhs op (SELECT <expr around AGG(arg)> FROM u
+    WHERE u.k = o.k [AND local])``. The reference decorrelates the
+    scalar subquery into a per-key Reduce joined back to the outer
+    relation (lowering.rs; guarded subquery planning); the maintained
+    form keeps the per-key aggregate in a RetractionAwareAgg (all five
+    kinds survive retractions — hierarchical support for MIN/MAX) and
+    runs the same flip discipline as SemiAntiFilterMV: inner commits
+    re-qualify only the touched keys' outer rows, emitting ± diffs
+    where the comparison's truth changed.
+
+    SQL scalar-subquery semantics: an EMPTY group yields NULL (COUNT
+    yields 0 — the planner bakes the coalesce into ``qual_tmpl``), and
+    a NULL comparison is UNKNOWN → row filtered. ``qual_tmpl`` is a
+    SQL boolean with a ``{V}`` placeholder for the aggregate-value
+    column.
+    """
+
+    spark: SparkSession
+    keys: list[str]
+    qual_tmpl: str
+    agg_kind: str
+    compact_every: int = 16
+    spill_rows: int | None = None
+    _agg: object = field(default=None, init=False)
+    _outer: SpilledPartsState | None = field(default=None, init=False)
+    _o_appends: int = field(default=0, init=False)
+
+    def _ensure(self) -> None:
+        if self._agg is None:
+            from materialize_spark.streaming.retraction import (
+                RetractionAwareAgg,
+            )
+            self._agg = RetractionAwareAgg(
+                self.spark, keys=list(self.keys),
+                aggs={"__aggval": (self.agg_kind, "__arg")})
+        if self._outer is None:
+            self._outer = SpilledPartsState(
+                self.spark, key_cols=list(self.keys), name="cmp_outer",
+                spill_rows=self.spill_rows)
+
+    def _vals(self, touched: DataFrame | None) -> DataFrame | None:
+        """Current per-key aggregate values (keys + __aggval),
+        confined to touched keys, materialized."""
+        if self._agg._acc is None:
+            return None
+        res = self._agg.result()
+        if touched is not None:
+            res = _ns_semi(res, touched, self.keys)
+        return _ckpt(res)
+
+    def _outer_rows(self, touched: DataFrame | None) -> DataFrame | None:
+        probe = self._outer.probe_frame(touched)
+        if probe is None:
+            return None
+        if touched is not None:
+            probe = _ns_semi(probe, touched, self.keys)
+        cols = [c for c in probe.columns if c != DIFF_COL]
+        return (probe.groupBy(*cols)
+                .agg(F.sum(DIFF_COL).alias(DIFF_COL))
+                .filter(F.col(DIFF_COL) != 0))
+
+    def _attach(self, rows: DataFrame, vals: DataFrame | None,
+                col: str) -> DataFrame:
+        """Plain-equality left attach (NULL keys match nothing — SQL
+        ``=`` correlation semantics; the agg state holds no NULL
+        keys)."""
+        if vals is None:
+            return rows.withColumn(col, F.lit(None))
+        return rows.join(vals.withColumnRenamed("__aggval", col),
+                         on=self.keys, how="left")
+
+    def on_batch(self, outer_delta: DataFrame | None = None,
+                 inner_delta: DataFrame | None = None
+                 ) -> DataFrame | None:
+        """Inner deltas arrive pre-projected to (keys.., __arg, diff);
+        the bilinear order matches SemiAntiFilterMV."""
+        self._ensure()
+        terms: list[DataFrame] = []
+        if inner_delta is not None:
+            clean = inner_delta
+            for k in self.keys:
+                clean = clean.filter(F.col(k).isNotNull())
+            clean = _ckpt(clean)
+            touched = _ckpt(clean.select(*self.keys).distinct())
+            old_vals = self._vals(touched)
+            self._agg.on_batch(
+                clean.select(*self.keys, "__arg", DIFF_COL))
+            new_vals = self._vals(touched)
+            old_rows = self._outer_rows(touched)
+            if old_rows is not None:
+                old_rows = _ckpt(old_rows)
+                att = self._attach(
+                    self._attach(old_rows, old_vals, "__av_o"),
+                    new_vals, "__av_n")
+                old_q = F.expr(self.qual_tmpl.format(V="__av_o"))
+                new_q = F.expr(self.qual_tmpl.format(V="__av_n"))
+                sign = (F.when(new_q & ~old_q, F.lit(1))
+                        .when(old_q & ~new_q, F.lit(-1)))
+                flip = _ckpt(att.withColumn("__s", sign)
+                             .filter(F.col("__s").isNotNull()))
+                cols = [c for c in old_rows.columns if c != DIFF_COL]
+                terms.append(flip.select(
+                    *cols,
+                    (F.col(DIFF_COL) * F.col("__s")).alias(DIFF_COL)))
+        if outer_delta is not None:
+            od = _ckpt(outer_delta)
+            vals = self._vals(od.select(*self.keys).distinct())
+            att = self._attach(od, vals, "__av")
+            kept = _ckpt(att.filter(
+                F.expr(self.qual_tmpl.format(V="__av"))))
+            terms.append(kept.select(*od.columns))
+            self._outer.append(od)
+            self._o_appends += 1
+        if self._o_appends >= self.compact_every:
+            full = self._outer.full_frame()
+            if full is not None:
+                cols = [c for c in full.columns if c != DIFF_COL]
+                self._outer.replace(_ckpt(
+                    full.groupBy(*cols)
+                    .agg(F.sum(DIFF_COL).alias(DIFF_COL))
+                    .filter(F.col(DIFF_COL) != 0)))
+            self._o_appends = 0
+        if not terms:
+            return None
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t)
+        return out

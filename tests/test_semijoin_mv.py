@@ -359,3 +359,46 @@ def test_comma_from_cross_product_rejected(spark):
                   "'delta') AS SELECT x, y FROM cp_a, cp_b "
                   "WHERE x > 0")
     s.run_script("DROP TABLE cp_a; DROP TABLE cp_b;")
+
+
+def test_scalar_agg_comparison_q17_shape(spark):
+    """Correlated scalar-aggregate comparison (q17 idiom) maintains:
+    the per-key aggregate updates in place and only touched keys'
+    rows re-qualify; empty groups yield NULL -> filtered."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ca_li (pk BIGINT, qty DOUBLE);
+        INSERT INTO ca_li VALUES (1, 1), (1, 10), (1, 10), (2, 5),
+                                 (2, 50);
+        CREATE MATERIALIZED VIEW ca WITH (MAINTENANCE 'delta') AS
+          SELECT pk, qty FROM ca_li l1
+          WHERE l1.qty < (SELECT 0.5 * avg(l2.qty) FROM ca_li l2
+                          WHERE l2.pk = l1.pk);
+    """)
+    assert rows(s, "SELECT * FROM ca") == [(1, 1.0), (2, 5.0)]
+    # DELETE drops BOTH (1,10) copies: g1 = {1}, avg 1 -> 0.5,
+    # qty 1 leaves the result
+    s.execute("DELETE FROM ca_li WHERE pk = 1 AND qty = 10")
+    assert rows(s, "SELECT * FROM ca") == [(2, 5.0)]
+    # re-adding one big row brings the small one back
+    s.execute("INSERT INTO ca_li VALUES (1, 10)")
+    assert rows(s, "SELECT * FROM ca") == [(1, 1.0), (2, 5.0)]
+    # COUNT kind: empty group compares against 0, not NULL
+    s.run_script("""
+        CREATE TABLE ca_u (k BIGINT);
+        CREATE MATERIALIZED VIEW ca_cnt WITH (MAINTENANCE 'delta') AS
+          SELECT pk, qty FROM ca_li l1
+          WHERE l1.qty > (SELECT count(*) FROM ca_u u
+                          WHERE u.k = l1.pk);
+    """)
+    # every group empty: count 0, every row qualifies
+    assert rows(s, "SELECT pk FROM ca_cnt") == [(1,), (1,), (2,),
+                                                (2,)]
+    s.append_rows("ca_u", spark.createDataFrame(
+        [(2,)] * 6, "k: bigint"))
+    # pk=2: count 6 -> qty 5 leaves, qty 50 stays; pk=1 untouched
+    assert rows(s, "SELECT pk, qty FROM ca_cnt") == [
+        (1, 1.0), (1, 10.0), (2, 50.0)]
+    s.run_script("DROP MATERIALIZED VIEW ca_cnt;"
+                 "DROP MATERIALIZED VIEW ca;"
+                 "DROP TABLE ca_li; DROP TABLE ca_u;")
