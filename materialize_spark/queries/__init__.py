@@ -96,18 +96,18 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_update_delete",
         "ivm_q18_threshold_delta", "ivm_q21_antijoin_delta",
         "ivm_incremental_join",
-        # --- (c) oldest certifications (r01-r05 era) + flagship
-        # spread keeping the 50-slot window across ≥10 modules ---
+        # --- (c) oldest certifications (r01-r05 era) + the pinned
+        # family sentinels, keeping the window at EXACTLY 50 slots
+        # across ≥10 modules (tests/test_driver_contract.py) ---
         "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q13",
         "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
-        "distinct_on_first_order", "topk_orders_per_segment",
+        "distinct_on_first_order",
         "scalar_math", "scalar_datetime", "scalar_casts",
         "array_functions", "interval_arithmetic", "agg_statistics",
-        "jsonb_ops", "temporal_filter", "window_functions",
-        "window_navigation", "tablefunc_battery",
-        "cdc_pgoutput_wire_apply", "kafka_wire_e2e",
-        "dedup_exact", "simsearch_lsh_buckets", "text_language_id",
+        "jsonb_ops",
+        "dedup_minhash_lsh", "simsearch_cosine_topk",
+        "text_language_id", "cdc_pgoutput_wire_apply",
     ]
     ordered: dict[str, QuerySpec] = {
         name: REGISTRY[name] for name in priority if name in REGISTRY

@@ -1894,17 +1894,20 @@ def test_delta_mv_union_all_churn(spark):
 
 def test_delta_mv_union_rejects_non_linear_setops(spark):
     """Round 11 made UNION [DISTINCT] / EXCEPT / INTERSECT first-class
-    maintained shapes; what still MUST reject is a mixed-operator chain
-    (precedence-sensitive grouping) and a stateful branch."""
+    maintained shapes; round 12 added mixed-operator chains. What
+    still MUST reject is a stateful branch."""
     import pytest as _pytest
 
     s = MzSession(spark, SF_DIR)
     s.execute("CREATE TABLE unx (k STRING)")
-    with _pytest.raises(ValueError, match="(?i)mixed set operators"):
-        s.execute("CREATE MATERIALIZED VIEW bad1 WITH "
-                  "(MAINTENANCE 'delta') AS SELECT k FROM unx "
-                  "UNION ALL SELECT k FROM unx "
-                  "EXCEPT SELECT k FROM unx")
+    # round 12: mixed-operator chains MAINTAIN (pairwise stacked
+    # internal nodes with SQL precedence) — the former rejection is a
+    # capability now
+    s.execute("CREATE MATERIALIZED VIEW okmix WITH "
+              "(MAINTENANCE 'delta') AS SELECT k FROM unx "
+              "UNION ALL SELECT k FROM unx "
+              "EXCEPT SELECT k FROM unx")
+    s.execute("DROP VIEW okmix")
     with _pytest.raises(ValueError, match="stateless"):
         s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
                   "(MAINTENANCE 'delta') AS SELECT k FROM unx "
