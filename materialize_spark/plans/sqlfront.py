@@ -1009,6 +1009,7 @@ class MzSession:
         for q in qs:
             if (q.joins or q.group_by or q.having or q.distinct
                     or q.sub is not None or q.subfilters
+                    or len(getattr(q, "from_items", ()) or ()) > 1
                     or getattr(q, "sub_branches", None) or q.order
                     or q.limit is not None):
                 raise ValueError(
@@ -1304,6 +1305,7 @@ class MzSession:
         sub = q.sub
         if (sub.joins or sub.group_by or sub.having or sub.distinct
                 or sub.sub is not None or sub.subfilters
+                or len(getattr(sub, "from_items", ()) or ()) > 1
                 or getattr(sub, "sub_branches", None) or sub.order
                 or sub.limit is not None or sub.table is None):
             return False
@@ -2033,6 +2035,7 @@ class MzSession:
         if (q.distinct or q.group_by or q.having or q.joins
                 or q.where is None or q.subfilters or inner.distinct
                 or inner.group_by or inner.having or inner.subfilters
+                or len(getattr(inner, "from_items", ()) or ()) > 1
                 or inner.sub is not None):
             return None
         m = _TOPK_FILTER_RE.match(q.where)
@@ -2163,6 +2166,7 @@ class MzSession:
         while True:
             if (cur.joins or cur.group_by or cur.having or cur.distinct
                     or cur.subfilters
+                    or len(getattr(cur, "from_items", ()) or ()) > 1
                     or cur.order or cur.limit is not None):
                 return False
             sel: list[str] = []
@@ -2204,6 +2208,21 @@ class MzSession:
                 or inner.distinct or inner.sub is not None
                 or inner.subfilters):
             return False
+        if inner.aliases:
+            # aliased inner chains: strip qualifiers before flattening
+            from dataclasses import replace as _dc_replace
+
+            from materialize_spark.plans.select_ast import SelectItem
+            quals = (set(inner.aliases) | {inner.table}
+                     | {seg.table for seg in inner.joins})
+            st = lambda x: self._strip_quals(x, quals)  # noqa: E731
+            inner = _dc_replace(
+                inner,
+                items=[SelectItem(expr=st(it.expr), alias=it.alias)
+                       for it in inner.items],
+                where=st(inner.where),
+                joins=[_dc_replace(seg, extra=st(seg.extra))
+                       for seg in inner.joins])
         # plain-column aliases become REAL renames of the chain output
         # (they name the outer scope's columns — group keys included);
         # expression aliases substitute textually into the outer

@@ -402,3 +402,48 @@ def test_scalar_agg_comparison_q17_shape(spark):
     s.run_script("DROP MATERIALIZED VIEW ca_cnt;"
                  "DROP MATERIALIZED VIEW ca;"
                  "DROP TABLE ca_li; DROP TABLE ca_u;")
+
+
+def test_comma_from_rejected_in_nested_contexts(spark):
+    """A comma-joined FROM list inside a set-op branch or subquery must
+    reject (only the top-level dispatcher desugars implicit joins) —
+    never silently plan over the first table alone."""
+    s = _mz(spark)
+    s.run_script("CREATE TABLE nc_a (x BIGINT); "
+                 "CREATE TABLE nc_b (x BIGINT);")
+    with pytest.raises(Exception):
+        s.execute(
+            "CREATE MATERIALIZED VIEW nc1 WITH (MAINTENANCE 'delta') "
+            "AS SELECT x FROM nc_a, nc_b WHERE nc_a.x = nc_b.x "
+            "UNION ALL SELECT x FROM nc_a")
+    assert "nc1" not in s._delta_mvs
+    with pytest.raises(Exception):
+        s.execute(
+            "CREATE MATERIALIZED VIEW nc2 WITH (MAINTENANCE 'delta') "
+            "AS SELECT x, COUNT(*) AS n FROM "
+            "(SELECT a.x FROM nc_a a, nc_b b WHERE a.x = b.x) "
+            "GROUP BY x")
+    assert "nc2" not in s._delta_mvs
+    s.run_script("DROP TABLE nc_a; DROP TABLE nc_b;")
+
+
+def test_aliased_join_subquery_flattens(spark):
+    """Aliased explicit-join chains inside a FROM subquery strip their
+    qualifiers and flatten into the maintained join+reduce plan."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE aj_o (ok BIGINT, ck BIGINT, amt BIGINT);
+        CREATE TABLE aj_c (ckey BIGINT, nm STRING);
+        INSERT INTO aj_o VALUES (1, 10, 5), (2, 20, 7), (3, 10, 2);
+        INSERT INTO aj_c VALUES (10, 'ann'), (20, 'bob');
+        CREATE MATERIALIZED VIEW aj WITH (MAINTENANCE 'delta') AS
+          SELECT nm, SUM(rev) AS total FROM
+            (SELECT c.nm, o.amt AS rev FROM aj_o o
+             JOIN aj_c c ON o.ck = c.ckey)
+          GROUP BY nm;
+    """)
+    assert rows(s, "SELECT * FROM aj") == [("ann", 7), ("bob", 7)]
+    s.execute("DELETE FROM aj_o WHERE ok = 3")
+    assert rows(s, "SELECT * FROM aj") == [("ann", 5), ("bob", 7)]
+    s.run_script("DROP MATERIALIZED VIEW aj;"
+                 "DROP TABLE aj_o; DROP TABLE aj_c;")
