@@ -447,3 +447,76 @@ def test_aliased_join_subquery_flattens(spark):
     assert rows(s, "SELECT * FROM aj") == [("ann", 5), ("bob", 7)]
     s.run_script("DROP MATERIALIZED VIEW aj;"
                  "DROP TABLE aj_o; DROP TABLE aj_c;")
+
+
+def test_q21_verbatim_text_churn_vs_duckdb(spark):
+    """The verbatim q21 TEXT (comma FROM, aliases, self-correlated
+    EXISTS/NOT EXISTS with <>) maintained through churn on every role,
+    cross-checked against DuckDB recomputing the same SQL."""
+    import duckdb
+
+    s = _mz(spark)
+    body = """
+        SELECT s_name, count(*) AS numwait
+        FROM q21s supplier0, q21l l1, q21o orders0
+        WHERE supplier0.sk = l1.lsk
+          AND orders0.ok = l1.lok
+          AND orders0.status = 'F'
+          AND l1.late = 1
+          AND EXISTS (SELECT * FROM q21l l2
+                      WHERE l2.lok = l1.lok AND l2.lsk <> l1.lsk)
+          AND NOT EXISTS (SELECT * FROM q21l l3
+                          WHERE l3.lok = l1.lok
+                            AND l3.lsk <> l1.lsk AND l3.late = 1)
+        GROUP BY s_name"""
+    s.run_script("""
+        CREATE TABLE q21s (sk BIGINT, s_name STRING);
+        CREATE TABLE q21l (lok BIGINT, lsk BIGINT, late BIGINT);
+        CREATE TABLE q21o (ok BIGINT, status STRING);
+        INSERT INTO q21s VALUES (1, 's1'), (2, 's2'), (3, 's3');
+        INSERT INTO q21o VALUES (100, 'F'), (200, 'F'), (300, 'O');
+        INSERT INTO q21l VALUES (100, 1, 1), (100, 2, 0),
+                                (200, 1, 1), (200, 2, 1), (300, 1, 1);
+    """)
+    s.execute("CREATE MATERIALIZED VIEW q21v WITH (MAINTENANCE "
+              f"'delta') AS {body}")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE q21s (sk BIGINT, s_name VARCHAR)")
+    con.execute("CREATE TABLE q21l (lok BIGINT, lsk BIGINT, "
+                "late BIGINT)")
+    con.execute("CREATE TABLE q21o (ok BIGINT, status VARCHAR)")
+    con.execute("INSERT INTO q21s VALUES (1,'s1'),(2,'s2'),(3,'s3')")
+    con.execute("INSERT INTO q21o VALUES (100,'F'),(200,'F'),"
+                "(300,'O')")
+    con.execute("INSERT INTO q21l VALUES (100,1,1),(100,2,0),"
+                "(200,1,1),(200,2,1),(300,1,1)")
+
+    def check():
+        mine = sorted((r.s_name, r.numwait)
+                      for r in s.sql("SELECT * FROM q21v").collect())
+        want = sorted(map(tuple, con.execute(body).fetchall()))
+        assert mine == want, (mine, want)
+
+    check()
+    steps = [
+        # flip order 200 to single-late (s2 starts waiting there)
+        "DELETE FROM q21l WHERE lok = 200 AND lsk = 1",
+        "INSERT INTO q21l VALUES (200, 1, 0)",
+        # order flips out of 'F'
+        "UPDATE q21o SET status = 'O' WHERE ok = 100",
+        # and back
+        "UPDATE q21o SET status = 'F' WHERE ok = 100",
+        # new supplier joins an order late
+        "INSERT INTO q21l VALUES (100, 3, 1)",
+    ]
+    for sql in steps:
+        s.execute(sql)
+        if sql.startswith("UPDATE"):
+            # duckdb mirrors the update in one statement
+            con.execute(sql)
+        else:
+            con.execute(sql)
+        check()
+    s.run_script("DROP MATERIALIZED VIEW q21v; DROP TABLE q21s;"
+                 "DROP TABLE q21l; DROP TABLE q21o;")
