@@ -231,3 +231,57 @@ def test_explain_maintenance_renders_new_plans(spark):
     for v in ("xm_semi", "xm_tmp", "xm_wo", "xm_wm"):
         s.execute(f"DROP MATERIALIZED VIEW {v}")
     s.run_script("DROP TABLE xm_t; DROP TABLE xm_u;")
+
+
+def test_subscribe_query_over_exists_body(spark):
+    """SUBSCRIBE (SELECT ... WHERE EXISTS ...) rides the maintained
+    path: inner-side commits push diffs to the subscription."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sq_t (k BIGINT);
+        CREATE TABLE sq_u (j BIGINT);
+        INSERT INTO sq_t VALUES (1), (2);
+        INSERT INTO sq_u VALUES (1);
+    """)
+    sid, snap, _ = s.subscribe_open(
+        "SUBSCRIBE (SELECT k FROM sq_t WHERE EXISTS "
+        "(SELECT 1 FROM sq_u WHERE sq_u.j = sq_t.k))")
+    assert sorted(r.k for r in snap.collect()) == [1]
+    s.execute("INSERT INTO sq_u VALUES (2)")
+    batch = s.subscribe_poll(sid)
+    assert sorted((r.k, r.diff) for r in batch.collect()) == [(2, 1)]
+    s.subscribe_close(sid)
+    s.run_script("DROP TABLE sq_t; DROP TABLE sq_u;")
+
+
+def test_restore_replays_new_maintained_kinds(spark, tmp_path):
+    """Catalog durability: a restored session replays the round's new
+    MV kinds (semijoin, temporal, WMR) and they keep maintaining."""
+    from materialize_spark.plans.sqlfront import MzSession
+    path = str(tmp_path / "cat.json")
+    SF = "/root/testdata/sf0.001"
+    s = MzSession(spark, SF)
+    s.run_script("""
+        CREATE TABLE rr_t (k BIGINT);
+        CREATE TABLE rr_u (j BIGINT);
+        INSERT INTO rr_t VALUES (1), (2);
+        INSERT INTO rr_u VALUES (1);
+        CREATE MATERIALIZED VIEW rr_semi WITH (MAINTENANCE 'delta') AS
+          SELECT k FROM rr_t WHERE k IN (SELECT j FROM rr_u);
+        CREATE MATERIALIZED VIEW rr_wmr WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          c (n int8) AS (SELECT k AS n FROM rr_t UNION
+                         SELECT n + 10 AS n FROM c WHERE n < 15)
+        SELECT n FROM c;
+    """)
+    s.persist_catalog(path)
+    s2 = MzSession.restore_catalog(spark.newSession(), SF, path)
+    assert sorted(r.k for r in
+                  s2.sql("SELECT * FROM rr_semi").collect()) == [1]
+    # the replayed MVs keep maintaining
+    s2.execute("INSERT INTO rr_u VALUES (2)")
+    assert sorted(r.k for r in
+                  s2.sql("SELECT * FROM rr_semi").collect()) == [1, 2]
+    assert sorted(r.n for r in
+                  s2.sql("SELECT * FROM rr_wmr").collect()) == [
+        1, 2, 11, 12, 21, 22]
