@@ -2267,7 +2267,7 @@ class MzSession:
 
     _SUB_CMP_RE = re.compile(
         r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<c1>\w+)\s*"
-        r"(?P<op>=|<>|!=)\s*"
+        r"(?P<op><=|>=|<>|!=|=|<|>)\s*"
         r"(?:(?P<q2>\w+)\s*\.\s*)?(?P<c2>\w+)\s*$")
 
     def _plan_delta_semijoin(self, node: ast.CreateView, q) -> bool:
@@ -2404,7 +2404,12 @@ class MzSession:
 
         pairs: list[tuple[str, str]] = []   # (inner col, outer col)
         member: tuple[str, str] | None = None
+        # one inequality correlation (inner col, op-with-inner-left,
+        # outer col): EXISTS(inner.c > outer.e | key) reduces to the
+        # per-key MAX/MIN comparison (q4's l_shipdate > o_orderdate)
+        ineq: tuple[str, str, str] | None = None
         local: list[str] = []
+        opflip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
         strip = re.compile(rf"(?i)\b{re.escape(iq)}\s*\.\s*")
         for conj in sf.conjuncts:
             m = self._SUB_CMP_RE.match(conj)
@@ -2414,11 +2419,14 @@ class MzSession:
                 s2 = side(m.group("q2"), m.group("c2"))
                 sides = {s1[0], s2[0]}
                 if sides == {"inner", "outer"}:
+                    op_t = m.group("op")
                     ic = s1[1] if s1[0] == "inner" else s2[1]
                     oc = s2[1] if s1[0] == "inner" else s1[1]
-                    if m.group("op") == "=":
+                    if op_t in opflip and s1[0] != "inner":
+                        op_t = opflip[op_t]
+                    if op_t == "=":
                         pairs.append((ic, outer_name(oc)))
-                    else:
+                    elif op_t in ("<>", "!="):
                         if sf.kind != "exists":
                             raise ValueError(
                                 "MAINTENANCE 'delta': <> correlation "
@@ -2429,14 +2437,33 @@ class MzSession:
                                 "MAINTENANCE 'delta': at most one <> "
                                 "correlation per subquery")
                         member = (ic, outer_name(oc))
+                    else:
+                        if sf.kind != "exists":
+                            raise ValueError(
+                                "MAINTENANCE 'delta': inequality "
+                                "correlations are supported in EXISTS "
+                                "subqueries only")
+                        if ineq is not None:
+                            raise ValueError(
+                                "MAINTENANCE 'delta': at most one "
+                                "inequality correlation per subquery")
+                        ineq = (ic, op_t, outer_name(oc))
                     continue
             # not a correlation: must be a purely inner-local predicate
             for qm in re.finditer(r"\b(\w+)\s*\.\s*\w+", conj):
                 if qm.group(1).lower() in outer_quals:
                     raise ValueError(
                         "MAINTENANCE 'delta': correlated subquery "
-                        f"predicates beyond equality/<> are not "
-                        f"maintainable ({conj!r})")
+                        f"predicates beyond =, <>, and one "
+                        f"inequality are not maintainable ({conj!r})")
+            for wm in re.finditer(r"\b(\w+)\b", conj):
+                w = wm.group(1)
+                if w not in inner_cols and w in acc_cols:
+                    raise ValueError(
+                        "MAINTENANCE 'delta': subquery predicate "
+                        f"references outer column {w!r} in an "
+                        "unsupported position (only =, <>, and one "
+                        "inequality correlate)")
             local.append(strip.sub("", conj))
         outer_strip = {t for t in tables} | set(aliases or ())
         if sf.kind == "in":
@@ -2489,6 +2516,30 @@ class MzSession:
                     "prep_select": list(pairs),
                     "prep_arg": strip.sub("", arg),
                     "cmp": (sf.cmp_op, sf.agg_kind)}
+        if ineq is not None:
+            # EXISTS(... AND inner.c CMP outer.e): qualification is
+            # per-key extremum vs the outer column — MAX for >/>=,
+            # MIN for </<= (empty key -> NULL -> UNKNOWN -> EXISTS
+            # false; NOT EXISTS inverts around the coalesce)
+            from materialize_spark.streaming.semijoin import (
+                CmpAggFilterMV,
+            )
+            if member is not None:
+                raise ValueError(
+                    "MAINTENANCE 'delta': <> and inequality "
+                    "correlations cannot combine in one subquery yet")
+            ic, o, oc = ineq
+            agg_kind = "max" if o in (">", ">=") else "min"
+            qual = f"coalesce(({{V}}) {o} ({oc}), false)"
+            if sf.negated:
+                qual = f"(NOT {qual})"
+            opx = CmpAggFilterMV(
+                self.spark, keys=okeys, qual_tmpl=qual,
+                agg_kind=agg_kind, spill_rows=_TOPK_SPILL_ROWS)
+            return {"op": opx, "table": sf.table, "kind": "cmpagg",
+                    "prep_where": prep_where,
+                    "prep_select": list(pairs), "prep_arg": ic,
+                    "cmp": (o, agg_kind)}
         if sf.kind == "in":
             kind = "not_in" if sf.negated else "in"
         else:

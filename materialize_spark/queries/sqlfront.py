@@ -3184,3 +3184,49 @@ def sqlfront_delta_mv_scalar_agg_cmp(spark, sf_dir):
             .select("at", "mv", F.col("pk").cast("long").alias("pk"),
                     F.col("qty").cast("double").alias("qty"))
             .orderBy("at", "mv", "pk", "qty"))
+
+
+_Q4_TEXT_BODY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT * FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority"""
+
+
+@register(
+    "sqlfront_delta_mv_q4_text",
+    f"""
+    -- oracle: the SAME q4 text evaluated directly over the parquet
+    -- tables (the synthetic lineitem lacks l_commitdate, so the
+    -- late-delivery predicate adapts to l_shipdate > o_orderdate —
+    -- structurally the verbatim TPC-H q4)
+    SELECT o_orderpriority,
+           CAST(order_count AS BIGINT) AS order_count FROM (
+    {_Q4_TEXT_BODY}
+    ) q ORDER BY o_orderpriority
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery", "tpch",
+)
+def sqlfront_delta_mv_q4_text(spark, sf_dir):
+    """TPC-H q4 as written maintains: EXISTS with an equality
+    correlation PLUS an inequality correlation against an outer column
+    (``l_shipdate > o_orderdate``). The inequality reduces to a
+    per-key extremum comparison — EXISTS(inner.c > outer.e | key) ⟺
+    MAX(c) per key > e — so the maintained form is a CmpAggFilterMV
+    whose hierarchical MAX survives retractions; the reference's
+    decorrelation produces the same reduce-then-compare lowering
+    (src/sql/src/plan/lowering.rs). Oracle = the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q4_text WITH "
+              f"(MAINTENANCE 'delta') AS {_Q4_TEXT_BODY}")
+    return (s.sql("SELECT o_orderpriority, order_count FROM q4_text")
+            .select("o_orderpriority",
+                    F.col("order_count").cast("long")
+                    .alias("order_count"))
+            .orderBy("o_orderpriority"))

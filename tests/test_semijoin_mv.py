@@ -186,13 +186,13 @@ def test_rejections_are_loud(spark):
             "CREATE MATERIALIZED VIEW rj1 WITH (MAINTENANCE 'delta') "
             "AS SELECT k FROM rj_t WHERE EXISTS "
             "(SELECT 1 FROM rj_u WHERE rj_u.w > 5)")
-    # correlated inequality beyond =/<> is not maintainable
-    with pytest.raises(Exception, match="beyond equality"):
+    # TWO inequality correlations in one subquery stay out of scope
+    with pytest.raises(Exception, match="inequality"):
         s.execute(
             "CREATE MATERIALIZED VIEW rj2 WITH (MAINTENANCE 'delta') "
             "AS SELECT k FROM rj_t WHERE EXISTS "
             "(SELECT 1 FROM rj_u WHERE rj_u.j = rj_t.k "
-            "AND rj_u.w > rj_t.k)")
+            "AND rj_u.w > rj_t.k AND rj_u.j < rj_t.k)")
     # self-reference without an alias is ambiguous
     with pytest.raises(Exception, match="alias"):
         s.execute(
@@ -520,3 +520,39 @@ def test_q21_verbatim_text_churn_vs_duckdb(spark):
         check()
     s.run_script("DROP MATERIALIZED VIEW q21v; DROP TABLE q21s;"
                  "DROP TABLE q21l; DROP TABLE q21o;")
+
+
+def test_inequality_correlation_exists(spark):
+    """EXISTS with an inequality correlation against an outer column
+    (the q4 shape) maintains as a per-key extremum comparison; the
+    NOT EXISTS form inverts with correct empty-group truth."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE iq_o (ok BIGINT, odate BIGINT);
+        CREATE TABLE iq_l (lok BIGINT, sdate BIGINT);
+        INSERT INTO iq_o VALUES (1, 10), (2, 10), (3, 10);
+        INSERT INTO iq_l VALUES (1, 20), (1, 5), (2, 5);
+        CREATE MATERIALIZED VIEW iqe WITH (MAINTENANCE 'delta') AS
+          SELECT ok FROM iq_o
+          WHERE EXISTS (SELECT * FROM iq_l
+                        WHERE lok = ok AND sdate > odate);
+        CREATE MATERIALIZED VIEW iqn WITH (MAINTENANCE 'delta') AS
+          SELECT ok FROM iq_o
+          WHERE NOT EXISTS (SELECT * FROM iq_l
+                            WHERE lok = ok AND sdate > odate);
+    """)
+    # order 1 has a late line (20>10); order 2 only early; order 3 no
+    # lines at all (NOT EXISTS holds it)
+    assert rows(s, "SELECT * FROM iqe") == [(1,)]
+    assert rows(s, "SELECT * FROM iqn") == [(2,), (3,)]
+    # deleting order 1's late line retracts it (MAX falls 20 -> 5)
+    s.execute("DELETE FROM iq_l WHERE lok = 1 AND sdate = 20")
+    assert rows(s, "SELECT * FROM iqe") == []
+    assert rows(s, "SELECT * FROM iqn") == [(1,), (2,), (3,)]
+    # a new late line for order 2 flips it
+    s.execute("INSERT INTO iq_l VALUES (2, 99)")
+    assert rows(s, "SELECT * FROM iqe") == [(2,)]
+    assert rows(s, "SELECT * FROM iqn") == [(1,), (3,)]
+    s.run_script("DROP MATERIALIZED VIEW iqe;"
+                 "DROP MATERIALIZED VIEW iqn;"
+                 "DROP TABLE iq_o; DROP TABLE iq_l;")
