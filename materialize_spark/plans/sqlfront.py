@@ -69,6 +69,57 @@ _PASSWORD_OPT_RE = re.compile(
     r"(\s*=\s*)'(?:[^']|'')*'", re.I)
 
 
+def _classify_keyless_items(items):
+    """Classify a keyless-aggregate select list where each item is an
+    aliased aggregate OR a scalar expression around exactly one
+    aggregate call (``sum(x) / 7.0 AS v`` — the q17 head). Returns
+    (aggs, exprs, post) with ``post`` the result-level projection, or
+    None when out of shape."""
+    from materialize_spark.plans.select_ast import (
+        _parse_scalar_agg_item,
+    )
+    aggs = {}
+    exprs = {}
+    post = []
+
+    def in_col(arg):
+        arg = arg.strip()
+        if arg == "*":
+            return "__one"
+        if re.match(r"(?i)DISTINCT\b", arg):
+            return None
+        if re.fullmatch(r"\w+", arg):
+            return arg
+        internal = f"__x{len(exprs)}"
+        exprs[internal] = arg
+        return internal
+
+    for i, it in enumerate(items):
+        if it.alias is None:
+            return None
+        bare = it.agg
+        if bare is not None:
+            kind, arg = bare
+            col = in_col(arg)
+            if col is None or (col == "__one" and kind != "count"):
+                return None
+            aggs[it.alias] = (kind, col)
+            post.append(it.alias)
+            continue
+        parsed = _parse_scalar_agg_item(it.expr)
+        if parsed is None:
+            return None
+        kind, arg, tmpl = parsed
+        col = in_col(arg)
+        if col is None or (col == "__one" and kind != "count"):
+            return None
+        internal = f"__pa{i}"
+        aggs[internal] = (kind, col)
+        post.append(
+            f"({tmpl.replace('__AGGVAL__', internal)}) AS {it.alias}")
+    return (aggs, exprs, post) if aggs else None
+
+
 def _classify_agg_items(items):
     """Classify a parsed delta-MV SELECT list (select_ast.SelectItem)
     into plain keys + aliased aggregates. Aggregate INPUTS may be
@@ -2305,6 +2356,8 @@ class MzSession:
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
         exprs: dict[str, str] = {}
+        global_agg = False
+        post = None
         if q.distinct and q.group_by:
             return False
         if q.group_by:
@@ -2316,6 +2369,14 @@ class MzSession:
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
                 return False
+        elif (q.items and not q.having
+              and _classify_keyless_items(q.items) is not None):
+            # keyless (global) aggregate above the filtered chain —
+            # the reference's reduce with an empty key; items may be
+            # scalar expressions around one aggregate (sum(x)/7.0)
+            aggs, exprs, post = _classify_keyless_items(q.items)
+            keys = ["__g"]
+            global_agg = True
         else:
             if not all(it.is_column and it.alias is None
                        for it in q.items):
@@ -2348,6 +2409,7 @@ class MzSession:
                 "where": None, "src_where": src_where,
                 "having": having, "table": None, "topk": None,
                 "distinct": dmv, "exprs": exprs, "renames": {},
+                "global_agg": global_agg, "post": post,
                 "stages": stages,
                 "inner_tables": tuple({st["table"] for st in stages})}
         self._delta_mvs[node.name] = spec
@@ -2369,14 +2431,15 @@ class MzSession:
         self._delta_check_table(sf.table)
         inner_cols = set(self._base_frame(sf.table).columns)
         iq = (sf.alias or sf.table).lower()
+        # SQL scoping: inside the subquery, bare names and the inner
+        # relation's own name/alias resolve INNER-first; outer
+        # references over the same table need an OUTER alias (the q21
+        # l1 style) — qualifier resolution below implements exactly
+        # that, so an alias-less self-table subquery (the q17 style,
+        # correlating on a different table's column) needs no special
+        # casing
         outer_quals = ({t.lower() for t in tables}
                        | {a.lower() for a in (aliases or ())}) - {iq}
-        if sf.table.lower() in {t.lower() for t in tables} \
-                and sf.alias is None:
-            raise ValueError(
-                f"MAINTENANCE 'delta': the subquery over {sf.table!r} "
-                "needs an alias to disambiguate its columns from the "
-                "outer reference to the same table")
 
         def side(qual, col):
             if qual is not None:
@@ -2753,6 +2816,8 @@ class MzSession:
         aggs: dict[str, tuple[str, str]] = {}
         cols: list[str] = []
         exprs: dict[str, str] = {}
+        global_agg = False
+        post = None
         if q.distinct and q.group_by:
             return False  # DISTINCT + GROUP BY: out of shape
         if q.group_by:
@@ -2764,6 +2829,13 @@ class MzSession:
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
                 return False
+        elif (q.items and not q.distinct and not q.having
+              and _classify_keyless_items(q.items) is not None):
+            # keyless (global) aggregate over the chain; items may be
+            # scalar expressions around one aggregate (sum(x)/7.0)
+            aggs, exprs, post = _classify_keyless_items(q.items)
+            keys = ["__g"]
+            global_agg = True
         else:
             if not all(it.is_column and it.alias is None
                        for it in q.items):
@@ -2793,6 +2865,7 @@ class MzSession:
                 "where": q.where, "having": having,
                 "table": None, "topk": None,
                 "distinct": dmv, "exprs": exprs,
+                "global_agg": global_agg, "post": post,
                 "renames": renames or {}}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
@@ -2931,14 +3004,34 @@ class MzSession:
                 in_cols = {c for _k, c in spec["aggs"].values()}
                 if "__one" in in_cols:
                     out = out.withColumn("__one", F.lit(1))
+                if spec.get("global_agg"):
+                    out = out.withColumn("__g", F.lit(0))
                 out = out.select(*spec["keys"], *sorted(in_cols),
                                  "diff")
-                touched, tkeys = (out.select(*spec["keys"]).distinct(),
-                                  spec["keys"])
+                if not spec.get("global_agg"):
+                    touched, tkeys = (out.select(*spec["keys"])
+                                      .distinct(), spec["keys"])
                 result = spec["agg"].on_batch(out)
             else:
                 result = spec["agg"].result() \
                     if spec["agg"]._acc is not None else None
+            if result is not None and spec.get("global_agg"):
+                result = result.drop("__g")
+                if result.isEmpty():
+                    # keyless aggregates: one row on empty input
+                    # (COUNT = 0, the rest NULL), typed from the
+                    # maintained result's own schema
+                    cols_ = []
+                    for f in result.schema.fields:
+                        kind_ = spec["aggs"][f.name][0]
+                        base = F.lit(0) if kind_.startswith("count") \
+                            else F.lit(None)
+                        cols_.append(base.cast(f.dataType)
+                                     .alias(f.name))
+                    result = self.spark.range(1).select(*cols_)
+            if result is not None and spec.get("post"):
+                result = result.selectExpr(
+                    *[rewrite(e) for e in spec["post"]])
             if result is not None and spec.get("having"):
                 result = result.filter(rewrite(spec["having"]))
         else:
@@ -2950,9 +3043,10 @@ class MzSession:
             return
         if result is None:
             # nothing joined yet (both sides empty): evaluate the body
-            # once for an exact-schema empty snapshot
-            result = self.spark.sql(
-                rewrite(self._matview_sql[name])).limit(0)
+            # once — an exact-schema EMPTY snapshot, except keyless
+            # aggregates whose SQL itself yields the one-row guarantee
+            df = self.spark.sql(rewrite(self._matview_sql[name]))
+            result = df if spec.get("global_agg") else df.limit(0)
         self._publish_delta_mv(name, result, initial,
                                touched=touched, keys=tkeys)
 

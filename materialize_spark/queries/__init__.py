@@ -81,7 +81,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_temporal", "sqlfront_delta_mv_wmr",
         "sqlfront_delta_mv_sliding_agg",
         "sqlfront_delta_mv_scalar_agg_cmp",
-        "sqlfront_delta_mv_q4_text",
+        "sqlfront_delta_mv_q4_text", "sqlfront_delta_mv_q17_text",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join",
@@ -104,7 +104,7 @@ def load_all() -> dict[str, QuerySpec]:
         "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
         "distinct_on_first_order",
-        "scalar_math", "scalar_datetime",
+        "scalar_math",
         "array_functions", "interval_arithmetic", "agg_statistics",
         "jsonb_ops",
         "dedup_minhash_lsh", "simsearch_cosine_topk",

@@ -3230,3 +3230,44 @@ def sqlfront_delta_mv_q4_text(spark, sf_dir):
                     F.col("order_count").cast("long")
                     .alias("order_count"))
             .orderBy("o_orderpriority"))
+
+
+_Q17_TEXT_BODY = """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = p_partkey)
+"""
+
+
+@register(
+    "sqlfront_delta_mv_q17_text",
+    f"""
+    -- oracle: the SAME q17 text evaluated directly over the parquet
+    -- tables (brand/container filters omitted — the synthetic part
+    -- table carries its own columns; structurally verbatim TPC-H q17)
+    SELECT CAST(round(avg_yearly, 2) AS DOUBLE) AS avg_yearly FROM (
+    {_Q17_TEXT_BODY}
+    ) q
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery", "tpch",
+)
+def sqlfront_delta_mv_q17_text(spark, sf_dir):
+    """TPC-H q17 as written maintains: a KEYLESS aggregate whose head
+    is a scalar expression around the aggregate (sum(x)/7.0 — the
+    post-reduce projection), over a comma-joined FROM, filtered by a
+    correlated scalar-aggregate subquery with the alias-less
+    self-table style (bare names resolve inner-first, the outer
+    correlation rides p_partkey). The per-key AVG maintains in
+    CmpAggFilterMV; the keyless SUM maintains on the synthetic
+    constant group with the one-row empty-input guarantee. Oracle =
+    the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q17_text WITH "
+              f"(MAINTENANCE 'delta') AS {_Q17_TEXT_BODY}")
+    return (s.sql("SELECT avg_yearly FROM q17_text")
+            .select(F.round("avg_yearly", 2).cast("double")
+                    .alias("avg_yearly")))

@@ -193,8 +193,9 @@ def test_rejections_are_loud(spark):
             "AS SELECT k FROM rj_t WHERE EXISTS "
             "(SELECT 1 FROM rj_u WHERE rj_u.j = rj_t.k "
             "AND rj_u.w > rj_t.k AND rj_u.j < rj_t.k)")
-    # self-reference without an alias is ambiguous
-    with pytest.raises(Exception, match="alias"):
+    # an alias-less self-table subquery with no outer correlation
+    # (bare names resolve inner-first) rejects for the missing link
+    with pytest.raises(Exception, match="equality correlation"):
         s.execute(
             "CREATE MATERIALIZED VIEW rj3 WITH (MAINTENANCE 'delta') "
             "AS SELECT k FROM rj_t WHERE EXISTS "
