@@ -158,9 +158,11 @@ def _classify_agg_items(items):
             if it.alias is None:
                 return None  # unaliased aggregates: no result column
             aggs[it.alias] = (kind, col)
-        elif it.is_column and it.alias is None and not aggs:
+        elif it.is_column and it.alias is None:
+            # plain group keys may appear anywhere in the select list
+            # (the TPC-H q3/q10 style lists keys after the aggregate)
             keys.append(it.expr)
-        elif it.alias is not None and not aggs \
+        elif it.alias is not None \
                 and not re.search(
                     r"(?i)\b(sum|count|min|max|avg)\s*\(|\bOVER\b|"
                     r"\(\s*SELECT\b", it.expr):
@@ -866,6 +868,17 @@ class MzSession:
                     links.append((o1, o2, m.group(2), m.group(4)))
                     continue
             residual.append(c)
+        # inner-join links keep the ACCUMULATED side's key name and
+        # drop the right one; ren maps every dropped name to its
+        # surviving synonym so later links, the residual WHERE, and
+        # the select list keep resolving
+        ren: dict[str, str] = {}
+
+        def live(col: str) -> str:
+            while col in ren:
+                col = ren[col]
+            return col
+
         joins: list[JoinSeg] = []
         placed = {0}
         for i in range(1, len(items)):
@@ -873,9 +886,9 @@ class MzSession:
             rest = []
             for (a_i, b_i, ca, cb) in links:
                 if b_i == i and a_i in placed:
-                    pairs.append((ca, cb))
+                    pairs.append((live(ca), cb))
                 elif a_i == i and b_i in placed:
-                    pairs.append((cb, ca))
+                    pairs.append((live(cb), ca))
                 else:
                     rest.append((a_i, b_i, ca, cb))
             links = rest
@@ -886,22 +899,47 @@ class MzSession:
                     "preceding items (a cross product is not "
                     "delta-maintainable)")
             placed.add(i)
+            for acc_c, right_c in pairs:
+                if right_c != acc_c:
+                    ren[right_c] = acc_c
             joins.append(JoinSeg(kind="inner", table=items[i][0],
                                  pairs=pairs, raw_on="",
                                  alias=items[i][1]))
         # links whose both ends were already placed became residual
         # equalities over the joined row
         for (a_i, b_i, ca, cb) in links:
-            residual.append(f"{ca} = {cb}")
+            residual.append(f"{live(ca)} = {live(cb)}")
         quals = {(a or t) for t, a in items} | {t for t, _ in items}
-        st = lambda s: self._strip_quals(s, quals)  # noqa: E731
+        final_ren = {d: live(d) for d in ren}
+
+        def st(txt):
+            txt = self._strip_quals(txt, quals)
+            if txt and final_ren:
+                txt = _sub_ident_tokens(txt, final_ren)
+            return txt
+
+        new_items = []
+        for it in q.items:
+            expr = self._strip_quals(it.expr, quals)
+            if it.alias is None and re.fullmatch(r"\w+", expr) \
+                    and expr in final_ren:
+                # a dropped join-key name in the select list: project
+                # the surviving synonym under the USER's name (an
+                # aliased expression key — the reduce computes it per
+                # delta and the output keeps the queried name)
+                new_items.append(SelectItem(expr=final_ren[expr],
+                                            alias=expr))
+            else:
+                new_items.append(SelectItem(
+                    expr=_sub_ident_tokens(expr, final_ren)
+                    if final_ren else expr, alias=it.alias))
         return _dc_replace(
             q, table=items[0][0], joins=joins, from_items=[],
-            items=[SelectItem(expr=st(it.expr), alias=it.alias)
-                   for it in q.items],
+            items=new_items,
             where=" AND ".join(f"({st(c)})" for c in residual)
             if residual else None,
-            group_by=[st(k) for k in q.group_by],
+            group_by=[self._strip_quals(k, quals)
+                      for k in q.group_by],
             having=st(q.having))
 
     def _plan_delta_mv(self, node: ast.CreateView, q) -> None:

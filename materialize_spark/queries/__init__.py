@@ -82,6 +82,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_sliding_agg",
         "sqlfront_delta_mv_scalar_agg_cmp",
         "sqlfront_delta_mv_q4_text", "sqlfront_delta_mv_q17_text",
+        "sqlfront_delta_mv_tpch_texts",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join",
@@ -100,11 +101,10 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (c) oldest certifications (r01-r05 era) + the pinned
         # family sentinels, keeping the window at EXACTLY 50 slots
         # across ≥10 modules (tests/test_driver_contract.py) ---
-        "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q13",
+        "tpch_q3", "tpch_q9", "tpch_q13", "scalar_math",
         "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
         "distinct_on_first_order",
-        "scalar_math",
         "array_functions", "interval_arithmetic", "agg_statistics",
         "jsonb_ops",
         "dedup_minhash_lsh", "simsearch_cosine_topk",

@@ -3271,3 +3271,94 @@ def sqlfront_delta_mv_q17_text(spark, sf_dir):
     return (s.sql("SELECT avg_yearly FROM q17_text")
             .select(F.round("avg_yearly", 2).cast("double")
                     .alias("avg_yearly")))
+
+
+_Q1_TEXT_BODY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+_Q5_TEXT_BODY = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name"""
+
+_Q6_TEXT_BODY = """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24"""
+
+
+@register(
+    "sqlfront_delta_mv_tpch_texts",
+    f"""
+    -- oracle: the SAME verbatim TPC-H q1/q5/q6 texts evaluated
+    -- directly over the parquet tables (q5's comma-joined six-way
+    -- FROM desugars through progressive join-key renames)
+    SELECT * FROM (
+      SELECT 'q1' AS q, l_returnflag || '/' || l_linestatus AS k,
+             CAST(round(sum_disc_price, 2) AS DOUBLE) AS v,
+             CAST(count_order AS BIGINT) AS n
+      FROM ({_Q1_TEXT_BODY}) q1
+      UNION ALL
+      SELECT 'q5' AS q, n_name AS k,
+             CAST(round(revenue, 2) AS DOUBLE) AS v,
+             CAST(NULL AS BIGINT) AS n
+      FROM ({_Q5_TEXT_BODY}) q5
+      UNION ALL
+      SELECT 'q6' AS q, 'all' AS k,
+             CAST(round(revenue, 2) AS DOUBLE) AS v,
+             CAST(NULL AS BIGINT) AS n
+      FROM ({_Q6_TEXT_BODY}) q6
+    ) t ORDER BY q, k
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_tpch_texts(spark, sf_dir):
+    """Verbatim TPC-H texts as MAINTENANCE 'delta' views — q1 (grouped
+    multi-aggregate incl. AVG and expression inputs), q5 (six-way
+    comma-joined FROM with chained equality links incl. the
+    c_nationkey = s_nationkey = n_nationkey diamond — progressive
+    join-key renames keep later links resolving), q6 (keyless
+    aggregate over a BETWEEN-filtered scan). Together with
+    q4/q17/q21 (their own entries) the engine maintains six TPC-H
+    query texts as written, the reference's
+    tpch_create_materialized_view.slt posture. Oracle = the SAME SQL
+    in DuckDB over the same parquet."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW tq1 WITH "
+              f"(MAINTENANCE 'delta') AS {_Q1_TEXT_BODY}")
+    s.execute("CREATE MATERIALIZED VIEW tq5 WITH "
+              f"(MAINTENANCE 'delta') AS {_Q5_TEXT_BODY}")
+    s.execute("CREATE MATERIALIZED VIEW tq6 WITH "
+              f"(MAINTENANCE 'delta') AS {_Q6_TEXT_BODY}")
+    a = s.sql("SELECT * FROM tq1").select(
+        F.lit("q1").alias("q"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("k"),
+        F.round("sum_disc_price", 2).cast("double").alias("v"),
+        F.col("count_order").cast("long").alias("n"))
+    b = s.sql("SELECT * FROM tq5").select(
+        F.lit("q5").alias("q"), F.col("n_name").alias("k"),
+        F.round("revenue", 2).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("n"))
+    c = s.sql("SELECT * FROM tq6").select(
+        F.lit("q6").alias("q"), F.lit("all").alias("k"),
+        F.round("revenue", 2).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("n"))
+    return a.unionByName(b).unionByName(c).orderBy("q", "k")
