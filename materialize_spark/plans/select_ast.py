@@ -342,23 +342,41 @@ def _parse_sub_body(body: str, kind: str) -> SubFilter | None:
     table = p.ident()
     alias = None
     if p.peek().kind in ("WORD", "QIDENT") \
-            and p.peek().upper not in ("WHERE",):
+            and p.peek().upper not in ("WHERE", "GROUP", "HAVING",
+                                       "ORDER", "LIMIT"):
         p.take_kw("AS")
         alias = p.ident()
     conjuncts: list[str] = []
+    cmp_op = None
     if p.take_kw("WHERE"):
-        w = p.span_until_kw()
+        w = p.span_until_kw("GROUP")
         if not w:
             return None
         conjuncts = split_conjuncts(w)
+    if kind == "in" and p.take_kw("GROUP", "BY"):
+        # the q18 membership idiom: IN (SELECT k FROM t GROUP BY k
+        # HAVING AGG(x) cmp thr) ⟺ a per-key threshold comparison
+        gcol = p.ident()
+        if gcol.lower() != in_col.lower() or not p.take_kw("HAVING"):
+            return None
+        h = p.span_until_kw()
+        m = re.match(
+            r"(?is)^\s*(sum|count|min|max|avg)\s*\((?P<arg>[^()]*|\*)"
+            r"\)\s*(?P<op><=|>=|<|>|=)\s*(?P<thr>.+?)\s*$", h)
+        if m is None:
+            return None
+        agg_kind = m.group(1).lower()
+        agg_arg = m.group("arg").strip()
+        cmp_op = m.group("op")
+        template = m.group("thr").strip()   # the threshold expression
     if p.peek().kind == "SEMI":
         p.next()
     if p.peek().kind != "EOF":
         return None
     return SubFilter(negated=False, kind=kind, table=table,
                      alias=alias, conjuncts=conjuncts, in_col=in_col,
-                     agg_kind=agg_kind, agg_arg=agg_arg,
-                     template=template)
+                     cmp_op=cmp_op, agg_kind=agg_kind,
+                     agg_arg=agg_arg, template=template)
 
 
 def _has_top_bool(expr: str) -> bool:

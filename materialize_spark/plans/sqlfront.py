@@ -2617,6 +2617,42 @@ class MzSession:
                     "prep_select": list(pairs),
                     "prep_arg": strip.sub("", arg),
                     "cmp": (sf.cmp_op, sf.agg_kind)}
+        if sf.kind == "in" and sf.agg_kind:
+            # the q18 membership idiom: IN (SELECT k FROM t GROUP BY k
+            # HAVING AGG(x) cmp thr) ⟺ per-key aggregate threshold —
+            # membership flips exactly when the key's aggregate
+            # crosses the threshold (ThresholdSemijoin semantics,
+            # maintained by the same CmpAggFilterMV)
+            from materialize_spark.streaming.semijoin import (
+                CmpAggFilterMV,
+            )
+            if sf.negated:
+                raise ValueError(
+                    "MAINTENANCE 'delta': NOT IN over a HAVING "
+                    "subquery is not supported (rewrite as NOT EXISTS)")
+            for wm in re.finditer(r"\b(\w+)\b", sf.template):
+                w = wm.group(1)
+                if w in acc_cols and w not in inner_cols:
+                    raise ValueError(
+                        "MAINTENANCE 'delta': the HAVING threshold "
+                        f"must not reference outer columns ({w!r})")
+            arg = sf.agg_arg
+            if arg == "*":
+                if sf.agg_kind != "count":
+                    raise ValueError(
+                        "MAINTENANCE 'delta': * argument is only "
+                        "valid for COUNT")
+                arg = "1"
+            base = (f"coalesce(({{V}}) {sf.cmp_op} "
+                    f"({rewrite(strip.sub('', sf.template))}), false)")
+            opx = CmpAggFilterMV(
+                self.spark, keys=okeys, qual_tmpl=base,
+                agg_kind=sf.agg_kind, spill_rows=_TOPK_SPILL_ROWS)
+            return {"op": opx, "table": sf.table, "kind": "cmpagg",
+                    "prep_where": prep_where,
+                    "prep_select": list(pairs),
+                    "prep_arg": strip.sub("", arg),
+                    "cmp": (sf.cmp_op, sf.agg_kind)}
         if ineq is not None:
             # EXISTS(... AND inner.c CMP outer.e): qualification is
             # per-key extremum vs the outer column — MAX for >/>=,

@@ -82,7 +82,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_sliding_agg",
         "sqlfront_delta_mv_scalar_agg_cmp",
         "sqlfront_delta_mv_q4_text", "sqlfront_delta_mv_q17_text",
-        "sqlfront_delta_mv_tpch_texts",
+        "sqlfront_delta_mv_tpch_texts", "sqlfront_delta_mv_q18_text",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join",
@@ -105,7 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
         "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
         "distinct_on_first_order",
-        "array_functions", "interval_arithmetic", "agg_statistics",
+        "array_functions", "agg_statistics",
         "jsonb_ops",
         "dedup_minhash_lsh", "simsearch_cosine_topk",
         "text_language_id", "cdc_pgoutput_wire_apply",

@@ -3362,3 +3362,59 @@ def sqlfront_delta_mv_tpch_texts(spark, sf_dir):
         F.round("revenue", 2).cast("double").alias("v"),
         F.lit(None).cast("long").alias("n"))
     return a.unionByName(b).unionByName(c).orderBy("q", "k")
+
+
+_Q18_TEXT_BODY = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 180)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice"""
+
+
+@register(
+    "sqlfront_delta_mv_q18_text",
+    f"""
+    -- oracle: the SAME verbatim TPC-H q18 text evaluated directly
+    -- over the parquet tables
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           CAST(round(total_qty, 2) AS DOUBLE) AS total_qty
+    FROM ({_Q18_TEXT_BODY}) q
+    ORDER BY o_orderkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery", "tpch",
+)
+def sqlfront_delta_mv_q18_text(spark, sf_dir):
+    """TPC-H q18 as written maintains: the large-volume-customer
+    membership test ``o_orderkey IN (SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > N)`` is a per-key
+    aggregate THRESHOLD — membership flips exactly when the key's sum
+    crosses N (the reference's ThresholdSemijoin lowering of q18;
+    streaming/delta_ivm.ThresholdSemijoinMV pioneered the operator,
+    and the SQL now compiles the idiom through CmpAggFilterMV) —
+    composed under the comma-joined three-way chain and the grouped
+    multi-key reduce. Oracle = the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q18_text WITH "
+              f"(MAINTENANCE 'delta') AS {_Q18_TEXT_BODY}")
+    return (s.sql("SELECT * FROM q18_text")
+            .select("c_name",
+                    F.col("c_custkey").cast("long").alias("c_custkey"),
+                    F.col("o_orderkey").cast("long")
+                    .alias("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).cast("double")
+                    .alias("o_totalprice"),
+                    F.round("total_qty", 2).cast("double")
+                    .alias("total_qty"))
+            .orderBy("o_orderkey"))

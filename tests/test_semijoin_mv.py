@@ -557,3 +557,36 @@ def test_inequality_correlation_exists(spark):
     s.run_script("DROP MATERIALIZED VIEW iqe;"
                  "DROP MATERIALIZED VIEW iqn;"
                  "DROP TABLE iq_o; DROP TABLE iq_l;")
+
+
+def test_in_having_threshold_membership(spark):
+    """IN (SELECT k FROM t GROUP BY k HAVING AGG(x) > n) — the q18
+    membership idiom — maintains as a per-key aggregate threshold:
+    membership flips exactly when the key's sum crosses n, in both
+    directions."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE th_o (ok BIGINT, nm STRING);
+        CREATE TABLE th_l (lok BIGINT, qty BIGINT);
+        INSERT INTO th_o VALUES (1, 'a'), (2, 'b');
+        INSERT INTO th_l VALUES (1, 60), (1, 70), (2, 50);
+        CREATE MATERIALIZED VIEW th WITH (MAINTENANCE 'delta') AS
+          SELECT ok, nm FROM th_o
+          WHERE ok IN (SELECT lok FROM th_l GROUP BY lok
+                       HAVING sum(qty) > 100);
+    """)
+    assert rows(s, "SELECT * FROM th") == [(1, "a")]
+    # order 2 crosses the threshold upward
+    s.execute("INSERT INTO th_l VALUES (2, 60)")
+    assert rows(s, "SELECT * FROM th") == [(1, "a"), (2, "b")]
+    # order 1 drops below: deleting one line retires its membership
+    s.execute("DELETE FROM th_l WHERE lok = 1 AND qty = 70")
+    assert rows(s, "SELECT * FROM th") == [(2, "b")]
+    # NOT IN over a HAVING subquery rejects loudly
+    with pytest.raises(Exception, match="NOT IN over a HAVING"):
+        s.execute(
+            "CREATE MATERIALIZED VIEW thbad WITH (MAINTENANCE "
+            "'delta') AS SELECT ok FROM th_o WHERE ok NOT IN "
+            "(SELECT lok FROM th_l GROUP BY lok HAVING sum(qty) > 1)")
+    s.run_script("DROP MATERIALIZED VIEW th;"
+                 "DROP TABLE th_o; DROP TABLE th_l;")
