@@ -83,6 +83,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_scalar_agg_cmp",
         "sqlfront_delta_mv_q4_text", "sqlfront_delta_mv_q17_text",
         "sqlfront_delta_mv_tpch_texts", "sqlfront_delta_mv_q18_text",
+        "sqlfront_delta_mv_q3_shape",
         # --- (b) changed implementations this round ---
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
         "sqlfront_delta_mv_outer_join",
@@ -104,7 +105,6 @@ def load_all() -> dict[str, QuerySpec]:
         "tpch_q3", "tpch_q9", "tpch_q13", "scalar_math",
         "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
-        "distinct_on_first_order",
         "array_functions", "agg_statistics",
         "jsonb_ops",
         "dedup_minhash_lsh", "simsearch_cosine_topk",

@@ -3418,3 +3418,51 @@ def sqlfront_delta_mv_q18_text(spark, sf_dir):
                     F.round("total_qty", 2).cast("double")
                     .alias("total_qty"))
             .orderBy("o_orderkey"))
+
+
+_Q3_SHAPE_BODY = """
+SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey AND o_orderdate < DATE '1996-03-15'
+  AND l_shipdate > DATE '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
+
+
+@register(
+    "sqlfront_delta_mv_q3_shape",
+    f"""
+    -- oracle: the SAME q3-shape text evaluated directly (the
+    -- synthetic orders table lacks o_shippriority; o_orderpriority
+    -- stands in — structurally the verbatim TPC-H q3 minus its
+    -- ORDER BY/LIMIT tail, which an unordered MV drops)
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(floor(revenue) AS BIGINT) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM ({_Q3_SHAPE_BODY}) q ORDER BY l_orderkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q3_shape(spark, sf_dir):
+    """The TPC-H q3 text shape maintained: a comma-joined three-way
+    chain whose SELECT references the DROPPED join-key name
+    (l_orderkey — renamed to o_orderkey inside the chain; the desugar
+    projects the surviving synonym back under the queried name as an
+    aliased-expression group key) with group keys listed AFTER the
+    aggregate. Oracle = the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q3_shape WITH "
+              f"(MAINTENANCE 'delta') AS {_Q3_SHAPE_BODY}")
+    return (s.sql("SELECT * FROM q3_shape")
+            .select(F.col("l_orderkey").cast("long")
+                    .alias("l_orderkey"),
+                    F.floor("revenue").cast("long")
+                    .alias("revenue"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_orderpriority")
+            .orderBy("l_orderkey"))
