@@ -558,9 +558,17 @@ class LazyTables(MutableMapping):
 
     def register_all(self) -> None:
         """Force-load every table (SQL front-end needs all names resolvable
-        as temp views before parsing arbitrary statements)."""
+        as temp views before parsing arbitrary statements). Re-bind any
+        temp view a DIFFERENT sf_dir registered last — loading is
+        memoized per (session, sf_dir), so without this a session that
+        interleaves scale factors would read one sf_dir's frames
+        through another's temp views."""
+        owner = view_owner(self._spark)
         for name in self._available:
-            self[name]
+            df = self[name]
+            if self._register and owner.get(name) != self._sf_dir:
+                df.createOrReplaceTempView(name)
+                owner[name] = self._sf_dir
 
 
 # Handle cache: creating a parquet DataFrame reads file footers eagerly;

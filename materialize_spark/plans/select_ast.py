@@ -100,10 +100,14 @@ class SubFilter:
     predicates once it knows both sides' columns."""
 
     negated: bool
-    kind: str                  # exists | in | cmpagg
-    table: str                 # inner FROM table
+    kind: str                  # exists | in | cmpagg | cmpscalar
+    table: str                 # inner FROM table ("" for cmpscalar)
     alias: str | None          # inner table alias, when given
     conjuncts: list[str]       # raw inner WHERE conjuncts
+    # cmpscalar (uncorrelated scalar subquery with an arbitrary
+    # dispatcher-supported body — joins, keyless aggregates): the raw
+    # body text, planned as an internal delta MV by the planner
+    raw: str | None = None
     in_expr: str | None = None  # IN: the outer-side expression text
     in_col: str | None = None   # IN: the inner SELECT column
     # cmpagg (scalar-aggregate comparison, the q17/q2/q20 family):
@@ -132,6 +136,7 @@ class SelectQ:
     distinct: bool = False
     table: str | None = None         # FROM base table, or …
     sub: "SelectQ | None" = None     # … FROM (subquery)
+    sub_raw: str | None = None       # the subquery's raw SQL text
     # … FROM (q1 UNION ALL q2 [...]): one SelectQ per branch
     sub_branches: "list[SelectQ] | None" = None
     sub_alias: str | None = None
@@ -159,7 +164,12 @@ _TAIL_STOPS = ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
 
 def _split_alias(span: str) -> SelectItem:
     """Split one select-item span into expression + AS alias using
-    tokens (a top-level AS inside a CAST(... AS int) never splits)."""
+    tokens (a top-level AS inside a CAST(... AS int) never splits).
+    Implicit aliases — ``count(o_orderkey) c_count``, the TPC-H q13
+    style — split when the span's LAST token is a bare identifier
+    directly following a closed call/paren (``) word``): an
+    expression can never continue a closing paren with a bare word,
+    so the word is the alias (PostgreSQL's optional AS)."""
     p = Parser(span)
     depth = 0
     last_as = None
@@ -175,6 +185,11 @@ def _split_alias(span: str) -> SelectItem:
             last_as = (t.start, p.i)
         p.next()
     if last_as is None:
+        toks = [t for t in p.toks if t.kind != "EOF"]
+        if len(toks) >= 2 and toks[-1].kind == "WORD" \
+                and toks[-2].kind == "RP":
+            return SelectItem(expr=span[:toks[-1].start].strip(),
+                              alias=toks[-1].value)
         return SelectItem(expr=span.strip())
     start, idx = last_as
     alias_tok = p.toks[idx + 1] if idx + 1 < len(p.toks) else None
@@ -276,6 +291,32 @@ def split_conjuncts(text: str) -> list[str]:
                 p.next()
                 start = p.peek().start
                 continue
+        p.next()
+    spans.append(text[start:])
+    return [s.strip() for s in spans if s.strip()]
+
+
+def split_disjuncts(text: str) -> list[str]:
+    """Split a predicate on TOP-LEVEL ``OR`` (token-level: parens and
+    string literals never split). Used to detect q19-style
+    OR-of-conjunct-blocks whose blocks share equi join pairs."""
+    p = Parser(text)
+    depth = 0
+    spans: list[str] = []
+    start = 0
+    while True:
+        t = p.peek()
+        if t.kind == "EOF":
+            break
+        if t.kind == "LP":
+            depth += 1
+        elif t.kind == "RP":
+            depth -= 1
+        elif t.kind == "WORD" and depth == 0 and t.upper == "OR":
+            spans.append(text[start:t.start])
+            p.next()
+            start = p.peek().start
+            continue
         p.next()
     spans.append(text[start:])
     return [s.strip() for s in spans if s.strip()]
@@ -451,7 +492,15 @@ def _match_subfilter(conj: str) -> SubFilter | None:
                 return None
             sf = _parse_sub_body(body, "cmpagg")
             if sf is None:
-                return None
+                # not the single-table correlated shape — keep the raw
+                # body; the planner tries it as an UNCORRELATED scalar
+                # subquery (internal keyless-aggregate MV: the q11/q22
+                # threshold family — joins and comma-FROM inside)
+                sf = SubFilter(negated=False, kind="cmpscalar",
+                               table="", alias=None, conjuncts=[],
+                               raw=body)
+            else:
+                sf.raw = body
             sf.in_expr = lhs
             sf.cmp_op = "<>" if t.text == "!=" else t.text
             return sf
@@ -610,6 +659,7 @@ def _parse_query(p: Parser, top: bool = False) -> SelectQ:
         branches = parse_select_branches(inner)
         if len(branches) == 1:
             q.sub = branches[0]
+            q.sub_raw = inner.strip()
         else:
             q.sub_branches = branches
         if p.peek().kind in ("WORD", "QIDENT") \

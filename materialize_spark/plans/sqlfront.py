@@ -125,12 +125,15 @@ def _classify_agg_items(items):
     into plain keys + aliased aggregates. Aggregate INPUTS may be
     arbitrary scalar expressions (the q3/q5 revenue shape
     ``SUM(price * (1 - disc))``): each gets an internal column computed
-    on the delta before the keyed reduce. Returns (keys, aggs, exprs)
-    or None when out of shape; ``exprs`` maps internal name -> source
-    SQL."""
+    on the delta before the keyed reduce. Returns (keys, aggs, exprs,
+    order) or None when out of shape; ``exprs`` maps internal name ->
+    source SQL and ``order`` is the SELECT-list output column order —
+    the reference preserves it in the result, while the maintained
+    reduce is keys-first (_publish_delta_mv restores it)."""
     keys: list[str] = []
     aggs: dict[str, tuple[str, str]] = {}
     exprs: dict[str, str] = {}
+    order: list[str] = []
     for it in items:
         agg = it.agg
         if agg is not None:
@@ -158,10 +161,12 @@ def _classify_agg_items(items):
             if it.alias is None:
                 return None  # unaliased aggregates: no result column
             aggs[it.alias] = (kind, col)
+            order.append(it.alias)
         elif it.is_column and it.alias is None:
             # plain group keys may appear anywhere in the select list
             # (the TPC-H q3/q10 style lists keys after the aggregate)
             keys.append(it.expr)
+            order.append(it.expr)
         elif it.alias is not None \
                 and not re.search(
                     r"(?i)\b(sum|count|min|max|avg)\s*\(|\bOVER\b|"
@@ -173,9 +178,10 @@ def _classify_agg_items(items):
             # Map (reduce.rs group_key is a list of MirScalarExprs)
             keys.append(it.alias)
             exprs[it.alias] = it.expr
+            order.append(it.alias)
         else:
             return None   # unaliased/aggregate-bearing expression keys
-    return keys, aggs, exprs
+    return keys, aggs, exprs, order
 
 
 def _keys_match_group_by(keys: list[str], exprs: dict[str, str],
@@ -230,6 +236,48 @@ def _having_over_aliases(having: str, aggs: dict[str, tuple[str, str]],
 # text (src/sql-parser redaction of CreateConnection/Secret options).
 _CREDENTIAL_STMT_RE = re.compile(
     r"\s*(?:CREATE|ALTER)\s+(?:CONNECTION|SECRET|SOURCE|SINK)\b", re.I)
+
+
+def _outside_subqueries(text: str, fn):
+    """Apply ``fn`` to the spans of ``text`` OUTSIDE parenthesized
+    SELECT bodies. A subquery is its own name scope — the implicit-join
+    desugar's qualifier stripping and dropped-key renames must never
+    rewrite identifiers inside one (q11's HAVING threshold carries the
+    outer join predicate's very column names in its own FROM)."""
+    from materialize_spark.plans.lexer import tokens as _lex
+    try:
+        toks = [t for t in _lex(text, lenient=True)
+                if t.kind != "EOF"]
+    except Exception:
+        return fn(text)
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "LP" and i + 1 < n \
+                and toks[i + 1].kind == "WORD" \
+                and toks[i + 1].text.upper() == "SELECT":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if toks[j].kind == "LP":
+                    depth += 1
+                elif toks[j].kind == "RP":
+                    depth -= 1
+                j += 1
+            end = toks[j - 1].start + 1 if j <= n else len(text)
+            spans.append((t.start, end))
+            i = j
+        else:
+            i += 1
+    if not spans:
+        return fn(text)
+    out, last = [], 0
+    for a, b in spans:
+        out.append(fn(text[last:a]))
+        out.append(text[a:b])
+        last = b
+    out.append(fn(text[last:]))
+    return "".join(out)
 
 
 def _sub_ident_tokens(text: str, mapping: dict[str, str]) -> str:
@@ -655,6 +703,50 @@ class MzSession:
             return
         self._plan_delta_mv(node, qs[0])
 
+    @staticmethod
+    def _binding_monotone(body: str) -> bool:
+        """STRUCTURAL monotonicity of one WMR binding body: True only
+        when the parsed tree is built purely from monotone operators —
+        inner joins, filters (any fixed predicate is monotone in the
+        relation), projections, UNION [ALL], DISTINCT, and monotone
+        FROM-subqueries. Aggregates, set difference/intersection,
+        outer joins, windows, LIMIT, and any [NOT] EXISTS/IN or scalar
+        subquery flag non-monotone (reference: LetRec maintenance
+        reasons about monotonicity structurally,
+        src/expr/src/relation.rs:154). Anything unparseable is
+        non-monotone — a warm start of a non-monotone binding would be
+        a CORRECTNESS bug, so the default is the safe cold re-run."""
+        from materialize_spark.plans.select_ast import (
+            parse_set_op_branches,
+        )
+
+        def q_ok(q) -> bool:
+            if q.group_by or q.having or q.order \
+                    or q.limit is not None or q.subfilters:
+                return False
+            if q.where and re.search(r"(?i)\(\s*SELECT\b", q.where):
+                return False
+            for it in q.items:
+                if re.search(r"(?i)\b(sum|count|min|max|avg)\s*\(",
+                             it.expr) \
+                        or re.search(r"(?i)\bOVER\b", it.expr) \
+                        or re.search(r"(?i)\(\s*SELECT\b", it.expr):
+                    return False
+            for seg in q.joins:
+                if seg.kind != "inner":
+                    return False
+            subs = ([q.sub] if q.sub is not None else []) \
+                + list(q.sub_branches or ())
+            return all(q_ok(s) for s in subs)
+
+        try:
+            op, _is_all, qs = parse_set_op_branches(body)
+        except Exception:
+            return False
+        if op not in ("select", "union"):
+            return False   # EXCEPT / INTERSECT: non-monotone
+        return all(q_ok(q) for q in qs)
+
     def _plan_delta_wmr(self, node: ast.CreateView) -> None:
         """Delta-maintained WITH MUTUALLY RECURSIVE: the MV stays
         always fresh ON WRITE by re-running the LetRec fixpoint per
@@ -676,10 +768,8 @@ class MzSession:
             raise ValueError(
                 "MAINTENANCE 'delta' on WITH MUTUALLY RECURSIVE needs "
                 "at least one base table to maintain against")
-        text = " ".join(b[2] for b in wmr.bindings)
-        monotone = re.search(
-            r"(?i)\b(EXCEPT|INTERSECT|NOT|GROUP|COUNT|SUM|AVG|MIN|MAX"
-            r"|LIMIT|LEFT|RIGHT|FULL|OVER)\b", text) is None
+        monotone = all(self._binding_monotone(b[2])
+                       for b in wmr.bindings)
         spec = {"kind": "wmr", "wmr": wmr, "tables": tuple(deps),
                 "monotone": monotone, "bind_state": None,
                 "table": None}
@@ -859,25 +949,63 @@ class MzSession:
             r"(?:(\w+)\s*\.\s*)?(\w+)\s*$")
         links: list[tuple[int, int, str, str]] = []  # (i, j, ci, cj)
         residual: list[str] = []
-        for c in conjs:
-            m = cmp_re.match(c)
-            if m:
-                o1 = owner(m.group(1), m.group(2))
-                o2 = owner(m.group(3), m.group(4))
-                if o1 is not None and o2 is not None and o1 != o2:
-                    links.append((o1, o2, m.group(2), m.group(4)))
-                    continue
-            residual.append(c)
-        # inner-join links keep the ACCUMULATED side's key name and
-        # drop the right one; ren maps every dropped name to its
-        # surviving synonym so later links, the residual WHERE, and
-        # the select list keep resolving
-        ren: dict[str, str] = {}
 
-        def live(col: str) -> str:
-            while col in ren:
-                col = ren[col]
-            return col
+        def link_of(c: str) -> tuple[int, int, str, str] | None:
+            m = cmp_re.match(c)
+            if not m:
+                return None
+            o1 = owner(m.group(1), m.group(2))
+            o2 = owner(m.group(3), m.group(4))
+            if o1 is None or o2 is None or o1 == o2:
+                return None
+            if o1 > o2:  # canonical order for cross-block matching
+                return (o2, o1, m.group(4), m.group(2))
+            return (o1, o2, m.group(2), m.group(4))
+
+        def common_or_links(c: str) -> list:
+            """q19's OR-of-conjunct-blocks: when EVERY top-level OR
+            branch carries the same equi conjunct(s) linking two FROM
+            items, hoist them as join keys and keep the whole OR as a
+            residual filter over the joined output — the classic
+            common-disjunct pullup the reference's optimizer performs
+            (tpch_create_materialized_view.slt:1434-1460 joins q19 on
+            the shared p_partkey = l_partkey)."""
+            from materialize_spark.plans.select_ast import (
+                split_disjuncts,
+            )
+            branches = split_disjuncts(c)
+            if len(branches) < 2:
+                return []
+            shared = None
+            for br in branches:
+                found = {lk for lk in
+                         (link_of(unwrap(x))
+                          for x in split_conjuncts(unwrap(br)))
+                         if lk is not None}
+                shared = found if shared is None else shared & found
+                if not shared:
+                    return []
+            return sorted(shared)
+
+        for c in conjs:
+            lk = link_of(c)
+            if lk is not None:
+                links.append(lk)
+                continue
+            links.extend(common_or_links(c))
+            residual.append(c)
+        links = list(dict.fromkeys(links))  # hoisted dups collapse
+        # inner-join links keep the ACCUMULATED side's key name and
+        # drop the right one; ren maps every dropped (item, name) to
+        # its surviving (item, name) synonym — OWNER-aware, so a
+        # dropped key's bare name never captures a same-named live
+        # column of a different FROM item
+        ren: dict[tuple[int, str], tuple[int, str]] = {}
+
+        def live(o: int, col: str) -> tuple[int, str]:
+            while (o, col) in ren:
+                o, col = ren[(o, col)]
+            return o, col
 
         joins: list[JoinSeg] = []
         placed = {0}
@@ -886,9 +1014,9 @@ class MzSession:
             rest = []
             for (a_i, b_i, ca, cb) in links:
                 if b_i == i and a_i in placed:
-                    pairs.append((live(ca), cb))
+                    pairs.append((live(a_i, ca), cb))
                 elif a_i == i and b_i in placed:
-                    pairs.append((live(cb), ca))
+                    pairs.append((live(b_i, cb), ca))
                 else:
                     rest.append((a_i, b_i, ca, cb))
             links = rest
@@ -899,47 +1027,131 @@ class MzSession:
                     "preceding items (a cross product is not "
                     "delta-maintainable)")
             placed.add(i)
-            for acc_c, right_c in pairs:
-                if right_c != acc_c:
-                    ren[right_c] = acc_c
+            for (ao, acc_c), right_c in pairs:
+                ren[(i, right_c)] = (ao, acc_c)
             joins.append(JoinSeg(kind="inner", table=items[i][0],
-                                 pairs=pairs, raw_on="",
-                                 alias=items[i][1]))
+                                 pairs=[(ac, rc)
+                                        for (_ao, ac), rc in pairs],
+                                 raw_on="", alias=items[i][1]))
         # links whose both ends were already placed became residual
         # equalities over the joined row
         for (a_i, b_i, ca, cb) in links:
-            residual.append(f"{live(ca)} = {live(cb)}")
+            residual.append(
+                f"{live(a_i, ca)[1]} = {live(b_i, cb)[1]}")
         quals = {(a or t) for t, a in items} | {t for t, _ in items}
-        final_ren = {d: live(d) for d in ren}
+        # dropped-name resolution maps: per-qualifier for qualified
+        # references; bare only when the name is owned by exactly one
+        # FROM item (otherwise a bare reference was ambiguous — raise
+        # if one appears rather than silently capturing)
+        qual2item: dict[str, int] = {}
+        for i, (t, a) in enumerate(items):
+            qual2item[(a or t).lower()] = i
+            qual2item.setdefault(t.lower(), i)
+        qual_ren: dict[tuple[str, str], str] = {}
+        bare_ren: dict[str, str] = {}
+        collided: set[str] = set()
+        for (o, c) in list(ren):
+            fc = live(o, c)[1]
+            if fc == c:
+                continue
+            for ql, oi in qual2item.items():
+                if oi == o:
+                    qual_ren[(ql, c)] = fc
+            if sum(1 for cs in cols_of.values() if c in cs) == 1:
+                bare_ren[c] = fc
+            else:
+                collided.add(c)
+
+        def check_bare(txt: str | None) -> None:
+            if not txt or not collided:
+                return
+            from materialize_spark.plans.lexer import tokens as _lex
+            try:
+                toks = _lex(txt, lenient=True)
+            except Exception:
+                return
+            for j, t in enumerate(toks):
+                if t.kind != "WORD" or t.text not in collided:
+                    continue
+                prv = toks[j - 1] if j > 0 else None
+                nxt = toks[j + 1] if j + 1 < len(toks) else None
+                if (prv is None or prv.text != ".") \
+                        and (nxt is None or nxt.text not in (".",
+                                                             "(")):
+                    raise ValueError(
+                        f"MAINTENANCE 'delta': bare reference "
+                        f"{t.text!r} is ambiguous — the name belongs "
+                        "to multiple FROM items (qualify it)")
+
+        def sub_qualified(txt: str | None) -> str | None:
+            """Token-level ``qual.name`` → survivor for dropped join
+            keys (before qualifier stripping, so same-named live
+            columns of OTHER items keep resolving to themselves)."""
+            if not txt or not qual_ren:
+                return txt
+            from materialize_spark.plans.lexer import tokens as _lex
+            try:
+                toks = _lex(txt, lenient=True)
+            except Exception:
+                return txt
+            cuts: list[tuple[int, int, str]] = []
+            for j, t in enumerate(toks):
+                nxt = toks[j + 1] if j + 1 < len(toks) else None
+                nn = toks[j + 2] if j + 2 < len(toks) else None
+                if t.kind == "WORD" and nxt is not None \
+                        and nxt.kind == "OP" and nxt.text == "." \
+                        and nn is not None and nn.kind == "WORD":
+                    rep = qual_ren.get((t.text.lower(), nn.text))
+                    if rep is not None:
+                        cuts.append((t.start, nn.end, rep))
+            for a, b, rep in reversed(cuts):
+                txt = txt[:a] + rep + txt[b:]
+            return txt
+
+        def _rw_seg(seg):
+            check_bare(seg)
+            seg = self._strip_quals(sub_qualified(seg), quals)
+            if seg and bare_ren:
+                seg = _sub_ident_tokens(seg, bare_ren)
+            return seg
 
         def st(txt):
-            txt = self._strip_quals(txt, quals)
-            if txt and final_ren:
-                txt = _sub_ident_tokens(txt, final_ren)
-            return txt
+            if not txt:
+                return txt
+            # subquery bodies are their own scope: never rewrite inside
+            return _outside_subqueries(txt, _rw_seg)
 
         new_items = []
         for it in q.items:
-            expr = self._strip_quals(it.expr, quals)
-            if it.alias is None and re.fullmatch(r"\w+", expr) \
-                    and expr in final_ren:
+            check_bare(it.expr)
+            expr = self._strip_quals(sub_qualified(it.expr), quals)
+            m = re.fullmatch(r"\w+", expr or "")
+            if it.alias is None and m and expr in bare_ren:
                 # a dropped join-key name in the select list: project
                 # the surviving synonym under the USER's name (an
                 # aliased expression key — the reduce computes it per
                 # delta and the output keeps the queried name)
-                new_items.append(SelectItem(expr=final_ren[expr],
+                new_items.append(SelectItem(expr=bare_ren[expr],
                                             alias=expr))
             else:
-                new_items.append(SelectItem(
-                    expr=_sub_ident_tokens(expr, final_ren)
-                    if final_ren else expr, alias=it.alias))
+                orig = re.fullmatch(
+                    r"\s*(?:(\w+)\s*\.\s*)?(\w+)\s*", it.expr)
+                if it.alias is None and m and orig is not None \
+                        and expr != orig.group(2):
+                    # a QUALIFIED dropped key (t2.y → x): keep the
+                    # user-visible output name
+                    new_items.append(SelectItem(expr=expr,
+                                                alias=orig.group(2)))
+                else:
+                    new_items.append(SelectItem(
+                        expr=_sub_ident_tokens(expr, bare_ren)
+                        if bare_ren else expr, alias=it.alias))
         return _dc_replace(
             q, table=items[0][0], joins=joins, from_items=[],
             items=new_items,
             where=" AND ".join(f"({st(c)})" for c in residual)
             if residual else None,
-            group_by=[self._strip_quals(k, quals)
-                      for k in q.group_by],
+            group_by=[st(k) for k in q.group_by],
             having=st(q.having))
 
     def _plan_delta_mv(self, node: ast.CreateView, q) -> None:
@@ -995,6 +1207,13 @@ class MzSession:
                 "MAINTENANCE 'delta' over a UNION ALL subquery "
                 "supports a grouped aggregate or SELECT DISTINCT above "
                 "stateless branches; " + _DELTA_SUPPORTED)
+        if q.order and q.limit is None:
+            # ORDER BY without LIMIT in an MV body: relations are
+            # unordered, so the clause is content-irrelevant — the
+            # reference accepts and ignores it (the verbatim TPC-H q13
+            # text carries one, tpch_create_materialized_view.slt)
+            from dataclasses import replace as _dc_replace
+            q = _dc_replace(q, order=[])
         if q.order or q.limit is not None:
             if self._plan_delta_global_topk(node, q):
                 return
@@ -1002,13 +1221,20 @@ class MzSession:
                 "MAINTENANCE 'delta' supports ORDER BY ... LIMIT only "
                 "as the global TopK shape (plain columns over one "
                 "table, single ORDER BY column); " + _DELTA_SUPPORTED)
+        if q.having and q.group_by \
+                and re.search(r"(?i)\(\s*SELECT\b", q.having):
+            # HAVING with a scalar-subquery threshold (q11): stacked
+            # reduce + maintained global frontier
+            if self._plan_delta_having_scalar(node, q):
+                return
         if q.sub is not None and q.joins:
             if self._plan_delta_join_over_from_subquery(node, q):
                 return
         if q.sub is not None:
             if self._plan_delta_topk(node, q) \
                     or self._plan_delta_agg_over_subquery(node, q) \
-                    or self._plan_delta_over_join_subquery(node, q):
+                    or self._plan_delta_over_join_subquery(node, q) \
+                    or self._plan_delta_stacked_subquery(node, q):
                 return
         elif q.joins:
             if self._plan_delta_join(node, q):
@@ -1165,7 +1391,7 @@ class MzSession:
             parsed = _classify_agg_items(q.items)
             if parsed is None:
                 return False
-            keys, aggs, exprs = parsed
+            keys, aggs, exprs, out_order = parsed
             gkeys = [k.strip() for k in q.group_by]
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
@@ -1177,7 +1403,8 @@ class MzSession:
                     return False
             spec.update({"agg": RetractionAwareAgg(
                 self.spark, keys=keys, aggs=aggs), "keys": keys,
-                "aggs": aggs, "exprs": exprs, "having": having})
+                "aggs": aggs, "exprs": exprs, "having": having,
+                "out_order": out_order})
         elif q.distinct:
             if not all(it.is_column and it.alias is None
                        for it in q.items):
@@ -1439,6 +1666,67 @@ class MzSession:
                                 self._owners.get(node.name, self._role))
         return True
 
+    def _rollback_internal(self, internal: str) -> None:
+        """Remove a failed planner-owned internal view (and any
+        internals it created itself) from every store."""
+        nested = tuple((self._delta_mvs.get(internal) or {})
+                       .get("internal_deps", ()))
+        for n in (internal,) + nested:
+            for store in (self._matviews, self._matview_sql,
+                          self._histories, self._delta_mvs,
+                          self._owners):
+                store.pop(n, None)
+            self.catalog.drop(n, if_exists=True)
+
+    def _plan_delta_stacked_subquery(self, node: ast.CreateView,
+                                     q) -> bool:
+        """FROM (STATEFUL subquery) — the general internal-MV stacking
+        desugar. The inner SELECT may be ANY dispatcher-supported shape
+        (aggregate, DISTINCT, join chain, semijoin stages, nested
+        FROM-subqueries): it is planned as a planner-owned internal
+        delta MV, and the outer body re-plans with the internal view as
+        its base relation, fed by the internal's published diffs
+        (_feed_downstream) — the reference renders such bodies as a Let
+        binding whose arrangement the outer dataflow imports
+        (src/compute/src/render.rs). This is what lets the verbatim
+        TPC-H q13 two-level aggregate (LEFT OUTER JOIN + GROUP BY under
+        GROUP BY, test/sqllogictest/
+        tpch_create_materialized_view.slt:1001-1021) delta-maintain."""
+        sub, raw = q.sub, q.sub_raw
+        if sub is None or raw is None:
+            return False
+        internal = f"__jsub_{node.name}"
+        if internal in self._delta_mvs:
+            return False
+        fake = ast.CreateView(name=internal, body=raw,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = raw
+        try:
+            self._plan_delta_mv(fake, sub)
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        from dataclasses import replace as _dc_replace
+        aliases = dict(getattr(q, "aliases", {}) or {})
+        if q.sub_alias:
+            aliases[q.sub_alias] = internal
+        q2 = _dc_replace(q, sub=None, sub_raw=None, sub_alias=None,
+                         table=internal, aliases=aliases,
+                         from_items=[(internal, None)])
+        try:
+            self._plan_delta_mv(node, q2)
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        spec = self._delta_mvs[node.name]
+        nested = tuple((self._delta_mvs.get(internal) or {})
+                       .get("internal_deps", ()))
+        spec["internal_deps"] = (tuple(spec.get("internal_deps", ()))
+                                 + (internal,) + nested)
+        self._owners.setdefault(internal,
+                                self._owners.get(node.name, self._role))
+        return True
+
     def _plan_delta_window_agg(self, node: ast.CreateView, q) -> bool:
         """Frameless window aggregate over one table:
         SELECT cols..., AGG(x) OVER (PARTITION BY k) AS a FROM t
@@ -1686,7 +1974,7 @@ class MzSession:
             parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
-            keys, aggs, exprs = parsed_sel
+            keys, aggs, exprs, out_order = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
@@ -1732,6 +2020,7 @@ class MzSession:
                 "bounds": bounds, "out_exprs": out_exprs,
                 "out_cols": out_cols, "agg": agg, "keys": keys,
                 "aggs": aggs, "having": having,
+                "out_order": out_order if keys else None,
                 "last_tick": datetime.now()}
         self._install_delta_mv(node.name, spec)
         return True
@@ -1982,7 +2271,7 @@ class MzSession:
         parsed = _classify_agg_items(q.items)
         if parsed is None:
             return False
-        keys, aggs, exprs = parsed
+        keys, aggs, exprs, out_order = parsed
         if not aggs or not keys:
             return False
         gkeys = [k.strip() for k in q.group_by]
@@ -1996,6 +2285,7 @@ class MzSession:
             thr_spec = self._threshold_plan(node, q, keys, aggs, exprs,
                                             pre, pre_where, pre_layers)
             if thr_spec is not None:
+                thr_spec["out_order"] = out_order
                 self._install_delta_mv(node.name, thr_spec)
                 return True
             having = _having_over_aliases(having, aggs, exprs)
@@ -2005,7 +2295,8 @@ class MzSession:
         spec = {"mv": mv, "table": q.table, "keys": keys, "aggs": aggs,
                 "where": q.where, "kind": "agg",
                 "having": having, "exprs": exprs, "pre": pre,
-                "pre_where": pre_where, "pre_layers": pre_layers or ()}
+                "pre_where": pre_where, "pre_layers": pre_layers or (),
+                "out_order": out_order}
         self._install_delta_mv(node.name, spec)
         return True
 
@@ -2026,7 +2317,7 @@ class MzSession:
         parsed = _classify_agg_items(q.items)
         if parsed is None:
             return False
-        keys, aggs, exprs = parsed
+        keys, aggs, exprs, out_order = parsed
         if keys or not aggs:
             return False
         self._delta_check_table(q.table)
@@ -2188,6 +2479,7 @@ class MzSession:
                                                  kinds, extras)
             spec = {"kind": "join", "tables": tuple(tables),
                     "chain": chain, "links": norm_links, "kinds": kinds,
+                    "rextras": extras,
                     "agg": None, "keys": keys, "aggs": {}, "cols": cols,
                     "where": inner.where, "table": None,
                     "topk": {"mv": mv, "icols": icols}}
@@ -2354,10 +2646,12 @@ class MzSession:
                      having=osub(q.having) if q.having else None)
         return self._plan_delta_join(node, q2, renames=ren)
 
+    # identifier-shaped sides only: a numeric literal like 0.00 must
+    # NOT parse as qualifier '0' . column '00'
     _SUB_CMP_RE = re.compile(
-        r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<c1>\w+)\s*"
+        r"^\s*(?:(?P<q1>[A-Za-z_]\w*)\s*\.\s*)?(?P<c1>[A-Za-z_]\w*)\s*"
         r"(?P<op><=|>=|<>|!=|=|<|>)\s*"
-        r"(?:(?P<q2>\w+)\s*\.\s*)?(?P<c2>\w+)\s*$")
+        r"(?:(?P<q2>[A-Za-z_]\w*)\s*\.\s*)?(?P<c2>[A-Za-z_]\w*)\s*$")
 
     def _plan_delta_semijoin(self, node: ast.CreateView, q) -> bool:
         """``[NOT] EXISTS (SELECT ...)`` / ``expr [NOT] IN (SELECT
@@ -2396,13 +2690,14 @@ class MzSession:
         exprs: dict[str, str] = {}
         global_agg = False
         post = None
+        out_order = None
         if q.distinct and q.group_by:
             return False
         if q.group_by:
             parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
-            keys, aggs, exprs = parsed_sel
+            keys, aggs, exprs, out_order = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
@@ -2429,8 +2724,16 @@ class MzSession:
                 return False
         aliases = set(getattr(q, "aliases", {}) or ())
         stages = [self._build_subfilter_stage(sf, tables, acc_cols,
-                                              renmap, aliases)
-                  for sf in q.subfilters]
+                                              renmap, aliases,
+                                              owner=node.name, idx=i)
+                  for i, sf in enumerate(q.subfilters)]
+        internals = []
+        for st in stages:
+            if st.get("internal"):
+                internals.append(st["table"])
+                internals.extend(
+                    (self._delta_mvs.get(st["table"]) or {})
+                    .get("internal_deps", ()))
         chain = self._build_delta_join_chain(tables, norm_links, kinds,
                                              extras) if norm_links \
             else []
@@ -2443,12 +2746,15 @@ class MzSession:
             else None
         spec = {"kind": "semijoin", "tables": tuple(tables),
                 "chain": chain, "links": norm_links, "kinds": kinds,
+                "rextras": extras,
                 "agg": agg, "keys": keys, "aggs": aggs, "cols": cols,
                 "where": None, "src_where": src_where,
                 "having": having, "table": None, "topk": None,
                 "distinct": dmv, "exprs": exprs, "renames": {},
                 "global_agg": global_agg, "post": post,
+                "out_order": None if global_agg else out_order,
                 "stages": stages,
+                "internal_deps": tuple(internals),
                 "inner_tables": tuple({st["table"] for st in stages})}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_semijoin(node.name)
@@ -2456,7 +2762,8 @@ class MzSession:
 
     def _build_subfilter_stage(self, sf, tables: list[str],
                                acc_cols: set, renmap: dict,
-                               aliases: set | None = None) -> dict:
+                               aliases: set | None = None,
+                               owner: str = "", idx: int = 0) -> dict:
         """Classify one SubFilter's inner conjuncts against the outer
         chain's columns into (correlation pairs, <> exclusion, local
         predicate) and instantiate the maintained stage. The
@@ -2466,6 +2773,10 @@ class MzSession:
             SemiAntiFilterMV,
         )
 
+        outer_strip0 = ({t for t in tables} | set(aliases or ()))
+        if sf.kind == "cmpscalar":
+            return self._build_scalar_stage(sf, owner, idx,
+                                            outer_strip0)
         self._delta_check_table(sf.table)
         inner_cols = set(self._base_frame(sf.table).columns)
         iq = (sf.alias or sf.table).lower()
@@ -2579,6 +2890,11 @@ class MzSession:
                     f"column of {sf.table!r}")
             pairs.append((sf.in_col, outer_name(strip_outer.strip())))
         if not pairs:
+            if sf.kind == "cmpagg" and ineq is None and sf.raw:
+                # no correlation at all: the subquery is a GLOBAL
+                # scalar (the q11/q22 threshold family)
+                return self._build_scalar_stage(sf, owner, idx,
+                                                outer_strip0)
             raise ValueError(
                 "MAINTENANCE 'delta': the subquery needs at least one "
                 "equality correlation with the outer relation")
@@ -2678,9 +2994,19 @@ class MzSession:
                     "prep_select": list(pairs), "prep_arg": ic,
                     "cmp": (o, agg_kind)}
         if sf.kind == "in":
+            # the IN-value pair was appended LAST; the leading pairs
+            # are the `=` correlations (keys). The stage gets them
+            # split so the three-valued NULL terms (emptiness, inner
+            # NULLs) apply to the IN value PER correlation key.
             kind = "not_in" if sf.negated else "in"
-        else:
-            kind = "not_exists" if sf.negated else "exists"
+            op = SemiAntiFilterMV(
+                self.spark, keys=[oc for _ic, oc in pairs[:-1]],
+                kind=kind, in_col=pairs[-1][1],
+                spill_rows=_TOPK_SPILL_ROWS)
+            return {"op": op, "table": sf.table, "kind": kind,
+                    "prep_where": prep_where,
+                    "prep_select": list(pairs)}
+        kind = "not_exists" if sf.negated else "exists"
         prep_select = list(pairs)
         omember = None
         if member is not None:
@@ -2693,11 +3019,183 @@ class MzSession:
                 "prep_where": prep_where,
                 "prep_select": prep_select}
 
+    @staticmethod
+    def _cut_clauses(body: str, kws: tuple[str, ...] = ("HAVING",
+                                                        "ORDER")
+                     ) -> str:
+        """Remove top-level clauses introduced by the given keywords
+        (each spans to the next depth-0 clause keyword or EOF) — used
+        to derive the inner body text of a HAVING-threshold desugar."""
+        from materialize_spark.plans.lexer import tokens as _lex
+        stops = {"HAVING", "ORDER", "LIMIT"}
+        try:
+            toks = [t for t in _lex(body, lenient=True)
+                    if t.kind != "EOF"]
+        except Exception:
+            return body
+        depth = 0
+        cuts = []
+        start = None
+        for t in toks:
+            if t.kind == "LP":
+                depth += 1
+            elif t.kind == "RP":
+                depth -= 1
+            elif t.kind == "WORD" and depth == 0:
+                up = t.text.upper()
+                if start is not None and up in stops:
+                    cuts.append((start, t.start))
+                    start = None
+                if start is None and up in kws:
+                    start = t.start
+        if start is not None:
+            cuts.append((start, len(body)))
+        for a, b in reversed(cuts):
+            body = body[:a] + body[b:]
+        return body.strip()
+
+    def _plan_delta_having_scalar(self, node: ast.CreateView,
+                                  q) -> bool:
+        """GROUP BY ... HAVING <agg> cmp (SELECT <scalar>) — the TPC-H
+        q11 threshold: stacked desugar. The body WITHOUT the HAVING
+        plans as a planner-owned internal delta MV (the keyed reduce),
+        and the HAVING — its aggregate calls rewritten to the reduce's
+        output aliases — becomes the WHERE of an outer stateless body
+        whose cmpscalar subfilter maintains the global threshold
+        (reference: the q11 plan is Reduce → Filter-against-Let,
+        tpch_create_materialized_view.slt:820-860)."""
+        from dataclasses import replace as _dc_replace
+
+        from materialize_spark.plans.select_ast import (
+            SelectItem, SelectQ, extract_subfilters,
+        )
+
+        parsed = _classify_agg_items(q.items)
+        if parsed is None:
+            return False
+        keys, aggs, exprs, out_order = parsed
+        if not aggs or not keys:
+            return False
+        residual, subs = extract_subfilters(q.having)
+        if not subs:
+            return False
+        for sf in subs:
+            if sf.kind not in ("cmpagg", "cmpscalar") \
+                    or sf.in_expr is None:
+                return False
+            lhs = _having_over_aliases(sf.in_expr, aggs, exprs)
+            if lhs is None:
+                return False
+            sf.in_expr = lhs
+        if residual is not None:
+            residual = _having_over_aliases(residual, aggs, exprs)
+            if residual is None:
+                return False
+        internal = f"__jsub_{node.name}"
+        if internal in self._delta_mvs:
+            return False
+        inner_sql = self._cut_clauses(node.body)
+        inner_q = _dc_replace(q, having=None, order=[])
+        fake = ast.CreateView(name=internal, body=inner_sql,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = inner_sql
+        try:
+            self._plan_delta_mv(fake, inner_q)
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        outer_q = SelectQ(
+            items=[SelectItem(expr=c) for c in out_order],
+            table=internal, where=residual, subfilters=subs)
+        try:
+            self._plan_delta_mv(node, outer_q)
+        except Exception:
+            self._rollback_internal(internal)
+            raise
+        spec = self._delta_mvs[node.name]
+        nested = tuple((self._delta_mvs.get(internal) or {})
+                       .get("internal_deps", ()))
+        spec["internal_deps"] = (tuple(spec.get("internal_deps", ()))
+                                 + (internal,) + nested)
+        self._owners.setdefault(internal,
+                                self._owners.get(node.name, self._role))
+        return True
+
+    def _build_scalar_stage(self, sf, owner: str, idx: int,
+                            outer_strip: set) -> dict:
+        """Uncorrelated scalar-subquery comparison (the q11/q22
+        threshold family): the subquery body — ANY dispatcher-supported
+        keyless-aggregate shape, joins and comma-FROM included — plans
+        as a planner-owned internal delta MV whose one-row result is a
+        maintained global frontier; a GlobalCmpFilterMV stage
+        re-qualifies the outer rows when the scalar moves (the
+        reference decorrelates uncorrelated scalar subqueries to a Let
+        binding cross-joined to the outer relation, lowering.rs)."""
+        from dataclasses import replace as _dc_replace
+
+        from materialize_spark.plans.select_ast import (
+            SelectItem, parse_select,
+        )
+        from materialize_spark.streaming.semijoin import (
+            GlobalCmpFilterMV,
+        )
+
+        internal = f"__ssub_{owner}_{idx}"
+        if internal in self._delta_mvs:
+            raise ValueError(
+                f"MAINTENANCE 'delta': internal view {internal!r} "
+                "already exists")
+        body = sf.raw
+        try:
+            iq = parse_select(body)
+        except Exception as e:
+            raise ValueError(
+                "MAINTENANCE 'delta': the comparison subquery is not "
+                f"maintainable ({e})")
+        if len(iq.items) != 1:
+            raise ValueError(
+                "MAINTENANCE 'delta': a scalar subquery must produce "
+                "exactly one column")
+        if iq.items[0].alias is None:
+            iq = _dc_replace(iq, items=[SelectItem(
+                expr=iq.items[0].expr, alias="__v")])
+        fake = ast.CreateView(name=internal, body=body,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = body
+        try:
+            self._plan_delta_mv(fake, iq)
+        except Exception as e:
+            self._rollback_internal(internal)
+            raise ValueError(
+                "MAINTENANCE 'delta': the uncorrelated comparison "
+                f"subquery is not maintainable as a scalar ({e})")
+        ispec = self._delta_mvs.get(internal) or {}
+        if not ispec.get("global_agg"):
+            self._rollback_internal(internal)
+            raise ValueError(
+                "MAINTENANCE 'delta': an uncorrelated comparison "
+                "subquery must be a keyless (scalar) aggregate")
+        self._owners.setdefault(internal,
+                                self._owners.get(owner, self._role))
+        lhs = rewrite(self._strip_quals(sf.in_expr, outer_strip))
+        qual = f"coalesce(({lhs}) {sf.cmp_op} ({{V}}), false)"
+        if sf.negated:
+            qual = f"(NOT {qual})"
+        op = GlobalCmpFilterMV(self.spark, qual_tmpl=qual,
+                               spill_rows=_TOPK_SPILL_ROWS)
+        return {"op": op, "table": internal, "kind": "cmpscalar",
+                "internal": True, "prep_where": None,
+                "prep_select": [], "cmp": (sf.cmp_op, "scalar")}
+
     def _subfilter_inner_delta(self, stage: dict, delta):
         """Project one inner-table diff frame to the stage's support
-        columns (outer-side names), applying the inner-local filter."""
+        columns (outer-side names), applying the inner-local filter.
+        Scalar (cmpscalar) stages instead read the internal scalar
+        MV's CURRENT one-row result — the value is total state."""
         from pyspark.sql import functions as F
 
+        if stage.get("kind") == "cmpscalar":
+            return self._matviews[stage["table"]]
         d = delta
         if stage["prep_where"]:
             d = d.filter(
@@ -2771,15 +3269,38 @@ class MzSession:
         kinds: list[str] = []
         extras: list[str | None] = []
         for seg in q.joins:
-            if seg.extra is not None and seg.kind != "inner":
-                raise ValueError(
-                    "MAINTENANCE 'delta': non-equi ON conjuncts are "
-                    "supported on INNER links only (an outer link's "
-                    "match-set would depend on the residual)")
+            extra = seg.extra
+            if extra is not None and seg.kind != "inner":
+                # an outer link's residual ON conjunct changes the
+                # MATCH SET, not the output filter — but when it
+                # references only RIGHT-side columns it pushes down as
+                # a right-input pre-filter (L ⟕ σ_p(R) ≡ L ⟕ R ON
+                # equi ∧ p(R) — the reference's predicate pushdown;
+                # the q13 o_comment NOT LIKE conjunct). Anything
+                # referencing the left side stays unsupported.
+                rc_ = set(self._base_frame(seg.table).columns)
+                from materialize_spark.plans.lexer import (
+                    tokens as _lex,
+                )
+                left_cols = set()
+                for tt in tables:
+                    left_cols |= set(self._base_frame(tt).columns)
+                try:
+                    words = {t.text for t in _lex(extra, lenient=True)
+                             if t.kind == "WORD"}
+                except Exception:
+                    words = {None}
+                if None in words or (words & left_cols) - rc_:
+                    raise ValueError(
+                        "MAINTENANCE 'delta': non-equi ON conjuncts "
+                        "on outer links must reference only the "
+                        "right input's columns (push-down form); "
+                        f"got {extra!r}")
+                extra = ("right", extra)
             tables.append(seg.table)
             links.append(list(seg.pairs))
             kinds.append(seg.kind)
-            extras.append(seg.extra)
+            extras.append(extra)
         if len(set(tables)) != len(tables):
             return None  # self-joins keep two states of one table: out
         for t in tables:
@@ -2892,13 +3413,14 @@ class MzSession:
         exprs: dict[str, str] = {}
         global_agg = False
         post = None
+        out_order = None
         if q.distinct and q.group_by:
             return False  # DISTINCT + GROUP BY: out of shape
         if q.group_by:
             parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
-            keys, aggs, exprs = parsed_sel
+            keys, aggs, exprs, out_order = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
@@ -2935,11 +3457,13 @@ class MzSession:
                 self.spark, cols=cols, spill_rows=_TOPK_SPILL_ROWS)
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": agg,
+                "rextras": extras,
                 "keys": keys, "aggs": aggs, "cols": cols,
                 "where": q.where, "having": having,
                 "table": None, "topk": None,
                 "distinct": dmv, "exprs": exprs,
                 "global_agg": global_agg, "post": post,
+                "out_order": None if global_agg else out_order,
                 "renames": renames or {}}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
@@ -2968,9 +3492,17 @@ class MzSession:
         same-name) key pairs rename the right key to the accumulated
         side's name; outer ON pairs with distinct names COPY it instead
         — the original right key survives as a payload column
-        (NULL-padded on unmatched-left rows, ON semantics)."""
+        (NULL-padded on unmatched-left rows, ON semantics). Pushed-down
+        right-input pre-filters (an outer link's right-only residual ON
+        conjunct) apply here — every right delta and snapshot enters
+        through this alignment."""
         from pyspark.sql import functions as F
 
+        rextras = spec.get("rextras") or ()
+        if i < len(rextras) and isinstance(rextras[i], tuple) \
+                and rextras[i][0] == "right":
+            delta = delta.filter(
+                f"coalesce(({rewrite(rextras[i][1])}), false)")
         kinds = spec.get("kinds") or ["inner"] * len(spec["links"])
         for onl, onr in spec["links"][i]:
             if onr == onl:
@@ -3296,6 +3828,15 @@ class MzSession:
         from pyspark.sql import functions as F
 
         from materialize_spark.streaming.history import RetainedHistory
+        order = (self._delta_mvs.get(name) or {}).get("out_order")
+        if order and result is not None \
+                and list(result.columns) != list(order) \
+                and set(result.columns) == set(order):
+            # maintained reduces are keys-first; the reference keeps
+            # the SELECT-list order — restore it at the publish surface
+            result = result.select(*order)
+            if out_delta is not None:
+                out_delta = out_delta.select(*order, "diff")
         old = self._matviews.get(name)
         self._matviews[name] = result
         self.catalog.create_view(name, result)

@@ -3466,3 +3466,313 @@ def sqlfront_delta_mv_q3_shape(spark, sf_dir):
                     .alias("o_orderdate"),
                     "o_orderpriority")
             .orderBy("l_orderkey"))
+
+
+_Q13_SHAPE_BODY = """
+SELECT
+    c_count,
+    count(*) AS custdist
+FROM
+    (
+        SELECT
+            c_custkey,
+            count(o_orderkey) c_count
+        FROM
+            customer LEFT OUTER JOIN orders ON
+                c_custkey = o_custkey
+                AND o_orderpriority NOT LIKE '%URGENT%'
+        GROUP BY
+            c_custkey
+    ) AS c_orders
+GROUP BY
+    c_count
+ORDER BY
+    custdist DESC,
+    c_count DESC"""
+
+
+@register(
+    "sqlfront_delta_mv_q13_text",
+    f"""
+    -- oracle: the SAME q13-shape text evaluated directly (the
+    -- synthetic orders table lacks o_comment; the o_orderpriority NOT
+    -- LIKE conjunct stands in — structurally the verbatim TPC-H q13
+    -- from the reference's tpch_create_materialized_view.slt:
+    -- aggregate FROM-subquery with LEFT OUTER JOIN + residual ON
+    -- conjunct, implicit column alias, trailing ORDER BY)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(custdist AS BIGINT) AS custdist
+    FROM ({_Q13_SHAPE_BODY}) q ORDER BY custdist DESC, c_count DESC
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q13_text(spark, sf_dir):
+    """The TPC-H q13 text maintained as written (o_comment adapted to
+    the synthetic schema): the two-level aggregate FROM-subquery plans
+    as a planner-owned internal delta MV (LEFT OUTER JOIN + keyed
+    reduce) whose published diffs feed the outer reduce — the stacked
+    Let-binding rendering of the reference (render.rs; slt:1001-1021).
+    The LEFT join's right-only residual ON conjunct pushes down as a
+    right-input pre-filter. Oracle = the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q13_text WITH "
+              f"(MAINTENANCE 'delta') AS {_Q13_SHAPE_BODY}")
+    return (s.sql("SELECT * FROM q13_text")
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    F.col("custdist").cast("long").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+_Q11_SHAPE_BODY = """
+SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+FROM lineitem, supplier
+WHERE l_suppkey = s_suppkey
+GROUP BY l_suppkey
+HAVING sum(l_extendedprice * (1 - l_discount)) > (
+    SELECT sum(l_extendedprice * (1 - l_discount)) * 0.011
+    FROM lineitem, supplier
+    WHERE l_suppkey = s_suppkey
+)
+ORDER BY value DESC"""
+
+
+@register(
+    "sqlfront_delta_mv_q11_shape",
+    f"""
+    -- oracle: the SAME q11-shape text evaluated directly (the
+    -- synthetic data lacks partsupp/nation filters; lineitem-supplier
+    -- stands in — structurally the verbatim TPC-H q11: keyed reduce +
+    -- HAVING agg > (SELECT agg * k FROM <join>), the uncorrelated
+    -- scalar-subquery threshold)
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(floor(value) AS BIGINT) AS value
+    FROM ({_Q11_SHAPE_BODY}) q ORDER BY l_suppkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch", "subquery",
+)
+def sqlfront_delta_mv_q11_shape(spark, sf_dir):
+    """The q11 threshold family maintained: the HAVING's scalar
+    subquery plans as an internal keyless-aggregate delta MV (a join +
+    global sum) whose one-row value is a maintained global frontier;
+    the keyed reduce stacks under it and threshold crossings
+    re-qualify groups in both directions (GlobalCmpFilterMV;
+    reference slt:820-860 renders q11 as Reduce → Filter-against-Let).
+    Oracle = the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q11_shape WITH "
+              f"(MAINTENANCE 'delta') AS {_Q11_SHAPE_BODY}")
+    return (s.sql("SELECT * FROM q11_shape")
+            .select(F.col("l_suppkey").cast("long").alias("l_suppkey"),
+                    F.floor("value").cast("long").alias("value"))
+            .orderBy("l_suppkey"))
+
+
+_Q22_SHAPE_BODY = """
+SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.00)
+  AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey"""
+
+
+@register(
+    "sqlfront_delta_mv_q22_shape",
+    f"""
+    -- oracle: the SAME q22-shape text evaluated directly (the
+    -- synthetic customer lacks c_phone; c_nationkey groups stand in —
+    -- structurally the verbatim TPC-H q22: an uncorrelated scalar
+    -- average threshold composed with NOT EXISTS under one GROUP BY)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(numcust AS BIGINT) AS numcust,
+           CAST(floor(totacctbal) AS BIGINT) AS totacctbal
+    FROM ({_Q22_SHAPE_BODY}) q ORDER BY c_nationkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch", "subquery",
+)
+def sqlfront_delta_mv_q22_shape(spark, sf_dir):
+    """The q22 composition maintained: WHERE x > (SELECT avg ...) —
+    an internal scalar MV + GlobalCmpFilterMV stage — composes with a
+    maintained NOT EXISTS anti stage and a keyed reduce above, all in
+    one dataflow. Oracle = the SAME SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q22_shape WITH "
+              f"(MAINTENANCE 'delta') AS {_Q22_SHAPE_BODY}")
+    return (s.sql("SELECT * FROM q22_shape")
+            .select(F.col("c_nationkey").cast("long")
+                    .alias("c_nationkey"),
+                    F.col("numcust").cast("long").alias("numcust"),
+                    F.floor("totacctbal").cast("long")
+                    .alias("totacctbal"))
+            .orderBy("c_nationkey"))
+
+
+_Q19_SHAPE_BODY = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem, part
+WHERE (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#12'
+    AND l_quantity >= 1 AND l_quantity <= 11
+    AND p_size BETWEEN 1 AND 5
+) OR (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#23'
+    AND l_quantity >= 10 AND l_quantity <= 20
+    AND p_size BETWEEN 1 AND 10
+) OR (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#34'
+    AND l_quantity >= 20 AND l_quantity <= 30
+    AND p_size BETWEEN 1 AND 15
+)"""
+
+
+@register(
+    "sqlfront_delta_mv_q19_text",
+    f"""
+    -- oracle: the SAME q19-shape text evaluated directly (the
+    -- synthetic schema lacks p_container/l_shipmode/l_shipinstruct;
+    -- the brand/size/quantity blocks stand in — structurally the
+    -- verbatim TPC-H q19: OR-of-conjunct-blocks each carrying the
+    -- p_partkey = l_partkey equi pair, hoisted into the join keys
+    -- with the OR as a residual filter)
+    SELECT CAST(floor(coalesce(revenue, 0)) AS BIGINT) AS revenue
+    FROM ({_Q19_SHAPE_BODY}) q
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q19_text(spark, sf_dir):
+    """The q19 disjunctive join predicate maintained: every OR block
+    shares the p_partkey = l_partkey equi conjunct, so the desugar
+    hoists it into the bilinear chain's join keys and keeps the OR as
+    a per-delta residual filter — never a cross product (the common-
+    disjunct pullup the reference's optimizer performs,
+    slt:1434-1460). Keyless aggregate above. Oracle = same SQL."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q19_text WITH "
+              f"(MAINTENANCE 'delta') AS {_Q19_SHAPE_BODY}")
+    return (s.sql("SELECT * FROM q19_text")
+            .select(F.floor(F.coalesce(F.col("revenue"), F.lit(0)))
+                    .cast("long").alias("revenue")))
+
+
+@register(
+    "sqlfront_delta_mv_agg_over_agg",
+    """
+    -- oracle: generic two-level aggregate (the q13 mechanism without
+    -- the join): per-order stats re-aggregated into a histogram
+    SELECT CAST(nl AS BIGINT) AS nl,
+           CAST(count(*) AS BIGINT) AS norders,
+           CAST(floor(sum(tq)) AS BIGINT) AS sq
+    FROM (
+        SELECT l_orderkey, count(*) AS nl, sum(l_quantity) AS tq
+        FROM lineitem GROUP BY l_orderkey
+    ) o
+    GROUP BY nl ORDER BY nl
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_agg_over_agg(spark, sf_dir):
+    """Generic aggregate-over-aggregate FROM-subquery: the inner keyed
+    reduce maintains as an internal delta MV; its published diffs feed
+    the outer reduce (internal-MV stacking, the q13 mechanism)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("""
+        CREATE MATERIALIZED VIEW agg2 WITH (MAINTENANCE 'delta') AS
+        SELECT nl, count(*) AS norders, sum(tq) AS sq FROM (
+            SELECT l_orderkey, count(*) AS nl, sum(l_quantity) AS tq
+            FROM lineitem GROUP BY l_orderkey
+        ) AS o
+        GROUP BY nl
+    """)
+    return (s.sql("SELECT * FROM agg2")
+            .select(F.col("nl").cast("long").alias("nl"),
+                    F.col("norders").cast("long").alias("norders"),
+                    F.floor("sq").cast("long").alias("sq"))
+            .orderBy("nl"))
+
+
+@register(
+    "sqlfront_delta_mv_corr_not_in",
+    """
+    -- oracle: literal truth of the write sequence against correlated
+    -- [NOT] IN MVs with SQL three-valued semantics PER correlation
+    -- key: a key with an empty inner set keeps every outer row (NULL
+    -- x included), a NULL inner value poisons ITS key only, and a
+    -- NULL outer value never qualifies against a non-empty set.
+    -- (DuckDB 1.0's own WHERE lowering of positive correlated IN
+    -- keeps a NULL-x row the standard filters — the truth table below
+    -- is the PG/reference answer, verified by churn-vs-recompute
+    -- soaks in tests/test_semijoin_mv.py.)
+    SELECT * FROM (VALUES
+        ('mid',   'in',     CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+        ('mid',   'not_in', CAST(2 AS BIGINT), CAST(7 AS BIGINT)),
+        ('mid',   'not_in', CAST(3 AS BIGINT), CAST(9 AS BIGINT)),
+        ('final', 'in',     CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+        ('final', 'not_in', CAST(2 AS BIGINT), CAST(7 AS BIGINT)),
+        ('final', 'not_in', CAST(2 AS BIGINT), CAST(8 AS BIGINT))
+    ) AS t(at, mv, g, x) ORDER BY at, mv, g, x
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_corr_not_in(spark, sf_dir):
+    """Correlated ``x [NOT] IN (SELECT v FROM u WHERE u.k = t.k)``
+    delta-maintained with per-key three-valued NULL semantics: the
+    support keeps NULL in-values (they never match ``=`` but poison
+    their key's NOT IN), per-key emptiness/null counts fold from the
+    same support, and inner commits re-qualify exactly the touched
+    keys' outer rows (streaming/semijoin.SemiAntiFilterMV in_col
+    mode; reference lowering.rs decorrelates to the same plan)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.run_script("""
+        CREATE TABLE cni_t (g BIGINT, x BIGINT);
+        CREATE TABLE cni_u (g2 BIGINT, j BIGINT);
+        INSERT INTO cni_t VALUES (1, 5), (1, NULL), (2, 7), (2, 8),
+                                 (3, 9);
+        INSERT INTO cni_u VALUES (1, 6), (1, NULL), (2, 8);
+        CREATE MATERIALIZED VIEW cni_in WITH (MAINTENANCE 'delta') AS
+          SELECT g, x FROM cni_t
+          WHERE x IN (SELECT j FROM cni_u WHERE cni_u.g2 = cni_t.g);
+        CREATE MATERIALIZED VIEW cni_ni WITH (MAINTENANCE 'delta') AS
+          SELECT g, x FROM cni_t
+          WHERE x NOT IN (SELECT j FROM cni_u
+                          WHERE cni_u.g2 = cni_t.g);
+    """)
+    # mid: key 1 poisoned (inner NULL) -> (1,5)/(1,NULL) out of NOT
+    # IN and 5 unmatched for IN; key 2: 8 IN {8}, 7 NOT IN {8};
+    # key 3 empty -> NOT IN keeps (3,9)
+
+    def snap(at):
+        i = s.sql("SELECT g, x FROM cni_in").select(
+            F.lit(at).alias("at"), F.lit("in").alias("mv"), "g", "x")
+        n = s.sql("SELECT g, x FROM cni_ni").select(
+            F.lit(at).alias("at"), F.lit("not_in").alias("mv"),
+            "g", "x")
+        return i.unionByName(n)
+
+    mid = snap("mid")
+    # un-poison key 1 and give it a match; poison key 3; delete key
+    # 2's match (8 flips from IN to NOT IN)
+    s.run_script("""
+        DELETE FROM cni_u WHERE g2 = 1 AND j IS NULL;
+        INSERT INTO cni_u VALUES (1, 5), (3, NULL);
+        DELETE FROM cni_u WHERE g2 = 2 AND j = 8;
+    """)
+    fin = snap("final")
+    return (mid.unionByName(fin)
+            .select("at", "mv", F.col("g").cast("long").alias("g"),
+                    F.col("x").cast("long").alias("x"))
+            .orderBy("at", "mv", "g", "x"))

@@ -35,10 +35,15 @@ Variants:
 - ``in`` / ``not_in``: membership with SQL's three-valued semantics —
   inner NULLs poison NOT IN (no row qualifies while the inner side
   holds a NULL), NULL outer values match nothing, and ``x NOT IN
-  (empty)`` is TRUE for every x including NULL. The two global terms
-  (inner null count / inner total) are scalar frontiers; a
-  zero-crossing re-derives the whole outer side (it genuinely flips
-  every row).
+  (empty)`` is TRUE for every x including NULL. Uncorrelated
+  (``keys`` empty): the two global terms (inner null count / inner
+  total) are scalar frontiers; a zero-crossing re-derives the whole
+  outer side (it genuinely flips every row). Correlated (``x [NOT]
+  IN (SELECT v FROM i WHERE i.k = o.k)``): the emptiness and
+  NULL-poison terms are PER correlation key — the support keeps NULL
+  in-values (they never match ``=`` but they poison the key), and a
+  key's per-key total/null counts fold out of the same support, so an
+  inner commit re-qualifies exactly the touched keys' outer rows.
 """
 
 from __future__ import annotations
@@ -78,14 +83,18 @@ class SemiAntiFilterMV:
     ``keys``: the outer-side correlation column names (inner deltas
     arrive pre-projected/renamed to these names by the planner).
     ``member``: outer-side column for the ``<>`` exclusion (exists
-    kinds only). ``on_batch(outer_delta, inner_delta)`` returns the
-    stage's output delta (outer columns + ``diff``) or None.
+    kinds only). ``in_col``: outer-side column of the IN expression
+    (in kinds only; ``keys`` holds the ``=`` correlations and may be
+    empty — the uncorrelated case). ``on_batch(outer_delta,
+    inner_delta)`` returns the stage's output delta (outer columns +
+    ``diff``) or None.
     """
 
     spark: SparkSession
     keys: list[str]
     kind: str                      # exists | not_exists | in | not_in
     member: str | None = None
+    in_col: str | None = None
     compact_every: int = 16
     spill_rows: int | None = None
     _outer: SpilledPartsState | None = field(default=None, init=False)
@@ -98,22 +107,41 @@ class SemiAntiFilterMV:
     def __post_init__(self) -> None:
         if self.kind not in _KINDS:
             raise ValueError(f"unsupported subfilter kind {self.kind!r}")
-        if self.member is not None and self.kind in ("in", "not_in"):
-            raise ValueError("member exclusion applies to EXISTS kinds")
+        if self.kind in ("in", "not_in"):
+            if self.member is not None:
+                raise ValueError(
+                    "member exclusion applies to EXISTS kinds")
+            if self.in_col is None:
+                raise ValueError("in kinds need an in_col")
+        elif self.in_col is not None:
+            raise ValueError("in_col applies to IN kinds only")
 
     # -- state plumbing -----------------------------------------------------
+    @property
+    def _corr_in(self) -> bool:
+        """Correlated [NOT] IN: per-key emptiness/NULL-poison terms."""
+        return self.in_col is not None and bool(self.keys)
+
     def _ikey(self) -> list[str]:
+        if self.in_col is not None:
+            return self.keys + [self.in_col]
         return self.keys + ([self.member] if self.member else [])
+
+    def _probe_keys(self) -> list[str]:
+        """State/prune keys: the correlation keys, or the IN value
+        itself for the uncorrelated membership case (touched VALUES
+        are the re-qualification unit there)."""
+        return self.keys if self.keys else [self.in_col]
 
     def _ensure(self) -> None:
         if self._inner is None:
             self._inner = SpilledPartsState(
-                self.spark, key_cols=list(self.keys), name="semi_inner",
-                spill_rows=self.spill_rows)
+                self.spark, key_cols=self._probe_keys(),
+                name="semi_inner", spill_rows=self.spill_rows)
         if self._outer is None:
             self._outer = SpilledPartsState(
-                self.spark, key_cols=list(self.keys), name="semi_outer",
-                spill_rows=self.spill_rows)
+                self.spark, key_cols=self._probe_keys(),
+                name="semi_outer", spill_rows=self.spill_rows)
 
     def _counts(self, touched: DataFrame | None) -> DataFrame | None:
         """Current inner support (keys[, member] -> __cnt), confined to
@@ -123,7 +151,7 @@ class SemiAntiFilterMV:
         if probe is None:
             return None
         if touched is not None:
-            probe = _ns_semi(probe, touched, self.keys)
+            probe = _ns_semi(probe, touched, self._probe_keys())
         return (probe.groupBy(*self._ikey())
                 .agg(F.sum("__cnt").alias("__cnt"))
                 .filter(F.col("__cnt") != 0))
@@ -135,7 +163,7 @@ class SemiAntiFilterMV:
         if probe is None:
             return None
         if touched is not None:
-            probe = _ns_semi(probe, touched, self.keys)
+            probe = _ns_semi(probe, touched, self._probe_keys())
         cols = [c for c in probe.columns if c != DIFF_COL]
         return (probe.groupBy(*cols)
                 .agg(F.sum(DIFF_COL).alias(DIFF_COL))
@@ -154,7 +182,7 @@ class SemiAntiFilterMV:
             return n > 0
         if self.kind == "not_exists":
             return n <= 0
-        key = F.col(self.keys[0])
+        key = F.col(self.in_col)
         if self.kind == "in":
             return key.isNotNull() & (n > 0)
         # not_in: inner NULL poisons everything; the empty inner set
@@ -164,6 +192,23 @@ class SemiAntiFilterMV:
         if null_cnt > 0:
             return F.lit(False)
         return key.isNotNull() & (n <= 0)
+
+    def _qual_corr_in(self, tot, nul, cnt):
+        """Correlated [NOT] IN qualification from the attached per-key
+        total / per-key inner-NULL count / per-(key,value) match count.
+        SQL three-valued semantics per correlation key: an EMPTY key
+        set makes NOT IN true for every outer row of the key (a NULL
+        correlation key always has the empty set — ``=`` matches
+        nothing); a non-empty set with a NULL outer value or a NULL
+        inner value yields UNKNOWN → filtered."""
+        t = F.coalesce(tot, F.lit(0))
+        m = F.coalesce(cnt, F.lit(0))
+        v = F.col(self.in_col)
+        if self.kind == "in":
+            return v.isNotNull() & (m > 0)
+        n = F.coalesce(nul, F.lit(0))
+        return F.when(t == 0, F.lit(True)).otherwise(
+            v.isNotNull() & (n == 0) & (m <= 0))
 
     def _qual_member(self, tot, cnt):
         """Member-exclusion qualification: does ANOTHER member's inner
@@ -176,40 +221,52 @@ class SemiAntiFilterMV:
     def _attach(self, rows: DataFrame, counts: DataFrame | None,
                 sfx: str) -> DataFrame:
         """Left-attach ``__cnt{sfx}`` (and ``__tot{sfx}`` for the
-        member variant) to outer rows. Plain `=` joins throughout:
-        NULL outer keys must NOT match any inner group (SQL equality),
-        and the support holds no NULL keys. ``counts`` is _ckpt'd
-        first — the member variant reads it twice (per-key totals +
+        member variant; ``__tot{sfx}``/``__nul{sfx}`` for correlated
+        IN) to outer rows. Plain `=` joins throughout: NULL outer keys
+        must NOT match any inner group (SQL equality), and the support
+        holds no NULL correlation keys. ``counts`` is _ckpt'd first —
+        the member/corr-in variants read it twice (per-key totals +
         per-pair counts), and shared live subplans under one plan are
         the relation-dedup hazard."""
         cnt_c, tot_c = f"__cnt{sfx}", f"__tot{sfx}"
+        nul_c = f"__nul{sfx}"
         if counts is None:
             out = rows.withColumn(cnt_c, F.lit(None).cast("long"))
-            if self.member:
+            if self.member or self._corr_in:
                 out = out.withColumn(tot_c, F.lit(None).cast("long"))
+            if self._corr_in:
+                out = out.withColumn(nul_c, F.lit(None).cast("long"))
             return out
         counts = _ckpt(counts)
-        if self.member:
-            tots = (counts.groupBy(*self.keys)
-                    .agg(F.sum("__cnt").alias(tot_c)))
+        if self.member or self._corr_in:
+            vcol = self.member or self.in_col
+            tot_aggs = [F.sum("__cnt").alias(tot_c)]
+            if self._corr_in:
+                tot_aggs.append(F.sum(
+                    F.when(F.col(vcol).isNull(), F.col("__cnt"))
+                    .otherwise(F.lit(0))).alias(nul_c))
+            tots = counts.groupBy(*self.keys).agg(*tot_aggs)
             out = rows.join(tots, on=self.keys, how="left")
             a = out.alias("__a")
-            b = (counts.select(
-                *self.keys, F.col(self.member).alias("__im"),
+            b = (counts.filter(F.col(vcol).isNotNull()).select(
+                *self.keys, F.col(vcol).alias("__im"),
                 F.col("__cnt").alias(cnt_c)).alias("__b"))
-            cond = F.col(f"__a.{self.member}") == F.col("__b.__im")
+            cond = F.col(f"__a.{vcol}") == F.col("__b.__im")
             for k in self.keys:
                 cond = cond & (F.col(f"__a.{k}") == F.col(f"__b.{k}"))
             return a.join(b, on=cond, how="left").select(
                 *[F.col(f"__a.{c}") for c in out.columns],
                 F.col(f"__b.{cnt_c}"))
         return rows.join(counts.withColumnRenamed("__cnt", cnt_c),
-                         on=self.keys, how="left")
+                         on=self._probe_keys(), how="left")
 
     def _qual(self, sfx: str, total=None, null_cnt=None):
         cnt = F.col(f"__cnt{sfx}")
         if self.member:
             return self._qual_member(F.col(f"__tot{sfx}"), cnt)
+        if self._corr_in:
+            return self._qual_corr_in(
+                F.col(f"__tot{sfx}"), F.col(f"__nul{sfx}"), cnt)
         return self._qual_plain(cnt, total, null_cnt)
 
     def _qualify(self, rows: DataFrame,
@@ -239,7 +296,8 @@ class SemiAntiFilterMV:
             terms += self._fold_inner(inner_delta)
         if outer_delta is not None:
             od = _ckpt(outer_delta)
-            new_counts = self._counts(od.select(*self.keys).distinct())
+            new_counts = self._counts(
+                od.select(*self._probe_keys()).distinct())
             terms.append(self._qualify(od, new_counts))
             self._outer.append(od)
             self._o_appends += 1
@@ -257,10 +315,13 @@ class SemiAntiFilterMV:
     def _fold_inner(self, inner_delta: DataFrame) -> list[DataFrame]:
         batch_t = batch_n = 0
         global_flip = False
-        if self.kind in ("in", "not_in"):
+        if self.in_col is not None and not self._corr_in:
+            # uncorrelated [NOT] IN: emptiness / NULL-poison are the
+            # global scalar frontiers (correlated keeps them per key,
+            # folded from the support itself)
             row = inner_delta.agg(
                 F.sum(DIFF_COL).alias("t"),
-                F.sum(F.when(F.col(self.keys[0]).isNull(),
+                F.sum(F.when(F.col(self.in_col).isNull(),
                              F.col(DIFF_COL)).otherwise(F.lit(0)))
                 .alias("n")).collect()[0]
             batch_t, batch_n = int(row.t or 0), int(row.n or 0)
@@ -269,15 +330,19 @@ class SemiAntiFilterMV:
             self._null_cnt += batch_n
             global_flip = self.kind == "not_in" \
                 and old_flags != (self._total == 0, self._null_cnt > 0)
-        # NULL keys / NULL members never satisfy `=` / `<>`: exclude
-        # from support entirely
+        # NULL correlation keys / NULL members never satisfy `=` /
+        # `<>`: exclude from support entirely. Correlated IN keeps
+        # NULL in-values (they poison the key, tracked per key);
+        # uncorrelated IN tracks them in the global scalars instead.
         clean = inner_delta
-        for k in self._ikey():
+        nn_cols = self.keys + ([self.member] if self.member else []) \
+            if self._corr_in or self.member else self._ikey()
+        for k in nn_cols:
             clean = clean.filter(F.col(k).isNotNull())
         partial = _ckpt(clean.groupBy(*self._ikey())
                         .agg(F.sum(DIFF_COL).alias("__cnt"))
                         .filter(F.col("__cnt") != 0))
-        touched = _ckpt(partial.select(*self.keys).distinct())
+        touched = _ckpt(partial.select(*self._probe_keys()).distinct())
         scope = None if global_flip else touched
         old_counts = self._counts(scope)
         self._inner.append(partial)
@@ -441,6 +506,123 @@ class CmpAggFilterMV:
             self._outer.append(od)
             self._o_appends += 1
         if self._o_appends >= self.compact_every:
+            full = self._outer.full_frame()
+            if full is not None:
+                cols = [c for c in full.columns if c != DIFF_COL]
+                self._outer.replace(_ckpt(
+                    full.groupBy(*cols)
+                    .agg(F.sum(DIFF_COL).alias(DIFF_COL))
+                    .filter(F.col(DIFF_COL) != 0)))
+            self._o_appends = 0
+        if not terms:
+            return None
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t)
+        return out
+
+
+@dataclass
+class GlobalCmpFilterMV:
+    """Uncorrelated scalar-subquery comparison filter — the TPC-H
+    q11/q22 family: ``lhs op (SELECT <scalar aggregate body>)`` with
+    NO outer correlation. The reference plans the subquery as a Let
+    binding whose one-row arrangement joins (cross) against the outer
+    relation (lowering.rs); the maintained form keeps the scalar as a
+    planner-owned internal keyless-aggregate delta MV and this stage
+    holds its current ONE-ROW frame as a global frontier: outer deltas
+    qualify against the current value (a broadcast-sized cross join),
+    and a genuine value CHANGE re-qualifies the stored outer rows in
+    one vectorized scan emitting ± flips — the rows whose comparison
+    truth changed are exactly the rows the filter must re-derive, so
+    the scan is the information-theoretic minimum, and it is skipped
+    entirely when a commit leaves the scalar unchanged (the two 1-row
+    collects per inner commit are the scalar-frontier idiom, like
+    SemiAntiFilterMV's NOT IN totals).
+
+    ``qual_tmpl``: SQL boolean with a ``{V}`` placeholder for the
+    scalar's column. SQL semantics: a NULL scalar makes the comparison
+    UNKNOWN → row filtered (the empty-aggregate NULL composes through
+    the coalesce the planner bakes in).
+    """
+
+    spark: SparkSession
+    qual_tmpl: str
+    compact_every: int = 16
+    spill_rows: int | None = None
+    _outer: SpilledPartsState | None = field(default=None, init=False)
+    _val: DataFrame | None = field(default=None, init=False)
+    _o_appends: int = field(default=0, init=False)
+
+    def _ensure_outer(self, like: DataFrame) -> None:
+        if self._outer is None:
+            key = [c for c in like.columns if c != DIFF_COL][0]
+            self._outer = SpilledPartsState(
+                self.spark, key_cols=[key], name="gcmp_outer",
+                spill_rows=self.spill_rows)
+
+    def _outer_rows(self) -> DataFrame | None:
+        probe = self._outer.probe_frame(None) if self._outer else None
+        if probe is None:
+            return None
+        cols = [c for c in probe.columns if c != DIFF_COL]
+        return (probe.groupBy(*cols)
+                .agg(F.sum(DIFF_COL).alias(DIFF_COL))
+                .filter(F.col(DIFF_COL) != 0))
+
+    def _attach(self, rows: DataFrame, val: DataFrame | None,
+                col: str) -> DataFrame:
+        if val is None:
+            return rows.withColumn(col, F.lit(None))
+        one = val.select(F.col(val.columns[0]).alias(col))
+        return rows.crossJoin(F.broadcast(one))
+
+    def on_batch(self, outer_delta: DataFrame | None = None,
+                 inner_delta: DataFrame | None = None
+                 ) -> DataFrame | None:
+        """``inner_delta`` here is the scalar MV's CURRENT one-row
+        frame (the planner passes the maintained result, not a diff —
+        the value is total state). Inner folds first (bilinear
+        order)."""
+        terms: list[DataFrame] = []
+        if inner_delta is not None:
+            new_val = _ckpt(inner_delta.limit(1))
+            old_scalar = (self._val.collect()[0][0]
+                          if self._val is not None else None)
+            rows_ = new_val.collect()
+            new_scalar = rows_[0][0] if rows_ else None
+            changed = self._val is not None \
+                and old_scalar != new_scalar
+            old_val = self._val
+            self._val = new_val
+            if changed:
+                old_rows = self._outer_rows()
+                if old_rows is not None:
+                    old_rows = _ckpt(old_rows)
+                    att = self._attach(
+                        self._attach(old_rows, old_val, "__v_o"),
+                        new_val, "__v_n")
+                    old_q = F.expr(self.qual_tmpl.format(V="__v_o"))
+                    new_q = F.expr(self.qual_tmpl.format(V="__v_n"))
+                    sign = (F.when(new_q & ~old_q, F.lit(1))
+                            .when(old_q & ~new_q, F.lit(-1)))
+                    flip = _ckpt(att.withColumn("__s", sign)
+                                 .filter(F.col("__s").isNotNull()))
+                    cols = [c for c in old_rows.columns
+                            if c != DIFF_COL]
+                    terms.append(flip.select(
+                        *cols, (F.col(DIFF_COL) * F.col("__s"))
+                        .alias(DIFF_COL)))
+        if outer_delta is not None:
+            od = _ckpt(outer_delta)
+            self._ensure_outer(od)
+            att = self._attach(od, self._val, "__v")
+            kept = _ckpt(att.filter(
+                F.expr(self.qual_tmpl.format(V="__v"))))
+            terms.append(kept.select(*od.columns))
+            self._outer.append(od)
+            self._o_appends += 1
+        if self._o_appends >= self.compact_every and self._outer:
             full = self._outer.full_frame()
             if full is not None:
                 cols = [c for c in full.columns if c != DIFF_COL]

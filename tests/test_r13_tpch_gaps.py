@@ -1,0 +1,270 @@
+"""Round-13 TPC-H dispatcher gaps: stateful FROM-subqueries (q13),
+uncorrelated scalar-subquery thresholds (q11/q22), and disjunctive
+join predicates with common equi keys (q19).
+
+Reference: test/sqllogictest/tpch_create_materialized_view.slt
+maintains all 22 query texts; the shapes here are the verbatim texts
+adapted only where the synthetic testdata lacks a column (o_comment,
+c_phone, partsupp — the q3 precedent from round 12). Every check
+compares the maintained result against DuckDB recomputing the SAME SQL
+after identical churn."""
+
+import duckdb
+
+
+def _mz(spark, sf=None):
+    from materialize_spark.plans.sqlfront import MzSession
+    return MzSession(spark) if sf is None else MzSession(spark, sf)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(s, tables):
+    """DuckDB copy of the CURRENT engine state (earlier tests in the
+    shared Spark session may have churned the sf-backed tables)."""
+    con = duckdb.connect()
+    for t in tables:
+        pdf = s.sql(f"SELECT * FROM {t}").toPandas()
+        con.register(f"_{t}_pd", pdf)
+        con.execute(f"CREATE TABLE {t} AS SELECT * FROM _{t}_pd")
+    return con
+
+
+Q13 = """
+SELECT
+    c_count,
+    count(*) AS custdist
+FROM
+    (
+        SELECT
+            c_custkey,
+            count(o_orderkey) c_count
+        FROM
+            customer LEFT OUTER JOIN orders ON
+                c_custkey = o_custkey
+                AND o_orderpriority NOT LIKE '%URGENT%'
+        GROUP BY
+            c_custkey
+    ) AS c_orders
+GROUP BY
+    c_count
+ORDER BY
+    custdist DESC,
+    c_count DESC
+"""
+
+
+def test_q13_two_level_aggregate_maintains(spark):
+    """The q13 blocker: an aggregate FROM-subquery (LEFT OUTER JOIN +
+    GROUP BY under GROUP BY) delta-maintains via the internal-MV
+    stacking desugar; implicit column alias (count(..) c_count) and
+    the content-irrelevant ORDER BY parse as written."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q13 WITH (MAINTENANCE "
+              f"'delta') AS {Q13}")
+    con = _oracle(s, ["customer", "orders"])
+
+    def check():
+        got = sorted(tuple(r) for r in
+                     s.sql("SELECT * FROM q13").collect())
+        exp = sorted(tuple(r) for r in con.execute(Q13).fetchall())
+        assert got == exp, (got[:5], exp[:5])
+
+    check()
+    for sql in (
+        "DELETE FROM orders WHERE o_custkey % 7 = 0",
+        "INSERT INTO orders SELECT * FROM orders "
+        "WHERE o_orderkey % 13 = 0",
+        "DELETE FROM customer WHERE c_custkey % 11 = 3",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q13")
+    # the internal stacked view died with its owner
+    assert not any(n.startswith("__jsub_") for n in s._delta_mvs)
+
+
+def test_generic_agg_over_agg(spark):
+    """Two-level aggregate over a created table: deletes cascade
+    through both reduces."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE aa_t (g BIGINT, u BIGINT, v BIGINT);
+        INSERT INTO aa_t VALUES (1, 1, 10), (1, 1, 20), (1, 2, 5),
+                                (2, 3, 7), (2, 3, 7);
+        CREATE MATERIALIZED VIEW aa WITH (MAINTENANCE 'delta') AS
+          SELECT g, count(*) AS nu, sum(s) AS tot FROM (
+            SELECT g, u, sum(v) AS s FROM aa_t GROUP BY g, u
+          ) AS per_u
+          GROUP BY g;
+    """)
+    rows = lambda: sorted(tuple(r) for r in  # noqa: E731
+                          s.sql("SELECT * FROM aa").collect())
+    assert rows() == [(1, 2, 35), (2, 1, 14)]
+    s.execute("DELETE FROM aa_t WHERE g = 1 AND u = 1 AND v = 20")
+    assert rows() == [(1, 2, 15), (2, 1, 14)]
+    s.execute("DELETE FROM aa_t WHERE u = 2")
+    assert rows() == [(1, 1, 10), (2, 1, 14)]
+    s.execute("INSERT INTO aa_t VALUES (2, 9, 1)")
+    assert rows() == [(1, 1, 10), (2, 2, 15)]
+    s.run_script("DROP MATERIALIZED VIEW aa; DROP TABLE aa_t;")
+
+
+Q11 = """
+SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+FROM lineitem, supplier
+WHERE l_suppkey = s_suppkey
+GROUP BY l_suppkey
+HAVING sum(l_extendedprice * (1 - l_discount)) > (
+    SELECT sum(l_extendedprice * (1 - l_discount)) * 0.011
+    FROM lineitem, supplier
+    WHERE l_suppkey = s_suppkey
+)
+ORDER BY value DESC
+"""
+
+
+def test_q11_having_scalar_threshold(spark):
+    """q11 shape: keyed reduce + HAVING agg > (SELECT agg * k) over a
+    join — the subquery maintains as an internal keyless-aggregate MV
+    and threshold crossings re-qualify groups in both directions."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q11s WITH (MAINTENANCE "
+              f"'delta') AS {Q11}")
+    con = _oracle(s, ["lineitem", "supplier"])
+
+    def check():
+        got = sorted((a, round(float(b), 5)) for a, b in
+                     s.sql("SELECT * FROM q11s").collect())
+        exp = sorted((a, round(float(b), 5)) for a, b in
+                     con.execute(Q11).fetchall())
+        assert got == exp, (len(got), len(exp))
+
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 6 = 1",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_suppkey % 4 = 0 AND l_linenumber = 1",
+        "DELETE FROM supplier WHERE s_suppkey % 17 = 3",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q11s")
+
+
+def test_where_scalar_threshold_flips(spark):
+    """WHERE x > (SELECT avg(x) ...): the global frontier re-derives
+    exactly the rows whose truth changed, in both directions."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sc_t (k BIGINT, v DOUBLE);
+        INSERT INTO sc_t VALUES (1, 10.0), (2, 20.0), (3, 60.0);
+        CREATE MATERIALIZED VIEW sc WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM sc_t
+          WHERE v > (SELECT avg(v) FROM sc_t);
+    """)
+    rows = lambda: sorted(tuple(r) for r in  # noqa: E731
+                          s.sql("SELECT * FROM sc").collect())
+    assert rows() == [(3, 60.0)]
+    s.execute("INSERT INTO sc_t VALUES (4, 110.0)")   # avg 50
+    assert rows() == [(3, 60.0), (4, 110.0)]
+    s.execute("DELETE FROM sc_t WHERE k = 4")          # avg 30
+    assert rows() == [(3, 60.0)]
+    s.execute("DELETE FROM sc_t WHERE k = 3")          # avg 15
+    assert rows() == [(2, 20.0)]
+    s.run_script("DROP MATERIALIZED VIEW sc; DROP TABLE sc_t;")
+
+
+Q22 = """
+SELECT c_nationkey, count(*) AS numcust,
+       sum(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.00)
+  AND NOT EXISTS (SELECT * FROM orders
+                  WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def test_q22_scalar_threshold_not_exists_composition(spark):
+    """q22 shape: an uncorrelated scalar threshold composes with NOT
+    EXISTS under one GROUP BY — both stages maintain."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q22s WITH (MAINTENANCE "
+              f"'delta') AS {Q22}")
+    con = _oracle(s, ["customer", "orders"])
+
+    def check():
+        got = sorted((a, b, round(float(c), 6)) for a, b, c in
+                     s.sql("SELECT * FROM q22s").collect())
+        exp = sorted((a, b, round(float(c), 6)) for a, b, c in
+                     con.execute(Q22).fetchall())
+        assert got == exp, (got[:4], exp[:4])
+
+    check()
+    for sql in (
+        "DELETE FROM orders WHERE o_custkey % 5 = 0",
+        "INSERT INTO customer SELECT c_custkey + 100000, c_name, "
+        "c_nationkey, c_acctbal * 3, c_mktsegment FROM customer "
+        "WHERE c_custkey % 9 = 0",
+        "DELETE FROM customer WHERE c_custkey % 7 = 2",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q22s")
+
+
+Q19 = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem, part
+WHERE (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#12'
+    AND l_quantity >= 1 AND l_quantity <= 11
+    AND p_size BETWEEN 1 AND 5
+) OR (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#23'
+    AND l_quantity >= 10 AND l_quantity <= 20
+    AND p_size BETWEEN 1 AND 10
+) OR (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#34'
+    AND l_quantity >= 20 AND l_quantity <= 30
+    AND p_size BETWEEN 1 AND 15
+)
+"""
+
+
+def test_q19_disjunctive_join_predicate(spark):
+    """q19 shape: the shared p_partkey = l_partkey inside every OR
+    block hoists into the join keys; the OR stays a residual filter
+    over the joined delta — never a cross product."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q19s WITH (MAINTENANCE "
+              f"'delta') AS {Q19}")
+    con = _oracle(s, ["lineitem", "part"])
+
+    def check():
+        got = [round(float(r[0]), 4) if r[0] is not None else None
+               for r in s.sql("SELECT * FROM q19s").collect()]
+        exp = [round(float(r[0]), 4) if r[0] is not None else None
+               for r in con.execute(Q19).fetchall()]
+        assert got == exp, (got, exp)
+
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 5 = 2",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_quantity BETWEEN 10 AND 20 AND l_linenumber = 2",
+        "DELETE FROM part WHERE p_size > 12",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q19s")

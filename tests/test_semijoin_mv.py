@@ -590,3 +590,119 @@ def test_in_having_threshold_membership(spark):
             "(SELECT lok FROM th_l GROUP BY lok HAVING sum(qty) > 1)")
     s.run_script("DROP MATERIALIZED VIEW th;"
                  "DROP TABLE th_o; DROP TABLE th_l;")
+
+
+def test_correlated_not_in_three_valued(spark):
+    """x NOT IN (SELECT j FROM u WHERE u.g2 = t.g): the emptiness and
+    NULL-poison terms are PER correlation key (reference lowering
+    keeps them in the decorrelated plan): a key whose inner set is
+    empty keeps every outer row (NULL x included); a key whose set
+    holds a NULL — or a NULL outer x against a non-empty set — is
+    UNKNOWN → filtered."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE co_t (g BIGINT, x BIGINT);
+        CREATE TABLE co_u (g2 BIGINT, j BIGINT);
+        INSERT INTO co_t VALUES (1, 5), (1, NULL), (2, 7), (3, 9),
+                                (NULL, 4);
+        INSERT INTO co_u VALUES (1, 6), (1, NULL), (2, 8);
+        CREATE MATERIALIZED VIEW co_ni WITH (MAINTENANCE 'delta') AS
+          SELECT g, x FROM co_t
+          WHERE x NOT IN (SELECT j FROM co_u WHERE co_u.g2 = co_t.g);
+    """)
+    # key 1 poisoned by its inner NULL; key 3 and the NULL key have
+    # empty sets -> kept; (2,7) not in {8} -> kept
+    assert rows(s, "SELECT * FROM co_ni") == [(2, 7), (3, 9),
+                                              (None, 4)]
+    # un-poison key 1 (x=5 now NOT IN {6}); give key 3 a match;
+    # poison key 2
+    s.run_script("""
+        DELETE FROM co_u WHERE g2 = 1 AND j IS NULL;
+        INSERT INTO co_u VALUES (3, 9), (2, NULL);
+    """)
+    assert rows(s, "SELECT * FROM co_ni") == [(1, 5), (None, 4)]
+    # outer churn probes live per-key state: key 4 has the empty set;
+    # (1,6) matches {6}
+    s.execute("INSERT INTO co_t VALUES (4, 1), (1, 6)")
+    assert rows(s, "SELECT * FROM co_ni") == [(1, 5), (4, 1),
+                                              (None, 4)]
+    # draining key 2's poison row revives (2,7)
+    s.execute("DELETE FROM co_u WHERE g2 = 2 AND j IS NULL")
+    assert rows(s, "SELECT * FROM co_ni") == [(1, 5), (2, 7), (4, 1),
+                                              (None, 4)]
+    s.run_script("DROP MATERIALIZED VIEW co_ni;"
+                 "DROP TABLE co_t; DROP TABLE co_u;")
+
+
+def test_correlated_in_per_key_membership(spark):
+    """Positive correlated IN: membership is per correlation key; a
+    NULL outer value never qualifies (UNKNOWN), a NULL correlation
+    key sees the empty set. (DuckDB 1.0.0's WHERE lowering keeps the
+    NULL-x row here — a known DuckDB bug; the reference and PG filter
+    it, and so do we.)"""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ci_t (g BIGINT, x BIGINT);
+        CREATE TABLE ci_u (g2 BIGINT, j BIGINT);
+        INSERT INTO ci_t VALUES (1, 5), (1, NULL), (2, 8), (NULL, 8);
+        INSERT INTO ci_u VALUES (1, 6), (1, NULL), (2, 8);
+        CREATE MATERIALIZED VIEW ci WITH (MAINTENANCE 'delta') AS
+          SELECT g, x FROM ci_t
+          WHERE x IN (SELECT j FROM ci_u WHERE ci_u.g2 = ci_t.g);
+    """)
+    # (2,8) matches key 2's {8}; (NULL,8) has the empty set; NULL x
+    # never matches
+    assert rows(s, "SELECT * FROM ci") == [(2, 8)]
+    # value arrives for key 1; delete key 2's match
+    s.run_script("""
+        INSERT INTO ci_u VALUES (1, 5);
+        DELETE FROM ci_u WHERE g2 = 2 AND j = 8;
+    """)
+    assert rows(s, "SELECT * FROM ci") == [(1, 5)]
+    # same value under the WRONG key does not leak across keys
+    s.execute("INSERT INTO ci_u VALUES (2, 5)")
+    assert rows(s, "SELECT * FROM ci") == [(1, 5)]
+    s.run_script("DROP MATERIALIZED VIEW ci;"
+                 "DROP TABLE ci_t; DROP TABLE ci_u;")
+
+
+def test_dropped_key_name_collision(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ga (x BIGINT, y BIGINT);
+        CREATE TABLE gb (y BIGINT, z BIGINT);
+        INSERT INTO ga VALUES (10, 77);
+        INSERT INTO gb VALUES (10, 500);
+        CREATE MATERIALIZED VIEW gmv WITH (MAINTENANCE 'delta') AS
+          SELECT ga.y, SUM(gb.z) AS s FROM ga, gb
+          WHERE ga.x = gb.y GROUP BY ga.y;
+    """)
+    assert rows(s, "SELECT * FROM gmv") == [(77, 500)]
+    s.execute("INSERT INTO gb VALUES (10, 30)")
+    assert rows(s, "SELECT * FROM gmv") == [(77, 530)]
+    s.execute("INSERT INTO ga VALUES (10, 99)")
+    assert rows(s, "SELECT * FROM gmv") == [(77, 530), (99, 530)]
+    # bare ambiguous reference raises loudly
+    with pytest.raises(Exception, match="ambiguous"):
+        s.execute("CREATE MATERIALIZED VIEW gbad WITH (MAINTENANCE "
+                  "'delta') AS SELECT y, SUM(gb.z) AS s FROM ga, gb "
+                  "WHERE ga.x = gb.y GROUP BY y")
+    s.run_script("DROP MATERIALIZED VIEW gmv; DROP TABLE ga; DROP TABLE gb;")
+
+def test_qualified_dropped_key_select(spark):
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE ha (x BIGINT, v STRING);
+        CREATE TABLE hb (w BIGINT, z BIGINT);
+        INSERT INTO ha VALUES (1, 'a'), (2, 'b');
+        INSERT INTO hb VALUES (1, 10), (2, 20);
+        CREATE MATERIALIZED VIEW hmv WITH (MAINTENANCE 'delta') AS
+          SELECT hb.w, SUM(hb.z) AS s FROM ha, hb
+          WHERE ha.x = hb.w GROUP BY hb.w;
+    """)
+    assert rows(s, "SELECT * FROM hmv") == [(1, 10), (2, 20)]
+    cols = [f.name for f in s.sql("SELECT * FROM hmv").schema.fields]
+    assert cols == ["w", "s"]
+    s.execute("INSERT INTO hb VALUES (1, 5)")
+    assert rows(s, "SELECT * FROM hmv") == [(1, 15), (2, 20)]
+    s.run_script("DROP MATERIALIZED VIEW hmv; DROP TABLE ha; DROP TABLE hb;")

@@ -285,3 +285,46 @@ def test_restore_replays_new_maintained_kinds(spark, tmp_path):
     assert sorted(r.n for r in
                   s2.sql("SELECT * FROM rr_wmr").collect()) == [
         1, 2, 11, 12, 21, 22]
+
+
+def test_wmr_monotonicity_is_structural(spark):
+    """Monotonicity detection walks the parsed tree, not keyword text:
+    a string literal containing 'left' or 'not' must NOT force the
+    cold path, while genuinely non-monotone constructs (EXCEPT,
+    aggregates, outer joins, NOT EXISTS) must NEVER warm-start —
+    warm-starting a non-monotone binding would be a correctness bug,
+    not a performance one."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE wmm (src BIGINT, dst BIGINT, note STRING);
+        INSERT INTO wmm VALUES (1, 2, 'left not group');
+    """)
+    s.execute("""
+        CREATE MATERIALIZED VIEW wmm_mono WITH (MAINTENANCE 'delta')
+        AS WITH MUTUALLY RECURSIVE
+          reach (src int8, dst int8) AS (
+            SELECT src, dst FROM wmm WHERE note = 'left not group'
+            UNION
+            SELECT r.src, e.dst FROM reach r
+            JOIN wmm e ON r.dst = e.src)
+        SELECT src, dst FROM reach
+    """)
+    # the literal 'left not group' no longer scares the detector
+    assert s._delta_mvs["wmm_mono"]["monotone"] is True
+    s.execute("DROP MATERIALIZED VIEW wmm_mono")
+    for tag, binding in (
+        ("except", "SELECT src, dst FROM wmm EXCEPT "
+                   "SELECT src, dst FROM reach"),
+        ("agg", "SELECT src, max(dst) AS dst FROM wmm GROUP BY src"),
+        ("outer", "SELECT r.src, e.dst FROM reach r "
+                  "LEFT JOIN wmm e ON r.dst = e.src"),
+    ):
+        s.execute(f"""
+            CREATE MATERIALIZED VIEW wmm_{tag} WITH
+            (MAINTENANCE 'delta') AS WITH MUTUALLY RECURSIVE
+              reach (src int8, dst int8) AS ({binding})
+            SELECT src, dst FROM reach
+        """)
+        assert s._delta_mvs[f"wmm_{tag}"]["monotone"] is False, tag
+        s.execute(f"DROP MATERIALIZED VIEW wmm_{tag}")
+    s.execute("DROP TABLE wmm")
