@@ -530,7 +530,14 @@ def _match_subfilter(conj: str) -> SubFilter | None:
                 return None
             sf = _parse_sub_body(body, "in")
             if sf is None:
-                return None
+                # not the single-table correlated shape — keep the raw
+                # body; the planner tries it as an UNCORRELATED
+                # membership set planned as an internal delta MV (the
+                # q20 nested composition)
+                sf = SubFilter(negated=False, kind="in", table="",
+                               alias=None, conjuncts=[], raw=body)
+            else:
+                sf.raw = body
             sf.negated = negated
             sf.in_expr = expr
             return sf

@@ -747,6 +747,140 @@ class MzSession:
             return False   # EXCEPT / INTERSECT: non-monotone
         return all(q_ok(q) for q in qs)
 
+    @staticmethod
+    def _binding_seminaive(body: str, names: list[str]) -> bool:
+        """Eligibility for DIFFERENTIAL (semi-naive) rounds: the body
+        is a top-level UNION (distinct) chain — binding values are
+        then sets, so frontier deltas compose exactly — and each
+        recursive binding name appears at most ONCE per branch (the
+        multilinear delta rule substitutes per NAME; a self-join of
+        one binding inside a single branch would need per-occurrence
+        substitution)."""
+        from materialize_spark.plans.lexer import tokens as _lex
+        from materialize_spark.plans.select_ast import (
+            parse_set_op_branches,
+        )
+        try:
+            op, is_all, qs = parse_set_op_branches(body)
+            spans = [body] if op == "select" else None
+        except Exception:
+            return False
+        if op == "union" and is_all:
+            return False
+        if op not in ("select", "union"):
+            return False
+        from materialize_spark.plans.select_ast import _split_setops
+        spans = _split_setops(body)[0]
+        low = {n.lower() for n in names}
+        for span in spans:
+            try:
+                toks = _lex(span, lenient=True)
+            except Exception:
+                return False
+            cnt: dict[str, int] = {}
+            for t in toks:
+                if t.kind == "WORD" and t.text.lower() in low:
+                    cnt[t.text.lower()] = cnt.get(t.text.lower(),
+                                                  0) + 1
+            if any(v > 1 for v in cnt.values()):
+                return False
+        return True
+
+    def _wmr_fixpoint_seminaive(self, node: ast.Wmr, seed=None
+                                ) -> tuple[dict, DataFrame]:
+        """Semi-naive LetRec: per round, each binding evaluates its
+        body with ONE recursive reference bound to the previous
+        round's FRONTIER (delta) and the others to the
+        already-accumulated/previous state — the multilinear delta
+        rule — so per-round work is proportional to the frontier
+        joined against the bindings, never a re-evaluation over the
+        full current state (the reference's LetRec iterates
+        differentially the same way, src/expr/src/relation.rs:154;
+        semi-naive evaluation is the classic Datalog technique).
+        Binding values are SETS (union-distinct bodies — gated by
+        _binding_seminaive). ``seed`` warm-starts: round 0 evaluates
+        each body once against the seed to pick up base-relation
+        changes, then rounds ride the frontiers only."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from materialize_spark.streaming.retraction import _ckpt
+
+        bindings = node.bindings
+        names = [b[0] for b in bindings]
+        low = {n.lower() for n in names}
+        shadowed = [n for n in names
+                    if n in self.catalog._tables
+                    or n in self.catalog._views]
+
+        def refs_of(body: str) -> list[str]:
+            from materialize_spark.plans.lexer import tokens as _lex
+            seen = []
+            for t in _lex(body, lenient=True):
+                if t.kind == "WORD" and t.text.lower() in low \
+                        and t.text.lower() not in seen:
+                    seen.append(t.text.lower())
+            return seen
+
+        def ev(body: str, env: dict) -> DataFrame:
+            for k, v in env.items():
+                v.createOrReplaceTempView(k)
+            return self.spark.sql(rewrite(body))
+
+        cur = {n.lower(): _ckpt(seed[k]) for k in seed
+               for n in [k]} if seed is not None else {
+            name.lower(): self.spark.createDataFrame(
+                [], _pg_coldefs(coldefs))
+            for name, coldefs, _ in bindings}
+        # round 0: one full evaluation against the seed/empty state —
+        # picks up base-relation changes (and the base branches)
+        delta = {}
+        for name, _c, body in bindings:
+            nl = name.lower()
+            full = ev(body, cur).distinct()
+            delta[nl] = _ckpt(full.exceptAll(cur[nl]))
+            cur[nl] = _ckpt(cur[nl].unionByName(delta[nl]))
+        rounds = 0
+        max_iter = node.limit or 100
+        while rounds < max_iter \
+                and any(not d.isEmpty() for d in delta.values()):
+            rounds += 1
+            prev_delta = delta
+            delta = {}
+            for name, _c, body in bindings:
+                nl = name.lower()
+                rset = refs_of(body)
+                if not rset:
+                    delta[nl] = cur[nl].limit(0)
+                    continue
+                terms = []
+                for i, r in enumerate(rset):
+                    # refs before r see the ACCUMULATED state, r sees
+                    # the frontier, refs after r see accumulated too —
+                    # sound for monotone set bodies (over-approximates
+                    # the exact multilinear rule; exceptAll below
+                    # keeps only genuinely new facts)
+                    env = dict(cur)
+                    env[r] = prev_delta[r]
+                    terms.append(ev(body, env))
+                cand = terms[0]
+                for t in terms[1:]:
+                    cand = cand.unionByName(t)
+                delta[nl] = _ckpt(cand.distinct()
+                                  .exceptAll(cur[nl]))
+            for nl in list(cur):
+                if not delta[nl].isEmpty():
+                    cur[nl] = _ckpt(cur[nl].unionByName(delta[nl]))
+        result = {name: cur[name.lower()]
+                  for name, _c, _b in bindings}
+        for k, v in result.items():
+            v.createOrReplaceTempView(k)
+        out = self.spark.sql(rewrite(node.final))
+        for name in names:
+            self.spark.catalog.dropTempView(name)
+            if name in shadowed:
+                self.catalog.table(name).createOrReplaceTempView(name)
+        return result, out
+
     def _plan_delta_wmr(self, node: ast.CreateView) -> None:
         """Delta-maintained WITH MUTUALLY RECURSIVE: the MV stays
         always fresh ON WRITE by re-running the LetRec fixpoint per
@@ -770,12 +904,17 @@ class MzSession:
                 "at least one base table to maintain against")
         monotone = all(self._binding_monotone(b[2])
                        for b in wmr.bindings)
+        bnames = [b[0] for b in wmr.bindings]
+        seminaive = monotone and all(
+            self._binding_seminaive(b[2], bnames)
+            for b in wmr.bindings)
         spec = {"kind": "wmr", "wmr": wmr, "tables": tuple(deps),
-                "monotone": monotone, "bind_state": None,
-                "table": None}
+                "monotone": monotone, "seminaive": seminaive,
+                "bind_state": None, "table": None}
         self._delta_mvs[node.name] = spec
         from materialize_spark.streaming.retraction import _ckpt
-        binds, out = self._wmr_fixpoint(wmr)
+        binds, out = self._wmr_fixpoint_seminaive(wmr) if seminaive \
+            else self._wmr_fixpoint(wmr)
         spec["bind_state"] = binds
         self._publish_delta_mv(node.name, _ckpt(out), initial=True)
 
@@ -789,7 +928,16 @@ class MzSession:
         if spec["monotone"] and spec.get("bind_state") is not None \
                 and delta.filter(F.col("diff") < 0).isEmpty():
             seed = spec["bind_state"]
-        binds, out = self._wmr_fixpoint(spec["wmr"], seed=seed)
+        if spec.get("seminaive"):
+            # differential rounds: each round joins only the FRONTIER
+            # against the bindings (semi-naive in WORK, not just in
+            # iteration count); retraction commits pass seed=None and
+            # re-run the same semi-naive loop from empty — always
+            # correct
+            binds, out = self._wmr_fixpoint_seminaive(spec["wmr"],
+                                                      seed=seed)
+        else:
+            binds, out = self._wmr_fixpoint(spec["wmr"], seed=seed)
         spec["bind_state"] = binds
         self._publish_delta_mv(name, _ckpt(out))
 
@@ -1123,6 +1271,12 @@ class MzSession:
 
         new_items = []
         for it in q.items:
+            if re.search(r"(?i)\(\s*SELECT\b", it.expr):
+                # subquery-bearing item: rewrite only OUTSIDE the
+                # subquery (its own scope)
+                new_items.append(SelectItem(expr=st(it.expr),
+                                            alias=it.alias))
+                continue
             check_bare(it.expr)
             expr = self._strip_quals(sub_qualified(it.expr), quals)
             m = re.fullmatch(r"\w+", expr or "")
@@ -1226,6 +1380,12 @@ class MzSession:
             # HAVING with a scalar-subquery threshold (q11): stacked
             # reduce + maintained global frontier
             if self._plan_delta_having_scalar(node, q):
+                return
+        if any(re.search(r"(?i)\(\s*SELECT\b", it.expr)
+               for it in q.items):
+            # scalar subqueries in the SELECT list (the q2-family
+            # projection): per-key aggregate MVs LEFT-joined in
+            if self._plan_delta_select_scalar_sub(node, q):
                 return
         if q.sub is not None and q.joins:
             if self._plan_delta_join_over_from_subquery(node, q):
@@ -2777,6 +2937,25 @@ class MzSession:
         if sf.kind == "cmpscalar":
             return self._build_scalar_stage(sf, owner, idx,
                                             outer_strip0)
+        if sf.kind == "in" and not sf.table and sf.raw is not None:
+            return self._build_setmember_stage(
+                sf, owner, idx, outer_strip0, acc_cols, renmap)
+        if any(re.search(r"(?i)\(\s*SELECT\b", c)
+               for c in sf.conjuncts):
+            # a nested subquery inside this subfilter's WHERE must NOT
+            # fall through to the per-delta prep_where filter (a
+            # correlated inner reference would silently re-resolve
+            # against the temp view, not the delta row). Uncorrelated
+            # [NOT] IN bodies re-route through the internal-MV path —
+            # the full dispatcher plans the body with its own nested
+            # stages; anything else rejects loudly.
+            if sf.kind == "in" and sf.raw:
+                return self._build_setmember_stage(
+                    sf, owner, idx, outer_strip0, acc_cols, renmap)
+            raise ValueError(
+                "MAINTENANCE 'delta': nested subqueries are "
+                "maintainable inside [NOT] IN membership bodies only "
+                "(the body plans as its own maintained view)")
         self._delta_check_table(sf.table)
         inner_cols = set(self._base_frame(sf.table).columns)
         iq = (sf.alias or sf.table).lower()
@@ -3121,6 +3300,151 @@ class MzSession:
                                 self._owners.get(node.name, self._role))
         return True
 
+    def _plan_delta_select_scalar_sub(self, node: ast.CreateView,
+                                      q) -> bool:
+        """Correlated scalar-aggregate subqueries in the SELECT LIST —
+        the q2-family projection form ``SELECT cols, (SELECT AGG(x)
+        FROM i WHERE i.k = o.k [AND local]) AS m FROM o ...``. The
+        reference plans HirScalarExpr::Select anywhere an expression
+        goes (src/sql/src/plan/hir.rs:226-263) by decorrelating into a
+        per-key Reduce LEFT-joined to the outer relation
+        (lowering.rs); same desugar here: each subquery item becomes a
+        planner-owned internal keyed-aggregate delta MV and a LEFT
+        link on the correlation keys (empty group → NULL, exactly the
+        scalar-subquery semantics for sum/min/max/avg; COUNT — whose
+        empty-group value is 0, not NULL — rejects)."""
+        from dataclasses import replace as _dc_replace
+
+        from materialize_spark.plans.select_ast import (
+            JoinSeg, SelectItem, _parse_sub_body,
+        )
+
+        subs = [(i, it) for i, it in enumerate(q.items)
+                if re.search(r"(?i)^\(\s*SELECT\b.*\)$",
+                             it.expr.strip(), re.S)]
+        if not subs or q.group_by or q.having or q.distinct \
+                or q.sub is not None or q.subfilters \
+                or getattr(q, "sub_branches", None) or q.table is None:
+            return False
+        # outer column universe (correlations must resolve here)
+        try:
+            out_cols = set(self._base_frame(q.table).columns)
+            for seg in q.joins:
+                out_cols |= set(self._base_frame(seg.table).columns)
+        except KeyError:
+            return False
+        items = list(q.items)
+        joins = list(q.joins)
+        internals: list[str] = []
+
+        def fail(msg):
+            for n in internals:
+                self._rollback_internal(n)
+            raise ValueError(f"MAINTENANCE 'delta': {msg}")
+
+        for idx, it in subs:
+            if it.alias is None:
+                fail("a SELECT-list scalar subquery needs an alias")
+            body = it.expr.strip()[1:-1]
+            sf = _parse_sub_body(body, "cmpagg")
+            if sf is None:
+                fail("the SELECT-list subquery must be a single-table "
+                     "scalar aggregate (SELECT AGG(x) FROM t WHERE "
+                     "...)")
+            if sf.agg_kind == "count":
+                fail("COUNT in a SELECT-list scalar subquery is not "
+                     "maintainable via the LEFT-join desugar (its "
+                     "empty-group value is 0, not NULL) — use "
+                     "SUM(1) or rewrite as a join")
+            inner_cols = set(self._base_frame(sf.table).columns)
+            iq = (sf.alias or sf.table).lower()
+            pairs: list[tuple[str, str]] = []   # (inner, outer)
+            local: list[str] = []
+            strip = re.compile(rf"(?i)\b{re.escape(iq)}\s*\.\s*")
+            for conj in sf.conjuncts:
+                m = self._SUB_CMP_RE.match(conj)
+                if m and m.group("op") == "=":
+                    def side(qual, col):
+                        if qual and qual.lower() == iq:
+                            return ("inner", col)
+                        if qual and qual.lower() == q.table.lower():
+                            return ("outer", col)
+                        if qual is None and col in inner_cols:
+                            return ("inner", col)
+                        if qual is None and col in out_cols:
+                            return ("outer", col)
+                        return ("lit", col)
+                    s1 = side(m.group("q1"), m.group("c1"))
+                    s2 = side(m.group("q2"), m.group("c2"))
+                    if {s1[0], s2[0]} == {"inner", "outer"}:
+                        ic = s1[1] if s1[0] == "inner" else s2[1]
+                        oc = s2[1] if s1[0] == "inner" else s1[1]
+                        pairs.append((ic, oc))
+                        continue
+                for qm in re.finditer(r"\b(\w+)\b", conj):
+                    if qm.group(1) not in inner_cols \
+                            and qm.group(1) in out_cols:
+                        fail("SELECT-list subquery predicates beyond "
+                             "equality correlations are not "
+                             f"maintainable ({conj!r})")
+                local.append(strip.sub("", conj))
+            if not pairs:
+                fail("a SELECT-list scalar subquery needs at least "
+                     "one equality correlation (uncorrelated scalars "
+                     "belong in WHERE/HAVING)")
+            internal = f"__psub_{node.name}_{idx}"
+            if internal in self._delta_mvs:
+                fail(f"internal view {internal!r} already exists")
+            if sf.template.strip() != "__AGGVAL__":
+                fail("a SELECT-list scalar subquery supports a bare "
+                     "aggregate only (move the surrounding expression "
+                     "outside the subquery)")
+            ikeys = [ic for ic, _oc in pairs]
+            item_sql = (f"{sf.agg_kind}"
+                        f"({strip.sub('', sf.agg_arg)})")
+            body2 = (f"SELECT {', '.join(ikeys)}, {item_sql} AS "
+                     f"{it.alias} FROM {sf.table}")
+            if local:
+                body2 += " WHERE " + " AND ".join(f"({c})"
+                                                  for c in local)
+            body2 += f" GROUP BY {', '.join(ikeys)}"
+            fake = ast.CreateView(name=internal, body=body2,
+                                  materialized=True,
+                                  maintenance="delta")
+            self._matview_sql[internal] = body2
+            internals.append(internal)
+            try:
+                from materialize_spark.plans.select_ast import (
+                    parse_select,
+                )
+                self._plan_delta_mv(fake, parse_select(body2))
+            except ValueError as e:
+                fail(f"the SELECT-list subquery is not maintainable "
+                     f"({e})")
+            self._owners.setdefault(
+                internal, self._owners.get(node.name, self._role))
+            joins.append(JoinSeg(kind="left", table=internal,
+                                 pairs=[(oc, ic)
+                                        for ic, oc in pairs],
+                                 raw_on=""))
+            items[idx] = SelectItem(expr=it.alias, alias=None)
+        q2 = _dc_replace(q, items=items, joins=joins)
+        try:
+            self._plan_delta_mv(node, q2)
+        except Exception:
+            for n in internals:
+                self._rollback_internal(n)
+            raise
+        spec = self._delta_mvs[node.name]
+        nested: list[str] = []
+        for n in internals:
+            nested.append(n)
+            nested.extend((self._delta_mvs.get(n) or {})
+                          .get("internal_deps", ()))
+        spec["internal_deps"] = (tuple(spec.get("internal_deps", ()))
+                                 + tuple(nested))
+        return True
+
     def _build_scalar_stage(self, sf, owner: str, idx: int,
                             outer_strip: set) -> dict:
         """Uncorrelated scalar-subquery comparison (the q11/q22
@@ -3186,6 +3510,76 @@ class MzSession:
         return {"op": op, "table": internal, "kind": "cmpscalar",
                 "internal": True, "prep_where": None,
                 "prep_select": [], "cmp": (sf.cmp_op, "scalar")}
+
+    def _build_setmember_stage(self, sf, owner: str, idx: int,
+                               outer_strip: set, acc_cols: set,
+                               renmap: dict) -> dict:
+        """Uncorrelated ``expr [NOT] IN (SELECT c FROM <complex
+        body>)`` — the q20 nesting: the membership SET is ANY
+        dispatcher-supported body (joins, aggregates, its own nested
+        subfilters), planned as a planner-owned internal delta MV whose
+        published diffs feed an uncorrelated SemiAntiFilterMV (the
+        reference plans nested subqueries by recursive lowering into
+        stacked Let bindings, lowering.rs)."""
+        from materialize_spark.plans.select_ast import parse_select
+
+        from materialize_spark.streaming.semijoin import (
+            SemiAntiFilterMV,
+        )
+
+        internal = f"__msub_{owner}_{idx}"
+        if internal in self._delta_mvs:
+            raise ValueError(
+                f"MAINTENANCE 'delta': internal view {internal!r} "
+                "already exists")
+        body = sf.raw
+        try:
+            iq = parse_select(body)
+        except Exception as e:
+            raise ValueError(
+                "MAINTENANCE 'delta': the IN subquery is not "
+                f"maintainable ({e})")
+        if len(iq.items) != 1:
+            raise ValueError(
+                "MAINTENANCE 'delta': an IN subquery must produce "
+                "exactly one column")
+        it = iq.items[0]
+        in_col = it.alias if it.alias is not None \
+            else (it.expr if it.is_column else None)
+        if in_col is None:
+            raise ValueError(
+                "MAINTENANCE 'delta': the IN subquery's output "
+                "expression needs a name (alias it)")
+        fake = ast.CreateView(name=internal, body=body,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = body
+        try:
+            self._plan_delta_mv(fake, iq)
+        except Exception as e:
+            self._rollback_internal(internal)
+            raise ValueError(
+                "MAINTENANCE 'delta': the IN subquery body is not "
+                f"maintainable ({e})")
+        self._owners.setdefault(internal,
+                                self._owners.get(owner, self._role))
+        strip_outer = self._strip_quals(sf.in_expr, outer_strip)
+        if not re.fullmatch(r"\w+", strip_outer.strip()):
+            self._rollback_internal(internal)
+            raise ValueError(
+                "MAINTENANCE 'delta': the IN expression must be a "
+                f"plain outer column (got {sf.in_expr!r})")
+        oc = renmap.get(strip_outer.strip(), strip_outer.strip())
+        if oc not in acc_cols:
+            self._rollback_internal(internal)
+            raise ValueError(
+                f"MAINTENANCE 'delta': IN expression {oc!r} is not a "
+                "column of the outer relation")
+        kind = "not_in" if sf.negated else "in"
+        op = SemiAntiFilterMV(self.spark, keys=[], kind=kind,
+                              in_col=oc, spill_rows=_TOPK_SPILL_ROWS)
+        return {"op": op, "table": internal, "kind": kind,
+                "internal": True, "prep_where": None,
+                "prep_select": [(in_col, oc)]}
 
     def _subfilter_inner_delta(self, stage: dict, delta):
         """Project one inner-table diff frame to the stage's support
@@ -6314,7 +6708,8 @@ class MzSession:
         Planner-internal upstreams (FROM-subquery desugar) inline their
         own subtree; user-created upstream MVs render as Imports."""
         def rel(t):
-            if t.startswith("__jsub_") and t in self._delta_mvs:
+            if t.startswith(("__jsub_", "__ssub_", "__msub_",
+                             "__psub_")) and t in self._delta_mvs:
                 sub = self._render_maintenance(self._delta_mvs[t])
                 return "\n".join([f"Subplan {t} (planner-internal)"]
                                  + [f"  {ln}" for ln in sub])
@@ -6392,14 +6787,16 @@ class MzSession:
                          "not_exists": "AntiJoin[NOT EXISTS]",
                          "in": "SemiJoin[IN]",
                          "not_in": "AntiJoin[NOT IN]",
-                         "cmpagg": "ScalarAggCompare"}[st["kind"]]
-                if st["kind"] == "cmpagg":
+                         "cmpagg": "ScalarAggCompare",
+                         "cmpscalar": "GlobalScalarCompare"}[
+                             st["kind"]]
+                if st["kind"] in ("cmpagg", "cmpscalar"):
                     cop, ckind = st["cmp"]
                     label += f"[{cop} {ckind.upper()}]"
                 extra = (f" exclude-member={op.member}"
                          if getattr(op, "member", None) else "")
                 lines.append(
-                    f"{label} keys={op.keys}{extra} "
+                    f"{label} keys={getattr(op, 'keys', [])}{extra} "
                     "(support counts, flip retractions)")
                 lines.append(f"  {rel(st['table'])} (inner)"
                              + (f" [filter: {st['prep_where']}]"
@@ -7493,9 +7890,12 @@ class MzSession:
         stable within a session snapshot."""
         cat = self.catalog
         objs = []  # (id, name, type)
+        internal = ("__jsub_", "__ssub_", "__msub_", "__psub_",
+                    "__setop_")
         named = [("table", n) for n in cat._tables] + \
                 [("materialized-view" if n in self._matviews else "view", n)
-                 for n in cat._views] + \
+                 for n in cat._views
+                 if not n.startswith(internal)] + \
                 [("index", n) for n in cat._indexes]
         for i, (typ, name) in enumerate(sorted(named, key=lambda t: t[1])):
             # owner column (reference mz_objects.owner_id; names here —

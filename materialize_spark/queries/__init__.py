@@ -56,57 +56,55 @@ def load_all() -> dict[str, QuerySpec]:
     # The remainder round-robins across modules so any longer evaluation
     # prefix still spans the surface.
     # Rotation policy (VERDICT r9 item 8): driver certification
-    # ACCUMULATES across rounds — after r11 the cross-round union
-    # covers all entries at least once, so per VERDICT r11 item 6 the
-    # r12 window leads with (a) this round's NEW capabilities — the
-    # maintained [NOT] EXISTS / [NOT] IN semi/anti joins incl. the
-    # TPC-H q21 self-correlated shape, ordered window maintenance,
-    # RIGHT JOIN, mixed set-op chains, and temporal-filter ticking —
-    # then (b) entries whose IMPLEMENTATION changed in r12: every
-    # INSERT-fed delta MV rides the new schema-cast commit path
-    # (append_rows aligns VALUES literal types to the table schema —
-    # the xxhash64 spill-prefix fix), grouped TopK publishes
-    # touched-group-confined diffs, and the outer-join operator grew
-    # the mirrored anti part; then (c) the OLDEST certifications — the
-    # r01-r05 era TPC-H / scalar / collection / relational entries —
-    # keeping the ≥10-module spread. Everything else stays green in
-    # the local full-registry gate (tools/check.py at sf0.01).
+    # ACCUMULATES across rounds. Per VERDICT r12 item 6 the r13 window
+    # leads with (a) this round's NEW capabilities — stateful
+    # FROM-subquery stacking (the verbatim-shape TPC-H q13 text and
+    # the generic agg-over-agg), uncorrelated scalar-subquery
+    # thresholds (q11 HAVING / q22 WHERE, GlobalCmpFilterMV),
+    # disjunctive join predicates with hoisted common equi keys (q19),
+    # the q15 max-over-view composition, the q20 nested-IN membership
+    # (complex IN bodies as internal MVs), SELECT-list scalar
+    # subqueries (the q2-family projection), and correlated [NOT] IN
+    # with per-key three-valued NULL semantics — then (b) entries
+    # whose IMPLEMENTATION changed in r13: everything riding
+    # SemiAntiFilterMV (in_col split), the comma-FROM desugar
+    # (owner-aware renames, subquery-scope protection, OR hoisting),
+    # _classify_agg_items' SELECT-order restoration, and the
+    # structural WMR monotonicity walk; then (c) the next-oldest
+    # certifications + the pinned family sentinels, keeping the
+    # ≥10-module spread. Everything else stays green in the local
+    # full-registry gate (tools/check.py at sf0.01).
     priority = [
-        # --- (a) round-12 capabilities ---
+        # --- (a) round-13 capabilities (never driver-certified) ---
+        "sqlfront_delta_mv_q13_text", "sqlfront_delta_mv_q11_shape",
+        "sqlfront_delta_mv_q22_shape", "sqlfront_delta_mv_q19_text",
+        "sqlfront_delta_mv_q15_shape", "sqlfront_delta_mv_q20_shape",
+        "sqlfront_delta_mv_select_scalar_sub",
+        "sqlfront_delta_mv_agg_over_agg",
+        "sqlfront_delta_mv_corr_not_in",
+        # --- (b) changed implementations this round ---
         "sqlfront_delta_mv_exists", "sqlfront_delta_mv_not_exists",
         "sqlfront_delta_mv_q21_exists", "sqlfront_delta_mv_q21_text",
-        "sqlfront_delta_mv_window_order",
-        "sqlfront_delta_mv_right_join",
-        "sqlfront_delta_mv_mixed_setop",
-        "sqlfront_delta_mv_temporal", "sqlfront_delta_mv_wmr",
-        "sqlfront_delta_mv_sliding_agg",
         "sqlfront_delta_mv_scalar_agg_cmp",
         "sqlfront_delta_mv_q4_text", "sqlfront_delta_mv_q17_text",
-        "sqlfront_delta_mv_tpch_texts", "sqlfront_delta_mv_q18_text",
-        "sqlfront_delta_mv_q3_shape",
-        # --- (b) changed implementations this round ---
+        "sqlfront_delta_mv_q18_text", "sqlfront_delta_mv_tpch_texts",
+        "sqlfront_delta_mv_q3_shape", "sqlfront_delta_mv_wmr",
         "sqlfront_delta_mv", "sqlfront_delta_mv_join",
-        "sqlfront_delta_mv_outer_join",
-        "sqlfront_delta_mv_rank_topk", "sqlfront_delta_mv_global_topk",
-        "sqlfront_delta_mv_except", "sqlfront_delta_mv_intersect",
-        "sqlfront_delta_mv_union", "sqlfront_delta_mv_union_agg",
-        "sqlfront_delta_mv_window_agg", "sqlfront_delta_mv_stacked",
-        "sqlfront_delta_mv_global_agg",
-        "sqlfront_delta_mv_distinct_aggs",
+        "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_union_agg",
+        "sqlfront_delta_mv_global_agg", "sqlfront_delta_mv_stacked",
+        "sqlfront_delta_mv_having",
         "sqlfront_delta_mv_nonequi_join",
         "sqlfront_delta_mv_join_from_subquery",
-        "sqlfront_explain_maintenance",
-        "sqlfront_update_delete",
-        "ivm_q18_threshold_delta", "ivm_q21_antijoin_delta",
-        "ivm_incremental_join",
-        # --- (c) oldest certifications (r01-r05 era) + the pinned
-        # family sentinels, keeping the window at EXACTLY 50 slots
-        # across ≥10 modules (tests/test_driver_contract.py) ---
-        "tpch_q3", "tpch_q9", "tpch_q13", "scalar_math",
-        "tpch_q2_adapted",
+        # --- (c) next-oldest certifications + the pinned family
+        # sentinels, keeping the window at EXACTLY 50 slots across
+        # ≥10 modules (tests/test_driver_contract.py) ---
+        "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q15", "tpch_q18",
+        "scalar_math", "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
         "array_functions", "agg_statistics",
-        "jsonb_ops",
+        "jsonb_ops", "temporal_filter", "letrec_reachability",
+        "mv_consistency_frontier",
+        "ivm_q18_threshold_delta", "ivm_q21_antijoin_delta",
         "dedup_minhash_lsh", "simsearch_cosine_topk",
         "text_language_id", "cdc_pgoutput_wire_apply",
     ]

@@ -3576,7 +3576,8 @@ SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                    WHERE c_acctbal > 0.00)
-  AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
 GROUP BY c_nationkey"""
 
 
@@ -3776,3 +3777,136 @@ def sqlfront_delta_mv_corr_not_in(spark, sf_dir):
             .select("at", "mv", F.col("g").cast("long").alias("g"),
                     F.col("x").cast("long").alias("x"))
             .orderBy("at", "mv", "g", "x"))
+
+
+_Q15_REV_BODY = """
+SELECT l_suppkey AS supplier_no,
+       sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+GROUP BY l_suppkey"""
+
+_Q15_BODY = """
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)"""
+
+
+@register(
+    "sqlfront_delta_mv_q15_shape",
+    f"""
+    -- oracle: the SAME q15-shape text (revenue view + max-over-view
+    -- pick) evaluated directly — structurally the verbatim TPC-H q15
+    -- (the synthetic supplier lacks s_address/s_phone)
+    WITH revenue0 AS ({_Q15_REV_BODY})
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(floor(total_revenue) AS BIGINT) AS total_revenue
+    FROM ({_Q15_BODY}) q ORDER BY s_suppkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch", "subquery",
+)
+def sqlfront_delta_mv_q15_shape(spark, sf_dir):
+    """The q15 composition maintained: the revenue view is a STACKED
+    delta MV, and the outer MV's uncorrelated scalar subquery
+    (SELECT max(total_revenue) FROM revenue0) maintains as an internal
+    keyless MAX over the SAME stacked view — three maintained layers
+    reading each other's published diffs (the reference's
+    views-over-views rendering, render.rs). Oracle = same SQL."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW revenue0 WITH (MAINTENANCE "
+              f"'delta') AS {_Q15_REV_BODY}")
+    s.execute("CREATE MATERIALIZED VIEW q15_shape WITH (MAINTENANCE "
+              f"'delta') AS {_Q15_BODY}")
+    return (s.sql("SELECT * FROM q15_shape")
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.floor("total_revenue").cast("long")
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+_Q20_BODY = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 's%')
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1996-03-01'
+      AND l_quantity > (SELECT 1.5 * avg(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+)"""
+
+
+@register(
+    "sqlfront_delta_mv_q20_shape",
+    f"""
+    -- oracle: the SAME q20-shape text evaluated directly (partsupp is
+    -- absent from the synthetic schema; lineitem stands in for the
+    -- availability relation) — structurally the verbatim TPC-H q20:
+    -- an IN whose membership body carries its OWN nested subfilters
+    -- (an uncorrelated IN + a correlated scalar-aggregate threshold)
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM ({_Q20_BODY}) q ORDER BY s_suppkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch", "subquery",
+)
+def sqlfront_delta_mv_q20_shape(spark, sf_dir):
+    """The q20 nesting maintained: the membership set's body (with its
+    own nested IN and correlated scalar-aggregate comparison) plans as
+    a planner-owned internal delta MV whose published diffs feed an
+    uncorrelated membership stage — recursive lowering into stacked
+    Let bindings (reference lowering.rs). Oracle = same SQL."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q20_shape WITH (MAINTENANCE "
+              f"'delta') AS {_Q20_BODY}")
+    return (s.sql("SELECT * FROM q20_shape")
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name")
+            .orderBy("s_suppkey"))
+
+
+_PSUB_BODY = """
+SELECT p_partkey, p_name,
+       (SELECT min(l_extendedprice) FROM lineitem
+        WHERE l_partkey = p_partkey) AS minprice
+FROM part
+WHERE p_size > 40"""
+
+
+@register(
+    "sqlfront_delta_mv_select_scalar_sub",
+    f"""
+    -- oracle: the SAME text evaluated directly — a correlated scalar
+    -- aggregate in the SELECT LIST (the q2-family projection form):
+    -- per-key MIN LEFT-joined to the outer relation, NULL for keys
+    -- with no inner rows
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+           CAST(floor(coalesce(minprice, -1)) AS BIGINT) AS minprice
+    FROM ({_PSUB_BODY}) q ORDER BY p_partkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "subquery",
+)
+def sqlfront_delta_mv_select_scalar_sub(spark, sf_dir):
+    """Scalar subqueries in the SELECT list delta-maintained: the
+    reference plans HirScalarExpr::Select anywhere an expression goes
+    (hir.rs:226-263); the desugar here decorrelates each into an
+    internal per-key aggregate MV LEFT-joined on the correlation keys
+    (empty group → NULL — exact scalar-subquery semantics)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW psub_mv WITH (MAINTENANCE "
+              f"'delta') AS {_PSUB_BODY}")
+    return (s.sql("SELECT * FROM psub_mv")
+            .select(F.col("p_partkey").cast("long").alias("p_partkey"),
+                    "p_name",
+                    F.floor(F.coalesce(F.col("minprice"), F.lit(-1)))
+                    .cast("long").alias("minprice"))
+            .orderBy("p_partkey"))

@@ -135,10 +135,14 @@ def test_delta_mv_left_join_chain_three_way(spark):
 
 def test_delta_mv_unsupported_still_errors(spark):
     s = _mk(spark)
+    # ORDER BY *without* LIMIT is content-irrelevant and now accepted
+    # (the reference ignores it in MV bodies — q13's text carries one);
+    # DISTINCT + LIMIT stays out of the global-TopK shape and must
+    # still reject loudly
     with pytest.raises(ValueError, match="MAINTENANCE 'delta'"):
         s.execute("CREATE MATERIALIZED VIEW dcbad WITH (MAINTENANCE "
                   "'delta') AS SELECT DISTINCT okey FROM dc_ord "
-                  "ORDER BY okey")
+                  "ORDER BY okey LIMIT 3")
     for t in ("dc_li", "dc_cust", "dc_ord"):
         s.execute(f"DROP TABLE {t}")
 

@@ -22,12 +22,18 @@ SF = "/root/testdata/sf0.001"
 
 def _oracle(s, tables):
     """DuckDB copy of the CURRENT engine state (earlier tests in the
-    shared Spark session may have churned the sf-backed tables)."""
+    shared Spark session may have churned the sf-backed tables).
+    Timestamp columns arrive as TIMESTAMP_NS from pandas — widen to
+    TIMESTAMP so DATE-literal comparisons bind like the engine's."""
     con = duckdb.connect()
     for t in tables:
         pdf = s.sql(f"SELECT * FROM {t}").toPandas()
         con.register(f"_{t}_pd", pdf)
         con.execute(f"CREATE TABLE {t} AS SELECT * FROM _{t}_pd")
+        for col, dt in zip(pdf.columns, pdf.dtypes):
+            if "datetime64" in str(dt):
+                con.execute(f"ALTER TABLE {t} ALTER {col} "
+                            "TYPE TIMESTAMP")
     return con
 
 
@@ -184,8 +190,8 @@ SELECT c_nationkey, count(*) AS numcust,
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                    WHERE c_acctbal > 0.00)
-  AND NOT EXISTS (SELECT * FROM orders
-                  WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
 GROUP BY c_nationkey
 """
 
@@ -268,3 +274,143 @@ def test_q19_disjunctive_join_predicate(spark):
         con.execute(sql)
         check()
     s.execute("DROP MATERIALIZED VIEW q19s")
+
+
+Q15_REV = """
+SELECT l_suppkey AS supplier_no,
+       sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+GROUP BY l_suppkey"""
+
+Q15 = """
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)"""
+
+
+def test_q15_max_over_view(spark):
+    """q15 shape: the revenue view is a stacked delta MV; the outer
+    MV's scalar subquery (SELECT max(total_revenue) FROM revenue0)
+    maintains as an internal keyless MAX over the SAME stacked view —
+    deleting the max holder's rows re-derives the winner."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW revenue0 WITH (MAINTENANCE "
+              f"'delta') AS {Q15_REV}")
+    s.execute("CREATE MATERIALIZED VIEW q15s WITH (MAINTENANCE "
+              f"'delta') AS {Q15}")
+    con = _oracle(s, ["lineitem", "supplier"])
+    oq = f"WITH revenue0 AS ({Q15_REV}) {Q15}"
+
+    def check():
+        got = sorted((a, b, round(float(c), 4)) for a, b, c in
+                     s.sql("SELECT * FROM q15s").collect())
+        exp = sorted((a, b, round(float(c), 4)) for a, b, c in
+                     con.execute(oq).fetchall())
+        assert got == exp, (got, exp)
+
+    check()
+    for sql in (
+        # delete the current winner's whole revenue: MAX re-derives
+        "DELETE FROM lineitem WHERE l_suppkey = 1",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_suppkey % 3 = 1 AND l_linenumber = 1",
+        "DELETE FROM supplier WHERE s_suppkey = 2",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.run_script("DROP MATERIALIZED VIEW q15s;"
+                 "DROP MATERIALIZED VIEW revenue0;")
+
+
+Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 's%')
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1996-03-01'
+      AND l_quantity > (SELECT 1.5 * avg(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+)"""
+
+
+def test_q20_nested_in_composition(spark):
+    """q20 shape: the membership set's body carries its OWN nested
+    subfilters (an uncorrelated IN + a correlated scalar-aggregate
+    comparison); it plans as an internal delta MV feeding an
+    uncorrelated membership stage."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q20s WITH (MAINTENANCE "
+              f"'delta') AS {Q20}")
+    con = _oracle(s, ["supplier", "lineitem", "part"])
+
+    def check():
+        got = sorted(tuple(r) for r in
+                     s.sql("SELECT * FROM q20s").collect())
+        exp = sorted(tuple(r) for r in con.execute(Q20).fetchall())
+        assert got == exp, (got[:5], exp[:5])
+
+    check()
+    for sql in (
+        "DELETE FROM part WHERE p_name LIKE 's%' "
+        "AND p_partkey % 2 = 0",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_quantity > 40 AND l_linenumber = 1",
+        "DELETE FROM lineitem WHERE l_suppkey % 5 = 1 "
+        "AND l_quantity > 30",
+        "DELETE FROM supplier WHERE s_suppkey % 13 = 2",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q20s")
+    assert not any(n.startswith("__msub_") for n in s._delta_mvs)
+
+
+def test_select_list_scalar_subquery(spark):
+    """q2-family projection: (SELECT min(x) FROM i WHERE i.k = o.k)
+    in the SELECT list maintains as an internal per-key MIN MV
+    LEFT-joined to the outer delta — deleting a key's minimum RAISES
+    the attached value; keys with no inner rows read NULL."""
+    s = _mz(spark, SF)
+    Q = """
+    SELECT p_partkey, p_name,
+           (SELECT min(l_extendedprice) FROM lineitem
+            WHERE l_partkey = p_partkey) AS minprice
+    FROM part
+    WHERE p_size > 40
+    """
+    s.execute("CREATE MATERIALIZED VIEW psub WITH (MAINTENANCE "
+              f"'delta') AS {Q}")
+    con = _oracle(s, ["part", "lineitem"])
+
+    def check():
+        got = sorted((a, b, round(float(c), 4) if c is not None
+                      else None) for a, b, c in
+                     s.sql("SELECT * FROM psub").collect())
+        exp = sorted((a, b, round(float(c), 4) if c is not None
+                      else None) for a, b, c in
+                     con.execute(Q).fetchall())
+        assert got == exp, (got[:4], exp[:4], len(got), len(exp))
+
+    check()
+    for sql in (
+        # deleting the cheap lines RAISES the touched keys' minima
+        "DELETE FROM lineitem WHERE l_partkey % 3 = 0 "
+        "AND l_extendedprice < 20000",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_partkey % 4 = 1 AND l_linenumber = 1",
+        "INSERT INTO part SELECT p_partkey + 90000, p_name, p_brand, "
+        "p_type, 50, p_retailprice FROM part WHERE p_partkey % 11 = 0",
+        "DELETE FROM part WHERE p_size > 40 AND p_partkey % 5 = 2",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW psub")
+    assert not any(n.startswith("__psub_") for n in s._delta_mvs)

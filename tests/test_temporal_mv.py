@@ -328,3 +328,52 @@ def test_wmr_monotonicity_is_structural(spark):
         assert s._delta_mvs[f"wmm_{tag}"]["monotone"] is False, tag
         s.execute(f"DROP MATERIALIZED VIEW wmm_{tag}")
     s.execute("DROP TABLE wmm")
+
+
+def test_wmr_seminaive_differential_rounds(spark):
+    """Union-distinct monotone bindings ride DIFFERENTIAL rounds: the
+    per-round evaluation substitutes the previous round's FRONTIER for
+    one recursive reference (semi-naive in WORK). Pinned: the
+    eligibility flag, exact reachability through a long chain built
+    edge-by-edge (each commit's warm start grows from the frontier),
+    and correct retraction recomputes."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sne (src BIGINT, dst BIGINT);
+        INSERT INTO sne VALUES (0, 1), (1, 2), (2, 3);
+        CREATE MATERIALIZED VIEW sn_mv WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          reach (src int8, dst int8) AS (
+            SELECT src, dst FROM sne
+            UNION
+            SELECT r.src, e.dst FROM reach r
+            JOIN sne e ON r.dst = e.src)
+        SELECT src, dst FROM reach;
+    """)
+    spec = s._delta_mvs["sn_mv"]
+    assert spec["seminaive"] is True
+    n = lambda: s.sql("SELECT count(*) AS c FROM sn_mv")\
+        .collect()[0].c  # noqa: E731
+    assert n() == 6      # closure of a 4-node chain: C(4,2)
+    # extend the chain: each insert's semi-naive warm start derives
+    # exactly the new node's closure
+    for k in (3, 4, 5):
+        s.execute(f"INSERT INTO sne VALUES ({k}, {k + 1})")
+    assert n() == 21     # C(7,2)
+    # retraction splits the chain: cold semi-naive re-run
+    s.execute("DELETE FROM sne WHERE src = 3")
+    assert n() == 6 + 3  # a 4-node chain (0..3) + a 3-node one (4..6)
+    # a UNION ALL body (multiset) stays OFF the semi-naive path
+    s.execute("""
+        CREATE MATERIALIZED VIEW sn_ma WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          hops (src int8, dst int8) AS (
+            SELECT src, dst FROM sne
+            UNION ALL
+            SELECT h.src, e.dst FROM hops h
+            JOIN sne e ON h.dst = e.src)
+        SELECT src, dst FROM hops
+    """)
+    assert s._delta_mvs["sn_ma"]["seminaive"] is False
+    s.run_script("DROP MATERIALIZED VIEW sn_mv;"
+                 "DROP MATERIALIZED VIEW sn_ma; DROP TABLE sne;")
