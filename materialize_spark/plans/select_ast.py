@@ -60,11 +60,25 @@ class SelectItem:
 
     @property
     def agg(self) -> tuple[str, str] | None:
-        """(kind, arg) when the item is a bare aggregate call."""
+        """(kind, arg) when the item is a bare aggregate call. The
+        greedy regex would swallow ``sum(a) / sum(b)`` whole (arg =
+        ``a) / sum(b``) — a paren-balance check on the captured arg
+        rejects anything but a single call spanning the item."""
         m = _AGG_RE.match(self.expr)
         if not m:
             return None
-        return m.group("kind").lower(), m.group("arg").strip()
+        arg = m.group("arg").strip()
+        depth = 0
+        for ch in arg:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return None  # the call ends before the item does
+        if depth != 0:
+            return None
+        return m.group("kind").lower(), arg
 
     @property
     def win_agg(self) -> tuple[str, str, list[str]] | None:
@@ -128,6 +142,10 @@ class JoinSeg:
     raw_on: str                      # the ON text (diagnostics)
     extra: str | None = None         # non-equi residual conjuncts
     alias: str | None = None         # table alias, when given
+    # per-occurrence column renames for SELF-JOINS (a repeated table's
+    # later occurrence reads through original→occurrence names so the
+    # chain's bare namespace stays collision-free)
+    renames: dict | None = None
 
 
 @dataclass
@@ -323,6 +341,44 @@ def split_disjuncts(text: str) -> list[str]:
 
 
 _AGG_CALL_RE = re.compile(r"(?is)\b(sum|count|min|max|avg)\s*\(")
+
+
+def _parse_multi_agg_item(item: str
+                          ) -> tuple[list[tuple[str, str]],
+                                     str] | None:
+    """Decompose one scalar select item containing one or MORE
+    aggregate calls (the q8/q14 ratio-of-sums head: ``sum(a)/sum(b)``,
+    ``100.0 * sum(CASE ...)/sum(x)``) into ([(kind, arg), ...],
+    template) where the template replaces call i with ``__AGGVAL{i}__``.
+    None when no aggregate call is present or one is malformed."""
+    out: list[tuple[str, str]] = []
+    tmpl_parts: list[str] = []
+    pos = 0
+    while True:
+        m = _AGG_CALL_RE.search(item, pos)
+        if m is None:
+            break
+        depth = 1
+        i = m.end()
+        while i < len(item) and depth:
+            if item[i] == "(":
+                depth += 1
+            elif item[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return None
+        arg = item[m.end():i - 1].strip()
+        if re.match(r"(?is)^DISTINCT\b", arg):
+            return None
+        tmpl_parts.append(item[pos:m.start()])
+        tmpl_parts.append(f"__AGGVAL{len(out)}__")
+        out.append((m.group(1).lower(), arg))
+        pos = i
+    if not out:
+        return None
+    tmpl_parts.append(item[pos:])
+    return out, "".join(tmpl_parts).strip()
 
 
 def _parse_scalar_agg_item(item: str

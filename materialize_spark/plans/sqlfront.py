@@ -107,16 +107,34 @@ def _classify_keyless_items(items):
             post.append(it.alias)
             continue
         parsed = _parse_scalar_agg_item(it.expr)
-        if parsed is None:
+        if parsed is not None:
+            kind, arg, tmpl = parsed
+            col = in_col(arg)
+            if col is None or (col == "__one" and kind != "count"):
+                return None
+            internal = f"__pa{i}"
+            aggs[internal] = (kind, col)
+            post.append(f"({tmpl.replace('__AGGVAL__', internal)}) "
+                        f"AS {it.alias}")
+            continue
+        # MULTIPLE aggregate calls in one item — the q14 ratio head
+        # (100.0 * sum(CASE ...) / sum(x)): each call reduces under an
+        # internal name and the expression rebuilds post-reduce
+        from materialize_spark.plans.select_ast import (
+            _parse_multi_agg_item,
+        )
+        mparsed = _parse_multi_agg_item(it.expr)
+        if mparsed is None:
             return None
-        kind, arg, tmpl = parsed
-        col = in_col(arg)
-        if col is None or (col == "__one" and kind != "count"):
-            return None
-        internal = f"__pa{i}"
-        aggs[internal] = (kind, col)
-        post.append(
-            f"({tmpl.replace('__AGGVAL__', internal)}) AS {it.alias}")
+        aggl, tmpl = mparsed
+        for j, (kind, arg) in enumerate(aggl):
+            col = in_col(arg)
+            if col is None or (col == "__one" and kind != "count"):
+                return None
+            internal = f"__pa{i}_{j}"
+            aggs[internal] = (kind, col)
+            tmpl = tmpl.replace(f"__AGGVAL{j}__", internal)
+        post.append(f"({tmpl}) AS {it.alias}")
     return (aggs, exprs, post) if aggs else None
 
 
@@ -125,16 +143,26 @@ def _classify_agg_items(items):
     into plain keys + aliased aggregates. Aggregate INPUTS may be
     arbitrary scalar expressions (the q3/q5 revenue shape
     ``SUM(price * (1 - disc))``): each gets an internal column computed
-    on the delta before the keyed reduce. Returns (keys, aggs, exprs,
-    order) or None when out of shape; ``exprs`` maps internal name ->
-    source SQL and ``order`` is the SELECT-list output column order —
-    the reference preserves it in the result, while the maintained
-    reduce is keys-first (_publish_delta_mv restores it)."""
+    on the delta before the keyed reduce. Aliased expressions around
+    one or MORE aggregate calls (the q8/q14 ratio-of-sums head,
+    ``sum(a)/sum(b) AS share``) reduce each call separately and
+    rebuild the expression as a POST projection over the maintained
+    result. Returns (keys, aggs, exprs, order, post) or None when out
+    of shape; ``exprs`` maps internal name -> source SQL, ``order`` is
+    the SELECT-list output column order (the reference preserves it in
+    the result, while the maintained reduce is keys-first —
+    _publish_delta_mv restores it), and ``post`` (when set) is the
+    result-level projection in SELECT order."""
+    from materialize_spark.plans.select_ast import (
+        _parse_multi_agg_item,
+    )
     keys: list[str] = []
     aggs: dict[str, tuple[str, str]] = {}
     exprs: dict[str, str] = {}
     order: list[str] = []
-    for it in items:
+    post_items: list[str] = []
+    has_multi = False
+    for i, it in enumerate(items):
         agg = it.agg
         if agg is not None:
             kind, arg = agg
@@ -162,11 +190,13 @@ def _classify_agg_items(items):
                 return None  # unaliased aggregates: no result column
             aggs[it.alias] = (kind, col)
             order.append(it.alias)
+            post_items.append(it.alias)
         elif it.is_column and it.alias is None:
             # plain group keys may appear anywhere in the select list
             # (the TPC-H q3/q10 style lists keys after the aggregate)
             keys.append(it.expr)
             order.append(it.expr)
+            post_items.append(it.expr)
         elif it.alias is not None \
                 and not re.search(
                     r"(?i)\b(sum|count|min|max|avg)\s*\(|\bOVER\b|"
@@ -179,9 +209,38 @@ def _classify_agg_items(items):
             keys.append(it.alias)
             exprs[it.alias] = it.expr
             order.append(it.alias)
+            post_items.append(it.alias)
+        elif it.alias is not None \
+                and not re.search(r"(?i)\bOVER\b|\(\s*SELECT\b",
+                                  it.expr):
+            # aliased expression around one or more aggregate calls:
+            # each call reduces under an internal name; the expression
+            # rebuilds as a post projection (reference: the mfp ABOVE
+            # the Reduce)
+            parsed = _parse_multi_agg_item(it.expr)
+            if parsed is None:
+                return None
+            aggl, tmpl = parsed
+            for j, (kind, arg) in enumerate(aggl):
+                if arg == "*":
+                    if kind != "count":
+                        return None
+                    col = "__one"
+                elif re.fullmatch(r"\w+", arg):
+                    col = arg
+                else:
+                    col = f"__x{len(exprs)}"
+                    exprs[col] = arg
+                internal = f"__ma{i}_{j}"
+                aggs[internal] = (kind, col)
+                tmpl = tmpl.replace(f"__AGGVAL{j}__", internal)
+            post_items.append(f"({tmpl}) AS {it.alias}")
+            order.append(it.alias)
+            has_multi = True
         else:
             return None   # unaliased/aggregate-bearing expression keys
-    return keys, aggs, exprs, order
+    return keys, aggs, exprs, order, \
+        (post_items if has_multi else None)
 
 
 def _keys_match_group_by(keys: list[str], exprs: dict[str, str],
@@ -1065,11 +1124,29 @@ class MzSession:
                    for i, (t, _a) in enumerate(items)}
         alias_of = {(a or t).lower(): i
                     for i, (t, a) in enumerate(items)}
+        # SELF-JOINS (the q7/q8 two-nation pattern): a REPEATED table's
+        # later occurrences get per-occurrence column renames
+        # (n2.n_name → __n2_n_name) so the chain's bare namespace stays
+        # collision-free — the reference keeps two arrangements of the
+        # same collection and distinguishes them by Let binding
+        # (render.rs); here the occurrence IS the rename
+        occ_ren: dict[int, dict[str, str]] = {}
+        seen_tables: set[str] = set()
+        for i, (t, a) in enumerate(items):
+            if t in seen_tables:
+                tag = (a or f"t{i}").lower()
+                occ_ren[i] = {c: f"__{tag}_{c}" for c in cols_of[i]}
+                cols_of[i] = set(occ_ren[i].values())
+            seen_tables.add(t)
+
+        def occ_col(i: int, col: str) -> str:
+            return occ_ren.get(i, {}).get(col, col)
 
         def owner(qual: str | None, col: str) -> int | None:
             if qual is not None:
                 return alias_of.get(qual.lower())
-            hits = [i for i, cs in cols_of.items() if col in cs]
+            hits = [i for i, cs in cols_of.items()
+                    if col in cs or (i in occ_ren and col in occ_ren[i])]
             return hits[0] if len(hits) == 1 else None
 
         def unwrap(c: str) -> str:
@@ -1106,9 +1183,11 @@ class MzSession:
             o2 = owner(m.group(3), m.group(4))
             if o1 is None or o2 is None or o1 == o2:
                 return None
+            c1 = occ_col(o1, m.group(2))
+            c2 = occ_col(o2, m.group(4))
             if o1 > o2:  # canonical order for cross-block matching
-                return (o2, o1, m.group(4), m.group(2))
-            return (o1, o2, m.group(2), m.group(4))
+                return (o2, o1, c2, c1)
+            return (o1, o2, c1, c2)
 
         def common_or_links(c: str) -> list:
             """q19's OR-of-conjunct-blocks: when EVERY top-level OR
@@ -1157,7 +1236,26 @@ class MzSession:
 
         joins: list[JoinSeg] = []
         placed = {0}
-        for i in range(1, len(items)):
+        remaining = list(range(1, len(items)))
+        while remaining:
+            # greedy join-graph linearization: place ANY item with an
+            # equality link into the placed set (the FROM list's
+            # textual order need not be join order — q8 lists part
+            # before the supplier–lineitem link)
+            pick = None
+            for i in remaining:
+                if any((b_i == i and a_i in placed)
+                       or (a_i == i and b_i in placed)
+                       for (a_i, b_i, _ca, _cb) in links):
+                    pick = i
+                    break
+            if pick is None:
+                raise ValueError(
+                    f"MAINTENANCE 'delta': FROM item "
+                    f"{items[remaining[0]][0]!r} has no equality "
+                    "link to the preceding items (a cross product "
+                    "is not delta-maintainable)")
+            i = pick
             pairs = []
             rest = []
             for (a_i, b_i, ca, cb) in links:
@@ -1168,19 +1266,15 @@ class MzSession:
                 else:
                     rest.append((a_i, b_i, ca, cb))
             links = rest
-            if not pairs:
-                raise ValueError(
-                    f"MAINTENANCE 'delta': FROM item "
-                    f"{items[i][0]!r} has no equality link to the "
-                    "preceding items (a cross product is not "
-                    "delta-maintainable)")
             placed.add(i)
+            remaining.remove(i)
             for (ao, acc_c), right_c in pairs:
                 ren[(i, right_c)] = (ao, acc_c)
             joins.append(JoinSeg(kind="inner", table=items[i][0],
                                  pairs=[(ac, rc)
                                         for (_ao, ac), rc in pairs],
-                                 raw_on="", alias=items[i][1]))
+                                 raw_on="", alias=items[i][1],
+                                 renames=occ_ren.get(i)))
         # links whose both ends were already placed became residual
         # equalities over the joined row
         for (a_i, b_i, ca, cb) in links:
@@ -1198,6 +1292,16 @@ class MzSession:
         qual_ren: dict[tuple[str, str], str] = {}
         bare_ren: dict[str, str] = {}
         collided: set[str] = set()
+        # occurrence renames resolve FIRST (then any dropped-key
+        # rename composes through live()); their original bare names
+        # are inherently ambiguous — raise on bare use
+        for i, ren_i in occ_ren.items():
+            for ql, oi in qual2item.items():
+                if oi != i:
+                    continue
+                for orig, renamed in ren_i.items():
+                    qual_ren[(ql, orig)] = live(i, renamed)[1]
+            collided |= set(ren_i.keys())
         for (o, c) in list(ren):
             fc = live(o, c)[1]
             if fc == c:
@@ -1551,10 +1655,10 @@ class MzSession:
             parsed = _classify_agg_items(q.items)
             if parsed is None:
                 return False
-            keys, aggs, exprs, out_order = parsed
+            keys, aggs, exprs, out_order, mpost = parsed
             gkeys = [k.strip() for k in q.group_by]
-            if not aggs or not _keys_match_group_by(keys, exprs,
-                                                    gkeys):
+            if not aggs or mpost or not _keys_match_group_by(
+                    keys, exprs, gkeys):
                 return False
             having = q.having
             if having is not None:
@@ -2134,10 +2238,10 @@ class MzSession:
             parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
-            keys, aggs, exprs, out_order = parsed_sel
+            keys, aggs, exprs, out_order, mpost = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
-            if not aggs or not _keys_match_group_by(keys, exprs,
-                                                    gkeys):
+            if not aggs or mpost or not _keys_match_group_by(
+                    keys, exprs, gkeys):
                 return False
             having = q.having
             if having is not None:
@@ -2431,7 +2535,7 @@ class MzSession:
         parsed = _classify_agg_items(q.items)
         if parsed is None:
             return False
-        keys, aggs, exprs, out_order = parsed
+        keys, aggs, exprs, out_order, mpost = parsed
         if not aggs or not keys:
             return False
         gkeys = [k.strip() for k in q.group_by]
@@ -2442,8 +2546,8 @@ class MzSession:
         self._delta_check_table(q.table)
         having = q.having
         if having is not None:
-            thr_spec = self._threshold_plan(node, q, keys, aggs, exprs,
-                                            pre, pre_where, pre_layers)
+            thr_spec = None if mpost else self._threshold_plan(
+                node, q, keys, aggs, exprs, pre, pre_where, pre_layers)
             if thr_spec is not None:
                 thr_spec["out_order"] = out_order
                 self._install_delta_mv(node.name, thr_spec)
@@ -2456,7 +2560,8 @@ class MzSession:
                 "where": q.where, "kind": "agg",
                 "having": having, "exprs": exprs, "pre": pre,
                 "pre_where": pre_where, "pre_layers": pre_layers or (),
-                "out_order": out_order}
+                "post": mpost,
+                "out_order": None if mpost else out_order}
         self._install_delta_mv(node.name, spec)
         return True
 
@@ -2477,7 +2582,7 @@ class MzSession:
         parsed = _classify_agg_items(q.items)
         if parsed is None:
             return False
-        keys, aggs, exprs, out_order = parsed
+        keys, aggs, exprs, out_order, mpost = parsed
         if keys or not aggs:
             return False
         self._delta_check_table(q.table)
@@ -2486,6 +2591,7 @@ class MzSession:
                 "aggs": aggs, "where": q.where, "kind": "agg",
                 "having": None, "exprs": exprs, "pre": None,
                 "pre_where": None, "pre_layers": (),
+                "post": mpost,
                 "global_agg": True}
         self._install_delta_mv(node.name, spec)
         return True
@@ -2632,14 +2738,16 @@ class MzSession:
             parsed = self._normalize_join_chain(inner)
             if parsed is None:
                 return False
-            tables, norm_links, kinds, acc_cols, extras = parsed
+            tables, norm_links, kinds, acc_cols, extras, jrenames \
+            = parsed
             if not all(c in acc_cols for c in icols):
                 return False
             chain = self._build_delta_join_chain(tables, norm_links,
-                                                 kinds, extras)
+                                                 kinds, extras,
+                                                 jrenames)
             spec = {"kind": "join", "tables": tuple(tables),
                     "chain": chain, "links": norm_links, "kinds": kinds,
-                    "rextras": extras,
+                    "rextras": extras, "jrenames": jrenames,
                     "agg": None, "keys": keys, "aggs": {}, "cols": cols,
                     "where": inner.where, "table": None,
                     "topk": {"mv": mv, "icols": icols}}
@@ -2745,6 +2853,17 @@ class MzSession:
         expression may appear in aggregate inputs and filters; group
         keys must resolve to plain chain columns."""
         inner = q.sub
+        if inner is not None \
+                and len(getattr(inner, "from_items", ()) or ()) > 1 \
+                and not (inner.group_by or inner.having
+                         or inner.distinct or inner.sub is not None
+                         or inner.subfilters):
+            # comma-FROM inner chains (the q7/q8 text style, incl.
+            # self-joins) desugar to the explicit chain first
+            try:
+                inner = self._desugar_implicit_joins(inner)
+            except ValueError:
+                return False
         if (not inner.joins or inner.group_by or inner.having
                 or inner.distinct or inner.sub is not None
                 or inner.subfilters):
@@ -2789,9 +2908,21 @@ class MzSession:
             return _sub_ident_tokens(text, emap)
 
         from materialize_spark.plans.select_ast import SelectItem
-        items = [SelectItem(expr=osub(it.expr), alias=it.alias)
-                 for it in q.items]
-        group_by = [osub(k) for k in q.group_by]
+        items = []
+        for it in q.items:
+            e = it.expr.strip()
+            if it.alias is None and re.fullmatch(r"\w+", e) \
+                    and e in emap:
+                # a bare reference to an inner EXPRESSION alias used as
+                # a group key (q7's l_year): keep it an aliased
+                # expression key — the classifier computes it per delta
+                # and the output keeps the queried name
+                items.append(SelectItem(expr=emap[e], alias=e))
+            else:
+                items.append(SelectItem(expr=osub(it.expr),
+                                        alias=it.alias))
+        group_by = [k.strip() if k.strip() in emap else osub(k)
+                    for k in q.group_by]
         if not all(re.fullmatch(r"\w+", k) for k in group_by):
             return False  # expression group keys: out of scope
         # rename applies FIRST, so both filters speak renamed columns
@@ -2833,7 +2964,8 @@ class MzSession:
         parsed = self._normalize_join_chain(q)
         if parsed is None:
             return False
-        tables, norm_links, kinds, acc_cols, extras = parsed
+        tables, norm_links, kinds, acc_cols, extras, jrenames \
+            = parsed
         # inner links drop the right key name from the chain output;
         # subfilter correlations and the residual WHERE may still say
         # the dropped name — substitute the surviving (equal-valued)
@@ -2857,11 +2989,13 @@ class MzSession:
             parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
-            keys, aggs, exprs, out_order = parsed_sel
+            keys, aggs, exprs, out_order, mpost = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
                 return False
+            if mpost:
+                post, out_order = mpost, None
         elif (q.items and not q.having
               and _classify_keyless_items(q.items) is not None):
             # keyless (global) aggregate above the filtered chain —
@@ -2895,8 +3029,8 @@ class MzSession:
                     (self._delta_mvs.get(st["table"]) or {})
                     .get("internal_deps", ()))
         chain = self._build_delta_join_chain(tables, norm_links, kinds,
-                                             extras) if norm_links \
-            else []
+                                             extras, jrenames) \
+            if norm_links else []
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
         dmv = RetractionAwareDistinct(
@@ -2906,7 +3040,7 @@ class MzSession:
             else None
         spec = {"kind": "semijoin", "tables": tuple(tables),
                 "chain": chain, "links": norm_links, "kinds": kinds,
-                "rextras": extras,
+                "rextras": extras, "jrenames": jrenames,
                 "agg": agg, "keys": keys, "aggs": aggs, "cols": cols,
                 "where": None, "src_where": src_where,
                 "having": having, "table": None, "topk": None,
@@ -3252,8 +3386,8 @@ class MzSession:
         parsed = _classify_agg_items(q.items)
         if parsed is None:
             return False
-        keys, aggs, exprs, out_order = parsed
-        if not aggs or not keys:
+        keys, aggs, exprs, out_order, mpost = parsed
+        if not aggs or not keys or mpost:
             return False
         residual, subs = extract_subfilters(q.having)
         if not subs:
@@ -3695,14 +3829,23 @@ class MzSession:
             links.append(list(seg.pairs))
             kinds.append(seg.kind)
             extras.append(extra)
-        if len(set(tables)) != len(tables):
-            return None  # self-joins keep two states of one table: out
+        jrenames = [seg.renames for seg in q.joins]
+        if len(set(tables)) != len(tables) \
+                and not all(jrenames[i - 1]
+                            for i in range(1, len(tables))
+                            if tables[i] in tables[:i]):
+            # self-joins need per-occurrence column renames (the
+            # comma-FROM desugar provides them; explicit-JOIN syntax
+            # self-joins stay out)
+            return None
         for t in tables:
             self._delta_check_table(t)
         acc_cols = set(self._base_frame(tables[0]).columns)
         norm_links: list[list[tuple[str, str]]] = []
         for i, pairs in enumerate(links):
             rc = set(self._base_frame(tables[i + 1]).columns)
+            if jrenames[i]:
+                rc = {jrenames[i].get(c, c) for c in rc}
             norm_pairs: list[tuple[str, str]] = []
             for onl, onr in pairs:
                 if onl in rc and onr in acc_cols:  # written right=left
@@ -3723,12 +3866,14 @@ class MzSession:
                         if onr in acc_cols:
                             return None
                         acc_cols.add(onr)
-        return tables, norm_links, kinds, acc_cols, extras
+        return tables, norm_links, kinds, acc_cols, extras, \
+            jrenames
 
     def _build_delta_join_chain(self, tables: list[str],
                                 norm_links: list[tuple[str, str]],
                                 kinds: list[str],
-                                extras: list | None = None) -> list:
+                                extras: list | None = None,
+                                jrenames: list | None = None) -> list:
         """Instantiate one maintained-join view per chain link: inner
         links use the bilinear IncrementalJoinView; LEFT/FULL links use
         IncrementalOuterJoinView (the reference lowers outer joins to
@@ -3739,13 +3884,18 @@ class MzSession:
         )
 
         types: dict[str, str] = {}
-        for t in tables:
+        for i, t in enumerate(tables):
+            ren = (jrenames[i - 1] or {}) if jrenames and i > 0 \
+                else {}
             for f in self._base_frame(t).schema.fields:
-                types.setdefault(f.name, f.dataType.simpleString())
+                types.setdefault(ren.get(f.name, f.name),
+                                 f.dataType.simpleString())
         chain = []
         acc = list(self._base_frame(tables[0]).columns)
         for i, pairs in enumerate(norm_links):
             right = self._base_frame(tables[i + 1])
+            ren = (jrenames[i] or {}) if jrenames else {}
+            right_cols = [ren.get(c, c) for c in right.columns]
             kind = kinds[i]
             on = [onl for onl, _r in pairs]
             onrs = {onr for _l, onr in pairs}
@@ -3755,7 +3905,7 @@ class MzSession:
             # on unmatched-right rows
             kept = ({onr for onl, onr in pairs if onr != onl}
                     if kind != "inner" else set())
-            rcols = [c for c in right.columns
+            rcols = [c for c in right_cols
                      if c not in onrs or c in kept]
             if kind == "inner":
                 extra = extras[i] if extras else None
@@ -3798,7 +3948,8 @@ class MzSession:
         parsed = self._normalize_join_chain(q)
         if parsed is None:
             return False
-        tables, norm_links, kinds, acc_cols, extras = parsed
+        tables, norm_links, kinds, acc_cols, extras, jrenames \
+            = parsed
         if renames:
             acc_cols = {renames.get(c, c) for c in acc_cols}
         keys: list[str] = []
@@ -3814,11 +3965,13 @@ class MzSession:
             parsed_sel = _classify_agg_items(q.items)
             if parsed_sel is None:
                 return False
-            keys, aggs, exprs, out_order = parsed_sel
+            keys, aggs, exprs, out_order, mpost = parsed_sel
             gkeys = [k.strip() for k in q.group_by]
             if not aggs or not _keys_match_group_by(keys, exprs,
                                                     gkeys):
                 return False
+            if mpost:
+                post, out_order = mpost, None
         elif (q.items and not q.distinct and not q.having
               and _classify_keyless_items(q.items) is not None):
             # keyless (global) aggregate over the chain; items may be
@@ -3839,7 +3992,7 @@ class MzSession:
             if having is None:
                 return False  # HAVING over unselected aggregates
         chain = self._build_delta_join_chain(tables, norm_links, kinds,
-                                             extras)
+                                             extras, jrenames)
         agg = RetractionAwareAgg(self.spark, keys=keys, aggs=aggs) \
             if aggs else None
         dmv = None
@@ -3851,7 +4004,7 @@ class MzSession:
                 self.spark, cols=cols, spill_rows=_TOPK_SPILL_ROWS)
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": agg,
-                "rextras": extras,
+                "rextras": extras, "jrenames": jrenames,
                 "keys": keys, "aggs": aggs, "cols": cols,
                 "where": q.where, "having": having,
                 "table": None, "topk": None,
@@ -3892,6 +4045,12 @@ class MzSession:
         through this alignment."""
         from pyspark.sql import functions as F
 
+        jrenames = spec.get("jrenames") or ()
+        if i < len(jrenames) and jrenames[i]:
+            # self-join occurrence: the right delta reads through its
+            # occurrence names
+            for orig, renamed in jrenames[i].items():
+                delta = delta.withColumnRenamed(orig, renamed)
         rextras = spec.get("rextras") or ()
         if i < len(rextras) and isinstance(rextras[i], tuple) \
                 and rextras[i][0] == "right":
@@ -3911,23 +4070,33 @@ class MzSession:
         """Fold one base table's diffs through a spec's join chain: the
         table's link consumes the delta, and each downstream link
         receives the previous link's output delta as its left input.
-        A chainless (single-table) spec passes the delta through."""
+        A chainless (single-table) spec passes the delta through. A
+        SELF-JOINED table plays several positions: its delta folds
+        through each, sequentially (the bilinear rule composes —
+        position 2 sees position 1's already-updated states), and the
+        output deltas sum."""
         chain = spec["chain"]
-        idx = spec["tables"].index(table)
         if not chain:
             return delta
-        if idx == 0:
-            out = chain[0].on_batch(left_delta=delta)
-            rest = chain[1:]
-        else:
-            delta = self._align_join_delta(spec, idx - 1, delta)
-            out = chain[idx - 1].on_batch(right_delta=delta)
-            rest = chain[idx:]
-        for link in rest:
-            if out is None:
-                break
-            out = link.on_batch(left_delta=out)
-        return out
+        out_total = None
+        for idx, t in enumerate(spec["tables"]):
+            if t != table:
+                continue
+            if idx == 0:
+                out = chain[0].on_batch(left_delta=delta)
+                rest = chain[1:]
+            else:
+                d = self._align_join_delta(spec, idx - 1, delta)
+                out = chain[idx - 1].on_batch(right_delta=d)
+                rest = chain[idx:]
+            for link in rest:
+                if out is None:
+                    break
+                out = link.on_batch(left_delta=out)
+            if out is not None:
+                out_total = out if out_total is None \
+                    else out_total.unionByName(out)
+        return out_total
 
     def _feed_delta_mv_join(self, name: str, table: str,
                             delta) -> None:
@@ -4140,6 +4309,12 @@ class MzSession:
             touched = tkeys = None
         if spec.get("kind") == "topk":  # project to the outer SELECT list
             result = result.select(*spec["cols"])
+        if spec.get("post"):
+            # multi-aggregate expression heads (sum(a)/sum(b) AS x):
+            # the result-level projection rebuilds the SELECT list
+            # over the separately-maintained aggregates
+            result = result.selectExpr(
+                *[rewrite(e) for e in spec["post"]])
         if spec.get("having"):
             # HAVING = a Filter above the maintained Reduce (the result
             # is fully maintained, so the threshold is an ordinary

@@ -78,6 +78,8 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (a) round-13 capabilities (never driver-certified) ---
         "sqlfront_delta_mv_q13_text", "sqlfront_delta_mv_q11_shape",
         "sqlfront_delta_mv_q22_shape", "sqlfront_delta_mv_q19_text",
+        "sqlfront_delta_mv_q7_text", "sqlfront_delta_mv_q8_text",
+        "sqlfront_delta_mv_q14_text",
         "sqlfront_delta_mv_q15_shape", "sqlfront_delta_mv_q20_shape",
         "sqlfront_delta_mv_select_scalar_sub",
         "sqlfront_delta_mv_agg_over_agg",
@@ -98,13 +100,12 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (c) next-oldest certifications + the pinned family
         # sentinels, keeping the window at EXACTLY 50 slots across
         # ≥10 modules (tests/test_driver_contract.py) ---
-        "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q15", "tpch_q18",
+        "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q15",
         "scalar_math", "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
         "array_functions", "agg_statistics",
         "jsonb_ops", "temporal_filter", "letrec_reachability",
-        "mv_consistency_frontier",
-        "ivm_q18_threshold_delta", "ivm_q21_antijoin_delta",
+        "ivm_q18_threshold_delta",
         "dedup_minhash_lsh", "simsearch_cosine_topk",
         "text_language_id", "cdc_pgoutput_wire_apply",
     ]

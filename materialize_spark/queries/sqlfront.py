@@ -3910,3 +3910,150 @@ def sqlfront_delta_mv_select_scalar_sub(spark, sf_dir):
                     F.floor(F.coalesce(F.col("minprice"), F.lit(-1)))
                     .cast("long").alias("minprice"))
             .orderBy("p_partkey"))
+
+
+_Q7_TEXT_BODY = """
+SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           extract(year FROM l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+           OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+) AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+@register(
+    "sqlfront_delta_mv_q7_text",
+    f"""
+    -- oracle: the SAME q7 text evaluated directly (nation names are
+    -- the synthetic NATION_k; otherwise the verbatim TPC-H q7):
+    -- two-nation SELF-JOIN, expression group key
+    -- (extract(year FROM ..)), OR-of-nation-pairs residual
+    SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+           CAST(floor(revenue) AS BIGINT) AS revenue
+    FROM ({_Q7_TEXT_BODY}) q
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q7_text(spark, sf_dir):
+    """The TPC-H q7 text maintained as written: the repeated nation
+    relation becomes two chain positions with per-occurrence column
+    renames (n2.n_name → __n2_n_name — the reference keeps two
+    arrangements of one collection distinguished by Let binding,
+    render.rs), a nation commit folds through BOTH positions
+    sequentially (the bilinear rule composes), and the stateless
+    FROM-subquery flattens into the chain with its expression aliases
+    (l_year, volume) substituted into the outer reduce."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q7_text WITH (MAINTENANCE "
+              f"'delta') AS {_Q7_TEXT_BODY}")
+    return (s.sql("SELECT * FROM q7_text")
+            .select("supp_nation", "cust_nation",
+                    F.col("l_year").cast("long").alias("l_year"),
+                    F.floor("revenue").cast("long").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_Q8_TEXT_BODY = """
+SELECT o_year,
+       sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+       / sum(volume) AS mkt_share
+FROM (
+    SELECT extract(year FROM o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part, supplier, lineitem, orders, customer,
+         nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey
+      AND n1.n_regionkey = r_regionkey
+      AND r_name = 'AMERICA'
+      AND s_nationkey = n2.n_nationkey
+      AND o_orderdate BETWEEN DATE '1995-01-01'
+                          AND DATE '1996-12-31'
+      AND p_type = 'ECONOMY'
+) AS all_nations
+GROUP BY o_year
+ORDER BY o_year"""
+
+
+@register(
+    "sqlfront_delta_mv_q8_text",
+    f"""
+    -- oracle: the SAME q8 text evaluated directly (NATION_3 /
+    -- 'ECONOMY' stand in for BRAZIL / the full p_type literal;
+    -- structurally the verbatim TPC-H q8): an 8-relation chain with
+    -- a self-joined nation, the region dimension, and the
+    -- ratio-of-sums head — two maintained aggregates rebuilt by a
+    -- post projection
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(mkt_share, 9) AS mkt_share
+    FROM ({_Q8_TEXT_BODY}) q ORDER BY o_year
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q8_text(spark, sf_dir):
+    """The TPC-H q8 text maintained as written: ratio-of-sums heads
+    (sum(CASE ...)/sum(volume)) reduce each aggregate call separately
+    and rebuild the expression as a post projection over the
+    maintained result — the reference's mfp above the Reduce."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q8_text WITH (MAINTENANCE "
+              f"'delta') AS {_Q8_TEXT_BODY}")
+    return (s.sql("SELECT * FROM q8_text")
+            .select(F.col("o_year").cast("long").alias("o_year"),
+                    F.round("mkt_share", 9).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+_Q14_TEXT_BODY = """
+SELECT 100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1995-09-01'
+  AND l_shipdate < DATE '1995-10-01'"""
+
+
+@register(
+    "sqlfront_delta_mv_q14_text",
+    f"""
+    -- oracle: the SAME q14 text evaluated directly — the VERBATIM
+    -- TPC-H q14 (the synthetic p_type really carries PROMO values):
+    -- a keyless ratio-of-sums over the lineitem-part join
+    SELECT round(promo_revenue, 9) AS promo_revenue
+    FROM ({_Q14_TEXT_BODY}) q
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q14_text(spark, sf_dir):
+    """The verbatim TPC-H q14 text maintained: the keyless
+    ratio-of-sums head splits into two separately-maintained global
+    sums (CASE input expressions computed per delta) with the ratio
+    rebuilt post-reduce; the promotion window is the text's own."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q14_text WITH (MAINTENANCE "
+              f"'delta') AS {_Q14_TEXT_BODY}")
+    return (s.sql("SELECT * FROM q14_text")
+            .select(F.round("promo_revenue", 9)
+                    .alias("promo_revenue")))

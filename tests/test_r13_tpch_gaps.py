@@ -414,3 +414,154 @@ def test_select_list_scalar_subquery(spark):
         check()
     s.execute("DROP MATERIALIZED VIEW psub")
     assert not any(n.startswith("__psub_") for n in s._delta_mvs)
+
+
+Q7 = """
+SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           extract(year FROM l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+           OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+) AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def test_q7_verbatim_self_join(spark):
+    """The verbatim TPC-H q7 text (two-nation SELF-JOIN, expression
+    group key, OR-of-nation-pairs residual) maintains: the repeated
+    nation occurrence reads through per-occurrence column renames and
+    a nation commit folds through BOTH chain positions."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q7v WITH (MAINTENANCE "
+              f"'delta') AS {Q7}")
+    con = _oracle(s, ["supplier", "lineitem", "orders", "customer",
+                      "nation"])
+
+    def check():
+        got = sorted((a, b, int(c), round(float(d), 4)) for a, b, c, d
+                     in s.sql("SELECT * FROM q7v").collect())
+        exp = sorted((a, b, int(c), round(float(d), 4)) for a, b, c, d
+                     in con.execute(Q7).fetchall())
+        assert got == exp, (got[:4], exp[:4])
+
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 4 = 1",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_suppkey % 3 = 0 AND l_linenumber = 1",
+        "DELETE FROM supplier WHERE s_suppkey % 5 = 2",
+        # nation feeds BOTH occurrences of the self-join
+        "DELETE FROM nation WHERE n_name = 'NATION_8'",
+        "INSERT INTO nation VALUES (8, 'NATION_8', 3)",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q7v")
+
+
+Q8 = """
+SELECT o_year,
+       sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+       / sum(volume) AS mkt_share
+FROM (
+    SELECT extract(year FROM o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part, supplier, lineitem, orders, customer,
+         nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey
+      AND n1.n_regionkey = r_regionkey
+      AND r_name = 'AMERICA'
+      AND s_nationkey = n2.n_nationkey
+      AND o_orderdate BETWEEN DATE '1995-01-01'
+                          AND DATE '1996-12-31'
+      AND p_type = 'ECONOMY'
+) AS all_nations
+GROUP BY o_year
+ORDER BY o_year"""
+
+
+def test_q8_verbatim_ratio_of_sums(spark):
+    """The verbatim TPC-H q8 text: an 8-relation chain with a
+    self-joined nation, region dimension, and the ratio-of-sums head
+    (sum(CASE..)/sum(volume) — two maintained aggregates rebuilt by a
+    post projection)."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q8v WITH (MAINTENANCE "
+              f"'delta') AS {Q8}")
+    con = _oracle(s, ["part", "supplier", "lineitem", "orders",
+                      "customer", "nation", "region"])
+
+    def check():
+        got = sorted((int(a), round(float(b), 6)) for a, b in
+                     s.sql("SELECT * FROM q8v").collect())
+        exp = sorted((int(a), round(float(b), 6)) for a, b in
+                     con.execute(Q8).fetchall())
+        assert got == exp, (got, exp)
+
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 4 = 2",
+        "DELETE FROM nation WHERE n_name = 'NATION_3'",
+        "INSERT INTO nation VALUES (3, 'NATION_3', 1)",
+        "INSERT INTO orders SELECT * FROM orders "
+        "WHERE o_orderkey % 7 = 0",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q8v")
+
+
+Q14 = """
+SELECT 100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1995-09-01'
+  AND l_shipdate < DATE '1995-10-01'"""
+
+
+def test_q14_verbatim_promo_ratio(spark):
+    """The verbatim TPC-H q14 text: a keyless ratio-of-sums over the
+    lineitem-part join — both sums maintain separately and the ratio
+    rebuilds post-reduce."""
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q14v WITH (MAINTENANCE "
+              f"'delta') AS {Q14}")
+    con = _oracle(s, ["lineitem", "part"])
+
+    def check():
+        got = [round(float(r[0]), 6) if r[0] is not None else None
+               for r in s.sql("SELECT * FROM q14v").collect()]
+        exp = [round(float(r[0]), 6) if r[0] is not None else None
+               for r in con.execute(Q14).fetchall()]
+        assert got == exp, (got, exp)
+
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 3 = 0",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_partkey % 5 = 1 AND l_linenumber = 1",
+        "DELETE FROM part WHERE p_type LIKE 'PROMO%' "
+        "AND p_partkey % 2 = 0",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q14v")

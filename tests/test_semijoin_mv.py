@@ -406,26 +406,33 @@ def test_scalar_agg_comparison_q17_shape(spark):
 
 
 def test_comma_from_rejected_in_nested_contexts(spark):
-    """A comma-joined FROM list inside a set-op branch or subquery must
-    reject (only the top-level dispatcher desugars implicit joins) —
-    never silently plan over the first table alone."""
+    """A comma-joined FROM list inside a set-op BRANCH must reject
+    (branches are stateless single-table transforms) — never silently
+    plan over the first table alone. Inside a FROM subquery the
+    comma list now DESUGARS into the maintained chain (the q7/q8
+    text style) — pin that it maintains CORRECTLY rather than
+    rejecting."""
     s = _mz(spark)
     s.run_script("CREATE TABLE nc_a (x BIGINT); "
-                 "CREATE TABLE nc_b (x BIGINT);")
+                 "CREATE TABLE nc_b (x BIGINT);"
+                 "INSERT INTO nc_a VALUES (1), (2), (2);"
+                 "INSERT INTO nc_b VALUES (2), (3);")
     with pytest.raises(Exception):
         s.execute(
             "CREATE MATERIALIZED VIEW nc1 WITH (MAINTENANCE 'delta') "
             "AS SELECT x FROM nc_a, nc_b WHERE nc_a.x = nc_b.x "
             "UNION ALL SELECT x FROM nc_a")
     assert "nc1" not in s._delta_mvs
-    with pytest.raises(Exception):
-        s.execute(
-            "CREATE MATERIALIZED VIEW nc2 WITH (MAINTENANCE 'delta') "
-            "AS SELECT x, COUNT(*) AS n FROM "
-            "(SELECT a.x FROM nc_a a, nc_b b WHERE a.x = b.x) "
-            "GROUP BY x")
-    assert "nc2" not in s._delta_mvs
-    s.run_script("DROP TABLE nc_a; DROP TABLE nc_b;")
+    s.execute(
+        "CREATE MATERIALIZED VIEW nc2 WITH (MAINTENANCE 'delta') "
+        "AS SELECT x, COUNT(*) AS n FROM "
+        "(SELECT a.x FROM nc_a a, nc_b b WHERE a.x = b.x) "
+        "GROUP BY x")
+    assert rows(s, "SELECT * FROM nc2") == [(2, 2)]
+    s.execute("INSERT INTO nc_a VALUES (3)")
+    assert rows(s, "SELECT * FROM nc2") == [(2, 2), (3, 1)]
+    s.run_script("DROP MATERIALIZED VIEW nc2;"
+                 "DROP TABLE nc_a; DROP TABLE nc_b;")
 
 
 def test_aliased_join_subquery_flattens(spark):

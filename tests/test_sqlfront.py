@@ -2007,7 +2007,11 @@ def test_delta_mv_join_non_equi_residual(spark):
         "ON ck = cst AND amt < cap").collect()}
     assert snap() == want
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="INNER links only"):
+    # an outer link's residual referencing the LEFT side can't push
+    # down to the right input — still rejected (right-only residuals
+    # push down since r13, the q13 o_comment conjunct)
+    with _pytest.raises(ValueError,
+                        match="right input's columns"):
         s.execute(
             "CREATE MATERIALIZED VIEW neqbad WITH (MAINTENANCE "
             "'delta') AS SELECT ok, amt FROM neq_o "
