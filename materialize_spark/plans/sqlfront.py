@@ -1472,6 +1472,15 @@ class MzSession:
             # text carries one, tpch_create_materialized_view.slt)
             from dataclasses import replace as _dc_replace
             q = _dc_replace(q, order=[])
+        if q.order and q.limit is not None \
+                and (q.group_by or q.sub is not None or q.joins
+                     or q.subfilters):
+            # ORDER BY ... LIMIT k over a STATEFUL body (the TPC-H
+            # q3/q10/q18 tails): the body-without-tail plans as an
+            # internal delta MV and the global TopK stacks over its
+            # published diffs
+            if self._plan_delta_topk_over_stateful(node, q):
+                return
         if q.order or q.limit is not None:
             if self._plan_delta_global_topk(node, q):
                 return
@@ -3366,6 +3375,62 @@ class MzSession:
         for a, b in reversed(cuts):
             body = body[:a] + body[b:]
         return body.strip()
+
+    def _plan_delta_topk_over_stateful(self, node: ast.CreateView,
+                                       q) -> bool:
+        """``<stateful body> ORDER BY c [DESC][, ...] LIMIT k`` — the
+        TPC-H q3/q10/q18 tails: the body WITHOUT its tail plans as a
+        planner-owned internal delta MV and a global TopK maintains
+        over its published diffs (the reference renders the same plan:
+        TopK above the Reduce, src/compute-types/src/plan/top_k.rs).
+        Multi-column ORDER BY reduces to the FIRST column's global
+        TopK only when k rows can't tie... so only single-column
+        orders are accepted; ties keep deterministic ordering via the
+        maintained support."""
+        from dataclasses import replace as _dc_replace
+
+        from materialize_spark.plans.select_ast import (
+            SelectItem, SelectQ,
+        )
+
+        if len(q.order) != 1:
+            return False
+        ord_col, desc = q.order[0]
+        internal = f"__jsub_{node.name}"
+        if internal in self._delta_mvs:
+            return False
+        inner_sql = self._cut_clauses(node.body, kws=("ORDER",
+                                                      "LIMIT"))
+        inner_q = _dc_replace(q, order=[], limit=None)
+        fake = ast.CreateView(name=internal, body=inner_sql,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = inner_sql
+        try:
+            self._plan_delta_mv(fake, inner_q)
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        icols = list(self._matviews[internal].columns)
+        if ord_col not in icols:
+            self._rollback_internal(internal)
+            return False
+        outer_q = SelectQ(
+            items=[SelectItem(expr=c) for c in icols],
+            table=internal, order=[(ord_col, desc)], limit=q.limit)
+        try:
+            if not self._plan_delta_global_topk(node, outer_q):
+                raise ValueError("global TopK rejected the tail")
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        spec = self._delta_mvs[node.name]
+        nested = tuple((self._delta_mvs.get(internal) or {})
+                       .get("internal_deps", ()))
+        spec["internal_deps"] = (tuple(spec.get("internal_deps", ()))
+                                 + (internal,) + nested)
+        self._owners.setdefault(internal,
+                                self._owners.get(node.name, self._role))
+        return True
 
     def _plan_delta_having_scalar(self, node: ast.CreateView,
                                   q) -> bool:

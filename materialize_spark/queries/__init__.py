@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_q22_shape", "sqlfront_delta_mv_q19_text",
         "sqlfront_delta_mv_q7_text", "sqlfront_delta_mv_q8_text",
         "sqlfront_delta_mv_q14_text",
+        "sqlfront_delta_mv_q10_tail",
         "sqlfront_delta_mv_q15_shape", "sqlfront_delta_mv_q20_shape",
         "sqlfront_delta_mv_select_scalar_sub",
         "sqlfront_delta_mv_agg_over_agg",
@@ -100,7 +101,7 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (c) next-oldest certifications + the pinned family
         # sentinels, keeping the window at EXACTLY 50 slots across
         # ≥10 modules (tests/test_driver_contract.py) ---
-        "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q15",
+        "tpch_q1", "tpch_q5", "tpch_q15",
         "scalar_math", "tpch_q2_adapted",
         "setops_union_all", "outer_join_full",
         "array_functions", "agg_statistics",

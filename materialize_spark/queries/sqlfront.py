@@ -4057,3 +4057,47 @@ def sqlfront_delta_mv_q14_text(spark, sf_dir):
     return (s.sql("SELECT * FROM q14_text")
             .select(F.round("promo_revenue", 9)
                     .alias("promo_revenue")))
+
+
+_Q10_TAIL_BODY = """
+SELECT c_custkey, c_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC
+LIMIT 20"""
+
+
+@register(
+    "sqlfront_delta_mv_q10_tail",
+    f"""
+    -- oracle: the SAME q10-shape text evaluated directly (the
+    -- synthetic customer lacks c_address/c_phone/c_comment;
+    -- structurally the TPC-H q10 with its ORDER BY revenue DESC
+    -- LIMIT 20 tail KEPT): the keyed join-aggregate maintains as an
+    -- internal delta MV and the global TopK rides its diffs
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           CAST(floor(revenue) AS BIGINT) AS revenue
+    FROM ({_Q10_TAIL_BODY}) q ORDER BY c_custkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q10_tail(spark, sf_dir):
+    """ORDER BY ... LIMIT over a STATEFUL body (the TPC-H q10 tail —
+    q3/q18 carry the same construct): the body-without-tail plans as
+    a planner-owned internal delta MV and a maintained global TopK
+    stacks over its published diffs (the reference's TopK above the
+    Reduce, src/compute-types/src/plan/top_k.rs) — a deleted top row
+    pulls the evicted successor back in."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q10_tail WITH (MAINTENANCE "
+              f"'delta') AS {_Q10_TAIL_BODY}")
+    return (s.sql("SELECT * FROM q10_tail")
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    "c_name",
+                    F.floor("revenue").cast("long").alias("revenue"))
+            .orderBy("c_custkey"))

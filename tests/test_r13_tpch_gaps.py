@@ -565,3 +565,41 @@ def test_q14_verbatim_promo_ratio(spark):
         con.execute(sql)
         check()
     s.execute("DROP MATERIALIZED VIEW q14v")
+
+
+def test_topk_over_aggregate_q10_tail(spark):
+    """ORDER BY revenue DESC LIMIT k over a keyed join-aggregate (the
+    q10 tail): the reduce maintains as an internal MV and the global
+    TopK rides its diffs — churn moves rows in and out of the top."""
+    s = _mz(spark, SF)
+    Q = """
+    SELECT c_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC
+    LIMIT 20
+    """
+    s.execute("CREATE MATERIALIZED VIEW q10t WITH (MAINTENANCE "
+              f"'delta') AS {Q}")
+    con = _oracle(s, ["customer", "orders", "lineitem"])
+    def check():
+        got = sorted((a, b, round(float(c), 4)) for a, b, c in
+                     s.sql("SELECT * FROM q10t").collect())
+        exp = sorted((a, b, round(float(c), 4)) for a, b, c in
+                     con.execute(Q).fetchall())
+        assert got == exp, (len(got), len(exp), got[:3], exp[:3])
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 5 = 0",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_returnflag = 'R' AND l_linenumber = 1",
+        "DELETE FROM customer WHERE c_custkey % 9 = 4",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q10t")
+    assert not any(n.startswith("__jsub_") for n in s._delta_mvs)
