@@ -10,6 +10,7 @@ compares the maintained result against DuckDB recomputing the SAME SQL
 after identical churn."""
 
 import duckdb
+import pytest
 
 
 def _mz(spark, sf=None):
@@ -18,6 +19,22 @@ def _mz(spark, sf=None):
 
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _restore_sf_tables(spark):
+    """These soaks CHURN the shared sf-backed tables (INSERT/DELETE on
+    lineitem/orders/...). The session-level table cache would leak the
+    mutated frames into later test FILES (plan-pin and introspection
+    tests read the same temp views) — drop the loaded frames after
+    each test so the next reader re-reads pristine parquet."""
+    yield
+    per = getattr(spark, "_materialize_spark_tables", {})
+    tabs = per.get(SF)
+    if tabs is not None:
+        for name in list(tabs._loaded):
+            tabs._loaded.pop(name)
+        tabs.register_all()
 
 
 def _oracle(s, tables):
