@@ -620,3 +620,90 @@ def test_topk_over_aggregate_q10_tail(spark):
         check()
     s.execute("DROP MATERIALIZED VIEW q10t")
     assert not any(n.startswith("__jsub_") for n in s._delta_mvs)
+
+
+def _vrows(s, q):
+    return sorted((tuple(r) for r in s.sql(q).collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def test_global_threshold_null_scalar_cycles(spark):
+    """Scalar goes NULL (inner drains) -> every comparison UNKNOWN ->
+    empty; value reappears -> re-qualification; equal-value commits
+    skip the flip scan."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE gt_t (k BIGINT, v DOUBLE);
+        CREATE TABLE gt_u (w DOUBLE);
+        INSERT INTO gt_t VALUES (1, 10.0), (2, 30.0);
+        CREATE MATERIALIZED VIEW gt WITH (MAINTENANCE 'delta') AS
+          SELECT k, v FROM gt_t WHERE v > (SELECT avg(w) FROM gt_u);
+    """)
+    # empty inner: avg NULL -> UNKNOWN -> nothing qualifies
+    assert _vrows(s, "SELECT * FROM gt") == []
+    s.execute("INSERT INTO gt_u VALUES (20.0)")
+    assert _vrows(s, "SELECT * FROM gt") == [(2, 30.0)]
+    # drain the inner: scalar back to NULL
+    s.execute("DELETE FROM gt_u WHERE w = 20.0")
+    assert _vrows(s, "SELECT * FROM gt") == []
+    # two inserts netting the same avg as before
+    s.execute("INSERT INTO gt_u VALUES (15.0), (25.0)")
+    assert _vrows(s, "SELECT * FROM gt") == [(2, 30.0)]
+    # outer churn under a live scalar
+    s.execute("INSERT INTO gt_t VALUES (3, 20.0), (4, 21.0)")
+    assert _vrows(s, "SELECT * FROM gt") == [(2, 30.0), (4, 21.0)]
+    s.run_script("DROP MATERIALIZED VIEW gt;"
+                 "DROP TABLE gt_t; DROP TABLE gt_u;")
+
+def test_corr_in_spilled_state(spark, monkeypatch):
+    """Correlated NOT IN with the support forced onto the spill tier:
+    per-key NULL/emptiness terms survive spilling."""
+    import materialize_spark.plans.sqlfront as sf
+    monkeypatch.setattr(sf, "_TOPK_SPILL_ROWS", 2)
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE sp_t (g BIGINT, x BIGINT);
+        CREATE TABLE sp_u (g2 BIGINT, j BIGINT);
+        INSERT INTO sp_t VALUES (1,1),(1,2),(2,1),(2,2),(3,1),(3,9);
+        INSERT INTO sp_u VALUES (1,1),(1,3),(2,NULL),(3,1),(3,2);
+        CREATE MATERIALIZED VIEW spni WITH (MAINTENANCE 'delta') AS
+          SELECT g, x FROM sp_t
+          WHERE x NOT IN (SELECT j FROM sp_u WHERE sp_u.g2 = sp_t.g);
+    """)
+    # key1 {1,3}: keeps (1,2); key2 poisoned; key3 {1,2}: keeps (3,9)
+    assert _vrows(s, "SELECT * FROM spni") == [(1, 2), (3, 9)]
+    for i in range(6):  # force many spill-tier appends
+        s.execute(f"INSERT INTO sp_u VALUES (1, {10 + i})")
+    assert _vrows(s, "SELECT * FROM spni") == [(1, 2), (3, 9)]
+    s.execute("DELETE FROM sp_u WHERE g2 = 2")   # un-poison key 2
+    assert _vrows(s, "SELECT * FROM spni") == [(1, 2), (2, 1), (2, 2),
+                                             (3, 9)]
+    s.execute("INSERT INTO sp_u VALUES (1, 2)")  # kill (1,2)
+    assert _vrows(s, "SELECT * FROM spni") == [(2, 1), (2, 2), (3, 9)]
+    s.run_script("DROP MATERIALIZED VIEW spni;"
+                 "DROP TABLE sp_t; DROP TABLE sp_u;")
+
+def test_seminaive_mutual_recursion(spark):
+    """Two mutually recursive union-distinct bindings ride semi-naive
+    rounds with cross-binding frontiers."""
+    s = _mz(spark)
+    s.run_script("""
+        CREATE TABLE mr_e (a BIGINT, b BIGINT);
+        INSERT INTO mr_e VALUES (1, 2), (2, 3);
+        CREATE MATERIALIZED VIEW mr WITH (MAINTENANCE 'delta') AS
+        WITH MUTUALLY RECURSIVE
+          evenr (n int8) AS (
+            SELECT a AS n FROM mr_e WHERE a = 1
+            UNION
+            SELECT e.b AS n FROM oddr o JOIN mr_e e ON o.n = e.a),
+          oddr (n int8) AS (
+            SELECT e.b AS n FROM evenr v JOIN mr_e e ON v.n = e.a)
+        SELECT n FROM evenr;
+    """)
+    assert s._delta_mvs["mr"]["seminaive"] is True
+    assert _vrows(s, "SELECT * FROM mr") == [(1,), (3,)]
+    s.execute("INSERT INTO mr_e VALUES (3, 4), (4, 5)")
+    assert _vrows(s, "SELECT * FROM mr") == [(1,), (3,), (5,)]
+    s.execute("DELETE FROM mr_e WHERE a = 2")
+    assert _vrows(s, "SELECT * FROM mr") == [(1,)]
+    s.run_script("DROP MATERIALIZED VIEW mr; DROP TABLE mr_e;")
