@@ -11,8 +11,11 @@
 
 
 def _mz(spark):
+    # explicit small-sf catalog: a DEFAULT-sf session here would
+    # force-build the sf0.1 arrangements under the test fixture's
+    # 4-partition conf and poison the golden plan pins that run later
     from materialize_spark.plans.sqlfront import MzSession
-    return MzSession(spark)
+    return MzSession(spark, "/root/testdata/sf0.001")
 
 
 def test_select_order_restored_agg_before_key(spark):
