@@ -1438,6 +1438,22 @@ class MzSession:
                 having=st(q.having),
                 joins=[_dc_replace(seg, extra=st(seg.extra))
                        for seg in q.joins])
+        if q.order and q.limit is None:
+            # ORDER BY without LIMIT in an MV body: relations are
+            # unordered, so the clause is content-irrelevant — the
+            # reference accepts and ignores it (the verbatim TPC-H q13
+            # text carries one, tpch_create_materialized_view.slt)
+            from dataclasses import replace as _dc_replace
+            q = _dc_replace(q, order=[])
+        if q.order and q.limit is not None \
+                and (q.group_by or q.sub is not None or q.joins
+                     or q.subfilters):
+            # ORDER BY ... LIMIT k over a STATEFUL body (the TPC-H
+            # q3/q10/q18 tails): the body-without-tail plans as an
+            # internal delta MV and the global TopK stacks over its
+            # published diffs
+            if self._plan_delta_topk_over_stateful(node, q):
+                return
         if getattr(q, "subfilters", None):
             if self._plan_delta_semijoin(node, q):
                 return
@@ -1465,22 +1481,6 @@ class MzSession:
                 "MAINTENANCE 'delta' over a UNION ALL subquery "
                 "supports a grouped aggregate or SELECT DISTINCT above "
                 "stateless branches; " + _DELTA_SUPPORTED)
-        if q.order and q.limit is None:
-            # ORDER BY without LIMIT in an MV body: relations are
-            # unordered, so the clause is content-irrelevant — the
-            # reference accepts and ignores it (the verbatim TPC-H q13
-            # text carries one, tpch_create_materialized_view.slt)
-            from dataclasses import replace as _dc_replace
-            q = _dc_replace(q, order=[])
-        if q.order and q.limit is not None \
-                and (q.group_by or q.sub is not None or q.joins
-                     or q.subfilters):
-            # ORDER BY ... LIMIT k over a STATEFUL body (the TPC-H
-            # q3/q10/q18 tails): the body-without-tail plans as an
-            # internal delta MV and the global TopK stacks over its
-            # published diffs
-            if self._plan_delta_topk_over_stateful(node, q):
-                return
         if q.order or q.limit is not None:
             if self._plan_delta_global_topk(node, q):
                 return
@@ -2780,22 +2780,26 @@ class MzSession:
             RetractionAwareTopK,
         )
 
-        if (q.limit is None or len(q.order) != 1 or q.group_by
+        if (q.limit is None or not q.order or q.group_by
                 or q.having or q.distinct or q.sub is not None
                 or q.joins):
             return False
         if not all(it.is_column and it.alias is None for it in q.items):
             return False
+        if not all(re.fullmatch(r"\w+", c) for c, _d in q.order):
+            return False
         ord_col, desc = q.order[0]
         cols = [it.expr for it in q.items]
         self._delta_check_table(q.table)
         icols = list(cols)
-        if ord_col not in icols:
-            icols.append(ord_col)
+        for oc, _d in q.order:
+            if oc not in icols:
+                icols.append(oc)
         icols.append("__g")
         mv = RetractionAwareTopK(
             self.spark, keys=["__g"], order_col=ord_col, limit=q.limit,
-            descending=desc, spill_rows=_TOPK_SPILL_ROWS)
+            descending=desc, order_by=list(q.order),
+            spill_rows=_TOPK_SPILL_ROWS)
         spec = {"mv": mv, "table": q.table, "keys": ["__g"],
                 "icols": icols, "cols": cols, "where": q.where,
                 "kind": "topk", "pre": ["*", "1 AS __g"]}
@@ -3383,19 +3387,14 @@ class MzSession:
         planner-owned internal delta MV and a global TopK maintains
         over its published diffs (the reference renders the same plan:
         TopK above the Reduce, src/compute-types/src/plan/top_k.rs).
-        Multi-column ORDER BY reduces to the FIRST column's global
-        TopK only when k rows can't tie... so only single-column
-        orders are accepted; ties keep deterministic ordering via the
-        maintained support."""
+        Multi-column ORDER BY (q18's o_totalprice DESC, o_orderdate)
+        rides the maintained TopK's lexicographic window order."""
         from dataclasses import replace as _dc_replace
 
         from materialize_spark.plans.select_ast import (
             SelectItem, SelectQ,
         )
 
-        if len(q.order) != 1:
-            return False
-        ord_col, desc = q.order[0]
         internal = f"__jsub_{node.name}"
         if internal in self._delta_mvs:
             return False
@@ -3411,12 +3410,12 @@ class MzSession:
             self._rollback_internal(internal)
             return False
         icols = list(self._matviews[internal].columns)
-        if ord_col not in icols:
+        if not all(oc in icols for oc, _d in q.order):
             self._rollback_internal(internal)
             return False
         outer_q = SelectQ(
             items=[SelectItem(expr=c) for c in icols],
-            table=internal, order=[(ord_col, desc)], limit=q.limit)
+            table=internal, order=list(q.order), limit=q.limit)
         try:
             if not self._plan_delta_global_topk(node, outer_q):
                 raise ValueError("global TopK rejected the tail")

@@ -80,7 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_q22_shape", "sqlfront_delta_mv_q19_text",
         "sqlfront_delta_mv_q7_text", "sqlfront_delta_mv_q8_text",
         "sqlfront_delta_mv_q14_text",
-        "sqlfront_delta_mv_q10_tail",
+        "sqlfront_delta_mv_q10_tail", "sqlfront_delta_mv_q18_full",
         "sqlfront_delta_mv_q15_shape", "sqlfront_delta_mv_q20_shape",
         "sqlfront_delta_mv_select_scalar_sub",
         "sqlfront_delta_mv_agg_over_agg",
@@ -96,7 +96,6 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_outer_join", "sqlfront_delta_mv_union_agg",
         "sqlfront_delta_mv_global_agg", "sqlfront_delta_mv_stacked",
         "sqlfront_delta_mv_having",
-        "sqlfront_delta_mv_nonequi_join",
         "sqlfront_delta_mv_join_from_subquery",
         # --- (c) next-oldest certifications + the pinned family
         # sentinels, keeping the window at EXACTLY 50 slots across

@@ -4101,3 +4101,50 @@ def sqlfront_delta_mv_q10_tail(spark, sf_dir):
                     "c_name",
                     F.floor("revenue").cast("long").alias("revenue"))
             .orderBy("c_custkey"))
+
+
+_Q18_FULL_BODY = _Q18_TEXT_BODY + """
+ORDER BY o_totalprice DESC, o_orderdate
+LIMIT 100"""
+
+
+@register(
+    "sqlfront_delta_mv_q18_full",
+    f"""
+    -- oracle: the q18 text WITH its full ORDER BY o_totalprice DESC,
+    -- o_orderdate LIMIT 100 tail (the actual TPC-H query form; the
+    -- reference's MV keeps the ORDER BY and drops the LIMIT): the
+    -- IN-with-HAVING membership + keyed reduce maintain as an
+    -- internal MV and a multi-column global TopK rides its diffs
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(floor(o_totalprice) AS BIGINT) AS o_totalprice,
+           CAST(floor(total_qty) AS BIGINT) AS total_qty
+    FROM ({_Q18_FULL_BODY}) q ORDER BY o_orderkey
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "tpch",
+)
+def sqlfront_delta_mv_q18_full(spark, sf_dir):
+    """q18 with its FULL tail: ORDER BY ... LIMIT over the maintained
+    membership+reduce stack — the body-without-tail is an internal
+    delta MV and a maintained global TopK with a multi-column
+    lexicographic order consumes its diffs (a deleted top row pulls
+    the evicted successor back in)."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW q18_full WITH (MAINTENANCE "
+              f"'delta') AS {_Q18_FULL_BODY}")
+    return (s.sql("SELECT * FROM q18_full")
+            .select("c_name",
+                    F.col("c_custkey").cast("long").alias("c_custkey"),
+                    F.col("o_orderkey").cast("long")
+                    .alias("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.floor("o_totalprice").cast("long")
+                    .alias("o_totalprice"),
+                    F.floor("total_qty").cast("long")
+                    .alias("total_qty"))
+            .orderBy("o_orderkey"))

@@ -431,6 +431,9 @@ class RetractionAwareTopK:
     order_col: str
     limit: int
     descending: bool = True
+    # multi-column ORDER BY (the TPC-H q3/q18 tails: revenue DESC,
+    # o_orderdate): when set, overrides (order_col, descending)
+    order_by: "list[tuple[str, bool]] | None" = None
     # ranking semantics of the <= k filter: row_number (exactly k rows
     # per group), rank (ties share a rank — <= k may keep more), or
     # dense_rank (the rows of the k best distinct order values); the
@@ -482,19 +485,21 @@ class RetractionAwareTopK:
         (duplicates counted; negative nets invisible until matched)."""
         from pyspark.sql import Window
 
-        order = (F.col(self.order_col).desc() if self.descending
-                 else F.col(self.order_col).asc())
+        spec = self.order_by or [(self.order_col,
+                                  self.descending)]
+        orders = [F.col(c).desc() if d else F.col(c).asc()
+                  for c, d in spec]
         expanded = supp.filter(F.col("mult") > 0).withColumn(
             "__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
         if self.mode == "row_number":
             # __i tie-break keeps duplicate rows deterministic
-            w = Window.partitionBy(*self.keys).orderBy(order, "__i")
+            w = Window.partitionBy(*self.keys).orderBy(*orders, "__i")
             rn = F.row_number()
         else:
             # rank/dense_rank tie ONLY on the order value — duplicates
             # (and the __i copies of one row) share a rank, so <= k
             # keeps whole tie groups
-            w = Window.partitionBy(*self.keys).orderBy(order)
+            w = Window.partitionBy(*self.keys).orderBy(*orders)
             rn = F.rank() if self.mode == "rank" else F.dense_rank()
         return (
             expanded.withColumn("__rn", rn.over(w))

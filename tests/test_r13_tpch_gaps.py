@@ -707,3 +707,46 @@ def test_seminaive_mutual_recursion(spark):
     s.execute("DELETE FROM mr_e WHERE a = 2")
     assert _vrows(s, "SELECT * FROM mr") == [(1,)]
     s.run_script("DROP MATERIALIZED VIEW mr; DROP TABLE mr_e;")
+
+
+Q18F = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 180)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate
+LIMIT 100
+"""
+
+
+def test_q18_full_tail(spark):
+    s = _mz(spark, SF)
+    s.execute("CREATE MATERIALIZED VIEW q18f WITH (MAINTENANCE "
+              f"'delta') AS {Q18F}")
+    con = _oracle(s, ["customer", "orders", "lineitem"])
+    def check():
+        got = sorted((a, b, c, str(d), round(float(e), 4),
+                      round(float(f), 4))
+                     for a, b, c, d, e, f in
+                     s.sql("SELECT * FROM q18f").collect())
+        exp = sorted((a, b, c, str(d), round(float(e), 4),
+                      round(float(f), 4))
+                     for a, b, c, d, e, f in
+                     con.execute(Q18F).fetchall())
+        assert got == exp, (len(got), len(exp), got[:2], exp[:2])
+    check()
+    for sql in (
+        "DELETE FROM lineitem WHERE l_orderkey % 7 = 3",
+        "INSERT INTO lineitem SELECT * FROM lineitem "
+        "WHERE l_quantity > 45 AND l_linenumber <= 2",
+        "DELETE FROM orders WHERE o_orderkey % 11 = 5",
+    ):
+        s.execute(sql)
+        con.execute(sql)
+        check()
+    s.execute("DROP MATERIALIZED VIEW q18f")
