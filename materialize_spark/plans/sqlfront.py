@@ -4023,6 +4023,7 @@ class MzSession:
         global_agg = False
         post = None
         out_order = None
+        out_names = None
         if q.distinct and q.group_by:
             return False  # DISTINCT + GROUP BY: out of shape
         if q.group_by:
@@ -4044,10 +4045,17 @@ class MzSession:
             keys = ["__g"]
             global_agg = True
         else:
-            if not all(it.is_column and it.alias is None
-                       for it in q.items):
+            if not all(it.is_column for it in q.items):
                 return False
+            if q.distinct and any(it.alias is not None
+                                  for it in q.items):
+                return False  # DISTINCT state keys stay chain-named
             cols = [it.expr for it in q.items]
+            onames = [it.alias or it.expr for it in q.items]
+            if len(set(onames)) != len(onames):
+                return False  # duplicate output names
+            if onames != cols:
+                out_names = onames
             if not all(c in acc_cols for c in cols):
                 return False
         having = q.having
@@ -4075,6 +4083,7 @@ class MzSession:
                 "distinct": dmv, "exprs": exprs,
                 "global_agg": global_agg, "post": post,
                 "out_order": None if global_agg else out_order,
+                "out_names": out_names,
                 "renames": renames or {}}
         self._delta_mvs[node.name] = spec
         self._form_delta_mv_join(node.name)
@@ -4269,9 +4278,14 @@ class MzSession:
                 result = result.filter(rewrite(spec["having"]))
         else:
             # Projection-shaped join MV: the chain's output delta IS
-            # the published diff; result = an append-only parts spine
+            # the published diff; result = an append-only parts spine.
+            # SELECT-list aliases rename chain columns at the output
+            # boundary (WHERE above spoke the chain names).
+            onames = spec.get("out_names") or spec["cols"]
+            sel = [F.col(c).alias(n)
+                   for c, n in zip(spec["cols"], onames)]
             self._publish_spine(name, spec,
-                                out.select(*spec["cols"], "diff")
+                                out.select(*sel, "diff")
                                 if out is not None else None, initial)
             return
         if result is None:
@@ -4404,9 +4418,10 @@ class MzSession:
         from materialize_spark.streaming.ivm_join import (
             _concat as _concat_parts, _consolidate,
         )
+        ocols = spec.get("out_names") or spec["cols"]
         out_delta = None
         if out is not None:
-            out_delta = (out.groupBy(*spec["cols"])
+            out_delta = (out.groupBy(*ocols)
                          .agg(F.sum("diff").alias("diff"))
                          .filter(F.col("diff") != 0))
             parts = spec.setdefault("proj_parts", [])
@@ -4423,7 +4438,7 @@ class MzSession:
             result = None
         else:
             allp = _concat_parts(parts)
-            result = (allp.groupBy(*spec["cols"])
+            result = (allp.groupBy(*ocols)
                       .agg(F.sum("diff").alias("diff"))
                       .filter(F.col("diff") > 0)
                       .withColumn("__i", F.explode(

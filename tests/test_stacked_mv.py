@@ -207,3 +207,67 @@ def test_explain_maintenance(spark):
     for v in ("exm_snap", "exm_hot", "exm_agg"):
         s.execute(f"DROP VIEW {v}")
     s.execute("DROP TABLE exm_t")
+
+
+def test_mv_join_base_table_comma_from(spark):
+    """A comma-FROM join whose FROM item is an upstream delta MV (the
+    views-over-views join a Materialize user writes as
+    ``FROM my_agg_mv, dim WHERE ...``): the desugar's identity aliases
+    on qualified references must not knock the projection out of the
+    maintained join shape, and SELECT-list aliases rename the
+    published columns."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE mjf (k BIGINT, x BIGINT);
+        CREATE TABLE mjd (k BIGINT, nm STRING);
+        INSERT INTO mjf VALUES (1, 10), (1, 20), (2, 5);
+        INSERT INTO mjd VALUES (1, 'a'), (2, 'b');
+        CREATE MATERIALIZED VIEW mj_agg WITH (MAINTENANCE 'delta') AS
+          SELECT k, SUM(x) AS sx FROM mjf GROUP BY k;
+        CREATE MATERIALIZED VIEW mj_join WITH (MAINTENANCE 'delta') AS
+          SELECT mjd.nm AS customer, mj_agg.sx AS revenue
+          FROM mj_agg, mjd WHERE mj_agg.k = mjd.k;
+    """)
+    out = s.sql("SELECT * FROM mj_join")
+    assert out.columns == ["customer", "revenue"]
+    assert _rows(s, "mj_join") == sorted(
+        [("a", 30), ("b", 5)], key=_key)
+    s.execute("INSERT INTO mjf VALUES (2, 50)")
+    assert _rows(s, "mj_join") == sorted(
+        [("a", 30), ("b", 55)], key=_key)
+    s.execute("DELETE FROM mjf WHERE x = 10")
+    assert _rows(s, "mj_join") == sorted(
+        [("a", 20), ("b", 55)], key=_key)
+    s.execute("INSERT INTO mjd VALUES (3, 'c')")
+    s.execute("INSERT INTO mjf VALUES (3, 7)")
+    assert _rows(s, "mj_join") == sorted(
+        [("a", 20), ("b", 55), ("c", 7)], key=_key)
+    s.run_script("DROP MATERIALIZED VIEW mj_join; "
+                 "DROP MATERIALIZED VIEW mj_agg; "
+                 "DROP TABLE mjf; DROP TABLE mjd;")
+
+
+def test_join_projection_aliases_base_tables(spark):
+    """SELECT-list aliases on a plain-column join projection over base
+    tables publish the aliased schema and keep maintaining (the spine
+    consolidates on the OUTPUT names)."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE ja_a (i BIGINT, v STRING);
+        CREATE TABLE ja_b (i BIGINT, w STRING);
+        INSERT INTO ja_a VALUES (1, 'x'), (2, 'y');
+        INSERT INTO ja_b VALUES (1, 'p'), (1, 'q');
+        CREATE MATERIALIZED VIEW ja_mv WITH (MAINTENANCE 'delta') AS
+          SELECT ja_a.v AS left_v, ja_b.w AS right_w
+          FROM ja_a JOIN ja_b ON ja_a.i = ja_b.i;
+    """)
+    assert s.sql("SELECT * FROM ja_mv").columns \
+        == ["left_v", "right_w"]
+    assert _rows(s, "ja_mv") == sorted(
+        [("x", "p"), ("x", "q")], key=_key)
+    s.execute("INSERT INTO ja_b VALUES (2, 'r')")
+    s.execute("DELETE FROM ja_b WHERE w = 'p'")
+    assert _rows(s, "ja_mv") == sorted(
+        [("x", "q"), ("y", "r")], key=_key)
+    s.run_script("DROP MATERIALIZED VIEW ja_mv; "
+                 "DROP TABLE ja_a; DROP TABLE ja_b;")
