@@ -753,6 +753,9 @@ class MzSession:
                 f"MAINTENANCE 'delta': cannot parse the view body for "
                 f"incremental maintenance ({ex}); " + _DELTA_SUPPORTED)
         if len(qs) > 1:
+            if any(self._branch_stateful(q) for q in qs):
+                self._plan_delta_setop_stateful(node, op, is_all, qs)
+                return
             if op == "union" and is_all:
                 self._plan_delta_union(node, qs)
             elif op == "union":
@@ -761,6 +764,87 @@ class MzSession:
                 self._plan_delta_setop(node, qs, op, is_all)
             return
         self._plan_delta_mv(node, qs[0])
+
+    @staticmethod
+    def _branch_stateful(q) -> bool:
+        """True when a set-op branch is beyond the stateless
+        Map/Filter-over-one-table shape the linear set-op planners
+        accept (aggregates, DISTINCT, joins, subqueries, windows,
+        ORDER BY/LIMIT)."""
+        if (q.group_by or q.having or q.distinct or q.joins
+                or q.sub is not None or q.subfilters
+                or getattr(q, "sub_branches", None)
+                or q.order or q.limit is not None
+                or (getattr(q, "from_items", None)
+                    and len(q.from_items) > 1)):
+            return True
+        for it in q.items:
+            if getattr(it, "agg", None) \
+                    or re.search(r"(?i)\bOVER\b|\(\s*SELECT\b",
+                                 it.expr):
+                return True
+        return bool(q.where and re.search(r"(?i)\(\s*SELECT\b",
+                                          q.where))
+
+    def _plan_delta_setop_stateful(self, node: ast.CreateView,
+                                   op: str, is_all: bool, qs) -> None:
+        """Set-op chains with STATEFUL branches (``SELECT g, sum(v) ..
+        GROUP BY g UNION SELECT ..``): each stateful branch plans as a
+        planner-owned internal delta MV and the set-op rides the
+        internals' published diffs — the same stacking the reference
+        performs when plan_set_expr's inputs are themselves Reduce
+        subtrees (src/sql/src/plan/query.rs; each Let binding becomes
+        an imported arrangement, render.rs). Stateless branches stay
+        inline."""
+        from materialize_spark.plans.select_ast import _split_setops
+
+        spans, _ops = _split_setops(node.body)
+        created: list[str] = []
+
+        def rollback():
+            for dep in created:
+                self.catalog.drop(dep, if_exists=True)
+                for store in (self._matviews, self._matview_sql,
+                              self._histories, self._delta_mvs,
+                              self._owners):
+                    store.pop(dep, None)
+
+        parts: list[str] = []
+        for i, (span, q) in enumerate(zip(spans, qs)):
+            if not self._branch_stateful(q):
+                parts.append(span)
+                continue
+            internal = f"__sbr_{node.name}_{i}"
+            fake = ast.CreateView(name=internal, body=span,
+                                  materialized=True,
+                                  maintenance="delta")
+            self._matview_sql[internal] = span
+            try:
+                self._create_delta_mv(fake)
+            except Exception:
+                self._matview_sql.pop(internal, None)
+                rollback()
+                raise
+            created.append(internal)
+            self._owners.setdefault(
+                internal, self._owners.get(node.name, self._role))
+            cols = list(self._matviews[internal].columns)
+            parts.append(f"SELECT {', '.join(cols)} FROM {internal}")
+        glue = f" {op.upper()}{' ALL' if is_all else ''} "
+        fake = ast.CreateView(name=node.name, body=glue.join(parts),
+                              materialized=True, maintenance="delta")
+        try:
+            self._create_delta_mv(fake)
+        except Exception:
+            rollback()
+            raise
+        spec = self._delta_mvs[node.name]
+        nested: list[str] = []
+        for dep in created:
+            nested.extend((self._delta_mvs.get(dep) or {})
+                          .get("internal_deps", ()))
+        spec["internal_deps"] = (tuple(spec.get("internal_deps", ()))
+                                 + tuple(created) + tuple(nested))
 
     @staticmethod
     def _binding_monotone(body: str) -> bool:
@@ -1071,7 +1155,17 @@ class MzSession:
                                      kind, is_all, name)
                 work_items[i:i + 2] = [merged]
                 work_ops.pop(i)
-        self._delta_mvs[node.name]["internal_deps"] = tuple(created)
+        # flatten: the pairwise internals PLUS any internals THEY (or
+        # the final node) created (stateful-branch __sbr_ desugars) —
+        # the owner-drop cascade pops one level
+        deps = list(self._delta_mvs[node.name].get("internal_deps",
+                                                   ()))
+        for dep in created:
+            deps.append(dep)
+            deps.extend((self._delta_mvs.get(dep) or {})
+                        .get("internal_deps", ()))
+        self._delta_mvs[node.name]["internal_deps"] = \
+            tuple(dict.fromkeys(deps))
 
     @staticmethod
     def _strip_quals(text: str | None, quals: set[str]) -> str | None:
@@ -1445,6 +1539,18 @@ class MzSession:
             # text carries one, tpch_create_materialized_view.slt)
             from dataclasses import replace as _dc_replace
             q = _dc_replace(q, order=[])
+        if q.group_by and not q.having and not q.distinct \
+                and len(q.items) == len(q.group_by) \
+                and all(it.is_column
+                        and (it.alias is None or it.alias == it.expr)
+                        for it in q.items) \
+                and {it.expr for it in q.items} \
+                == {k.strip() for k in q.group_by}:
+            # GROUP BY with no aggregates over exactly its keys IS
+            # SELECT DISTINCT (the reference plans both as
+            # Reduce distinct, plan_query.rs)
+            from dataclasses import replace as _dc_replace
+            q = _dc_replace(q, group_by=[], distinct=True)
         if q.order and q.limit is not None \
                 and (q.group_by or q.sub is not None or q.joins
                      or q.subfilters):
@@ -2586,19 +2692,26 @@ class MzSession:
             RetractionAwareAgg,
         )
 
-        if q.having is not None:
-            return False
         parsed = _classify_agg_items(q.items)
         if parsed is None:
             return False
         keys, aggs, exprs, out_order, mpost = parsed
         if keys or not aggs:
             return False
+        having = q.having
+        if having is not None:
+            # HAVING without GROUP BY: the whole input is ONE group —
+            # the predicate filters the maintained single row (after
+            # the empty-input synthesis, so an empty table behaves
+            # like SQL: one row produced, then filtered)
+            having = _having_over_aliases(having, aggs, exprs)
+            if having is None:
+                return False  # references unselected aggregates
         self._delta_check_table(q.table)
         mv = RetractionAwareAgg(self.spark, keys=["__g"], aggs=aggs)
         spec = {"mv": mv, "table": q.table, "keys": ["__g"],
                 "aggs": aggs, "where": q.where, "kind": "agg",
-                "having": None, "exprs": exprs, "pre": None,
+                "having": having, "exprs": exprs, "pre": None,
                 "pre_where": None, "pre_layers": (),
                 "post": mpost,
                 "global_agg": True}
@@ -4047,9 +4160,6 @@ class MzSession:
         else:
             if not all(it.is_column for it in q.items):
                 return False
-            if q.distinct and any(it.alias is not None
-                                  for it in q.items):
-                return False  # DISTINCT state keys stay chain-named
             cols = [it.expr for it in q.items]
             onames = [it.alias or it.expr for it in q.items]
             if len(set(onames)) != len(onames):
@@ -4073,7 +4183,8 @@ class MzSession:
                 RetractionAwareDistinct,
             )
             dmv = RetractionAwareDistinct(
-                self.spark, cols=cols, spill_rows=_TOPK_SPILL_ROWS)
+                self.spark, cols=out_names or cols,
+                spill_rows=_TOPK_SPILL_ROWS)
         spec = {"kind": "join", "tables": tuple(tables), "chain": chain,
                 "links": norm_links, "kinds": kinds, "agg": agg,
                 "rextras": extras, "jrenames": jrenames,
@@ -4223,9 +4334,12 @@ class MzSession:
             if out is None and not initial:
                 return  # nothing changed
             if out is not None:
-                keyed = out.select(*spec["cols"], "diff")
-                touched, tkeys = (keyed.select(*spec["cols"]).distinct(),
-                                  spec["cols"])
+                onames = spec.get("out_names") or spec["cols"]
+                sel = [F.col(c).alias(n)
+                       for c, n in zip(spec["cols"], onames)]
+                keyed = out.select(*sel, "diff")
+                touched, tkeys = (keyed.select(*onames).distinct(),
+                                  onames)
                 result = dmv.on_batch(keyed)
             else:
                 result = (dmv.result() if dmv._result is not None
@@ -6963,7 +7077,8 @@ class MzSession:
         own subtree; user-created upstream MVs render as Imports."""
         def rel(t):
             if t.startswith(("__jsub_", "__ssub_", "__msub_",
-                             "__psub_")) and t in self._delta_mvs:
+                             "__psub_", "__sbr_")) \
+                    and t in self._delta_mvs:
                 sub = self._render_maintenance(self._delta_mvs[t])
                 return "\n".join([f"Subplan {t} (planner-internal)"]
                                  + [f"  {ln}" for ln in sub])
@@ -8145,7 +8260,7 @@ class MzSession:
         cat = self.catalog
         objs = []  # (id, name, type)
         internal = ("__jsub_", "__ssub_", "__msub_", "__psub_",
-                    "__setop_")
+                    "__setop_", "__sbr_")
         named = [("table", n) for n in cat._tables] + \
                 [("materialized-view" if n in self._matviews else "view", n)
                  for n in cat._views

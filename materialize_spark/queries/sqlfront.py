@@ -4343,3 +4343,67 @@ def sqlfront_delta_mv_q2_shape(spark, sf_dir):
                     F.floor("l_extendedprice").cast("long")
                     .alias("l_extendedprice"))
             .orderBy("p_partkey", "s_name", "l_extendedprice"))
+
+
+_SETOP_STATEFUL_BODY = """
+SELECT l_returnflag AS flag, sum(l_quantity) AS qty
+FROM lineitem GROUP BY l_returnflag
+UNION
+SELECT o_orderstatus AS flag, sum(o_totalprice) AS qty
+FROM orders GROUP BY o_orderstatus"""
+
+
+@register(
+    "sqlfront_delta_mv_setop_stateful",
+    f"""
+    -- oracle: the SAME set-op-of-aggregates text evaluated directly —
+    -- a UNION (distinct) whose branches are grouped reduces; each
+    -- stateful branch is a planner-owned internal delta MV and the
+    -- distinct-union rides their published diffs
+    SELECT flag, CAST(floor(qty) AS BIGINT) AS qty
+    FROM ({_SETOP_STATEFUL_BODY}) q ORDER BY flag, qty
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "setops",
+)
+def sqlfront_delta_mv_setop_stateful(spark, sf_dir):
+    """Set-op chains with STATEFUL branches maintain: each aggregate
+    branch plans as an internal delta MV (__sbr_ desugar) and the
+    set-op consumes their diffs — the reference's plan_set_expr over
+    Reduce subtrees (src/sql/src/plan/query.rs; Let bindings imported
+    as arrangements, render.rs). Oracle = same SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW setop_stateful WITH "
+              f"(MAINTENANCE 'delta') AS {_SETOP_STATEFUL_BODY}")
+    return (s.sql("SELECT * FROM setop_stateful")
+            .select("flag",
+                    F.floor("qty").cast("long").alias("qty"))
+            .orderBy("flag", "qty"))
+
+
+_GBD_BODY = """
+SELECT l_returnflag, l_linestatus
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+@register(
+    "sqlfront_delta_mv_groupby_distinct",
+    f"""
+    -- oracle: the SAME text — GROUP BY over exactly its keys with no
+    -- aggregates IS SELECT DISTINCT (the reference lowers both to
+    -- Reduce distinct)
+    SELECT l_returnflag, l_linestatus FROM ({_GBD_BODY}) q
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "sqlfront", "ivm", "delta-maintenance",
+)
+def sqlfront_delta_mv_groupby_distinct(spark, sf_dir):
+    """GROUP BY with no aggregates over exactly its keys plans as the
+    maintained DISTINCT (reference plan_query.rs lowers both shapes
+    to Reduce distinct). Oracle = same SQL in DuckDB."""
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW gbd WITH "
+              f"(MAINTENANCE 'delta') AS {_GBD_BODY}")
+    return (s.sql("SELECT * FROM gbd")
+            .orderBy("l_returnflag", "l_linestatus"))

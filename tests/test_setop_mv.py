@@ -223,3 +223,152 @@ def test_setop_subscribe_query(spark):
     assert not any(n.startswith("__subq") for n in s._delta_mvs)
     for t in ("so_l", "so_r"):
         s.execute(f"DROP TABLE {t}")
+
+
+def test_setop_stateful_branches_union_distinct(spark):
+    """UNION (distinct) of two GROUPED AGGREGATES: each stateful
+    branch plans as a planner-owned internal delta MV (__sbr_) and the
+    distinct-union rides their published diffs — the reference's
+    plan_set_expr over Reduce subtrees. Churn crosses branch outputs
+    (a group's sum colliding with the other side's) both ways."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE ssb_a (g BIGINT, v BIGINT);
+        CREATE TABLE ssb_b (g BIGINT, v BIGINT);
+        INSERT INTO ssb_a VALUES (1, 10), (1, 5), (2, 20);
+        INSERT INTO ssb_b VALUES (1, 15), (3, 30);
+        CREATE MATERIALIZED VIEW ssb_u WITH (MAINTENANCE 'delta') AS
+          SELECT g, SUM(v) AS s FROM ssb_a GROUP BY g
+          UNION
+          SELECT g, SUM(v) AS s FROM ssb_b GROUP BY g;
+    """)
+    body = ("SELECT g, SUM(v) AS s FROM ssb_a GROUP BY g UNION "
+            "SELECT g, SUM(v) AS s FROM ssb_b GROUP BY g")
+    assert _rows(s, "ssb_u") == _recompute(s, body)
+    for sql in (
+        "INSERT INTO ssb_a VALUES (3, 30)",   # collides with b's (3,30)
+        "DELETE FROM ssb_a WHERE g = 1 AND v = 5",
+        "INSERT INTO ssb_b VALUES (1, -15)",  # b's group 1 flips to 0
+        "DELETE FROM ssb_a WHERE g = 3",
+    ):
+        s.execute(sql)
+        assert _rows(s, "ssb_u") == _recompute(s, body), sql
+    s.execute("DROP MATERIALIZED VIEW ssb_u")
+    assert not any(n.startswith("__sbr_") for n in s._delta_mvs)
+    s.run_script("DROP TABLE ssb_a; DROP TABLE ssb_b;")
+
+
+def test_setop_stateful_branch_with_stateless(spark):
+    """UNION ALL mixing one aggregate branch with one stateless
+    branch: only the stateful branch desugars; the stateless one stays
+    an inline spine branch."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE ssm_a (g BIGINT, v BIGINT);
+        CREATE TABLE ssm_b (g BIGINT, v BIGINT);
+        INSERT INTO ssm_a VALUES (1, 10), (2, 20);
+        INSERT INTO ssm_b VALUES (5, 50);
+        CREATE MATERIALIZED VIEW ssm_u WITH (MAINTENANCE 'delta') AS
+          SELECT g, SUM(v) AS v FROM ssm_a GROUP BY g
+          UNION ALL
+          SELECT g, v FROM ssm_b WHERE v > 0;
+    """)
+    body = ("SELECT g, SUM(v) AS v FROM ssm_a GROUP BY g UNION ALL "
+            "SELECT g, v FROM ssm_b WHERE v > 0")
+    assert _rows(s, "ssm_u") == _recompute(s, body)
+    for sql in ("INSERT INTO ssm_a VALUES (1, 1)",
+                "INSERT INTO ssm_b VALUES (6, -1)",
+                "DELETE FROM ssm_b WHERE g = 5"):
+        s.execute(sql)
+        assert _rows(s, "ssm_u") == _recompute(s, body), sql
+    s.run_script("DROP MATERIALIZED VIEW ssm_u; "
+                 "DROP TABLE ssm_a; DROP TABLE ssm_b;")
+
+
+def test_setop_except_of_aggregates_and_having(spark):
+    """EXCEPT of two grouped counts, plus a HAVING-filtered aggregate
+    branch under UNION ALL: threshold semantics ride the internal MVs'
+    diffs."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE sse_a (g BIGINT);
+        CREATE TABLE sse_b (g BIGINT);
+        INSERT INTO sse_a VALUES (1), (1), (2), (3);
+        INSERT INTO sse_b VALUES (2), (2);
+        CREATE MATERIALIZED VIEW sse_x WITH (MAINTENANCE 'delta') AS
+          SELECT g, COUNT(*) AS c FROM sse_a GROUP BY g
+          EXCEPT
+          SELECT g, COUNT(*) AS c FROM sse_b GROUP BY g;
+    """)
+    body = ("SELECT g, COUNT(*) AS c FROM sse_a GROUP BY g EXCEPT "
+            "SELECT g, COUNT(*) AS c FROM sse_b GROUP BY g")
+    assert _rows(s, "sse_x") == _recompute(s, body)
+    for sql in ("INSERT INTO sse_a VALUES (2)",  # (2,2) matches b
+                "DELETE FROM sse_b WHERE g = 2"):
+        s.execute(sql)
+        assert _rows(s, "sse_x") == _recompute(s, body), sql
+    s.run_script("DROP MATERIALIZED VIEW sse_x; "
+                 "DROP TABLE sse_a; DROP TABLE sse_b;")
+
+
+def test_groupby_no_aggregates_is_distinct(spark):
+    """GROUP BY over exactly its keys with no aggregates plans as
+    SELECT DISTINCT (the reference lowers both to Reduce distinct) —
+    standalone and as a set-op branch."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE sgd_a (g BIGINT, v BIGINT);
+        CREATE TABLE sgd_b (g BIGINT);
+        INSERT INTO sgd_a VALUES (1, 1), (1, 2), (2, 1);
+        INSERT INTO sgd_b VALUES (1), (1), (9);
+        CREATE MATERIALIZED VIEW sgd_d WITH (MAINTENANCE 'delta') AS
+          SELECT g FROM sgd_a GROUP BY g;
+        CREATE MATERIALIZED VIEW sgd_i WITH (MAINTENANCE 'delta') AS
+          SELECT g FROM sgd_a GROUP BY g
+          INTERSECT
+          SELECT DISTINCT g FROM sgd_b;
+    """)
+    assert _rows(s, "sgd_d") == [(1,), (2,)]
+    assert _rows(s, "sgd_i") == [(1,)]
+    s.execute("INSERT INTO sgd_b VALUES (2)")
+    assert _rows(s, "sgd_i") == [(1,), (2,)]
+    s.execute("DELETE FROM sgd_a WHERE g = 1")
+    assert _rows(s, "sgd_d") == [(2,)]
+    assert _rows(s, "sgd_i") == [(2,)]
+    s.run_script("DROP MATERIALIZED VIEW sgd_i; "
+                 "DROP MATERIALIZED VIEW sgd_d; "
+                 "DROP TABLE sgd_a; DROP TABLE sgd_b;")
+
+
+def test_setop_mixed_chain_stateful_branches(spark):
+    """A mixed-operator chain whose branches are stateful: the
+    pairwise __setop_ reduction composes with the __sbr_ stateful-
+    branch desugar, and DROP cascades through BOTH internal layers."""
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE smc_a (g BIGINT);
+        CREATE TABLE smc_b (g BIGINT);
+        CREATE TABLE smc_c (g BIGINT);
+        INSERT INTO smc_a VALUES (1), (2), (3);
+        INSERT INTO smc_b VALUES (2);
+        INSERT INTO smc_c VALUES (3), (4);
+        CREATE MATERIALIZED VIEW smc_m WITH (MAINTENANCE 'delta') AS
+          SELECT g FROM smc_a GROUP BY g
+          UNION ALL
+          SELECT g FROM smc_b
+          EXCEPT
+          SELECT g FROM smc_c GROUP BY g;
+    """)
+    body = ("SELECT g FROM smc_a GROUP BY g UNION ALL "
+            "SELECT g FROM smc_b EXCEPT "
+            "SELECT g FROM smc_c GROUP BY g")
+    assert _rows(s, "smc_m") == _recompute(s, body)
+    for sql in ("INSERT INTO smc_c VALUES (2)",
+                "DELETE FROM smc_c WHERE g = 3"):
+        s.execute(sql)
+        assert _rows(s, "smc_m") == _recompute(s, body), sql
+    s.execute("DROP MATERIALIZED VIEW smc_m")
+    assert not any(n.startswith(("__sbr_", "__setop_"))
+                   for n in s._delta_mvs)
+    s.run_script("DROP TABLE smc_a; DROP TABLE smc_b; "
+                 "DROP TABLE smc_c;")

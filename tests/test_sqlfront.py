@@ -1892,27 +1892,35 @@ def test_delta_mv_union_all_churn(spark):
     s.execute("DROP TABLE unr")
 
 
-def test_delta_mv_union_rejects_non_linear_setops(spark):
+def test_delta_mv_union_setop_capability_ladder(spark):
     """Round 11 made UNION [DISTINCT] / EXCEPT / INTERSECT first-class
-    maintained shapes; round 12 added mixed-operator chains. What
-    still MUST reject is a stateful branch."""
-    import pytest as _pytest
-
+    maintained shapes; round 12 added mixed-operator chains; round 13
+    added STATEFUL branches (each plans as an internal __sbr_ delta
+    MV) — the former rejections are capabilities now."""
     s = MzSession(spark, SF_DIR)
     s.execute("CREATE TABLE unx (k STRING)")
+    s.execute("INSERT INTO unx VALUES ('a'), ('a'), ('b')")
     # round 12: mixed-operator chains MAINTAIN (pairwise stacked
-    # internal nodes with SQL precedence) — the former rejection is a
-    # capability now
+    # internal nodes with SQL precedence)
     s.execute("CREATE MATERIALIZED VIEW okmix WITH "
               "(MAINTENANCE 'delta') AS SELECT k FROM unx "
               "UNION ALL SELECT k FROM unx "
               "EXCEPT SELECT k FROM unx")
     s.execute("DROP VIEW okmix")
-    with _pytest.raises(ValueError, match="stateless"):
-        s.execute("CREATE MATERIALIZED VIEW bad2 WITH "
-                  "(MAINTENANCE 'delta') AS SELECT k FROM unx "
-                  "INTERSECT SELECT k FROM unx GROUP BY k")
-    # the formerly-rejected plain UNION now maintains (Distinct over
+    # round 13: a stateful branch (GROUP BY inside a set-op chain)
+    # maintains via the internal-MV branch desugar
+    s.execute("CREATE MATERIALIZED VIEW okstate WITH "
+              "(MAINTENANCE 'delta') AS SELECT k FROM unx "
+              "INTERSECT SELECT k FROM unx GROUP BY k")
+    got = sorted(r.k for r in
+                 s.sql("SELECT * FROM okstate").collect())
+    assert got == ["a", "b"]
+    s.execute("DELETE FROM unx WHERE k = 'b'")
+    assert sorted(r.k for r in
+                  s.sql("SELECT * FROM okstate").collect()) == ["a"]
+    s.execute("DROP VIEW okstate")
+    assert not any(n.startswith("__sbr_") for n in s._delta_mvs)
+    # the formerly-rejected plain UNION maintains (Distinct over
     # the diff-sum)
     s.execute("CREATE MATERIALIZED VIEW unok WITH (MAINTENANCE "
               "'delta') AS SELECT k FROM unx UNION SELECT k FROM unx")
@@ -2103,3 +2111,57 @@ def test_topk_publish_confined_to_touched_groups(spark):
     assert got == [("a", "w", 7), ("a", "y", 9), ("b", "p", 3)]
     s.execute("DROP MATERIALIZED VIEW tkp")
     s.execute("DROP TABLE tkp_t")
+
+
+def test_global_agg_having_threshold(spark):
+    """HAVING without GROUP BY: the whole input is ONE group — the
+    predicate filters the maintained single row, and it applies AFTER
+    the empty-input synthesis (empty table → COUNT=0/SUM NULL row →
+    filtered, matching SQL)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE ghv (v BIGINT);
+        INSERT INTO ghv VALUES (3), (4);
+        CREATE MATERIALIZED VIEW ghv_m WITH (MAINTENANCE 'delta') AS
+          SELECT SUM(v) AS s, COUNT(*) AS c FROM ghv
+          HAVING SUM(v) > 5;
+    """)
+    rows = lambda: [tuple(r) for r in  # noqa: E731
+                    s.sql("SELECT * FROM ghv_m").collect()]
+    assert rows() == [(7, 2)]
+    s.execute("DELETE FROM ghv WHERE v = 4")   # 3: below threshold
+    assert rows() == []
+    s.execute("INSERT INTO ghv VALUES (10)")   # 13: back
+    assert rows() == [(13, 2)]
+    s.execute("DELETE FROM ghv")               # empty: NULL > 5 false
+    assert rows() == []
+    s.run_script("DROP MATERIALIZED VIEW ghv_m; DROP TABLE ghv;")
+
+
+def test_distinct_join_projection_aliases(spark):
+    """SELECT DISTINCT with aliased plain columns over a join chain:
+    the distinct state keys on the OUTPUT names and the published
+    schema carries the aliases."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE dja (g BIGINT, v BIGINT);
+        CREATE TABLE djd (g BIGINT, nm STRING);
+        INSERT INTO dja VALUES (1, 10), (1, 20), (2, 20);
+        INSERT INTO djd VALUES (1, 'x'), (2, 'y');
+        CREATE MATERIALIZED VIEW dj_m WITH (MAINTENANCE 'delta') AS
+          SELECT DISTINCT djd.nm AS label
+          FROM dja JOIN djd ON dja.g = djd.g;
+    """)
+    out = s.sql("SELECT * FROM dj_m")
+    assert out.columns == ["label"]
+    rows = lambda: sorted(r.label for r in  # noqa: E731
+                          s.sql("SELECT * FROM dj_m").collect())
+    assert rows() == ["x", "y"]
+    s.execute("DELETE FROM dja WHERE g = 1")
+    assert rows() == ["y"]
+    s.execute("INSERT INTO dja VALUES (1, 5)")
+    assert rows() == ["x", "y"]
+    s.run_script("DROP MATERIALIZED VIEW dj_m; "
+                 "DROP TABLE dja; DROP TABLE djd;")
