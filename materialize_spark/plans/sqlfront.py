@@ -1606,6 +1606,15 @@ class MzSession:
             # projection): per-key aggregate MVs LEFT-joined in
             if self._plan_delta_select_scalar_sub(node, q):
                 return
+        if q.joins and not q.group_by and not q.distinct \
+                and q.sub is None \
+                and not getattr(q, "subfilters", None) \
+                and q.limit is None \
+                and any(_window_specs(it.expr) for it in q.items):
+            # window functions over a join chain: the join part plans
+            # as an internal delta MV and the window stacks above
+            if self._plan_delta_window_over_join(node, q):
+                return
         if q.sub is not None and q.joins:
             if self._plan_delta_join_over_from_subquery(node, q):
                 return
@@ -2092,6 +2101,83 @@ class MzSession:
         q2 = _dc_replace(q, sub=None, sub_raw=None, sub_alias=None,
                          table=internal, aliases=aliases,
                          from_items=[(internal, None)])
+        try:
+            self._plan_delta_mv(node, q2)
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        spec = self._delta_mvs[node.name]
+        nested = tuple((self._delta_mvs.get(internal) or {})
+                       .get("internal_deps", ()))
+        spec["internal_deps"] = (tuple(spec.get("internal_deps", ()))
+                                 + (internal,) + nested)
+        self._owners.setdefault(internal,
+                                self._owners.get(node.name, self._role))
+        return True
+
+    def _plan_delta_window_over_join(self, node: ast.CreateView,
+                                     q) -> bool:
+        """Window functions over a join chain: the join part (the
+        original text's FROM/WHERE, projected to the referenced
+        columns) plans as a planner-owned internal delta MV, and the
+        window plan stacks over its published diffs — the reference
+        renders window functions as a whole-group Reduce above
+        whatever plan feeds it (src/expr/src/relation/func.rs window
+        execution), so the input being a join changes nothing."""
+        from materialize_spark.plans.lexer import tokens as _lex
+
+        try:
+            parsed = self._normalize_join_chain(q)
+        except (ValueError, KeyError):
+            return False
+        if parsed is None:
+            return False
+        _tables, _links, _kinds, acc_cols, _extras, jrenames = parsed
+        if any(jrenames) or any(c.startswith("__") for c in acc_cols):
+            # self-join per-occurrence renames: rebuilding from the
+            # ORIGINAL text would cross naming levels — out of scope
+            return False
+        words: set[str] = set()
+        for it in q.items:
+            try:
+                words |= {t.text for t in _lex(it.expr, lenient=True)
+                          if t.kind == "WORD"}
+            except Exception:
+                return False
+        cols = [c for c in sorted(acc_cols) if c in words]
+        if not cols:
+            return False
+        try:
+            toks = _lex(node.body)
+        except Exception:
+            return False
+        depth, from_at = 0, None
+        for t in toks:
+            if t.kind == "LP":
+                depth += 1
+            elif t.kind == "RP":
+                depth -= 1
+            elif depth == 0 and t.kind == "WORD" \
+                    and t.upper == "FROM":
+                from_at = t.start
+                break
+        if from_at is None:
+            return False
+        inner = f"SELECT {', '.join(cols)} {node.body[from_at:]}"
+        internal = f"__jsub_{node.name}"
+        if internal in self._delta_mvs:
+            return False
+        fake = ast.CreateView(name=internal, body=inner,
+                              materialized=True, maintenance="delta")
+        self._matview_sql[internal] = inner
+        try:
+            self._create_delta_mv(fake)
+        except Exception:
+            self._rollback_internal(internal)
+            return False
+        from dataclasses import replace as _dc_replace
+        q2 = _dc_replace(q, table=internal, joins=[], where=None,
+                         aliases={}, from_items=[(internal, None)])
         try:
             self._plan_delta_mv(node, q2)
         except Exception:

@@ -83,6 +83,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_q12_shape", "sqlfront_delta_mv_q16_shape",
         "sqlfront_delta_mv_setop_stateful",
         "sqlfront_delta_mv_groupby_distinct",
+        "sqlfront_delta_mv_window_join",
         "sqlfront_delta_mv_q13_text", "sqlfront_delta_mv_q11_shape",
         "sqlfront_delta_mv_q22_shape", "sqlfront_delta_mv_q19_text",
         "sqlfront_delta_mv_q7_text", "sqlfront_delta_mv_q8_text",
@@ -113,7 +114,7 @@ def load_all() -> dict[str, QuerySpec]:
         "scalar_math", "tpch_q2_adapted",
         "outer_join_full",
         "array_functions",
-        "jsonb_ops", "letrec_reachability",
+        "jsonb_ops",
         "ivm_q18_threshold_delta",
         "dedup_minhash_lsh", "simsearch_cosine_topk",
         "text_language_id", "cdc_pgoutput_wire_apply",

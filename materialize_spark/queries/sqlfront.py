@@ -4407,3 +4407,45 @@ def sqlfront_delta_mv_groupby_distinct(spark, sf_dir):
               f"(MAINTENANCE 'delta') AS {_GBD_BODY}")
     return (s.sql("SELECT * FROM gbd")
             .orderBy("l_returnflag", "l_linestatus"))
+
+
+_WIN_JOIN_BODY = """
+SELECT o_orderstatus, l_quantity,
+       sum(l_quantity) OVER (PARTITION BY o_orderstatus) AS status_qty
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey AND l_quantity > 45"""
+
+
+@register(
+    "sqlfront_delta_mv_window_join",
+    f"""
+    -- oracle: the SAME window-over-join text evaluated directly —
+    -- the join part is a planner-owned internal delta MV and the
+    -- frameless window aggregate stacks over its published diffs
+    SELECT o_orderstatus,
+           CAST(floor(l_quantity) AS BIGINT) AS l_quantity,
+           CAST(floor(status_qty) AS BIGINT) AS status_qty
+    FROM ({_WIN_JOIN_BODY}) q
+    ORDER BY o_orderstatus, l_quantity
+    """,
+    "sqlfront", "ivm", "delta-maintenance", "window",
+)
+def sqlfront_delta_mv_window_join(spark, sf_dir):
+    """Window functions over a JOIN CHAIN maintain: the join part
+    plans as an internal delta MV (__jsub_) and the window rides its
+    diffs — the reference renders window functions as whole-group
+    Reduce above whatever plan feeds them
+    (src/expr/src/relation/func.rs), so a join input changes nothing.
+    Oracle = same SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW win_join WITH "
+              f"(MAINTENANCE 'delta') AS {_WIN_JOIN_BODY}")
+    return (s.sql("SELECT * FROM win_join")
+            .select("o_orderstatus",
+                    F.floor("l_quantity").cast("long")
+                    .alias("l_quantity"),
+                    F.floor("status_qty").cast("long")
+                    .alias("status_qty"))
+            .orderBy("o_orderstatus", "l_quantity"))

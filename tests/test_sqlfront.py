@@ -2165,3 +2165,54 @@ def test_distinct_join_projection_aliases(spark):
     assert rows() == ["x", "y"]
     s.run_script("DROP MATERIALIZED VIEW dj_m; "
                  "DROP TABLE dja; DROP TABLE djd;")
+
+
+def test_window_over_join_chain(spark):
+    """Window functions over a join chain: the join part plans as an
+    internal delta MV (__jsub_) and the window plan stacks above —
+    frameless aggregates AND ordered windows, JOIN and comma-FROM
+    syntax, WHERE applied before the window (SQL order)."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE wja (g BIGINT, v BIGINT);
+        CREATE TABLE wjd (g BIGINT, nm STRING);
+        INSERT INTO wja VALUES (1, 10), (1, 20), (2, 5), (1, -4);
+        INSERT INTO wjd VALUES (1, 'x'), (2, 'y');
+        CREATE MATERIALIZED VIEW wj_sum WITH (MAINTENANCE 'delta') AS
+          SELECT nm, v, SUM(v) OVER (PARTITION BY nm) AS tot
+          FROM wja JOIN wjd ON wja.g = wjd.g WHERE v > 0;
+        CREATE MATERIALIZED VIEW wj_rn WITH (MAINTENANCE 'delta') AS
+          SELECT nm, v,
+                 ROW_NUMBER() OVER (PARTITION BY nm ORDER BY v DESC)
+                     AS rn
+          FROM wja, wjd WHERE wja.g = wjd.g AND v > 0;
+    """)
+
+    def recheck(step):
+        for mv, body in (
+            ("wj_sum",
+             "SELECT nm, v, SUM(v) OVER (PARTITION BY nm) AS tot "
+             "FROM wja JOIN wjd ON wja.g = wjd.g WHERE v > 0"),
+            ("wj_rn",
+             "SELECT nm, v, ROW_NUMBER() OVER (PARTITION BY nm "
+             "ORDER BY v DESC) AS rn "
+             "FROM wja JOIN wjd ON wja.g = wjd.g WHERE v > 0"),
+        ):
+            got = sorted(tuple(r) for r in
+                         s.sql(f"SELECT * FROM {mv}").collect())
+            exp = sorted(tuple(r) for r in
+                         s.spark.sql(body).collect())
+            assert got == exp, (step, mv, got[:4], exp[:4])
+
+    recheck("initial")
+    for sql in ("INSERT INTO wja VALUES (2, 50)",
+                "DELETE FROM wja WHERE v = 10",
+                "INSERT INTO wjd VALUES (3, 'z')",
+                "INSERT INTO wja VALUES (3, 7)"):
+        s.execute(sql)
+        recheck(sql)
+    s.run_script("DROP MATERIALIZED VIEW wj_sum; "
+                 "DROP MATERIALIZED VIEW wj_rn;")
+    assert not any(n.startswith("__jsub_") for n in s._delta_mvs)
+    s.run_script("DROP TABLE wja; DROP TABLE wjd;")
