@@ -1610,9 +1610,16 @@ class MzSession:
                 and q.sub is None \
                 and not getattr(q, "subfilters", None) \
                 and q.limit is None \
-                and any(_window_specs(it.expr) for it in q.items):
-            # window functions over a join chain: the join part plans
-            # as an internal delta MV and the window stacks above
+                and (any(_window_specs(it.expr) for it in q.items)
+                     or (any(not it.is_column for it in q.items)
+                         and not any(getattr(it, "agg", None)
+                                     for it in q.items)
+                         and not any(re.search(r"(?i)\(\s*SELECT\b",
+                                               it.expr)
+                                     for it in q.items))):
+            # window functions or stateless EXPRESSION projections
+            # over a join chain: the join part plans as an internal
+            # delta MV and the window/Map plan stacks above
             if self._plan_delta_window_over_join(node, q):
                 return
         if q.sub is not None and q.joins:
@@ -2117,13 +2124,15 @@ class MzSession:
 
     def _plan_delta_window_over_join(self, node: ast.CreateView,
                                      q) -> bool:
-        """Window functions over a join chain: the join part (the
-        original text's FROM/WHERE, projected to the referenced
-        columns) plans as a planner-owned internal delta MV, and the
-        window plan stacks over its published diffs — the reference
-        renders window functions as a whole-group Reduce above
-        whatever plan feeds it (src/expr/src/relation/func.rs window
-        execution), so the input being a join changes nothing."""
+        """Window functions OR stateless expression projections over
+        a join chain: the join part (the original text's FROM/WHERE,
+        projected to the referenced columns) plans as a planner-owned
+        internal delta MV, and the outer plan — a window Reduce or a
+        stateless Map — stacks over its published diffs. The
+        reference renders window functions as a whole-group Reduce
+        above whatever plan feeds it (src/expr/src/relation/func.rs)
+        and fuses Map/Filter/Project onto any input; the input being
+        a join changes nothing."""
         from materialize_spark.plans.lexer import tokens as _lex
 
         try:

@@ -84,6 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sqlfront_delta_mv_setop_stateful",
         "sqlfront_delta_mv_groupby_distinct",
         "sqlfront_delta_mv_window_join",
+        "sqlfront_delta_mv_map_over_join",
         "sqlfront_delta_mv_q13_text", "sqlfront_delta_mv_q11_shape",
         "sqlfront_delta_mv_q22_shape", "sqlfront_delta_mv_q19_text",
         "sqlfront_delta_mv_q7_text", "sqlfront_delta_mv_q8_text",
@@ -110,7 +111,7 @@ def load_all() -> dict[str, QuerySpec]:
         # --- (c) next-oldest certifications + the pinned family
         # sentinels, keeping the window at EXACTLY 50 slots across
         # ≥10 modules (tests/test_driver_contract.py) ---
-        "tpch_q1", "tpch_q5",
+        "tpch_q1",
         "scalar_math", "tpch_q2_adapted",
         "outer_join_full",
         "array_functions",

@@ -4449,3 +4449,42 @@ def sqlfront_delta_mv_window_join(spark, sf_dir):
                     F.floor("status_qty").cast("long")
                     .alias("status_qty"))
             .orderBy("o_orderstatus", "l_quantity"))
+
+
+_MAP_JOIN_BODY = """
+SELECT o_orderstatus,
+       l_extendedprice * (1 - l_discount) AS net,
+       CASE WHEN l_discount > 0.05 THEN 'deep' ELSE 'shallow' END
+           AS band
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey AND l_quantity > 49"""
+
+
+@register(
+    "sqlfront_delta_mv_map_over_join",
+    f"""
+    -- oracle: the SAME expression-projection-over-join text — the
+    -- join part is a planner-owned internal delta MV and the
+    -- stateless Map (arithmetic + CASE over both sides' columns)
+    -- rides its published diffs
+    SELECT o_orderstatus, CAST(floor(net) AS BIGINT) AS net, band
+    FROM ({_MAP_JOIN_BODY}) q
+    ORDER BY o_orderstatus, net, band
+    """,
+    "sqlfront", "ivm", "delta-maintenance",
+)
+def sqlfront_delta_mv_map_over_join(spark, sf_dir):
+    """Stateless EXPRESSION projections over a join chain maintain:
+    the join part plans as an internal delta MV (__jsub_) and the Map
+    is a per-delta projection on the spine — the reference fuses
+    Map/Filter/Project onto any input plan (mfp fusion,
+    src/expr/src/linear.rs). Oracle = same SQL in DuckDB."""
+    from pyspark.sql import functions as F
+
+    s = MzSession(spark, sf_dir)
+    s.execute("CREATE MATERIALIZED VIEW map_join WITH "
+              f"(MAINTENANCE 'delta') AS {_MAP_JOIN_BODY}")
+    return (s.sql("SELECT * FROM map_join")
+            .select("o_orderstatus",
+                    F.floor("net").cast("long").alias("net"), "band")
+            .orderBy("o_orderstatus", "net", "band"))

@@ -2216,3 +2216,46 @@ def test_window_over_join_chain(spark):
                  "DROP MATERIALIZED VIEW wj_rn;")
     assert not any(n.startswith("__jsub_") for n in s._delta_mvs)
     s.run_script("DROP TABLE wja; DROP TABLE wjd;")
+
+
+def test_expression_projection_over_join(spark):
+    """Stateless EXPRESSION projections over a join chain (no GROUP
+    BY): the join part plans as an internal delta MV and the Map
+    stacks above — arithmetic and CASE over columns of BOTH sides."""
+    from materialize_spark.plans.sqlfront import MzSession
+    s = MzSession(spark)
+    s.run_script("""
+        CREATE TABLE epa (g BIGINT, price DOUBLE, disc DOUBLE);
+        CREATE TABLE epd (g BIGINT, nm STRING);
+        INSERT INTO epa VALUES (1, 100.0, 0.1), (1, 50.0, 0.2),
+                               (2, 30.0, 0.0);
+        INSERT INTO epd VALUES (1, 'x'), (2, 'y');
+        CREATE MATERIALIZED VIEW ep_m WITH (MAINTENANCE 'delta') AS
+          SELECT nm, price * (1 - disc) AS net,
+                 CASE WHEN disc > 0.1 THEN 'deep' ELSE 'shallow' END
+                     AS band
+          FROM epa JOIN epd ON epa.g = epd.g
+          WHERE price > 20;
+    """)
+    body = ("SELECT nm, price * (1 - disc) AS net, CASE WHEN disc > "
+            "0.1 THEN 'deep' ELSE 'shallow' END AS band FROM epa "
+            "JOIN epd ON epa.g = epd.g WHERE price > 20")
+
+    def recheck(step):
+        got = sorted(tuple(r) for r in
+                     s.sql("SELECT * FROM ep_m").collect())
+        exp = sorted(tuple(r) for r in s.spark.sql(body).collect())
+        assert got == exp, (step, got[:4], exp[:4])
+        assert s.sql("SELECT * FROM ep_m").columns \
+            == ["nm", "net", "band"]
+
+    recheck("initial")
+    for sql in ("INSERT INTO epa VALUES (2, 200.0, 0.5)",
+                "DELETE FROM epa WHERE disc = 0.2",
+                "INSERT INTO epd VALUES (3, 'z')",
+                "INSERT INTO epa VALUES (3, 21.0, 0.3)"):
+        s.execute(sql)
+        recheck(sql)
+    s.execute("DROP MATERIALIZED VIEW ep_m")
+    assert not any(n.startswith("__jsub_") for n in s._delta_mvs)
+    s.run_script("DROP TABLE epa; DROP TABLE epd;")
