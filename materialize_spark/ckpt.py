@@ -1,0 +1,43 @@
+"""Lineage-break policy for maintained state (the delta-MV hot path).
+
+Every stateful streaming operator breaks lineage with
+``DataFrame.localCheckpoint``: state parts, folded supports, table
+snapshots and published results would otherwise accumulate plans that
+grow with commit count. ``eager=True`` (the historical default) runs one
+synchronous Spark job per call — measured with cProfile on
+sqlfront_delta_mv_q21_exists at sf0.01, 146 such jobs accounted for
+~127 s of a 199 s run: per-commit maintenance cost was dominated by
+checkpoint-job latency, not by the actual delta computation
+(OPTIMIZATION_r13.md).
+
+``eager=False`` builds the IDENTICAL plan: Spark's ``Dataset.checkpoint``
+runs physical planning at call time either way and wraps the result RDD
+in the same ``LogicalRDD`` leaf (so every attribute-id / constraint /
+relation-dedup behavior downstream is byte-identical); the only
+difference is that the eager variant runs ``rdd.count()`` immediately
+while the lazy one lets the first downstream action compute-and-persist
+the checkpointed RDD as part of its own job. Deferral is value-safe here
+because every checkpointed plan in this engine reads only immutable
+inputs: literal row frames, prior checkpoints, persisted arrangements,
+and append-only spill-tier generations (spill writes always go to a
+fresh ``gen<N>`` directory, never overwrite a live one), and
+time-dependent expressions are resolved to literals at plan-build time
+(tick times are Python datetimes; ``current_timestamp`` is folded by the
+optimizer during the checkpoint's own physical planning).
+
+``SPARK_GRAFT_EAGER_CKPT=1`` restores the eager behavior (debugging aid:
+it localizes a failure to the commit that built the bad plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+EAGER: bool = os.environ.get("SPARK_GRAFT_EAGER_CKPT", "") == "1"
+
+
+def lineage_break(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with the engine-wide eagerness policy."""
+    return df.localCheckpoint(eager=EAGER)

@@ -47,8 +47,9 @@ def let_rec(
     (SQL WITH RECURSIVE accumulation); if False, bindings are replaced
     (Materialize LetRec semantics).
     """
+    from materialize_spark.ckpt import lineage_break
     current: dict[str, DataFrame] = {
-        k: v.localCheckpoint(eager=True) for k, v in initial.items()
+        k: lineage_break(v) for k, v in initial.items()
     }
     for _ in range(max_iter):
         nxt = dict(step(current))
@@ -56,7 +57,7 @@ def let_rec(
             nxt = {k: current[k].unionByName(nxt[k]) for k in current}
         if distinct:
             nxt = {k: v.distinct() for k, v in nxt.items()}
-        nxt = {k: v.localCheckpoint(eager=True) for k, v in nxt.items()}
+        nxt = {k: lineage_break(v) for k, v in nxt.items()}
         if all(not _changed(current[k], nxt[k]) for k in current):
             return nxt
         current = nxt

@@ -33,6 +33,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from materialize_spark.catalog import Catalog
+from materialize_spark.ckpt import lineage_break
 from materialize_spark.plans import parser as ast
 from materialize_spark.plans.dialect import rewrite, set_session_user
 from materialize_spark.plans.lexer import LexError, split_statements
@@ -4832,7 +4833,7 @@ class MzSession:
             # Batch MV: eagerly refreshed snapshot (REFRESH ON COMMIT
             # analog); the streaming maintenance path is
             # streaming.ivm.MaterializedView.
-            snap = df.localCheckpoint(eager=True)
+            snap = lineage_break(df)
             self._matviews[node.name] = snap
             # WMR bodies stay raw: _eval_view_body re-routes them through
             # the fixpoint evaluator (which rewrites each binding itself)
@@ -4877,7 +4878,7 @@ class MzSession:
         self._apply_default_privs(node.name)
         self.catalog.register_table(
             node.name,
-            self.spark.sql(rewrite(node.body)).localCheckpoint(eager=True))
+            lineage_break(self.spark.sql(rewrite(node.body))))
 
     def _create_table(self, node: ast.CreateTable, sql: str):
         self._owners[node.name] = self._role
@@ -4959,7 +4960,7 @@ class MzSession:
         # snapshot emission at CREATE; afterwards every commit routes
         # its own diff frames here via _publish_commit — the sink never
         # holds (or re-diffs against) a table snapshot again
-        snap = df.localCheckpoint(eager=True)
+        snap = lineage_break(df)
         for frame in self._kafka_sink_frames(spec, snap, None):
             spec["rows"] += write_kafka_wire(frame, bootstrap,
                                              node.topic)
@@ -6229,7 +6230,7 @@ class MzSession:
         # checkpoint so repeated inserts don't grow the plan.
         self.catalog.register_table(
             table,
-            target.unionByName(aligned).localCheckpoint(eager=True))
+            lineage_break(target.unionByName(aligned)))
         self._feed_delta_mvs_for_table(
             table, aligned.withColumn("diff", F.lit(1)))
         self._publish_commit(table, adds=aligned)
@@ -6267,7 +6268,7 @@ class MzSession:
             else:
                 exprs.append(f"CASE WHEN {pred} THEN CAST(({a}) AS "
                              f"{types[c.lower()]}) ELSE {c} END AS {c}")
-        new_target = target.selectExpr(*exprs).localCheckpoint(eager=True)
+        new_target = lineage_break(target.selectExpr(*exprs))
         self.catalog.register_table(node.table, new_target)
         if self._wants_diffs(node.table):
             from pyspark.sql import functions as F
@@ -6301,7 +6302,7 @@ class MzSession:
         target = self.catalog._tables[node.table]
         kept = (target.limit(0) if node.where is None else
                 target.filter(f"NOT coalesce(({rewrite(node.where)}), false)"))
-        kept = kept.localCheckpoint(eager=True)
+        kept = lineage_break(kept)
         self.catalog.register_table(node.table, kept)
         if self._wants_diffs(node.table):
             from pyspark.sql import functions as F
@@ -6324,8 +6325,8 @@ class MzSession:
         if name in self._delta_mvs:
             return  # delta-maintained: always fresh, REFRESH is a no-op
         old = self._matviews[name]
-        snap = self._eval_view_body(
-            self._matview_sql[name]).localCheckpoint(eager=True)
+        snap = lineage_break(self._eval_view_body(
+            self._matview_sql[name]))
         self._matviews[name] = snap
         self.catalog.create_view(name, snap)
         # REFRESH is a recompute by definition; the snapshot diff is the
@@ -6682,7 +6683,7 @@ class MzSession:
             return name
         except (ValueError, KeyError, ast.ParseError, LexError):
             pass  # shape not delta-maintainable: recompute on commit
-        snap = self._eval_view_body(body).localCheckpoint(eager=True)
+        snap = lineage_break(self._eval_view_body(body))
         self._matviews[name] = snap
         self.catalog.create_view(name, snap)
         hist = RetainedHistory()
@@ -6728,7 +6729,7 @@ class MzSession:
         old = self._matviews.get(name)
         if body is None or old is None:
             return
-        snap = self._eval_view_body(body).localCheckpoint(eager=True)
+        snap = lineage_break(self._eval_view_body(body))
         self._matviews[name] = snap
         self.catalog.create_view(name, snap)
         adds = snap.exceptAll(old)
@@ -6836,7 +6837,7 @@ class MzSession:
             frame = frames[0]
             for f in frames[1:]:
                 frame = frame.unionByName(f)
-            frame = frame.localCheckpoint(eager=True)
+            frame = lineage_break(frame)
             stamped = None  # built lazily: only AS OF streams need it
             with self._commit_cond:
                 for sub in self._subscriptions.values():

@@ -25,8 +25,9 @@ from materialize_spark.pipeline.dedup import normalize_text
 
 def _ckpt(df: DataFrame) -> DataFrame:
     # alias first: fresh attribute ids per part (see ivm_join._ckpt)
+    from materialize_spark.ckpt import lineage_break
     fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return fresh.localCheckpoint(eager=True)
+    return lineage_break(fresh)
 
 
 @dataclass

@@ -48,8 +48,9 @@ def _ckpt(df: DataFrame) -> DataFrame:
     """Break lineage so per-batch plans stay O(parts), not O(history).
     Alias first: fresh attribute ids per part (see ivm_join._ckpt —
     shared exprIds across checkpointed parts break many-way unions)."""
+    from materialize_spark.ckpt import lineage_break
     fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return fresh.localCheckpoint(eager=True)
+    return lineage_break(fresh)
 
 
 def _concat(parts: list[DataFrame]) -> DataFrame:

@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from materialize_spark.ckpt import lineage_break
 from materialize_spark.operators.setops import DIFF_COL, threshold
 
 TS_COL = "mz_timestamp"
@@ -65,10 +66,9 @@ class RetainedHistory:
             raise ValueError(
                 f"timestamp {ts} is behind the upper frontier {self.upper}")
         stamped = delta.withColumn(TS_COL, F.lit(ts).cast("long"))
-        self._log = (
+        self._log = lineage_break(
             stamped if self._log is None
-            else self._log.unionByName(stamped)
-        ).localCheckpoint(eager=True)
+            else self._log.unionByName(stamped))
         self.upper = ts + 1
 
     # -- reads --------------------------------------------------------------
@@ -118,7 +118,7 @@ class RetainedHistory:
             .withColumn(TS_COL, F.lit(frontier).cast("long"))
             .select(recent.columns)
         )
-        self._log = snapshot.unionByName(recent).localCheckpoint(eager=True)
+        self._log = lineage_break(snapshot.unionByName(recent))
         self.since = frontier
 
 

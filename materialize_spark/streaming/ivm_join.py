@@ -46,8 +46,9 @@ def _ckpt(df: DataFrame) -> DataFrame:
     all expose identical ids — a later many-way self-union of such
     parts trips Catalyst's relation dedup with 'key not found: <attr>'.
     The alias projection mints new ids per part."""
+    from materialize_spark.ckpt import lineage_break
     fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return fresh.localCheckpoint(eager=True)
+    return lineage_break(fresh)
 
 
 def _consolidate(hist: DataFrame | None, delta: DataFrame | None) -> DataFrame | None:

@@ -61,8 +61,9 @@ _KINDS = ("exists", "not_exists", "in", "not_in")
 
 def _ckpt(df: DataFrame) -> DataFrame:
     """Lineage break with fresh attribute ids (see retraction._ckpt)."""
+    from materialize_spark.ckpt import lineage_break
     fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return fresh.localCheckpoint(eager=True)
+    return lineage_break(fresh)
 
 
 def _ns_semi(df: DataFrame, keys_df: DataFrame,
