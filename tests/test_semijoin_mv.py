@@ -405,32 +405,46 @@ def test_scalar_agg_comparison_q17_shape(spark):
                  "DROP TABLE ca_li; DROP TABLE ca_u;")
 
 
-def test_comma_from_rejected_in_nested_contexts(spark):
-    """A comma-joined FROM list inside a set-op BRANCH must reject
-    (branches are stateless single-table transforms) — never silently
-    plan over the first table alone. Inside a FROM subquery the
-    comma list now DESUGARS into the maintained chain (the q7/q8
-    text style) — pin that it maintains CORRECTLY rather than
-    rejecting."""
+def test_comma_from_desugars_in_nested_contexts(spark):
+    """A comma-joined FROM list inside a set-op BRANCH desugars into
+    the maintained join chain (round-13 stateful set-op branches;
+    before that it had to reject) — pin that it maintains CORRECTLY
+    on churn to either table, never silently planning over the first
+    table alone. Inside a FROM subquery the comma list likewise
+    desugars (the q7/q8 text style)."""
     s = _mz(spark)
     s.run_script("CREATE TABLE nc_a (x BIGINT); "
                  "CREATE TABLE nc_b (x BIGINT);"
                  "INSERT INTO nc_a VALUES (1), (2), (2);"
                  "INSERT INTO nc_b VALUES (2), (3);")
-    with pytest.raises(Exception):
-        s.execute(
-            "CREATE MATERIALIZED VIEW nc1 WITH (MAINTENANCE 'delta') "
-            "AS SELECT x FROM nc_a, nc_b WHERE nc_a.x = nc_b.x "
-            "UNION ALL SELECT x FROM nc_a")
-    assert "nc1" not in s._delta_mvs
+    s.execute(
+        "CREATE MATERIALIZED VIEW nc1 WITH (MAINTENANCE 'delta') "
+        "AS SELECT x FROM nc_a, nc_b WHERE nc_a.x = nc_b.x "
+        "UNION ALL SELECT x FROM nc_a")
+    assert "nc1" in s._delta_mvs
+
+    def nc1():
+        return sorted(r.x for r in s.sql("SELECT * FROM nc1").collect())
+
+    # join branch: {2,2}; plain branch: {1,2,2}
+    assert nc1() == [1, 2, 2, 2, 2]
+    # churn BOTH tables: the join branch must see nc_b commits too
+    s.execute("INSERT INTO nc_a VALUES (3), (2)")
+    assert nc1() == [1, 2, 2, 2, 2, 2, 2, 3, 3]
+    s.execute("INSERT INTO nc_b VALUES (3)")
+    assert nc1() == [1, 2, 2, 2, 2, 2, 2, 3, 3, 3]
+    s.execute("DELETE FROM nc_b WHERE x = 2")
+    assert nc1() == [1, 2, 2, 2, 3, 3, 3]
+    s.run_script("DROP MATERIALIZED VIEW nc1;")
     s.execute(
         "CREATE MATERIALIZED VIEW nc2 WITH (MAINTENANCE 'delta') "
         "AS SELECT x, COUNT(*) AS n FROM "
         "(SELECT a.x FROM nc_a a, nc_b b WHERE a.x = b.x) "
         "GROUP BY x")
-    assert rows(s, "SELECT * FROM nc2") == [(2, 2)]
+    # table state after the churn above: nc_a={1,2,2,2,3}, nc_b={3,3}
+    assert rows(s, "SELECT * FROM nc2") == [(3, 2)]
     s.execute("INSERT INTO nc_a VALUES (3)")
-    assert rows(s, "SELECT * FROM nc2") == [(2, 2), (3, 1)]
+    assert rows(s, "SELECT * FROM nc2") == [(3, 4)]
     s.run_script("DROP MATERIALIZED VIEW nc2;"
                  "DROP TABLE nc_a; DROP TABLE nc_b;")
 
