@@ -289,6 +289,45 @@ def scale_adaptive_execution(spark: SparkSession, total_bytes: int) -> None:
         pass
 
 
+# Optimizer rules whose BENEFIT is data-proportional but whose planning
+# COST is a constant per query: constraint propagation (derives redundant
+# IsNotNull/range predicates — worthwhile when they prune terabytes at a
+# scan, pure planner CPU when the whole input is memory-resident),
+# dynamic partition pruning (searches for prunable partitioned scans we
+# never have at bench scale), and runtime filter injection (Bloom/semi
+# join reduction per guide §3.2 — load-bearing on 100 TB fact scans,
+# unreachable below the AQE/broadcast sizes here). Measured at sf0.1
+# (OPTIMIZATION_r13.md): the three rules cost ~30-40% of headline plan
+# time (0.295 -> 0.209 s for constraint propagation alone) and ~7% of
+# end-to-end latency while changing nothing in the executed plans (all
+# joins already broadcast/SHJ-pinned, no partitioned tables, no scan
+# big enough for a runtime filter). Same gate as AQE: planner features
+# whose payoff needs data re-enable past PLANNER_MIN_BYTES.
+PLANNER_MIN_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_PLANNER_MIN_BYTES", str(AQE_MIN_BYTES)))
+
+_PLANNER_SCALE_CONFS = (
+    # default-ON rules only: past the gate we restore Spark's default,
+    # never invert a default-off feature
+    "spark.sql.constraintPropagation.enabled",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+)
+
+
+def scale_planner_features(spark: SparkSession, total_bytes: int) -> None:
+    """Data-sized optimizer-rule policy (see _PLANNER_SCALE_CONFS)."""
+    if PLANNER_MIN_BYTES <= 0:
+        return
+    enabled = str(total_bytes >= PLANNER_MIN_BYTES).lower()
+    for key in _PLANNER_SCALE_CONFS:
+        try:
+            if spark.conf.get(key) != enabled:
+                spark.conf.set(key, enabled)
+        except Exception:
+            pass
+
+
 class LazyTables(MutableMapping):
     """Per-table lazy loader: a query only reads (and registers a temp view
     for) the tables it actually touches, so e.g. a TPC-H query can never be
@@ -311,6 +350,7 @@ class LazyTables(MutableMapping):
                     for n in self._available)
         scale_shuffle_partitions(spark, total)
         scale_adaptive_execution(spark, total)
+        scale_planner_features(spark, total)
         # ONE shard count for every keyed arrangement (the reference
         # arranges all collections across the same timely worker set).
         # Per-table row-proportional counts left co-joined arrangements
