@@ -1069,8 +1069,12 @@ class MzPgServer:
 class PgWireClient:
     def __init__(self, host: str, port: int, *, user: str = "materialize",
                  database: str = "materialize", password: str | None = None,
-                 ssl_context=None):
-        self.sock = socket.create_connection((host, port), timeout=10)
+                 ssl_context=None, timeout: float = 60):
+        # 60s default: the recv timeout is a fail-fast guard against a
+        # hung server, not a latency bound — a COPY/commit that feeds
+        # maintained MVs legitimately runs Spark jobs before
+        # CommandComplete, and 10s tripped under parallel-suite load.
+        self.sock = socket.create_connection((host, port), timeout=timeout)
         if ssl_context is not None:
             # SSLRequest: expect 'S', then wrap (public protocol flow)
             self.sock.sendall(struct.pack(">ii", 8, 80877103))
