@@ -39,5 +39,27 @@ EAGER: bool = os.environ.get("SPARK_GRAFT_EAGER_CKPT", "") == "1"
 
 
 def lineage_break(df: DataFrame) -> DataFrame:
-    """``localCheckpoint`` with the engine-wide eagerness policy."""
-    return df.localCheckpoint(eager=EAGER)
+    """``localCheckpoint`` with the engine-wide eagerness policy.
+
+    The returned frame is tagged ``_mz_leaf`` so the fresh-alias
+    ``_ckpt`` helpers can skip re-breaking a frame that IS already a
+    checkpoint leaf (each ``localCheckpoint`` costs a full Catalyst
+    planning pass — ~50 ms even for a literal frame). Skipping is
+    sound: returning the SAME object means the same relation, which
+    downstream plans may reference repeatedly (ordinary
+    self-reference); the sibling-id hazard needs two DIFFERENT
+    relations sharing exprIds, which the fresh-alias path still
+    prevents for every newly built part."""
+    out = df.localCheckpoint(eager=EAGER)
+    out._mz_leaf = True
+    return out
+
+
+def fresh_break(df: DataFrame) -> DataFrame:
+    """Lineage break with FRESH attribute ids (toDF mints one Alias per
+    column in a single py4j call), skipping frames that are already
+    checkpoint leaves — the shared body of the per-module ``_ckpt``
+    helpers."""
+    if getattr(df, "_mz_leaf", False):
+        return df
+    return lineage_break(df.toDF(*df.columns))

@@ -25,9 +25,8 @@ from materialize_spark.pipeline.dedup import normalize_text
 
 def _ckpt(df: DataFrame) -> DataFrame:
     # alias first: fresh attribute ids per part (see ivm_join._ckpt)
-    from materialize_spark.ckpt import lineage_break
-    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return lineage_break(fresh)
+    from materialize_spark.ckpt import fresh_break
+    return fresh_break(df)
 
 
 @dataclass

@@ -48,9 +48,8 @@ def _ckpt(df: DataFrame) -> DataFrame:
     """Break lineage so per-batch plans stay O(parts), not O(history).
     Alias first: fresh attribute ids per part (see ivm_join._ckpt —
     shared exprIds across checkpointed parts break many-way unions)."""
-    from materialize_spark.ckpt import lineage_break
-    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return lineage_break(fresh)
+    from materialize_spark.ckpt import fresh_break
+    return fresh_break(df)
 
 
 def _concat(parts: list[DataFrame]) -> DataFrame:

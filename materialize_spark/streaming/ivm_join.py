@@ -46,9 +46,8 @@ def _ckpt(df: DataFrame) -> DataFrame:
     all expose identical ids — a later many-way self-union of such
     parts trips Catalyst's relation dedup with 'key not found: <attr>'.
     The alias projection mints new ids per part."""
-    from materialize_spark.ckpt import lineage_break
-    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return lineage_break(fresh)
+    from materialize_spark.ckpt import fresh_break
+    return fresh_break(df)
 
 
 def _consolidate(hist: DataFrame | None, delta: DataFrame | None) -> DataFrame | None:

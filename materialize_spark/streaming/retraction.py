@@ -73,9 +73,8 @@ def _ckpt(df: DataFrame) -> DataFrame:
     of such parts trips Catalyst's relation dedup with
     'key not found: <attr>'. Alias(col) mints fresh exprIds, so every
     checkpointed part is id-disjoint."""
-    from materialize_spark.ckpt import lineage_break
-    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return lineage_break(fresh)
+    from materialize_spark.ckpt import fresh_break
+    return fresh_break(df)
 
 
 def _ns_cond(keys: list[str]):

@@ -61,9 +61,8 @@ _KINDS = ("exists", "not_exists", "in", "not_in")
 
 def _ckpt(df: DataFrame) -> DataFrame:
     """Lineage break with fresh attribute ids (see retraction._ckpt)."""
-    from materialize_spark.ckpt import lineage_break
-    fresh = df.select(*[F.col(c).alias(c) for c in df.columns])
-    return lineage_break(fresh)
+    from materialize_spark.ckpt import fresh_break
+    return fresh_break(df)
 
 
 def _ns_semi(df: DataFrame, keys_df: DataFrame,
@@ -219,16 +218,51 @@ class SemiAntiFilterMV:
             F.coalesce(tot, F.lit(0)) - F.coalesce(cnt, F.lit(0)))
         return other > 0 if self.kind == "exists" else other <= 0
 
+    def _attach_both(self, rows: DataFrame,
+                     both: DataFrame) -> DataFrame:
+        """Left-attach the fused old/new support (``__cnt_o``/``__cnt_n``
+        and, for the member / correlated-IN variants,
+        ``__tot_o``/``__tot_n`` [/``__nul_o``/``__nul_n``]) to outer rows
+        in ONE join pass per attachment level — the inner-fold fast
+        path. ``both`` is keyed by ``_ikey()``; the member/corr
+        variants read it twice (per-key totals + per-pair counts — the
+        relation-dedup hazard) so the caller _ckpt's it for those
+        kinds only."""
+        if self.member or self._corr_in:
+            vcol = self.member or self.in_col
+            tot_aggs = [F.sum("__cnt_o").alias("__tot_o"),
+                        F.sum("__cnt_n").alias("__tot_n")]
+            if self._corr_in:
+                for sfx in ("_o", "_n"):
+                    tot_aggs.append(F.sum(
+                        F.when(F.col(vcol).isNull(),
+                               F.col(f"__cnt{sfx}"))
+                        .otherwise(F.lit(0))).alias(f"__nul{sfx}"))
+            tots = both.groupBy(*self.keys).agg(*tot_aggs)
+            out = rows.join(tots, on=self.keys, how="left")
+            a = out.alias("__a")
+            b = (both.filter(F.col(vcol).isNotNull()).select(
+                *self.keys, F.col(vcol).alias("__im"),
+                "__cnt_o", "__cnt_n").alias("__b"))
+            cond = F.col(f"__a.{vcol}") == F.col("__b.__im")
+            for k in self.keys:
+                cond = cond & (F.col(f"__a.{k}") == F.col(f"__b.{k}"))
+            return a.join(b, on=cond, how="left").select(
+                *[F.col(f"__a.{c}") for c in out.columns],
+                F.col("__b.__cnt_o"), F.col("__b.__cnt_n"))
+        return rows.join(both, on=self._probe_keys(), how="left")
+
     def _attach(self, rows: DataFrame, counts: DataFrame | None,
                 sfx: str) -> DataFrame:
         """Left-attach ``__cnt{sfx}`` (and ``__tot{sfx}`` for the
         member variant; ``__tot{sfx}``/``__nul{sfx}`` for correlated
         IN) to outer rows. Plain `=` joins throughout: NULL outer keys
         must NOT match any inner group (SQL equality), and the support
-        holds no NULL correlation keys. ``counts`` is _ckpt'd first —
-        the member/corr-in variants read it twice (per-key totals +
-        per-pair counts), and shared live subplans under one plan are
-        the relation-dedup hazard."""
+        holds no NULL correlation keys. ``counts`` is _ckpt'd only for
+        the member/corr-in variants, which read it twice (per-key
+        totals + per-pair counts) — shared LIVE subplans under one
+        plan are the relation-dedup hazard; a single read stays
+        live."""
         cnt_c, tot_c = f"__cnt{sfx}", f"__tot{sfx}"
         nul_c = f"__nul{sfx}"
         if counts is None:
@@ -238,8 +272,12 @@ class SemiAntiFilterMV:
             if self._corr_in:
                 out = out.withColumn(nul_c, F.lit(None).cast("long"))
             return out
-        counts = _ckpt(counts)
         if self.member or self._corr_in:
+            # _ckpt ONLY for the double-read variants (per-key totals
+            # + per-pair counts below read ``counts`` twice in one
+            # plan — the relation-dedup hazard); the plain variants'
+            # single left join reads it once, live
+            counts = _ckpt(counts)
             vcol = self.member or self.in_col
             tot_aggs = [F.sum("__cnt").alias(tot_c)]
             if self._corr_in:
@@ -343,7 +381,11 @@ class SemiAntiFilterMV:
         partial = _ckpt(clean.groupBy(*self._ikey())
                         .agg(F.sum(DIFF_COL).alias("__cnt"))
                         .filter(F.col("__cnt") != 0))
-        touched = _ckpt(partial.select(*self._probe_keys()).distinct())
+        # live over the partial LEAF (no own checkpoint): every reuse
+        # below re-plans a tiny distinct-over-leaf; repeated occurrences
+        # of one checkpointed leaf in a plan are ordinary self-reference
+        # (unlike the live-subplan double-read hazard, see _attach)
+        touched = partial.select(*self._probe_keys()).distinct()
         scope = None if global_flip else touched
         old_counts = self._counts(scope)
         self._inner.append(partial)
@@ -352,13 +394,38 @@ class SemiAntiFilterMV:
         if old_rows is None:
             return []
         old_rows = _ckpt(old_rows)
-        new_counts = self._counts(scope)
+        # fused old/new support: NEW = OLD + the batch's own partial
+        # counts, so one state probe serves both sides — the second
+        # probe+aggregate (and its checkpoint) the unfused form paid
+        # per inner commit is replaced by a union+groupBy against the
+        # tiny batch partial. GROUP BY groups NULL in-values together
+        # (SQL grouping equality), exactly like the support aggregate.
+        if old_counts is None:
+            both = partial.select(
+                *self._ikey(),
+                F.lit(0).cast("long").alias("__cnt_o"),
+                F.col("__cnt").alias("__cnt_n"))
+        else:
+            o = old_counts.select(
+                *self._ikey(), F.col("__cnt").alias("__cnt_o"),
+                F.col("__cnt").alias("__cnt_n"))
+            d = partial.select(
+                *self._ikey(),
+                F.lit(0).cast("long").alias("__cnt_o"),
+                F.col("__cnt").alias("__cnt_n"))
+            both = (o.unionByName(d).groupBy(*self._ikey())
+                    .agg(F.sum("__cnt_o").alias("__cnt_o"),
+                         F.sum("__cnt_n").alias("__cnt_n")))
+        if self.member or self._corr_in:
+            # double-read (per-key totals + per-pair counts) — the
+            # live-subplan relation-dedup hazard; plain variants read
+            # it once and skip the checkpoint's fixed planning cost
+            both = _ckpt(both)
         # single-plan flip: attach OLD and NEW support side by side and
         # emit ±rows where the qualification changed — no self-union,
         # no exceptAll (unions whose branches share leaves evaluate
         # wrongly under Catalyst's relation dedup)
-        att = self._attach(self._attach(old_rows, old_counts, "_o"),
-                           new_counts, "_n")
+        att = self._attach_both(old_rows, both)
         old_q = self._qual("_o", total=self._total - batch_t,
                            null_cnt=self._null_cnt - batch_n)
         new_q = self._qual("_n")
@@ -435,13 +502,17 @@ class CmpAggFilterMV:
 
     def _vals(self, touched: DataFrame | None) -> DataFrame | None:
         """Current per-key aggregate values (keys + __aggval),
-        confined to touched keys, materialized."""
+        confined to touched keys. Returned LIVE: each caller reads the
+        frame exactly once (one left attach), and the plan's leaves
+        are the agg's own checkpointed state parts — value-stable even
+        though the agg mutates its state references afterwards (old
+        plans keep the old leaf objects)."""
         if self._agg._acc is None:
             return None
         res = self._agg.result()
         if touched is not None:
             res = _ns_semi(res, touched, self.keys)
-        return _ckpt(res)
+        return res
 
     def _outer_rows(self, touched: DataFrame | None) -> DataFrame | None:
         probe = self._outer.probe_frame(touched)
@@ -476,7 +547,8 @@ class CmpAggFilterMV:
             for k in self.keys:
                 clean = clean.filter(F.col(k).isNotNull())
             clean = _ckpt(clean)
-            touched = _ckpt(clean.select(*self.keys).distinct())
+            # live over the clean LEAF (see SemiAntiFilterMV's touched)
+            touched = clean.select(*self.keys).distinct()
             old_vals = self._vals(touched)
             self._agg.on_batch(
                 clean.select(*self.keys, "__arg", DIFF_COL))
@@ -537,9 +609,10 @@ class GlobalCmpFilterMV:
     one vectorized scan emitting ± flips — the rows whose comparison
     truth changed are exactly the rows the filter must re-derive, so
     the scan is the information-theoretic minimum, and it is skipped
-    entirely when a commit leaves the scalar unchanged (the two 1-row
-    collects per inner commit are the scalar-frontier idiom, like
-    SemiAntiFilterMV's NOT IN totals).
+    entirely when a commit leaves the scalar unchanged (the 1-row
+    collect per inner commit is the scalar-frontier idiom, like
+    SemiAntiFilterMV's NOT IN totals; the old value is a cached Python
+    scalar, not a re-collect).
 
     ``qual_tmpl``: SQL boolean with a ``{V}`` placeholder for the
     scalar's column. SQL semantics: a NULL scalar makes the comparison
@@ -553,6 +626,9 @@ class GlobalCmpFilterMV:
     spill_rows: int | None = None
     _outer: SpilledPartsState | None = field(default=None, init=False)
     _val: DataFrame | None = field(default=None, init=False)
+    # Python-side cache of _val's one value: the old side of a change
+    # check needs no re-collect (one fewer job per inner commit)
+    _scalar: object = field(default=None, init=False)
     _o_appends: int = field(default=0, init=False)
 
     def _ensure_outer(self, like: DataFrame) -> None:
@@ -588,14 +664,14 @@ class GlobalCmpFilterMV:
         terms: list[DataFrame] = []
         if inner_delta is not None:
             new_val = _ckpt(inner_delta.limit(1))
-            old_scalar = (self._val.collect()[0][0]
-                          if self._val is not None else None)
+            old_scalar = self._scalar
             rows_ = new_val.collect()
             new_scalar = rows_[0][0] if rows_ else None
             changed = self._val is not None \
                 and old_scalar != new_scalar
             old_val = self._val
             self._val = new_val
+            self._scalar = new_scalar
             if changed:
                 old_rows = self._outer_rows()
                 if old_rows is not None:
