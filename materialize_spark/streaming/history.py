@@ -27,6 +27,7 @@ Spark-first design:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -36,6 +37,11 @@ from materialize_spark.ckpt import lineage_break
 from materialize_spark.operators.setops import DIFF_COL, threshold
 
 TS_COL = "mz_timestamp"
+
+# Deferred-append cadence: consolidate (union + lineage break) pending
+# stamped deltas once this many accumulate without a read — bounds the
+# consolidation plan's width for write-heavy, never-read histories.
+_CONSOLIDATE_EVERY = 32
 
 
 class SinceViolation(ValueError):
@@ -53,6 +59,9 @@ class RetainedHistory:
     """
 
     _log: DataFrame | None = field(default=None, init=False)
+    _pending: list = field(default_factory=list, init=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  init=False)
     since: int = field(default=0, init=False)
     upper: int = field(default=0, init=False)
 
@@ -61,20 +70,54 @@ class RetainedHistory:
         """Record one batch of (data, diff) updates at logical time ts.
         Timestamps must be appended in non-decreasing order (the reference
         reclocks all inputs into a monotone system time); multiple batches
-        at the same logical time are allowed and consolidate together."""
+        at the same logical time are allowed and consolidate together.
+
+        Appends are DEFERRED: the stamped delta joins a pending list and
+        the union + lineage break happen on first read (or at the
+        _CONSOLIDATE_EVERY cadence). This keeps the per-commit write
+        O(1) driver work — no Catalyst pass to record history nobody
+        may ever read. Value-safe to defer: publish deltas are plans
+        over checkpointed leaves (operator flips, MV snapshots), so
+        their value is fixed at append time even though operator state
+        objects move on afterwards — old plans keep the old leaves.
+        History is a sink (never feeds an operator), so no downstream
+        plan can observe the deferral."""
         if ts < self.upper - 1:
             raise ValueError(
                 f"timestamp {ts} is behind the upper frontier {self.upper}")
         stamped = delta.withColumn(TS_COL, F.lit(ts).cast("long"))
-        self._log = lineage_break(
-            stamped if self._log is None
-            else self._log.unionByName(stamped))
-        self.upper = ts + 1
+        with self._lock:
+            self._pending.append(stamped)
+            self.upper = ts + 1
+            if len(self._pending) >= _CONSOLIDATE_EVERY:
+                self._consolidate_locked()
+
+    def _consolidate_locked(self) -> None:
+        """Fold pending stamped deltas into the consolidated leaf.
+        Caller holds self._lock (reads may come from wire/server
+        threads while the commit thread appends). Branch sharing in
+        the union is leaf-level only (snapshots and flip frames are
+        checkpoint leaves; each commit builds fresh plan objects), i.e.
+        ordinary self-reference, not the live-subplan dedup hazard."""
+        if not self._pending:
+            return
+        frames = ([self._log] if self._log is not None else []) \
+            + self._pending
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        self._log = lineage_break(out)
+        self._pending = []
+
+    def _consolidated(self) -> DataFrame | None:
+        with self._lock:
+            self._consolidate_locked()
+            return self._log
 
     # -- reads --------------------------------------------------------------
     def changelog(self) -> DataFrame | None:
         """The raw (data, mz_timestamp, diff) frame — SUBSCRIBE's view."""
-        return self._log
+        return self._consolidated()
 
     def as_of(self, ts: int) -> DataFrame:
         """The collection's rows exactly as of logical time ts (a multiset:
@@ -83,9 +126,10 @@ class RetainedHistory:
         if ts < self.since:
             raise SinceViolation(
                 f"AS OF {ts} is behind the compaction frontier {self.since}")
-        if self._log is None:
+        log = self._consolidated()
+        if log is None:
             raise ValueError("empty history: nothing has been appended")
-        net = threshold(self._log.filter(F.col(TS_COL) <= ts).drop(TS_COL))
+        net = threshold(log.filter(F.col(TS_COL) <= ts).drop(TS_COL))
         return (
             net.withColumn(
                 "__m", F.explode(F.sequence(F.lit(1), F.col(DIFF_COL))))
@@ -98,9 +142,10 @@ class RetainedHistory:
         if ts < self.since:
             raise SinceViolation(
                 f"AS OF {ts} is behind the compaction frontier {self.since}")
-        if self._log is None:
+        log = self._consolidated()
+        if log is None:
             raise ValueError("empty history: nothing has been appended")
-        return self._log.filter(F.col(TS_COL) > ts)
+        return log.filter(F.col(TS_COL) > ts)
 
     # -- compaction ---------------------------------------------------------
     def compact(self, frontier: int) -> None:
@@ -109,17 +154,20 @@ class RetainedHistory:
         results for t >= frontier are unchanged; t < frontier becomes
         unreadable. Bounds changelog growth to (snapshot + recent window) —
         the RETAIN HISTORY duration maps to `upper - since`."""
-        if frontier <= self.since or self._log is None:
-            return
-        old = self._log.filter(F.col(TS_COL) <= frontier).drop(TS_COL)
-        recent = self._log.filter(F.col(TS_COL) > frontier)
-        snapshot = (
-            threshold(old)
-            .withColumn(TS_COL, F.lit(frontier).cast("long"))
-            .select(recent.columns)
-        )
-        self._log = lineage_break(snapshot.unionByName(recent))
-        self.since = frontier
+        with self._lock:
+            self._consolidate_locked()
+            log = self._log
+            if frontier <= self.since or log is None:
+                return
+            old = log.filter(F.col(TS_COL) <= frontier).drop(TS_COL)
+            recent = log.filter(F.col(TS_COL) > frontier)
+            snapshot = (
+                threshold(old)
+                .withColumn(TS_COL, F.lit(frontier).cast("long"))
+                .select(recent.columns)
+            )
+            self._log = lineage_break(snapshot.unionByName(recent))
+            self.since = frontier
 
 
 @dataclass

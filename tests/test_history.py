@@ -113,3 +113,52 @@ def test_history_matview_as_of_each_epoch(spark):
         expect = define(spark.createDataFrame(prefix, "k string, v long"))
         assert _rows(hmv.as_of(epoch)) == _rows(expect), f"epoch={epoch}"
     assert _rows(hmv.result()) == _rows(hmv.as_of(len(batches) - 1))
+
+
+def test_appends_defer_until_read_and_cadence_bounds_pending(spark):
+    """Optimization pin: append() must not plan anything (the pending
+    list grows, the consolidated leaf stays absent) until a read — or
+    the consolidation cadence — folds it; reads stay exact across
+    interleaved appends and consolidations."""
+    from materialize_spark.streaming import history as H
+
+    hist = RetainedHistory()
+    batches = _random_batches(5, 5)
+    for ts, batch in enumerate(batches):
+        hist.append(spark.createDataFrame(batch, SCHEMA), ts)
+    # all five appends deferred: no consolidated leaf yet
+    assert hist._log is None
+    assert len(hist._pending) == len(batches)
+
+    # a read consolidates exactly once and empties the pending list
+    prefix = [r for b in batches for r in b]
+    from materialize_spark.operators.setops import threshold
+    expect = (
+        threshold(spark.createDataFrame(prefix, SCHEMA))
+        .withColumn("__m", F.explode(F.sequence(F.lit(1), F.col("diff"))))
+        .drop("diff", "__m")
+    )
+    assert _rows(hist.as_of(len(batches) - 1)) == _rows(expect)
+    assert hist._log is not None and not hist._pending
+
+    # appends after the read defer again; a second read folds them in
+    more = _random_batches(6, 3)
+    for i, batch in enumerate(more):
+        hist.append(spark.createDataFrame(batch, SCHEMA), len(batches) + i)
+    assert len(hist._pending) == len(more)
+    full = prefix + [r for b in more for r in b]
+    expect_full = (
+        threshold(spark.createDataFrame(full, SCHEMA))
+        .withColumn("__m", F.explode(F.sequence(F.lit(1), F.col("diff"))))
+        .drop("diff", "__m")
+    )
+    assert _rows(hist.as_of(99)) == _rows(expect_full)
+
+    # the cadence bounds pending growth for never-read histories
+    h2 = RetainedHistory()
+    one = spark.createDataFrame([("a", 1, 1)], SCHEMA)
+    for ts in range(H._CONSOLIDATE_EVERY + 1):
+        h2.append(one, ts)
+    assert h2._log is not None
+    assert len(h2._pending) == 1
+    assert _rows(h2.as_of(0)) == [("a", 1)]
