@@ -319,25 +319,41 @@ def scalar_ranges(spark, sf_dir):
         (F.col("o_orderkey") % 50).cast("int").alias("x"),
         (F.col("o_orderkey") % 13).cast("int").alias("d"),
     )
-    r1 = R.int4range(F.col("a_lo"), F.col("a_hi"))
-    r2 = R.int4range(F.col("b_lo"), F.col("b_hi"))
-    r3 = R.int4range(F.col("a_lo"), F.col("a_hi"), "(]")
+    # Stage each range STRUCT as a named column before the operator
+    # battery: every range op reads its operand's fields several times,
+    # so inlined struct expressions (with their canonicalization CASEs)
+    # get duplicated per field access and the single wide select's
+    # eager analysis walks the duplicated trees (guide §7.3 — measured
+    # 5.9 s build + 2.5 s plan for this entry at sf0.01; staged: the
+    # ops read attribute fields instead). Values identical — same
+    # expressions, evaluated once under a name.
+    c = F.col
+    o = o.withColumns({
+        "__r1": R.int4range(c("a_lo"), c("a_hi")),
+        "__r2": R.int4range(c("b_lo"), c("b_hi")),
+        "__r3": R.int4range(c("a_lo"), c("a_hi"), "(]"),
+        "__nr": R.numrange(c("a_lo") + 0.5, c("a_lo") + 0.5 + c("d"),
+                           "()"),
+    })
+    o = o.withColumns({
+        "__ru": R.range_union(c("__r1"), c("__r2")),
+        "__ri": R.range_intersection(c("__r1"), c("__r2")),
+        "__rd": R.range_difference(c("__r1"), c("__r2")),
+    })
     unb = R.int4range(None, 40)
-    nr = R.numrange(F.col("a_lo") + 0.5, F.col("a_lo") + 0.5 + F.col("d"),
-                    "()")
     return o.select(
         "o_orderkey",
-        R.range_text(r1).alias("r1_txt"),
-        R.range_text(r2).alias("r2_txt"),
-        R.range_text(r3).alias("r3_txt"),
-        R.range_contains_elem(r1, F.col("x")).alias("contains_x"),
-        R.range_contains_range(r1, r2).alias("contains_r2"),
-        R.range_overlaps(r1, r2).alias("overlaps"),
-        R.range_adjacent(r1, r2).alias("adjacent"),
-        R.range_before(r1, r2).alias("before"),
-        R.range_contains_elem(unb, F.col("x")).alias("in_lt40"),
-        R.range_text(R.range_union(r1, r2)).alias("union_txt"),
-        R.range_text(R.range_intersection(r1, r2)).alias("isect_txt"),
-        R.range_text(R.range_difference(r1, r2)).alias("diff_txt"),
-        R.range_text(nr).alias("nr_txt"),
+        R.range_text(c("__r1")).alias("r1_txt"),
+        R.range_text(c("__r2")).alias("r2_txt"),
+        R.range_text(c("__r3")).alias("r3_txt"),
+        R.range_contains_elem(c("__r1"), c("x")).alias("contains_x"),
+        R.range_contains_range(c("__r1"), c("__r2")).alias("contains_r2"),
+        R.range_overlaps(c("__r1"), c("__r2")).alias("overlaps"),
+        R.range_adjacent(c("__r1"), c("__r2")).alias("adjacent"),
+        R.range_before(c("__r1"), c("__r2")).alias("before"),
+        R.range_contains_elem(unb, c("x")).alias("in_lt40"),
+        R.range_text(c("__ru")).alias("union_txt"),
+        R.range_text(c("__ri")).alias("isect_txt"),
+        R.range_text(c("__rd")).alias("diff_txt"),
+        R.range_text(c("__nr")).alias("nr_txt"),
     )

@@ -66,6 +66,36 @@ def test_justify_interval_sign_normalization(spark):
     assert (r.months, r.days, r.micros) == (2, 7, 3_600_000_000)
 
 
+def test_with_justified_matches_column_forms(spark):
+    """The staged with_justified must agree with the single-Column
+    justify_* forms on a signed battery covering every carry/borrow
+    branch (zero, ±carry, sign-disagreement borrows, lends)."""
+    vals = [(m, d, us)
+            for m in (-2, -1, 0, 1, 2)
+            for d in (-45, -30, -5, 0, 5, 30, 45)
+            for us in (-49 * 3_600_000_000, -3_600_000_000, 0,
+                       3_600_000_000, 49 * 3_600_000_000)]
+    df = spark.createDataFrame(vals, "m0 long, d0 long, us0 long")
+    staged = P.with_justified(df, "m0", "d0", "us0").collect()
+    jh = P.justify_hours("m0", "d0", "us0")
+    jd = P.justify_days("m0", "d0", "us0")
+    ji = P.justify_interval("m0", "d0", "us0")
+    col_form = df.select(
+        "m0", "d0", "us0",
+        jh.months.alias("jh_months"), jh.days.alias("jh_days"),
+        jh.micros.alias("jh_micros"),
+        jd.months.alias("jd_months"), jd.days.alias("jd_days"),
+        jd.micros.alias("jd_micros"),
+        ji.months.alias("ji_months"), ji.days.alias("ji_days"),
+        ji.micros.alias("ji_micros")).collect()
+    key = lambda r: (r.m0, r.d0, r.us0)  # noqa: E731
+    cols = ["jh_months", "jh_days", "jh_micros",
+            "jd_months", "jd_days", "jd_micros",
+            "ji_months", "ji_days", "ji_micros"]
+    for s, c in zip(sorted(staged, key=key), sorted(col_form, key=key)):
+        assert [s[k] for k in cols] == [c[k] for k in cols], key(s)
+
+
 def test_encode_decode_roundtrip(spark):
     df = spark.sql("SELECT 'Customer#000001' AS s")
     row = df.select(
