@@ -525,6 +525,17 @@ class LazyTables(MutableMapping):
         self._loaded[name] = df
         return df
 
+    def raw(self, name: str) -> DataFrame:
+        """File-order parquet read — no arrangement, no persist, no
+        repartition. For double aggregates whose result must reproduce
+        the oracle's SEQUENTIAL accumulation order: float sums are
+        order-sensitive, and the keyed arrangement's shards change the
+        partial-agg order enough to flip round(x, 2) at .xx5
+        knife-edges (subquery_decorrelated at sf0.001). The raw single
+        split accumulates in file order, bit-identical to DuckDB's
+        sequential scan (verified at sf0.001/0.01/0.1)."""
+        return self._read_parquet(name)
+
     def scan(self, name: str) -> DataFrame:
         """Scan-optimal access path for no-join aggregate queries
         (q1/q6 shapes): past SCAN_PARQUET_BYTES the raw VECTORIZED

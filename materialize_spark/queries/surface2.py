@@ -283,7 +283,12 @@ def subquery_decorrelated(spark, sf_dir):
     exchange. No per-row subquery execution anywhere.
     """
     t = T(spark, sf_dir)
-    nation_avg = t.customer.groupBy("c_nationkey").agg(
+    # avg over the RAW file-order scan, not the keyed arrangement: the
+    # shards change the double-sum accumulation order, which flips
+    # round(x, 2) at .xx5 knife-edges against the oracle's sequential
+    # sum (caught at sf0.001: custkeys 40/85 came out one cent off).
+    # The raw single split reproduces the oracle's order bit-for-bit.
+    nation_avg = t._tables.raw("customer").groupBy("c_nationkey").agg(
         F.avg("c_acctbal").alias("nation_avg"))
     big = (t.orders.filter(F.col("o_totalprice") > 100000)
            .select(F.col("o_custkey").alias("big_key")).distinct())
@@ -296,8 +301,17 @@ def subquery_decorrelated(spark, sf_dir):
         .join(urgent, F.col("c_custkey") == F.col("urg_key"), "left")
         .select(
             "c_custkey",
-            F.round(F.col("c_acctbal") - F.col("nation_avg"), 2)
-            .alias("diff_nation_avg"),
+            # round(x*100)/100, not round(x, 2): Spark's round(double, n)
+            # rounds the SHORTEST DECIMAL REPR (BigDecimal.valueOf) while
+            # the oracle rounds the scaled binary value (round(x*100)/100
+            # in doubles) — they disagree exactly at .xx5 knife-edges
+            # (sf0.001 custkeys 40/85: 4472.355 → .36 vs .35). The scaled
+            # form reproduces the oracle's semantics bit-for-bit at every
+            # SF (verified 0 mismatches at sf0.001/0.01/0.1; the plain
+            # form already agreed everywhere but the knife-edges, so
+            # sf0.01/0.1 results are unchanged).
+            (F.round((F.col("c_acctbal") - F.col("nation_avg")) * 100, 0)
+             / 100).alias("diff_nation_avg"),
             F.col("big_key").isNotNull().alias("has_big_order"),
             F.col("urg_key").isNotNull().alias("has_urgent"),
         )

@@ -412,15 +412,23 @@ def binlog_to_diff(env: DataFrame, relation: str, row_ddl: str,
     debezium_decode → shared IVM downstream."""
     mine = env.filter(F.col("relation") == relation)
     pos_cols = ["pos", "seq"] if "seq" in env.columns else ["pos"]
+    # ``upd`` marks both halves of an UPDATE_ROWS pair: row-based
+    # replication applies an update only to a row that exists (a missing
+    # row is skipped under slave_exec_mode=IDEMPOTENT, an error under
+    # STRICT — never an insert), so apply_cdc must not materialize the
+    # after-image of an update whose key is absent. WRITE/DELETE rows
+    # keep upd=false and establish presence as before.
     additions = (
         mine.filter(F.col("op").isin("insert", "update"))
-        .select(F.from_json("after", row_ddl).alias("r"), *pos_cols)
-        .select("r.*", *pos_cols).withColumn("diff", F.lit(1))
+        .select(F.from_json("after", row_ddl).alias("r"), *pos_cols,
+                (F.col("op") == "update").alias("upd"))
+        .select("r.*", *pos_cols, "upd").withColumn("diff", F.lit(1))
     )
     retractions = (
         mine.filter(F.col("op").isin("delete", "update"))
-        .select(F.from_json("before", row_ddl).alias("r"), *pos_cols)
-        .select("r.*", *pos_cols).withColumn("diff", F.lit(-1))
+        .select(F.from_json("before", row_ddl).alias("r"), *pos_cols,
+                (F.col("op") == "update").alias("upd"))
+        .select("r.*", *pos_cols, "upd").withColumn("diff", F.lit(-1))
     )
     return additions.unionByName(retractions).withColumnRenamed(
         "pos", "lsn")

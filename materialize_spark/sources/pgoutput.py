@@ -422,6 +422,41 @@ def apply_cdc(base: DataFrame, diff: DataFrame, key_cols: list[str],
     if has_seq:
         tagged_base = tagged_base.withColumn("seq", F.lit(0))
         pos_cols.append("seq")
+    if "upd" in diff.columns:
+        # Producer marked UPDATE pairs (mysql binlog_to_diff): an
+        # update applies only when its key is PRESENT at that position
+        # (snapshot row or a prior WRITE not deleted since) — row-based
+        # replication skips updates of missing rows, it never inserts
+        # them. Presence is decided by non-update events only (updates
+        # preserve it; key-changing updates never arrive as 'update'
+        # from our producers — key-based application would split them
+        # into delete+insert upstream).
+        tagged_base = tagged_base.withColumn("upd", F.lit(False))
+        all_updates = tagged_base.unionByName(
+            diff.select(*data_cols, *pos_cols, "diff", "upd"))
+        asc = [F.col(c).asc() for c in pos_cols] + [F.col("diff").asc()]
+        wseq = (Window.partitionBy(*key_cols).orderBy(*asc)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        wall = (Window.partitionBy(*key_cols).orderBy(*asc)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))
+        pres_ev = F.when(~F.col("upd"), F.col("diff"))
+        ev = all_updates.withColumn(
+            "_pres", F.coalesce(F.last(pres_ev, ignorenulls=True)
+                                .over(wseq), F.lit(-1))).withColumn(
+            "_fp", F.coalesce(F.last(pres_ev, ignorenulls=True)
+                              .over(wall), F.lit(-1)))
+        order = [F.col(c).desc() for c in pos_cols] \
+            + [F.col("diff").desc()]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        # value rows: snapshot/WRITE after-images always; update
+        # after-images only where the key was present just before
+        return (ev.filter((F.col("_fp") == 1) & (F.col("diff") == 1)
+                          & (~F.col("upd") | (F.col("_pres") == 1)))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_pres", "_fp", "diff", "upd", *pos_cols))
     all_updates = tagged_base.unionByName(
         diff.select(*data_cols, *pos_cols, "diff"))
     # Order: position desc (lsn, then per-message seq when the source
