@@ -107,6 +107,17 @@ def main() -> None:
     load1, cpus = _load1, _cpus
     idle_ok = None if load1 is None else load1 / cpus < 0.25
 
+    # Scaling-contract self-documentation (VERDICT r13 item 2): emit the
+    # core count the driver asked for, the derived master, and the
+    # effective shuffle parallelism, so the driver's scaling probe can
+    # verify $SPARK_GRAFT_CPUS took effect from the artifact alone
+    # (at sf0.1 per-query constants dominate, so the 8-vs-32-core ratio
+    # sits near 1 even though the env IS honored — session.py:37-41).
+    graft_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        eff_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        eff_shuffle = None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wallclock",
@@ -118,6 +129,9 @@ def main() -> None:
         "mv_create_sec": mv_create,
         "mv_peek_sec": mv_peek,
         "mv_peek_total": round(sum(mv_peek.values()), 3),
+        "cpus": int(graft_cpus) if graft_cpus else None,
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": int(eff_shuffle) if eff_shuffle else None,
         "load1_before": None if load1 is None else round(load1, 2),
         "load_per_cpu": None if load1 is None
         else round(load1 / cpus, 3),

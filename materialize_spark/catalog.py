@@ -188,6 +188,31 @@ def view_owner(spark: SparkSession) -> dict:
     return owner
 
 
+def _disable_df_debug_overhead(spark: SparkSession) -> None:
+    """Turn off PySpark 4's per-call DataFrame-debugging origin capture.
+
+    pyspark/errors/utils.py wraps EVERY DataFrame/Column API call with a
+    ``spark.conf.get`` JVM roundtrip + ``PySparkCurrentOrigin`` set/clear
+    calls + a Python stack walk when
+    ``spark.python.sql.dataFrameDebugging.enabled`` is true (the default).
+    The delta-MV maintenance path issues thousands of such calls per commit
+    batch — measured ~25k py4j roundtrips per warm
+    sqlfront_delta_mv_q21_exists run (OPTIMIZATION_r14.md). The flag is
+    STATIC: our session factory sets it at build time (session.py), but the
+    driver hands us a vanilla session where it can no longer be set. The
+    enablement is read once per process into a module-level cache, so for
+    externally built sessions we set that cache directly — it only controls
+    error-message call-site enrichment, never a plan or a result.
+    ``SPARK_GRAFT_KEEP_DF_DEBUG=1`` keeps PySpark's default behavior."""
+    if os.environ.get("SPARK_GRAFT_KEEP_DF_DEBUG") == "1":
+        return
+    try:
+        from pyspark.errors import utils as _perr_utils
+        _perr_utils._enable_debugging_cache = False
+    except Exception:
+        pass
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set engine-required runtime confs on an externally built session.
 
@@ -203,6 +228,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build: keep going, reads may still work
+    _disable_df_debug_overhead(spark)
     try:
         # Don't run tiny-SF shuffles over Spark's default 200 partitions when
         # the caller never tuned it; leave any explicit setting alone.
@@ -319,13 +345,31 @@ def scale_planner_features(spark: SparkSession, total_bytes: int) -> None:
     """Data-sized optimizer-rule policy (see _PLANNER_SCALE_CONFS)."""
     if PLANNER_MIN_BYTES <= 0:
         return
-    enabled = str(total_bytes >= PLANNER_MIN_BYTES).lower()
+    below = total_bytes < PLANNER_MIN_BYTES
+    enabled = str(not below).lower()
     for key in _PLANNER_SCALE_CONFS:
         try:
             if spark.conf.get(key) != enabled:
                 spark.conf.set(key, enabled)
         except Exception:
             pass
+    # Same gate feeds the maintenance-path codegen policy (ckpt.py): below
+    # the gate, every lineage break's whole-stage-codegen compile is pure
+    # planning cost (measured: 6.9 s -> 3.9 s of break time on a warm
+    # sqlfront_delta_mv_q21_exists — the per-commit literals make each
+    # generated source novel, so the janino cache never hits); above it the
+    # checkpointed state parts are big enough that compiled evaluation pays
+    # for its compile. Recorded per session, read by ckpt.lineage_break.
+    _LIGHT_MAINT_PLANS[spark] = below
+
+
+# Per-session flag: maintenance-plan lineage breaks skip whole-stage
+# codegen when the attached data sits below PLANNER_MIN_BYTES.
+_LIGHT_MAINT_PLANS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def light_maintenance_plans(spark: SparkSession) -> bool:
+    return bool(_LIGHT_MAINT_PLANS.get(spark, False))
 
 
 class LazyTables(MutableMapping):
@@ -613,7 +657,26 @@ class LazyTables(MutableMapping):
         temp view a DIFFERENT sf_dir registered last — loading is
         memoized per (session, sf_dir), so without this a session that
         interleaves scale factors would read one sf_dir's frames
-        through another's temp views."""
+        through another's temp views.
+
+        Per-table work (parquet footer read, arrangement setup, temp-view
+        registration) is independent driver-side metadata with no Spark
+        job, so it runs on a small thread pool (guide §2.6 overlap):
+        measured 5.3 s serial cold / ~1.4 s steady per (session, sf_dir)
+        → ~4x less wall. Each worker loads DISTINCT names (dict writes
+        are per-key, temp views are per-name), and results land in the
+        same _loaded memo the serial path used; any failure falls back
+        to the serial loop so an exotic table still raises in caller
+        context with the original behavior."""
+        names = [n for n in self._available if n not in self._loaded]
+        if len(names) > 1:
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=min(8, len(names))) \
+                        as pool:
+                    list(pool.map(self.__getitem__, names))
+            except Exception:
+                pass  # serial loop below retries/raises in caller context
         owner = view_owner(self._spark)
         for name in self._available:
             df = self[name]

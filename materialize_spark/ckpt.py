@@ -50,7 +50,33 @@ def lineage_break(df: DataFrame) -> DataFrame:
     self-reference); the sibling-id hazard needs two DIFFERENT
     relations sharing exprIds, which the fresh-alias path still
     prevents for every newly built part."""
-    out = df.localCheckpoint(eager=EAGER)
+    spark = df.sparkSession
+    from materialize_spark.catalog import light_maintenance_plans
+    if light_maintenance_plans(spark):
+        # Below the planner data gate, the break's whole-stage-codegen
+        # compile is pure driver cost (per-commit literals make each
+        # generated source novel — the janino cache never hits; measured
+        # 6.9 s -> 3.9 s of break time on warm q21_exists, OPTIMIZATION_
+        # r14.md). Flip codegen off for THIS plan's physical planning
+        # only: the conf is read at executedPlan materialization inside
+        # localCheckpoint, so ad-hoc query paths (the headline bench)
+        # keep compiled evaluation. Interpreted eval of the tiny
+        # maintenance parts is execution-neutral at this scale; above
+        # the gate the flag is false and nothing changes.
+        try:
+            prev = spark.conf.get("spark.sql.codegen.wholeStage")
+        except Exception:
+            prev = None
+        if prev == "true":
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+            try:
+                out = df.localCheckpoint(eager=EAGER)
+            finally:
+                spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        else:
+            out = df.localCheckpoint(eager=EAGER)
+    else:
+        out = df.localCheckpoint(eager=EAGER)
     out._mz_leaf = True
     return out
 

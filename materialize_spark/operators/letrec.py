@@ -14,8 +14,11 @@ both via ``distinct``).
 Scale notes: each iteration is a full Spark job; we localCheckpoint() each
 iteration's result to cut the growing lineage (otherwise plan size explodes
 exponentially and the driver, not the cluster, becomes the bottleneck).
-Convergence check uses a count of the symmetric difference — one extra job
-per iteration, no driver-side collect of data rows.
+Convergence check runs ONE action per round for ALL bindings: the union of
+every binding's symmetric difference, projected to a marker column, probed
+with isEmpty() — short-circuits on the first differing row of any binding
+(VERDICT r13 item 6; the old form paid two exceptAll+isEmpty actions per
+binding per round). No driver-side collect of data rows.
 """
 
 from __future__ import annotations
@@ -23,11 +26,26 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def _changed(old: DataFrame, new: DataFrame) -> bool:
-    # Set-equality via two anti-diffs; isEmpty() short-circuits on first row.
-    return (not new.exceptAll(old).isEmpty()) or (not old.exceptAll(new).isEmpty())
+def _any_changed(olds: Mapping[str, DataFrame],
+                 news: Mapping[str, DataFrame]) -> bool:
+    """True iff any binding's multiset value changed this round.
+
+    Each binding contributes both anti-diffs (new∖old and old∖new),
+    projected to a single marker column so all bindings union into ONE
+    frame; isEmpty() short-circuits on the first surviving row. Repeated
+    occurrences of the checkpoint leaves across branches are ordinary
+    self-reference (same relation object), not the live-subplan
+    relation-dedup hazard."""
+    probe: DataFrame | None = None
+    for k, old in olds.items():
+        new = news[k]
+        for diff in (new.exceptAll(old), old.exceptAll(new)):
+            marker = diff.select(F.lit(1).alias("__d"))
+            probe = marker if probe is None else probe.unionAll(marker)
+    return probe is not None and not probe.isEmpty()
 
 
 def let_rec(
@@ -58,7 +76,7 @@ def let_rec(
         if distinct:
             nxt = {k: v.distinct() for k, v in nxt.items()}
         nxt = {k: lineage_break(v) for k, v in nxt.items()}
-        if all(not _changed(current[k], nxt[k]) for k in current):
+        if not _any_changed(current, nxt):
             return nxt
         current = nxt
     return current

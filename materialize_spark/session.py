@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Kill PySpark 4's per-call origin-capture chatter (one conf.get
+        # roundtrip + two JVM calls + a stack walk per DataFrame/Column API
+        # call); see catalog._RUNTIME_CONFS for the measured rationale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Pipeline UDFs ship ~10k-row Arrow batches; keeps Python workers fed
         # without blowing memory at wide rows (embeddings, binary payloads).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

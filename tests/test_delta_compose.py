@@ -299,6 +299,7 @@ def test_delta_mv_multi_key_join(spark):
         s.execute(f"DROP TABLE {t}")
 
 
+@pytest.mark.soak
 def test_delta_mv_composition_random_soak(spark):
     """20-step random walk of INSERT/DELETE/UPDATE over both inputs of
     an outer-join→agg MV and a join→TopK MV simultaneously; every step

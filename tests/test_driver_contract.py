@@ -175,6 +175,7 @@ def test_date_bin_before_origin(spark):
     assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]
 
 
+@pytest.mark.soak
 def test_all_registry_outputs_are_scalar_typed(spark):
     """The driver canonicalizes results via toPandas().sort_values over every
     column; Array/Map/Struct cells arrive as numpy arrays / dicts and raise

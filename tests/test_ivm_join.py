@@ -1,3 +1,4 @@
+import pytest
 """Incremental join maintenance: delta algebra == full re-join, always."""
 
 import random
@@ -20,6 +21,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.soak
 def test_incremental_join_random_workload(spark):
     rng = random.Random(3)
     jv = IncrementalJoinView(on=["k"])
@@ -85,6 +87,7 @@ def _outer_oracle(spark, lh, rh, how):
     return l.join(r, on="k", how=how).select("k", "lv", "rv")
 
 
+@pytest.mark.soak
 def test_outer_join_left_random_workload(spark):
     from materialize_spark.streaming.ivm_join import IncrementalOuterJoinView
     rng = random.Random(11)
@@ -114,6 +117,7 @@ def test_outer_join_left_random_workload(spark):
         assert got == want, f"step {step}: {got} != {want}"
 
 
+@pytest.mark.soak
 def test_outer_join_full_random_workload(spark):
     from materialize_spark.streaming.ivm_join import IncrementalOuterJoinView
     rng = random.Random(7)
@@ -165,6 +169,7 @@ def test_outer_join_one_sided_batches(spark):
         (2, 20, None)]
 
 
+@pytest.mark.soak
 def test_incremental_join_forced_spill_still_exact(spark, tmp_path):
     """spill_rows=1 forces every compaction onto the hash-prefix
     parquet tier: the maintained join stays exactly equal to the full
@@ -202,6 +207,7 @@ def test_incremental_join_forced_spill_still_exact(spark, tmp_path):
     assert jv._right._st is not None and jv._right._st._disk is not None
 
 
+@pytest.mark.soak
 def test_incremental_outer_join_forced_spill_still_exact(spark):
     """The outer-join view under a forced spill tier: null-padding
     transitions (first match appears / last match vanishes) stay exact

@@ -147,6 +147,7 @@ def test_q21_member_exclusion_self_correlation(spark):
     s.run_script("DROP MATERIALIZED VIEW mq; DROP TABLE mq_li;")
 
 
+@pytest.mark.soak
 def test_spilled_state_soak(spark, monkeypatch):
     import materialize_spark.plans.sqlfront as sf
     monkeypatch.setattr(sf, "_TOPK_SPILL_ROWS", 5)

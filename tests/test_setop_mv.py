@@ -50,6 +50,7 @@ def _teardown(s, *views):
         s.execute(f"DROP TABLE {t}")
 
 
+@pytest.mark.soak
 def test_setop_mv_random_soak(spark):
     """18-step random churn over both inputs of all five set-op MVs at
     once; duplicates are deliberately common (small key space) so the

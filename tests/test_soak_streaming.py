@@ -10,6 +10,8 @@ accumulating event counts. VERDICT r5 item 7.
 """
 
 import pytest
+
+pytestmark = pytest.mark.soak
 from pyspark.sql import functions as F
 
 N_KEYS = 50

@@ -14,6 +14,8 @@ deltas stay per-batch-sized. VERDICT r6 next-round task 5.
 import json
 
 import pytest
+
+pytestmark = pytest.mark.soak
 from pyspark.sql import functions as F
 
 from materialize_spark.sources.kafka_wire import KafkaWireStream, MiniBroker

@@ -1149,6 +1149,7 @@ def test_delta_mv_count_star(spark):
                   "FROM dmvc_t GROUP BY k HAVING COUNT(*) > 1")
 
 
+@pytest.mark.soak
 def test_delta_mv_random_write_soak_equals_recompute(spark):
     """Property soak: 20 random INSERT/UPDATE/DELETE statements against
     a delta-maintained MV; after EVERY statement the maintained result
@@ -1413,6 +1414,7 @@ def test_explain_filter_pushdown(spark):
                for r in rows), rows
 
 
+@pytest.mark.soak
 def test_delta_mv_minmax_soak(spark):
     """WITH (MAINTENANCE 'delta') multi-aggregate shape: sum/count/avg
     maintain accumulably, min/max hierarchically from support — exact
@@ -1449,6 +1451,7 @@ def test_delta_mv_minmax_soak(spark):
         assert got == want, f"diverged at step {step}"
 
 
+@pytest.mark.soak
 def test_delta_mv_topk_soak(spark):
     """WITH (MAINTENANCE 'delta') grouped-TopK shape (the ROW_NUMBER
     idiom): deletes that evict a current top-k row pull evicted rows
@@ -1480,6 +1483,7 @@ def test_delta_mv_topk_soak(spark):
         assert got == want, f"diverged at step {step}"
 
 
+@pytest.mark.soak
 def test_delta_mv_join_soak(spark):
     """WITH (MAINTENANCE 'delta') equi-join shapes: bilinear delta-join
     maintenance (never re-joining histories), plain projection and

@@ -25,6 +25,7 @@ def _recompute(s, body):
                   key=_key)
 
 
+@pytest.mark.soak
 def test_stacked_join_agg_filter_churn(spark):
     """Three-level chain (join MV -> grouped-agg MV over it ->
     stateless filter MV over that) stays always-fresh through a random
