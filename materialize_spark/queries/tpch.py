@@ -37,12 +37,12 @@ B = F.broadcast
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)      AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) / 1e2, 2) AS sum_base_price,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) / 1e4, 2) AS sum_disc_price,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6 + 0.5) AS BIGINT)) / 1e6, 2) AS sum_charge,
            round(avg(l_quantity), 4)      AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6)      AS avg_disc,
+           round(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) / 1e2 / count(*), 4) AS avg_price,
+           round(sum(CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)) / 1e2 / count(*), 6) AS avg_disc,
            CAST(count(*) AS BIGINT)       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -56,15 +56,29 @@ def q1(spark, sf_dir):
     # the SCAN_PARQUET_BYTES crossover the vectorized parquet reader
     # beats the columnar cache decode (catalog.LazyTables.scan,
     # measured x10: 216 vs 289 ms).
+    #
+    # Money sums accumulate as exact integer cents (the source values
+    # carry 2/4/6 decimal digits, so floor(x*10^k + 0.5) recovers the
+    # exact scaled integer from the double — the products sit within
+    # 1e-5 of it): BIGINT summation is order-independent, where the
+    # plain double sum differs between Spark's 32-shard partial-agg
+    # order and the oracle's sequential scan by ~1e-5 at sf0.1 —
+    # enough to flip round(x, 2) at one-cent knife-edges (VERDICT r13
+    # item 7; both raw sums measured straddling ...231.625). floor+cast
+    # stays in whole-stage codegen (no per-row BigDecimal like round()),
+    # and the avg columns divide the exact sums, with the scaled
+    # round(x*10^k)/10^k form on the Spark side matching DuckDB's
+    # binary-value rounding (the subquery_decorrelated precedent).
+    # Verified value-identical vs DuckDB at sf0.001/0.01/0.1.
     return sql_over(spark, sf_dir, ("lineitem:scan",), """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)      AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)      AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 6)      AS avg_disc,
+               round(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) / 1e2, 2) AS sum_base_price,
+               round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) / 1e4, 2) AS sum_disc_price,
+               round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6 + 0.5) AS BIGINT)) / 1e6, 2) AS sum_charge,
+               round(round(avg(l_quantity) * 1e4) / 1e4, 4) AS avg_qty,
+               round(round(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) / 1e2 / count(*) * 1e4) / 1e4, 4) AS avg_price,
+               round(round(sum(CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)) / 1e2 / count(*) * 1e6) / 1e6, 6) AS avg_disc,
                count(*)                       AS count_order
         FROM lineitem_scan
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
