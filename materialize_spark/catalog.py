@@ -229,6 +229,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
         except Exception:
             pass  # non-settable on this build: keep going, reads may still work
     _disable_df_debug_overhead(spark)
+    # Memoize PySpark's per-call JVM handle fetches (functions registry,
+    # col/lit construction) — the measured top roundtrip classes in the
+    # delta-MV commit path (see jvmcache module docstring).
+    try:
+        from materialize_spark.jvmcache import install as _jvm_install
+        _jvm_install()
+    except Exception:
+        pass
     try:
         # Don't run tiny-SF shuffles over Spark's default 200 partitions when
         # the caller never tuned it; leave any explicit setting alone.

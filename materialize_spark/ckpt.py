@@ -32,10 +32,27 @@ it localizes a failure to the commit that built the bad plan).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame
 
 EAGER: bool = os.environ.get("SPARK_GRAFT_EAGER_CKPT", "") == "1"
+
+# Per-session memo of spark.sql.codegen.wholeStage as last READ here.
+# Sound because lineage_break is the only engine site that flips the
+# conf and it always restores the pre-toggle value before returning.
+_CODEGEN: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _codegen_conf(spark) -> str | None:
+    v = _CODEGEN.get(spark)
+    if v is None:
+        try:
+            v = spark.conf.get("spark.sql.codegen.wholeStage")
+        except Exception:
+            v = "?"
+        _CODEGEN[spark] = v
+    return v
 
 
 def lineage_break(df: DataFrame) -> DataFrame:
@@ -63,10 +80,12 @@ def lineage_break(df: DataFrame) -> DataFrame:
         # keep compiled evaluation. Interpreted eval of the tiny
         # maintenance parts is execution-neutral at this scale; above
         # the gate the flag is false and nothing changes.
-        try:
-            prev = spark.conf.get("spark.sql.codegen.wholeStage")
-        except Exception:
-            prev = None
+        # The conf read is memoized per session (module cache below):
+        # the get costs 2 py4j roundtrips and this path runs once per
+        # lineage break (~111/warm churn entry); only this function
+        # flips the conf, so the cached value stays true between
+        # breaks and the toggle is 2 sends instead of 4.
+        prev = _codegen_conf(spark)
         if prev == "true":
             spark.conf.set("spark.sql.codegen.wholeStage", "false")
             try:
@@ -81,11 +100,37 @@ def lineage_break(df: DataFrame) -> DataFrame:
     return out
 
 
+_FB_SEQ = __import__("itertools").count(1)  # thread-safe unique suffixes
+
+
 def fresh_break(df: DataFrame) -> DataFrame:
-    """Lineage break with FRESH attribute ids (toDF mints one Alias per
-    column in a single py4j call), skipping frames that are already
-    checkpoint leaves — the shared body of the per-module ``_ckpt``
-    helpers."""
+    """Lineage break with FRESH attribute ids, skipping frames that are
+    already checkpoint leaves — the shared body of the per-module
+    ``_ckpt`` helpers.
+
+    The alias-project is built from ONE SQL string over a short-lived
+    temp view (~4 py4j roundtrips) instead of ``toDF(*cols)``, whose
+    list conversion costs one roundtrip per column (~12 for a typical
+    maintenance frame; measured 1.2k sends/warm churn entry from this
+    one site). ``SELECT `c` AS `c` ...`` mints the same per-column
+    Alias nodes toDF does, so the fresh-exprId guarantee is identical;
+    the view is dropped immediately after ``spark.sql`` captures the
+    analyzed plan. Frames with duplicate or backtick-bearing column
+    names fall back to toDF (SQL projection would be ambiguous)."""
     if getattr(df, "_mz_leaf", False):
         return df
-    return lineage_break(df.toDF(*df.columns))
+    cols = df.columns
+    if len(set(cols)) == len(cols) and not any("`" in c for c in cols):
+        v = f"__mz_fb_{os.getpid()}_{next(_FB_SEQ)}"
+        spark = df.sparkSession
+        try:
+            df.createOrReplaceTempView(v)
+            try:
+                sel = ", ".join(f"`{c}` AS `{c}`" for c in cols)
+                out = spark.sql(f"SELECT {sel} FROM `{v}`")
+            finally:
+                spark.catalog.dropTempView(v)
+            return lineage_break(out)
+        except Exception:
+            pass  # exotic names/session: the per-column path below
+    return lineage_break(df.toDF(*cols))

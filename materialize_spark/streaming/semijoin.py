@@ -65,13 +65,19 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return fresh_break(df)
 
 
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for the SQL-string fast paths."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _ns_semi(df: DataFrame, keys_df: DataFrame,
              keys: list[str]) -> DataFrame:
-    """Null-safe left_semi keyed probe."""
-    cond = None
-    for k in keys:
-        c = F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}"))
-        cond = c if cond is None else cond & c
+    """Null-safe left_semi keyed probe. The join condition is ONE
+    parsed expression string — per-commit plan construction is
+    roundtrip-bound (guide §4's boundary logic applied to the driver:
+    each Column op is a py4j roundtrip; one F.expr parse is one)."""
+    cond = F.expr(" AND ".join(
+        f"__a.{_q(k)} <=> __b.{_q(k)}" for k in keys))
     return df.alias("__a").join(keys_df.alias("__b"), on=cond,
                                 how="left_semi")
 
@@ -154,7 +160,7 @@ class SemiAntiFilterMV:
             probe = _ns_semi(probe, touched, self._probe_keys())
         return (probe.groupBy(*self._ikey())
                 .agg(F.sum("__cnt").alias("__cnt"))
-                .filter(F.col("__cnt") != 0))
+                .filter("__cnt != 0"))
 
     def _outer_rows(self, touched: DataFrame | None) -> DataFrame | None:
         """Consolidated current outer rows (confined to touched keys
@@ -167,33 +173,39 @@ class SemiAntiFilterMV:
         cols = [c for c in probe.columns if c != DIFF_COL]
         return (probe.groupBy(*cols)
                 .agg(F.sum(DIFF_COL).alias(DIFF_COL))
-                .filter(F.col(DIFF_COL) != 0))
+                .filter(f"{_q(DIFF_COL)} != 0"))
 
     # -- qualification ------------------------------------------------------
-    def _qual_plain(self, cnt, total=None, null_cnt=None):
-        """Boolean Column from a (possibly NULL) attached count.
+    # The _qual* helpers return SQL STRINGS (not Columns): one parsed
+    # expression per filter/projection instead of a py4j roundtrip per
+    # Column node — the measured cost of these per-commit predicates
+    # was plan construction, never evaluation. Semantics are unchanged
+    # (coalesce/CASE forms mirror the previous when/otherwise trees,
+    # and every branch is pinned by the oracle entries + unit tests).
+    def _qual_plain(self, cnt: str, total=None, null_cnt=None) -> str:
+        """Boolean SQL over a (possibly NULL) attached count column.
         ``total``/``null_cnt`` override the scalar frontiers (the
         global-flip path evaluates the OLD side under the pre-batch
         scalars; the predicate embeds them at construction time)."""
         total = self._total if total is None else total
         null_cnt = self._null_cnt if null_cnt is None else null_cnt
-        n = F.coalesce(cnt, F.lit(0))
+        n = f"coalesce({_q(cnt)}, 0)"
         if self.kind == "exists":
-            return n > 0
+            return f"({n} > 0)"
         if self.kind == "not_exists":
-            return n <= 0
-        key = F.col(self.in_col)
+            return f"({n} <= 0)"
+        key = _q(self.in_col)
         if self.kind == "in":
-            return key.isNotNull() & (n > 0)
+            return f"({key} IS NOT NULL AND {n} > 0)"
         # not_in: inner NULL poisons everything; the empty inner set
         # keeps every row (NULL keys included)
         if total == 0:
-            return F.lit(True)
+            return "true"
         if null_cnt > 0:
-            return F.lit(False)
-        return key.isNotNull() & (n <= 0)
+            return "false"
+        return f"({key} IS NOT NULL AND {n} <= 0)"
 
-    def _qual_corr_in(self, tot, nul, cnt):
+    def _qual_corr_in(self, tot: str, nul: str, cnt: str) -> str:
         """Correlated [NOT] IN qualification from the attached per-key
         total / per-key inner-NULL count / per-(key,value) match count.
         SQL three-valued semantics per correlation key: an EMPTY key
@@ -201,22 +213,22 @@ class SemiAntiFilterMV:
         correlation key always has the empty set — ``=`` matches
         nothing); a non-empty set with a NULL outer value or a NULL
         inner value yields UNKNOWN → filtered."""
-        t = F.coalesce(tot, F.lit(0))
-        m = F.coalesce(cnt, F.lit(0))
-        v = F.col(self.in_col)
+        t = f"coalesce({_q(tot)}, 0)"
+        m = f"coalesce({_q(cnt)}, 0)"
+        v = _q(self.in_col)
         if self.kind == "in":
-            return v.isNotNull() & (m > 0)
-        n = F.coalesce(nul, F.lit(0))
-        return F.when(t == 0, F.lit(True)).otherwise(
-            v.isNotNull() & (n == 0) & (m <= 0))
+            return f"({v} IS NOT NULL AND {m} > 0)"
+        n = f"coalesce({_q(nul)}, 0)"
+        return (f"(CASE WHEN {t} = 0 THEN true ELSE "
+                f"({v} IS NOT NULL AND {n} = 0 AND {m} <= 0) END)")
 
-    def _qual_member(self, tot, cnt):
+    def _qual_member(self, tot: str, cnt: str) -> str:
         """Member-exclusion qualification: does ANOTHER member's inner
         row exist for this key? NULL members satisfy no ``<>``."""
-        other = F.when(
-            F.col(self.member).isNull(), F.lit(0)).otherwise(
-            F.coalesce(tot, F.lit(0)) - F.coalesce(cnt, F.lit(0)))
-        return other > 0 if self.kind == "exists" else other <= 0
+        other = (f"(CASE WHEN {_q(self.member)} IS NULL THEN 0 ELSE "
+                 f"coalesce({_q(tot)}, 0) - coalesce({_q(cnt)}, 0) END)")
+        op = ">" if self.kind == "exists" else "<="
+        return f"({other} {op} 0)"
 
     def _attach_both(self, rows: DataFrame,
                      both: DataFrame) -> DataFrame:
@@ -241,15 +253,15 @@ class SemiAntiFilterMV:
             tots = both.groupBy(*self.keys).agg(*tot_aggs)
             out = rows.join(tots, on=self.keys, how="left")
             a = out.alias("__a")
-            b = (both.filter(F.col(vcol).isNotNull()).select(
-                *self.keys, F.col(vcol).alias("__im"),
+            b = (both.filter(f"{_q(vcol)} IS NOT NULL").selectExpr(
+                *[_q(k) for k in self.keys],
+                f"{_q(vcol)} AS __im",
                 "__cnt_o", "__cnt_n").alias("__b"))
-            cond = F.col(f"__a.{vcol}") == F.col("__b.__im")
-            for k in self.keys:
-                cond = cond & (F.col(f"__a.{k}") == F.col(f"__b.{k}"))
-            return a.join(b, on=cond, how="left").select(
-                *[F.col(f"__a.{c}") for c in out.columns],
-                F.col("__b.__cnt_o"), F.col("__b.__cnt_n"))
+            cond = F.expr(" AND ".join(
+                [f"__a.{_q(vcol)} = __b.__im"]
+                + [f"__a.{_q(k)} = __b.{_q(k)}" for k in self.keys]))
+            return a.join(b, on=cond, how="left").selectExpr(
+                "__a.*", "__b.__cnt_o", "__b.__cnt_n")
         return rows.join(both, on=self._probe_keys(), how="left")
 
     def _attach(self, rows: DataFrame, counts: DataFrame | None,
@@ -266,12 +278,12 @@ class SemiAntiFilterMV:
         cnt_c, tot_c = f"__cnt{sfx}", f"__tot{sfx}"
         nul_c = f"__nul{sfx}"
         if counts is None:
-            out = rows.withColumn(cnt_c, F.lit(None).cast("long"))
+            extra = [f"CAST(NULL AS BIGINT) AS {cnt_c}"]
             if self.member or self._corr_in:
-                out = out.withColumn(tot_c, F.lit(None).cast("long"))
+                extra.append(f"CAST(NULL AS BIGINT) AS {tot_c}")
             if self._corr_in:
-                out = out.withColumn(nul_c, F.lit(None).cast("long"))
-            return out
+                extra.append(f"CAST(NULL AS BIGINT) AS {nul_c}")
+            return rows.selectExpr("*", *extra)
         if self.member or self._corr_in:
             # _ckpt ONLY for the double-read variants (per-key totals
             # + per-pair counts below read ``counts`` twice in one
@@ -287,25 +299,24 @@ class SemiAntiFilterMV:
             tots = counts.groupBy(*self.keys).agg(*tot_aggs)
             out = rows.join(tots, on=self.keys, how="left")
             a = out.alias("__a")
-            b = (counts.filter(F.col(vcol).isNotNull()).select(
-                *self.keys, F.col(vcol).alias("__im"),
-                F.col("__cnt").alias(cnt_c)).alias("__b"))
-            cond = F.col(f"__a.{vcol}") == F.col("__b.__im")
-            for k in self.keys:
-                cond = cond & (F.col(f"__a.{k}") == F.col(f"__b.{k}"))
-            return a.join(b, on=cond, how="left").select(
-                *[F.col(f"__a.{c}") for c in out.columns],
-                F.col(f"__b.{cnt_c}"))
+            b = (counts.filter(f"{_q(vcol)} IS NOT NULL").selectExpr(
+                *[_q(k) for k in self.keys],
+                f"{_q(vcol)} AS __im",
+                f"__cnt AS {cnt_c}").alias("__b"))
+            cond = F.expr(" AND ".join(
+                [f"__a.{_q(vcol)} = __b.__im"]
+                + [f"__a.{_q(k)} = __b.{_q(k)}" for k in self.keys]))
+            return a.join(b, on=cond, how="left").selectExpr(
+                "__a.*", f"__b.{cnt_c}")
         return rows.join(counts.withColumnRenamed("__cnt", cnt_c),
                          on=self._probe_keys(), how="left")
 
-    def _qual(self, sfx: str, total=None, null_cnt=None):
-        cnt = F.col(f"__cnt{sfx}")
+    def _qual(self, sfx: str, total=None, null_cnt=None) -> str:
+        cnt = f"__cnt{sfx}"
         if self.member:
-            return self._qual_member(F.col(f"__tot{sfx}"), cnt)
+            return self._qual_member(f"__tot{sfx}", cnt)
         if self._corr_in:
-            return self._qual_corr_in(
-                F.col(f"__tot{sfx}"), F.col(f"__nul{sfx}"), cnt)
+            return self._qual_corr_in(f"__tot{sfx}", f"__nul{sfx}", cnt)
         return self._qual_plain(cnt, total, null_cnt)
 
     def _qualify(self, rows: DataFrame,
@@ -376,11 +387,12 @@ class SemiAntiFilterMV:
         clean = inner_delta
         nn_cols = self.keys + ([self.member] if self.member else []) \
             if self._corr_in or self.member else self._ikey()
-        for k in nn_cols:
-            clean = clean.filter(F.col(k).isNotNull())
+        if nn_cols:
+            clean = clean.filter(" AND ".join(
+                f"{_q(k)} IS NOT NULL" for k in nn_cols))
         partial = _ckpt(clean.groupBy(*self._ikey())
                         .agg(F.sum(DIFF_COL).alias("__cnt"))
-                        .filter(F.col("__cnt") != 0))
+                        .filter("__cnt != 0"))
         # live over the partial LEAF (no own checkpoint): every reuse
         # below re-plans a tiny distinct-over-leaf; repeated occurrences
         # of one checkpointed leaf in a plan are ordinary self-reference
@@ -400,19 +412,19 @@ class SemiAntiFilterMV:
         # per inner commit is replaced by a union+groupBy against the
         # tiny batch partial. GROUP BY groups NULL in-values together
         # (SQL grouping equality), exactly like the support aggregate.
+        ikey_q = [_q(k) for k in self._ikey()]
         if old_counts is None:
-            both = partial.select(
-                *self._ikey(),
-                F.lit(0).cast("long").alias("__cnt_o"),
-                F.col("__cnt").alias("__cnt_n"))
+            both = partial.selectExpr(
+                *ikey_q,
+                "CAST(0 AS BIGINT) AS __cnt_o",
+                "__cnt AS __cnt_n")
         else:
-            o = old_counts.select(
-                *self._ikey(), F.col("__cnt").alias("__cnt_o"),
-                F.col("__cnt").alias("__cnt_n"))
-            d = partial.select(
-                *self._ikey(),
-                F.lit(0).cast("long").alias("__cnt_o"),
-                F.col("__cnt").alias("__cnt_n"))
+            o = old_counts.selectExpr(
+                *ikey_q, "__cnt AS __cnt_o", "__cnt AS __cnt_n")
+            d = partial.selectExpr(
+                *ikey_q,
+                "CAST(0 AS BIGINT) AS __cnt_o",
+                "__cnt AS __cnt_n")
             both = (o.unionByName(d).groupBy(*self._ikey())
                     .agg(F.sum("__cnt_o").alias("__cnt_o"),
                          F.sum("__cnt_n").alias("__cnt_n")))
@@ -429,13 +441,16 @@ class SemiAntiFilterMV:
         old_q = self._qual("_o", total=self._total - batch_t,
                            null_cnt=self._null_cnt - batch_n)
         new_q = self._qual("_n")
-        sign = (F.when(new_q & ~old_q, F.lit(1))
-                .when(old_q & ~new_q, F.lit(-1)))
-        flip = _ckpt(att.withColumn("__s", sign)
-                     .filter(F.col("__s").isNotNull()))
+        # single parsed CASE instead of a when/when Column chain (NULL
+        # else-branch preserved by the bare END)
+        sign = (f"CASE WHEN {new_q} AND NOT {old_q} THEN 1 "
+                f"WHEN {old_q} AND NOT {new_q} THEN -1 END")
+        flip = _ckpt(att.selectExpr("*", f"{sign} AS __s")
+                     .filter("__s IS NOT NULL"))
         cols = [c for c in old_rows.columns if c != DIFF_COL]
-        return [flip.select(
-            *cols, (F.col(DIFF_COL) * F.col("__s")).alias(DIFF_COL))]
+        return [flip.selectExpr(
+            *[_q(c) for c in cols],
+            f"{_q(DIFF_COL)} * __s AS {_q(DIFF_COL)}")]
 
     def _maybe_compact(self) -> None:
         if self._i_appends >= self.compact_every:
